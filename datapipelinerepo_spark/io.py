@@ -1,0 +1,146 @@
+"""Table IO: reads over the driver testdata + the engine's write semantics.
+
+Write semantics re-homed from the reference (SURVEY.md §2.1):
+
+- S8 append + additive schema evolution
+  (``datasources.py:55-58`` WRITE_APPEND + ALLOW_FIELD_ADDITION)
+- S9 replace (``:61-64`` TRUNCATE, ``:362-366`` WRITE_TRUNCATE)
+- S10 idempotent date-partition re-load
+  (``:50-53`` DELETE WHERE Date=… then append)
+- S3/S4 catalog probes (``:136``, ``:394-396`` __TABLES__ queries)
+- A1/S11 watermark scalar fetch (``:140-142`` MAX(Date) → tolist()[0])
+
+At scale: tables are directories of parquet partitioned by a date
+column; S10 uses dynamic partition overwrite so a re-run replaces only
+the touched partitions (exactly-once under re-run, proven in
+tests/test_io.py). No driver-side collects except the scalar gates.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import os
+import shutil
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+
+from . import TABLES
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one driver testdata table (S1). Catalyst handles column
+    pruning / predicate pushdown into the parquet scan.
+
+    The events table stores ns-precision timestamps, which Spark's
+    parquet reader rejects; read them as long and convert to
+    microsecond timestamps (matching DuckDB, whose TIMESTAMP is
+    us-precision, so both engines see identical values).
+    """
+    if name == "events":
+        from pyspark.sql import functions as F
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(table_path(sf_dir, name))
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long"))
+            )
+        return df
+    return spark.read.parquet(table_path(sf_dir, name))
+
+
+def register_views(spark: SparkSession, sf_dir: str, tables=TABLES) -> None:
+    """Expose the testdata tables to spark.sql(...) passthrough."""
+    for t in tables:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+class TableStore:
+    """A directory of named parquet tables with the reference's load
+    semantics. Plays the role BigQuery datasets played
+    (``datasources.py:32`` dataset+table_name addressing).
+    """
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    # -- catalog (S3/S4) ---------------------------------------------------
+    def _dir(self, name: str) -> str:
+        return os.path.join(self.root, name)
+
+    def _meta_path(self, name: str) -> str:
+        return os.path.join(self.root, f"_meta_{name}.json")
+
+    def exists(self, name: str) -> bool:
+        """S3 existence probe (``__TABLES__`` scan, datasources.py:136)."""
+        d = self._dir(name)
+        return os.path.isdir(d) and any(
+            f.endswith(".parquet") for f in os.listdir(d)
+        ) or os.path.isfile(self._meta_path(name))
+
+    def last_modified_date(self, name: str) -> dt.date | None:
+        """S4 catalog metadata read (DATE(TIMESTAMP_MILLIS(last_modified_time)),
+        datasources.py:394-396)."""
+        p = self._meta_path(name)
+        if not os.path.isfile(p):
+            return None
+        with open(p) as f:
+            millis = json.load(f)["last_modified_millis"]
+        return dt.datetime.fromtimestamp(millis / 1000, dt.timezone.utc).date()
+
+    def _touch_meta(self, name: str) -> None:
+        with open(self._meta_path(name), "w") as f:
+            json.dump({"last_modified_millis": int(time.time() * 1000)}, f)
+
+    # -- reads -------------------------------------------------------------
+    def read(self, name: str, merge_schema: bool = True) -> DataFrame:
+        return self.spark.read.option(
+            "mergeSchema", str(merge_schema).lower()
+        ).parquet(self._dir(name))
+
+    def max_value(self, name: str, col: str):
+        """A1+S11 watermark: MAX(col) fetched as a scalar
+        (datasources.py:140-142). The only sanctioned driver-side collect."""
+        row = self.read(name).selectExpr(f"max({col}) AS w").first()
+        return None if row is None else row["w"]
+
+    # -- writes ------------------------------------------------------------
+    def append(self, df: DataFrame, name: str) -> None:
+        """S8: WRITE_APPEND + ALLOW_FIELD_ADDITION → parquet append; new
+        columns surface on read via mergeSchema=true."""
+        df.write.mode("append").parquet(self._dir(name))
+        self._touch_meta(name)
+
+    def overwrite(self, df: DataFrame, name: str) -> None:
+        """S9: TRUNCATE + WRITE_TRUNCATE → full overwrite."""
+        df.write.mode("overwrite").parquet(self._dir(name))
+        self._touch_meta(name)
+
+    def reload_partitions(self, df: DataFrame, name: str, part_col: str) -> None:
+        """S10: idempotent partition re-load. The reference deletes the
+        date slice then appends (datasources.py:50-59); here dynamic
+        partition overwrite replaces exactly the partitions present in
+        ``df`` and leaves all others intact — exactly-once under re-run.
+        """
+        (
+            df.write.mode("overwrite")
+            .partitionBy(part_col)
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(self._dir(name))
+        )
+        self._touch_meta(name)
+
+    def drop(self, name: str) -> None:
+        shutil.rmtree(self._dir(name), ignore_errors=True)
+        try:
+            os.remove(self._meta_path(name))
+        except FileNotFoundError:
+            pass

@@ -1,0 +1,182 @@
+"""Core relational operators — SURVEY.md §2.2-§2.6 as composable
+DataFrame functions. Everything stays declarative so Catalyst does
+pushdown / pruning / join-strategy selection (SURVEY.md §4: zero custom
+rules needed for parity).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Mapping
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# Projections / filters (P1-P9)
+# ---------------------------------------------------------------------------
+
+
+def point_lookup(df: DataFrame, col: str, value) -> DataFrame:
+    """P1 equality filter (`WHERE TBL_NM='x'`, pipeline.py:28;
+    `WHERE State='GA'`, datasources.py:171). Pushed to the parquet scan."""
+    return df.filter(F.col(col) == F.lit(value))
+
+
+def in_list(df: DataFrame, col: str, values: Iterable) -> DataFrame:
+    """P2 IN-list (`WHERE YEAR IN ('2022','2023')`, datasources.py:548).
+    Handles the reference's 1-element special case uniformly."""
+    return df.filter(F.col(col).isin(list(values)))
+
+
+def below_or_null(df: DataFrame, col: str, threshold) -> DataFrame:
+    """P3 range+null disjunction (`cntcheck < 2 OR cntcheck IS NULL`,
+    datasources.py:645-646)."""
+    c = F.col(col)
+    return df.filter((c < F.lit(threshold)) | c.isNull())
+
+
+def month_filter(df: DataFrame, col: str, month: int) -> DataFrame:
+    """P4 date-part predicate (`EXTRACT(MONTH FROM Date)={m}`,
+    datasources.py:159)."""
+    return df.filter(F.month(col) == month)
+
+
+def keep_columns(df: DataFrame, cols: Iterable[str]) -> DataFrame:
+    """P5 keep-list pruning (dict comprehension, datasources.py:270-271).
+    Catalyst prunes the parquet ReadSchema to exactly these columns."""
+    return df.select(*cols)
+
+
+def rename_columns(df: DataFrame, mapping: Mapping[str, str]) -> DataFrame:
+    """P6 rename projection (scraped→canonical fieldmap,
+    datasources.py:737-752)."""
+    return df.withColumnsRenamed(dict(mapping))
+
+
+def with_constants(df: DataFrame, **consts) -> DataFrame:
+    """P7 computed-column append (ZIP_Code/Date consts datasources.py:268-269;
+    Date_Pulled :358)."""
+    return df.withColumns({k: F.lit(v) for k, v in consts.items()})
+
+
+def cast_columns(df: DataFrame, casts: Mapping[str, str]) -> DataFrame:
+    """P8 cast projection (pandas astype, datasources.py:274-275)."""
+    return df.withColumns({k: F.col(k).cast(t) for k, t in casts.items()})
+
+
+# ---------------------------------------------------------------------------
+# Joins (J1-J4)
+# ---------------------------------------------------------------------------
+
+
+def left_join_using(left: DataFrame, right: DataFrame, key: str | list[str]) -> DataFrame:
+    """J1 LEFT JOIN ... USING(key) (datasources.py:640-643). Catalyst/AQE
+    picks broadcast vs sort-merge; at 100 TB the aggregated right side is
+    per-key and typically still too large to broadcast — sort-merge on the
+    key is the correct physical plan, and AQE demotes/promotes at runtime."""
+    return left.join(right, on=key, how="left")
+
+
+def coverage_gap(
+    fact: DataFrame,
+    coverage: DataFrame,
+    key_fact: str,
+    key_cov: str,
+    count_col: str,
+    expected: int,
+    cnt_name: str = "cnt",
+) -> DataFrame:
+    """J3 (flagship work-list): rows of ``fact`` whose distinct
+    ``count_col`` coverage in ``coverage`` is < expected or absent —
+    the reference's games-missing-stats query (datasources.py:627-647):
+    CTE GROUP BY key + COUNT(DISTINCT …) LEFT JOIN USING(key) then
+    `cnt < expected OR cnt IS NULL`.
+
+    Scale: the aggregate side shrinks to one row per key before the join
+    (partial aggregation map-side), and both sides shuffle on the key —
+    no narrower plan exists for this semantics.
+    """
+    agg = coverage.groupBy(key_cov).agg(F.countDistinct(count_col).alias(cnt_name))
+    joined = fact.join(agg, on=fact[key_fact] == agg[key_cov], how="left")
+    c = F.col(cnt_name)
+    return joined.filter((c < F.lit(expected)) | c.isNull()).drop(key_cov)
+
+
+def symmetric_difference(a: DataFrame, b: DataFrame) -> DataFrame:
+    """J2/U2 exact semantics of `pd.concat([a,b]).drop_duplicates(keep=False)`
+    (datasources.py:547-552): rows appearing exactly once across the
+    concatenation — including rows duplicated within one input, which the
+    pandas idiom also removes. One shuffle on all columns."""
+    u = a.unionByName(b)
+    return (
+        u.groupBy(*u.columns)
+        .count()
+        .filter(F.col("count") == 1)
+        .drop("count")
+    )
+
+
+def incremental_new(new: DataFrame, existing: DataFrame, key: str | list[str] | None = None) -> DataFrame:
+    """J2 intended semantics ("rows not yet loaded"): anti-join of new
+    against existing — on ``key`` if given, else on all columns.
+    The reference's concat+drop_duplicates trick *approximates* this but
+    also deletes already-loaded rows that re-appear; the anti-join is the
+    correct incremental operator (SURVEY.md §7 hard part 1)."""
+    on = key if key is not None else new.columns
+    if isinstance(on, str):
+        on = [on]
+    cond = [new[c] == existing[c] for c in on]
+    return new.join(existing, on=cond, how="left_anti")
+
+
+def driving_cross_join(drivers: DataFrame, params: DataFrame) -> DataFrame:
+    """J4 dependent-lookup work list (`teams × years` nested loop,
+    datasources.py:514-516). Small×small; at scale broadcast the smaller
+    side (Catalyst does, both being tiny relative to facts)."""
+    return drivers.crossJoin(params)
+
+
+# ---------------------------------------------------------------------------
+# Aggregates (A1-A6)
+# ---------------------------------------------------------------------------
+
+
+def watermark(df: DataFrame, col: str) -> DataFrame:
+    """A1 global MAX watermark (`SELECT MAX(Date)`, datasources.py:140)."""
+    return df.agg(F.max(col).alias(f"max_{col}"))
+
+
+def filtered_count(df: DataFrame, cond: Column) -> DataFrame:
+    """A2 filtered COUNT(*) quota accounting (datasources.py:159)."""
+    return df.filter(cond).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def grouped_count_distinct(df: DataFrame, key: str, col: str, alias: str = "cnt") -> DataFrame:
+    """A3 GROUP BY key, COUNT(DISTINCT col) (datasources.py:628-634)."""
+    return df.groupBy(key).agg(F.countDistinct(col).alias(alias))
+
+
+def distinct_rows(df: DataFrame, subset: list[str] | None = None) -> DataFrame:
+    """A4 drop_duplicates (datasources.py:543)."""
+    return df.select(*subset).distinct() if subset else df.distinct()
+
+
+def has_rows(df: DataFrame) -> DataFrame:
+    """A6 emptiness gate (`df.shape[0] > 0`, datasources.py:78, :756)."""
+    return df.agg((F.count(F.lit(1)) > 0).alias("has_rows"))
+
+
+# ---------------------------------------------------------------------------
+# Set ops (U1-U3)
+# ---------------------------------------------------------------------------
+
+
+def union_accumulate(parts: Iterable[DataFrame]) -> DataFrame:
+    """U1/U3 UNION ALL accumulation (`pd.concat` per page/state,
+    datasources.py:276, :359). Name-resolved, no shuffle — partitions of
+    the inputs are simply concatenated."""
+    parts = list(parts)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p, allowMissingColumns=True)
+    return out

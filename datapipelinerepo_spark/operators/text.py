@@ -1,0 +1,84 @@
+"""Text-analysis operators for large-scale training-data pipelines:
+language-ID, quality scoring, token counting, document fingerprinting.
+
+All hot-path expressions are JVM-side built-ins (regexp_*, md5, length)
+— whole-stage-codegen'd, no Python in the loop — so a 100 TB documents
+scan is one codegen stage with the parquet reader.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+TOKEN_RE = r"\S+"
+WORD_RE = r"[A-Za-z]+"
+BPE_ISH_RE = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+PUNCT_RE = r"[^\w\s]"
+
+# language marker words for the n-gram/stopword heuristic language-ID
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a"),
+    "es": ("el", "la", "los", "las", "y"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "fr": ("le", "les", "des", "et", "est"),
+}
+
+
+def _marker_hits(text: Column, markers: tuple[str, ...]) -> Column:
+    pat = r"\b(" + "|".join(markers) + r")\b"
+    return F.size(F.regexp_extract_all(F.lower(text), F.lit(pat), F.lit(0)))
+
+
+def token_count(text: Column, pattern: str = TOKEN_RE) -> Column:
+    """Whitespace token count; swap BPE_ISH_RE for a subword-ish count."""
+    return F.size(F.regexp_extract_all(text, F.lit(pattern), F.lit(0)))
+
+
+def quality_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document quality features: length, token counts, punct /
+    stopword / uppercase ratios, mean word length. One pass, pure
+    expressions."""
+    c = F.col(text_col)
+    n_tok = token_count(c).cast("double")
+    n_word = token_count(c, WORD_RE).cast("double")
+    n_stop = _marker_hits(c, LANG_MARKERS["en"]).cast("double")
+    n_punct = token_count(c, PUNCT_RE).cast("double")
+    word_chars = F.length(F.regexp_replace(c, r"[^A-Za-z]", "")).cast("double")
+    return df.select(
+        F.col(id_col),
+        F.length(c).alias("n_chars_m"),
+        n_tok.cast("long").alias("n_tokens"),
+        token_count(c, BPE_ISH_RE).alias("n_subtokens"),
+        F.round(n_punct / F.greatest(F.length(c).cast("double"), F.lit(1.0)), 6).alias("punct_ratio"),
+        F.round(n_stop / F.greatest(n_tok, F.lit(1.0)), 6).alias("stopword_ratio"),
+        F.round(word_chars / F.greatest(n_word, F.lit(1.0)), 6).alias("mean_word_len"),
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Marker-stopword language-ID heuristic: argmax of per-language
+    marker hit counts, 'und' (undetermined) when all are zero.
+    Deterministic tie-break: language order en > es > de > fr."""
+    c = F.col(text_col)
+    hits = {lang: _marker_hits(c, m) for lang, m in LANG_MARKERS.items()}
+    best = F.greatest(*hits.values())
+    pred = F.when(best == 0, F.lit("und"))
+    for lang in ("en", "es", "de", "fr"):
+        pred = pred.when(hits[lang] == best, F.lit(lang))
+    out = [F.col(id_col)]
+    out += [hits[lang].alias(f"{lang}_hits") for lang in LANG_MARKERS]
+    out.append(pred.alias("pred_lang"))
+    return df.select(*out)
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Content fingerprint: md5 of the raw text (cross-engine stable) +
+    a normalized-text md5 (case/whitespace-insensitive dedup key)."""
+    c = F.col(text_col)
+    norm = F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+    return df.select(
+        F.col(id_col),
+        F.md5(c).alias("fp_raw"),
+        F.md5(norm).alias("fp_norm"),
+    )

@@ -1,0 +1,40 @@
+"""Window-function operators — SURVEY.md §2.5 (extension, not
+reference-mandated): the reference's watermark pattern (global MAX)
+generalized to per-partition latest/rank/lag/running aggregates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def latest_per_group(df: DataFrame, group: str, order: str, tiebreak: str) -> DataFrame:
+    """Per-group latest row via row_number — the per-partition watermark
+    generalization of MAX(Date) (datasources.py:140). Deterministic: full
+    ordering (order DESC, tiebreak DESC)."""
+    w = Window.partitionBy(group).orderBy(F.col(order).desc(), F.col(tiebreak).desc())
+    return (
+        df.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+def running_sum(df: DataFrame, group: str, order: str, value: str, alias: str = "running") -> DataFrame:
+    """Running total per group. The value is summed as decimal so the
+    result is exact and order-of-addition-independent (cluster-safe)."""
+    w = (
+        Window.partitionBy(group)
+        .orderBy(order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return df.withColumn(
+        alias, F.sum(F.col(value).cast("decimal(18,4)")).over(w).cast("double")
+    )
+
+
+def lag_delta(df: DataFrame, group: str, order: str, tiebreak: str, value: str, alias: str = "delta") -> DataFrame:
+    """Difference from previous row per group (lag)."""
+    w = Window.partitionBy(group).orderBy(F.col(order), F.col(tiebreak))
+    return df.withColumn(alias, F.col(value) - F.lag(value).over(w))

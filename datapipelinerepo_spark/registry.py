@@ -1,0 +1,719 @@
+"""Query registry: every implemented operator from SURVEY.md §2 as a
+named (PySpark builder, DuckDB oracle SQL) pair.
+
+The driver contract (__spark_entry__.py) runs each Spark query and the
+oracle SQL side-by-side at sf0.01 and compares row-count + schema +
+order-insensitive value hash; columns are sorted by name before hashing,
+so *every* computed column is aliased identically on both sides.
+
+Cross-engine determinism rules used throughout:
+- double aggregates go through DECIMAL (exact, order-insensitive) and
+  are cast back to DOUBLE (``decimal_sum``) — also what makes results
+  stable across partitionings on a real cluster;
+- timestamps are output as formatted strings or DATEs (parquet ns/us
+  precision differs between engines);
+- top-k queries carry a total deterministic ORDER BY (value, then key);
+- floating-point *similarity* scores are rounded to 4dp and used only
+  for ranking, with id tie-breaks.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .functions import scalars as S
+from .io import load_table
+from .operators import relational as R
+from .operators import windows as W
+
+
+@dataclass
+class Entry:
+    fn: Callable[[SparkSession, str], DataFrame]
+    sql: str | None  # DuckDB oracle; None → non-SQL-expressible (rows-only check)
+    bench: bool = False  # include in bench.py headline set
+
+
+REGISTRY: dict[str, Entry] = {}
+
+
+def register(name: str, sql: str | None = None, bench: bool = False):
+    def deco(fn):
+        REGISTRY[name] = Entry(fn, sql, bench)
+        return fn
+
+    return deco
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ===========================================================================
+# §2.1 Scans (S1, S2)
+# ===========================================================================
+
+
+@register("s1_full_scan", sql="SELECT * FROM region")
+def s1_full_scan(spark, sf_dir):
+    """S1: SELECT * FROM t (datasources.py:496, :650-654)."""
+    return t(spark, sf_dir, "region")
+
+
+@register("s2_projected_scan", sql="SELECT n_name FROM nation")
+def s2_projected_scan(spark, sf_dir):
+    """S2: single-column scan (datasources.py:171, :637-645); Catalyst
+    prunes the parquet ReadSchema to one column."""
+    return R.keep_columns(t(spark, sf_dir, "nation"), ["n_name"])
+
+
+# ===========================================================================
+# §2.2 Projections / filters (P1-P8)
+# ===========================================================================
+
+
+@register(
+    "p1_point_lookup",
+    sql="SELECT c_custkey, c_name, c_acctbal FROM customer "
+    "WHERE c_mktsegment = 'BUILDING'",
+)
+def p1_point_lookup(spark, sf_dir):
+    """P1: equality filter (WHERE State='GA', datasources.py:171)."""
+    df = R.point_lookup(t(spark, sf_dir, "customer"), "c_mktsegment", "BUILDING")
+    return R.keep_columns(df, ["c_custkey", "c_name", "c_acctbal"])
+
+
+@register(
+    "p2_in_list",
+    sql="SELECT o_orderkey, o_orderpriority FROM orders "
+    "WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')",
+)
+def p2_in_list(spark, sf_dir):
+    """P2: IN-list (WHERE YEAR IN (...), datasources.py:548)."""
+    df = R.in_list(t(spark, sf_dir, "orders"), "o_orderpriority", ["1-URGENT", "2-HIGH"])
+    return R.keep_columns(df, ["o_orderkey", "o_orderpriority"])
+
+
+@register(
+    "p4_date_part_filter",
+    sql="SELECT COUNT(*) AS cnt FROM orders WHERE month(o_orderdate) = 3",
+)
+def p4_date_part_filter(spark, sf_dir):
+    """P4+A2: EXTRACT(MONTH)=m quota count (datasources.py:159)."""
+    return R.filtered_count(
+        t(spark, sf_dir, "orders"), F.month("o_orderdate") == 3
+    )
+
+
+@register(
+    "p5_column_prune",
+    sql="SELECT l_orderkey, l_extendedprice FROM lineitem "
+    "WHERE l_shipdate >= TIMESTAMP '2000-01-01'",
+)
+def p5_column_prune(spark, sf_dir):
+    """P5: keep-list projection + pushed filter (datasources.py:270-271).
+    .explain shows PushedFilters + 3-column ReadSchema."""
+    df = t(spark, sf_dir, "lineitem")
+    return R.keep_columns(
+        df.filter(F.col("l_shipdate") >= F.lit("2000-01-01").cast("timestamp")),
+        ["l_orderkey", "l_extendedprice"],
+    )
+
+
+@register(
+    "p6_rename_projection",
+    sql="SELECT n_nationkey AS nation_id, n_name AS nation_name FROM nation",
+)
+def p6_rename_projection(spark, sf_dir):
+    """P6: canonical-name mapping (fieldmap rename, datasources.py:737-752)."""
+    df = R.keep_columns(t(spark, sf_dir, "nation"), ["n_nationkey", "n_name"])
+    return R.rename_columns(df, {"n_nationkey": "nation_id", "n_name": "nation_name"})
+
+
+@register(
+    "p7_computed_columns",
+    sql="SELECT r_regionkey, r_name, DATE '2026-08-13' AS date_pulled, "
+    "'batch42' AS batch_id FROM region",
+)
+def p7_computed_columns(spark, sf_dir):
+    """P7: constant-column append (Date_Pulled, datasources.py:358)."""
+    import datetime as dt
+
+    return R.with_constants(
+        t(spark, sf_dir, "region"),
+        date_pulled=dt.date(2026, 8, 13),
+        batch_id="batch42",
+    )
+
+
+@register(
+    "p8_cast_projection",
+    sql="SELECT CAST(o_orderkey AS VARCHAR) AS okey_str, "
+    "CAST(o_orderdate AS DATE) AS odate, "
+    "CAST(o_totalprice AS DECIMAL(18,2)) AS price_dec FROM orders",
+)
+def p8_cast_projection(spark, sf_dir):
+    """P8: astype cast projection (datasources.py:274-275)."""
+    df = t(spark, sf_dir, "orders")
+    return df.select(
+        F.col("o_orderkey").cast("string").alias("okey_str"),
+        F.col("o_orderdate").cast("date").alias("odate"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price_dec"),
+    )
+
+
+# ===========================================================================
+# §2.3 Joins + flagship (J1-J4)
+# ===========================================================================
+
+FLAGSHIP_SQL = """
+SELECT okey, odate, o_totalprice, line_cnt
+FROM (
+  SELECT o.o_orderkey AS okey,
+         CAST(o.o_orderdate AS DATE) AS odate,
+         o.o_totalprice,
+         c.line_cnt
+  FROM orders o
+  LEFT JOIN (
+    SELECT l_orderkey, COUNT(DISTINCT l_linenumber) AS line_cnt
+    FROM lineitem GROUP BY 1
+  ) c ON o.o_orderkey = c.l_orderkey
+)
+WHERE line_cnt < 4 OR line_cnt IS NULL
+"""
+
+
+@register("flagship_coverage_gap", sql=FLAGSHIP_SQL, bench=True)
+def flagship_coverage_gap(spark, sf_dir):
+    """THE flagship (§3 EP3 step 3, datasources.py:627-647): orders whose
+    distinct-lineitem coverage is below threshold or absent — the
+    work-list query (J1+A3+P3+S2 composed). The 27 lineitem-less orders
+    exercise the IS NULL branch."""
+    orders = t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey"), F.col("o_orderdate"), F.col("o_totalprice")
+    )
+    li = t(spark, sf_dir, "lineitem")
+    gap = R.coverage_gap(
+        orders, li, key_fact="o_orderkey", key_cov="l_orderkey",
+        count_col="l_linenumber", expected=4, cnt_name="line_cnt",
+    )
+    return gap.select(
+        F.col("o_orderkey").alias("okey"),
+        F.col("o_orderdate").cast("date").alias("odate"),
+        F.col("o_totalprice"),
+        F.col("line_cnt"),
+    )
+
+
+_J2_A = "SELECT o_orderkey, o_custkey, o_orderstatus FROM orders WHERE o_orderkey % 3 <> 0"
+_J2_B = "SELECT o_orderkey, o_custkey, o_orderstatus FROM orders WHERE o_orderkey % 5 <> 0"
+
+
+@register(
+    "j2_symmetric_difference",
+    sql=f"""
+    SELECT o_orderkey, o_custkey, o_orderstatus FROM (
+      SELECT o_orderkey, o_custkey, o_orderstatus, COUNT(*) AS cnt
+      FROM (({_J2_A}) UNION ALL ({_J2_B}))
+      GROUP BY 1, 2, 3
+    ) WHERE cnt = 1
+    """,
+)
+def j2_symmetric_difference(spark, sf_dir):
+    """J2/U2 exact semantics of concat+drop_duplicates(keep=False)
+    (datasources.py:547-552): rows occurring exactly once across both
+    inputs."""
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderstatus")
+    a = o.filter(F.col("o_orderkey") % 3 != 0)
+    b = o.filter(F.col("o_orderkey") % 5 != 0)
+    return R.symmetric_difference(a, b)
+
+
+@register(
+    "j2b_incremental_anti_join",
+    sql=f"""
+    SELECT o_orderkey, o_custkey, o_orderstatus FROM ({_J2_B}) n
+    WHERE NOT EXISTS (
+      SELECT 1 FROM ({_J2_A}) e WHERE e.o_orderkey = n.o_orderkey
+    )
+    """,
+)
+def j2b_incremental_anti_join(spark, sf_dir):
+    """J2 intended semantics: new-rows-not-yet-loaded as a left anti-join
+    on the key (SURVEY.md §7 hard part 1 — implement BOTH)."""
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderstatus")
+    a = o.filter(F.col("o_orderkey") % 3 != 0)
+    b = o.filter(F.col("o_orderkey") % 5 != 0)
+    return R.incremental_new(b, a, key="o_orderkey")
+
+
+@register(
+    "j4_cross_join_worklist",
+    sql="""
+    SELECT r_name, yr FROM region CROSS JOIN
+      (SELECT DISTINCT year(o_orderdate) AS yr FROM orders)
+    """,
+)
+def j4_cross_join_worklist(spark, sf_dir):
+    """J4: drivers × params work list (teams × years,
+    datasources.py:514-516)."""
+    years = (
+        t(spark, sf_dir, "orders")
+        .select(F.year("o_orderdate").alias("yr"))
+        .distinct()
+    )
+    return R.driving_cross_join(
+        t(spark, sf_dir, "region").select("r_name"), years
+    )
+
+
+# ===========================================================================
+# §2.4 Aggregates (A1-A6)
+# ===========================================================================
+
+
+@register(
+    "a1_watermark_max",
+    sql="SELECT CAST(MAX(o_orderdate) AS DATE) AS max_odate FROM orders",
+)
+def a1_watermark_max(spark, sf_dir):
+    """A1: MAX(Date) watermark read (datasources.py:140)."""
+    return (
+        t(spark, sf_dir, "orders")
+        .agg(F.max(F.col("o_orderdate").cast("date")).alias("max_odate"))
+    )
+
+
+@register(
+    "a3_grouped_count_distinct",
+    sql="SELECT l_orderkey AS okey, COUNT(DISTINCT l_linenumber) AS line_cnt "
+    "FROM lineitem GROUP BY l_orderkey",
+)
+def a3_grouped_count_distinct(spark, sf_dir):
+    """A3: GROUP BY + COUNT(DISTINCT) (datasources.py:628-634)."""
+    df = R.grouped_count_distinct(
+        t(spark, sf_dir, "lineitem"), "l_orderkey", "l_linenumber", alias="line_cnt"
+    )
+    return df.withColumnRenamed("l_orderkey", "okey")
+
+
+@register(
+    "a4_distinct_rows",
+    sql="SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+)
+def a4_distinct_rows(spark, sf_dir):
+    """A4: drop_duplicates (datasources.py:543)."""
+    return R.distinct_rows(t(spark, sf_dir, "lineitem"), ["l_returnflag", "l_linestatus"])
+
+
+@register(
+    "a6_emptiness_gate",
+    sql="SELECT (COUNT(*) > 0) AS has_rows FROM orders WHERE o_totalprice < 0",
+)
+def a6_emptiness_gate(spark, sf_dir):
+    """A6: df.shape[0] > 0 gate (datasources.py:78, :756)."""
+    return R.has_rows(t(spark, sf_dir, "orders").filter(F.col("o_totalprice") < 0))
+
+
+# ===========================================================================
+# §2.6 Set ops (U1)
+# ===========================================================================
+
+
+@register(
+    "u1_union_all",
+    sql="""
+    SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderstatus = 'F'
+    UNION ALL
+    SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderstatus = 'O'
+    UNION ALL
+    SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderstatus = 'P'
+    """,
+)
+def u1_union_all(spark, sf_dir):
+    """U1: pd.concat accumulation per page/state (datasources.py:276, :359)."""
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    parts = [R.point_lookup(o, "o_orderstatus", s) for s in ("F", "O", "P")]
+    return R.union_accumulate(parts)
+
+
+# ===========================================================================
+# §2.7 Scalar-function suites (F1-F18)
+# ===========================================================================
+
+
+@register(
+    "f_string_suite",
+    sql=r"""
+    SELECT c_custkey,
+           lower(c_name) AS name_lower,
+           regexp_extract(c_name, 'Customer#([0-9]+)', 1) AS cust_num,
+           trim(translate(c_name, '#', ' ')) AS name_clean,
+           regexp_replace(c_name, '[0-9]+$', '') AS name_nonum,
+           split_part(c_name, '#', 2) AS after_hash,
+           concat_ws(' ', c_mktsegment, c_name) AS seg_name
+    FROM customer
+    """,
+)
+def f_string_suite(spark, sf_dir):
+    """F1-F7: regex extract (:433), translate (:341), suffix removal
+    (:345), trim (:713), split+index (:534), lower (:328), concat (:725)."""
+    c = t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        S.url_lower("c_name").alias("name_lower"),
+        S.regex_extract_id("c_name", "Customer#([0-9]+)").alias("cust_num"),
+        F.trim(F.translate(F.col("c_name"), "#", " ")).alias("name_clean"),
+        F.regexp_replace(F.col("c_name"), "[0-9]+$", "").alias("name_nonum"),
+        S.split_index("c_name", "#", 1).alias("after_hash"),
+        S.name_concat("c_mktsegment", "c_name").alias("seg_name"),
+    )
+
+
+@register(
+    "f_date_suite",
+    sql="""
+    SELECT o_orderkey,
+           year(o_orderdate) AS o_year,
+           month(o_orderdate) AS o_month,
+           isodow(o_orderdate) AS o_isodow,
+           CAST(o_orderdate AS DATE) + 30 AS plus_30d,
+           CAST(o_orderdate + INTERVAL 12 MONTH AS DATE) AS plus_1y,
+           epoch_ms(o_orderdate) AS epoch_millis,
+           CAST(to_timestamp(epoch_ms(o_orderdate) / 1000) AS DATE) AS date_roundtrip,
+           (month(o_orderdate) IN (8, 9, 10, 11, 12, 1)) AS in_season
+    FROM orders
+    """,
+)
+def f_date_suite(spark, sf_dir):
+    """F11-F14, F17: date parts (:159, :609), +30d, +1y annual refresh
+    (:397), epoch-millis→date (:394), season membership gate (:480)."""
+    o = t(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.year(d).alias("o_year"),
+        S.month_of(d).alias("o_month"),
+        S.iso_dow(d).alias("o_isodow"),
+        F.date_add(d.cast("date"), 30).alias("plus_30d"),
+        S.add_one_year(d.cast("date")).alias("plus_1y"),
+        F.unix_millis(d.cast("timestamp")).alias("epoch_millis"),
+        S.millis_to_date(F.unix_millis(d.cast("timestamp"))).alias("date_roundtrip"),
+        S.in_season(d).alias("in_season"),
+    )
+
+
+@register(
+    "f_json_suite",
+    sql="""
+    SELECT event_id,
+           json_extract_string(props, '$.k') AS k_str,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int
+    FROM events
+    """,
+)
+def f_json_suite(spark, sf_dir):
+    """F9/F10: JSON path extraction (datasources.py:266, :797)."""
+    e = t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k")
+    return e.select(
+        "event_id", k.alias("k_str"), k.cast("int").alias("k_int")
+    )
+
+
+@register(
+    "f_base64_roundtrip",
+    sql="""
+    SELECT event_id,
+           decode(from_base64(to_base64(encode(props)))) AS props_rt
+    FROM events
+    """,
+)
+def f_base64_roundtrip(spark, sf_dir):
+    """F8: base64 decode of pushed payloads (functions/main.py:41) —
+    encode/decode roundtrip proves both directions."""
+    e = t(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        S.b64_decode_utf8(F.base64(F.col("props").cast("binary"))).alias("props_rt"),
+    )
+
+
+# ===========================================================================
+# §2.5 Window functions (extension)
+# ===========================================================================
+
+
+@register(
+    "w1_latest_per_group",
+    sql="""
+    SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS odate FROM (
+      SELECT o_custkey, o_orderkey, o_orderdate,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      FROM orders
+    ) WHERE rn = 1
+    """,
+)
+def w1_latest_per_group(spark, sf_dir):
+    """Per-group latest row — the per-partition watermark generalization
+    of MAX(Date) (datasources.py:140)."""
+    o = t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderdate")
+    df = W.latest_per_group(o, "o_custkey", "o_orderdate", "o_orderkey")
+    return df.select(
+        "o_custkey", "o_orderkey", F.col("o_orderdate").cast("date").alias("odate")
+    )
+
+
+@register(
+    "w2_running_sum",
+    sql="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)))
+                OVER (PARTITION BY l_orderkey ORDER BY l_linenumber
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS running
+    FROM lineitem
+    """,
+)
+def w2_running_sum(spark, sf_dir):
+    """Running total per order (decimal-exact, see module docstring)."""
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    return W.running_sum(li, "l_orderkey", "l_linenumber", "l_extendedprice").drop(
+        "l_extendedprice"
+    )
+
+
+@register(
+    "w3_lag_delta",
+    sql="""
+    SELECT event_id,
+           round(value - lag(value) OVER
+                 (PARTITION BY user_id ORDER BY ts, event_id), 6) AS delta
+    FROM events
+    """,
+)
+def w3_lag_delta(spark, sf_dir):
+    """Lag delta per user ordered by time (event-stream derivative)."""
+    e = t(spark, sf_dir, "events")
+    df = W.lag_delta(e, "user_id", "ts", "event_id", "value")
+    return df.select("event_id", F.round("delta", 6).alias("delta"))
+
+
+# ===========================================================================
+# Analytical headline queries (bench set)
+# ===========================================================================
+
+
+@register(
+    "q1_pricing_summary",
+    sql="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                    (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE CAST(l_shipdate AS DATE) <= DATE '2001-09-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    bench=True,
+)
+def q1_pricing_summary(spark, sf_dir):
+    """TPC-H-Q1-shaped pricing summary: the canonical wide-agg scan.
+    Map-side partial aggregation collapses 600k rows → 6 groups before
+    the (tiny) shuffle; whole plan is one WholeStageCodegen over the scan."""
+    li = t(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
+    return (
+        li.filter(F.col("l_shipdate").cast("date") <= F.lit("2001-09-01").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))
+            .cast("double")
+            .alias("sum_disc_price"),
+            (F.sum(dec("l_quantity")).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q3_top_revenue",
+    sql="""
+    SELECT o.o_orderkey AS okey,
+           CAST(o.o_orderdate AS DATE) AS odate,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4)) *
+                    (1 - CAST(l.l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY 1, 2
+    ORDER BY revenue DESC, okey ASC
+    LIMIT 10
+    """,
+    bench=True,
+)
+def q3_top_revenue(spark, sf_dir):
+    """TPC-H-Q3-shaped top-k: dim-filtered fact join + grouped revenue +
+    deterministic ORDER BY/LIMIT. customer side is broadcast (small dim);
+    lineitem⋈orders shuffles on orderkey once."""
+    c = R.point_lookup(t(spark, sf_dir, "customer"), "c_mktsegment", "BUILDING")
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    dec = lambda col: F.col(col).cast("decimal(18,4)")  # noqa: E731
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(F.col("o_orderkey").alias("okey"), F.col("o_orderdate").cast("date").alias("odate"))
+        .agg(
+            F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("okey").asc())
+        .limit(10)
+    )
+
+
+@register(
+    "q5_region_volume",
+    sql="""
+    SELECT n.n_name AS nation,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4)) *
+                    (1 - CAST(l.l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY 1
+    """,
+    bench=True,
+)
+def q5_region_volume(spark, sf_dir):
+    """TPC-H-Q5-shaped multi-join: all dimension sides broadcast; the only
+    big shuffle is lineitem⋈orders on orderkey."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    r = R.point_lookup(t(spark, sf_dir, "region"), "r_name", "ASIA")
+    dec = lambda col: F.col(col).cast("decimal(18,4)")  # noqa: E731
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(n.n_name.alias("nation"))
+        .agg(
+            F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+# ===========================================================================
+# Event-time windowing (batch forms of the streaming §2.8 extensions)
+# ===========================================================================
+
+
+@register(
+    "events_window_tumbling",
+    sql="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+    bench=True,
+)
+def events_window_tumbling(spark, sf_dir):
+    """Tumbling 1-hour counts per event type — the batch twin of the
+    streaming windowed agg (SURVEY.md §2.8 extension; events table)."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            S.decimal_sum("value").alias("sum_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "events_sessionize",
+    sql="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                    OR lag(ts) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, ts,
+             SUM(new_sess) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sess_no
+      FROM flagged
+    )
+    SELECT user_id, sess_no,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS sess_start,
+           COUNT(*) AS n_events
+    FROM sess GROUP BY 1, 2
+    """,
+)
+def events_sessionize(spark, sf_dir):
+    """Sessionization (30-min inactivity gap) via gaps-and-islands —
+    the batch twin of streaming session windows. Window-only plan:
+    one shuffle on user_id, then two ordered passes."""
+    e = t(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = e.withColumn(
+        "new_sess",
+        F.when(
+            F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w) > 1800,
+            1,
+        )
+        .when(F.lag("ts").over(w).isNull(), 1)
+        .otherwise(0),
+    )
+    sess = flagged.withColumn(
+        "sess_no",
+        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        sess.groupBy("user_id", "sess_no")
+        .agg(
+            F.date_format(
+                F.min("ts"), "yyyy-MM-dd HH:mm:ss"
+            ).alias("sess_start"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )

@@ -1,0 +1,290 @@
+"""Extension-query registry: LLM-data-pipeline operators (dedup,
+similarity search, text analysis, multimodal) over the ``documents`` and
+``embeddings`` testdata tables. Registered into the same REGISTRY the
+driver reads.
+
+Oracle-parity notes: hash-function-dependent ops (MinHash/LSH, SimHash,
+random-hyperplane ANN) have no SQL twin — the driver records the weaker
+rows-only check for those; every hash-independent op (exact dedup,
+Jaccard, cosine, text metrics, fingerprints) carries a full DuckDB
+oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .operators import dedup as D
+from .operators import multimodal as M
+from .operators import similarity as SIM
+from .operators import text as T
+from .registry import register, t
+
+# ===========================================================================
+# Deduplication
+# ===========================================================================
+
+
+@register(
+    "dedup_exact_groups",
+    sql="""
+    SELECT MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+    bench=True,
+)
+def dedup_exact_groups(spark, sf_dir):
+    """Exact dedup groups: digest-shuffle hash-groupBy (scale: the text
+    never shuffles, only its md5)."""
+    return D.exact_dedup_groups(t(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_exact_keep",
+    sql="""
+    SELECT d.doc_id, d.lang, d.n_chars FROM documents d
+    JOIN (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)) k
+      USING (doc_id)
+    """,
+)
+def dedup_exact_keep(spark, sf_dir):
+    """Exact dedup, keep-min-id row per distinct text (left-semi join)."""
+    return D.exact_dedup(t(spark, sf_dir, "documents")).select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
+@register(
+    "dedup_jaccard_pairs",
+    sql="""
+    WITH sample_docs AS (
+      SELECT doc_id, regexp_split_to_array(text, '\\s+') AS toks
+      FROM documents WHERE doc_id % 10 = 0
+    ), tok AS (
+      SELECT doc_id, unnest(list_distinct(toks)) AS tok FROM sample_docs
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS sz FROM tok GROUP BY 1
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+      FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 4) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.6
+    """,
+)
+def dedup_jaccard_pairs(spark, sf_dir):
+    """Word-set Jaccard near-dup pairs on a 10% doc_id sample (the exact
+    verifier the LSH path reuses; quadratic, so sampled here)."""
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    return D.jaccard_pairs(docs, threshold=0.6)
+
+
+@register("dedup_minhash_lsh", sql=None, bench=True)
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH near-dup pairs (shingle→minhash→band→bucket-join→
+    verify). Hash-dependent → rows-only driver check; the Jaccard
+    verifier itself is oracle-checked via dedup_jaccard_pairs."""
+    return D.minhash_lsh_pairs(t(spark, sf_dir, "documents"), threshold=0.5)
+
+
+@register("dedup_simhash_pairs", sql=None)
+def dedup_simhash_pairs(spark, sf_dir):
+    """SimHash banding near-dup candidates (Hamming ≤ 8)."""
+    return D.simhash_pairs(t(spark, sf_dir, "documents"), max_hamming=8)
+
+
+# ===========================================================================
+# Similarity search
+# ===========================================================================
+
+
+@register(
+    "ann_topk_bruteforce",
+    sql="""
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),
+    scored AS (
+      SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+             round(
+               list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) /
+               (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) *
+                sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))), 4)
+             AS sim_r4
+      FROM q, embeddings c WHERE q.vec_id <> c.vec_id
+    ), ranked AS (
+      SELECT q_id, c_id, sim_r4,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+                                ORDER BY sim_r4 DESC, c_id ASC) AS rank
+      FROM scored
+    )
+    SELECT q_id, c_id, rank, sim_r4 FROM ranked WHERE rank <= 10
+    """,
+    bench=True,
+)
+def ann_topk_bruteforce(spark, sf_dir):
+    """Exact cosine top-10 for 5 query vectors against the full corpus —
+    the ANN baseline (broadcast queries, corpus streams)."""
+    emb = t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    return SIM.cosine_topk_bruteforce(q, emb, k=10)
+
+
+@register("ann_topk_lsh", sql=None)
+def ann_topk_lsh(spark, sf_dir):
+    """LSH-bucketed ANN top-10 (random hyperplanes, multi-probe) — the
+    100 TB scale path. Hash-dependent → rows-only check; recall vs the
+    brute-force baseline is asserted in tests/test_similarity.py."""
+    emb = t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    return SIM.cosine_topk_lsh(q, emb, dim=64, k=10, n_bits=8)
+
+
+@register(
+    "embedding_dup_pairs",
+    sql="""
+    WITH s AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 = 0)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(
+             list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+             (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+              sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 4)
+           AS sim_r4
+    FROM s a JOIN s b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+          (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+           sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.8
+    """,
+)
+def embedding_dup_pairs(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (sim ≥ 0.8) on a 20% sample."""
+    emb = t(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 5 == 0)
+    return SIM.cosine_dup_pairs(emb, threshold=0.8)
+
+
+# ===========================================================================
+# Text analysis
+# ===========================================================================
+
+
+@register(
+    "text_quality",
+    sql=r"""
+    SELECT doc_id,
+           length(text) AS n_chars_m,
+           len(regexp_extract_all(text, '\S+')) AS n_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS n_subtokens,
+           round(len(regexp_extract_all(text, '[^\w\s]')) /
+                 greatest(length(text), 1), 6) AS punct_ratio,
+           round(len(regexp_extract_all(lower(text), '\b(the|and|of|to|a)\b')) /
+                 greatest(len(regexp_extract_all(text, '\S+')), 1.0), 6) AS stopword_ratio,
+           round(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) /
+                 greatest(len(regexp_extract_all(text, '[A-Za-z]+')), 1.0), 6) AS mean_word_len
+    FROM documents
+    """,
+    bench=True,
+)
+def text_quality(spark, sf_dir):
+    """Per-document quality features (length/token/punct/stopword
+    ratios) — one codegen'd pass over the documents scan."""
+    return T.quality_features(t(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_langid",
+    sql=r"""
+    WITH h AS (
+      SELECT doc_id,
+             len(regexp_extract_all(lower(text), '\b(the|and|of|to|a)\b')) AS en_hits,
+             len(regexp_extract_all(lower(text), '\b(el|la|los|las|y)\b')) AS es_hits,
+             len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist)\b')) AS de_hits,
+             len(regexp_extract_all(lower(text), '\b(le|les|des|et|est)\b')) AS fr_hits
+      FROM documents
+    )
+    SELECT doc_id, en_hits, es_hits, de_hits, fr_hits,
+           CASE WHEN greatest(en_hits, es_hits, de_hits, fr_hits) = 0 THEN 'und'
+                WHEN en_hits = greatest(en_hits, es_hits, de_hits, fr_hits) THEN 'en'
+                WHEN es_hits = greatest(en_hits, es_hits, de_hits, fr_hits) THEN 'es'
+                WHEN de_hits = greatest(en_hits, es_hits, de_hits, fr_hits) THEN 'de'
+                ELSE 'fr' END AS pred_lang
+    FROM h
+    """,
+)
+def text_langid(spark, sf_dir):
+    """Marker-stopword language-ID heuristic (argmax of marker hits,
+    deterministic tie-break en>es>de>fr)."""
+    return T.language_id(t(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_fingerprint",
+    sql=r"""
+    SELECT doc_id,
+           md5(text) AS fp_raw,
+           md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp_norm
+    FROM documents
+    """,
+)
+def text_fingerprint(spark, sf_dir):
+    """Document fingerprints: raw + whitespace/case-normalized md5."""
+    return T.fingerprint(t(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_token_stats_by_lang",
+    sql=r"""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           SUM(len(regexp_extract_all(text, '\S+'))) AS total_tokens,
+           round(AVG(len(regexp_extract_all(text, '\S+'))), 4) AS avg_tokens
+    FROM documents GROUP BY lang
+    """,
+)
+def text_token_stats_by_lang(spark, sf_dir):
+    """Corpus token accounting per language tag (the operator a
+    training-data mix report runs)."""
+    d = t(spark, sf_dir, "documents")
+    n_tok = T.token_count(F.col("text"))
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(n_tok).alias("total_tokens"),
+        F.round(F.avg(n_tok), 4).alias("avg_tokens"),
+    )
+
+
+# ===========================================================================
+# Multimodal
+# ===========================================================================
+
+
+@register(
+    "multimodal_binary_meta",
+    sql="""
+    SELECT doc_id AS media_id,
+           octet_length(CAST(text AS BLOB)) AS n_bytes,
+           md5(text) AS content_hash
+    FROM documents
+    """,
+)
+def multimodal_binary_meta(spark, sf_dir):
+    """Binary-column metadata pass: payload size + content hash, pure
+    JVM expressions over the binary-cast column."""
+    m = M.documents_as_media(t(spark, sf_dir, "documents"))
+    return m.select(
+        "media_id",
+        F.octet_length("payload").alias("n_bytes"),
+        F.md5(F.col("payload").cast("string")).alias("content_hash"),
+    )
+
+
+@register("multimodal_extract_features", sql=None)
+def multimodal_extract_features(spark, sf_dir):
+    """Arrow-batched mapInPandas feature extraction over binary payloads
+    (decode stubbed deterministically — see operators/multimodal.py).
+    Python-side → rows-only check; determinism is asserted in
+    tests/test_multimodal.py."""
+    m = M.documents_as_media(t(spark, sf_dir, "documents"))
+    return M.extract_features(m).drop("features")
