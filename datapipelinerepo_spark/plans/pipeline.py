@@ -1,0 +1,233 @@
+"""Pipeline orchestrator: the schedule→extract→load lifecycle
+(SURVEY.md §2.10 O1-O9) re-homed onto Spark.
+
+Reference shape (cited per method): a ``Pipeline`` takes a list of
+sources, asks each whether it should pull (``schedule``), honors manual
+overrides, resolves secrets, then runs extract→load per gated source
+(``pipeline.py:10-59``). Here every gate is computed with a Spark query
+against our own tables (watermark A1, quota A2, existence S3, catalog
+mtime S4) instead of BigQuery, and a ``Clock`` is injected so the
+now()-dependent calendar gates are testable (SURVEY.md §7 hard part 3).
+"""
+
+from __future__ import annotations
+
+import abc
+import datetime as dt
+from collections.abc import Iterable, Mapping
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..io import TableStore
+
+
+# ---------------------------------------------------------------------------
+# Clock injection (F11/F12 gates depend on "now")
+# ---------------------------------------------------------------------------
+
+
+class Clock(abc.ABC):
+    @abc.abstractmethod
+    def today(self) -> dt.date: ...
+
+    def yesterday(self) -> dt.date:
+        """F11: date.today() - 1 day (datasources.py:131)."""
+        return self.today() - dt.timedelta(days=1)
+
+
+class SystemClock(Clock):
+    def today(self) -> dt.date:
+        return dt.date.today()
+
+
+@dataclass
+class FixedClock(Clock):
+    fixed: dt.date
+
+    def today(self) -> dt.date:
+        return self.fixed
+
+
+# ---------------------------------------------------------------------------
+# Schedule gates (O1/O7 building blocks) — each is one small Spark query
+# ---------------------------------------------------------------------------
+
+
+def existence_gate(store: TableStore, table: str) -> bool:
+    """S3: pull-everything when the target table doesn't exist yet
+    (__TABLES__ probe, datasources.py:136, :604)."""
+    return store.exists(table)
+
+
+def watermark_gate(store: TableStore, table: str, date_col: str, clock: Clock) -> bool:
+    """A1/O1: pull iff MAX(date_col) is behind yesterday
+    (datasources.py:140, :197). Missing table → pull."""
+    if not store.exists(table):
+        return True
+    wm = store.max_value(table, date_col)
+    if wm is None:
+        return True
+    if isinstance(wm, dt.datetime):
+        wm = wm.date()
+    return wm < clock.yesterday()
+
+
+def monthly_quota_gate(
+    store: TableStore,
+    table: str,
+    date_col: str,
+    clock: Clock,
+    budget: int,
+    upcoming: int,
+) -> bool:
+    """A2/O7: proceed iff this month's pulls + the upcoming batch fit the
+    request budget (1M/month accounting, datasources.py:147-167)."""
+    used = 0
+    if store.exists(table):
+        used = (
+            store.read(table)
+            .where(f"month({date_col}) = {clock.today().month}")
+            .count()
+        )
+    return budget - used - upcoming >= 0
+
+
+def calendar_gate(clock: Clock, months: Iterable[int] = (8, 9, 10, 11, 12, 1), weekday: int | None = 0) -> bool:
+    """F12/F17: season-and-weekday gate (month ∈ {8..12,1} ∧ Monday,
+    datasources.py:608-609). weekday=None → any day."""
+    today = clock.today()
+    if today.month not in set(months):
+        return False
+    return weekday is None or today.weekday() == weekday
+
+
+def annual_refresh_gate(store: TableStore, table: str, clock: Clock) -> bool:
+    """S4/F14: refresh when a year has passed since last load
+    (datetime(y+1,m,d) <= today, datasources.py:390-397; the reference's
+    version is dead code after an unconditional return — §2.11 — the
+    *intent* is implemented here)."""
+    if not store.exists(table):
+        return True
+    lm = store.last_modified_date(table)
+    if lm is None:
+        return True
+    try:
+        anniversary = lm.replace(year=lm.year + 1)
+    except ValueError:  # Feb 29
+        anniversary = lm.replace(year=lm.year + 1, day=28)
+    return anniversary <= clock.today()
+
+
+# ---------------------------------------------------------------------------
+# DataSource / Pipeline (O1-O9)
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class SourceContext:
+    spark: SparkSession
+    store: TableStore
+    clock: Clock
+    secrets: Mapping[str, str] = field(default_factory=dict)
+    manual: bool = False
+
+
+class DataSource(abc.ABC):
+    """One pipeline source: schedule gate + extract + declared-schema
+    load (reference DataSource, datasources.py:20-83)."""
+
+    name: str
+    table_name: str
+    write_mode: str = "append"  # 'append' | 'overwrite' | 'partition_reload'
+    partition_col: str | None = None
+
+    @abc.abstractmethod
+    def schedule(self, ctx: SourceContext) -> bool: ...
+
+    @abc.abstractmethod
+    def extract(self, ctx: SourceContext) -> DataFrame: ...
+
+    def load(self, ctx: SourceContext, df: DataFrame) -> int:
+        """S8/S9/S10 dispatch with the empty-batch guard
+        (`df.shape[0] > 0` before load, datasources.py:756)."""
+        n = df.count()
+        if n == 0:
+            return 0
+        if self.write_mode == "overwrite":
+            ctx.store.overwrite(df, self.table_name)
+        elif self.write_mode == "partition_reload":
+            assert self.partition_col, "partition_reload requires partition_col"
+            ctx.store.reload_partitions(df, self.table_name, self.partition_col)
+        else:
+            ctx.store.append(df, self.table_name)
+        return n
+
+    def smoke_test(self, ctx: SourceContext) -> dict:
+        """O9: the reference's manual smoke harness (DataSource.test,
+        datasources.py:75-83) — run schedule+extract, report shape."""
+        gated = self.schedule(ctx)
+        out: dict = {"source": self.name, "scheduled": gated}
+        if gated:
+            df = self.extract(ctx)
+            out["rows"] = df.count()
+            out["columns"] = df.columns
+        return out
+
+
+@dataclass
+class PipelineReport:
+    scheduled: dict[str, bool] = field(default_factory=dict)
+    loaded_rows: dict[str, int] = field(default_factory=dict)
+    errors: dict[str, str] = field(default_factory=dict)
+
+
+class Pipeline:
+    """O1-O5: gate each source (manual override wins, pipeline.py:34-41),
+    resolve its secret (point-lookup shape, pipeline.py:23-31), run
+    extract→load in declaration order (dependencies between sources are
+    expressed by listing the upstream first — O5)."""
+
+    def __init__(
+        self,
+        sources: Iterable[DataSource],
+        *,
+        spark: SparkSession,
+        store: TableStore,
+        clock: Clock | None = None,
+        manual: Iterable[str] = (),
+        secrets: Mapping[str, str] | None = None,
+    ):
+        self.sources = list(sources)
+        self.spark = spark
+        self.store = store
+        self.clock = clock or SystemClock()
+        self.manual = set(manual)
+        self.secrets = dict(secrets or {})
+
+    def _secret_for(self, src: DataSource) -> Mapping[str, str]:
+        """O3: WHERE TBL_NM='x' point lookup against the key store
+        (pipeline.py:28) — same query shape, config-backed."""
+        key = self.secrets.get(src.table_name)
+        return {src.table_name: key} if key is not None else {}
+
+    def run(self) -> PipelineReport:
+        report = PipelineReport()
+        for src in self.sources:
+            manual = src.name in self.manual
+            ctx = SourceContext(
+                spark=self.spark,
+                store=self.store,
+                clock=self.clock,
+                secrets=self._secret_for(src),
+                manual=manual,
+            )
+            try:
+                gated = True if manual else src.schedule(ctx)
+                report.scheduled[src.name] = gated
+                if gated:
+                    df = src.extract(ctx)
+                    report.loaded_rows[src.name] = src.load(ctx, df)
+            except Exception as e:  # O6: isolate per-source failures
+                report.errors[src.name] = f"{type(e).__name__}: {e}"
+        return report

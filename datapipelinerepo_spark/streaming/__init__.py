@@ -1,0 +1,6 @@
+from .ingest import (  # noqa: F401
+    read_base64_event_stream,
+    sessionized_counts_stream,
+    stream_to_table,
+    windowed_counts_stream,
+)

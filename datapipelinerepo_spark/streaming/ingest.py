@@ -1,0 +1,97 @@
+"""Structured-Streaming event ingest — the Pub/Sub push path (SURVEY.md
+§2.8, EP2) re-homed: file-stream of base64 payload lines (the
+`event['data']` shape, main.py:41) → unbase64 → from_json with the
+*declared* schema (declare, don't infer: streaming determinism) →
+append sink; plus the watermarked windowed/sessionized extensions.
+
+Micro-batch boundaries replace per-message Function invocations. At
+scale the file source becomes Kafka (swap ``readStream.format``); all
+transformations below are source-agnostic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ..sources.reference_shaped import TRAFFIC_SCHEMA
+
+
+def read_base64_event_stream(
+    spark: SparkSession, src_dir: str, schema=TRAFFIC_SCHEMA
+) -> DataFrame:
+    """EP2 steps 1-2: stream of base64 text lines → typed records.
+    Malformed payloads yield NULL structs and are dropped (the
+    reference's implicit skip)."""
+    raw = spark.readStream.format("text").load(src_dir)
+    # try_to_binary: malformed base64 → NULL (skip), not a stream-killing
+    # error — unbase64 is strict in ANSI mode
+    line = F.try_to_binary(F.col("value"), F.lit("base64")).cast("string")
+    return (
+        raw.select(F.from_json(line, schema).alias("r"))
+        .filter(F.col("r").isNotNull())
+        .select("r.*")
+        .withColumn("ts", F.to_timestamp("time_stamp"))
+    )
+
+
+def stream_to_table(
+    df: DataFrame, out_dir: str, checkpoint_dir: str, available_now: bool = True
+) -> StreamingQuery:
+    """EP2 step 3: append-mode load (WRITE_APPEND, datasources.py:801-805).
+    availableNow drains what exists then stops — the batch-replay mode
+    tests use; continuous mode just drops the trigger."""
+    w = (
+        df.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
+def windowed_counts_stream(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "page",
+    window: str = "1 hour",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Extension (§2.8): watermarked tumbling-window counts — late rows
+    beyond the watermark are dropped, state is bounded (the reference
+    has no late-data story; this is the Spark-native one)."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("w"), F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col(key_col),
+            F.col("n_events"),
+        )
+    )
+
+
+def sessionized_counts_stream(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "session",
+    gap: str = "30 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Extension: native session windows (inactivity gap) — the
+    streaming twin of the batch gaps-and-islands query
+    (registry.events_sessionize)."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap).alias("w"), F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col(key_col),
+            F.col("n_events"),
+        )
+    )

@@ -1,0 +1,72 @@
+"""Write-semantics tests: S8 append+evolution, S9 overwrite, S10
+idempotent partition reload (SURVEY.md §5.3 / §7 hard part 2)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from datapipelinerepo_spark.io import TableStore
+
+
+def _rows(store, name):
+    return {tuple(r) for r in store.read(name).collect()}
+
+
+def test_append_and_schema_evolution(spark, tmp_path):
+    store = TableStore(spark, str(tmp_path))
+    df1 = spark.createDataFrame([(1, "a")], "id long, v string")
+    store.append(df1, "t")
+    # additive evolution: new column arrives (ALLOW_FIELD_ADDITION)
+    df2 = spark.createDataFrame([(2, "b", 9.5)], "id long, v string, extra double")
+    store.append(df2, "t")
+    got = store.read("t")
+    assert set(got.columns) == {"id", "v", "extra"}
+    vals = {r["id"]: r["extra"] for r in got.collect()}
+    assert vals[1] is None and vals[2] == 9.5
+
+
+def test_overwrite_replaces(spark, tmp_path):
+    store = TableStore(spark, str(tmp_path))
+    store.append(spark.createDataFrame([(1,)], "id long"), "t")
+    store.overwrite(spark.createDataFrame([(7,), (8,)], "id long"), "t")
+    assert _rows(store, "t") == {(7,), (8,)}
+
+
+def test_partition_reload_idempotent(spark, tmp_path):
+    """Run the same day's load twice → same table (exactly-once under
+    re-run); other partitions untouched."""
+    store = TableStore(spark, str(tmp_path))
+    d1, d2 = dt.date(2026, 8, 1), dt.date(2026, 8, 2)
+    day1 = spark.createDataFrame([("z1", d1, 1.0), ("z2", d1, 2.0)], "zip string, date date, v double")
+    day2 = spark.createDataFrame([("z1", d2, 3.0)], "zip string, date date, v double")
+    store.reload_partitions(day1, "w", "date")
+    store.reload_partitions(day2, "w", "date")
+    before = _rows(store, "w")
+    # re-run day2 with corrected value: replaces only day2
+    day2b = spark.createDataFrame([("z1", d2, 9.9)], "zip string, date date, v double")
+    store.reload_partitions(day2b, "w", "date")
+    after = _rows(store, "w")
+    assert len(after) == len(before) == 3
+    assert ("z1", 9.9, d2) in {(r[0], r[1], r[2]) for r in store.read("w").select("zip", "v", "date").collect()}
+    # and re-running the identical load changes nothing
+    store.reload_partitions(day2b, "w", "date")
+    assert _rows(store, "w") == after
+
+
+def test_catalog_probes(spark, tmp_path):
+    store = TableStore(spark, str(tmp_path))
+    assert not store.exists("t")
+    store.append(spark.createDataFrame([(1,)], "id long"), "t")
+    assert store.exists("t")
+    assert store.last_modified_date("t") is not None
+    assert store.max_value("t", "id") == 1
+
+
+def test_events_ns_timestamp_read(spark, sf_dir):
+    from datapipelinerepo_spark.io import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    assert dict(e.dtypes)["ts"].startswith("timestamp")
+    assert e.filter(F.col("ts").isNull()).count() == 0

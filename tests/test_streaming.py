@@ -1,0 +1,92 @@
+"""Streaming tests (SURVEY.md §5.5): base64 file-stream ingest parity
+with the batch path, watermarked windowed counts, session windows."""
+
+from __future__ import annotations
+
+import base64
+import json
+
+import pytest
+
+from datapipelinerepo_spark.streaming import (
+    read_base64_event_stream,
+    sessionized_counts_stream,
+    stream_to_table,
+    windowed_counts_stream,
+)
+
+
+def _payload(ts: str, page: str, session: str = "s1") -> str:
+    rec = {
+        "time_stamp": ts,
+        "id": "v1",
+        "session": session,
+        "page": page,
+        "referrer": "r",
+        "device": "mobile",
+        "language": "en-US",
+    }
+    return base64.b64encode(json.dumps(rec).encode()).decode()
+
+
+@pytest.fixture()
+def stream_src(tmp_path):
+    src = tmp_path / "incoming"
+    src.mkdir()
+    lines = [
+        _payload("2026-08-12 14:03:21", "/projects"),
+        _payload("2026-08-12 14:59:00", "/projects"),
+        _payload("2026-08-12 15:10:00", "/", "s2"),
+        "not-base64-json!!",  # malformed → dropped
+    ]
+    (src / "batch1.txt").write_text("\n".join(lines))
+    return str(src)
+
+
+def test_stream_ingest_append_parity(spark, tmp_path, stream_src):
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    events = read_base64_event_stream(spark, stream_src)
+    q = stream_to_table(events, out, ckpt)
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    assert got.count() == 3  # malformed line dropped
+    assert {r["page"] for r in got.collect()} == {"/projects", "/"}
+    # exactly-once on replay: restarting over the same source adds nothing
+    q2 = stream_to_table(read_base64_event_stream(spark, stream_src), out, ckpt)
+    q2.awaitTermination(120)
+    assert spark.read.parquet(out).count() == 3
+
+
+def test_windowed_counts_stream(spark, tmp_path, stream_src):
+    events = read_base64_event_stream(spark, stream_src)
+    counts = windowed_counts_stream(events, window="1 hour", watermark="10 minutes")
+    q = (
+        counts.writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM win_counts").collect()
+    got = {(str(r["window_start"]), r["page"]): r["n_events"] for r in rows}
+    # 14:00 window closed by the 15:10 event passing the watermark
+    assert got.get(("2026-08-12 14:00:00", "/projects")) == 2
+
+
+def test_session_windows_stream(spark, tmp_path, stream_src):
+    events = read_base64_event_stream(spark, stream_src)
+    sess = sessionized_counts_stream(events, gap="30 minutes", watermark="10 minutes")
+    q = (
+        sess.writeStream.format("memory")
+        .queryName("sess_counts")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM sess_counts").collect()
+    by_sess = {r["session"]: r["n_events"] for r in rows}
+    # s1's two events are >30min apart → the first session closed with 1 event
+    assert by_sess.get("s1") == 1
