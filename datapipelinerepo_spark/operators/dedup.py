@@ -92,25 +92,44 @@ def jaccard_pairs(
 
 
 def shingles(df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Word n-gram shingle sets per document (map-only)."""
+    """Word n-gram shingle sets per document, represented as xxhash64
+    values of the n-gram (map-only, no per-shingle string allocation —
+    hashing token longs beats concat_ws-of-slices ~2x; Jaccard over
+    hashed shingles equals string-shingle Jaccard up to 2^-64
+    collisions)."""
     toks = F.split(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "), " ")
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
-    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
-    return df.select(F.col(id_col).alias("_id"), F.array_distinct(sh).alias("_shingles"))
+    # token hashes must be a materialized column, NOT an inline expression:
+    # expressions referenced inside a higher-order lambda are re-evaluated
+    # per outer element (no CSE) — inline tok_h turns O(len) into O(len^2)
+    hashed = df.select(
+        F.col(id_col).alias("_id"),
+        F.transform(toks, lambda s: F.xxhash64(s)).alias("_tokh"),
+    )
+    idx = F.sequence(F.lit(1), F.greatest(F.size("_tokh") - n + 1, F.lit(1)))
+    sh = F.transform(
+        idx,
+        lambda i: F.xxhash64(*[F.try_element_at("_tokh", i + j) for j in range(n)]),
+    )
+    return hashed.select("_id", F.array_distinct(sh).alias("_shingles"))
 
 
 def minhash_signatures(
     shingled: DataFrame, num_hashes: int = 32, seed: int = 42
 ) -> DataFrame:
     """MinHash signature per doc: for each of ``num_hashes`` seeded
-    xxhash64 functions, the min over the doc's shingle hashes. Map-only
-    (explode → groupBy _id is one shuffle keyed by doc id)."""
-    flat = shingled.select("_id", F.explode("_shingles").alias("_sh"))
-    aggs = [
-        F.min(F.xxhash64(F.col("_sh"), F.lit(seed + i))).alias(f"h{i}")
+    xxhash64 functions, the min over the doc's shingle hashes.
+
+    Computed with array expressions (array_min over a transform) —
+    map-only, zero shuffle: at 100 TB the signature stage is pure
+    scan-side work that AQE never has to re-plan. (The alternative
+    explode → 32-agg groupBy shuffles |docs|x|shingles| rows.)"""
+    sig_cols = [
+        F.array_min(
+            F.transform("_shingles", lambda s, i=i: F.xxhash64(s, F.lit(seed + i)))
+        ).alias(f"h{i}")
         for i in range(num_hashes)
     ]
-    return flat.groupBy("_id").agg(*aggs)
+    return shingled.select("_id", *sig_cols)
 
 
 def minhash_lsh_pairs(

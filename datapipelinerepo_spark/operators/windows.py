@@ -22,12 +22,15 @@ def latest_per_group(df: DataFrame, group: str, order: str, tiebreak: str) -> Da
 
 
 def running_sum(df: DataFrame, group: str, order: str, value: str, alias: str = "running") -> DataFrame:
-    """Running total per group. The value is summed as decimal so the
-    result is exact and order-of-addition-independent (cluster-safe)."""
+    """Running total per group. Decimal-exact, and RANGE-framed (all
+    peers of the current order value are included) so the result is
+    deterministic even when the ordering key has ties — a ROWS frame
+    over tied keys depends on shuffle order and differs run-to-run on a
+    cluster."""
     w = (
         Window.partitionBy(group)
         .orderBy(order)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return df.withColumn(
         alias, F.sum(F.col(value).cast("decimal(18,4)")).over(w).cast("double")

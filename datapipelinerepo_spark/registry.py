@@ -475,7 +475,7 @@ def w1_latest_per_group(spark, sf_dir):
     SELECT l_orderkey, l_linenumber,
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)))
                 OVER (PARTITION BY l_orderkey ORDER BY l_linenumber
-                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                 AS DOUBLE) AS running
     FROM lineitem
     """,
@@ -664,6 +664,105 @@ def events_window_tumbling(spark, sf_dir):
             "n_events",
             "sum_value",
         )
+    )
+
+
+@register("sql_flagship_passthrough", sql=FLAGSHIP_SQL)
+def sql_flagship_passthrough(spark, sf_dir):
+    """SQL-string passthrough (the reference's Query-object shape,
+    datasources.py:86-99): the engine accepts raw ANSI SQL via
+    spark.sql over registered views — the *same* string the DuckDB
+    oracle runs, proving dialect-portable semantics."""
+    from .io import register_views
+
+    register_views(spark, sf_dir, ("orders", "lineitem"))
+    return spark.sql(FLAGSHIP_SQL)
+
+
+@register(
+    "f_compound_stats",
+    sql="""
+    WITH g AS (
+      SELECT l_orderkey AS okey, l_linenumber AS lineno,
+             CAST(CAST(l_quantity AS INTEGER) AS VARCHAR) || '-' ||
+               CAST(l_linenumber * 3 AS VARCHAR) AS eff,
+             lpad(CAST(CAST(l_quantity AS INTEGER) % 60 AS VARCHAR), 2, '0') || ':' ||
+               lpad(CAST(l_linenumber * 7 AS VARCHAR), 2, '0') AS clock
+      FROM lineitem
+    )
+    SELECT okey, lineno, eff, clock,
+           CAST(split_part(eff, '-', 1) AS INTEGER) AS made,
+           CAST(split_part(eff, '-', 2) AS INTEGER) AS att,
+           CAST(split_part(clock, ':', 1) AS INTEGER) * 60 +
+             CAST(split_part(clock, ':', 2) AS INTEGER) AS poss_seconds
+    FROM g
+    """,
+)
+def f_compound_stats(spark, sf_dir):
+    """§7 hard part 5: the reference stores numeric facts as compound
+    STRINGs — '4-12' made-attempted, '28:36' mm:ss clocks
+    (Game_Team_Stats, datasources.py:585-597). Build those shapes from
+    lineitem, then parse them back with the engine's split/cast helpers
+    (F5+P8), proving analytic queries over STRING facts round-trip."""
+    li = t(spark, sf_dir, "lineitem")
+    g = li.select(
+        F.col("l_orderkey").alias("okey"),
+        F.col("l_linenumber").alias("lineno"),
+        F.concat_ws(
+            "-",
+            F.col("l_quantity").cast("int").cast("string"),
+            (F.col("l_linenumber") * 3).cast("string"),
+        ).alias("eff"),
+        F.concat_ws(
+            ":",
+            F.lpad((F.col("l_quantity").cast("int") % 60).cast("string"), 2, "0"),
+            F.lpad((F.col("l_linenumber") * 7).cast("string"), 2, "0"),
+        ).alias("clock"),
+    )
+    return g.select(
+        "okey",
+        "lineno",
+        "eff",
+        "clock",
+        S.compound_stat_made("eff").alias("made"),
+        S.compound_stat_att("eff").alias("att"),
+        S.mmss_to_seconds("clock").alias("poss_seconds"),
+    )
+
+
+@register(
+    "u2_except_all",
+    sql=f"({_J2_A}) EXCEPT ALL ({_J2_B})",
+)
+def u2_except_all(spark, sf_dir):
+    """U2 multiset EXCEPT ALL — one half of the symmetric-difference
+    decomposition (SURVEY.md §2.6)."""
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderstatus")
+    a = o.filter(F.col("o_orderkey") % 3 != 0)
+    b = o.filter(F.col("o_orderkey") % 5 != 0)
+    return a.exceptAll(b)
+
+
+@register(
+    "q18_large_orders",
+    sql="""
+    SELECT o.o_orderkey AS okey, o.o_custkey AS ckey,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS total_qty
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1, 2
+    HAVING SUM(CAST(l.l_quantity AS DECIMAL(18,4))) > 180
+    """,
+)
+def q18_large_orders(spark, sf_dir):
+    """TPC-H-Q18-shaped grouped HAVING: large-volume orders."""
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(F.col("o_orderkey").alias("okey"), F.col("o_custkey").alias("ckey"))
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias("_tq"))
+        .filter(F.col("_tq") > 180)
+        .select("okey", "ckey", F.col("_tq").cast("double").alias("total_qty"))
     )
 
 
