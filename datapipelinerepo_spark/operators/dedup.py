@@ -36,11 +36,13 @@ def exact_dedup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Keep exactly one row (min id) per distinct text."""
+    """Keep exactly one row (min id) per distinct text. The final
+    dropDuplicates guards against duplicate *ids* in the input (a
+    semi-join alone would keep every copy of the keeper row)."""
     w_min = exact_dedup_groups(df, text_col, id_col).select(
         F.col("keeper_id").alias(id_col)
     )
-    return df.join(w_min, on=id_col, how="left_semi")
+    return df.join(w_min, on=id_col, how="left_semi").dropDuplicates([id_col])
 
 
 def _tokens(df: DataFrame, text_col: str, id_col: str) -> DataFrame:

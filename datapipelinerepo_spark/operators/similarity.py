@@ -93,54 +93,83 @@ def lsh_bucket_ids(df: DataFrame, dim: int, n_bits: int = 12, seed: int = 7,
     return df.select(F.col(id_col), F.col(vec_col), bucket.alias("bucket"))
 
 
+def lsh_table_buckets(df: DataFrame, dim: int, n_bits: int, n_tables: int, seed: int,
+                      id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Multi-table LSH: ``n_tables`` independent hyperplane sets; one
+    (table_no, bucket) row per vector per table. Recall compounds as
+    1-(1-p)^L while each table's join stays selective — the standard
+    recall/cost dial for ANN at scale (raise L, not the probe radius)."""
+    parts = []
+    for t_no in range(n_tables):
+        b = lsh_bucket_ids(df, dim, n_bits, seed + 1000 * t_no, id_col, vec_col)
+        parts.append(
+            b.select(
+                F.col(id_col),
+                F.col(vec_col),
+                F.lit(t_no).alias("table_no"),
+                F.col("bucket"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def cosine_topk_lsh(
     queries: DataFrame,
     corpus: DataFrame,
     dim: int,
     k: int = 10,
-    n_bits: int = 12,
+    n_bits: int = 8,
+    n_tables: int = 8,
     seed: int = 7,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """ANN top-k: candidates share an LSH bucket with the query (multi-
-    probe: exact bucket plus all 1-bit-flip neighbor buckets), exact
-    cosine re-rank on candidates only. Bucket join shuffles on the
-    bucket id — at 100 TB this is the difference between |Q|x|C| and
-    |Q|x|C|/2^n_bits comparisons."""
-    qb = lsh_bucket_ids(queries, dim, n_bits, seed, id_col, vec_col)
-    cb = lsh_bucket_ids(corpus, dim, n_bits, seed, id_col, vec_col)
+    """ANN top-k: multi-table LSH (L independent hyperplane sets) with
+    1-bit multi-probe per table, exact cosine re-rank on candidates.
+    Per-table hit probability p compounds to 1-(1-p)^L — the recall
+    dial is L (more tables), not bucket width. The bucket join shuffles
+    on (table_no, bucket) — at 100 TB this is the difference between
+    |Q|x|C| and |Q|x|C|xL(1+b)/2^b comparisons; candidates are
+    deduped on (q_id, c_id) before scoring so re-rank work doesn't
+    scale with L."""
+    qb = lsh_table_buckets(queries, dim, n_bits, n_tables, seed, id_col, vec_col)
+    cb = lsh_table_buckets(corpus, dim, n_bits, n_tables, seed, id_col, vec_col)
     probes = F.array(
         F.col("bucket"),
         *[F.col("bucket").bitwiseXOR(F.lit(2**i).cast("long")) for i in range(n_bits)],
     )
-    q_probed = (
-        qb.withColumn("probe", F.explode(probes))
-        .select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("_qe"), "probe")
+    q_probed = qb.withColumn("probe", F.explode(probes)).select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("_qe"), "table_no", "probe"
     )
     c_side = cb.select(
-        F.col(id_col).alias("c_id"), F.col(vec_col).alias("_ce"), F.col("bucket").alias("probe")
+        F.col(id_col).alias("c_id"),
+        F.col(vec_col).alias("_ce"),
+        "table_no",
+        F.col("bucket").alias("probe"),
     )
-    qn = with_norm(q_probed.withColumnRenamed("_qe", "embedding")).select(
-        "q_id", "probe", F.col("_vec").alias("_qv"), F.col("_norm").alias("_qn")
-    )
-    cn = with_norm(c_side.withColumnRenamed("_ce", "embedding")).select(
-        "c_id", "probe", F.col("_vec").alias("_cv"), F.col("_norm").alias("_cn")
-    )
-    cand = (
-        qn.join(cn, on="probe")
+    cand_ids = (
+        q_probed.join(c_side, on=["table_no", "probe"])
         .filter(F.col("q_id") != F.col("c_id"))
-        .select(
-            "q_id",
-            "c_id",
-            (_dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn"))).alias("sim"),
-        )
-        .groupBy("q_id", "c_id")
-        .agg(F.first("sim").alias("sim"))
+        .dropDuplicates(["q_id", "c_id"])
+    )
+    qn = with_norm(cand_ids.withColumnRenamed("_qe", "embedding")).select(
+        "q_id",
+        "c_id",
+        F.col("_vec").alias("_qv"),
+        F.col("_norm").alias("_qn"),
+        F.col("_ce"),
+    )
+    scored = with_norm(qn.withColumnRenamed("_ce", "embedding")).select(
+        "q_id",
+        "c_id",
+        (_dot(F.col("_qv"), F.col("_vec")) / (F.col("_qn") * F.col("_norm"))).alias("sim"),
     )
     w = Window.partitionBy("q_id").orderBy(F.round("sim", 4).desc(), F.col("c_id").asc())
     return (
-        cand.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("q_id", "c_id", "rank", F.round("sim", 4).alias("sim_r4"))
     )

@@ -632,6 +632,101 @@ def q5_region_volume(spark, sf_dir):
     )
 
 
+@register(
+    "a7_percentiles",
+    sql="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+           round(quantile_cont(l_extendedprice, 0.95), 4) AS p95
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def a7_percentiles(spark, sf_dir):
+    """Exact grouped percentiles (continuous interpolation — matches
+    DuckDB quantile_cont). The scale path swaps in approx_percentile
+    (t-digest, single pass, no sort) — see operators docs; exact form
+    kept for the oracle gate."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(l_extendedprice, 0.95)"), 4).alias("p95"),
+    )
+
+
+@register(
+    "a8_rollup",
+    sql="""
+    SELECT coalesce(l_returnflag, 'ALL') AS rflag,
+           coalesce(l_linestatus, 'ALL') AS lstatus,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def a8_rollup(spark, sf_dir):
+    """Hierarchical ROLLUP totals (engine capability beyond the
+    reference's flat GROUP BYs; grouping-set shuffles are one pass)."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            S.decimal_sum("l_quantity").alias("sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("rflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("lstatus"),
+            "n",
+            "sum_qty",
+        )
+    )
+
+
+@register(
+    "sample_deterministic",
+    sql="""
+    SELECT o_orderkey, o_custkey FROM orders
+    WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) < '1a'
+    """,
+)
+def sample_deterministic(spark, sf_dir):
+    """Deterministic ~10% sample via content hash — reproducible across
+    engines, runs, and cluster sizes, unlike rand()-based sampling
+    (which is seed+partitioning dependent). The idiom training-data
+    pipelines need for held-out splits. '1a' hex = 26/256 ≈ 10.2%."""
+    o = t(spark, sf_dir, "orders")
+    return o.filter(
+        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 2) < "1a"
+    ).select("o_orderkey", "o_custkey")
+
+
+@register(
+    "events_pivot",
+    sql="""
+    SELECT user_id,
+           COUNT(*) FILTER (event_type = 'click') AS click_n,
+           COUNT(*) FILTER (event_type = 'view') AS view_n,
+           COUNT(*) FILTER (event_type = 'purchase') AS purchase_n,
+           COUNT(*) FILTER (event_type = 'signup') AS signup_n,
+           COUNT(*) FILTER (event_type = 'error') AS error_n
+    FROM events GROUP BY user_id
+    """,
+)
+def events_pivot(spark, sf_dir):
+    """Pivot event counts per user (wide feature table shape)."""
+    e = t(spark, sf_dir, "events")
+    piv = (
+        e.groupBy("user_id")
+        .pivot("event_type", ["click", "view", "purchase", "signup", "error"])
+        .agg(F.count(F.lit(1)))
+    )
+    out = piv.select(
+        "user_id",
+        *[F.coalesce(F.col(c), F.lit(0)).alias(f"{c}_n") for c in ("click", "view", "purchase", "signup", "error")],
+    )
+    return out
+
+
 # ===========================================================================
 # Event-time windowing (batch forms of the streaming §2.8 extensions)
 # ===========================================================================

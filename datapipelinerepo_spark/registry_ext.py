@@ -280,6 +280,68 @@ def multimodal_binary_meta(spark, sf_dir):
     )
 
 
+@register(
+    "text_quality_filter",
+    sql=r"""
+    SELECT doc_id, lang FROM documents
+    WHERE length(text) >= 100
+      AND len(regexp_extract_all(text, '\S+')) >= 20
+      AND len(regexp_extract_all(text, '[^\w\s]')) /
+          greatest(length(text), 1) < 0.05
+    """,
+)
+def text_quality_filter(spark, sf_dir):
+    """Quality-gate composition: keep docs passing length/token/punct
+    thresholds — the filter step of a training-data pipeline, fused
+    into the scan (one codegen stage, no materialization of rejects)."""
+    d = t(spark, sf_dir, "documents")
+    c = F.col("text")
+    n_tok = T.token_count(c)
+    punct_ratio = T.token_count(c, T.PUNCT_RE) / F.greatest(
+        F.length(c), F.lit(1)
+    )
+    return d.filter(
+        (F.length(c) >= 100) & (n_tok >= 20) & (punct_ratio < 0.05)
+    ).select("doc_id", "lang")
+
+
+@register(
+    "data_mix_report",
+    sql=r"""
+    WITH per AS (
+      SELECT lang, source, len(regexp_extract_all(text, '\S+')) AS n_tok
+      FROM documents
+    ), tot AS (SELECT SUM(n_tok) AS all_tok FROM per)
+    SELECT lang, source, COUNT(*) AS n_docs, SUM(n_tok) AS total_tokens,
+           round(SUM(n_tok) / (SELECT all_tok FROM tot), 6) AS token_share
+    FROM per GROUP BY lang, source
+    """,
+)
+def data_mix_report(spark, sf_dir):
+    """Training-mix accounting: docs/tokens/token-share per
+    (lang, source) cell — the report that drives sampling weights.
+    The global total is a broadcast scalar subquery, not a collect."""
+    d = t(spark, sf_dir, "documents")
+    per = d.select(
+        "lang", "source", T.token_count(F.col("text")).alias("n_tok")
+    )
+    cell = per.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("total_tokens"),
+    )
+    total = per.agg(F.sum("n_tok").alias("all_tok"))
+    return (
+        cell.crossJoin(F.broadcast(total))
+        .select(
+            "lang",
+            "source",
+            "n_docs",
+            "total_tokens",
+            F.round(F.col("total_tokens") / F.col("all_tok"), 6).alias("token_share"),
+        )
+    )
+
+
 @register("multimodal_extract_features", sql=None)
 def multimodal_extract_features(spark, sf_dir):
     """Arrow-batched mapInPandas feature extraction over binary payloads
