@@ -911,3 +911,191 @@ def events_sessionize(spark, sf_dir):
             F.count(F.lit(1)).alias("n_events"),
         )
     )
+
+
+# ===========================================================================
+# §2.2 P3 standalone, semi/anti joins, INTERSECT, filter-aggs, top-k chains
+# ===========================================================================
+
+
+@register(
+    "p3_null_disjunction",
+    sql="""
+    SELECT l_orderkey, l_linenumber FROM lineitem
+    WHERE nullif(l_linenumber, 1) < 3 OR nullif(l_linenumber, 1) IS NULL
+    """,
+)
+def p3_null_disjunction(spark, sf_dir):
+    """P3 standalone: range + IS NULL disjunction over a nullable
+    expression (`cntcheck < 2 OR cntcheck IS NULL`, datasources.py:645-
+    646; the composed form lives in flagship_coverage_gap). The whole
+    predicate stays in one codegen'd scan filter."""
+    li = t(spark, sf_dir, "lineitem")
+    n = F.nullif(F.col("l_linenumber"), F.lit(1))
+    return li.filter((n < 3) | n.isNull()).select("l_orderkey", "l_linenumber")
+
+
+@register(
+    "j5_semi_join_exists",
+    sql="""
+    SELECT o_orderpriority, COUNT(*) AS n
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+      AND o_orderdate < TIMESTAMP '1995-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_quantity >= 45)
+    GROUP BY o_orderpriority
+    """,
+)
+def j5_semi_join_exists(spark, sf_dir):
+    """EXISTS as a left-semi join (TPC-H Q4 shape) — the engine form of
+    'orders that have at least one bulk lineitem'. Semi-join only ships
+    the join key of the build side; at scale the date filter prunes the
+    probe side before the shuffle."""
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1995-04-01")
+    )
+    late = t(spark, sf_dir, "lineitem").filter(
+        F.col("l_quantity") >= 45
+    ).select(F.col("l_orderkey").alias("o_orderkey"))
+    return (
+        o.join(late, on="o_orderkey", how="left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "j6_anti_join_missing",
+    sql="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def j6_anti_join_missing(spark, sf_dir):
+    """NOT EXISTS as a left-anti join: customers with no orders — the
+    pure-NULL case of the J3 coverage pattern (SURVEY.md §2.3). The
+    orders side is reduced to its distinct join key before shuffling."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return c.join(o, on="c_custkey", how="left_anti").select("c_custkey", "c_name")
+
+
+@register(
+    "u4_intersect",
+    sql="""
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    INTERSECT
+    SELECT o_custkey AS c_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    """,
+)
+def u4_intersect(spark, sf_dir):
+    """INTERSECT (engine capability — the reference has none, SURVEY.md
+    §2.6): building-segment customers who placed an urgent order."""
+    c = t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select("c_custkey")
+    o = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select(F.col("o_custkey").alias("c_custkey"))
+    return c.intersect(o)
+
+
+@register(
+    "q6_forecast_revenue",
+    sql="""
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                    CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1994-01-01'
+      AND l_shipdate < TIMESTAMP '1995-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark, sf_dir):
+    """TPC-H-Q6-shaped filter-aggregate: every predicate pushes to the
+    parquet scan (PushedFilters on shipdate/discount/quantity), then a
+    single partial+final agg — no shuffle of row data at any scale.
+    Product goes through DECIMAL for order-exact cross-engine parity."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1994-01-01")
+            & (F.col("l_shipdate") < "1995-01-01")
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,4)")
+                * F.col("l_discount").cast("decimal(18,4)")
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+@register(
+    "q10_returned_items",
+    sql="""
+    SELECT c_custkey, c_name,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                    (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE l_returnflag = 'R'
+    GROUP BY c_custkey, c_name
+    ORDER BY revenue DESC, c_custkey ASC LIMIT 20
+    """,
+)
+def q10_returned_items(spark, sf_dir):
+    """TPC-H-Q10-shaped top-k join chain: revenue lost to returns per
+    customer. The returnflag filter prunes lineitem at the scan; the
+    customer dim broadcasts; deterministic ORDER BY (revenue DESC,
+    c_custkey) makes LIMIT stable across engines and partitionings."""
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    rev = F.sum(
+        F.col("l_extendedprice").cast("decimal(18,4)")
+        * (F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)"))
+    ).cast("double")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(rev.alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+@register(
+    "w4_ntile_quartiles",
+    sql="""
+    SELECT c_mktsegment, quartile, COUNT(*) AS n
+    FROM (SELECT c_mktsegment,
+                 ntile(4) OVER (PARTITION BY c_mktsegment
+                                ORDER BY c_acctbal, c_custkey) AS quartile
+          FROM customer) s
+    GROUP BY c_mktsegment, quartile
+    """,
+)
+def w4_ntile_quartiles(spark, sf_dir):
+    """ntile window: account-balance quartiles per market segment
+    (deterministic order: balance then key). One shuffle on the
+    partition key; the quartile agg reuses the same partitioning."""
+    c = t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return (
+        c.select("c_mktsegment", F.ntile(4).over(w).alias("quartile"))
+        .groupBy("c_mktsegment", "quartile")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

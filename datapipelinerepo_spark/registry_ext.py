@@ -342,6 +342,36 @@ def data_mix_report(spark, sf_dir):
     )
 
 
+@register(
+    "multimodal_frame_plan",
+    sql="""
+    WITH m AS (
+      SELECT doc_id AS media_id, ((doc_id % 10) * 1000 + 500) AS duration_ms
+      FROM documents WHERE doc_id % 3 = 0
+    )
+    SELECT media_id, 'video/mp4' AS mime,
+           unnest(generate_series(0, duration_ms, 1000)) AS frame_ts_ms
+    FROM m
+    """,
+)
+def multimodal_frame_plan(spark, sf_dir):
+    """Video frame-sampling plan: one row per 1s frame timestamp per
+    media item (durations synthesized deterministically from ids so the
+    explode shape is oracle-checkable; the decode itself is the stubbed
+    step). explode(sequence(...)) is the Spark shape a real frame
+    sampler feeds into mapInPandas."""
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 0)
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit(None).cast("binary").alias("payload"),
+        F.lit("video/mp4").alias("mime"),
+        F.lit(None).cast("long").alias("width"),
+        F.lit(None).cast("long").alias("height"),
+        ((F.col("doc_id") % 10) * 1000 + 500).cast("long").alias("duration_ms"),
+    )
+    return M.frame_sample_plan(media, every_ms=1000)
+
+
 @register("multimodal_extract_features", sql=None)
 def multimodal_extract_features(spark, sf_dir):
     """Arrow-batched mapInPandas feature extraction over binary payloads
