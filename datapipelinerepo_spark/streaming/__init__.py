@@ -4,3 +4,4 @@ from .ingest import (  # noqa: F401
     stream_to_table,
     windowed_counts_stream,
 )
+from .stateful import running_counts_stateful  # noqa: F401

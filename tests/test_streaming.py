@@ -10,6 +10,7 @@ import pytest
 
 from datapipelinerepo_spark.streaming import (
     read_base64_event_stream,
+    running_counts_stateful,
     sessionized_counts_stream,
     stream_to_table,
     windowed_counts_stream,
@@ -90,3 +91,43 @@ def test_session_windows_stream(spark, tmp_path, stream_src):
     by_sess = {r["session"]: r["n_events"] for r in rows}
     # s1's two events are >30min apart → the first session closed with 1 event
     assert by_sess.get("s1") == 1
+
+
+def test_stateful_running_counts_across_restarts(spark, tmp_path, stream_src):
+    """applyInPandasWithState: per-key totals accumulate across separate
+    availableNow runs sharing a checkpoint (state survives restart)."""
+    ckpt = str(tmp_path / "ckpt_state")
+
+    def run_pass(qname):
+        events = read_base64_event_stream(spark, stream_src)
+        counts = running_counts_stateful(events, key_col="session")
+        rows = []
+
+        def sink(batch_df, _batch_id):
+            rows.extend(batch_df.collect())
+
+        q = (
+            counts.writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {r["key"]: (r["total_events"], r["batch_events"]) for r in rows}
+
+    first = run_pass("state_pass1")
+    assert first["s1"] == (2, 2) and first["s2"] == (1, 1)
+
+    # new data lands; a fresh run on the same checkpoint resumes state
+    import pathlib
+
+    more = [
+        _payload("2026-08-12 16:00:00", "/about"),
+        _payload("2026-08-12 16:05:00", "/about", "s3"),
+    ]
+    (pathlib.Path(stream_src) / "batch2.txt").write_text("\n".join(more))
+    second = run_pass("state_pass2")
+    assert second["s1"] == (3, 1)  # lifetime 3, this batch 1
+    assert second["s3"] == (1, 1)
+    assert second["s1"][0] == 3 and second["s1"][1] == 1
