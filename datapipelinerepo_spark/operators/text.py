@@ -82,3 +82,48 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
         F.md5(c).alias("fp_raw"),
         F.md5(norm).alias("fp_norm"),
     )
+
+
+POLY_MOD = 2_147_483_647  # 2^31-1 (Mersenne prime)
+POLY_BASE = 257
+
+
+def rolling_fingerprints(
+    df: DataFrame,
+    k: int = 8,
+    mod_p: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Rolling-hash document fingerprints (Rabin-Karp over character
+    k-grams, content-defined selection): a k-gram's polynomial hash is
+    kept iff hash ≡ 0 (mod ``mod_p``) — the classic "0 mod p" chunking
+    rule, so the selected fingerprints realign after insertions (unlike
+    fixed-stride sampling). Output: one (id, fp) row per distinct
+    selected hash; docs shorter than k yield no rows.
+
+    The hash is plain integer arithmetic (base-257 poly mod 2^31-1 over
+    code points) — NOT an engine hash function — so any engine computes
+    identical fingerprints; this is what makes the op oracle-checkable
+    and the fingerprints portable across a mixed-engine lakehouse.
+    Map-only: at 100 TB this runs inside the scan stage; only (id, fp)
+    pairs ever shuffle."""
+    tx = F.lower(F.col(text_col))
+    # codes as a materialized column: expressions inside higher-order
+    # lambdas are re-evaluated per element (no CSE) — see dedup.shingles
+    codes = F.transform(F.split(tx, ""), lambda ch: F.ascii(ch))
+    base = df.filter(F.length(tx) >= k).select(
+        F.col(id_col), codes.alias("_codes")
+    )
+    idx = F.sequence(F.lit(1), F.size("_codes") - (k - 1))
+
+    def gram_hash(i):
+        h = F.try_element_at("_codes", i).cast("long")
+        for j in range(1, k):
+            h = (h * POLY_BASE + F.try_element_at("_codes", i + j)) % POLY_MOD
+        return h
+
+    grams = F.array_distinct(
+        F.filter(F.transform(idx, gram_hash), lambda h: h % mod_p == 0)
+    )
+    return base.select(F.col(id_col), F.explode(grams).alias("fp"))

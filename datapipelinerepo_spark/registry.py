@@ -1099,3 +1099,29 @@ def w4_ntile_quartiles(spark, sf_dir):
         .groupBy("c_mktsegment", "quartile")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@register(
+    "a9_above_avg",
+    sql="""
+    SELECT p_partkey, p_retailprice FROM part
+    WHERE CAST(p_retailprice AS DECIMAL(18,4)) * (SELECT COUNT(*) FROM part)
+          > (SELECT SUM(CAST(p_retailprice AS DECIMAL(18,4))) FROM part)
+    """,
+)
+def a9_above_avg(spark, sf_dir):
+    """Scalar-subquery comparison: parts priced above the global
+    average. Written as price*n > sum (exact DECIMAL comparison) rather
+    than price > avg — float averages are summation-order-dependent, so
+    boundary rows would flap across engines and partitionings. The
+    aggregate is a broadcast single row, not a collect."""
+    p = t(spark, sf_dir, "part")
+    stats = p.agg(
+        F.sum(F.col("p_retailprice").cast("decimal(18,4)")).alias("_s"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    return (
+        p.crossJoin(F.broadcast(stats))
+        .filter(F.col("p_retailprice").cast("decimal(18,4)") * F.col("_n") > F.col("_s"))
+        .select("p_partkey", "p_retailprice")
+    )

@@ -372,7 +372,53 @@ def multimodal_frame_plan(spark, sf_dir):
     return M.frame_sample_plan(media, every_ms=1000)
 
 
-@register("multimodal_extract_features", sql=None)
+@register(
+    "text_rolling_fingerprint",
+    sql="""
+    WITH s AS (
+      SELECT doc_id, lower(text) AS tx FROM documents
+      WHERE doc_id % 10 = 0 AND length(text) >= 8
+    ),
+    pos AS (
+      SELECT doc_id, tx, unnest(generate_series(1, length(tx) - 7)) AS i FROM s
+    ),
+    h AS (
+      SELECT doc_id,
+        ((((((((((((((ascii(substr(tx, i, 1))::BIGINT
+         * 257 + ascii(substr(tx, i+1, 1))) % 2147483647)
+         * 257 + ascii(substr(tx, i+2, 1))) % 2147483647)
+         * 257 + ascii(substr(tx, i+3, 1))) % 2147483647)
+         * 257 + ascii(substr(tx, i+4, 1))) % 2147483647)
+         * 257 + ascii(substr(tx, i+5, 1))) % 2147483647)
+         * 257 + ascii(substr(tx, i+6, 1))) % 2147483647)
+         * 257 + ascii(substr(tx, i+7, 1))) % 2147483647) AS fp
+      FROM pos
+    )
+    SELECT DISTINCT doc_id, fp FROM h WHERE fp % 64 = 0
+    """,
+)
+def text_rolling_fingerprint(spark, sf_dir):
+    """Rolling-hash (Rabin-Karp) content-defined fingerprints on a 10%
+    doc sample. The polynomial hash is plain integer arithmetic, so the
+    DuckDB oracle computes bit-identical fingerprints — see
+    operators/text.rolling_fingerprints for the scale notes."""
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    return T.rolling_fingerprints(d, k=8, mod_p=64)
+
+
+@register("scale_approx_aggs", sql=None)
+def scale_approx_aggs(spark, sf_dir):
+    """Scale-path approximate aggregates: HyperLogLog distinct count +
+    t-digest percentile over events. One pass, mergeable partials, no
+    sort — at 100 TB these replace exact COUNT(DISTINCT)/percentile
+    (which must shuffle every distinct key / sort every value).
+    Sketch results are engine-specific → rows-only driver check; the
+    error bound vs the exact answers is asserted in test_ext_ops."""
+    e = t(spark, sf_dir, "events")
+    return e.agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.percentile_approx("value", 0.95, 10000).alias("p95_value_approx"),
+    )
 def multimodal_extract_features(spark, sf_dir):
     """Arrow-batched mapInPandas feature extraction over binary payloads
     (decode stubbed deterministically — see operators/multimodal.py).

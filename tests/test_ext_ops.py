@@ -96,6 +96,44 @@ def test_multimodal_real_decode_is_stubbed():
         M.decode_media(b"bytes", "image/png", real=True)
 
 
+def test_approx_aggs_error_bounds(spark, sf_dir):
+    """HLL distinct + t-digest p95 land within tolerance of the exact
+    answers (the check that justifies the sketch swap at scale)."""
+    from datapipelinerepo_spark.io import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    approx = e.agg(
+        F.approx_count_distinct("user_id").alias("u"),
+        F.percentile_approx("value", 0.95, 10000).alias("p"),
+    ).first()
+    exact_u = e.select("user_id").distinct().count()
+    exact_p = e.agg(F.expr("percentile(value, 0.95)").alias("p")).first()["p"]
+    assert abs(approx["u"] - exact_u) / exact_u < 0.05
+    assert abs(approx["p"] - exact_p) / max(abs(exact_p), 1e-9) < 0.05
+
+
+def test_rolling_fingerprint_shift_invariance(spark, docs):
+    """Content-defined selection: prepending text to a doc preserves
+    (a superset of) its fingerprints — the property fixed-stride
+    sampling lacks and the reason to use the rolling hash."""
+    from datapipelinerepo_spark.operators.text import rolling_fingerprints
+
+    base = docs.limit(5)
+    shifted = base.withColumn(
+        "text", F.concat(F.lit("PREFIX INSERTED AT START "), F.col("text"))
+    ).withColumn("doc_id", F.col("doc_id") + 700000)
+    fps = rolling_fingerprints(base.union(shifted), k=8, mod_p=64)
+    rows = fps.collect()
+    by_doc: dict[int, set] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    for r in base.collect():
+        orig = by_doc.get(r["doc_id"], set())
+        shift = by_doc.get(r["doc_id"] + 700000, set())
+        assert orig, f"doc {r['doc_id']} produced no fingerprints"
+        assert orig <= shift, "insertion broke fingerprint alignment"
+
+
 def test_frame_sample_plan(spark):
     media = spark.createDataFrame(
         [(1, b"x", "video/mp4", None, None, 2500), (2, b"y", "image/png", None, None, None)],
