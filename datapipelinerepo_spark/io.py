@@ -144,3 +144,45 @@ class TableStore:
             os.remove(self._meta_path(name))
         except FileNotFoundError:
             pass
+
+
+# ---------------------------------------------------------------------------
+# Bucketed tables: shuffle-free co-located joins (the 100 TB join posture)
+# ---------------------------------------------------------------------------
+
+
+def write_bucketed(
+    df: DataFrame, table: str, key: str, buckets: int, sort: bool = True
+) -> None:
+    """Persist a catalog table hash-bucketed (and sorted) by the join
+    key. Two tables bucketed the same way join with ZERO exchange — the
+    shuffle is paid once at write time and amortized over every
+    subsequent join/agg on that key. At 100 TB this turns the nightly
+    fact⋈fact join from the dominant cost into a local merge per
+    bucket. Buckets should be sized so one bucket of the larger table
+    fits an executor's memory (~128-512 MB each)."""
+    w = df.write.mode("overwrite").format("parquet").bucketBy(buckets, key)
+    if sort:
+        w = w.sortBy(key)
+    w.saveAsTable(table)
+
+
+def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
+    """Read a bucketed catalog table; Catalyst picks up the bucket spec
+    and drops the Exchange when join/group keys match it."""
+    return spark.table(table)
+
+
+class Query:
+    """Raw-SQL passthrough — the reference's ``Query`` object
+    (datasources.py:86-99: a class wrapping an SQL string with
+    ``run()``) re-homed onto spark.sql. Views for the testdata tables
+    come from ``register_views``; user tables from ``TableStore`` reads
+    registered the same way."""
+
+    def __init__(self, spark: SparkSession, sql: str):
+        self.spark = spark
+        self.sql = sql
+
+    def run(self) -> DataFrame:
+        return self.spark.sql(self.sql)

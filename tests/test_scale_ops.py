@@ -1,0 +1,98 @@
+"""Scale-engineering tests: salted joins/aggs on skewed keys, bucketed
+shuffle-free joins, raw-SQL Query passthrough."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from datapipelinerepo_spark.io import Query, read_bucketed, register_views, write_bucketed
+from datapipelinerepo_spark.operators import skew as K
+
+
+@pytest.fixture(scope="module")
+def skewed(spark):
+    """1000 rows where one key ('hot') holds 90% of the table."""
+    hot = spark.range(900).select(
+        F.lit("hot").alias("k"), F.col("id").alias("v")
+    )
+    cold = spark.range(100).select(
+        F.concat(F.lit("c"), F.col("id")).alias("k"), F.col("id").alias("v")
+    )
+    return hot.union(cold)
+
+
+@pytest.fixture(scope="module")
+def dim(spark):
+    rows = [("hot", "HOT")] + [(f"c{i}", f"C{i}") for i in range(100)]
+    return spark.createDataFrame(rows, ["k", "label"])
+
+
+def test_salted_join_matches_plain_join(spark, skewed, dim):
+    plain = skewed.join(dim, on="k").select("k", "v", "label")
+    salted = K.salted_join(skewed, dim, key="k", salt_buckets=8).select(
+        "k", "v", "label"
+    )
+    assert plain.count() == salted.count() == 1000
+    assert plain.exceptAll(salted).isEmpty()
+    assert salted.exceptAll(plain).isEmpty()
+
+
+def test_salted_join_spreads_hot_key(spark, skewed):
+    salted = skewed.withColumn(
+        "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in skewed.columns]), F.lit(8))
+    )
+    n_buckets = (
+        salted.filter(F.col("k") == "hot").select("_salt").distinct().count()
+    )
+    assert n_buckets == 8  # hot key occupies every salt bucket
+
+
+def test_salted_count_matches_direct(spark, skewed):
+    direct = {r["k"]: r["n"] for r in skewed.groupBy("k").agg(F.count(F.lit(1)).alias("n")).collect()}
+    salted = {r["k"]: r["n_rows"] for r in K.salted_count_by_key(skewed, "k", 8).collect()}
+    assert direct == salted
+
+
+def test_key_skew_profile_flags_hot_key(spark, skewed):
+    prof = K.key_skew_profile(skewed, "k", top_n=3).collect()
+    assert prof[0]["k"] == "hot" and prof[0]["n_rows"] == 900
+    assert prof[0]["share"] == pytest.approx(0.9)
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path_factory):
+    """Two tables bucketed on the join key sort-merge-join with zero
+    Exchange in the physical plan — the write-once/join-free posture."""
+    from datapipelinerepo_spark.io import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    write_bucketed(orders, "b_orders", "o_orderkey", 8)
+    write_bucketed(
+        li.withColumnRenamed("l_orderkey", "o_orderkey"), "b_lineitem", "o_orderkey", 8
+    )
+    try:
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = read_bucketed(spark, "b_orders").join(
+                read_bucketed(spark, "b_lineitem"), on="o_orderkey"
+            )
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in plan, "bucketed join still shuffles"
+            assert joined.count() > 0
+            # and the bucketed GROUP BY on the same key is shuffle-free too
+            agg = read_bucketed(spark, "b_lineitem").groupBy("o_orderkey").count()
+            agg_plan = agg._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in agg_plan
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_query_passthrough(spark, sf_dir):
+    register_views(spark, sf_dir)
+    q = Query(spark, "SELECT COUNT(*) AS n FROM nation")
+    assert q.run().first()["n"] == 25
