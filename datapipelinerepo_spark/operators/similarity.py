@@ -175,6 +175,93 @@ def cosine_topk_lsh(
     )
 
 
+def _normalized_centroids(corpus: DataFrame, n_centroids: int, dim: int,
+                          id_col: str, vec_col: str) -> list[list[float]]:
+    """Deterministic centroid seed: the n_centroids lowest-id vectors,
+    L2-normalized. A k-means refinement would improve cell balance but
+    adds iterative passes; the seed already gives the IVF cost shape
+    (scan 1/C of the corpus per probe). Bounded collect: C×dim floats,
+    same footprint as a broadcast literal."""
+    rows = (
+        corpus.orderBy(F.col(id_col).asc())
+        .limit(n_centroids)
+        .select(vec_col)
+        .collect()
+    )
+    cents = np.array([r[0] for r in rows], dtype="float64")
+    norms = np.linalg.norm(cents, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return (cents / norms).tolist()
+
+
+def _cell_sims(vec_col, cents: list[list[float]]):
+    """Array of cosine(v, centroid_i) — centroids are plan literals."""
+    v = _as_double(vec_col)
+    vn = F.sqrt(_dot(v, v))
+    return F.array(
+        *[_dot(v, F.array(*[F.lit(x) for x in c])) / vn for c in cents]
+    )
+
+
+def cosine_topk_ivf(
+    queries: DataFrame,
+    corpus: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN top-k: corpus vectors are assigned to their nearest
+    centroid cell (map-only); each query probes its ``n_probe`` nearest
+    cells; exact cosine re-rank runs only inside probed cells.
+
+    Scale shape: the cell join shuffles on a small int key, and each
+    query touches ~n_probe/n_centroids of the corpus. Versus LSH, IVF
+    adapts to the data's density (cells follow the vectors) at the cost
+    of the centroid pass; both are provided so the caller can pick per
+    corpus. Output: (q_id, c_id, rank, sim_r4), same contract as the
+    brute-force baseline."""
+    cents = _normalized_centroids(corpus, n_centroids, dim, id_col, vec_col)
+    c_sims = _cell_sims(F.col(vec_col), cents)
+    c_side = corpus.select(
+        F.col(id_col).alias("c_id"),
+        F.col(vec_col).alias("_ce"),
+        (F.array_position(c_sims, F.array_max(c_sims)) - 1).alias("cell"),
+    )
+    q_simsed = queries.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("_qe"), c_sims.alias("_cs")
+    )
+    thr = F.element_at(F.array_sort("_cs"), -n_probe)
+    probe_cells = F.filter(
+        F.sequence(F.lit(0), F.lit(len(cents) - 1)),
+        lambda i: F.try_element_at("_cs", i + 1) >= thr,
+    )
+    q_side = q_simsed.select(
+        "q_id", "_qe", F.explode(probe_cells).alias("cell")
+    )
+    cand = (
+        q_side.join(c_side, on="cell")
+        .filter(F.col("q_id") != F.col("c_id"))
+        .drop("cell")
+    )
+    qn = with_norm(cand.withColumnRenamed("_qe", "embedding")).select(
+        "q_id", "c_id", F.col("_vec").alias("_qv"), F.col("_norm").alias("_qn"), "_ce"
+    )
+    scored = with_norm(qn.withColumnRenamed("_ce", "embedding")).select(
+        "q_id",
+        "c_id",
+        (_dot(F.col("_qv"), F.col("_vec")) / (F.col("_qn") * F.col("_norm"))).alias("sim"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.round("sim", 4).desc(), F.col("c_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "c_id", "rank", F.round("sim", 4).alias("sim_r4"))
+    )
+
+
 def cosine_dup_pairs(
     df: DataFrame,
     threshold: float = 0.95,

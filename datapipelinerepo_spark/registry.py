@@ -1102,6 +1102,76 @@ def w4_ntile_quartiles(spark, sf_dir):
 
 
 @register(
+    "events_json_props",
+    sql="""
+    SELECT event_type, COUNT(*) AS n,
+           SUM(CAST(props->>'k' AS BIGINT)) AS sum_k
+    FROM events GROUP BY event_type
+    """,
+)
+def events_json_props(spark, sf_dir):
+    """F9/F10 on real data: JSON-path extraction from the events props
+    column, aggregated per type. get_json_object stays JVM-side — no
+    Python touches the payload."""
+    e = t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.get_json_object("props", "$.k").cast("long")).alias("sum_k"),
+    )
+
+
+@register(
+    "q7_bilateral_volume",
+    sql="""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                    (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS volume
+    FROM lineitem
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation n1 ON n1.n_nationkey = s_nationkey
+    JOIN nation n2 ON n2.n_nationkey = c_nationkey
+    WHERE n1.n_name IN ('NATION_1', 'NATION_2')
+      AND n2.n_name IN ('NATION_1', 'NATION_2')
+      AND n1.n_name <> n2.n_name
+    GROUP BY 1, 2
+    """,
+)
+def q7_bilateral_volume(spark, sf_dir):
+    """TPC-H-Q7-shaped five-table join: trade volume between two
+    nations. Both nation filters push below the joins (Catalyst routes
+    the IN-lists through the dim joins), supplier/customer/nation all
+    broadcast; only the lineitem⋈orders edge shuffles."""
+    li = t(spark, sf_dir, "lineitem").select("l_suppkey", "l_orderkey", "l_extendedprice", "l_discount")
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    pair = ["NATION_1", "NATION_2"]
+    n1 = n.filter(F.col("n_name").isin(pair)).select(
+        F.col("n_nationkey").alias("_nk1"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.filter(F.col("n_name").isin(pair)).select(
+        F.col("n_nationkey").alias("_nk2"), F.col("n_name").alias("cust_nation")
+    )
+    vol = F.sum(
+        F.col("l_extendedprice").cast("decimal(18,4)")
+        * (F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)"))
+    ).cast("double")
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("_nk1"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("_nk2"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation")
+        .agg(vol.alias("volume"))
+    )
+
+
+@register(
     "a9_above_avg",
     sql="""
     SELECT p_partkey, p_retailprice FROM part

@@ -143,6 +143,17 @@ def ann_topk_lsh(spark, sf_dir):
     return SIM.cosine_topk_lsh(q, emb, dim=64, k=10, n_bits=8)
 
 
+@register("ann_topk_ivf", sql=None)
+def ann_topk_ivf(spark, sf_dir):
+    """IVF-cell ANN top-10 (deterministic centroid seed, 4-of-16 cell
+    probes) — the density-adaptive scale path beside LSH. Cell
+    assignment is data-dependent → rows-only check; planted-duplicate
+    recall asserted in test_ext_ops."""
+    emb = t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    return SIM.cosine_topk_ivf(q, emb, dim=64, k=10)
+
+
 @register(
     "embedding_dup_pairs",
     sql="""

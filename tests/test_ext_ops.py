@@ -42,6 +42,44 @@ def test_ann_lsh_recall_vs_bruteforce(spark, emb):
             assert abs(es[k] - r["sim_r4"]) < 1e-9
 
 
+def test_ann_ivf_finds_planted_duplicates(spark, emb):
+    """A planted exact duplicate lands in the same IVF cell and must
+    come back as the rank-1 neighbor at sim 1.0."""
+    planted = emb.filter(F.col("vec_id") < 3).withColumn(
+        "vec_id", F.col("vec_id") + 800000
+    )
+    corpus = emb.union(planted)
+    q = emb.filter(F.col("vec_id") < 3)
+    got = SIM.cosine_topk_ivf(q, corpus, dim=64, k=10)
+    top1 = {r["q_id"]: (r["c_id"], r["sim_r4"]) for r in got.filter(F.col("rank") == 1).collect()}
+    for qid in range(3):
+        cid, sim = top1[qid]
+        assert cid == qid + 800000 and sim == pytest.approx(1.0)
+
+
+def test_ann_ivf_probes_bound_work(spark, emb):
+    """Every query probes exactly n_probe cells (the cost contract)."""
+    from datapipelinerepo_spark.operators.similarity import (
+        _cell_sims,
+        _normalized_centroids,
+    )
+
+    cents = _normalized_centroids(emb, 16, 64, "vec_id", "embedding")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        "vec_id", _cell_sims(F.col("embedding"), cents).alias("_cs")
+    )
+    thr = F.element_at(F.array_sort("_cs"), -4)
+    n_probed = q.select(
+        F.size(
+            F.filter(
+                F.sequence(F.lit(0), F.lit(15)),
+                lambda i: F.try_element_at("_cs", i + 1) >= thr,
+            )
+        ).alias("n")
+    )
+    assert all(r["n"] == 4 for r in n_probed.collect())
+
+
 def test_cosine_self_similarity(spark, emb):
     """A vector is its own nearest neighbor at sim 1.0 (sanity of the
     dot/norm arithmetic)."""
