@@ -762,6 +762,41 @@ def events_window_tumbling(spark, sf_dir):
     )
 
 
+@register(
+    "events_window_sliding",
+    sql="""
+    WITH g AS (
+      SELECT event_type, ts,
+             unnest(generate_series(
+               to_timestamp(floor(epoch(ts) / 1800) * 1800) - INTERVAL 30 MINUTE,
+               to_timestamp(floor(epoch(ts) / 1800) * 1800),
+               INTERVAL 30 MINUTE)) AS ws
+      FROM events
+    )
+    SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type, COUNT(*) AS n_events
+    FROM g GROUP BY 1, 2
+    """,
+)
+def events_window_sliding(spark, sf_dir):
+    """Sliding windows (1 h length, 30 min slide): each event counts in
+    two overlapping windows. Spark's window() explodes the assignment
+    exactly like the oracle's generate_series — rows fan out 2×, then
+    one shuffle on (window, type)."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("w"), F.col("event_type")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
 @register("sql_flagship_passthrough", sql=FLAGSHIP_SQL)
 def sql_flagship_passthrough(spark, sf_dir):
     """SQL-string passthrough (the reference's Query-object shape,
