@@ -36,13 +36,21 @@ def exact_dedup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Keep exactly one row (min id) per distinct text. The final
-    dropDuplicates guards against duplicate *ids* in the input (a
-    semi-join alone would keep every copy of the keeper row)."""
-    w_min = exact_dedup_groups(df, text_col, id_col).select(
-        F.col("keeper_id").alias(id_col)
+    """Keep exactly one row (min id) per distinct text, via a window
+    keyed on the text digest: ONE shuffle of the rows, no join (the
+    digest-agg + semi-join alternative shuffles the rows anyway to meet
+    the keeper ids, plus the agg shuffle — and its self-join composes
+    badly: dedup∘dedup trips an analyzer attribute-reuse error).
+    Duplicate ids are fine; exactly one row per distinct text
+    survives."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(F.col(id_col).asc())
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
     )
-    return df.join(w_min, on=id_col, how="left_semi").dropDuplicates([id_col])
 
 
 def _tokens(df: DataFrame, text_col: str, id_col: str) -> DataFrame:

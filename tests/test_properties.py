@@ -1,0 +1,84 @@
+"""Property-based tests (hypothesis) for the algebraic invariants the
+oracle comparison can't state directly: set-op algebra, scalar parsing
+totality, dedup idempotence. Example counts are kept small — each
+example is a Spark job — and each property batches its cases into one
+DataFrame where possible."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from datapipelinerepo_spark.functions import scalars as S
+from datapipelinerepo_spark.operators import relational as R
+
+ROWS = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 2)), min_size=0, max_size=12
+)
+
+
+@settings(max_examples=5, deadline=None)
+@given(a=ROWS, b=ROWS)
+def test_symmetric_difference_matches_pandas_semantics(spark, a, b):
+    """symmetric_difference == drop_duplicates(keep=False) over the
+    concatenation: rows whose TOTAL multiplicity across both inputs is
+    exactly 1 — internal duplicates are removed too (SURVEY.md §2.3 J2,
+    the exact reference semantics)."""
+    expected = {t for t, n in Counter(a + b).items() if n == 1}
+    da = spark.createDataFrame(a, "x int, y int") if a else spark.createDataFrame([], "x int, y int")
+    db = spark.createDataFrame(b, "x int, y int") if b else spark.createDataFrame([], "x int, y int")
+    got = {(r["x"], r["y"]) for r in R.symmetric_difference(da, db).collect()}
+    assert got == expected
+    sym = {(r["x"], r["y"]) for r in R.symmetric_difference(db, da).collect()}
+    assert sym == got  # Δ is symmetric
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    pairs=st.lists(
+        st.tuples(st.integers(0, 99), st.integers(0, 99), st.integers(0, 59), st.integers(0, 59)),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_compound_stat_and_clock_parse_total(spark, pairs):
+    """'m-a' and 'mm:ss' STRING facts parse back exactly for every value
+    in domain (§2.11 compound-stat shapes) — batched, one job."""
+    rows = [(i, f"{m}-{a}", f"{mi}:{se:02d}") for i, (m, a, mi, se) in enumerate(pairs)]
+    df = spark.createDataFrame(rows, ["i", "eff", "clock"])
+    got = df.select(
+        "i",
+        S.compound_stat_made("eff").alias("m"),
+        S.compound_stat_att("eff").alias("a"),
+        S.mmss_to_seconds("clock").alias("s"),
+    ).collect()
+    by_i = {r["i"]: r for r in got}
+    for i, (m, a, mi, se) in enumerate(pairs):
+        r = by_i[i]
+        assert (r["m"], r["a"], r["s"]) == (m, a, mi * 60 + se)
+
+
+@settings(max_examples=4, deadline=None)
+@given(
+    texts=st.lists(
+        st.sampled_from(["aa bb cc", "dd ee", "ff", "aa bb cc", "dd ee"]),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_exact_dedup_idempotent(spark, texts):
+    """dedup(dedup(X)) == dedup(X), output texts unique, count equals
+    the number of distinct texts."""
+    from datapipelinerepo_spark.operators import dedup as D
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    once = D.exact_dedup(df)
+    twice = D.exact_dedup(once)
+    assert once.count() == twice.count() == len(set(texts))
+    assert once.select("text").distinct().count() == once.count()
+    assert once.exceptAll(twice).isEmpty()

@@ -96,3 +96,27 @@ def test_query_passthrough(spark, sf_dir):
     register_views(spark, sf_dir)
     q = Query(spark, "SELECT COUNT(*) AS n FROM nation")
     assert q.run().first()["n"] == 25
+
+
+def test_partition_pruning(spark, sf_dir, tmp_path):
+    """A date-partitioned table scanned with a partition predicate reads
+    only the matching partition directories (dynamic file pruning at
+    the source — at 100 TB the scan cost is proportional to the slice,
+    not the table)."""
+    from datapipelinerepo_spark.io import load_table
+
+    out = str(tmp_path / "orders_by_month")
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "omonth", F.month("o_orderdate")
+    )
+    orders.write.partitionBy("omonth").parquet(out)
+    part = spark.read.parquet(out).filter(F.col("omonth") == 3)
+    plan = part._jdf.queryExecution().executedPlan().toString()
+    # the month predicate lands in PartitionFilters (directory pruning),
+    # not in the row-level data filters
+    pf = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "= 3" in pf
+    expected = (
+        spark.read.parquet(out).collect()
+    )
+    assert part.count() == sum(1 for r in expected if r["omonth"] == 3) > 0
