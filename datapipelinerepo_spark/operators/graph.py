@@ -1,0 +1,108 @@
+"""Connected components over candidate-pair edges — the clustering step
+that turns near-duplicate PAIRS (MinHash/SimHash/cosine output) into
+duplicate GROUPS, so a dedup pipeline can keep one canonical document
+per group. pairs → components → keep-min is the standard large-corpus
+dedup flow; without it, transitive duplicates (A~B, B~C) survive
+pairwise filtering.
+
+Algorithm: iterative min-label propagation with pointer jumping. Each
+node starts labeled with its own id; every round, each node takes the
+min label in its neighborhood AND the label of its current label
+(pointer jump — labels are node ids, so they have labels too);
+converged when nothing changes. The jump halves the remaining distance
+to the component minimum each round → O(log diameter) rounds, the same
+asymptotics as alternating large-star/small-star (Kiveris et al.,
+"Connected Components in MapReduce") with simpler rounds. Near-dup
+clusters are small and dense (diameter 2-4) → 2-3 rounds in practice.
+
+Each round is one join + one groupBy — both shuffle on the node id, so
+AQE reuses the partitioning; labels are localCheckpoint'ed every round
+to cut the lineage (else the plan doubles per iteration).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Component label (min reachable node id) per node appearing in
+    ``edges``. Output: (node, comp). Undirected: edges are symmetrized.
+
+    The convergence probe (one count per round) is a sanctioned scalar
+    gate — the work itself is fully distributed."""
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    e = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+    e = e.localCheckpoint()
+    labels = (
+        e.select(F.col("u").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("comp"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            e.join(labels, e.v == labels.node)
+            .select(F.col("u").alias("node"), "comp")
+            .groupBy("node")
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        stepped = labels.join(nbr_min, on="node", how="left").select(
+            "node",
+            F.least(
+                F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))
+            ).alias("comp"),
+        )
+        # pointer jumping: also adopt the label OF my label (comp is a
+        # node id, so its own label exists) — halves the remaining
+        # distance to the component minimum each round, turning
+        # O(diameter) propagation into O(log diameter)
+        ptr = stepped.select(
+            F.col("node").alias("_pn"), F.col("comp").alias("_pc")
+        )
+        new_labels = (
+            stepped.join(ptr, stepped.comp == ptr._pn, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("_pc"), F.col("comp"))
+                ).alias("comp"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), on="node")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_components(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Full-corpus component assignment: every doc gets a component id —
+    docs in no pair are their own singleton component. The canonical
+    keeper per group is then ``filter(doc_id == comp)``."""
+    comps = connected_components(pairs, src=src, dst=dst)
+    return (
+        df.select(F.col(id_col))
+        .join(comps.withColumnRenamed("node", id_col), on=id_col, how="left")
+        .select(
+            id_col, F.coalesce(F.col("comp"), F.col(id_col)).alias("comp")
+        )
+    )

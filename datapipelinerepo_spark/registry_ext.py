@@ -430,6 +430,74 @@ def scale_approx_aggs(spark, sf_dir):
         F.approx_count_distinct("user_id").alias("approx_users"),
         F.percentile_approx("value", 0.95, 10000).alias("p95_value_approx"),
     )
+
+
+@register(
+    "dedup_connected_components",
+    sql="""
+    WITH flagged AS (
+      SELECT doc_id, lang,
+             CASE WHEN lag(lang) OVER w = lang
+                    AND lag(doc_id) OVER w = doc_id - 1
+                  THEN 0 ELSE 1 END AS brk
+      FROM documents WINDOW w AS (ORDER BY doc_id)
+    ), runs AS (
+      SELECT doc_id,
+             SUM(brk) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS run_id
+      FROM flagged
+    )
+    SELECT doc_id, MIN(doc_id) OVER (PARTITION BY run_id) AS comp
+    FROM runs
+    """,
+)
+def dedup_connected_components(spark, sf_dir):
+    """Connected components over a deterministic edge set (consecutive
+    same-lang docs form chains), computed by the REAL iterative
+    min-label-propagation operator — the oracle derives the same
+    components independently via gaps-and-islands, so the generic graph
+    operator is checked against closed-form ground truth. In the dedup
+    pipeline the edge input is minhash_lsh_pairs / simhash_pairs output
+    instead (see operators/graph.py)."""
+    from .operators import graph as G
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "lang")
+    nxt = d.select(
+        (F.col("doc_id") - 1).alias("doc_id"), F.col("lang").alias("_lang2")
+    )
+    edges = (
+        d.join(nxt, on="doc_id")
+        .filter(F.col("lang") == F.col("_lang2"))
+        .select(
+            F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1).alias("id_b")
+        )
+    )
+    return G.dedup_components(d, edges)
+
+
+@register(
+    "sample_stratified",
+    sql="""
+    SELECT doc_id, lang FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':' || lang), 1, 2)
+          < CASE WHEN lang = 'en' THEN '33' ELSE '80' END
+    """,
+)
+def sample_stratified(spark, sf_dir):
+    """Stratified deterministic sampling: per-group rates (downsample
+    the dominant 'en' stratum to ~20%, keep 50% elsewhere) via content
+    hash — the rebalancing step a training-data mix applies after
+    data_mix_report, reproducible across engines and cluster sizes."""
+    d = t(spark, sf_dir, "documents")
+    h = F.substring(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("lang"))),
+        1,
+        2,
+    )
+    thr = F.when(F.col("lang") == "en", F.lit("33")).otherwise(F.lit("80"))
+    return d.filter(h < thr).select("doc_id", "lang")
+
+
+@register("multimodal_extract_features", sql=None)
 def multimodal_extract_features(spark, sf_dir):
     """Arrow-batched mapInPandas feature extraction over binary payloads
     (decode stubbed deterministically — see operators/multimodal.py).

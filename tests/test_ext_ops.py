@@ -121,6 +121,32 @@ def test_simhash_identical_distance_zero(spark, docs):
         assert got.get((i, i + 500000)) == 0
 
 
+def test_connected_components_planted_graph(spark):
+    """Known graph: {1-2, 2-3} ∪ {10-11} ∪ isolated 99 → components
+    {1,2,3}→1, {10,11}→10, {99}→99. Chain forces >1 propagation round."""
+    from datapipelinerepo_spark.operators import graph as G
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], ["id_a", "id_b"]
+    )
+    nodes = spark.createDataFrame([(1,), (2,), (3,), (10,), (11,), (99,)], ["doc_id"])
+    got = {r["doc_id"]: r["comp"] for r in G.dedup_components(nodes, pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 99: 99}
+
+
+def test_connected_components_long_chain(spark):
+    """A 30-node path graph converges to a single component (the
+    worst-case diameter for label propagation)."""
+    from datapipelinerepo_spark.operators import graph as G
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], ["id_a", "id_b"]
+    )
+    comps = G.connected_components(pairs)
+    assert comps.select("comp").distinct().count() == 1
+    assert comps.agg(F.min("comp")).first()[0] == 0
+
+
 def test_multimodal_features_deterministic(spark, docs):
     media = M.documents_as_media(docs.limit(20))
     f1 = {r["media_id"]: (r["payload_sha"], tuple(r["features"])) for r in M.extract_features(media).collect()}
