@@ -84,6 +84,47 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def tf_idf(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tfidf: float = 0.0,
+) -> DataFrame:
+    """TF-IDF per (doc, term): tf = term count in doc, idf = ln(N/df).
+    Output: (id, term, tf, df, tfidf_r6) — tfidf rounded to 6dp so the
+    score is stable across engines' ln implementations.
+
+    Plan shape: one explode + two aggregations, both shuffling on the
+    term (small strings), never the document; N is a broadcast scalar.
+    At 100 TB the df table is |vocab|-sized — orders smaller than the
+    corpus — and tf⋈idf broadcasts it."""
+    toks = F.split(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "), " ")
+    flat = df.select(F.col(id_col), F.explode(toks).alias("term")).filter(
+        F.col("term") != ""
+    )
+    tf = flat.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.agg(F.count_distinct(F.col(id_col)).alias("_n"))
+    out = (
+        tf.join(F.broadcast(dfreq), on="term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col(id_col),
+            "term",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf")
+                * F.log(F.col("_n").cast("double") / F.col("df").cast("double")),
+                6,
+            ).alias("tfidf_r6"),
+        )
+    )
+    if min_tfidf > 0:
+        out = out.filter(F.col("tfidf_r6") >= min_tfidf)
+    return out
+
+
 POLY_MOD = 2_147_483_647  # 2^31-1 (Mersenne prime)
 POLY_BASE = 257
 

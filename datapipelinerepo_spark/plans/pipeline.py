@@ -211,23 +211,41 @@ class Pipeline:
         key = self.secrets.get(src.table_name)
         return {src.table_name: key} if key is not None else {}
 
-    def run(self) -> PipelineReport:
+    def _run_one(self, src: DataSource, report: PipelineReport) -> None:
+        manual = src.name in self.manual
+        ctx = SourceContext(
+            spark=self.spark,
+            store=self.store,
+            clock=self.clock,
+            secrets=self._secret_for(src),
+            manual=manual,
+        )
+        try:
+            gated = True if manual else src.schedule(ctx)
+            report.scheduled[src.name] = gated
+            if gated:
+                df = src.extract(ctx)
+                report.loaded_rows[src.name] = src.load(ctx, df)
+        except Exception as e:  # O6: isolate per-source failures
+            report.errors[src.name] = f"{type(e).__name__}: {e}"
+
+    def run(self, max_workers: int = 1) -> PipelineReport:
+        """Sequential by default (the reference's order-dependent
+        semantics — dependents list after their upstream, O5). With
+        ``max_workers > 1``, independent sources run concurrently:
+        Spark schedules jobs from multiple driver threads fairly, so
+        small per-source queries (gates, loads) overlap instead of
+        serializing on the driver. Only safe when no source reads a
+        table another source in the same run writes."""
         report = PipelineReport()
-        for src in self.sources:
-            manual = src.name in self.manual
-            ctx = SourceContext(
-                spark=self.spark,
-                store=self.store,
-                clock=self.clock,
-                secrets=self._secret_for(src),
-                manual=manual,
-            )
-            try:
-                gated = True if manual else src.schedule(ctx)
-                report.scheduled[src.name] = gated
-                if gated:
-                    df = src.extract(ctx)
-                    report.loaded_rows[src.name] = src.load(ctx, df)
-            except Exception as e:  # O6: isolate per-source failures
-                report.errors[src.name] = f"{type(e).__name__}: {e}"
+        if max_workers <= 1:
+            for src in self.sources:
+                self._run_one(src, report)
+            return report
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=max_workers) as pool:
+            futures = [pool.submit(self._run_one, s, report) for s in self.sources]
+            for f in futures:
+                f.result()
         return report

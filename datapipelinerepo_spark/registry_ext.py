@@ -475,6 +475,38 @@ def dedup_connected_components(spark, sf_dir):
 
 
 @register(
+    "text_tfidf",
+    sql=r"""
+    WITH s AS (
+      SELECT doc_id,
+             string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS toks
+      FROM documents WHERE doc_id % 20 = 0
+    ),
+    flat AS (
+      SELECT doc_id, unnest(toks) AS term FROM s
+    ),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM flat
+      WHERE term <> '' GROUP BY 1, 2
+    ),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM s)
+    SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+           round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / CAST(dfreq.df AS DOUBLE)), 6)
+             AS tfidf_r6
+    FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    """,
+)
+def text_tfidf(spark, sf_dir):
+    """TF-IDF on a 5% doc sample (full corpus at scale — the sample
+    bounds the oracle): one explode + two term-keyed aggregations;
+    the doc-frequency table broadcasts. ln scores rounded to 6dp for
+    cross-engine stability."""
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 20 == 0)
+    return T.tf_idf(d)
+
+
+@register(
     "sample_stratified",
     sql="""
     SELECT doc_id, lang FROM documents

@@ -157,6 +157,27 @@ def test_weather_end_to_end_and_idempotent_reload(spark, store):
     assert store.read("daily_weather").count() == 2
 
 
+def test_parallel_run_matches_sequential(spark, store, tmp_path):
+    """O4 extension: independent sources run concurrently from driver
+    threads — same report and same loaded tables as sequential."""
+    clock = FixedClock(MONDAY)
+    weather = _weather_source(["30301", "30302", "30303"], clock)
+    geo_pages = {
+        "geo://ga": "<table><tr><th>h</th></tr>"
+        + "<tr><td>Fulton County</td><td>30301</td></tr>"
+        + "<tr><td>Cobb County</td><td>30302</td></tr></table>"
+    }
+    geo = GeoSource(["ga"], make_dict_fetcher(geo_pages))
+    r = Pipeline(
+        [weather, geo], spark=spark, store=store, clock=clock, manual=["geo"]
+    ).run(max_workers=2)
+    assert not r.errors
+    assert r.loaded_rows["weather"] == 3
+    assert r.loaded_rows["geo"] == 2
+    assert store.read("daily_weather").count() == 3
+    assert store.read("us_zips_counties").count() == 2
+
+
 def test_weather_quota_blocks(spark, store):
     clock = FixedClock(MONDAY)
     zips = ["1", "2", "3"]
