@@ -683,6 +683,30 @@ def a8_rollup(spark, sf_dir):
 
 
 @register(
+    "a11_cube",
+    sql="""
+    SELECT coalesce(l_returnflag, 'ALL') AS rflag,
+           coalesce(l_linestatus, 'ALL') AS lstatus,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def a11_cube(spark, sf_dir):
+    """CUBE grouping sets: all 2^k margin combinations in one pass (one
+    grouping-set shuffle, not k separate aggregations)."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("rflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("lstatus"),
+            "n",
+        )
+    )
+
+
+@register(
     "sample_deterministic",
     sql="""
     SELECT o_orderkey, o_custkey FROM orders
