@@ -138,6 +138,29 @@ class TableStore:
         )
         self._touch_meta(name)
 
+    def upsert(self, df: DataFrame, name: str, key: str | list[str]) -> None:
+        """Keyed merge (MERGE/upsert): incoming rows replace existing
+        rows with the same key; all other existing rows survive. The
+        generalization of the reference's delete-then-append (S10) from
+        a date slice to arbitrary keys. Plain parquet has no MERGE, so
+        this is anti-join + union + overwrite — on a lakehouse format
+        the same call maps to a real MERGE and touches only matching
+        files. The incoming batch is deduplicated on the key (last
+        writer wins within a batch is not defined — dropDuplicates
+        keeps one) before replacing."""
+        keys = [key] if isinstance(key, str) else list(key)
+        incoming = df.dropDuplicates(keys)
+        if self.exists(name):
+            survivors = self.read(name).join(
+                incoming.select(*keys), on=keys, how="left_anti"
+            )
+            merged = survivors.unionByName(incoming, allowMissingColumns=True)
+        else:
+            merged = incoming
+        # materialize before overwriting the directory being read
+        merged = merged.localCheckpoint()
+        self.overwrite(merged, name)
+
     def drop(self, name: str) -> None:
         shutil.rmtree(self._dir(name), ignore_errors=True)
         try:

@@ -683,6 +683,40 @@ def a8_rollup(spark, sf_dir):
 
 
 @register(
+    "q14_promo_share",
+    sql="""
+    SELECT round(
+             CAST(SUM(CASE WHEN p_type = 'PROMO'
+                      THEN CAST(l_extendedprice AS DECIMAL(18,4)) *
+                           (1 - CAST(l_discount AS DECIMAL(18,4)))
+                      ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                        (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+             * 100, 6) AS promo_share_pct
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    """,
+)
+def q14_promo_share(spark, sf_dir):
+    """TPC-H-Q14-shaped conditional aggregation: promo revenue share.
+    One broadcast join (part is the dim) + a single two-branch agg —
+    the CASE runs inside the partial aggregate, so no second pass."""
+    li = t(spark, sf_dir, "lineitem").select("l_partkey", "l_extendedprice", "l_discount")
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice").cast("decimal(18,4)") * (
+        F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)")
+    )
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast("decimal(18,4)"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                F.sum(promo).cast("double") / F.sum(rev).cast("double") * 100, 6
+            ).alias("promo_share_pct")
+        )
+    )
+
+
+@register(
     "a11_cube",
     sql="""
     SELECT coalesce(l_returnflag, 'ALL') AS rflag,

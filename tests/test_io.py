@@ -64,6 +64,21 @@ def test_catalog_probes(spark, tmp_path):
     assert store.max_value("t", "id") == 1
 
 
+def test_upsert_replaces_by_key(spark, tmp_path):
+    store = TableStore(spark, str(tmp_path))
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], ["id", "val"]
+    )
+    store.upsert(base, "t", "id")
+    delta = spark.createDataFrame([(2, "B2"), (4, "d")], ["id", "val"])
+    store.upsert(delta, "t", "id")
+    got = {r["id"]: r["val"] for r in store.read("t").collect()}
+    assert got == {1: "a", 2: "B2", 3: "c", 4: "d"}
+    # idempotent: re-applying the same delta changes nothing
+    store.upsert(delta, "t", "id")
+    assert {r["id"]: r["val"] for r in store.read("t").collect()} == got
+
+
 def test_events_ns_timestamp_read(spark, sf_dir):
     from datapipelinerepo_spark.io import load_table
 
