@@ -475,6 +475,81 @@ def dedup_connected_components(spark, sf_dir):
 
 
 @register(
+    "dedup_levenshtein_pairs",
+    sql="""
+    WITH s AS (
+      SELECT doc_id, substr(text, 1, 80) AS head FROM documents
+      WHERE doc_id % 25 = 0
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           levenshtein(a.head, b.head) AS edit_dist
+    FROM s a JOIN s b ON a.doc_id < b.doc_id
+    WHERE levenshtein(a.head, b.head) <= 40
+    """,
+)
+def dedup_levenshtein_pairs(spark, sf_dir):
+    """Edit-distance near-dup pairs over document heads (4% sample,
+    80-char prefix — O(len^2) per pair makes full-text Levenshtein a
+    verification tool, not a scale path; at scale it re-ranks MinHash
+    candidates the same way jaccard_pairs does)."""
+    s = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 25 == 0)
+        .select("doc_id", F.substring("text", 1, 80).alias("head"))
+    )
+    a = s.select(F.col("doc_id").alias("id_a"), F.col("head").alias("_ha"))
+    b = s.select(F.col("doc_id").alias("id_b"), F.col("head").alias("_hb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("edit_dist", F.levenshtein("_ha", "_hb"))
+        .filter(F.col("edit_dist") <= 40)
+        .select("id_a", "id_b", "edit_dist")
+    )
+
+
+@register(
+    "embedding_norm_stats",
+    sql="""
+    WITH n AS (
+      SELECT vec_id, label,
+             round(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 4)
+               AS l2
+      FROM embeddings
+    )
+    SELECT label, COUNT(*) AS n_vecs,
+           round(MIN(l2), 4) AS min_l2,
+           round(MAX(l2), 4) AS max_l2
+    FROM n GROUP BY label
+    """,
+)
+def embedding_norm_stats(spark, sf_dir):
+    """Per-label L2-norm profile of the embedding column — the sanity
+    scan run before similarity search (catches unnormalized or
+    degenerate vectors); single pass, array arithmetic JVM-side."""
+    emb = t(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    l2 = F.round(
+        F.sqrt(
+            F.aggregate(
+                F.zip_with(v, v, lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ),
+        4,
+    )
+    return (
+        emb.select("label", l2.alias("_l2"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.min("_l2"), 4).alias("min_l2"),
+            F.round(F.max("_l2"), 4).alias("max_l2"),
+        )
+    )
+
+
+@register(
     "text_tfidf",
     sql=r"""
     WITH s AS (
