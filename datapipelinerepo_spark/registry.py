@@ -683,6 +683,31 @@ def a8_rollup(spark, sf_dir):
 
 
 @register(
+    "events_value_histogram",
+    sql="""
+    SELECT CAST(floor(value / 50) AS BIGINT) AS bin,
+           COUNT(*) AS n,
+           round(CAST(MIN(value) AS DECIMAL(18,4)), 4) AS bin_min,
+           round(CAST(MAX(value) AS DECIMAL(18,4)), 4) AS bin_max
+    FROM events GROUP BY 1
+    """,
+)
+def events_value_histogram(spark, sf_dir):
+    """Fixed-width histogram of the value column (bin = floor(v/50)) —
+    the distribution profile that sizes quality thresholds; one
+    partial+final agg, bins as keys."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.floor(F.col("value") / 50).cast("long").alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("value").cast("decimal(18,4)"), 4).alias("bin_min"),
+            F.round(F.max("value").cast("decimal(18,4)"), 4).alias("bin_max"),
+        )
+    )
+
+
+@register(
     "q14_promo_share",
     sql="""
     SELECT round(

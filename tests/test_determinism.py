@@ -1,0 +1,39 @@
+"""Partitioning-determinism tests: the engine's claim (SCALE.md) is
+that results are IDENTICAL under different shuffle layouts — the
+property that makes 1000-executor runs reproducible and oracle hashes
+stable. Exercised by re-running representative queries under different
+spark.sql.shuffle.partitions settings and comparing full result sets."""
+
+from __future__ import annotations
+
+import pytest
+
+from datapipelinerepo_spark.registry import REGISTRY
+import datapipelinerepo_spark.registry_ext  # noqa: F401
+
+QUERIES = [
+    "q1_pricing_summary",       # decimal-sum aggregates
+    "flagship_coverage_gap",    # join + count-distinct
+    "a7_percentiles",           # exact percentiles
+    "q10_returned_items",       # top-k with ORDER BY ties
+    "data_mix_report",          # broadcast scalar share
+    "text_rolling_fingerprint", # integer rolling hash
+]
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.mark.parametrize("name", QUERIES)
+def test_result_identical_across_partitionings(spark, sf_dir, name):
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    fn = REGISTRY[name].fn
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        r3 = _rows(fn(spark, sf_dir))
+        spark.conf.set("spark.sql.shuffle.partitions", "13")
+        r13 = _rows(fn(spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert r3 == r13
