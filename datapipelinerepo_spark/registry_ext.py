@@ -475,6 +475,43 @@ def dedup_connected_components(spark, sf_dir):
 
 
 @register(
+    "text_minmax_by_lang",
+    sql="""
+    SELECT doc_id, lang,
+           round(CAST(n_chars - MIN(n_chars) OVER w AS DOUBLE) /
+                 greatest(MAX(n_chars) OVER w - MIN(n_chars) OVER w, 1), 6)
+             AS len_scaled
+    FROM documents WINDOW w AS (PARTITION BY lang)
+    """,
+)
+def text_minmax_by_lang(spark, sf_dir):
+    """Grouped pandas transform (UD3, SURVEY.md §2.9): per-language
+    min-max scaling of doc length via groupBy().applyInPandas — the
+    Arrow-batched shape a custom per-group normalizer plugs into. The
+    oracle computes the same scaling with SQL window min/max, proving
+    the pandas path agrees exactly with the declarative one (min-max
+    arithmetic is exact on ints, so no float-order drift)."""
+    import pandas as pd
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+
+    def scale(pdf: pd.DataFrame) -> pd.DataFrame:
+        lo, hi = pdf["n_chars"].min(), pdf["n_chars"].max()
+        span = max(hi - lo, 1)
+        return pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "lang": pdf["lang"],
+                "len_scaled": ((pdf["n_chars"] - lo) / span).round(6),
+            }
+        )
+
+    return d.groupBy("lang").applyInPandas(
+        scale, schema="doc_id long, lang string, len_scaled double"
+    )
+
+
+@register(
     "dedup_levenshtein_pairs",
     sql="""
     WITH s AS (
