@@ -25,6 +25,7 @@ import shutil
 import time
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from . import TABLES
 
@@ -151,9 +152,17 @@ class TableStore:
         keys = [key] if isinstance(key, str) else list(key)
         incoming = df.dropDuplicates(keys)
         if self.exists(name):
-            survivors = self.read(name).join(
-                incoming.select(*keys), on=keys, how="left_anti"
+            existing = self.read(name)
+            # null-safe key equality: plain `on=keys` never matches NULL
+            # keys, so a NULL-key row would be appended again every call
+            inc_keys = incoming.select(
+                *[F.col(k).alias(f"_ik_{k}") for k in keys]
             )
+            cond = None
+            for k in keys:
+                c = F.col(k).eqNullSafe(F.col(f"_ik_{k}"))
+                cond = c if cond is None else (cond & c)
+            survivors = existing.join(inc_keys, cond, how="left_anti")
             merged = survivors.unionByName(incoming, allowMissingColumns=True)
         else:
             merged = incoming

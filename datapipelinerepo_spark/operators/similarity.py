@@ -98,22 +98,23 @@ def lsh_table_buckets(df: DataFrame, dim: int, n_bits: int, n_tables: int, seed:
     """Multi-table LSH: ``n_tables`` independent hyperplane sets; one
     (table_no, bucket) row per vector per table. Recall compounds as
     1-(1-p)^L while each table's join stays selective — the standard
-    recall/cost dial for ANN at scale (raise L, not the probe radius)."""
-    parts = []
+    recall/cost dial for ANN at scale (raise L, not the probe radius).
+    All L buckets are computed in ONE projection per row (explode of a
+    struct array), not L unioned scans of the input."""
+    v = _as_double(F.col(vec_col))
+    entries = []
     for t_no in range(n_tables):
-        b = lsh_bucket_ids(df, dim, n_bits, seed + 1000 * t_no, id_col, vec_col)
-        parts.append(
-            b.select(
-                F.col(id_col),
-                F.col(vec_col),
-                F.lit(t_no).alias("table_no"),
-                F.col("bucket"),
-            )
+        planes = _hyperplanes(dim, n_bits, seed + 1000 * t_no)
+        bucket = F.lit(0).cast("long")
+        for i, p in enumerate(planes):
+            proj = _dot(v, F.array(*[F.lit(x) for x in p]))
+            bucket = bucket + F.when(proj > 0, F.lit(2**i).cast("long")).otherwise(0)
+        entries.append(
+            F.struct(F.lit(t_no).alias("table_no"), bucket.alias("bucket"))
         )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    return df.select(
+        F.col(id_col), F.col(vec_col), F.explode(F.array(*entries)).alias("_tb")
+    ).select(id_col, vec_col, F.col("_tb.table_no"), F.col("_tb.bucket"))
 
 
 def cosine_topk_lsh(
@@ -132,9 +133,13 @@ def cosine_topk_lsh(
     Per-table hit probability p compounds to 1-(1-p)^L — the recall
     dial is L (more tables), not bucket width. The bucket join shuffles
     on (table_no, bucket) — at 100 TB this is the difference between
-    |Q|x|C| and |Q|x|C|xL(1+b)/2^b comparisons; candidates are
-    deduped on (q_id, c_id) before scoring so re-rank work doesn't
-    scale with L."""
+    |Q|x|C| and |Q|x|C|xL(1+b)/2^b comparisons.
+
+    Shuffle payload discipline: only IDs ride the exploded multi-probe
+    join (a query id fans out L*(1+b) ≈ 72 times — replicating the
+    vectors too would multiply the shuffle by the embedding width);
+    candidates dedup on (q_id, c_id), then the two embedding columns
+    join back once per surviving candidate for the exact re-rank."""
     qb = lsh_table_buckets(queries, dim, n_bits, n_tables, seed, id_col, vec_col)
     cb = lsh_table_buckets(corpus, dim, n_bits, n_tables, seed, id_col, vec_col)
     probes = F.array(
@@ -142,30 +147,30 @@ def cosine_topk_lsh(
         *[F.col("bucket").bitwiseXOR(F.lit(2**i).cast("long")) for i in range(n_bits)],
     )
     q_probed = qb.withColumn("probe", F.explode(probes)).select(
-        F.col(id_col).alias("q_id"), F.col(vec_col).alias("_qe"), "table_no", "probe"
+        F.col(id_col).alias("q_id"), "table_no", "probe"
     )
     c_side = cb.select(
-        F.col(id_col).alias("c_id"),
-        F.col(vec_col).alias("_ce"),
-        "table_no",
-        F.col("bucket").alias("probe"),
+        F.col(id_col).alias("c_id"), "table_no", F.col("bucket").alias("probe")
     )
     cand_ids = (
         q_probed.join(c_side, on=["table_no", "probe"])
         .filter(F.col("q_id") != F.col("c_id"))
         .dropDuplicates(["q_id", "c_id"])
     )
-    qn = with_norm(cand_ids.withColumnRenamed("_qe", "embedding")).select(
-        "q_id",
-        "c_id",
-        F.col("_vec").alias("_qv"),
-        F.col("_norm").alias("_qn"),
-        F.col("_ce"),
+    qv = with_norm(queries, vec_col).select(
+        F.col(id_col).alias("q_id"), F.col("_vec").alias("_qv"), F.col("_norm").alias("_qn")
     )
-    scored = with_norm(qn.withColumnRenamed("_ce", "embedding")).select(
-        "q_id",
-        "c_id",
-        (_dot(F.col("_qv"), F.col("_vec")) / (F.col("_qn") * F.col("_norm"))).alias("sim"),
+    cv = with_norm(corpus, vec_col).select(
+        F.col(id_col).alias("c_id"), F.col("_vec").alias("_cv"), F.col("_norm").alias("_cn")
+    )
+    scored = (
+        cand_ids.join(F.broadcast(qv), on="q_id")
+        .join(cv, on="c_id")
+        .select(
+            "q_id",
+            "c_id",
+            (_dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn"))).alias("sim"),
+        )
     )
     w = Window.partitionBy("q_id").orderBy(F.round("sim", 4).desc(), F.col("c_id").asc())
     return (
@@ -224,6 +229,9 @@ def cosine_topk_ivf(
     corpus. Output: (q_id, c_id, rank, sim_r4), same contract as the
     brute-force baseline."""
     cents = _normalized_centroids(corpus, n_centroids, dim, id_col, vec_col)
+    # a corpus smaller than n_centroids yields fewer cells; clamp the
+    # probe count or element_at(-n_probe) throws on the short sim array
+    n_probe = min(n_probe, len(cents))
     c_sims = _cell_sims(F.col(vec_col), cents)
     c_side = corpus.select(
         F.col(id_col).alias("c_id"),

@@ -22,12 +22,14 @@ def key_skew_profile(df: DataFrame, key: str, top_n: int = 10) -> DataFrame:
     """Diagnosis: per-key row counts for the heaviest keys plus their
     share of the table — the number that says whether the biggest key
     overflows one reducer's share (count_max / (total/shuffle_parts)).
-    """
-    total = df.count()
+    One scan: the total is the sum over the (tiny) aggregated per-key
+    table, broadcast back — not a second pass over the input."""
+    per_key = df.groupBy(key).agg(F.count(F.lit(1)).alias("n_rows"))
+    total = per_key.agg(F.sum("n_rows").alias("_total"))
     return (
-        df.groupBy(key)
-        .agg(F.count(F.lit(1)).alias("n_rows"))
-        .withColumn("share", F.round(F.col("n_rows") / F.lit(total), 6))
+        per_key.crossJoin(F.broadcast(total))
+        .withColumn("share", F.round(F.col("n_rows") / F.col("_total"), 6))
+        .drop("_total")
         .orderBy(F.col("n_rows").desc(), F.col(key).asc())
         .limit(top_n)
     )
@@ -48,7 +50,14 @@ def salted_join(
     key now occupies ``salt_buckets`` shuffle partitions instead of one.
 
     Join columns are restored to the caller's names; the salt never
-    escapes."""
+    escapes. Only inner/left joins are valid: in a right or full join
+    the replicated dim side's unmatched copies would each surface as a
+    spurious null-padded row."""
+    if how.replace("_", "").lower() not in {"inner", "left", "leftouter"}:
+        raise ValueError(
+            f"salted_join supports how='inner'|'left' (got {how!r}); "
+            "right/full joins would emit one row per unmatched dim replica"
+        )
     fact_salted = fact.withColumn(
         "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in fact.columns]), F.lit(salt_buckets))
     )

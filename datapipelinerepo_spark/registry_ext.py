@@ -491,6 +491,7 @@ def text_minmax_by_lang(spark, sf_dir):
     oracle computes the same scaling with SQL window min/max, proving
     the pandas path agrees exactly with the declarative one (min-max
     arithmetic is exact on ints, so no float-order drift)."""
+    import numpy as np
     import pandas as pd
 
     d = t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
@@ -498,11 +499,16 @@ def text_minmax_by_lang(spark, sf_dir):
     def scale(pdf: pd.DataFrame) -> pd.DataFrame:
         lo, hi = pdf["n_chars"].min(), pdf["n_chars"].max()
         span = max(hi - lo, 1)
+        x = (pdf["n_chars"] - lo) / span
+        # round half AWAY from zero (values are >= 0) to match SQL
+        # round(); pandas .round is half-to-even and diverges whenever
+        # the 7th decimal digit is exactly 5 (reachable: power-of-two
+        # spans make the quotient binary-exact)
         return pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"],
                 "lang": pdf["lang"],
-                "len_scaled": ((pdf["n_chars"] - lo) / span).round(6),
+                "len_scaled": np.floor(x * 1e6 + 0.5) / 1e6,
             }
         )
 

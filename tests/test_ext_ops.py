@@ -57,6 +57,14 @@ def test_ann_ivf_finds_planted_duplicates(spark, emb):
         assert cid == qid + 800000 and sim == pytest.approx(1.0)
 
 
+def test_ann_ivf_tiny_corpus_does_not_crash(spark, emb):
+    """Corpus smaller than n_probe: the probe count clamps to the cell
+    count instead of indexing past the sim array."""
+    tiny = emb.filter(F.col("vec_id") < 3)
+    got = SIM.cosine_topk_ivf(tiny, tiny, dim=64, k=2)
+    assert got.count() == 6  # 3 queries x 2 neighbors
+
+
 def test_ann_ivf_probes_bound_work(spark, emb):
     """Every query probes exactly n_probe cells (the cost contract)."""
     from datapipelinerepo_spark.operators.similarity import (

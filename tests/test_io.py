@@ -79,6 +79,22 @@ def test_upsert_replaces_by_key(spark, tmp_path):
     assert {r["id"]: r["val"] for r in store.read("t").collect()} == got
 
 
+def test_upsert_null_keys_replace_not_accumulate(spark, tmp_path):
+    """NULL keys must merge null-safely: a NULL-key row is REPLACED on
+    re-upsert, not appended again (plain key equality never matches
+    NULL, which would grow the table every call)."""
+    store = TableStore(spark, str(tmp_path))
+    batch = spark.createDataFrame([(None, "n1"), (1, "a")], "id int, val string")
+    store.upsert(batch, "t", "id")
+    store.upsert(batch, "t", "id")
+    store.upsert(
+        spark.createDataFrame([(None, "n2")], "id int, val string"), "t", "id"
+    )
+    rows = {(r["id"], r["val"]) for r in store.read("t").collect()}
+    assert rows == {(None, "n2"), (1, "a")}
+    assert store.read("t").count() == 2
+
+
 def test_events_ns_timestamp_read(spark, sf_dir):
     from datapipelinerepo_spark.io import load_table
 

@@ -54,6 +54,22 @@ def test_salted_count_matches_direct(spark, skewed):
     assert direct == salted
 
 
+def test_salted_join_rejects_outer_joins(spark, skewed, dim):
+    """Right/full joins would emit one null-padded row per unmatched
+    dim replica — the operator must refuse rather than corrupt."""
+    with pytest.raises(ValueError, match="inner"):
+        K.salted_join(skewed, dim, key="k", how="full")
+    with pytest.raises(ValueError):
+        K.salted_join(skewed, dim, key="k", how="right")
+
+
+def test_salted_left_join_keeps_unmatched_fact(spark, skewed):
+    dim_partial = spark.createDataFrame([("hot", "HOT")], ["k", "label"])
+    out = K.salted_join(skewed, dim_partial, key="k", how="left")
+    assert out.count() == 1000  # every fact row exactly once
+    assert out.filter(F.col("label").isNull()).count() == 100  # cold keys
+
+
 def test_key_skew_profile_flags_hot_key(spark, skewed):
     prof = K.key_skew_profile(skewed, "k", top_n=3).collect()
     assert prof[0]["k"] == "hot" and prof[0]["n_rows"] == 900
