@@ -683,6 +683,52 @@ def a8_rollup(spark, sf_dir):
 
 
 @register(
+    "events_asof_join",
+    sql="""
+    WITH purchases AS (
+      SELECT user_id, ts, MAX(value) AS pvalue
+      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+    ), clicks AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    )
+    SELECT c.event_id, c.user_id,
+           strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+           p.pvalue AS last_purchase_value
+    FROM clicks c ASOF LEFT JOIN purchases p
+      ON c.user_id = p.user_id AND c.ts >= p.ts
+    """,
+)
+def events_asof_join(spark, sf_dir):
+    """As-of join: each click annotated with the user's most recent
+    prior purchase value — checked against DuckDB's native ASOF JOIN.
+    The operator (operators/asof.py) is a union + ordered window, not an
+    inequality join: one shuffle on the key, linear in hot keys. The
+    right side pre-aggregates to (user, ts) so equal-timestamp ties
+    cannot make the match ambiguous in either engine."""
+    from .operators.asof import asof_join
+
+    e = t(spark, sf_dir, "events")
+    purchases = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("pvalue"))
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    joined = asof_join(
+        clicks, purchases, key="user_id", left_ts="ts", right_ts="ts",
+        value_cols=["pvalue"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+        F.col("pvalue").alias("last_purchase_value"),
+    )
+
+
+@register(
     "events_value_histogram",
     sql="""
     SELECT CAST(floor(value / 50) AS BIGINT) AS bin,

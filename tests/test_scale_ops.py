@@ -108,6 +108,37 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path_factory):
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
 
 
+def test_asof_join_semantics(spark):
+    """Equal timestamps match (>=), missing priors yield NULL, and the
+    newest prior row wins."""
+    from datapipelinerepo_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "k", 10), (2, "k", 20), (3, "k", 5), (4, "other", 10)],
+        ["lid", "k", "ts"],
+    )
+    right = spark.createDataFrame(
+        [("k", 10, 1.0), ("k", 15, 2.0)], ["k", "ts", "v"]
+    )
+    got = {
+        r["lid"]: r["v"]
+        for r in asof_join(left, right, key="k", left_ts="ts", right_ts="ts").collect()
+    }
+    assert got == {1: 1.0, 2: 2.0, 3: None, 4: None}
+
+
+def test_headline_plans_have_no_sort_merge_join(spark, sf_dir):
+    """Regression guard: every headline join query broadcasts its dim
+    side — a SortMergeJoin appearing here means a broadcast was lost
+    (statistics regression or an accidentally-huge build side)."""
+    from datapipelinerepo_spark.registry import REGISTRY
+
+    for name in ["flagship_coverage_gap", "q3_top_revenue", "q5_region_volume",
+                 "q10_returned_items", "q7_bilateral_volume", "q14_promo_share"]:
+        plan = REGISTRY[name].fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" not in plan, f"{name} lost its broadcast join"
+
+
 def test_query_passthrough(spark, sf_dir):
     register_views(spark, sf_dir)
     q = Query(spark, "SELECT COUNT(*) AS n FROM nation")
