@@ -1,0 +1,55 @@
+"""Range (point-in-interval) join — the second temporal operator Spark
+lacks a shuffle-based strategy for (an inequality-only join falls back
+to BroadcastNestedLoopJoin: every point against every interval).
+
+Strategy: equi-binned prefilter. Intervals explode into the fixed-width
+time bins they cover; points compute their single bin; the join becomes
+an EQUI-join on (key, bin) that Spark shuffles/broadcasts like any
+other, and the exact BETWEEN predicate then prunes the bin's false
+positives. Cost: |intervals| × (span/bin_width) exploded rows instead
+of |points| × |intervals| comparisons — pick bin_width near the typical
+interval span so each interval lands in 1-2 bins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def interval_join_binned(
+    points: DataFrame,
+    intervals: DataFrame,
+    key: str,
+    point_ts: str,
+    start_ts: str,
+    end_ts: str,
+    bin_width_s: int = 3600,
+) -> DataFrame:
+    """Inner join of points to the intervals containing them
+    (``start_ts <= point_ts <= end_ts``, same ``key``), returning all
+    columns of both inputs. Intervals must be distinct rows; a point
+    matching an interval whose span crosses bins is deduplicated via
+    the interval's (key, start) identity."""
+    w = F.lit(int(bin_width_s)).cast("long")
+    i_binned = intervals.withColumn(
+        "_bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(start_ts).cast("long") / w).cast("long"),
+                F.floor(F.col(end_ts).cast("long") / w).cast("long"),
+            )
+        ),
+    )
+    p_binned = points.withColumn(
+        "_bin", F.floor(F.col(point_ts).cast("long") / w).cast("long")
+    )
+    exact = (F.col(point_ts) >= F.col(start_ts)) & (
+        F.col(point_ts) <= F.col(end_ts)
+    )
+    return (
+        p_binned.join(i_binned, on=[key, "_bin"])
+        .filter(exact)
+        .drop("_bin")
+        .dropDuplicates([*points.columns, start_ts])
+    )

@@ -729,6 +729,51 @@ def events_asof_join(spark, sf_dir):
 
 
 @register(
+    "events_range_join",
+    sql="""
+    WITH p AS (
+      SELECT user_id, ts AS pts FROM events
+      WHERE event_type = 'purchase' GROUP BY 1, 2
+    ), c AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    )
+    SELECT c.event_id, c.user_id,
+           strftime(p.pts, '%Y-%m-%d %H:%M:%S') AS purchase_ts
+    FROM c JOIN p
+      ON c.user_id = p.user_id
+     AND c.ts BETWEEN p.pts AND p.pts + INTERVAL 1 HOUR
+    """,
+)
+def events_range_join(spark, sf_dir):
+    """Range join: clicks landing within one hour after a purchase by
+    the same user. Runs through the equi-binned interval join
+    (operators/rangejoin.py) — an hour-bin equi-join plus exact BETWEEN
+    prune — while the oracle states the naive inequality join; equal
+    results prove the binning loses nothing at the boundaries."""
+    from .operators.rangejoin import interval_join_binned
+
+    e = t(spark, sf_dir, "events")
+    purchases = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.col("ts").alias("pts"))
+        .agg(F.lit(1).alias("_one"))
+        .select("user_id", "pts", (F.col("pts") + F.expr("INTERVAL 1 HOUR")).alias("_pend"))
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    joined = interval_join_binned(
+        clicks, purchases, key="user_id", point_ts="ts",
+        start_ts="pts", end_ts="_pend", bin_width_s=3600,
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.date_format("pts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+    )
+
+
+@register(
     "events_value_histogram",
     sql="""
     SELECT CAST(floor(value / 50) AS BIGINT) AS bin,
