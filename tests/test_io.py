@@ -95,6 +95,26 @@ def test_upsert_null_keys_replace_not_accumulate(spark, tmp_path):
     assert store.read("t").count() == 2
 
 
+def test_rollup_incremental_equals_recompute(spark, sf_dir, tmp_path):
+    """Continuous-aggregate contract: maintaining the rollup over delta
+    batches produces exactly the full-recompute table, regardless of
+    how the stream was split into batches."""
+    from datapipelinerepo_spark.io import load_table
+    from datapipelinerepo_spark.plans.rollup import rollup_maintain, rollup_recompute
+
+    store = TableStore(spark, str(tmp_path))
+    e = load_table(spark, sf_dir, "events")
+    # split into 3 uneven deltas (overlapping hours across batches)
+    d1 = e.filter(F.col("event_id") % 3 == 0)
+    d2 = e.filter(F.col("event_id") % 3 == 1)
+    d3 = e.filter(F.col("event_id") % 3 == 2)
+    for d in (d1, d2, d3):
+        rollup_maintain(store, d, table="r")
+    got = sorted(tuple(r) for r in store.read("r").collect())
+    want = sorted(tuple(r) for r in rollup_recompute(e).collect())
+    assert got == want
+
+
 def test_events_ns_timestamp_read(spark, sf_dir):
     from datapipelinerepo_spark.io import load_table
 
