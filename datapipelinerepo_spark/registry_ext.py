@@ -475,6 +475,44 @@ def dedup_connected_components(spark, sf_dir):
 
 
 @register(
+    "text_chunking",
+    sql="""
+    WITH s AS (
+      SELECT doc_id, text, length(text) AS n FROM documents WHERE doc_id % 5 = 0
+    ), starts AS (
+      SELECT doc_id, text,
+             unnest(generate_series(1, greatest(n - 50, 1), 150)) AS start
+      FROM s
+    )
+    SELECT doc_id, CAST((start - 1) / 150 AS BIGINT) AS chunk_no,
+           length(substr(text, start, 200)) AS chunk_len,
+           md5(substr(text, start, 200)) AS chunk_md5
+    FROM starts
+    """,
+)
+def text_chunking(spark, sf_dir):
+    """Training-data chunking: fixed 200-char windows with 50-char
+    overlap (stride 150), emitted as (doc, chunk_no, len, digest) —
+    the split step before tokenization. Map-only explode: each doc
+    yields ceil((len-50)/150) chunks inside the scan stage; only
+    digests leave the stage, never the chunk text."""
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.length("text") - 50, F.lit(1)), F.lit(150)
+    )
+    chunk = F.substring(F.col("text"), F.col("start"), F.lit(200))
+    return (
+        d.select("doc_id", "text", F.explode(starts).alias("start"))
+        .select(
+            "doc_id",
+            ((F.col("start") - 1) / 150).cast("long").alias("chunk_no"),
+            F.length(chunk).alias("chunk_len"),
+            F.md5(chunk).alias("chunk_md5"),
+        )
+    )
+
+
+@register(
     "text_minmax_by_lang",
     sql="""
     SELECT doc_id, lang,
