@@ -132,14 +132,21 @@ def minhash_signatures(
     Computed with array expressions (array_min over a transform) —
     map-only, zero shuffle: at 100 TB the signature stage is pure
     scan-side work that AQE never has to re-plan. (The alternative
-    explode → 32-agg groupBy shuffles |docs|x|shingles| rows.)"""
-    sig_cols = [
-        F.array_min(
-            F.transform("_shingles", lambda s, i=i: F.xxhash64(s, F.lit(seed + i)))
+    explode → 32-agg groupBy shuffles |docs|x|shingles| rows.)
+
+    The per-seed lambda MUST take exactly one parameter: pyspark's
+    ``transform`` treats a two-arg lambda as (element, index), so the
+    once-used ``lambda s, i=i:`` idiom silently shadowed the seed with
+    the array index — every "independent" hash became the same
+    position-dependent function and near-dups with shifted minima were
+    missed. Seeds are bound via a closure factory instead."""
+
+    def _sig(i: int):
+        return F.array_min(
+            F.transform("_shingles", lambda s: F.xxhash64(s, F.lit(seed + i)))
         ).alias(f"h{i}")
-        for i in range(num_hashes)
-    ]
-    return shingled.select("_id", *sig_cols)
+
+    return shingled.select("_id", *[_sig(i) for i in range(num_hashes)])
 
 
 def minhash_lsh_pairs(

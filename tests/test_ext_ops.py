@@ -110,22 +110,22 @@ def test_exact_dedup_keeps_one_per_text(spark, docs):
 def test_minhash_finds_planted_near_dups(spark, docs):
     """Plant near-duplicates (append one word) → MinHash+LSH reports
     them above threshold."""
-    planted = docs.limit(5).withColumn("doc_id", F.col("doc_id") + 1000000).withColumn(
+    planted = docs.filter(F.col("doc_id") < 5).withColumn("doc_id", F.col("doc_id") + 1000000).withColumn(
         "text", F.concat(F.col("text"), F.lit(" extra"))
     )
     pairs = D.minhash_lsh_pairs(docs.union(planted), threshold=0.5)
     found = {
         (r["id_a"], r["id_b"]) for r in pairs.collect()
     }
-    for i in [r["doc_id"] for r in docs.limit(5).collect()]:
+    for i in [r["doc_id"] for r in docs.filter(F.col("doc_id") < 5).collect()]:
         assert (i, i + 1000000) in found, f"planted near-dup of {i} missed"
 
 
 def test_simhash_identical_distance_zero(spark, docs):
-    dup = docs.limit(3).withColumn("doc_id", F.col("doc_id") + 500000)
-    pairs = D.simhash_pairs(docs.limit(3).union(dup), max_hamming=0)
+    dup = docs.filter(F.col("doc_id") < 3).withColumn("doc_id", F.col("doc_id") + 500000)
+    pairs = D.simhash_pairs(docs.filter(F.col("doc_id") < 3).union(dup), max_hamming=0)
     got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs.collect()}
-    for i in [r["doc_id"] for r in docs.limit(3).collect()]:
+    for i in [r["doc_id"] for r in docs.filter(F.col("doc_id") < 3).collect()]:
         assert got.get((i, i + 500000)) == 0
 
 
@@ -156,7 +156,7 @@ def test_connected_components_long_chain(spark):
 
 
 def test_multimodal_features_deterministic(spark, docs):
-    media = M.documents_as_media(docs.limit(20))
+    media = M.documents_as_media(docs.filter(F.col("doc_id") < 20))
     f1 = {r["media_id"]: (r["payload_sha"], tuple(r["features"])) for r in M.extract_features(media).collect()}
     f2 = {r["media_id"]: (r["payload_sha"], tuple(r["features"])) for r in M.extract_features(media).collect()}
     assert f1 == f2  # same bytes → same features, independent of partitioning
@@ -190,7 +190,7 @@ def test_rolling_fingerprint_shift_invariance(spark, docs):
     sampling lacks and the reason to use the rolling hash."""
     from datapipelinerepo_spark.operators.text import rolling_fingerprints
 
-    base = docs.limit(5)
+    base = docs.filter(F.col("doc_id") < 5)
     shifted = base.withColumn(
         "text", F.concat(F.lit("PREFIX INSERTED AT START "), F.col("text"))
     ).withColumn("doc_id", F.col("doc_id") + 700000)
