@@ -125,6 +125,76 @@ def tf_idf(
     return out
 
 
+# PII patterns — portable across Java regex (Spark) and RE2 (DuckDB):
+# no backrefs, no lookaround, explicit character classes only.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b[0-9]{1,3}(\.[0-9]{1,3}){3}\b"
+NUMRUN_RE = r"[0-9]{3,}"
+
+
+def redact_pii(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """PII redaction pass: emails → <EMAIL>, IPv4 → <IP>, then any
+    remaining 3+-digit run → <NUM>, applied in that order so each count
+    is over the previous stage's output (digits inside an email are not
+    double-counted as a number run). Output: (id, n_redacted, red_md5).
+
+    Pure regexp_replace/regexp_count expressions — whole-stage-codegen'd
+    with the scan; at 100 TB this is a map-only pass and only the digest
+    of the redacted text leaves the stage."""
+    t0 = F.col(text_col)
+    t1 = F.regexp_replace(t0, EMAIL_RE, "<EMAIL>")
+    t2 = F.regexp_replace(t1, IPV4_RE, "<IP>")
+    t3 = F.regexp_replace(t2, NUMRUN_RE, "<NUM>")
+    n = (
+        F.regexp_count(t0, F.lit(EMAIL_RE))
+        + F.regexp_count(t1, F.lit(IPV4_RE))
+        + F.regexp_count(t2, F.lit(NUMRUN_RE))
+    )
+    return df.select(
+        F.col(id_col),
+        n.cast("long").alias("n_redacted"),
+        F.md5(t3).alias("red_md5"),
+    )
+
+
+def boilerplate_ngrams(
+    df: DataFrame,
+    n: int = 5,
+    min_docs: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """C4-style boilerplate / contamination detector: word n-gram
+    phrases appearing in ≥ ``min_docs`` DISTINCT documents. Output:
+    (gram_md5, n_docs) — the blocklist a cleaning pass then joins
+    against (and a train/test contamination probe when ``df`` unions
+    both corpora).
+
+    Plan shape: n-grams are built map-side with array expressions and
+    deduplicated per doc (array_distinct) BEFORE the explode, so the
+    groupBy count is a distinct-doc count without a count_distinct
+    shuffle; partial aggregation collapses common grams map-side, which
+    is what keeps the ultra-frequent boilerplate grams (the skewed keys)
+    from concentrating on one reducer at 100 TB."""
+    toks = F.split(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "), " ")
+    base = df.select(F.col(id_col).alias("_id"), toks.alias("_toks")).filter(
+        F.size("_toks") >= n
+    )
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size("_toks") - (n - 1)),
+            lambda i: F.array_join(F.slice("_toks", i, n), " "),
+        )
+    )
+    return (
+        base.select("_id", F.explode(grams).alias("_gram"))
+        .groupBy("_gram")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select(F.md5("_gram").alias("gram_md5"), "n_docs")
+    )
+
+
 POLY_MOD = 2_147_483_647  # 2^31-1 (Mersenne prime)
 POLY_BASE = 257
 

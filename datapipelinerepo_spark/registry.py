@@ -1404,3 +1404,113 @@ def a9_above_avg(spark, sf_dir):
         .filter(F.col("p_retailprice").cast("decimal(18,4)") * F.col("_n") > F.col("_s"))
         .select("p_partkey", "p_retailprice")
     )
+
+
+@register(
+    "j7_multi_exists",
+    sql="""
+    WITH l1 AS (SELECT l_orderkey, l_suppkey FROM lineitem WHERE l_returnflag = 'R')
+    SELECT l1.l_suppkey, COUNT(*) AS numwait
+    FROM l1
+    WHERE EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY 1
+    """,
+)
+def j7_multi_exists(spark, sf_dir):
+    """TPC-H Q21 shape: EXISTS + NOT EXISTS composed on one fact table —
+    suppliers whose 'R' lineitem is the only 'R' in a multi-supplier
+    order. Spark form: left-semi then left-anti, both equi-keyed on
+    l_orderkey with a suppkey-inequality residual, so each is a plain
+    key shuffle (never a nested-loop); the two probes reuse the same
+    l_orderkey partitioning (exchange reuse), and the final per-supplier
+    count partial-aggregates map-side."""
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_returnflag"
+    )
+    l1 = li.filter(F.col("l_returnflag") == "R").select("l_orderkey", "l_suppkey")
+    l2 = li.select(
+        F.col("l_orderkey").alias("_ok2"), F.col("l_suppkey").alias("_sk2")
+    )
+    l3 = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select(F.col("l_orderkey").alias("_ok3"), F.col("l_suppkey").alias("_sk3"))
+    )
+    waiting = l1.join(
+        l2,
+        (F.col("l_orderkey") == F.col("_ok2")) & (F.col("l_suppkey") != F.col("_sk2")),
+        "left_semi",
+    ).join(
+        l3,
+        (F.col("l_orderkey") == F.col("_ok3")) & (F.col("l_suppkey") != F.col("_sk3")),
+        "left_anti",
+    )
+    return waiting.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("numwait"))
+
+
+@register(
+    "w5_moving_avg",
+    sql="""
+    WITH w AS (
+      SELECT event_id, user_id,
+             SUM(CAST(value AS DECIMAL(18,6))) OVER (PARTITION BY user_id ORDER BY event_id
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS s,
+             COUNT(*) OVER (PARTITION BY user_id ORDER BY event_id
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS n_win
+      FROM events
+    )
+    SELECT event_id, user_id, CAST(s AS DOUBLE) AS mov_sum, n_win,
+           CAST(s AS DOUBLE) / n_win AS mov_avg
+    FROM w
+    """,
+)
+def w5_moving_avg(spark, sf_dir):
+    """Frame-bounded moving aggregate: per-user trailing-7-row sum/avg
+    (ROWS BETWEEN 6 PRECEDING AND CURRENT ROW). Ordered by event_id, not
+    ts: the unique key gives both engines an identical total order (ns
+    vs us timestamp ties would silently change frame contents). The sum
+    runs in DECIMAL (exact, order-insensitive) and only the final
+    cast/divide is floating — double division of identical inputs is
+    IEEE-deterministic, so the result hash-matches with no rounding."""
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id").rowsBetween(-6, 0)
+    s = F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast("double")
+    n = F.count(F.lit(1)).over(w)
+    return e.select(
+        "event_id",
+        "user_id",
+        s.alias("mov_sum"),
+        n.alias("n_win"),
+        (s / n).alias("mov_avg"),
+    )
+
+
+@register(
+    "a10_correlated_max",
+    sql="""
+    SELECT o_custkey, o_orderkey, o_totalprice FROM orders o
+    WHERE o_custkey IS NOT NULL
+      AND o_totalprice = (SELECT MAX(o2.o_totalprice) FROM orders o2
+                          WHERE o2.o_custkey = o.o_custkey)
+    """,
+)
+def a10_correlated_max(spark, sf_dir):
+    """Correlated-max lookup: each customer's priciest order(s). The
+    correlated scalar subquery decorrelates to a per-key window max +
+    equality filter — one shuffle on o_custkey, no join back (the
+    groupBy+self-join alternative shuffles orders twice). Ties all
+    qualify, exactly like the correlated form; comparison only, no float
+    arithmetic. NULL custkeys are excluded on both sides (a correlated
+    equality never matches NULL, a window would group it)."""
+    o = t(spark, sf_dir, "orders").filter(F.col("o_custkey").isNotNull())
+    w = Window.partitionBy("o_custkey")
+    return (
+        o.withColumn("_mx", F.max("o_totalprice").over(w))
+        .filter(F.col("o_totalprice") == F.col("_mx"))
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )

@@ -685,6 +685,67 @@ def sample_stratified(spark, sf_dir):
     return d.filter(h < thr).select("doc_id", "lang")
 
 
+@register(
+    "text_redact_pii",
+    sql=r"""
+    WITH r1 AS (
+      SELECT doc_id, text AS t0,
+             regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                            '<EMAIL>', 'g') AS t1
+      FROM documents
+    ), r2 AS (
+      SELECT doc_id, t0, t1,
+             regexp_replace(t1, '\b[0-9]{1,3}(\.[0-9]{1,3}){3}\b', '<IP>', 'g') AS t2
+      FROM r1
+    ), r3 AS (
+      SELECT doc_id, t0, t1, t2,
+             regexp_replace(t2, '[0-9]{3,}', '<NUM>', 'g') AS t3
+      FROM r2
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+           + len(regexp_extract_all(t1, '\b[0-9]{1,3}(\.[0-9]{1,3}){3}\b'))
+           + len(regexp_extract_all(t2, '[0-9]{3,}')) AS n_redacted,
+           md5(t3) AS red_md5
+    FROM r3
+    """,
+)
+def text_redact_pii(spark, sf_dir):
+    """PII redaction (emails → <EMAIL>, IPv4 → <IP>, digit runs →
+    <NUM>), staged so counts never double-count digits inside an
+    already-redacted span. The synthetic corpus carries no PII, so here
+    every digest equals the identity pass — the planted-PII behavior is
+    asserted in tests/test_ext_ops.py; patterns are RE2/Java-portable so
+    the oracle computes identical redactions."""
+    return T.redact_pii(t(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_boilerplate_ngrams",
+    sql=r"""
+    WITH s AS (
+      SELECT doc_id,
+             string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS toks
+      FROM documents
+    ), g AS (
+      SELECT doc_id, array_to_string(toks[i:i+4], ' ') AS gram
+      FROM s, unnest(generate_series(1, len(toks)-4)) AS t(i)
+      WHERE len(toks) >= 5
+    ), d AS (SELECT DISTINCT doc_id, gram FROM g)
+    SELECT md5(gram) AS gram_md5, COUNT(*) AS n_docs
+    FROM d GROUP BY 1 HAVING COUNT(*) >= 3
+    """,
+)
+def text_boilerplate_ngrams(spark, sf_dir):
+    """C4-style boilerplate phrase detection: 5-gram phrases shared by
+    ≥3 distinct documents (the blocklist a cleaning pass joins against;
+    union train+eval corpora and it doubles as a contamination probe).
+    Per-doc array_distinct BEFORE the explode makes the count a
+    distinct-doc count with a plain (partial-aggregating) groupBy — no
+    count_distinct shuffle, no reducer hot-spot on ultra-common grams."""
+    return T.boilerplate_ngrams(t(spark, sf_dir, "documents"), n=5, min_docs=3)
+
+
 @register("multimodal_extract_features", sql=None)
 def multimodal_extract_features(spark, sf_dir):
     """Arrow-batched mapInPandas feature extraction over binary payloads

@@ -214,3 +214,46 @@ def test_frame_sample_plan(spark):
     frames = M.frame_sample_plan(media, every_ms=1000)
     got = [(r["media_id"], r["frame_ts_ms"]) for r in frames.collect()]
     assert sorted(got) == [(1, 0), (1, 1000), (1, 2000)]  # image yields none
+
+
+def test_redact_pii_planted(spark):
+    """Planted emails/IPs/digit-runs are redacted and counted in stage
+    order (digits inside an email are not double-counted)."""
+    from datapipelinerepo_spark.operators.text import redact_pii
+
+    rows = [
+        (1, "contact user123@example.com or 10.0.0.1 ref 4421"),
+        (2, "clean text with no pii at all"),
+        (3, "a12b no run here, but 123456 yes"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in redact_pii(df).collect()}
+    # doc 1: one email (its digits consumed), one IP, one digit run
+    assert got[1]["n_redacted"] == 3
+    # doc 2: untouched — digest equals the raw md5
+    raw2 = df.filter(F.col("doc_id") == 2).select(F.md5("text")).first()[0]
+    assert got[2]["n_redacted"] == 0 and got[2]["red_md5"] == raw2
+    # doc 3: "a12b" survives (<3 digits), "123456" is one run
+    assert got[3]["n_redacted"] == 1
+
+
+def test_boilerplate_ngrams_planted(spark):
+    """A 5-gram phrase shared by 3 docs is flagged; a phrase repeated
+    many times inside ONE doc is not (distinct-doc counting)."""
+    from datapipelinerepo_spark.operators.text import boilerplate_ngrams
+    import hashlib
+
+    shared = "please subscribe to our newsletter"
+    rows = [
+        (1, f"alpha beta {shared} gamma"),
+        (2, f"{shared} delta epsilon zeta"),
+        (3, f"one two three {shared}"),
+        (4, " ".join(["spam ham eggs bacon toast"] * 6)),  # intra-doc repeats
+        (5, "totally unrelated words in this document here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["gram_md5"]: r["n_docs"] for r in boilerplate_ngrams(df, n=5, min_docs=3).collect()}
+    shared_md5 = hashlib.md5(shared.encode()).hexdigest()
+    assert got.get(shared_md5) == 3, "shared phrase not flagged"
+    intra = hashlib.md5(b"spam ham eggs bacon toast").hexdigest()
+    assert intra not in got, "intra-doc repetition wrongly counted as multi-doc"
