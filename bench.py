@@ -29,9 +29,37 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warm-up: JVM/codegen/parquet-footer caches
-    for t in ("lineitem", "orders", "documents", "embeddings", "events"):
-        load_table(spark, sf_dir, t).write.format("noop").mode("overwrite").save()
+    # warm-up: JVM/codegen/parquet-footer caches. Beyond the raw scans,
+    # exercise the operator classes the timed queries use (hash agg,
+    # shuffle join, window, higher-order array functions) so per-query
+    # numbers reflect steady-state latency, not first-touch JIT of
+    # whole operator families.
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    tabs = {
+        t: load_table(spark, sf_dir, t)
+        for t in ("lineitem", "orders", "documents", "embeddings", "events")
+    }
+    for df in tabs.values():
+        df.write.format("noop").mode("overwrite").save()
+    warm_li = tabs["lineitem"].filter(F.col("l_quantity") > 0)
+    (
+        warm_li.join(tabs["orders"], warm_li.l_orderkey == tabs["orders"].o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(F.sum("l_extendedprice"))
+        .write.format("noop").mode("overwrite").save()
+    )
+    (
+        tabs["events"]
+        .select(F.row_number().over(Window.partitionBy("user_id").orderBy("event_id")))
+        .write.format("noop").mode("overwrite").save()
+    )
+    (
+        tabs["documents"]
+        .select(F.array_min(F.transform(F.split("text", " "), lambda s: F.xxhash64(s))))
+        .write.format("noop").mode("overwrite").save()
+    )
 
     names = [n for n, e in REGISTRY.items() if e.bench]
     times: dict[str, float] = {}

@@ -1330,6 +1330,31 @@ def events_json_props(spark, sf_dir):
 
 
 @register(
+    "events_props_variant",
+    sql="""
+    SELECT event_type, COUNT(*) AS n,
+           SUM(CAST(props->>'k' AS BIGINT)) AS sum_k
+    FROM events GROUP BY event_type
+    """,
+)
+def events_props_variant(spark, sf_dir):
+    """The VARIANT form of events_json_props: props parsed ONCE into
+    Spark 4's binary Variant encoding (try_parse_json), fields read
+    with try_variant_get. Same answer as the per-path get_json_object
+    query — the difference is the scale posture: N path extractions
+    re-parse the JSON string N times, while a Variant parses once and
+    field reads are O(field) binary probes, so at 100 TB wide
+    multi-field extraction shreds instead of re-parsing. Malformed JSON
+    yields NULL (try_*), not a failed job."""
+    e = t(spark, sf_dir, "events")
+    pv = F.try_parse_json("props")
+    return e.select("event_type", pv.alias("_pv")).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.try_variant_get(F.col("_pv"), "$.k", "long")).alias("sum_k"),
+    )
+
+
+@register(
     "q7_bilateral_volume",
     sql="""
     SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,

@@ -1,4 +1,6 @@
 from .ingest import (  # noqa: F401
+    dedup_stream,
+    enrich_stream,
     read_base64_event_stream,
     sessionized_counts_stream,
     stream_to_table,

@@ -95,3 +95,32 @@ def sessionized_counts_stream(
             F.col("n_events"),
         )
     )
+
+
+def enrich_stream(
+    events: DataFrame, dim: DataFrame, on: str, how: str = "left"
+) -> DataFrame:
+    """Stream-static enrichment join: each micro-batch joins against the
+    (broadcast) static dimension — no state store involved, the static
+    side is re-resolved per batch so a refreshed dim table is picked up.
+    This is the streaming twin of J1 (left join USING) and the shape a
+    device/geo lookup takes at ingest time; at scale the dim stays
+    broadcast-sized by construction (it's a reference table)."""
+    return events.join(F.broadcast(dim), on=on, how=how)
+
+
+def dedup_stream(
+    events: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Exact dedup at ingest: drop re-deliveries of the same logical
+    event (same ``keys``) arriving within the watermark horizon —
+    ``dropDuplicatesWithinWatermark`` keeps the state store bounded
+    (plain dropDuplicates on a stream retains ALL keys forever; with an
+    at-least-once bus re-deliveries cluster near the original, so the
+    horizon is the right state bound at 100 TB/day)."""
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        keys + [ts_col]
+    )

@@ -339,3 +339,30 @@ def test_smoke_test_harness(spark, store):
 
     out = src.smoke_test(SourceContext(spark=spark, store=store, clock=clock))
     assert out["scheduled"] and out["rows"] == 1
+
+
+def test_html_cells_udtf_matches_mapinpandas_parse(spark):
+    """The @udtf SQL-lateral form of the HTML parse (UD2) agrees with
+    the Arrow-batched html_records path on the same page."""
+    from datapipelinerepo_spark.sources.html import html_records
+    from datapipelinerepo_spark.sources.udtf import register_html_cells
+
+    register_html_cells(spark)
+    pages = spark.createDataFrame([("p1", TEAM_HTML)], "page_id string, payload string")
+    pages.createOrReplaceTempView("udtf_pages")
+    cells = spark.sql(
+        """
+        SELECT p.page_id, c.row_no, c.cell, c.href
+        FROM udtf_pages p, LATERAL html_cells(p.payload) c
+        WHERE c.row_no > 0 AND c.col_no = 0
+        """
+    )
+    got = {(r["cell"], r["href"]) for r in cells.collect()}
+    via_map = html_records(
+        pages, "payload", columns=["team"], with_href_of="team", href_alias="team_url"
+    )
+    expected = {(r["team"], r["team_url"]) for r in via_map.collect()}
+    assert got == expected == {
+        ("Tennessee", "/cf/team/_/id/2633/tennessee"),
+        ("Alabama", "/cf/team/_/id/333/alabama"),
+    }

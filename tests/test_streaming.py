@@ -131,3 +131,53 @@ def test_stateful_running_counts_across_restarts(spark, tmp_path, stream_src):
     assert second["s1"] == (3, 1)  # lifetime 3, this batch 1
     assert second["s3"] == (1, 1)
     assert second["s1"][0] == 3 and second["s1"][1] == 1
+
+
+def test_stream_static_enrich(spark, tmp_path, stream_src):
+    """Stream-static broadcast join: micro-batches enriched against a
+    static dimension; unmatched keys survive with NULLs (left join)."""
+    from datapipelinerepo_spark.streaming import enrich_stream
+
+    dim = spark.createDataFrame(
+        [("mobile", "handheld"), ("desktop", "workstation")],
+        "device string, device_class string",
+    )
+    events = read_base64_event_stream(spark, stream_src)
+    q = (
+        enrich_stream(events, dim, on="device")
+        .writeStream.format("memory")
+        .queryName("enriched")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT device, device_class, page FROM enriched").collect()
+    assert len(rows) == 3
+    assert all(r["device_class"] == "handheld" for r in rows)  # all fixtures are mobile
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """Re-delivered payloads (same session/page/ts) collapse to one row;
+    distinct events all survive."""
+    from datapipelinerepo_spark.streaming import dedup_stream
+
+    src = tmp_path / "dup_incoming"
+    src.mkdir()
+    dup = _payload("2026-08-12 14:03:21", "/projects")
+    lines = [dup, dup, dup, _payload("2026-08-12 14:10:00", "/about")]
+    (src / "b1.txt").write_text("\n".join(lines))
+
+    events = read_base64_event_stream(spark, str(src))
+    deduped = dedup_stream(events, keys=["session", "page"], watermark="30 minutes")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_stream_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT session, page FROM dedup_stream_out").collect()
+    assert len(rows) == 2
+    assert {r["page"] for r in rows} == {"/projects", "/about"}
