@@ -125,6 +125,40 @@ def tf_idf(
     return out
 
 
+def repetition_features(
+    df: DataFrame, n: int = 2, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition signal: the share of a document's word
+    n-grams taken by its single most frequent n-gram (template/spam
+    pages score high, natural prose low). Output: (id, n_ngrams,
+    top_ngram_share) — share rounded to 6dp.
+
+    Plan: n-grams explode → count per (doc, gram) → max/sum per doc.
+    Both aggregations key on the doc (or doc+gram) so partial
+    aggregation collapses the repeats map-side — the very docs this
+    flags (massively repeated grams) are the ones that compress best
+    before the shuffle."""
+    toks = F.split(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "), " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size("_toks") - (n - 1)),
+        lambda i: F.array_join(F.slice("_toks", i, n), " "),
+    )
+    base = df.select(F.col(id_col), toks.alias("_toks")).filter(
+        F.size("_toks") >= n
+    )
+    per_gram = (
+        base.select(F.col(id_col), F.explode(grams).alias("_gram"))
+        .groupBy(id_col, "_gram")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    return per_gram.groupBy(id_col).agg(
+        F.sum("_c").alias("n_ngrams"),
+        F.round(
+            F.max("_c").cast("double") / F.sum("_c").cast("double"), 6
+        ).alias("top_ngram_share"),
+    )
+
+
 # PII patterns — portable across Java regex (Spark) and RE2 (DuckDB):
 # no backrefs, no lookaround, explicit character classes only.
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"

@@ -746,6 +746,32 @@ def text_boilerplate_ngrams(spark, sf_dir):
     return T.boilerplate_ngrams(t(spark, sf_dir, "documents"), n=5, min_docs=3)
 
 
+@register(
+    "text_repetition",
+    sql=r"""
+    WITH s AS (
+      SELECT doc_id,
+             string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS toks
+      FROM documents
+    ), g AS (
+      SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS gram
+      FROM s, unnest(generate_series(1, len(toks)-1)) AS t(i)
+      WHERE len(toks) >= 2
+    ), c AS (
+      SELECT doc_id, gram, COUNT(*) AS c FROM g GROUP BY 1, 2
+    )
+    SELECT doc_id, SUM(c) AS n_ngrams,
+           round(CAST(MAX(c) AS DOUBLE) / SUM(c), 6) AS top_ngram_share
+    FROM c GROUP BY doc_id
+    """,
+)
+def text_repetition(spark, sf_dir):
+    """Gopher-style repetition quality signal: top-bigram share per
+    document (template/spam detector; see operators/text.
+    repetition_features for the partial-aggregation scale notes)."""
+    return T.repetition_features(t(spark, sf_dir, "documents"), n=2)
+
+
 @register("multimodal_extract_features", sql=None)
 def multimodal_extract_features(spark, sf_dir):
     """Arrow-batched mapInPandas feature extraction over binary payloads

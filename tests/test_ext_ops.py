@@ -257,3 +257,19 @@ def test_boilerplate_ngrams_planted(spark):
     assert got.get(shared_md5) == 3, "shared phrase not flagged"
     intra = hashlib.md5(b"spam ham eggs bacon toast").hexdigest()
     assert intra not in got, "intra-doc repetition wrongly counted as multi-doc"
+
+
+def test_repetition_flags_template_docs(spark):
+    """A doc that is one phrase repeated scores ~max share; varied prose
+    scores low."""
+    from datapipelinerepo_spark.operators.text import repetition_features
+
+    rows = [
+        (1, " ".join(["buy now"] * 20)),           # templated spam
+        (2, "one two three four five six seven eight nine ten"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in repetition_features(df, n=2).collect()}
+    assert got[1]["top_ngram_share"] > 0.4
+    # all bigrams distinct → share = 1/n_bigrams
+    assert got[2]["top_ngram_share"] == pytest.approx(1 / got[2]["n_ngrams"])
