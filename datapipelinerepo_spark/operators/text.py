@@ -125,6 +125,45 @@ def tf_idf(
     return out
 
 
+def sequence_packing(
+    df: DataFrame,
+    budget: int = 512,
+    shard_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Training-sequence packing, concat-and-cut form: documents in a
+    shard are logically concatenated in ``id`` order and cut every
+    ``budget`` tokens (the causal-LM packing most data pipelines use —
+    documents may straddle pack boundaries). Output per doc: token
+    count and the [start_pack, end_pack] span it lands in.
+
+    Pure integer window arithmetic (one shuffle on the shard key,
+    running sum ordered by id) — deterministic on any cluster, and the
+    pack assignment is reproducible given the same id order, which is
+    what makes resumable tokenization jobs possible. Zero-token docs
+    are excluded (they belong to no pack)."""
+    from pyspark.sql import Window
+
+    n_tok = token_count(F.col(text_col))
+    w = (
+        Window.partitionBy(shard_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tk = df.select(
+        F.col(id_col), F.col(shard_col), n_tok.alias("n_tokens")
+    ).filter(F.col("n_tokens") >= 1)
+    cum = F.sum("n_tokens").over(w)
+    return tk.select(
+        id_col,
+        shard_col,
+        "n_tokens",
+        F.floor((cum - F.col("n_tokens")) / budget).cast("long").alias("start_pack"),
+        F.floor((cum - 1) / budget).cast("long").alias("end_pack"),
+    )
+
+
 def repetition_features(
     df: DataFrame, n: int = 2, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

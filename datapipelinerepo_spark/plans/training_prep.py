@@ -1,0 +1,83 @@
+"""End-to-end training-data preparation plan: the composition the
+LLM-data operators exist for, as one lazy DataFrame chain.
+
+    raw documents
+      → quality gate        (length / token / punct thresholds)
+      → PII redaction       (<EMAIL>/<IP>/<NUM>)
+      → exact dedup         (digest window, keep min id)
+      → near-dup dedup      (MinHash+LSH pairs → connected components
+                             → keep component representative)
+      → mix report + deterministic stratified sample
+
+Everything stays a DataFrame until the caller writes: the whole prep is
+ONE Spark job graph — Catalyst fuses the map-side stages (gate, redact,
+digest) into the scan, and the only shuffles are the ones the dedup
+semantics require (digest window; LSH band join; component iteration).
+No collect anywhere; at 100 TB the driver only ever sees the plan.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators import dedup as D
+from ..operators import graph as G
+from ..operators import text as T
+
+
+@dataclass(frozen=True)
+class PrepConfig:
+    min_chars: int = 100
+    min_tokens: int = 20
+    max_punct_ratio: float = 0.05
+    near_dup_threshold: float = 0.5
+    id_col: str = "doc_id"
+    text_col: str = "text"
+
+
+def quality_gate(df: DataFrame, cfg: PrepConfig) -> DataFrame:
+    c = F.col(cfg.text_col)
+    punct_ratio = T.token_count(c, T.PUNCT_RE) / F.greatest(F.length(c), F.lit(1))
+    return df.filter(
+        (F.length(c) >= cfg.min_chars)
+        & (T.token_count(c) >= cfg.min_tokens)
+        & (punct_ratio < cfg.max_punct_ratio)
+    )
+
+
+def redact(df: DataFrame, cfg: PrepConfig) -> DataFrame:
+    """Replace the text column with its redacted form (keeps schema)."""
+    red = T.redact_pii(df, text_col=cfg.text_col, id_col=cfg.id_col).select(
+        cfg.id_col, "n_redacted"
+    )
+    t0 = F.col(cfg.text_col)
+    t1 = F.regexp_replace(t0, T.EMAIL_RE, "<EMAIL>")
+    t2 = F.regexp_replace(t1, T.IPV4_RE, "<IP>")
+    t3 = F.regexp_replace(t2, T.NUMRUN_RE, "<NUM>")
+    return df.withColumn(cfg.text_col, t3).join(red, on=cfg.id_col, how="left")
+
+
+def drop_near_dups(df: DataFrame, cfg: PrepConfig) -> DataFrame:
+    """MinHash+LSH pairs → connected components → keep each component's
+    representative (min id). Docs in no pair are their own component
+    and survive."""
+    pairs = D.minhash_lsh_pairs(
+        df, threshold=cfg.near_dup_threshold, text_col=cfg.text_col, id_col=cfg.id_col
+    ).select("id_a", "id_b")
+    comps = G.dedup_components(df.select(F.col(cfg.id_col)), pairs)
+    keep = comps.filter(F.col(cfg.id_col) == F.col("comp")).select(cfg.id_col)
+    return df.join(keep, on=cfg.id_col, how="left_semi")
+
+
+def prepare_training_data(df: DataFrame, cfg: PrepConfig | None = None) -> DataFrame:
+    """The full prep chain. Returns the cleaned corpus with an added
+    ``n_redacted`` column; compose with ``text.sequence_packing`` /
+    stratified sampling downstream."""
+    cfg = cfg or PrepConfig()
+    gated = quality_gate(df, cfg)
+    clean = redact(gated, cfg)
+    exact = D.exact_dedup(clean, text_col=cfg.text_col, id_col=cfg.id_col)
+    return drop_near_dups(exact, cfg)

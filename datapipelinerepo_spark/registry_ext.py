@@ -154,6 +154,17 @@ def ann_topk_ivf(spark, sf_dir):
     return SIM.cosine_topk_ivf(q, emb, dim=64, k=10)
 
 
+@register("ann_topk_quantized", sql=None)
+def ann_topk_quantized(spark, sf_dir):
+    """Cosine top-10 over an int8-quantized corpus (4× smaller scan;
+    see operators/similarity.quantize_embeddings). Quantization error
+    makes scores engine-specific → rows-only check; recall vs the
+    exact baseline is asserted in test_ext_ops."""
+    emb = t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    return SIM.cosine_topk_quantized(q, emb, k=10)
+
+
 @register(
     "embedding_dup_pairs",
     sql="""
@@ -770,6 +781,32 @@ def text_repetition(spark, sf_dir):
     document (template/spam detector; see operators/text.
     repetition_features for the partial-aggregation scale notes)."""
     return T.repetition_features(t(spark, sf_dir, "documents"), n=2)
+
+
+@register(
+    "text_sequence_packing",
+    sql=r"""
+    WITH tk AS (
+      SELECT doc_id, lang, len(regexp_extract_all(text, '\S+')) AS n_tokens
+      FROM documents
+    ), c AS (
+      SELECT doc_id, lang, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                 ROWS UNBOUNDED PRECEDING) AS cum
+      FROM tk WHERE n_tokens >= 1
+    )
+    SELECT doc_id, lang, n_tokens,
+           CAST(floor((cum - n_tokens) / 512.0) AS BIGINT) AS start_pack,
+           CAST(floor((cum - 1) / 512.0) AS BIGINT) AS end_pack
+    FROM c
+    """,
+)
+def text_sequence_packing(spark, sf_dir):
+    """Causal-LM sequence packing (concat shard, cut every 512 tokens):
+    each doc's pack span from a per-shard running token sum — integer
+    window arithmetic, reproducible on any cluster (see operators/text.
+    sequence_packing)."""
+    return T.sequence_packing(t(spark, sf_dir, "documents"), budget=512)
 
 
 @register("multimodal_extract_features", sql=None)

@@ -273,3 +273,29 @@ def test_repetition_flags_template_docs(spark):
     assert got[1]["top_ngram_share"] > 0.4
     # all bigrams distinct → share = 1/n_bigrams
     assert got[2]["top_ngram_share"] == pytest.approx(1 / got[2]["n_ngrams"])
+
+
+def test_quantized_ann_recall_and_roundtrip(spark, emb):
+    """int8-quantized search recovers ≥90% of the exact top-10 with
+    small score error; quantize→dequantize error is bounded by scale/2
+    per element."""
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = SIM.cosine_topk_bruteforce(q, emb, k=10)
+    quant = SIM.cosine_topk_quantized(q, emb, k=10)
+    e = {(r["q_id"], r["c_id"]) for r in exact.collect()}
+    a = {(r["q_id"], r["c_id"]) for r in quant.collect()}
+    assert len(e & a) / len(e) >= 0.9
+    es = {(r["q_id"], r["c_id"]): r["sim_r4"] for r in exact.collect()}
+    for r in quant.collect():
+        kk = (r["q_id"], r["c_id"])
+        if kk in es:
+            assert abs(es[kk] - r["sim_r4"]) < 0.01
+
+    small = emb.filter(F.col("vec_id") < 20)
+    qz = SIM.quantize_embeddings(small)
+    back = {r["vec_id"]: r["embedding"] for r in SIM.dequantize_embeddings(qz).collect()}
+    scales = {r["vec_id"]: r["scale"] for r in qz.collect()}
+    for r in small.collect():
+        vid, orig = r["vec_id"], r["embedding"]
+        for o, b in zip(orig, back[vid]):
+            assert abs(float(o) - b) <= scales[vid] / 2 + 1e-9

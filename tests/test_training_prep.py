@@ -1,0 +1,64 @@
+"""End-to-end training-data prep: the operator composition removes
+planted junk (low quality, PII, exact dups, near-dups) while keeping
+clean docs — and stays fully lazy until materialized."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from datapipelinerepo_spark.io import load_table
+from datapipelinerepo_spark.plans.training_prep import (
+    PrepConfig,
+    prepare_training_data,
+)
+
+GOOD = (
+    "the quick brown fox jumps over the lazy dog and then runs far away "
+    "into the quiet green forest where many small animals live together "
+    "through the long warm summer days"
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark, sf_dir):
+    base = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    planted = spark.createDataFrame(
+        [
+            (900001, "too short"),                        # fails quality gate
+            (900002, GOOD + " contact me a@b.com 5551234"),  # PII, survives redacted
+            (900003, GOOD),                               # exact dup of 900004
+            (900004, GOOD),
+            (900005, GOOD + " extra trailing words here"),   # near-dup of GOOD
+        ],
+        "doc_id long, text string",
+    ).select(
+        "doc_id", "text", F.lit("en").alias("lang"),
+        F.lit("planted").alias("source"), F.length("text").alias("n_chars"),
+    )
+    return base.union(planted)
+
+
+def test_prep_removes_planted_junk(spark, corpus):
+    out = prepare_training_data(corpus, PrepConfig(near_dup_threshold=0.5))
+    ids = {r["doc_id"] for r in out.select("doc_id").collect()}
+    assert 900001 not in ids                     # quality-gated
+    assert 900004 not in ids                     # exact dup dropped
+    assert len({900003, 900005} & ids) <= 1      # near-dup cluster collapsed
+    survivors = out.filter(F.col("doc_id").isin(900002, 900003)).collect()
+    assert survivors, "clean planted docs should survive"
+    for r in survivors:
+        assert "a@b.com" not in r["text"] and "5551234" not in r["text"]
+    # redaction accounting came through the join
+    red = {r["doc_id"]: r["n_redacted"] for r in survivors}
+    if 900002 in red:
+        assert red[900002] == 2  # one email + one digit run
+
+
+def test_prep_keeps_original_corpus_mostly_intact(spark, corpus):
+    cfg = PrepConfig()
+    before = corpus.filter(F.col("doc_id") < 50).count()
+    out = prepare_training_data(corpus, cfg)
+    kept = out.filter(F.col("doc_id") < 50).count()
+    # synthetic corpus is clean prose: the pipeline shouldn't nuke it
+    assert kept >= before * 0.5
