@@ -1516,6 +1516,43 @@ def w5_moving_avg(spark, sf_dir):
 
 
 @register(
+    "events_gap_fill",
+    sql="""
+    WITH base AS (
+      SELECT event_id, user_id,
+             CASE WHEN event_type = 'purchase' THEN value END AS purchase_value
+      FROM events
+    )
+    SELECT event_id, user_id, purchase_value,
+           last_value(purchase_value IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+    FROM base
+    """,
+)
+def events_gap_fill(spark, sf_dir):
+    """LOCF forward-fill (timeseries gap filling): carry each user's
+    last observed purchase value forward across non-purchase events —
+    ``last_value(..., ignoreNulls)`` over an UNBOUNDED-PRECEDING frame.
+    One shuffle on the entity key; the fill itself is a single ordered
+    pass per partition (no self-join, no loop). Values are compared,
+    never combined, so floats hash-match exactly."""
+    e = t(spark, sf_dir, "events")
+    pv = F.when(F.col("event_type") == "purchase", F.col("value"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        pv.alias("purchase_value"),
+        F.last(pv, ignorenulls=True).over(w).alias("filled_value"),
+    )
+
+
+@register(
     "a10_correlated_max",
     sql="""
     SELECT o_custkey, o_orderkey, o_totalprice FROM orders o

@@ -1,0 +1,77 @@
+"""Data-quality expectations: violation queries, gate composition, and
+observe()-based inline load metrics."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from datapipelinerepo_spark.plans.quality import (
+    accepted_values,
+    check_expectations,
+    duplicate_keys,
+    null_keys,
+    orphan_keys,
+    with_load_metrics,
+)
+
+
+def _child(spark):
+    return spark.createDataFrame(
+        [(1, 10, "a"), (2, 10, "b"), (3, 99, "c"), (4, None, "a"), (2, 11, "zz")],
+        "id long, parent_id long, tag string",
+    )
+
+
+def _parent(spark):
+    return spark.createDataFrame([(10,), (11,)], "parent_id long")
+
+
+def test_duplicate_keys(spark):
+    v = duplicate_keys(_child(spark), "id").collect()
+    assert [(r["id"], r["n_rows"]) for r in v] == [(2, 2)]
+
+
+def test_null_and_orphan_keys(spark):
+    c, p = _child(spark), _parent(spark)
+    assert {r["id"] for r in null_keys(c, "parent_id").collect()} == {4}
+    # NULL key is NOT an orphan; 99 is
+    assert {r["id"] for r in orphan_keys(c, p, "parent_id").collect()} == {3}
+
+
+def test_accepted_values(spark):
+    v = accepted_values(_child(spark), "tag", ["a", "b", "c"]).collect()
+    assert {r["id"] for r in v} == {2}  # the "zz" row (id 2, second copy)
+
+
+def test_check_expectations_gate(spark):
+    c, p = _child(spark), _parent(spark)
+    results = check_expectations(
+        {
+            "unique_id": duplicate_keys(c, "id"),
+            "fk_parent": orphan_keys(c, p, "parent_id"),
+            "no_null_parent": null_keys(c, "parent_id"),
+        }
+    )
+    by_name = {r.name: r for r in results}
+    assert not by_name["unique_id"].passed and by_name["unique_id"].violations == 1
+    assert by_name["fk_parent"].violations == 1
+    clean = check_expectations({"unique_parent": duplicate_keys(p, "parent_id")})
+    assert clean[0].passed
+
+
+def test_fail_fast_stops_early(spark):
+    c = _child(spark)
+    results = check_expectations(
+        {"dupes": duplicate_keys(c, "id"), "never_evaluated": null_keys(c, "id")},
+        fail_fast=True,
+    )
+    assert len(results) == 1 and not results[0].passed
+
+
+def test_observe_metrics_ride_the_action(spark, tmp_path):
+    df, obs = with_load_metrics(_child(spark), key_cols=["parent_id", "tag"])
+    df.write.mode("overwrite").parquet(str(tmp_path / "out"))  # the load IS the scan
+    m = obs.get
+    assert m["n_rows"] == 5
+    assert m["null_parent_id"] == 1
+    assert m["null_tag"] == 0
