@@ -205,6 +205,30 @@ def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
     return spark.table(table)
 
 
+def write_clustered(
+    df: DataFrame, path: str, partition_col: str, sort_cols: list[str]
+) -> None:
+    """Write date/key-partitioned parquet with rows SORTED on
+    ``sort_cols`` inside each partition (z-order-lite): parquet
+    row-group min/max statistics on a sorted column are disjoint
+    ranges, so a point or range predicate on it skips whole row groups
+    at scan time — on a 100 TB table the difference between "scan the
+    partition" and "scan two row groups of it". One shuffle at write
+    (repartition by the partition column keeps one writer per
+    directory, avoiding small files); reads need no special API — the
+    stats live in the footers."""
+    # the partition column leads the sort: FileFormatWriter requires
+    # rows ordered by the partition columns and re-sorts (unstably) if
+    # they aren't — which would scramble the clustering we just paid for
+    (
+        df.repartition(F.col(partition_col))
+        .sortWithinPartitions(partition_col, *sort_cols)
+        .write.mode("overwrite")
+        .partitionBy(partition_col)
+        .parquet(path)
+    )
+
+
 class Query:
     """Raw-SQL passthrough — the reference's ``Query`` object
     (datasources.py:86-99: a class wrapping an SQL string with

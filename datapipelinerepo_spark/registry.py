@@ -1516,6 +1516,48 @@ def w5_moving_avg(spark, sf_dir):
 
 
 @register(
+    "q20_surplus_suppliers",
+    sql="""
+    WITH ps AS (
+      SELECT l_partkey, l_suppkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+      FROM lineitem GROUP BY 1, 2
+    ), tot AS (
+      SELECT l_partkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS part_qty
+      FROM lineitem GROUP BY 1
+    ), hot AS (
+      SELECT DISTINCT l_suppkey FROM ps JOIN tot USING (l_partkey)
+      WHERE qty * 100 > part_qty * 12
+    )
+    SELECT s.s_suppkey, s.s_name FROM supplier s
+    JOIN hot ON hot.l_suppkey = s.s_suppkey
+    """,
+)
+def q20_surplus_suppliers(spark, sf_dir):
+    """TPC-H Q20 shape: nested aggregate threshold inside a semi-join
+    chain — suppliers holding >12% of any part's shipped quantity. Both
+    aggregates come off ONE lineitem scan (Spark reuses the exchange
+    for the (partkey,suppkey) and partkey groupings); the share
+    comparison is DECIMAL-exact cross-multiplication (qty*100 >
+    part_qty*12), never a float ratio — boundary pairs can't flap
+    between engines or partitionings. The qualifying-supplier set is
+    tiny → broadcasts into the supplier probe."""
+    li = t(spark, sf_dir, "lineitem")
+    qd = F.col("l_quantity").cast("decimal(18,2)")
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(F.sum(qd).alias("qty"))
+    tot = li.groupBy("l_partkey").agg(F.sum(qd).alias("part_qty"))
+    hot = (
+        ps.join(tot, on="l_partkey")
+        .filter(F.col("qty") * 100 > F.col("part_qty") * 12)
+        .select("l_suppkey")
+        .distinct()
+    )
+    s = t(spark, sf_dir, "supplier")
+    return s.join(
+        F.broadcast(hot), s.s_suppkey == hot.l_suppkey
+    ).select("s_suppkey", "s_name")
+
+
+@register(
     "events_gap_fill",
     sql="""
     WITH base AS (

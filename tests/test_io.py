@@ -121,3 +121,37 @@ def test_events_ns_timestamp_read(spark, sf_dir):
     e = load_table(spark, sf_dir, "events")
     assert dict(e.dtypes)["ts"].startswith("timestamp")
     assert e.filter(F.col("ts").isNull()).count() == 0
+
+
+def test_write_clustered_sorts_within_files(spark, sf_dir, tmp_path):
+    """Clustered write: every output parquet file is internally sorted
+    on the cluster column (the property that makes row-group min/max
+    stats disjoint, enabling stats-based skipping), and partition
+    pruning still applies on the directory column."""
+    from pyspark.sql import functions as F
+
+    from datapipelinerepo_spark.io import load_table, write_clustered
+
+    out = str(tmp_path / "clustered")
+    ev = load_table(spark, sf_dir, "events")
+    write_clustered(ev, out, partition_col="event_type", sort_cols=["value"])
+
+    back = spark.read.parquet(out).select(
+        F.input_file_name().alias("f"), "value"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("f").orderBy(F.monotonically_increasing_id())
+    disorder = (
+        back.withColumn("_prev", F.lag("value").over(w))
+        .filter(F.col("_prev").isNotNull() & (F.col("value") < F.col("_prev")))
+        .count()
+    )
+    assert disorder == 0, "rows not sorted within files"
+    # directory partitioning survived → partition pruning on event_type
+    plan = (
+        spark.read.parquet(out)
+        .filter(F.col("event_type") == "purchase")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters" in plan and "event_type" in plan.split("PartitionFilters", 1)[1][:200]
