@@ -443,6 +443,25 @@ def scale_approx_aggs(spark, sf_dir):
     )
 
 
+@register("scale_heavy_hitters", sql=None)
+def scale_heavy_hitters(spark, sf_dir):
+    """Heavy hitters: top-20 users by event count via approx_top_k — a
+    one-pass mergeable sketch (no full groupBy materialization), the
+    100 TB path for 'which keys dominate' questions that feed skew
+    salting decisions (operators/skew.key_skew_profile is the exact
+    twin). Sketch tie-breaks are engine-specific → rows-only check;
+    agreement with the exact top-k is asserted in test_ext_ops."""
+    e = t(spark, sf_dir, "events")
+    e.createOrReplaceTempView("_hh_events")
+    return spark.sql(
+        """
+        SELECT t.item AS user_id, t.count AS n_events
+        FROM (SELECT explode(approx_top_k(user_id, 20, 100000)) AS t
+              FROM _hh_events)
+        """
+    )
+
+
 @register(
     "dedup_connected_components",
     sql="""

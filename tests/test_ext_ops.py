@@ -299,3 +299,27 @@ def test_quantized_ann_recall_and_roundtrip(spark, emb):
         vid, orig = r["vec_id"], r["embedding"]
         for o, b in zip(orig, back[vid]):
             assert abs(float(o) - b) <= scales[vid] / 2 + 1e-9
+
+
+def test_heavy_hitters_match_exact_topk(spark, sf_dir):
+    """approx_top_k with ample tracking capacity agrees with the exact
+    grouped counts on every returned item."""
+    import datapipelinerepo_spark.registry_ext  # noqa: F401
+    from datapipelinerepo_spark.registry import REGISTRY
+
+    got = {
+        r["user_id"]: r["n_events"]
+        for r in REGISTRY["scale_heavy_hitters"].fn(spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    exact = {
+        r["user_id"]: r["n"]
+        for r in ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    k = min(20, len(exact))
+    assert len(got) == k
+    for uid, n in got.items():
+        assert exact[uid] == n  # counts are exact at this capacity
+    # every reported hitter is within the true top-k count range
+    floor_k = sorted(exact.values(), reverse=True)[k - 1]
+    assert all(n >= floor_k for n in got.values())
