@@ -172,7 +172,13 @@ def minhash_lsh_pairs(
     Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold.
     """
     rows_per_band = num_hashes // bands
-    sh = shingles(df, n=shingle_n, text_col=text_col, id_col=id_col).cache()
+    # shingles is referenced by three branches (signatures + both verify
+    # sides) but NOT cached: measured at sf0.1, recomputing the map-only
+    # shingle stage is faster than the cache-fill job (2.4s vs 2.6-3.3s
+    # steady-state), and at 100 TB a corpus-sized cached intermediate
+    # doesn't fit memory anyway — recompute keeps every branch a pure
+    # scan-side pipeline AQE can plan independently.
+    sh = shingles(df, n=shingle_n, text_col=text_col, id_col=id_col)
     sig = minhash_signatures(sh, num_hashes=num_hashes)
     band_cols = [
         F.xxhash64(*[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)], F.lit(b)).alias(f"band{b}")
