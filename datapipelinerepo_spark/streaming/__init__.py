@@ -1,6 +1,7 @@
 from .ingest import (  # noqa: F401
     dedup_stream,
     enrich_stream,
+    interval_join_streams,
     read_base64_event_stream,
     sessionized_counts_stream,
     stream_to_table,

@@ -124,3 +124,38 @@ def dedup_stream(
     return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         keys + [ts_col]
     )
+
+
+def interval_join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts_col: str = "ts",
+    horizon: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream interval join: pair each left event with right
+    events for the same key arriving within ``horizon`` AFTER it
+    (funnel analysis: view→purchase, request→error). Both sides carry
+    watermarks and the join condition bounds the time skew, so the
+    state store retains only the horizon+watermark window of each side
+    — the unbounded-state stream join Spark would otherwise refuse to
+    clean up. Output columns: key, l_ts, r_ts, lag_seconds."""
+    l = left.withWatermark(ts_col, watermark).select(
+        F.col(key).alias("_k"), F.col(ts_col).alias("l_ts")
+    )
+    r = right.withWatermark(ts_col, watermark).select(
+        F.col(key).alias("_rk"), F.col(ts_col).alias("r_ts")
+    )
+    joined = l.join(
+        r,
+        (F.col("_k") == F.col("_rk"))
+        & (F.col("r_ts") >= F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {horizon}")),
+    )
+    return joined.select(
+        F.col("_k").alias(key),
+        "l_ts",
+        "r_ts",
+        (F.unix_timestamp("r_ts") - F.unix_timestamp("l_ts")).alias("lag_seconds"),
+    )

@@ -7,6 +7,7 @@ import base64
 import json
 
 import pytest
+from pyspark.sql import functions as F
 
 from datapipelinerepo_spark.streaming import (
     read_base64_event_stream,
@@ -181,3 +182,39 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
     rows = spark.sql("SELECT session, page FROM dedup_stream_out").collect()
     assert len(rows) == 2
     assert {r["page"] for r in rows} == {"/projects", "/about"}
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Funnel pairing across two live streams: '/projects' visits joined
+    to later '/' visits by the same session within 30 minutes; a visit
+    outside the horizon doesn't pair."""
+    from datapipelinerepo_spark.streaming import interval_join_streams
+
+    src = tmp_path / "ss_incoming"
+    src.mkdir()
+    lines = [
+        _payload("2026-08-12 14:00:00", "/projects", "s1"),
+        _payload("2026-08-12 14:10:00", "/", "s1"),       # pairs (+600s)
+        _payload("2026-08-12 15:30:00", "/", "s1"),       # outside horizon
+        _payload("2026-08-12 14:05:00", "/", "s2"),       # other session
+        _payload("2026-08-12 16:00:00", "/projects", "s9"),  # watermark advance
+    ]
+    (src / "b1.txt").write_text("\n".join(lines))
+
+    events = read_base64_event_stream(spark, str(src))
+    visits = events.filter(F.col("page") == "/projects")
+    landings = events.filter(F.col("page") == "/")
+    paired = interval_join_streams(
+        visits, landings, key="session", horizon="30 minutes", watermark="1 hour"
+    )
+    q = (
+        paired.writeStream.format("memory")
+        .queryName("funnel_pairs")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT session, lag_seconds FROM funnel_pairs").collect()
+    got = {(r["session"], r["lag_seconds"]) for r in rows}
+    assert got == {("s1", 600)}
