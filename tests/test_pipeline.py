@@ -366,3 +366,65 @@ def test_html_cells_udtf_matches_mapinpandas_parse(spark):
         ("Tennessee", "/cf/team/_/id/2633/tennessee"),
         ("Alabama", "/cf/team/_/id/333/alabama"),
     }
+
+
+def test_entrypoints_mirror_reference_handlers(spark, store):
+    """The six main.py-analog entry functions run their pipelines
+    end-to-end with injected fetchers — the switch-over surface for a
+    reference user (functions/main.py:14-90)."""
+    import base64 as b64
+    import json as js
+
+    from datapipelinerepo_spark import entrypoints as EP
+
+    clock = FixedClock(MONDAY)
+    zips = ["30301", "30302"]
+    wx_pages = {
+        f"weather://{z}/{clock.yesterday()}": _weather_payload(i / 10)
+        for i, z in enumerate(zips)
+    }
+    r = EP.weather_pipeline(
+        spark, store, make_dict_fetcher(wx_pages), zips=zips, clock=clock
+    )
+    assert r.loaded_rows["weather"] == 2
+
+    payload = b64.b64encode(js.dumps(
+        {"time_stamp": "2026-08-12 14:03:21", "id": "v1", "session": "s1",
+         "page": "/p", "referrer": "r", "device": "d", "language": "en"}
+    ).encode()).decode()
+    r = EP.websitehits_pipeline(spark, store, [payload], clock=clock)
+    assert r.loaded_rows["website_events"] == 1
+
+    r = EP.cf_pwr5teams_pipeline(
+        spark, store, make_dict_fetcher({"teams://sec": TEAM_HTML}), clock=clock
+    )
+    assert r.loaded_rows["teams"] == 2
+
+    games_pages = {
+        f"games://{tid}/{yr}": _games_html(tid, yr)
+        for tid in ("2633", "333") for yr in ("2025",)
+    }
+    r = EP.cf_games_pipeline(
+        spark, store, make_dict_fetcher(games_pages), years=["2025"], clock=clock
+    )
+    assert r.loaded_rows["games"] == 2
+
+    games_rows = store.read("games").collect()
+    r = EP.cf_gamestats_pipeline(
+        spark, store,
+        make_dict_fetcher(
+            {x["game_url"]: _stats_html(x["game_id"]) for x in games_rows}
+        ),
+        clock=clock,
+    )
+    assert r.loaded_rows["game_stats"] == len(games_rows) * 2
+
+    geo_html = """
+    <table>
+      <tr><th>ZIP</th><th>County</th></tr>
+      <tr><td>30301</td><td>Fulton County</td></tr>
+    </table>"""
+    r = EP.uslocations_pipeline(
+        spark, store, make_dict_fetcher({"geo://ga": geo_html}), clock=clock
+    )
+    assert r.loaded_rows["geo"] == 1
