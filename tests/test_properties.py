@@ -82,3 +82,71 @@ def test_exact_dedup_idempotent(spark, texts):
     assert once.count() == twice.count() == len(set(texts))
     assert once.select("text").distinct().count() == once.count()
     assert once.exceptAll(twice).isEmpty()
+
+
+@settings(max_examples=4, deadline=None)
+@given(
+    texts=st.lists(
+        st.sampled_from(
+            [
+                "write to a@b.co or c.d@e.org now",
+                "server 10.0.0.1 and 192.168.1.255 up",
+                "order 123456 ref 99 ok",
+                "no pii in this sentence at all",
+                "x1y2z3 a12b c999d",
+            ]
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_redact_pii_idempotent_and_digestable(spark, texts):
+    """redact(redact(x)) == redact(x): replacement tokens contain no
+    redactable spans, so a second pass finds nothing — the property
+    that makes the op safe to re-run over partially-processed data."""
+    from datapipelinerepo_spark.operators.text import (
+        EMAIL_RE,
+        IPV4_RE,
+        NUMRUN_RE,
+        redact_pii,
+    )
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], ["doc_id", "text"])
+    t0 = F.col("text")
+    t1 = F.regexp_replace(t0, EMAIL_RE, "<EMAIL>")
+    t2 = F.regexp_replace(t1, IPV4_RE, "<IP>")
+    redacted = df.withColumn("text", F.regexp_replace(t2, NUMRUN_RE, "<NUM>"))
+    second = {r["doc_id"]: r for r in redact_pii(redacted).collect()}
+    first = {r["doc_id"]: r for r in redact_pii(df).collect()}
+    for i in first:
+        assert second[i]["n_redacted"] == 0
+        assert second[i]["red_md5"] == first[i]["red_md5"]
+
+
+@settings(max_examples=4, deadline=None)
+@given(
+    toks=st.lists(st.integers(1, 40), min_size=1, max_size=15),
+    budget=st.sampled_from([8, 16, 64]),
+)
+def test_sequence_packing_invariants(spark, toks, budget):
+    """Pack spans tile the shard's token line: starts are monotone,
+    each doc's span length is ceil-consistent with its token count, and
+    consecutive docs meet at the same pack (concat-and-cut leaves no
+    gaps)."""
+    from datapipelinerepo_spark.operators.text import sequence_packing
+
+    rows = [(i, " ".join(["w"] * n), "en") for i, n in enumerate(toks)]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    got = sorted(
+        (
+            (r["doc_id"], r["n_tokens"], r["start_pack"], r["end_pack"])
+            for r in sequence_packing(df, budget=budget).collect()
+        )
+    )
+    cum = 0
+    for (_i, n, sp, ep), n_true in zip(got, toks):
+        assert n == n_true
+        assert sp == cum // budget  # starts exactly where the line left off
+        assert ep == (cum + n - 1) // budget
+        assert sp <= ep
+        cum += n
