@@ -122,3 +122,50 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
             F.sequence(F.lit(0).cast("long"), F.col("duration_ms"), F.lit(every_ms).cast("long"))
         ).alias("frame_ts_ms"),
     )
+
+
+def resize_payload(
+    payload: bytes, mime: str, width: int, height: int, real: bool = False
+) -> bytes:
+    """Resize one image payload to (width, height).
+
+    ``real=True`` is the production path (PIL Image.resize → re-encode)
+    — not available in this container; the deterministic fake derives a
+    pseudo-payload from the source bytes + target box so the Spark-side
+    plumbing (batch shapes, metadata propagation, determinism) is fully
+    testable."""
+    if real:
+        raise NotImplementedError(
+            "image resize requires PIL (not installed); use real=False "
+            "for the deterministic fake"
+        )
+    seed = hashlib.sha256(payload + f":{width}x{height}".encode()).digest()
+    return (seed * ((width * height * 3 // len(seed)) + 1))[: width * height * 3]
+
+
+def resize_media(media: DataFrame, width: int, height: int) -> DataFrame:
+    """mapInPandas resize over media batches (decode/encode stubbed,
+    plumbing real): payloads transform where they live — map-only, the
+    binary column never shuffles — and the metadata columns are
+    rewritten to the target box. At 100 TB the resize stage pipelines
+    with the scan exactly like extract_features; output payload size is
+    bounded by the target box, so downstream stages shrink."""
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [bytes(p) if p is not None else b"" for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": [
+                        resize_payload(p, m, width, height)
+                        for p, m in zip(payloads, pdf["mime"])
+                    ],
+                    "mime": pdf["mime"],
+                    "width": np.int64(width),
+                    "height": np.int64(height),
+                    "duration_ms": pdf["duration_ms"],
+                }
+            )
+
+    return media.mapInPandas(_resize, schema=MEDIA_SCHEMA)

@@ -323,3 +323,23 @@ def test_heavy_hitters_match_exact_topk(spark, sf_dir):
     # every reported hitter is within the true top-k count range
     floor_k = sorted(exact.values(), reverse=True)[k - 1]
     assert all(n >= floor_k for n in got.values())
+
+
+def test_resize_media_plumbing(spark, docs):
+    """Resize: deterministic fake payloads sized to the target box,
+    metadata rewritten, binary column stays executor-side (map-only) —
+    and the real-decode path is explicitly gated."""
+    media = M.documents_as_media(docs.filter(F.col("doc_id") < 10))
+    out = M.resize_media(media, width=8, height=8)
+    rows = {r["media_id"]: r for r in out.collect()}
+    assert len(rows) == 10
+    for r in rows.values():
+        assert (r["width"], r["height"]) == (8, 8)
+        assert len(r["payload"]) == 8 * 8 * 3
+    again = {r["media_id"]: bytes(r["payload"]) for r in M.resize_media(media, 8, 8).collect()}
+    assert {k: bytes(v["payload"]) for k, v in rows.items()} == again
+
+    import pytest as _pt
+
+    with _pt.raises(NotImplementedError):
+        M.resize_payload(b"x", "image/png", 8, 8, real=True)
