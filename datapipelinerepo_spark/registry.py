@@ -1618,3 +1618,322 @@ def a10_correlated_max(spark, sf_dir):
         .filter(F.col("o_totalprice") == F.col("_mx"))
         .select("o_custkey", "o_orderkey", "o_totalprice")
     )
+
+
+# ===========================================================================
+# Remaining TPC-H-shape analogs: each adds a distinct operator composition
+# (grouped-EXISTS, conditional CASE agg, outer-join count distribution,
+# group-HAVING vs global scalar, agg-max lookup, correlated-avg threshold,
+# disjunctive pushdown, scalar-gate + anti-join). These generalize the
+# flagship's semi/anti + grouped-count pattern (datasources.py:627-647)
+# into the full analytical surface a BigQuery user would have had.
+# ===========================================================================
+
+
+@register(
+    "q4_late_ship_priority",
+    sql="""
+    SELECT o.o_orderpriority AS priority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate)
+    GROUP BY 1
+    """,
+)
+def q4_late_ship_priority(spark, sf_dir):
+    """TPC-H-Q4 shape: grouped count over a correlated EXISTS. The
+    EXISTS decorrelates to a left-semi join on orderkey; the date
+    filter prunes orders BEFORE the join (pushed to the scan), and the
+    semi join ships only (orderkey, shipdate-vs-orderdate survivors) —
+    never lineitem payload. Generalizes the flagship coverage-gap
+    work-list (datasources.py:627-647) from anti to semi polarity."""
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        o.join(
+            li,
+            (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate),
+            "left_semi",
+        )
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@register(
+    "q12_priority_class_counts",
+    sql="""
+    SELECT l.l_returnflag AS rflag,
+           SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY 1
+    """,
+)
+def q12_priority_class_counts(spark, sf_dir):
+    """TPC-H-Q12 shape: conditional CASE aggregation over a fact⋈fact
+    join. One orderkey shuffle; the CASE branches fold into a single
+    grouped pass (no per-branch scans). Integer counts — no float
+    hashing concerns."""
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(F.col("l_returnflag").alias("rflag"))
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q13_order_count_distribution",
+    sql="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                        AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY 1
+    )
+    GROUP BY 1
+    """,
+)
+def q13_order_count_distribution(spark, sf_dir):
+    """TPC-H-Q13 shape: two-level aggregation — per-customer order count
+    (LEFT join keeps zero-order customers; the filter lives in the join
+    condition, not WHERE, so it can't turn the join inner), then the
+    distribution of those counts. First agg shuffles on custkey; the
+    second input is |customers| rows collapsing to a handful of counts,
+    so its shuffle is trivial. COUNT(col) counts non-NULL only — the
+    unmatched left rows contribute c_count=0 exactly as in SQL."""
+    c = t(spark, sf_dir, "customer").select("c_custkey")
+    o = t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderpriority")
+    per_cust = (
+        c.join(
+            o,
+            (c.c_custkey == o.o_custkey) & (o.o_orderpriority != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "q11_group_share_having",
+    sql="""
+    SELECT s_nationkey AS nkey,
+           CAST(SUM(CAST(s_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_bal
+    FROM supplier
+    GROUP BY 1
+    HAVING SUM(CAST(s_acctbal AS DECIMAL(18,4))) * 10 >
+           (SELECT SUM(CAST(s_acctbal AS DECIMAL(18,4))) FROM supplier)
+    """,
+)
+def q11_group_share_having(spark, sf_dir):
+    """TPC-H-Q11 shape: HAVING against a global scalar subquery — keep
+    groups holding >10% of the total. The global sum is a single-row
+    aggregate broadcast into the group filter (crossJoin of a 1-row df;
+    Catalyst plans it as a broadcast, no driver collect). The share
+    threshold is exact decimal arithmetic (sum*10 > total), never a
+    float ratio, so the boundary can't flip between engines."""
+    s = t(spark, sf_dir, "supplier")
+    dec_bal = F.col("s_acctbal").cast("decimal(18,4)")
+    grouped = s.groupBy(F.col("s_nationkey").alias("nkey")).agg(
+        F.sum(dec_bal).alias("_grp")
+    )
+    total = s.agg(F.sum(dec_bal).alias("_total"))
+    return (
+        grouped.crossJoin(F.broadcast(total))
+        .filter(F.col("_grp") * 10 > F.col("_total"))
+        .select("nkey", F.col("_grp").cast("double").alias("total_bal"))
+    )
+
+
+@register(
+    "q15_top_supplier",
+    sql="""
+    WITH revenue AS (
+      SELECT l_suppkey AS skey,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                 (1 - CAST(l_discount AS DECIMAL(18,4)))) AS total_rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+      GROUP BY 1
+    )
+    SELECT s.s_suppkey AS skey, s.s_name AS sname,
+           CAST(r.total_rev AS DOUBLE) AS total_rev
+    FROM supplier s JOIN revenue r ON s.s_suppkey = r.skey
+    WHERE r.total_rev = (SELECT MAX(total_rev) FROM revenue)
+    """,
+)
+def q15_top_supplier(spark, sf_dir):
+    """TPC-H-Q15 shape: argmax over an aggregated view. The revenue agg
+    is computed ONCE and reused for both the max (1-row broadcast) and
+    the probe — in SQL the view would be inlined twice; here the
+    DataFrame is shared so Spark reuses the exchange. Ties all qualify.
+    Exact decimal revenue, compared before the double cast. supplier
+    carries no forced broadcast hint — it scales with SF, so AQE
+    promotes it only when its runtime size allows."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp")
+    )
+    dec = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
+    revenue = li.groupBy(F.col("l_suppkey").alias("skey")).agg(
+        F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))).alias("_rev")
+    )
+    mx = revenue.agg(F.max("_rev").alias("_mx"))
+    s = t(spark, sf_dir, "supplier")
+    return (
+        revenue.crossJoin(F.broadcast(mx))
+        .filter(F.col("_rev") == F.col("_mx"))
+        .join(s, F.col("skey") == F.col("s_suppkey"))
+        .select(
+            F.col("s_suppkey").alias("skey"),
+            F.col("s_name").alias("sname"),
+            F.col("_rev").cast("double").alias("total_rev"),
+        )
+    )
+
+
+@register(
+    "q17_small_quantity_revenue",
+    sql="""
+    SELECT CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+                / 7.0 AS DOUBLE) AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN (SELECT l_partkey,
+                 SUM(CAST(l_quantity AS DECIMAL(18,4))) AS sum_qty,
+                 COUNT(*) AS cnt
+          FROM lineitem GROUP BY 1) a ON a.l_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#23'
+      AND CAST(l.l_quantity AS DECIMAL(18,4)) * a.cnt * 5 < a.sum_qty
+    """,
+)
+def q17_small_quantity_revenue(spark, sf_dir):
+    """TPC-H-Q17 shape: correlated AVG threshold (qty < 0.2 * per-part
+    avg). Decorrelates to a per-part aggregate joined back to lineitem.
+    The threshold is evaluated as exact integer-scaled decimal algebra
+    (qty * cnt * 5 < sum) — never a float division whose boundary could
+    flip between engines. Neither join side carries a forced broadcast:
+    part and the per-part aggregate both scale with SF (at 100 TB they
+    are billions of rows), so the plan must be allowed to fall back to
+    a shuffle join — AQE still broadcasts them at small scale, and the
+    brand filter keeps the part side selective."""
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
+    per_part = li.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias("sum_qty"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(per_part, li.l_partkey == F.col("a_partkey"))
+        .filter(
+            F.col("l_quantity").cast("decimal(18,4)") * F.col("cnt") * 5
+            < F.col("sum_qty")
+        )
+        .agg(
+            (S.decimal_sum("l_extendedprice") / F.lit(7.0))
+            .cast("double")
+            .alias("avg_yearly")
+        )
+    )
+
+
+@register(
+    "q19_disjunctive_pushdown",
+    sql="""
+    SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4)) *
+                    (1 - CAST(l.l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q19_disjunctive_pushdown(spark, sf_dir):
+    """TPC-H-Q19 shape: OR-of-ANDs join predicate. Catalyst derives the
+    single-table residuals of the disjunction (brand IN (...) on part,
+    quantity in the union range on lineitem) and pushes them below the
+    join, so both scans prune before any row pairs up; the full
+    disjunction re-checks post-join. No forced broadcast: part scales
+    with SF; the pushed brand/size residual shrinks it enough that AQE
+    broadcasts at small scale and shuffle-joins beyond."""
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+    j = li.join(p, li.l_partkey == p.p_partkey)
+    q, sz, br = F.col("l_quantity"), F.col("p_size"), F.col("p_brand")
+    cond = (
+        ((br == "Brand#12") & sz.between(1, 5) & q.between(1, 11))
+        | ((br == "Brand#23") & sz.between(1, 10) & q.between(10, 20))
+        | ((br == "Brand#3") & sz.between(1, 15) & q.between(20, 30))
+    )
+    dec = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
+    return j.filter(cond).agg(
+        F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))
+        .cast("double")
+        .alias("revenue")
+    )
+
+
+@register(
+    "q22_idle_wealthy_customers",
+    sql="""
+    WITH pos AS (
+      SELECT SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS s, COUNT(*) AS n
+      FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c.c_nationkey AS nkey, COUNT(*) AS numcust,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS totacctbal
+    FROM customer c, pos
+    WHERE CAST(c.c_acctbal AS DECIMAL(18,4)) * pos.n > pos.s
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY 1
+    """,
+)
+def q22_idle_wealthy_customers(spark, sf_dir):
+    """TPC-H-Q22 shape: scalar-average gate + NOT EXISTS + grouped
+    rollup — above-average-balance customers who never ordered. The
+    global average is exact decimal algebra (bal * n > sum, no float
+    ratio); the 1-row aggregate broadcasts into the filter; the NOT
+    EXISTS is a left-anti join shipping only o_custkey from orders."""
+    c = t(spark, sf_dir, "customer")
+    dec_bal = F.col("c_acctbal").cast("decimal(18,4)")
+    pos = c.filter(F.col("c_acctbal") > 0).agg(
+        F.sum(dec_bal).alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    o = t(spark, sf_dir, "orders").select("o_custkey")
+    return (
+        c.crossJoin(F.broadcast(pos))
+        .filter(dec_bal * F.col("n") > F.col("s"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy(F.col("c_nationkey").alias("nkey"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(dec_bal).cast("double").alias("totacctbal"),
+        )
+    )
