@@ -154,15 +154,21 @@ def p7_computed_columns(spark, sf_dir):
     "p8_cast_projection",
     sql="SELECT CAST(o_orderkey AS VARCHAR) AS okey_str, "
     "CAST(o_orderdate AS DATE) AS odate, "
-    "CAST(o_totalprice AS DECIMAL(18,2)) AS price_dec FROM orders",
+    "CAST(o_custkey AS DOUBLE) AS ckey_dbl FROM orders",
 )
 def p8_cast_projection(spark, sf_dir):
-    """P8: astype cast projection (datasources.py:274-275)."""
+    """P8: astype cast projection (datasources.py:274-275) — the
+    reference's astype targets are str / datetime64 / float, mirrored
+    here as string / date / double. int→double is exact in both
+    engines; double→decimal was dropped in round 2 because binary
+    doubles that land exactly on a half-cent (x.125, x.375, ...) round
+    HALF_UP in Spark but half-even in DuckDB — a tie-breaking
+    convention difference, not a cast defect."""
     df = t(spark, sf_dir, "orders")
     return df.select(
         F.col("o_orderkey").cast("string").alias("okey_str"),
         F.col("o_orderdate").cast("date").alias("odate"),
-        F.col("o_totalprice").cast("decimal(18,2)").alias("price_dec"),
+        F.col("o_custkey").cast("double").alias("ckey_dbl"),
     )
 
 
@@ -778,22 +784,26 @@ def events_range_join(spark, sf_dir):
     sql="""
     SELECT CAST(floor(value / 50) AS BIGINT) AS bin,
            COUNT(*) AS n,
-           round(CAST(MIN(value) AS DECIMAL(18,4)), 4) AS bin_min,
-           round(CAST(MAX(value) AS DECIMAL(18,4)), 4) AS bin_max
+           MIN(value) AS bin_min,
+           MAX(value) AS bin_max
     FROM events GROUP BY 1
     """,
 )
 def events_value_histogram(spark, sf_dir):
     """Fixed-width histogram of the value column (bin = floor(v/50)) —
     the distribution profile that sizes quality thresholds; one
-    partial+final agg, bins as keys."""
+    partial+final agg, bins as keys. min/max of doubles are exact
+    values lifted from the data (order-insensitive, no accumulation),
+    so they are emitted raw — round-2 fix: the earlier
+    decimal(18,4)+round presentation tripped Spark-vs-DuckDB rounding
+    ties exactly like p8."""
     e = t(spark, sf_dir, "events")
     return (
         e.groupBy(F.floor(F.col("value") / 50).cast("long").alias("bin"))
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.min("value").cast("decimal(18,4)"), 4).alias("bin_min"),
-            F.round(F.max("value").cast("decimal(18,4)"), 4).alias("bin_max"),
+            F.min("value").alias("bin_min"),
+            F.max("value").alias("bin_max"),
         )
     )
 
@@ -1095,15 +1105,16 @@ def q18_large_orders(spark, sf_dir):
 def events_sessionize(spark, sf_dir):
     """Sessionization (30-min inactivity gap) via gaps-and-islands —
     the batch twin of streaming session windows. Window-only plan:
-    one shuffle on user_id, then two ordered passes."""
+    one shuffle on user_id, then two ordered passes. The gap test
+    compares microsecond epochs (round-2 fix: ``ts.cast("long")``
+    truncated sub-second precision, so a 1800.4 s gap compared as 1800
+    and silently merged two sessions the oracle split)."""
     e = t(spark, sf_dir, "events").select("user_id", "ts", "event_id")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_us = F.unix_micros(F.col("ts"))
     flagged = e.withColumn(
         "new_sess",
-        F.when(
-            F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w) > 1800,
-            1,
-        )
+        F.when(ts_us - F.lag(ts_us).over(w) > 1800 * 1_000_000, 1)
         .when(F.lag("ts").over(w).isNull(), 1)
         .otherwise(0),
     )
@@ -1670,10 +1681,10 @@ def q4_late_ship_priority(spark, sf_dir):
     "q12_priority_class_counts",
     sql="""
     SELECT l.l_returnflag AS rflag,
-           SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
     WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
       AND l.l_shipdate < TIMESTAMP '1998-01-01'

@@ -23,23 +23,27 @@ def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 
 def _norm(v):
+    # Round-2 tightening: the driver hashes full-precision values, so the
+    # local normalizer must NOT forgive precision the driver would flag.
+    # (The r1 9-sig-digit / whole-second normalizer masked all three driver
+    # hash failures — VERDICT.md "What's wrong".)
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return f"{v:.9g}"
+        return repr(v)  # shortest round-trip repr == full double precision
     if isinstance(v, dt.datetime):
-        return v.replace(tzinfo=None).isoformat(sep=" ", timespec="seconds")
+        return v.replace(tzinfo=None).isoformat(sep=" ", timespec="microseconds")
     if isinstance(v, dt.date):
         return v.isoformat()
     if isinstance(v, (bytes, bytearray)):
         return bytes(v).hex()
     if isinstance(v, list):
         return tuple(_norm(x) for x in v)
-    try:  # Decimal and friends
+    try:  # Decimal: exact digits, scale-cosmetics (trailing zeros) removed
         import decimal
 
         if isinstance(v, decimal.Decimal):
-            return f"{float(v):.9g}"
+            return format(v.normalize(), "f")
     except Exception:
         pass
     return v
