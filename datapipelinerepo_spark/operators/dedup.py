@@ -172,12 +172,14 @@ def minhash_lsh_pairs(
     Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold.
     """
     rows_per_band = num_hashes // bands
-    # shingles is referenced by three branches (signatures + both verify
-    # sides) but NOT cached: measured at sf0.1, recomputing the map-only
-    # shingle stage is faster than the cache-fill job (2.4s vs 2.6-3.3s
-    # steady-state), and at 100 TB a corpus-sized cached intermediate
-    # doesn't fit memory anyway — recompute keeps every branch a pure
-    # scan-side pipeline AQE can plan independently.
+    # Corpus-wide shingles are computed ONCE (signature branch). The two
+    # verify sides recompute shingles only for documents that appear in a
+    # candidate pair (semi-join below) — a tiny subset of the corpus at
+    # any scale. Round 1 recomputed full-corpus shingles in all three
+    # branches (a measured choice vs caching: 2.4s recompute vs 2.6-3.3s
+    # cache-fill at sf0.1, and corpus-sized caches don't exist at
+    # 100 TB); round 2 shrinks the verify branches instead, which beats
+    # both.
     sh = shingles(df, n=shingle_n, text_col=text_col, id_col=id_col)
     sig = minhash_signatures(sh, num_hashes=num_hashes)
     band_cols = [
@@ -198,8 +200,26 @@ def minhash_lsh_pairs(
         .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
         .distinct()
     )
-    sa = sh.select(F.col("_id").alias("id_a"), F.col("_shingles").alias("_sha"))
-    sb = sh.select(F.col("_id").alias("id_b"), F.col("_shingles").alias("_shb"))
+    # Materialize the candidate-id pairs (ids only — small even when the
+    # corpus is 100 TB) so the banding subtree runs exactly once instead
+    # of once per verify side, then restrict the verify-side shingle
+    # recompute to candidate documents via a semi-join. AQE broadcasts
+    # the id set when it is small and falls back to a shuffled semi-join
+    # when it is not — no driver-side collect either way.
+    cand = cand.localCheckpoint(eager=True)
+    cand_ids = (
+        cand.select(F.col("id_a").alias(id_col))
+        .union(cand.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    shv = shingles(
+        df.join(cand_ids, id_col, "left_semi"),
+        n=shingle_n,
+        text_col=text_col,
+        id_col=id_col,
+    )
+    sa = shv.select(F.col("_id").alias("id_a"), F.col("_shingles").alias("_sha"))
+    sb = shv.select(F.col("_id").alias("id_b"), F.col("_shingles").alias("_shb"))
     verified = (
         cand.join(sa, "id_a")
         .join(sb, "id_b")

@@ -133,7 +133,7 @@ def ann_topk_bruteforce(spark, sf_dir):
     return SIM.cosine_topk_bruteforce(q, emb, k=10)
 
 
-@register("ann_topk_lsh", sql=None)
+@register("ann_topk_lsh", sql=None, bench=True)
 def ann_topk_lsh(spark, sf_dir):
     """LSH-bucketed ANN top-10 (random hyperplanes, multi-probe) — the
     100 TB scale path. Hash-dependent → rows-only check; recall vs the
@@ -464,6 +464,7 @@ def scale_heavy_hitters(spark, sf_dir):
 
 @register(
     "dedup_connected_components",
+    bench=True,
     sql="""
     WITH flagged AS (
       SELECT doc_id, lang,
