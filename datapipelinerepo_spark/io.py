@@ -34,6 +34,17 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def lakehouse_format() -> str | None:
+    """'delta' when delta-spark is importable (the session must also
+    carry the Delta SQL extension + catalog), else None → plain parquet.
+    Iceberg would slot in the same way. Detection is import-based so the
+    engine degrades gracefully in environments without lakehouse jars
+    (like this sandbox) while the MERGE path stays real code."""
+    import importlib.util
+
+    return "delta" if importlib.util.find_spec("delta") is not None else None
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one driver testdata table (S1). Catalyst handles column
     pruning / predicate pushdown into the parquet scan.
@@ -103,6 +114,11 @@ class TableStore:
 
     # -- reads -------------------------------------------------------------
     def read(self, name: str, merge_schema: bool = True) -> DataFrame:
+        # a table previously written by the Delta MERGE path carries a
+        # _delta_log; reading it as raw parquet would resurrect files
+        # MERGE logically removed, so route per-table on the marker
+        if os.path.isdir(os.path.join(self._dir(name), "_delta_log")):
+            return self.spark.read.format("delta").load(self._dir(name))
         return self.spark.read.option(
             "mergeSchema", str(merge_schema).lower()
         ).parquet(self._dir(name))
@@ -143,14 +159,23 @@ class TableStore:
         """Keyed merge (MERGE/upsert): incoming rows replace existing
         rows with the same key; all other existing rows survive. The
         generalization of the reference's delete-then-append (S10) from
-        a date slice to arbitrary keys. Plain parquet has no MERGE, so
-        this is anti-join + union + overwrite — on a lakehouse format
-        the same call maps to a real MERGE and touches only matching
-        files. The incoming batch is deduplicated on the key (last
-        writer wins within a batch is not defined — dropDuplicates
-        keeps one) before replacing."""
+        a date slice to arbitrary keys.
+
+        Backend routing: when a lakehouse format is on the classpath
+        (Delta — see ``lakehouse_format()``), this issues a real
+        ``MERGE`` that rewrites only the files containing matched keys;
+        on plain parquet it falls back to anti-join + union + overwrite,
+        which rewrites the whole table — semantically identical,
+        operationally fine for dimension-sized tables, and the
+        documented reason a 100 TB deployment should sit on a lakehouse
+        format. The incoming batch is deduplicated on the key
+        (last-writer-wins within a batch is not defined — dropDuplicates
+        keeps one) before merging, in both backends."""
         keys = [key] if isinstance(key, str) else list(key)
         incoming = df.dropDuplicates(keys)
+        if lakehouse_format() == "delta":
+            self._upsert_delta(incoming, name, keys)
+            return
         if self.exists(name):
             existing = self.read(name)
             # null-safe key equality: plain `on=keys` never matches NULL
@@ -169,6 +194,28 @@ class TableStore:
         # materialize before overwriting the directory being read
         merged = merged.localCheckpoint()
         self.overwrite(merged, name)
+
+    def _upsert_delta(self, incoming: DataFrame, name: str, keys: list[str]) -> None:
+        """Real MERGE INTO on a Delta table: only files containing
+        matched keys rewrite (plus the appended inserts) — the 100 TB
+        path the parquet fallback stands in for. Null-safe key equality
+        (<=>) mirrors the fallback's eqNullSafe."""
+        from delta.tables import DeltaTable  # gated by lakehouse_format()
+
+        path = self._dir(name)
+        if not self.exists(name):
+            incoming.write.format("delta").mode("overwrite").save(path)
+        else:
+            cond = " AND ".join(f"t.{k} <=> s.{k}" for k in keys)
+            (
+                DeltaTable.forPath(self.spark, path)
+                .alias("t")
+                .merge(incoming.alias("s"), cond)
+                .whenMatchedUpdateAll()
+                .whenNotMatchedInsertAll()
+                .execute()
+            )
+        self._touch_meta(name)
 
     def drop(self, name: str) -> None:
         shutil.rmtree(self._dir(name), ignore_errors=True)

@@ -1948,3 +1948,33 @@ def q22_idle_wealthy_customers(spark, sf_dir):
             F.sum(dec_bal).cast("double").alias("totacctbal"),
         )
     )
+
+
+@register(
+    "f18_unavail_fill",
+    sql="""
+    SELECT o.o_orderkey AS okey,
+           coalesce(c.c_name, 'unavail') AS cust_name,
+           coalesce(c.c_mktsegment, 'unavail') AS segment
+    FROM orders o
+    LEFT JOIN (SELECT * FROM customer WHERE c_mktsegment = 'BUILDING') c
+      ON o.o_custkey = c.c_custkey
+    """,
+)
+def f18_unavail_fill(spark, sf_dir):
+    """F18: missing-lookup fields filled with the 'unavail' sentinel
+    (datasources.py:717-720, :728-732 — stats page absent → every stat
+    field set to 'unavail'). The relational shape of that fill is a
+    left join whose misses coalesce to the sentinel; previously only
+    exercised through the GameStats pipeline path, registered here so
+    the driver oracle checks it directly."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "left")
+        .select(
+            F.col("o_orderkey").alias("okey"),
+            S.fill_unavail("c_name").alias("cust_name"),
+            S.fill_unavail("c_mktsegment").alias("segment"),
+        )
+    )

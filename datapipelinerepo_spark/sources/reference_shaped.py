@@ -205,24 +205,61 @@ class GamesSource(DataSource):
     (team, year) from the teams table (the reference *intended* to read
     the teams table — §2.11 quirk 3); game id split from the URL (F5);
     incremental = symmetric difference against already-loaded rows
-    (J2, datasources.py:547-552); append."""
+    (J2, datasources.py:547-552); append.
+
+    ``years=None`` enables the reference's *massgrab* historical
+    backfill (datasources.py:487-489, :505-512): when the games table
+    does not exist yet, schedule() flips ``massgrab`` on and extract()
+    drives ``backfill_start``..current-season × teams; once the table
+    exists, the auto range collapses to just the current season. The
+    reference scrapes the max season from a dropdown (A5, :503-504);
+    we derive the same value from the injected clock (a season belongs
+    to the year it starts in: Aug-Dec → this year, Jan-Jul → last
+    year), which keeps the gate deterministic and testable."""
 
     name = "games"
     table_name = "games"
     write_mode = "append"
 
-    def __init__(self, years: list[str], fetcher, teams_table: str = "schools", policy: RetryPolicy | None = None):
+    def __init__(
+        self,
+        years: list[str] | None,
+        fetcher,
+        teams_table: str = "schools",
+        policy: RetryPolicy | None = None,
+        backfill_start: int = 2010,
+    ):
         self.years = years
         self.fetcher = fetcher
         self.teams_table = teams_table
         self.policy = policy or RetryPolicy(backoff_s=0)
+        self.backfill_start = backfill_start
+        self.massgrab = False
+
+    def current_season(self, ctx: SourceContext) -> int:
+        today = ctx.clock.today()
+        return today.year if today.month >= 8 else today.year - 1
+
+    def season_years(self, ctx: SourceContext) -> list[str]:
+        """Explicit years win; otherwise 2010..current when massgrab is
+        on (first-ever pull), else just the current season."""
+        if self.years is not None:
+            return self.years
+        maxyr = self.current_season(ctx)
+        start = self.backfill_start if self.massgrab else maxyr
+        return [str(y) for y in range(start, maxyr + 1)]
 
     def schedule(self, ctx: SourceContext) -> bool:
+        if self.years is None and not existence_gate(ctx.store, self.table_name):
+            # datasources.py:487-489: missing table → massgrab + pull
+            self.massgrab = True
+            return True
         return calendar_gate(ctx.clock, weekday=None) or ctx.manual
 
     def extract(self, ctx: SourceContext) -> DataFrame:
         teams = ctx.store.read(self.teams_table).select("id")
-        years = ctx.spark.createDataFrame([(y,) for y in self.years], "year string")
+        season = self.season_years(ctx)
+        years = ctx.spark.createDataFrame([(y,) for y in season], "year string")
         worklist = R.driving_cross_join(teams, years).withColumn(
             "url", F.concat_ws("/", F.lit("games:/"), F.col("id"), F.col("year"))
         )
@@ -244,7 +281,7 @@ class GamesSource(DataSource):
                 F.col("id").alias("team_id"),
                 F.col("game_url"),
             )
-            .filter(F.col("year").isin(self.years))  # P2 IN-list re-check
+            .filter(F.col("year").isin(season))  # P2 IN-list re-check
             .distinct()
         )
         if ctx.store.exists(self.table_name):

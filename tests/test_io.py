@@ -95,6 +95,27 @@ def test_upsert_null_keys_replace_not_accumulate(spark, tmp_path):
     assert store.read("t").count() == 2
 
 
+def test_upsert_delta_backend_when_available(spark, tmp_path):
+    """The MERGE INTO path runs when a lakehouse format is on the
+    classpath; in environments without delta-spark (this sandbox) the
+    parquet fallback above is the tested behavior and this case skips.
+    Both backends satisfy the same upsert contract, so the assertions
+    are identical to test_upsert_replaces_by_key."""
+    import pytest
+
+    from datapipelinerepo_spark.io import lakehouse_format
+
+    if lakehouse_format() != "delta":
+        pytest.skip("delta-spark not installed; parquet fallback covered above")
+    store = TableStore(spark, str(tmp_path))
+    base = spark.createDataFrame([(1, "a"), (2, "b")], ["id", "val"])
+    store.upsert(base, "t", "id")
+    assert (tmp_path / "t" / "_delta_log").is_dir()  # really went through Delta
+    store.upsert(spark.createDataFrame([(2, "B2"), (3, "c")], ["id", "val"]), "t", "id")
+    got = {r["id"]: r["val"] for r in store.read("t").collect()}
+    assert got == {1: "a", 2: "B2", 3: "c"}
+
+
 def test_rollup_incremental_equals_recompute(spark, sf_dir, tmp_path):
     """Continuous-aggregate contract: maintaining the rollup over delta
     batches produces exactly the full-recompute table, regardless of

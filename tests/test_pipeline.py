@@ -242,6 +242,44 @@ def test_teams_and_games_incremental(spark, store):
     assert store.read("games").count() == 4
 
 
+def test_games_massgrab_backfill(spark, store):
+    """massgrab analog (datasources.py:487-489, :505-512): years=None
+    with no games table yet → schedule flips massgrab on and extract
+    drives backfill_start..current-season × teams; a second pipeline run
+    sees the table, collapses the range to the current season, and the
+    incremental anti-join converges to zero new rows."""
+    clock = FixedClock(MONDAY)  # Aug 2026 → current season 2026
+    teams = TeamsSource(["SEC"], make_dict_fetcher({"teams://sec": TEAM_HTML}))
+    games_pages = {
+        f"games://{tid}/{yr}": _games_html(tid, yr)
+        for tid in ("2633", "333")
+        for yr in ("2024", "2025", "2026")
+    }
+    games = GamesSource(
+        None, make_dict_fetcher(games_pages), backfill_start=2024
+    )
+    r = Pipeline([teams, games], spark=spark, store=store, clock=clock).run()
+    assert games.massgrab  # missing table flipped the backfill mode on
+    assert r.loaded_rows["games"] == 6  # 2 teams x seasons 2024..2026
+    assert {x["year"] for x in store.read("games").collect()} == {"2024", "2025", "2026"}
+    # second run, fresh source: table exists -> no massgrab, range is
+    # just the current season, and nothing new survives the anti-join
+    games2 = GamesSource(None, make_dict_fetcher(games_pages), backfill_start=2024)
+    from datapipelinerepo_spark.plans import SourceContext
+
+    ctx = SourceContext(spark=spark, store=store, clock=clock)
+    r2 = Pipeline([games2], spark=spark, store=store, clock=clock).run()
+    assert not games2.massgrab
+    assert games2.season_years(ctx) == ["2026"]
+    assert r2.scheduled["games"] and r2.loaded_rows["games"] == 0
+    assert store.read("games").count() == 6
+    # off-season clock: Jan belongs to the season that started last fall
+    ctx_jan = SourceContext(
+        spark=spark, store=store, clock=FixedClock(dt.date(2027, 1, 4))
+    )
+    assert games2.season_years(ctx_jan) == ["2026"]
+
+
 def _stats_html(gid: str) -> str:
     return f"""
     <table>
