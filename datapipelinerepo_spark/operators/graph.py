@@ -57,32 +57,35 @@ def connected_components(
             "node",
             F.least(
                 F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))
-            ).alias("comp"),
+            ).alias("_mid"),
+            # the round-START label rides along so convergence is a
+            # filter-count over the checkpointed frame below — not a
+            # second join against the old labels (one shuffle less per
+            # round). It must be the start label, not _mid: a round
+            # where only the neighborhood step lowered labels would
+            # otherwise report itself converged.
+            F.col("comp").alias("_start"),
         )
         # pointer jumping: also adopt the label OF my label (comp is a
         # node id, so its own label exists) — halves the remaining
         # distance to the component minimum each round, turning
         # O(diameter) propagation into O(log diameter)
         ptr = stepped.select(
-            F.col("node").alias("_pn"), F.col("comp").alias("_pc")
+            F.col("node").alias("_pn"), F.col("_mid").alias("_pc")
         )
-        new_labels = (
-            stepped.join(ptr, stepped.comp == ptr._pn, "left")
+        new_full = (
+            stepped.join(ptr, stepped._mid == ptr._pn, "left")
             .select(
                 "node",
                 F.least(
-                    F.col("comp"), F.coalesce(F.col("_pc"), F.col("comp"))
-                ).alias("comp"),
+                    F.col("_mid"), F.coalesce(F.col("_pc"), F.col("_mid"))
+                ).alias("new_comp"),
+                "_start",
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), on="node")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_full.filter(F.col("new_comp") != F.col("_start")).count()
+        labels = new_full.select("node", F.col("new_comp").alias("comp"))
         if changed == 0:
             break
     return labels

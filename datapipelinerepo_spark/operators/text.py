@@ -311,3 +311,64 @@ def rolling_fingerprints(
         F.filter(F.transform(idx, gram_hash), lambda h: h % mod_p == 0)
     )
     return base.select(F.col(id_col), F.explode(grams).alias("fp"))
+
+
+def decontaminate_hits(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination: corpus documents sharing at least one
+    word n-gram with the benchmark/eval set, with the count of distinct
+    overlapping n-grams. The keep-side twin is ``decontaminate_keep``.
+
+    Scale shape (the step every training-data pipeline runs before a
+    model sees the corpus): the benchmark side is eval-set sized
+    (thousands of docs), so its distinct n-gram hashes BROADCAST; the
+    corpus side is a map-only explode of n-gram hashes checked against
+    the broadcast set inside the scan stage — the 100 TB corpus never
+    shuffles for the membership test, only (doc_id, gram_hash) pairs of
+    actual hits reach the counting shuffle. N-grams are compared as
+    xxhash64 longs (2^-64 collision note as in dedup.shingles).
+    """
+    def ngrams(df: DataFrame) -> DataFrame:
+        toks = F.split(
+            F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " "
+        )
+        staged = df.select(F.col(id_col).alias("_id"), toks.alias("_t"))
+        # guard: F.sequence(1, size-n+1) DESCENDS when size < n (Spark
+        # sequence auto-steps -1), fabricating out-of-range indices —
+        # short docs must yield no n-grams, not reversed garbage
+        idx = F.when(
+            F.size("_t") >= n, F.sequence(F.lit(1), F.size("_t") - (n - 1))
+        ).otherwise(F.array().cast("array<int>"))
+        gram = F.transform(
+            idx,
+            lambda i: F.xxhash64(
+                F.concat_ws(" ", *[F.try_element_at("_t", i + j) for j in range(n)])
+            ),
+        )
+        return staged.select("_id", F.explode(F.array_distinct(gram)).alias("_g"))
+
+    bench_grams = F.broadcast(ngrams(benchmark).select("_g").distinct())
+    hits = ngrams(corpus).join(bench_grams, on="_g", how="left_semi")
+    return (
+        hits.groupBy(F.col("_id").alias(id_col))
+        .agg(F.count(F.lit(1)).alias("n_hit_ngrams"))
+    )
+
+
+def decontaminate_keep(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus rows with NO n-gram overlap against the benchmark set —
+    the clean training corpus (anti-join against the contaminated-id
+    set, which is small, so it broadcasts)."""
+    dirty = decontaminate_hits(corpus, benchmark, n, text_col, id_col).select(id_col)
+    return corpus.join(dirty, on=id_col, how="left_anti")

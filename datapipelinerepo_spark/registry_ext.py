@@ -837,3 +837,71 @@ def multimodal_extract_features(spark, sf_dir):
     tests/test_multimodal.py."""
     m = M.documents_as_media(t(spark, sf_dir, "documents"))
     return M.extract_features(m).drop("features")
+
+
+@register(
+    "text_decontaminate",
+    sql=r"""
+    WITH tok AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+      FROM documents
+    ), pos AS (
+      SELECT doc_id, unnest(generate_series(1, len(t) - 2)) AS i, t
+      FROM tok WHERE len(t) >= 3
+    ), ng AS (
+      SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+      FROM pos
+    ), bench AS (
+      SELECT DISTINCT g FROM ng WHERE doc_id % 97 = 0
+    )
+    SELECT n.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hit_ngrams
+    FROM ng n JOIN bench USING (g)
+    WHERE n.doc_id % 97 <> 0
+    GROUP BY 1
+    """,
+)
+def text_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: training docs sharing >=1 word 3-gram
+    with the held-out 'benchmark' slice (doc_id % 97 = 0 stands in for
+    an eval set). The oracle compares n-grams as strings; the operator
+    compares xxhash64 longs — identical output up to 2^-64 collisions
+    (same convention as dedup.shingles)."""
+    docs = t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    return T.decontaminate_hits(corpus, bench, n=3)
+
+
+@register(
+    "text_decontaminate_keep",
+    sql=r"""
+    WITH tok AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+      FROM documents
+    ), pos AS (
+      SELECT doc_id, unnest(generate_series(1, len(t) - 2)) AS i, t
+      FROM tok WHERE len(t) >= 3
+    ), ng AS (
+      SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+      FROM pos
+    ), bench AS (
+      SELECT DISTINCT g FROM ng WHERE doc_id % 97 = 0
+    ), dirty AS (
+      SELECT DISTINCT n.doc_id FROM ng n JOIN bench USING (g)
+      WHERE n.doc_id % 97 <> 0
+    )
+    SELECT d.doc_id, d.lang, d.n_chars
+    FROM documents d
+    WHERE d.doc_id % 97 <> 0
+      AND d.doc_id NOT IN (SELECT doc_id FROM dirty)
+    """,
+)
+def text_decontaminate_keep(spark, sf_dir):
+    """The clean-corpus side of decontamination: docs with zero
+    benchmark n-gram overlap (what actually ships to training)."""
+    docs = t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    return T.decontaminate_keep(corpus, bench, n=3).select(
+        "doc_id", "lang", "n_chars"
+    )

@@ -343,3 +343,28 @@ def test_resize_media_plumbing(spark, docs):
 
     with _pt.raises(NotImplementedError):
         M.resize_payload(b"x", "image/png", 8, 8, real=True)
+
+
+def test_decontaminate_planted(spark):
+    """A corpus doc containing a verbatim benchmark sentence is flagged
+    with the right overlap count; an unrelated doc is not; the keep side
+    is exactly the complement."""
+    from datapipelinerepo_spark.operators import text as T
+
+    bench = spark.createDataFrame(
+        [(1000, "the quick brown fox jumps over lazy dogs")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "prefix words then the quick brown fox appears here"),
+            (2, "completely unrelated content about spark partitions"),
+            (3, "short doc"),  # < n tokens: no n-grams, never flagged
+        ],
+        "doc_id long, text string",
+    )
+    hits = {r["doc_id"]: r["n_hit_ngrams"] for r in T.decontaminate_hits(corpus, bench).collect()}
+    # shared 3-grams: "the quick brown", "quick brown fox"
+    assert hits == {1: 2}
+    kept = {r["doc_id"] for r in T.decontaminate_keep(corpus, bench).collect()}
+    assert kept == {2, 3}
