@@ -905,3 +905,19 @@ def text_decontaminate_keep(spark, sf_dir):
     return T.decontaminate_keep(corpus, bench, n=3).select(
         "doc_id", "lang", "n_chars"
     )
+
+
+@register(
+    "skew_salted_counts",
+    sql="SELECT event_type, COUNT(*) AS n_rows FROM events GROUP BY 1",
+)
+def skew_salted_counts(spark, sf_dir):
+    """Two-phase salted GROUP BY (operators/skew.salted_count_by_key):
+    the hot key fans across 16 reducers in the partial phase, the final
+    phase sums partials per key — result identical to a plain groupBy
+    count, which is exactly what the oracle checks. The explicit salt
+    matters for large-per-key-state aggs where Spark's automatic
+    partial aggregation doesn't bound reducer memory."""
+    from .operators import skew as SK
+
+    return SK.salted_count_by_key(t(spark, sf_dir, "events"), "event_type")

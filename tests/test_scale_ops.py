@@ -167,3 +167,36 @@ def test_partition_pruning(spark, sf_dir, tmp_path):
         spark.read.parquet(out).collect()
     )
     assert part.count() == sum(1 for r in expected if r["omonth"] == 3) > 0
+
+
+def test_decontaminate_broadcasts_benchmark_side(spark, sf_dir):
+    """The eval-set n-gram membership test must run inside the corpus
+    scan stage: the benchmark grams broadcast (BroadcastHashJoin
+    LeftSemi), the corpus side never shuffles for it."""
+    from datapipelinerepo_spark.registry import REGISTRY
+    import datapipelinerepo_spark.registry_ext  # noqa: F401
+
+    plan = (
+        REGISTRY["text_decontaminate"]
+        .fn(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_f18_fill_join_broadcasts(spark, sf_dir):
+    """f18_unavail_fill's filtered customer side broadcasts; orders
+    stream through map-side."""
+    from datapipelinerepo_spark.registry import REGISTRY
+
+    plan = (
+        REGISTRY["f18_unavail_fill"]
+        .fn(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SortMergeJoin" not in plan, "filtered dim side lost its broadcast"
