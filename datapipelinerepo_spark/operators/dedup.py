@@ -16,6 +16,8 @@ Scale design (100 TB documents):
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -308,3 +310,107 @@ def simhash_pairs(df: DataFrame, max_hamming: int = 8, text_col: str = "text", i
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-batch incremental dedup: bloom prefilter + exact verify
+# ---------------------------------------------------------------------------
+
+
+def _digest_bit_positions(digest_col, m_bits: int, k: int, seed: int):
+    """k bloom bit positions per digest, computed JVM-side (xxhash64
+    with k seeds, mod m) so no Python touches the full input."""
+    return F.array(
+        *[
+            F.pmod(F.xxhash64(digest_col, F.lit(seed + i)), F.lit(m_bits))
+            for i in range(k)
+        ]
+    )
+
+
+def digest_bloom_bitmap(
+    digests: DataFrame,
+    digest_col: str = "digest",
+    m_bits: int = 1 << 23,
+    k: int = 5,
+    seed: int = 101,
+) -> bytes:
+    """Bloom bitmap of a digest column. Sizing: m ≈ 9.6·n bits gives
+    ~1% false positives (m/n = -k/ln(1-fpp^(1/k)) at k=5); the default
+    1 MiB bitmap covers ~870k digests at 1%.
+
+    Build is map-only: bit positions come from JVM xxhash64, each
+    partition folds its positions into a local bitmap (one Arrow
+    batch stream), and the driver ORs the per-partition bitmaps — a
+    bounded collect of n_partitions × m/8 bytes, the same footprint
+    class as building any broadcast side. At extreme partition counts,
+    OR-reduce in a tree (treeAggregate) instead of at the driver."""
+    positions = digests.select(
+        F.explode(
+            _digest_bit_positions(F.col(digest_col), m_bits, k, seed)
+        ).alias("pos")
+    )
+    n_bytes = (m_bits + 7) // 8
+
+    def to_bitmap(batches):
+        bm = np.zeros(n_bytes, dtype=np.uint8)
+        for pdf in batches:
+            pos = pdf["pos"].to_numpy()
+            np.bitwise_or.at(bm, pos >> 3, (1 << (pos & 7)).astype(np.uint8))
+        yield pd.DataFrame({"bitmap": [bm.tobytes()]})
+
+    parts = positions.mapInPandas(to_bitmap, "bitmap binary").collect()
+    out = np.zeros(n_bytes, dtype=np.uint8)
+    for r in parts:
+        out |= np.frombuffer(r["bitmap"], dtype=np.uint8)
+    return out.tobytes()
+
+
+def incremental_dedup_bloom(
+    new: DataFrame,
+    history: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    m_bits: int = 1 << 23,
+    k: int = 5,
+    seed: int = 101,
+) -> DataFrame:
+    """Rows of ``new`` whose text digest does NOT appear in ``history``
+    — cross-batch incremental dedup, the nightly "what of today's crawl
+    is actually new" step.
+
+    Result is EXACTLY the plain digest anti-join (oracle-checkable):
+    the bloom filter has no false negatives, so rows it rejects are
+    definitely new and skip the join entirely; only might-contain
+    candidates (true matches + ~1% false positives) enter the exact
+    digest semi-verify. At 100 TB that is the difference between
+    shuffling the whole incoming batch against the historical digest
+    table and shuffling only the candidate slice; the bitmap itself
+    broadcasts (spark.sparkContext.broadcast) instead of riding every
+    task closure."""
+    from pyspark.sql import SparkSession
+    from pyspark.sql.functions import pandas_udf
+
+    hist_digests = history.select(F.md5(F.col(text_col)).alias("_digest")).distinct()
+    bitmap = digest_bloom_bitmap(hist_digests, "_digest", m_bits, k, seed)
+    sc = SparkSession.getActiveSession().sparkContext
+    bc = sc.broadcast(bitmap)
+
+    @pandas_udf("boolean")
+    def might_contain(pos: pd.Series) -> pd.Series:
+        bm = np.frombuffer(bc.value, dtype=np.uint8)
+        if len(pos) == 0:
+            return pd.Series([], dtype=bool)
+        P = np.asarray([np.asarray(p) for p in pos])  # (n, k)
+        hit = (bm[P >> 3] & (1 << (P & 7)).astype(np.uint8)) != 0
+        return pd.Series(hit.all(axis=1))
+
+    staged = new.withColumn("_digest", F.md5(F.col(text_col))).withColumn(
+        "_maybe",
+        might_contain(_digest_bit_positions(F.col("_digest"), m_bits, k, seed)),
+    )
+    definitely_new = staged.filter(~F.col("_maybe"))
+    rescued = staged.filter(F.col("_maybe")).join(
+        hist_digests, on="_digest", how="left_anti"
+    )
+    return definitely_new.unionByName(rescued).drop("_digest", "_maybe")

@@ -921,3 +921,26 @@ def skew_salted_counts(spark, sf_dir):
     from .operators import skew as SK
 
     return SK.salted_count_by_key(t(spark, sf_dir, "events"), "event_type")
+
+
+@register(
+    "dedup_incremental_bloom",
+    sql="""
+    SELECT i.doc_id, i.lang, i.n_chars
+    FROM documents i
+    WHERE i.doc_id % 3 = 0
+      AND md5(i.text) NOT IN
+          (SELECT md5(text) FROM documents WHERE doc_id % 3 <> 0)
+    """,
+)
+def dedup_incremental_bloom(spark, sf_dir):
+    """Cross-batch incremental dedup: today's batch (doc_id % 3 = 0
+    slice) minus texts already in the historical corpus (the rest).
+    The bloom prefilter has no false negatives and candidates are
+    exactly verified, so the result provably equals the plain digest
+    anti-join — which is what the oracle checks. The bloom's job is
+    cost shape: only might-contain rows enter the shuffle join."""
+    docs = t(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 3 == 0)
+    hist = docs.filter(F.col("doc_id") % 3 != 0)
+    return D.incremental_dedup_bloom(new, hist).select("doc_id", "lang", "n_chars")

@@ -368,3 +368,27 @@ def test_decontaminate_planted(spark):
     assert hits == {1: 2}
     kept = {r["doc_id"] for r in T.decontaminate_keep(corpus, bench).collect()}
     assert kept == {2, 3}
+
+
+def test_incremental_bloom_equals_exact_antijoin(spark, docs):
+    """The bloom-prefiltered incremental dedup returns EXACTLY the
+    exact digest anti-join (no false negatives; candidates verified),
+    and flags planted overlaps."""
+    new = docs.filter(F.col("doc_id") % 3 == 0)
+    hist = docs.filter(F.col("doc_id") % 3 != 0)
+    got = {r["doc_id"] for r in D.incremental_dedup_bloom(new, hist).collect()}
+    exact = {
+        r["doc_id"]
+        for r in new.join(
+            hist.select(F.md5("text").alias("_d")).distinct(),
+            F.md5(new.text) == F.col("_d"),
+            "left_anti",
+        ).collect()
+    }
+    assert got == exact
+    # tiny bitmap forces heavy false positives; equality must still hold
+    got_fp = {
+        r["doc_id"]
+        for r in D.incremental_dedup_bloom(new, hist, m_bits=64, k=2).collect()
+    }
+    assert got_fp == exact
