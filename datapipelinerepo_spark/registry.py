@@ -1096,7 +1096,7 @@ def q18_large_orders(spark, sf_dir):
                                  ROWS UNBOUNDED PRECEDING) AS sess_no
       FROM flagged
     )
-    SELECT user_id, sess_no,
+    SELECT user_id, CAST(sess_no AS BIGINT) AS sess_no,
            strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS sess_start,
            COUNT(*) AS n_events
     FROM sess GROUP BY 1, 2
@@ -1325,7 +1325,7 @@ def w4_ntile_quartiles(spark, sf_dir):
     "events_json_props",
     sql="""
     SELECT event_type, COUNT(*) AS n,
-           SUM(CAST(props->>'k' AS BIGINT)) AS sum_k
+           CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k
     FROM events GROUP BY event_type
     """,
 )
@@ -1344,7 +1344,7 @@ def events_json_props(spark, sf_dir):
     "events_props_variant",
     sql="""
     SELECT event_type, COUNT(*) AS n,
-           SUM(CAST(props->>'k' AS BIGINT)) AS sum_k
+           CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k
     FROM events GROUP BY event_type
     """,
 )

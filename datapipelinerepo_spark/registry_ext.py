@@ -260,7 +260,7 @@ def text_fingerprint(spark, sf_dir):
     sql=r"""
     SELECT lang,
            COUNT(*) AS n_docs,
-           SUM(len(regexp_extract_all(text, '\S+'))) AS total_tokens,
+           CAST(SUM(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS total_tokens,
            round(AVG(len(regexp_extract_all(text, '\S+'))), 4) AS avg_tokens
     FROM documents GROUP BY lang
     """,
@@ -334,7 +334,7 @@ def text_quality_filter(spark, sf_dir):
       SELECT lang, source, len(regexp_extract_all(text, '\S+')) AS n_tok
       FROM documents
     ), tot AS (SELECT SUM(n_tok) AS all_tok FROM per)
-    SELECT lang, source, COUNT(*) AS n_docs, SUM(n_tok) AS total_tokens,
+    SELECT lang, source, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
            round(SUM(n_tok) / (SELECT all_tok FROM tot), 6) AS token_share
     FROM per GROUP BY lang, source
     """,
@@ -791,7 +791,7 @@ def text_boilerplate_ngrams(spark, sf_dir):
     ), c AS (
       SELECT doc_id, gram, COUNT(*) AS c FROM g GROUP BY 1, 2
     )
-    SELECT doc_id, SUM(c) AS n_ngrams,
+    SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_ngrams,
            round(CAST(MAX(c) AS DOUBLE) / SUM(c), 6) AS top_ngram_share
     FROM c GROUP BY doc_id
     """,
