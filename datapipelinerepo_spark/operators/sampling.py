@@ -1,0 +1,56 @@
+"""Deterministic sampling / data-mix rebalancing.
+
+Training-data pipelines control the MIX (per-language / per-source
+shares), not just the volume. The operators here use content-hash
+uniforms (md5 of the row id) instead of rand(): the decision for a row
+is a pure function of the row, so results are identical across engines,
+runs, partitionings, and cluster sizes — which makes the sampled mix
+reproducible AND oracle-checkable.
+
+Scale shape: the per-group counts are a tiny aggregate that broadcasts
+back onto the corpus scan; the accept test is a map-side expression.
+One shuffle for the counts, zero for the sampling itself.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# 2^32 — the md5-prefix uniform below is 8 hex chars = 32 bits
+_U32 = 4294967296.0
+
+
+def hash_uniform_u32(id_col) -> "F.Column":
+    """First 32 bits of md5(id) as a long in [0, 2^32) — the engine-
+    portable uniform (DuckDB: CAST('0x' || substr(md5(id),1,8) AS
+    BIGINT))."""
+    return F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+    ).cast("long")
+
+
+def rebalance_mix(
+    df: DataFrame,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Balanced downsampling: every group is sampled at rate
+    min_group_count / group_count, so all groups land at the smallest
+    group's size in expectation — the "flatten the language mix" step.
+
+    Accept rule: h32 < CAST(min_n * 2^32 / n_g AS BIGINT), with the
+    arithmetic in double (IEEE — identical in any engine, and immune to
+    the int64 overflow min_n * 2^32 hits at 10^10-row corpora). The
+    per-group thresholds come from one small aggregate that broadcasts;
+    the accept test itself is map-side — the corpus does not shuffle to
+    be sampled."""
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n"))
+    mn = counts.agg(F.min("_n").alias("_mn"))
+    thr = (F.col("_mn") * F.lit(_U32) / F.col("_n")).cast("long")
+    return (
+        df.join(F.broadcast(counts), group_col)
+        .crossJoin(F.broadcast(mn))
+        .filter(hash_uniform_u32(id_col) < thr)
+        .drop("_n", "_mn")
+    )

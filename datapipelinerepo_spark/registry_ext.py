@@ -944,3 +944,27 @@ def dedup_incremental_bloom(spark, sf_dir):
     new = docs.filter(F.col("doc_id") % 3 == 0)
     hist = docs.filter(F.col("doc_id") % 3 != 0)
     return D.incremental_dedup_bloom(new, hist).select("doc_id", "lang", "n_chars")
+
+
+@register(
+    "sample_mix_rebalance",
+    sql="""
+    WITH n AS (SELECT lang, COUNT(*) AS n_g FROM documents GROUP BY 1),
+    m AS (SELECT MIN(n_g) AS mn FROM n)
+    SELECT d.doc_id, d.lang
+    FROM documents d JOIN n USING (lang), m
+    WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+          < CAST(m.mn * 4294967296.0 / n.n_g AS BIGINT)
+    """,
+)
+def sample_mix_rebalance(spark, sf_dir):
+    """Data-mix rebalancing (operators/sampling.rebalance_mix): every
+    language downsampled to the smallest language's share via the
+    content-hash uniform — deterministic across engines/partitionings,
+    which is exactly what the oracle verifies. The mix-report twin is
+    data_mix_report."""
+    from .operators import sampling as SMP
+
+    return SMP.rebalance_mix(
+        t(spark, sf_dir, "documents"), group_col="lang"
+    ).select("doc_id", "lang")

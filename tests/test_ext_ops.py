@@ -392,3 +392,20 @@ def test_incremental_bloom_equals_exact_antijoin(spark, docs):
         for r in D.incremental_dedup_bloom(new, hist, m_bits=64, k=2).collect()
     }
     assert got_fp == exact
+
+
+def test_rebalance_mix_balances_and_is_deterministic(spark, docs):
+    """Every language lands near the smallest language's count, and the
+    sample is a pure function of the data (two runs identical)."""
+    from datapipelinerepo_spark.operators import sampling as SMP
+
+    before = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    mn = min(before.values())
+    out = SMP.rebalance_mix(docs, "lang")
+    after = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    for lang, n in after.items():
+        tol = 5 * (mn ** 0.5) + 5
+        assert abs(n - mn) <= tol, f"{lang}: {n} vs target {mn} (before {before[lang]})"
+    ids1 = {r["doc_id"] for r in out.collect()}
+    ids2 = {r["doc_id"] for r in SMP.rebalance_mix(docs, "lang").collect()}
+    assert ids1 == ids2
