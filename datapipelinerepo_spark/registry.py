@@ -523,8 +523,8 @@ def w3_lag_delta(spark, sf_dir):
     SELECT l_returnflag, l_linestatus,
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
-                    (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                    (1 - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
            COUNT(*) AS count_order
     FROM lineitem
@@ -545,7 +545,7 @@ def q1_pricing_summary(spark, sf_dir):
         .agg(
             F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
             F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
-            F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))
+            F.sum((dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))).cast("decimal(18,4)"))
             .cast("double")
             .alias("sum_disc_price"),
             (F.sum(dec("l_quantity")).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
@@ -559,8 +559,8 @@ def q1_pricing_summary(spark, sf_dir):
     sql="""
     SELECT o.o_orderkey AS okey,
            CAST(o.o_orderdate AS DATE) AS odate,
-           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4)) *
-                    (1 - CAST(l.l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+           CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,4)) *
+                    (1 - CAST(l.l_discount AS DECIMAL(18,4))) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -584,7 +584,7 @@ def q3_top_revenue(spark, sf_dir):
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy(F.col("o_orderkey").alias("okey"), F.col("o_orderdate").cast("date").alias("odate"))
         .agg(
-            F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))
+            F.sum((dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))).cast("decimal(18,4)"))
             .cast("double")
             .alias("revenue")
         )
@@ -597,8 +597,8 @@ def q3_top_revenue(spark, sf_dir):
     "q5_region_volume",
     sql="""
     SELECT n.n_name AS nation,
-           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4)) *
-                    (1 - CAST(l.l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+           CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,4)) *
+                    (1 - CAST(l.l_discount AS DECIMAL(18,4))) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
     FROM customer c
     JOIN orders o ON o.o_custkey = c.c_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -631,7 +631,7 @@ def q5_region_volume(spark, sf_dir):
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy(n.n_name.alias("nation"))
         .agg(
-            F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))
+            F.sum((dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))).cast("decimal(18,4)"))
             .cast("double")
             .alias("revenue")
         )
@@ -816,8 +816,8 @@ def events_value_histogram(spark, sf_dir):
                       THEN CAST(l_extendedprice AS DECIMAL(18,4)) *
                            (1 - CAST(l_discount AS DECIMAL(18,4)))
                       ELSE 0 END) AS DOUBLE)
-             / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
-                        (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+             / CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                        (1 - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(18,4))) AS DOUBLE)
              * 100, 6) AS promo_share_pct
     FROM lineitem JOIN part ON p_partkey = l_partkey
     """,
@@ -1263,8 +1263,8 @@ def q6_forecast_revenue(spark, sf_dir):
     "q10_returned_items",
     sql="""
     SELECT c_custkey, c_name,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
-                    (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+           CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                    (1 - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
     FROM customer
     JOIN orders ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -1369,8 +1369,8 @@ def events_props_variant(spark, sf_dir):
     "q7_bilateral_volume",
     sql="""
     SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
-                    (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS volume
+           CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                    (1 - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(18,4))) AS DOUBLE) AS volume
     FROM lineitem
     JOIN supplier ON s_suppkey = l_suppkey
     JOIN orders   ON o_orderkey = l_orderkey
@@ -1784,8 +1784,8 @@ def q11_group_share_having(spark, sf_dir):
     sql="""
     WITH revenue AS (
       SELECT l_suppkey AS skey,
-             SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
-                 (1 - CAST(l_discount AS DECIMAL(18,4)))) AS total_rev
+             SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                 (1 - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(18,4))) AS total_rev
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1998-01-01'
       GROUP BY 1
@@ -1809,7 +1809,7 @@ def q15_top_supplier(spark, sf_dir):
     )
     dec = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
     revenue = li.groupBy(F.col("l_suppkey").alias("skey")).agg(
-        F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))).alias("_rev")
+        F.sum((dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))).cast("decimal(18,4)")).alias("_rev")
     )
     mx = revenue.agg(F.max("_rev").alias("_mx"))
     s = t(spark, sf_dir, "supplier")
@@ -1874,8 +1874,8 @@ def q17_small_quantity_revenue(spark, sf_dir):
 @register(
     "q19_disjunctive_pushdown",
     sql="""
-    SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4)) *
-                    (1 - CAST(l.l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+    SELECT CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,4)) *
+                    (1 - CAST(l.l_discount AS DECIMAL(18,4))) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
     FROM lineitem l
     JOIN part p ON p.p_partkey = l.l_partkey
     WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
@@ -1905,7 +1905,7 @@ def q19_disjunctive_pushdown(spark, sf_dir):
     )
     dec = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
     return j.filter(cond).agg(
-        F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))
+        F.sum((dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))).cast("decimal(18,4)"))
         .cast("double")
         .alias("revenue")
     )
