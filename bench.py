@@ -60,6 +60,27 @@ def main() -> None:
         .select(F.array_min(F.transform(F.split("text", " "), lambda s: F.xxhash64(s))))
         .write.format("noop").mode("overwrite").save()
     )
+    # set-algebra + banded self-join shapes (minhash verify / LSH
+    # candidate join operator families) on a tiny slice — first-touch
+    # JIT of these operators otherwise lands in the first timed query
+    # that uses them
+    wdoc = tabs["documents"].limit(512).select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(F.split("text", " "), lambda s: F.xxhash64(s, F.lit(1)))
+        ).alias("_sh"),
+    )
+    wa, wb = wdoc.alias("a"), wdoc.alias("b")
+    (
+        wa.join(wb, F.xxhash64(F.col("a.doc_id")) % 16 == F.xxhash64(F.col("b.doc_id")) % 16)
+        .select(
+            (
+                F.size(F.array_intersect("a._sh", "b._sh"))
+                / F.size(F.array_union("a._sh", "b._sh"))
+            ).alias("j")
+        )
+        .write.format("noop").mode("overwrite").save()
+    )
 
     names = [n for n, e in REGISTRY.items() if e.bench]
     times: dict[str, float] = {}
