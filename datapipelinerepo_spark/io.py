@@ -35,14 +35,20 @@ def table_path(sf_dir: str, name: str) -> str:
 
 
 def lakehouse_format() -> str | None:
-    """'delta' when delta-spark is importable (the session must also
-    carry the Delta SQL extension + catalog), else None → plain parquet.
-    Iceberg would slot in the same way. Detection is import-based so the
-    engine degrades gracefully in environments without lakehouse jars
-    (like this sandbox) while the MERGE path stays real code."""
+    """'delta' when delta-spark is importable AND the active session
+    carries the Delta SQL extension (a pip-installed delta-spark with an
+    unconfigured session would make every delta write crash — the gate
+    checks both halves), else None → plain parquet. Iceberg would slot
+    in the same way. The engine degrades gracefully in environments
+    without lakehouse jars (like this sandbox) while the MERGE path
+    stays real code."""
     import importlib.util
 
-    return "delta" if importlib.util.find_spec("delta") is not None else None
+    if importlib.util.find_spec("delta") is None:
+        return None
+    spark = SparkSession.getActiveSession()
+    exts = spark.conf.get("spark.sql.extensions", "") if spark else ""
+    return "delta" if exts and "DeltaSparkSessionExtension" in exts else None
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -112,12 +118,18 @@ class TableStore:
         with open(self._meta_path(name), "w") as f:
             json.dump({"last_modified_millis": int(time.time() * 1000)}, f)
 
+    def _is_delta(self, name: str) -> bool:
+        """A table previously written by the Delta MERGE path carries a
+        _delta_log. EVERY read and write routes on this per-table marker:
+        a plain-parquet write into a Delta directory would add files the
+        Delta log doesn't know about (silently invisible to reads), and
+        treating a parquet table as Delta crashes — mixed-backend stores
+        are legal, mixed-backend tables are not."""
+        return os.path.isdir(os.path.join(self._dir(name), "_delta_log"))
+
     # -- reads -------------------------------------------------------------
     def read(self, name: str, merge_schema: bool = True) -> DataFrame:
-        # a table previously written by the Delta MERGE path carries a
-        # _delta_log; reading it as raw parquet would resurrect files
-        # MERGE logically removed, so route per-table on the marker
-        if os.path.isdir(os.path.join(self._dir(name), "_delta_log")):
+        if self._is_delta(name):
             return self.spark.read.format("delta").load(self._dir(name))
         return self.spark.read.option(
             "mergeSchema", str(merge_schema).lower()
@@ -132,13 +144,31 @@ class TableStore:
     # -- writes ------------------------------------------------------------
     def append(self, df: DataFrame, name: str) -> None:
         """S8: WRITE_APPEND + ALLOW_FIELD_ADDITION → parquet append; new
-        columns surface on read via mergeSchema=true."""
-        df.write.mode("append").parquet(self._dir(name))
+        columns surface on read via mergeSchema=true. Appends to a
+        Delta-backed table go through the Delta writer (a raw parquet
+        append would be invisible to the Delta log — silent data loss)."""
+        if self._is_delta(name):
+            (
+                df.write.format("delta")
+                .mode("append")
+                .option("mergeSchema", "true")
+                .save(self._dir(name))
+            )
+        else:
+            df.write.mode("append").parquet(self._dir(name))
         self._touch_meta(name)
 
     def overwrite(self, df: DataFrame, name: str) -> None:
         """S9: TRUNCATE + WRITE_TRUNCATE → full overwrite."""
-        df.write.mode("overwrite").parquet(self._dir(name))
+        if self._is_delta(name):
+            (
+                df.write.format("delta")
+                .mode("overwrite")
+                .option("overwriteSchema", "true")
+                .save(self._dir(name))
+            )
+        else:
+            df.write.mode("overwrite").parquet(self._dir(name))
         self._touch_meta(name)
 
     def reload_partitions(self, df: DataFrame, name: str, part_col: str) -> None:
@@ -146,13 +176,17 @@ class TableStore:
         date slice then appends (datasources.py:50-59); here dynamic
         partition overwrite replaces exactly the partitions present in
         ``df`` and leaves all others intact — exactly-once under re-run.
+        (Delta honors the same dynamic partitionOverwriteMode option.)
         """
-        (
+        w = (
             df.write.mode("overwrite")
             .partitionBy(part_col)
             .option("partitionOverwriteMode", "dynamic")
-            .parquet(self._dir(name))
         )
+        if self._is_delta(name):
+            w.format("delta").save(self._dir(name))
+        else:
+            w.parquet(self._dir(name))
         self._touch_meta(name)
 
     def upsert(self, df: DataFrame, name: str, key: str | list[str]) -> None:
@@ -173,7 +207,13 @@ class TableStore:
         keeps one) before merging, in both backends."""
         keys = [key] if isinstance(key, str) else list(key)
         incoming = df.dropDuplicates(keys)
-        if lakehouse_format() == "delta":
+        # MERGE only on tables that ARE Delta (or don't exist yet, so
+        # this call creates them as Delta); a table previously written
+        # as plain parquet keeps the fallback — DeltaTable.forPath on a
+        # parquet directory would crash
+        if lakehouse_format() == "delta" and (
+            not self.exists(name) or self._is_delta(name)
+        ):
             self._upsert_delta(incoming, name, keys)
             return
         if self.exists(name):

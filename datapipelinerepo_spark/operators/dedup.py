@@ -387,7 +387,18 @@ def incremental_dedup_bloom(
     shuffling the whole incoming batch against the historical digest
     table and shuffling only the candidate slice; the bitmap itself
     broadcasts (spark.sparkContext.broadcast) instead of riding every
-    task closure."""
+    task closure.
+
+    Known cost shape: the two output branches (definitely-new filter,
+    candidate anti-join) reference the staged plan twice, so the
+    incoming batch is scanned twice and md5 + the bloom UDF recomputed
+    on the second branch. Deliberate: the alternative persists the full
+    staged batch (a second copy of the data in cache at 100 TB, plus
+    eviction pressure), while the recompute is a columnar re-scan plus
+    vectorized hashing with zero memory footprint — the same measured
+    recompute-beats-cache trade as the MinHash shingle branches above.
+    If a lakehouse table backs ``new``, localCheckpoint the slim
+    (id, digest, maybe) projection instead and semi-join ids back."""
     from pyspark.sql import SparkSession
     from pyspark.sql.functions import pandas_udf
 

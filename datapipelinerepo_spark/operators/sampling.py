@@ -39,15 +39,18 @@ def rebalance_mix(
     min_group_count / group_count, so all groups land at the smallest
     group's size in expectation — the "flatten the language mix" step.
 
-    Accept rule: h32 < CAST(min_n * 2^32 / n_g AS BIGINT), with the
-    arithmetic in double (IEEE — identical in any engine, and immune to
-    the int64 overflow min_n * 2^32 hits at 10^10-row corpora). The
-    per-group thresholds come from one small aggregate that broadcasts;
-    the accept test itself is map-side — the corpus does not shuffle to
-    be sampled."""
+    Accept rule: h32 < floor(min_n * 2^32 / n_g), with the arithmetic
+    in double (IEEE — identical in any engine, and immune to the int64
+    overflow min_n * 2^32 hits at 10^10-row corpora) and an EXPLICIT
+    floor: a bare double→int cast truncates in Spark but rounds
+    half-away in DuckDB, which would shift the threshold by one on
+    half-fraction boundaries and flip the boundary row. The per-group
+    thresholds come from one small aggregate that broadcasts; the
+    accept test itself is map-side — the corpus does not shuffle to be
+    sampled."""
     counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n"))
     mn = counts.agg(F.min("_n").alias("_mn"))
-    thr = (F.col("_mn") * F.lit(_U32) / F.col("_n")).cast("long")
+    thr = F.floor(F.col("_mn") * F.lit(_U32) / F.col("_n")).cast("long")
     return (
         df.join(F.broadcast(counts), group_col)
         .crossJoin(F.broadcast(mn))

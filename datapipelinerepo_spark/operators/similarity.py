@@ -95,6 +95,20 @@ def lsh_bucket_ids(df: DataFrame, dim: int, n_bits: int = 12, seed: int = 7,
     return df.select(F.col(id_col), F.col(vec_col), bucket.alias("bucket"))
 
 
+def _embedding_matrix(emb: pd.Series, dim: int) -> np.ndarray:
+    """Arrow batch → dense (n, dim) float64 matrix, null-tolerant: a
+    None / wrong-length vector becomes the zero vector instead of
+    blowing up np.asarray for the whole batch. Zero rows then degrade
+    exactly like the pre-vectorized expression form did (null
+    projection → bucket 0, zero norm → similarity 0) — one bad vector
+    in a 100 TB corpus must not kill the job."""
+    E = np.zeros((len(emb), dim), dtype=np.float64)
+    for idx, v in enumerate(emb):
+        if v is not None and len(v) == dim:
+            E[idx, :] = v
+    return E
+
+
 def _table_buckets_udf(planes_by_table: np.ndarray):
     """Arrow-vectorized bucket computation for multi-table LSH.
 
@@ -114,9 +128,9 @@ def _table_buckets_udf(planes_by_table: np.ndarray):
 
     @pandas_udf("array<long>")
     def buckets(emb: pd.Series) -> pd.Series:
-        E = np.asarray([np.asarray(v, dtype=np.float64) for v in emb])
-        if len(E) == 0:
+        if len(emb) == 0:
             return pd.Series([], dtype=object)
+        E = _embedding_matrix(emb, dim)
         bits = (E @ flat.T) > 0  # (n, L*n_bits)
         out = (bits.reshape(len(E), n_tables, n_bits) * weights).sum(axis=2)
         return pd.Series(list(out))
@@ -245,9 +259,9 @@ def _cell_sims_udf(cents: list[list[float]]):
 
     @pandas_udf("array<double>")
     def sims(emb: pd.Series) -> pd.Series:
-        E = np.asarray([np.asarray(v, dtype=np.float64) for v in emb])
-        if len(E) == 0:
+        if len(emb) == 0:
             return pd.Series([], dtype=object)
+        E = _embedding_matrix(emb, C.shape[1])
         norms = np.linalg.norm(E, axis=1)
         norms[norms == 0] = 1.0
         S = (E @ C.T) / norms[:, None]

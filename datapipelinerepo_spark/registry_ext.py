@@ -929,8 +929,9 @@ def skew_salted_counts(spark, sf_dir):
     SELECT i.doc_id, i.lang, i.n_chars
     FROM documents i
     WHERE i.doc_id % 3 = 0
-      AND md5(i.text) NOT IN
-          (SELECT md5(text) FROM documents WHERE doc_id % 3 <> 0)
+      AND NOT EXISTS
+          (SELECT 1 FROM documents h
+           WHERE h.doc_id % 3 <> 0 AND md5(h.text) = md5(i.text))
     """,
 )
 def dedup_incremental_bloom(spark, sf_dir):
@@ -954,7 +955,7 @@ def dedup_incremental_bloom(spark, sf_dir):
     SELECT d.doc_id, d.lang
     FROM documents d JOIN n USING (lang), m
     WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT)
-          < CAST(m.mn * 4294967296.0 / n.n_g AS BIGINT)
+          < CAST(floor(m.mn * 4294967296.0 / n.n_g) AS BIGINT)
     """,
 )
 def sample_mix_rebalance(spark, sf_dir):

@@ -250,9 +250,14 @@ class GamesSource(DataSource):
         return [str(y) for y in range(start, maxyr + 1)]
 
     def schedule(self, ctx: SourceContext) -> bool:
-        if self.years is None and not existence_gate(ctx.store, self.table_name):
-            # datasources.py:487-489: missing table → massgrab + pull
-            self.massgrab = True
+        # datasources.py:487-489: missing table → massgrab + pull.
+        # Re-derived on EVERY call (not just set once): a source object
+        # is reused across pipeline runs, and a sticky True would make
+        # every post-backfill run re-fetch the full historical range.
+        self.massgrab = self.years is None and not existence_gate(
+            ctx.store, self.table_name
+        )
+        if self.massgrab:
             return True
         return calendar_gate(ctx.clock, weekday=None) or ctx.manual
 

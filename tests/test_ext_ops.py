@@ -57,6 +57,34 @@ def test_ann_ivf_finds_planted_duplicates(spark, emb):
         assert cid == qid + 800000 and sim == pytest.approx(1.0)
 
 
+def test_ann_null_embedding_degrades_not_crashes(spark, emb):
+    """A NULL (or wrong-length) vector in the corpus must not kill the
+    Arrow-vectorized LSH/IVF jobs — it degrades to the zero vector
+    (bucket 0, similarity 0) exactly like the pre-vectorized expression
+    form, and real neighbors still come back for real queries."""
+    from pyspark.sql.types import ArrayType, FloatType, LongType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("embedding", ArrayType(FloatType())),
+        ]
+    )
+    bad = spark.createDataFrame(
+        [(900001, None), (900002, [1.0, 2.0])], schema
+    )
+    corpus = (
+        emb.select("vec_id", "embedding")
+        .filter(F.col("vec_id") < 200)
+        .unionByName(bad)
+    )
+    q = emb.select("vec_id", "embedding").filter(F.col("vec_id") < 2)
+    for fn in (SIM.cosine_topk_lsh, SIM.cosine_topk_ivf):
+        got = fn(q, corpus, dim=64, k=5).collect()
+        assert len(got) > 0
+        assert all(r["c_id"] not in (900001, 900002) or r["sim_r4"] == 0.0 for r in got)
+
+
 def test_ann_ivf_tiny_corpus_does_not_crash(spark, emb):
     """Corpus smaller than n_probe: the probe count clamps to the cell
     count instead of indexing past the sim array."""

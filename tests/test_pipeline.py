@@ -262,7 +262,13 @@ def test_games_massgrab_backfill(spark, store):
     assert games.massgrab  # missing table flipped the backfill mode on
     assert r.loaded_rows["games"] == 6  # 2 teams x seasons 2024..2026
     assert {x["year"] for x in store.read("games").collect()} == {"2024", "2025", "2026"}
-    # second run, fresh source: table exists -> no massgrab, range is
+    # second run, SAME source object (the supported reuse pattern):
+    # schedule() re-derives massgrab from the now-existing table, so the
+    # flag is not sticky and the range collapses to the current season
+    r1b = Pipeline([games], spark=spark, store=store, clock=clock).run()
+    assert not games.massgrab
+    assert r1b.loaded_rows["games"] == 0
+    # third run, fresh source: table exists -> no massgrab, range is
     # just the current season, and nothing new survives the anti-join
     games2 = GamesSource(None, make_dict_fetcher(games_pages), backfill_start=2024)
     from datapipelinerepo_spark.plans import SourceContext
