@@ -1978,3 +1978,136 @@ def f18_unavail_fill(spark, sf_dir):
             S.fill_unavail("c_mktsegment").alias("segment"),
         )
     )
+
+
+# ===========================================================================
+# §2.1/§2.6 sinks + catalog + UD2 as driver-checkable round-trips
+# ===========================================================================
+# The sink/catalog/UDTF operators were previously pytest-only (not
+# query-shaped). Each query below drives the REAL TableStore / parser
+# code path against a throwaway store, reads the result back, and
+# returns deterministic rows the DuckDB oracle reproduces with a plain
+# SELECT — converting "covered by local tests" into a driver
+# CORRECTNESS row. mkdtemp per call keeps them idempotent under re-run.
+
+
+def _tmp_store(spark) -> "TableStore":
+    import tempfile
+
+    from .io import TableStore
+
+    return TableStore(spark, tempfile.mkdtemp(prefix="sinkq_"))
+
+
+@register(
+    "s3_exists_probe",
+    sql="SELECT 'sink' AS tbl, FALSE AS before_write, TRUE AS after_write",
+)
+def s3_exists_probe(spark, sf_dir):
+    """S3: catalog existence probe (``__TABLES__`` scan,
+    datasources.py:136) — the gate every scheduled source consults.
+    Probed through the real TableStore before and after a write."""
+    store = _tmp_store(spark)
+    before = store.exists("sink")
+    store.overwrite(t(spark, sf_dir, "region"), "sink")
+    after = store.exists("sink")
+    return spark.createDataFrame(
+        [("sink", before, after)], "tbl string, before_write boolean, after_write boolean"
+    )
+
+
+@register(
+    "s8_append_roundtrip",
+    sql="""
+    SELECT r_regionkey AS rkey, r_name AS rname, CAST(NULL AS BIGINT) AS extra
+    FROM region
+    UNION ALL
+    SELECT r_regionkey, r_name, CAST(length(r_name) AS BIGINT) FROM region
+    """,
+)
+def s8_append_roundtrip(spark, sf_dir):
+    """S8: WRITE_APPEND + ALLOW_FIELD_ADDITION (datasources.py:60-66)
+    round-trip: batch 2 carries a column batch 1 lacks; mergeSchema
+    read surfaces it as NULL on the old rows."""
+    store = _tmp_store(spark)
+    base = t(spark, sf_dir, "region").select(
+        F.col("r_regionkey").alias("rkey"), F.col("r_name").alias("rname")
+    )
+    store.append(base, "sink")
+    store.append(base.withColumn("extra", F.length("rname").cast("long")), "sink")
+    return store.read("sink")
+
+
+@register(
+    "s9_replace_roundtrip",
+    sql="SELECT n_nationkey AS key, n_name AS name FROM nation",
+)
+def s9_replace_roundtrip(spark, sf_dir):
+    """S9: TRUNCATE/WRITE_TRUNCATE (datasources.py:67-73) round-trip:
+    the second overwrite fully replaces the first batch — only the
+    replacement (different schema, different table) survives."""
+    store = _tmp_store(spark)
+    store.overwrite(t(spark, sf_dir, "region"), "sink")
+    store.overwrite(
+        t(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("key"), F.col("n_name").alias("name")
+        ),
+        "sink",
+    )
+    return store.read("sink")
+
+
+@register(
+    "s10_reload_roundtrip",
+    sql="""
+    SELECT o_orderkey AS okey, CAST(month(o_orderdate) AS INT) AS o_month
+    FROM orders WHERE month(o_orderdate) <= 2
+    """,
+)
+def s10_reload_roundtrip(spark, sf_dir):
+    """S10: idempotent partition re-load (datasources.py:50-59)
+    round-trip: the month-2 partition is loaded TWICE via dynamic
+    partition overwrite; the second load replaces (not duplicates) it,
+    so the read-back equals a single clean copy."""
+    store = _tmp_store(spark)
+    df = (
+        t(spark, sf_dir, "orders")
+        .filter(F.month("o_orderdate") <= 2)
+        .select(
+            F.col("o_orderkey").alias("okey"),
+            F.month("o_orderdate").cast("int").alias("o_month"),
+        )
+    )
+    store.reload_partitions(df, "sink", "o_month")
+    store.reload_partitions(df.filter(F.col("o_month") == 2), "sink", "o_month")
+    return store.read("sink").select("okey", F.col("o_month").cast("int").alias("o_month"))
+
+
+@register(
+    "ud2_html_parse_rows",
+    sql="""
+    SELECT * FROM (VALUES
+      ('p1', 'Alpha', '1', '/teams/alpha'),
+      ('p1', 'Beta',  '2', '/teams/beta')
+    ) AS v(page, name, seed, team_url)
+    """,
+)
+def ud2_html_parse_rows(spark, sf_dir):
+    """UD2: the table-generating HTML parse (datasources.py:330-352)
+    on a deterministic literal page, so the mapInPandas UDTF path —
+    header-row skip, positional cell mapping, href carry-out — earns a
+    driver row rather than only fixture tests."""
+    from .sources.html import html_records
+
+    page = (
+        "<table>"
+        "<tr><th>Name</th><th>Seed</th></tr>"
+        '<tr><td><a href="/teams/alpha">Alpha</a></td><td>1</td></tr>'
+        '<tr><td><a href="/teams/beta">Beta</a></td><td>2</td></tr>'
+        "</table>"
+    )
+    pages = spark.createDataFrame([("p1", page)], "page string, payload string")
+    return html_records(
+        pages, "payload", columns=["name", "seed"],
+        with_href_of="name", href_alias="team_url",
+    )
