@@ -151,6 +151,118 @@ def minhash_signatures(
     return shingled.select("_id", *[_sig(i) for i in range(num_hashes)])
 
 
+def _band_rows(
+    df: DataFrame,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(\\_id, band_no, band_hash) rows — the LSH banding of a corpus.
+    Map-only per document (shingles → signatures → band hashes, no
+    shuffle), so it composes per-batch: banding a union equals the
+    union of the bandings, which is what makes the persisted-index
+    incremental path below exact."""
+    rows_per_band = num_hashes // bands
+    sh = shingles(df, n=shingle_n, text_col=text_col, id_col=id_col)
+    sig = minhash_signatures(sh, num_hashes=num_hashes)
+    band_cols = [
+        F.xxhash64(*[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)], F.lit(b)).alias(f"band{b}")
+        for b in range(bands)
+    ]
+    return sig.select("_id", F.explode(F.array(
+        *[F.struct(F.lit(b).alias("band_no"), band_cols[b].alias("band_hash")) for b in range(bands)]
+    )).alias("bb")).select("_id", "bb.band_no", "bb.band_hash")
+
+
+def minhash_band_index(
+    df: DataFrame,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The persistable LSH index of a corpus: one (id, band_no,
+    band_hash) row per document per band, ~``bands``×16 bytes per doc —
+    tiny next to the corpus. Write it once (bucketed by band_hash for a
+    shuffle-free probe join), APPEND each ingested batch's banding, and
+    nightly near-dup checks stop re-signing the historical corpus:
+    only the new batch is shingled/signed (map-only), then probed
+    against this table. The fresh-index and incremental paths agree
+    exactly because banding is a pure per-document function."""
+    return _band_rows(
+        df, num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
+        text_col=text_col, id_col=id_col,
+    ).select(F.col("_id").alias(id_col), "band_no", "band_hash")
+
+
+def incremental_near_dup_lsh(
+    new: DataFrame,
+    index: DataFrame,
+    corpus: DataFrame,
+    threshold: float = 0.5,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Which incoming documents near-duplicate something ALREADY in the
+    corpus — the nightly-crawl counterpart of ``minhash_lsh_pairs``,
+    against a pre-built ``minhash_band_index`` (same num_hashes/bands/
+    shingle_n as the index, or band hashes won't line up).
+
+    Scale shape: the historical corpus is never re-signed — the new
+    batch is banded map-only, the probe join shuffles |new|×bands rows
+    against the (bucketed) index, and exact-Jaccard verification
+    re-shingles only candidate documents on either side (semi-joins
+    into ``new`` and ``corpus``). Equals minhash_lsh_pairs over
+    new ∪ corpus restricted to cross-batch pairs (tested), because
+    per-document banding composes over unions.
+
+    Output: (new_id, corpus_id, jaccard), jaccard ≥ threshold.
+    """
+    nb = _band_rows(
+        new, num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
+        text_col=text_col, id_col=id_col,
+    )
+    cand = (
+        nb.join(
+            index.select(
+                F.col(id_col).alias("_old_id"), "band_no", "band_hash"
+            ),
+            ["band_no", "band_hash"],
+        )
+        .select(F.col("_id").alias("new_id"), F.col("_old_id").alias("corpus_id"))
+        .distinct()
+        .localCheckpoint(eager=True)  # ids only — banding subtree runs once
+    )
+    sh_new = shingles(
+        new.join(cand.select(F.col("new_id").alias(id_col)).distinct(), id_col, "left_semi"),
+        n=shingle_n, text_col=text_col, id_col=id_col,
+    ).select(F.col("_id").alias("new_id"), F.col("_shingles").alias("_sha"))
+    sh_old = shingles(
+        corpus.join(cand.select(F.col("corpus_id").alias(id_col)).distinct(), id_col, "left_semi"),
+        n=shingle_n, text_col=text_col, id_col=id_col,
+    ).select(F.col("_id").alias("corpus_id"), F.col("_shingles").alias("_shb"))
+    return (
+        cand.join(sh_new, "new_id")
+        .join(sh_old, "corpus_id")
+        .select(
+            "new_id",
+            "corpus_id",
+            (
+                F.size(F.array_intersect("_sha", "_shb")).cast("double")
+                / F.size(F.array_union("_sha", "_shb")).cast("double")
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("new_id", "corpus_id", F.round("jaccard", 4).alias("jaccard"))
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     threshold: float = 0.5,
@@ -182,15 +294,10 @@ def minhash_lsh_pairs(
     # cache-fill at sf0.1, and corpus-sized caches don't exist at
     # 100 TB); round 2 shrinks the verify branches instead, which beats
     # both.
-    sh = shingles(df, n=shingle_n, text_col=text_col, id_col=id_col)
-    sig = minhash_signatures(sh, num_hashes=num_hashes)
-    band_cols = [
-        F.xxhash64(*[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)], F.lit(b)).alias(f"band{b}")
-        for b in range(bands)
-    ]
-    banded = sig.select("_id", F.explode(F.array(
-        *[F.struct(F.lit(b).alias("band_no"), band_cols[b].alias("band_hash")) for b in range(bands)]
-    )).alias("bb")).select("_id", "bb.band_no", "bb.band_hash")
+    banded = _band_rows(
+        df, num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
+        text_col=text_col, id_col=id_col,
+    )
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(

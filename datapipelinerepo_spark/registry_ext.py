@@ -947,6 +947,23 @@ def dedup_incremental_bloom(spark, sf_dir):
     return D.incremental_dedup_bloom(new, hist).select("doc_id", "lang", "n_chars")
 
 
+@register("dedup_incremental_lsh")
+def dedup_incremental_lsh(spark, sf_dir):
+    """Incremental NEAR-dup against a persisted LSH band index
+    (operators/dedup.minhash_band_index + incremental_near_dup_lsh):
+    today's batch (doc_id % 5 = 0) is banded map-only and probed
+    against the index of the rest of the corpus — the historical side
+    is never re-signed. Rows-only driver check (band hashes are
+    xxhash64, not SQL-expressible); the exact-equality guarantee —
+    incremental == cross-batch slice of the full-corpus pair run — is
+    asserted in test_incremental_lsh_equals_full_cross_batch."""
+    docs = t(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    hist = docs.filter(F.col("doc_id") % 5 != 0)
+    idx = D.minhash_band_index(hist)
+    return D.incremental_near_dup_lsh(new, idx, hist, threshold=0.5)
+
+
 @register(
     "sample_mix_rebalance",
     sql="""

@@ -149,6 +149,45 @@ def test_minhash_finds_planted_near_dups(spark, docs):
         assert (i, i + 1000000) in found, f"planted near-dup of {i} missed"
 
 
+def test_incremental_lsh_equals_full_cross_batch(spark, docs):
+    """The persisted-index incremental path returns EXACTLY the
+    cross-batch slice of the full-corpus pair run: banding is a pure
+    per-document function, so probing yesterday's index with today's
+    batch loses nothing vs re-signing everything."""
+    hist = docs.filter(F.col("doc_id") % 4 != 0)
+    # today's batch: a fresh slice plus planted near-dups of history
+    planted = hist.filter(F.col("doc_id") < 8).withColumn(
+        "doc_id", F.col("doc_id") + 1000000
+    ).withColumn("text", F.concat(F.col("text"), F.lit(" extra")))
+    new = docs.filter(F.col("doc_id") % 4 == 0).union(planted)
+    idx = D.minhash_band_index(hist)
+    inc = {
+        (r["new_id"], r["corpus_id"], r["jaccard"])
+        for r in D.incremental_near_dup_lsh(new, idx, hist, threshold=0.5).collect()
+    }
+    new_ids = {r["doc_id"] for r in new.select("doc_id").collect()}
+    full = D.minhash_lsh_pairs(hist.union(new), threshold=0.5)
+    cross = {
+        (b, a, j) if b in new_ids else (a, b, j)
+        for a, b, j in (
+            (r["id_a"], r["id_b"], r["jaccard"]) for r in full.collect()
+        )
+        if (a in new_ids) != (b in new_ids)
+    }
+    assert inc == cross and len(inc) >= 8  # planted dups all found
+
+
+def test_band_index_composes_over_batches(spark, docs):
+    """index(a ∪ b) == index(a) ∪ index(b) — the invariant that makes
+    appending each batch's banding to the stored index correct."""
+    a = docs.filter(F.col("doc_id") % 2 == 0).limit(50)
+    b = docs.filter(F.col("doc_id") % 2 == 1).limit(50)
+    whole = D.minhash_band_index(a.union(b))
+    parts = D.minhash_band_index(a).unionByName(D.minhash_band_index(b))
+    assert whole.exceptAll(parts).count() == 0
+    assert parts.exceptAll(whole).count() == 0
+
+
 def test_simhash_identical_distance_zero(spark, docs):
     dup = docs.filter(F.col("doc_id") < 3).withColumn("doc_id", F.col("doc_id") + 500000)
     pairs = D.simhash_pairs(docs.filter(F.col("doc_id") < 3).union(dup), max_hamming=0)
