@@ -2,6 +2,7 @@ from .ingest import (  # noqa: F401
     dedup_stream,
     enrich_stream,
     interval_join_streams,
+    near_dup_ingest_stream,
     read_base64_event_stream,
     sessionized_counts_stream,
     stream_to_table,

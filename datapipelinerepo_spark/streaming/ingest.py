@@ -159,3 +159,68 @@ def interval_join_streams(
         "r_ts",
         (F.unix_timestamp("r_ts") - F.unix_timestamp("l_ts")).alias("lag_seconds"),
     )
+
+
+def near_dup_ingest_stream(
+    docs: DataFrame,
+    store,
+    checkpoint_dir: str,
+    threshold: float = 0.5,
+    corpus_table: str = "corpus",
+    index_table: str = "lsh_index",
+    flags_table: str = "near_dups",
+    available_now: bool = True,
+    **lsh_kwargs,
+) -> StreamingQuery:
+    """Streaming corpus growth with standing near-dup detection: each
+    micro-batch of documents is (1) probed against the persisted LSH
+    band index — near-dups of anything ALREADY ingested land in
+    ``flags_table`` as (new_id, corpus_id, jaccard) — then (2) its own
+    banding is appended to ``index_table`` and (3) the batch to
+    ``corpus_table``. The historical corpus is never re-signed: each
+    document pays the shingle/signature cost exactly once, at ingest
+    (operators/dedup.minhash_band_index semantics, streamed).
+
+    Exactly-once without a lakehouse: all three writes go through
+    dynamic partition overwrite on a ``_batch_id`` partition column, so
+    a replayed micro-batch (foreachBatch is at-least-once on retry)
+    overwrites its own partition instead of double-appending — the
+    same mechanism as S10 idempotent re-loads. Intra-batch duplicates
+    are deliberately out of scope here (run minhash_lsh_pairs on the
+    batch, or exact dedup_stream upstream); this operator answers
+    "is today's document a near-copy of anything we already have".
+    """
+    from ..operators import dedup as D
+
+    def _ingest(batch: DataFrame, batch_id: int) -> None:
+        batch = batch.localCheckpoint(eager=True)  # one materialization per use below
+        if store.exists(index_table):
+            flags = D.incremental_near_dup_lsh(
+                batch,
+                store.read(index_table),
+                store.read(corpus_table),
+                threshold=threshold,
+                **lsh_kwargs,
+            )
+            store.reload_partitions(
+                flags.withColumn("_batch_id", F.lit(batch_id)), flags_table, "_batch_id"
+            )
+        store.reload_partitions(
+            D.minhash_band_index(batch, **lsh_kwargs).withColumn(
+                "_batch_id", F.lit(batch_id)
+            ),
+            index_table,
+            "_batch_id",
+        )
+        store.reload_partitions(
+            batch.withColumn("_batch_id", F.lit(batch_id)), corpus_table, "_batch_id"
+        )
+
+    w = (
+        docs.writeStream.foreachBatch(_ingest)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()

@@ -218,3 +218,62 @@ def test_stream_stream_interval_join(spark, tmp_path):
     rows = spark.sql("SELECT session, lag_seconds FROM funnel_pairs").collect()
     got = {(r["session"], r["lag_seconds"]) for r in rows}
     assert got == {("s1", 600)}
+
+
+def test_near_dup_ingest_stream(spark, tmp_path):
+    """Streaming corpus growth with a standing LSH index: batch 2's
+    planted near-copy of a batch-1 document is flagged against the
+    PERSISTED index (the batch-1 text is never re-signed), both tables
+    stay in sync with the corpus, and a drained re-run with the same
+    checkpoint changes nothing (exactly-once via _batch_id dynamic
+    partition overwrite)."""
+    from datapipelinerepo_spark.io import TableStore
+    from datapipelinerepo_spark.streaming import near_dup_ingest_stream
+
+    src = tmp_path / "docs_in"
+    src.mkdir()
+    store = TableStore(spark, str(tmp_path / "store"))
+    ckpt = str(tmp_path / "ckpt_neardup")
+    base_text = "the quick brown fox jumps over the lazy dog again and again"
+    (src / "b1.json").write_text(
+        "\n".join(
+            json.dumps(d)
+            for d in [
+                {"doc_id": 1, "text": base_text},
+                {"doc_id": 2, "text": "completely different content about spark structured streaming engines"},
+            ]
+        )
+    )
+
+    def run():
+        stream = spark.readStream.schema("doc_id long, text string").json(str(src))
+        q = near_dup_ingest_stream(stream, store, ckpt)
+        q.awaitTermination()
+
+    run()
+    assert store.read("corpus").count() == 2
+    assert store.read("lsh_index").count() == 2 * 8  # bands=8 rows/doc
+    assert not store.exists("near_dups")  # nothing to collide with yet
+
+    (src / "b2.json").write_text(
+        "\n".join(
+            json.dumps(d)
+            for d in [
+                {"doc_id": 10, "text": base_text + " extra"},  # near-copy of doc 1
+                {"doc_id": 11, "text": "unrelated fresh text nothing in common with anything here"},
+            ]
+        )
+    )
+    run()
+    flags = {
+        (r["new_id"], r["corpus_id"]) for r in store.read("near_dups").collect()
+    }
+    assert flags == {(10, 1)}
+    assert store.read("corpus").count() == 4
+    assert store.read("lsh_index").count() == 4 * 8
+    # drained re-run: no new files -> no new batches -> nothing changes
+    run()
+    assert store.read("corpus").count() == 4
+    assert {
+        (r["new_id"], r["corpus_id"]) for r in store.read("near_dups").collect()
+    } == {(10, 1)}
