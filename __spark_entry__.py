@@ -72,6 +72,7 @@ def _ordered_names() -> list[str]:
         "dedup_jaccard_pairs",
         "dedup_connected_components",
         "dedup_incremental_bloom",
+        "dedup_incremental_lsh",
         "ann_topk_bruteforce",
         "ann_topk_lsh",
         "ann_topk_ivf",
