@@ -157,6 +157,29 @@ def lsh_table_buckets(df: DataFrame, dim: int, n_bits: int, n_tables: int, seed:
     )
 
 
+def ann_bucket_index(
+    corpus: DataFrame,
+    dim: int,
+    n_bits: int = 8,
+    n_tables: int = 8,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The persistable ANN index: (id, table_no, bucket) — L rows per
+    vector, ~24 bytes each, computed in one vectorized projection pass.
+    Write it once (bucketed by (table_no, bucket) for shuffle-free
+    probes), append each ingested batch's rows, and pass it to
+    ``cosine_topk_lsh(corpus_buckets=...)`` so serving queries never
+    re-project the corpus — the embedding-side twin of
+    ``dedup.minhash_band_index``. Exact because the bucket assignment
+    is a pure per-vector function (same hyperplane seeds → same
+    buckets, whether computed fresh or read back)."""
+    return lsh_table_buckets(
+        corpus, dim, n_bits, n_tables, seed, id_col, vec_col
+    ).select(id_col, "table_no", "bucket")
+
+
 def cosine_topk_lsh(
     queries: DataFrame,
     corpus: DataFrame,
@@ -167,6 +190,7 @@ def cosine_topk_lsh(
     seed: int = 7,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    corpus_buckets: DataFrame | None = None,
 ) -> DataFrame:
     """ANN top-k: multi-table LSH (L independent hyperplane sets) with
     1-bit multi-probe per table, exact cosine re-rank on candidates.
@@ -179,9 +203,20 @@ def cosine_topk_lsh(
     join (a query id fans out L*(1+b) ≈ 72 times — replicating the
     vectors too would multiply the shuffle by the embedding width);
     candidates dedup on (q_id, c_id), then the two embedding columns
-    join back once per surviving candidate for the exact re-rank."""
+    join back once per surviving candidate for the exact re-rank.
+
+    ``corpus_buckets``: a previously persisted ``ann_bucket_index`` of
+    the corpus (same dim/n_bits/n_tables/seed). The index-once serving
+    pattern: without it, every call re-projects the full corpus through
+    the hyperplanes; with it, only the (tiny) query side is projected
+    and the corpus contributes a bucket-table scan — write it bucketed
+    by (table_no, bucket) and the probe join is shuffle-free."""
     qb = lsh_table_buckets(queries, dim, n_bits, n_tables, seed, id_col, vec_col)
-    cb = lsh_table_buckets(corpus, dim, n_bits, n_tables, seed, id_col, vec_col)
+    cb = (
+        corpus_buckets
+        if corpus_buckets is not None
+        else lsh_table_buckets(corpus, dim, n_bits, n_tables, seed, id_col, vec_col)
+    )
     probes = F.array(
         F.col("bucket"),
         *[F.col("bucket").bitwiseXOR(F.lit(2**i).cast("long")) for i in range(n_bits)],

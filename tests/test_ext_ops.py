@@ -57,6 +57,23 @@ def test_ann_ivf_finds_planted_duplicates(spark, emb):
         assert cid == qid + 800000 and sim == pytest.approx(1.0)
 
 
+def test_ann_indexed_serving_equals_fresh(spark, emb, tmp_path):
+    """cosine_topk_lsh against a persisted-and-read-back bucket index
+    returns EXACTLY what the fresh full-corpus projection returns —
+    bucket assignment is a pure per-vector function, so the index-once
+    serving path loses nothing."""
+    q = emb.filter(F.col("vec_id") < 5)
+    fresh = SIM.cosine_topk_lsh(q, emb, dim=64, k=10)
+    path = str(tmp_path / "ann_idx")
+    SIM.ann_bucket_index(emb, dim=64).write.mode("overwrite").parquet(path)
+    served = SIM.cosine_topk_lsh(
+        q, emb, dim=64, k=10, corpus_buckets=spark.read.parquet(path)
+    )
+    a = {tuple(r) for r in fresh.collect()}
+    b = {tuple(r) for r in served.collect()}
+    assert a == b and len(a) == 50
+
+
 def test_ann_null_embedding_degrades_not_crashes(spark, emb):
     """A NULL (or wrong-length) vector in the corpus must not kill the
     Arrow-vectorized LSH/IVF jobs — it degrades to the zero vector
