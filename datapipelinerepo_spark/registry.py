@@ -2106,7 +2106,12 @@ def ud2_html_parse_rows(spark, sf_dir):
         '<tr><td><a href="/teams/beta">Beta</a></td><td>2</td></tr>'
         "</table>"
     )
-    pages = spark.createDataFrame([("p1", page)], "page string, payload string")
+    # one literal row — coalesce(1) so the mapInPandas parse starts ONE
+    # Python worker instead of defaultParallelism empty ones (32 workers
+    # for 1 row cost ~10 s of pure startup)
+    pages = spark.createDataFrame(
+        [("p1", page)], "page string, payload string"
+    ).coalesce(1)
     return html_records(
         pages, "payload", columns=["name", "seed"],
         with_href_of="name", href_alias="team_url",
