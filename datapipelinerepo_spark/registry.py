@@ -2116,3 +2116,241 @@ def ud2_html_parse_rows(spark, sf_dir):
         pages, "payload", columns=["name", "seed"],
         with_href_of="name", href_alias="team_url",
     )
+
+
+# ===========================================================================
+# §2.3/§2.4 remaining TPC-H join/agg shapes (Q2, Q8, Q9, Q16)
+# ===========================================================================
+# The testdata has no partsupp table, so the part<->supplier relation is
+# derived from lineitem (l_partkey, l_suppkey) — the operator *shapes*
+# (correlated min, market-share conditional agg over a 7-table join,
+# profit decomposition, NOT-IN distinct count) are what parity requires.
+
+
+@register(
+    "q2_min_cost_supplier",
+    sql="""
+    WITH cost AS (
+      SELECT l.l_partkey AS pkey, l.l_suppkey AS skey,
+             MIN(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS unit_cost
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      WHERE r.r_name = 'ASIA'
+      GROUP BY 1, 2
+    )
+    SELECT p.p_partkey AS pkey, p.p_name AS pname, s.s_name AS sname,
+           n.n_name AS supp_nation, CAST(c.unit_cost AS DOUBLE) AS unit_cost
+    FROM cost c
+    JOIN part p ON p.p_partkey = c.pkey
+    JOIN supplier s ON s.s_suppkey = c.skey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_size = 15
+      AND c.unit_cost = (SELECT MIN(c2.unit_cost) FROM cost c2
+                         WHERE c2.pkey = c.pkey)
+    """,
+)
+def q2_min_cost_supplier(spark, sf_dir):
+    """TPC-H-Q2 shape: correlated MIN subquery over a region-scoped
+    multi-join — for each size-15 part, the ASIA supplier(s) offering
+    the cheapest observed price. The correlated min decorrelates to a
+    per-part aggregate joined back (window-free so the agg stays
+    partial+final); the region/nation dims broadcast; ties all
+    qualify. MIN is order-insensitive so the decimal compare is exact
+    on both engines."""
+    li = t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey", "l_extendedprice")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    asia_supp = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", F.col("n_name").alias("supp_nation"))
+    )
+    cost = (
+        li.join(asia_supp, li.l_suppkey == asia_supp.s_suppkey)
+        .groupBy(F.col("l_partkey").alias("pkey"), F.col("l_suppkey").alias("skey"))
+        .agg(F.min(F.col("l_extendedprice").cast("decimal(18,4)")).alias("unit_cost"))
+    )
+    best = cost.groupBy("pkey").agg(F.min("unit_cost").alias("_best"))
+    p = t(spark, sf_dir, "part").filter(F.col("p_size") == 15)
+    return (
+        cost.join(best, "pkey")
+        .filter(F.col("unit_cost") == F.col("_best"))
+        .join(F.broadcast(p), F.col("pkey") == p.p_partkey)
+        .join(asia_supp, F.col("skey") == asia_supp.s_suppkey)
+        .select(
+            "pkey",
+            F.col("p_name").alias("pname"),
+            F.col("s_name").alias("sname"),
+            "supp_nation",
+            F.col("unit_cost").cast("double").alias("unit_cost"),
+        )
+    )
+
+
+@register(
+    "q8_market_share",
+    sql="""
+    SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
+           round(
+             CAST(SUM(CASE WHEN n2.n_name = 'NATION_7'
+                      THEN CAST(l.l_extendedprice AS DECIMAL(18,4)) *
+                           (1 - CAST(l.l_discount AS DECIMAL(18,4)))
+                      ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,4)) *
+                        (1 - CAST(l.l_discount AS DECIMAL(18,4))) AS DECIMAL(18,4)))
+                    AS DOUBLE),
+             6) AS mkt_share
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n2 ON n2.n_nationkey = s.s_nationkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1 ON n1.n_nationkey = c.c_nationkey
+    JOIN region r ON r.r_regionkey = n1.n_regionkey
+    WHERE r.r_name = 'ASIA' AND p.p_type = 'ECONOMY'
+    GROUP BY 1
+    """,
+)
+def q8_market_share(spark, sf_dir):
+    """TPC-H-Q8 shape: national market share — the widest join in the
+    suite (lineitem ⋈ part ⋈ supplier ⋈ nation ⋈ orders ⋈ customer ⋈
+    nation ⋈ region, 8 tables) feeding a two-branch conditional agg.
+    Scale shape: every dim broadcasts (part after its type filter too);
+    the only shuffles are lineitem⋈orders on orderkey and the final
+    per-year agg. The share is decimal-summed then divided once in
+    double, rounded 6dp — same idiom as q14."""
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    p = t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY").select("p_partkey")
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n2 = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
+    )
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n1 = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
+    )
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA").select("r_regionkey")
+    dec = lambda col: F.col(col).cast("decimal(18,4)")  # noqa: E731
+    rev = (dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))).cast("decimal(18,4)")
+    nation_rev = F.when(F.col("supp_nation") == "NATION_7", rev).otherwise(
+        F.lit(0).cast("decimal(18,4)")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(r), F.col("n1_region") == F.col("r_regionkey"))
+        .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(nation_rev).cast("double") / F.sum(rev).cast("double"), 6
+            ).alias("mkt_share")
+        )
+    )
+
+
+@register(
+    "q9_product_profit",
+    sql="""
+    SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS INT) AS o_year,
+           CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,4)) *
+                    (1 - CAST(l.l_discount AS DECIMAL(18,4))) -
+                    CAST(p.p_retailprice AS DECIMAL(18,4)) *
+                    CAST(l.l_quantity AS DECIMAL(18,4)) AS DECIMAL(18,4)))
+                AS DOUBLE) AS sum_profit
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE p.p_name LIKE '%gear%'
+    GROUP BY 1, 2
+    """,
+)
+def q9_product_profit(spark, sf_dir):
+    """TPC-H-Q9 shape: profit decomposition (revenue minus cost) over a
+    LIKE-filtered part dim, grouped by supplier nation × order year.
+    p_retailprice stands in for ps_supplycost (no partsupp table). The
+    LIKE prunes part before its broadcast; profit is exact decimal
+    algebra summed order-insensitively, cast to double at the edge."""
+    li = t(spark, sf_dir, "lineitem")
+    p = (
+        t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%gear%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    dec = lambda col: F.col(col).cast("decimal(18,4)")  # noqa: E731
+    profit = (
+        dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+        - dec("p_retailprice") * dec("l_quantity")
+    ).cast("decimal(18,4)")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(F.sum(profit).cast("double").alias("sum_profit"))
+    )
+
+
+@register(
+    "q16_supplier_count",
+    sql="""
+    SELECT p.p_brand AS brand, p.p_type AS ptype, p.p_size AS psize,
+           CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#4'
+      AND p.p_type NOT LIKE 'PROMO%'
+      AND p.p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+      AND l.l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY 1, 2, 3
+    """,
+)
+def q16_supplier_count(spark, sf_dir):
+    """TPC-H-Q16 shape: COUNT(DISTINCT supplier) per part attribute
+    triple, excluding a NOT-IN supplier subquery ("complaints" analog:
+    negative balance). The NOT IN becomes a left-anti join shipping
+    only suppkeys; the IN-list + NOT-LIKE filters push into the part
+    scan before its broadcast; the distinct-count shuffles once on the
+    (brand, type, size) grouping."""
+    li = t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    p = (
+        t(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != "Brand#4")
+            & ~F.col("p_type").like("PROMO%")
+            & F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    bad = t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(bad, li.l_suppkey == bad.s_suppkey, "left_anti")
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.col("p_type").alias("ptype"),
+            F.col("p_size").alias("psize"),
+        )
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
