@@ -454,3 +454,78 @@ def cosine_topk_quantized(
         queries, dequantize_embeddings(cq, id_col=id_col, vec_col=vec_col),
         k=k, id_col=id_col, vec_col=vec_col,
     )
+
+
+def semantic_dup_pairs(
+    corpus: DataFrame,
+    dim: int,
+    threshold: float = 0.97,
+    n_clusters: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-shaped semantic near-dup pairs (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embeddings, then compare vectors
+    only WITHIN a cluster — the quadratic form is quarantined to
+    per-cluster blocks, exactly like LSH quarantines it to band
+    buckets. Pairs with cosine >= threshold are emitted with
+    ``a_id < b_id`` and a 4dp-rounded score.
+
+    Scale shape: cluster assignment is a map-only Arrow matmul per
+    batch (one (B,dim)x(dim,C) BLAS call); the corpus shuffles ONCE on
+    the small int cell key; each cell's pairwise similarities are one
+    local Gram matrix (E @ E.T) inside applyInPandas — never a
+    corpus-wide cross join. Cross-cluster near-dups are invisible by
+    design (the SemDeDup trade); raise n_clusters for tighter blocks on
+    bigger corpora (cost ~ sum of squared cell sizes).
+
+    Centroids reuse the deterministic IVF seed (`_normalized_centroids`
+    — bounded C x dim collect), so results are reproducible across runs
+    and partitionings.
+    """
+    cents = _normalized_centroids(corpus, n_clusters, dim, id_col, vec_col)
+    sims_udf = _cell_sims_udf(cents)
+    assigned = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("_e"),
+        sims_udf(F.col(vec_col)).alias("_cs"),
+    ).select(
+        "id",
+        "_e",
+        (F.array_position("_cs", F.array_max("_cs")) - 1)
+        .cast("int")
+        .alias("cell"),
+    )
+
+    thr = float(threshold)
+
+    def per_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("id").reset_index(drop=True)
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame(
+                {"a_id": pd.Series([], dtype="int64"),
+                 "b_id": pd.Series([], dtype="int64"),
+                 "sim_r4": pd.Series([], dtype="float64"),
+                 "cell": pd.Series([], dtype="int32")}
+            )
+        E = _embedding_matrix(pdf["_e"], dim)
+        norms = np.linalg.norm(E, axis=1)
+        norms[norms == 0] = 1.0
+        G = (E / norms[:, None]) @ (E / norms[:, None]).T
+        iu, ju = np.triu_indices(n, k=1)
+        sims = np.round(G[iu, ju], 4)
+        keep = sims >= thr
+        ids = pdf["id"].to_numpy()
+        return pd.DataFrame(
+            {
+                "a_id": ids[iu[keep]],
+                "b_id": ids[ju[keep]],
+                "sim_r4": sims[keep],
+                "cell": np.full(int(keep.sum()), pdf["cell"].iloc[0], dtype="int32"),
+            }
+        )
+
+    return assigned.groupBy("cell").applyInPandas(
+        per_cell, "a_id long, b_id long, sim_r4 double, cell int"
+    )

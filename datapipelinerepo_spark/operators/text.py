@@ -372,3 +372,47 @@ def decontaminate_keep(
     set, which is small, so it broadcasts)."""
     dirty = decontaminate_hits(corpus, benchmark, n, text_col, id_col).select(id_col)
     return corpus.join(dirty, on=id_col, how="left_anti")
+
+
+def line_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_dup_docs: int = 2,
+) -> DataFrame:
+    """Corpus-level duplicated-line removal (CCNet/Dolma style): a line
+    that appears in >= ``min_dup_docs`` DISTINCT documents (navigation
+    chrome, cookie banners, boilerplate headers) is dropped from every
+    document; surviving lines are reassembled in original order.
+    Repeats *within* one document are kept — that is `repetition_features`'
+    job, not corpus dedup's.
+
+    Scale shape: the counting pass shuffles only (xxhash64(line),
+    doc_id) — never line text; the dup set that comes back is just the
+    duplicated hashes (typically tiny vs the corpus, AQE broadcasts it
+    when it fits). The single full-width shuffle is the per-doc
+    reassembly groupBy, which any per-doc rewrite must pay. Returns
+    (id, clean_text, n_kept, n_dropped) for every input document —
+    a doc whose every line was boilerplate comes back with
+    clean_text = ''.
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    ).withColumn("_lh", F.xxhash64("line"))
+    dup = (
+        lines.groupBy("_lh")
+        .agg(F.count_distinct(F.col(id_col)).alias("_nd"))
+        .filter(F.col("_nd") >= min_dup_docs)
+        .select("_lh", F.lit(True).alias("_dup"))
+    )
+    flagged = lines.join(dup, "_lh", "left")
+    kept = F.when(F.col("_dup").isNull(), F.struct("pos", "line"))
+    return flagged.groupBy(id_col).agg(
+        F.concat_ws(
+            "\n",
+            F.transform(F.array_sort(F.collect_list(kept)), lambda x: x["line"]),
+        ).alias("clean_text"),
+        F.count(kept).alias("n_kept"),
+        F.count(F.col("_dup")).alias("n_dropped"),
+    )

@@ -986,3 +986,62 @@ def sample_mix_rebalance(spark, sf_dir):
     return SMP.rebalance_mix(
         t(spark, sf_dir, "documents"), group_col="lang"
     ).select("doc_id", "lang")
+
+
+@register(
+    "text_line_dedup",
+    sql="""
+    WITH l AS (
+      SELECT doc_id, generate_subscripts(parts, 1) AS pos, unnest(parts) AS line
+      FROM (SELECT doc_id, string_split(text, chr(10)) AS parts FROM documents)
+    ), dup AS (
+      SELECT line FROM l GROUP BY line HAVING COUNT(DISTINCT doc_id) >= 2
+    )
+    SELECT l.doc_id,
+           coalesce(string_agg(CASE WHEN d.line IS NULL THEN l.line END,
+                               chr(10) ORDER BY l.pos), '') AS clean_text,
+           COUNT(CASE WHEN d.line IS NULL THEN 1 END) AS n_kept,
+           COUNT(d.line) AS n_dropped
+    FROM l LEFT JOIN dup d USING (line)
+    GROUP BY 1
+    """,
+)
+def text_line_dedup(spark, sf_dir):
+    """Corpus-level duplicated-line removal (CCNet/Dolma style): lines
+    shared by >=2 distinct documents are boilerplate and dropped from
+    all of them; the rest reassemble in order. The operator joins on
+    xxhash64(line) so line text never rides the counting shuffle; the
+    oracle groups the raw lines — identical results absent a 64-bit
+    collision (same contract as text_decontaminate). On this corpus
+    every document is a single line, so the degenerate case equals
+    exact-text dedup (multi-line semantics are pinned by
+    test_line_dedup_* in tests/test_ext_ops.py)."""
+    return T.line_dedup(t(spark, sf_dir, "documents"))
+
+
+@register("dedup_semantic_pairs", sql=None)
+def dedup_semantic_pairs(spark, sf_dir):
+    """SemDeDup-shaped semantic near-dup pairs: cluster embeddings
+    (deterministic IVF centroid seed), per-cluster BLAS Gram matrix,
+    emit cosine >= 0.4 pairs (the synthetic corpus tops out near 0.5). Rows-only: the cluster assignment is
+    centroid-dependent, so no SQL twin — within-cell equivalence to the
+    brute-force oracle is asserted in test_ext_ops."""
+    return SIM.semantic_dup_pairs(
+        t(spark, sf_dir, "embeddings"), dim=64, threshold=0.4, n_clusters=16
+    )
+
+
+@register("dedup_semantic_keep", sql=None)
+def dedup_semantic_keep(spark, sf_dir):
+    """Semantic dedup keep-list: SemDeDup pairs -> connected components
+    -> min-id keeper per semantic group (the same groups step the
+    MinHash pipeline uses, so near-dup *chains* collapse to one doc,
+    not one per pair)."""
+    from .operators.graph import dedup_components
+
+    emb = t(spark, sf_dir, "embeddings")
+    pairs = SIM.semantic_dup_pairs(emb, dim=64, threshold=0.4, n_clusters=16)
+    comps = dedup_components(emb, pairs, id_col="vec_id", src="a_id", dst="b_id")
+    return comps.filter(F.col("vec_id") == F.col("comp")).select(
+        F.col("vec_id").alias("keeper_id")
+    )

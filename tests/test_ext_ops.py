@@ -493,3 +493,99 @@ def test_rebalance_mix_balances_and_is_deterministic(spark, docs):
     ids1 = {r["doc_id"] for r in out.collect()}
     ids2 = {r["doc_id"] for r in SMP.rebalance_mix(docs, "lang").collect()}
     assert ids1 == ids2
+
+
+# ---------------------------------------------------------------------------
+# Line-level dedup (CCNet/Dolma-style boilerplate line removal)
+# ---------------------------------------------------------------------------
+
+
+def _line_dedup_fixture(spark):
+    from datapipelinerepo_spark.operators.text import line_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "unique one\nCOOKIE BANNER\nbody text 1"),
+            (2, "COOKIE BANNER\nbody text 2\nbody text 2"),
+            (3, "COOKIE BANNER"),
+            (4, "all original\nlines here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in line_dedup(docs).collect()}
+    assert len(out) == 4  # every input doc comes back
+    return out
+
+
+def test_line_dedup_drops_shared_lines_keeps_order(spark):
+    out = _line_dedup_fixture(spark)
+    assert out[1]["clean_text"] == "unique one\nbody text 1"
+    assert (out[1]["n_kept"], out[1]["n_dropped"]) == (2, 1)
+    assert out[4]["clean_text"] == "all original\nlines here"
+    assert out[4]["n_dropped"] == 0
+
+
+def test_line_dedup_keeps_within_doc_repeats(spark):
+    # "body text 2" twice in doc 2 only: within-doc repetition is NOT
+    # corpus boilerplate — both copies survive
+    out = _line_dedup_fixture(spark)
+    assert out[2]["clean_text"] == "body text 2\nbody text 2"
+
+
+def test_line_dedup_all_boilerplate_doc_becomes_empty(spark):
+    out = _line_dedup_fixture(spark)
+    assert out[3]["clean_text"] == ""
+    assert (out[3]["n_kept"], out[3]["n_dropped"]) == (0, 1)
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup-shaped semantic dedup
+# ---------------------------------------------------------------------------
+
+
+def _cell_of(emb_df, dim=64, n_clusters=16):
+    """Argmax-centroid assignment twin used to scope the brute-force
+    ground truth to within-cluster pairs."""
+    cents = SIM._normalized_centroids(emb_df, n_clusters, dim, "vec_id", "embedding")
+    sims = SIM._cell_sims_udf(cents)
+    return emb_df.select(
+        F.col("vec_id").alias("id"),
+        (F.array_position(sims(F.col("embedding")), F.array_max(sims(F.col("embedding")))) - 1)
+        .cast("int")
+        .alias("cell"),
+    )
+
+
+def test_semantic_pairs_equal_bruteforce_within_cell(spark, emb):
+    """The SemDeDup pair set must be EXACTLY the brute-force cosine>=t
+    pairs restricted to same-cluster — the cluster scoping is the only
+    approximation."""
+    pairs = SIM.semantic_dup_pairs(emb, dim=64, threshold=0.35, n_clusters=16)
+    got = {(r["a_id"], r["b_id"]) for r in pairs.collect()}
+    exact = SIM.cosine_dup_pairs(emb, threshold=0.35)
+    cells = {r["id"]: r["cell"] for r in _cell_of(emb).collect()}
+    want = {
+        (r["id_a"], r["id_b"])
+        for r in exact.collect()
+        if cells[r["id_a"]] == cells[r["id_b"]]
+    }
+    assert got == want
+    assert all(a < b for a, b in got)
+
+
+def test_semantic_planted_dups_collapse_to_one_keeper(spark, emb):
+    """Exact duplicates share an argmax cell by construction, so a
+    planted copy chain must come back as one pair group -> one keeper."""
+    from datapipelinerepo_spark.operators.graph import dedup_components
+
+    base = emb.filter(F.col("vec_id") == 7)
+    copies = base.withColumn("vec_id", F.lit(900001)).unionAll(
+        base.withColumn("vec_id", F.lit(900002))
+    )
+    corpus = emb.unionAll(copies)
+    pairs = SIM.semantic_dup_pairs(corpus, dim=64, threshold=0.9999, n_clusters=16)
+    got = {(r["a_id"], r["b_id"]) for r in pairs.collect()}
+    assert {(7, 900001), (7, 900002), (900001, 900002)} <= got
+    comps = dedup_components(corpus, pairs, id_col="vec_id", src="a_id", dst="b_id")
+    keep = {r["vec_id"] for r in comps.filter(F.col("vec_id") == F.col("comp")).collect()}
+    assert 7 in keep and not ({900001, 900002} & keep)
