@@ -32,17 +32,27 @@ def interval_join_binned(
     matching an interval whose span crosses bins is deduplicated via
     the interval's (key, start) identity."""
     w = F.lit(int(bin_width_s)).cast("long")
+
+    # Epoch seconds, type-agnostic: TIMESTAMP_NTZ (what parquet reads
+    # infer in Spark 4) cannot cast straight to BIGINT, but NTZ→TIMESTAMP
+    # is legal and exact with the session timezone pinned to UTC
+    # (session.py). Whole-second truncation cannot misplace a bin:
+    # floor(floor(t)/w) == floor(t/w) for integer w, and the exact
+    # BETWEEN below uses the original full-precision timestamps anyway.
+    def _epoch_s(c: str):
+        return F.col(c).cast("timestamp").cast("long")
+
     i_binned = intervals.withColumn(
         "_bin",
         F.explode(
             F.sequence(
-                F.floor(F.col(start_ts).cast("long") / w).cast("long"),
-                F.floor(F.col(end_ts).cast("long") / w).cast("long"),
+                F.floor(_epoch_s(start_ts) / w).cast("long"),
+                F.floor(_epoch_s(end_ts) / w).cast("long"),
             )
         ),
     )
     p_binned = points.withColumn(
-        "_bin", F.floor(F.col(point_ts).cast("long") / w).cast("long")
+        "_bin", F.floor(_epoch_s(point_ts) / w).cast("long")
     )
     exact = (F.col(point_ts) >= F.col(start_ts)) & (
         F.col(point_ts) <= F.col(end_ts)

@@ -1106,15 +1106,19 @@ def events_sessionize(spark, sf_dir):
     """Sessionization (30-min inactivity gap) via gaps-and-islands —
     the batch twin of streaming session windows. Window-only plan:
     one shuffle on user_id, then two ordered passes. The gap test
-    compares microsecond epochs (round-2 fix: ``ts.cast("long")``
-    truncated sub-second precision, so a 1800.4 s gap compared as 1800
-    and silently merged two sessions the oracle split)."""
+    subtracts timestamps directly and compares the day-time interval
+    (round-3 fix: ``unix_micros`` rejects TIMESTAMP_NTZ, which is what
+    the driver's parquet read infers; interval subtraction is
+    type-agnostic and keeps sub-second precision — the round-1
+    ``ts.cast("long")`` truncated 1800.4 s gaps to 1800 and silently
+    merged sessions the oracle split)."""
     e = t(spark, sf_dir, "events").select("user_id", "ts", "event_id")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    ts_us = F.unix_micros(F.col("ts"))
     flagged = e.withColumn(
         "new_sess",
-        F.when(ts_us - F.lag(ts_us).over(w) > 1800 * 1_000_000, 1)
+        F.when(
+            F.col("ts") - F.lag("ts").over(w) > F.expr("INTERVAL 30 MINUTES"), 1
+        )
         .when(F.lag("ts").over(w).isNull(), 1)
         .otherwise(0),
     )
@@ -2356,4 +2360,66 @@ def q16_supplier_count(spark, sf_dir):
             F.col("p_size").alias("psize"),
         )
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q21_waiting_suppliers",
+    sql="""
+    WITH late AS (
+      SELECT l.l_orderkey, l.l_suppkey
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      WHERE o.o_orderstatus = 'F'
+        AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+    ), ord AS (
+      SELECT l_orderkey, COUNT(DISTINCT l_suppkey) AS n_supp
+      FROM lineitem GROUP BY 1
+    ), lat AS (
+      SELECT l_orderkey, COUNT(DISTINCT l_suppkey) AS n_late
+      FROM late GROUP BY 1
+    )
+    SELECT s.s_name AS s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM late l1
+    JOIN ord USING (l_orderkey)
+    JOIN lat USING (l_orderkey)
+    JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE ord.n_supp >= 2 AND lat.n_late = 1 AND n.n_nationkey < 13
+    GROUP BY 1
+    """,
+)
+def q21_waiting_suppliers(spark, sf_dir):
+    """TPC-H-Q21 shape: suppliers who were the SOLE late shipper on a
+    multi-supplier finished order. The original's correlated
+    EXISTS (another supplier on the order) + NOT EXISTS (no OTHER late
+    supplier) decorrelate to two per-order COUNT(DISTINCT suppkey)
+    aggregates — n_supp >= 2 and n_late = 1 — turning two correlated
+    self-joins into two grouped passes over lineitem that reuse the
+    same orderkey shuffle. "Late" is adapted to this schema (no
+    receipt/commit dates): shipped > 60 days after order date. At
+    100 TB: late is a filtered fraction of lineitem, both aggs carry
+    only (orderkey, count), and supplier/nation broadcast."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderdate"
+    )
+    late = li.join(o, li.l_orderkey == o.o_orderkey).filter(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    ).select("l_orderkey", "l_suppkey")
+    ord_agg = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp")
+    )
+    lat_agg = late.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_late")
+    )
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    n = t(spark, sf_dir, "nation").filter(F.col("n_nationkey") < 13).select("n_nationkey")
+    return (
+        late.join(ord_agg, "l_orderkey")
+        .join(lat_agg, "l_orderkey")
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late") == 1))
+        .join(F.broadcast(s), late.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
     )

@@ -829,12 +829,23 @@ def text_sequence_packing(spark, sf_dir):
     return T.sequence_packing(t(spark, sf_dir, "documents"), budget=512)
 
 
-@register("multimodal_extract_features", sql=None)
+@register(
+    "multimodal_extract_features",
+    sql="""
+    SELECT doc_id AS media_id,
+           'text/plain' AS mime,
+           CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT) AS n_bytes,
+           sha256(coalesce(text, '')) AS payload_sha
+    FROM documents
+    """,
+)
 def multimodal_extract_features(spark, sf_dir):
     """Arrow-batched mapInPandas feature extraction over binary payloads
     (decode stubbed deterministically — see operators/multimodal.py).
-    Python-side → rows-only check; determinism is asserted in
-    tests/test_multimodal.py."""
+    The metadata lane (byte count + sha256 digest) is engine-agnostic,
+    so the oracle verifies the full Arrow round-trip byte-exactly even
+    though the feature vectors themselves stay rows-only (round-3
+    upgrade from a rows-only check)."""
     m = M.documents_as_media(t(spark, sf_dir, "documents"))
     return M.extract_features(m).drop("features")
 
