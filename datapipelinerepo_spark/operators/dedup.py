@@ -176,6 +176,67 @@ def _band_rows(
     )).alias("bb")).select("_id", "bb.band_no", "bb.band_hash")
 
 
+def _bucket_pairs(
+    banded: DataFrame,
+    bucket_cols: tuple[str, str] = ("band_no", "band_hash"),
+    payload: str | None = None,
+) -> DataFrame:
+    """Candidate pairs from LSH bucket membership, WITHOUT a self-join:
+    groupBy the bucket key, collect the member ids, expand in-bucket
+    pairs with array expressions. One shuffle of (bucket, id) rows and
+    one evaluation of whatever subtree produced ``banded`` — a
+    bucket-stream self-join evaluates that subtree twice and shuffles
+    both copies (measured 6× slower for MinHash banding at sf0.1).
+
+    ``payload``: optional extra column carried next to the id (e.g. the
+    SimHash signature, so the Hamming filter needs no join-back); pairs
+    then expose ``{payload}_a`` / ``{payload}_b``.
+
+    Buckets with one member emit nothing. Pair expansion is quadratic in
+    bucket size BY DESIGN (that is LSH's candidate semantics); a
+    degenerate bucket (mass boilerplate) is better handled by exact
+    dedup upstream than by capping here, which would silently drop
+    recall.
+    """
+    member = (
+        F.struct(F.col("_id").alias("i"), F.col(payload).alias("p"))
+        if payload
+        else F.struct(F.col("_id").alias("i"))
+    )
+    grouped = (
+        banded.groupBy(*bucket_cols)
+        .agg(F.collect_list(member).alias("_m"))
+        .filter(F.size("_m") > 1)
+        # sort by id so pairs come out (low, high); materialized column,
+        # not an inline expression, for the same no-CSE-in-lambdas
+        # reason as shingles()
+        .withColumn("_ms", F.array_sort("_m"))
+    )
+    pairs = grouped.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "_ms",
+                    lambda x, i: F.transform(
+                        F.slice(F.col("_ms"), i + 2, F.size("_ms")),
+                        lambda y: F.struct(x.alias("a"), y.alias("b")),
+                    ),
+                )
+            )
+        ).alias("_p")
+    )
+    cols = [
+        F.col("_p.a.i").alias("id_a"),
+        F.col("_p.b.i").alias("id_b"),
+    ]
+    if payload:
+        cols += [
+            F.col("_p.a.p").alias(f"{payload}_a"),
+            F.col("_p.b.p").alias(f"{payload}_b"),
+        ]
+    return pairs.select(*cols)
+
+
 def minhash_band_index(
     df: DataFrame,
     num_hashes: int = 32,
@@ -292,23 +353,17 @@ def minhash_lsh_pairs(
     # any scale. Round 1 recomputed full-corpus shingles in all three
     # branches (a measured choice vs caching: 2.4s recompute vs 2.6-3.3s
     # cache-fill at sf0.1, and corpus-sized caches don't exist at
-    # 100 TB); round 2 shrinks the verify branches instead, which beats
-    # both.
+    # 100 TB); round 2 shrank the verify branches; round 3 replaces the
+    # candidate SELF-JOIN — whose two branches each re-ran the whole
+    # shingle+signature subtree and shuffled it (measured 6.1 s of the
+    # 7.5 s total at sf0.1) — with ONE groupBy on the bucket key and
+    # in-bucket pair expansion (measured 0.9 s): banding is computed
+    # exactly once and only (band_no, band_hash, id) rows ever shuffle.
     banded = _band_rows(
         df, num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
         text_col=text_col, id_col=id_col,
     )
-    a, b = banded.alias("a"), banded.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band_no") == F.col("b.band_no"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a._id") < F.col("b._id")),
-        )
-        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
-        .distinct()
-    )
+    cand = _bucket_pairs(banded).distinct()
     # Materialize the candidate-id pairs (ids only — small even when the
     # corpus is 100 TB) so the banding subtree runs exactly once instead
     # of once per verify side, then restrict the verify-side shingle
@@ -326,7 +381,10 @@ def minhash_lsh_pairs(
         n=shingle_n,
         text_col=text_col,
         id_col=id_col,
-    )
+    ).localCheckpoint(eager=True)
+    # ^ candidate-doc shingles materialize once; without this the sa/sb
+    # branches below each re-scan the corpus and re-shingle (candidate
+    # docs are a tiny slice at any scale, so the checkpoint is bounded)
     sa = shv.select(F.col("_id").alias("id_a"), F.col("_shingles").alias("_sha"))
     sb = shv.select(F.col("_id").alias("id_b"), F.col("_shingles").alias("_shb"))
     verified = (
@@ -396,24 +454,18 @@ def simhash_pairs(df: DataFrame, max_hamming: int = 8, text_col: str = "text", i
             )
         ).alias("c"),
     ).select("_id", "simhash", "c.chunk_no", "c.chunk")
-    a, b = chunks.alias("a"), chunks.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.chunk_no") == F.col("b.chunk_no"))
-            & (F.col("a.chunk") == F.col("b.chunk"))
-            & (F.col("a._id") < F.col("b._id")),
-        )
-        .select(
-            F.col("a._id").alias("id_a"),
-            F.col("b._id").alias("id_b"),
-            F.col("a.simhash").alias("_sa"),
-            F.col("b.simhash").alias("_sb"),
-        )
-        .distinct()
-    )
+    # groupBy-bucket pair expansion, not a chunk-stream self-join: the
+    # signature subtree (token explode + 64 bit-sum aggs) runs once, and
+    # the signatures ride the pairs so the Hamming filter needs no
+    # join-back (see _bucket_pairs).
+    cand = _bucket_pairs(
+        chunks, bucket_cols=("chunk_no", "chunk"), payload="simhash"
+    ).distinct()
     return (
-        cand.withColumn("hamming", F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb"))))
+        cand.withColumn(
+            "hamming",
+            F.bit_count(F.col("simhash_a").bitwiseXOR(F.col("simhash_b"))),
+        )
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )

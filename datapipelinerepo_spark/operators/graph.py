@@ -40,10 +40,17 @@ def connected_components(
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     e = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
     e = e.localCheckpoint()
+    # Seed with the round-1 neighborhood minimum directly: one groupBy
+    # over the (symmetrized) edges yields least(self, min neighbor) —
+    # the same shuffle the plain node-distinct seed would cost, but it
+    # buys a whole propagation round.
     labels = (
-        e.select(F.col("u").alias("node"))
-        .distinct()
-        .select("node", F.col("node").alias("comp"))
+        e.groupBy("u")
+        .agg(F.min("v").alias("_mv"))
+        .select(
+            F.col("u").alias("node"),
+            F.least(F.col("u"), F.col("_mv")).alias("comp"),
+        )
         .localCheckpoint()
     )
     for _ in range(max_iter):
@@ -53,18 +60,25 @@ def connected_components(
             .groupBy("node")
             .agg(F.min("comp").alias("nbr_comp"))
         )
-        stepped = labels.join(nbr_min, on="node", how="left").select(
-            "node",
-            F.least(
-                F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))
-            ).alias("_mid"),
-            # the round-START label rides along so convergence is a
-            # filter-count over the checkpointed frame below — not a
-            # second join against the old labels (one shuffle less per
-            # round). It must be the start label, not _mid: a round
-            # where only the neighborhood step lowered labels would
-            # otherwise report itself converged.
-            F.col("comp").alias("_start"),
+        stepped = (
+            labels.join(nbr_min, on="node", how="left")
+            .select(
+                "node",
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))
+                ).alias("_mid"),
+                # the round-START label rides along so convergence is a
+                # filter-count over the checkpointed frame below — not a
+                # second join against the old labels (one shuffle less per
+                # round). It must be the start label, not _mid: a round
+                # where only the neighborhood step lowered labels would
+                # otherwise report itself converged.
+                F.col("comp").alias("_start"),
+            )
+            # materialize before the pointer self-join: both ptr branches
+            # read this frame, and without the checkpoint each round
+            # evaluates the edge-join + groupBy subtree twice
+            .localCheckpoint(eager=True)
         )
         # pointer jumping: also adopt the label OF my label (comp is a
         # node id, so its own label exists) — halves the remaining
