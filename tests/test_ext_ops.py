@@ -589,3 +589,49 @@ def test_semantic_planted_dups_collapse_to_one_keeper(spark, emb):
     comps = dedup_components(corpus, pairs, id_col="vec_id", src="a_id", dst="b_id")
     keep = {r["vec_id"] for r in comps.filter(F.col("vec_id") == F.col("comp")).collect()}
     assert 7 in keep and not ({900001, 900002} & keep)
+
+
+def test_bucket_pairs_expansion_and_self_join_equivalence(spark, docs):
+    """_bucket_pairs (round-3 candidate generation: groupBy bucket +
+    in-bucket pair expansion) is set-identical to the bucket-stream
+    self-join it replaced, both bare and with a payload column."""
+    rows = [
+        (1, 0, 100),
+        (2, 0, 100),
+        (3, 0, 100),  # bucket of 3 -> 3 pairs
+        (4, 0, 200),
+        (5, 0, 200),  # bucket of 2 -> 1 pair
+        (6, 1, 300),  # singleton -> nothing
+        (1, 1, 400),
+        (5, 1, 400),  # same ids, other band -> 1 pair
+    ]
+    banded = spark.createDataFrame(rows, "_id long, band_no int, band_hash long")
+    got = {
+        (r.id_a, r.id_b)
+        for r in D._bucket_pairs(banded).distinct().collect()
+    }
+    assert got == {(1, 2), (1, 3), (2, 3), (4, 5), (1, 5)}
+
+    # payload variant carries the per-id column to both sides
+    payload = banded.withColumn("sig", F.col("_id") * 10)
+    prow = {
+        (r.id_a, r.id_b): (r.sig_a, r.sig_b)
+        for r in D._bucket_pairs(payload, payload="sig").distinct().collect()
+    }
+    assert prow[(1, 2)] == (10, 20) and prow[(4, 5)] == (40, 50)
+
+    # equivalence against the self-join form on real banded data
+    real = D._band_rows(docs.limit(300))
+    a, b = real.alias("a"), real.alias("b")
+    sj = (
+        a.join(
+            b,
+            (F.col("a.band_no") == F.col("b.band_no"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .distinct()
+    )
+    bp = D._bucket_pairs(real).distinct()
+    assert sj.exceptAll(bp).count() == 0 and bp.exceptAll(sj).count() == 0
