@@ -1,0 +1,120 @@
+"""Plan lint — pre-flight anti-pattern scan of a query's physical plan.
+
+At 100 TB a bad plan shape is the difference between minutes and days:
+a cartesian product or BroadcastNestedLoopJoin is quadratic in the
+inputs, a row-at-a-time Python UDF forces every row through pickle, a
+global sort funnels the data through a range exchange. All of these are
+visible in the executed plan BEFORE any task runs, so a pipeline can
+(and should) refuse to submit them. This module turns the plan-audit
+assertions the test suite applies to the engine's own queries
+(tests/test_scale_ops.py) into a first-class, user-callable check.
+
+Node-name notes (what we match and why):
+- ``CartesianProduct`` / ``BroadcastNestedLoopJoin``: the two physical
+  strategies Spark falls back to when a join has no usable equi-keys.
+  Always worth a human look; at scale usually a missing join condition.
+- ``BatchEvalPython`` is the ROW-AT-A-TIME Python UDF operator (the
+  10-100× slow path). ``ArrowEvalPython`` / ``MapInPandas`` /
+  ``FlatMapGroupsInPandas`` are the Arrow-vectorized operators — the
+  sanctioned escape hatch — and are NOT flagged.
+- ``Exchange rangepartitioning``: a global sort (or sort-based window
+  without a partition key) — legitimate for top-k output, a red flag in
+  the middle of a pipeline.
+- ``Exchange SinglePartition``: everything funnels through one task —
+  fine for a final scalar/limit, fatal mid-plan at scale.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+
+# (code, physical-plan substring, what it means at scale)
+ANTIPATTERNS: tuple[tuple[str, str, str], ...] = (
+    (
+        "cartesian_product",
+        "CartesianProduct",
+        "all-pairs join: |L|x|R| comparisons — add an equi-condition "
+        "or a binned/bucketed prefilter (see operators/rangejoin.py)",
+    ),
+    (
+        "broadcast_nested_loop",
+        "BroadcastNestedLoopJoin",
+        "non-equi join fallback: every row probes the whole broadcast "
+        "side — rewrite as equi-join on a derived key",
+    ),
+    (
+        "python_row_udf",
+        "BatchEvalPython",
+        "row-at-a-time Python UDF: pickle per row, no vectorization — "
+        "use built-in expressions or a pandas_udf (ArrowEvalPython)",
+    ),
+    (
+        "global_sort_exchange",
+        "Exchange rangepartitioning",
+        "global sort: all data through a range exchange — only the "
+        "final ordered output should pay this",
+    ),
+    (
+        "single_partition_exchange",
+        "Exchange SinglePartition",
+        "single-task funnel: one task processes everything downstream "
+        "— fine for a final scalar, fatal mid-plan",
+    ),
+)
+
+
+@dataclass(frozen=True)
+class Finding:
+    code: str
+    why: str
+    evidence: str  # first plan line that matched
+
+
+def _executed_plan(df: DataFrame) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def plan_findings(
+    df: DataFrame, allow: tuple[str, ...] = ()
+) -> list[Finding]:
+    """Scan ``df``'s executed physical plan for scale anti-patterns.
+
+    ``allow``: finding codes that are expected for this query (e.g.
+    ``("global_sort_exchange",)`` for an intentionally ordered report).
+    Returns the (possibly empty) list of findings — no exceptions.
+    """
+    plan = _executed_plan(df)
+    lines = plan.splitlines()
+    out: list[Finding] = []
+    for code, needle, why in ANTIPATTERNS:
+        if code in allow:
+            continue
+        hit = next((ln.strip() for ln in lines if needle in ln), None)
+        if hit is not None:
+            out.append(Finding(code=code, why=why, evidence=hit[:200]))
+    return out
+
+
+def assert_clean(df: DataFrame, allow: tuple[str, ...] = ()) -> None:
+    """Raise ``ValueError`` listing every anti-pattern found — the
+    pre-submit gate form of :func:`plan_findings`."""
+    findings = plan_findings(df, allow=allow)
+    if findings:
+        msg = "; ".join(f"{f.code}: {f.why} [{f.evidence}]" for f in findings)
+        raise ValueError(f"plan lint failed: {msg}")
+
+
+def pushed_filters(df: DataFrame) -> list[str]:
+    """The ``PushedFilters`` entries of every scan in the plan — empty
+    lists mean a filter the scan could not absorb. Assertion helper for
+    pushdown tests and pre-flight sanity ('did my predicate reach the
+    parquet reader?')."""
+    plan = _executed_plan(df)
+    out: list[str] = []
+    for ln in plan.splitlines():
+        if "PushedFilters:" in ln:
+            frag = ln.split("PushedFilters:", 1)[1].strip()
+            out.append(frag.rstrip(","))
+    return out

@@ -1,0 +1,65 @@
+"""Plan-lint coverage: every bench query's executed plan is free of the
+scale anti-patterns plan_lint flags; seeded negatives prove the linter
+actually fires."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from datapipelinerepo_spark.plans import lint
+from datapipelinerepo_spark.registry import REGISTRY
+import datapipelinerepo_spark.registry_ext  # noqa: F401
+
+_BENCH = [n for n, e in REGISTRY.items() if e.bench]
+
+
+# ann_topk_bruteforce is the intentionally-exact all-pairs baseline:
+# a tiny broadcast query side against the streamed corpus IS the plan,
+# and BroadcastNestedLoopJoin is its correct physical form. Every scale
+# path (lsh/ivf/quantized) must still lint clean.
+_ALLOW = {"ann_topk_bruteforce": ("broadcast_nested_loop",)}
+
+
+@pytest.mark.parametrize("name", _BENCH)
+def test_bench_plans_lint_clean(spark, sf_dir, name):
+    lint.assert_clean(
+        REGISTRY[name].fn(spark, sf_dir), allow=_ALLOW.get(name, ())
+    )
+
+
+def test_lint_flags_cartesian(spark):
+    a = spark.range(4)
+    b = spark.range(4).withColumnRenamed("id", "id2")
+    codes = {f.code for f in lint.plan_findings(a.crossJoin(b))}
+    assert "cartesian_product" in codes or "broadcast_nested_loop" in codes
+
+
+def test_lint_flags_row_udf(spark):
+    from pyspark.sql.functions import udf
+
+    slow = udf(lambda x: x + 1, "long")
+    df = spark.range(4).select(slow(F.col("id")))
+    assert {f.code for f in lint.plan_findings(df)} == {"python_row_udf"}
+
+
+def test_lint_allow_suppresses(spark):
+    a = spark.range(4)
+    b = spark.range(4).withColumnRenamed("id", "id2")
+    lint.assert_clean(
+        a.crossJoin(b),
+        allow=("cartesian_product", "broadcast_nested_loop"),
+    )
+
+
+def test_lint_pandas_udf_not_flagged(spark):
+    from pyspark.sql.functions import pandas_udf
+
+    fast = pandas_udf(lambda s: s * 2, "long")
+    df = spark.range(16).select(fast(F.col("id")))
+    assert lint.plan_findings(df) == []
+
+
+def test_pushed_filters_surface(spark, sf_dir):
+    df = REGISTRY["p1_point_lookup"].fn(spark, sf_dir)
+    assert any(p and p != "[]" for p in lint.pushed_filters(df))
