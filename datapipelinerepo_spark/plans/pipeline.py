@@ -197,6 +197,7 @@ class Pipeline:
         clock: Clock | None = None,
         manual: Iterable[str] = (),
         secrets: Mapping[str, str] | None = None,
+        lint_plans: bool = False,
     ):
         self.sources = list(sources)
         self.spark = spark
@@ -204,6 +205,11 @@ class Pipeline:
         self.clock = clock or SystemClock()
         self.manual = set(manual)
         self.secrets = dict(secrets or {})
+        # pre-flight plan gate: refuse to LOAD an extract whose physical
+        # plan carries a scale anti-pattern (plans/lint.py) — at 100 TB
+        # a cartesian product is cheaper to reject than to run. The
+        # refusal lands in report.errors like any source failure (O6).
+        self.lint_plans = lint_plans
 
     def _secret_for(self, src: DataSource) -> Mapping[str, str]:
         """O3: WHERE TBL_NM='x' point lookup against the key store
@@ -225,6 +231,10 @@ class Pipeline:
             report.scheduled[src.name] = gated
             if gated:
                 df = src.extract(ctx)
+                if self.lint_plans:
+                    from .lint import assert_clean
+
+                    assert_clean(df)
                 report.loaded_rows[src.name] = src.load(ctx, df)
         except Exception as e:  # O6: isolate per-source failures
             report.errors[src.name] = f"{type(e).__name__}: {e}"

@@ -63,3 +63,32 @@ def test_lint_pandas_udf_not_flagged(spark):
 def test_pushed_filters_surface(spark, sf_dir):
     df = REGISTRY["p1_point_lookup"].fn(spark, sf_dir)
     assert any(p and p != "[]" for p in lint.pushed_filters(df))
+
+
+def test_pipeline_lint_gate_rejects_bad_extract(spark, tmp_path):
+    """Pipeline(lint_plans=True) refuses to load a cartesian extract —
+    the refusal is a per-source error (O6 isolation), and the same
+    pipeline with the gate off loads it."""
+    from datapipelinerepo_spark.io import TableStore
+    from datapipelinerepo_spark.plans.pipeline import DataSource, Pipeline
+
+    class BadSource(DataSource):
+        name = "bad"
+        table_name = "bad_t"
+        write_mode = "overwrite"
+
+        def schedule(self, ctx):
+            return True
+
+        def extract(self, ctx):
+            a = ctx.spark.range(3)
+            b = ctx.spark.range(3).withColumnRenamed("id", "id2")
+            return a.crossJoin(b)
+
+    store = TableStore(spark, str(tmp_path))
+    gated = Pipeline([BadSource()], spark=spark, store=store, lint_plans=True).run()
+    assert "bad" in gated.errors and "plan lint failed" in gated.errors["bad"]
+    assert not store.exists("bad_t")
+
+    ungated = Pipeline([BadSource()], spark=spark, store=store).run()
+    assert ungated.errors == {} and ungated.loaded_rows["bad"] == 9
