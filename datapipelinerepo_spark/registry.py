@@ -1082,6 +1082,7 @@ def q18_large_orders(spark, sf_dir):
 
 @register(
     "events_sessionize",
+    bench=True,
     sql="""
     WITH flagged AS (
       SELECT user_id, ts, event_id,
@@ -2365,6 +2366,7 @@ def q16_supplier_count(spark, sf_dir):
 
 @register(
     "q21_waiting_suppliers",
+    bench=True,
     sql="""
     WITH late AS (
       SELECT l.l_orderkey, l.l_suppkey
