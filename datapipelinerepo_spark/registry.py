@@ -2394,34 +2394,38 @@ def q21_waiting_suppliers(spark, sf_dir):
     """TPC-H-Q21 shape: suppliers who were the SOLE late shipper on a
     multi-supplier finished order. The original's correlated
     EXISTS (another supplier on the order) + NOT EXISTS (no OTHER late
-    supplier) decorrelate to two per-order COUNT(DISTINCT suppkey)
-    aggregates — n_supp >= 2 and n_late = 1 — turning two correlated
-    self-joins into two grouped passes over lineitem that reuse the
-    same orderkey shuffle. "Late" is adapted to this schema (no
-    receipt/commit dates): shipped > 60 days after order date. At
-    100 TB: late is a filtered fraction of lineitem, both aggs carry
-    only (orderkey, count), and supplier/nation broadcast."""
+    supplier) decorrelate into ONE per-order aggregate pass: distinct
+    suppliers, distinct LATE suppliers, the late-line count, and — via
+    max(when(late, suppkey)), exact whenever n_late = 1 — the sole late
+    supplier's id. Orders with n_supp >= 2 and n_late = 1 qualify, and
+    numwait is the sum of their late-line counts per supplier. That is
+    one orderkey shuffle of (suppkey, late-flag) total where the
+    EXISTS/NOT-EXISTS form needs three passes over lineitem; the
+    qualifying-order frame carries four small columns, and supplier /
+    nation broadcast. "Late" is adapted to this schema (no
+    receipt/commit dates): shipped > 60 days after order date. Note
+    lineitem joins only F-status orders first — non-F orders cannot
+    qualify, so the filter prunes before the shuffle."""
     li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
     o = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F").select(
         "o_orderkey", "o_orderdate"
     )
-    late = li.join(o, li.l_orderkey == o.o_orderkey).filter(
-        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
-    ).select("l_orderkey", "l_suppkey")
-    ord_agg = li.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_supp")
+    late_flag = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    j = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_orderkey", "l_suppkey", late_flag.alias("_late")
     )
-    lat_agg = late.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_late")
+    per_order = j.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("_late"), F.col("l_suppkey"))).alias("n_late"),
+        F.sum(F.col("_late").cast("long")).alias("n_late_lines"),
+        F.max(F.when(F.col("_late"), F.col("l_suppkey"))).alias("late_supp"),
     )
     s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
     n = t(spark, sf_dir, "nation").filter(F.col("n_nationkey") < 13).select("n_nationkey")
     return (
-        late.join(ord_agg, "l_orderkey")
-        .join(lat_agg, "l_orderkey")
-        .filter((F.col("n_supp") >= 2) & (F.col("n_late") == 1))
-        .join(F.broadcast(s), late.l_suppkey == s.s_suppkey)
+        per_order.filter((F.col("n_supp") >= 2) & (F.col("n_late") == 1))
+        .join(F.broadcast(s), F.col("late_supp") == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .groupBy("s_name")
-        .agg(F.count(F.lit(1)).alias("numwait"))
+        .agg(F.sum("n_late_lines").alias("numwait"))
     )
