@@ -1056,3 +1056,42 @@ def dedup_semantic_keep(spark, sf_dir):
     return comps.filter(F.col("vec_id") == F.col("comp")).select(
         F.col("vec_id").alias("keeper_id")
     )
+
+
+@register(
+    "events_rollup_hourly",
+    sql="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def events_rollup_hourly(spark, sf_dir):
+    """Hypertable-style continuous aggregate, maintained INCREMENTALLY:
+    the events table is split into three uneven deltas and each is
+    merged into a fresh rollup store (plans/rollup.rollup_maintain —
+    per-batch partials upserted on the bucket key). The oracle is the
+    plain one-shot SQL rollup, so the driver hash-checks the mergeable-
+    partials contract itself: maintain(deltas) == recompute(all).
+    Previously this surface was pytest-only (test_io)."""
+    import tempfile
+
+    from .io import TableStore
+    from .plans.rollup import rollup_maintain
+
+    e = t(spark, sf_dir, "events")
+    store = TableStore(spark, tempfile.mkdtemp(prefix="rollup_q_"))
+    for i in range(3):
+        rollup_maintain(
+            store,
+            e.filter(F.col("event_id") % 3 == i),
+            table="events_rollup_hourly",
+        )
+    return store.read("events_rollup_hourly").select(
+        "bucket_start",
+        "event_type",
+        "n_events",
+        F.col("sum_value").cast("double").alias("sum_value"),
+    )
