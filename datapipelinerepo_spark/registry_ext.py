@@ -1095,3 +1095,53 @@ def events_rollup_hourly(spark, sf_dir):
         "n_events",
         F.col("sum_value").cast("double").alias("sum_value"),
     )
+
+
+@register(
+    "pipeline_idempotent_reload",
+    sql="""
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS event_date,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events GROUP BY 1, 2
+    """,
+)
+def pipeline_idempotent_reload(spark, sf_dir):
+    """The orchestrator lifecycle as a hash-checked query: a real
+    Pipeline (schedule gate → extract → partition_reload load,
+    plans/pipeline.py) runs TWICE into a fresh store — the second run
+    re-extracts the same day slices and must replace, not duplicate,
+    them (S10 idempotent partition re-load; dynamic partition
+    overwrite). The oracle is the plain daily rollup, so any
+    double-load or partition loss hash-mismatches. Previously this
+    lifecycle was covered by pytest only (test_pipeline)."""
+    import tempfile
+
+    from .io import TableStore
+    from .plans.pipeline import DataSource, Pipeline
+
+    class DailyCounts(DataSource):
+        name = "daily_counts"
+        table_name = "daily_counts"
+        write_mode = "partition_reload"
+        partition_col = "event_date"
+
+        def schedule(self, ctx):
+            return True
+
+        def extract(self, ctx):
+            e = t(ctx.spark, sf_dir, "events")
+            return e.groupBy(
+                F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias(
+                    "event_date"
+                ),
+                "event_type",
+            ).agg(F.count(F.lit(1)).alias("n_events"))
+
+    store = TableStore(spark, tempfile.mkdtemp(prefix="pipe_q_"))
+    for _ in range(2):
+        report = Pipeline([DailyCounts()], spark=spark, store=store).run()
+        assert not report.errors, report.errors
+    return store.read("daily_counts").select(
+        "event_date", "event_type", "n_events"
+    )
