@@ -150,3 +150,42 @@ def test_sequence_packing_invariants(spark, toks, budget):
         assert ep == (cum + n - 1) // budget
         assert sp <= ep
         cum += n
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=30),
+            st.integers(min_value=0, max_value=30),
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_connected_components_matches_union_find(spark, edges):
+    """The iterative min-label/pointer-jump operator equals a driver-side
+    union-find on arbitrary (self-loop, duplicate, multi-component)
+    edge sets — min node id per component."""
+    from datapipelinerepo_spark.operators.graph import connected_components
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    want = {n: find(n) for n in parent}
+
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {
+        r.node: r.comp for r in connected_components(df).collect()
+    }
+    assert got == want
