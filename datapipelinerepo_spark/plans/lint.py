@@ -91,7 +91,22 @@ def plan_findings(
     for code, needle, why in ANTIPATTERNS:
         if code in allow:
             continue
-        hit = next((ln.strip() for ln in lines if needle in ln), None)
+        hit = None
+        for i, ln in enumerate(lines):
+            if needle not in ln:
+                continue
+            # Spark's runtime bloom-filter join pruning injects a scalar
+            # subquery whose partial→final bloom aggregate necessarily
+            # funnels through a SinglePartition exchange. That exchange
+            # carries ~one bloom buffer per input partition — it is the
+            # optimization working, not a data funnel. Don't flag it.
+            if code == "single_partition_exchange" and any(
+                "bloom_filter_agg" in ctx
+                for ctx in lines[max(0, i - 2) : i + 3]
+            ):
+                continue
+            hit = ln.strip()
+            break
         if hit is not None:
             out.append(Finding(code=code, why=why, evidence=hit[:200]))
     return out

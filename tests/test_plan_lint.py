@@ -92,3 +92,45 @@ def test_pipeline_lint_gate_rejects_bad_extract(spark, tmp_path):
 
     ungated = Pipeline([BadSource()], spark=spark, store=store).run()
     assert ungated.errors == {} and ungated.loaded_rows["bad"] == 9
+
+
+# Every registered query's executed plan, linted. The allowlist is the
+# explicit statement of INTENT: global scalar results legitimately end
+# in a single-partition aggregate; scalar-subquery gates and the exact
+# all-pairs baselines legitimately build a (1-row or sampled) nested
+# loop. Anything NOT listed here must lint clean — a new finding on any
+# query is a plan regression, not noise.
+_REGISTRY_ALLOW = {
+    # final global scalar / 1-row result
+    "p4_date_part_filter": {"single_partition_exchange"},
+    "a1_watermark_max": {"single_partition_exchange"},
+    "a6_emptiness_gate": {"single_partition_exchange"},
+    "q14_promo_share": {"single_partition_exchange"},
+    "q6_forecast_revenue": {"single_partition_exchange"},
+    "q19_disjunctive_pushdown": {"single_partition_exchange"},
+    "q15_top_supplier": {"single_partition_exchange"},
+    "q17_small_quantity_revenue": {"single_partition_exchange"},
+    "scale_approx_aggs": {"single_partition_exchange"},
+    "scale_heavy_hitters": {"single_partition_exchange"},
+    # 1-row scalar-subquery gate broadcast into a filter
+    "a9_above_avg": {"broadcast_nested_loop", "single_partition_exchange"},
+    "q11_group_share_having": {"broadcast_nested_loop", "single_partition_exchange"},
+    "q22_idle_wealthy_customers": {"broadcast_nested_loop", "single_partition_exchange"},
+    "data_mix_report": {"broadcast_nested_loop", "single_partition_exchange"},
+    "text_tfidf": {"broadcast_nested_loop", "single_partition_exchange"},
+    "sample_mix_rebalance": {"broadcast_nested_loop", "single_partition_exchange"},
+    # intentionally exact / sampled all-pairs
+    "ann_topk_bruteforce": {"broadcast_nested_loop"},
+    "ann_topk_quantized": {"broadcast_nested_loop"},
+    "embedding_dup_pairs": {"broadcast_nested_loop"},
+    "dedup_levenshtein_pairs": {"broadcast_nested_loop"},
+    # the reference's driving cross join (J4) IS a cross join
+    "j4_cross_join_worklist": {"broadcast_nested_loop"},
+}
+
+
+@pytest.mark.parametrize("name", sorted(REGISTRY))
+def test_registry_plans_lint_with_intent(spark, sf_dir, name):
+    findings = lint.plan_findings(REGISTRY[name].fn(spark, sf_dir))
+    got = {f.code for f in findings}
+    assert got <= _REGISTRY_ALLOW.get(name, set()), findings
