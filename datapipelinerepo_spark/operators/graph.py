@@ -112,6 +112,138 @@ def connected_components(
     return labels
 
 
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+    damping: float = 0.85,
+    iters: int = 8,
+    assume_no_dangling: bool = False,
+) -> DataFrame:
+    """Weighted PageRank over a directed edge list, fixed ``iters``
+    power iterations. Output: (node, rank), ranks sum to 1.
+
+    Scale shape: one join + one groupBy per iteration, both keyed on a
+    node id — AQE reuses the hash partitioning across iterations; ranks
+    are localCheckpoint'ed per round so the plan stays O(1) deep.
+    Per-edge transition probabilities (weight / out-weight) are computed
+    ONCE up front and checkpointed; iterations shuffle only
+    (node, rank) rows, never the edge payload. No driver-side loops
+    over data: the only scalar is the one-time node count (the same
+    sanctioned footprint as the CC convergence probe above).
+
+    Dangling nodes (no out-edges) leak rank mass; standard PageRank
+    redistributes it uniformly. That needs the dangling mass as a
+    scalar each round — kept IN the plan as a 1-row aggregate
+    cross-joined into the update (the scalar-subquery-gate pattern, no
+    collect). Pass ``assume_no_dangling=True`` when the input is known
+    dangling-free (e.g. a symmetrized co-occurrence graph) to skip that
+    branch entirely."""
+    e = edges.select(
+        F.col(src).alias("u"),
+        F.col(dst).alias("v"),
+        (F.col(weight) if weight else F.lit(1.0)).cast("double").alias("w"),
+    )
+    outw = e.groupBy("u").agg(F.sum("w").alias("_ow"))
+    trans = (
+        e.join(outw, "u")
+        .select("u", "v", (F.col("w") / F.col("_ow")).alias("p"))
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("u").alias("node"))
+        .union(e.select(F.col("v").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    src_nodes = trans.select(F.col("u").alias("node")).distinct()
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+    for _ in range(iters):
+        contrib = (
+            trans.join(ranks, trans.u == ranks.node)
+            .select("v", (F.col("rank") * F.col("p")).alias("c"))
+            .groupBy("v")
+            .agg(F.sum("c").alias("c"))
+        )
+        base = F.lit((1.0 - damping) / n)
+        if assume_no_dangling:
+            ranks = (
+                nodes.join(contrib, nodes.node == contrib.v, "left")
+                .select(
+                    "node",
+                    (base + F.lit(damping) * F.coalesce("c", F.lit(0.0))).alias(
+                        "rank"
+                    ),
+                )
+                .localCheckpoint(eager=True)
+            )
+        else:
+            dang = (
+                ranks.join(src_nodes, on="node", how="left_anti")
+                .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm"))
+            )
+            ranks = (
+                nodes.join(contrib, nodes.node == contrib.v, "left")
+                .crossJoin(F.broadcast(dang))
+                .select(
+                    "node",
+                    (
+                        base
+                        + F.lit(damping)
+                        * (
+                            F.coalesce("c", F.lit(0.0))
+                            + F.col("_dm") / F.lit(float(n))
+                        )
+                    ).alias("rank"),
+                )
+                .localCheckpoint(eager=True)
+            )
+    return ranks
+
+
+def canonical_keep(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    quality_col: str = "n_chars",
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Quality-aware canonical selection: near-dup pairs → connected
+    components → keep the HIGHEST-quality member of each group (tie →
+    min id), not the min-id one. This is the keeper policy real corpus
+    dedup wants — keep the longest/cleanest copy, drop truncated
+    mirrors — and it composes the same components step the rest of the
+    dedup pipeline uses.
+
+    Output: one row per component — (comp, keeper_id, keeper_quality,
+    n_members). One extra shuffle beyond the components themselves
+    (window over comp); rows carry only (id, comp, quality), never the
+    document payload."""
+    comps = dedup_components(df, pairs, id_col=id_col, src=src, dst=dst)
+    from pyspark.sql import Window
+
+    labeled = df.select(F.col(id_col), F.col(quality_col)).join(
+        comps, on=id_col
+    )
+    w = Window.partitionBy("comp").orderBy(
+        F.col(quality_col).desc(), F.col(id_col).asc()
+    )
+    return (
+        labeled.withColumn("_rn", F.row_number().over(w))
+        .withColumn("n_members", F.count(F.lit(1)).over(Window.partitionBy("comp")))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "comp",
+            F.col(id_col).alias("keeper_id"),
+            F.col(quality_col).alias("keeper_quality"),
+            "n_members",
+        )
+    )
+
+
 def dedup_components(
     df: DataFrame,
     pairs: DataFrame,

@@ -416,3 +416,54 @@ def line_dedup(
         F.count(kept).alias("n_kept"),
         F.count(F.col("_dup")).alias("n_dropped"),
     )
+
+
+def linear_model_score(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Quality-classifier INFERENCE as pure expressions: a fastText-
+    style linear model over bag-of-tokens, scored entirely JVM-side.
+    Each token maps to a weight, the document logit is the mean token
+    weight, and the score is the logistic of the logit — exactly the
+    shape of a trained linear quality filter (e.g. the CCNet/GPT-3
+    Wikipedia-vs-CommonCrawl classifiers), with the trained weight
+    table replaced by a deterministic hash-derived weight so the result
+    is reproducible cross-engine (DuckDB computes the identical score).
+
+    Numeric discipline: token weights are INTEGERS in [0, 20011) (a
+    modular hash of length/first/last chars), summed exactly as longs —
+    order-insensitive, so the score is identical under any partitioning
+    — and only the final mean/logistic is floating point (rounded 6dp).
+
+    Scale shape: map-only (tokenize → transform → aggregate inside the
+    scan stage); nothing shuffles. With REAL trained weights the lookup
+    becomes ``weights[pmod(xxhash64(tok), dim)]`` against a broadcast
+    weight array — same plan, one broadcast."""
+    _P = 20011  # prime weight-table size; midpoint 10005 ≈ zero logit
+    toks = F.filter(
+        F.split(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "), " "),
+        lambda s: F.length(s) > 0,
+    )
+    w_int = lambda s: F.pmod(  # noqa: E731
+        F.length(s).cast("long") * F.lit(2654435761)
+        + F.ascii(F.substring(s, 1, 1)).cast("long") * F.lit(7919)
+        + F.ascii(F.substring(s, -1, 1)).cast("long") * F.lit(104729),
+        F.lit(_P),
+    )
+    base = df.select(
+        F.col(id_col),
+        F.size(toks).alias("_n"),
+        F.aggregate(
+            toks, F.lit(0).cast("long"), lambda acc, s: acc + w_int(s)
+        ).alias("_wsum"),
+    )
+    logit = (
+        F.col("_wsum").cast("double") / (F.col("_n") * F.lit(float(_P)))
+    ) - F.lit(0.5)
+    return base.select(
+        id_col,
+        F.col("_n").alias("n_tokens"),
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit * 8)), 6).alias(
+            "model_score"
+        ),
+    )

@@ -1138,6 +1138,103 @@ def events_sessionize(spark, sf_dir):
     )
 
 
+@register(
+    "events_retention",
+    sql="""
+    WITH act AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS aw FROM events
+    ), fw AS (
+      SELECT user_id, MIN(aw) AS cw FROM act GROUP BY 1
+    )
+    SELECT strftime(fw.cw, '%Y-%m-%d') AS cohort_week,
+           CAST(date_diff('day', fw.cw, a.aw) / 7 AS BIGINT) AS week_offset,
+           COUNT(*) AS n_users
+    FROM act a JOIN fw USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def events_retention(spark, sf_dir):
+    """Weekly cohort retention matrix: users cohorted by first-activity
+    week; each cell counts users from that cohort active N weeks later
+    — the standard product-analytics rollup. Plan: one distinct shuffle
+    on (user, week), a per-user min (same user_id partitioning reused —
+    AQE plans no second exchange), and the cell aggregation. The
+    distinct collapses the event stream to at most |users|×|weeks| rows
+    BEFORE the join, so the heavy table never meets the join."""
+    e = t(spark, sf_dir, "events")
+    act = e.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("aw")
+    ).distinct()
+    fw = act.groupBy("user_id").agg(F.min("aw").alias("cw"))
+    return (
+        act.join(fw, "user_id")
+        .groupBy(
+            F.date_format("cw", "yyyy-MM-dd").alias("cohort_week"),
+            F.floor(
+                F.datediff(F.to_date("aw"), F.to_date("cw")) / 7
+            ).alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+@register(
+    "events_funnel",
+    sql="""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t0 FROM events
+      WHERE event_type = 'view' GROUP BY 1
+    ), c AS (
+      SELECT e.user_id, MIN(e.ts) AS t1
+      FROM events e JOIN v USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > v.t0 GROUP BY 1
+    ), p AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN c USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > c.t1 GROUP BY 1
+    )
+    SELECT (SELECT COUNT(*) FROM v) AS n_viewed,
+           (SELECT COUNT(*) FROM c) AS n_clicked_after_view,
+           (SELECT COUNT(*) FROM p) AS n_purchased_after_click
+    """,
+)
+def events_funnel(spark, sf_dir):
+    """Ordered conversion funnel (view → click → purchase): each stage
+    keeps users whose stage event strictly follows their previous
+    stage's first event. Three filtered per-user min-aggregations, each
+    reusing the user_id partitioning of the last (AQE: one exchange,
+    three aggs); stage frames shrink monotonically, and only the three
+    1-row counts cross-join at the end (the scalar-gate pattern —
+    intentionally single-partition, it IS the final scalar)."""
+    e = t(spark, sf_dir, "events")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    return (
+        v.agg(F.count(F.lit(1)).alias("n_viewed"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_clicked_after_view")))
+        .crossJoin(
+            p.agg(F.count(F.lit(1)).alias("n_purchased_after_click"))
+        )
+    )
+
+
 # ===========================================================================
 # §2.2 P3 standalone, semi/anti joins, INTERSECT, filter-aggs, top-k chains
 # ===========================================================================

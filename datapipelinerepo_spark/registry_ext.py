@@ -1145,3 +1145,125 @@ def pipeline_idempotent_reload(spark, sf_dir):
     return store.read("daily_counts").select(
         "event_date", "event_type", "n_events"
     )
+
+
+@register(
+    "dedup_canonical_keep",
+    sql="""
+    WITH flagged AS (
+      SELECT doc_id, lang,
+             CASE WHEN lag(lang) OVER w = lang
+                    AND lag(doc_id) OVER w = doc_id - 1
+                  THEN 0 ELSE 1 END AS brk
+      FROM documents WINDOW w AS (ORDER BY doc_id)
+    ), runs AS (
+      SELECT doc_id,
+             SUM(brk) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS run_id
+      FROM flagged
+    ), labeled AS (
+      SELECT r.run_id, d.doc_id, d.n_chars,
+             MIN(r.doc_id) OVER (PARTITION BY r.run_id) AS comp,
+             COUNT(*) OVER (PARTITION BY r.run_id) AS n_members,
+             row_number() OVER (PARTITION BY r.run_id
+                                ORDER BY d.n_chars DESC, d.doc_id ASC) AS rn
+      FROM runs r JOIN documents d USING (doc_id)
+    )
+    SELECT comp, doc_id AS keeper_id, n_chars AS keeper_quality, n_members
+    FROM labeled WHERE rn = 1
+    """,
+)
+def dedup_canonical_keep(spark, sf_dir):
+    """Quality-aware canonical selection (operators/graph.canonical_keep):
+    near-dup pairs → connected components → keep the LONGEST member of
+    each duplicate group (tie → min id) instead of the min-id one — the
+    keeper policy a real corpus dedup wants (drop truncated mirrors,
+    keep the full copy). Edges are the same deterministic consecutive-
+    same-lang chains as dedup_connected_components, so the oracle can
+    derive identical components via gaps-and-islands and then apply the
+    same argmax — the driver hash-checks the whole pairs→components→
+    keeper composition, including singleton groups."""
+    from .operators import graph as G
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    nxt = d.select(
+        (F.col("doc_id") - 1).alias("doc_id"), F.col("lang").alias("_lang2")
+    )
+    edges = (
+        d.join(nxt, on="doc_id")
+        .filter(F.col("lang") == F.col("_lang2"))
+        .select(
+            F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1).alias("id_b")
+        )
+    )
+    return G.canonical_keep(d, edges, quality_col="n_chars")
+
+
+@register(
+    "text_quality_model",
+    sql="""
+    WITH tk AS (
+      SELECT doc_id,
+             list_filter(
+               string_split(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' '),
+               s -> length(s) > 0) AS toks
+      FROM documents
+    )
+    SELECT doc_id, len(toks) AS n_tokens,
+           round(1.0 / (1.0 + exp(-((CAST(list_sum(list_transform(toks,
+                 s -> (length(s) * 2654435761
+                       + ascii(substr(s, 1, 1)) * 7919
+                       + ascii(substr(s, -1, 1)) * 104729) % 20011))
+                 AS DOUBLE) / (len(toks) * 20011.0) - 0.5) * 8))), 6)
+             AS model_score
+    FROM tk
+    """,
+)
+def text_quality_model(spark, sf_dir):
+    """Linear quality-model INFERENCE (operators/text.linear_model_score):
+    fastText-shaped bag-of-tokens scoring, entirely JVM-side expressions
+    (map-only, zero shuffle). Token weights are integers summed exactly
+    as longs — the score is bit-stable under any partitioning — and the
+    deterministic hash-derived weight table lets DuckDB compute the
+    identical score, so the driver hash-checks real model-inference
+    plumbing. Swap in trained weights via a broadcast array +
+    pmod(xxhash64(tok), dim) lookup: same plan, one broadcast."""
+    return T.linear_model_score(t(spark, sf_dir, "documents"))
+
+
+@register("graph_pagerank", sql=None)
+def graph_pagerank(spark, sf_dir):
+    """Weighted PageRank over the part co-purchase graph (parts linked
+    when they appear in the same order, edge weight = co-occurrence
+    count): top-20 most central parts. Iterative power method
+    (operators/graph.pagerank) — one (node,rank)-only join + groupBy
+    per round, AQE-reused partitioning, O(1)-deep plans via per-round
+    localCheckpoint. Pair expansion is in-bucket (orders are bounded at
+    ~7 lineitems, so the per-order pair fanout is bounded) — the same
+    groupBy-then-expand shape as LSH candidate generation, no
+    self-join. Rows-only: float power iterations have no SQL twin; the
+    operator is checked against a NumPy dense reference (incl. dangling
+    redistribution) in test_scale_ops."""
+    from .operators.dedup import _bucket_pairs
+    from .operators.graph import pagerank
+
+    li = t(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("_id"), "l_orderkey"
+    )
+    pairs = _bucket_pairs(li, bucket_cols=("l_orderkey",))
+    edges = pairs.groupBy("id_a", "id_b").agg(
+        F.count(F.lit(1)).cast("double").alias("w")
+    )
+    sym = edges.union(
+        edges.select(
+            F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"), "w"
+        )
+    )
+    ranks = pagerank(
+        sym, src="id_a", dst="id_b", weight="w", iters=6,
+        assume_no_dangling=True,
+    )
+    return (
+        ranks.select("node", F.round("rank", 6).alias("rank"))
+        .orderBy(F.col("rank").desc(), F.col("node"))
+        .limit(20)
+    )

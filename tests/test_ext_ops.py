@@ -635,3 +635,56 @@ def test_bucket_pairs_expansion_and_self_join_equivalence(spark, docs):
     )
     bp = D._bucket_pairs(real).distinct()
     assert sj.exceptAll(bp).count() == 0 and bp.exceptAll(sj).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# Canonical keeper selection + linear model score
+# ---------------------------------------------------------------------------
+
+
+def test_canonical_keep_picks_highest_quality(spark):
+    """Planted 3-doc chain (A-B, B-C) plus a singleton: the keeper is
+    the LONGEST member of the transitive group (not the min id), the
+    group size counts all three, and the singleton keeps itself."""
+    from datapipelinerepo_spark.operators.graph import canonical_keep
+
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 99), (3, 50), (7, 5)], ["doc_id", "n_chars"]
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], ["id_a", "id_b"])
+    rows = {r["comp"]: r for r in canonical_keep(docs, pairs).collect()}
+    assert set(rows) == {1, 7}
+    assert rows[1]["keeper_id"] == 2 and rows[1]["keeper_quality"] == 99
+    assert rows[1]["n_members"] == 3
+    assert rows[7]["keeper_id"] == 7 and rows[7]["n_members"] == 1
+
+
+def test_canonical_keep_quality_tie_breaks_min_id(spark):
+    from datapipelinerepo_spark.operators.graph import canonical_keep
+
+    docs = spark.createDataFrame([(5, 10), (6, 10)], ["doc_id", "n_chars"])
+    pairs = spark.createDataFrame([(5, 6)], ["id_a", "id_b"])
+    (row,) = canonical_keep(docs, pairs).collect()
+    assert row["keeper_id"] == 5
+
+
+def test_linear_model_score_bounds_and_invariance(spark):
+    """Scores live in (0,1); identical texts score identically; the
+    score is a pure function of the token multiset (exact integer
+    sums), so a reordered corpus scores the same."""
+    from datapipelinerepo_spark.operators.text import linear_model_score
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, "the quick brown fox"),
+         (3, "zzz"), (4, "  padded   whitespace  run  ")],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in linear_model_score(docs).collect()}
+    assert all(0.0 < r["model_score"] < 1.0 for r in rows.values())
+    assert rows[1]["model_score"] == rows[2]["model_score"]
+    assert rows[4]["n_tokens"] == 3  # empty tokens filtered
+    rep = {
+        r["doc_id"]: r["model_score"]
+        for r in linear_model_score(docs.repartition(7)).collect()
+    }
+    assert rep == {k: v["model_score"] for k, v in rows.items()}

@@ -227,3 +227,71 @@ def test_late_tpch_shapes_plan_audit(spark, sf_dir):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert q2.count("Exchange hashpartitioning") <= 2
+
+
+# ---------------------------------------------------------------------------
+# PageRank: iterative operator vs dense NumPy reference
+# ---------------------------------------------------------------------------
+
+
+def _numpy_pagerank(edges, n_nodes, damping, iters, nodes=None):
+    """Dense power-iteration reference with uniform dangling
+    redistribution — the textbook semantics the operator implements."""
+    import numpy as np
+
+    nodes = sorted(nodes or {u for e in edges for u in e[:2]})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    P = np.zeros((n, n))
+    for u, v, w in edges:
+        P[idx[u], idx[v]] += w
+    outw = P.sum(axis=1)
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        contrib = np.zeros(n)
+        for i in range(n):
+            if outw[i] > 0:
+                contrib += r[i] * P[i] / outw[i]
+            else:
+                contrib += r[i] / n  # dangling mass spread uniformly
+        r = (1 - damping) / n + damping * contrib
+    return {v: r[idx[v]] for v in nodes}
+
+
+def test_pagerank_matches_numpy_with_dangling(spark):
+    """Graph with a dangling node (4 has no out-edges) and asymmetric
+    weights: every rank matches the dense reference to 1e-9 and the
+    ranks sum to 1 (mass conserved through the dangling branch)."""
+    from datapipelinerepo_spark.operators.graph import pagerank
+
+    edges = [(1, 2, 2.0), (1, 3, 1.0), (2, 3, 1.0), (3, 4, 1.0), (2, 4, 3.0)]
+    df = spark.createDataFrame(edges, ["src", "dst", "w"])
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(df, weight="w", damping=0.85, iters=12).collect()
+    }
+    want = _numpy_pagerank(edges, 4, 0.85, 12)
+    assert set(got) == set(want)
+    for v in want:
+        assert abs(got[v] - want[v]) < 1e-9, (v, got[v], want[v])
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_pagerank_no_dangling_fast_path_agrees(spark):
+    """On a symmetrized graph the assume_no_dangling fast path equals
+    the general path exactly (same floats: identical plan arithmetic)."""
+    from datapipelinerepo_spark.operators.graph import pagerank
+
+    edges = [(1, 2, 1.0), (2, 1, 1.0), (2, 3, 2.0), (3, 2, 2.0),
+             (3, 1, 1.0), (1, 3, 1.0)]
+    df = spark.createDataFrame(edges, ["src", "dst", "w"])
+    a = {r["node"]: r["rank"]
+         for r in pagerank(df, weight="w", iters=8).collect()}
+    b = {r["node"]: r["rank"]
+         for r in pagerank(df, weight="w", iters=8,
+                           assume_no_dangling=True).collect()}
+    assert set(a) == set(b)
+    for v in a:
+        assert abs(a[v] - b[v]) < 1e-12
+    hub = max(a, key=a.get)
+    assert hub == 2  # highest-degree node wins on this graph
