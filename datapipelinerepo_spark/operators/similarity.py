@@ -529,3 +529,120 @@ def semantic_dup_pairs(
     return assigned.groupBy("cell").applyInPandas(
         per_cell, "a_id long, b_id long, sim_r4 double, cell int"
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed k-means (Lloyd's iterations), the trainer behind IVF/SemDeDup
+# ---------------------------------------------------------------------------
+
+
+def _assign_cells_udf(cents: np.ndarray):
+    """Arrow-vectorized nearest-centroid assignment (squared euclidean):
+    one (batch × K) distance matmul per Arrow batch via the
+    ||x-c||² = ||x||² - 2x·c + ||c||² expansion."""
+    C = np.ascontiguousarray(np.asarray(cents, dtype=np.float64))
+    c_sq = (C * C).sum(axis=1)
+
+    @pandas_udf("int")
+    def cell(emb: pd.Series) -> pd.Series:
+        if len(emb) == 0:
+            return pd.Series([], dtype="int32")
+        E = _embedding_matrix(emb, C.shape[1])
+        d = -2.0 * (E @ C.T) + c_sq[None, :]  # ||x||² constant per row
+        return pd.Series(np.argmin(d, axis=1).astype("int32"))
+
+    return cell
+
+
+def kmeans_assign(
+    df: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cell) nearest-centroid assignment — map-only, centroids ride
+    the plan as a broadcast-sized literal."""
+    return df.select(
+        F.col(id_col), _assign_cells_udf(np.asarray(centroids))(F.col(vec_col)).alias("cell")
+    )
+
+
+def kmeans_fit(
+    corpus: DataFrame,
+    dim: int,
+    k: int = 16,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Distributed Lloyd's k-means — the trainer that turns the IVF /
+    SemDeDup deterministic centroid SEED into actual learned centroids.
+
+    Scale shape per iteration (the classic MapReduce k-means):
+    1. assign: map-only Arrow matmul argmin (no shuffle);
+    2. partial sums: each partition folds its rows into at most k
+       (cell, sum_vec, count) partials inside ``mapInPandas`` — the
+       full vectors NEVER shuffle;
+    3. reduce: the ≤ partitions×k partials explode per dimension and
+       groupBy (cell, dim) — a shuffle of ≤ partitions×k×dim scalar
+       rows, independent of corpus size;
+    4. the k×dim result returns to the driver (same bounded-collect
+       footprint as the IVF centroid seed) to become the next
+       iteration's plan literal.
+
+    Empty cells keep their previous centroid. Init is the deterministic
+    lowest-id seed (`_normalized_centroids` sans normalization), so
+    fits are reproducible run-to-run and engine-independent."""
+    rows = (
+        corpus.orderBy(F.col(id_col).asc()).limit(k).select(vec_col).collect()
+    )
+    cents = np.asarray([r[0] for r in rows], dtype=np.float64)
+    schema = "cell int, psum array<double>, n long"
+
+    for _ in range(iters):
+        C = cents  # capture for closure
+
+        def partials(batches, _C=C):
+            agg: dict[int, tuple[np.ndarray, int]] = {}
+            c_sq = (_C * _C).sum(axis=1)
+            for pdf in batches:
+                E = _embedding_matrix(pdf["_v"], _C.shape[1])
+                d = -2.0 * (E @ _C.T) + c_sq[None, :]
+                cell = np.argmin(d, axis=1)
+                for ci in np.unique(cell):
+                    s = E[cell == ci].sum(axis=0)
+                    n = int((cell == ci).sum())
+                    if ci in agg:
+                        agg[ci] = (agg[ci][0] + s, agg[ci][1] + n)
+                    else:
+                        agg[int(ci)] = (s, n)
+            yield pd.DataFrame(
+                {
+                    "cell": list(agg.keys()),
+                    "psum": [v[0].tolist() for v in agg.values()],
+                    "n": [v[1] for v in agg.values()],
+                }
+            )
+
+        part = corpus.select(F.col(vec_col).alias("_v")).mapInPandas(
+            partials, schema
+        )
+        reduced = (
+            part.select(
+                "cell", "n", F.posexplode("psum").alias("dim", "val")
+            )
+            .groupBy("cell", "dim")
+            .agg(F.sum("val").alias("s"), F.sum("n").alias("cnt"))
+            .collect()
+        )
+        new = cents.copy()
+        sums = np.zeros((k, cents.shape[1]))
+        counts = np.zeros(k, dtype=np.int64)
+        for r in reduced:
+            sums[r["cell"], r["dim"]] = r["s"]
+            counts[r["cell"]] = r["cnt"]  # same total for every dim of a cell
+        for ci in range(k):
+            if counts[ci] > 0:
+                new[ci] = sums[ci] / counts[ci]
+        cents = new
+    return cents.tolist()

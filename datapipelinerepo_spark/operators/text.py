@@ -467,3 +467,58 @@ def linear_model_score(
             "model_score"
         ),
     )
+
+
+def unigram_perplexity(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Perplexity filtering (CCNet-style), with the KenLM n-gram model
+    replaced by a corpus-fit add-one-smoothed UNIGRAM LM so the whole
+    fit+score is two passes of pure relational algebra: p(tok) =
+    (count(tok)+1) / (N+V) fit over the corpus, then per-doc
+    ppl = exp(-mean ln p). High-perplexity docs are the gibberish /
+    boilerplate tail a training pipeline drops.
+
+    Plan: one token-count aggregation (the model fit — vocabulary-sized
+    output), then exploded tokens join the frequency table (AQE
+    broadcasts a small vocab; a web-scale vocab falls back to a
+    shuffled join on the token, still linear) and re-aggregate per doc.
+    Cross-engine determinism: ln is rounded to 6dp per token and the
+    per-doc sum runs in DECIMAL — exact and order-insensitive — so the
+    score is partitioning-stable (same discipline as tf_idf)."""
+    toks = F.filter(
+        F.split(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "), " "),
+        lambda s: F.length(s) > 0,
+    )
+    flat = df.select(F.col(id_col), F.explode(toks).alias("_tok"))
+    freq = flat.groupBy("_tok").agg(F.count(F.lit(1)).alias("_c"))
+    totals = freq.agg(
+        F.sum("_c").alias("_N"), F.count(F.lit(1)).alias("_V")
+    )
+    scored = (
+        flat.join(freq, "_tok")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            id_col,
+            F.round(
+                F.log(
+                    (F.col("_c") + 1).cast("double")
+                    / (F.col("_N") + F.col("_V")).cast("double")
+                ),
+                6,
+            )
+            .cast("decimal(28,6)")
+            .alias("_lp"),
+        )
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(F.sum("_lp").alias("_slp"), F.count(F.lit(1)).alias("n_tokens"))
+        .select(
+            id_col,
+            "n_tokens",
+            F.round(
+                F.exp(-(F.col("_slp").cast("double") / F.col("n_tokens"))), 4
+            ).alias("ppl"),
+        )
+    )

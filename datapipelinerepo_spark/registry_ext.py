@@ -1267,3 +1267,60 @@ def graph_pagerank(spark, sf_dir):
         .orderBy(F.col("rank").desc(), F.col("node"))
         .limit(20)
     )
+
+
+@register(
+    "text_perplexity",
+    sql="""
+    WITH tk AS (
+      SELECT doc_id,
+             unnest(list_filter(
+               string_split(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' '),
+               s -> length(s) > 0)) AS tok
+      FROM documents
+    ), freq AS (
+      SELECT tok, COUNT(*) AS c FROM tk GROUP BY 1
+    ), tot AS (
+      SELECT SUM(c) AS n, COUNT(*) AS v FROM freq
+    ), lp AS (
+      SELECT tk.doc_id,
+             CAST(round(ln(CAST(freq.c + 1 AS DOUBLE) / (tot.n + tot.v)), 6)
+                  AS DECIMAL(28,6)) AS lp
+      FROM tk JOIN freq USING (tok), tot
+    )
+    SELECT doc_id, COUNT(*) AS n_tokens,
+           round(exp(-(CAST(SUM(lp) AS DOUBLE) / COUNT(*))), 4) AS ppl
+    FROM lp GROUP BY 1
+    """,
+)
+def text_perplexity(spark, sf_dir):
+    """Perplexity filtering (operators/text.unigram_perplexity): fit an
+    add-one-smoothed unigram LM over the corpus, score each document's
+    perplexity — the CCNet quality-filter shape with the LM fit itself
+    expressed relationally. Per-token ln rounded 6dp + DECIMAL doc sums
+    keep the score identical across engines and partitionings, so the
+    driver hash-checks both the fit and the scoring."""
+    return T.unigram_perplexity(t(spark, sf_dir, "documents"))
+
+
+@register("embedding_kmeans", sql=None)
+def embedding_kmeans(spark, sf_dir):
+    """Distributed Lloyd's k-means over the embeddings table
+    (similarity.kmeans_fit): 3 iterations from the deterministic
+    lowest-id seed, then per-cell sizes and mean within-cell distance.
+    The scale contract: full vectors never shuffle (per-partition
+    partial sums inside mapInPandas; only ≤ partitions×k×dim scalars
+    cross the wire per iteration). Rows-only: learned centroids are
+    float-iteration-dependent; parity with a NumPy Lloyd reference from
+    the same seed is asserted in test_ext_ops."""
+    emb = t(spark, sf_dir, "embeddings")
+    cents = SIM.kmeans_fit(emb, dim=64, k=8, iters=3)
+    assign = SIM.kmeans_assign(emb, cents)
+    return (
+        assign.groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        # orderBy+limit compiles to TakeOrderedAndProject (no global
+        # range exchange — k cells is the whole result anyway)
+        .orderBy("cell")
+        .limit(8)
+    )

@@ -688,3 +688,71 @@ def test_linear_model_score_bounds_and_invariance(spark):
         for r in linear_model_score(docs.repartition(7)).collect()
     }
     assert rep == {k: v["model_score"] for k, v in rows.items()}
+
+
+# ---------------------------------------------------------------------------
+# Distributed k-means + perplexity filtering
+# ---------------------------------------------------------------------------
+
+
+def test_kmeans_matches_numpy_lloyd(spark):
+    """kmeans_fit from the deterministic lowest-id seed equals a dense
+    NumPy Lloyd's reference (same init, same iteration count) to 1e-9
+    per coordinate — empty-cell handling included."""
+    import numpy as np
+    from datapipelinerepo_spark.operators.similarity import kmeans_fit
+
+    rng = np.random.default_rng(7)
+    X = np.vstack(
+        [rng.normal(0, 0.2, (20, 4)), rng.normal(5, 0.2, (20, 4))]
+    )
+    rows = [(i, [float(x) for x in X[i]]) for i in range(len(X))]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"]).repartition(5)
+
+    k, iters = 3, 4
+    got = np.asarray(kmeans_fit(df, dim=4, k=k, iters=iters))
+
+    cents = X[:k].astype(float).copy()
+    for _ in range(iters):
+        d = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        cell = d.argmin(axis=1)
+        for ci in range(k):
+            if (cell == ci).any():
+                cents[ci] = X[cell == ci].mean(axis=0)
+    assert np.abs(got - cents).max() < 1e-9
+
+
+def test_kmeans_assign_partitioning_invariant(spark):
+    from datapipelinerepo_spark.operators.similarity import (
+        kmeans_assign,
+        kmeans_fit,
+    )
+
+    rows = [(i, [float(i % 7), float((i * 3) % 5)]) for i in range(40)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cents = kmeans_fit(df, dim=2, k=4, iters=3)
+    a = {r["vec_id"]: r["cell"] for r in kmeans_assign(df, cents).collect()}
+    b = {
+        r["vec_id"]: r["cell"]
+        for r in kmeans_assign(df.repartition(9), cents).collect()
+    }
+    assert a == b
+
+
+def test_perplexity_ranks_gibberish_above_common(spark):
+    """Docs made of corpus-frequent tokens score LOW perplexity; a doc
+    of hapax gibberish scores the HIGHEST — the filtering contract. The
+    score is partitioning-invariant (decimal sums)."""
+    from datapipelinerepo_spark.operators.text import unigram_perplexity
+
+    docs = [(i, "the cat sat on the mat") for i in range(10)]
+    docs.append((99, "zqx jvw pflm"))
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    rows = {r["doc_id"]: r["ppl"] for r in unigram_perplexity(df).collect()}
+    assert rows[99] == max(rows.values())
+    assert rows[0] == rows[5]
+    rep = {
+        r["doc_id"]: r["ppl"]
+        for r in unigram_perplexity(df.repartition(7)).collect()
+    }
+    assert rep == rows
