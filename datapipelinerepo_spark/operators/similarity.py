@@ -646,3 +646,199 @@ def kmeans_fit(
                 new[ci] = sums[ci] / counts[ci]
         cents = new
     return cents.tolist()
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): the memory-bound ANN serving path
+# ---------------------------------------------------------------------------
+
+
+def pq_train(
+    corpus: DataFrame,
+    dim: int,
+    m: int = 8,
+    n_codes: int = 32,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_mod: int = 10,
+) -> list[list[list[float]]]:
+    """Train PQ sub-codebooks: split each L2-NORMALIZED vector into
+    ``m`` subvectors of dim/m, run distributed k-means (``kmeans_fit``)
+    per subspace. Returns (m, n_codes, dim/m) codebooks.
+
+    Trained on a deterministic id-mod sample — how PQ codebooks are fit
+    in practice (FAISS trains on ~100k vectors regardless of corpus
+    size): the codebook is a statistic of the distribution, not of
+    every row. m sub-fits × iters passes run over the SAMPLE only;
+    encoding (the corpus-sized pass) is map-only and single-pass."""
+    sub_dim = dim // m
+    sample = corpus.filter(F.col(id_col) % sample_mod == 0)
+    normed = with_norm(sample, vec_col).select(
+        F.col(id_col),
+        F.transform(
+            "_vec", lambda x: x / F.greatest(F.col("_norm"), F.lit(1e-12))
+        ).alias("_nv"),
+    )
+    books = []
+    for j in range(m):
+        sub = normed.select(
+            F.col(id_col),
+            F.slice("_nv", j * sub_dim + 1, sub_dim).alias("embedding"),
+        )
+        books.append(
+            kmeans_fit(
+                sub, dim=sub_dim, k=n_codes, iters=iters, id_col=id_col
+            )
+        )
+    return books
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes array<int>) PQ encoding — map-only, one Arrow matmul
+    per subspace per batch. With m=8 subspaces the at-rest corpus is 8
+    small ints per vector: a 64-dim float32 embedding compresses 32×,
+    which is what makes EXHAUSTIVE scans of a 100 TB embedding corpus
+    feasible (the scan reads 3 TB of codes instead)."""
+    B = np.ascontiguousarray(np.asarray(codebooks, dtype=np.float64))
+    m, n_codes, sub_dim = B.shape
+
+    @pandas_udf("array<int>")
+    def codes(emb: pd.Series) -> pd.Series:
+        if len(emb) == 0:
+            return pd.Series([], dtype=object)
+        E = _embedding_matrix(emb, m * sub_dim)
+        norms = np.linalg.norm(E, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        E = E / norms
+        out = np.empty((len(E), m), dtype=np.int32)
+        for j in range(m):
+            S = E[:, j * sub_dim : (j + 1) * sub_dim]
+            d = ((S[:, None, :] - B[j][None, :, :]) ** 2).sum(axis=2)
+            out[:, j] = d.argmin(axis=1)
+        return pd.Series(list(out))
+
+    return corpus.select(F.col(id_col), codes(F.col(vec_col)).alias("codes"))
+
+
+def cosine_topk_pq(
+    queries: DataFrame,
+    corpus: DataFrame,
+    dim: int,
+    k: int = 10,
+    m: int = 8,
+    n_codes: int = 32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codebooks: list[list[list[float]]] | None = None,
+    encoded: DataFrame | None = None,
+) -> DataFrame:
+    """Asymmetric-distance PQ top-k (ADC): per query, precompute the
+    (m × n_codes) table of subvector·centroid inner products; each
+    encoded corpus row scores as m table lookups — no float vector is
+    ever read for the corpus. Cosine comes out directly because both
+    sides are L2-normalized before encoding.
+
+    Scale shape: ONE streaming pass over the (32× smaller) code table
+    scores ALL queries per Arrow batch (the LUT tensor is |Q|×m×n_codes
+    floats — plan-literal sized); candidates then re-rank exactly
+    against the full-precision corpus, the same verify-on-candidates
+    discipline as the LSH/IVF paths. Pass ``codebooks``/``encoded`` to
+    reuse a persisted index (index-once serving, like ann_bucket_index).
+    """
+    if codebooks is None:
+        codebooks = pq_train(
+            corpus, dim=dim, m=m, n_codes=n_codes,
+            id_col=id_col, vec_col=vec_col,
+        )
+    enc = (
+        encoded
+        if encoded is not None
+        else pq_encode(corpus, codebooks, id_col=id_col, vec_col=vec_col)
+    )
+    B = np.ascontiguousarray(np.asarray(codebooks, dtype=np.float64))
+    _m, _nc, sub_dim = B.shape
+
+    q_rows = (
+        queries.select(F.col(id_col), F.col(vec_col))
+        .orderBy(F.col(id_col))
+        .collect()
+    )  # bounded: the query set is small by contract (broadcast class)
+    q_ids = [r[0] for r in q_rows]
+    Q = np.asarray([r[1] for r in q_rows], dtype=np.float64)
+    qn = np.linalg.norm(Q, axis=1, keepdims=True)
+    qn[qn == 0] = 1.0
+    Q = Q / qn
+    # LUT[qi, j, c] = <query_qi subvector j, centroid c of book j>
+    lut = np.stack(
+        [Q[:, j * sub_dim : (j + 1) * sub_dim] @ B[j].T for j in range(_m)],
+        axis=1,
+    )  # (|Q|, m, n_codes)
+
+    @pandas_udf("array<double>")
+    def adc_sims(codes: pd.Series) -> pd.Series:
+        if len(codes) == 0:
+            return pd.Series([], dtype=object)
+        CM = np.asarray([np.asarray(c) for c in codes])  # (n, m)
+        n = len(CM)
+        sims = np.zeros((n, lut.shape[0]))
+        for j in range(_m):
+            sims += lut[:, j, CM[:, j]].T  # (n, |Q|)
+        return pd.Series(list(sims))
+
+    scored = enc.select(
+        F.col(id_col).alias("c_id"),
+        F.posexplode(adc_sims(F.col("codes"))).alias("_qi", "approx_sim"),
+    ).select(
+        F.col("c_id"),
+        F.element_at(
+            F.array(*[F.lit(q) for q in q_ids]), F.col("_qi") + 1
+        ).alias("q_id"),
+        "approx_sim",
+    ).filter(F.col("q_id") != F.col("c_id"))
+    # shortlist 8k per query on approx sims, then exact re-rank (the
+    # recall knob: ADC ordering is lossy, the re-rank is exact, so a
+    # wider shortlist buys recall at linear candidate cost)
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("approx_sim").desc(), F.col("c_id").asc()
+    )
+    shortlist = (
+        scored.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= 8 * k)
+        .select("q_id", "c_id")
+    )
+    qv = with_norm(queries, vec_col).select(
+        F.col(id_col).alias("q_id"),
+        F.col("_vec").alias("_qv"),
+        F.col("_norm").alias("_qn"),
+    )
+    cv = with_norm(corpus, vec_col).select(
+        F.col(id_col).alias("c_id"),
+        F.col("_vec").alias("_cv"),
+        F.col("_norm").alias("_cn"),
+    )
+    rer = (
+        shortlist.join(F.broadcast(qv), "q_id")
+        .join(cv, "c_id")
+        .select(
+            "q_id",
+            "c_id",
+            (
+                _dot(F.col("_qv"), F.col("_cv"))
+                / (F.col("_qn") * F.col("_cn"))
+            ).alias("sim"),
+        )
+    )
+    w2 = Window.partitionBy("q_id").orderBy(
+        F.round("sim", 4).desc(), F.col("c_id").asc()
+    )
+    return (
+        rer.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "c_id", "rank", F.round("sim", 4).alias("sim_r4"))
+    )

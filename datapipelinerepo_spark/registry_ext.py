@@ -1324,3 +1324,19 @@ def embedding_kmeans(spark, sf_dir):
         .orderBy("cell")
         .limit(8)
     )
+
+
+@register("ann_topk_pq", sql=None)
+def ann_topk_pq(spark, sf_dir):
+    """Product-quantized ANN top-10 (similarity.cosine_topk_pq): PQ
+    sub-codebooks trained by the distributed k-means on a deterministic
+    sample, corpus encoded map-only to 8 small ints per vector (32×
+    compression — the memory-bound serving path for a 100 TB embedding
+    corpus), asymmetric-distance scoring via per-query lookup tables in
+    one streaming pass, exact cosine re-rank on the shortlist. Learned
+    codebooks are float-iteration-dependent → rows-only check;
+    planted-duplicate rank-1 + recall vs exact are asserted in
+    test_ext_ops."""
+    emb = t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    return SIM.cosine_topk_pq(q, emb, dim=64, k=10)

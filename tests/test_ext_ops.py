@@ -756,3 +756,48 @@ def test_perplexity_ranks_gibberish_above_common(spark):
         for r in unigram_perplexity(df.repartition(7)).collect()
     }
     assert rep == rows
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) ANN
+# ---------------------------------------------------------------------------
+
+
+def test_ann_pq_recall_and_planted_duplicate(spark, emb):
+    """PQ/ADC with exact re-rank: a planted exact duplicate must come
+    back rank-1 at sim 1.0 (its codes equal the query's own codes), and
+    recall vs the exact top-10 clears the same bar as LSH."""
+    planted = emb.filter(F.col("vec_id") < 3).withColumn(
+        "vec_id", F.col("vec_id") + 800000
+    )
+    corpus = emb.union(planted)
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = SIM.cosine_topk_bruteforce(q, corpus, k=10)
+    approx = SIM.cosine_topk_pq(q, corpus, dim=64, k=10)
+    top1 = {
+        r["q_id"]: (r["c_id"], r["sim_r4"])
+        for r in approx.filter(F.col("rank") == 1).collect()
+    }
+    for qid in range(3):
+        cid, sim = top1[qid]
+        assert cid == qid + 800000 and sim == pytest.approx(1.0)
+    e = {(r["q_id"], r["c_id"]) for r in exact.collect()}
+    a = {(r["q_id"], r["c_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, f"PQ recall {recall:.2f} too low"
+
+
+def test_ann_pq_indexed_serving_equals_fresh(spark, emb):
+    """Index-once serving: scoring against pre-trained codebooks and a
+    persisted encoded corpus equals the train-fresh path exactly (both
+    deterministic from the same seed sample)."""
+    q = emb.filter(F.col("vec_id") < 3)
+    fresh = SIM.cosine_topk_pq(q, emb, dim=64, k=5)
+    books = SIM.pq_train(emb, dim=64)
+    enc = SIM.pq_encode(emb, books)
+    served = SIM.cosine_topk_pq(
+        q, emb, dim=64, k=5, codebooks=books, encoded=enc
+    )
+    f = sorted(map(tuple, fresh.collect()))
+    s = sorted(map(tuple, served.collect()))
+    assert f == s
