@@ -161,8 +161,14 @@ def pagerank(
     src_nodes = trans.select(F.col("u").alias("node")).distinct()
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
     for _ in range(iters):
+        # ranks is |nodes|-sized — broadcast it so the edge table never
+        # re-shuffles across iterations (contributions are computed
+        # map-side on the edge partitions; the groupBy's map-side
+        # partial aggregation shrinks the shuffle to ~|nodes| rows per
+        # partition). At graph sizes where ranks outgrow the broadcast
+        # budget, drop the hint and AQE falls back to the shuffled join.
         contrib = (
-            trans.join(ranks, trans.u == ranks.node)
+            trans.join(F.broadcast(ranks), trans.u == ranks.node)
             .select("v", (F.col("rank") * F.col("p")).alias("c"))
             .groupBy("v")
             .agg(F.sum("c").alias("c"))

@@ -664,14 +664,19 @@ def pq_train(
     sample_mod: int = 10,
 ) -> list[list[list[float]]]:
     """Train PQ sub-codebooks: split each L2-NORMALIZED vector into
-    ``m`` subvectors of dim/m, run distributed k-means (``kmeans_fit``)
-    per subspace. Returns (m, n_codes, dim/m) codebooks.
+    ``m`` subvectors of dim/m, run Lloyd's iterations for ALL ``m``
+    subspaces JOINTLY — one pass over the sample per iteration, not one
+    per (subspace × iteration). Returns (m, n_codes, dim/m) codebooks.
 
     Trained on a deterministic id-mod sample — how PQ codebooks are fit
     in practice (FAISS trains on ~100k vectors regardless of corpus
     size): the codebook is a statistic of the distribution, not of
-    every row. m sub-fits × iters passes run over the SAMPLE only;
-    encoding (the corpus-sized pass) is map-only and single-pass."""
+    every row. Scale shape per iteration: map-only per-partition
+    partials for every (subspace, cell) — at most partitions×m×n_codes
+    rows of sub_dim scalars cross the wire — then a bounded
+    m×n_codes×sub_dim collect refreshes the plan literal (the same
+    MapReduce shape as ``kmeans_fit``, batched m-wide). Encoding (the
+    corpus-sized pass) is map-only and single-pass."""
     sub_dim = dim // m
     sample = corpus.filter(F.col(id_col) % sample_mod == 0)
     normed = with_norm(sample, vec_col).select(
@@ -680,18 +685,70 @@ def pq_train(
             "_vec", lambda x: x / F.greatest(F.col("_norm"), F.lit(1e-12))
         ).alias("_nv"),
     )
-    books = []
-    for j in range(m):
-        sub = normed.select(
-            F.col(id_col),
-            F.slice("_nv", j * sub_dim + 1, sub_dim).alias("embedding"),
-        )
-        books.append(
-            kmeans_fit(
-                sub, dim=sub_dim, k=n_codes, iters=iters, id_col=id_col
+    seed_rows = (
+        normed.orderBy(F.col(id_col).asc())
+        .limit(n_codes)
+        .select("_nv")
+        .collect()
+    )
+    S = np.asarray([r[0] for r in seed_rows], dtype=np.float64)
+    # B[j] seeds from the j-th subvectors of the lowest-id sample rows —
+    # identical to running kmeans_fit per subspace with its seed rule
+    B = np.stack(
+        [S[:, j * sub_dim : (j + 1) * sub_dim] for j in range(m)]
+    )  # (m, n_codes, sub_dim)
+    schema = "sub int, cell int, psum array<double>, n long"
+
+    for _ in range(iters):
+        _B = B.copy()
+
+        def partials(batches, _B=_B):
+            agg: dict[tuple[int, int], tuple[np.ndarray, int]] = {}
+            for pdf in batches:
+                E = _embedding_matrix(pdf["_nv"], m * sub_dim)
+                for j in range(m):
+                    Sj = E[:, j * sub_dim : (j + 1) * sub_dim]
+                    d = (
+                        -2.0 * (Sj @ _B[j].T)
+                        + (_B[j] * _B[j]).sum(axis=1)[None, :]
+                    )
+                    cell = np.argmin(d, axis=1)
+                    for ci in np.unique(cell):
+                        key = (j, int(ci))
+                        s = Sj[cell == ci].sum(axis=0)
+                        cnt = int((cell == ci).sum())
+                        if key in agg:
+                            agg[key] = (agg[key][0] + s, agg[key][1] + cnt)
+                        else:
+                            agg[key] = (s, cnt)
+            yield pd.DataFrame(
+                {
+                    "sub": [k[0] for k in agg],
+                    "cell": [k[1] for k in agg],
+                    "psum": [v[0].tolist() for v in agg.values()],
+                    "n": [v[1] for v in agg.values()],
+                }
             )
+
+        part = normed.select("_nv").mapInPandas(partials, schema)
+        reduced = (
+            part.select(
+                "sub", "cell", "n", F.posexplode("psum").alias("dim", "val")
+            )
+            .groupBy("sub", "cell", "dim")
+            .agg(F.sum("val").alias("s"), F.sum("n").alias("cnt"))
+            .collect()
         )
-    return books
+        sums = np.zeros((m, n_codes, sub_dim))
+        counts = np.zeros((m, n_codes), dtype=np.int64)
+        for r in reduced:
+            sums[r["sub"], r["cell"], r["dim"]] = r["s"]
+            counts[r["sub"], r["cell"]] = r["cnt"]
+        for j in range(m):
+            for ci in range(n_codes):
+                if counts[j, ci] > 0:
+                    B[j, ci] = sums[j, ci] / counts[j, ci]
+    return B.tolist()
 
 
 def pq_encode(

@@ -1271,6 +1271,7 @@ def graph_pagerank(spark, sf_dir):
 
 @register(
     "text_perplexity",
+    bench=True,
     sql="""
     WITH tk AS (
       SELECT doc_id,
