@@ -6,6 +6,7 @@ rules needed for parity).
 
 from __future__ import annotations
 
+import functools
 from collections.abc import Iterable, Mapping
 
 from pyspark.sql import Column, DataFrame
@@ -180,3 +181,76 @@ def union_accumulate(parts: Iterable[DataFrame]) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p, allowMissingColumns=True)
     return out
+
+
+def scd2_apply(
+    current: DataFrame,
+    updates: DataFrame,
+    key: str,
+    tracked: list[str],
+    effective_col: str,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    current_flag: str = "is_current",
+) -> DataFrame:
+    """Slowly-changing-dimension type 2 merge: apply ``updates`` (one
+    row per key, with ``effective_col`` as the change date) to the
+    ``current`` dimension snapshot. Keys whose ``tracked`` attributes
+    actually changed get their open row CLOSED (valid_to = effective
+    date, is_current = false) and a NEW open row appended; unchanged
+    keys and absent keys pass through untouched. Brand-new keys insert
+    as open rows.
+
+    The history-keeping merge every warehouse dimension load needs —
+    expressed as one equi-join on the key plus a union (both sides
+    shuffle once on the key; at scale the updates side is typically
+    small and broadcasts). Null-safe attribute comparison via the
+    NULL-tolerant equality (`eqNullSafe`), so NULL→value and
+    value→NULL both count as changes."""
+    upd = updates.select(
+        F.col(key),
+        *[F.col(c).alias(f"_u_{c}") for c in tracked],
+        F.col(effective_col).alias("_eff"),
+    )
+    joined = current.join(upd, on=key, how="left")
+    changed = F.col("_eff").isNotNull() & F.col(current_flag) & ~(
+        F.lit(True)
+        if not tracked
+        else functools.reduce(
+            lambda a, b: a & b,
+            [F.col(c).eqNullSafe(F.col(f"_u_{c}")) for c in tracked],
+        )
+    )
+    keep_cols = current.columns
+    closed = joined.withColumn(
+        valid_to, F.when(changed, F.col("_eff")).otherwise(F.col(valid_to))
+    ).withColumn(
+        current_flag,
+        F.when(changed, F.lit(False)).otherwise(F.col(current_flag)),
+    ).select(*keep_cols)
+    fresh = (
+        joined.filter(changed)
+        .select(
+            F.col(key),
+            *[F.col(f"_u_{c}").alias(c) for c in tracked],
+            F.col("_eff").alias(valid_from),
+        )
+        .withColumn(valid_to, F.lit(None).cast("date"))
+        .withColumn(current_flag, F.lit(True))
+    )
+    new_keys = (
+        upd.join(current.select(key).distinct(), on=key, how="left_anti")
+        .select(
+            F.col(key),
+            *[F.col(f"_u_{c}").alias(c) for c in tracked],
+            F.col("_eff").alias(valid_from),
+        )
+        .withColumn(valid_to, F.lit(None).cast("date"))
+        .withColumn(current_flag, F.lit(True))
+    )
+    order = [key, *tracked, valid_from, valid_to, current_flag]
+    return (
+        closed.select(*order)
+        .unionByName(fresh.select(*order))
+        .unionByName(new_keys.select(*order))
+    )

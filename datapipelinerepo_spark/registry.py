@@ -2526,3 +2526,143 @@ def q21_waiting_suppliers(spark, sf_dir):
         .groupBy("s_name")
         .agg(F.sum("n_late_lines").alias("numwait"))
     )
+
+
+@register(
+    "events_anomaly_days",
+    sql="""
+    WITH daily AS (
+      SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS d,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ), stats AS (
+      SELECT event_type,
+             CAST(SUM(n) AS DOUBLE) / COUNT(*) AS mu,
+             sqrt(CAST(SUM(n * n) AS DOUBLE) / COUNT(*)
+                  - (CAST(SUM(n) AS DOUBLE) / COUNT(*))
+                    * (CAST(SUM(n) AS DOUBLE) / COUNT(*))) AS sigma
+      FROM daily GROUP BY 1
+    )
+    SELECT d.event_type, d.d AS event_date, d.n AS n_events,
+           round((d.n - s.mu) / s.sigma, 4) AS zscore
+    FROM daily d JOIN stats s USING (event_type)
+    WHERE s.sigma > 0 AND abs((d.n - s.mu) / s.sigma) >= 2.0
+    """,
+)
+def events_anomaly_days(spark, sf_dir):
+    """Volume-anomaly detection: days where an event type's count is
+    ≥2σ from its own mean — the monitoring query every ingest pipeline
+    runs over its telemetry. Two-level aggregation (daily rollup, then
+    per-type moments in ONE pass via the population-variance identity
+    E[n²]-E[n]² computed over exact integer sums — engine- and
+    partitioning-stable, no float accumulation order) and a broadcast
+    join back onto the daily rows. The daily rollup is the only
+    event-table-sized shuffle."""
+    e = t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias(
+            "event_date"
+        ),
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    stats = daily.groupBy("event_type").agg(
+        (F.sum("n_events").cast("double") / F.count(F.lit(1))).alias("_mu"),
+        F.sqrt(
+            F.sum(F.col("n_events") * F.col("n_events")).cast("double")
+            / F.count(F.lit(1))
+            - (F.sum("n_events").cast("double") / F.count(F.lit(1)))
+            * (F.sum("n_events").cast("double") / F.count(F.lit(1)))
+        ).alias("_sigma"),
+    )
+    z = (F.col("n_events") - F.col("_mu")) / F.col("_sigma")
+    return (
+        daily.join(F.broadcast(stats), "event_type")
+        .filter((F.col("_sigma") > 0) & (F.abs(z) >= 2.0))
+        .select(
+            "event_type",
+            "event_date",
+            "n_events",
+            F.round(z, 4).alias("zscore"),
+        )
+    )
+
+
+@register(
+    "scd2_dimension_merge",
+    sql="""
+    WITH cur AS (
+      SELECT c_custkey AS custkey, c_mktsegment AS segment,
+             DATE '2020-01-01' AS valid_from,
+             CAST(NULL AS DATE) AS valid_to, TRUE AS is_current
+      FROM customer
+    ), upd AS (
+      SELECT c_custkey AS custkey,
+             CASE WHEN c_custkey % 10 = 0 THEN c_mktsegment
+                  ELSE 'SEGMENT_X' END AS u_segment,
+             DATE '2024-06-01' AS eff
+      FROM customer WHERE c_custkey % 5 = 0
+      UNION ALL
+      SELECT c_custkey + 1000000, 'NEWSEG', DATE '2024-06-01'
+      FROM customer WHERE c_custkey % 100 = 0
+    ), changed AS (
+      SELECT c.custkey FROM cur c JOIN upd u USING (custkey)
+      WHERE NOT (c.segment IS NOT DISTINCT FROM u.u_segment)
+    )
+    SELECT c.custkey, c.segment, c.valid_from,
+           CASE WHEN ch.custkey IS NOT NULL THEN DATE '2024-06-01'
+                ELSE c.valid_to END AS valid_to,
+           CASE WHEN ch.custkey IS NOT NULL THEN FALSE
+                ELSE c.is_current END AS is_current
+    FROM cur c LEFT JOIN changed ch USING (custkey)
+    UNION ALL
+    SELECT u.custkey, u.u_segment, DATE '2024-06-01',
+           CAST(NULL AS DATE), TRUE
+    FROM upd u JOIN changed ch USING (custkey)
+    UNION ALL
+    SELECT u.custkey, u.u_segment, DATE '2024-06-01',
+           CAST(NULL AS DATE), TRUE
+    FROM upd u LEFT JOIN cur c USING (custkey) WHERE c.custkey IS NULL
+    """,
+)
+def scd2_dimension_merge(spark, sf_dir):
+    """Slowly-changing-dimension type-2 merge (operators/relational.
+    scd2_apply): a deterministic batch of segment updates applied to
+    the customer dimension — changed keys close their open row and
+    append a new version, same-value updates are no-ops, unseen keys
+    insert. The history-keeping load every warehouse dimension needs,
+    beyond the reference's replace/append sinks (S8/S9) and keyed
+    upsert. One key-shuffle join + union; the oracle replays the same
+    merge in set algebra, so the driver hash-checks close/insert/no-op
+    semantics including the null-safe comparison."""
+    from .operators import relational as R
+
+    cust = t(spark, sf_dir, "customer")
+    cur = cust.select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_mktsegment").alias("segment"),
+        F.lit("2020-01-01").cast("date").alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    upd = (
+        cust.filter(F.col("c_custkey") % 5 == 0)
+        .select(
+            F.col("c_custkey").alias("custkey"),
+            F.when(
+                F.col("c_custkey") % 10 == 0, F.col("c_mktsegment")
+            )
+            .otherwise(F.lit("SEGMENT_X"))
+            .alias("segment"),
+            F.lit("2024-06-01").cast("date").alias("eff"),
+        )
+        .unionByName(
+            cust.filter(F.col("c_custkey") % 100 == 0).select(
+                (F.col("c_custkey") + 1000000).alias("custkey"),
+                F.lit("NEWSEG").alias("segment"),
+                F.lit("2024-06-01").cast("date").alias("eff"),
+            )
+        )
+    )
+    return R.scd2_apply(
+        cur, upd, key="custkey", tracked=["segment"], effective_col="eff"
+    )

@@ -18,7 +18,11 @@ _BENCH = [n for n, e in REGISTRY.items() if e.bench]
 # a tiny broadcast query side against the streamed corpus IS the plan,
 # and BroadcastNestedLoopJoin is its correct physical form. Every scale
 # path (lsh/ivf/quantized) must still lint clean.
-_ALLOW = {"ann_topk_bruteforce": ("broadcast_nested_loop",)}
+_ALLOW = {
+    "ann_topk_bruteforce": ("broadcast_nested_loop",),
+    # 1-row (N, V) totals gate cross-joined into the scoring pass
+    "text_perplexity": ("broadcast_nested_loop", "single_partition_exchange"),
+}
 
 
 @pytest.mark.parametrize("name", _BENCH)

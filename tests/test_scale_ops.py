@@ -295,3 +295,76 @@ def test_pagerank_no_dangling_fast_path_agrees(spark):
         assert abs(a[v] - b[v]) < 1e-12
     hub = max(a, key=a.get)
     assert hub == 2  # highest-degree node wins on this graph
+
+
+# ---------------------------------------------------------------------------
+# SCD2 dimension merge
+# ---------------------------------------------------------------------------
+
+
+def test_scd2_close_insert_noop_and_null_transitions(spark):
+    """One update batch: a real change closes the open row and appends
+    a new version; a same-value update is a no-op; an unseen key
+    inserts; NULL→value counts as a change (null-safe compare)."""
+    import datetime as dt
+
+    from datapipelinerepo_spark.operators.relational import scd2_apply
+
+    d0, d1 = dt.date(2020, 1, 1), dt.date(2024, 6, 1)
+    cur = spark.createDataFrame(
+        [
+            (1, "GOLD", d0, None, True),
+            (2, "SILVER", d0, None, True),
+            (3, None, d0, None, True),
+            (4, "IRON", d0, dt.date(2022, 1, 1), False),  # closed history row
+            (4, "STEEL", dt.date(2022, 1, 1), None, True),
+        ],
+        "custkey long, segment string, valid_from date, valid_to date, is_current boolean",
+    )
+    upd = spark.createDataFrame(
+        [
+            (1, "PLATINUM", d1),  # change
+            (2, "SILVER", d1),    # no-op
+            (3, "BRONZE", d1),    # NULL -> value: change
+            (9, "NEW", d1),       # unseen key: insert
+        ],
+        "custkey long, segment string, eff date",
+    )
+    out = scd2_apply(
+        cur, upd, key="custkey", tracked=["segment"], effective_col="eff"
+    )
+    rows = {(r["custkey"], r["segment"]): r for r in out.collect()}
+    assert len(rows) == 8  # 5 original + 2 new versions + 1 insert
+    assert rows[(1, "GOLD")]["valid_to"] == d1
+    assert rows[(1, "GOLD")]["is_current"] is False
+    assert rows[(1, "PLATINUM")]["is_current"] is True
+    assert rows[(2, "SILVER")]["is_current"] is True
+    assert rows[(2, "SILVER")]["valid_to"] is None
+    assert rows[(3, None)]["is_current"] is False
+    assert rows[(3, "BRONZE")]["valid_from"] == d1
+    assert rows[(4, "IRON")]["is_current"] is False  # history untouched
+    assert rows[(4, "STEEL")]["is_current"] is True  # no update for key 4
+    assert rows[(9, "NEW")]["is_current"] is True
+
+
+def test_scd2_reapply_converges(spark):
+    """Applying the SAME update batch twice changes nothing the second
+    time: the open row already carries the new value, so the merge is
+    idempotent (the property that makes retried dimension loads safe)."""
+    import datetime as dt
+
+    from datapipelinerepo_spark.operators.relational import scd2_apply
+
+    d0, d1 = dt.date(2020, 1, 1), dt.date(2024, 6, 1)
+    cur = spark.createDataFrame(
+        [(1, "A", d0, None, True)],
+        "custkey long, segment string, valid_from date, valid_to date, is_current boolean",
+    )
+    upd = spark.createDataFrame(
+        [(1, "B", d1)], "custkey long, segment string, eff date"
+    )
+    once = scd2_apply(cur, upd, "custkey", ["segment"], "eff")
+    twice = scd2_apply(once, upd, "custkey", ["segment"], "eff")
+    a = sorted(map(tuple, once.collect()))
+    b = sorted(map(tuple, twice.collect()))
+    assert a == b
