@@ -431,43 +431,56 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     return sig.withColumnRenamed("_id", id_col)
 
 
-def simhash_pairs(df: DataFrame, max_hamming: int = 8, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Near-dup candidates whose SimHash Hamming distance ≤ max_hamming.
-    Banding: 4 x 16-bit chunks — any pair within Hamming ≤3 of each
-    other shares at least one exact chunk (pigeonhole); wider radii are
-    still found when any chunk matches. Avoids the full cross join."""
-    sig = simhash(df, text_col, id_col).select(
-        F.col(id_col).alias("_id"), F.col("simhash")
-    )
-    chunks = sig.select(
+def hamming_pairs(
+    sig: DataFrame,
+    sig_col: str,
+    id_col: str,
+    max_hamming: int = 8,
+) -> DataFrame:
+    """Pairs of rows whose 64-bit signatures are within ``max_hamming``
+    bits — the generic banded Hamming join behind SimHash text dedup
+    and perceptual-hash media dedup. Banding: 4 x 16-bit chunks — any
+    pair within Hamming ≤3 shares at least one exact chunk (pigeonhole);
+    wider radii are still found when any chunk matches. groupBy-bucket
+    pair expansion (no self-join: the signature subtree runs once), and
+    the signatures ride the pairs so the exact `bit_count` filter needs
+    no join-back. Output: (id_a, id_b, hamming)."""
+    s = sig.select(F.col(id_col).alias("_id"), F.col(sig_col).alias("_sig"))
+    chunks = s.select(
         "_id",
-        "simhash",
+        "_sig",
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(i).alias("chunk_no"),
-                        F.shiftright("simhash", i * 16).bitwiseAND(F.lit(0xFFFF)).alias("chunk"),
+                        F.shiftright("_sig", i * 16).bitwiseAND(F.lit(0xFFFF)).alias("chunk"),
                     )
                     for i in range(4)
                 ]
             )
         ).alias("c"),
-    ).select("_id", "simhash", "c.chunk_no", "c.chunk")
-    # groupBy-bucket pair expansion, not a chunk-stream self-join: the
-    # signature subtree (token explode + 64 bit-sum aggs) runs once, and
-    # the signatures ride the pairs so the Hamming filter needs no
-    # join-back (see _bucket_pairs).
+    ).select("_id", "_sig", "c.chunk_no", "c.chunk")
     cand = _bucket_pairs(
-        chunks, bucket_cols=("chunk_no", "chunk"), payload="simhash"
+        chunks, bucket_cols=("chunk_no", "chunk"), payload="_sig"
     ).distinct()
     return (
         cand.withColumn(
             "hamming",
-            F.bit_count(F.col("simhash_a").bitwiseXOR(F.col("simhash_b"))),
+            F.bit_count(F.col("_sig_a").bitwiseXOR(F.col("_sig_b"))),
         )
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+    )
+
+
+def simhash_pairs(df: DataFrame, max_hamming: int = 8, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Near-dup candidates whose SimHash Hamming distance ≤ max_hamming
+    — the banded Hamming join (``hamming_pairs``) over the map-computed
+    SimHash signatures; no full cross join at any corpus size."""
+    sig = simhash(df, text_col, id_col)
+    return hamming_pairs(
+        sig, sig_col="simhash", id_col=id_col, max_hamming=max_hamming
     )
 
 

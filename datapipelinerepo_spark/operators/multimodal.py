@@ -169,3 +169,54 @@ def resize_media(media: DataFrame, width: int, height: int) -> DataFrame:
             )
 
     return media.mapInPandas(_resize, schema=MEDIA_SCHEMA)
+
+
+PHASH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("phash", LongType(), True),
+    ]
+)
+
+
+def phash_payload(payload: bytes, mime: str, real: bool = False) -> int:
+    """64-bit perceptual hash of one media payload.
+
+    ``real=True`` is the production path — decode, downscale to 32×32
+    gray, 2D DCT, sign-of-low-frequency-coefficients (classic pHash) —
+    not available in this container. The deterministic fake derives the
+    64 bits from the payload digest: same bytes → same hash everywhere,
+    so the Spark-side plumbing (map-only hashing, banded Hamming join)
+    is fully testable; near-miss robustness is a property of the real
+    decoder, not of the join."""
+    if real:
+        raise NotImplementedError(
+            "perceptual hash requires image decode (PIL/scipy DCT, not "
+            "installed); use real=False for the deterministic fake"
+        )
+    digest = hashlib.sha256(payload).digest()
+    return int.from_bytes(digest[:8], "big", signed=True)
+
+
+def perceptual_hash(media: DataFrame) -> DataFrame:
+    """mapInPandas perceptual hashing over media batches — map-only,
+    the binary payload never shuffles; only (media_id, 8-byte phash)
+    rows leave the scan stage. Feed the output to
+    ``dedup.hamming_pairs`` for banded near-duplicate detection: the
+    same candidate-generation shape as SimHash text dedup, so a 100 TB
+    media corpus dedups at (id, hash) shuffle cost."""
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [bytes(p) if p is not None else b"" for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "phash": [
+                        phash_payload(p, m)
+                        for p, m in zip(payloads, pdf["mime"])
+                    ],
+                }
+            )
+
+    return media.mapInPandas(_hash, schema=PHASH_SCHEMA)

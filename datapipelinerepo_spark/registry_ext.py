@@ -1341,3 +1341,43 @@ def ann_topk_pq(spark, sf_dir):
     emb = t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 5)
     return SIM.cosine_topk_pq(q, emb, dim=64, k=10)
+
+
+@register(
+    "multimodal_phash_dups",
+    sql="""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0
+    ), m AS (SELECT doc_id, md5(text) AS dg FROM corpus)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, 0 AS hamming
+    FROM m a JOIN m b ON a.dg = b.dg AND a.doc_id < b.doc_id
+    """,
+)
+def multimodal_phash_dups(spark, sf_dir):
+    """Perceptual-hash media dedup: payloads hash map-only
+    (multimodal.perceptual_hash), then the banded Hamming join
+    (dedup.hamming_pairs — same candidate shape as SimHash) finds pairs
+    within 8 bits. A re-ingested 10% slice (shifted ids, identical
+    payloads — the re-crawl scenario) is planted so the check exercises
+    real collisions. With the deterministic fake decoder the phash is a
+    pure function of the payload bytes and distinct payloads get
+    independent 64-bit hashes, so ≤8-bit pairs are EXACTLY the
+    identical-payload pairs — which the oracle derives from text
+    digests, hash-checking the whole hash→band→verify pipeline. A real
+    decoder widens matches to visually-near payloads without touching
+    the Spark plan."""
+    from .operators.dedup import hamming_pairs
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.unionByName(
+        docs.filter(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+    )
+    media = M.documents_as_media(corpus)
+    sig = M.perceptual_hash(media)
+    return hamming_pairs(
+        sig, sig_col="phash", id_col="media_id", max_hamming=8
+    )

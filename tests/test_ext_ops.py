@@ -801,3 +801,49 @@ def test_ann_pq_indexed_serving_equals_fresh(spark, emb):
     f = sorted(map(tuple, fresh.collect()))
     s = sorted(map(tuple, served.collect()))
     assert f == s
+
+
+# ---------------------------------------------------------------------------
+# Perceptual-hash media dedup + generic Hamming join
+# ---------------------------------------------------------------------------
+
+
+def test_hamming_pairs_radius_and_banding(spark):
+    """Synthetic 64-bit signatures: a 2-bit-flip pair is found (shares
+    3 of 4 chunks), an identical pair comes back at distance 0, and a
+    far pair (random-ish) is rejected by the exact bit_count filter."""
+    base = 0x123456789ABCDEF0
+    rows = [
+        (1, base),
+        (2, base),                 # identical
+        (3, base ^ 0b101),         # 2 bits away, same high chunks
+        (4, ~base & 0x7FFFFFFFFFFFFFFF),  # far
+    ]
+    df = spark.createDataFrame(rows, "id long, sig long")
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in D.hamming_pairs(df, "sig", "id", max_hamming=8).collect()
+    }
+    assert got[(1, 2)] == 0 and got[(1, 3)] == 2 and got[(2, 3)] == 2
+    assert not any(4 in k for k in got)
+
+
+def test_phash_planted_payload_duplicate(spark):
+    """Two media rows with byte-identical payloads collide at Hamming 0
+    through the full perceptual-hash pipeline; distinct payloads don't
+    collide. Determinism: same payload hashes identically across
+    partitions."""
+    docs = spark.createDataFrame(
+        [(1, "same bytes"), (2, "same bytes"), (3, "other bytes")],
+        ["doc_id", "text"],
+    )
+    media = M.documents_as_media(docs)
+    sig = M.perceptual_hash(media)
+    pairs = D.hamming_pairs(sig, "phash", "media_id", max_hamming=8).collect()
+    assert [(r["id_a"], r["id_b"], r["hamming"]) for r in pairs] == [(1, 2, 0)]
+    again = {
+        r["media_id"]: r["phash"]
+        for r in M.perceptual_hash(media.repartition(5)).collect()
+    }
+    first = {r["media_id"]: r["phash"] for r in sig.collect()}
+    assert again == first
