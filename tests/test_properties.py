@@ -189,3 +189,75 @@ def test_connected_components_matches_union_find(spark, edges):
         r.node: r.comp for r in connected_components(df).collect()
     }
     assert got == want
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    seg=st.lists(
+        st.sampled_from(["A", "B", None]), min_size=1, max_size=6
+    ),
+    upd=st.lists(
+        st.tuples(st.integers(0, 7), st.sampled_from(["A", "B", "C"])),
+        min_size=0,
+        max_size=6,
+        unique_by=lambda t: t[0],
+    ),
+)
+def test_scd2_invariants(spark, seg, upd):
+    """For ANY starting dimension and update batch: (1) every key keeps
+    EXACTLY one open row, (2) closed history rows are never modified,
+    (3) open rows carry the latest value (updated keys show the update,
+    untouched keys keep their old value)."""
+    import datetime as dt
+
+    from datapipelinerepo_spark.operators.relational import scd2_apply
+
+    d0, d1 = dt.date(2020, 1, 1), dt.date(2024, 6, 1)
+    cur_rows = [(i, s, d0, None, True) for i, s in enumerate(seg)]
+    cur = spark.createDataFrame(
+        cur_rows,
+        "k long, segment string, valid_from date, valid_to date, is_current boolean",
+    )
+    upd_df = (
+        spark.createDataFrame(
+            [(k, s, d1) for k, s in upd], "k long, segment string, eff date"
+        )
+        if upd
+        else spark.createDataFrame([], "k long, segment string, eff date")
+    )
+    out = scd2_apply(cur, upd_df, "k", ["segment"], "eff").collect()
+    upd_map = dict(upd)
+    open_rows = [r for r in out if r["is_current"]]
+    keys = {r["k"] for r in out}
+    assert sorted(r["k"] for r in open_rows) == sorted(keys)  # one open/key
+    for r in open_rows:
+        k = r["k"]
+        if k in upd_map:
+            assert r["segment"] == upd_map[k]  # latest value wins
+        elif k < len(seg):
+            assert r["segment"] == seg[k]  # untouched keys unchanged
+    for r in out:
+        if not r["is_current"]:
+            assert r["valid_to"] is not None  # closed rows are dated
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 5)),
+        min_size=1,
+        max_size=10,
+    ).filter(lambda es: any(u != v for u, v in es))
+)
+def test_pagerank_mass_conserved_on_random_graphs(spark, edges):
+    """For ANY directed graph (self-loops dropped, dangling nodes
+    allowed): ranks are positive and sum to 1 — the dangling
+    redistribution branch conserves probability mass."""
+    from datapipelinerepo_spark.operators.graph import pagerank
+
+    es = [(u, v, 1.0) for u, v in edges if u != v]
+    df = spark.createDataFrame(es, ["src", "dst", "w"])
+    got = pagerank(df, weight="w", iters=4).collect()
+    total = sum(r["rank"] for r in got)
+    assert abs(total - 1.0) < 1e-9
+    assert all(r["rank"] > 0 for r in got)

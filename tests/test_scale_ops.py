@@ -368,3 +368,26 @@ def test_scd2_reapply_converges(spark):
     a = sorted(map(tuple, once.collect()))
     b = sorted(map(tuple, twice.collect()))
     assert a == b
+
+
+def test_round3_analytics_plan_audit(spark, sf_dir):
+    """Retention / anomaly / SCD2 / funnel plan shapes: no SortMergeJoin
+    (small sides broadcast), and the exchange count stays at the
+    designed minimum — a new exchange in one of these is a plan
+    regression, not noise."""
+    from datapipelinerepo_spark.registry import REGISTRY
+
+    bounds = {
+        "events_retention": 3,       # distinct, per-user min, cell agg
+        "events_anomaly_days": 3,    # daily rollup, stats agg, final
+        "scd2_dimension_merge": 2,   # key join + new-key anti join
+        "events_funnel": 5,          # three per-user mins + stage joins
+    }
+    for name, max_exch in bounds.items():
+        plan = (
+            REGISTRY[name].fn(spark, sf_dir)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "SortMergeJoin" not in plan, f"{name} lost a broadcast"
+        got = plan.count("Exchange hashpartitioning")
+        assert got <= max_exch, f"{name}: {got} exchanges (max {max_exch})"
