@@ -3,10 +3,12 @@ LLM-data operators exist for, as one lazy DataFrame chain.
 
     raw documents
       → quality gate        (length / token / punct thresholds)
+      → model gates         (optional: linear-classifier score floor,
+                             unigram-LM perplexity ceiling — CCNet-style)
       → PII redaction       (<EMAIL>/<IP>/<NUM>)
       → exact dedup         (digest window, keep min id)
       → near-dup dedup      (MinHash+LSH pairs → connected components
-                             → keep component representative)
+                             → keep min-id or highest-quality member)
       → mix report + deterministic stratified sample
 
 Everything stays a DataFrame until the caller writes: the whole prep is
@@ -36,6 +38,14 @@ class PrepConfig:
     near_dup_threshold: float = 0.5
     id_col: str = "doc_id"
     text_col: str = "text"
+    # model-based gates (None = off): linear-classifier score floor and
+    # unigram-LM perplexity ceiling — the CCNet-style filters applied
+    # AFTER the cheap structural gate so the models score fewer docs
+    min_model_score: float | None = None
+    max_perplexity: float | None = None
+    # keeper policy inside each near-dup component: "min_id" (cheapest)
+    # or "best_quality" (keep the longest member — one extra window)
+    keeper: str = "min_id"
 
 
 def quality_gate(df: DataFrame, cfg: PrepConfig) -> DataFrame:
@@ -60,15 +70,46 @@ def redact(df: DataFrame, cfg: PrepConfig) -> DataFrame:
     return df.withColumn(cfg.text_col, t3).join(red, on=cfg.id_col, how="left")
 
 
+def model_gate(df: DataFrame, cfg: PrepConfig) -> DataFrame:
+    """Model-based filtering: drop docs below the linear-classifier
+    score floor and/or above the perplexity ceiling. Both models run as
+    relational passes (see text.linear_model_score /
+    unigram_perplexity); only (id, score) columns join back — the text
+    never re-shuffles for the gate."""
+    out = df
+    if cfg.min_model_score is not None:
+        ms = T.linear_model_score(
+            out, text_col=cfg.text_col, id_col=cfg.id_col
+        ).filter(F.col("model_score") >= cfg.min_model_score).select(cfg.id_col)
+        out = out.join(ms, on=cfg.id_col, how="left_semi")
+    if cfg.max_perplexity is not None:
+        ok = T.unigram_perplexity(
+            out, text_col=cfg.text_col, id_col=cfg.id_col
+        ).filter(F.col("ppl") <= cfg.max_perplexity).select(cfg.id_col)
+        out = out.join(ok, on=cfg.id_col, how="left_semi")
+    return out
+
+
 def drop_near_dups(df: DataFrame, cfg: PrepConfig) -> DataFrame:
     """MinHash+LSH pairs → connected components → keep each component's
-    representative (min id). Docs in no pair are their own component
-    and survive."""
+    representative: min id (default) or the highest-quality member
+    (``cfg.keeper == "best_quality"`` — longest text wins, tie → min
+    id, via graph.canonical_keep). Docs in no pair are their own
+    component and survive."""
     pairs = D.minhash_lsh_pairs(
         df, threshold=cfg.near_dup_threshold, text_col=cfg.text_col, id_col=cfg.id_col
     ).select("id_a", "id_b")
-    comps = G.dedup_components(df.select(F.col(cfg.id_col)), pairs)
-    keep = comps.filter(F.col(cfg.id_col) == F.col("comp")).select(cfg.id_col)
+    if cfg.keeper == "best_quality":
+        sized = df.withColumn("_len", F.length(F.col(cfg.text_col)))
+        keep = G.canonical_keep(
+            sized.select(F.col(cfg.id_col), "_len"),
+            pairs,
+            id_col=cfg.id_col,
+            quality_col="_len",
+        ).select(F.col("keeper_id").alias(cfg.id_col))
+    else:
+        comps = G.dedup_components(df.select(F.col(cfg.id_col)), pairs)
+        keep = comps.filter(F.col(cfg.id_col) == F.col("comp")).select(cfg.id_col)
     return df.join(keep, on=cfg.id_col, how="left_semi")
 
 
@@ -77,7 +118,7 @@ def prepare_training_data(df: DataFrame, cfg: PrepConfig | None = None) -> DataF
     ``n_redacted`` column; compose with ``text.sequence_packing`` /
     stratified sampling downstream."""
     cfg = cfg or PrepConfig()
-    gated = quality_gate(df, cfg)
+    gated = model_gate(quality_gate(df, cfg), cfg)
     clean = redact(gated, cfg)
     exact = D.exact_dedup(clean, text_col=cfg.text_col, id_col=cfg.id_col)
     return drop_near_dups(exact, cfg)

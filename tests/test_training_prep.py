@@ -62,3 +62,49 @@ def test_prep_keeps_original_corpus_mostly_intact(spark, corpus):
     kept = out.filter(F.col("doc_id") < 50).count()
     # synthetic corpus is clean prose: the pipeline shouldn't nuke it
     assert kept >= before * 0.5
+
+
+def test_prep_best_quality_keeper_keeps_longest(spark, corpus):
+    """keeper="best_quality": the surviving member of the near-dup
+    cluster is the LONGEST one (900005 = GOOD + extra words), not the
+    min id — and the rest of the pipeline is unchanged."""
+    out = prepare_training_data(
+        corpus, PrepConfig(near_dup_threshold=0.5, keeper="best_quality")
+    )
+    ids = {r["doc_id"] for r in out.select("doc_id").collect()}
+    cluster = {900003, 900005} & ids
+    if cluster:  # the near-dup pair collapsed to its longest member
+        assert cluster == {900005}
+    assert 900001 not in ids and 900004 not in ids
+
+
+def test_prep_model_gates_drop_planted_outliers(spark, corpus):
+    """A gibberish hapax doc has the corpus's highest perplexity; a
+    ceiling below it drops it while keeping the clean corpus."""
+    from datapipelinerepo_spark.operators.text import unigram_perplexity
+
+    gib_words = " ".join(f"zqxj{i}vw" for i in range(40))
+    gib = spark.createDataFrame(
+        [(900009, gib_words)], "doc_id long, text string"
+    ).select(
+        "doc_id", "text", F.lit("en").alias("lang"),
+        F.lit("planted").alias("source"), F.length("text").alias("n_chars"),
+    )
+    c2 = corpus.union(gib)
+    # the pipeline fits the LM on the quality-GATED corpus — mirror that
+    from datapipelinerepo_spark.plans.training_prep import quality_gate
+
+    cfg0 = PrepConfig(near_dup_threshold=0.5)
+    ppls = {
+        r["doc_id"]: r["ppl"]
+        for r in unigram_perplexity(quality_gate(c2, cfg0)).collect()
+    }
+    assert ppls[900009] == max(ppls.values())
+    ceiling = sorted(ppls.values())[-2]  # everything but the gibberish
+    out = prepare_training_data(
+        c2,
+        PrepConfig(near_dup_threshold=0.5, max_perplexity=float(ceiling)),
+    )
+    ids = {r["doc_id"] for r in out.select("doc_id").collect()}
+    assert 900009 not in ids
+    assert any(i < 50 for i in ids)  # clean corpus survives
