@@ -644,7 +644,14 @@ def kmeans_fit(
         for ci in range(k):
             if counts[ci] > 0:
                 new[ci] = sums[ci] / counts[ci]
+        # free convergence probe: centroids already live on the driver
+        # (they are the next plan literal), so comparing consecutive
+        # arrays costs nothing and saves whole cluster passes once
+        # Lloyd's has settled
+        shift = float(np.abs(new - cents).max())
         cents = new
+        if shift < 1e-12:
+            break
     return cents.tolist()
 
 

@@ -522,3 +522,78 @@ def unigram_perplexity(
             ).alias("ppl"),
         )
     )
+
+
+def ngram_perplexity(
+    df: DataFrame,
+    n: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """N-gram LM perplexity: the ``unigram_perplexity`` quality filter
+    upgraded to conditional probabilities — p(tok | prev n-1 tokens) =
+    (c(context, tok)+1) / (c(context)+V), add-one smoothed, fit over
+    the corpus and scored per document. ``n=1`` reduces exactly to the
+    unigram form (empty context, c('') = corpus token count).
+
+    Plan: one explode into (doc, context, token) position rows, two
+    count aggregations over it (the model fit — both keyed on the
+    context, so AQE reuses the exchange), a 1-row vocabulary gate, and
+    the per-doc re-aggregation. Same cross-engine determinism
+    discipline as the unigram form: ln rounded 6dp per position,
+    DECIMAL doc sums. Documents with < n tokens have no scorable
+    positions and are omitted (a length gate runs before perplexity in
+    any real pipeline)."""
+    toks = F.filter(
+        F.split(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "), " "),
+        lambda s: F.length(s) > 0,
+    )
+    base = df.select(F.col(id_col), toks.alias("_t")).filter(
+        F.size("_t") >= n
+    )
+    pos = F.sequence(F.lit(n), F.size("_t"))
+    grams = base.select(
+        id_col,
+        F.explode(
+            F.transform(
+                pos,
+                lambda i: F.struct(
+                    F.array_join(
+                        F.slice("_t", i - (n - 1), n - 1), " "
+                    ).alias("ctx"),
+                    F.element_at("_t", i).alias("tok"),
+                ),
+            )
+        ).alias("g"),
+    ).select(id_col, "g.ctx", "g.tok")
+    c_ct = grams.groupBy("ctx", "tok").agg(F.count(F.lit(1)).alias("_cct"))
+    c_c = grams.groupBy("ctx").agg(F.count(F.lit(1)).alias("_cc"))
+    vocab = grams.agg(F.countDistinct("tok").alias("_V"))
+    scored = (
+        grams.join(c_ct, ["ctx", "tok"])
+        .join(c_c, "ctx")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            id_col,
+            F.round(
+                F.log(
+                    (F.col("_cct") + 1).cast("double")
+                    / (F.col("_cc") + F.col("_V")).cast("double")
+                ),
+                6,
+            )
+            .cast("decimal(28,6)")
+            .alias("_lp"),
+        )
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(F.sum("_lp").alias("_slp"), F.count(F.lit(1)).alias("n_scored"))
+        .select(
+            id_col,
+            "n_scored",
+            F.round(
+                F.exp(-(F.col("_slp").cast("double") / F.col("n_scored"))), 4
+            ).alias("ppl"),
+        )
+    )

@@ -224,3 +224,70 @@ def near_dup_ingest_stream(
     if available_now:
         w = w.trigger(availableNow=True)
     return w.start()
+
+
+def curate_ingest_stream(
+    docs: DataFrame,
+    store,
+    checkpoint_dir: str,
+    cfg=None,
+    clean_table: str = "clean_corpus",
+    rejected_table: str = "rejected_docs",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming training-data curation: each micro-batch runs the
+    batch prep gates (plans/training_prep: structural quality gate +
+    PII redaction), drops exact duplicates of anything ALREADY in the
+    clean table (digest anti-join — the incremental twin of exact
+    dedup, so each document's text is digested once at ingest), and
+    appends survivors to ``clean_table``; gate rejects land in
+    ``rejected_table`` with a reason column, keeping the drop
+    accounting auditable.
+
+    Exactly-once like near_dup_ingest_stream: both writes go through
+    dynamic partition overwrite on a ``_batch_id`` partition, so a
+    replayed micro-batch overwrites its own partition. Near-dup
+    handling stays with near_dup_ingest_stream (standing LSH index);
+    this operator is the gate+redact+exact-dedup front of the same
+    ingest pipeline."""
+    from ..plans.training_prep import PrepConfig, quality_gate, redact
+
+    cfg = cfg or PrepConfig()
+
+    def _ingest(batch: DataFrame, batch_id: int) -> None:
+        batch = batch.localCheckpoint(eager=True)
+        gated = quality_gate(batch, cfg).localCheckpoint(eager=True)
+        rejects = batch.join(
+            gated.select(cfg.id_col), on=cfg.id_col, how="left_anti"
+        ).withColumn("reason", F.lit("quality_gate"))
+        clean = redact(gated, cfg)
+        if store.exists(clean_table):
+            hist = store.read(clean_table).select(
+                F.md5(F.col(cfg.text_col)).alias("_dg")
+            ).distinct()
+            staged = clean.withColumn("_dg", F.md5(F.col(cfg.text_col)))
+            dup = staged.join(hist, on="_dg", how="left_semi").drop("_dg")
+            rejects = rejects.unionByName(
+                dup.withColumn("reason", F.lit("exact_dup")),
+                allowMissingColumns=True,
+            )
+            clean = staged.join(hist, on="_dg", how="left_anti").drop("_dg")
+        store.reload_partitions(
+            clean.withColumn("_batch_id", F.lit(batch_id)),
+            clean_table,
+            "_batch_id",
+        )
+        store.reload_partitions(
+            rejects.withColumn("_batch_id", F.lit(batch_id)),
+            rejected_table,
+            "_batch_id",
+        )
+
+    w = (
+        docs.writeStream.foreachBatch(_ingest)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()

@@ -847,3 +847,40 @@ def test_phash_planted_payload_duplicate(spark):
     }
     first = {r["media_id"]: r["phash"] for r in sig.collect()}
     assert again == first
+
+
+def test_ngram_perplexity_n1_equals_unigram(spark):
+    """n=1 reduces exactly to the unigram form: empty context count =
+    corpus token count, so every score matches to the rounded digit."""
+    from datapipelinerepo_spark.operators.text import (
+        ngram_perplexity,
+        unigram_perplexity,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b a c"), (2, "b b a"), (3, "c a b a d")],
+        ["doc_id", "text"],
+    )
+    uni = {r["doc_id"]: r["ppl"] for r in unigram_perplexity(docs).collect()}
+    n1 = {r["doc_id"]: r["ppl"] for r in ngram_perplexity(docs, n=1).collect()}
+    assert uni == n1
+
+
+def test_bigram_perplexity_flags_scrambled_word_order(spark):
+    """A bigram LM separates what a unigram can't: a doc whose TOKENS
+    are corpus-frequent but whose TRANSITIONS never occur elsewhere
+    scores higher bigram-ppl than the docs following the common order.
+    Partitioning-invariant (decimal sums)."""
+    from datapipelinerepo_spark.operators.text import ngram_perplexity
+
+    common = [(i, "the cat sat on the mat") for i in range(10)]
+    common.append((99, "mat the on sat cat the"))  # same tokens, scrambled
+    docs = spark.createDataFrame(common, ["doc_id", "text"])
+    ppl = {r["doc_id"]: r["ppl"] for r in ngram_perplexity(docs, n=2).collect()}
+    assert ppl[99] == max(ppl.values())
+    assert ppl[0] == ppl[5] < ppl[99]
+    rep = {
+        r["doc_id"]: r["ppl"]
+        for r in ngram_perplexity(docs.repartition(7), n=2).collect()
+    }
+    assert rep == ppl

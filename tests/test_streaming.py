@@ -277,3 +277,55 @@ def test_near_dup_ingest_stream(spark, tmp_path):
     assert {
         (r["new_id"], r["corpus_id"]) for r in store.read("near_dups").collect()
     } == {(10, 1)}
+
+
+def test_curate_ingest_stream(spark, tmp_path):
+    """Streaming curation front: batch 1's junk doc is gate-rejected
+    with a reason, the PII doc lands redacted; batch 2's exact copy of
+    a batch-1 survivor is rejected as exact_dup against the STANDING
+    clean table; a drained re-run changes nothing."""
+    from datapipelinerepo_spark.io import TableStore
+    from datapipelinerepo_spark.plans.training_prep import PrepConfig
+    from datapipelinerepo_spark.streaming.ingest import curate_ingest_stream
+
+    src = tmp_path / "cur_in"
+    src.mkdir()
+    store = TableStore(spark, str(tmp_path / "cur_store"))
+    ckpt = str(tmp_path / "ckpt_curate")
+    cfg = PrepConfig(min_chars=30, min_tokens=5, max_punct_ratio=0.2)
+    good = "a perfectly reasonable training document with plenty of words in it"
+    (src / "b1.json").write_text(
+        "\n".join(
+            json.dumps(d)
+            for d in [
+                {"doc_id": 1, "text": good},
+                {"doc_id": 2, "text": "too short"},
+                {"doc_id": 3, "text": good + " reach me at a@b.com for details"},
+            ]
+        )
+    )
+
+    def run():
+        stream = spark.readStream.schema("doc_id long, text string").json(str(src))
+        q = curate_ingest_stream(stream, store, ckpt, cfg=cfg)
+        q.awaitTermination()
+
+    run()
+    clean = {r["doc_id"]: r["text"] for r in store.read("clean_corpus").collect()}
+    assert set(clean) == {1, 3}
+    assert "a@b.com" not in clean[3] and "<EMAIL>" in clean[3]
+    rej = {r["doc_id"]: r["reason"] for r in store.read("rejected_docs").collect()}
+    assert rej == {2: "quality_gate"}
+
+    (src / "b2.json").write_text(
+        json.dumps({"doc_id": 20, "text": good})  # exact copy of doc 1
+        + "\n"
+        + json.dumps({"doc_id": 21, "text": "fresh new clean content that is long enough to pass the gate"})
+    )
+    run()
+    clean2 = {r["doc_id"] for r in store.read("clean_corpus").collect()}
+    assert clean2 == {1, 3, 21}
+    rej2 = {r["doc_id"]: r["reason"] for r in store.read("rejected_docs").collect()}
+    assert rej2 == {2: "quality_gate", 20: "exact_dup"}
+    run()  # drained replay: nothing changes
+    assert {r["doc_id"] for r in store.read("clean_corpus").collect()} == {1, 3, 21}
