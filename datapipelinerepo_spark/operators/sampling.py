@@ -57,3 +57,39 @@ def rebalance_mix(
         .filter(hash_uniform_u32(id_col) < thr)
         .drop("_n", "_mn")
     )
+
+
+def temperature_mix(
+    df: DataFrame,
+    alpha: float = 0.3,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature-based mix reshaping: target group shares ∝ p_g^alpha
+    (p_g = the group's natural share) — the standard multilingual /
+    multi-source sampling rule (alpha=1 keeps the natural mix, alpha=0
+    flattens to uniform like ``rebalance_mix``, alpha≈0.3 is the usual
+    up-weight-the-tail compromise). Pure downsampling: each group keeps
+    rate min(1, (target share / natural share) · s) with the global
+    scale s chosen so the most-overshooting group caps at rate 1 — no
+    row is ever duplicated, so the output is a subset and the decision
+    per row stays the content-hash uniform (deterministic,
+    engine-portable, oracle-checkable).
+
+    Same scale shape as rebalance_mix: one tiny counts aggregate
+    broadcasts back; the accept test is map-side."""
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n"))
+    # weight_g = n_g^alpha; keep-rate_g ∝ weight_g / n_g, scaled so the
+    # max rate is exactly 1 (pure downsampling, no duplication)
+    w = F.pow(F.col("_n").cast("double"), F.lit(alpha))
+    rated = counts.select(
+        group_col, "_n", (w / F.col("_n").cast("double")).alias("_r")
+    )
+    mx = rated.agg(F.max("_r").alias("_rmax"))
+    thr = F.floor(F.col("_r") / F.col("_rmax") * F.lit(_U32)).cast("long")
+    return (
+        df.join(F.broadcast(rated), group_col)
+        .crossJoin(F.broadcast(mx))
+        .filter(hash_uniform_u32(id_col) < thr)
+        .drop("_n", "_r", "_rmax")
+    )

@@ -884,3 +884,32 @@ def test_bigram_perplexity_flags_scrambled_word_order(spark):
         for r in ngram_perplexity(docs.repartition(7), n=2).collect()
     }
     assert rep == ppl
+
+
+def test_temperature_mix_endpoints_and_tail_upweight(spark):
+    """alpha=1 keeps every row (natural mix, rates all equal 1);
+    alpha=0 equals the flatten-to-min rule of rebalance_mix; an
+    intermediate alpha keeps the SMALLEST group whole while
+    downsampling the largest — and the decision is deterministic
+    (subset property: every kept row exists in the input)."""
+    from datapipelinerepo_spark.operators import sampling as SMP
+
+    rows = [(i, "big") for i in range(400)] + [(1000 + i, "small") for i in range(40)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+
+    all_kept = SMP.temperature_mix(df, alpha=1.0)
+    assert all_kept.count() == 440  # natural mix: no downsampling
+
+    flat = {r["doc_id"] for r in SMP.temperature_mix(df, alpha=0.0).collect()}
+    reb = {r["doc_id"] for r in SMP.rebalance_mix(df).collect()}
+    assert flat == reb  # alpha=0 ≡ flatten-to-min (same thresholds)
+
+    mid = SMP.temperature_mix(df, alpha=0.3)
+    by_g = {
+        r["lang"]: r["n"]
+        for r in mid.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert by_g["small"] == 40  # smallest group caps at rate 1
+    assert by_g["big"] < 400    # largest group downsampled
+    # big's target rate is (400/40)^(alpha-1) ≈ 0.2 -> expect ~80 rows
+    assert 40 <= by_g["big"] <= 140
