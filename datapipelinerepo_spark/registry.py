@@ -690,6 +690,7 @@ def a8_rollup(spark, sf_dir):
 
 @register(
     "events_asof_join",
+    bench=True,
     sql="""
     WITH purchases AS (
       SELECT user_id, ts, MAX(value) AS pvalue
@@ -736,6 +737,7 @@ def events_asof_join(spark, sf_dir):
 
 @register(
     "events_range_join",
+    bench=True,
     sql="""
     WITH p AS (
       SELECT user_id, ts AS pts FROM events
