@@ -597,3 +597,49 @@ def incremental_dedup_bloom(
         hist_digests, on="_digest", how="left_anti"
     )
     return definitely_new.unionByName(rescued).drop("_digest", "_maybe")
+
+
+def containment_pairs(
+    df: DataFrame,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Containment similarity C(A,B) = |A∩B| / min(|A|,|B|) over word
+    sets — the asymmetric-overlap complement of ``jaccard_pairs``: a
+    short document quoted inside a long one scores containment ≈ 1
+    while its Jaccard stays low (the union is dominated by the long
+    doc), so Jaccard-thresholded dedup never sees it. Same plan shape
+    and cost class as jaccard_pairs (explode + token equi-join + pair
+    aggregation — quadratic within token groups, use on samples or LSH
+    candidates); at scale, run it on the SAME candidate pairs the
+    MinHash banding emits, as a second verifier column.
+
+    Output: (id_a, id_b, containment) with id_a < id_b, ≥ threshold.
+    """
+    toks = _tokens(df, text_col, id_col)
+    sizes = toks.select("_id", F.size("_toks").alias("_sz"))
+    flat = toks.select("_id", F.explode("_toks").alias("_tok"))
+    a, b = flat.alias("a"), flat.alias("b")
+    inter = (
+        a.join(b, (F.col("a._tok") == F.col("b._tok")) & (F.col("a._id") < F.col("b._id")))
+        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("_inter"))
+    )
+    sa = sizes.select(F.col("_id").alias("id_a"), F.col("_sz").alias("_sza"))
+    sb = sizes.select(F.col("_id").alias("id_b"), F.col("_sz").alias("_szb"))
+    cont = (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("_inter").cast("double")
+                / F.least(F.col("_sza"), F.col("_szb")).cast("double")
+            ).alias("containment"),
+        )
+    )
+    return cont.filter(F.col("containment") >= threshold).select(
+        "id_a", "id_b", F.round("containment", 4).alias("containment")
+    )

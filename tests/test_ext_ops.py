@@ -913,3 +913,24 @@ def test_temperature_mix_endpoints_and_tail_upweight(spark):
     assert by_g["big"] < 400    # largest group downsampled
     # big's target rate is (400/40)^(alpha-1) ≈ 0.2 -> expect ~80 rows
     assert 40 <= by_g["big"] <= 140
+
+
+def test_containment_catches_doc_within_doc(spark):
+    """A short doc fully quoted inside a long one: containment = 1.0
+    while Jaccard stays below a 0.5 threshold — the case symmetric
+    near-dup thresholds miss."""
+    short = "the quoted passage about spark shuffles"
+    long = (
+        "a much longer document with many additional words surrounding "
+        + short
+        + " plus even more trailing commentary extending the union size greatly"
+    )
+    docs = spark.createDataFrame(
+        [(1, short), (2, long), (3, "entirely unrelated text")],
+        ["doc_id", "text"],
+    )
+    cont = {(r["id_a"], r["id_b"]): r["containment"]
+            for r in D.containment_pairs(docs, threshold=0.8).collect()}
+    assert cont == {(1, 2): 1.0}
+    jac = D.jaccard_pairs(docs, threshold=0.5).collect()
+    assert jac == []  # Jaccard misses the quote relationship
