@@ -158,6 +158,10 @@ def pagerank(
         .localCheckpoint(eager=True)
     )
     n = nodes.count()
+    if n == 0:  # empty graph: empty result, not a division by zero
+        return nodes.select(
+            "node", F.lit(0.0).alias("rank")
+        )
     src_nodes = trans.select(F.col("u").alias("node")).distinct()
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
     for _ in range(iters):

@@ -391,3 +391,18 @@ def test_round3_analytics_plan_audit(spark, sf_dir):
         assert "SortMergeJoin" not in plan, f"{name} lost a broadcast"
         got = plan.count("Exchange hashpartitioning")
         assert got <= max_exch, f"{name}: {got} exchanges (max {max_exch})"
+
+
+def test_pagerank_empty_and_single_edge(spark):
+    """Degenerate inputs: an empty edge set returns an empty frame (not
+    a division-by-zero); a single directed edge gives the sink the
+    larger rank and conserves mass."""
+    from datapipelinerepo_spark.operators.graph import pagerank
+
+    empty = spark.createDataFrame([], "src long, dst long, w double")
+    assert pagerank(empty, weight="w").count() == 0
+
+    one = spark.createDataFrame([(1, 2, 1.0)], ["src", "dst", "w"])
+    got = {r["node"]: r["rank"] for r in pagerank(one, weight="w", iters=6).collect()}
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    assert got[2] > got[1]
