@@ -213,6 +213,57 @@ def pagerank(
     return ranks
 
 
+def triangle_count(
+    edges: DataFrame, src: str = "id_a", dst: str = "id_b"
+) -> DataFrame:
+    """Global triangle count over an undirected edge list — the classic
+    graph-at-scale benchmark op (clustering / community structure of a
+    co-occurrence graph), computed with the DEGREE-ORDERED wedge join:
+    each edge is oriented from its lower-(degree, id) endpoint to the
+    higher, wedges form only at the lower-ranked vertex, and a triangle
+    is counted exactly once — at its minimum-rank corner. Orientation
+    bounds every out-degree by O(sqrt(m)), so the wedge join does
+    O(m^1.5) work instead of the O(sum deg^2) a naive neighbor join
+    pays on hub vertices — THE difference on power-law co-occurrence
+    graphs at 100 TB. Two shuffles (degree agg, wedge join) plus the
+    closing-edge semi check. Output: one row, ``n_triangles``."""
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .union(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("d").alias("_da"))
+    db = deg.select(F.col("node").alias("b"), F.col("d").alias("_db"))
+    ranked = e.join(da, "a").join(db, "b")
+    a_first = (F.col("_da") < F.col("_db")) | (
+        (F.col("_da") == F.col("_db")) & (F.col("a") < F.col("b"))
+    )
+    o = ranked.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+    )
+    x, y = o.alias("x"), o.alias("y")
+    wedges = x.join(
+        y, (F.col("x.u") == F.col("y.u")) & (F.col("x.v") < F.col("y.v"))
+    ).select(F.col("x.v").alias("v1"), F.col("y.v").alias("v2"))
+    closed = wedges.join(
+        e,
+        (F.least("v1", "v2") == F.col("a"))
+        & (F.greatest("v1", "v2") == F.col("b")),
+        "left_semi",
+    )
+    return closed.agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
 def canonical_keep(
     df: DataFrame,
     pairs: DataFrame,

@@ -1381,3 +1381,36 @@ def multimodal_phash_dups(spark, sf_dir):
     return hamming_pairs(
         sig, sig_col="phash", id_col="media_id", max_hamming=8
     )
+
+
+@register(
+    "graph_triangle_count",
+    sql="""
+    WITH pr AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (
+      SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+      FROM pr a JOIN pr b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    )
+    SELECT COUNT(*) AS n_triangles
+    FROM e e1
+    JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+    JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b
+    """,
+)
+def graph_triangle_count(spark, sf_dir):
+    """Triangle count of the part co-purchase graph
+    (operators/graph.triangle_count): the degree-ordered wedge join —
+    out-degrees bounded O(sqrt(m)) by orientation, so hub parts don't
+    blow up the wedge space. The oracle counts the same triangles by
+    canonical id-ordered 3-way self-join, so the driver hash-checks the
+    orientation logic end to end (any double- or missed count shifts
+    the scalar)."""
+    from .operators.dedup import _bucket_pairs
+    from .operators.graph import triangle_count
+
+    li = t(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("_id"), "l_orderkey"
+    )
+    pairs = _bucket_pairs(li, bucket_cols=("l_orderkey",))
+    return triangle_count(pairs)

@@ -116,6 +116,7 @@ _REGISTRY_ALLOW = {
     "q17_small_quantity_revenue": {"single_partition_exchange"},
     "scale_approx_aggs": {"single_partition_exchange"},
     "scale_heavy_hitters": {"single_partition_exchange"},
+    "graph_triangle_count": {"single_partition_exchange"},
     # final 1-row funnel summary: three scalar counts cross-joined
     "events_funnel": {"broadcast_nested_loop", "single_partition_exchange"},
     # 1-row scalar-subquery gate broadcast into a filter

@@ -406,3 +406,22 @@ def test_pagerank_empty_and_single_edge(spark):
     got = {r["node"]: r["rank"] for r in pagerank(one, weight="w", iters=6).collect()}
     assert abs(sum(got.values()) - 1.0) < 1e-9
     assert got[2] > got[1]
+
+
+def test_triangle_count_known_graphs(spark):
+    """K4 has 4 triangles; C5 has none; a triangle with a pendant edge
+    has exactly 1; duplicate/reversed edge rows don't double-count."""
+    from datapipelinerepo_spark.operators.graph import triangle_count
+
+    def tc(edges):
+        df = spark.createDataFrame(edges, ["id_a", "id_b"])
+        return triangle_count(df).collect()[0]["n_triangles"]
+
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    assert tc(k4) == 4
+    c5 = [(1, 2), (2, 3), (3, 4), (4, 5), (5, 1)]
+    assert tc(c5) == 0
+    tri_pendant = [(1, 2), (2, 3), (1, 3), (3, 4)]
+    assert tc(tri_pendant) == 1
+    messy = k4 + [(2, 1), (3, 1), (1, 2)]  # reversed + duplicated rows
+    assert tc(messy) == 4
