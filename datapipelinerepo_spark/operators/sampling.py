@@ -93,3 +93,31 @@ def temperature_mix(
         .filter(hash_uniform_u32(id_col) < thr)
         .drop("_n", "_r", "_rmax")
     )
+
+
+def sample_exact_per_group(
+    df: DataFrame,
+    n_per_group: int,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """EXACTLY ``n_per_group`` rows per group (or the whole group when
+    smaller), chosen deterministically: rank rows inside each group by
+    their content-hash uniform (id tie-break) and keep the first n.
+    The rate-based samplers above hit target sizes only in expectation;
+    eval-set carving and per-class caps need exact counts. Cost: one
+    shuffle on the group key for the ranking window — the rows that
+    ride it are whatever columns the caller kept, so project first at
+    scale. Same reproducibility contract as the rest of this module:
+    the kept set is a pure function of row content, independent of
+    partitioning, run, or engine."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        hash_uniform_u32(id_col).asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("_rnk", F.row_number().over(w))
+        .filter(F.col("_rnk") <= n_per_group)
+        .drop("_rnk")
+    )

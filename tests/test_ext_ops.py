@@ -934,3 +934,21 @@ def test_containment_catches_doc_within_doc(spark):
     assert cont == {(1, 2): 1.0}
     jac = D.jaccard_pairs(docs, threshold=0.5).collect()
     assert jac == []  # Jaccard misses the quote relationship
+
+
+def test_sample_exact_per_group_sizes_and_determinism(spark):
+    """Exact per-group sizes (small groups kept whole), and the KEPT SET
+    is identical under repartitioning — eval-carving reproducibility."""
+    from datapipelinerepo_spark.operators import sampling as SMP
+
+    rows = [(i, "big") for i in range(100)] + [(500 + i, "tiny") for i in range(3)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    out = SMP.sample_exact_per_group(df, 10)
+    sizes = {
+        r["lang"]: r["n"]
+        for r in out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert sizes == {"big": 10, "tiny": 3}
+    a = {r["doc_id"] for r in out.collect()}
+    b = {r["doc_id"] for r in SMP.sample_exact_per_group(df.repartition(7), 10).collect()}
+    assert a == b
