@@ -82,16 +82,24 @@ def _ordered_names() -> list[str]:
 
     def rank(item):
         i, name = item
-        if name in flagged:
+        has_oracle = REGISTRY[name].sql is not None
+        if name in flagged and has_oracle:
+            # an oracle-bearing query whose row wasn't all-green: a real
+            # fix needing re-proof — highest priority
             group = 0
-        elif name not in proven and REGISTRY[name].fn.__module__.endswith(
-            "registry_ext"
-        ):
-            group = 1
-        elif name not in proven:
-            group = 2
-        else:
+        elif name not in proven and name not in flagged:
+            # never checked at all: a first row (hash-checked when the
+            # query has an oracle) beats refreshing anything
+            group = 1 if REGISTRY[name].fn.__module__.endswith(
+                "registry_ext"
+            ) else 2
+        elif name in flagged:
+            # rows-only (sql=None) queries re-flag every round because
+            # their best outcome is err="no_oracle"; refreshing that row
+            # is worth less than a first-ever row above
             group = 3
+        else:
+            group = 4
         return (group, name in heavy, i)
 
     return [n for _, n in sorted(enumerate(REGISTRY), key=lambda x: rank(x))]

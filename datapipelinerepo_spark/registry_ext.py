@@ -1414,3 +1414,104 @@ def graph_triangle_count(spark, sf_dir):
     )
     pairs = _bucket_pairs(li, bucket_cols=("l_orderkey",))
     return triangle_count(pairs)
+
+
+@register(
+    "text_bigram_perplexity",
+    sql="""
+    WITH tk AS (
+      SELECT doc_id,
+             list_filter(
+               string_split(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' '),
+               s -> length(s) > 0) AS toks
+      FROM documents
+    ), pos AS (
+      SELECT doc_id, toks, unnest(generate_series(2, len(toks))) AS i
+      FROM tk WHERE len(toks) >= 2
+    ), g AS (
+      SELECT doc_id, toks[i-1] AS ctx, toks[i] AS tok FROM pos
+    ), cct AS (
+      SELECT ctx, tok, COUNT(*) AS c FROM g GROUP BY 1, 2
+    ), cc AS (
+      SELECT ctx, COUNT(*) AS c FROM g GROUP BY 1
+    ), v AS (
+      SELECT COUNT(DISTINCT tok) AS v FROM g
+    )
+    SELECT g.doc_id, COUNT(*) AS n_scored,
+           round(exp(-(CAST(SUM(CAST(round(
+                 ln(CAST(cct.c + 1 AS DOUBLE) / (cc.c + v.v)), 6)
+                 AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*))), 4) AS ppl
+    FROM g JOIN cct USING (ctx, tok) JOIN cc USING (ctx), v
+    GROUP BY 1
+    """,
+)
+def text_bigram_perplexity(spark, sf_dir):
+    """Bigram-LM perplexity (operators/text.ngram_perplexity, n=2):
+    context-conditional probabilities catch scrambled word order a
+    unigram LM scores as normal — one step closer to the KenLM filter
+    CCNet uses, still pure relational algebra (two context-keyed counts
+    + per-doc re-aggregation). Same determinism discipline as
+    text_perplexity (ln 6dp, DECIMAL sums), hash-checked."""
+    return T.ngram_perplexity(t(spark, sf_dir, "documents"), n=2)
+
+
+@register(
+    "sample_temperature_mix",
+    sql="""
+    WITH n AS (SELECT lang, COUNT(*) AS n_g FROM documents GROUP BY 1),
+    r AS (SELECT lang, n_g, sqrt(CAST(n_g AS DOUBLE)) / n_g AS rate FROM n),
+    m AS (SELECT MAX(rate) AS rmax FROM r)
+    SELECT d.doc_id, d.lang
+    FROM documents d JOIN r USING (lang), m
+    WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+          < CAST(floor(r.rate / m.rmax * 4294967296.0) AS BIGINT)
+    """,
+)
+def sample_temperature_mix(spark, sf_dir):
+    """Temperature-based mix reshaping (operators/sampling.
+    temperature_mix, alpha=0.5): group shares pulled toward uniform by
+    sqrt-weighting — the standard multilingual sampling rule, as pure
+    deterministic downsampling. alpha=0.5 in the REGISTERED query so
+    the per-group rate is sqrt(n)/n: IEEE sqrt is correctly rounded in
+    both engines, making the floor'd threshold bit-identical (a general
+    pow(n, alpha) can differ by an ulp across libm implementations and
+    flip a boundary row). The operator itself takes any alpha."""
+    from .operators import sampling as SMP
+
+    return SMP.temperature_mix(
+        t(spark, sf_dir, "documents"), alpha=0.5, group_col="lang"
+    ).select("doc_id", "lang")
+
+
+@register(
+    "dedup_containment_pairs",
+    sql="""
+    WITH sample_docs AS (
+      SELECT doc_id, regexp_split_to_array(text, '\\s+') AS toks
+      FROM documents WHERE doc_id % 10 = 0
+    ), tok AS (
+      SELECT doc_id, unnest(list_distinct(toks)) AS tok FROM sample_docs
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS sz FROM tok GROUP BY 1
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+      FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(CAST(i AS DOUBLE) / least(sa.sz, sb.sz), 4) AS containment
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(i AS DOUBLE) / least(sa.sz, sb.sz) >= 0.6
+    """,
+)
+def dedup_containment_pairs(spark, sf_dir):
+    """Containment similarity pairs (operators/dedup.containment_pairs)
+    on the same 10% sample as dedup_jaccard_pairs: asymmetric overlap
+    |A∩B| / min(|A|,|B|) catches a short document quoted inside a long
+    one (containment ≈ 1, Jaccard low) — the doc-within-doc duplicate
+    class symmetric thresholds miss. Hash-checked against the set-
+    algebra oracle."""
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    return D.containment_pairs(docs, threshold=0.6)

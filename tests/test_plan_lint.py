@@ -126,6 +126,8 @@ _REGISTRY_ALLOW = {
     "data_mix_report": {"broadcast_nested_loop", "single_partition_exchange"},
     "text_tfidf": {"broadcast_nested_loop", "single_partition_exchange"},
     "text_perplexity": {"broadcast_nested_loop", "single_partition_exchange"},
+    "text_bigram_perplexity": {"broadcast_nested_loop", "single_partition_exchange"},
+    "sample_temperature_mix": {"broadcast_nested_loop", "single_partition_exchange"},
     "sample_mix_rebalance": {"broadcast_nested_loop", "single_partition_exchange"},
     # intentionally exact / sampled all-pairs
     "ann_topk_bruteforce": {"broadcast_nested_loop"},
