@@ -323,3 +323,73 @@ def dedup_components(
             id_col, F.coalesce(F.col("comp"), F.col(id_col)).alias("comp")
         )
     )
+
+
+def clustering_coefficient(
+    edges: DataFrame, src: str = "id_a", dst: str = "id_b"
+) -> DataFrame:
+    """Local clustering coefficient per node: triangles_at(v) /
+    C(deg(v), 2) — how tightly a node's neighborhood closes, the
+    per-node refinement of ``triangle_count`` (boilerplate hubs in a
+    co-occurrence graph show low closure; genuine topical clusters show
+    high). Reuses the degree-ordered wedge join for the triangle side —
+    each closed wedge credits ALL THREE corners via one explode — so
+    the hub-safety bound carries over; degrees come from the same
+    aggregate. Output: (node, degree, n_triangles, coeff) for nodes
+    with degree ≥ 2."""
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)  # degree agg + orientation + close all read it
+    )
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .union(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("degree").alias("_da"))
+    db = deg.select(F.col("node").alias("b"), F.col("degree").alias("_db"))
+    ranked = e.join(da, "a").join(db, "b")
+    a_first = (F.col("_da") < F.col("_db")) | (
+        (F.col("_da") == F.col("_db")) & (F.col("a") < F.col("b"))
+    )
+    o = ranked.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+    )
+    x, y = o.alias("x"), o.alias("y")
+    wedges = x.join(
+        y, (F.col("x.u") == F.col("y.u")) & (F.col("x.v") < F.col("y.v"))
+    ).select(F.col("x.u").alias("u"), F.col("x.v").alias("v1"), F.col("y.v").alias("v2"))
+    closed = wedges.join(
+        e,
+        (F.least("v1", "v2") == F.col("a"))
+        & (F.greatest("v1", "v2") == F.col("b")),
+        "left_semi",
+    )
+    per_node = (
+        closed.select(
+            F.explode(F.array("u", "v1", "v2")).alias("node")
+        )
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return (
+        deg.filter(F.col("degree") >= 2)
+        .join(per_node, "node", "left")
+        .select(
+            "node",
+            "degree",
+            F.coalesce("n_triangles", F.lit(0)).alias("n_triangles"),
+            F.round(
+                F.coalesce("n_triangles", F.lit(0)).cast("double")
+                / (F.col("degree") * (F.col("degree") - 1) / 2),
+                4,
+            ).alias("coeff"),
+        )
+    )

@@ -425,3 +425,31 @@ def test_triangle_count_known_graphs(spark):
     assert tc(tri_pendant) == 1
     messy = k4 + [(2, 1), (3, 1), (1, 2)]  # reversed + duplicated rows
     assert tc(messy) == 4
+
+
+def test_clustering_coefficient_known_graphs(spark):
+    """K4: every node has coeff 1.0 (3 triangles each, deg 3). Triangle
+    with a pendant: triangle nodes coeff 1.0 except the attachment
+    point (deg 3, 1 triangle -> 1/3); pendant node (deg 1) excluded.
+    Totals agree with triangle_count x3 credit."""
+    from datapipelinerepo_spark.operators.graph import (
+        clustering_coefficient,
+        triangle_count,
+    )
+
+    k4 = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)], ["id_a", "id_b"]
+    )
+    rows = {r["node"]: r for r in clustering_coefficient(k4).collect()}
+    assert all(rows[n]["coeff"] == 1.0 and rows[n]["n_triangles"] == 3 for n in (1, 2, 3, 4))
+
+    tp = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4)], ["id_a", "id_b"]
+    )
+    rows = {r["node"]: r for r in clustering_coefficient(tp).collect()}
+    assert 4 not in rows  # degree-1 node excluded
+    assert rows[1]["coeff"] == 1.0 and rows[2]["coeff"] == 1.0
+    assert rows[3]["degree"] == 3 and rows[3]["coeff"] == 0.3333
+    total_credit = sum(r["n_triangles"] for r in rows.values())
+    n_tri = triangle_count(tp).collect()[0]["n_triangles"]
+    assert total_credit == 3 * n_tri
