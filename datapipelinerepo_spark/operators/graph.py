@@ -120,6 +120,7 @@ def pagerank(
     damping: float = 0.85,
     iters: int = 8,
     assume_no_dangling: bool = False,
+    broadcast_nodes_max: int = 50_000_000,
 ) -> DataFrame:
     """Weighted PageRank over a directed edge list, fixed ``iters``
     power iterations. Output: (node, rank), ranks sum to 1.
@@ -164,15 +165,19 @@ def pagerank(
         )
     src_nodes = trans.select(F.col("u").alias("node")).distinct()
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+    # ranks is |nodes|-sized — broadcasting it means the edge table
+    # never re-shuffles across iterations (contributions are computed
+    # map-side on the edge partitions; the groupBy's map-side partial
+    # aggregation shrinks the shuffle to ~|nodes| rows per partition).
+    # Above ``broadcast_nodes_max`` nodes the ranks frame outgrows any
+    # sane broadcast budget (~50M × 16B ≈ 800 MB), so the hint is
+    # GATED on the already-collected node count and the join falls
+    # back to a shuffled hash join that AQE plans normally — an
+    # unconditional hint would OOM the driver at billion-node scale.
+    _hint = F.broadcast if n <= broadcast_nodes_max else (lambda df: df)
     for _ in range(iters):
-        # ranks is |nodes|-sized — broadcast it so the edge table never
-        # re-shuffles across iterations (contributions are computed
-        # map-side on the edge partitions; the groupBy's map-side
-        # partial aggregation shrinks the shuffle to ~|nodes| rows per
-        # partition). At graph sizes where ranks outgrow the broadcast
-        # budget, drop the hint and AQE falls back to the shuffled join.
         contrib = (
-            trans.join(F.broadcast(ranks), trans.u == ranks.node)
+            trans.join(_hint(ranks), trans.u == ranks.node)
             .select("v", (F.col("rank") * F.col("p")).alias("c"))
             .groupBy("v")
             .agg(F.sum("c").alias("c"))

@@ -199,7 +199,14 @@ def scd2_apply(
     actually changed get their open row CLOSED (valid_to = effective
     date, is_current = false) and a NEW open row appended; unchanged
     keys and absent keys pass through untouched. Brand-new keys insert
-    as open rows.
+    as open rows, and so do updates targeting keys that exist only as
+    closed history rows (the key is REOPENED — silently discarding
+    those updates would lose data).
+
+    Output schema = ``current``'s full column set: non-tracked extra
+    columns ride through unchanged on existing rows, are copied from
+    the closing open row onto its replacement version, and are NULL on
+    inserted rows (no source row to copy from).
 
     The history-keeping merge every warehouse dimension load needs —
     expressed as one equi-join on the key plus a union (both sides
@@ -222,6 +229,9 @@ def scd2_apply(
         )
     )
     keep_cols = current.columns
+    meta_cols = {key, valid_from, valid_to, current_flag, *tracked}
+    extra = [c for c in keep_cols if c not in meta_cols]
+    vt_type = current.schema[valid_to].dataType
     closed = joined.withColumn(
         valid_to, F.when(changed, F.col("_eff")).otherwise(F.col(valid_to))
     ).withColumn(
@@ -233,24 +243,34 @@ def scd2_apply(
         .select(
             F.col(key),
             *[F.col(f"_u_{c}").alias(c) for c in tracked],
+            *extra,  # carried from the open row this version replaces
             F.col("_eff").alias(valid_from),
         )
-        .withColumn(valid_to, F.lit(None).cast("date"))
+        .withColumn(valid_to, F.lit(None).cast(vt_type))
         .withColumn(current_flag, F.lit(True))
     )
-    new_keys = (
-        upd.join(current.select(key).distinct(), on=key, how="left_anti")
+    # Inserts: keys with NO open row — brand-new keys AND keys whose
+    # only rows are closed history (reopen). Anti-join on open keys,
+    # not all keys, so the latter are not dropped on the floor.
+    open_keys = (
+        current.filter(F.col(current_flag)).select(key).distinct()
+    )
+    inserts = (
+        upd.join(open_keys, on=key, how="left_anti")
         .select(
             F.col(key),
             *[F.col(f"_u_{c}").alias(c) for c in tracked],
+            *[
+                F.lit(None).cast(current.schema[c].dataType).alias(c)
+                for c in extra
+            ],
             F.col("_eff").alias(valid_from),
         )
-        .withColumn(valid_to, F.lit(None).cast("date"))
+        .withColumn(valid_to, F.lit(None).cast(vt_type))
         .withColumn(current_flag, F.lit(True))
     )
-    order = [key, *tracked, valid_from, valid_to, current_flag]
     return (
-        closed.select(*order)
-        .unionByName(fresh.select(*order))
-        .unionByName(new_keys.select(*order))
+        closed.select(*keep_cols)
+        .unionByName(fresh.select(*keep_cols))
+        .unionByName(inserts.select(*keep_cols))
     )

@@ -698,6 +698,18 @@ def pq_train(
         .select("_nv")
         .collect()
     )
+    if len(seed_rows) < n_codes:
+        if sample_mod > 1:
+            # id-mod sample too sparse for this corpus — retrain on the
+            # full input rather than crash in np.stack below
+            return pq_train(
+                corpus, dim, m=m, n_codes=n_codes, iters=iters,
+                id_col=id_col, vec_col=vec_col, sample_mod=1,
+            )
+        raise ValueError(
+            f"pq_train needs at least n_codes={n_codes} vectors to seed "
+            f"the codebooks; corpus has only {len(seed_rows)}"
+        )
     S = np.asarray([r[0] for r in seed_rows], dtype=np.float64)
     # B[j] seeds from the j-th subvectors of the lowest-id sample rows —
     # identical to running kmeans_fit per subspace with its seed rule

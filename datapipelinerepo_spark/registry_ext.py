@@ -1246,10 +1246,18 @@ def graph_pagerank(spark, sf_dir):
     from .operators.dedup import _bucket_pairs
     from .operators.graph import pagerank
 
-    li = t(spark, sf_dir, "lineitem").select(
-        F.col("l_partkey").alias("_id"), "l_orderkey"
+    li = (
+        t(spark, sf_dir, "lineitem")
+        .select(F.col("l_partkey").alias("_id"), "l_orderkey")
+        # distinct BEFORE pair expansion: a part appearing twice in one
+        # order would otherwise emit a (x,x) self-pair — a self-loop
+        # edge with doubled symmetrized weight, off the documented
+        # "parts linked when they co-occur in an order" semantics
+        .distinct()
     )
-    pairs = _bucket_pairs(li, bucket_cols=("l_orderkey",))
+    pairs = _bucket_pairs(li, bucket_cols=("l_orderkey",)).filter(
+        F.col("id_a") != F.col("id_b")
+    )
     edges = pairs.groupBy("id_a", "id_b").agg(
         F.count(F.lit(1)).cast("double").alias("w")
     )

@@ -11,7 +11,7 @@ transformations below are source-agnostic.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
@@ -237,12 +237,15 @@ def curate_ingest_stream(
 ) -> StreamingQuery:
     """Streaming training-data curation: each micro-batch runs the
     batch prep gates (plans/training_prep: structural quality gate +
-    PII redaction), drops exact duplicates of anything ALREADY in the
-    clean table (digest anti-join — the incremental twin of exact
-    dedup, so each document's text is digested once at ingest), and
-    appends survivors to ``clean_table``; gate rejects land in
-    ``rejected_table`` with a reason column, keeping the drop
-    accounting auditable.
+    PII redaction), drops exact duplicates WITHIN the micro-batch
+    (keep the lowest-id copy per digest — without this, N copies
+    arriving together would all pass the historical check) and of
+    anything ALREADY in the clean table (digest anti-join — the
+    incremental twin of exact dedup, so each document's text is
+    digested once at ingest; the in-batch pass runs even on the very
+    first batch, before the clean table exists), and appends survivors
+    to ``clean_table``; gate rejects land in ``rejected_table`` with a
+    reason column, keeping the drop accounting auditable.
 
     Exactly-once like near_dup_ingest_stream: both writes go through
     dynamic partition overwrite on a ``_batch_id`` partition, so a
@@ -260,18 +263,31 @@ def curate_ingest_stream(
         rejects = batch.join(
             gated.select(cfg.id_col), on=cfg.id_col, how="left_anti"
         ).withColumn("reason", F.lit("quality_gate"))
-        clean = redact(gated, cfg)
+        staged = redact(gated, cfg).withColumn(
+            "_dg", F.md5(F.col(cfg.text_col))
+        )
+        # In-batch dedup first (deterministic keep-lowest-id per
+        # digest), so same-batch copies are caught even when the clean
+        # table does not exist yet (first batch ever).
+        wdg = Window.partitionBy("_dg").orderBy(F.col(cfg.id_col).asc())
+        ranked = staged.withColumn("_rn", F.row_number().over(wdg))
+        batch_dups = ranked.filter(F.col("_rn") > 1).drop("_rn", "_dg")
+        rejects = rejects.unionByName(
+            batch_dups.withColumn("reason", F.lit("exact_dup")),
+            allowMissingColumns=True,
+        )
+        staged = ranked.filter(F.col("_rn") == 1).drop("_rn")
         if store.exists(clean_table):
             hist = store.read(clean_table).select(
                 F.md5(F.col(cfg.text_col)).alias("_dg")
             ).distinct()
-            staged = clean.withColumn("_dg", F.md5(F.col(cfg.text_col)))
             dup = staged.join(hist, on="_dg", how="left_semi").drop("_dg")
             rejects = rejects.unionByName(
                 dup.withColumn("reason", F.lit("exact_dup")),
                 allowMissingColumns=True,
             )
-            clean = staged.join(hist, on="_dg", how="left_anti").drop("_dg")
+            staged = staged.join(hist, on="_dg", how="left_anti")
+        clean = staged.drop("_dg")
         store.reload_partitions(
             clean.withColumn("_batch_id", F.lit(batch_id)),
             clean_table,

@@ -952,3 +952,20 @@ def test_sample_exact_per_group_sizes_and_determinism(spark):
     a = {r["doc_id"] for r in out.collect()}
     b = {r["doc_id"] for r in SMP.sample_exact_per_group(df.repartition(7), 10).collect()}
     assert a == b
+
+
+def test_pq_train_small_sample_fallback_and_error(spark):
+    """Round-4 ADVICE fix: an id-mod sample with fewer than n_codes
+    rows retrains on the full corpus instead of crashing inside
+    np.stack; a corpus that is itself too small raises a clear
+    ValueError."""
+    import pytest
+
+    rows = [(i, [float((i * 7 + j) % 13) for j in range(64)]) for i in range(1, 36)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    # ids 10,20,30 → 3 sample rows < n_codes=32 → sample_mod=1 fallback
+    books = SIM.pq_train(emb, dim=64, iters=1)
+    assert len(books) == 8 and len(books[0]) == 32 and len(books[0][0]) == 8
+    tiny = spark.createDataFrame(rows[:10], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="n_codes"):
+        SIM.pq_train(tiny, dim=64, iters=1, sample_mod=1)

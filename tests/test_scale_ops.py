@@ -453,3 +453,41 @@ def test_clustering_coefficient_known_graphs(spark):
     total_credit = sum(r["n_triangles"] for r in rows.values())
     n_tri = triangle_count(tp).collect()[0]["n_triangles"]
     assert total_credit == 3 * n_tri
+
+
+def test_scd2_extra_columns_and_reopen(spark):
+    """Round-4 ADVICE fixes: (1) non-tracked columns of ``current``
+    survive the merge — carried onto the replacement version, NULL on
+    inserted rows; (2) an update for a key that exists only as CLOSED
+    history reopens it instead of being silently discarded."""
+    import datetime as dt
+
+    from datapipelinerepo_spark.operators.relational import scd2_apply
+
+    d0, d1 = dt.date(2020, 1, 1), dt.date(2024, 6, 1)
+    d_close = dt.date(2022, 1, 1)
+    cur = spark.createDataFrame(
+        [
+            (1, "GOLD", "alice", d0, None, True),
+            (2, "IRON", "bob", d0, d_close, False),  # closed-only key
+        ],
+        "custkey long, segment string, owner string, "
+        "valid_from date, valid_to date, is_current boolean",
+    )
+    upd = spark.createDataFrame(
+        [(1, "PLATINUM", d1), (2, "STEEL", d1)],
+        "custkey long, segment string, eff date",
+    )
+    out = scd2_apply(cur, upd, "custkey", ["segment"], "eff")
+    assert out.columns == cur.columns  # full schema, original order
+    rows = {(r["custkey"], r["segment"]): r for r in out.collect()}
+    assert len(rows) == 4
+    assert rows[(1, "GOLD")]["is_current"] is False
+    assert rows[(1, "GOLD")]["owner"] == "alice"
+    assert rows[(1, "PLATINUM")]["is_current"] is True
+    assert rows[(1, "PLATINUM")]["owner"] == "alice"  # carried over
+    assert rows[(2, "IRON")]["valid_to"] == d_close  # history untouched
+    reopened = rows[(2, "STEEL")]
+    assert reopened["is_current"] is True
+    assert reopened["valid_from"] == d1
+    assert reopened["owner"] is None  # no source row to copy from

@@ -281,9 +281,11 @@ def test_near_dup_ingest_stream(spark, tmp_path):
 
 def test_curate_ingest_stream(spark, tmp_path):
     """Streaming curation front: batch 1's junk doc is gate-rejected
-    with a reason, the PII doc lands redacted; batch 2's exact copy of
-    a batch-1 survivor is rejected as exact_dup against the STANDING
-    clean table; a drained re-run changes nothing."""
+    with a reason, the PII doc lands redacted, and batch 1's SAME-BATCH
+    exact copy is rejected even though no clean table exists yet (the
+    in-batch digest dedup); batch 2's exact copy of a batch-1 survivor
+    is rejected as exact_dup against the STANDING clean table; a
+    drained re-run changes nothing."""
     from datapipelinerepo_spark.io import TableStore
     from datapipelinerepo_spark.plans.training_prep import PrepConfig
     from datapipelinerepo_spark.streaming.ingest import curate_ingest_stream
@@ -301,6 +303,7 @@ def test_curate_ingest_stream(spark, tmp_path):
                 {"doc_id": 1, "text": good},
                 {"doc_id": 2, "text": "too short"},
                 {"doc_id": 3, "text": good + " reach me at a@b.com for details"},
+                {"doc_id": 4, "text": good},  # same-batch exact copy of 1
             ]
         )
     )
@@ -315,7 +318,7 @@ def test_curate_ingest_stream(spark, tmp_path):
     assert set(clean) == {1, 3}
     assert "a@b.com" not in clean[3] and "<EMAIL>" in clean[3]
     rej = {r["doc_id"]: r["reason"] for r in store.read("rejected_docs").collect()}
-    assert rej == {2: "quality_gate"}
+    assert rej == {2: "quality_gate", 4: "exact_dup"}
 
     (src / "b2.json").write_text(
         json.dumps({"doc_id": 20, "text": good})  # exact copy of doc 1
@@ -326,6 +329,6 @@ def test_curate_ingest_stream(spark, tmp_path):
     clean2 = {r["doc_id"] for r in store.read("clean_corpus").collect()}
     assert clean2 == {1, 3, 21}
     rej2 = {r["doc_id"]: r["reason"] for r in store.read("rejected_docs").collect()}
-    assert rej2 == {2: "quality_gate", 20: "exact_dup"}
+    assert rej2 == {2: "quality_gate", 4: "exact_dup", 20: "exact_dup"}
     run()  # drained replay: nothing changes
     assert {r["doc_id"] for r in store.read("clean_corpus").collect()} == {1, 3, 21}
