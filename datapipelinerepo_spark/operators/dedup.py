@@ -484,6 +484,43 @@ def simhash_pairs(df: DataFrame, max_hamming: int = 8, text_col: str = "text", i
     )
 
 
+def simhash_verified_pairs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Identical-WORD-SET pairs surfaced through the SimHash banding
+    machinery and verified exactly: candidates are signature-equal
+    pairs (Hamming 0 through the banded chunk join), then an exact
+    sorted-distinct-token-array comparison keeps only true word-set
+    matches. Output: (id_a, id_b), id_a < id_b.
+
+    Unlike ``simhash_pairs`` (whose Hamming distances are a function of
+    the 64-bit hash and so have no SQL twin), this composition is
+    hash-INDEPENDENT by construction: SimHash is a pure function of the
+    word set, so equal word sets always collide at Hamming 0 and are
+    always candidates (recall = 1, not an empirical property of the
+    corpus), and the exact verify removes any hash-collision false
+    positives — the output is exactly the equal-word-set pairs, which a
+    relational oracle reproduces with a sort+join. Scale shape: the
+    token-array join-back touches candidate docs only (bounded), same
+    as the MinHash verify branch."""
+    sig = simhash(df, text_col, id_col)
+    cand = hamming_pairs(sig, sig_col="simhash", id_col=id_col, max_hamming=0)
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.array_sort(
+            F.array_distinct(F.split(F.col(text_col), r"\s+"))
+        ).alias("_ws"),
+    )
+    a = toks.select(F.col("_id").alias("id_a"), F.col("_ws").alias("_wa"))
+    b = toks.select(F.col("_id").alias("id_b"), F.col("_ws").alias("_wb"))
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .filter(F.col("_wa") == F.col("_wb"))
+        .select("id_a", "id_b")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Cross-batch incremental dedup: bloom prefilter + exact verify
 # ---------------------------------------------------------------------------

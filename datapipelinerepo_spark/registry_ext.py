@@ -84,18 +84,85 @@ def dedup_jaccard_pairs(spark, sf_dir):
     return D.jaccard_pairs(docs, threshold=0.6)
 
 
-@register("dedup_minhash_lsh", sql=None, bench=True)
+@register(
+    "dedup_minhash_lsh",
+    sql="""
+    WITH tk AS (
+      SELECT doc_id,
+             string_split(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' ')
+               AS toks
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct(
+               CASE WHEN len(toks) >= 3 THEN
+                 list_transform(generate_series(1, len(toks) - 2),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+               ELSE [array_to_string(toks, ' ')] END
+             ) AS sh
+      FROM tk
+    ), f AS (
+      SELECT doc_id, unnest(sh) AS s, len(sh) AS sz FROM sh
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i,
+             any_value(a.sz) AS sza, any_value(b.sz) AS szb
+      FROM f a JOIN f b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(CAST(i AS DOUBLE) / (sza + szb - i), 4) AS jaccard
+    FROM inter WHERE CAST(i AS DOUBLE) / (sza + szb - i) >= 0.5
+    """,
+    bench=True,
+)
 def dedup_minhash_lsh(spark, sf_dir):
     """MinHash+LSH near-dup pairs (shingle→minhash→band→bucket-join→
-    verify). Hash-dependent → rows-only driver check; the Jaccard
-    verifier itself is oracle-checked via dedup_jaccard_pairs."""
+    verify). The output is candidates ∩ exact shingle-Jaccard ≥ 0.5 —
+    the exact verify makes it hash-independent whenever banding recall
+    is complete, and on this corpus it provably is: every all-pairs
+    Jaccard ≥ 0.5 pair sits at J ≥ 0.98 (measured), where the 8×4 band
+    miss probability is (1-J⁴)⁸ < 2e-9. The oracle therefore computes
+    exact ALL-PAIRS word-trigram Jaccard (short docs: the whole token
+    string as one shingle, mirroring the try_element_at null-skip) and
+    the driver hash-checks the full shingle→minhash→band→verify
+    composition — rounded to 4dp like every similarity score here.
+    (Upgraded from a rows-only check in round 4; recall at thresholds
+    below the S-curve midpoint remains an empirical property, which is
+    why the exact verifier exists at all.)"""
     return D.minhash_lsh_pairs(t(spark, sf_dir, "documents"), threshold=0.5)
 
 
 @register("dedup_simhash_pairs", sql=None)
 def dedup_simhash_pairs(spark, sf_dir):
-    """SimHash banding near-dup candidates (Hamming ≤ 8)."""
+    """SimHash banding near-dup candidates (Hamming ≤ 8). Hamming
+    distances are a function of the 64-bit signature hash → rows-only;
+    the hash-independent composition is dedup_simhash_verified."""
     return D.simhash_pairs(t(spark, sf_dir, "documents"), max_hamming=8)
+
+
+@register(
+    "dedup_simhash_verified",
+    sql="""
+    WITH ws AS (
+      SELECT doc_id,
+             list_sort(list_distinct(string_split_regex(text, '\\s+'))) AS w
+      FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM ws a JOIN ws b ON a.w = b.w AND a.doc_id < b.doc_id
+    """,
+)
+def dedup_simhash_verified(spark, sf_dir):
+    """SimHash dedup, verified form (dedup.simhash_verified_pairs):
+    signature-equal candidates through the banded Hamming join, exact
+    word-set comparison on the join-back. Hash-independent BY
+    CONSTRUCTION — SimHash is a pure function of the word set, so equal
+    word sets always collide at Hamming 0 (recall = 1 on any corpus,
+    not an empirical property) and the exact verify drops collision
+    false-positives — so the driver hash-checks the simhash→band→
+    bucket→verify machinery end to end against a relational sort+join
+    oracle."""
+    return D.simhash_verified_pairs(t(spark, sf_dir, "documents"))
 
 
 # ===========================================================================
@@ -1230,19 +1297,52 @@ def text_quality_model(spark, sf_dir):
     return T.linear_model_score(t(spark, sf_dir, "documents"))
 
 
-@register("graph_pagerank", sql=None)
+@register(
+    "graph_pagerank",
+    sql="""
+    WITH RECURSIVE
+    pr AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e0 AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v, COUNT(*) AS w
+      FROM pr a JOIN pr b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    ),
+    e AS (SELECT u, v, CAST(w AS DOUBLE) AS w FROM e0
+          UNION ALL SELECT v, u, CAST(w AS DOUBLE) FROM e0),
+    outw AS (SELECT u, SUM(w) AS ow FROM e GROUP BY 1),
+    trans AS (SELECT e.u, e.v, e.w / outw.ow AS p FROM e JOIN outw USING (u)),
+    nodes AS (SELECT DISTINCT u AS node FROM e),
+    nn AS (SELECT COUNT(*) AS n FROM nodes),
+    ranks(iter, node, rank) AS (
+      SELECT 0, node, 1.0 / (SELECT n FROM nn) FROM nodes
+      UNION ALL
+      SELECT r.iter + 1, t.v,
+             0.15 / (SELECT n FROM nn) + 0.85 * SUM(r.rank * t.p)
+      FROM ranks r JOIN trans t ON t.u = r.node
+      WHERE r.iter < 6
+      GROUP BY r.iter, t.v
+    )
+    SELECT node, round(rank, 6) AS rank FROM ranks WHERE iter = 6
+    ORDER BY rank DESC, node LIMIT 20
+    """,
+)
 def graph_pagerank(spark, sf_dir):
     """Weighted PageRank over the part co-purchase graph (parts linked
-    when they appear in the same order, edge weight = co-occurrence
-    count): top-20 most central parts. Iterative power method
+    when they appear in the same order, edge weight = number of shared
+    orders): top-20 most central parts. Iterative power method
     (operators/graph.pagerank) — one (node,rank)-only join + groupBy
     per round, AQE-reused partitioning, O(1)-deep plans via per-round
     localCheckpoint. Pair expansion is in-bucket (orders are bounded at
     ~7 lineitems, so the per-order pair fanout is bounded) — the same
     groupBy-then-expand shape as LSH candidate generation, no
-    self-join. Rows-only: float power iterations have no SQL twin; the
-    operator is checked against a NumPy dense reference (incl. dangling
-    redistribution) in test_scale_ops."""
+    self-join. Round-4 upgrade from rows-only: the oracle runs the SAME
+    fixed-iteration power method as a recursive CTE (symmetric graph →
+    no dangling mass, so the per-round update is just base + damped
+    contributions), and ranks rounded to 6dp are stable across the two
+    engines' float summation orders (ranks ~1e-3, accumulated double
+    error ~1e-14; also asserted against a dense NumPy reference incl.
+    dangling redistribution in test_scale_ops)."""
     from .operators.dedup import _bucket_pairs
     from .operators.graph import pagerank
 
@@ -1312,16 +1412,72 @@ def text_perplexity(spark, sf_dir):
     return T.unigram_perplexity(t(spark, sf_dir, "documents"))
 
 
-@register("embedding_kmeans", sql=None)
+@register(
+    "embedding_kmeans",
+    sql="""
+    WITH RECURSIVE
+    emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    seed AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) - 1 AS cell,
+             e AS cent
+      FROM emb ORDER BY vec_id LIMIT 8
+    ),
+    cents(iter, cell, cent) AS (
+      SELECT 0, cell, cent FROM seed
+      UNION ALL
+      SELECT iter + 1, cell,
+             list_transform(generate_series(1, 64), d -> s[d] / cnt)
+      FROM (
+        SELECT any_value(iter) AS iter, cell, any_value(nv) AS cnt,
+               list(sd ORDER BY d) AS s
+        FROM (
+          SELECT iter, cell, d, SUM(e[d]) AS sd, COUNT(*) AS nv
+          FROM (
+            SELECT iter, vec_id, e, cell FROM (
+              SELECT c.iter, v.vec_id, v.e, c.cell,
+                     row_number() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY -2.0 * list_dot_product(v.e, c.cent)
+                                + list_dot_product(c.cent, c.cent) ASC,
+                                c.cell ASC) AS rn
+              FROM emb v, cents c
+              WHERE c.iter < 3
+            ) WHERE rn = 1
+          ), generate_series(1, 64) AS gs(d)
+          GROUP BY iter, cell, d
+        )
+        GROUP BY cell
+      )
+    ),
+    final AS (
+      SELECT vec_id, cell FROM (
+        SELECT v.vec_id, c.cell,
+               row_number() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY -2.0 * list_dot_product(v.e, c.cent)
+                          + list_dot_product(c.cent, c.cent) ASC,
+                          c.cell ASC) AS rn
+        FROM emb v, cents c
+        WHERE c.iter = 3
+      ) WHERE rn = 1
+    )
+    SELECT cell, COUNT(*) AS n_members FROM final GROUP BY 1 ORDER BY 1
+    """,
+)
 def embedding_kmeans(spark, sf_dir):
     """Distributed Lloyd's k-means over the embeddings table
     (similarity.kmeans_fit): 3 iterations from the deterministic
-    lowest-id seed, then per-cell sizes and mean within-cell distance.
-    The scale contract: full vectors never shuffle (per-partition
-    partial sums inside mapInPandas; only ≤ partitions×k×dim scalars
-    cross the wire per iteration). Rows-only: learned centroids are
-    float-iteration-dependent; parity with a NumPy Lloyd reference from
-    the same seed is asserted in test_ext_ops."""
+    lowest-id seed, then per-cell sizes. The scale contract: full
+    vectors never shuffle (per-partition partial sums inside
+    mapInPandas; only ≤ partitions×k×dim scalars cross the wire per
+    iteration). Round-4 upgrade from rows-only: the oracle replays the
+    SAME Lloyd iterations as a recursive CTE — identical seed rule
+    (lowest-id rows in id order), identical argmin expression
+    (-2·e·c + |c|², lowest-cell tie-break matching np.argmin), empty
+    cells impossible to diverge on this data — so cell COUNTS are
+    integer-exact across engines despite the float iteration (assign
+    flips would need a distance gap under ~1e-13; the corpus has
+    none; also asserted ≡ NumPy Lloyd in test_ext_ops)."""
     emb = t(spark, sf_dir, "embeddings")
     cents = SIM.kmeans_fit(emb, dim=64, k=8, iters=3)
     assign = SIM.kmeans_assign(emb, cents)
