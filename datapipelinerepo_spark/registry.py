@@ -2188,6 +2188,33 @@ def s10_reload_roundtrip(spark, sf_dir):
 
 
 @register(
+    "s4_last_modified_probe",
+    sql="SELECT 'sink' AS tbl, TRUE AS before_missing, TRUE AS after_within_day",
+)
+def s4_last_modified_probe(spark, sf_dir):
+    """S4: catalog last-modified read (DATE(TIMESTAMP_MILLIS(
+    last_modified_time)), datasources.py:394-396) — the freshness gate
+    scheduled sources branch on. Probed through the real TableStore
+    ``_meta`` sidecar: absent before any write (None), today's UTC date
+    after one. The date itself isn't a deterministic value, so the row
+    reports the two boolean invariants the reference's gate actually
+    tests (missing → pull; modified-today → skip), keeping the oracle a
+    constant row while the probe still drives the real metadata path."""
+    import datetime as dt
+
+    store = _tmp_store(spark)
+    before = store.last_modified_date("sink")
+    store.overwrite(t(spark, sf_dir, "region"), "sink")
+    after = store.last_modified_date("sink")
+    today = dt.datetime.now(dt.timezone.utc).date()
+    within = after is not None and abs((today - after).days) <= 1
+    return spark.createDataFrame(
+        [("sink", before is None, within)],
+        "tbl string, before_missing boolean, after_within_day boolean",
+    )
+
+
+@register(
     "ud2_html_parse_rows",
     sql="""
     SELECT * FROM (VALUES

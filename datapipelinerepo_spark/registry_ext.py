@@ -1648,6 +1648,96 @@ def sample_temperature_mix(spark, sf_dir):
 
 
 @register(
+    "sample_exact_per_group",
+    sql="""
+    WITH ranked AS (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                             AS BIGINT) ASC,
+                        doc_id ASC) AS rn
+      FROM documents
+    )
+    SELECT doc_id, lang FROM ranked WHERE rn <= 20
+    """,
+)
+def sample_exact_per_group(spark, sf_dir):
+    """EXACTLY-n-per-group sampling (operators/sampling.
+    sample_exact_per_group, n=20 per lang): rank rows inside each group
+    by their md5 content-hash uniform (id tie-break) and keep the first
+    n — eval-set carving / per-class caps, where rate-based sampling's
+    in-expectation sizes aren't good enough. The kept set is a pure
+    function of row content (engine-, run-, and partitioning-
+    independent), so the DuckDB twin reproduces it row-for-row and the
+    driver hash-checks the whole rank-and-cut. One group-key shuffle
+    for the window; project before sampling at scale so only the
+    carried columns ride it."""
+    from .operators import sampling as SMP
+
+    return SMP.sample_exact_per_group(
+        t(spark, sf_dir, "documents").select("doc_id", "lang"),
+        20,
+        group_col="lang",
+    )
+
+
+@register(
+    "graph_clustering_coefficient",
+    sql="""
+    WITH pr AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (
+      SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+      FROM pr a JOIN pr b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    tri AS (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM e e1
+      JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+      JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b
+    ),
+    pn AS (
+      SELECT node, COUNT(*) AS n_triangles FROM (
+        SELECT x AS node FROM tri
+        UNION ALL SELECT y FROM tri
+        UNION ALL SELECT z FROM tri
+      ) GROUP BY 1
+    ),
+    deg AS (
+      SELECT node, COUNT(*) AS degree FROM (
+        SELECT a AS node FROM e UNION ALL SELECT b FROM e
+      ) GROUP BY 1
+    )
+    SELECT d.node, d.degree,
+           COALESCE(pn.n_triangles, 0) AS n_triangles,
+           round(CAST(COALESCE(pn.n_triangles, 0) AS DOUBLE)
+                 / (d.degree * (d.degree - 1) / 2), 4) AS coeff
+    FROM deg d LEFT JOIN pn USING (node)
+    WHERE d.degree >= 2
+    """,
+)
+def graph_clustering_coefficient(spark, sf_dir):
+    """Per-node local clustering coefficient of the part co-purchase
+    graph (operators/graph.clustering_coefficient): triangles_at(v) /
+    C(deg v, 2) on the same degree-ordered wedge join as
+    graph_triangle_count — each closed wedge credits all three corners
+    via one explode, so the O(m^1.5) hub-safety bound carries over. The
+    oracle re-derives per-node triangle credit from the canonical
+    id-ordered 3-way self-join (each triangle credits x, y, z once) and
+    the same degree aggregate, so the driver hash-checks corner
+    crediting, the degree≥2 cut, and the 4dp coefficient."""
+    from .operators.dedup import _bucket_pairs
+    from .operators.graph import clustering_coefficient
+
+    li = t(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("_id"), "l_orderkey"
+    )
+    pairs = _bucket_pairs(li, bucket_cols=("l_orderkey",))
+    return clustering_coefficient(pairs)
+
+
+@register(
     "dedup_containment_pairs",
     sql="""
     WITH sample_docs AS (

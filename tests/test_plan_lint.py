@@ -14,21 +14,14 @@ import datapipelinerepo_spark.registry_ext  # noqa: F401
 _BENCH = [n for n, e in REGISTRY.items() if e.bench]
 
 
-# ann_topk_bruteforce is the intentionally-exact all-pairs baseline:
-# a tiny broadcast query side against the streamed corpus IS the plan,
-# and BroadcastNestedLoopJoin is its correct physical form. Every scale
-# path (lsh/ivf/quantized) must still lint clean.
-_ALLOW = {
-    "ann_topk_bruteforce": ("broadcast_nested_loop",),
-    # 1-row (N, V) totals gate cross-joined into the scoring pass
-    "text_perplexity": ("broadcast_nested_loop", "single_partition_exchange"),
-}
-
-
 @pytest.mark.parametrize("name", _BENCH)
 def test_bench_plans_lint_clean(spark, sf_dir, name):
+    # Bench membership comes from Entry.bench; the per-query intent
+    # allowlist is the single _REGISTRY_ALLOW below (round 4 collapsed
+    # the separate bench allowlist that had started to drift from it).
     lint.assert_clean(
-        REGISTRY[name].fn(spark, sf_dir), allow=_ALLOW.get(name, ())
+        REGISTRY[name].fn(spark, sf_dir),
+        allow=tuple(_REGISTRY_ALLOW.get(name, ())),
     )
 
 
