@@ -398,3 +398,111 @@ def clustering_coefficient(
             ).alias("coeff"),
         )
     )
+
+
+def k_core(
+    edges: DataFrame,
+    k: int = 3,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_rounds: int = 20,
+) -> DataFrame:
+    """k-core decomposition: iteratively peel every node of degree < k
+    (SIMULTANEOUS removal per round — the standard confluent rule, so
+    the fixed point is the unique maximal subgraph with min degree ≥ k
+    regardless of order). The graph-curation cut that separates a
+    co-occurrence graph's cohesive clusters from its tendrils.
+
+    Per round: one degree aggregate + two semi-joins restricting the
+    edge list to surviving endpoints, localCheckpoint'ed so the plan
+    stays O(1)-deep across rounds (the connected-components pattern).
+    The surviving-node frame is ids-only; AQE broadcasts it while it
+    fits and shuffles when it doesn't — no explicit hint, so no
+    billion-node broadcast trap. The only driver scalar is the
+    per-round survivor count (the same sanctioned convergence probe as
+    CC); rounds are capped at ``max_rounds`` with early exit on
+    stability, and a capped-but-unconverged state equals the fixed
+    ``max_rounds``-round simultaneous peel (what the SQL twin
+    computes). Output: (node, degree) for the k-core members, degree
+    measured WITHIN the core."""
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_prev = None
+    for _ in range(max_rounds):
+        deg = (
+            e.select(F.col("a").alias("node"))
+            .union(e.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("degree"))
+        )
+        keep = deg.filter(F.col("degree") >= k).select("node")
+        n_keep = keep.count()
+        if n_keep == n_prev or n_keep == 0:
+            break
+        n_prev = n_keep
+        e = (
+            e.join(keep.withColumnRenamed("node", "a"), "a", "left_semi")
+            .join(keep.withColumnRenamed("node", "b"), "b", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+    return (
+        e.select(F.col("a").alias("node"))
+        .union(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .filter(F.col("degree") >= k)
+    )
+
+
+def label_propagation(
+    edges: DataFrame,
+    iters: int = 4,
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Synchronous label-propagation communities: every node starts as
+    its own label; each round it adopts the most frequent label among
+    its NEIGHBORS, ties broken by smallest label — a fully
+    deterministic rule (integer counts, integer labels), so a fixed
+    iteration count gives the same answer on any engine, partitioning,
+    or run; no randomized tie-coin like classic LPA. Output after
+    ``iters`` rounds: (node, label).
+
+    Per round: one join keyed on the neighbor id + one (node, label)
+    count + one argmax window — all shuffles keyed on node ids, edges
+    re-read from one checkpointed frame, labels checkpointed per round
+    so plans stay O(1)-deep. Labels are ids-only rows; AQE chooses
+    broadcast vs shuffle (same no-hint posture as k_core)."""
+    from pyspark.sql import Window
+
+    und = edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v")
+    ).filter(F.col("u") != F.col("v"))
+    e = (
+        und.union(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = e.select(F.col("u").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    w = Window.partitionBy("u").orderBy(
+        F.col("cnt").desc(), F.col("label").asc()
+    )
+    for _ in range(iters):
+        nb = e.join(labels, labels.node == e.v).select("u", "label")
+        counts = nb.groupBy("u", "label").agg(F.count(F.lit(1)).alias("cnt"))
+        labels = (
+            counts.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(F.col("u").alias("node"), "label")
+            .localCheckpoint(eager=True)
+        )
+    return labels

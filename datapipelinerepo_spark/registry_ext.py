@@ -1737,6 +1737,119 @@ def graph_clustering_coefficient(spark, sf_dir):
     return clustering_coefficient(pairs)
 
 
+def _copurchase_w2(spark, sf_dir):
+    """Edges between parts co-occurring in ≥2 orders — the sparsified
+    co-purchase graph the community/core queries run on (the w≥1 graph
+    is near-complete at small SF; the w≥2 cut has real structure)."""
+    from .operators.dedup import _bucket_pairs
+
+    li = (
+        t(spark, sf_dir, "lineitem")
+        .select(F.col("l_partkey").alias("_id"), "l_orderkey")
+        .distinct()
+    )
+    pairs = _bucket_pairs(li, bucket_cols=("l_orderkey",)).filter(
+        F.col("id_a") != F.col("id_b")
+    )
+    return (
+        pairs.groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 2)
+        .select("id_a", "id_b")
+    )
+
+
+_COPURCHASE_W2_SQL = """
+    pr AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e0 AS (
+      SELECT a.l_partkey AS a, b.l_partkey AS b
+      FROM pr a JOIN pr b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    )
+"""
+
+
+@register(
+    "graph_kcore",
+    sql=f"""
+    WITH RECURSIVE
+    {_COPURCHASE_W2_SQL},
+    peel(iter, a, b) AS (
+      SELECT 0, a, b FROM e0
+      UNION ALL
+      SELECT iter + 1, a, b FROM (
+        SELECT iter, least(u, v) AS a, greatest(u, v) AS b, MIN(du) AS mind
+        FROM (
+          SELECT iter, h.u AS u, h.v AS v,
+                 COUNT(*) OVER (PARTITION BY iter, h.u) AS du
+          FROM peel,
+               UNNEST([{{'u': a, 'v': b}}, {{'u': b, 'v': a}}]) AS t(h)
+        )
+        GROUP BY 1, 2, 3
+      ) WHERE mind >= 3 AND iter < 20
+    )
+    SELECT node, COUNT(*) AS degree FROM (
+      SELECT a AS node FROM peel WHERE iter = 20
+      UNION ALL
+      SELECT b FROM peel WHERE iter = 20
+    ) GROUP BY 1 HAVING COUNT(*) >= 3
+    """,
+)
+def graph_kcore(spark, sf_dir):
+    """3-core of the w≥2 part co-purchase graph (operators/graph.
+    k_core): simultaneously peel degree<3 nodes until stable — the
+    standard confluent rule, so the fixed point is the unique maximal
+    min-degree-≥3 subgraph. One degree aggregate + two ids-only
+    semi-joins per round, checkpointed (the CC pattern); early exit on
+    stability equals the oracle's fixed-20-round peel because stable
+    rounds are no-ops. The oracle replays the identical simultaneous
+    peel as a recursive CTE (edge halves → windowed degrees → min-
+    endpoint cut), so the driver hash-checks the whole round rule and
+    the core-internal degrees — all-integer, no float tolerance
+    anywhere."""
+    from .operators.graph import k_core
+
+    return k_core(_copurchase_w2(spark, sf_dir), k=3, max_rounds=20)
+
+
+@register(
+    "graph_label_propagation",
+    sql=f"""
+    WITH RECURSIVE
+    {_COPURCHASE_W2_SQL},
+    e AS (SELECT a AS u, b AS v FROM e0 UNION ALL SELECT b, a FROM e0),
+    lab(iter, node, label) AS (
+      SELECT 0, u, u FROM (SELECT DISTINCT u FROM e)
+      UNION ALL
+      SELECT iter, u, label FROM (
+        SELECT l.iter + 1 AS iter, e.u, l.label,
+               row_number() OVER (
+                 PARTITION BY l.iter, e.u
+                 ORDER BY COUNT(*) DESC, l.label ASC) AS rn
+        FROM e JOIN lab l ON l.node = e.v
+        WHERE l.iter < 4
+        GROUP BY l.iter, e.u, l.label
+      ) WHERE rn = 1
+    )
+    SELECT node, label FROM lab WHERE iter = 4
+    """,
+)
+def graph_label_propagation(spark, sf_dir):
+    """Synchronous label-propagation communities on the w≥2 co-purchase
+    graph (operators/graph.label_propagation, 4 rounds): adopt the most
+    frequent neighbor label, smallest label on ties — integer counts +
+    integer labels make every round exactly reproducible on any engine,
+    so unlike classic randomized LPA this needs no tolerance and the
+    driver hash-checks all 4 rounds through the recursive-CTE twin.
+    Per round: one neighbor join + one (node,label) count + one argmax
+    window, labels checkpointed, AQE choosing broadcast vs shuffle for
+    the ids-only label frame."""
+    from .operators.graph import label_propagation
+
+    return label_propagation(_copurchase_w2(spark, sf_dir), iters=4)
+
+
 @register(
     "dedup_containment_pairs",
     sql="""

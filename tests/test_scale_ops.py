@@ -491,3 +491,37 @@ def test_scd2_extra_columns_and_reopen(spark):
     assert reopened["is_current"] is True
     assert reopened["valid_from"] == d1
     assert reopened["owner"] is None  # no source row to copy from
+
+
+def test_k_core_known_graph(spark):
+    """4-clique + chain to a triangle: the 3-core is exactly the clique
+    (triangle members have degree 2 and peel away with the chain); the
+    2-core is the whole graph (every node has degree ≥ 2)."""
+    from datapipelinerepo_spark.operators.graph import k_core
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),  # 4-clique
+         (4, 5), (5, 6),                                   # chain
+         (6, 7), (6, 8), (7, 8)],                          # triangle
+        "id_a long, id_b long",
+    )
+    core3 = {r["node"]: r["degree"] for r in k_core(edges, k=3).collect()}
+    assert core3 == {1: 3, 2: 3, 3: 3, 4: 3}
+    core2 = {r["node"] for r in k_core(edges, k=2).collect()}
+    assert core2 == {1, 2, 3, 4, 5, 6, 7, 8}
+    assert k_core(edges, k=5).count() == 0
+
+
+def test_label_propagation_barbell(spark):
+    """Two triangles joined by a bridge: 4 synchronous rounds of
+    most-frequent-neighbor-label (min on ties) converge to one label
+    per triangle — hand-computed fixed point, pinning the exact round
+    rule the registered query's recursive-CTE oracle replays."""
+    from datapipelinerepo_spark.operators.graph import label_propagation
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 4), (4, 5), (4, 6), (5, 6)],
+        "id_a long, id_b long",
+    )
+    out = {r["node"]: r["label"] for r in label_propagation(edges, iters=4).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 3, 5: 3, 6: 3}
