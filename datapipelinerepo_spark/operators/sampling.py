@@ -121,3 +121,71 @@ def sample_exact_per_group(
         .filter(F.col("_rnk") <= n_per_group)
         .drop("_rnk")
     )
+
+
+def split_assign(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    salt: str = "split",
+    train_hi: str = "cc",
+    valid_hi: str = "e6",
+) -> DataFrame:
+    """Deterministic train/valid/test assignment: the first md5 byte of
+    the salted id picks the split by hex-prefix range — '00'..train_hi
+    → train (default 'cc' ≈ 79.7%), ..valid_hi → valid (≈ 10.2%), rest
+    → test. The assignment is a pure function of (salt, id): stable
+    across runs, engines, partitionings, and corpus growth (a new row
+    never moves an old row between splits, unlike rand() or
+    randomSplit). Changing ``salt`` re-deals the whole corpus — the
+    standard "fold" knob.
+
+    Scale shape: map-only expression fused into the scan; zero
+    shuffles. The split column is what a training pipeline partitions
+    its output write by."""
+    h = F.substring(
+        F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))), 1, 2
+    )
+    split = (
+        F.when(h < F.lit(train_hi), F.lit("train"))
+        .when(h < F.lit(valid_hi), F.lit("valid"))
+        .otherwise(F.lit("test"))
+    )
+    return df.withColumn("split", split)
+
+
+def global_shuffle_positions(
+    df: DataFrame, id_col: str = "doc_id", salt: str = "epoch0"
+) -> DataFrame:
+    """Deterministic global shuffle order: every row gets a unique
+    position 0..n-1 in md5-of-salted-id order (id tie-break) — the
+    "shuffle the corpus for this epoch" primitive, reproducible across
+    engines and cluster sizes; a new ``salt`` is a new permutation.
+
+    A naive ROW_NUMBER() OVER (ORDER BY hash) forces the whole corpus
+    through ONE partition (Spark's empty-frame global window). This
+    instead uses the classic sort-with-offsets shape: rows bucket by
+    their first hash byte (256 buckets, which IS the hash order
+    prefix), rank within the bucket, and add the broadcast cumulative
+    bucket offsets — rank-within + offset = exact global position.
+    Scale: one shuffle on the bucket key for the per-bucket window, a
+    256-row aggregate for the offsets; at 100 TB widen the prefix to 2
+    bytes (65536 buckets) to keep buckets executor-sized."""
+    from pyspark.sql import Window
+
+    h = F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")))
+    bucketed = df.withColumn("_h", h).withColumn(
+        "_b", F.conv(F.substring("_h", 1, 2), 16, 10).cast("int")
+    )
+    counts = bucketed.groupBy("_b").agg(F.count(F.lit(1)).alias("_n"))
+    woff = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "_b", F.coalesce(F.sum("_n").over(woff), F.lit(0)).alias("_off")
+    )  # 256-row frame: the global window here is bounded, not corpus-sized
+    wrank = Window.partitionBy("_b").orderBy(
+        F.col("_h").asc(), F.col(id_col).asc()
+    )
+    return (
+        bucketed.join(F.broadcast(offsets), "_b")
+        .withColumn("pos", F.col("_off") + F.row_number().over(wrank) - 1)
+        .drop("_h", "_b", "_off")
+    )

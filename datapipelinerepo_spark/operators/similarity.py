@@ -813,6 +813,7 @@ def cosine_topk_pq(
     vec_col: str = "embedding",
     codebooks: list[list[list[float]]] | None = None,
     encoded: DataFrame | None = None,
+    shortlist_mult: int = 8,
 ) -> DataFrame:
     """Asymmetric-distance PQ top-k (ADC): per query, precompute the
     (m × n_codes) table of subvector·centroid inner products; each
@@ -877,15 +878,17 @@ def cosine_topk_pq(
         ).alias("q_id"),
         "approx_sim",
     ).filter(F.col("q_id") != F.col("c_id"))
-    # shortlist 8k per query on approx sims, then exact re-rank (the
-    # recall knob: ADC ordering is lossy, the re-rank is exact, so a
-    # wider shortlist buys recall at linear candidate cost)
+    # shortlist shortlist_mult*k per query on approx sims, then exact
+    # re-rank (the recall knob: ADC ordering is lossy, the re-rank is
+    # exact, so a wider shortlist buys recall at linear candidate cost;
+    # shortlist_mult >= |corpus|/k degenerates to exact brute force BY
+    # CONSTRUCTION, which is how the oracle-checked variant is built)
     w = Window.partitionBy("q_id").orderBy(
         F.col("approx_sim").desc(), F.col("c_id").asc()
     )
     shortlist = (
         scored.withColumn("_r", F.row_number().over(w))
-        .filter(F.col("_r") <= 8 * k)
+        .filter(F.col("_r") <= shortlist_mult * k)
         .select("q_id", "c_id")
     )
     qv = with_norm(queries, vec_col).select(

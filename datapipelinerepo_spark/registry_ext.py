@@ -1882,3 +1882,250 @@ def dedup_containment_pairs(spark, sf_dir):
     algebra oracle."""
     docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
     return D.containment_pairs(docs, threshold=0.6)
+
+
+# ===========================================================================
+# Round 4: construction-exact variants of the approximate family.
+#
+# Each approximate operator below is run at a setting where its OWN
+# machinery provably degenerates to the exact answer — full-probe IVF,
+# both-buckets LSH, corpus-wide PQ re-rank, single-cell SemDeDup — so
+# the driver hash-checks the complete pipeline (bucketing, probing,
+# candidate dedup, re-rank), not just a recall bound. The production
+# settings (ann_topk_lsh/ivf/pq, dedup_semantic_pairs) stay registered
+# as the rows-only scale paths; these twins prove the shared code path.
+# ===========================================================================
+
+_ANN_EXACT_SQL = """
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),
+    scored AS (
+      SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+             round(
+               list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) /
+               (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) *
+                sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))), 4)
+             AS sim_r4
+      FROM q, embeddings c WHERE q.vec_id <> c.vec_id
+    ), ranked AS (
+      SELECT q_id, c_id, sim_r4,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+                                ORDER BY sim_r4 DESC, c_id ASC) AS rank
+      FROM scored
+    )
+    SELECT q_id, c_id, rank, sim_r4 FROM ranked WHERE rank <= 10
+    """
+
+
+@register("ann_topk_lsh_exhaustive", sql=_ANN_EXACT_SQL)
+def ann_topk_lsh_exhaustive(spark, sf_dir):
+    """LSH ANN run exhaustively: 1 table x 1 hyperplane bit = two
+    buckets, and the 1-bit multi-probe flips the only bit — so every
+    corpus vector is a candidate BY CONSTRUCTION and the exact re-rank
+    must reproduce the brute-force top-k regardless of the hyperplane
+    draw. This hash-checks the full lsh_table_buckets -> multi-probe
+    explode -> candidate dedup -> join-back re-rank path (the same code
+    the production 8-bit x 8-table ann_topk_lsh runs) against the exact
+    top-k oracle."""
+    emb = t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    return SIM.cosine_topk_lsh(q, emb, dim=64, k=10, n_bits=1, n_tables=1)
+
+
+@register("ann_topk_ivf_fullprobe", sql=_ANN_EXACT_SQL)
+def ann_topk_ivf_fullprobe(spark, sf_dir):
+    """IVF ANN with n_probe = n_centroids: every query probes every
+    cell, and since each corpus vector lives in exactly one cell the
+    candidate set is the whole corpus BY CONSTRUCTION — the exact
+    re-rank must equal brute force no matter where the centroids land.
+    Hash-checks the centroid seed, cell-assign UDF, probe-threshold
+    filter, and cell-join re-rank that production ann_topk_ivf (4-of-16
+    probes) shares."""
+    emb = t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    return SIM.cosine_topk_ivf(q, emb, dim=64, k=10, n_centroids=16, n_probe=16)
+
+
+@register("ann_topk_pq_fullrerank", sql=_ANN_EXACT_SQL)
+def ann_topk_pq_fullrerank(spark, sf_dir):
+    """PQ ANN with a corpus-wide shortlist: ADC ordering decides
+    nothing when every scored row survives to the exact re-rank, so the
+    output equals brute force BY CONSTRUCTION while still exercising
+    codebook training, encoding, the LUT pandas UDF, and the posexplode
+    scoring pass end to end. (Production ann_topk_pq keeps the 8k
+    shortlist — the recall knob — and stays rows-only.)"""
+    emb = t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    return SIM.cosine_topk_pq(q, emb, dim=64, k=10, shortlist_mult=10**6)
+
+
+@register(
+    "dedup_semantic_verified",
+    sql="""
+    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+           round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+             (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+              sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 4)
+             AS sim_r4,
+           0 AS cell
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+             (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+              sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.4
+    """,
+)
+def dedup_semantic_verified(spark, sf_dir):
+    """SemDeDup run at n_clusters=1: one cell = the per-cluster Gram
+    matrix covers ALL pairs, so the output is exactly the all-pairs
+    cosine >= 0.4 set BY CONSTRUCTION — DuckDB reproduces it
+    relationally and the driver hash-checks the cluster-assign UDF +
+    applyInPandas Gram machinery that production dedup_semantic_pairs
+    (16 cells) shares. The 16-cell form stays rows-only because its
+    PAIR VISIBILITY depends on where centroids land; the per-cell
+    arithmetic proven here is identical."""
+    return SIM.semantic_dup_pairs(
+        t(spark, sf_dir, "embeddings"), dim=64, threshold=0.4, n_clusters=1
+    )
+
+
+@register(
+    "scale_approx_aggs_bounded",
+    sql="""
+    SELECT count(DISTINCT user_id) AS exact_users,
+           true AS hll_within_5pct,
+           true AS p95_rank_ok
+    FROM events
+    """,
+)
+def scale_approx_aggs_bounded(spark, sf_dir):
+    """Sketch error bounds as a hash-checkable invariant: the HLL
+    distinct count must land within 5% of the exact count (HLL rsd
+    default 0.05), and the fraction of values <= the t-digest p95 must
+    sit in [0.94, 0.96] (percentile_approx's rank-accuracy guarantee is
+    n/accuracy = n/10000 rows). The sketch VALUES stay engine-specific
+    (scale_approx_aggs remains rows-only); the bounds are not — any
+    engine must emit (exact_users, true, true), which is what the
+    DuckDB twin asserts. The 1-row crossJoin is a broadcast of the
+    3-value aggregate."""
+    e = t(spark, sf_dir, "events")
+    s = e.agg(
+        F.approx_count_distinct("user_id").alias("_au"),
+        F.expr("percentile_approx(value, 0.95, 10000)").alias("_p95a"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+    return (
+        e.crossJoin(F.broadcast(s))
+        .agg(
+            F.first("exact_users").alias("exact_users"),
+            F.first("_au").alias("_au"),
+            F.avg((F.col("value") <= F.col("_p95a")).cast("double")).alias("_frac"),
+        )
+        .select(
+            "exact_users",
+            (
+                F.abs(F.col("_au") - F.col("exact_users"))
+                <= 0.05 * F.col("exact_users")
+            ).alias("hll_within_5pct"),
+            ((F.col("_frac") >= 0.94) & (F.col("_frac") <= 0.96)).alias(
+                "p95_rank_ok"
+            ),
+        )
+    )
+
+
+@register(
+    "scale_heavy_hitters_verified",
+    sql="""
+    WITH g AS (SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id),
+    b AS (SELECT MIN(n_events) AS c21 FROM
+            (SELECT n_events FROM g ORDER BY n_events DESC LIMIT 21))
+    SELECT g.user_id, g.n_events FROM g, b WHERE g.n_events > b.c21
+    """,
+)
+def scale_heavy_hitters_verified(spark, sf_dir):
+    """Heavy-hitter sketch, hash-checked on the unambiguous head: keep
+    sketch items whose count STRICTLY exceeds the exact 21st-largest
+    count — every such user ranks in the top <= 20 by count, so a
+    top-40 sketch with capacity >= the distinct-key count (which makes
+    the frequent-items counts exact) must surface all of them with
+    exact counts, and the boundary-tie arbitrariness that keeps
+    scale_heavy_hitters rows-only is cut away (ties AT the boundary are
+    excluded on both engines). The c21 aggregate is a 1-row broadcast;
+    the exact groupBy feeding it is the verification cost, not the
+    serving path."""
+    e = t(spark, sf_dir, "events")
+    exact = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("_n"))
+    c21 = (
+        exact.select("_n")
+        .orderBy(F.desc("_n"))
+        .limit(21)
+        .agg(F.min("_n").alias("_c21"))
+    )
+    e.createOrReplaceTempView("_hhv_events")
+    sk = spark.sql(
+        """
+        SELECT t.item AS user_id, t.count AS n_events
+        FROM (SELECT explode(approx_top_k(user_id, 40, 100000)) AS t
+              FROM _hhv_events)
+        """
+    )
+    return (
+        sk.crossJoin(F.broadcast(c21))
+        .filter(F.col("n_events") > F.col("_c21"))
+        .select("user_id", "n_events")
+    )
+
+
+# ===========================================================================
+# Round 4: epoch-level training-set mechanics (split + shuffle order)
+# ===========================================================================
+
+
+@register(
+    "sample_split_assign",
+    sql="""
+    SELECT doc_id, lang,
+           CASE WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2) < 'cc'
+                  THEN 'train'
+                WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+                  THEN 'valid'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+def sample_split_assign(spark, sf_dir):
+    """Deterministic train/valid/test split (operators/sampling.
+    split_assign): the first md5 byte of the salted doc_id picks the
+    split by hex range ('00'-'cb' train ~79.7%, -'e5' valid ~10.2%,
+    rest test). Pure function of (salt, id): a grown corpus never
+    reassigns an old row, unlike randomSplit. Map-only, zero shuffles;
+    the DuckDB twin reproduces every assignment."""
+    from .operators import sampling as SMP
+
+    return SMP.split_assign(t(spark, sf_dir, "documents")).select(
+        "doc_id", "lang", "split"
+    )
+
+
+@register(
+    "sample_global_shuffle",
+    sql="""
+    SELECT ROW_NUMBER() OVER (
+             ORDER BY md5('epoch0:' || CAST(doc_id AS VARCHAR)) ASC,
+                      doc_id ASC) - 1 AS pos,
+           doc_id
+    FROM documents
+    """,
+)
+def sample_global_shuffle(spark, sf_dir):
+    """Epoch shuffle order (operators/sampling.global_shuffle_positions):
+    every doc gets its global position in md5-of-salted-id order WITHOUT
+    a single-partition global window — rows rank within 256 hash-prefix
+    buckets and add broadcast cumulative bucket offsets (the
+    sort-with-offsets shape; the only unpartitioned window runs over the
+    256-row counts frame). The oracle's plain ROW_NUMBER proves the
+    bucketed composition equals the naive global order exactly."""
+    from .operators import sampling as SMP
+
+    return SMP.global_shuffle_positions(t(spark, sf_dir, "documents")).select(
+        "pos", "doc_id"
+    )

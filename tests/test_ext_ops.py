@@ -969,3 +969,52 @@ def test_pq_train_small_sample_fallback_and_error(spark):
     tiny = spark.createDataFrame(rows[:10], "vec_id long, embedding array<double>")
     with pytest.raises(ValueError, match="n_codes"):
         SIM.pq_train(tiny, dim=64, iters=1, sample_mod=1)
+
+
+def test_split_assign_partition_and_determinism(spark):
+    """Every row gets exactly one split; assignment survives
+    repartitioning AND corpus growth (old rows never move — the
+    hash-split stability property randomSplit lacks); a different salt
+    re-deals."""
+    from datapipelinerepo_spark.operators import sampling as SMP
+
+    df = spark.range(0, 400).withColumnRenamed("id", "doc_id")
+    out = SMP.split_assign(df)
+    got = {r["doc_id"]: r["split"] for r in out.collect()}
+    assert set(got.values()) <= {"train", "valid", "test"}
+    assert len(got) == 400
+    # ~80/10/10 in expectation; loose bounds for n=400
+    n_train = sum(1 for v in got.values() if v == "train")
+    assert 260 <= n_train <= 380
+    again = {
+        r["doc_id"]: r["split"]
+        for r in SMP.split_assign(df.repartition(7)).collect()
+    }
+    assert got == again
+    grown = spark.range(0, 800).withColumnRenamed("id", "doc_id")
+    grown_map = {r["doc_id"]: r["split"] for r in SMP.split_assign(grown).collect()}
+    assert all(grown_map[k] == v for k, v in got.items())
+    salted = {
+        r["doc_id"]: r["split"]
+        for r in SMP.split_assign(df, salt="fold1").collect()
+    }
+    assert salted != got
+
+
+def test_global_shuffle_positions_permutation(spark):
+    """Positions are exactly 0..n-1 (the bucketed rank + offset
+    composition is a bijection), stable under repartitioning, and NOT
+    the identity order (it actually shuffles)."""
+    from datapipelinerepo_spark.operators import sampling as SMP
+
+    df = spark.range(0, 300).withColumnRenamed("id", "doc_id")
+    out = SMP.global_shuffle_positions(df).collect()
+    poss = sorted(r["pos"] for r in out)
+    assert poss == list(range(300))
+    order = [r["doc_id"] for r in sorted(out, key=lambda r: r["pos"])]
+    assert order != list(range(300))
+    again = {
+        (r["doc_id"], r["pos"])
+        for r in SMP.global_shuffle_positions(df.repartition(5)).collect()
+    }
+    assert again == {(r["doc_id"], r["pos"]) for r in out}
