@@ -221,12 +221,47 @@ def ann_topk_ivf(spark, sf_dir):
     return SIM.cosine_topk_ivf(q, emb, dim=64, k=10)
 
 
-@register("ann_topk_quantized", sql=None)
+@register(
+    "ann_topk_quantized",
+    sql="""
+    WITH dq AS (
+      SELECT vec_id,
+             list_transform(embedding::DOUBLE[],
+               x -> round(x / (greatest(list_max(list_transform(
+                        embedding::DOUBLE[], y -> abs(y))), 1e-12) / 127.0))
+                    * (greatest(list_max(list_transform(
+                        embedding::DOUBLE[], y -> abs(y))), 1e-12) / 127.0))
+               AS demb
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),
+    scored AS (
+      SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+             round(
+               list_dot_product(q.embedding::DOUBLE[], c.demb) /
+               (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) *
+                sqrt(list_dot_product(c.demb, c.demb))), 4)
+             AS sim_r4
+      FROM q, dq c WHERE q.vec_id <> c.vec_id
+    ), ranked AS (
+      SELECT q_id, c_id, sim_r4,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+                                ORDER BY sim_r4 DESC, c_id ASC) AS rank
+      FROM scored
+    )
+    SELECT q_id, c_id, rank, sim_r4 FROM ranked WHERE rank <= 10
+    """,
+)
 def ann_topk_quantized(spark, sf_dir):
     """Cosine top-10 over an int8-quantized corpus (4× smaller scan;
-    see operators/similarity.quantize_embeddings). Quantization error
-    makes scores engine-specific → rows-only check; recall vs the
-    exact baseline is asserted in test_ext_ops."""
+    see operators/similarity.quantize_embeddings). Upgraded to a full
+    DuckDB oracle in round 4: the int8 round-trip is DETERMINISTIC
+    arithmetic (scale = max|x|/127, q = round(x/scale), dq = q·scale —
+    both engines round ties half-away-from-zero, and a double landing
+    exactly on a .5 tie is measure-zero), so the twin replays the
+    quantize→dequantize→exact-cosine-top-k pipeline relationally.
+    Recall vs the exact baseline is additionally asserted in
+    test_ext_ops."""
     emb = t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 5)
     return SIM.cosine_topk_quantized(q, emb, k=10)
@@ -1025,16 +1060,52 @@ def dedup_incremental_bloom(spark, sf_dir):
     return D.incremental_dedup_bloom(new, hist).select("doc_id", "lang", "n_chars")
 
 
-@register("dedup_incremental_lsh")
+@register(
+    "dedup_incremental_lsh",
+    sql="""
+    WITH tk AS (
+      SELECT doc_id,
+             string_split(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' ')
+               AS toks
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct(
+               CASE WHEN len(toks) >= 3 THEN
+                 list_transform(generate_series(1, len(toks) - 2),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+               ELSE [array_to_string(toks, ' ')] END
+             ) AS sh
+      FROM tk
+    ), f AS (
+      SELECT doc_id, unnest(sh) AS s, len(sh) AS sz FROM sh
+    ), inter AS (
+      SELECT a.doc_id AS new_id, b.doc_id AS corpus_id, COUNT(*) AS i,
+             any_value(a.sz) AS sza, any_value(b.sz) AS szb
+      FROM f a JOIN f b ON a.s = b.s
+      WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+      GROUP BY 1, 2
+    )
+    SELECT new_id, corpus_id,
+           round(CAST(i AS DOUBLE) / (sza + szb - i), 4) AS jaccard
+    FROM inter WHERE CAST(i AS DOUBLE) / (sza + szb - i) >= 0.5
+    """,
+)
 def dedup_incremental_lsh(spark, sf_dir):
     """Incremental NEAR-dup against a persisted LSH band index
     (operators/dedup.minhash_band_index + incremental_near_dup_lsh):
     today's batch (doc_id % 5 = 0) is banded map-only and probed
     against the index of the rest of the corpus — the historical side
-    is never re-signed. Rows-only driver check (band hashes are
-    xxhash64, not SQL-expressible); the exact-equality guarantee —
-    incremental == cross-batch slice of the full-corpus pair run — is
-    asserted in test_incremental_lsh_equals_full_cross_batch."""
+    is never re-signed. Oracle-checked as of round 4 by the same
+    argument as dedup_minhash_lsh: the output is candidates ∩ exact
+    cross-batch shingle-Jaccard ≥ 0.5, and banding recall is complete
+    on this corpus (every qualifying pair sits at J ≥ 0.98, where the
+    8×4 band miss probability is (1-J⁴)⁸ < 2e-9), so the result is
+    hash-independent and the DuckDB twin computes exact all-pairs
+    Jaccard restricted to (new, historical) pairs. The structural
+    guarantee — incremental == cross-batch slice of the full-corpus
+    pair run — is additionally asserted in
+    test_incremental_lsh_equals_full_cross_batch."""
     docs = t(spark, sf_dir, "documents")
     new = docs.filter(F.col("doc_id") % 5 == 0)
     hist = docs.filter(F.col("doc_id") % 5 != 0)
@@ -2128,4 +2199,49 @@ def sample_global_shuffle(spark, sf_dir):
 
     return SMP.global_shuffle_positions(t(spark, sf_dir, "documents")).select(
         "pos", "doc_id"
+    )
+
+
+@register(
+    "dedup_semantic_keep_verified",
+    sql="""
+    WITH RECURSIVE pairs AS (
+      SELECT a.vec_id AS a_id, b.vec_id AS b_id
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+              (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+               sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.4
+    ), e AS (
+      SELECT a_id AS u, b_id AS v FROM pairs
+      UNION ALL SELECT b_id, a_id FROM pairs
+    ), reach(node, label) AS (
+      SELECT vec_id, vec_id FROM embeddings
+      UNION
+      SELECT e.u, r.label FROM e JOIN reach r ON r.node = e.v
+    ), comp AS (
+      SELECT node, MIN(label) AS comp FROM reach GROUP BY node
+    )
+    SELECT node AS keeper_id FROM comp WHERE node = comp
+    """,
+)
+def dedup_semantic_keep_verified(spark, sf_dir):
+    """Semantic dedup keep-list, verified form: SemDeDup at
+    n_clusters=1 (per-cell Gram covers ALL pairs — exact by
+    construction, same argument as dedup_semantic_verified) feeding the
+    REAL iterative connected-components operator, min-id keeper per
+    semantic group. The oracle recomputes exact all-pairs cosine
+    pairs and derives components via a recursive reachability fixpoint
+    (UNION-dedup'd min-label closure), so the driver hash-checks the
+    full pairs→components→keeper pipeline — including the pointer-
+    jumping CC operator — against closed-form ground truth. Production
+    dedup_semantic_keep (16 cells) stays rows-only for its
+    centroid-dependent pair visibility; everything downstream of pair
+    generation is identical code."""
+    from .operators.graph import dedup_components
+
+    emb = t(spark, sf_dir, "embeddings")
+    pairs = SIM.semantic_dup_pairs(emb, dim=64, threshold=0.4, n_clusters=1)
+    comps = dedup_components(emb, pairs, id_col="vec_id", src="a_id", dst="b_id")
+    return comps.filter(F.col("vec_id") == F.col("comp")).select(
+        F.col("vec_id").alias("keeper_id")
     )
