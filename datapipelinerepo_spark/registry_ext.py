@@ -2186,6 +2186,7 @@ def sample_split_assign(spark, sf_dir):
            doc_id
     FROM documents
     """,
+    bench=True,
 )
 def sample_global_shuffle(spark, sf_dir):
     """Epoch shuffle order (operators/sampling.global_shuffle_positions):

@@ -110,6 +110,9 @@ _REGISTRY_ALLOW = {
     "scale_approx_aggs": {"single_partition_exchange"},
     "scale_heavy_hitters": {"single_partition_exchange"},
     "graph_triangle_count": {"single_partition_exchange"},
+    # the only unpartitioned window runs over the 256-row bucket-counts
+    # frame (then broadcasts); the corpus itself shuffles once on _b
+    "sample_global_shuffle": {"single_partition_exchange"},
     # final 1-row funnel summary: three scalar counts cross-joined
     "events_funnel": {"broadcast_nested_loop", "single_partition_exchange"},
     # 1-row scalar-subquery gate broadcast into a filter
@@ -122,6 +125,11 @@ _REGISTRY_ALLOW = {
     "text_bigram_perplexity": {"broadcast_nested_loop", "single_partition_exchange"},
     "sample_temperature_mix": {"broadcast_nested_loop", "single_partition_exchange"},
     "sample_mix_rebalance": {"broadcast_nested_loop", "single_partition_exchange"},
+    # 1-row bound/threshold aggregates crossJoin-broadcast back onto the
+    # sketch output (scale_approx_aggs_bounded: the 3-value sketch+exact
+    # frame; scale_heavy_hitters_verified: the c21 boundary scalar)
+    "scale_approx_aggs_bounded": {"broadcast_nested_loop", "single_partition_exchange"},
+    "scale_heavy_hitters_verified": {"broadcast_nested_loop", "single_partition_exchange"},
     # intentionally exact / sampled all-pairs
     "ann_topk_bruteforce": {"broadcast_nested_loop"},
     "ann_topk_quantized": {"broadcast_nested_loop"},
