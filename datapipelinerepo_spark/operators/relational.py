@@ -11,6 +11,7 @@ from collections.abc import Iterable, Mapping
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 # ---------------------------------------------------------------------------
 # Projections / filters (P1-P9)
@@ -274,3 +275,59 @@ def scd2_apply(
         .unionByName(fresh.select(*keep_cols))
         .unionByName(inserts.select(*keep_cols))
     )
+
+
+def cdc_apply(
+    base: DataFrame,
+    changes: DataFrame,
+    key: str,
+    seq_col: str,
+    op_col: str = "op",
+) -> DataFrame:
+    """Change-data-capture merge, latest-wins: collapse ``changes`` to
+    the newest row per ``key`` (ordered by ``seq_col``; ties broken by
+    preferring deletes, the usual CDC convention for simultaneous
+    ops), then apply it to ``base`` — 'D' removes the key, anything
+    else upserts the change row's payload columns. This is the MERGE
+    INTO semantics of a lakehouse sink expressed engine-neutrally
+    (reference: the replace/append sink family, datasources.py:
+    write_disposition handling), usable against plain parquet.
+
+    Plan shape: one window shuffle on ``key`` over the (small) change
+    stream, then ONE full-outer join against base on the same key —
+    base is re-shuffled once and never re-scanned. At 100 TB the base
+    side is the big one; AQE keeps the join shuffled-hash, and a
+    bucketed base table co-locates it entirely. Deletes and upserts
+    are applied in the same join projection, so the whole merge is two
+    shuffles end to end."""
+    payload = [c for c in changes.columns if c not in (key, seq_col, op_col)]
+    w = (
+        Window.partitionBy(key)
+        .orderBy(
+            F.col(seq_col).desc(),
+            F.when(F.col(op_col) == "D", 0).otherwise(1).asc(),
+        )
+    )
+    latest = (
+        changes.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", seq_col)
+    )
+    joined = base.alias("b").join(
+        latest.alias("c"), on=F.col(f"b.{key}") == F.col(f"c.{key}"), how="full_outer"
+    )
+    keep = F.col(f"c.{op_col}").isNull() | (F.col(f"c.{op_col}") != "D")
+    out_cols = [
+        F.coalesce(F.col(f"b.{key}"), F.col(f"c.{key}")).alias(key)
+    ] + [
+        (
+            F.when(F.col(f"c.{op_col}").isNotNull(), F.col(f"c.{c}"))
+            .otherwise(F.col(f"b.{c}"))
+            .alias(c)
+            if c in payload
+            else F.col(f"b.{c}").alias(c)
+        )
+        for c in base.columns
+        if c != key
+    ]
+    return joined.filter(keep).select(*out_cols)

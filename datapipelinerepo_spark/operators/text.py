@@ -597,3 +597,132 @@ def ngram_perplexity(
             ).alias("ppl"),
         )
     )
+
+
+def duplicated_span_stats(
+    df: DataFrame,
+    n: int = 8,
+    min_docs: int = 2,
+    flag_share: float = 0.2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-substring duplication signal (the span-dedup family of
+    "Deduplicating Training Data Makes Language Models Better",
+    Lee et al. 2021, arXiv:2107.06499 — suffix-array spans re-expressed
+    relationally as fixed-length word n-gram positions): for each
+    document, the share of its n-gram POSITIONS whose n-gram also
+    occurs in >= ``min_docs`` distinct documents. A doc whose text is
+    largely stitched from corpus-repeated spans gets dup_share -> 1
+    (mirror/boilerplate pages); ``flag_cut`` marks docs above
+    ``flag_share`` for trimming or dropping.
+
+    Plan shape: gram doc-frequency is a distinct-per-doc explode +
+    count (map-side partials collapse the skewed ultra-common grams);
+    the position stream then joins that frequency table on the gram
+    key and re-aggregates per doc. Two key-shuffles total, both on
+    md5(gram) — payload text never shuffles. At 100 TB the frequency
+    table is vocabulary-sized and lands behind AQE's broadcast
+    threshold decision; the fallback shuffled join stays linear.
+    Determinism: counts and an int/int ratio rounded to 6dp — no
+    float-sum ordering anywhere."""
+    toks = F.split(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "), " ")
+    base = df.select(F.col(id_col).alias("_id"), toks.alias("_toks")).filter(
+        F.size("_toks") >= n
+    )
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size("_toks") - (n - 1)),
+        lambda i: F.md5(F.array_join(F.slice("_toks", i, n), " ")),
+    )
+    with_grams = base.select("_id", grams.alias("_grams"))
+    freq = (
+        with_grams.select("_id", F.explode(F.array_distinct("_grams")).alias("_g"))
+        .groupBy("_g")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") >= min_docs)
+        .select("_g")
+    )
+    pos = with_grams.select("_id", F.explode("_grams").alias("_g"))
+    dup = (
+        pos.join(freq, "_g", "left_semi")
+        .groupBy("_id")
+        .agg(F.count(F.lit(1)).alias("n_dup_positions"))
+    )
+    totals = with_grams.select("_id", F.size("_grams").alias("n_grams"))
+    share = F.round(
+        F.col("n_dup_positions").cast("double") / F.col("n_grams"), 6
+    )
+    return (
+        totals.join(dup, "_id", "left")
+        .na.fill({"n_dup_positions": 0})
+        .select(
+            F.col("_id").alias(id_col),
+            "n_grams",
+            "n_dup_positions",
+            share.alias("dup_share"),
+            (share >= flag_share).alias("flag_cut"),
+        )
+    )
+
+
+def dsir_importance(
+    df: DataFrame,
+    target_filter: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR-shaped data selection (Xie et al. 2023, arXiv:2302.03169
+    "Data Selection for Language Models via Importance Resampling"):
+    importance of a raw document toward a target distribution as the
+    per-token mean log-likelihood ratio ln p_target(tok) - ln p_raw(tok)
+    under two add-one-smoothed unigram LMs — one fit on the rows where
+    ``target_filter`` holds, one on the full corpus. (DSIR's hashed
+    bigram features reduce to this exact relational form for a unigram
+    feature map.) Positive ``log_ratio`` means the doc looks more like
+    the target than the background; ``keep`` marks those rows — the
+    resampling step then feeds sample_* operators.
+
+    Plan shape: token explode feeds BOTH LM fits (two vocabulary-sized
+    aggregations, the target one over a filtered slice), then one join
+    of the token stream against the merged frequency table and a
+    per-doc re-aggregation — three key-shuffles on the token, payload
+    never shuffles, every expression JVM-side. Determinism: per-token
+    ln rounded to 6dp then DECIMAL-summed (order-insensitive), the
+    same discipline as unigram_perplexity."""
+    toks = F.filter(
+        F.split(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "), " "),
+        lambda s: F.length(s) > 0,
+    )
+    flat = df.select(
+        F.col(id_col), target_filter.alias("_tgt"), F.explode(toks).alias("_tok")
+    )
+    freq = flat.groupBy("_tok").agg(
+        F.count(F.lit(1)).alias("_cr"),
+        F.sum(F.when(F.col("_tgt"), 1).otherwise(0)).alias("_ct"),
+    )
+    totals = freq.agg(
+        F.sum("_cr").alias("_Nr"),
+        F.sum("_ct").alias("_Nt"),
+        F.count(F.lit(1)).alias("_V"),
+    )
+    lp = lambda c, n: F.round(  # noqa: E731
+        F.log((F.col(c) + 1).cast("double") / (F.col(n) + F.col("_V")).cast("double")),
+        6,
+    ).cast("decimal(28,6)")
+    scored = (
+        flat.join(freq, "_tok")
+        .crossJoin(F.broadcast(totals))
+        .select(id_col, (lp("_ct", "_Nt") - lp("_cr", "_Nr")).alias("_lr"))
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(F.sum("_lr").alias("_slr"), F.count(F.lit(1)).alias("n_tokens"))
+        .select(
+            id_col,
+            "n_tokens",
+            F.round(F.col("_slr").cast("double") / F.col("n_tokens"), 6).alias(
+                "log_ratio"
+            ),
+        )
+        .withColumn("keep", F.col("log_ratio") > 0)
+    )

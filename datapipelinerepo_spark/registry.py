@@ -2695,3 +2695,222 @@ def scd2_dimension_merge(spark, sf_dir):
     return R.scd2_apply(
         cur, upd, key="custkey", tracked=["segment"], effective_col="eff"
     )
+
+
+# ===========================================================================
+# Round 4: CDC merge + OLAP shapes (rollup, pivot, unpivot, deciles,
+# exact percentiles)
+# ===========================================================================
+
+
+@register(
+    "cdc_latest_wins",
+    sql="""
+    WITH base AS (
+      SELECT o_orderkey, o_totalprice, o_orderstatus
+      FROM orders WHERE o_orderkey % 2 = 0
+    ), ch AS (
+      SELECT l_orderkey AS o_orderkey, l_linenumber AS seq,
+             CASE WHEN l_returnflag = 'R' THEN 'D' ELSE 'U' END AS op,
+             l_extendedprice AS o_totalprice, l_linestatus AS o_orderstatus
+      FROM lineitem WHERE l_orderkey % 4 = 0
+    ), latest AS (
+      SELECT * FROM (
+        SELECT ch.*, row_number() OVER (
+          PARTITION BY o_orderkey
+          ORDER BY seq DESC, CASE WHEN op = 'D' THEN 0 ELSE 1 END ASC) AS rn
+        FROM ch
+      ) WHERE rn = 1
+    )
+    SELECT COALESCE(b.o_orderkey, c.o_orderkey) AS o_orderkey,
+           CASE WHEN c.op IS NOT NULL THEN c.o_totalprice
+                ELSE b.o_totalprice END AS o_totalprice,
+           CASE WHEN c.op IS NOT NULL THEN c.o_orderstatus
+                ELSE b.o_orderstatus END AS o_orderstatus
+    FROM base b FULL OUTER JOIN latest c ON b.o_orderkey = c.o_orderkey
+    WHERE c.op IS NULL OR c.op <> 'D'
+    """,
+)
+def cdc_latest_wins(spark, sf_dir):
+    """CDC latest-wins merge (operators/relational.cdc_apply): a change
+    stream derived from lineitem (per-order line events; 'R' return
+    flag ⇒ delete) applied to an orders snapshot — MERGE INTO semantics
+    over plain parquet. One change-side window + one full-outer join;
+    deletes and upserts resolve in the same projection, so the driver
+    hash-checks the newest-per-key collapse, the delete/upsert split,
+    and untouched-row passthrough."""
+    base = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    changes = (
+        t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 4 == 0)
+        .select(
+            F.col("l_orderkey").alias("o_orderkey"),
+            F.col("l_linenumber").alias("seq"),
+            F.when(F.col("l_returnflag") == "R", "D").otherwise("U").alias("op"),
+            F.col("l_extendedprice").alias("o_totalprice"),
+            F.col("l_linestatus").alias("o_orderstatus"),
+        )
+    )
+    return R.cdc_apply(base, changes, key="o_orderkey", seq_col="seq")
+
+
+@register(
+    "a_rollup_pricing",
+    sql="""
+    SELECT l_returnflag, l_linestatus,
+           GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS gid,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def a_rollup_pricing(spark, sf_dir):
+    """ROLLUP hierarchy totals: (flag, status) → (flag) → () subtotal
+    levels with a grouping id, in ONE pass — Catalyst expands the
+    grouping sets before the single hash aggregate, so the 100 TB scan
+    is read once for all three levels. Decimal sums keep the subtotal
+    arithmetic order-insensitive; hash-checked across every level."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.sum(F.col("l_quantity").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .select("l_returnflag", "l_linestatus", "gid", "sum_qty", "n_rows")
+    )
+
+
+@register(
+    "pivot_priority_year",
+    sql="""
+    SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+           SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS urgent,
+           SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS high,
+           SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS medium,
+           SUM(CASE WHEN o_orderpriority NOT IN
+                 ('1-URGENT', '2-HIGH', '3-MEDIUM') THEN 1 ELSE 0 END) AS other
+    FROM orders GROUP BY 1
+    """,
+)
+def pivot_priority_year(spark, sf_dir):
+    """PIVOT: order counts by year × priority, wide form. The explicit
+    value list keeps the pivot a single pass (no distinct-values
+    pre-query) and the output schema static — the shape a reporting
+    sink wants. Conditional-sum semantics hash-checked exactly."""
+    o = t(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").cast("int").alias("order_year"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", "urgent")
+        .when(F.col("o_orderpriority") == "2-HIGH", "high")
+        .when(F.col("o_orderpriority") == "3-MEDIUM", "medium")
+        .otherwise("other")
+        .alias("prio"),
+    )
+    return (
+        o.groupBy("order_year")
+        .pivot("prio", ["urgent", "high", "medium", "other"])
+        .count()
+        .na.fill(0)
+    )
+
+
+@register(
+    "unpivot_pricing_metrics",
+    sql="""
+    WITH agg AS (
+      SELECT l_returnflag,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+             CAST(COUNT(*) AS DOUBLE) AS n_rows
+      FROM lineitem GROUP BY 1
+    )
+    SELECT l_returnflag, metric, value FROM agg
+    UNPIVOT (value FOR metric IN (sum_qty, sum_price, n_rows))
+    """,
+)
+def unpivot_pricing_metrics(spark, sf_dir):
+    """UNPIVOT (melt): a wide per-flag metric row folded to long
+    (metric, value) form — the metrics-sink shape. The unpivot is a
+    zero-shuffle expression over the 3-row aggregate; decimal sums
+    upstream keep values engine-exact."""
+    li = t(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("sum_qty"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("sum_price"),
+        F.count(F.lit(1)).cast("double").alias("n_rows"),
+    )
+    return agg.unpivot(
+        ids=["l_returnflag"],
+        values=["sum_qty", "sum_price", "n_rows"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
+
+
+@register(
+    "w_ntile_deciles",
+    sql="""
+    WITH d AS (
+      SELECT o_totalprice,
+             ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+      FROM orders
+    )
+    SELECT decile, COUNT(*) AS n_orders,
+           MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+    FROM d GROUP BY 1
+    """,
+)
+def w_ntile_deciles(spark, sf_dir):
+    """Decile banding: ntile(10) over (price, key) — the key tie-break
+    makes the ordering total, so band edges are engine-exact. NOTE the
+    unpartitioned window: acceptable here because the downstream
+    aggregate is the product (10 rows); the scalable form for a
+    full-corpus ordering is sample_global_shuffle's bucketed
+    rank-with-offsets. Registered as the correctness twin of that
+    path."""
+    o = t(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.select("o_totalprice", F.ntile(10).over(w).alias("decile"))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+    )
+
+
+@register(
+    "stat_exact_percentiles",
+    sql="""
+    SELECT o_orderpriority,
+           round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+           round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+           COUNT(*) AS n_orders
+    FROM orders GROUP BY 1
+    """,
+)
+def stat_exact_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles per group (percentile_cont
+    semantics: x[lo] + frac·(x[hi]−x[lo]) on the sorted values — the
+    same formula in both engines, so the doubles agree bit-for-bit
+    before the cosmetic 4dp rounding). The exact twin of the t-digest
+    sketch in scale_approx_aggs: per-group sort-based aggregate,
+    shuffled once on the group key."""
+    o = t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )

@@ -2246,3 +2246,128 @@ def dedup_semantic_keep_verified(spark, sf_dir):
     return comps.filter(F.col("vec_id") == F.col("comp")).select(
         F.col("vec_id").alias("keeper_id")
     )
+
+
+# ===========================================================================
+# Round 4: exact-substring dedup, DSIR selection, lang-ID audit
+# ===========================================================================
+
+
+@register(
+    "text_substring_dedup",
+    sql=r"""
+    WITH s AS (
+      SELECT doc_id,
+             string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS toks
+      FROM documents
+    ), wg AS (
+      SELECT doc_id,
+             list_transform(generate_series(1, len(toks) - 7),
+                            i -> array_to_string(toks[i:i+7], ' ')) AS gs
+      FROM s WHERE len(toks) >= 8
+    ), freq AS (
+      SELECT g FROM (SELECT doc_id, unnest(list_distinct(gs)) AS g FROM wg)
+      GROUP BY g HAVING COUNT(*) >= 2
+    ), pos AS (
+      SELECT doc_id, unnest(gs) AS g FROM wg
+    ), dup AS (
+      SELECT doc_id, COUNT(*) AS n_dup FROM pos JOIN freq USING (g) GROUP BY 1
+    )
+    SELECT wg.doc_id,
+           len(gs) AS n_grams,
+           COALESCE(n_dup, 0) AS n_dup_positions,
+           round(CAST(COALESCE(n_dup, 0) AS DOUBLE) / len(gs), 6) AS dup_share,
+           round(CAST(COALESCE(n_dup, 0) AS DOUBLE) / len(gs), 6) >= 0.2
+             AS flag_cut
+    FROM wg LEFT JOIN dup USING (doc_id)
+    """,
+)
+def text_substring_dedup(spark, sf_dir):
+    """Exact-substring duplication stats (operators/text.
+    duplicated_span_stats — the Lee et al. 2021 span-dedup signal as
+    fixed-length 8-gram positions): per doc, how many of its n-gram
+    positions are corpus-duplicated (present in ≥2 distinct docs) and
+    the resulting dup_share cut flag. Counts + int-ratio rounding only,
+    so the driver hash-checks position accounting, the distinct-doc
+    frequency cut, and the flag boundary."""
+    return T.duplicated_span_stats(t(spark, sf_dir, "documents"), n=8)
+
+
+@register(
+    "text_dsir_importance",
+    sql=r"""
+    WITH tk AS (
+      SELECT doc_id, lang = 'en' AS tgt,
+             unnest(list_filter(
+               string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' '),
+               s -> length(s) > 0)) AS tok
+      FROM documents
+    ), freq AS (
+      SELECT tok, COUNT(*) AS cr,
+             SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS ct
+      FROM tk GROUP BY 1
+    ), tot AS (
+      SELECT SUM(cr) AS nr, SUM(ct) AS nt, COUNT(*) AS v FROM freq
+    ), lr AS (
+      SELECT tk.doc_id,
+             CAST(round(ln(CAST(freq.ct + 1 AS DOUBLE) / (tot.nt + tot.v)), 6)
+                  AS DECIMAL(28,6))
+             - CAST(round(ln(CAST(freq.cr + 1 AS DOUBLE) / (tot.nr + tot.v)), 6)
+                  AS DECIMAL(28,6)) AS lr
+      FROM tk JOIN freq USING (tok), tot
+    )
+    SELECT doc_id, COUNT(*) AS n_tokens,
+           round(CAST(SUM(lr) AS DOUBLE) / COUNT(*), 6) AS log_ratio,
+           round(CAST(SUM(lr) AS DOUBLE) / COUNT(*), 6) > 0 AS keep
+    FROM lr GROUP BY 1
+    """,
+)
+def text_dsir_importance(spark, sf_dir):
+    """DSIR-shaped data selection (operators/text.dsir_importance,
+    arXiv:2302.03169): per-token mean log-likelihood ratio between a
+    target-fit unigram LM (here: lang='en' rows) and the raw-corpus LM;
+    keep = docs that look more target-like than background. Per-token
+    ln rounded 6dp + DECIMAL sums (the perplexity discipline) make the
+    score partitioning- and engine-stable, so the driver hash-checks
+    both LM fits and the ratio scoring end to end."""
+    return T.dsir_importance(
+        t(spark, sf_dir, "documents"), target_filter=F.col("lang") == "en"
+    )
+
+
+@register(
+    "text_lang_confusion",
+    sql=r"""
+    WITH hits AS (
+      SELECT doc_id, lang,
+             len(regexp_extract_all(lower(text), '\b(the|and|of|to|a)\b')) AS en,
+             len(regexp_extract_all(lower(text), '\b(el|la|los|las|y)\b')) AS es,
+             len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist)\b')) AS de,
+             len(regexp_extract_all(lower(text), '\b(le|les|des|et|est)\b')) AS fr
+      FROM documents
+    )
+    SELECT lang,
+           CASE WHEN greatest(en, es, de, fr) = 0 THEN 'und'
+                WHEN en = greatest(en, es, de, fr) THEN 'en'
+                WHEN es = greatest(en, es, de, fr) THEN 'es'
+                WHEN de = greatest(en, es, de, fr) THEN 'de'
+                ELSE 'fr' END AS pred_lang,
+           COUNT(*) AS n_docs
+    FROM hits GROUP BY 1, 2
+    """,
+)
+def text_lang_confusion(spark, sf_dir):
+    """Language-ID audit: confusion matrix of the labeled ``lang``
+    column vs the marker-stopword predictor (operators/text.
+    language_id) — the calibration table a curation pipeline reads
+    before trusting a classifier gate. One map-side predictor + one
+    tiny groupBy; hash-checked including the deterministic en>es>de>fr
+    tie-break."""
+    d = t(spark, sf_dir, "documents")
+    pred = T.language_id(d).select("doc_id", "pred_lang")
+    return (
+        d.select("doc_id", "lang")
+        .join(pred, "doc_id")
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )

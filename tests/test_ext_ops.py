@@ -1018,3 +1018,64 @@ def test_global_shuffle_positions_permutation(spark):
         for r in SMP.global_shuffle_positions(df.repartition(5)).collect()
     }
     assert again == {(r["doc_id"], r["pos"]) for r in out}
+
+
+# ---------------------------------------------------------------------------
+# Round 4: exact-substring dedup + DSIR importance
+# ---------------------------------------------------------------------------
+
+
+def test_duplicated_span_stats_planted(spark):
+    """A doc stitched from another doc's text flags; a unique doc
+    scores zero; an exact duplicate pair scores dup_share 1.0."""
+    from datapipelinerepo_spark.operators.text import duplicated_span_stats
+
+    span = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    uniq = "one two three four five six seven eight nine ten"
+    dup = "red orange yellow green blue indigo violet pink black white"
+    rows = [
+        (1, span + " iota kappa " + span),
+        (2, "intro words here now " + span + " trailing tail words"),
+        (3, uniq),
+        (4, dup),
+        (5, dup),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in duplicated_span_stats(df, n=8).collect()}
+    # docs 1 and 2 share the 8-token span -> both have dup positions
+    assert out[1]["n_dup_positions"] > 0 and out[2]["n_dup_positions"] > 0
+    # doc 3 shares no 8-gram with any other doc
+    assert out[3]["n_dup_positions"] == 0 and not out[3]["flag_cut"]
+    # exact duplicates: every position duplicated
+    assert out[4]["dup_share"] == 1.0 and out[4]["flag_cut"]
+    assert out[5]["dup_share"] == 1.0
+
+
+def test_duplicated_span_stats_partitioning_invariant(spark):
+    """Same answer at 1 partition and 7 partitions (counting + ratio
+    only — no float-sum ordering)."""
+    from datapipelinerepo_spark.operators.text import duplicated_span_stats
+
+    rows = [(i, f"tok{i % 3} common words across docs here again {i % 2}") for i in range(30)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    a = sorted(map(tuple, duplicated_span_stats(df.coalesce(1), n=4).collect()))
+    b = sorted(map(tuple, duplicated_span_stats(df.repartition(7), n=4).collect()))
+    assert a == b
+
+
+def test_dsir_importance_separates_target(spark):
+    """Docs written in the target vocabulary score positive; background
+    vocabulary scores negative; keep mirrors the sign."""
+    from datapipelinerepo_spark.operators.text import dsir_importance
+
+    rows = (
+        [(i, "tea crumpets lovely weather indeed", "en") for i in range(10)]
+        + [(100 + i, "schnell zug bahnhof wetter gut", "de") for i in range(10)]
+        + [(200, "tea crumpets weather", "zz"), (201, "zug bahnhof gut", "zz")]
+    )
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    out = {r["doc_id"]: r for r in dsir_importance(df, F.col("lang") == "en").collect()}
+    assert out[200]["log_ratio"] > 0 and out[200]["keep"]
+    assert out[201]["log_ratio"] < 0 and not out[201]["keep"]
+    # target rows themselves look target-like
+    assert out[0]["log_ratio"] > 0

@@ -113,6 +113,9 @@ _REGISTRY_ALLOW = {
     # the only unpartitioned window runs over the 256-row bucket-counts
     # frame (then broadcasts); the corpus itself shuffles once on _b
     "sample_global_shuffle": {"single_partition_exchange"},
+    # correctness twin of the bucketed global-order path: ntile over the
+    # full orders frame is intentionally a single-partition window here
+    "w_ntile_deciles": {"single_partition_exchange"},
     # final 1-row funnel summary: three scalar counts cross-joined
     "events_funnel": {"broadcast_nested_loop", "single_partition_exchange"},
     # 1-row scalar-subquery gate broadcast into a filter
@@ -122,6 +125,7 @@ _REGISTRY_ALLOW = {
     "data_mix_report": {"broadcast_nested_loop", "single_partition_exchange"},
     "text_tfidf": {"broadcast_nested_loop", "single_partition_exchange"},
     "text_perplexity": {"broadcast_nested_loop", "single_partition_exchange"},
+    "text_dsir_importance": {"broadcast_nested_loop", "single_partition_exchange"},
     "text_bigram_perplexity": {"broadcast_nested_loop", "single_partition_exchange"},
     "sample_temperature_mix": {"broadcast_nested_loop", "single_partition_exchange"},
     "sample_mix_rebalance": {"broadcast_nested_loop", "single_partition_exchange"},

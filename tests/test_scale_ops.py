@@ -525,3 +525,48 @@ def test_label_propagation_barbell(spark):
     )
     out = {r["node"]: r["label"] for r in label_propagation(edges, iters=4).collect()}
     assert out == {1: 1, 2: 1, 3: 1, 4: 3, 5: 3, 6: 3}
+
+
+def test_cdc_apply_semantics(spark):
+    """CDC latest-wins: newest change per key wins; 'D' deletes;
+    unseen keys insert; untouched base rows pass through; same-seq
+    ties prefer the delete."""
+    from datapipelinerepo_spark.operators.relational import cdc_apply
+
+    base = spark.createDataFrame(
+        [(1, 10.0, "A"), (2, 20.0, "B"), (3, 30.0, "C"), (4, 40.0, "D")],
+        ["k", "price", "status"],
+    )
+    changes = spark.createDataFrame(
+        [
+            (1, 1, "U", 11.0, "A1"),   # stale update...
+            (1, 2, "U", 12.0, "A2"),   # ...newest wins
+            (2, 1, "D", 0.0, "X"),     # delete key 2
+            (3, 5, "U", 33.0, "C3"),   # plain update
+            (3, 5, "D", 0.0, "X"),     # same seq: delete preferred
+            (9, 1, "U", 99.0, "NEW"),  # insert unseen key
+        ],
+        ["k", "seq", "op", "price", "status"],
+    )
+    out = {r["k"]: r for r in cdc_apply(base, changes, key="k", seq_col="seq").collect()}
+    assert set(out) == {1, 4, 9}
+    assert out[1]["price"] == 12.0 and out[1]["status"] == "A2"
+    assert out[4]["price"] == 40.0 and out[4]["status"] == "D"  # passthrough
+    assert out[9]["price"] == 99.0 and out[9]["status"] == "NEW"
+
+
+def test_cdc_apply_idempotent_replay(spark):
+    """Re-applying the same change stream to the merged result is a
+    no-op (exactly-once replay safety for at-least-once CDC feeds)."""
+    from datapipelinerepo_spark.operators.relational import cdc_apply
+
+    base = spark.createDataFrame(
+        [(i, float(i), "S") for i in range(20)], ["k", "price", "status"]
+    )
+    changes = spark.createDataFrame(
+        [(i, 1, "D" if i % 5 == 0 else "U", i * 2.0, "T") for i in range(0, 20, 2)],
+        ["k", "seq", "op", "price", "status"],
+    )
+    once = cdc_apply(base, changes, key="k", seq_col="seq")
+    twice = cdc_apply(once, changes, key="k", seq_col="seq")
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
