@@ -506,3 +506,57 @@ def label_propagation(
             .localCheckpoint(eager=True)
         )
     return labels
+
+
+def bfs_distances(
+    edges: DataFrame,
+    sources: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    node_col: str = "node",
+    max_depth: int = 3,
+) -> DataFrame:
+    """Multi-source breadth-first search: minimum hop distance from any
+    ``sources`` node, out to ``max_depth`` hops — the "how far is this
+    doc/part from a trusted seed set" primitive (label propagation from
+    curated seeds, contamination blast-radius, link-graph crawl depth).
+
+    Level-synchronous BFS: the frontier at depth d joins the
+    (symmetrized) edge list once per round; visited nodes are an
+    ids-only frame that anti-joins the next frontier, so first visit ≡
+    minimum distance and no node is expanded twice. Each round is ONE
+    shuffled join + one anti-join, frontier and visited frames are
+    ids-only (the corpus payload never moves), and localCheckpoint
+    keeps the plan O(1)-deep — the connected-components discipline.
+    Matches the fixed-depth recursive-CTE twin exactly because
+    level-synchronous expansion IS the fixpoint's min-dist closure."""
+    sym = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = sym.select(F.col("u").alias("n")).distinct()
+    frontier = (
+        sources.select(F.col(node_col).alias("n"))
+        .join(nodes, "n", "left_semi")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    dist = frontier.select("n", F.lit(0).alias("dist"))
+    for d in range(1, max_depth + 1):
+        nxt = (
+            frontier.join(sym, frontier["n"] == sym["u"])
+            .select(F.col("v").alias("n"))
+            .distinct()
+            .join(dist.select("n"), "n", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        dist = dist.union(nxt.select("n", F.lit(d).alias("dist"))).localCheckpoint(
+            eager=True
+        )
+        frontier = nxt
+    return dist.select(F.col("n").alias(node_col), "dist")

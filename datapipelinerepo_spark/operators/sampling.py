@@ -189,3 +189,51 @@ def global_shuffle_positions(
         .withColumn("pos", F.col("_off") + F.row_number().over(wrank) - 1)
         .drop("_h", "_b", "_off")
     )
+
+
+def length_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    caps: tuple[int, ...] = (64, 128, 256, 512, 1024),
+) -> DataFrame:
+    """Sequence-length bucketing report: assign each document to the
+    smallest power-of-two token cap that fits it, then account for the
+    padding a fixed-cap batcher would burn per bucket (cap·n − Σtok)
+    and what dynamic per-batch padding would burn instead
+    (max_in_bucket·n − Σtok). The table a training pipeline reads to
+    pick bucket boundaries and to size packing (sequence_packing is
+    the remedy when pad_ratio is high).
+
+    All-integer aggregation over a map-side token count — one tiny
+    groupBy, no payload shuffle; ratios are int/int divisions rounded
+    6dp, engine-exact."""
+    n_tok = F.size(F.regexp_extract_all(F.col(text_col), F.lit(r"\S+"), F.lit(0)))
+    cap = F.lit(None).cast("long")
+    for c in reversed(caps):
+        cap = F.when(n_tok <= c, F.lit(c)).otherwise(cap)
+    cap = F.coalesce(cap, F.lit(-1))  # -1 = overflow bucket (> max cap)
+    agg = (
+        df.select(n_tok.alias("_nt"), cap.alias("bucket_cap"))
+        .groupBy("bucket_cap")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_nt").alias("sum_tokens"),
+            F.max("_nt").alias("max_tokens"),
+        )
+    )
+    fixed_cap = F.when(F.col("bucket_cap") > 0, F.col("bucket_cap")).otherwise(
+        F.col("max_tokens")
+    )
+    waste_fixed = fixed_cap * F.col("n_docs") - F.col("sum_tokens")
+    waste_dyn = F.col("max_tokens") * F.col("n_docs") - F.col("sum_tokens")
+    return agg.select(
+        "bucket_cap",
+        "n_docs",
+        "sum_tokens",
+        "max_tokens",
+        waste_fixed.alias("pad_fixed"),
+        waste_dyn.alias("pad_dynamic"),
+        F.round(
+            waste_fixed.cast("double") / (fixed_cap * F.col("n_docs")), 6
+        ).alias("pad_ratio_fixed"),
+    )

@@ -921,3 +921,61 @@ def cosine_topk_pq(
         .filter(F.col("rank") <= k)
         .select("q_id", "c_id", "rank", F.round("sim", 4).alias("sim_r4"))
     )
+
+
+def centroid_outliers(
+    df: DataFrame,
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.0,
+    scale: int = 1 << 20,
+) -> DataFrame:
+    """Embedding quality gate: cosine of every vector against its
+    group's centroid; rows far from their centroid (cos < threshold)
+    are the mislabeled / garbage-embedding candidates a curation pass
+    reviews or drops (the outlier-filter step of SemDeDup-style
+    cluster curation).
+
+    Determinism across engines: the centroid is computed from
+    INTEGER-quantized coordinates — q = round(x·2^20) summed as BIGINT
+    (exact, order-insensitive) and divided back out — so the centroid
+    doubles are bit-identical regardless of partitioning or engine;
+    the per-row cosine is then a fixed-dim-order fold (zip_with +
+    aggregate ≡ DuckDB list_dot_product).
+
+    Scale shape: one posexplode → (label, dim) partial-aggregating
+    groupBy (the only shuffle, and it carries int64s, not payloads),
+    a labels×dim centroid table that always broadcasts, and a map-side
+    cosine — the full-corpus scan never re-shuffles."""
+    q = df.select(
+        F.col(label_col).alias("_lab"),
+        F.posexplode(F.col(vec_col)).alias("_dim", "_x"),
+    ).select(
+        "_lab",
+        "_dim",
+        F.round(F.col("_x").cast("double") * scale).cast("long").alias("_q"),
+    )
+    sums = q.groupBy("_lab", "_dim").agg(
+        F.sum("_q").alias("_s"), F.count(F.lit(1)).alias("_n")
+    )
+    cvec = sums.groupBy("_lab").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("_dim", "_s"))),
+            lambda x: x["_s"].cast("double") / (F.lit(scale) * F.max("_n")),
+        ).alias("_c")
+    )
+    v = _as_double(F.col(vec_col))
+    cos = _dot(F.col("_v"), F.col("_c")) / (
+        F.sqrt(_dot(F.col("_v"), F.col("_v"))) * F.sqrt(_dot(F.col("_c"), F.col("_c")))
+    )
+    return (
+        df.withColumn("_v", v)
+        .join(F.broadcast(cvec), F.col(label_col) == F.col("_lab"))
+        .select(
+            id_col,
+            label_col,
+            F.round(cos, 6).alias("cos_centroid"),
+            (F.round(cos, 6) < threshold).alias("is_outlier"),
+        )
+    )

@@ -2371,3 +2371,182 @@ def text_lang_confusion(spark, sf_dir):
         .groupBy("lang", "pred_lang")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+@register(
+    "sample_length_buckets",
+    sql=r"""
+    WITH d AS (
+      SELECT len(regexp_extract_all(text, '\S+')) AS nt FROM documents
+    ), b AS (
+      SELECT nt,
+             CASE WHEN nt <= 64 THEN 64 WHEN nt <= 128 THEN 128
+                  WHEN nt <= 256 THEN 256 WHEN nt <= 512 THEN 512
+                  WHEN nt <= 1024 THEN 1024 ELSE -1 END AS bucket_cap
+      FROM d
+    ), agg AS (
+      SELECT bucket_cap, COUNT(*) AS n_docs, SUM(nt) AS sum_tokens,
+             MAX(nt) AS max_tokens
+      FROM b GROUP BY 1
+    )
+    SELECT bucket_cap, n_docs, sum_tokens, max_tokens,
+           (CASE WHEN bucket_cap > 0 THEN bucket_cap ELSE max_tokens END)
+             * n_docs - sum_tokens AS pad_fixed,
+           max_tokens * n_docs - sum_tokens AS pad_dynamic,
+           round(CAST((CASE WHEN bucket_cap > 0 THEN bucket_cap
+                            ELSE max_tokens END) * n_docs - sum_tokens AS DOUBLE)
+                 / ((CASE WHEN bucket_cap > 0 THEN bucket_cap
+                          ELSE max_tokens END) * n_docs), 6) AS pad_ratio_fixed
+    FROM agg
+    """,
+)
+def sample_length_buckets(spark, sf_dir):
+    """Sequence-length bucketing report (operators/sampling.
+    length_buckets): power-of-two token caps, per-bucket doc counts,
+    and fixed-vs-dynamic padding waste — the table that sizes batch
+    buckets and motivates sequence_packing. All-integer aggregation;
+    hash-checked including the overflow bucket and the 6dp pad
+    ratio."""
+    from .operators.sampling import length_buckets
+
+    return length_buckets(t(spark, sf_dir, "documents"))
+
+
+@register(
+    "sample_split_leakage",
+    sql=r"""
+    WITH sp AS (
+      SELECT doc_id, text,
+             CASE WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2)
+                       < 'cc' THEN 'train'
+                  WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2)
+                       < 'e6' THEN 'valid'
+                  ELSE 'test' END AS split
+      FROM documents
+    ), s AS (
+      SELECT split,
+             string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS toks
+      FROM sp
+    ), g AS (
+      SELECT DISTINCT split, array_to_string(toks[i:i+5], ' ') AS gram
+      FROM s, unnest(generate_series(1, len(toks) - 5)) AS t(i)
+      WHERE len(toks) >= 6
+    )
+    SELECT a.split AS split_a, b.split AS split_b,
+           COUNT(*) AS shared_ngrams
+    FROM g a JOIN g b ON a.gram = b.gram AND a.split < b.split
+    GROUP BY 1, 2
+    """,
+)
+def sample_split_leakage(spark, sf_dir):
+    """Split-leakage audit: after the deterministic md5 train/valid/
+    test deal (operators/sampling.split_assign), count distinct
+    6-grams shared across each split-boundary pair — the
+    decontamination probe a pipeline runs BEFORE training to catch
+    eval contamination introduced by near-duplicate documents landing
+    in different splits. Distinct-per-split grams keep the join
+    skew-free; the driver hash-checks the md5 deal and the cross-split
+    overlap counting."""
+    from .operators.sampling import split_assign
+
+    d = split_assign(t(spark, sf_dir, "documents"))
+    toks = F.split(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "), " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size("_toks") - 5),
+        lambda i: F.array_join(F.slice("_toks", i, 6), " "),
+    )
+    g = (
+        d.select("split", toks.alias("_toks"))
+        .filter(F.size("_toks") >= 6)
+        .select("split", F.explode(grams).alias("gram"))
+        .distinct()
+    )
+    ga, gb = g.alias("a"), g.alias("b")
+    return (
+        ga.join(
+            gb,
+            (F.col("a.gram") == F.col("b.gram"))
+            & (F.col("a.split") < F.col("b.split")),
+        )
+        .groupBy(
+            F.col("a.split").alias("split_a"), F.col("b.split").alias("split_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared_ngrams"))
+    )
+
+
+@register(
+    "embedding_centroid_outliers",
+    sql="""
+    WITH q AS (
+      SELECT label,
+             UNNEST(range(1, len(embedding) + 1)) AS dim,
+             CAST(round(CAST(UNNEST(embedding) AS DOUBLE) * 1048576) AS BIGINT)
+               AS qv
+      FROM embeddings
+    ), sums AS (
+      SELECT label, dim, SUM(qv) AS s, COUNT(*) AS n
+      FROM q GROUP BY 1, 2
+    ), cvec AS (
+      SELECT label,
+             list(CAST(s AS DOUBLE) / (1048576.0 * n) ORDER BY dim) AS c
+      FROM sums GROUP BY 1
+    )
+    SELECT e.vec_id, e.label,
+           round(list_dot_product(e.embedding::DOUBLE[], c) /
+                 (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                        e.embedding::DOUBLE[])) *
+                  sqrt(list_dot_product(c, c))), 6) AS cos_centroid,
+           round(list_dot_product(e.embedding::DOUBLE[], c) /
+                 (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                        e.embedding::DOUBLE[])) *
+                  sqrt(list_dot_product(c, c))), 6) < 0.0 AS is_outlier
+    FROM embeddings e JOIN cvec USING (label)
+    """,
+)
+def embedding_centroid_outliers(spark, sf_dir):
+    """Embedding quality gate (operators/similarity.centroid_outliers):
+    cosine of every vector to its label centroid, outlier-flagged below
+    0. The centroid is integer-quantized-sum exact (round(x·2^20)
+    summed as BIGINT), so the centroid doubles — and therefore the
+    fixed-dim-order cosine fold — are bit-identical across engines and
+    partitionings: the driver hash-checks a float-centroid computation
+    with NO tolerance, the same trick that made ann_topk_quantized
+    oracle-able."""
+    return SIM.centroid_outliers(t(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "graph_bfs_distances",
+    sql=f"""
+    WITH RECURSIVE
+    {_COPURCHASE_W2_SQL},
+    e AS (SELECT a AS u, b AS v FROM e0 UNION ALL SELECT b, a FROM e0),
+    src AS (SELECT DISTINCT u AS node FROM e WHERE u % 29 = 0),
+    bfs(node, dist) AS (
+      SELECT node, 0 FROM src
+      UNION
+      SELECT e.v, b.dist + 1 FROM bfs b JOIN e ON b.node = e.u
+      WHERE b.dist < 3
+    )
+    SELECT node, MIN(dist) AS dist FROM bfs GROUP BY 1
+    """,
+)
+def graph_bfs_distances(spark, sf_dir):
+    """Multi-source BFS (operators/graph.bfs_distances) on the w≥2
+    part co-purchase graph: min hop distance (≤3) from the seed set
+    {parts with id % 29 = 0} — the blast-radius / crawl-depth
+    primitive. Level-synchronous frontier expansion with ids-only
+    anti-joined visited set; the oracle's UNION-dedup'd recursive CTE
+    closes over the same bounded depth, so the driver hash-checks the
+    min-dist semantics exactly (all-integer)."""
+    from .operators.graph import bfs_distances
+
+    edges = _copurchase_w2(spark, sf_dir)
+    srcs = (
+        edges.select(F.col("id_a").alias("node"))
+        .union(edges.select(F.col("id_b").alias("node")))
+        .distinct()
+        .filter(F.col("node") % 29 == 0)
+    )
+    return bfs_distances(edges, srcs, src="id_a", dst="id_b", max_depth=3)

@@ -570,3 +570,79 @@ def test_cdc_apply_idempotent_replay(spark):
     once = cdc_apply(base, changes, key="k", seq_col="seq")
     twice = cdc_apply(once, changes, key="k", seq_col="seq")
     assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+
+
+def test_bfs_distances_known_graph(spark):
+    """Path graph 1-2-3-4-5 plus isolated edge 8-9: distances from
+    source {1} are hop counts, capped at max_depth; unreachable nodes
+    are absent."""
+    from datapipelinerepo_spark.operators.graph import bfs_distances
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (8, 9)], ["id_a", "id_b"]
+    )
+    srcs = spark.createDataFrame([(1,)], ["node"])
+    out = {r["node"]: r["dist"] for r in bfs_distances(edges, srcs, max_depth=3).collect()}
+    assert out == {1: 0, 2: 1, 3: 2, 4: 3}  # 5 is beyond depth, 8/9 unreachable
+
+
+def test_bfs_distances_multi_source_min(spark):
+    """Two sources: every node gets the MIN distance over sources."""
+    from datapipelinerepo_spark.operators.graph import bfs_distances
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], ["id_a", "id_b"]
+    )
+    srcs = spark.createDataFrame([(1,), (5,)], ["node"])
+    out = {r["node"]: r["dist"] for r in bfs_distances(edges, srcs, max_depth=3).collect()}
+    assert out == {1: 0, 5: 0, 2: 1, 4: 1, 3: 2}
+
+
+def test_centroid_outliers_planted(spark):
+    """A vector pointing away from its group's tight centroid flags as
+    the outlier; aligned vectors don't."""
+    from datapipelinerepo_spark.operators.similarity import centroid_outliers
+
+    aligned = [[1.0, 0.1 * i, 0.0, 0.0] for i in range(5)]
+    rows = [(i, 0, v) for i, v in enumerate(aligned)] + [
+        (99, 0, [-1.0, 0.0, 0.0, 0.0])
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "label", "embedding"])
+    out = {r["vec_id"]: r for r in centroid_outliers(df).collect()}
+    assert out[99]["is_outlier"] and out[99]["cos_centroid"] < 0
+    assert not out[0]["is_outlier"]
+
+
+def test_centroid_outliers_partitioning_invariant(spark):
+    """Integer-quantized centroid sums: identical output at 1 and 7
+    partitions (no float-sum ordering)."""
+    from datapipelinerepo_spark.operators.similarity import centroid_outliers
+
+    rows = [
+        (i, i % 3, [((i * 37 + d * 11) % 19 - 9) / 7.0 for d in range(8)])
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "label", "embedding"])
+    a = sorted(map(tuple, centroid_outliers(df.coalesce(1)).collect()))
+    b = sorted(map(tuple, centroid_outliers(df.repartition(7)).collect()))
+    assert a == b
+
+
+def test_length_buckets_accounting(spark):
+    """Bucket assignment and padding arithmetic on hand-computable
+    docs, including the overflow bucket."""
+    from datapipelinerepo_spark.operators.sampling import length_buckets
+
+    rows = [
+        (1, "a b c"),                      # 3 tokens -> cap 64
+        (2, " ".join(["t"] * 64)),         # 64 -> cap 64 (boundary)
+        (3, " ".join(["t"] * 65)),         # 65 -> cap 128
+        (4, " ".join(["t"] * 2000)),       # overflow -> cap -1
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["bucket_cap"]: r for r in length_buckets(df).collect()}
+    assert out[64]["n_docs"] == 2 and out[64]["sum_tokens"] == 67
+    assert out[64]["pad_fixed"] == 64 * 2 - 67
+    assert out[128]["n_docs"] == 1 and out[128]["pad_fixed"] == 63
+    # overflow bucket: fixed cap falls back to the bucket max (dynamic)
+    assert out[-1]["pad_fixed"] == out[-1]["pad_dynamic"] == 0
