@@ -2914,3 +2914,37 @@ def stat_exact_percentiles(spark, sf_dir):
         F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90"),
         F.count(F.lit(1)).alias("n_orders"),
     )
+
+
+@register(
+    "a_cube_order_volume",
+    sql="""
+    SELECT CAST(year(o_orderdate) AS INT) AS order_year, o_orderpriority,
+           GROUPING(year(o_orderdate)) * 2 + GROUPING(o_orderpriority) AS gid,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+    FROM orders
+    GROUP BY CUBE (year(o_orderdate), o_orderpriority)
+    """,
+)
+def a_cube_order_volume(spark, sf_dir):
+    """CUBE: all four grouping sets of (year, priority) — per-cell,
+    per-year, per-priority, and grand total — in ONE scan + one hash
+    aggregate (Catalyst expands the sets before aggregation). The
+    reporting companion of a_rollup_pricing; decimal sums keep every
+    subtotal engine-exact."""
+    o = t(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").cast("int").alias("order_year"), "o_orderpriority",
+        "o_totalprice",
+    )
+    return (
+        o.cube("order_year", "o_orderpriority")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+        .select("order_year", "o_orderpriority", "gid", "n_orders", "sum_price")
+    )

@@ -12,6 +12,7 @@ oracle.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from .operators import dedup as D
@@ -2550,3 +2551,223 @@ def graph_bfs_distances(spark, sf_dir):
         .filter(F.col("node") % 29 == 0)
     )
     return bfs_distances(edges, srcs, src="id_a", dst="id_b", max_depth=3)
+
+
+@register(
+    "graph_degree_histogram",
+    sql=f"""
+    WITH
+    {_COPURCHASE_W2_SQL},
+    deg AS (
+      SELECT node, COUNT(*) AS degree FROM (
+        SELECT a AS node FROM e0 UNION ALL SELECT b FROM e0
+      ) GROUP BY 1
+    )
+    SELECT degree, COUNT(*) AS n_nodes FROM deg GROUP BY 1
+    """,
+)
+def graph_degree_histogram(spark, sf_dir):
+    """Degree distribution of the w≥2 co-purchase graph — the first
+    diagnostic read before choosing graph-operator strategy (hub
+    detection for the degree-ordered wedge join, skew salting
+    decisions). Two all-integer aggregations; node ids only, edges
+    never carry payload."""
+    e = _copurchase_w2(spark, sf_dir)
+    deg = (
+        e.select(F.col("id_a").alias("node"))
+        .union(e.select(F.col("id_b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_nodes"))
+
+
+@register(
+    "clean_winsorize_bounds",
+    sql="""
+    WITH b AS (
+      SELECT event_type, quantile_cont(value, 0.99) AS p99,
+             COUNT(*) AS n_rows
+      FROM events GROUP BY 1
+    )
+    SELECT e.event_type, round(b.p99, 6) AS p99, b.n_rows,
+           SUM(CASE WHEN e.value > b.p99 THEN 1 ELSE 0 END) AS n_capped
+    FROM events e JOIN b USING (event_type)
+    GROUP BY 1, 2, 3
+    """,
+)
+def clean_winsorize_bounds(spark, sf_dir):
+    """Winsorization bounds: per-type exact p99 of the value column and
+    how many rows a p99 cap would clip — the outlier-capping step of a
+    metrics-cleaning pass. The interpolated percentile is bit-identical
+    across engines (same sorted-interpolation formula), so the
+    capped-count comparison against the UNROUNDED bound hash-checks
+    exactly. Plan: one per-type sort-aggregate, then the tiny bounds
+    table broadcasts back onto the scan."""
+    ev = t(spark, sf_dir, "events")
+    b = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.99)).alias("_p99"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    return (
+        ev.join(F.broadcast(b), "event_type")
+        .groupBy(
+            "event_type", F.round("_p99", 6).alias("p99"), F.col("n_rows")
+        )
+        .agg(
+            F.sum(F.when(F.col("value") > F.col("_p99"), 1).otherwise(0)).alias(
+                "n_capped"
+            )
+        )
+    )
+
+
+@register(
+    "text_bpe_merge_candidates",
+    sql=r"""
+    WITH tk AS (
+      SELECT unnest(list_filter(
+               string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' '),
+               s -> length(s) >= 2)) AS tok
+      FROM documents
+    ), pairs AS (
+      SELECT unnest(list_transform(generate_series(1, length(tok) - 1),
+                                   i -> substr(tok, i, 2))) AS pair
+      FROM tk
+    )
+    SELECT pair, COUNT(*) AS n_occurrences
+    FROM pairs GROUP BY 1
+    ORDER BY n_occurrences DESC, pair ASC LIMIT 20
+    """,
+)
+def text_bpe_merge_candidates(spark, sf_dir):
+    """BPE tokenizer training, inner loop (Sennrich et al. 2016,
+    arXiv:1508.07909): frequency-weighted adjacent character-pair
+    counts over the corpus — the statistic whose argmax IS the next
+    merge rule. Top-20 with a total (count desc, pair asc) order.
+    Map-side pair explode + one partial-aggregating groupBy; the
+    ultra-common pairs are exactly the keys map-side combine
+    collapses, so no reducer hot-spot at 100 TB."""
+    toks = F.filter(
+        F.split(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "), " "),
+        lambda s: F.length(s) >= 2,
+    )
+    pairs = (
+        t(spark, sf_dir, "documents")
+        .select(F.explode(toks).alias("_tok"))
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("_tok") - 1),
+                    lambda i: F.substring(F.col("_tok"), i, F.lit(2)),
+                )
+            ).alias("pair")
+        )
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), F.col("pair").asc())
+        .limit(20)
+    )
+
+
+@register(
+    "quality_calibration_by_lang",
+    sql="""
+    WITH tk AS (
+      SELECT doc_id,
+             list_filter(
+               string_split(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' '),
+               s -> length(s) > 0) AS toks
+      FROM documents
+    ), scored AS (
+      SELECT doc_id,
+             round(1.0 / (1.0 + exp(-((CAST(list_sum(list_transform(toks,
+                   s -> (length(s) * 2654435761
+                         + ascii(substr(s, 1, 1)) * 7919
+                         + ascii(substr(s, -1, 1)) * 104729) % 20011))
+                   AS DOUBLE) / (len(toks) * 20011.0) - 0.5) * 8))), 6)
+               AS model_score
+      FROM tk
+    ), banded AS (
+      SELECT d.lang, d.n_chars, s.model_score,
+             ntile(4) OVER (PARTITION BY d.lang
+                            ORDER BY s.model_score, d.doc_id) AS band
+      FROM scored s JOIN documents d USING (doc_id)
+    )
+    SELECT lang, band, COUNT(*) AS n_docs,
+           round(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 4) AS avg_chars,
+           MIN(model_score) AS lo_score, MAX(model_score) AS hi_score
+    FROM banded GROUP BY 1, 2
+    """,
+)
+def quality_calibration_by_lang(spark, sf_dir):
+    """Model-score calibration table: per-language score quartiles
+    (ntile over a PARTITIONED window — scale-safe, unlike a global
+    ntile) with the mean doc length per band — the lift table a
+    pipeline inspects before trusting linear_model_score as a gate.
+    Integer-exact length sums; the (score, doc_id) order key makes the
+    banding total and engine-exact."""
+    d = t(spark, sf_dir, "documents")
+    scored = T.linear_model_score(d).select("doc_id", "model_score")
+    j = d.select("doc_id", "lang", "n_chars").join(scored, "doc_id")
+    w = Window.partitionBy("lang").orderBy("model_score", "doc_id")
+    return (
+        j.select("lang", "n_chars", "model_score", F.ntile(4).over(w).alias("band"))
+        .groupBy("lang", "band")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(
+                F.sum("n_chars").cast("double") / F.count(F.lit(1)), 4
+            ).alias("avg_chars"),
+            F.min("model_score").alias("lo_score"),
+            F.max("model_score").alias("hi_score"),
+        )
+    )
+
+
+@register(
+    "dedup_cluster_size_histogram",
+    sql="""
+    WITH flagged AS (
+      SELECT doc_id, lang,
+             CASE WHEN lag(lang) OVER w = lang
+                    AND lag(doc_id) OVER w = doc_id - 1
+                  THEN 0 ELSE 1 END AS brk
+      FROM documents WINDOW w AS (ORDER BY doc_id)
+    ), runs AS (
+      SELECT doc_id,
+             SUM(brk) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS run_id
+      FROM flagged
+    ), sizes AS (
+      SELECT run_id, COUNT(*) AS cluster_size FROM runs GROUP BY 1
+    )
+    SELECT cluster_size, COUNT(*) AS n_clusters
+    FROM sizes GROUP BY 1
+    """,
+)
+def dedup_cluster_size_histogram(spark, sf_dir):
+    """Dup-cluster size distribution: connected components (the real
+    pointer-jumping operator, same edge set as
+    dedup_connected_components) reduced to a (cluster_size →
+    n_clusters) histogram — the report that tells a curation run
+    whether near-dup structure is long-tail pairs or pathological
+    mega-clusters (which warrant keeper-policy review). Oracle derives
+    components independently via gaps-and-islands."""
+    from .operators import graph as G
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "lang")
+    nxt = d.select(
+        (F.col("doc_id") - 1).alias("doc_id"), F.col("lang").alias("_lang2")
+    )
+    edges = (
+        d.join(nxt, on="doc_id")
+        .filter(F.col("lang") == F.col("_lang2"))
+        .select(
+            F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1).alias("id_b")
+        )
+    )
+    comps = G.dedup_components(d, edges)
+    sizes = comps.groupBy("comp").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return sizes.groupBy("cluster_size").agg(F.count(F.lit(1)).alias("n_clusters"))
