@@ -617,24 +617,33 @@ def duplicated_span_stats(
     (mirror/boilerplate pages); ``flag_cut`` marks docs above
     ``flag_share`` for trimming or dropping.
 
-    Plan shape: gram doc-frequency is a distinct-per-doc explode +
-    count (map-side partials collapse the skewed ultra-common grams);
-    the position stream then joins that frequency table on the gram
-    key and re-aggregates per doc. Two key-shuffles total, both on
-    md5(gram) — payload text never shuffles. At 100 TB the frequency
-    table is vocabulary-sized and lands behind AQE's broadcast
-    threshold decision; the fallback shuffled join stays linear.
-    Determinism: counts and an int/int ratio rounded to 6dp — no
-    float-sum ordering anywhere."""
+    Plan shape: the text is tokenized and gram-hashed ONCE into a
+    (doc, array<int64>) frame that is localCheckpoint'ed — ~2 KB/doc of
+    xxhash64 gram ids, smaller than the text itself — because BOTH the
+    doc-frequency aggregate and the position stream read it (without
+    the checkpoint Catalyst re-evaluates the whole regex/slice/hash
+    subtree per consumer, which measured 2× the query cost). Gram
+    doc-frequency is then a distinct-per-doc explode + count (map-side
+    partials collapse the skewed ultra-common grams) and the position
+    stream semi-joins it on the int64 gram key before re-aggregating
+    per doc. Two key-shuffles total, both carrying longs — payload
+    text never shuffles. At 100 TB the ≥min_docs frequency table is
+    far smaller than the vocabulary and lands behind AQE's broadcast
+    decision; the fallback shuffled join stays linear. Determinism:
+    counts and an int/int ratio rounded to 6dp — no float-sum ordering
+    anywhere (gram identity via 64-bit hash: collisions ~n²/2⁶⁴,
+    vanishing at any realistic vocabulary)."""
     toks = F.split(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "), " ")
     base = df.select(F.col(id_col).alias("_id"), toks.alias("_toks")).filter(
         F.size("_toks") >= n
     )
     grams = F.transform(
         F.sequence(F.lit(1), F.size("_toks") - (n - 1)),
-        lambda i: F.md5(F.array_join(F.slice("_toks", i, n), " ")),
+        lambda i: F.xxhash64(F.array_join(F.slice("_toks", i, n), " ")),
     )
-    with_grams = base.select("_id", grams.alias("_grams"))
+    with_grams = base.select("_id", grams.alias("_grams")).localCheckpoint(
+        eager=False
+    )
     freq = (
         with_grams.select("_id", F.explode(F.array_distinct("_grams")).alias("_g"))
         .groupBy("_g")

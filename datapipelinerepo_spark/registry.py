@@ -2705,6 +2705,7 @@ def scd2_dimension_merge(spark, sf_dir):
 
 @register(
     "cdc_latest_wins",
+    bench=True,
     sql="""
     WITH base AS (
       SELECT o_orderkey, o_totalprice, o_orderstatus

@@ -2256,6 +2256,7 @@ def dedup_semantic_keep_verified(spark, sf_dir):
 
 @register(
     "text_substring_dedup",
+    bench=True,
     sql=r"""
     WITH s AS (
       SELECT doc_id,
