@@ -8,7 +8,7 @@ scan is one codegen stage with the parquet reader.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 TOKEN_RE = r"\S+"
@@ -599,6 +599,37 @@ def ngram_perplexity(
     )
 
 
+def _gram_frame(
+    df: DataFrame, n: int, text_col: str, id_col: str
+) -> DataFrame:
+    """(id, array<int64> gram hashes) — tokenized + gram-hashed ONCE
+    and localCheckpoint'ed, because every span-dedup consumer (the
+    doc-frequency aggregate, the position stream) reads it; without
+    the checkpoint Catalyst re-evaluates the regex/slice/hash subtree
+    per consumer (measured 2× query cost). ~2 KB/doc of longs —
+    smaller than the text it replaces."""
+    toks = F.split(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "), " ")
+    base = df.select(F.col(id_col).alias("_id"), toks.alias("_toks")).filter(
+        F.size("_toks") >= n
+    )
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size("_toks") - (n - 1)),
+        lambda i: F.xxhash64(F.array_join(F.slice("_toks", i, n), " ")),
+    )
+    return base.select("_id", grams.alias("_grams")).localCheckpoint(eager=False)
+
+
+def _dup_gram_freq(with_grams: DataFrame, min_docs: int) -> DataFrame:
+    """Gram keys present in >= min_docs DISTINCT docs (ids only)."""
+    return (
+        with_grams.select("_id", F.explode(F.array_distinct("_grams")).alias("_g"))
+        .groupBy("_g")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") >= min_docs)
+        .select("_g")
+    )
+
+
 def duplicated_span_stats(
     df: DataFrame,
     n: int = 8,
@@ -633,24 +664,8 @@ def duplicated_span_stats(
     counts and an int/int ratio rounded to 6dp — no float-sum ordering
     anywhere (gram identity via 64-bit hash: collisions ~n²/2⁶⁴,
     vanishing at any realistic vocabulary)."""
-    toks = F.split(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "), " ")
-    base = df.select(F.col(id_col).alias("_id"), toks.alias("_toks")).filter(
-        F.size("_toks") >= n
-    )
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size("_toks") - (n - 1)),
-        lambda i: F.xxhash64(F.array_join(F.slice("_toks", i, n), " ")),
-    )
-    with_grams = base.select("_id", grams.alias("_grams")).localCheckpoint(
-        eager=False
-    )
-    freq = (
-        with_grams.select("_id", F.explode(F.array_distinct("_grams")).alias("_g"))
-        .groupBy("_g")
-        .agg(F.count(F.lit(1)).alias("_df"))
-        .filter(F.col("_df") >= min_docs)
-        .select("_g")
-    )
+    with_grams = _gram_frame(df, n, text_col, id_col)
+    freq = _dup_gram_freq(with_grams, min_docs)
     pos = with_grams.select("_id", F.explode("_grams").alias("_g"))
     dup = (
         pos.join(freq, "_g", "left_semi")
@@ -734,4 +749,49 @@ def dsir_importance(
             ),
         )
         .withColumn("keep", F.col("log_ratio") > 0)
+    )
+
+
+def longest_dup_span(
+    df: DataFrame,
+    n: int = 8,
+    min_docs: int = 2,
+    trim_at: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Longest corpus-duplicated span per document, in tokens — the
+    trim-decision statistic of Lee et al. 2021 (arXiv:2107.06499 drops
+    duplicated spans ≥ 50 tokens): consecutive duplicated n-gram
+    positions form islands, and an island of L positions is a
+    duplicated span of L + n − 1 tokens. Output: docs with at least one
+    duplicated position, their longest span, how many distinct islands
+    they carry, and a ``trim`` flag at ``trim_at`` tokens.
+
+    Plan shape: reuses the checkpointed gram frame and the ≥min_docs
+    frequency cut of duplicated_span_stats, then ONE partitioned
+    window (per-doc position order) turns positions into islands via
+    gaps-and-islands (pos − row_number is constant within an island) —
+    scale-safe because the window key is the doc id. All-integer."""
+    with_grams = _gram_frame(df, n, text_col, id_col)
+    freq = _dup_gram_freq(with_grams, min_docs)
+    pos = with_grams.select(
+        "_id", F.posexplode("_grams").alias("_pos", "_g")
+    )
+    dup_pos = pos.join(freq, "_g", "left_semi").select("_id", "_pos")
+    w = Window.partitionBy("_id").orderBy("_pos")
+    islands = dup_pos.select(
+        "_id", (F.col("_pos") - F.row_number().over(w)).alias("_run")
+    )
+    runs = islands.groupBy("_id", "_run").agg(F.count(F.lit(1)).alias("_len"))
+    span = F.col("_maxrun") + F.lit(n - 1)
+    return (
+        runs.groupBy("_id")
+        .agg(F.max("_len").alias("_maxrun"), F.count(F.lit(1)).alias("n_spans"))
+        .select(
+            F.col("_id").alias(id_col),
+            span.alias("longest_span_tokens"),
+            "n_spans",
+            (span >= trim_at).alias("trim"),
+        )
     )

@@ -2772,3 +2772,49 @@ def dedup_cluster_size_histogram(spark, sf_dir):
     comps = G.dedup_components(d, edges)
     sizes = comps.groupBy("comp").agg(F.count(F.lit(1)).alias("cluster_size"))
     return sizes.groupBy("cluster_size").agg(F.count(F.lit(1)).alias("n_clusters"))
+
+
+@register(
+    "text_longest_dup_span",
+    sql=r"""
+    WITH s AS (
+      SELECT doc_id,
+             string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS toks
+      FROM documents
+    ), wg AS (
+      SELECT doc_id,
+             list_transform(generate_series(1, len(toks) - 7),
+                            i -> array_to_string(toks[i:i+7], ' ')) AS gs
+      FROM s WHERE len(toks) >= 8
+    ), freq AS (
+      SELECT g FROM (SELECT doc_id, unnest(list_distinct(gs)) AS g FROM wg)
+      GROUP BY g HAVING COUNT(*) >= 2
+    ), pos AS (
+      SELECT doc_id, unnest(gs) AS g,
+             unnest(generate_series(1, len(gs))) AS p
+      FROM wg
+    ), dp AS (
+      SELECT doc_id, p FROM pos JOIN freq USING (g)
+    ), runs AS (
+      SELECT doc_id,
+             p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS run
+      FROM dp
+    ), lens AS (
+      SELECT doc_id, run, COUNT(*) AS len FROM runs GROUP BY 1, 2
+    )
+    SELECT doc_id, MAX(len) + 7 AS longest_span_tokens,
+           COUNT(*) AS n_spans,
+           MAX(len) + 7 >= 20 AS trim
+    FROM lens GROUP BY 1
+    """,
+)
+def text_longest_dup_span(spark, sf_dir):
+    """Longest duplicated span per doc (operators/text.
+    longest_dup_span): consecutive corpus-duplicated 8-gram positions
+    collapsed via gaps-and-islands into span lengths — the Lee-et-al
+    trim statistic (span of L positions = L+n−1 tokens; trim flag at
+    20). Reuses duplicated_span_stats' checkpointed gram frame; the
+    per-doc window keys on the doc id (scale-safe). All-integer, so
+    the driver hash-checks island formation, span arithmetic, and the
+    trim boundary exactly."""
+    return T.longest_dup_span(t(spark, sf_dir, "documents"), n=8, trim_at=20)

@@ -1079,3 +1079,28 @@ def test_dsir_importance_separates_target(spark):
     assert out[201]["log_ratio"] < 0 and not out[201]["keep"]
     # target rows themselves look target-like
     assert out[0]["log_ratio"] > 0
+
+
+def test_longest_dup_span_planted(spark):
+    """Two docs sharing a 12-token run: the island of 5 consecutive
+    duplicated 8-gram positions reports a 12-token span; a doc with
+    two disjoint shared spans reports both islands."""
+    from datapipelinerepo_spark.operators.text import longest_dup_span
+
+    shared = "s1 s2 s3 s4 s5 s6 s7 s8 s9 s10 s11 s12"  # 12 tokens
+    other = "o1 o2 o3 o4 o5 o6 o7 o8 o9 o10"
+    rows = [
+        (1, shared + " filler words here " + other),
+        (2, "prefix tokens go here then " + shared),
+        (3, "more prefix stuff and then " + other + " trailing"),
+        (4, "nothing in common with anyone at all here friend"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in longest_dup_span(df, n=8, trim_at=12).collect()}
+    # 12 shared tokens -> 5 consecutive 8-gram positions -> span 12
+    assert out[1]["longest_span_tokens"] == 12 and out[1]["trim"]
+    assert out[2]["longest_span_tokens"] == 12
+    # doc 1 also shares the 10-token `other` run with doc 3 -> 2 islands
+    assert out[1]["n_spans"] == 2
+    assert out[3]["longest_span_tokens"] == 10 and not out[3]["trim"]
+    assert 4 not in out  # no duplicated positions at all
