@@ -329,3 +329,31 @@ class Query:
 
     def run(self) -> DataFrame:
         return self.spark.sql(self.sql)
+
+
+def write_formatted(
+    df: DataFrame, path: str, fmt: str = "csv", mode: str = "overwrite", **options
+) -> None:
+    """Text-format sink (csv / json lines / text): the interchange
+    formats a pipeline writes for downstream consumers that don't read
+    parquet (reference: the CSV/JSON surfaces of datasources.py's
+    load paths). CSV defaults to header+quote-all so free-text columns
+    with commas/newlines round-trip."""
+    w = df.write.mode(mode)
+    if fmt == "csv":
+        options = {"header": "true", "quoteAll": "true", "escape": '"', **options}
+    w.format(fmt).options(**options).save(path)
+
+
+def read_formatted(
+    spark: SparkSession, path: str, fmt: str = "csv", schema=None, **options
+):
+    """Text-format scan with an EXPLICIT schema (never inference — at
+    100 TB, schema inference is an extra full pass over the data and a
+    correctness hazard; the contract is schema-on-write)."""
+    r = spark.read
+    if schema is not None:
+        r = r.schema(schema)
+    if fmt == "csv":
+        options = {"header": "true", "escape": '"', **options}
+    return r.format(fmt).options(**options).load(path)

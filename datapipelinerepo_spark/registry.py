@@ -2949,3 +2949,53 @@ def a_cube_order_volume(spark, sf_dir):
         )
         .select("order_year", "o_orderpriority", "gid", "n_orders", "sum_price")
     )
+
+
+@register(
+    "s_csv_roundtrip",
+    sql="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def s_csv_roundtrip(spark, sf_dir):
+    """CSV sink + scan round-trip (io.write_formatted/read_formatted):
+    header + quote-all write, explicit-schema read (inference is an
+    extra full pass at scale — the contract is schema-on-write). The
+    driver hash-checks that the text format round-trips types and
+    values exactly."""
+    import tempfile
+
+    from .io import read_formatted, write_formatted
+
+    n = t(spark, sf_dir, "nation")
+    path = tempfile.mkdtemp(prefix="csvq_") + "/nation"
+    write_formatted(n, path, fmt="csv")
+    return read_formatted(spark, path, fmt="csv", schema=n.schema)
+
+
+@register(
+    "s_jsonl_roundtrip",
+    sql="""
+    SELECT o_orderkey, CAST(o_orderdate AS DATE) AS odate, o_orderpriority
+    FROM orders WHERE o_orderkey % 10 = 0
+    """,
+)
+def s_jsonl_roundtrip(spark, sf_dir):
+    """JSON-lines sink + scan round-trip with an explicit schema — the
+    event/export interchange path (reference: the JSON API load
+    surface, datasources.py). Dates round-trip as ISO strings typed
+    back on read."""
+    import tempfile
+
+    from .io import read_formatted, write_formatted
+
+    o = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 10 == 0)
+        .select(
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("odate"),
+            "o_orderpriority",
+        )
+    )
+    path = tempfile.mkdtemp(prefix="jsonq_") + "/orders"
+    write_formatted(o, path, fmt="json")
+    return read_formatted(spark, path, fmt="json", schema=o.schema)

@@ -176,3 +176,26 @@ def test_write_clustered_sorts_within_files(spark, sf_dir, tmp_path):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "PartitionFilters" in plan and "event_type" in plan.split("PartitionFilters", 1)[1][:200]
+
+
+def test_csv_roundtrip_quoting(spark, tmp_path):
+    """Free text with commas, quotes, and newlines survives the CSV
+    round-trip byte-exactly (quote-all write + explicit-schema read)."""
+    from datapipelinerepo_spark.io import read_formatted, write_formatted
+
+    df = spark.createDataFrame(
+        [
+            (1, 'plain text'),
+            (2, 'comma, separated, values'),
+            (3, 'a "quoted" phrase'),
+            (4, 'line\nbreak inside'),
+            (5, None),
+        ],
+        ["id", "body"],
+    )
+    path = str(tmp_path / "csv_rt")
+    write_formatted(df, path, fmt="csv")
+    back = read_formatted(
+        spark, path, fmt="csv", schema=df.schema, multiLine="true"
+    )
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
