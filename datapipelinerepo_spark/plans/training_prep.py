@@ -46,6 +46,17 @@ class PrepConfig:
     # keeper policy inside each near-dup component: "min_id" (cheapest)
     # or "best_quality" (keep the longest member — one extra window)
     keeper: str = "min_id"
+    # corpus-duplicated-span gate (None = off): drop docs whose share of
+    # n-gram positions duplicated across the corpus reaches this value
+    # (the Lee-et-al span-dedup cut, text.duplicated_span_stats)
+    max_dup_share: float | None = None
+    # DSIR target selection (None = off): a boolean Column marking the
+    # target slice; docs scoring less target-like than background under
+    # the two unigram LMs are dropped (text.dsir_importance)
+    dsir_target: object | None = None
+    # append a deterministic md5-range train/valid/test column at the
+    # end (sampling.split_assign; stable under corpus growth)
+    assign_splits: bool = False
 
 
 def quality_gate(df: DataFrame, cfg: PrepConfig) -> DataFrame:
@@ -113,12 +124,52 @@ def drop_near_dups(df: DataFrame, cfg: PrepConfig) -> DataFrame:
     return df.join(keep, on=cfg.id_col, how="left_semi")
 
 
+def span_gate(df: DataFrame, cfg: PrepConfig) -> DataFrame:
+    """Drop docs stitched from corpus-duplicated spans: dup_share ≥
+    ``cfg.max_dup_share`` (text.duplicated_span_stats). Only (id,
+    share) joins back — the ids-only semi-join discipline of the other
+    gates."""
+    stats = T.duplicated_span_stats(
+        df, text_col=cfg.text_col, id_col=cfg.id_col
+    )
+    ok = stats.filter(F.col("dup_share") < cfg.max_dup_share).select(cfg.id_col)
+    # docs below the n-gram floor have no span stats: they pass the gate
+    short = df.select(cfg.id_col).join(
+        stats.select(cfg.id_col), on=cfg.id_col, how="left_anti"
+    )
+    return df.join(ok.union(short), on=cfg.id_col, how="left_semi")
+
+
+def dsir_gate(df: DataFrame, cfg: PrepConfig) -> DataFrame:
+    """DSIR selection: keep docs that look more like the
+    ``cfg.dsir_target`` slice than the background corpus
+    (text.dsir_importance keep flag)."""
+    keep = (
+        T.dsir_importance(
+            df, cfg.dsir_target, text_col=cfg.text_col, id_col=cfg.id_col
+        )
+        .filter(F.col("keep"))
+        .select(cfg.id_col)
+    )
+    return df.join(keep, on=cfg.id_col, how="left_semi")
+
+
 def prepare_training_data(df: DataFrame, cfg: PrepConfig | None = None) -> DataFrame:
     """The full prep chain. Returns the cleaned corpus with an added
-    ``n_redacted`` column; compose with ``text.sequence_packing`` /
-    stratified sampling downstream."""
+    ``n_redacted`` column (plus ``split`` when ``cfg.assign_splits``);
+    compose with ``text.sequence_packing`` / stratified sampling
+    downstream."""
     cfg = cfg or PrepConfig()
     gated = model_gate(quality_gate(df, cfg), cfg)
+    if cfg.max_dup_share is not None:
+        gated = span_gate(gated, cfg)
+    if cfg.dsir_target is not None:
+        gated = dsir_gate(gated, cfg)
     clean = redact(gated, cfg)
     exact = D.exact_dedup(clean, text_col=cfg.text_col, id_col=cfg.id_col)
-    return drop_near_dups(exact, cfg)
+    out = drop_near_dups(exact, cfg)
+    if cfg.assign_splits:
+        from ..operators.sampling import split_assign
+
+        out = split_assign(out, id_col=cfg.id_col)
+    return out

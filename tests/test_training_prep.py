@@ -108,3 +108,63 @@ def test_prep_model_gates_drop_planted_outliers(spark, corpus):
     ids = {r["doc_id"] for r in out.select("doc_id").collect()}
     assert 900009 not in ids
     assert any(i < 50 for i in ids)  # clean corpus survives
+
+
+def test_span_gate_drops_stitched_docs(spark, corpus):
+    """With the span gate on, a doc stitched from two corpus docs'
+    spans is dropped while organic docs survive."""
+    from pyspark.sql import functions as F
+
+    donors = corpus.filter(F.col("doc_id").isin(0, 1)).collect()
+    # take ~60% of each donor so the DONORS stay under the share cut
+    # (the stitched doc itself is 100% duplicated material)
+    w0 = donors[0]["text"].split()
+    w1 = donors[1]["text"].split()
+    stitched_text = " ".join(w0[: int(len(w0) * 0.6)] + w1[: int(len(w1) * 0.6)])
+    stitched = spark.createDataFrame(
+        [(900100, stitched_text)], "doc_id long, text string"
+    ).select(
+        "doc_id", "text", F.lit("en").alias("lang"),
+        F.lit("planted").alias("source"), F.length("text").alias("n_chars"),
+    )
+    cfg = PrepConfig(max_dup_share=0.8, near_dup_threshold=0.95)
+    out = prepare_training_data(corpus.union(stitched), cfg)
+    ids = {r["doc_id"] for r in out.select("doc_id").collect()}
+    assert 900100 not in ids          # stitched doc gated out
+    assert 0 in ids and 1 in ids      # donors survive (share < 0.8)
+
+
+def test_assign_splits_appends_stable_column(spark, corpus):
+    """assign_splits adds the deterministic split column; every row
+    gets one of train/valid/test and re-running doesn't move rows."""
+    cfg = PrepConfig(assign_splits=True)
+    out = prepare_training_data(corpus, cfg)
+    a = {(r["doc_id"], r["split"]) for r in out.select("doc_id", "split").collect()}
+    b = {(r["doc_id"], r["split"]) for r in prepare_training_data(corpus, cfg).select("doc_id", "split").collect()}
+    assert a == b and len(a) > 0
+    assert {s for _, s in a} <= {"train", "valid", "test"}
+
+
+def test_dsir_gate_keeps_target_like_docs(spark):
+    """DSIR gate: background-vocabulary docs drop, target-vocabulary
+    docs survive the full pipeline."""
+    from pyspark.sql import functions as F
+
+    tgt = ("tea and crumpets with lovely weather indeed a fine morning for "
+           "the garden party where the the guests arrive by noon and stay "
+           "well past dark enjoying every small plate served")
+    bg = ("schnell fahren zug bahnhof wetter heute gut morgen abend spaet "
+          "viele leute kommen zusammen lange reise durch den winter mit "
+          "schnee und eis auf allen wegen")
+    rows = (
+        [(i, tgt + f" marker{i}", "en") for i in range(8)]
+        + [(100 + i, bg + f" zeichen{i}", "de") for i in range(8)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string").select(
+        "doc_id", "text", "lang", F.lit("x").alias("source"),
+        F.length("text").alias("n_chars"),
+    )
+    cfg = PrepConfig(dsir_target=F.col("lang") == "en", near_dup_threshold=0.99)
+    ids = {r["doc_id"] for r in prepare_training_data(df, cfg).select("doc_id").collect()}
+    assert all(i in ids for i in range(8))
+    assert all(100 + i not in ids for i in range(8))
