@@ -261,3 +261,55 @@ def test_pagerank_mass_conserved_on_random_graphs(spark, edges):
     total = sum(r["rank"] for r in got)
     assert abs(total - 1.0) < 1e-9
     assert all(r["rank"] > 0 for r in got)
+
+
+CDC_BASE = st.lists(
+    st.tuples(st.integers(0, 6), st.integers(0, 99)),
+    min_size=0, max_size=8, unique_by=lambda t: t[0],
+)
+CDC_CHANGES = st.lists(
+    st.tuples(
+        st.integers(0, 9),              # key (may be unseen -> insert)
+        st.integers(0, 5),              # seq
+        st.sampled_from(["U", "D"]),    # op
+        st.integers(0, 99),             # payload
+    ),
+    min_size=0, max_size=10,
+    # a real CDC feed has at most one payload per (key, seq, op);
+    # two same-seq updates with different payloads are genuinely
+    # order-undefined in any latest-wins merge
+    unique_by=lambda t: (t[0], t[1], t[2]),
+)
+
+
+@settings(max_examples=5, deadline=None)
+@given(base=CDC_BASE, changes=CDC_CHANGES)
+def test_cdc_apply_matches_reference_merge(spark, base, changes):
+    """cdc_apply == a straightforward Python reference merge: sort each
+    key's changes by (seq, delete-first-at-same-seq), apply the last
+    one; 'D' removes, 'U' upserts; untouched keys pass through."""
+    ref = {k: v for k, v in base}
+    last: dict[int, tuple] = {}
+    for k, seq, op, val in changes:
+        # latest-wins: higher seq replaces; same seq prefers the delete
+        cur = last.get(k)
+        if cur is None or (seq, op == "D") >= (cur[0], cur[1] == "D"):
+            last[k] = (seq, op, val)
+    for k, (seq, op, val) in last.items():
+        if op == "D":
+            ref.pop(k, None)
+        else:
+            ref[k] = val
+    db = (
+        spark.createDataFrame(base, "k int, v int")
+        if base else spark.createDataFrame([], "k int, v int")
+    )
+    dc = (
+        spark.createDataFrame(changes, "k int, seq int, op string, v int")
+        if changes else spark.createDataFrame([], "k int, seq int, op string, v int")
+    )
+    got = {
+        r["k"]: r["v"]
+        for r in R.cdc_apply(db, dc, key="k", seq_col="seq").collect()
+    }
+    assert got == ref
