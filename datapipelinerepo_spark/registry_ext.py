@@ -2818,3 +2818,184 @@ def text_longest_dup_span(spark, sf_dir):
     the driver hash-checks island formation, span arithmetic, and the
     trim boundary exactly."""
     return T.longest_dup_span(t(spark, sf_dir, "documents"), n=8, trim_at=20)
+
+
+@register(
+    "text_vocab_coverage",
+    sql=r"""
+    WITH tk AS (
+      SELECT unnest(list_filter(
+               string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' '),
+               s -> length(s) > 0)) AS tok
+      FROM documents
+    ), freq AS (
+      SELECT tok, COUNT(*) AS c FROM tk GROUP BY 1
+    ), ranked AS (
+      SELECT row_number() OVER (ORDER BY c DESC, tok ASC) AS rn,
+             SUM(c) OVER (ORDER BY c DESC, tok ASC
+                          ROWS UNBOUNDED PRECEDING) AS cum
+      FROM freq
+    ), tot AS (SELECT SUM(c) AS t, COUNT(*) AS v FROM freq)
+    SELECT k.k AS vocab_size, ranked.cum AS covered_tokens,
+           round(CAST(ranked.cum AS DOUBLE) / tot.t, 6) AS coverage
+    FROM (VALUES (1000), (5000), (20000)) k(k), ranked, tot
+    WHERE ranked.rn = least(k.k, tot.v)
+    """,
+)
+def text_vocab_coverage(spark, sf_dir):
+    """Tokenizer vocabulary sizing: the share of corpus token
+    OCCURRENCES covered by the top-K types at K = 1k / 5k / 20k — the
+    coverage-curve table read before fixing a vocab size. NOTE the
+    rank window runs over the VOCABULARY frame (|types|, orders
+    smaller than the corpus — the same sanctioned class as
+    sample_global_shuffle's 256-row counts window); the corpus itself
+    contributes one partial-aggregating groupBy. Counts + one int/int
+    division, engine-exact."""
+    toks = F.filter(
+        F.split(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "), " "),
+        lambda s: F.length(s) > 0,
+    )
+    freq = (
+        t(spark, sf_dir, "documents")
+        .select(F.explode(toks).alias("_tok"))
+        .groupBy("_tok")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    w = Window.orderBy(F.col("_c").desc(), F.col("_tok").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = freq.select(
+        F.row_number()
+        .over(Window.orderBy(F.col("_c").desc(), F.col("_tok").asc()))
+        .alias("_rn"),
+        F.sum("_c").over(w).alias("covered_tokens"),
+    )
+    tot = freq.agg(F.sum("_c").alias("_t"), F.count(F.lit(1)).alias("_v"))
+    ks = spark.createDataFrame([(1000,), (5000,), (20000,)], ["vocab_size"])
+    return (
+        ks.crossJoin(F.broadcast(tot))
+        .join(
+            ranked,
+            ranked["_rn"] == F.least(F.col("vocab_size"), F.col("_v")),
+        )
+        .select(
+            F.col("vocab_size").cast("int").alias("vocab_size"),
+            "covered_tokens",
+            F.round(
+                F.col("covered_tokens").cast("double") / F.col("_t"), 6
+            ).alias("coverage"),
+        )
+    )
+
+
+@register(
+    "sample_repeat_plan",
+    sql=r"""
+    WITH per AS (
+      SELECT lang,
+             SUM(len(regexp_extract_all(text, '\S+'))) AS n_tokens
+      FROM documents GROUP BY 1
+    ), wts AS (
+      SELECT lang, n_tokens,
+             CAST(round(sqrt(CAST(n_tokens AS DOUBLE)), 6)
+                  AS DECIMAL(28,6)) AS w
+      FROM per
+    ), tot AS (SELECT SUM(w) AS sw FROM wts)
+    SELECT lang, n_tokens,
+           CAST(round(1000000 * CAST(w AS DOUBLE) / CAST(sw AS DOUBLE), 0)
+                AS BIGINT) AS target_tokens,
+           round(1000000 * CAST(w AS DOUBLE) / CAST(sw AS DOUBLE)
+                 / n_tokens, 4) AS repeat_factor
+    FROM wts, tot
+    """,
+)
+def sample_repeat_plan(spark, sf_dir):
+    """Epoch repeat-factor planning: given a 1M-token budget and a
+    sqrt-proportional target mixture (the temperature-α=0.5 shape),
+    compute each language's target token allocation and the repeat
+    factor (effective epochs) over its available tokens — the table a
+    training run reads to decide how many times each source repeats
+    (repeat>1 = upsampled source, the Muennighoff-style data-constrained
+    regime). Determinism: per-group sqrt rounded 6dp then DECIMAL-
+    summed (order-insensitive), everything after is identical double
+    arithmetic."""
+    d = t(spark, sf_dir, "documents")
+    per = d.groupBy("lang").agg(
+        F.sum(
+            F.size(F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), F.lit(0)))
+        ).alias("n_tokens")
+    )
+    wts = per.select(
+        "lang",
+        "n_tokens",
+        F.round(F.sqrt(F.col("n_tokens").cast("double")), 6)
+        .cast("decimal(28,6)")
+        .alias("_w"),
+    )
+    tot = wts.agg(F.sum("_w").alias("_sw"))
+    target = F.lit(1000000) * F.col("_w").cast("double") / F.col("_sw").cast(
+        "double"
+    )
+    return (
+        wts.crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "n_tokens",
+            F.round(target, 0).cast("long").alias("target_tokens"),
+            F.round(target / F.col("n_tokens"), 4).alias("repeat_factor"),
+        )
+    )
+
+
+@register(
+    "events_user_mad_outliers",
+    sql="""
+    WITH med AS (
+      SELECT user_id, quantile_cont(value, 0.5) AS med, COUNT(*) AS n_events
+      FROM events GROUP BY 1
+    ), dev AS (
+      SELECT e.user_id, e.value, med.med, med.n_events,
+             abs(e.value - med.med) AS adev
+      FROM events e JOIN med USING (user_id)
+    ), mad AS (
+      SELECT user_id, quantile_cont(adev, 0.5) AS mad FROM dev GROUP BY 1
+    )
+    SELECT dev.user_id, dev.n_events,
+           SUM(CASE WHEN dev.adev > 3 * mad.mad THEN 1 ELSE 0 END)
+             AS n_outliers
+    FROM dev JOIN mad USING (user_id)
+    GROUP BY 1, 2 HAVING dev.n_events >= 8
+    """,
+)
+def events_user_mad_outliers(spark, sf_dir):
+    """Robust per-user outlier counts: median / MAD (the robust z-score
+    a metrics-cleaning pass prefers over mean/σ, which the outliers
+    themselves corrupt) with |v − med| > 3·MAD as the cut, users with
+    ≥8 events. Exact interpolated medians are bit-identical across
+    engines (the stat_exact_percentiles argument), and every
+    comparison is against the engine's own bound — so the whole robust
+    pipeline hash-checks. Two user-keyed sort-aggregates + one join
+    re-using the same key partitioning."""
+    ev = t(spark, sf_dir, "events")
+    med = ev.groupBy("user_id").agg(
+        F.percentile("value", F.lit(0.5)).alias("_med"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    dev = ev.join(med, "user_id").select(
+        "user_id",
+        "n_events",
+        F.abs(F.col("value") - F.col("_med")).alias("_adev"),
+    )
+    mad = dev.groupBy("user_id").agg(
+        F.percentile("_adev", F.lit(0.5)).alias("_mad")
+    )
+    return (
+        dev.join(mad, "user_id")
+        .groupBy("user_id", "n_events")
+        .agg(
+            F.sum(
+                F.when(F.col("_adev") > 3 * F.col("_mad"), 1).otherwise(0)
+            ).alias("n_outliers")
+        )
+        .filter(F.col("n_events") >= 8)
+    )

@@ -128,6 +128,12 @@ _REGISTRY_ALLOW = {
     "text_dsir_importance": {"broadcast_nested_loop", "single_partition_exchange"},
     "text_bigram_perplexity": {"broadcast_nested_loop", "single_partition_exchange"},
     "sample_temperature_mix": {"broadcast_nested_loop", "single_partition_exchange"},
+    # 1-row total-weight aggregate crossJoin-broadcast onto the 5-row
+    # per-lang plan (sample_repeat_plan); vocab_coverage's rank window
+    # runs over the vocabulary frame (orders smaller than the corpus)
+    # and its 3-row K-table cross-broadcasts the 1-row total
+    "sample_repeat_plan": {"broadcast_nested_loop", "single_partition_exchange"},
+    "text_vocab_coverage": {"broadcast_nested_loop", "single_partition_exchange"},
     "sample_mix_rebalance": {"broadcast_nested_loop", "single_partition_exchange"},
     # 1-row bound/threshold aggregates crossJoin-broadcast back onto the
     # sketch output (scale_approx_aggs_bounded: the 3-value sketch+exact

@@ -646,3 +646,30 @@ def test_length_buckets_accounting(spark):
     assert out[128]["n_docs"] == 1 and out[128]["pad_fixed"] == 63
     # overflow bucket: fixed cap falls back to the bucket max (dynamic)
     assert out[-1]["pad_fixed"] == out[-1]["pad_dynamic"] == 0
+
+
+def test_new_ops_empty_inputs(spark):
+    """Empty frames flow through the round-4 operators without
+    crashing: BFS with no sources, CDC with no changes, buckets/spans
+    on an empty corpus."""
+    from datapipelinerepo_spark.operators.graph import bfs_distances
+    from datapipelinerepo_spark.operators.relational import cdc_apply
+    from datapipelinerepo_spark.operators.sampling import length_buckets
+    from datapipelinerepo_spark.operators.text import (
+        duplicated_span_stats,
+        longest_dup_span,
+    )
+
+    edges = spark.createDataFrame([(1, 2)], ["id_a", "id_b"])
+    no_src = spark.createDataFrame([], "node long")
+    assert bfs_distances(edges, no_src).count() == 0
+
+    base = spark.createDataFrame([(1, 10.0, "A")], ["k", "price", "status"])
+    no_ch = spark.createDataFrame([], "k long, seq long, op string, price double, status string")
+    out = cdc_apply(base, no_ch, key="k", seq_col="seq")
+    assert [tuple(r) for r in out.collect()] == [(1, 10.0, "A")]
+
+    no_docs = spark.createDataFrame([], "doc_id long, text string")
+    assert length_buckets(no_docs).count() == 0
+    assert duplicated_span_stats(no_docs).count() == 0
+    assert longest_dup_span(no_docs).count() == 0
