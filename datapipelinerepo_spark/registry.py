@@ -2999,3 +2999,88 @@ def s_jsonl_roundtrip(spark, sf_dir):
     path = tempfile.mkdtemp(prefix="jsonq_") + "/orders"
     write_formatted(o, path, fmt="json")
     return read_formatted(spark, path, fmt="json", schema=o.schema)
+
+
+@register(
+    "profile_column_stats",
+    sql="""
+    SELECT 'o_orderkey' AS col_name,
+           SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+           COUNT(DISTINCT o_orderkey) AS n_distinct,
+           CAST(MIN(o_orderkey) AS DOUBLE) AS min_num,
+           CAST(MAX(o_orderkey) AS DOUBLE) AS max_num,
+           CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey',
+           SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END),
+           COUNT(DISTINCT o_custkey),
+           CAST(MIN(o_custkey) AS DOUBLE), CAST(MAX(o_custkey) AS DOUBLE),
+           NULL, NULL
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice',
+           SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END),
+           COUNT(DISTINCT o_totalprice),
+           MIN(o_totalprice), MAX(o_totalprice), NULL, NULL
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus',
+           SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END),
+           COUNT(DISTINCT o_orderstatus),
+           NULL, NULL, MIN(o_orderstatus), MAX(o_orderstatus)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority',
+           SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END),
+           COUNT(DISTINCT o_orderpriority),
+           NULL, NULL, MIN(o_orderpriority), MAX(o_orderpriority)
+    FROM orders
+    """,
+)
+def profile_column_stats(spark, sf_dir):
+    """ANALYZE-style column profile: null counts, exact distinct
+    counts, and typed min/max lanes for five orders columns, ONE scan —
+    Catalyst's distinct-aggregate Expand evaluates all five
+    count_distincts in a single pass (at 100 TB swap
+    approx_count_distinct to drop the expand; the exact form is the
+    oracle-checkable twin). The first table a pipeline profiles before
+    choosing join keys and partition columns."""
+    o = t(spark, sf_dir, "orders")
+    num_cols = ("o_orderkey", "o_custkey", "o_totalprice")
+    str_cols = ("o_orderstatus", "o_orderpriority")
+    aggs = []
+    for c in num_cols + str_cols:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"_nn_{c}"),
+            F.count_distinct(F.col(c)).alias(f"_nd_{c}"),
+            F.min(F.col(c)).alias(f"_mn_{c}"),
+            F.max(F.col(c)).alias(f"_mx_{c}"),
+        ]
+    one = o.agg(*aggs)
+    null_d = F.lit(None).cast("double")
+    null_s = F.lit(None).cast("string")
+    rows = [
+        F.struct(
+            F.lit(c).alias("col_name"),
+            F.col(f"_nn_{c}").alias("n_nulls"),
+            F.col(f"_nd_{c}").alias("n_distinct"),
+            F.col(f"_mn_{c}").cast("double").alias("min_num"),
+            F.col(f"_mx_{c}").cast("double").alias("max_num"),
+            null_s.alias("min_str"),
+            null_s.alias("max_str"),
+        )
+        for c in num_cols
+    ] + [
+        F.struct(
+            F.lit(c).alias("col_name"),
+            F.col(f"_nn_{c}").alias("n_nulls"),
+            F.col(f"_nd_{c}").alias("n_distinct"),
+            null_d.alias("min_num"),
+            null_d.alias("max_num"),
+            F.col(f"_mn_{c}").alias("min_str"),
+            F.col(f"_mx_{c}").alias("max_str"),
+        )
+        for c in str_cols
+    ]
+    return one.select(F.explode(F.array(*rows)).alias("_r")).select("_r.*")

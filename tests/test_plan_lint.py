@@ -108,6 +108,8 @@ _REGISTRY_ALLOW = {
     "q15_top_supplier": {"single_partition_exchange"},
     "q17_small_quantity_revenue": {"single_partition_exchange"},
     "scale_approx_aggs": {"single_partition_exchange"},
+    # final global 1-row profile aggregate (ANALYZE-style table stats)
+    "profile_column_stats": {"single_partition_exchange"},
     "scale_heavy_hitters": {"single_partition_exchange"},
     "graph_triangle_count": {"single_partition_exchange"},
     # the only unpartitioned window runs over the 256-row bucket-counts
