@@ -2999,3 +2999,43 @@ def events_user_mad_outliers(spark, sf_dir):
         )
         .filter(F.col("n_events") >= 8)
     )
+
+
+@register(
+    "sample_shard_plan",
+    sql=r"""
+    WITH pos AS (
+      SELECT doc_id, len(regexp_extract_all(text, '\S+')) AS nt,
+             ROW_NUMBER() OVER (
+               ORDER BY md5('epoch0:' || CAST(doc_id AS VARCHAR)) ASC,
+                        doc_id ASC) - 1 AS p
+      FROM documents
+    )
+    SELECT CAST(p % 8 AS BIGINT) AS shard, COUNT(*) AS n_docs,
+           SUM(nt) AS sum_tokens, MIN(p) AS first_pos
+    FROM pos GROUP BY 1
+    """,
+)
+def sample_shard_plan(spark, sf_dir):
+    """Output-shard planning: deal the epoch-shuffled corpus
+    round-robin into 8 shards (position mod N over
+    sampling.global_shuffle_positions — balanced to ±1 doc by
+    construction, and each shard is an unbiased sample of the corpus
+    since the order is already the epoch permutation) and report
+    per-shard doc/token loads. This is the table a shard writer
+    partitions the final training corpus by; all-integer, so the
+    driver hash-checks the deal exactly."""
+    from .operators import sampling as SMP
+
+    d = t(spark, sf_dir, "documents")
+    pos = SMP.global_shuffle_positions(d)
+    nt = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), F.lit(0)))
+    return (
+        pos.select((F.col("pos") % 8).alias("shard"), nt.alias("_nt"), "pos")
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_nt").alias("sum_tokens"),
+            F.min("pos").alias("first_pos"),
+        )
+    )

@@ -115,6 +115,7 @@ _REGISTRY_ALLOW = {
     # the only unpartitioned window runs over the 256-row bucket-counts
     # frame (then broadcasts); the corpus itself shuffles once on _b
     "sample_global_shuffle": {"single_partition_exchange"},
+    "sample_shard_plan": {"single_partition_exchange"},  # same 256-row window
     # correctness twin of the bucketed global-order path: ntile over the
     # full orders frame is intentionally a single-partition window here
     "w_ntile_deciles": {"single_partition_exchange"},
