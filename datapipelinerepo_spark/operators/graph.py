@@ -521,6 +521,10 @@ def bfs_distances(
     doc/part from a trusted seed set" primitive (label propagation from
     curated seeds, contamination blast-radius, link-graph crawl depth).
 
+    Distances are WITHIN the graph: a seed absent from the edge list
+    contributes nothing (no self-row at distance 0) — callers wanting
+    isolated seeds included union them back at dist 0.
+
     Level-synchronous BFS: the frontier at depth d joins the
     (symmetrized) edge list once per round; visited nodes are an
     ids-only frame that anti-joins the next frontier, so first visit ≡

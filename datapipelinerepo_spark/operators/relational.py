@@ -288,7 +288,11 @@ def cdc_apply(
     the newest row per ``key`` (ordered by ``seq_col``; ties broken by
     preferring deletes, the usual CDC convention for simultaneous
     ops), then apply it to ``base`` — 'D' removes the key, anything
-    else upserts the change row's payload columns. This is the MERGE
+    else upserts the change row's payload columns. The output schema
+    is BASE's schema: change columns with no base counterpart are
+    dropped (schema evolution is the append sink's job, io.TableStore
+    mergeSchema), and base columns missing from the change payload
+    pass through unchanged on upserts. This is the MERGE
     INTO semantics of a lakehouse sink expressed engine-neutrally
     (reference: the replace/append sink family, datasources.py:
     write_disposition handling), usable against plain parquet.

@@ -947,7 +947,10 @@ def centroid_outliers(
     Scale shape: one posexplode → (label, dim) partial-aggregating
     groupBy (the only shuffle, and it carries int64s, not payloads),
     a labels×dim centroid table that always broadcasts, and a map-side
-    cosine — the full-corpus scan never re-shuffles."""
+    cosine — the full-corpus scan never re-shuffles. NULL embeddings
+    are excluded up front (they can't contribute to a centroid or
+    receive a cosine) rather than surfacing as NULL score rows."""
+    df = df.filter(F.col(vec_col).isNotNull())
     q = df.select(
         F.col(label_col).alias("_lab"),
         F.posexplode(F.col(vec_col)).alias("_dim", "_x"),

@@ -673,3 +673,23 @@ def test_new_ops_empty_inputs(spark):
     assert length_buckets(no_docs).count() == 0
     assert duplicated_span_stats(no_docs).count() == 0
     assert longest_dup_span(no_docs).count() == 0
+
+
+def test_centroid_outliers_null_embeddings_excluded(spark):
+    """NULL embeddings neither poison the centroid nor appear as NULL
+    score rows."""
+    from pyspark.sql.types import (
+        ArrayType, DoubleType, LongType, IntegerType, StructField, StructType,
+    )
+    from datapipelinerepo_spark.operators.similarity import centroid_outliers
+
+    schema = StructType([
+        StructField("vec_id", LongType()),
+        StructField("label", IntegerType()),
+        StructField("embedding", ArrayType(DoubleType())),
+    ])
+    rows = [(1, 0, [1.0, 0.0]), (2, 0, [0.9, 0.1]), (3, 0, None)]
+    out = centroid_outliers(spark.createDataFrame(rows, schema)).collect()
+    ids = {r["vec_id"] for r in out}
+    assert ids == {1, 2}
+    assert all(r["cos_centroid"] is not None for r in out)
