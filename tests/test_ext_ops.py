@@ -1104,3 +1104,33 @@ def test_longest_dup_span_planted(spark):
     assert out[1]["n_spans"] == 2
     assert out[3]["longest_span_tokens"] == 10 and not out[3]["trim"]
     assert 4 not in out  # no duplicated positions at all
+
+
+def test_edit_distance_pairs_planted_and_complete(spark, docs):
+    """A planted 2-edit variant of a real doc is found by the filtered
+    join, and the filtered result equals brute force exactly on a
+    50-doc slice (candidate completeness)."""
+    from datapipelinerepo_spark.operators.dedup import edit_distance_pairs
+
+    base = docs.filter(F.col("doc_id") < 50).select("doc_id", "text")
+    donor = base.filter(F.col("doc_id") == 0).collect()[0]["text"]
+    mutated = "xy" + donor[2:]  # 2 substitutions at the head
+    planted = spark.createDataFrame([(900001, mutated)], ["doc_id", "text"])
+    corpus = base.union(planted)
+    got = {
+        (r["id_a"], r["id_b"], r["edit_dist"])
+        for r in edit_distance_pairs(corpus, k=3, q=4).collect()
+    }
+    assert (0, 900001, 2) in got
+    # brute-force equality
+    heads = corpus.select("doc_id", F.substring("text", 1, 120).alias("h"))
+    a = heads.select(F.col("doc_id").alias("id_a"), F.col("h").alias("ha"))
+    b = heads.select(F.col("doc_id").alias("id_b"), F.col("h").alias("hb"))
+    bf = {
+        (r["id_a"], r["id_b"], r["d"])
+        for r in a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.levenshtein("ha", "hb").alias("d"))
+        .filter("d <= 3")
+        .collect()
+    }
+    assert got == bf
