@@ -307,3 +307,51 @@ def curate_ingest_stream(
     if available_now:
         w = w.trigger(availableNow=True)
     return w.start()
+
+
+def cdc_ingest_stream(
+    changes: DataFrame,
+    store,
+    checkpoint_dir: str,
+    key: str,
+    seq_col: str,
+    op_col: str = "op",
+    base_table: str = "dim_current",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming CDC apply: each micro-batch of change events merges
+    into the maintained ``base_table`` via the latest-wins MERGE
+    (operators/relational.cdc_apply) — deletes remove, updates upsert,
+    unseen keys insert, the change-side window collapses each batch to
+    one row per key before the join. The first batch bootstraps the
+    table from its own payload schema.
+
+    Exactly-once posture: unlike the append-shaped ingests (which get
+    idempotence from _batch_id partition overwrite), a merge REWRITES
+    the table, so replay safety comes from the operator's semantics —
+    cdc_apply is idempotent on re-application of the same batch to its
+    own output (pinned by test_cdc_apply_idempotent_replay), so an
+    at-least-once foreachBatch retry converges to the same table. The
+    merged result is localCheckpoint'ed before the overwrite because
+    it reads the very table it replaces."""
+    from ..operators.relational import cdc_apply
+
+    def _apply(batch: DataFrame, batch_id: int) -> None:
+        batch = batch.localCheckpoint(eager=True)
+        if store.exists(base_table):
+            base = store.read(base_table)
+        else:
+            base = batch.drop(seq_col, op_col).limit(0)
+        merged = cdc_apply(
+            base, batch, key=key, seq_col=seq_col, op_col=op_col
+        ).localCheckpoint(eager=True)
+        store.overwrite(merged, base_table)
+
+    w = (
+        changes.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()

@@ -332,3 +332,56 @@ def test_curate_ingest_stream(spark, tmp_path):
     assert rej2 == {2: "quality_gate", 4: "exact_dup", 20: "exact_dup"}
     run()  # drained replay: nothing changes
     assert {r["doc_id"] for r in store.read("clean_corpus").collect()} == {1, 3, 21}
+
+
+def test_cdc_ingest_stream(spark, tmp_path):
+    """Streaming CDC merge: batch 1 bootstraps the table (deletes of
+    unseen keys are no-ops), batch 2 updates one key, deletes another,
+    and inserts a third; a drained re-run leaves the table unchanged
+    (merge idempotence is the replay-safety mechanism)."""
+    from datapipelinerepo_spark.io import TableStore
+    from datapipelinerepo_spark.streaming.ingest import cdc_ingest_stream
+
+    src = tmp_path / "cdc_in"
+    src.mkdir()
+    store = TableStore(spark, str(tmp_path / "cdc_store"))
+    ckpt = str(tmp_path / "ckpt_cdc")
+    (src / "b1.json").write_text(
+        "\n".join(
+            json.dumps(d)
+            for d in [
+                {"k": 1, "seq": 1, "op": "U", "price": 10.0, "status": "A"},
+                {"k": 2, "seq": 1, "op": "U", "price": 20.0, "status": "B"},
+                {"k": 99, "seq": 1, "op": "D", "price": 0.0, "status": "X"},
+            ]
+        )
+    )
+
+    def run():
+        stream = spark.readStream.schema(
+            "k long, seq long, op string, price double, status string"
+        ).json(str(src))
+        q = cdc_ingest_stream(stream, store, ckpt, key="k", seq_col="seq")
+        q.awaitTermination()
+
+    run()
+    t1 = {r["k"]: (r["price"], r["status"]) for r in store.read("dim_current").collect()}
+    assert t1 == {1: (10.0, "A"), 2: (20.0, "B")}
+
+    (src / "b2.json").write_text(
+        "\n".join(
+            json.dumps(d)
+            for d in [
+                {"k": 1, "seq": 2, "op": "U", "price": 11.0, "status": "A2"},
+                {"k": 2, "seq": 2, "op": "D", "price": 0.0, "status": "X"},
+                {"k": 3, "seq": 1, "op": "U", "price": 30.0, "status": "C"},
+            ]
+        )
+    )
+    run()
+    t2 = {r["k"]: (r["price"], r["status"]) for r in store.read("dim_current").collect()}
+    assert t2 == {1: (11.0, "A2"), 3: (30.0, "C")}
+
+    run()  # drained replay: nothing changes
+    t3 = {r["k"]: (r["price"], r["status"]) for r in store.read("dim_current").collect()}
+    assert t3 == t2
