@@ -136,6 +136,14 @@ def minhash_signatures(
     scan-side work that AQE never has to re-plan. (The alternative
     explode → 32-agg groupBy shuffles |docs|x|shingles| rows.)
 
+    Each shingle STRING is hashed exactly once (xxhash64 → reduced mod
+    the Mersenne prime 2³¹−1), and the ``num_hashes`` functions are
+    Carter-Wegman derivations (a_i·h + b_i) mod 2³¹−1 over that base —
+    the datasketch family, with 31-bit operands so every product stays
+    inside signed-64 (ANSI mode forbids wrapping longs). The earlier
+    per-seed ``xxhash64(s, seed_i)`` form re-hashed every shingle
+    string 32 times and was 95% of the banding stage's cost.
+
     The per-seed lambda MUST take exactly one parameter: pyspark's
     ``transform`` treats a two-arg lambda as (element, index), so the
     once-used ``lambda s, i=i:`` idiom silently shadowed the seed with
@@ -143,12 +151,28 @@ def minhash_signatures(
     position-dependent function and near-dups with shifted minima were
     missed. Seeds are bound via a closure factory instead."""
 
+    MP = (1 << 31) - 1  # Mersenne prime 2^31-1
+
+    def _splitmix(x: int) -> int:
+        x = (x + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+        x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+        x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+        return x ^ (x >> 31)
+
+    base = F.transform("_shingles", lambda s: F.pmod(F.xxhash64(s), F.lit(MP)))
+
     def _sig(i: int):
+        a = _splitmix(seed + 2 * i) % (MP - 1) + 1  # in [1, MP-1]
+        b = _splitmix(seed + 2 * i + 1) % MP
         return F.array_min(
-            F.transform("_shingles", lambda s: F.xxhash64(s, F.lit(seed + i)))
+            F.transform(
+                "_hs", lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(MP))
+            )
         ).alias(f"h{i}")
 
-    return shingled.select("_id", *[_sig(i) for i in range(num_hashes)])
+    return shingled.withColumn("_hs", base).select(
+        "_id", *[_sig(i) for i in range(num_hashes)]
+    )
 
 
 def _band_rows(
