@@ -3084,3 +3084,47 @@ def profile_column_stats(spark, sf_dir):
         for c in str_cols
     ]
     return one.select(F.explode(F.array(*rows)).alias("_r")).select("_r.*")
+
+
+@register(
+    "j_null_safe_join",
+    sql="""
+    WITH a AS (
+      SELECT o_orderkey, NULLIF(o_orderkey % 7, 0) AS bucket FROM orders
+      WHERE o_orderkey % 2 = 0
+    ), b AS (
+      SELECT o_orderkey, NULLIF(o_orderkey % 7, 0) AS bucket FROM orders
+      WHERE o_orderkey % 3 = 0
+    )
+    SELECT a.bucket, COUNT(*) AS n_pairs
+    FROM a JOIN b ON a.bucket IS NOT DISTINCT FROM b.bucket
+                 AND a.o_orderkey < b.o_orderkey
+    GROUP BY 1
+    """,
+)
+def j_null_safe_join(spark, sf_dir):
+    """Null-safe equi-join (`<=>` / IS NOT DISTINCT FROM): NULL keys
+    match EACH OTHER instead of vanishing — the semantics a dedup or
+    reconciliation join needs when the key is legitimately absent.
+    Catalyst plans eqNullSafe as a hash join on a null-safe key (NOT a
+    nested loop), so the shape survives scale; the NULL bucket is the
+    skew hot-spot to watch (here it carries ~1/7 of rows; salt it when
+    the null share is large). Hash-checked per bucket including the
+    NULL group."""
+    o = t(spark, sf_dir, "orders")
+    mk = lambda flt: (  # noqa: E731
+        o.filter(F.col("o_orderkey") % flt == 0).select(
+            "o_orderkey",
+            F.nullif(F.col("o_orderkey") % 7, F.lit(0)).alias("bucket"),
+        )
+    )
+    a, b = mk(2).alias("a"), mk(3).alias("b")
+    return (
+        a.join(
+            b,
+            F.col("a.bucket").eqNullSafe(F.col("b.bucket"))
+            & (F.col("a.o_orderkey") < F.col("b.o_orderkey")),
+        )
+        .groupBy(F.col("a.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
