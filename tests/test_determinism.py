@@ -37,3 +37,33 @@ def test_result_identical_across_partitionings(spark, sf_dir, name):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     assert r3 == r13
+
+
+def test_dsir_partitioning_invariant(spark):
+    """DSIR scores are identical at 1 and 7 partitions (rounded-ln +
+    DECIMAL sum discipline)."""
+    from pyspark.sql import functions as F
+
+    from datapipelinerepo_spark.operators.text import dsir_importance
+
+    rows = [
+        (i, " ".join(f"w{(i * 7 + j) % 23}" for j in range(12)), "en" if i % 3 else "de")
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    tgt = F.col("lang") == "en"
+    a = sorted(map(tuple, dsir_importance(df.coalesce(1), tgt).collect()))
+    b = sorted(map(tuple, dsir_importance(df.repartition(7), tgt).collect()))
+    assert a == b
+
+
+def test_minhash_signatures_partitioning_invariant(spark):
+    """The Carter-Wegman signature family is a pure per-row function:
+    identical signatures at any partitioning."""
+    from datapipelinerepo_spark.operators.dedup import minhash_signatures, shingles
+
+    rows = [(i, f"alpha beta gamma delta epsilon w{i % 5} zeta") for i in range(30)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    a = sorted(map(tuple, minhash_signatures(shingles(df.coalesce(1))).collect()))
+    b = sorted(map(tuple, minhash_signatures(shingles(df.repartition(7))).collect()))
+    assert a == b
