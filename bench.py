@@ -57,7 +57,21 @@ def main() -> None:
     )
     (
         tabs["documents"]
-        .select(F.array_min(F.transform(F.split("text", " "), lambda s: F.xxhash64(s))))
+        .select(
+            F.array_min(F.transform(F.split("text", " "), lambda s: F.xxhash64(s))),
+            # the Carter-Wegman signature shape (pmod multiply-add over a
+            # base-hash array) so the minhash query's first evaluation is
+            # not also its JIT warm-up
+            F.array_min(
+                F.transform(
+                    F.transform(
+                        F.split("text", " "),
+                        lambda s: F.pmod(F.xxhash64(s), F.lit(2147483647)),
+                    ),
+                    lambda h: F.pmod(h * F.lit(12345) + F.lit(67), F.lit(2147483647)),
+                )
+            ),
+        )
         .write.format("noop").mode("overwrite").save()
     )
     # set-algebra + banded self-join shapes (minhash verify / LSH
