@@ -490,30 +490,39 @@ def unigram_perplexity(
         F.split(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "), " "),
         lambda s: F.length(s) > 0,
     )
+    # Per-(doc, token) counts FIRST: the scoring join then moves one
+    # row per distinct token per doc instead of one per occurrence
+    # (natural text repeats tokens heavily — the skewed stopwords
+    # collapse map-side), and Σ c_dt·round6(ln p) in DECIMAL is
+    # EXACTLY Σ over occurrences of the rounded ln — bit-identical
+    # output, strictly less shuffle volume.
     flat = df.select(F.col(id_col), F.explode(toks).alias("_tok"))
-    freq = flat.groupBy("_tok").agg(F.count(F.lit(1)).alias("_c"))
+    tf = flat.groupBy(id_col, "_tok").agg(F.count(F.lit(1)).alias("_cdt"))
+    freq = tf.groupBy("_tok").agg(F.sum("_cdt").alias("_c"))
     totals = freq.agg(
         F.sum("_c").alias("_N"), F.count(F.lit(1)).alias("_V")
     )
     scored = (
-        flat.join(freq, "_tok")
+        tf.join(freq, "_tok")
         .crossJoin(F.broadcast(totals))
         .select(
             id_col,
-            F.round(
-                F.log(
-                    (F.col("_c") + 1).cast("double")
-                    / (F.col("_N") + F.col("_V")).cast("double")
-                ),
-                6,
-            )
-            .cast("decimal(28,6)")
-            .alias("_lp"),
+            "_cdt",
+            (
+                F.col("_cdt").cast("decimal(20,0)")
+                * F.round(
+                    F.log(
+                        (F.col("_c") + 1).cast("double")
+                        / (F.col("_N") + F.col("_V")).cast("double")
+                    ),
+                    6,
+                ).cast("decimal(28,6)")
+            ).alias("_lp"),
         )
     )
     return (
         scored.groupBy(id_col)
-        .agg(F.sum("_lp").alias("_slp"), F.count(F.lit(1)).alias("n_tokens"))
+        .agg(F.sum("_lp").alias("_slp"), F.sum("_cdt").alias("n_tokens"))
         .select(
             id_col,
             "n_tokens",
