@@ -575,29 +575,38 @@ def ngram_perplexity(
             )
         ).alias("g"),
     ).select(id_col, "g.ctx", "g.tok")
-    c_ct = grams.groupBy("ctx", "tok").agg(F.count(F.lit(1)).alias("_cct"))
-    c_c = grams.groupBy("ctx").agg(F.count(F.lit(1)).alias("_cc"))
-    vocab = grams.agg(F.countDistinct("tok").alias("_V"))
+    # per-(doc, ctx, tok) counts first — the scoring joins then move one
+    # row per distinct (ctx, tok) per doc instead of one per position,
+    # and Σ c·round6(ln p) in DECIMAL equals the per-position sum
+    # exactly (same argument as unigram_perplexity)
+    tfg = grams.groupBy(id_col, "ctx", "tok").agg(
+        F.count(F.lit(1)).alias("_cg")
+    )
+    c_ct = tfg.groupBy("ctx", "tok").agg(F.sum("_cg").alias("_cct"))
+    c_c = tfg.groupBy("ctx").agg(F.sum("_cg").alias("_cc"))
+    vocab = c_ct.agg(F.countDistinct("tok").alias("_V"))
     scored = (
-        grams.join(c_ct, ["ctx", "tok"])
+        tfg.join(c_ct, ["ctx", "tok"])
         .join(c_c, "ctx")
         .crossJoin(F.broadcast(vocab))
         .select(
             id_col,
-            F.round(
-                F.log(
-                    (F.col("_cct") + 1).cast("double")
-                    / (F.col("_cc") + F.col("_V")).cast("double")
-                ),
-                6,
-            )
-            .cast("decimal(28,6)")
-            .alias("_lp"),
+            "_cg",
+            (
+                F.col("_cg").cast("decimal(20,0)")
+                * F.round(
+                    F.log(
+                        (F.col("_cct") + 1).cast("double")
+                        / (F.col("_cc") + F.col("_V")).cast("double")
+                    ),
+                    6,
+                ).cast("decimal(28,6)")
+            ).alias("_lp"),
         )
     )
     return (
         scored.groupBy(id_col)
-        .agg(F.sum("_lp").alias("_slp"), F.count(F.lit(1)).alias("n_scored"))
+        .agg(F.sum("_lp").alias("_slp"), F.sum("_cg").alias("n_scored"))
         .select(
             id_col,
             "n_scored",
@@ -729,9 +738,16 @@ def dsir_importance(
     flat = df.select(
         F.col(id_col), target_filter.alias("_tgt"), F.explode(toks).alias("_tok")
     )
-    freq = flat.groupBy("_tok").agg(
-        F.count(F.lit(1)).alias("_cr"),
-        F.sum(F.when(F.col("_tgt"), 1).otherwise(0)).alias("_ct"),
+    # per-(doc, token) counts first — the scoring join moves one row per
+    # distinct token per doc, and the c·round6(ln) DECIMAL sums equal
+    # the per-occurrence sums exactly (the unigram_perplexity argument)
+    tf = flat.groupBy(id_col, "_tok").agg(
+        F.count(F.lit(1)).alias("_cdt"),
+        F.sum(F.when(F.col("_tgt"), 1).otherwise(0)).alias("_cdt_t"),
+    )
+    freq = tf.groupBy("_tok").agg(
+        F.sum("_cdt").alias("_cr"),
+        F.sum("_cdt_t").alias("_ct"),
     )
     totals = freq.agg(
         F.sum("_cr").alias("_Nr"),
@@ -743,13 +759,20 @@ def dsir_importance(
         6,
     ).cast("decimal(28,6)")
     scored = (
-        flat.join(freq, "_tok")
+        tf.join(freq, "_tok")
         .crossJoin(F.broadcast(totals))
-        .select(id_col, (lp("_ct", "_Nt") - lp("_cr", "_Nr")).alias("_lr"))
+        .select(
+            id_col,
+            "_cdt",
+            (
+                F.col("_cdt").cast("decimal(20,0)")
+                * (lp("_ct", "_Nt") - lp("_cr", "_Nr"))
+            ).alias("_lr"),
+        )
     )
     return (
         scored.groupBy(id_col)
-        .agg(F.sum("_lr").alias("_slr"), F.count(F.lit(1)).alias("n_tokens"))
+        .agg(F.sum("_lr").alias("_slr"), F.sum("_cdt").alias("n_tokens"))
         .select(
             id_col,
             "n_tokens",
