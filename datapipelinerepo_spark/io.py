@@ -350,10 +350,15 @@ def read_formatted(
 ):
     """Text-format scan with an EXPLICIT schema (never inference — at
     100 TB, schema inference is an extra full pass over the data and a
-    correctness hazard; the contract is schema-on-write)."""
+    correctness hazard; the contract is schema-on-write). CSV defaults
+    mirror write_formatted's quote-all contract: multiLine on, so
+    quoted free-text fields containing newlines round-trip without the
+    caller having to know (ADVICE r4; multiLine makes a CSV file
+    non-splittable, which is fine for the interchange-sized files this
+    path serves — columnar data belongs in parquet)."""
     r = spark.read
     if schema is not None:
         r = r.schema(schema)
     if fmt == "csv":
-        options = {"header": "true", "escape": '"', **options}
+        options = {"header": "true", "escape": '"', "multiLine": "true", **options}
     return r.format(fmt).options(**options).load(path)

@@ -760,8 +760,37 @@ def edit_distance_pairs(
         .filter(F.col("_rn") <= k * q + 1)
         .select("_id", "_g", "_len")
     )
+    # Short-head completeness (ADVICE r4): the prefix bound only holds
+    # when BOTH strings have > k·q distinct grams — k edits can destroy
+    # ALL grams of a head with ≤ k·q of them (e.g. 'ab' vs 'ac' at
+    # q=4 share no gram at distance 1). Any distance-≤k neighbor of
+    # such a head has ≤ 2·k·q distinct grams (each edit introduces at
+    # most q new grams), so routing every ≤ 2·k·q-gram head through
+    # shared buckets restores the guarantee. Buckets are length-banded
+    # (width k+1, each head emitted to its band and band+1, so any
+    # |len diff| ≤ k pair shares a bucket) to keep pair expansion
+    # quadratic only within a 2(k+1)-char shortness window, not across
+    # the whole short subpopulation.
+    gram_counts = grams.groupBy("_id").agg(
+        F.count(F.lit(1)).alias("_ng"), F.first("_len").alias("_len")
+    )
+    # marker is q+1 NULs + "short:" + band: longer than q chars, so it
+    # can never equal a real q-gram (grams are substrings of length <= q)
+    short_marker = F.concat(
+        F.lit("\x00" * (q + 1) + "short:"),
+        ((F.col("_len") / (k + 1)).cast("long") + F.col("_bo")).cast("string"),
+    )
+    short = (
+        gram_counts.filter(F.col("_ng") <= 2 * k * q)
+        .select(
+            "_id",
+            "_len",
+            F.explode(F.array(F.lit(0), F.lit(1))).alias("_bo"),
+        )
+        .select("_id", short_marker.alias("_g"), "_len")
+    )
     cand = (
-        _bucket_pairs(prefix, bucket_cols=("_g",), payload="_len")
+        _bucket_pairs(prefix.unionByName(short), bucket_cols=("_g",), payload="_len")
         .filter(F.abs(F.col("_len_a") - F.col("_len_b")) <= k)
         .select("id_a", "id_b")
         .distinct()

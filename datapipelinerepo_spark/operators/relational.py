@@ -303,17 +303,46 @@ def cdc_apply(
     side is the big one; AQE keeps the join shuffled-hash, and a
     bucketed base table co-locates it entirely. Deletes and upserts
     are applied in the same join projection, so the whole merge is two
-    shuffles end to end."""
+    shuffles end to end.
+
+    Determinism contract (ADVICE r4): the op column must be one of
+    {'I','U','D'} — a NULL or unknown op fails fast (assert_true in the
+    change-side projection) rather than silently upserting an all-NULL
+    payload for unseen keys. Duplicate (key, seq, op-class) change rows
+    with DIFFERENT payloads have no defined winner in any CDC log
+    format; the window breaks that tie deterministically on the payload
+    column values themselves, so reruns and partitioning changes always
+    pick the same row."""
     payload = [c for c in changes.columns if c not in (key, seq_col, op_col)]
+    # fail-fast lives in a FILTER condition (assert_true returns NULL on
+    # success → isNull() is true) — a dropped withColumn would be pruned
+    # by Catalyst and the check would never run
+    checked = changes.filter(
+        F.assert_true(
+            F.col(op_col).isin("I", "U", "D"),
+            F.concat(
+                F.lit(f"cdc_apply: {op_col} must be one of I/U/D, got "),
+                F.coalesce(F.col(op_col).cast("string"), F.lit("NULL")),
+            ),
+        ).isNull()
+    )
+    from pyspark.sql.types import MapType
+
+    sortable = [
+        c
+        for c in payload
+        if not isinstance(changes.schema[c].dataType, MapType)
+    ]
     w = (
         Window.partitionBy(key)
         .orderBy(
             F.col(seq_col).desc(),
             F.when(F.col(op_col) == "D", 0).otherwise(1).asc(),
+            *[F.col(c).asc_nulls_last() for c in sortable],
         )
     )
     latest = (
-        changes.withColumn("_rn", F.row_number().over(w))
+        checked.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .drop("_rn", seq_col)
     )

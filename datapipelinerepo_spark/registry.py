@@ -2792,11 +2792,15 @@ def a_rollup_pricing(spark, sf_dir):
     "pivot_priority_year",
     sql="""
     SELECT CAST(year(o_orderdate) AS INT) AS order_year,
-           SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS urgent,
-           SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS high,
-           SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS medium,
-           SUM(CASE WHEN o_orderpriority NOT IN
-                 ('1-URGENT', '2-HIGH', '3-MEDIUM') THEN 1 ELSE 0 END) AS other
+           CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+                AS BIGINT) AS urgent,
+           CAST(SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END)
+                AS BIGINT) AS high,
+           CAST(SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END)
+                AS BIGINT) AS medium,
+           CAST(SUM(CASE WHEN o_orderpriority IN
+                 ('1-URGENT', '2-HIGH', '3-MEDIUM') THEN 0 ELSE 1 END)
+                AS BIGINT) AS other
     FROM orders GROUP BY 1
     """,
 )
@@ -3005,7 +3009,7 @@ def s_jsonl_roundtrip(spark, sf_dir):
     "profile_column_stats",
     sql="""
     SELECT 'o_orderkey' AS col_name,
-           SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+           CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
            COUNT(DISTINCT o_orderkey) AS n_distinct,
            CAST(MIN(o_orderkey) AS DOUBLE) AS min_num,
            CAST(MAX(o_orderkey) AS DOUBLE) AS max_num,
@@ -3013,26 +3017,26 @@ def s_jsonl_roundtrip(spark, sf_dir):
     FROM orders
     UNION ALL
     SELECT 'o_custkey',
-           SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END),
+           CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
            COUNT(DISTINCT o_custkey),
            CAST(MIN(o_custkey) AS DOUBLE), CAST(MAX(o_custkey) AS DOUBLE),
            NULL, NULL
     FROM orders
     UNION ALL
     SELECT 'o_totalprice',
-           SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END),
+           CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
            COUNT(DISTINCT o_totalprice),
            MIN(o_totalprice), MAX(o_totalprice), NULL, NULL
     FROM orders
     UNION ALL
     SELECT 'o_orderstatus',
-           SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END),
+           CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
            COUNT(DISTINCT o_orderstatus),
            NULL, NULL, MIN(o_orderstatus), MAX(o_orderstatus)
     FROM orders
     UNION ALL
     SELECT 'o_orderpriority',
-           SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END),
+           CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
            COUNT(DISTINCT o_orderpriority),
            NULL, NULL, MIN(o_orderpriority), MAX(o_orderpriority)
     FROM orders

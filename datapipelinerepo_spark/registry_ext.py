@@ -2387,14 +2387,15 @@ def text_lang_confusion(spark, sf_dir):
                   WHEN nt <= 1024 THEN 1024 ELSE -1 END AS bucket_cap
       FROM d
     ), agg AS (
-      SELECT bucket_cap, COUNT(*) AS n_docs, SUM(nt) AS sum_tokens,
+      SELECT bucket_cap, COUNT(*) AS n_docs,
+             CAST(SUM(nt) AS BIGINT) AS sum_tokens,
              MAX(nt) AS max_tokens
       FROM b GROUP BY 1
     )
     SELECT bucket_cap, n_docs, sum_tokens, max_tokens,
-           (CASE WHEN bucket_cap > 0 THEN bucket_cap ELSE max_tokens END)
-             * n_docs - sum_tokens AS pad_fixed,
-           max_tokens * n_docs - sum_tokens AS pad_dynamic,
+           CAST((CASE WHEN bucket_cap > 0 THEN bucket_cap ELSE max_tokens END)
+             * n_docs - sum_tokens AS BIGINT) AS pad_fixed,
+           CAST(max_tokens * n_docs - sum_tokens AS BIGINT) AS pad_dynamic,
            round(CAST((CASE WHEN bucket_cap > 0 THEN bucket_cap
                             ELSE max_tokens END) * n_docs - sum_tokens AS DOUBLE)
                  / ((CASE WHEN bucket_cap > 0 THEN bucket_cap
@@ -2592,7 +2593,8 @@ def graph_degree_histogram(spark, sf_dir):
       FROM events GROUP BY 1
     )
     SELECT e.event_type, round(b.p99, 6) AS p99, b.n_rows,
-           SUM(CASE WHEN e.value > b.p99 THEN 1 ELSE 0 END) AS n_capped
+           CAST(SUM(CASE WHEN e.value > b.p99 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_capped
     FROM events e JOIN b USING (event_type)
     GROUP BY 1, 2, 3
     """,
@@ -2832,10 +2834,10 @@ def text_longest_dup_span(spark, sf_dir):
       SELECT tok, COUNT(*) AS c FROM tk GROUP BY 1
     ), ranked AS (
       SELECT row_number() OVER (ORDER BY c DESC, tok ASC) AS rn,
-             SUM(c) OVER (ORDER BY c DESC, tok ASC
-                          ROWS UNBOUNDED PRECEDING) AS cum
+             CAST(SUM(c) OVER (ORDER BY c DESC, tok ASC
+                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
       FROM freq
-    ), tot AS (SELECT SUM(c) AS t, COUNT(*) AS v FROM freq)
+    ), tot AS (SELECT CAST(SUM(c) AS BIGINT) AS t, COUNT(*) AS v FROM freq)
     SELECT k.k AS vocab_size, ranked.cum AS covered_tokens,
            round(CAST(ranked.cum AS DOUBLE) / tot.t, 6) AS coverage
     FROM (VALUES (1000), (5000), (20000)) k(k), ranked, tot
@@ -2893,7 +2895,8 @@ def text_vocab_coverage(spark, sf_dir):
     sql=r"""
     WITH per AS (
       SELECT lang,
-             SUM(len(regexp_extract_all(text, '\S+'))) AS n_tokens
+             CAST(SUM(len(regexp_extract_all(text, '\S+'))) AS BIGINT)
+               AS n_tokens
       FROM documents GROUP BY 1
     ), wts AS (
       SELECT lang, n_tokens,
@@ -2961,8 +2964,8 @@ def sample_repeat_plan(spark, sf_dir):
       SELECT user_id, quantile_cont(adev, 0.5) AS mad FROM dev GROUP BY 1
     )
     SELECT dev.user_id, dev.n_events,
-           SUM(CASE WHEN dev.adev > 3 * mad.mad THEN 1 ELSE 0 END)
-             AS n_outliers
+           CAST(SUM(CASE WHEN dev.adev > 3 * mad.mad THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers
     FROM dev JOIN mad USING (user_id)
     GROUP BY 1, 2 HAVING dev.n_events >= 8
     """,
@@ -3012,7 +3015,7 @@ def events_user_mad_outliers(spark, sf_dir):
       FROM documents
     )
     SELECT CAST(p % 8 AS BIGINT) AS shard, COUNT(*) AS n_docs,
-           SUM(nt) AS sum_tokens, MIN(p) AS first_pos
+           CAST(SUM(nt) AS BIGINT) AS sum_tokens, MIN(p) AS first_pos
     FROM pos GROUP BY 1
     """,
 )

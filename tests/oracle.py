@@ -58,6 +58,62 @@ def rows_to_multiset(rows, colnames):
     return out
 
 
+def _type_kind(t: str) -> str:
+    """Collapse a type name to the equivalence kind the driver's value
+    canonicalization respects. DuckDB HUGEINT (uncast integer SUM) and
+    DECIMAL serialize as float-ish on the driver side while Spark emits
+    bigint — values equal, hashes differ (VERDICT r4 "What's wrong",
+    8 red rows). Kinds must match per-column or compare() fails even
+    when the Python-level values agree."""
+    t = t.lower().split("(")[0].strip()
+    return {
+        "tinyint": "int", "smallint": "int", "integer": "int", "int": "int",
+        "bigint": "int", "utinyint": "int", "usmallint": "int",
+        "uinteger": "int", "ubigint": "int", "byte": "int", "short": "int",
+        "long": "int",
+        "hugeint": "hugeint", "uhugeint": "hugeint", "int128": "hugeint",
+        "float": "float", "double": "float", "real": "float",
+        "decimal": "decimal", "numeric": "decimal",
+        "varchar": "str", "string": "str", "text": "str",
+        "boolean": "bool", "bool": "bool",
+        "date": "date", "timestamp": "ts", "timestamp_ns": "ts",
+        "timestamp_ntz": "ts", "timestamp with time zone": "ts",
+        "blob": "bytes", "binary": "bytes",
+    }.get(t, t)
+
+
+def _is_complex(t: str) -> bool:
+    t = t.lower()
+    return any(m in t for m in ("array", "struct", "map", "[]", "list", "row("))
+
+
+def typing_mismatches(spark_df, rel) -> list[str]:
+    """Per-column type-kind diffs between a Spark result and its DuckDB
+    oracle relation — the lint that makes HUGEINT/DECIMAL-vs-BIGINT
+    oracle bugs fail locally before the driver flags them."""
+    s_types = {f.name.lower(): f.dataType.simpleString() for f in spark_df.schema.fields}
+    bad = []
+    for name, dtype in zip(rel.columns, rel.types):
+        n = name.lower()
+        if n not in s_types:
+            continue
+        if _is_complex(s_types[n]) or _is_complex(str(dtype)):
+            continue  # value compare still covers these; the known
+            # driver-hash failure class is scalar numeric typing
+        sk, dk = _type_kind(s_types[n]), _type_kind(str(dtype))
+        if sk == dk:
+            continue
+        if {sk, dk} == {"date", "str"}:
+            # proven benign: both serialize to the ISO string on the
+            # driver side (pipeline_idempotent_reload green since r03)
+            continue
+        # int-vs-float/decimal in EITHER direction, or hugeint anywhere,
+        # breaks the driver hash; cross-kind cases we know are benign
+        # (none today) would be listed here explicitly.
+        bad.append(f"{n}: spark={s_types[n]} duck={dtype}")
+    return bad
+
+
 def compare(spark_df, con, sql) -> tuple[bool, str]:
     s_rows = spark_df.collect()
     s_cols = spark_df.columns
@@ -66,6 +122,9 @@ def compare(spark_df, con, sql) -> tuple[bool, str]:
     d_cols = [c for c in rel.columns]
     if sorted(c.lower() for c in s_cols) != sorted(c.lower() for c in d_cols):
         return False, f"column mismatch: spark={sorted(s_cols)} duck={sorted(d_cols)}"
+    bad_types = typing_mismatches(spark_df, rel)
+    if bad_types:
+        return False, f"oracle typing mismatch (driver would hash-fail): {bad_types}"
     if len(s_rows) != len(d_rows):
         return False, f"row count: spark={len(s_rows)} duck={len(d_rows)}"
     sm = rows_to_multiset([tuple(r) for r in s_rows], [c.lower() for c in s_cols])

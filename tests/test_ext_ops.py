@@ -1134,3 +1134,43 @@ def test_edit_distance_pairs_planted_and_complete(spark, docs):
         .collect()
     }
     assert got == bf
+
+
+def test_edit_distance_pairs_short_heads_complete(spark, docs):
+    """Heads with ≤ k·q distinct q-grams get no prefix-filter overlap
+    guarantee (k edits can destroy ALL their grams: 'ab' vs 'ac' share
+    no 4-gram at distance 1, ADVICE r4); the shared length-banded
+    bucket must still surface them. Brute-force equality over a mixed
+    short/long corpus, including short-vs-short pairs that straddle a
+    length band boundary."""
+    from datapipelinerepo_spark.operators.dedup import edit_distance_pairs
+
+    shorts = [
+        (1000001, "ab"),
+        (1000002, "ac"),          # dist 1 from 'ab', zero shared grams
+        (1000003, "abcd"),        # band boundary neighbors
+        (1000004, "abcdefg"),     # dist 3 from 'abcd' (3 inserts)
+        (1000005, "zzzz" * 25),   # 100 chars but ONE distinct gram
+        (1000006, "zzzz" * 25 + "q"),  # dist 1 from it
+        (1000007, "totally unrelated short"),
+    ]
+    base = docs.filter(F.col("doc_id") < 20).select("doc_id", "text")
+    corpus = base.union(spark.createDataFrame(shorts, ["doc_id", "text"]))
+    got = {
+        (r["id_a"], r["id_b"], r["edit_dist"])
+        for r in edit_distance_pairs(corpus, k=3, q=4).collect()
+    }
+    assert (1000001, 1000002, 1) in got
+    assert (1000003, 1000004, 3) in got
+    assert (1000005, 1000006, 1) in got
+    heads = corpus.select("doc_id", F.substring("text", 1, 120).alias("h"))
+    a = heads.select(F.col("doc_id").alias("id_a"), F.col("h").alias("ha"))
+    b = heads.select(F.col("doc_id").alias("id_b"), F.col("h").alias("hb"))
+    bf = {
+        (r["id_a"], r["id_b"], r["d"])
+        for r in a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.levenshtein("ha", "hb").alias("d"))
+        .filter("d <= 3")
+        .collect()
+    }
+    assert got == bf

@@ -555,6 +555,40 @@ def test_cdc_apply_semantics(spark):
     assert out[9]["price"] == 99.0 and out[9]["status"] == "NEW"
 
 
+def test_cdc_apply_rejects_bad_op(spark):
+    """NULL or unknown op values fail fast (ADVICE r4) instead of
+    silently upserting an all-NULL payload for unseen keys."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PySparkException
+
+    from datapipelinerepo_spark.operators.relational import cdc_apply
+
+    base = spark.createDataFrame([(1, 10.0)], ["k", "price"])
+    changes = spark.createDataFrame(
+        [(2, 1, None, 5.0)], "k int, seq int, op string, price double"
+    )
+    with pytest.raises((Py4JJavaError, PySparkException), match="I/U/D"):
+        cdc_apply(base, changes, key="k", seq_col="seq").collect()
+
+
+def test_cdc_apply_duplicate_change_rows_deterministic(spark):
+    """Duplicate (key, seq, op) rows with different payloads have a
+    DETERMINISTIC winner (payload-value tie-break, ADVICE r4): the same
+    result at any parallelism and on replay."""
+    from datapipelinerepo_spark.operators.relational import cdc_apply
+
+    base = spark.createDataFrame([(1, 0.0, "Z")], ["k", "price", "status"])
+    dup = [(1, 7, "U", 99.0, "B"), (1, 7, "U", 11.0, "A"), (1, 7, "U", 11.0, "AA")]
+    outs = []
+    for nparts in (1, 7):
+        changes = spark.createDataFrame(dup, ["k", "seq", "op", "price", "status"]).repartition(nparts)
+        outs.append(
+            tuple(cdc_apply(base, changes, key="k", seq_col="seq").collect()[0])
+        )
+    assert outs[0] == outs[1] == (1, 11.0, "A")
+
+
 def test_cdc_apply_idempotent_replay(spark):
     """Re-applying the same change stream to the merged result is a
     no-op (exactly-once replay safety for at-least-once CDC feeds)."""
