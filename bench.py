@@ -4,8 +4,24 @@ ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {...}, "sf": ...}.
 
 Each query is materialized through the noop sink (full computation, no
-driver collect). First query absorbs session/JIT warm-up; a warm-up
-scan runs first so per-query numbers reflect steady state.
+driver collect) and timed over RUNS consecutive executions; the
+reported per-query number is the MEDIAN (r4 showed a uniform ±10-15%
+single-run drift that a median kills), with the max-min spread
+reported beside it under "spread" so run variance is visible instead
+of inferred. "value" is the sum of medians.
+
+The warm-up set below is FROZEN as of round 5 (protocol note in
+VERDICT r4): it may not grow new per-query warm-ups, so cross-round
+totals stay comparable. It covers session/JIT/parquet-footer warm-up,
+the shared operator families (hash agg, shuffle join, window, nested
+array lambdas, bucket-collect pair expansion), the MinHash generated
+class at 256 docs, and the first pandas-UDF worker fork.
+
+One streaming entry (stream_curate_drain) times an availableNow
+micro-batch drain of the documents table through the curation ingest
+(gates + redact + in-batch and historical exact dedup + partitioned
+parquet sink) — fresh checkpoint/store per run so every run does the
+full work.
 """
 
 from __future__ import annotations
@@ -147,13 +163,55 @@ def main() -> None:
         .write.format("noop").mode("overwrite").save()
     )
 
+    RUNS = 3
     names = [n for n, e in REGISTRY.items() if e.bench]
     times: dict[str, float] = {}
+    spread: dict[str, float] = {}
     for name in names:
         fn = REGISTRY[name].fn
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        times[name] = round(time.perf_counter() - t0, 3)
+        samples = []
+        for _ in range(RUNS):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            samples.append(time.perf_counter() - t0)
+        samples.sort()
+        times[name] = round(samples[RUNS // 2], 3)
+        spread[name] = round(samples[-1] - samples[0], 3)
+
+    # streaming ingest drain: fresh store + checkpoint per run so each
+    # run re-does the full gate/redact/dedup/write work
+    import shutil
+    import tempfile
+
+    from datapipelinerepo_spark.io import TableStore
+    from datapipelinerepo_spark.streaming.ingest import curate_ingest_stream
+
+    doc_schema = tabs["documents"].schema
+    samples = []
+    for _ in range(RUNS):
+        wdir = tempfile.mkdtemp(prefix="bench_stream_")
+        try:
+            # the file stream source wants a directory; symlink the
+            # single-file table into one (no data copy)
+            in_dir = os.path.join(wdir, "in")
+            os.makedirs(in_dir)
+            os.symlink(
+                os.path.join(sf_dir, "documents.parquet"),
+                os.path.join(in_dir, "documents.parquet"),
+            )
+            stream = spark.readStream.schema(doc_schema).parquet(in_dir)
+            store = TableStore(spark, os.path.join(wdir, "store"))
+            t0 = time.perf_counter()
+            q = curate_ingest_stream(
+                stream, store, os.path.join(wdir, "ckpt")
+            )
+            q.awaitTermination()
+            samples.append(time.perf_counter() - t0)
+        finally:
+            shutil.rmtree(wdir, ignore_errors=True)
+    samples.sort()
+    times["stream_curate_drain"] = round(samples[RUNS // 2], 3)
+    spread["stream_curate_drain"] = round(samples[-1] - samples[0], 3)
 
     total = round(sum(times.values()), 3)
     print(
@@ -164,6 +222,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "sf": float(sf),
+                "runs": RUNS,
+                "spread": spread,
             }
         )
     )

@@ -191,6 +191,54 @@ def global_shuffle_positions(
     )
 
 
+def global_order_positions(
+    df: DataFrame,
+    order_cols: tuple[str, ...],
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Exact global position 0..n-1 of every row in ``order_cols``
+    order, WITHOUT a corpus-sized global window — the value-ordered
+    sibling of global_shuffle_positions (which buckets by a hash
+    prefix; here the sort key is a data value, so buckets come from
+    range boundaries instead).
+
+    Shape: approx-percentile boundaries of the leading sort column
+    (one pass, a ≤ n_buckets-scalar driver collect — bounded by
+    construction), monotonic bucket assignment by boundary, rank
+    within bucket by the FULL sort key, plus broadcast cumulative
+    bucket offsets. Bucket balance only affects performance, never
+    correctness: any order-consistent bucketing gives exact positions
+    because ties on the leading column always land in one bucket and
+    the within-bucket window breaks them on the remaining columns.
+    This is what repartitionByRange + per-partition rank does
+    internally, made explicit so the offsets join stays visible to the
+    plan lint. At 100 TB raise n_buckets so each range bucket fits an
+    executor (the same knob as the shuffle-positions byte-prefix)."""
+    from pyspark.sql import Window
+
+    lead = order_cols[0]
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    bounds = df.select(
+        F.percentile_approx(F.col(lead), F.array(*[F.lit(p) for p in probs]), 10000)
+    ).first()[0]
+    uniq = sorted(set(b for b in (bounds or []) if b is not None))
+    bucket = F.lit(len(uniq))
+    for i in reversed(range(len(uniq))):
+        bucket = F.when(F.col(lead) <= F.lit(uniq[i]), F.lit(i)).otherwise(bucket)
+    bucketed = df.withColumn("_b", bucket)
+    counts = bucketed.groupBy("_b").agg(F.count(F.lit(1)).alias("_n"))
+    woff = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "_b", F.coalesce(F.sum("_n").over(woff), F.lit(0)).alias("_off")
+    )  # ≤ n_buckets+1 rows: bounded global window, not corpus-sized
+    wrank = Window.partitionBy("_b").orderBy(*[F.col(c).asc() for c in order_cols])
+    return (
+        bucketed.join(F.broadcast(offsets), "_b")
+        .withColumn("pos", F.col("_off") + F.row_number().over(wrank) - 1)
+        .drop("_b", "_off")
+    )
+
+
 def length_buckets(
     df: DataFrame,
     text_col: str = "text",

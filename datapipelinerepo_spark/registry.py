@@ -2876,17 +2876,33 @@ def unpivot_pricing_metrics(spark, sf_dir):
     """,
 )
 def w_ntile_deciles(spark, sf_dir):
-    """Decile banding: ntile(10) over (price, key) — the key tie-break
-    makes the ordering total, so band edges are engine-exact. NOTE the
-    unpartitioned window: acceptable here because the downstream
-    aggregate is the product (10 rows); the scalable form for a
-    full-corpus ordering is sample_global_shuffle's bucketed
-    rank-with-offsets. Registered as the correctness twin of that
-    path."""
-    o = t(spark, sf_dir, "orders")
-    w = Window.orderBy("o_totalprice", "o_orderkey")
+    """Decile banding WITHOUT a corpus-sized global window (r4 item 7:
+    this was the one unpartitioned ntile in the registry): exact global
+    positions in (price, key) order come from the range-bucketed
+    rank-with-offsets machinery (sampling.global_order_positions — the
+    same shape sample_global_shuffle uses for hash order), and ntile's
+    exact tile arithmetic is reproduced from (pos, n): the first
+    n mod 10 tiles hold ceil(n/10) rows, the rest floor(n/10). The key
+    tie-break makes the ordering total, so band edges are engine-exact
+    against the oracle's real ntile(10)."""
+    from .operators.sampling import global_order_positions
+
+    o = t(spark, sf_dir, "orders").select("o_totalprice", "o_orderkey")
+    pos = global_order_positions(o, ("o_totalprice", "o_orderkey"))
+    n_total = pos.agg(F.count(F.lit(1)).alias("_n"))
+    base = (F.col("_n") / 10).cast("long")  # floor tile size
+    r = F.col("_n") % 10  # number of big (base+1) tiles
+    big_span = r * (base + 1)
+    decile = F.when(
+        F.col("pos") < big_span, (F.col("pos") / (base + 1)).cast("long") + 1
+    ).otherwise(
+        # base can only be 0 when pos < big_span covers every row, so
+        # the divide here never sees base = 0
+        r + ((F.col("pos") - big_span) / F.greatest(base, F.lit(1))).cast("long") + 1
+    )
     return (
-        o.select("o_totalprice", F.ntile(10).over(w).alias("decile"))
+        pos.crossJoin(F.broadcast(n_total))
+        .select("o_totalprice", decile.alias("decile"))
         .groupBy("decile")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),

@@ -204,8 +204,11 @@ def ann_topk_bruteforce(spark, sf_dir):
 @register("ann_topk_lsh", sql=None, bench=True)
 def ann_topk_lsh(spark, sf_dir):
     """LSH-bucketed ANN top-10 (random hyperplanes, multi-probe) — the
-    100 TB scale path. Hash-dependent → rows-only check; recall vs the
-    brute-force baseline is asserted in tests/test_similarity.py."""
+    100 TB scale path. Intentionally rows-only: the probed top-k is a
+    function of the hyperplane hashes, so no SQL twin exists — its
+    green hash-checked twin is ann_topk_lsh_exhaustive (probe width =
+    all, identical code path), and recall vs the brute-force baseline
+    is asserted in tests/test_similarity.py."""
     emb = t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 5)
     return SIM.cosine_topk_lsh(q, emb, dim=64, k=10, n_bits=8)
@@ -214,9 +217,11 @@ def ann_topk_lsh(spark, sf_dir):
 @register("ann_topk_ivf", sql=None)
 def ann_topk_ivf(spark, sf_dir):
     """IVF-cell ANN top-10 (deterministic centroid seed, 4-of-16 cell
-    probes) — the density-adaptive scale path beside LSH. Cell
-    assignment is data-dependent → rows-only check; planted-duplicate
-    recall asserted in test_ext_ops."""
+    probes) — the density-adaptive scale path beside LSH. Intentionally
+    rows-only: cell assignment is centroid-dependent, so no SQL twin —
+    its green hash-checked twin is ann_topk_ivf_fullprobe (all cells
+    probed, identical code path); planted-duplicate recall asserted in
+    test_ext_ops."""
     emb = t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 5)
     return SIM.cosine_topk_ivf(q, emb, dim=64, k=10)
@@ -537,8 +542,11 @@ def scale_approx_aggs(spark, sf_dir):
     t-digest percentile over events. One pass, mergeable partials, no
     sort — at 100 TB these replace exact COUNT(DISTINCT)/percentile
     (which must shuffle every distinct key / sort every value).
-    Sketch results are engine-specific → rows-only driver check; the
-    error bound vs the exact answers is asserted in test_ext_ops."""
+    Intentionally rows-only: HLL/t-digest register states are
+    engine-specific, so no SQL twin — the green hash-checked twin is
+    scale_approx_aggs_bounded (boolean error-bound verdicts on the
+    same sketches); the bound vs the exact answers is also asserted in
+    test_ext_ops."""
     e = t(spark, sf_dir, "events")
     return e.agg(
         F.approx_count_distinct("user_id").alias("approx_users"),
@@ -546,22 +554,52 @@ def scale_approx_aggs(spark, sf_dir):
     )
 
 
-@register("scale_heavy_hitters", sql=None)
+@register(
+    "scale_heavy_hitters",
+    sql="""
+    WITH g AS (SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id),
+    r AS (SELECT user_id, n_events,
+                 ROW_NUMBER() OVER (ORDER BY n_events DESC, user_id ASC) AS rank
+          FROM g)
+    SELECT user_id, n_events, rank FROM r WHERE rank <= 20
+    """,
+)
 def scale_heavy_hitters(spark, sf_dir):
-    """Heavy hitters: top-20 users by event count via approx_top_k — a
-    one-pass mergeable sketch (no full groupBy materialization), the
-    100 TB path for 'which keys dominate' questions that feed skew
-    salting decisions (operators/skew.key_skew_profile is the exact
-    twin). Sketch tie-breaks are engine-specific → rows-only check;
-    agreement with the exact top-k is asserted in test_ext_ops."""
+    """Heavy hitters: top-20 users by event count, sketch-candidates →
+    exact-recount (the production heavy-hitter report shape). The
+    approx_top_k sketch (one-pass, mergeable, no full groupBy
+    materialization) proposes 50 candidates; a broadcast semi-join
+    recounts JUST those users exactly and ranks (count desc, user_id
+    asc). Deterministic end to end — the raw sketch's boundary
+    tie-breaks (which kept this rows-only through r4) never reach the
+    output because the exact recount re-ranks, so the driver
+    hash-checks it against the exact top-20 oracle. At 100 TB the
+    events table streams once through the sketch and once through the
+    candidate-filtered recount (a broadcast hash join + partial agg —
+    no full-key shuffle); with more distinct keys than sketch capacity
+    the candidate set loses its exactness guarantee, the standard
+    frequent-items trade-off (scale_heavy_hitters_verified pins the
+    capacity>=keys regime where recall is provable). The 20-row rank
+    window is candidate-bounded, never corpus-sized."""
     e = t(spark, sf_dir, "events")
     e.createOrReplaceTempView("_hh_events")
-    return spark.sql(
+    cand = spark.sql(
         """
-        SELECT t.item AS user_id, t.count AS n_events
-        FROM (SELECT explode(approx_top_k(user_id, 20, 100000)) AS t
+        SELECT t.item AS user_id
+        FROM (SELECT explode(approx_top_k(user_id, 50, 100000)) AS t
               FROM _hh_events)
         """
+    )
+    exact = (
+        e.join(F.broadcast(cand), "user_id")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    w = Window.orderBy(F.desc("n_events"), F.asc("user_id"))
+    return (
+        exact.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 20)
+        .select("user_id", "n_events", "rank")
     )
 
 
@@ -1173,9 +1211,12 @@ def text_line_dedup(spark, sf_dir):
 def dedup_semantic_pairs(spark, sf_dir):
     """SemDeDup-shaped semantic near-dup pairs: cluster embeddings
     (deterministic IVF centroid seed), per-cluster BLAS Gram matrix,
-    emit cosine >= 0.4 pairs (the synthetic corpus tops out near 0.5). Rows-only: the cluster assignment is
-    centroid-dependent, so no SQL twin — within-cell equivalence to the
-    brute-force oracle is asserted in test_ext_ops."""
+    emit cosine >= 0.4 pairs (the synthetic corpus tops out near 0.5).
+    Intentionally rows-only: the cluster assignment is
+    centroid-dependent, so no SQL twin — the green hash-checked twin is
+    dedup_semantic_verified (n_clusters=1, all-pairs-exact, identical
+    Gram machinery); within-cell equivalence to the brute-force oracle
+    is asserted in test_ext_ops."""
     return SIM.semantic_dup_pairs(
         t(spark, sf_dir, "embeddings"), dim=64, threshold=0.4, n_clusters=16
     )
@@ -1186,7 +1227,11 @@ def dedup_semantic_keep(spark, sf_dir):
     """Semantic dedup keep-list: SemDeDup pairs -> connected components
     -> min-id keeper per semantic group (the same groups step the
     MinHash pipeline uses, so near-dup *chains* collapse to one doc,
-    not one per pair)."""
+    not one per pair). Intentionally rows-only (centroid-dependent
+    clustering, like dedup_semantic_pairs); the green hash-checked twin
+    is dedup_semantic_keep_verified (n_clusters=1 pairs through the
+    REAL components+keeper operators vs a recursive-reachability
+    oracle)."""
     from .operators.graph import dedup_components
 
     emb = t(spark, sf_dir, "embeddings")
@@ -1570,10 +1615,12 @@ def ann_topk_pq(spark, sf_dir):
     sample, corpus encoded map-only to 8 small ints per vector (32×
     compression — the memory-bound serving path for a 100 TB embedding
     corpus), asymmetric-distance scoring via per-query lookup tables in
-    one streaming pass, exact cosine re-rank on the shortlist. Learned
-    codebooks are float-iteration-dependent → rows-only check;
-    planted-duplicate rank-1 + recall vs exact are asserted in
-    test_ext_ops."""
+    one streaming pass, exact cosine re-rank on the shortlist.
+    Intentionally rows-only: learned codebooks are
+    float-iteration-dependent, so no SQL twin — the green hash-checked
+    twin is ann_topk_pq_fullrerank (shortlist = everything, identical
+    encode/score path); planted-duplicate rank-1 + recall vs exact are
+    asserted in test_ext_ops."""
     emb = t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 5)
     return SIM.cosine_topk_pq(q, emb, dim=64, k=10)

@@ -116,9 +116,10 @@ _REGISTRY_ALLOW = {
     # frame (then broadcasts); the corpus itself shuffles once on _b
     "sample_global_shuffle": {"single_partition_exchange"},
     "sample_shard_plan": {"single_partition_exchange"},  # same 256-row window
-    # correctness twin of the bucketed global-order path: ntile over the
-    # full orders frame is intentionally a single-partition window here
-    "w_ntile_deciles": {"single_partition_exchange"},
+    # bucketed global-order path since r5: the only global windows are
+    # the ≤33-row bucket-offsets frame (single-partition, bounded) and
+    # the 1-row total-count crossJoin broadcast for the tile arithmetic
+    "w_ntile_deciles": {"single_partition_exchange", "broadcast_nested_loop"},
     # final 1-row funnel summary: three scalar counts cross-joined
     "events_funnel": {"broadcast_nested_loop", "single_partition_exchange"},
     # 1-row scalar-subquery gate broadcast into a filter
