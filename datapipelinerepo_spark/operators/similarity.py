@@ -982,3 +982,61 @@ def centroid_outliers(
             (F.round(cos, 6) < threshold).alias("is_outlier"),
         )
     )
+
+
+def kcenter_coreset(
+    corpus: DataFrame,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Greedy k-center coreset (farthest-first traversal, the Gonzalez
+    2-approximation): pick the lowest-id vector as the seed, then k−1
+    times pick the vector FARTHEST (squared euclidean, id tie-break)
+    from everything chosen so far — the diversity-maximizing selection
+    a training pipeline uses to seed clusters, pick annotation budgets,
+    or build a representative eval slice from a 100 TB embedding table.
+
+    Output: (sel_round 0..k−1, vec_id, d2_r6) — d2_r6 is the squared
+    distance to the nearest earlier pick at selection time (the seed's
+    is 0), i.e. the cover radius sequence.
+
+    Scale shape: each of the k−1 rounds is one map-side distance
+    update (d² = a·a − 2 a·c + c·c against the single newest center —
+    an ordered index fold, engine-exact) followed by a TakeOrdered(1)
+    argmax — a 1-row bounded collect, the same driver-iteration
+    footprint as kmeans_fit. The running min-distance column carries
+    forward, so round i does O(n·dim) work, not O(n·i·dim); full
+    vectors never shuffle (there is no shuffle at all — scan-side
+    expressions + a k-deep least() chain)."""
+    spark = corpus.sparkSession
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = corpus.select(F.col(id_col), v.alias("_v"))
+    aa = F.aggregate(
+        F.zip_with("_v", "_v", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
+
+    def d2_to(center: list[float]):
+        c = F.array(*[F.lit(float(x)) for x in center])
+        dot = F.aggregate(
+            F.zip_with("_v", c, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+        )
+        cc = float(sum((float(x) * float(x) for x in center), 0.0))
+        return F.col("_aa") - 2.0 * dot + F.lit(cc)
+
+    seed = base.orderBy(F.col(id_col).asc()).limit(1).collect()[0]
+    picks = [(0, seed[id_col], 0.0)]
+    cvec = [float(x) for x in seed["_v"]]
+    cur = base.withColumn("_aa", aa).withColumn("_mind", d2_to(cvec))
+    for i in range(1, k):
+        far = (
+            cur.orderBy(F.desc("_mind"), F.col(id_col).asc()).limit(1).collect()[0]
+        )
+        picks.append((i, far[id_col], far["_mind"]))
+        cvec = [float(x) for x in far["_v"]]
+        cur = cur.withColumn("_mind", F.least("_mind", d2_to(cvec)))
+    # round in a Spark expression: Python's round() is banker's
+    # rounding, Spark/DuckDB round half-up — they differ at exact .5
+    return spark.createDataFrame(
+        picks, "sel_round int, vec_id long, d2 double"
+    ).select("sel_round", "vec_id", F.round("d2", 6).alias("d2_r6"))

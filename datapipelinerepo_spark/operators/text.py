@@ -84,6 +84,79 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def bm25_topk(
+    df: DataFrame,
+    query_terms: tuple[str, ...],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 retrieval: score every document against a bag of query
+    terms (Okapi BM25 with the Lucene/Robertson non-negative idf,
+    ln(1 + (N − df + 0.5)/(df + 0.5))) and return the top-k by
+    (score, id) — the lexical-retrieval complement of the ANN family,
+    and the scoring half of a retrieve-then-deduplicate or
+    decontamination-by-retrieval pass.
+
+    Plan shape: per-doc length is a map-side expression on the scan
+    (includes zero-token docs — dl comes from the row, not the explode,
+    so avgdl is corpus-exact); the explode is filtered to the query
+    terms BEFORE the tf aggregate, so only matching postings shuffle
+    (|query| × |matching docs| rows, not the corpus token stream); df
+    and the (N, avgdl) scalars broadcast onto the postings; top-k is
+    orderBy+limit → TakeOrderedAndProject, no global sort exchange.
+    Scores round to 6dp with an id tie-break, so the ranking is total
+    and engine-exact."""
+    toks = F.array_remove(
+        F.split(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "), " "), ""
+    )
+    based = df.select(
+        F.col(id_col), toks.alias("_toks"), F.size(toks).alias("dl")
+    )
+    stats = based.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.avg(F.col("dl").cast("double")).alias("_avgdl"),
+    )
+    flat = based.select(id_col, "dl", F.explode("_toks").alias("term")).filter(
+        F.col("term").isin(*query_terms)
+    )
+    tf = flat.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl")
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("_n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    norm = F.col("tf") * (k1 + 1) / (
+        F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("_avgdl"))
+    )
+    # per-doc score = ordered fold over the matched terms (term asc):
+    # float addition is not associative, so a plain SUM's partial-agg
+    # order could flip the 6th decimal between engines/partitionings —
+    # the ordered fold (≤ |query| elements per doc) makes it total
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(F.col(id_col), F.struct("term", (idf * norm).alias("v")).alias("_s"))
+        .groupBy(id_col)
+        .agg(F.array_sort(F.collect_list("_s")).alias("_arr"))
+        .select(
+            F.col(id_col),
+            F.round(
+                F.aggregate("_arr", F.lit(0.0), lambda acc, x: acc + x["v"]), 6
+            ).alias("bm25_r6"),
+        )
+    )
+    return (
+        scored.orderBy(F.desc("bm25_r6"), F.col(id_col).asc())
+        .limit(k)
+        .select(id_col, "bm25_r6")
+    )
+
+
 def tf_idf(
     df: DataFrame,
     text_col: str = "text",
@@ -826,4 +899,95 @@ def longest_dup_span(
             "n_spans",
             (span >= trim_at).alias("trim"),
         )
+    )
+
+
+def ngram_novelty(
+    df: DataFrame, n: int = 5, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document novelty: the share of a doc's DISTINCT word
+    n-grams that appear in no other document — the "how much unseen
+    content does this doc add" selection signal (the distinct-gram
+    complement of duplicated_span_stats' position-level dup_share;
+    high novelty = keep for diversity, near-zero = the corpus already
+    has it).
+
+    Reuses the checkpointed xxhash64 gram frame, so only 8-byte gram
+    hashes shuffle for the doc-frequency aggregate (vocabulary-sized,
+    orders smaller than the corpus at 100 TB); the join-back is on the
+    same hashed key. Docs with fewer than n tokens have no grams and
+    are absent from the output (they carry no n-gram evidence either
+    way)."""
+    g = _gram_frame(df, n, text_col, id_col)
+    flat = g.select("_id", F.explode(F.array_distinct("_grams")).alias("_g"))
+    dfreq = flat.groupBy("_g").agg(F.count(F.lit(1)).alias("_df"))
+    return (
+        flat.join(dfreq, "_g")
+        .groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_distinct_grams"),
+            F.sum(F.when(F.col("_df") == 1, 1).otherwise(0)).alias("n_novel"),
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            "n_distinct_grams",
+            "n_novel",
+            F.round(
+                F.col("n_novel").cast("double") / F.col("n_distinct_grams"), 6
+            ).alias("novelty"),
+        )
+    )
+
+
+def zipf_fit(
+    df: DataFrame,
+    top_k: int = 1000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Zipf power-law fit over the corpus token frequencies: OLS of
+    ln(freq) on ln(rank) for the top_k types — the one-row corpus
+    health check (natural text sits near slope −1; a slope collapsing
+    toward 0 means boilerplate flooding, a cliff past −1.5 means the
+    corpus lost its long tail). Output: (n_types, slope_r4,
+    intercept_r4).
+
+    The rank window runs over the VOCABULARY frame (types, orders
+    smaller than the corpus — the text_vocab_coverage sanctioned
+    class); the OLS sums are ORDERED folds over the rank-sorted
+    (x, y) array on one row, so the float sums are engine-exact (the
+    BM25 non-associativity argument, here over top_k elements)."""
+    flat = df.select(
+        F.explode(
+            F.split(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "), " ")
+        ).alias("tok")
+    ).filter(F.col("tok") != "")
+    freq = flat.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.orderBy(F.desc("c"), F.asc("tok"))
+    ranked = (
+        freq.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select(
+            F.struct(
+                F.col("rank"),
+                F.log(F.col("rank").cast("double")).alias("x"),
+                F.log(F.col("c").cast("double")).alias("y"),
+            ).alias("_p")
+        )
+    )
+    arr = ranked.agg(F.array_sort(F.collect_list("_p")).alias("_a"))
+
+    def fold(expr):
+        return F.aggregate("_a", F.lit(0.0), lambda acc, p: acc + expr(p))
+
+    n = F.size("_a").cast("double")
+    sx = fold(lambda p: p["x"])
+    sy = fold(lambda p: p["y"])
+    sxy = fold(lambda p: p["x"] * p["y"])
+    sxx = fold(lambda p: p["x"] * p["x"])
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return arr.select(
+        F.size("_a").alias("n_types"),
+        F.round(slope, 4).alias("slope_r4"),
+        F.round((sy - slope * sx) / n, 4).alias("intercept_r4"),
     )

@@ -3113,3 +3113,186 @@ def dedup_edit_pairs_filtered(spark, sf_dir):
     Levenshtein, so a single pair missed by the filter fails the hash
     check — candidate completeness is driver-verified, not assumed."""
     return D.edit_distance_pairs(t(spark, sf_dir, "documents"), k=3, q=4)
+
+
+# ===========================================================================
+# Round 5: lexical retrieval, coreset selection, novelty scoring
+# ===========================================================================
+
+
+@register(
+    "retrieval_bm25_topk",
+    sql=r"""
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' '),
+                         s -> length(s) > 0) AS toks
+      FROM documents
+    ), d AS (
+      SELECT doc_id, toks, len(toks) AS dl FROM base
+    ), stats AS (
+      SELECT COUNT(*) AS n, AVG(CAST(dl AS DOUBLE)) AS avgdl FROM d
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf, ANY_VALUE(dl) AS dl
+      FROM (SELECT doc_id, dl, unnest(toks) AS term FROM d)
+      WHERE term IN ('hash', 'join', 'vector', 'stream')
+      GROUP BY 1, 2
+    ), dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1)
+    SELECT t.doc_id,
+           round(SUM(ln(1.0 + (s.n - f.df + 0.5) / (f.df + 0.5))
+                     * t.tf * 2.2 / (t.tf + 1.2 * (0.25 + 0.75 * t.dl / s.avgdl))
+                 ORDER BY t.term), 6) AS bm25_r6
+    FROM tf t JOIN dfreq f USING (term), stats s
+    GROUP BY 1
+    ORDER BY bm25_r6 DESC, t.doc_id ASC
+    LIMIT 10
+    """,
+)
+def retrieval_bm25_topk(spark, sf_dir):
+    """BM25 lexical retrieval (operators/text.bm25_topk): top-10
+    documents for the query bag {hash, join, vector, stream} — the
+    retrieve step of retrieval-based decontamination / dedup passes,
+    and the lexical complement of the ANN family. Only postings for
+    the 4 query terms ever shuffle; df and (N, avgdl) broadcast; the
+    per-doc score is an ORDERED fold over matched terms (float
+    addition is non-associative — the oracle's SUM(... ORDER BY term)
+    adds in the same sequence), so the 6dp-rounded, id-tie-broken
+    top-10 is engine-exact. Top-k compiles to
+    TakeOrderedAndProject — no global sort exchange."""
+    return T.bm25_topk(
+        t(spark, sf_dir, "documents"),
+        query_terms=("hash", "join", "vector", "stream"),
+        k=10,
+    )
+
+
+@register(
+    "embedding_kcenter_coreset",
+    sql="""
+    WITH RECURSIVE
+    emb AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e,
+             list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS aa
+      FROM embeddings
+    ),
+    seed AS (SELECT vec_id, e FROM emb ORDER BY vec_id LIMIT 1),
+    state(iter, vec_id, e, aa, mind) AS (
+      SELECT 0, v.vec_id, v.e, v.aa,
+             v.aa - 2.0 * list_dot_product(v.e, s.e)
+                  + list_dot_product(s.e, s.e)
+      FROM emb v, seed s
+      UNION ALL
+      SELECT iter + 1, vec_id, e, aa,
+             least(mind, aa - 2.0 * list_dot_product(e, newc)
+                            + list_dot_product(newc, newc))
+      FROM (
+        SELECT iter, vec_id, e, aa, mind,
+               first_value(e) OVER (ORDER BY mind DESC, vec_id ASC) AS newc
+        FROM state WHERE iter < 7
+      )
+    )
+    SELECT CAST(0 AS INT) AS sel_round, s.vec_id,
+           CAST(0.0 AS DOUBLE) AS d2_r6
+    FROM seed s
+    UNION ALL
+    SELECT * FROM (
+      SELECT CAST(iter + 1 AS INT) AS sel_round, vec_id,
+             round(mind, 6) AS d2_r6
+      FROM state WHERE iter < 7
+      QUALIFY row_number() OVER (PARTITION BY iter
+                                 ORDER BY mind DESC, vec_id ASC) = 1
+    )
+    """,
+)
+def embedding_kcenter_coreset(spark, sf_dir):
+    """Greedy k-center coreset (similarity.kcenter_coreset, k=8):
+    farthest-first traversal over the embeddings table — the
+    diversity-maximizing data-selection primitive (Gonzalez
+    2-approximation of the k-center cover). The oracle replays the
+    same traversal as a recursive CTE carrying per-vector min-distance
+    state: identical seed rule (lowest id), identical distance
+    expression (a·a − 2 a·c + c·c, ordered index folds), identical
+    (mind desc, id asc) argmax tie-break — so the picked ids AND the
+    6dp cover-radius sequence hash-match across engines. Spark side is
+    k−1 map-side distance updates + TakeOrdered(1) bounded collects;
+    no shuffle touches the vectors."""
+    return SIM.kcenter_coreset(t(spark, sf_dir, "embeddings"), k=8)
+
+
+@register(
+    "text_ngram_novelty",
+    sql=r"""
+    WITH s AS (
+      SELECT doc_id,
+             string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS toks
+      FROM documents
+    ), wg AS (
+      SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, len(toks) - 4),
+                                          i -> array_to_string(toks[i:i+4], ' '))) AS gs
+      FROM s WHERE len(toks) >= 5
+    ), flat AS (
+      SELECT doc_id, unnest(gs) AS g FROM wg
+    ), freq AS (
+      SELECT g, COUNT(*) AS df FROM flat GROUP BY 1
+    )
+    SELECT doc_id, COUNT(*) AS n_distinct_grams,
+           CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+           round(CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS novelty
+    FROM flat JOIN freq USING (g)
+    GROUP BY 1
+    """,
+)
+def text_ngram_novelty(spark, sf_dir):
+    """Distinct-5-gram novelty per document (operators/text.
+    ngram_novelty): the share of a doc's distinct word 5-grams found in
+    no other doc — the "unseen content" selection signal, the
+    distinct-gram complement of text_substring_dedup's position-level
+    dup_share. The operator shuffles xxhash64 gram hashes only; the
+    oracle groups the raw gram strings — identical results absent a
+    64-bit collision (the text_line_dedup contract). All-integer plus
+    one 6dp ratio → hash-checked exactly."""
+    return T.ngram_novelty(t(spark, sf_dir, "documents"), n=5)
+
+
+@register(
+    "text_zipf_fit",
+    sql=r"""
+    WITH tk AS (
+      SELECT unnest(list_filter(
+               string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' '),
+               s -> length(s) > 0)) AS tok
+      FROM documents
+    ), freq AS (
+      SELECT tok, COUNT(*) AS c FROM tk GROUP BY 1
+    ), ranked AS (
+      SELECT rank, ln(CAST(rank AS DOUBLE)) AS x, ln(CAST(c AS DOUBLE)) AS y
+      FROM (SELECT c, tok,
+                   row_number() OVER (ORDER BY c DESC, tok ASC) AS rank
+            FROM freq)
+      WHERE rank <= 1000
+    ), s AS (
+      SELECT CAST(COUNT(*) AS INT) AS n_types,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             SUM(x ORDER BY rank) AS sx, SUM(y ORDER BY rank) AS sy,
+             SUM(x * y ORDER BY rank) AS sxy,
+             SUM(x * x ORDER BY rank) AS sxx
+      FROM ranked
+    )
+    SELECT n_types,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS slope_r4,
+           round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 4)
+             AS intercept_r4
+    FROM s
+    """,
+)
+def text_zipf_fit(spark, sf_dir):
+    """Zipf power-law fit (operators/text.zipf_fit): OLS of ln(freq) on
+    ln(rank) over the top-1000 token types — the one-row corpus health
+    stat (natural text ≈ slope −1; boilerplate flooding pulls it toward
+    0). The rank window runs over the VOCABULARY frame (the
+    text_vocab_coverage sanctioned class); the OLS sums are ordered
+    folds in rank order on both engines (SUM(… ORDER BY) ↔ array
+    fold), so slope and intercept are engine-exact at 4dp."""
+    return T.zipf_fit(t(spark, sf_dir, "documents"), top_k=1000)

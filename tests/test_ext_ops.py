@@ -1174,3 +1174,84 @@ def test_edit_distance_pairs_short_heads_complete(spark, docs):
         .collect()
     }
     assert got == bf
+
+
+def test_kcenter_coreset_matches_numpy_greedy(spark, emb):
+    """Farthest-first traversal == a NumPy reference on a 200-vector
+    slice: same picks, same order, same cover-radius sequence."""
+    import numpy as np
+
+    from datapipelinerepo_spark.operators.similarity import kcenter_coreset
+
+    small = emb.filter(F.col("vec_id") < 200)
+    rows = sorted(
+        ((r["vec_id"], np.asarray(r["embedding"], dtype=np.float64)) for r in small.collect()),
+        key=lambda t: t[0],
+    )
+    ids = [t[0] for t in rows]
+    E = np.stack([t[1] for t in rows])
+    # reference greedy: seed lowest id, then argmax of min squared dist
+    picks = [(0, ids[0], 0.0)]
+    mind = ((E - E[0]) ** 2).sum(axis=1)
+    for i in range(1, 6):
+        j = int(np.lexsort((ids, -mind))[0])
+        picks.append((i, ids[j], float(mind[j])))
+        mind = np.minimum(mind, ((E - E[j]) ** 2).sum(axis=1))
+    got = [
+        (r["sel_round"], r["vec_id"], r["d2_r6"])
+        for r in kcenter_coreset(small, k=6).orderBy("sel_round").collect()
+    ]
+    assert [(g[0], g[1]) for g in got] == [(p[0], p[1]) for p in picks]
+    for g, p in zip(got, picks):
+        assert abs(g[2] - p[2]) < 1e-5
+
+
+def test_bm25_prefers_matching_docs(spark):
+    """A doc stuffed with the query terms outranks one with a single
+    hit; a doc with zero hits is absent; dl normalization demotes the
+    padded copy of an identical hit profile."""
+    from datapipelinerepo_spark.operators.text import bm25_topk
+
+    rows = [
+        (1, "alpha beta alpha beta alpha"),        # heavy match, short
+        (2, "alpha filler filler filler filler"),  # one hit
+        (3, "nothing relevant here at all"),       # no hits
+        (4, "alpha beta alpha beta alpha " + "pad " * 40),  # same hits, padded
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r["bm25_r6"] for r in bm25_topk(df, ("alpha", "beta"), k=10).collect()}
+    assert 3 not in out
+    assert out[1] > out[2]
+    assert out[1] > out[4]  # length normalization
+
+
+def test_ngram_novelty_planted(spark):
+    """A doc sharing every 3-gram with another scores 0; a fully unique
+    doc scores 1; short docs are absent."""
+    from datapipelinerepo_spark.operators.text import ngram_novelty
+
+    rows = [
+        (1, "a b c d e f"),
+        (2, "a b c d e f"),            # exact copy -> all grams shared
+        (3, "totally different words here now"),
+        (4, "x y"),                    # < n tokens -> absent
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r["novelty"] for r in ngram_novelty(df, n=3).collect()}
+    assert out[1] == 0.0 and out[2] == 0.0
+    assert out[3] == 1.0
+    assert 4 not in out
+
+
+def test_zipf_fit_on_synthetic_power_law(spark):
+    """A corpus built with freq(rank) = round(1000 · rank^-1) recovers
+    slope ≈ −1."""
+    from datapipelinerepo_spark.operators.text import zipf_fit
+
+    words = []
+    for rank in range(1, 51):
+        words += [f"w{rank:03d}"] * max(1, round(1000 / rank))
+    df = spark.createDataFrame([(1, " ".join(words))], ["doc_id", "text"])
+    row = zipf_fit(df, top_k=50).collect()[0]
+    assert row["n_types"] == 50
+    assert -1.1 < row["slope_r4"] < -0.9

@@ -132,6 +132,9 @@ _REGISTRY_ALLOW = {
     "text_dsir_importance": {"broadcast_nested_loop", "single_partition_exchange"},
     "text_bigram_perplexity": {"broadcast_nested_loop", "single_partition_exchange"},
     "sample_temperature_mix": {"broadcast_nested_loop", "single_partition_exchange"},
+    # 1-row (N, avgdl) corpus-stats aggregate crossJoin-broadcast onto
+    # the query-term postings; top-k is TakeOrderedAndProject
+    "retrieval_bm25_topk": {"broadcast_nested_loop", "single_partition_exchange"},
     # 1-row total-weight aggregate crossJoin-broadcast onto the 5-row
     # per-lang plan (sample_repeat_plan); vocab_coverage's rank window
     # runs over the vocabulary frame (orders smaller than the corpus)
