@@ -100,31 +100,36 @@ def bm25_topk(
     and the scoring half of a retrieve-then-deduplicate or
     decontamination-by-retrieval pass.
 
-    Plan shape: per-doc length is a map-side expression on the scan
-    (includes zero-token docs — dl comes from the row, not the explode,
-    so avgdl is corpus-exact); the explode is filtered to the query
-    terms BEFORE the tf aggregate, so only matching postings shuffle
-    (|query| × |matching docs| rows, not the corpus token stream); df
-    and the (N, avgdl) scalars broadcast onto the postings; top-k is
-    orderBy+limit → TakeOrderedAndProject, no global sort exchange.
-    Scores round to 6dp with an id tie-break, so the ranking is total
-    and engine-exact."""
+    Plan shape: ONE scan of the text column — tokenization happens
+    once, into a checkpointed (id, dl, matched-terms) frame that is a
+    few dozen bytes per row (the naive three-branch form re-scanned
+    and re-tokenized the corpus for tf, df, and the length stats —
+    3 text scans at 100 TB). Per-doc length comes from the row, not
+    the explode, so avgdl counts zero-token docs; only matching
+    postings shuffle for the tf aggregate (|query| × |matching docs|
+    rows), which is itself checkpointed so the df aggregate doesn't
+    repeat the (doc, term) exchange; df and the (N, avgdl) scalars
+    broadcast onto the postings; top-k is orderBy+limit →
+    TakeOrderedAndProject, no global sort exchange. Scores round to
+    6dp with an id tie-break, so the ranking is total and
+    engine-exact."""
     toks = F.array_remove(
         F.split(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "), " "), ""
     )
+    qlit = F.array(*[F.lit(t) for t in query_terms])
     based = df.select(
-        F.col(id_col), toks.alias("_toks"), F.size(toks).alias("dl")
-    )
+        F.col(id_col),
+        F.size(toks).alias("dl"),
+        F.filter(toks, lambda t: F.array_contains(qlit, t)).alias("_mt"),
+    ).localCheckpoint(eager=False)
     stats = based.agg(
         F.count(F.lit(1)).alias("_n"),
         F.avg(F.col("dl").cast("double")).alias("_avgdl"),
     )
-    flat = based.select(id_col, "dl", F.explode("_toks").alias("term")).filter(
-        F.col("term").isin(*query_terms)
-    )
+    flat = based.select(id_col, "dl", F.explode("_mt").alias("term"))
     tf = flat.groupBy(id_col, "term").agg(
         F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl")
-    )
+    ).localCheckpoint(eager=False)
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     idf = F.log(
         F.lit(1.0)

@@ -2719,7 +2719,9 @@ def scd2_dimension_merge(spark, sf_dir):
       SELECT * FROM (
         SELECT ch.*, row_number() OVER (
           PARTITION BY o_orderkey
-          ORDER BY seq DESC, CASE WHEN op = 'D' THEN 0 ELSE 1 END ASC) AS rn
+          ORDER BY seq DESC, CASE WHEN op = 'D' THEN 0 ELSE 1 END ASC,
+                   o_totalprice ASC NULLS LAST,
+                   o_orderstatus ASC NULLS LAST) AS rn
         FROM ch
       ) WHERE rn = 1
     )
@@ -2739,7 +2741,10 @@ def cdc_latest_wins(spark, sf_dir):
     over plain parquet. One change-side window + one full-outer join;
     deletes and upserts resolve in the same projection, so the driver
     hash-checks the newest-per-key collapse, the delete/upsert split,
-    and untouched-row passthrough."""
+    and untouched-row passthrough. The synthetic lineitem has duplicate
+    (orderkey, linenumber) rows, so the oracle mirrors cdc_apply's
+    deterministic payload tie-break (ADVICE r4) — without it the
+    same-seq winner is genuinely order-undefined on this data."""
     base = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 2 == 0).select(
         "o_orderkey", "o_totalprice", "o_orderstatus"
     )
