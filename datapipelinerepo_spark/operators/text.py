@@ -996,3 +996,96 @@ def zipf_fit(
         F.round(slope, 4).alias("slope_r4"),
         F.round((sy - slope * sx) / n, 4).alias("intercept_r4"),
     )
+
+
+def token_entropy(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document token-type Shannon entropy, H = ln(n) − (Σ c·ln c)/n
+    over the doc's token-type counts — the diversity/repetition signal
+    a quality pass reads next to repetition_features (H → 0 means one
+    token dominates; H ≈ ln(n_types) means a flat distribution;
+    boilerplate and keyword-stuffed docs sit low).
+
+    Engine-exact by the perplexity recipe: each c·ln(c) term rounds to
+    6dp and sums as DECIMAL (order-insensitive exact addition — no
+    ordered fold needed), so the 4dp entropy hash-matches at any
+    partitioning. One explode + one (doc, token) aggregate; only token
+    strings shuffle."""
+    toks = F.split(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "), " ")
+    flat = df.select(F.col(id_col), F.explode(toks).alias("tok")).filter(
+        F.col("tok") != ""
+    )
+    counts = flat.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("c"))
+    term = F.round(
+        F.col("c").cast("double") * F.log(F.col("c").cast("double")), 6
+    ).cast("decimal(28,6)")
+    per = counts.groupBy(id_col).agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum(term).alias("_s"),
+    )
+    return per.select(
+        F.col(id_col),
+        "n_tokens",
+        "n_types",
+        F.round(
+            F.log(F.col("n_tokens").cast("double"))
+            - F.col("_s").cast("double") / F.col("n_tokens"),
+            4,
+        ).alias("entropy_r4"),
+    )
+
+
+GOPHER_STOPWORDS = ("the", "and", "of", "to", "a", "in", "for")
+
+
+def gopher_rules(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style document quality rules (arXiv:2112.11446 §A1.1,
+    adapted): per-doc booleans for word count in [50, 100k], mean word
+    length in [3, 10], symbol-to-word ratio (#/ellipsis) < 0.1, ≥ 80%
+    of words containing an alphabetic character, and ≥ 2 distinct
+    stopwords present; ``keep`` is their conjunction. The classic
+    rule-bundle front gate of an LLM curation pipeline, beside the
+    learned quality model.
+
+    Pure map-side expressions — split/regexp/array ops fused into the
+    scan, no shuffle at all; regexes are plain character classes so
+    Java regex (Spark) and RE2 (DuckDB) agree."""
+    c = F.col(text_col)
+    toks = F.array_remove(
+        F.split(F.regexp_replace(F.lower(c), r"\s+", " "), " "), ""
+    )
+    n_words = F.size(toks)
+    sum_len = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+    mean_wl = sum_len.cast("double") / n_words
+    n_symbol = F.size(F.regexp_extract_all(c, F.lit(r"(#|\.\.\.)"), F.lit(0)))
+    n_alpha = F.size(F.filter(toks, lambda x: x.rlike("[a-z]")))
+    n_stop = F.size(
+        F.array_intersect(
+            F.array_distinct(toks),
+            F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+        )
+    )
+    out = df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        F.round(mean_wl, 6).alias("mean_word_len"),
+        ((n_words >= 50) & (n_words <= 100000)).alias("ok_word_count"),
+        ((mean_wl >= 3.0) & (mean_wl <= 10.0)).alias("ok_mean_word_len"),
+        (n_symbol.cast("double") / n_words < 0.1).alias("ok_symbol_ratio"),
+        (n_alpha.cast("double") / n_words >= 0.8).alias("ok_alpha_share"),
+        (n_stop >= 2).alias("ok_stopwords"),
+    )
+    keep = (
+        F.col("ok_word_count")
+        & F.col("ok_mean_word_len")
+        & F.col("ok_symbol_ratio")
+        & F.col("ok_alpha_share")
+        & F.col("ok_stopwords")
+    )
+    return out.withColumn("keep", keep)

@@ -3296,3 +3296,81 @@ def text_zipf_fit(spark, sf_dir):
     folds in rank order on both engines (SUM(… ORDER BY) ↔ array
     fold), so slope and intercept are engine-exact at 4dp."""
     return T.zipf_fit(t(spark, sf_dir, "documents"), top_k=1000)
+
+
+@register(
+    "text_token_entropy",
+    sql=r"""
+    WITH tk AS (
+      SELECT doc_id, unnest(list_filter(
+               string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' '),
+               s -> length(s) > 0)) AS tok
+      FROM documents
+    ), cnt AS (
+      SELECT doc_id, tok, COUNT(*) AS c FROM tk GROUP BY 1, 2
+    ), per AS (
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+             COUNT(*) AS n_types,
+             SUM(CAST(round(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)), 6)
+                      AS DECIMAL(28,6))) AS s
+      FROM cnt GROUP BY 1
+    )
+    SELECT doc_id, n_tokens, n_types,
+           round(ln(CAST(n_tokens AS DOUBLE)) - CAST(s AS DOUBLE) / n_tokens, 4)
+             AS entropy_r4
+    FROM per
+    """,
+)
+def text_token_entropy(spark, sf_dir):
+    """Per-doc token-type Shannon entropy (operators/text.
+    token_entropy): H = ln(n) − (Σ c·ln c)/n — the diversity signal a
+    quality gate reads beside repetition share (low H = one token
+    dominates / keyword stuffing). Each c·ln c term rounds 6dp and
+    sums as DECIMAL (order-insensitive exact addition, the perplexity
+    recipe), so the 4dp entropy hash-matches at any partitioning."""
+    return T.token_entropy(t(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_gopher_rules",
+    sql=r"""
+    WITH d AS (
+      SELECT doc_id, text,
+             list_filter(string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' '),
+                         s -> length(s) > 0) AS toks
+      FROM documents
+    ), m AS (
+      SELECT doc_id,
+             len(toks) AS n_words,
+             CAST(list_sum(list_transform(toks, s -> length(s))) AS DOUBLE)
+               / len(toks) AS mwl,
+             len(regexp_extract_all(text, '(#|\.\.\.)')) AS n_symbol,
+             len(list_filter(toks, s -> regexp_matches(s, '[a-z]'))) AS n_alpha,
+             len(list_intersect(list_distinct(toks),
+                 ['the', 'and', 'of', 'to', 'a', 'in', 'for'])) AS n_stop
+      FROM d
+    )
+    SELECT doc_id, n_words, round(mwl, 6) AS mean_word_len,
+           n_words >= 50 AND n_words <= 100000 AS ok_word_count,
+           mwl >= 3.0 AND mwl <= 10.0 AS ok_mean_word_len,
+           CAST(n_symbol AS DOUBLE) / n_words < 0.1 AS ok_symbol_ratio,
+           CAST(n_alpha AS DOUBLE) / n_words >= 0.8 AS ok_alpha_share,
+           n_stop >= 2 AS ok_stopwords,
+           (n_words >= 50 AND n_words <= 100000)
+             AND (mwl >= 3.0 AND mwl <= 10.0)
+             AND (CAST(n_symbol AS DOUBLE) / n_words < 0.1)
+             AND (CAST(n_alpha AS DOUBLE) / n_words >= 0.8)
+             AND (n_stop >= 2) AS keep
+    FROM m
+    """,
+)
+def text_gopher_rules(spark, sf_dir):
+    """Gopher-style rule-bundle quality gate (operators/text.
+    gopher_rules, arXiv:2112.11446 §A1.1 adapted): word count, mean
+    word length, symbol ratio, alphabetic-word share, and stopword
+    presence as per-doc booleans plus their conjunction — the classic
+    heuristic front gate beside the learned quality model
+    (text_quality_model). Pure map-side expressions fused into the
+    scan; character-class-only regexes keep Java regex and RE2 in
+    agreement, so every boolean and the 6dp mean hash-match."""
+    return T.gopher_rules(t(spark, sf_dir, "documents"))

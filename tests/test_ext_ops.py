@@ -1255,3 +1255,54 @@ def test_zipf_fit_on_synthetic_power_law(spark):
     row = zipf_fit(df, top_k=50).collect()[0]
     assert row["n_types"] == 50
     assert -1.1 < row["slope_r4"] < -0.9
+
+
+def test_token_entropy_extremes(spark):
+    """One repeated token -> H = 0; k equally frequent tokens ->
+    H = ln(k); mixed case matches the closed form."""
+    import math
+
+    from datapipelinerepo_spark.operators.text import token_entropy
+
+    rows = [
+        (1, "x x x x x x"),
+        (2, "a b c d"),
+        (3, "a a a b"),  # H = ln(4) - (3 ln 3)/4
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in token_entropy(df).collect()}
+    assert out[1]["entropy_r4"] == 0.0 and out[1]["n_types"] == 1
+    assert abs(out[2]["entropy_r4"] - round(math.log(4), 4)) < 1e-3
+    expected = math.log(4) - (3 * math.log(3)) / 4
+    assert abs(out[3]["entropy_r4"] - expected) < 1e-3
+
+
+def test_gopher_rules_planted(spark):
+    """Each rule trips on a purpose-built doc; a normal-prose doc
+    passes all of them."""
+    from datapipelinerepo_spark.operators.text import gopher_rules
+
+    good = (
+        "the quick brown fox jumps over a lazy dog and runs far into "
+        "the woods for hours looking for food and water in the dark "
+        "night while owls watch from tall trees nearby with great "
+        "interest in the strange visitor below them tonight somehow "
+        "and then the moon rises over quiet hills while soft winds "
+        "move through the valley carrying voices of distant rivers"
+    )
+    rows = [
+        (1, good),
+        (2, "too short to pass"),                      # word count
+        (3, " ".join(["a"] * 60)),                     # mean word len < 3
+        (4, " ".join(["###word#"] * 60)),              # symbol ratio
+        (5, " ".join(["123"] * 60)),                   # alpha share
+        (6, " ".join(["zebra"] * 60)),                 # no stopwords
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in gopher_rules(df).collect()}
+    assert out[1]["keep"]
+    assert not out[2]["ok_word_count"] and not out[2]["keep"]
+    assert not out[3]["ok_mean_word_len"]
+    assert not out[4]["ok_symbol_ratio"]
+    assert not out[5]["ok_alpha_share"]
+    assert not out[6]["ok_stopwords"]
