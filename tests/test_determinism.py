@@ -18,6 +18,12 @@ QUERIES = [
     "q10_returned_items",       # top-k with ORDER BY ties
     "data_mix_report",          # broadcast scalar share
     "text_rolling_fingerprint", # integer rolling hash
+    "retrieval_bm25_topk",      # ordered-fold float scores + top-k ties
+    "embedding_kcenter_coreset",  # iterative argmax over float dists
+    "text_token_entropy",       # decimal term sums
+    "text_zipf_fit",            # ordered-fold OLS over the rank window
+    "w_ntile_deciles",          # range-bucketed global positions
+    "scale_heavy_hitters",      # sketch candidates -> exact recount
 ]
 
 
