@@ -472,3 +472,17 @@ def test_entrypoints_mirror_reference_handlers(spark, store):
         spark, store, make_dict_fetcher({"geo://ga": geo_html}), clock=clock
     )
     assert r.loaded_rows["geo"] == 1
+
+
+def test_cli_list_and_oracle_paths(capsys):
+    """The CLI runner lists queries and prints oracle SQL without a
+    Spark session; unknown names fail with a close-match hint."""
+    from datapipelinerepo_spark.__main__ import main
+
+    assert main(["--list", "dedup_minhash*"]) == 0
+    out = capsys.readouterr().out
+    assert "dedup_minhash_lsh" in out and "[bench]" in out
+    assert main(["text_zipf_fit", "--oracle"]) == 0
+    assert "ln(" in capsys.readouterr().out
+    assert main(["no_such_query"]) == 2
+    assert main(["ann_topk_lsh", "--oracle"]) == 1  # rows-only
