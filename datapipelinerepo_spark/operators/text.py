@@ -1053,17 +1053,26 @@ def gopher_rules(
 
     Pure map-side expressions — split/regexp/array ops fused into the
     scan, no shuffle at all; regexes are plain character classes so
-    Java regex (Spark) and RE2 (DuckDB) agree."""
+    Java regex (Spark) and RE2 (DuckDB) agree. NULL or empty text
+    degrades to zero words (every rule false, keep false) instead of a
+    DIVIDE_BY_ZERO — the ratio denominators clamp to 1, which never
+    changes a non-empty doc's booleans."""
     c = F.col(text_col)
-    toks = F.array_remove(
-        F.split(F.regexp_replace(F.lower(c), r"\s+", " "), " "), ""
+    toks = F.coalesce(
+        F.array_remove(
+            F.split(F.regexp_replace(F.lower(c), r"\s+", " "), " "), ""
+        ),
+        F.array().cast("array<string>"),
     )
     n_words = F.size(toks)
+    nz = F.greatest(n_words, F.lit(1))
     sum_len = F.aggregate(
         toks, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
     )
-    mean_wl = sum_len.cast("double") / n_words
-    n_symbol = F.size(F.regexp_extract_all(c, F.lit(r"(#|\.\.\.)"), F.lit(0)))
+    mean_wl = sum_len.cast("double") / nz
+    n_symbol = F.coalesce(
+        F.size(F.regexp_extract_all(c, F.lit(r"(#|\.\.\.)"), F.lit(0))), F.lit(0)
+    )
     n_alpha = F.size(F.filter(toks, lambda x: x.rlike("[a-z]")))
     n_stop = F.size(
         F.array_intersect(
@@ -1077,8 +1086,8 @@ def gopher_rules(
         F.round(mean_wl, 6).alias("mean_word_len"),
         ((n_words >= 50) & (n_words <= 100000)).alias("ok_word_count"),
         ((mean_wl >= 3.0) & (mean_wl <= 10.0)).alias("ok_mean_word_len"),
-        (n_symbol.cast("double") / n_words < 0.1).alias("ok_symbol_ratio"),
-        (n_alpha.cast("double") / n_words >= 0.8).alias("ok_alpha_share"),
+        (n_symbol.cast("double") / nz < 0.1).alias("ok_symbol_ratio"),
+        (n_alpha.cast("double") / nz >= 0.8).alias("ok_alpha_share"),
         (n_stop >= 2).alias("ok_stopwords"),
     )
     keep = (

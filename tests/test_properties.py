@@ -313,3 +313,46 @@ def test_cdc_apply_matches_reference_merge(spark, base, changes):
         for r in R.cdc_apply(db, dc, key="k", seq_col="seq").collect()
     }
     assert got == ref
+
+
+EDIT_TEXTS = st.lists(
+    st.text(alphabet="ab ", min_size=0, max_size=24),
+    min_size=0, max_size=10,
+)
+
+
+@settings(max_examples=5, deadline=None)
+@given(texts=EDIT_TEXTS)
+def test_edit_distance_pairs_complete_on_random_short_strings(spark, texts):
+    """Candidate completeness under adversarially SHORT heads: over a
+    tiny alphabet (so near pairs abound and many heads have <= k*q
+    distinct q-grams, the regime the r4 prefix filter silently missed)
+    the filtered join equals exhaustive all-pairs Levenshtein."""
+    from datapipelinerepo_spark.operators.dedup import edit_distance_pairs
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    if not rows:
+        return
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"], r["edit_dist"])
+        for r in edit_distance_pairs(df, k=3, q=4).collect()
+    }
+
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    heads = [(i, t[:120]) for i, t in rows]
+    expected = {
+        (ia, ib, lev(ta, tb))
+        for ia, ta in heads
+        for ib, tb in heads
+        if ia < ib and lev(ta, tb) <= 3
+    }
+    assert got == expected

@@ -75,3 +75,38 @@ def test_observe_metrics_ride_the_action(spark, tmp_path):
     assert m["n_rows"] == 5
     assert m["null_parent_id"] == 1
     assert m["null_tag"] == 0
+
+
+def test_text_operators_tolerate_null_and_empty_text(spark):
+    """NULL and empty text rows must degrade (row absent, zeros, or
+    keep=false), never throw — a 100 TB corpus always contains them."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from datapipelinerepo_spark.operators import dedup as D
+    from datapipelinerepo_spark.operators import text as T
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox and the dog"), (2, None), (3, "")], schema
+    )
+    for fn in (
+        T.quality_features,
+        T.language_id,
+        T.fingerprint,
+        T.gopher_rules,
+        T.token_entropy,
+        T.ngram_novelty,
+        T.zipf_fit,
+        T.tf_idf,
+        T.unigram_perplexity,
+        T.redact_pii,
+        T.line_dedup,
+        D.exact_dedup,
+        lambda d: T.bm25_topk(d, ("the",)),
+    ):
+        assert fn(df).count() >= 0  # no exception is the contract
+    g = {r["doc_id"]: r for r in T.gopher_rules(df).collect()}
+    assert not g[2]["keep"] and not g[3]["keep"]
+    assert g[3]["n_words"] == 0
