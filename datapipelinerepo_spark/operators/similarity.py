@@ -1040,3 +1040,46 @@ def kcenter_coreset(
     return spark.createDataFrame(
         picks, "sel_round int, vec_id long, d2 double"
     ).select("sel_round", "vec_id", F.round("d2", 6).alias("d2_r6"))
+
+
+def margin_mining(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 8,
+    threshold: float = 1.05,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Margin-based pair mining (the Artetxe & Schwenk ratio margin,
+    arXiv:1811.01136 — the LASER/CCMatrix bitext-mining score): for
+    each query vector, the best corpus match and its margin =
+    sim(best) / mean(sim over the top-k neighborhood). A high margin
+    means the best match stands OUT of its neighborhood — the signal
+    that separates a true aligned pair from a dense region of
+    look-alikes, which a raw cosine threshold can't do.
+
+    Output: (q_id, c_id, best_sim, margin_r4, mined). Engine-exact:
+    neighborhood sims are already 4dp-rounded, so their DECIMAL sum is
+    order-insensitive and the margin ratio reproduces bit-for-bit.
+
+    Plan shape: rides cosine_topk_bruteforce (broadcast queries ⋈
+    corpus, per-query top-k window) + one k-row-per-query aggregate;
+    at scale swap the top-k source for cosine_topk_lsh — the margin
+    arithmetic is source-agnostic."""
+    topk = cosine_topk_bruteforce(queries, corpus, k, id_col, vec_col)
+    agg = topk.groupBy("q_id").agg(
+        F.min_by("c_id", "rank").alias("c_id"),
+        F.max(F.when(F.col("rank") == 1, F.col("sim_r4"))).alias("best_sim"),
+        F.sum(F.col("sim_r4").cast("decimal(18,4)")).alias("_s"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    margin = F.round(
+        F.col("best_sim") / (F.col("_s").cast("double") / F.col("_n")), 4
+    )
+    return agg.select(
+        "q_id",
+        "c_id",
+        "best_sim",
+        margin.alias("margin_r4"),
+        (margin >= threshold).alias("mined"),
+    )

@@ -3374,3 +3374,51 @@ def text_gopher_rules(spark, sf_dir):
     scan; character-class-only regexes keep Java regex and RE2 in
     agreement, so every boolean and the 6dp mean hash-match."""
     return T.gopher_rules(t(spark, sf_dir, "documents"))
+
+
+@register(
+    "embedding_margin_mining",
+    sql="""
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 16),
+    scored AS (
+      SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+             round(
+               list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) /
+               (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) *
+                sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))), 4)
+             AS sim_r4
+      FROM q, embeddings c WHERE q.vec_id <> c.vec_id
+    ), ranked AS (
+      SELECT q_id, c_id, sim_r4,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+                                ORDER BY sim_r4 DESC, c_id ASC) AS rank
+      FROM scored
+    ), topk AS (SELECT * FROM ranked WHERE rank <= 8),
+    agg AS (
+      SELECT q_id,
+             MIN(CASE WHEN rank = 1 THEN c_id END) AS c_id,
+             MAX(CASE WHEN rank = 1 THEN sim_r4 END) AS best_sim,
+             SUM(CAST(sim_r4 AS DECIMAL(18,4))) AS s,
+             COUNT(*) AS n
+      FROM topk GROUP BY 1
+    )
+    SELECT q_id, c_id, best_sim,
+           round(best_sim / (CAST(s AS DOUBLE) / n), 4) AS margin_r4,
+           round(best_sim / (CAST(s AS DOUBLE) / n), 4) >= 1.05 AS mined
+    FROM agg
+    """,
+)
+def embedding_margin_mining(spark, sf_dir):
+    """Margin-based pair mining (similarity.margin_mining, the
+    Artetxe & Schwenk ratio margin of LASER/CCMatrix bitext mining):
+    per query vector, the best corpus match scored by
+    sim(best) / mean(top-8 sims) — the neighborhood-relative score
+    that separates a true aligned pair from a dense look-alike region
+    where a raw cosine cut can't. Neighborhood sims are 4dp-rounded
+    before their DECIMAL mean, so the margin is partition- and
+    engine-exact; the driver hash-checks best-match choice, margin,
+    and the mined flag for 16 query vectors against the full
+    corpus."""
+    emb = t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 16)
+    return SIM.margin_mining(q, emb, k=8, threshold=1.05)

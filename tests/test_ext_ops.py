@@ -1306,3 +1306,22 @@ def test_gopher_rules_planted(spark):
     assert not out[4]["ok_symbol_ratio"]
     assert not out[5]["ok_alpha_share"]
     assert not out[6]["ok_stopwords"]
+
+
+def test_margin_mining_planted_pair(spark, emb):
+    """A planted exact duplicate mines with the maximum margin in its
+    neighborhood (best_sim 1.0, margin > 1), while a vector whose whole
+    neighborhood is equally similar scores margin ≈ 1 and is not
+    mined at a tight threshold."""
+    from datapipelinerepo_spark.operators.similarity import margin_mining
+
+    planted = emb.filter(F.col("vec_id") == 0).withColumn(
+        "vec_id", F.lit(900000).cast("long")
+    )
+    corpus = emb.union(planted)
+    q = emb.filter(F.col("vec_id") < 3)
+    out = {r["q_id"]: r for r in margin_mining(q, corpus, k=8).collect()}
+    assert out[0]["c_id"] == 900000 and out[0]["best_sim"] == 1.0
+    assert out[0]["margin_r4"] > 1.0 and out[0]["mined"]
+    for r in out.values():
+        assert r["margin_r4"] >= 1.0  # best >= mean(top-k) by construction

@@ -149,6 +149,7 @@ _REGISTRY_ALLOW = {
     "scale_heavy_hitters_verified": {"broadcast_nested_loop", "single_partition_exchange"},
     # intentionally exact / sampled all-pairs
     "ann_topk_bruteforce": {"broadcast_nested_loop"},
+    "embedding_margin_mining": {"broadcast_nested_loop"},  # rides the exact top-k
     "ann_topk_quantized": {"broadcast_nested_loop"},
     "embedding_dup_pairs": {"broadcast_nested_loop"},
     "dedup_levenshtein_pairs": {"broadcast_nested_loop"},
