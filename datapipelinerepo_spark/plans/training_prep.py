@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..operators import dedup as D
@@ -59,14 +59,23 @@ class PrepConfig:
     assign_splits: bool = False
 
 
-def quality_gate(df: DataFrame, cfg: PrepConfig) -> DataFrame:
+def quality_gate_predicate(cfg: PrepConfig) -> Column:
+    """The structural gate as a boolean COLUMN (NULL-safe: NULL text →
+    false), so callers that need both survivors and rejects can stamp
+    one flag on one materialization instead of filter + anti-join (the
+    streaming ingest's per-batch shape)."""
     c = F.col(cfg.text_col)
     punct_ratio = T.token_count(c, T.PUNCT_RE) / F.greatest(F.length(c), F.lit(1))
-    return df.filter(
+    return F.coalesce(
         (F.length(c) >= cfg.min_chars)
         & (T.token_count(c) >= cfg.min_tokens)
-        & (punct_ratio < cfg.max_punct_ratio)
+        & (punct_ratio < cfg.max_punct_ratio),
+        F.lit(False),
     )
+
+
+def quality_gate(df: DataFrame, cfg: PrepConfig) -> DataFrame:
+    return df.filter(quality_gate_predicate(cfg))
 
 
 def redact(df: DataFrame, cfg: PrepConfig) -> DataFrame:

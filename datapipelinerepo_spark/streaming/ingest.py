@@ -253,16 +253,24 @@ def curate_ingest_stream(
     handling stays with near_dup_ingest_stream (standing LSH index);
     this operator is the gate+redact+exact-dedup front of the same
     ingest pipeline."""
-    from ..plans.training_prep import PrepConfig, quality_gate, redact
+    from ..plans.training_prep import PrepConfig, quality_gate_predicate, redact
 
     cfg = cfg or PrepConfig()
 
     def _ingest(batch: DataFrame, batch_id: int) -> None:
-        batch = batch.localCheckpoint(eager=True)
-        gated = quality_gate(batch, cfg).localCheckpoint(eager=True)
-        rejects = batch.join(
-            gated.select(cfg.id_col), on=cfg.id_col, how="left_anti"
-        ).withColumn("reason", F.lit("quality_gate"))
+        # ONE materialization per batch: the gate is stamped as a flag
+        # column on the checkpointed frame and both sides filter from
+        # it — the earlier filter + anti-join form materialized the
+        # batch twice and paid an id shuffle just to recover rejects
+        flagged = batch.withColumn(
+            "_pass", quality_gate_predicate(cfg)
+        ).localCheckpoint(eager=True)
+        gated = flagged.filter(F.col("_pass")).drop("_pass")
+        rejects = (
+            flagged.filter(~F.col("_pass"))
+            .drop("_pass")
+            .withColumn("reason", F.lit("quality_gate"))
+        )
         staged = redact(gated, cfg).withColumn(
             "_dg", F.md5(F.col(cfg.text_col))
         )
