@@ -804,3 +804,63 @@ def edit_distance_pairs(
         .filter(F.col("edit_dist") <= k)
         .select("id_a", "id_b", "edit_dist")
     )
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    k: int = 3,
+    window: int = 4,
+    key_len: int = 24,
+    head_len: int = 120,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sorted-neighborhood dedup (Hernandez & Stolfo 1995): sort the
+    corpus by a normalized blocking key (lowercased head prefix), slide
+    a window of ``window`` positions, and exact-verify only pairs
+    inside it — the classic record-linkage blocking family beside
+    LSH/prefix-filter banding. Near-identical heads sort adjacent, so a
+    small window catches them at linear candidate cost (corpus ×
+    window), trading the prefix filter's completeness guarantee for
+    radically fewer candidates; the standard remedy for sort-boundary
+    misses is multi-pass with rotated keys, not a wider window.
+
+    Output: (id_a, id_b, edit_dist) for in-window pairs within
+    Levenshtein ``k`` of each other's heads.
+
+    Scale shape: positions come from sampling.global_order_positions
+    (range-bucketed rank + broadcast offsets — NO corpus-sized global
+    window); the neighborhood join is a pure EQUI-join on position
+    (each row explodes ``window`` offset probes), so Catalyst plans a
+    hash join, never a range join; the Levenshtein verify touches only
+    corpus × window candidate rows."""
+    from .sampling import global_order_positions
+
+    heads = df.select(
+        F.col(id_col).alias("_id"),
+        F.substring(F.col(text_col), 1, head_len).alias("_h"),
+    ).withColumn("_key", F.substring(F.lower(F.col("_h")), 1, key_len))
+    pos = global_order_positions(heads, ("_key", "_id"), n_buckets=32)
+    a = pos.select(
+        F.col("_id").alias("id_a"), F.col("_h").alias("_ha"), F.col("pos").alias("_pa")
+    )
+    probes = a.select(
+        "id_a",
+        "_ha",
+        "_pa",
+        F.explode(F.array(*[F.lit(o) for o in range(1, window + 1)])).alias("_o"),
+    ).select("id_a", "_ha", (F.col("_pa") + F.col("_o")).alias("_pb"))
+    b = pos.select(
+        F.col("_id").alias("id_b"), F.col("_h").alias("_hb"), F.col("pos").alias("_pb")
+    )
+    cand = probes.join(b, "_pb")
+    out = (
+        cand.withColumn("edit_dist", F.levenshtein("_ha", "_hb"))
+        .filter(F.col("edit_dist") <= k)
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+            "edit_dist",
+        )
+    )
+    return out

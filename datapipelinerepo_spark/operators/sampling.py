@@ -215,13 +215,42 @@ def global_order_positions(
     plan lint. At 100 TB raise n_buckets so each range bucket fits an
     executor (the same knob as the shuffle-positions byte-prefix)."""
     from pyspark.sql import Window
+    from pyspark.sql.types import DateType, NumericType, TimestampType
 
     lead = order_cols[0]
-    probs = [i / n_buckets for i in range(1, n_buckets)]
-    bounds = df.select(
-        F.percentile_approx(F.col(lead), F.array(*[F.lit(p) for p in probs]), 10000)
-    ).first()[0]
-    uniq = sorted(set(b for b in (bounds or []) if b is not None))
+    if isinstance(df.schema[lead].dataType, (NumericType, DateType, TimestampType)):
+        probs = [i / n_buckets for i in range(1, n_buckets)]
+        bounds = df.select(
+            F.percentile_approx(
+                F.col(lead), F.array(*[F.lit(p) for p in probs]), 10000
+            )
+        ).first()[0]
+        uniq = sorted(set(b for b in (bounds or []) if b is not None))
+    else:
+        # non-numeric sort key (e.g. a string blocking key): no sketch
+        # exists, so boundaries come from a deterministic hash-sample,
+        # ORDERED BY SPARK ITSELF (collation must be the engine's own —
+        # a Python sort could disagree on non-ASCII and break bucket
+        # monotonicity). The sample cap keeps the collect bounded; the
+        # modulus grows until the distinct sample fits, so at 100 TB
+        # this is one or two cheap lead-column scans.
+        cap, m = 8192, 16
+        while True:
+            vals = [
+                r[0]
+                for r in df.select(F.col(lead).alias("_lv"))
+                .filter(F.col("_lv").isNotNull())
+                .filter(F.pmod(F.xxhash64(F.col("_lv")), F.lit(m)) == 0)
+                .distinct()
+                .orderBy("_lv")
+                .limit(cap + 1)
+                .collect()
+            ]
+            if len(vals) <= cap:
+                break
+            m *= 8
+        step = max(1, len(vals) // n_buckets)
+        uniq = vals[step - 1 :: step][: n_buckets - 1]
     bucket = F.lit(len(uniq))
     for i in reversed(range(len(uniq))):
         bucket = F.when(F.col(lead) <= F.lit(uniq[i]), F.lit(i)).otherwise(bucket)

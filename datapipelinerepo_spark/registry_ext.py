@@ -3422,3 +3422,37 @@ def embedding_margin_mining(spark, sf_dir):
     emb = t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 16)
     return SIM.margin_mining(q, emb, k=8, threshold=1.05)
+
+
+@register(
+    "dedup_sorted_neighborhood",
+    sql="""
+    WITH h AS (
+      SELECT doc_id, substr(text, 1, 120) AS hd,
+             substr(lower(substr(text, 1, 120)), 1, 24) AS key
+      FROM documents
+    ), p AS (
+      SELECT doc_id, hd,
+             ROW_NUMBER() OVER (ORDER BY key, doc_id) - 1 AS pos
+      FROM h
+    )
+    SELECT LEAST(a.doc_id, b.doc_id) AS id_a,
+           GREATEST(a.doc_id, b.doc_id) AS id_b,
+           levenshtein(a.hd, b.hd) AS edit_dist
+    FROM p a JOIN p b ON b.pos > a.pos AND b.pos <= a.pos + 4
+    WHERE levenshtein(a.hd, b.hd) <= 3
+    """,
+)
+def dedup_sorted_neighborhood(spark, sf_dir):
+    """Sorted-neighborhood dedup (operators/dedup.
+    sorted_neighborhood_pairs, Hernandez-Stolfo): window-4 pairs over
+    the corpus sorted by a normalized 24-char head key, Levenshtein-3
+    verified — the third near-dup blocking family beside MinHash
+    banding and rare-gram prefix filtering, at linear candidate cost.
+    The operator's positions come from the range-bucketed
+    rank-with-offsets machinery and its neighborhood join is a pure
+    position EQUI-join; the oracle replays the identical (key, id)
+    total order with a rank self-join, so membership of every window
+    pair and its distance hash-check exactly (the corpus is ASCII, so
+    Java and UTF-8 byte collation agree)."""
+    return D.sorted_neighborhood_pairs(t(spark, sf_dir, "documents"))

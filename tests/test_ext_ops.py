@@ -1325,3 +1325,32 @@ def test_margin_mining_planted_pair(spark, emb):
     assert out[0]["margin_r4"] > 1.0 and out[0]["mined"]
     for r in out.values():
         assert r["margin_r4"] >= 1.0  # best >= mean(top-k) by construction
+
+
+def test_sorted_neighborhood_finds_adjacent_near_dups(spark, docs):
+    """A 1-edit variant of a real head sorts adjacent to its donor and
+    is caught by the window; every reported pair is verified within
+    distance k on both sides (no false positives by construction)."""
+    from datapipelinerepo_spark.operators.dedup import sorted_neighborhood_pairs
+
+    base = docs.filter(F.col("doc_id") < 100).select("doc_id", "text")
+    donor = base.filter(F.col("doc_id") == 7).collect()[0]["text"]
+    mutated = donor[:50] + "x" + donor[51:]  # 1 substitution mid-head
+    planted = spark.createDataFrame([(900007, mutated)], ["doc_id", "text"])
+    out = sorted_neighborhood_pairs(base.union(planted), k=3, window=4)
+    got = {(r["id_a"], r["id_b"]): r["edit_dist"] for r in out.collect()}
+    assert got.get((7, 900007)) == 1
+    # verify-side soundness: recompute each reported distance exactly
+    heads = {r["doc_id"]: r["text"][:120] for r in base.union(planted).collect()}
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    for (ia, ib), d in got.items():
+        assert lev(heads[ia], heads[ib]) == d <= 3

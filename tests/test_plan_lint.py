@@ -116,6 +116,9 @@ _REGISTRY_ALLOW = {
     # frame (then broadcasts); the corpus itself shuffles once on _b
     "sample_global_shuffle": {"single_partition_exchange"},
     "sample_shard_plan": {"single_partition_exchange"},  # same 256-row window
+    # same bounded bucket-offsets window (≤33 rows) feeding the
+    # broadcast; the corpus itself shuffles once on the range bucket
+    "dedup_sorted_neighborhood": {"single_partition_exchange"},
     # bucketed global-order path since r5: the only global windows are
     # the ≤33-row bucket-offsets frame (single-partition, bounded) and
     # the 1-row total-count crossJoin broadcast for the tile arithmetic
