@@ -3122,6 +3122,7 @@ def dedup_edit_pairs_filtered(spark, sf_dir):
 
 @register(
     "retrieval_bm25_topk",
+    bench=True,
     sql=r"""
     WITH base AS (
       SELECT doc_id,
@@ -3426,6 +3427,7 @@ def embedding_margin_mining(spark, sf_dir):
 
 @register(
     "dedup_sorted_neighborhood",
+    bench=True,
     sql="""
     WITH h AS (
       SELECT doc_id, substr(text, 1, 120) AS hd,
