@@ -196,7 +196,9 @@ def main() -> None:
             in_dir = os.path.join(wdir, "in")
             os.makedirs(in_dir)
             os.symlink(
-                os.path.join(sf_dir, "documents.parquet"),
+                # absolutize: a relative SPARK_GRAFT_SF_DIR would make
+                # the link resolve against the temp dir and dangle
+                os.path.abspath(os.path.join(sf_dir, "documents.parquet")),
                 os.path.join(in_dir, "documents.parquet"),
             )
             stream = spark.readStream.schema(doc_schema).parquet(in_dir)

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import argparse
 import fnmatch
+import os
 import sys
 
 
@@ -22,7 +23,11 @@ def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="python -m datapipelinerepo_spark")
     p.add_argument("query", nargs="?", help="registry query name")
     p.add_argument("--list", action="store_true", help="list queries (optionally filter with the positional as a glob)")
-    p.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    p.add_argument(
+        "--sf-dir",
+        default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001"),
+        help="data dir (defaults to $SPARK_GRAFT_SF_DIR, same as bench.py)",
+    )
     p.add_argument("--limit", type=int, default=20, help="rows to show (0 = count only)")
     p.add_argument("--explain", action="store_true", help="print the formatted physical plan instead of rows")
     p.add_argument("--oracle", action="store_true", help="print the DuckDB oracle SQL and exit (no Spark session)")

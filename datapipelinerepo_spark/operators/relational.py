@@ -326,13 +326,22 @@ def cdc_apply(
             ),
         ).isNull()
     )
-    from pyspark.sql.types import MapType
+    from pyspark.sql.types import ArrayType, MapType, StructType
 
-    sortable = [
-        c
-        for c in payload
-        if not isinstance(changes.schema[c].dataType, MapType)
-    ]
+    def _orderable(dt) -> bool:
+        # a MapType ANYWHERE in the type tree makes a column
+        # unorderable (array<map>, struct with a map field, ...) —
+        # top-level-only checking regressed such payloads to an
+        # AnalysisException (code-review r5)
+        if isinstance(dt, MapType):
+            return False
+        if isinstance(dt, ArrayType):
+            return _orderable(dt.elementType)
+        if isinstance(dt, StructType):
+            return all(_orderable(f.dataType) for f in dt.fields)
+        return True
+
+    sortable = [c for c in payload if _orderable(changes.schema[c].dataType)]
     w = (
         Window.partitionBy(key)
         .orderBy(

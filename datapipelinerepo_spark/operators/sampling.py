@@ -254,6 +254,14 @@ def global_order_positions(
     bucket = F.lit(len(uniq))
     for i in reversed(range(len(uniq))):
         bucket = F.when(F.col(lead) <= F.lit(uniq[i]), F.lit(i)).otherwise(bucket)
+    # NULL lead keys: `NULL <= bound` is NULL and would fall through to
+    # the LAST bucket, ranking NULLs mid-order and boundary-dependent
+    # (code-review r5). Pin them to their own first bucket instead —
+    # positions then follow Spark's own ASC NULLS FIRST total order
+    # regardless of where the sampled boundaries land. (A DuckDB oracle
+    # over NULL-bearing keys must say NULLS FIRST explicitly; its
+    # default is NULLS LAST.)
+    bucket = F.when(F.col(lead).isNull(), F.lit(-1)).otherwise(bucket)
     bucketed = df.withColumn("_b", bucket)
     counts = bucketed.groupBy("_b").agg(F.count(F.lit(1)).alias("_n"))
     woff = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)

@@ -1024,17 +1024,40 @@ def kcenter_coreset(
         cc = float(sum((float(x) * float(x) for x in center), 0.0))
         return F.col("_aa") - 2.0 * dot + F.lit(cc)
 
-    seed = base.orderBy(F.col(id_col).asc()).limit(1).collect()[0]
+    seed_rows = base.orderBy(F.col(id_col).asc()).limit(1).collect()
+    if not seed_rows:
+        return spark.createDataFrame([], "sel_round int, vec_id long, d2_r6 double")
+    seed = seed_rows[0]
     picks = [(0, seed[id_col], 0.0)]
     cvec = [float(x) for x in seed["_v"]]
-    cur = base.withColumn("_aa", aa).withColumn("_mind", d2_to(cvec))
+    # localCheckpoint per round materializes the running min-distance:
+    # without it, round i's collect re-evaluates every earlier center's
+    # distance expression from the scan (O(n*k^2*dim) total +
+    # k corpus re-reads — code-review r5); with it each round really is
+    # one O(n*dim) pass over the materialized frame.
+    cur = (
+        base.withColumn("_aa", aa)
+        .withColumn("_mind", d2_to(cvec))
+        .localCheckpoint(eager=False)
+    )
     for i in range(1, k):
-        far = (
-            cur.orderBy(F.desc("_mind"), F.col(id_col).asc()).limit(1).collect()[0]
+        # exclude already-picked ids so k > n degrades to n distinct
+        # picks instead of silently repeating the seed; when unpicked
+        # rows exist the argmax is unchanged (picked rows have _mind 0)
+        far_rows = (
+            cur.filter(~F.col(id_col).isin([p[1] for p in picks]))
+            .orderBy(F.desc("_mind"), F.col(id_col).asc())
+            .limit(1)
+            .collect()
         )
+        if not far_rows:
+            break
+        far = far_rows[0]
         picks.append((i, far[id_col], far["_mind"]))
         cvec = [float(x) for x in far["_v"]]
-        cur = cur.withColumn("_mind", F.least("_mind", d2_to(cvec)))
+        cur = cur.withColumn(
+            "_mind", F.least("_mind", d2_to(cvec))
+        ).localCheckpoint(eager=False)
     # round in a Spark expression: Python's round() is banker's
     # rounding, Spark/DuckDB round half-up — they differ at exact .5
     return spark.createDataFrame(

@@ -30,6 +30,23 @@ def _marker_hits(text: Column, markers: tuple[str, ...]) -> Column:
     return F.size(F.regexp_extract_all(F.lower(text), F.lit(pat), F.lit(0)))
 
 
+def ws_tokens(text: Column, null_as_empty: bool = False) -> Column:
+    """The canonical whitespace tokenizer as an ARRAY expression:
+    lowercase, collapse whitespace runs, split, drop empty tokens.
+    Every consumer's DuckDB oracle twin is
+    ``list_filter(string_split(regexp_replace(lower(text), '\\s+', ' ',
+    'g'), ' '), s -> length(s) > 0)`` — keep the two in lockstep;
+    oracle parity of every downstream op depends on this exact
+    normalization. ``null_as_empty`` coalesces NULL text to an empty
+    array for operators that must emit a row per input doc."""
+    arr = F.array_remove(
+        F.split(F.regexp_replace(F.lower(text), r"\s+", " "), " "), ""
+    )
+    if null_as_empty:
+        arr = F.coalesce(arr, F.array().cast("array<string>"))
+    return arr
+
+
 def token_count(text: Column, pattern: str = TOKEN_RE) -> Column:
     """Whitespace token count; swap BPE_ISH_RE for a subword-ish count."""
     return F.size(F.regexp_extract_all(text, F.lit(pattern), F.lit(0)))
@@ -113,9 +130,7 @@ def bm25_topk(
     TakeOrderedAndProject, no global sort exchange. Scores round to
     6dp with an id tie-break, so the ranking is total and
     engine-exact."""
-    toks = F.array_remove(
-        F.split(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "), " "), ""
-    )
+    toks = ws_tokens(F.col(text_col))
     qlit = F.array(*[F.lit(t) for t in query_terms])
     based = df.select(
         F.col(id_col),
@@ -962,11 +977,7 @@ def zipf_fit(
     class); the OLS sums are ORDERED folds over the rank-sorted
     (x, y) array on one row, so the float sums are engine-exact (the
     BM25 non-associativity argument, here over top_k elements)."""
-    flat = df.select(
-        F.explode(
-            F.split(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "), " ")
-        ).alias("tok")
-    ).filter(F.col("tok") != "")
+    flat = df.select(F.explode(ws_tokens(F.col(text_col))).alias("tok"))
     freq = flat.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
     w = Window.orderBy(F.desc("c"), F.asc("tok"))
     ranked = (
@@ -990,11 +1001,17 @@ def zipf_fit(
     sy = fold(lambda p: p["y"])
     sxy = fold(lambda p: p["x"] * p["y"])
     sxx = fold(lambda p: p["x"] * p["x"])
-    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    # degenerate corpora (0 or 1 distinct types) have no defined fit:
+    # the variance denominator is 0 and ANSI mode would raise
+    # DIVIDE_BY_ZERO — degrade to NULL slope/intercept instead. The
+    # guards never change the value on a fittable corpus, so the
+    # oracle expression stays identical there.
+    denom = n * sxx - sx * sx
+    slope = F.when(denom != 0, (n * sxy - sx * sy) / denom)
     return arr.select(
         F.size("_a").alias("n_types"),
         F.round(slope, 4).alias("slope_r4"),
-        F.round((sy - slope * sx) / n, 4).alias("intercept_r4"),
+        F.round(F.when(n > 0, (sy - slope * sx) / n), 4).alias("intercept_r4"),
     )
 
 
@@ -1012,9 +1029,8 @@ def token_entropy(
     ordered fold needed), so the 4dp entropy hash-matches at any
     partitioning. One explode + one (doc, token) aggregate; only token
     strings shuffle."""
-    toks = F.split(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "), " ")
-    flat = df.select(F.col(id_col), F.explode(toks).alias("tok")).filter(
-        F.col("tok") != ""
+    flat = df.select(
+        F.col(id_col), F.explode(ws_tokens(F.col(text_col))).alias("tok")
     )
     counts = flat.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("c"))
     term = F.round(
@@ -1058,12 +1074,7 @@ def gopher_rules(
     DIVIDE_BY_ZERO — the ratio denominators clamp to 1, which never
     changes a non-empty doc's booleans."""
     c = F.col(text_col)
-    toks = F.coalesce(
-        F.array_remove(
-            F.split(F.regexp_replace(F.lower(c), r"\s+", " "), " "), ""
-        ),
-        F.array().cast("array<string>"),
-    )
+    toks = ws_tokens(c, null_as_empty=True)
     n_words = F.size(toks)
     nz = F.greatest(n_words, F.lit(1))
     sum_len = F.aggregate(

@@ -1354,3 +1354,62 @@ def test_sorted_neighborhood_finds_adjacent_near_dups(spark, docs):
 
     for (ia, ib), d in got.items():
         assert lev(heads[ia], heads[ib]) == d <= 3
+
+
+def test_zipf_fit_degenerate_corpora_degrade(spark):
+    """0 or 1 distinct types has no defined fit: NULL slope/intercept,
+    not a DIVIDE_BY_ZERO (ANSI mode) crash."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from datapipelinerepo_spark.operators.text import zipf_fit
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    one_type = spark.createDataFrame([(1, "x x x x")], schema)
+    row = zipf_fit(one_type).collect()[0]
+    assert row["n_types"] == 1 and row["slope_r4"] is None
+    empty = spark.createDataFrame([(1, None), (2, "")], schema)
+    row = zipf_fit(empty).collect()[0]
+    assert row["n_types"] == 0 and row["slope_r4"] is None
+
+
+def test_global_order_positions_null_keys_sort_first(spark):
+    """NULL lead keys take the FIRST positions (Spark's ASC NULLS FIRST
+    total order), independent of where the sampled boundaries land."""
+    from datapipelinerepo_spark.operators.sampling import global_order_positions
+
+    rows = [(i, float(i)) for i in range(100)] + [(900, None), (901, None)]
+    df = spark.createDataFrame(rows, "id long, v double")
+    out = {r["id"]: r["pos"] for r in global_order_positions(df, ("v", "id"), n_buckets=4).collect()}
+    assert out[900] == 0 and out[901] == 1
+    assert out[0] == 2 and out[99] == 101
+
+
+def test_kcenter_coreset_edge_cases(spark, emb):
+    """Empty corpus -> empty result; k greater than n -> n DISTINCT
+    picks, no silent duplicates."""
+    from datapipelinerepo_spark.operators.similarity import kcenter_coreset
+
+    empty = emb.filter(F.col("vec_id") < 0)
+    assert kcenter_coreset(empty, k=4).count() == 0
+    tiny = emb.filter(F.col("vec_id") < 3)
+    got = kcenter_coreset(tiny, k=8).collect()
+    ids = [r["vec_id"] for r in got]
+    assert len(ids) == 3 and len(set(ids)) == 3
+
+
+def test_cdc_apply_nested_map_payload_still_works(spark):
+    """A payload column with a map nested inside an array must be
+    excluded from the determinism tie-break, not crash analysis."""
+    from datapipelinerepo_spark.operators.relational import cdc_apply
+
+    base = spark.createDataFrame(
+        [(1, [{"a": "b"}])], "k int, tags array<map<string,string>>"
+    )
+    changes = spark.createDataFrame(
+        [(1, 1, "U", [{"c": "d"}])],
+        "k int, seq int, op string, tags array<map<string,string>>",
+    )
+    out = cdc_apply(base, changes, key="k", seq_col="seq").collect()
+    assert len(out) == 1 and out[0]["tags"] == [{"c": "d"}]
