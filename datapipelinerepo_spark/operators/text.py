@@ -1109,3 +1109,90 @@ def gopher_rules(
         & F.col("ok_stopwords")
     )
     return out.withColumn("keep", keep)
+
+
+def bpe_learn(
+    df: DataFrame,
+    n_merges: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Iterated BPE tokenizer training (Sennrich et al. 2016,
+    arXiv:1508.07909): learn ``n_merges`` merge rules by repeatedly
+    taking the frequency-weighted argmax adjacent token pair and
+    rewriting the working vocabulary — the actual trainer whose single
+    inner-loop statistic text_bpe_merge_candidates exposes.
+
+    Output: (rank, left, right, merged, pair_count) — one row per
+    learned rule, in learning order, with a total
+    (count desc, left asc, right asc) argmax tie-break.
+
+    Scale shape — the classic BPE insight made relational: the corpus
+    is scanned ONCE for word counts; every merge round then runs on
+    the VOCABULARY frame (distinct words × counts — orders smaller
+    than the corpus), so round cost is independent of corpus size.
+    Each round is one pair-explode aggregate (argmax via a 1-row
+    bounded collect, the kmeans/kcenter driver-iteration footprint)
+    plus a map-side fold rewrite, checkpointed so plans stay flat.
+    The fold applies the merge greedily left-to-right (an 'aaa' run
+    under merge (a,a) becomes ('aa','a') — the reference
+    implementation's semantics)."""
+    vocab = (
+        df.select(F.explode(ws_tokens(F.col(text_col))).alias("_w"))
+        .groupBy("_w")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .select(F.split(F.col("_w"), "").alias("_t"), "_n")
+        .localCheckpoint(eager=False)
+    )
+    merges = []
+    for r in range(1, n_merges + 1):
+        pair_rows = (
+            vocab.select(
+                "_n",
+                F.explode(
+                    # sequence(1, 0) DESCENDS in Spark, it is not empty
+                    # -> guard 1-token words to an empty pair array
+                    F.when(
+                        F.size("_t") > 1,
+                        F.transform(
+                            F.sequence(F.lit(1), F.size("_t") - 1),
+                            lambda i: F.struct(
+                                F.element_at("_t", i).alias("l"),
+                                F.element_at("_t", i + 1).alias("r"),
+                            ),
+                        ),
+                    ).otherwise(
+                        F.array().cast("array<struct<l:string,r:string>>")
+                    )
+                ).alias("_p"),
+            )
+            .groupBy(F.col("_p.l").alias("l"), F.col("_p.r").alias("r"))
+            .agg(F.sum("_n").alias("c"))
+            .orderBy(F.desc("c"), F.asc("l"), F.asc("r"))
+            .limit(1)
+            .collect()
+        )
+        if not pair_rows:
+            break
+        best = pair_rows[0]
+        a, b, cnt = best["l"], best["r"], best["c"]
+        merges.append((r, a, b, a + b, cnt))
+        rewrite = F.aggregate(
+            "_t",
+            F.array().cast("array<string>"),
+            lambda acc, x: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(a))
+                & (x == F.lit(b)),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(a + b))
+                ),
+            ).otherwise(F.concat(acc, F.array(x))),
+        )
+        vocab = vocab.select(rewrite.alias("_t"), "_n").localCheckpoint(
+            eager=False
+        )
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        merges, "rank int, left string, right string, merged string, pair_count long"
+    )

@@ -3458,3 +3458,52 @@ def dedup_sorted_neighborhood(spark, sf_dir):
     pair and its distance hash-check exactly (the corpus is ASCII, so
     Java and UTF-8 byte collation agree)."""
     return D.sorted_neighborhood_pairs(t(spark, sf_dir, "documents"))
+
+
+@register("text_bpe_learn", sql=None)
+def text_bpe_learn(spark, sf_dir):
+    """Iterated BPE tokenizer training (text.bpe_learn, 8 merges):
+    the full trainer loop — one corpus scan for word counts, then
+    every round runs on the vocabulary frame (argmax pair + greedy
+    left-to-right rewrite), so round cost is corpus-size-independent.
+    Intentionally rows-only: each round's pair counts depend on the
+    previous round's learned rule, a chain no single SQL statement
+    replays without a per-word fold; the green hash-checked twin is
+    text_bpe_learn_single (n_merges=1, identical loop code), the
+    one-round statistic is oracle-green as text_bpe_merge_candidates,
+    and the full 5-round merge sequence is pinned against a
+    pure-Python reference in test_ext_ops."""
+    return T.bpe_learn(t(spark, sf_dir, "documents"), n_merges=8)
+
+
+@register(
+    "text_bpe_learn_single",
+    sql=r"""
+    WITH tk AS (
+      SELECT unnest(list_filter(
+               string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' '),
+               s -> length(s) >= 2)) AS tok
+      FROM documents
+    ), pairs AS (
+      SELECT unnest(list_transform(generate_series(1, length(tok) - 1),
+                                   i -> substr(tok, i, 2))) AS pair
+      FROM tk
+    ), top AS (
+      SELECT pair, CAST(COUNT(*) AS BIGINT) AS pair_count
+      FROM pairs GROUP BY 1
+      ORDER BY pair_count DESC, pair ASC LIMIT 1
+    )
+    SELECT CAST(1 AS INT) AS rank, substr(pair, 1, 1) AS left,
+           substr(pair, 2, 1) AS right, pair AS merged, pair_count
+    FROM top
+    """,
+)
+def text_bpe_learn_single(spark, sf_dir):
+    """text_bpe_learn's construction-exact twin: ONE merge round
+    through the IDENTICAL trainer loop (vocab build, weighted pair
+    aggregate, (count desc, left, right) argmax, rewrite machinery
+    compiled though unused after the final round) — with one round
+    the learned rule is exactly the corpus-wide argmax character
+    pair, which the oracle computes directly. Hash-checks the loop's
+    tokenization, weighting, and tie-break."""
+    return T.bpe_learn(t(spark, sf_dir, "documents"), n_merges=1)

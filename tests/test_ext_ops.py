@@ -1413,3 +1413,52 @@ def test_cdc_apply_nested_map_payload_still_works(spark):
     )
     out = cdc_apply(base, changes, key="k", seq_col="seq").collect()
     assert len(out) == 1 and out[0]["tags"] == [{"c": "d"}]
+
+
+def test_bpe_learn_matches_python_reference(spark, docs):
+    """The relational BPE trainer learns the SAME merge sequence (rules,
+    order, counts) as a pure-Python reference implementation of
+    Sennrich-style BPE on a 150-doc slice, greedy left-to-right
+    rewrite semantics included (an 'aaa' run under merge (a,a) becomes
+    ('aa','a'))."""
+    from collections import Counter
+
+    from datapipelinerepo_spark.operators.text import bpe_learn
+
+    sl = docs.filter(F.col("doc_id") < 150).select("doc_id", "text")
+    texts = [r["text"] for r in sl.collect()]
+    words = Counter()
+    import re
+
+    for t in texts:
+        for w in re.sub(r"\s+", " ", t.lower()).split(" "):
+            if w:
+                words[w] += 1
+    vocab = {tuple(w): n for w, n in words.items()}
+
+    def ref_merges(k):
+        v = dict(vocab)
+        out = []
+        for rank in range(1, k + 1):
+            pc = Counter()
+            for toks, n in v.items():
+                for i in range(len(toks) - 1):
+                    pc[(toks[i], toks[i + 1])] += n
+            if not pc:
+                break
+            (a, b), c = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+            out.append((rank, a, b, a + b, c))
+            nv = {}
+            for toks, n in v.items():
+                acc = []
+                for x in toks:
+                    if acc and acc[-1] == a and x == b:
+                        acc[-1] = a + b
+                    else:
+                        acc.append(x)
+                nv[tuple(acc)] = nv.get(tuple(acc), 0) + n
+            v = nv
+        return out
+
+    got = [tuple(r) for r in bpe_learn(sl, n_merges=5).orderBy("rank").collect()]
+    assert got == ref_merges(5)

@@ -356,3 +356,36 @@ def test_edit_distance_pairs_complete_on_random_short_strings(spark, texts):
         if ia < ib and lev(ta, tb) <= 3
     }
     assert got == expected
+
+
+ORDER_ROWS = st.lists(
+    st.tuples(
+        st.integers(0, 99),
+        st.one_of(st.none(), st.floats(-5, 5, allow_nan=False, width=32)),
+    ),
+    min_size=0, max_size=40,
+    unique_by=lambda t: t[0],
+)
+
+
+@settings(max_examples=5, deadline=None)
+@given(rows=ORDER_ROWS)
+def test_global_order_positions_match_sort(spark, rows):
+    """Positions from the range-bucketed rank-with-offsets machinery
+    equal ROW_NUMBER over Spark's own (value ASC NULLS FIRST, id ASC)
+    total order — duplicates, NULLs, and tiny inputs included."""
+    from datapipelinerepo_spark.operators.sampling import global_order_positions
+
+    if not rows:
+        return
+    df = spark.createDataFrame(
+        [(i, float(v) if v is not None else None) for i, v in rows],
+        "id long, v double",
+    )
+    got = {
+        r["id"]: r["pos"]
+        for r in global_order_positions(df, ("v", "id"), n_buckets=4).collect()
+    }
+    ordered = sorted(rows, key=lambda t: (t[1] is not None, t[1] or 0.0, t[0]))
+    expected = {rid: pos for pos, (rid, _) in enumerate(ordered)}
+    assert got == expected
