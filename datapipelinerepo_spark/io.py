@@ -114,9 +114,35 @@ class TableStore:
             millis = json.load(f)["last_modified_millis"]
         return dt.datetime.fromtimestamp(millis / 1000, dt.timezone.utc).date()
 
-    def _touch_meta(self, name: str) -> None:
-        with open(self._meta_path(name), "w") as f:
-            json.dump({"last_modified_millis": int(time.time() * 1000)}, f)
+    def _touch_meta(self, name: str, **extra) -> None:
+        meta = {}
+        p = self._meta_path(name)
+        if os.path.isfile(p):
+            with open(p) as f:
+                meta = json.load(f)
+        meta.update(extra)
+        meta["last_modified_millis"] = int(time.time() * 1000)
+        with open(p, "w") as f:
+            json.dump(meta, f)
+
+    def keyed_spec(self, name: str) -> tuple[list[str], int] | None:
+        """(keys, n_buckets) when the table was written by
+        overwrite_keyed, else None — the routing marker for the
+        bucket-partitioned upsert fast path."""
+        p = self._meta_path(name)
+        if not os.path.isfile(p):
+            return None
+        with open(p) as f:
+            meta = json.load(f)
+        if "keyed_on" not in meta:
+            return None
+        return list(meta["keyed_on"]), int(meta["key_buckets"])
+
+    @staticmethod
+    def _kb_expr(keys: list[str], n_buckets: int):
+        # xxhash64 of the key tuple -> stable bucket; NULL keys hash to
+        # the seed value, so they land in one deterministic bucket
+        return F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(n_buckets))
 
     def _is_delta(self, name: str) -> bool:
         """A table previously written by the Delta MERGE path carries a
@@ -131,9 +157,12 @@ class TableStore:
     def read(self, name: str, merge_schema: bool = True) -> DataFrame:
         if self._is_delta(name):
             return self.spark.read.format("delta").load(self._dir(name))
-        return self.spark.read.option(
+        df = self.spark.read.option(
             "mergeSchema", str(merge_schema).lower()
         ).parquet(self._dir(name))
+        if self.keyed_spec(name) is not None:
+            df = df.drop("_kb")  # internal bucket column stays internal
+        return df
 
     def max_value(self, name: str, col: str):
         """A1+S11 watermark: MAX(col) fetched as a scalar
@@ -216,6 +245,10 @@ class TableStore:
         ):
             self._upsert_delta(incoming, name, keys)
             return
+        spec = self.keyed_spec(name) if self.exists(name) else None
+        if spec is not None and list(spec[0]) == keys:
+            self._upsert_keyed(incoming, name, keys, spec[1])
+            return
         if self.exists(name):
             existing = self.read(name)
             # null-safe key equality: plain `on=keys` never matches NULL
@@ -234,6 +267,57 @@ class TableStore:
         # materialize before overwriting the directory being read
         merged = merged.localCheckpoint()
         self.overwrite(merged, name)
+
+    def overwrite_keyed(
+        self, df: DataFrame, name: str, key: str | list[str], n_buckets: int = 64
+    ) -> None:
+        """Write a table hash-bucket-partitioned by its merge key: rows
+        land in parquet partitions _kb=pmod(xxhash64(key), n_buckets).
+        Subsequent ``upsert`` calls on the same key then rewrite ONLY
+        the buckets containing matched keys (dynamic partition
+        overwrite + partition pruning) — the Delta/Iceberg MERGE cost
+        profile on plain parquet, instead of the whole-table rewrite
+        the unkeyed fallback pays. Size n_buckets so one bucket ≈ a few
+        files at the table's target size (the same knob as lakehouse
+        file sizing); the bucket column never surfaces on read."""
+        keys = [key] if isinstance(key, str) else list(key)
+        stamped = df.withColumn("_kb", self._kb_expr(keys, n_buckets))
+        (
+            stamped.write.mode("overwrite")
+            .partitionBy("_kb")
+            .parquet(self._dir(name))
+        )
+        self._touch_meta(name, keyed_on=keys, key_buckets=n_buckets)
+
+    def _upsert_keyed(
+        self, incoming: DataFrame, name: str, keys: list[str], n_buckets: int
+    ) -> None:
+        """Bucket-partitioned MERGE: read ONLY the buckets the incoming
+        keys hash to (partition pruning), anti-join the survivors,
+        dynamic-partition-overwrite exactly those buckets. Untouched
+        buckets' files are never read or rewritten."""
+        stamped = incoming.withColumn("_kb", self._kb_expr(keys, n_buckets))
+        affected = [r[0] for r in stamped.select("_kb").distinct().collect()]
+        raw = self.spark.read.option("mergeSchema", "true").parquet(
+            self._dir(name)
+        )
+        slice_ = raw.filter(F.col("_kb").isin(affected))
+        inc_keys = stamped.select(*[F.col(k).alias(f"_ik_{k}") for k in keys])
+        cond = None
+        for k in keys:
+            c = F.col(k).eqNullSafe(F.col(f"_ik_{k}"))
+            cond = c if cond is None else (cond & c)
+        survivors = slice_.join(inc_keys, cond, how="left_anti")
+        merged = survivors.unionByName(
+            stamped, allowMissingColumns=True
+        ).localCheckpoint()  # materialize before overwriting what we read
+        (
+            merged.write.mode("overwrite")
+            .partitionBy("_kb")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(self._dir(name))
+        )
+        self._touch_meta(name, keyed_on=keys, key_buckets=n_buckets)
 
     def _upsert_delta(self, incoming: DataFrame, name: str, keys: list[str]) -> None:
         """Real MERGE INTO on a Delta table: only files containing

@@ -199,3 +199,81 @@ def test_csv_roundtrip_quoting(spark, tmp_path):
         spark, path, fmt="csv", schema=df.schema, multiLine="true"
     )
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_keyed_upsert_rewrites_only_matched_buckets(spark, tmp_path):
+    """The bucket-partitioned MERGE path: correctness (replace by key,
+    insert unseen, others survive) AND the cost contract — parquet
+    files in buckets no incoming key hashes to are bit-identical
+    untouched after the upsert (the Delta MERGE profile on plain
+    parquet)."""
+    import os
+
+    store = TableStore(spark, str(tmp_path))
+    base = spark.createDataFrame(
+        [(i, float(i), "S") for i in range(200)], ["id", "price", "status"]
+    )
+    store.overwrite_keyed(base, "t", "id", n_buckets=16)
+    assert store.keyed_spec("t") == (["id"], 16)
+    assert "_kb" not in store.read("t").columns
+
+    def bucket_files():
+        out = {}
+        root = tmp_path / "t"
+        for d in os.listdir(root):
+            if d.startswith("_kb="):
+                files = {
+                    f: os.path.getmtime(os.path.join(root, d, f))
+                    for f in os.listdir(os.path.join(root, d))
+                    if f.endswith(".parquet")
+                }
+                out[d] = files
+        return out
+
+    before = bucket_files()
+    changes = spark.createDataFrame(
+        [(3, 333.0, "U"), (7, 777.0, "U"), (900, 900.0, "NEW")],
+        ["id", "price", "status"],
+    )
+    store.upsert(changes, "t", "id")
+    after = bucket_files()
+
+    got = {r["id"]: (r["price"], r["status"]) for r in store.read("t").collect()}
+    assert len(got) == 201
+    assert got[3] == (333.0, "U") and got[7] == (777.0, "U")
+    assert got[900] == (900.0, "NEW") and got[5] == (5.0, "S")
+
+    from pyspark.sql import functions as F
+
+    affected = {
+        f"_kb={r[0]}"
+        for r in changes.select(
+            F.pmod(F.xxhash64("id"), F.lit(16)).alias("b")
+        ).distinct().collect()
+    }
+    untouched = set(before) - affected
+    assert untouched, "test needs at least one untouched bucket"
+    for d in untouched:
+        assert after[d] == before[d], f"bucket {d} was rewritten"
+
+    # replay idempotence: same upsert changes nothing
+    store.upsert(changes, "t", "id")
+    again = {r["id"]: (r["price"], r["status"]) for r in store.read("t").collect()}
+    assert again == got
+
+
+def test_keyed_upsert_null_key_and_schema_evolution(spark, tmp_path):
+    """NULL keys match null-safely (no duplicate NULL rows on replay)
+    and a new incoming column surfaces with NULLs for survivors."""
+    store = TableStore(spark, str(tmp_path))
+    base = spark.createDataFrame(
+        [(1, "a"), (None, "nullrow")], "id int, v string"
+    )
+    store.overwrite_keyed(base, "t", "id", n_buckets=4)
+    inc = spark.createDataFrame(
+        [(None, "nullrow2", "x")], "id int, v string, extra string"
+    )
+    store.upsert(inc, "t", "id")
+    rows = {r["v"]: r for r in store.read("t").collect()}
+    assert set(rows) == {"a", "nullrow2"}
+    assert rows["nullrow2"]["extra"] == "x" and rows["a"]["extra"] is None
