@@ -3507,3 +3507,55 @@ def text_bpe_learn_single(spark, sf_dir):
     pair, which the oracle computes directly. Hash-checks the loop's
     tokenization, weighting, and tie-break."""
     return T.bpe_learn(t(spark, sf_dir, "documents"), n_merges=1)
+
+
+@register(
+    "store_keyed_merge",
+    sql="""
+    WITH base AS (
+      SELECT o_orderkey, o_totalprice, o_orderstatus
+      FROM orders WHERE o_orderkey % 2 = 0
+    ), inc AS (
+      SELECT o_orderkey, o_totalprice * 2 AS o_totalprice,
+             'U' AS o_orderstatus
+      FROM orders WHERE o_orderkey % 10 = 0 OR o_orderkey % 10 = 3
+    )
+    SELECT o_orderkey, o_totalprice, o_orderstatus FROM inc
+    UNION ALL
+    SELECT o_orderkey, o_totalprice, o_orderstatus FROM base
+    WHERE o_orderkey NOT IN (SELECT o_orderkey FROM inc)
+    """,
+)
+def store_keyed_merge(spark, sf_dir):
+    """The bucket-partitioned MERGE lifecycle as a hash-checked query
+    (io.TableStore.overwrite_keyed + the _upsert_keyed fast path): an
+    orders snapshot is written hash-bucketed on its key, a change set
+    (doubled prices for some even keys + unseen odd-key inserts)
+    upserts into it, and the read-back table must equal the oracle's
+    plain replace-by-key merge. Exercises end to end: bucket stamping,
+    partition-pruned slice read, null-safe anti-join, dynamic
+    partition overwrite of ONLY the affected buckets, and the hidden
+    _kb column staying hidden — the pipeline_idempotent_reload
+    pattern applied to keyed merges."""
+    import tempfile
+
+    from .io import TableStore
+
+    base = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 2 == 0)
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+    )
+    inc = (
+        t(spark, sf_dir, "orders")
+        .filter((F.col("o_orderkey") % 10 == 0) | (F.col("o_orderkey") % 10 == 3))
+        .select(
+            "o_orderkey",
+            (F.col("o_totalprice") * 2).alias("o_totalprice"),
+            F.lit("U").alias("o_orderstatus"),
+        )
+    )
+    store = TableStore(spark, tempfile.mkdtemp(prefix="keyedmerge_"))
+    store.overwrite_keyed(base, "t", "o_orderkey", n_buckets=16)
+    store.upsert(inc, "t", "o_orderkey")
+    return store.read("t").select("o_orderkey", "o_totalprice", "o_orderstatus")
