@@ -319,6 +319,53 @@ class TableStore:
         )
         self._touch_meta(name, keyed_on=keys, key_buckets=n_buckets)
 
+    def keyed_buckets(self, name: str, df: DataFrame) -> list[int]:
+        """Bucket ids the rows of ``df`` hash to under the table's key
+        spec — a bounded (≤ n_buckets) collect that drives
+        partition-pruned maintenance."""
+        keys, n = self.keyed_spec(name)
+        return [
+            r[0]
+            for r in df.select(self._kb_expr(keys, n).alias("_kb"))
+            .distinct()
+            .collect()
+        ]
+
+    def read_buckets(self, name: str, buckets: list[int]) -> DataFrame:
+        """Partition-pruned read of just the listed buckets (without
+        the internal _kb column)."""
+        raw = self.spark.read.option("mergeSchema", "true").parquet(
+            self._dir(name)
+        )
+        return raw.filter(F.col("_kb").isin(list(buckets))).drop("_kb")
+
+    def overwrite_buckets(
+        self, df: DataFrame, name: str, buckets: list[int]
+    ) -> None:
+        """Replace exactly the listed buckets with ``df``'s rows
+        (stamped by the table's key spec). Buckets in ``buckets`` that
+        end up with NO rows are pruned from disk — dynamic partition
+        overwrite only replaces partitions that receive data, so a
+        bucket fully emptied by deletes would otherwise keep its stale
+        files. ``df`` must already be materialized if it was derived
+        from this table's own files."""
+        keys, n = self.keyed_spec(name)
+        stamped = df.withColumn("_kb", self._kb_expr(keys, n))
+        (
+            stamped.write.mode("overwrite")
+            .partitionBy("_kb")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(self._dir(name))
+        )
+        nonempty = {
+            r[0] for r in stamped.select("_kb").distinct().collect()
+        }
+        for b in set(buckets) - nonempty:
+            shutil.rmtree(
+                os.path.join(self._dir(name), f"_kb={b}"), ignore_errors=True
+            )
+        self._touch_meta(name)
+
     def _upsert_delta(self, incoming: DataFrame, name: str, keys: list[str]) -> None:
         """Real MERGE INTO on a Delta table: only files containing
         matched keys rewrite (plus the appended inserts) — the 100 TB

@@ -341,11 +341,32 @@ def cdc_ingest_stream(
     own output (pinned by test_cdc_apply_idempotent_replay), so an
     at-least-once foreachBatch retry converges to the same table. The
     merged result is localCheckpoint'ed before the overwrite because
-    it reads the very table it replaces."""
+    it reads the very table it replaces.
+
+    When ``base_table`` was created with store.overwrite_keyed on the
+    same key, maintenance is bucket-partitioned: each batch reads and
+    rewrites ONLY the buckets its keys hash to (a bucket emptied by
+    deletes is pruned from disk), so per-batch cost tracks the batch,
+    not the table — the lakehouse MERGE cost profile for a streaming
+    dimension at 100 TB."""
     from ..operators.relational import cdc_apply
 
     def _apply(batch: DataFrame, batch_id: int) -> None:
         batch = batch.localCheckpoint(eager=True)
+        spec = store.keyed_spec(base_table) if store.exists(base_table) else None
+        if spec is not None and spec[0] == [key]:
+            # bucket-partitioned maintenance: merge each batch into
+            # ONLY the buckets its keys hash to — the per-batch cost is
+            # |batch's buckets|, not the table (the keyed-upsert fast
+            # path generalized to CDC: deletes prune, and a bucket
+            # emptied entirely is removed from disk)
+            buckets = store.keyed_buckets(base_table, batch)
+            base = store.read_buckets(base_table, buckets)
+            merged = cdc_apply(
+                base, batch, key=key, seq_col=seq_col, op_col=op_col
+            ).localCheckpoint(eager=True)
+            store.overwrite_buckets(merged, base_table, buckets)
+            return
         if store.exists(base_table):
             base = store.read(base_table)
         else:

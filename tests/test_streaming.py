@@ -385,3 +385,78 @@ def test_cdc_ingest_stream(spark, tmp_path):
     run()  # drained replay: nothing changes
     t3 = {r["k"]: (r["price"], r["status"]) for r in store.read("dim_current").collect()}
     assert t3 == t2
+
+
+def test_cdc_ingest_stream_keyed_table(spark, tmp_path):
+    """CDC streaming into a bucket-partitioned table: each batch
+    rewrites only the buckets its keys hash to, untouched buckets'
+    files stay bit-identical, a bucket fully emptied by deletes
+    disappears from disk, and the final table equals the full-rewrite
+    path's result."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from datapipelinerepo_spark.io import TableStore
+    from datapipelinerepo_spark.streaming.ingest import cdc_ingest_stream
+
+    store = TableStore(spark, str(tmp_path / "store"))
+    n_buckets = 8
+    base = spark.createDataFrame(
+        [(i, float(i), "S") for i in range(64)], ["k", "price", "status"]
+    )
+    store.overwrite_keyed(base, "dim_current", "k", n_buckets=n_buckets)
+
+    def bucket_files():
+        root = tmp_path / "store" / "dim_current"
+        return {
+            d: sorted(os.listdir(root / d))
+            for d in os.listdir(root)
+            if d.startswith("_kb=")
+        }
+
+    before = bucket_files()
+    src = tmp_path / "in"
+    src.mkdir()
+    # delete EVERY key in key 7's bucket, update key 3, insert key 900
+    bucket_of = {
+        r["k"]: r["b"]
+        for r in base.select(
+            "k", F.pmod(F.xxhash64("k"), F.lit(n_buckets)).alias("b")
+        ).collect()
+    }
+    doomed_bucket = bucket_of[7]
+    doomed = [k for k, b in bucket_of.items() if b == doomed_bucket]
+    changes = [
+        {"k": int(k), "seq": 1, "op": "D", "price": 0.0, "status": "X"}
+        for k in doomed
+    ] + [
+        {"k": 3, "seq": 1, "op": "U", "price": 33.0, "status": "U"},
+        {"k": 900, "seq": 1, "op": "U", "price": 900.0, "status": "NEW"},
+    ]
+    (src / "b1.json").write_text("\n".join(json.dumps(d) for d in changes))
+    stream = spark.readStream.schema(
+        "k long, seq long, op string, price double, status string"
+    ).json(str(src))
+    q = cdc_ingest_stream(
+        stream, store, str(tmp_path / "ckpt"), key="k", seq_col="seq"
+    )
+    q.awaitTermination()
+
+    got = {r["k"]: (r["price"], r["status"]) for r in store.read("dim_current").collect()}
+    assert 3 in got and got[3] == (33.0, "U")
+    assert got[900] == (900.0, "NEW")
+    assert all(k not in got for k in doomed)
+    assert len(got) == 64 - len(doomed) + 1 + (0 if 3 in doomed else 0)
+
+    after = bucket_files()
+    assert f"_kb={doomed_bucket}" not in after  # emptied bucket pruned
+    touched = {f"_kb={b}" for b in {bucket_of[3], doomed_bucket}} | {
+        f"_kb={r[0]}"
+        for r in spark.createDataFrame([(900,)], ["k"])
+        .select(F.pmod(F.xxhash64("k"), F.lit(n_buckets)))
+        .collect()
+    }
+    for d, files in before.items():
+        if d not in touched:
+            assert after[d] == files, f"untouched bucket {d} changed"
