@@ -815,6 +815,7 @@ def sorted_neighborhood_pairs(
     window: int = 4,
     key_len: int = 24,
     head_len: int = 120,
+    passes: int = 1,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
@@ -836,38 +837,55 @@ def sorted_neighborhood_pairs(
     window); the neighborhood join is a pure EQUI-join on position
     (each row explodes ``window`` offset probes), so Catalyst plans a
     hash join, never a range join; the Levenshtein verify touches only
-    corpus × window candidate rows."""
+    corpus × window × passes candidate rows.
+
+    ``passes=2`` adds the standard multi-pass remedy for sort-boundary
+    misses: a second pass sorted by the REVERSED head prefix, so pairs
+    that diverge early but agree late (which the forward key scatters)
+    sort adjacent in the rotated order; results union distinct. Each
+    pass is an independent sort/window — recall compounds the way LSH
+    tables do, and the cost stays linear."""
     from .sampling import global_order_positions
 
-    heads = df.select(
+    base = df.select(
         F.col(id_col).alias("_id"),
         F.substring(F.col(text_col), 1, head_len).alias("_h"),
-    ).withColumn("_key", F.substring(F.lower(F.col("_h")), 1, key_len))
-    pos = global_order_positions(heads, ("_key", "_id"), n_buckets=32)
-    a = pos.select(
-        F.col("_id").alias("id_a"), F.col("_h").alias("_ha"), F.col("pos").alias("_pa")
     )
-    probes = a.select(
-        "id_a",
-        "_ha",
-        "_pa",
-        F.explode(F.array(*[F.lit(o) for o in range(1, window + 1)])).alias("_o"),
-    ).select("id_a", "_ha", (F.col("_pa") + F.col("_o")).alias("_pb"))
-    b = pos.select(
-        F.col("_id").alias("id_b"), F.col("_h").alias("_hb"), F.col("pos").alias("_pb")
-    )
-    cand = probes.join(b, "_pb")
-    # bounded 3-arg Levenshtein: banded O(k*n) DP with early exit,
-    # -1 when the distance exceeds k — the window produces corpus x
-    # window candidates and nearly all miss, so the full O(n^2) DP
-    # was the dominant cost (measured 3.5 s -> sub-second at sf0.1)
-    out = (
-        cand.withColumn("edit_dist", F.levenshtein("_ha", "_hb", k))
-        .filter(F.col("edit_dist") >= 0)
-        .select(
-            F.least("id_a", "id_b").alias("id_a"),
-            F.greatest("id_a", "id_b").alias("id_b"),
-            "edit_dist",
+    key_exprs = [F.substring(F.lower(F.col("_h")), 1, key_len)]
+    if passes >= 2:
+        key_exprs.append(F.substring(F.reverse(F.lower(F.col("_h"))), 1, key_len))
+
+    outs = []
+    for key_expr in key_exprs[:passes]:
+        heads = base.withColumn("_key", key_expr)
+        pos = global_order_positions(heads, ("_key", "_id"), n_buckets=32)
+        a = pos.select(
+            F.col("_id").alias("id_a"), F.col("_h").alias("_ha"), F.col("pos").alias("_pa")
         )
-    )
-    return out
+        probes = a.select(
+            "id_a",
+            "_ha",
+            "_pa",
+            F.explode(F.array(*[F.lit(o) for o in range(1, window + 1)])).alias("_o"),
+        ).select("id_a", "_ha", (F.col("_pa") + F.col("_o")).alias("_pb"))
+        b = pos.select(
+            F.col("_id").alias("id_b"), F.col("_h").alias("_hb"), F.col("pos").alias("_pb")
+        )
+        cand = probes.join(b, "_pb")
+        # bounded 3-arg Levenshtein: banded O(k*n) DP with early exit,
+        # -1 when the distance exceeds k — the window produces corpus x
+        # window candidates and nearly all miss, so the full O(n^2) DP
+        # was the dominant cost (measured 3.5 s -> sub-second at sf0.1)
+        outs.append(
+            cand.withColumn("edit_dist", F.levenshtein("_ha", "_hb", k))
+            .filter(F.col("edit_dist") >= 0)
+            .select(
+                F.least("id_a", "id_b").alias("id_a"),
+                F.greatest("id_a", "id_b").alias("id_b"),
+                "edit_dist",
+            )
+        )
+    out = outs[0]
+    for extra in outs[1:]:
+        out = out.unionByName(extra)
+    return out.distinct() if len(outs) > 1 else out

@@ -3431,33 +3431,44 @@ def embedding_margin_mining(spark, sf_dir):
     sql="""
     WITH h AS (
       SELECT doc_id, substr(text, 1, 120) AS hd,
-             substr(lower(substr(text, 1, 120)), 1, 24) AS key
+             substr(lower(substr(text, 1, 120)), 1, 24) AS key1,
+             substr(reverse(lower(substr(text, 1, 120))), 1, 24) AS key2
       FROM documents
-    ), p AS (
+    ), p1 AS (
       SELECT doc_id, hd,
-             ROW_NUMBER() OVER (ORDER BY key, doc_id) - 1 AS pos
+             ROW_NUMBER() OVER (ORDER BY key1, doc_id) - 1 AS pos
       FROM h
+    ), p2 AS (
+      SELECT doc_id, hd,
+             ROW_NUMBER() OVER (ORDER BY key2, doc_id) - 1 AS pos
+      FROM h
+    ), cand AS (
+      SELECT a.doc_id AS da, b.doc_id AS db, a.hd AS ha, b.hd AS hb
+      FROM p1 a JOIN p1 b ON b.pos > a.pos AND b.pos <= a.pos + 4
+      UNION ALL
+      SELECT a.doc_id, b.doc_id, a.hd, b.hd
+      FROM p2 a JOIN p2 b ON b.pos > a.pos AND b.pos <= a.pos + 4
     )
-    SELECT LEAST(a.doc_id, b.doc_id) AS id_a,
-           GREATEST(a.doc_id, b.doc_id) AS id_b,
-           levenshtein(a.hd, b.hd) AS edit_dist
-    FROM p a JOIN p b ON b.pos > a.pos AND b.pos <= a.pos + 4
-    WHERE levenshtein(a.hd, b.hd) <= 3
+    SELECT DISTINCT LEAST(da, db) AS id_a, GREATEST(da, db) AS id_b,
+           levenshtein(ha, hb) AS edit_dist
+    FROM cand WHERE levenshtein(ha, hb) <= 3
     """,
 )
 def dedup_sorted_neighborhood(spark, sf_dir):
     """Sorted-neighborhood dedup (operators/dedup.
-    sorted_neighborhood_pairs, Hernandez-Stolfo): window-4 pairs over
-    the corpus sorted by a normalized 24-char head key, Levenshtein-3
-    verified — the third near-dup blocking family beside MinHash
-    banding and rare-gram prefix filtering, at linear candidate cost.
-    The operator's positions come from the range-bucketed
-    rank-with-offsets machinery and its neighborhood join is a pure
-    position EQUI-join; the oracle replays the identical (key, id)
-    total order with a rank self-join, so membership of every window
-    pair and its distance hash-check exactly (the corpus is ASCII, so
-    Java and UTF-8 byte collation agree)."""
-    return D.sorted_neighborhood_pairs(t(spark, sf_dir, "documents"))
+    sorted_neighborhood_pairs, Hernandez-Stolfo), TWO passes: window-4
+    pairs over the corpus sorted by a normalized 24-char head key AND
+    by the reversed-head key (the standard multi-pass remedy for
+    sort-boundary misses — suffix-similar pairs sort adjacent in the
+    rotated order), Levenshtein-3 verified, union distinct — the third
+    near-dup blocking family beside MinHash banding and rare-gram
+    prefix filtering, at linear candidate cost. Positions come from
+    the range-bucketed rank-with-offsets machinery and the
+    neighborhood join is a pure position EQUI-join; the oracle replays
+    both total orders with rank self-joins, so membership of every
+    window pair and its distance hash-check exactly (the corpus is
+    ASCII, so Java and UTF-8 byte collation agree)."""
+    return D.sorted_neighborhood_pairs(t(spark, sf_dir, "documents"), passes=2)
 
 
 @register("text_bpe_learn", sql=None)

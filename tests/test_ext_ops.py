@@ -1462,3 +1462,27 @@ def test_bpe_learn_matches_python_reference(spark, docs):
 
     got = [tuple(r) for r in bpe_learn(sl, n_merges=5).orderBy("rank").collect()]
     assert got == ref_merges(5)
+
+
+def test_sorted_neighborhood_second_pass_catches_prefix_divergence(spark, docs):
+    """A pair differing ONLY in its first characters scatters under the
+    forward sort key but sorts adjacent under the reversed-head key —
+    found with passes=2, demonstrably missable with passes=1."""
+    from datapipelinerepo_spark.operators.dedup import sorted_neighborhood_pairs
+
+    base = docs.filter(F.col("doc_id") < 100).select("doc_id", "text")
+    donor = base.filter(F.col("doc_id") == 11).collect()[0]["text"]
+    mutated = "zzz" + donor[3:]  # 3 head edits -> forward keys diverge
+    planted = spark.createDataFrame([(900011, mutated)], ["doc_id", "text"])
+    corpus = base.union(planted)
+    two = {
+        (r["id_a"], r["id_b"])
+        for r in sorted_neighborhood_pairs(corpus, k=3, window=4, passes=2).collect()
+    }
+    assert (11, 900011) in two
+    # and 2-pass output is a superset of 1-pass
+    one = {
+        (r["id_a"], r["id_b"])
+        for r in sorted_neighborhood_pairs(corpus, k=3, window=4, passes=1).collect()
+    }
+    assert one <= two
