@@ -20,6 +20,36 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+_XXH_P1 = np.uint64(0x9E3779B185EBCA87)
+_XXH_P2 = np.uint64(0xC2B2AE3D27D4EB4F)
+_XXH_P3 = np.uint64(0x165667B19E3779F9)
+_XXH_P4 = np.uint64(0x85EBCA77C2B2AE63)
+_XXH_P5 = np.uint64(0x27D4EB2F165667C5)
+
+
+def _xxh64_long(vals: np.ndarray, seed: int = 42) -> np.ndarray:
+    """Spark's xxhash64 of a LONG column, vectorized (XXH64 single
+    8-byte block, default seed 42) — verified bit-identical to the JVM
+    expression across sign/magnitude edge values. Lets the Arrow
+    MinHash path reproduce the exact base hashes the historical
+    expression form computed with F.xxhash64 over the shingle longs."""
+    with np.errstate(over="ignore"):
+        v = np.asarray(vals, dtype=np.int64).astype(np.uint64)
+        h = np.uint64(seed) + _XXH_P5 + np.uint64(8)
+        h = np.broadcast_to(h, v.shape).copy()
+        r31, r27, r33, r29, r32, r37 = (np.uint64(x) for x in (31, 27, 33, 29, 32, 37))
+        k = v * _XXH_P2
+        k = ((k << r31) | (k >> r33)) * _XXH_P1
+        h ^= k
+        h = ((h << r27) | (h >> r37)) * _XXH_P1 + _XXH_P4
+        h ^= h >> r33
+        h *= _XXH_P2
+        h ^= h >> r29
+        h *= _XXH_P3
+        h ^= h >> r32
+        return h.astype(np.int64)
 
 
 def exact_dedup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -129,29 +159,95 @@ def minhash_signatures(
     shingled: DataFrame, num_hashes: int = 32, seed: int = 42
 ) -> DataFrame:
     """MinHash signature per doc: for each of ``num_hashes`` seeded
-    xxhash64 functions, the min over the doc's shingle hashes.
+    hash functions, the min over the doc's shingle hashes — computed
+    in ONE Arrow-vectorized pass (see the in-body note), map-only,
+    zero shuffle: at 100 TB the signature stage is pure scan-side
+    work that AQE never has to re-plan. (The alternative explode →
+    32-agg groupBy shuffles |docs|x|shingles| rows.)
 
-    Computed with array expressions (array_min over a transform) —
-    map-only, zero shuffle: at 100 TB the signature stage is pure
-    scan-side work that AQE never has to re-plan. (The alternative
-    explode → 32-agg groupBy shuffles |docs|x|shingles| rows.)
-
-    Each shingle STRING is hashed exactly once (xxhash64 → reduced mod
-    the Mersenne prime 2³¹−1), and the ``num_hashes`` functions are
-    Carter-Wegman derivations (a_i·h + b_i) mod 2³¹−1 over that base —
-    the datasketch family, with 31-bit operands so every product stays
-    inside signed-64 (ANSI mode forbids wrapping longs). The earlier
-    per-seed ``xxhash64(s, seed_i)`` form re-hashed every shingle
-    string 32 times and was 95% of the banding stage's cost.
-
-    The per-seed lambda MUST take exactly one parameter: pyspark's
-    ``transform`` treats a two-arg lambda as (element, index), so the
-    once-used ``lambda s, i=i:`` idiom silently shadowed the seed with
-    the array index — every "independent" hash became the same
-    position-dependent function and near-dups with shifted minima were
-    missed. Seeds are bound via a closure factory instead."""
+    Each shingle STRING is hashed exactly once (xxhash64, JVM-side in
+    shingles() → reduced mod the Mersenne prime 2³¹−1), and the
+    ``num_hashes`` functions are Carter-Wegman derivations
+    (a_i·h + b_i) mod 2³¹−1 over that base — the datasketch family,
+    with 31-bit operands so every product stays inside signed-64. The
+    round-2 per-seed ``xxhash64(s, seed_i)`` form re-hashed every
+    shingle string 32 times and was 95% of the banding stage's cost;
+    the round-4 expression form fixed that but stayed interpreted
+    per-element (higher-order lambdas never reach codegen) — this
+    Arrow form computes identical integers batch-at-a-time
+    (parity pinned in test_minhash_arrow_matches_expression_form)."""
 
     MP = (1 << 31) - 1  # Mersenne prime 2^31-1
+
+    def _splitmix(x: int) -> int:
+        x = (x + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+        x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+        x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+        return x ^ (x >> 31)
+
+    A = np.asarray(
+        [_splitmix(seed + 2 * i) % (MP - 1) + 1 for i in range(num_hashes)],
+        dtype=np.int64,
+    )
+    B = np.asarray(
+        [_splitmix(seed + 2 * i + 1) % MP for i in range(num_hashes)],
+        dtype=np.int64,
+    )
+
+    # Arrow-vectorized CW minima (round-5 rewrite): the expression form
+    # (array_min over nested transform lambdas) is interpreted per
+    # element — 32 pmod chains per shingle never reach codegen and were
+    # ~8 s of the 14 s sf1 pipeline (the same pathology the LSH bucket
+    # UDF fixed, 34 s -> 2.4 s). Here the whole Arrow batch flattens
+    # into ONE (total_shingles, num_hashes) int64 matrix with a
+    # segment-min per doc. Integer-exact parity with the expression
+    # form (same base reduction, same CW constants; products < 2^62 so
+    # int64 never wraps; numpy % matches pmod's floored semantics) is
+    # pinned by test_minhash_arrow_matches_expression_form. xxhash64 of
+    # the shingles stays JVM-side in shingles(); still map-only, zero
+    # shuffle.
+    @pandas_udf("array<long>")
+    def sig_udf(sh: pd.Series) -> pd.Series:
+        if len(sh) == 0:
+            return pd.Series([], dtype=object)
+        lens = np.asarray([0 if v is None else len(v) for v in sh])
+        flat = (
+            np.concatenate([np.asarray(v, dtype=np.int64) for v in sh if v is not None and len(v)])
+            if lens.sum()
+            else np.empty(0, dtype=np.int64)
+        )
+        # base = pmod(xxhash64(shingle_long), MP), exactly as the
+        # expression reference computes it; numpy % == pmod for MP > 0
+        base = _xxh64_long(flat) % MP
+        M = (base[:, None] * A[None, :] + B[None, :]) % MP
+        out: list = []
+        off = 0
+        for n in lens:
+            if n == 0:
+                out.append(None)  # no shingles -> no defined minima
+            else:
+                out.append(M[off : off + n].min(axis=0).tolist())
+                off += n
+        return pd.Series(out)
+
+    sig = shingled.select("_id", sig_udf(F.col("_shingles")).alias("_sig"))
+    return sig.select(
+        "_id",
+        *[
+            F.element_at("_sig", i + 1).alias(f"h{i}")
+            for i in range(num_hashes)
+        ],
+    )
+
+
+def _minhash_signatures_expr(
+    shingled: DataFrame, num_hashes: int = 32, seed: int = 42
+) -> DataFrame:
+    """The pure-expression form of minhash_signatures (array_min over a
+    CW transform) — kept as the integer-exactness REFERENCE the Arrow
+    path is pinned against; not used on the hot path (interpreted
+    per-element, ~16x slower at sf1)."""
+    MP = (1 << 31) - 1
 
     def _splitmix(x: int) -> int:
         x = (x + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
@@ -162,7 +258,7 @@ def minhash_signatures(
     base = F.transform("_shingles", lambda s: F.pmod(F.xxhash64(s), F.lit(MP)))
 
     def _sig(i: int):
-        a = _splitmix(seed + 2 * i) % (MP - 1) + 1  # in [1, MP-1]
+        a = _splitmix(seed + 2 * i) % (MP - 1) + 1
         b = _splitmix(seed + 2 * i + 1) % MP
         return F.array_min(
             F.transform(

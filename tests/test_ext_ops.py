@@ -1486,3 +1486,19 @@ def test_sorted_neighborhood_second_pass_catches_prefix_divergence(spark, docs):
         for r in sorted_neighborhood_pairs(corpus, k=3, window=4, passes=1).collect()
     }
     assert one <= two
+
+
+def test_minhash_arrow_matches_expression_form(spark, docs):
+    """The Arrow-vectorized signature path produces BIT-IDENTICAL
+    integers to the pure-expression reference on real documents —
+    the integer-exactness pin for the hot-path rewrite."""
+    from datapipelinerepo_spark.operators.dedup import (
+        _minhash_signatures_expr,
+        minhash_signatures,
+        shingles,
+    )
+
+    sh = shingles(docs.filter(F.col("doc_id") < 300))
+    fast = {r["_id"]: tuple(r)[1:] for r in minhash_signatures(sh).collect()}
+    ref = {r["_id"]: tuple(r)[1:] for r in _minhash_signatures_expr(sh).collect()}
+    assert fast == ref and len(fast) == 300
