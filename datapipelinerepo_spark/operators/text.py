@@ -720,12 +720,19 @@ def _gram_frame(
     per consumer (measured 2× query cost). ~2 KB/doc of longs —
     smaller than the text it replaces."""
     toks = F.split(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "), " ")
-    base = df.select(F.col(id_col).alias("_id"), toks.alias("_toks")).filter(
-        F.size("_toks") >= n
-    )
+    # hash token LONGS, not per-gram strings: xxhash64 over n token
+    # hashes replaces the array_join slice allocation (the shingles()
+    # trick, ~2x on the gram stage); the gram key is only ever a
+    # grouping key, so any injective-up-to-2^-64 hash gives identical
+    # span/dup/novelty results — the same collision contract the
+    # string-hash form already carried vs the raw-string oracles
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.transform(toks, lambda s: F.xxhash64(s)).alias("_tokh"),
+    ).filter(F.size("_tokh") >= n)
     grams = F.transform(
-        F.sequence(F.lit(1), F.size("_toks") - (n - 1)),
-        lambda i: F.xxhash64(F.array_join(F.slice("_toks", i, n), " ")),
+        F.sequence(F.lit(1), F.size("_tokh") - (n - 1)),
+        lambda i: F.xxhash64(*[F.try_element_at("_tokh", i + j) for j in range(n)]),
     )
     return base.select("_id", grams.alias("_grams")).localCheckpoint(eager=False)
 
