@@ -138,11 +138,43 @@ class TableStore:
             return None
         return list(meta["keyed_on"]), int(meta["key_buckets"])
 
-    @staticmethod
-    def _kb_expr(keys: list[str], n_buckets: int):
+    def _key_types(self, name: str) -> list[str] | None:
+        p = self._meta_path(name)
+        if not os.path.isfile(p):
+            return None
+        with open(p) as f:
+            return json.load(f).get("key_types")
+
+    def _clear_keyed(self, name: str) -> None:
+        """Remove the keyed marker — a plain overwrite replaces the
+        table unstamped, so a stale marker would route the NEXT upsert
+        into the bucket fast path against a table with no _kb column
+        (code-review r5: reproduced AnalysisException)."""
+        p = self._meta_path(name)
+        if not os.path.isfile(p):
+            return
+        with open(p) as f:
+            meta = json.load(f)
+        if "keyed_on" in meta:
+            for k in ("keyed_on", "key_buckets", "key_types"):
+                meta.pop(k, None)
+            with open(p, "w") as f:
+                json.dump(meta, f)
+
+    def _kb_expr(self, name: str, keys: list[str], n_buckets: int):
         # xxhash64 of the key tuple -> stable bucket; NULL keys hash to
-        # the seed value, so they land in one deterministic bucket
-        return F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(n_buckets))
+        # the seed value, so they land in one deterministic bucket.
+        # Keys are CAST to the STORED key types first: xxhash64 is
+        # type-sensitive (int 3 and long 3 hash differently), so an
+        # uncast incoming batch would route rows to the wrong bucket
+        # (code-review r5: reproduced duplicate keys, and in the CDC
+        # path a bucket wipe).
+        types = self._key_types(name)
+        cols = [
+            F.col(k).cast(t) if types else F.col(k)
+            for k, t in zip(keys, types or keys)
+        ]
+        return F.pmod(F.xxhash64(*cols), F.lit(n_buckets))
 
     def _is_delta(self, name: str) -> bool:
         """A table previously written by the Delta MERGE path carries a
@@ -184,7 +216,18 @@ class TableStore:
                 .save(self._dir(name))
             )
         else:
-            df.write.mode("append").parquet(self._dir(name))
+            spec = self.keyed_spec(name)
+            if spec is not None:
+                # stamp appended rows into their buckets — an unstamped
+                # root write is invisible to the partition-discovery
+                # read (code-review r5: reproduced silent data loss)
+                keys, n = spec
+                df = df.withColumn("_kb", self._kb_expr(name, keys, n))
+                df.write.mode("append").partitionBy("_kb").parquet(
+                    self._dir(name)
+                )
+            else:
+                df.write.mode("append").parquet(self._dir(name))
         self._touch_meta(name)
 
     def overwrite(self, df: DataFrame, name: str) -> None:
@@ -198,6 +241,7 @@ class TableStore:
             )
         else:
             df.write.mode("overwrite").parquet(self._dir(name))
+        self._clear_keyed(name)
         self._touch_meta(name)
 
     def reload_partitions(self, df: DataFrame, name: str, part_col: str) -> None:
@@ -281,13 +325,17 @@ class TableStore:
         files at the table's target size (the same knob as lakehouse
         file sizing); the bucket column never surfaces on read."""
         keys = [key] if isinstance(key, str) else list(key)
-        stamped = df.withColumn("_kb", self._kb_expr(keys, n_buckets))
+        key_types = [df.schema[k].dataType.simpleString() for k in keys]
+        self._touch_meta(
+            name, keyed_on=keys, key_buckets=n_buckets, key_types=key_types
+        )
+        stamped = df.withColumn("_kb", self._kb_expr(name, keys, n_buckets))
         (
             stamped.write.mode("overwrite")
             .partitionBy("_kb")
             .parquet(self._dir(name))
         )
-        self._touch_meta(name, keyed_on=keys, key_buckets=n_buckets)
+        self._touch_meta(name)
 
     def _upsert_keyed(
         self, incoming: DataFrame, name: str, keys: list[str], n_buckets: int
@@ -296,7 +344,9 @@ class TableStore:
         keys hash to (partition pruning), anti-join the survivors,
         dynamic-partition-overwrite exactly those buckets. Untouched
         buckets' files are never read or rewritten."""
-        stamped = incoming.withColumn("_kb", self._kb_expr(keys, n_buckets))
+        stamped = incoming.withColumn(
+            "_kb", self._kb_expr(name, keys, n_buckets)
+        )
         affected = [r[0] for r in stamped.select("_kb").distinct().collect()]
         raw = self.spark.read.option("mergeSchema", "true").parquet(
             self._dir(name)
@@ -326,7 +376,7 @@ class TableStore:
         keys, n = self.keyed_spec(name)
         return [
             r[0]
-            for r in df.select(self._kb_expr(keys, n).alias("_kb"))
+            for r in df.select(self._kb_expr(name, keys, n).alias("_kb"))
             .distinct()
             .collect()
         ]
@@ -350,7 +400,7 @@ class TableStore:
         files. ``df`` must already be materialized if it was derived
         from this table's own files."""
         keys, n = self.keyed_spec(name)
-        stamped = df.withColumn("_kb", self._kb_expr(keys, n))
+        stamped = df.withColumn("_kb", self._kb_expr(name, keys, n))
         (
             stamped.write.mode("overwrite")
             .partitionBy("_kb")

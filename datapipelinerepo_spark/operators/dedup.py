@@ -22,6 +22,28 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
+def _splitmix64(x: int) -> int:
+    x = (x + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+    x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+    x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+    return x ^ (x >> 31)
+
+
+_MINHASH_MP = (1 << 31) - 1  # Mersenne prime 2^31-1
+
+
+def _cw_constants(seed: int, num_hashes: int) -> tuple[list[int], list[int]]:
+    """The Carter-Wegman (a_i, b_i) pairs — ONE derivation shared by
+    the Arrow hot path and the expression reference, so the bit-
+    exactness parity pin cannot be broken by editing one copy."""
+    a = [
+        _splitmix64(seed + 2 * i) % (_MINHASH_MP - 1) + 1
+        for i in range(num_hashes)
+    ]
+    b = [_splitmix64(seed + 2 * i + 1) % _MINHASH_MP for i in range(num_hashes)]
+    return a, b
+
+
 _XXH_P1 = np.uint64(0x9E3779B185EBCA87)
 _XXH_P2 = np.uint64(0xC2B2AE3D27D4EB4F)
 _XXH_P3 = np.uint64(0x165667B19E3779F9)
@@ -177,22 +199,10 @@ def minhash_signatures(
     Arrow form computes identical integers batch-at-a-time
     (parity pinned in test_minhash_arrow_matches_expression_form)."""
 
-    MP = (1 << 31) - 1  # Mersenne prime 2^31-1
-
-    def _splitmix(x: int) -> int:
-        x = (x + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
-        x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
-        x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
-        return x ^ (x >> 31)
-
-    A = np.asarray(
-        [_splitmix(seed + 2 * i) % (MP - 1) + 1 for i in range(num_hashes)],
-        dtype=np.int64,
-    )
-    B = np.asarray(
-        [_splitmix(seed + 2 * i + 1) % MP for i in range(num_hashes)],
-        dtype=np.int64,
-    )
+    MP = _MINHASH_MP
+    a_const, b_const = _cw_constants(seed, num_hashes)
+    A = np.asarray(a_const, dtype=np.int64)
+    B = np.asarray(b_const, dtype=np.int64)
 
     # Arrow-vectorized CW minima (round-5 rewrite): the expression form
     # (array_min over nested transform lambdas) is interpreted per
@@ -206,28 +216,42 @@ def minhash_signatures(
     # pinned by test_minhash_arrow_matches_expression_form. xxhash64 of
     # the shingles stays JVM-side in shingles(); still map-only, zero
     # shuffle.
+    # chunk the (shingles x num_hashes) matrix so the transient stays
+    # ~16 MB per task instead of Arrow-batch-sized (code-review r5: a
+    # 10k-doc batch of long documents could allocate hundreds of MB)
+    CHUNK = 1 << 16
+
     @pandas_udf("array<long>")
     def sig_udf(sh: pd.Series) -> pd.Series:
         if len(sh) == 0:
             return pd.Series([], dtype=object)
-        lens = np.asarray([0 if v is None else len(v) for v in sh])
-        flat = (
-            np.concatenate([np.asarray(v, dtype=np.int64) for v in sh if v is not None and len(v)])
-            if lens.sum()
-            else np.empty(0, dtype=np.int64)
-        )
-        # base = pmod(xxhash64(shingle_long), MP), exactly as the
-        # expression reference computes it; numpy % == pmod for MP > 0
-        base = _xxh64_long(flat) % MP
-        M = (base[:, None] * A[None, :] + B[None, :]) % MP
-        out: list = []
-        off = 0
-        for n in lens:
-            if n == 0:
-                out.append(None)  # no shingles -> no defined minima
-            else:
-                out.append(M[off : off + n].min(axis=0).tolist())
-                off += n
+        out: list = [None] * len(sh)
+        group: list = []  # (row_idx, int64 array) pending this chunk
+        pending = 0
+
+        def flush():
+            nonlocal group, pending
+            if not group:
+                return
+            flat = np.concatenate([g[1] for g in group])
+            # base = pmod(xxhash64(shingle_long), MP), exactly as the
+            # expression reference computes it; numpy % == pmod, MP > 0
+            base = _xxh64_long(flat) % MP
+            M = (base[:, None] * A[None, :] + B[None, :]) % MP
+            off = 0
+            for idx, arr in group:
+                out[idx] = M[off : off + len(arr)].min(axis=0).tolist()
+                off += len(arr)
+            group, pending = [], 0
+
+        for i, v in enumerate(sh):
+            if v is None or len(v) == 0:
+                continue  # no shingles -> no defined minima (stays None)
+            group.append((i, np.asarray(v, dtype=np.int64)))
+            pending += len(v)
+            if pending >= CHUNK:
+                flush()
+        flush()
         return pd.Series(out)
 
     sig = shingled.select("_id", sig_udf(F.col("_shingles")).alias("_sig"))
@@ -247,19 +271,13 @@ def _minhash_signatures_expr(
     CW transform) — kept as the integer-exactness REFERENCE the Arrow
     path is pinned against; not used on the hot path (interpreted
     per-element, ~16x slower at sf1)."""
-    MP = (1 << 31) - 1
-
-    def _splitmix(x: int) -> int:
-        x = (x + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
-        x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
-        x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
-        return x ^ (x >> 31)
+    MP = _MINHASH_MP
+    a_const, b_const = _cw_constants(seed, num_hashes)
 
     base = F.transform("_shingles", lambda s: F.pmod(F.xxhash64(s), F.lit(MP)))
 
     def _sig(i: int):
-        a = _splitmix(seed + 2 * i) % (MP - 1) + 1
-        b = _splitmix(seed + 2 * i + 1) % MP
+        a, b = a_const[i], b_const[i]
         return F.array_min(
             F.transform(
                 "_hs", lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(MP))
@@ -943,6 +961,11 @@ def sorted_neighborhood_pairs(
     tables do, and the cost stays linear."""
     from .sampling import global_order_positions
 
+    if passes not in (1, 2):
+        raise ValueError(
+            f"sorted_neighborhood_pairs: passes must be 1 or 2 (only the "
+            f"forward and reversed-head rotations are defined), got {passes}"
+        )
     base = df.select(
         F.col(id_col).alias("_id"),
         F.substring(F.col(text_col), 1, head_len).alias("_h"),

@@ -277,3 +277,38 @@ def test_keyed_upsert_null_key_and_schema_evolution(spark, tmp_path):
     rows = {r["v"]: r for r in store.read("t").collect()}
     assert set(rows) == {"a", "nullrow2"}
     assert rows["nullrow2"]["extra"] == "x" and rows["a"]["extra"] is None
+
+
+def test_keyed_table_append_and_overwrite_routing(spark, tmp_path):
+    """append() into a keyed table stamps rows into buckets (an
+    unstamped root write would be invisible to the partitioned read —
+    reproduced silent data loss); a plain overwrite() clears the keyed
+    marker so the next upsert takes the fallback instead of crashing
+    on a missing _kb column."""
+    store = TableStore(spark, str(tmp_path))
+    base = spark.createDataFrame([(i, f"v{i}") for i in range(20)], ["id", "v"])
+    store.overwrite_keyed(base, "t", "id", n_buckets=4)
+    store.append(spark.createDataFrame([(99, "new")], ["id", "v"]), "t")
+    got = {r["id"]: r["v"] for r in store.read("t").collect()}
+    assert got[99] == "new" and len(got) == 21
+
+    plain = spark.createDataFrame([(1, "only")], ["id", "v"])
+    store.overwrite(plain, "t")
+    assert store.keyed_spec("t") is None
+    store.upsert(spark.createDataFrame([(2, "two")], ["id", "v"]), "t", "id")
+    got = {r["id"]: r["v"] for r in store.read("t").collect()}
+    assert got == {1: "only", 2: "two"}
+
+
+def test_keyed_upsert_coerces_key_dtype(spark, tmp_path):
+    """An incoming batch whose key column is a NARROWER type (int vs
+    the stored long) must hash into the SAME buckets — uncast, the
+    bucket probe missed the existing row and produced duplicate keys
+    (reproduced)."""
+    store = TableStore(spark, str(tmp_path))
+    base = spark.createDataFrame([(i, f"v{i}") for i in range(20)], "id long, v string")
+    store.overwrite_keyed(base, "t", "id", n_buckets=4)
+    inc = spark.createDataFrame([(3, "UPD")], "id int, v string")
+    store.upsert(inc, "t", "id")
+    rows = store.read("t").filter("id = 3").collect()
+    assert len(rows) == 1 and rows[0]["v"] == "UPD"

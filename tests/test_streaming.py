@@ -427,11 +427,15 @@ def test_cdc_ingest_stream_keyed_table(spark, tmp_path):
     }
     doomed_bucket = bucket_of[7]
     doomed = [k for k, b in bucket_of.items() if b == doomed_bucket]
+    # pick the update key OUTSIDE the doomed bucket so the batch never
+    # carries a same-seq delete+update for one key (tie would resolve
+    # delete-first and contradict the update assertion)
+    upd_key = next(k for k, b in sorted(bucket_of.items()) if b != doomed_bucket)
     changes = [
         {"k": int(k), "seq": 1, "op": "D", "price": 0.0, "status": "X"}
         for k in doomed
     ] + [
-        {"k": 3, "seq": 1, "op": "U", "price": 33.0, "status": "U"},
+        {"k": int(upd_key), "seq": 1, "op": "U", "price": 33.0, "status": "U"},
         {"k": 900, "seq": 1, "op": "U", "price": 900.0, "status": "NEW"},
     ]
     (src / "b1.json").write_text("\n".join(json.dumps(d) for d in changes))
@@ -444,14 +448,14 @@ def test_cdc_ingest_stream_keyed_table(spark, tmp_path):
     q.awaitTermination()
 
     got = {r["k"]: (r["price"], r["status"]) for r in store.read("dim_current").collect()}
-    assert 3 in got and got[3] == (33.0, "U")
+    assert got[upd_key] == (33.0, "U")
     assert got[900] == (900.0, "NEW")
     assert all(k not in got for k in doomed)
-    assert len(got) == 64 - len(doomed) + 1 + (0 if 3 in doomed else 0)
+    assert len(got) == 64 - len(doomed) + 1
 
     after = bucket_files()
     assert f"_kb={doomed_bucket}" not in after  # emptied bucket pruned
-    touched = {f"_kb={b}" for b in {bucket_of[3], doomed_bucket}} | {
+    touched = {f"_kb={b}" for b in {bucket_of[upd_key], doomed_bucket}} | {
         f"_kb={r[0]}"
         for r in spark.createDataFrame([(900,)], ["k"])
         .select(F.pmod(F.xxhash64("k"), F.lit(n_buckets)))
