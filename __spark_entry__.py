@@ -11,6 +11,7 @@ from __future__ import annotations
 import glob
 import json
 import os
+import re
 import sys
 from collections.abc import Callable
 
@@ -40,9 +41,19 @@ def _ordered_names() -> list[str]:
     then (4) already-proven queries.  Self-adapting: each round the
     unproven tail rotates to the front.
     """
+    # Queries whose Spark code or oracle SQL changed DURING a round
+    # after having earned a green row in an earlier round: the old
+    # proof is stale, so they outrank proven-row refreshes (group 0.5)
+    # until a CORRECTNESS file from the change round or later shows
+    # them green again (self-clearing). Map name -> round changed.
+    changed_in_round = {"w_ntile_deciles": 5, "cdc_latest_wins": 5}
+
     proven: set[str] = set()
     flagged: set[str] = set()
+    green_round: dict[str, int] = {}  # name -> newest round seen green
     for path in sorted(glob.glob(os.path.join(_HERE, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)", os.path.basename(path))
+        file_round = int(m.group(1)) if m else 0
         try:
             with open(path) as fh:
                 rows = json.load(fh)
@@ -59,9 +70,15 @@ def _ordered_names() -> list[str]:
             )
             if ok:
                 proven.add(name)
+                green_round[name] = max(green_round.get(name, 0), file_round)
             else:
                 flagged.add(name)
     flagged -= proven
+    stale_changed = {
+        n
+        for n, r in changed_in_round.items()
+        if green_round.get(n, 0) < r
+    }
 
     # Within a priority group, cheap queries lead: if the checker's cap
     # turns out to be time-based rather than count-based, this maximizes
@@ -87,6 +104,9 @@ def _ordered_names() -> list[str]:
             # an oracle-bearing query whose row wasn't all-green: a real
             # fix needing re-proof — highest priority
             group = 0
+        elif name in stale_changed:
+            # previously green but rewritten since: stale proof
+            group = 0.5
         elif name not in proven and name not in flagged:
             # never checked at all: a first row (hash-checked when the
             # query has an oracle) beats refreshing anything

@@ -312,3 +312,21 @@ def test_keyed_upsert_coerces_key_dtype(spark, tmp_path):
     store.upsert(inc, "t", "id")
     rows = store.read("t").filter("id = 3").collect()
     assert len(rows) == 1 and rows[0]["v"] == "UPD"
+
+
+def test_keyed_upsert_composite_key(spark, tmp_path):
+    """Composite merge keys route through the bucket fast path: both
+    columns feed the bucket hash and the null-safe anti-join."""
+    store = TableStore(spark, str(tmp_path))
+    base = spark.createDataFrame(
+        [(d, r, float(d * 10 + r)) for d in range(4) for r in range(5)],
+        "day int, region int, total double",
+    )
+    store.overwrite_keyed(base, "t", ["day", "region"], n_buckets=4)
+    inc = spark.createDataFrame(
+        [(2, 3, 999.0), (9, 9, 1.0)], "day int, region int, total double"
+    )
+    store.upsert(inc, "t", ["day", "region"])
+    got = {(r["day"], r["region"]): r["total"] for r in store.read("t").collect()}
+    assert got[(2, 3)] == 999.0 and got[(9, 9)] == 1.0 and len(got) == 21
+    assert got[(1, 1)] == 11.0  # untouched survivor
