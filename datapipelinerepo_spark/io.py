@@ -63,11 +63,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         from pyspark.sql import functions as F
 
+        # NOTE: this session-level conf is a deliberate global side
+        # effect — the parquet reader needs it BEFORE planning and the
+        # conversion below executes lazily, so it cannot be restored
+        # here. It only changes how ns-precision parquet timestamps
+        # surface (long instead of a hard error), which this loader
+        # then converts.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(table_path(sf_dir, name))
         if dict(df.dtypes).get("ts") == "bigint":
+            # INTEGER division: float `/` widens the ns long to double
+            # (48 ns of rounding at current epochs), off by 1 us for
+            # ~12% of values vs DuckDB's exact conversion
+            # (code-review r5, empirically measured)
             df = df.withColumn(
-                "ts", F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long"))
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
             )
         return df
     return spark.read.parquet(table_path(sf_dir, name))
@@ -161,7 +171,9 @@ class TableStore:
             with open(p, "w") as f:
                 json.dump(meta, f)
 
-    def _kb_expr(self, name: str, keys: list[str], n_buckets: int):
+    def _kb_expr(
+        self, name: str, keys: list[str], n_buckets: int, types: list[str] | None = None
+    ):
         # xxhash64 of the key tuple -> stable bucket; NULL keys hash to
         # the seed value, so they land in one deterministic bucket.
         # Keys are CAST to the STORED key types first: xxhash64 is
@@ -169,7 +181,7 @@ class TableStore:
         # uncast incoming batch would route rows to the wrong bucket
         # (code-review r5: reproduced duplicate keys, and in the CDC
         # path a bucket wipe).
-        types = self._key_types(name)
+        types = types or self._key_types(name)
         cols = [
             F.col(k).cast(t) if types else F.col(k)
             for k, t in zip(keys, types or keys)
@@ -326,16 +338,21 @@ class TableStore:
         file sizing); the bucket column never surfaces on read."""
         keys = [key] if isinstance(key, str) else list(key)
         key_types = [df.schema[k].dataType.simpleString() for k in keys]
-        self._touch_meta(
-            name, keyed_on=keys, key_buckets=n_buckets, key_types=key_types
+        # data FIRST, marker after: stamping the meta before the write
+        # would leave a phantom keyed table if the write dies — exists()
+        # true, next upsert routed into a scan of a missing directory
+        # (code-review r5)
+        stamped = df.withColumn(
+            "_kb", self._kb_expr(name, keys, n_buckets, types=key_types)
         )
-        stamped = df.withColumn("_kb", self._kb_expr(name, keys, n_buckets))
         (
             stamped.write.mode("overwrite")
             .partitionBy("_kb")
             .parquet(self._dir(name))
         )
-        self._touch_meta(name)
+        self._touch_meta(
+            name, keyed_on=keys, key_buckets=n_buckets, key_types=key_types
+        )
 
     def _upsert_keyed(
         self, incoming: DataFrame, name: str, keys: list[str], n_buckets: int

@@ -30,7 +30,11 @@ def read_base64_event_stream(
     line = F.try_to_binary(F.col("value"), F.lit("base64")).cast("string")
     return (
         raw.select(F.from_json(line, schema).alias("r"))
-        .filter(F.col("r").isNotNull())
+        # PERMISSIVE from_json yields an ALL-NULL-FIELDS row for
+        # malformed JSON, not a NULL struct, so isNotNull() on the
+        # struct passes garbage through (code-review r5) — gate on the
+        # required event-time field instead
+        .filter(F.col("r").isNotNull() & F.col("r.time_stamp").isNotNull())
         .select("r.*")
         .withColumn("ts", F.to_timestamp("time_stamp"))
     )
@@ -120,9 +124,13 @@ def dedup_stream(
     ``dropDuplicatesWithinWatermark`` keeps the state store bounded
     (plain dropDuplicates on a stream retains ALL keys forever; with an
     at-least-once bus re-deliveries cluster near the original, so the
-    horizon is the right state bound at 100 TB/day)."""
+    horizon is the right state bound at 100 TB/day). The event-time
+    column is deliberately NOT part of the dedup key — a re-delivery
+    whose producer re-stamped the timestamp is still the same logical
+    event (code-review r5); dropDuplicatesWithinWatermark only needs
+    the watermark DEFINED on ts, not ts in the subset."""
     return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
-        keys + [ts_col]
+        keys
     )
 
 
@@ -195,25 +203,33 @@ def near_dup_ingest_stream(
     def _ingest(batch: DataFrame, batch_id: int) -> None:
         batch = batch.localCheckpoint(eager=True)  # one materialization per use below
         if store.exists(index_table):
+            # exclude this batch's OWN partitions: an at-least-once
+            # retry re-runs the batch after its writes landed, and an
+            # unfiltered probe would self-match every document at
+            # jaccard 1.0 (code-review r5)
             flags = D.incremental_near_dup_lsh(
                 batch,
-                store.read(index_table),
-                store.read(corpus_table),
+                store.read(index_table).filter(F.col("_batch_id") != batch_id),
+                store.read(corpus_table).filter(F.col("_batch_id") != batch_id),
                 threshold=threshold,
                 **lsh_kwargs,
             )
             store.reload_partitions(
                 flags.withColumn("_batch_id", F.lit(batch_id)), flags_table, "_batch_id"
             )
+        # corpus BEFORE index: exists(index_table) is the probe gate, so
+        # the index write must be the last to land — a crash between the
+        # two otherwise leaves an index without a corpus and every
+        # replay dies reading the missing table (code-review r5)
+        store.reload_partitions(
+            batch.withColumn("_batch_id", F.lit(batch_id)), corpus_table, "_batch_id"
+        )
         store.reload_partitions(
             D.minhash_band_index(batch, **lsh_kwargs).withColumn(
                 "_batch_id", F.lit(batch_id)
             ),
             index_table,
             "_batch_id",
-        )
-        store.reload_partitions(
-            batch.withColumn("_batch_id", F.lit(batch_id)), corpus_table, "_batch_id"
         )
 
     w = (
@@ -266,11 +282,12 @@ def curate_ingest_stream(
             "_pass", quality_gate_predicate(cfg)
         ).localCheckpoint(eager=True)
         gated = flagged.filter(F.col("_pass")).drop("_pass")
-        rejects = (
-            flagged.filter(~F.col("_pass"))
-            .drop("_pass")
-            .withColumn("reason", F.lit("quality_gate"))
-        )
+        # gate rejects are REDACTED too: rejected_docs is a long-lived
+        # audit table, and writing raw PII there while redacting the
+        # clean side is an unintended retention surface (code-review r5)
+        rejects = redact(
+            flagged.filter(~F.col("_pass")).drop("_pass"), cfg
+        ).withColumn("reason", F.lit("quality_gate"))
         staged = redact(gated, cfg).withColumn(
             "_dg", F.md5(F.col(cfg.text_col))
         )
@@ -286,16 +303,26 @@ def curate_ingest_stream(
         )
         staged = ranked.filter(F.col("_rn") == 1).drop("_rn")
         if store.exists(clean_table):
-            hist = store.read(clean_table).select(
-                F.md5(F.col(cfg.text_col)).alias("_dg")
-            ).distinct()
+            # the clean table PERSISTS each doc's digest (below), so the
+            # historical check is a column-pruned scan of 16-byte
+            # digests — not an O(corpus) re-hash of all text per batch —
+            # and it EXCLUDES this batch's own partition: an
+            # at-least-once retry re-runs after the partition landed,
+            # and an unfiltered read would mark every survivor of the
+            # batch a duplicate of itself (code-review r5)
+            hist = (
+                store.read(clean_table)
+                .filter(F.col("_batch_id") != batch_id)
+                .select("_dg")
+                .distinct()
+            )
             dup = staged.join(hist, on="_dg", how="left_semi").drop("_dg")
             rejects = rejects.unionByName(
                 dup.withColumn("reason", F.lit("exact_dup")),
                 allowMissingColumns=True,
             )
             staged = staged.join(hist, on="_dg", how="left_anti")
-        clean = staged.drop("_dg")
+        clean = staged  # keeps _dg: digested once at ingest, reread forever
         store.reload_partitions(
             clean.withColumn("_batch_id", F.lit(batch_id)),
             clean_table,

@@ -464,3 +464,100 @@ def test_cdc_ingest_stream_keyed_table(spark, tmp_path):
     for d, files in before.items():
         if d not in touched:
             assert after[d] == files, f"untouched bucket {d} changed"
+
+
+def test_curate_ingest_replay_same_batch_id(spark, tmp_path):
+    """The TRUE at-least-once window: the batch function re-runs with
+    the SAME batch id after its writes landed (crash before checkpoint
+    commit). Survivors must NOT be flagged duplicates of their own
+    previous write, and both tables converge to the first run's state."""
+    from datapipelinerepo_spark.io import TableStore
+    from datapipelinerepo_spark.plans.training_prep import PrepConfig
+    from datapipelinerepo_spark.streaming import ingest as ing
+
+    store = TableStore(spark, str(tmp_path / "store"))
+    cfg = PrepConfig(min_chars=30, min_tokens=5, max_punct_ratio=0.2)
+    good = "a perfectly reasonable training document with plenty of words in it"
+    batch = spark.createDataFrame(
+        [(1, good), (2, "too short"), (3, good + " more words here")],
+        ["doc_id", "text"],
+    )
+
+    # capture the foreachBatch function without starting a real stream
+    captured = {}
+
+    class _FakeWriteStream:
+        def __init__(self, fn):
+            captured["fn"] = fn
+        def option(self, *a, **k):
+            return self
+        def outputMode(self, *a):
+            return self
+        def trigger(self, **k):
+            return self
+        def start(self):
+            return None
+
+    class _FakeDocs:
+        class writeStream:
+            @staticmethod
+            def foreachBatch(fn):
+                return _FakeWriteStream(fn)
+
+    ing.curate_ingest_stream(_FakeDocs, store, str(tmp_path / "ckpt"), cfg=cfg)
+    fn = captured["fn"]
+    fn(batch, 7)
+    first_clean = sorted(r["doc_id"] for r in store.read("clean_corpus").collect())
+    first_rej = {r["doc_id"]: r["reason"] for r in store.read("rejected_docs").collect()}
+    assert first_clean == [1, 3] and first_rej == {2: "quality_gate"}
+    fn(batch, 7)  # replay: same batch id, writes already landed
+    again_clean = sorted(r["doc_id"] for r in store.read("clean_corpus").collect())
+    again_rej = {r["doc_id"]: r["reason"] for r in store.read("rejected_docs").collect()}
+    assert again_clean == first_clean
+    assert again_rej == first_rej  # no self-duplicate corruption
+
+
+def test_near_dup_ingest_replay_same_batch_id(spark, tmp_path, docs_df=None):
+    """near-dup ingest replay with the same batch id: no self-matches
+    in the flags table, and the index/corpus converge."""
+    from datapipelinerepo_spark.io import TableStore
+    from datapipelinerepo_spark.streaming import ingest as ing
+
+    store = TableStore(spark, str(tmp_path / "store"))
+    captured = {}
+
+    class _FakeWriteStream:
+        def __init__(self, fn):
+            captured["fn"] = fn
+        def option(self, *a, **k):
+            return self
+        def outputMode(self, *a):
+            return self
+        def trigger(self, **k):
+            return self
+        def start(self):
+            return None
+
+    class _FakeDocs:
+        class writeStream:
+            @staticmethod
+            def foreachBatch(fn):
+                return _FakeWriteStream(fn)
+
+    ing.near_dup_ingest_stream(_FakeDocs, store, str(tmp_path / "ckpt"))
+    fn = captured["fn"]
+    b1 = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta iota kappa")],
+        ["doc_id", "text"],
+    )
+    fn(b1, 0)
+    b2 = spark.createDataFrame(
+        [(2, "alpha beta gamma delta epsilon zeta eta theta iota extra")],
+        ["doc_id", "text"],
+    )
+    fn(b2, 1)
+    flags1 = {(r["new_id"], r["corpus_id"]) for r in store.read("near_dups").collect()}
+    assert flags1 == {(2, 1)}
+    fn(b2, 1)  # replay batch 1
+    flags2 = {(r["new_id"], r["corpus_id"]) for r in store.read("near_dups").collect()}
+    assert flags2 == {(2, 1)}  # no (2, 2) self-match
