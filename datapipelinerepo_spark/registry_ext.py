@@ -3471,19 +3471,105 @@ def dedup_sorted_neighborhood(spark, sf_dir):
     return D.sorted_neighborhood_pairs(t(spark, sf_dir, "documents"), passes=2)
 
 
-@register("text_bpe_learn", sql=None)
+@register(
+    "text_bpe_learn",
+    sql=r"""
+    WITH RECURSIVE
+    vocab0 AS (
+      SELECT row_number() OVER (ORDER BY w) AS wid, string_split(w, '') AS t, n
+      FROM (
+        SELECT w, COUNT(*) AS n FROM (
+          SELECT unnest(list_filter(
+            string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' '),
+            s -> length(s) > 0)) AS w
+          FROM documents) GROUP BY 1
+      )
+    ),
+    state(iter, wid, t, n, sel_l, sel_r, sel_c) AS (
+      SELECT 0, wid, t, n, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+             CAST(NULL AS BIGINT)
+      FROM vocab0
+      UNION ALL
+      SELECT * FROM (
+        WITH cur AS (SELECT iter, wid, t, n FROM state WHERE iter < 8),
+        ex AS (
+          SELECT iter, wid, t, n,
+                 CASE WHEN len(t) >= 2
+                      THEN list_transform(generate_series(1, len(t) - 1),
+                                          i -> [t[i], t[i + 1]])
+                      ELSE [CAST(NULL AS VARCHAR[])] END AS prs
+          FROM cur
+        ), flat AS (
+          SELECT iter, wid, t, n, unnest(prs) AS pr FROM ex
+        ), counted AS (
+          SELECT iter, wid, t, n, pr,
+                 CASE WHEN pr IS NULL THEN NULL
+                      ELSE SUM(CASE WHEN pr IS NULL THEN 0 ELSE n END)
+                             OVER (PARTITION BY pr) END AS pc
+          FROM flat
+        ), chosen AS (
+          SELECT iter, wid, t, n,
+                 first_value(pr) OVER (ORDER BY pc DESC NULLS LAST,
+                                       pr[1] ASC NULLS LAST,
+                                       pr[2] ASC NULLS LAST) AS bp,
+                 first_value(pc) OVER (ORDER BY pc DESC NULLS LAST,
+                                       pr[1] ASC NULLS LAST,
+                                       pr[2] ASC NULLS LAST) AS bc
+          FROM counted
+        ), one AS (
+          SELECT iter, wid, any_value(t) AS t, any_value(n) AS n,
+                 any_value(bp) AS bp, any_value(bc) AS bc
+          FROM chosen GROUP BY iter, wid
+        )
+        SELECT iter + 1, wid,
+          CASE WHEN bp IS NULL THEN t ELSE
+            list_filter(
+              list_transform(generate_series(1, len(t)), i ->
+                CASE
+                  WHEN i <= len(t) - 1 AND t[i] = bp[1] AND t[i + 1] = bp[2]
+                       AND (bp[1] <> bp[2] OR
+                            (i - (coalesce(list_max(list_filter(
+                                 generate_series(1, i - 1),
+                                 j -> t[j] <> bp[1])), 0) + 1)) % 2 = 0)
+                    THEN bp[1] || bp[2]
+                  WHEN i >= 2 AND t[i - 1] = bp[1] AND t[i] = bp[2]
+                       AND (bp[1] <> bp[2] OR
+                            ((i - 1) - (coalesce(list_max(list_filter(
+                                 generate_series(1, i - 2),
+                                 j -> t[j] <> bp[1])), 0) + 1)) % 2 = 0)
+                    THEN NULL
+                  ELSE t[i]
+                END),
+              x -> x IS NOT NULL)
+          END,
+          n, bp[1], bp[2], bc
+        FROM one
+      )
+    )
+    SELECT CAST(iter AS INT) AS rank, any_value(sel_l) AS left,
+           any_value(sel_r) AS right, any_value(sel_l || sel_r) AS merged,
+           CAST(any_value(sel_c) AS BIGINT) AS pair_count
+    FROM state WHERE iter >= 1 GROUP BY iter ORDER BY rank
+    """,
+)
 def text_bpe_learn(spark, sf_dir):
     """Iterated BPE tokenizer training (text.bpe_learn, 8 merges):
     the full trainer loop — one corpus scan for word counts, then
     every round runs on the vocabulary frame (argmax pair + greedy
     left-to-right rewrite), so round cost is corpus-size-independent.
-    Intentionally rows-only: each round's pair counts depend on the
-    previous round's learned rule, a chain no single SQL statement
-    replays without a per-word fold; the green hash-checked twin is
-    text_bpe_learn_single (n_merges=1, identical loop code), the
-    one-round statistic is oracle-green as text_bpe_merge_candidates,
-    and the full 5-round merge sequence is pinned against a
-    pure-Python reference in test_ext_ops."""
+    HASH-CHECKED end to end: the oracle replays all 8 training rounds
+    as a recursive CTE carrying the per-word token lists — identical
+    weighted pair counts, identical (count desc, left, right) argmax,
+    and the greedy left-to-right rewrite expressed as simultaneous
+    marking (overlaps are impossible for left≠right merges; for
+    left=right runs a parity-of-run-offset rule reproduces the fold's
+    'aaa'→('aa','a') semantics) — so the full learned merge SEQUENCE
+    with its counts is driver-verified, the kmeans/kcenter
+    construction-exact treatment applied to tokenizer training. The
+    merge sequence is additionally pinned against a pure-Python
+    reference in test_ext_ops, and text_bpe_learn_single /
+    text_bpe_merge_candidates keep the single-round statistics
+    independently oracle-green."""
     return T.bpe_learn(t(spark, sf_dir, "documents"), n_merges=8)
 
 
