@@ -48,14 +48,21 @@ def rebalance_mix(
     thresholds come from one small aggregate that broadcasts; the
     accept test itself is map-side — the corpus does not shuffle to be
     sampled."""
-    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n"))
+    # null-safe group join: a NULL group key is a real group — the
+    # plain USING join dropped its rows while the count still skewed
+    # every other group's rate (code-review r5)
+    counts = (
+        df.groupBy(group_col)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .withColumnRenamed(group_col, "_g")
+    )
     mn = counts.agg(F.min("_n").alias("_mn"))
     thr = F.floor(F.col("_mn") * F.lit(_U32) / F.col("_n")).cast("long")
     return (
-        df.join(F.broadcast(counts), group_col)
+        df.join(F.broadcast(counts), F.col(group_col).eqNullSafe(F.col("_g")))
         .crossJoin(F.broadcast(mn))
         .filter(hash_uniform_u32(id_col) < thr)
-        .drop("_n", "_mn")
+        .drop("_g", "_n", "_mn")
     )
 
 
@@ -78,20 +85,25 @@ def temperature_mix(
 
     Same scale shape as rebalance_mix: one tiny counts aggregate
     broadcasts back; the accept test is map-side."""
-    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n"))
+    counts = (
+        df.groupBy(group_col)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .withColumnRenamed(group_col, "_g")
+    )
     # weight_g = n_g^alpha; keep-rate_g ∝ weight_g / n_g, scaled so the
     # max rate is exactly 1 (pure downsampling, no duplication)
     w = F.pow(F.col("_n").cast("double"), F.lit(alpha))
     rated = counts.select(
-        group_col, "_n", (w / F.col("_n").cast("double")).alias("_r")
+        "_g", "_n", (w / F.col("_n").cast("double")).alias("_r")
     )
     mx = rated.agg(F.max("_r").alias("_rmax"))
     thr = F.floor(F.col("_r") / F.col("_rmax") * F.lit(_U32)).cast("long")
     return (
-        df.join(F.broadcast(rated), group_col)
+        # null-safe for the same reason as rebalance_mix
+        df.join(F.broadcast(rated), F.col(group_col).eqNullSafe(F.col("_g")))
         .crossJoin(F.broadcast(mx))
         .filter(hash_uniform_u32(id_col) < thr)
-        .drop("_n", "_r", "_rmax")
+        .drop("_g", "_n", "_r", "_rmax")
     )
 
 
@@ -201,6 +213,11 @@ def global_order_positions(
     sibling of global_shuffle_positions (which buckets by a hash
     prefix; here the sort key is a data value, so buckets come from
     range boundaries instead).
+
+    ``order_cols`` MUST form a total order (append a unique id as the
+    last column, as every in-repo caller does): with ties the
+    within-bucket row_number is partitioning-dependent and positions
+    stop being reproducible (code-review r5).
 
     Shape: approx-percentile boundaries of the leading sort column
     (one pass, a ≤ n_buckets-scalar driver collect — bounded by

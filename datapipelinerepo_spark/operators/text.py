@@ -131,7 +131,9 @@ def bm25_topk(
     6dp with an id tie-break, so the ranking is total and
     engine-exact."""
     toks = ws_tokens(F.col(text_col))
-    qlit = F.array(*[F.lit(t) for t in query_terms])
+    # document tokens are lowercased by ws_tokens; lowercase the query
+    # the same way so 'Paris' matches (code-review r5)
+    qlit = F.array(*[F.lit(t.lower()) for t in query_terms])
     based = df.select(
         F.col(id_col),
         F.size(toks).alias("dl"),
@@ -270,7 +272,7 @@ def repetition_features(
     aggregation collapses the repeats map-side — the very docs this
     flags (massively repeated grams) are the ones that compress best
     before the shuffle."""
-    toks = F.split(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "), " ")
+    toks = ws_tokens(F.col(text_col))  # canon: no phantom '' tokens
     grams = F.transform(
         F.sequence(F.lit(1), F.size("_toks") - (n - 1)),
         lambda i: F.array_join(F.slice("_toks", i, n), " "),
@@ -342,7 +344,7 @@ def boilerplate_ngrams(
     shuffle; partial aggregation collapses common grams map-side, which
     is what keeps the ultra-frequent boilerplate grams (the skewed keys)
     from concentrating on one reducer at 100 TB."""
-    toks = F.split(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "), " ")
+    toks = ws_tokens(F.col(text_col))  # canon: no phantom '' tokens
     base = df.select(F.col(id_col).alias("_id"), toks.alias("_toks")).filter(
         F.size("_toks") >= n
     )
@@ -491,10 +493,18 @@ def line_dedup(
     """
     lines = df.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+        # coalesce: a NULL-text doc must still yield its output row
+        # (posexplode of NULL emits nothing — code-review r5)
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
+        ).alias("pos", "line"),
     ).withColumn("_lh", F.xxhash64("line"))
     dup = (
-        lines.groupBy("_lh")
+        # blank lines are paragraph STRUCTURE, not boilerplate: any two
+        # docs with blank lines would otherwise strip every paragraph
+        # break corpus-wide (code-review r5)
+        lines.filter(F.col("line") != "")
+        .groupBy("_lh")
         .agg(F.count_distinct(F.col(id_col)).alias("_nd"))
         .filter(F.col("_nd") >= min_dup_docs)
         .select("_lh", F.lit(True).alias("_dup"))
@@ -550,9 +560,14 @@ def linear_model_score(
             toks, F.lit(0).cast("long"), lambda acc, s: acc + w_int(s)
         ).alias("_wsum"),
     )
-    logit = (
-        F.col("_wsum").cast("double") / (F.col("_n") * F.lit(float(_P)))
-    ) - F.lit(0.5)
+    # zero-token (or NULL-text) docs have no evidence: score 0.5
+    # exactly (logit 0) instead of an ANSI DIVIDE_BY_ZERO
+    # (code-review r5)
+    logit = F.when(
+        F.col("_n") > 0,
+        (F.col("_wsum").cast("double") / (F.col("_n") * F.lit(float(_P))))
+        - F.lit(0.5),
+    ).otherwise(F.lit(0.0))
     return base.select(
         id_col,
         F.col("_n").alias("n_tokens"),
@@ -590,7 +605,14 @@ def unigram_perplexity(
     # EXACTLY Σ over occurrences of the rounded ln — bit-identical
     # output, strictly less shuffle volume.
     flat = df.select(F.col(id_col), F.explode(toks).alias("_tok"))
-    tf = flat.groupBy(id_col, "_tok").agg(F.count(F.lit(1)).alias("_cdt"))
+    # checkpoint tf: the fit branch (freq/totals) and the scoring join
+    # both consume it — unmaterialized, Catalyst re-runs the corpus
+    # tokenize/explode subtree 3x (code-review r5, plan-verified)
+    tf = (
+        flat.groupBy(id_col, "_tok")
+        .agg(F.count(F.lit(1)).alias("_cdt"))
+        .localCheckpoint(eager=False)
+    )
     freq = tf.groupBy("_tok").agg(F.sum("_cdt").alias("_c"))
     totals = freq.agg(
         F.sum("_c").alias("_N"), F.count(F.lit(1)).alias("_V")
@@ -674,7 +696,7 @@ def ngram_perplexity(
     # exactly (same argument as unigram_perplexity)
     tfg = grams.groupBy(id_col, "ctx", "tok").agg(
         F.count(F.lit(1)).alias("_cg")
-    )
+    ).localCheckpoint(eager=False)  # 3 consumers (code-review r5)
     c_ct = tfg.groupBy("ctx", "tok").agg(F.sum("_cg").alias("_cct"))
     c_c = tfg.groupBy("ctx").agg(F.sum("_cg").alias("_cc"))
     vocab = c_ct.agg(F.countDistinct("tok").alias("_V"))
@@ -719,7 +741,7 @@ def _gram_frame(
     the checkpoint Catalyst re-evaluates the regex/slice/hash subtree
     per consumer (measured 2× query cost). ~2 KB/doc of longs —
     smaller than the text it replaces."""
-    toks = F.split(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "), " ")
+    toks = ws_tokens(F.col(text_col))  # canon: no phantom '' tokens
     # hash token LONGS, not per-gram strings: xxhash64 over n token
     # hashes replaces the array_join slice allocation (the shingles()
     # trick, ~2x on the gram stage); the gram key is only ever a
@@ -844,7 +866,7 @@ def dsir_importance(
     tf = flat.groupBy(id_col, "_tok").agg(
         F.count(F.lit(1)).alias("_cdt"),
         F.sum(F.when(F.col("_tgt"), 1).otherwise(0)).alias("_cdt_t"),
-    )
+    ).localCheckpoint(eager=False)  # fit + scoring consumers (code-review r5)
     freq = tf.groupBy("_tok").agg(
         F.sum("_cdt").alias("_cr"),
         F.sum("_cdt_t").alias("_ct"),

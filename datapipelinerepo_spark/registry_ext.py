@@ -807,7 +807,8 @@ def embedding_norm_stats(spark, sf_dir):
     sql=r"""
     WITH s AS (
       SELECT doc_id,
-             string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS toks
+             list_filter(string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' '),
+                         s -> length(s) > 0) AS toks
       FROM documents WHERE doc_id % 20 = 0
     ),
     flat AS (
@@ -897,7 +898,8 @@ def text_redact_pii(spark, sf_dir):
     sql=r"""
     WITH s AS (
       SELECT doc_id,
-             string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS toks
+             list_filter(string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' '),
+                         s -> length(s) > 0) AS toks
       FROM documents
     ), g AS (
       SELECT doc_id, array_to_string(toks[i:i+4], ' ') AS gram
@@ -923,7 +925,8 @@ def text_boilerplate_ngrams(spark, sf_dir):
     sql=r"""
     WITH s AS (
       SELECT doc_id,
-             string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS toks
+             list_filter(string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' '),
+                         s -> length(s) > 0) AS toks
       FROM documents
     ), g AS (
       SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS gram
@@ -1181,9 +1184,12 @@ def sample_mix_rebalance(spark, sf_dir):
     sql="""
     WITH l AS (
       SELECT doc_id, generate_subscripts(parts, 1) AS pos, unnest(parts) AS line
-      FROM (SELECT doc_id, string_split(text, chr(10)) AS parts FROM documents)
+      FROM (SELECT doc_id,
+                   string_split(coalesce(text, ''), chr(10)) AS parts
+            FROM documents)
     ), dup AS (
-      SELECT line FROM l GROUP BY line HAVING COUNT(DISTINCT doc_id) >= 2
+      SELECT line FROM l WHERE line <> ''
+      GROUP BY line HAVING COUNT(DISTINCT doc_id) >= 2
     )
     SELECT l.doc_id,
            coalesce(string_agg(CASE WHEN d.line IS NULL THEN l.line END,
@@ -2307,7 +2313,8 @@ def dedup_semantic_keep_verified(spark, sf_dir):
     sql=r"""
     WITH s AS (
       SELECT doc_id,
-             string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS toks
+             list_filter(string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' '),
+                         s -> length(s) > 0) AS toks
       FROM documents
     ), wg AS (
       SELECT doc_id,
@@ -2475,7 +2482,8 @@ def sample_length_buckets(spark, sf_dir):
       FROM documents
     ), s AS (
       SELECT split,
-             string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS toks
+             list_filter(string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' '),
+                         s -> length(s) > 0) AS toks
       FROM sp
     ), g AS (
       SELECT DISTINCT split, array_to_string(toks[i:i+5], ' ') AS gram
@@ -2500,7 +2508,7 @@ def sample_split_leakage(spark, sf_dir):
     from .operators.sampling import split_assign
 
     d = split_assign(t(spark, sf_dir, "documents"))
-    toks = F.split(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "), " ")
+    toks = T.ws_tokens(F.col("text"))  # canon: no phantom '' tokens
     grams = F.transform(
         F.sequence(F.lit(1), F.size("_toks") - 5),
         lambda i: F.array_join(F.slice("_toks", i, 6), " "),
@@ -2828,7 +2836,8 @@ def dedup_cluster_size_histogram(spark, sf_dir):
     sql=r"""
     WITH s AS (
       SELECT doc_id,
-             string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS toks
+             list_filter(string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' '),
+                         s -> length(s) > 0) AS toks
       FROM documents
     ), wg AS (
       SELECT doc_id,
@@ -3225,7 +3234,8 @@ def embedding_kcenter_coreset(spark, sf_dir):
     sql=r"""
     WITH s AS (
       SELECT doc_id,
-             string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS toks
+             list_filter(string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' '),
+                         s -> length(s) > 0) AS toks
       FROM documents
     ), wg AS (
       SELECT doc_id,

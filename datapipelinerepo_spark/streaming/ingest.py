@@ -183,9 +183,11 @@ def near_dup_ingest_stream(
     """Streaming corpus growth with standing near-dup detection: each
     micro-batch of documents is (1) probed against the persisted LSH
     band index — near-dups of anything ALREADY ingested land in
-    ``flags_table`` as (new_id, corpus_id, jaccard) — then (2) its own
-    banding is appended to ``index_table`` and (3) the batch to
-    ``corpus_table``. The historical corpus is never re-signed: each
+    ``flags_table`` as (new_id, corpus_id, jaccard) — then (2) the
+    batch is appended to ``corpus_table`` and (3) its banding to
+    ``index_table`` (index last: its existence gates the probe, so a
+    crash between the writes must never leave an index without its
+    corpus). The historical corpus is never re-signed: each
     document pays the shingle/signature cost exactly once, at ingest
     (operators/dedup.minhash_band_index semantics, streamed).
 

@@ -110,3 +110,92 @@ def test_text_operators_tolerate_null_and_empty_text(spark):
     g = {r["doc_id"]: r for r in T.gopher_rules(df).collect()}
     assert not g[2]["keep"] and not g[3]["keep"]
     assert g[3]["n_words"] == 0
+
+
+def test_line_dedup_preserves_paragraph_breaks_and_null_docs(spark):
+    """Blank lines are structure, not boilerplate: two docs with
+    paragraph breaks keep them; a NULL-text doc still yields its row
+    (code-review r5)."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from datapipelinerepo_spark.operators.text import line_dedup
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    df = spark.createDataFrame(
+        [
+            (1, "para one\n\npara two\nSHARED FOOTER"),
+            (2, "other start\n\nother end\nSHARED FOOTER"),
+            (3, None),
+        ],
+        schema,
+    )
+    out = {r["doc_id"]: r for r in line_dedup(df).collect()}
+    assert out[1]["clean_text"] == "para one\n\npara two"
+    assert out[2]["clean_text"] == "other start\n\nother end"
+    assert 3 in out  # NULL doc keeps its row
+    assert out[1]["n_dropped"] == 1  # only the footer
+
+
+def test_mix_samplers_keep_null_groups(spark):
+    """A NULL group key is a real group: its rows sample at their own
+    rate instead of silently vanishing while skewing everyone else's
+    rate (code-review r5)."""
+    from datapipelinerepo_spark.operators.sampling import (
+        rebalance_mix,
+        temperature_mix,
+    )
+
+    rows = [(i, "en") for i in range(40)] + [(100 + i, None) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    for fn in (rebalance_mix, lambda d: temperature_mix(d, alpha=0.5)):
+        out = fn(df).groupBy("lang").count().collect()
+        got = {r["lang"]: r["count"] for r in out}
+        assert got.get(None, 0) > 0, "NULL group dropped"
+        assert got.get("en", 0) > 0
+
+
+def test_linear_model_score_empty_text_no_crash(spark):
+    """Zero-token docs score 0.5 (no evidence) instead of an ANSI
+    DIVIDE_BY_ZERO (code-review r5)."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from datapipelinerepo_spark.operators.text import linear_model_score
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    df = spark.createDataFrame([(1, ""), (2, "   "), (3, None)], schema)
+    out = {r["doc_id"]: r["model_score"] for r in linear_model_score(df).collect()}
+    assert all(v == 0.5 for v in out.values())
+
+
+def test_bm25_query_terms_case_insensitive(spark):
+    """Query terms are lowercased like document tokens, so 'Paris'
+    matches (code-review r5)."""
+    from datapipelinerepo_spark.operators.text import bm25_topk
+
+    df = spark.createDataFrame(
+        [(1, "Paris is lovely in spring"), (2, "nothing relevant here")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"] for r in bm25_topk(df, ("Paris",), k=5).collect()}
+    assert out == {1}
+
+
+def test_gram_operators_ignore_boundary_whitespace(spark):
+    """Leading/trailing whitespace must not fabricate phantom ''-token
+    n-grams: counts equal those of the stripped text (code-review r5,
+    the ws_tokens canon)."""
+    from datapipelinerepo_spark.operators.text import (
+        ngram_novelty,
+        repetition_features,
+    )
+
+    clean = spark.createDataFrame([(1, "x y x y x y")], ["doc_id", "text"])
+    messy = spark.createDataFrame([(1, "  x y x y x y \n")], ["doc_id", "text"])
+    for fn in (lambda d: repetition_features(d, n=2), lambda d: ngram_novelty(d, n=3)):
+        a = [tuple(r) for r in fn(clean).collect()]
+        b = [tuple(r) for r in fn(messy).collect()]
+        assert a == b
