@@ -133,7 +133,7 @@ def dedup_minhash_lsh(spark, sf_dir):
     return D.minhash_lsh_pairs(t(spark, sf_dir, "documents"), threshold=0.5)
 
 
-@register("dedup_simhash_pairs", sql=None)
+@register("dedup_simhash_pairs", sql=None, driver=False)
 def dedup_simhash_pairs(spark, sf_dir):
     """SimHash banding near-dup candidates (Hamming ≤ 8). Hamming
     distances are a function of the 64-bit signature hash → rows-only;
@@ -201,7 +201,7 @@ def ann_topk_bruteforce(spark, sf_dir):
     return SIM.cosine_topk_bruteforce(q, emb, k=10)
 
 
-@register("ann_topk_lsh", sql=None, bench=True)
+@register("ann_topk_lsh", sql=None, driver=False, bench=True)
 def ann_topk_lsh(spark, sf_dir):
     """LSH-bucketed ANN top-10 (random hyperplanes, multi-probe) — the
     100 TB scale path. Intentionally rows-only: the probed top-k is a
@@ -214,7 +214,7 @@ def ann_topk_lsh(spark, sf_dir):
     return SIM.cosine_topk_lsh(q, emb, dim=64, k=10, n_bits=8)
 
 
-@register("ann_topk_ivf", sql=None)
+@register("ann_topk_ivf", sql=None, driver=False)
 def ann_topk_ivf(spark, sf_dir):
     """IVF-cell ANN top-10 (deterministic centroid seed, 4-of-16 cell
     probes) — the density-adaptive scale path beside LSH. Intentionally
@@ -536,7 +536,7 @@ def text_rolling_fingerprint(spark, sf_dir):
     return T.rolling_fingerprints(d, k=8, mod_p=64)
 
 
-@register("scale_approx_aggs", sql=None)
+@register("scale_approx_aggs", sql=None, driver=False)
 def scale_approx_aggs(spark, sf_dir):
     """Scale-path approximate aggregates: HyperLogLog distinct count +
     t-digest percentile over events. One pass, mergeable partials, no
@@ -1213,7 +1213,7 @@ def text_line_dedup(spark, sf_dir):
     return T.line_dedup(t(spark, sf_dir, "documents"))
 
 
-@register("dedup_semantic_pairs", sql=None)
+@register("dedup_semantic_pairs", sql=None, driver=False)
 def dedup_semantic_pairs(spark, sf_dir):
     """SemDeDup-shaped semantic near-dup pairs: cluster embeddings
     (deterministic IVF centroid seed), per-cluster BLAS Gram matrix,
@@ -1228,7 +1228,7 @@ def dedup_semantic_pairs(spark, sf_dir):
     )
 
 
-@register("dedup_semantic_keep", sql=None)
+@register("dedup_semantic_keep", sql=None, driver=False)
 def dedup_semantic_keep(spark, sf_dir):
     """Semantic dedup keep-list: SemDeDup pairs -> connected components
     -> min-id keeper per semantic group (the same groups step the
@@ -1614,7 +1614,7 @@ def embedding_kmeans(spark, sf_dir):
     )
 
 
-@register("ann_topk_pq", sql=None)
+@register("ann_topk_pq", sql=None, driver=False)
 def ann_topk_pq(spark, sf_dir):
     """Product-quantized ANN top-10 (similarity.cosine_topk_pq): PQ
     sub-codebooks trained by the distributed k-means on a deterministic
@@ -2903,12 +2903,34 @@ def text_longest_dup_span(spark, sf_dir):
 def text_vocab_coverage(spark, sf_dir):
     """Tokenizer vocabulary sizing: the share of corpus token
     OCCURRENCES covered by the top-K types at K = 1k / 5k / 20k — the
-    coverage-curve table read before fixing a vocab size. NOTE the
-    rank window runs over the VOCABULARY frame (|types|, orders
-    smaller than the corpus — the same sanctioned class as
-    sample_global_shuffle's 256-row counts window); the corpus itself
-    contributes one partial-aggregating groupBy. Counts + one int/int
-    division, engine-exact."""
+    coverage-curve table read before fixing a vocab size.
+
+    Scale shape (r6, VERDICT r5 item 1): the vocabulary frame grows
+    with the corpus (Heaps' law — ~1e9+ types at 100 TB of web text),
+    so the old unpartitioned rank/cumsum window (Exchange
+    SinglePartition over the whole distinct-token frame) was a genuine
+    single-task sort bottleneck. Re-expressed on the bucketed
+    rank-plus-offsets machinery (the w_ntile_deciles treatment):
+
+    1. token counts are localCheckpoint'ed (ONE corpus tokenize; BM25's
+       postings pattern) so the boundary sample below doesn't recompute
+       them;
+    2. composite (count desc, token asc) range boundaries come from a
+       bounded hash-sample ordered BY SPARK ITSELF (≤8192-row collect
+       with a growth-modulus loop — sampling.global_order_positions'
+       string path, generalized to the composite key so Zipf's huge
+       _c=1 tie class splits across buckets by token instead of
+       collapsing into one);
+    3. per-bucket row_number + running SUM(_c) windows (partitioned —
+       no global window), plus per-bucket (rows, token-sum) offsets
+       from a ≤33×33 triangular join (broadcast; bounded by
+       construction), give exact global rank and cumulative coverage:
+       any order-consistent bucketing yields exact positions because
+       the full (count, token) key is unique.
+
+    The only remaining SinglePartition exchanges sit under keys=[]
+    partial→final scalar aggregates (lint-exempt: one buffer per task
+    crosses, not data). Counts + one int/int division, engine-exact."""
     toks = F.filter(
         F.split(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "), " "),
         lambda s: F.length(s) > 0,
@@ -2918,17 +2940,56 @@ def text_vocab_coverage(spark, sf_dir):
         .select(F.explode(toks).alias("_tok"))
         .groupBy("_tok")
         .agg(F.count(F.lit(1)).alias("_c"))
+        .localCheckpoint()
     )
-    w = Window.orderBy(F.col("_c").desc(), F.col("_tok").asc()).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    cap, m, n_buckets = 8192, 16, 32
+    while True:
+        vals = (
+            freq.filter(F.pmod(F.xxhash64("_tok"), F.lit(m)) == 0)
+            .orderBy(F.col("_c").desc(), F.col("_tok").asc())
+            .limit(cap + 1)
+            .collect()
+        )
+        if len(vals) <= cap:
+            break
+        m *= 8
+    step = max(1, len(vals) // n_buckets)
+    bounds = vals[step - 1 :: step][: n_buckets - 1]
+    # bucket = index of the first boundary at-or-after the row in
+    # (count desc, token asc) order; rows past the last boundary fall
+    # through to the tail bucket. Monotone in the sort order, so ranks
+    # within buckets + whole-bucket offsets compose to the global rank.
+    bucket = F.lit(len(bounds))
+    for i in reversed(range(len(bounds))):
+        at_or_before = (F.col("_c") > F.lit(bounds[i]["_c"])) | (
+            (F.col("_c") == F.lit(bounds[i]["_c"]))
+            & (F.col("_tok") <= F.lit(bounds[i]["_tok"]))
+        )
+        bucket = F.when(at_or_before, F.lit(i)).otherwise(bucket)
+    bucketed = freq.withColumn("_b", bucket)
+    counts = bucketed.groupBy("_b").agg(
+        F.count(F.lit(1)).alias("_n"), F.sum("_c").alias("_s")
     )
-    ranked = freq.select(
-        F.row_number()
-        .over(Window.orderBy(F.col("_c").desc(), F.col("_tok").asc()))
-        .alias("_rn"),
-        F.sum("_c").over(w).alias("covered_tokens"),
+    prior = counts.select(
+        F.col("_b").alias("_pb"), F.col("_n").alias("_pn"), F.col("_s").alias("_ps")
     )
-    tot = freq.agg(F.sum("_c").alias("_t"), F.count(F.lit(1)).alias("_v"))
+    offsets = (
+        counts.join(F.broadcast(prior), F.col("_pb") < F.col("_b"), "left")
+        .groupBy("_b")
+        .agg(
+            F.coalesce(F.sum("_pn"), F.lit(0)).alias("_off_n"),
+            F.coalesce(F.sum("_ps"), F.lit(0)).alias("_off_s"),
+        )
+    )
+    wrank = Window.partitionBy("_b").orderBy(
+        F.col("_c").desc(), F.col("_tok").asc()
+    )
+    wsum = wrank.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked = bucketed.join(F.broadcast(offsets), "_b").select(
+        (F.col("_off_n") + F.row_number().over(wrank)).alias("_rn"),
+        (F.col("_off_s") + F.sum("_c").over(wsum)).alias("covered_tokens"),
+    )
+    tot = counts.agg(F.sum("_s").alias("_t"), F.sum("_n").alias("_v"))
     ks = spark.createDataFrame([(1000,), (5000,), (20000,)], ["vocab_size"])
     return (
         ks.crossJoin(F.broadcast(tot))
