@@ -165,11 +165,13 @@ class TableStore:
             return
         with open(p) as f:
             meta = json.load(f)
-        if "keyed_on" in meta:
-            for k in ("keyed_on", "key_buckets", "key_types"):
+        if "keyed_on" in meta or meta.get("versioned"):
+            for k in ("keyed_on", "key_buckets", "key_types", "versioned", "version"):
                 meta.pop(k, None)
             with open(p, "w") as f:
                 json.dump(meta, f)
+            # the snapshot history died with the files
+            shutil.rmtree(self._manifest_dir(name), ignore_errors=True)
 
     def _kb_expr(
         self, name: str, keys: list[str], n_buckets: int, types: list[str] | None = None
@@ -188,6 +190,148 @@ class TableStore:
         ]
         return F.pmod(F.xxhash64(*cols), F.lit(n_buckets))
 
+    # -- snapshot manifests (versioned keyed tables) -----------------------
+    #
+    # The one Delta property the plain-parquet keyed path lacked was
+    # read-side snapshot isolation: _upsert_keyed's dynamic partition
+    # overwrite DELETES the replaced files, so a reader that planned its
+    # scan before an upsert could collect a half-merged table (VERDICT
+    # r5 item 5). `overwrite_keyed(..., versioned=True)` fixes this with
+    # a manifest generalizing the _meta sidecar: every write appends NEW
+    # part-files (never deleting live ones) and atomically publishes a
+    # manifest listing the files of the new snapshot. Readers resolve a
+    # manifest once at plan time, so any in-flight plan keeps a
+    # consistent version; `read(name, version=N)` pins one explicitly;
+    # `vacuum` reclaims files no retained manifest references. Write
+    # order (data files → manifest rename → meta pointer) makes every
+    # crash window heal: orphan data files are invisible until a
+    # manifest names them, and an unpointed manifest is re-discovered by
+    # max-version scan (crash-window tests in test_io).
+    def _manifest_dir(self, name: str) -> str:
+        return os.path.join(self.root, f"_manifest_{name}")
+
+    def _manifest_path(self, name: str, version: int) -> str:
+        return os.path.join(self._manifest_dir(name), f"v{version:06d}.json")
+
+    def is_versioned(self, name: str) -> bool:
+        p = self._meta_path(name)
+        if not os.path.isfile(p):
+            return False
+        with open(p) as f:
+            return bool(json.load(f).get("versioned"))
+
+    def versions(self, name: str) -> list[int]:
+        d = self._manifest_dir(name)
+        if not os.path.isdir(d):
+            return []
+        out = []
+        for f in os.listdir(d):
+            if f.startswith("v") and f.endswith(".json"):
+                try:
+                    out.append(int(f[1:-5]))
+                except ValueError:
+                    continue
+        return sorted(out)
+
+    def latest_version(self, name: str) -> int | None:
+        """The version reads resolve by default: the max PUBLISHED
+        manifest. The meta `version` pointer is advisory — publishing
+        (atomic rename) is the commit point, so a crash between publish
+        and pointer bump self-heals: the next read/write resolves the
+        published manifest anyway (crash-window test in test_io)."""
+        vs = self.versions(name)
+        return max(vs) if vs else None
+
+    def _data_files(self, name: str, buckets: list[int] | None = None) -> list[str]:
+        """Current physical parquet part-files (relative to the table
+        dir), optionally restricted to the given buckets."""
+        base = self._dir(name)
+        out = []
+        dirs = (
+            [f"_kb={b}" for b in buckets]
+            if buckets is not None
+            else sorted(
+                d for d in os.listdir(base) if d.startswith("_kb=")
+            )
+            if os.path.isdir(base)
+            else []
+        )
+        for d in dirs:
+            sub = os.path.join(base, d)
+            if not os.path.isdir(sub):
+                continue
+            for f in os.listdir(sub):
+                if f.endswith(".parquet"):
+                    out.append(f"{d}/{f}")
+        return sorted(out)
+
+    def _manifest_files(self, name: str, version: int) -> list[str]:
+        p = self._manifest_path(name, version)
+        if not os.path.isfile(p):
+            raise FileNotFoundError(
+                f"{name}: no manifest for version {version} "
+                f"(available: {self.versions(name)})"
+            )
+        with open(p) as f:
+            return json.load(f)["files"]
+
+    def _publish_version(self, name: str, files: list[str]) -> int:
+        """Atomically publish a new snapshot manifest (tmp + rename —
+        readers see the old complete manifest or the new one, never a
+        partial), then bump the meta pointer."""
+        v = (max(self.versions(name), default=0)) + 1
+        os.makedirs(self._manifest_dir(name), exist_ok=True)
+        tmp = self._manifest_path(name, v) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"version": v, "files": sorted(files)}, f)
+        os.replace(tmp, self._manifest_path(name, v))
+        self._touch_meta(name, versioned=True, version=v)
+        return v
+
+    def vacuum(self, name: str, keep_last: int = 1) -> list[str]:
+        """Reclaim files referenced by no retained manifest. Keeps the
+        newest ``keep_last`` versions (and drops the older manifests, so
+        a pinned read of a vacuumed version fails loudly instead of
+        returning partial data). Returns the deleted relative paths."""
+        vs = self.versions(name)
+        if not vs:
+            return []
+        keep = vs[-max(1, keep_last):]
+        live: set[str] = set()
+        for v in keep:
+            live.update(self._manifest_files(name, v))
+        deleted = []
+        for rel in self._data_files(name):
+            if rel not in live:
+                os.remove(os.path.join(self._dir(name), rel))
+                deleted.append(rel)
+        # prune now-empty bucket dirs and the dropped manifests
+        base = self._dir(name)
+        for d in os.listdir(base):
+            sub = os.path.join(base, d)
+            if d.startswith("_kb=") and os.path.isdir(sub) and not os.listdir(sub):
+                os.rmdir(sub)
+        for v in vs:
+            if v not in keep:
+                try:
+                    os.remove(self._manifest_path(name, v))
+                except FileNotFoundError:
+                    pass
+        return deleted
+
+    def _read_manifest_df(self, name: str, version: int) -> DataFrame:
+        files = self._manifest_files(name, version)
+        base = self._dir(name)
+        if not files:
+            raise ValueError(f"{name} v{version}: empty manifest")
+        return (
+            self.spark.read.option("mergeSchema", "true")
+            # basePath keeps the _kb partition column derivable from the
+            # explicit file list, so bucket-pruned filters still work
+            .option("basePath", base)
+            .parquet(*[os.path.join(base, f) for f in files])
+        )
+
     def _is_delta(self, name: str) -> bool:
         """A table previously written by the Delta MERGE path carries a
         _delta_log. EVERY read and write routes on this per-table marker:
@@ -198,9 +342,26 @@ class TableStore:
         return os.path.isdir(os.path.join(self._dir(name), "_delta_log"))
 
     # -- reads -------------------------------------------------------------
-    def read(self, name: str, merge_schema: bool = True) -> DataFrame:
+    def read(
+        self, name: str, merge_schema: bool = True, version: int | None = None
+    ) -> DataFrame:
+        """Scan a table. On a versioned keyed table the scan resolves a
+        snapshot manifest at PLAN time — ``version=None`` pins the
+        latest published version, an explicit ``version=N`` pins that
+        snapshot; either way the plan keeps reading those exact files
+        even if upserts publish newer versions mid-query (snapshot
+        isolation; vacuumed versions fail loudly)."""
         if self._is_delta(name):
+            if version is not None:
+                raise ValueError("version= is only for versioned keyed tables")
             return self.spark.read.format("delta").load(self._dir(name))
+        if self.is_versioned(name):
+            v = self.latest_version(name) if version is None else version
+            return self._read_manifest_df(name, v).drop("_kb")
+        if version is not None:
+            raise ValueError(
+                f"{name} is not versioned (overwrite_keyed(..., versioned=True))"
+            )
         df = self.spark.read.option(
             "mergeSchema", str(merge_schema).lower()
         ).parquet(self._dir(name))
@@ -235,6 +396,18 @@ class TableStore:
                 # read (code-review r5: reproduced silent data loss)
                 keys, n = spec
                 df = df.withColumn("_kb", self._kb_expr(name, keys, n))
+                if self.is_versioned(name):
+                    base_v = self.latest_version(name)
+                    before = set(self._data_files(name))
+                    df.write.mode("append").partitionBy("_kb").parquet(
+                        self._dir(name)
+                    )
+                    new_files = set(self._data_files(name)) - before
+                    self._publish_version(
+                        name,
+                        self._manifest_files(name, base_v) + sorted(new_files),
+                    )
+                    return
                 df.write.mode("append").partitionBy("_kb").parquet(
                     self._dir(name)
                 )
@@ -325,7 +498,12 @@ class TableStore:
         self.overwrite(merged, name)
 
     def overwrite_keyed(
-        self, df: DataFrame, name: str, key: str | list[str], n_buckets: int = 64
+        self,
+        df: DataFrame,
+        name: str,
+        key: str | list[str],
+        n_buckets: int = 64,
+        versioned: bool = False,
     ) -> None:
         """Write a table hash-bucket-partitioned by its merge key: rows
         land in parquet partitions _kb=pmod(xxhash64(key), n_buckets).
@@ -335,7 +513,13 @@ class TableStore:
         profile on plain parquet, instead of the whole-table rewrite
         the unkeyed fallback pays. Size n_buckets so one bucket ≈ a few
         files at the table's target size (the same knob as lakehouse
-        file sizing); the bucket column never surfaces on read."""
+        file sizing); the bucket column never surfaces on read.
+
+        ``versioned=True`` additionally publishes a snapshot manifest
+        per write (see the manifest section above): subsequent upserts
+        append files instead of deleting, readers get snapshot
+        isolation and ``read(name, version=N)`` time travel, and
+        ``vacuum`` reclaims unreferenced files."""
         keys = [key] if isinstance(key, str) else list(key)
         key_types = [df.schema[k].dataType.simpleString() for k in keys]
         # data FIRST, marker after: stamping the meta before the write
@@ -350,24 +534,47 @@ class TableStore:
             .partitionBy("_kb")
             .parquet(self._dir(name))
         )
+        # a re-overwrite of a previously versioned table starts history
+        # over: the old files are gone, so the old manifests are lies
+        shutil.rmtree(self._manifest_dir(name), ignore_errors=True)
         self._touch_meta(
-            name, keyed_on=keys, key_buckets=n_buckets, key_types=key_types
+            name,
+            keyed_on=keys,
+            key_buckets=n_buckets,
+            key_types=key_types,
+            versioned=versioned,
+            version=0,
         )
+        if versioned:
+            self._publish_version(name, self._data_files(name))
 
     def _upsert_keyed(
         self, incoming: DataFrame, name: str, keys: list[str], n_buckets: int
     ) -> None:
         """Bucket-partitioned MERGE: read ONLY the buckets the incoming
         keys hash to (partition pruning), anti-join the survivors,
-        dynamic-partition-overwrite exactly those buckets. Untouched
-        buckets' files are never read or rewritten."""
+        rewrite exactly those buckets. Untouched buckets' files are
+        never read or rewritten.
+
+        Unversioned tables dynamic-partition-overwrite the affected
+        buckets in place; versioned tables instead APPEND the merged
+        bucket contents as new part-files and publish a new manifest
+        (prior version's untouched-bucket files + the new files), so
+        every prior snapshot's files survive until vacuum."""
         stamped = incoming.withColumn(
             "_kb", self._kb_expr(name, keys, n_buckets)
         )
         affected = [r[0] for r in stamped.select("_kb").distinct().collect()]
-        raw = self.spark.read.option("mergeSchema", "true").parquet(
-            self._dir(name)
-        )
+        versioned = self.is_versioned(name)
+        if versioned:
+            # the merge input must be the CURRENT SNAPSHOT's files, not
+            # the directory (which also holds older versions' files)
+            base_v = self.latest_version(name)
+            raw = self._read_manifest_df(name, base_v)
+        else:
+            raw = self.spark.read.option("mergeSchema", "true").parquet(
+                self._dir(name)
+            )
         slice_ = raw.filter(F.col("_kb").isin(affected))
         inc_keys = stamped.select(*[F.col(k).alias(f"_ik_{k}") for k in keys])
         cond = None
@@ -378,6 +585,19 @@ class TableStore:
         merged = survivors.unionByName(
             stamped, allowMissingColumns=True
         ).localCheckpoint()  # materialize before overwriting what we read
+        if versioned:
+            before = set(self._data_files(name, affected))
+            merged.write.mode("append").partitionBy("_kb").parquet(
+                self._dir(name)
+            )
+            new_files = set(self._data_files(name, affected)) - before
+            kept = [
+                f
+                for f in self._manifest_files(name, base_v)
+                if int(f.split("=", 1)[1].split("/", 1)[0]) not in set(affected)
+            ]
+            self._publish_version(name, kept + sorted(new_files))
+            return
         (
             merged.write.mode("overwrite")
             .partitionBy("_kb")
@@ -401,9 +621,12 @@ class TableStore:
     def read_buckets(self, name: str, buckets: list[int]) -> DataFrame:
         """Partition-pruned read of just the listed buckets (without
         the internal _kb column)."""
-        raw = self.spark.read.option("mergeSchema", "true").parquet(
-            self._dir(name)
-        )
+        if self.is_versioned(name):
+            raw = self._read_manifest_df(name, self.latest_version(name))
+        else:
+            raw = self.spark.read.option("mergeSchema", "true").parquet(
+                self._dir(name)
+            )
         return raw.filter(F.col("_kb").isin(list(buckets))).drop("_kb")
 
     def overwrite_buckets(
@@ -415,9 +638,28 @@ class TableStore:
         overwrite only replaces partitions that receive data, so a
         bucket fully emptied by deletes would otherwise keep its stale
         files. ``df`` must already be materialized if it was derived
-        from this table's own files."""
+        from this table's own files.
+
+        On a versioned table nothing is deleted: the new bucket
+        contents append as new part-files and the published manifest
+        simply stops referencing the replaced (or emptied) buckets'
+        old files — deletes are logical until vacuum."""
         keys, n = self.keyed_spec(name)
         stamped = df.withColumn("_kb", self._kb_expr(name, keys, n))
+        if self.is_versioned(name):
+            base_v = self.latest_version(name)
+            before = set(self._data_files(name, list(buckets)))
+            stamped.write.mode("append").partitionBy("_kb").parquet(
+                self._dir(name)
+            )
+            new_files = set(self._data_files(name, list(buckets))) - before
+            kept = [
+                f
+                for f in self._manifest_files(name, base_v)
+                if int(f.split("=", 1)[1].split("/", 1)[0]) not in set(buckets)
+            ]
+            self._publish_version(name, kept + sorted(new_files))
+            return
         (
             stamped.write.mode("overwrite")
             .partitionBy("_kb")
@@ -457,6 +699,7 @@ class TableStore:
 
     def drop(self, name: str) -> None:
         shutil.rmtree(self._dir(name), ignore_errors=True)
+        shutil.rmtree(self._manifest_dir(name), ignore_errors=True)
         try:
             os.remove(self._meta_path(name))
         except FileNotFoundError:

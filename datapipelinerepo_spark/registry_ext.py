@@ -3544,6 +3544,7 @@ def dedup_sorted_neighborhood(spark, sf_dir):
 
 @register(
     "text_bpe_learn",
+    bench=True,
     sql=r"""
     WITH RECURSIVE
     vocab0 AS (
@@ -3679,6 +3680,7 @@ def text_bpe_learn_single(spark, sf_dir):
 
 @register(
     "store_keyed_merge",
+    bench=True,
     sql="""
     WITH base AS (
       SELECT o_orderkey, o_totalprice, o_orderstatus
@@ -3727,3 +3729,58 @@ def store_keyed_merge(spark, sf_dir):
     store.overwrite_keyed(base, "t", "o_orderkey", n_buckets=16)
     store.upsert(inc, "t", "o_orderkey")
     return store.read("t").select("o_orderkey", "o_totalprice", "o_orderstatus")
+
+
+@register(
+    "store_versioned_snapshot",
+    sql="""
+    WITH base AS (
+      SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 2 = 0
+    ), inc AS (
+      SELECT o_orderkey, o_totalprice * 2 AS o_totalprice
+      FROM orders WHERE o_orderkey % 10 = 0 OR o_orderkey % 10 = 3
+    ), v2 AS (
+      SELECT o_orderkey, o_totalprice FROM inc
+      UNION ALL
+      SELECT o_orderkey, o_totalprice FROM base
+      WHERE o_orderkey NOT IN (SELECT o_orderkey FROM inc)
+    )
+    SELECT CAST(1 AS INT) AS version, o_orderkey, o_totalprice FROM base
+    UNION ALL
+    SELECT CAST(2 AS INT) AS version, o_orderkey, o_totalprice FROM v2
+    """,
+)
+def store_versioned_snapshot(spark, sf_dir):
+    """Snapshot-versioned keyed store, hash-checked end to end
+    (io.TableStore manifests — VERDICT r5 item 5): write an orders
+    snapshot versioned, upsert a change set (new manifest, old files
+    retained), then read BOTH pinned versions back. The v1 read runs
+    AFTER the upsert — proving time travel returns exactly the
+    pre-upsert table (the oracle's `base`) while the default read
+    returns the merged v2, i.e. the one Delta property plain parquet
+    lacked (readers pinned pre-upsert are isolated from in-flight
+    merges)."""
+    import tempfile
+
+    from .io import TableStore
+
+    base = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 2 == 0)
+        .select("o_orderkey", "o_totalprice")
+    )
+    inc = (
+        t(spark, sf_dir, "orders")
+        .filter((F.col("o_orderkey") % 10 == 0) | (F.col("o_orderkey") % 10 == 3))
+        .select("o_orderkey", (F.col("o_totalprice") * 2).alias("o_totalprice"))
+    )
+    store = TableStore(spark, tempfile.mkdtemp(prefix="versioned_"))
+    store.overwrite_keyed(base, "t", "o_orderkey", n_buckets=16, versioned=True)
+    store.upsert(inc, "t", "o_orderkey")
+    v1 = store.read("t", version=1).select(
+        F.lit(1).alias("version"), "o_orderkey", "o_totalprice"
+    )
+    v2 = store.read("t", version=2).select(
+        F.lit(2).alias("version"), "o_orderkey", "o_totalprice"
+    )
+    return v1.unionByName(v2)
