@@ -293,6 +293,89 @@ def global_order_positions(
     )
 
 
+def global_desc_rank_cumsum(
+    df: DataFrame,
+    desc_col: str,
+    tie_col: str,
+    value_col: str,
+    n_buckets: int = 32,
+    cap: int = 8192,
+) -> DataFrame:
+    """Exact global 1-based rank (``_rn``) and inclusive running sum of
+    ``value_col`` (``_cum``) in (``desc_col`` DESC, ``tie_col`` ASC)
+    order — WITHOUT a corpus-sized global window. The generalization of
+    global_order_positions to "rank + cumulative quantity", the shape
+    behind coverage curves (top-K token coverage) and budgeted
+    selection (take documents in quality order until a token budget).
+
+    Mechanics (r6, the text_vocab_coverage treatment):
+    - composite range boundaries from a bounded hash-sample of
+      (desc_col, tie_col) ordered BY SPARK ITSELF (≤``cap``-row collect
+      with a growth-modulus loop). Sampling the COMPOSITE key matters
+      under skew: a Zipf-shaped desc_col has huge tie classes (half a
+      vocabulary sits at count=1) that single-column boundaries would
+      collapse into one task; composite boundaries split them on the
+      tie column.
+    - per-bucket row_number + running SUM windows (partitioned), plus
+      per-bucket (rows, value-sum) offsets from a ≤n_buckets² triangular
+      broadcast join (bounded by construction).
+    Any order-consistent bucketing yields exact globals because the
+    full (desc, tie) key is unique — (``tie_col`` MUST be unique and
+    both key columns non-null, as for global_order_positions).
+
+    The caller should pass an already-cheap frame (aggregate result or
+    localCheckpoint'ed): boundary sampling runs one eager job over it.
+    At 100 TB raise n_buckets so a bucket fits an executor."""
+    from pyspark.sql import Window
+
+    m = 16
+    while True:
+        vals = (
+            df.filter(F.pmod(F.xxhash64(F.col(tie_col)), F.lit(m)) == 0)
+            .select(desc_col, tie_col)
+            .orderBy(F.col(desc_col).desc(), F.col(tie_col).asc())
+            .limit(cap + 1)
+            .collect()
+        )
+        if len(vals) <= cap:
+            break
+        m *= 8
+    step = max(1, len(vals) // n_buckets)
+    bounds = vals[step - 1 :: step][: n_buckets - 1]
+    bucket = F.lit(len(bounds))
+    for i in reversed(range(len(bounds))):
+        at_or_before = (F.col(desc_col) > F.lit(bounds[i][desc_col])) | (
+            (F.col(desc_col) == F.lit(bounds[i][desc_col]))
+            & (F.col(tie_col) <= F.lit(bounds[i][tie_col]))
+        )
+        bucket = F.when(at_or_before, F.lit(i)).otherwise(bucket)
+    bucketed = df.withColumn("_b", bucket)
+    counts = bucketed.groupBy("_b").agg(
+        F.count(F.lit(1)).alias("_n"), F.sum(value_col).alias("_s")
+    )
+    prior = counts.select(
+        F.col("_b").alias("_pb"), F.col("_n").alias("_pn"), F.col("_s").alias("_ps")
+    )
+    offsets = (
+        counts.join(F.broadcast(prior), F.col("_pb") < F.col("_b"), "left")
+        .groupBy("_b")
+        .agg(
+            F.coalesce(F.sum("_pn"), F.lit(0)).alias("_off_n"),
+            F.coalesce(F.sum("_ps"), F.lit(0)).alias("_off_s"),
+        )
+    )
+    wrank = Window.partitionBy("_b").orderBy(
+        F.col(desc_col).desc(), F.col(tie_col).asc()
+    )
+    wsum = wrank.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        bucketed.join(F.broadcast(offsets), "_b")
+        .withColumn("_rn", F.col("_off_n") + F.row_number().over(wrank))
+        .withColumn("_cum", F.col("_off_s") + F.sum(value_col).over(wsum))
+        .drop("_b", "_off_n", "_off_s")
+    )
+
+
 def length_buckets(
     df: DataFrame,
     text_col: str = "text",

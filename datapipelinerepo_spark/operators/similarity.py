@@ -984,6 +984,64 @@ def centroid_outliers(
     )
 
 
+def semantic_decontaminate(
+    corpus: DataFrame,
+    evalset: DataFrame,
+    threshold: float = 0.25,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Semantic benchmark decontamination: corpus rows whose max cosine
+    similarity to ANY eval-set vector reaches ``threshold``, with the
+    nearest eval id — the embedding-space complement of the n-gram
+    decontamination pass (`text.decontaminate_hits` catches verbatim
+    leaks; this catches paraphrased/translated eval items that share no
+    surface n-grams — the Phi/GPT-4-era decontamination standard).
+
+    Output: (vec_id, nearest_eval, sim_r4), one row per flagged corpus
+    vector, nearest = argmax cosine with eval-id tie-break.
+
+    Scale shape: the eval set is a CONSTANT-size benchmark suite by
+    construction (thousands of items, not corpus-coupled), so it
+    broadcasts and the corpus scores map-side against it — the corpus
+    never shuffles; only the flagged pairs (≥ threshold) reach the
+    per-vector argmax window. The intended BroadcastNestedLoopJoin IS
+    the plan: corpus × fixed-eval with a JVM-side zip_with/aggregate
+    dot product. At 100 TB with a 100k-item eval suite, switch the
+    scoring side to the Arrow matmul used by semantic_dup_pairs; the
+    surrounding plan is unchanged."""
+    e = with_norm(evalset, vec_col).select(
+        F.col(id_col).alias("_eid"),
+        F.col("_vec").alias("_ev"),
+        F.col("_norm").alias("_en"),
+    )
+    c = with_norm(corpus, vec_col).select(
+        F.col(id_col),
+        F.col("_vec").alias("_cv"),
+        F.col("_norm").alias("_cn"),
+    )
+    scored = (
+        c.join(F.broadcast(e))
+        .withColumn(
+            "_sim",
+            _dot(F.col("_cv"), F.col("_ev")) / (F.col("_cn") * F.col("_en")),
+        )
+        .filter(F.col("_sim") >= threshold)
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("_sim").desc(), F.col("_eid").asc()
+    )
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select(
+            id_col,
+            F.col("_eid").alias("nearest_eval"),
+            F.round("_sim", 4).alias("sim_r4"),
+        )
+    )
+
+
 def kcenter_coreset(
     corpus: DataFrame,
     k: int = 8,

@@ -2931,6 +2931,8 @@ def text_vocab_coverage(spark, sf_dir):
     The only remaining SinglePartition exchanges sit under keys=[]
     partial→final scalar aggregates (lint-exempt: one buffer per task
     crosses, not data). Counts + one int/int division, engine-exact."""
+    from .operators.sampling import global_desc_rank_cumsum
+
     toks = F.filter(
         F.split(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "), " "),
         lambda s: F.length(s) > 0,
@@ -2942,54 +2944,10 @@ def text_vocab_coverage(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("_c"))
         .localCheckpoint()
     )
-    cap, m, n_buckets = 8192, 16, 32
-    while True:
-        vals = (
-            freq.filter(F.pmod(F.xxhash64("_tok"), F.lit(m)) == 0)
-            .orderBy(F.col("_c").desc(), F.col("_tok").asc())
-            .limit(cap + 1)
-            .collect()
-        )
-        if len(vals) <= cap:
-            break
-        m *= 8
-    step = max(1, len(vals) // n_buckets)
-    bounds = vals[step - 1 :: step][: n_buckets - 1]
-    # bucket = index of the first boundary at-or-after the row in
-    # (count desc, token asc) order; rows past the last boundary fall
-    # through to the tail bucket. Monotone in the sort order, so ranks
-    # within buckets + whole-bucket offsets compose to the global rank.
-    bucket = F.lit(len(bounds))
-    for i in reversed(range(len(bounds))):
-        at_or_before = (F.col("_c") > F.lit(bounds[i]["_c"])) | (
-            (F.col("_c") == F.lit(bounds[i]["_c"]))
-            & (F.col("_tok") <= F.lit(bounds[i]["_tok"]))
-        )
-        bucket = F.when(at_or_before, F.lit(i)).otherwise(bucket)
-    bucketed = freq.withColumn("_b", bucket)
-    counts = bucketed.groupBy("_b").agg(
-        F.count(F.lit(1)).alias("_n"), F.sum("_c").alias("_s")
+    ranked = global_desc_rank_cumsum(freq, "_c", "_tok", "_c").select(
+        "_rn", F.col("_cum").alias("covered_tokens")
     )
-    prior = counts.select(
-        F.col("_b").alias("_pb"), F.col("_n").alias("_pn"), F.col("_s").alias("_ps")
-    )
-    offsets = (
-        counts.join(F.broadcast(prior), F.col("_pb") < F.col("_b"), "left")
-        .groupBy("_b")
-        .agg(
-            F.coalesce(F.sum("_pn"), F.lit(0)).alias("_off_n"),
-            F.coalesce(F.sum("_ps"), F.lit(0)).alias("_off_s"),
-        )
-    )
-    wrank = Window.partitionBy("_b").orderBy(
-        F.col("_c").desc(), F.col("_tok").asc()
-    )
-    wsum = wrank.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    ranked = bucketed.join(F.broadcast(offsets), "_b").select(
-        (F.col("_off_n") + F.row_number().over(wrank)).alias("_rn"),
-        (F.col("_off_s") + F.sum("_c").over(wsum)).alias("covered_tokens"),
-    )
-    tot = counts.agg(F.sum("_s").alias("_t"), F.sum("_n").alias("_v"))
+    tot = freq.agg(F.sum("_c").alias("_t"), F.count(F.lit(1)).alias("_v"))
     ks = spark.createDataFrame([(1000,), (5000,), (20000,)], ["vocab_size"])
     return (
         ks.crossJoin(F.broadcast(tot))
@@ -3729,6 +3687,109 @@ def store_keyed_merge(spark, sf_dir):
     store.overwrite_keyed(base, "t", "o_orderkey", n_buckets=16)
     store.upsert(inc, "t", "o_orderkey")
     return store.read("t").select("o_orderkey", "o_totalprice", "o_orderstatus")
+
+
+@register(
+    "embedding_semantic_decontaminate",
+    sql="""
+    WITH ev AS (
+      SELECT vec_id AS eid, embedding FROM embeddings WHERE vec_id % 50 = 0
+    ), co AS (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id % 50 <> 0
+    ), scored AS (
+      SELECT co.vec_id, ev.eid,
+             list_dot_product(co.embedding::DOUBLE[], ev.embedding::DOUBLE[]) /
+             (sqrt(list_dot_product(co.embedding::DOUBLE[], co.embedding::DOUBLE[])) *
+              sqrt(list_dot_product(ev.embedding::DOUBLE[], ev.embedding::DOUBLE[])))
+             AS sim
+      FROM co, ev
+    ), best AS (
+      SELECT vec_id, eid, sim,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY sim DESC, eid ASC) AS rk
+      FROM scored WHERE sim >= 0.25
+    )
+    SELECT vec_id, eid AS nearest_eval, round(sim, 4) AS sim_r4
+    FROM best WHERE rk = 1
+    """,
+)
+def embedding_semantic_decontaminate(spark, sf_dir):
+    """Semantic (embedding-space) benchmark decontamination
+    (similarity.semantic_decontaminate): corpus vectors whose cosine
+    against ANY held-out eval vector (vec_id % 50 = 0 stands in for a
+    benchmark suite) reaches 0.25, with the argmax eval id — catches
+    the paraphrased/translated eval leaks the n-gram pass
+    (`text_decontaminate`) can't see. The double-precision cosine is a
+    fixed-dim-order fold on both engines (zip_with+aggregate ≡ DuckDB
+    list_dot_product, the embedding_dup_pairs convention), so the
+    threshold filter, the argmax ordering, and the 4dp-rounded output
+    are engine-exact."""
+    emb = t(spark, sf_dir, "embeddings")
+    evalset = emb.filter(F.col("vec_id") % 50 == 0)
+    corpus = emb.filter(F.col("vec_id") % 50 != 0)
+    return SIM.semantic_decontaminate(corpus, evalset, threshold=0.25)
+
+
+@register(
+    "sample_token_budget",
+    sql=r"""
+    WITH per AS (
+      SELECT doc_id, lang,
+             len(list_filter(
+               string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' '),
+               s -> length(s) > 0)) AS n_tokens,
+             len(list_distinct(list_filter(
+               string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' '),
+               s -> length(s) > 0))) AS n_types
+      FROM documents
+    ), ranked AS (
+      SELECT lang, n_tokens,
+             SUM(n_tokens) OVER (ORDER BY n_types DESC, doc_id ASC
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+      FROM per
+    )
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS tokens_kept
+    FROM ranked WHERE cum <= 10000 GROUP BY 1
+    """,
+)
+def sample_token_budget(spark, sf_dir):
+    """Budgeted quality-ranked selection: take documents in
+    (lexical-diversity DESC, doc_id) order until a global 10k-token
+    budget is exhausted, report the kept mixture per language — the
+    "best N tokens under a budget" selection every data-constrained
+    training run makes (quality score here = distinct-token count, an
+    integer both engines compute identically; swap in any model score
+    at the same shape). The global rank + running token sum come from
+    sampling.global_desc_rank_cumsum — composite-key range buckets,
+    per-bucket windows, broadcast offsets — so the corpus-sized
+    cumulative sum never funnels through one task (the
+    text_vocab_coverage machinery applied to selection)."""
+    from .operators.sampling import global_desc_rank_cumsum
+
+    toks = F.filter(
+        F.split(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "), " "),
+        lambda s: F.length(s) > 0,
+    )
+    per = (
+        t(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            "lang",
+            F.size(toks).alias("n_tokens"),
+            F.size(F.array_distinct(toks)).alias("n_types"),
+        )
+        .localCheckpoint()
+    )
+    ranked = global_desc_rank_cumsum(per, "n_types", "doc_id", "n_tokens")
+    return (
+        ranked.filter(F.col("_cum") <= 10000)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("tokens_kept"),
+        )
+    )
 
 
 @register(

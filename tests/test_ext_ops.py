@@ -1502,3 +1502,65 @@ def test_minhash_arrow_matches_expression_form(spark, docs):
     fast = {r["_id"]: tuple(r)[1:] for r in minhash_signatures(sh).collect()}
     ref = {r["_id"]: tuple(r)[1:] for r in _minhash_signatures_expr(sh).collect()}
     assert fast == ref and len(fast) == 300
+
+
+def test_semantic_decontaminate_flags_paraphrase_not_orthogonal(spark):
+    """Planted semantics: a scaled copy of an eval vector (the
+    'paraphrase' — same direction, different magnitude) is flagged at
+    cosine 1.0 with the right nearest id; a jittered near-copy is
+    flagged below 1.0; an orthogonal vector is not flagged; and a
+    corpus vector near TWO eval items resolves argmax by similarity
+    then eval-id."""
+    ev = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0]), (50, [0.0, 1.0, 0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    co = spark.createDataFrame(
+        [
+            (1, [5.0, 0.0, 0.0, 0.0]),      # scaled copy of ev 0
+            (2, [0.9, 0.1, 0.0, 0.0]),      # near-copy of ev 0
+            (3, [0.0, 0.0, 0.0, 2.0]),      # orthogonal to both
+            (4, [1.0, 1.0, 0.0, 0.0]),      # equidistant → tie on sim
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        r["vec_id"]: (r["nearest_eval"], r["sim_r4"])
+        for r in SIM.semantic_decontaminate(co, ev, threshold=0.25).collect()
+    }
+    assert got[1] == (0, 1.0)
+    assert got[2][0] == 0 and 0.9 < got[2][1] < 1.0
+    assert 3 not in got
+    # exact tie between eval 0 and eval 50 → lower eval id wins
+    assert got[4][0] == 0 and abs(got[4][1] - 0.7071) < 1e-9
+
+
+def test_global_desc_rank_cumsum_matches_global_window(spark):
+    """The bucketed rank+cumsum equals a plain global-window
+    computation, including a Zipf-shaped fat tie class on the desc
+    column (half the rows share desc=1, so composite boundaries must
+    split the tie class on the tie column to stay correct)."""
+    import random
+
+    from pyspark.sql import Window
+
+    from datapipelinerepo_spark.operators import sampling as SMP2
+
+    rng = random.Random(7)
+    rows = [(i, 1 if i % 2 else rng.randint(1, 50), rng.randint(1, 9)) for i in range(500)]
+    df = spark.createDataFrame(rows, "id long, c long, v long")
+    got = {
+        r["id"]: (r["_rn"], r["_cum"])
+        for r in SMP2.global_desc_rank_cumsum(df, "c", "id", "v", n_buckets=8).collect()
+    }
+    w = Window.orderBy(F.col("c").desc(), F.col("id").asc())
+    ws = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    exp = {
+        r["id"]: (r["rn"], r["cum"])
+        for r in df.select(
+            "id",
+            F.row_number().over(w).alias("rn"),
+            F.sum("v").over(ws).alias("cum"),
+        ).collect()
+    }
+    assert got == exp
