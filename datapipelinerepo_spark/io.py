@@ -288,6 +288,55 @@ class TableStore:
         self._touch_meta(name, versioned=True, version=v)
         return v
 
+    def compact(self, name: str, max_files_per_bucket: int = 1) -> int:
+        """OPTIMIZE analog for versioned keyed tables: every live
+        bucket holding more than ``max_files_per_bucket`` files (the
+        small-file debt upserts accumulate, since versioned writes only
+        ever append) is rewritten into ~one file per bucket and
+        published as a NEW version. Pinned readers of older versions
+        are untouched (their files survive until vacuum); buckets
+        already at or under the target are re-referenced verbatim —
+        compaction never rewrites healthy buckets. Returns the
+        published version (the current one if nothing needed doing).
+
+        At 100 TB this is the maintenance job that keeps bucket scans
+        at full parquet row-group efficiency; run it on the buckets the
+        upsert stream actually churns (exactly what the file-count
+        predicate selects)."""
+        if not self.is_versioned(name):
+            raise ValueError(f"{name}: compact() is for versioned keyed tables")
+        base_v = self.latest_version(name)
+        files = self._manifest_files(name, base_v)
+        by_bucket: dict[int, list[str]] = {}
+        for f in files:
+            b = int(f.split("=", 1)[1].split("/", 1)[0])
+            by_bucket.setdefault(b, []).append(f)
+        fat = sorted(
+            b for b, fs in by_bucket.items() if len(fs) > max_files_per_bucket
+        )
+        if not fat:
+            return base_v
+        base = self._dir(name)
+        slice_ = (
+            self.spark.read.option("mergeSchema", "true")
+            .option("basePath", base)
+            .parquet(
+                *[os.path.join(base, f) for b in fat for f in by_bucket[b]]
+            )
+        )
+        before = set(self._data_files(name, fat))
+        # one task per bucket → ~one output file per bucket dir
+        (
+            slice_.repartition(F.col("_kb"))
+            .write.mode("append")
+            .partitionBy("_kb")
+            .parquet(base)
+        )
+        new_files = set(self._data_files(name, fat)) - before
+        kept = [f for b, fs in by_bucket.items() if b not in set(fat) for f in fs]
+        self._publish_version(name, kept + sorted(new_files))
+        return self.latest_version(name)
+
     def vacuum(self, name: str, keep_last: int = 1) -> list[str]:
         """Reclaim files referenced by no retained manifest. Keeps the
         newest ``keep_last`` versions (and drops the older manifests, so

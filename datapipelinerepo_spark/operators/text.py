@@ -1206,22 +1206,83 @@ def bpe_learn(
         best = pair_rows[0]
         a, b, cnt = best["l"], best["r"], best["c"]
         merges.append((r, a, b, a + b, cnt))
-        rewrite = F.aggregate(
-            "_t",
-            F.array().cast("array<string>"),
-            lambda acc, x: F.when(
-                (F.size(acc) > 0)
-                & (F.element_at(acc, -1) == F.lit(a))
-                & (x == F.lit(b)),
-                F.concat(
-                    F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(a + b))
-                ),
-            ).otherwise(F.concat(acc, F.array(x))),
-        )
-        vocab = vocab.select(rewrite.alias("_t"), "_n").localCheckpoint(
-            eager=False
-        )
+        vocab = vocab.select(
+            _bpe_fold("_t", a, b).alias("_t"), "_n"
+        ).localCheckpoint(eager=False)
     spark = df.sparkSession
     return spark.createDataFrame(
         merges, "rank int, left string, right string, merged string, pair_count long"
+    )
+
+
+def _bpe_fold(tokens_col, left: str, right: str):
+    """Greedy left-to-right application of ONE merge (left,right) to a
+    token array — the rewrite shared by training (bpe_learn) and
+    encoding (bpe_encode). An 'aaa' run under merge (a,a) becomes
+    ('aa','a'): a just-merged token never re-merges as the LEFT side
+    within the same pass (reference BPE semantics)."""
+    return F.aggregate(
+        tokens_col,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(left))
+            & (x == F.lit(right)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(F.lit(left + right)),
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply a learned BPE merge list to the corpus — the ENCODE half
+    of the tokenizer (bpe_learn trains the rules; this tokenizes with
+    them). Per document: whitespace words → character tokens → each
+    merge applied greedily left-to-right in rank order (identical fold
+    to training, so train→encode round-trips are self-consistent).
+
+    Output: (doc_id, n_words, n_chars, n_bpe_tokens, chars_per_token)
+    — the corpus token accounting a training run reads for budget
+    math; chars_per_token is the achieved compression.
+
+    Scale shape — the word-cache insight: merges apply to DISTINCT
+    words (the vocabulary frame, orders smaller than the corpus), and
+    per-word token counts join back to the word instances. One word
+    shuffle for the distinct, map-side chained folds over the
+    vocabulary, one join back (word-keyed; at 100 TB this is the
+    standard shuffle join both sides partition on the word). ``merges``
+    is a driver-side constant — a tokenizer model is a bounded
+    artifact (the k-means-parameter class); each merge compiles to one
+    chained fold, so for production-size merge lists (30k rules)
+    switch the vocabulary rewrite to an Arrow UDF applying the rule
+    list per batch — the surrounding plan is unchanged."""
+    words = df.select(
+        F.col(id_col), F.explode(ws_tokens(F.col(text_col))).alias("_w")
+    )
+    vocab = words.select("_w").distinct().withColumn("_t", F.split("_w", ""))
+    for left, right in merges:
+        vocab = vocab.withColumn("_t", _bpe_fold("_t", left, right))
+    vlen = vocab.select(
+        "_w",
+        F.length("_w").alias("_cl"),
+        F.size("_t").alias("_bl"),
+    )
+    return (
+        words.join(vlen, "_w")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("_cl").alias("n_chars"),
+            F.sum("_bl").alias("n_bpe_tokens"),
+            F.round(
+                F.sum("_cl").cast("double") / F.sum("_bl"), 4
+            ).alias("chars_per_token"),
+        )
     )

@@ -3603,6 +3603,78 @@ def text_bpe_learn(spark, sf_dir):
     return T.bpe_learn(t(spark, sf_dir, "documents"), n_merges=8)
 
 
+# fixed rank-ordered merge list for the encode query: decoupled from
+# training so the oracle needn't re-learn rules; includes a chained
+# multi-char merge (th+e) to exercise rule stacking
+_BPE_FIXED_MERGES = [
+    ("t", "h"), ("th", "e"), ("a", "n"), ("an", "d"),
+    ("i", "n"), ("e", "r"), ("r", "e"), ("o", "n"),
+]
+
+
+@register(
+    "text_bpe_encode",
+    sql=r"""
+    WITH RECURSIVE
+    m(iter, l, r) AS (
+      VALUES (1,'t','h'),(2,'th','e'),(3,'a','n'),(4,'an','d'),
+             (5,'i','n'),(6,'e','r'),(7,'r','e'),(8,'o','n')
+    ),
+    w0 AS (
+      SELECT doc_id, unnest(list_filter(
+               string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' '),
+               s -> length(s) > 0)) AS w
+      FROM documents
+    ),
+    v0 AS (SELECT DISTINCT w FROM w0),
+    state(iter, w, t) AS (
+      SELECT 0, w, string_split(w, '') FROM v0
+      UNION ALL
+      SELECT s.iter + 1, s.w,
+        list_filter(
+          list_transform(generate_series(1, len(s.t)), i ->
+            CASE
+              WHEN i <= len(s.t) - 1 AND s.t[i] = m.l AND s.t[i + 1] = m.r
+                   AND (m.l <> m.r OR
+                        (i - (coalesce(list_max(list_filter(
+                             generate_series(1, i - 1),
+                             j -> s.t[j] <> m.l)), 0) + 1)) % 2 = 0)
+                THEN m.l || m.r
+              WHEN i >= 2 AND s.t[i - 1] = m.l AND s.t[i] = m.r
+                   AND (m.l <> m.r OR
+                        ((i - 1) - (coalesce(list_max(list_filter(
+                             generate_series(1, i - 2),
+                             j -> s.t[j] <> m.l)), 0) + 1)) % 2 = 0)
+                THEN NULL
+              ELSE s.t[i]
+            END),
+          x -> x IS NOT NULL)
+      FROM state s JOIN m ON m.iter = s.iter + 1
+    ),
+    enc AS (SELECT w, t FROM state WHERE iter = 8)
+    SELECT w0.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(length(w0.w)) AS BIGINT) AS n_chars,
+           CAST(SUM(len(enc.t)) AS BIGINT) AS n_bpe_tokens,
+           round(CAST(SUM(length(w0.w)) AS DOUBLE) / SUM(len(enc.t)), 4)
+             AS chars_per_token
+    FROM w0 JOIN enc ON w0.w = enc.w
+    GROUP BY 1
+    """,
+)
+def text_bpe_encode(spark, sf_dir):
+    """BPE ENCODE (text.bpe_encode): tokenize the corpus with a fixed
+    rank-ordered merge list — the apply half of the tokenizer whose
+    train half is text_bpe_learn, sharing the identical greedy
+    left-to-right fold (_bpe_fold). Merges apply to DISTINCT words
+    (the word-cache pattern; vocabulary frame, not corpus) and per-word
+    token counts join back to word instances. The oracle replays the 8
+    rule applications as a recursive CTE using the trainer oracle's
+    proven simultaneous-marking rewrite (joined to the VALUES rule
+    table by iteration), so per-document word/char/BPE-token counts
+    and the achieved chars-per-token compression are hash-checked."""
+    return T.bpe_encode(t(spark, sf_dir, "documents"), _BPE_FIXED_MERGES)
+
+
 @register(
     "text_bpe_learn_single",
     sql=r"""

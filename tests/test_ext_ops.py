@@ -1564,3 +1564,53 @@ def test_global_desc_rank_cumsum_matches_global_window(spark):
         ).collect()
     }
     assert got == exp
+
+
+def test_bpe_encode_matches_python_reference_and_roundtrips(spark):
+    """Encode with a merge list equals a pure-Python greedy fold per
+    word; and encoding with rules LEARNED from the same corpus
+    (train→encode round-trip through the shared _bpe_fold) shrinks the
+    token count for every document containing a learned pair."""
+    from datapipelinerepo_spark.operators import text as T2
+
+    rows = [(1, "the then and hand"), (2, "thin thread near"), (3, "x y z")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    merges = [("t", "h"), ("th", "e"), ("a", "n"), ("an", "d")]
+
+    def py_fold(tokens, left, right):
+        out = []
+        for x in tokens:
+            if out and out[-1] == left and x == right:
+                out[-1] = left + right
+            else:
+                out.append(x)
+        return out
+
+    def py_encode(text):
+        n_words = n_chars = n_bpe = 0
+        for w in text.lower().split():
+            t = list(w)
+            for left, right in merges:
+                t = py_fold(t, left, right)
+            n_words += 1
+            n_chars += len(w)
+            n_bpe += len(t)
+        return n_words, n_chars, n_bpe
+
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_chars"], r["n_bpe_tokens"])
+        for r in T2.bpe_encode(df, merges).collect()
+    }
+    for doc_id, text in rows:
+        assert got[doc_id] == py_encode(text), doc_id
+
+    # round-trip: rules learned on this corpus compress it
+    learned = [
+        (r["left"], r["right"])
+        for r in T2.bpe_learn(df, n_merges=4).orderBy("rank").collect()
+    ]
+    enc = {
+        r["doc_id"]: (r["n_chars"], r["n_bpe_tokens"])
+        for r in T2.bpe_encode(df, learned).collect()
+    }
+    assert enc[1][1] < enc[1][0] and enc[2][1] < enc[2][0]

@@ -534,3 +534,59 @@ def test_overwrite_keyed_crash_before_marker_heals(spark, tmp_path, monkeypatch)
         spark.createDataFrame([(3, 333.0)], ["id", "price"]), "t", "id"
     )
     assert store.read("t").filter(F.col("id") == 3).first()["price"] == 333.0
+
+
+def test_versioned_compact_rewrites_only_fat_buckets(spark, tmp_path):
+    """compact(): after several upserts a churned bucket holds several
+    small files; compaction rewrites fat buckets to ~one file each as a
+    new version, re-references healthy buckets verbatim, leaves pinned
+    older versions readable, and vacuum then reclaims the pre-compaction
+    files."""
+    import os
+
+    store = _mk_versioned(spark, tmp_path, n=100, buckets=4)
+    for i in range(3):
+        store.upsert(
+            spark.createDataFrame(
+                [(3, 100.0 + i, "U")], ["id", "price", "status"]
+            ),
+            "t",
+            "id",
+        )
+    v_before = store.latest_version("t")
+    m_before = store._manifest_files("t", v_before)
+    counts = {}
+    for f in m_before:
+        b = int(f.split("=", 1)[1].split("/", 1)[0])
+        counts[b] = counts.get(b, 0) + 1
+    fat = {b for b, c in counts.items() if c > 1}
+    assert fat, "upserts should have accumulated multi-file buckets"
+
+    v_after = store.compact("t")
+    assert v_after == v_before + 1
+    m_after = store._manifest_files("t", v_after)
+    counts_after = {}
+    for f in m_after:
+        b = int(f.split("=", 1)[1].split("/", 1)[0])
+        counts_after[b] = counts_after.get(b, 0) + 1
+    assert all(c == 1 for c in counts_after.values())
+    # healthy buckets re-referenced verbatim (no rewrite)
+    for f in m_before:
+        b = int(f.split("=", 1)[1].split("/", 1)[0])
+        if b not in fat:
+            assert f in m_after
+    # identical contents; pinned pre-compaction version still reads
+    want = {r["id"]: r["price"] for r in store.read("t", version=v_before).collect()}
+    got = {r["id"]: r["price"] for r in store.read("t", version=v_after).collect()}
+    assert got == want and got[3] == 102.0 and len(got) == 100
+    # idempotent: nothing fat remains
+    assert store.compact("t") == v_after
+    # vacuum reclaims every file the compacted version dropped (the
+    # pre-compaction small files AND the intermediate upsert versions'
+    # files), and touches nothing the live manifest references
+    deleted = store.vacuum("t", keep_last=1)
+    assert set(m_before) - set(m_after) <= set(deleted)
+    assert not set(deleted) & set(m_after)
+    for rel in deleted:
+        assert not os.path.exists(os.path.join(str(tmp_path), "t", rel))
+    assert {r["id"]: r["price"] for r in store.read("t").collect()} == want

@@ -561,3 +561,50 @@ def test_near_dup_ingest_replay_same_batch_id(spark, tmp_path, docs_df=None):
     fn(b2, 1)  # replay batch 1
     flags2 = {(r["new_id"], r["corpus_id"]) for r in store.read("near_dups").collect()}
     assert flags2 == {(2, 1)}  # no (2, 2) self-match
+
+
+def test_cdc_ingest_stream_versioned_table_keeps_snapshots(spark, tmp_path):
+    """Streaming CDC into a snapshot-versioned keyed dimension: the
+    per-bucket maintenance routes through the manifest (logical
+    deletes, appended files), each drained batch publishes a version,
+    a reader pinned before the stream still sees the bootstrap state,
+    and the latest read equals the plain CDC result."""
+    from pyspark.sql import functions as F
+
+    from datapipelinerepo_spark.io import TableStore
+    from datapipelinerepo_spark.streaming.ingest import cdc_ingest_stream
+
+    src = tmp_path / "cdc_in"
+    src.mkdir()
+    store = TableStore(spark, str(tmp_path / "store"))
+    ckpt = str(tmp_path / "ckpt")
+    base = spark.createDataFrame(
+        [(k, float(k), "S") for k in range(1, 9)], ["k", "price", "status"]
+    )
+    store.overwrite_keyed(base, "dim_current", "k", n_buckets=4, versioned=True)
+    v0 = store.latest_version("dim_current")
+
+    (src / "b1.json").write_text(
+        "\n".join(
+            json.dumps(d)
+            for d in [
+                {"k": 1, "seq": 1, "op": "U", "price": 11.0, "status": "A"},
+                {"k": 2, "seq": 1, "op": "D", "price": 0.0, "status": "X"},
+                {"k": 9, "seq": 1, "op": "U", "price": 90.0, "status": "N"},
+            ]
+        )
+    )
+    stream = spark.readStream.schema(
+        "k long, seq long, op string, price double, status string"
+    ).json(str(src))
+    cdc_ingest_stream(stream, store, ckpt, key="k", seq_col="seq").awaitTermination()
+
+    got = {r["k"]: r["price"] for r in store.read("dim_current").collect()}
+    assert got[1] == 11.0 and 2 not in got and got[9] == 90.0 and len(got) == 8
+    # a pinned pre-stream reader still sees the bootstrap dimension
+    pinned = {
+        r["k"]: r["price"]
+        for r in store.read("dim_current", version=v0).collect()
+    }
+    assert pinned == {k: float(k) for k in range(1, 9)}
+    assert store.latest_version("dim_current") > v0
