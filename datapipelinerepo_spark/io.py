@@ -275,18 +275,55 @@ class TableStore:
         with open(p) as f:
             return json.load(f)["files"]
 
-    def _publish_version(self, name: str, files: list[str]) -> int:
-        """Atomically publish a new snapshot manifest (tmp + rename —
+    def _write_manifest_file(self, name: str, files: list[str]) -> int:
+        """Atomically write the next manifest file (tmp + rename —
         readers see the old complete manifest or the new one, never a
-        partial), then bump the meta pointer."""
+        partial). The rename is the COMMIT POINT; the meta pointer is
+        stamped separately (and is advisory — see latest_version)."""
         v = (max(self.versions(name), default=0)) + 1
         os.makedirs(self._manifest_dir(name), exist_ok=True)
         tmp = self._manifest_path(name, v) + ".tmp"
         with open(tmp, "w") as f:
             json.dump({"version": v, "files": sorted(files)}, f)
         os.replace(tmp, self._manifest_path(name, v))
+        return v
+
+    def _publish_version(self, name: str, files: list[str]) -> int:
+        v = self._write_manifest_file(name, files)
         self._touch_meta(name, versioned=True, version=v)
         return v
+
+    def _ensure_latest(self, name: str) -> int:
+        """Latest published version, HEALING a versioned table whose
+        manifest history is missing (a crash between overwrite_keyed's
+        manifest reset and its first publish): the directory was just
+        fully overwritten in that window, so its listing IS the
+        consistent snapshot — publish it as v1 and continue
+        (code-review r6)."""
+        v = self.latest_version(name)
+        if v is None:
+            v = self._publish_version(name, self._data_files(name))
+        return v
+
+    def _append_and_publish(
+        self,
+        stamped: DataFrame,
+        name: str,
+        buckets: list[int] | None,
+        kept: list[str],
+    ) -> int:
+        """The shared versioned-write protocol: append ``stamped``
+        (already _kb-stamped) as NEW part-files — never deleting live
+        ones — then publish a manifest of ``kept`` (the re-referenced
+        prior files) + exactly the files this append created in
+        ``buckets`` (None = all buckets). Single writer assumed, as
+        documented on the manifest section."""
+        before = set(self._data_files(name, buckets))
+        stamped.write.mode("append").partitionBy("_kb").parquet(
+            self._dir(name)
+        )
+        new_files = set(self._data_files(name, buckets)) - before
+        return self._publish_version(name, list(kept) + sorted(new_files))
 
     def compact(self, name: str, max_files_per_bucket: int = 1) -> int:
         """OPTIMIZE analog for versioned keyed tables: every live
@@ -305,7 +342,7 @@ class TableStore:
         predicate selects)."""
         if not self.is_versioned(name):
             raise ValueError(f"{name}: compact() is for versioned keyed tables")
-        base_v = self.latest_version(name)
+        base_v = self._ensure_latest(name)
         files = self._manifest_files(name, base_v)
         by_bucket: dict[int, list[str]] = {}
         for f in files:
@@ -324,18 +361,12 @@ class TableStore:
                 *[os.path.join(base, f) for b in fat for f in by_bucket[b]]
             )
         )
-        before = set(self._data_files(name, fat))
-        # one task per bucket → ~one output file per bucket dir
-        (
-            slice_.repartition(F.col("_kb"))
-            .write.mode("append")
-            .partitionBy("_kb")
-            .parquet(base)
+        fat_set = set(fat)
+        kept = [f for b, fs in by_bucket.items() if b not in fat_set for f in fs]
+        # repartition on _kb → one task per bucket → ~one file per dir
+        return self._append_and_publish(
+            slice_.repartition(F.col("_kb")), name, fat, kept
         )
-        new_files = set(self._data_files(name, fat)) - before
-        kept = [f for b, fs in by_bucket.items() if b not in set(fat) for f in fs]
-        self._publish_version(name, kept + sorted(new_files))
-        return self.latest_version(name)
 
     def vacuum(self, name: str, keep_last: int = 1) -> list[str]:
         """Reclaim files referenced by no retained manifest. Keeps the
@@ -368,13 +399,15 @@ class TableStore:
                     pass
         return deleted
 
-    def _read_manifest_df(self, name: str, version: int) -> DataFrame:
+    def _read_manifest_df(
+        self, name: str, version: int, merge_schema: bool = True
+    ) -> DataFrame:
         files = self._manifest_files(name, version)
         base = self._dir(name)
         if not files:
             raise ValueError(f"{name} v{version}: empty manifest")
         return (
-            self.spark.read.option("mergeSchema", "true")
+            self.spark.read.option("mergeSchema", str(merge_schema).lower())
             # basePath keeps the _kb partition column derivable from the
             # explicit file list, so bucket-pruned filters still work
             .option("basePath", base)
@@ -406,7 +439,21 @@ class TableStore:
             return self.spark.read.format("delta").load(self._dir(name))
         if self.is_versioned(name):
             v = self.latest_version(name) if version is None else version
-            return self._read_manifest_df(name, v).drop("_kb")
+            if v is None:
+                # manifest history missing (crash inside overwrite_keyed's
+                # reset window): the freshly overwritten directory is the
+                # consistent snapshot — read it; the next WRITE republishes
+                # (code-review r6)
+                return (
+                    self.spark.read.option(
+                        "mergeSchema", str(merge_schema).lower()
+                    )
+                    .parquet(self._dir(name))
+                    .drop("_kb")
+                )
+            return self._read_manifest_df(
+                name, v, merge_schema=merge_schema
+            ).drop("_kb")
         if version is not None:
             raise ValueError(
                 f"{name} is not versioned (overwrite_keyed(..., versioned=True))"
@@ -446,15 +493,9 @@ class TableStore:
                 keys, n = spec
                 df = df.withColumn("_kb", self._kb_expr(name, keys, n))
                 if self.is_versioned(name):
-                    base_v = self.latest_version(name)
-                    before = set(self._data_files(name))
-                    df.write.mode("append").partitionBy("_kb").parquet(
-                        self._dir(name)
-                    )
-                    new_files = set(self._data_files(name)) - before
-                    self._publish_version(
-                        name,
-                        self._manifest_files(name, base_v) + sorted(new_files),
+                    base_v = self._ensure_latest(name)
+                    self._append_and_publish(
+                        df, name, None, self._manifest_files(name, base_v)
                     )
                     return
                 df.write.mode("append").partitionBy("_kb").parquet(
@@ -571,31 +612,34 @@ class TableStore:
         ``vacuum`` reclaims unreferenced files."""
         keys = [key] if isinstance(key, str) else list(key)
         key_types = [df.schema[k].dataType.simpleString() for k in keys]
-        # data FIRST, marker after: stamping the meta before the write
-        # would leave a phantom keyed table if the write dies — exists()
-        # true, next upsert routed into a scan of a missing directory
-        # (code-review r5)
         stamped = df.withColumn(
             "_kb", self._kb_expr(name, keys, n_buckets, types=key_types)
         )
+        # Crash-window ordering (code-review r5 + r6): (1) retire the
+        # old manifest history FIRST — the overwrite is about to delete
+        # the files it references, and a manifest pointing at deleted
+        # files is worse than no manifest (reads fall back to the
+        # directory, which stays consistent through every window
+        # below); (2) write the data; (3) publish the v1 manifest file;
+        # (4) stamp the full meta LAST — a crash before it leaves no
+        # phantom keyed/versioned marker, and a retry completes the
+        # table. A crash between (1) and (3) on a previously versioned
+        # table is healed by the read fallback + _ensure_latest.
+        shutil.rmtree(self._manifest_dir(name), ignore_errors=True)
         (
             stamped.write.mode("overwrite")
             .partitionBy("_kb")
             .parquet(self._dir(name))
         )
-        # a re-overwrite of a previously versioned table starts history
-        # over: the old files are gone, so the old manifests are lies
-        shutil.rmtree(self._manifest_dir(name), ignore_errors=True)
+        v = self._write_manifest_file(name, self._data_files(name)) if versioned else 0
         self._touch_meta(
             name,
             keyed_on=keys,
             key_buckets=n_buckets,
             key_types=key_types,
             versioned=versioned,
-            version=0,
+            version=v,
         )
-        if versioned:
-            self._publish_version(name, self._data_files(name))
 
     def _upsert_keyed(
         self, incoming: DataFrame, name: str, keys: list[str], n_buckets: int
@@ -618,7 +662,7 @@ class TableStore:
         if versioned:
             # the merge input must be the CURRENT SNAPSHOT's files, not
             # the directory (which also holds older versions' files)
-            base_v = self.latest_version(name)
+            base_v = self._ensure_latest(name)
             raw = self._read_manifest_df(name, base_v)
         else:
             raw = self.spark.read.option("mergeSchema", "true").parquet(
@@ -635,17 +679,13 @@ class TableStore:
             stamped, allowMissingColumns=True
         ).localCheckpoint()  # materialize before overwriting what we read
         if versioned:
-            before = set(self._data_files(name, affected))
-            merged.write.mode("append").partitionBy("_kb").parquet(
-                self._dir(name)
-            )
-            new_files = set(self._data_files(name, affected)) - before
+            aff = set(affected)
             kept = [
                 f
                 for f in self._manifest_files(name, base_v)
-                if int(f.split("=", 1)[1].split("/", 1)[0]) not in set(affected)
+                if int(f.split("=", 1)[1].split("/", 1)[0]) not in aff
             ]
-            self._publish_version(name, kept + sorted(new_files))
+            self._append_and_publish(merged, name, affected, kept)
             return
         (
             merged.write.mode("overwrite")
@@ -670,9 +710,13 @@ class TableStore:
     def read_buckets(self, name: str, buckets: list[int]) -> DataFrame:
         """Partition-pruned read of just the listed buckets (without
         the internal _kb column)."""
-        if self.is_versioned(name):
-            raw = self._read_manifest_df(name, self.latest_version(name))
+        v = self.latest_version(name) if self.is_versioned(name) else None
+        if v is not None:
+            raw = self._read_manifest_df(name, v)
         else:
+            # unversioned, or versioned with missing history (crash
+            # inside overwrite_keyed's reset window — the directory is
+            # the consistent snapshot; see read())
             raw = self.spark.read.option("mergeSchema", "true").parquet(
                 self._dir(name)
             )
@@ -696,18 +740,24 @@ class TableStore:
         keys, n = self.keyed_spec(name)
         stamped = df.withColumn("_kb", self._kb_expr(name, keys, n))
         if self.is_versioned(name):
-            base_v = self.latest_version(name)
-            before = set(self._data_files(name, list(buckets)))
-            stamped.write.mode("append").partitionBy("_kb").parquet(
-                self._dir(name)
-            )
-            new_files = set(self._data_files(name, list(buckets))) - before
+            base_v = self._ensure_latest(name)
+            # rows hashing OUTSIDE the listed buckets must still land
+            # in the manifest — without widening, their files would be
+            # appended but unreferenced (an invisible write) while the
+            # stale old rows of their buckets stayed live
+            # (code-review r6). Widening mirrors the unversioned path,
+            # where dynamic overwrite replaces every bucket that
+            # receives data.
+            nonempty = {
+                r[0] for r in stamped.select("_kb").distinct().collect()
+            }
+            eff = sorted(set(buckets) | nonempty)
             kept = [
                 f
                 for f in self._manifest_files(name, base_v)
-                if int(f.split("=", 1)[1].split("/", 1)[0]) not in set(buckets)
+                if int(f.split("=", 1)[1].split("/", 1)[0]) not in set(eff)
             ]
-            self._publish_version(name, kept + sorted(new_files))
+            self._append_and_publish(stamped, name, eff, kept)
             return
         (
             stamped.write.mode("overwrite")

@@ -65,6 +65,24 @@ ANTIPATTERNS: tuple[tuple[str, str, str], ...] = (
 )
 
 
+# Aggregate partials whose per-partition buffer is DATA-sized (every
+# row, or every distinct value with counts) — a keys=[] aggregate over
+# one of these funnels the corpus through the SinglePartition exchange
+# despite looking like a scalar. Exact percentile/median/mode fall here;
+# their *_approx sketch forms do not (bounded buffers) and the trailing
+# "(" keeps "partial_percentile(" from matching "partial_percentile_approx(".
+DATA_SIZED_PARTIALS: tuple[str, ...] = (
+    "collect_list",
+    "collect_set",
+    "partial_percentile(",
+    "partial_median(",
+    "partial_mode(",
+    "partial_listagg(",
+    "partial_array_agg(",
+    "partial_string_agg(",
+)
+
+
 @dataclass(frozen=True)
 class Finding:
     code: str
@@ -113,10 +131,14 @@ def plan_findings(
             # per task, not data. That's the map-side combine working,
             # the shape every `SELECT max(x) FROM t` compiles to, and
             # the lint docstring's own "fine for a final scalar". The
-            # exception deliberately EXCLUDES data-sized buffers
-            # (collect_list/collect_set partials carry every row), so a
-            # "scalar" aggregate that secretly ships the corpus still
-            # flags.
+            # exception deliberately EXCLUDES data-sized buffers —
+            # collect_list/collect_set carry every row, and the EXACT
+            # percentile/median/mode partials carry every distinct
+            # value with counts — so a "scalar" aggregate that secretly
+            # ships the corpus still flags. (partial_percentile_approx
+            # is a bounded sketch and stays exempt: the trailing "(" in
+            # each needle keeps it from matching the exact-percentile
+            # entry.)
             if code == "single_partition_exchange":
                 child = lines[i + 1 : i + 4]
                 # HashAggregate prints `keys=[]`, SortAggregate `key=[]`
@@ -124,8 +146,9 @@ def plan_findings(
                     ("keys=[]" in c or "key=[]" in c) and "partial_" in c
                     for c in child
                 ) and not any(
-                    "collect_list" in c or "collect_set" in c
+                    needle in c
                     for c in child
+                    for needle in DATA_SIZED_PARTIALS
                 ):
                     continue
             hit = ln.strip()

@@ -1521,6 +1521,10 @@ def test_semantic_decontaminate_flags_paraphrase_not_orthogonal(spark):
             (2, [0.9, 0.1, 0.0, 0.0]),      # near-copy of ev 0
             (3, [0.0, 0.0, 0.0, 2.0]),      # orthogonal to both
             (4, [1.0, 1.0, 0.0, 0.0]),      # equidistant → tie on sim
+            (5, [0.0, 0.0, 0.0, 0.0]),      # zero-norm artifact: must be
+                                            # dropped, not crash (ANSI
+                                            # divide-by-zero, r6 review)
+            (6, None),                      # null embedding: same
         ],
         "vec_id long, embedding array<float>",
     )
@@ -1533,6 +1537,8 @@ def test_semantic_decontaminate_flags_paraphrase_not_orthogonal(spark):
     assert 3 not in got
     # exact tie between eval 0 and eval 50 → lower eval id wins
     assert got[4][0] == 0 and abs(got[4][1] - 0.7071) < 1e-9
+    # degenerate embeddings silently excluded
+    assert 5 not in got and 6 not in got
 
 
 def test_global_desc_rank_cumsum_matches_global_window(spark):

@@ -590,3 +590,75 @@ def test_versioned_compact_rewrites_only_fat_buckets(spark, tmp_path):
     for rel in deleted:
         assert not os.path.exists(os.path.join(str(tmp_path), "t", rel))
     assert {r["id"]: r["price"] for r in store.read("t").collect()} == want
+
+
+def test_overwrite_keyed_versioned_reset_window_heals(spark, tmp_path, monkeypatch):
+    """Kill a versioned RE-overwrite between the data write and the v1
+    manifest publish (code-review r6): the old manifests are already
+    retired, so reads fall back to the freshly-overwritten directory
+    (the consistent snapshot), and the next write republishes a
+    manifest from it."""
+    store = _mk_versioned(spark, tmp_path, n=40, buckets=4)
+    new_base = spark.createDataFrame(
+        [(i, float(i * 10), "R") for i in range(20)], ["id", "price", "status"]
+    )
+    orig = store._write_manifest_file
+    monkeypatch.setattr(
+        store,
+        "_write_manifest_file",
+        lambda *a, **k: (_ for _ in ()).throw(OSError("injected")),
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(OSError):
+        store.overwrite_keyed(new_base, "t", "id", n_buckets=4, versioned=True)
+    monkeypatch.setattr(store, "_write_manifest_file", orig)
+    # meta still says versioned (from the first write), history is gone
+    # → the directory fallback serves the NEW data
+    assert store.is_versioned("t") and store.latest_version("t") is None
+    got = {r["id"]: r["price"] for r in store.read("t").collect()}
+    assert got == {i: float(i * 10) for i in range(20)}
+    # the next mutating operation heals the manifest history
+    store.upsert(
+        spark.createDataFrame([(3, -3.0, "U")], ["id", "price", "status"]),
+        "t",
+        "id",
+    )
+    assert store.versions("t") == [1, 2]
+    got = {r["id"]: r["price"] for r in store.read("t").collect()}
+    assert got[3] == -3.0 and len(got) == 20
+
+
+def test_versioned_overwrite_buckets_widens_to_stamped_rows(spark, tmp_path):
+    """Rows hashing OUTSIDE the listed buckets must not become
+    invisible appends (code-review r6): the versioned path widens the
+    replaced-bucket set to every bucket that receives data, mirroring
+    the unversioned dynamic overwrite."""
+    store = _mk_versioned(spark, tmp_path, n=50, buckets=4)
+    [bA] = store.keyed_buckets("t", spark.createDataFrame([(1,)], ["id"]))
+    # find an id in a DIFFERENT bucket
+    other = next(
+        i
+        for i in range(2, 50)
+        if store.keyed_buckets("t", spark.createDataFrame([(i,)], ["id"])) != [bA]
+    )
+    [bB] = store.keyed_buckets("t", spark.createDataFrame([(other,)], ["id"]))
+    df = spark.createDataFrame(
+        [(1, -1.0, "X"), (other, -2.0, "X")], ["id", "price", "status"]
+    ).localCheckpoint()
+    store.overwrite_buckets(df, "t", [bA])  # bB intentionally unlisted
+    got = {r["id"]: r["price"] for r in store.read("t").collect()}
+    # both writes are visible...
+    assert got[1] == -1.0 and got[other] == -2.0
+    # ...and both touched buckets were replaced wholesale (their other
+    # prior rows are gone), while untouched buckets survive intact
+    all_ids = set(range(50))
+    in_a = {
+        i for i in all_ids
+        if store.keyed_buckets("t", spark.createDataFrame([(int(i),)], ["id"])) == [bA]
+    }
+    in_b = {
+        i for i in all_ids
+        if store.keyed_buckets("t", spark.createDataFrame([(int(i),)], ["id"])) == [bB]
+    }
+    assert set(got) == (all_ids - in_a - in_b) | {1, other}

@@ -184,6 +184,16 @@ def test_lint_collect_list_funnel_still_flagged(spark):
     assert "single_partition_exchange" in codes
 
 
+def test_lint_exact_percentile_funnel_still_flagged(spark):
+    # exact median/percentile/mode partials buffer every distinct value
+    # — data-sized despite keys=[] — and must flag; the approx sketch
+    # form has a bounded buffer and is exempt (code-review r6)
+    for agg in (F.median("id"), F.expr("percentile(id, 0.5)"), F.mode("id")):
+        codes = {f.code for f in lint.plan_findings(spark.range(64).agg(agg))}
+        assert "single_partition_exchange" in codes, agg
+    assert lint.plan_findings(spark.range(64).agg(F.percentile_approx("id", 0.5))) == []
+
+
 def test_lint_global_window_still_flagged(spark):
     from pyspark.sql import Window
 
@@ -216,8 +226,15 @@ def test_single_partition_allowances_sit_on_aggregated_frames(spark, sf_dir, nam
         if "Exchange SinglePartition" not in ln:
             continue
         # lint-exempt scalar funnels don't need the allowance at all
+        # (same predicate as the lint, incl. the data-sized-partial
+        # exclusion so an exact-median funnel can't slip through here)
         child = lines[i + 1 : i + 4]
-        if any(("keys=[]" in c or "key=[]" in c) and "partial_" in c for c in child):
+        if any(
+            ("keys=[]" in c or "key=[]" in c) and "partial_" in c
+            for c in child
+        ) and not any(
+            needle in c for c in child for needle in lint.DATA_SIZED_PARTIALS
+        ):
             continue
         # walk the exchange's subtree (deeper-indented lines until the
         # indentation returns to the exchange's level) looking for a
