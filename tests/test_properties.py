@@ -389,3 +389,80 @@ def test_global_order_positions_match_sort(spark, rows):
     ordered = sorted(rows, key=lambda t: (t[1] is not None, t[1] or 0.0, t[0]))
     expected = {rid: pos for pos, (rid, _) in enumerate(ordered)}
     assert got == expected
+
+
+# --- versioned keyed store: model-based sequence test -----------------------
+
+_BATCH = st.lists(
+    st.tuples(st.integers(0, 30), st.floats(-100, 100, allow_nan=False)),
+    min_size=1, max_size=5,
+    unique_by=lambda t: t[0],  # unique keys per batch: upsert's
+    # within-batch duplicate resolution is explicitly unspecified
+)
+_OPS = st.lists(
+    st.one_of(
+        st.tuples(st.just("upsert"), _BATCH),
+        st.tuples(st.just("append"), _BATCH),
+        st.tuples(st.just("compact"), st.just(None)),
+        st.tuples(st.just("vacuum"), st.just(None)),
+    ),
+    min_size=1, max_size=5,
+)
+
+
+@settings(max_examples=5, deadline=None)
+@given(ops=_OPS)
+def test_versioned_store_matches_reference_model(spark, tmp_path_factory, ops):
+    """Model-based check of the snapshot-versioned keyed table: a random
+    sequence of upsert / append / compact / vacuum tracks a plain dict
+    reference after EVERY operation, and every still-retained version
+    replays exactly the rows it had when it was published (time travel
+    survives arbitrary later maintenance)."""
+    from datapipelinerepo_spark.io import TableStore
+
+    tmp = tmp_path_factory.mktemp("vstore")
+    store = TableStore(spark, str(tmp))
+    base = [(k, float(k)) for k in range(0, 20, 2)]
+    store.overwrite_keyed(
+        spark.createDataFrame(base, "id long, v double"),
+        "t", "id", n_buckets=4, versioned=True,
+    )
+    model = {k: [v] for k, v in base}  # key -> multiset of values
+    snapshots = {store.latest_version("t"): {k: list(vs) for k, vs in model.items()}}
+
+    def as_model(rows):
+        out = {}
+        for r in rows:
+            out.setdefault(r["id"], []).append(r["v"])
+        return {k: sorted(vs) for k, vs in out.items()}
+
+    for op, arg in ops:
+        if op == "upsert":
+            store.upsert(
+                spark.createDataFrame(arg, "id long, v double"), "t", "id"
+            )
+            for k, v in arg:
+                model[k] = [v]
+        elif op == "append":
+            store.append(
+                spark.createDataFrame(arg, "id long, v double"), "t"
+            )
+            for k, v in arg:
+                model.setdefault(k, []).append(v)
+        elif op == "compact":
+            store.compact("t")
+        else:
+            store.vacuum("t", keep_last=2)
+            snapshots = {
+                v: s for v, s in snapshots.items() if v in set(store.versions("t"))
+            }
+        if op in ("upsert", "append", "compact"):
+            snapshots[store.latest_version("t")] = {
+                k: sorted(vs) for k, vs in model.items()
+            }
+        got = as_model(store.read("t").collect())
+        want = {k: sorted(vs) for k, vs in model.items()}
+        assert got == want, f"after {op}: {got} != {want}"
+
+    for v, snap in snapshots.items():
+        assert as_model(store.read("t", version=v).collect()) == snap, v
