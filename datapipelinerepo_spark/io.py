@@ -293,17 +293,40 @@ class TableStore:
         self._touch_meta(name, versioned=True, version=v)
         return v
 
+    def _assert_committed_dir(self, name: str) -> None:
+        """Guard for the manifest-missing fallback: the raw directory
+        is only a consistent snapshot if the overwrite JOB fully
+        committed — Spark writes the `_SUCCESS` marker at job-commit
+        completion, and overwrite mode deletes it first, so a crash
+        mid-write leaves the marker absent. Without this check a
+        partially committed directory would be served (and then
+        published as permanent history by _ensure_latest) as if it
+        were the whole table — silent data loss where the pre-heal
+        code at least failed loudly (code-review r6, second pass)."""
+        if not os.path.isfile(os.path.join(self._dir(name), "_SUCCESS")):
+            raise RuntimeError(
+                f"{name}: manifest history missing and the data directory "
+                "has no _SUCCESS marker — a versioned overwrite died "
+                "mid-write. Re-run overwrite_keyed to restore the table."
+            )
+
     def _ensure_latest(self, name: str) -> int:
         """Latest published version, HEALING a versioned table whose
         manifest history is missing (a crash between overwrite_keyed's
-        manifest reset and its first publish): the directory was just
-        fully overwritten in that window, so its listing IS the
-        consistent snapshot — publish it as v1 and continue
-        (code-review r6)."""
+        manifest reset and its first publish): the directory was fully
+        overwritten in that window (enforced via the _SUCCESS marker),
+        so its listing IS the consistent snapshot — publish it as v1
+        and continue (code-review r6)."""
         v = self.latest_version(name)
         if v is None:
+            self._assert_committed_dir(name)
             v = self._publish_version(name, self._data_files(name))
         return v
+
+    @staticmethod
+    def _bucket_of(rel: str) -> int:
+        """Bucket id of a manifest-relative file path (`_kb=3/part-…`)."""
+        return int(rel.split("=", 1)[1].split("/", 1)[0])
 
     def _append_and_publish(
         self,
@@ -346,8 +369,7 @@ class TableStore:
         files = self._manifest_files(name, base_v)
         by_bucket: dict[int, list[str]] = {}
         for f in files:
-            b = int(f.split("=", 1)[1].split("/", 1)[0])
-            by_bucket.setdefault(b, []).append(f)
+            by_bucket.setdefault(self._bucket_of(f), []).append(f)
         fat = sorted(
             b for b, fs in by_bucket.items() if len(fs) > max_files_per_bucket
         )
@@ -442,8 +464,10 @@ class TableStore:
             if v is None:
                 # manifest history missing (crash inside overwrite_keyed's
                 # reset window): the freshly overwritten directory is the
-                # consistent snapshot — read it; the next WRITE republishes
+                # consistent snapshot IF the write job committed (the
+                # _SUCCESS guard) — read it; the next WRITE republishes
                 # (code-review r6)
+                self._assert_committed_dir(name)
                 return (
                     self.spark.read.option(
                         "mergeSchema", str(merge_schema).lower()
@@ -629,6 +653,16 @@ class TableStore:
         (
             stamped.write.mode("overwrite")
             .partitionBy("_kb")
+            # STATIC overwrite, explicitly: the session default is
+            # dynamic (for S10 reloads), under which this "full"
+            # overwrite would only replace the buckets receiving data —
+            # a re-overwrite with a smaller/reshaped dataset would
+            # silently keep every other bucket's stale rows (reproduced
+            # r6: 1-row re-overwrite of a 40-row table read back 36
+            # stale rows). Static truncates the directory first, which
+            # also makes the directory listing + _SUCCESS marker the
+            # trustworthy heal source for the manifest fallback.
+            .option("partitionOverwriteMode", "static")
             .parquet(self._dir(name))
         )
         v = self._write_manifest_file(name, self._data_files(name)) if versioned else 0
@@ -683,7 +717,7 @@ class TableStore:
             kept = [
                 f
                 for f in self._manifest_files(name, base_v)
-                if int(f.split("=", 1)[1].split("/", 1)[0]) not in aff
+                if self._bucket_of(f) not in aff
             ]
             self._append_and_publish(merged, name, affected, kept)
             return
@@ -716,7 +750,9 @@ class TableStore:
         else:
             # unversioned, or versioned with missing history (crash
             # inside overwrite_keyed's reset window — the directory is
-            # the consistent snapshot; see read())
+            # the consistent snapshot iff the write committed; see read())
+            if self.is_versioned(name):
+                self._assert_committed_dir(name)
             raw = self.spark.read.option("mergeSchema", "true").parquet(
                 self._dir(name)
             )
@@ -752,10 +788,11 @@ class TableStore:
                 r[0] for r in stamped.select("_kb").distinct().collect()
             }
             eff = sorted(set(buckets) | nonempty)
+            eff_set = set(eff)
             kept = [
                 f
                 for f in self._manifest_files(name, base_v)
-                if int(f.split("=", 1)[1].split("/", 1)[0]) not in set(eff)
+                if self._bucket_of(f) not in eff_set
             ]
             self._append_and_publish(stamped, name, eff, kept)
             return

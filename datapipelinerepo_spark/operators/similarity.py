@@ -1010,18 +1010,19 @@ def semantic_decontaminate(
     dot product. At 100 TB with a 100k-item eval suite, switch the
     scoring side to the Arrow matmul used by semantic_dup_pairs; the
     surrounding plan is unchanged."""
-    # zero-norm (all-zero / failed-embedding) rows have no direction:
-    # they can neither leak nor be leaked against, and under ANSI mode
-    # the cosine division would kill the whole job — drop them up
-    # front (the with_norm callers' standard; code-review r6).
-    e = with_norm(evalset.filter(F.col(vec_col).isNotNull()), vec_col).filter(
+    # zero-norm rows (all-zero, empty, or NULL embeddings — _norm is
+    # NULL for the latter two, which `> 0` also drops) have no
+    # direction: they can neither leak nor be leaked against, and
+    # under ANSI mode the cosine division would kill the whole job —
+    # drop them up front (code-review r6).
+    e = with_norm(evalset, vec_col).filter(
         F.col("_norm") > 0
     ).select(
         F.col(id_col).alias("_eid"),
         F.col("_vec").alias("_ev"),
         F.col("_norm").alias("_en"),
     )
-    c = with_norm(corpus.filter(F.col(vec_col).isNotNull()), vec_col).filter(
+    c = with_norm(corpus, vec_col).filter(
         F.col("_norm") > 0
     ).select(
         F.col(id_col),

@@ -662,3 +662,61 @@ def test_versioned_overwrite_buckets_widens_to_stamped_rows(spark, tmp_path):
         if store.keyed_buckets("t", spark.createDataFrame([(int(i),)], ["id"])) == [bB]
     }
     assert set(got) == (all_ids - in_a - in_b) | {1, other}
+
+
+def test_versioned_partial_overwrite_fails_loudly(spark, tmp_path, monkeypatch):
+    """If a versioned overwrite died MID-WRITE (no _SUCCESS marker),
+    the manifest-missing fallback must refuse to serve — or publish as
+    permanent history — the partially committed directory
+    (code-review r6, second pass)."""
+    import os
+
+    import pytest as _pytest
+
+    store = _mk_versioned(spark, tmp_path, n=40, buckets=4)
+    # induce the missing-history state, then simulate the mid-write
+    # crash by removing the job-commit marker
+    monkeypatch.setattr(
+        store,
+        "_write_manifest_file",
+        lambda *a, **k: (_ for _ in ()).throw(OSError("injected")),
+    )
+    with _pytest.raises(OSError):
+        store.overwrite_keyed(
+            spark.createDataFrame([(1, 1.0, "R")], ["id", "price", "status"]),
+            "t", "id", n_buckets=4, versioned=True,
+        )
+    os.remove(tmp_path / "t" / "_SUCCESS")
+    with _pytest.raises(RuntimeError, match="_SUCCESS"):
+        store.read("t")
+    with _pytest.raises(RuntimeError, match="_SUCCESS"):
+        store.read_buckets("t", [0])
+    with _pytest.raises((RuntimeError, OSError)):
+        store.upsert(
+            spark.createDataFrame([(1, 2.0, "U")], ["id", "price", "status"]),
+            "t", "id",
+        )
+
+
+def test_overwrite_keyed_reoverwrite_truncates_all_buckets(spark, tmp_path):
+    """A re-overwrite_keyed must replace the WHOLE table even when the
+    new dataset leaves some buckets empty: the session-wide dynamic
+    partitionOverwriteMode would otherwise keep every no-data bucket's
+    stale rows (reproduced r6: a 1-row re-overwrite of a 40-row table
+    read back 36 stale rows). The write forces static overwrite."""
+    store = TableStore(spark, str(tmp_path))
+    store.overwrite_keyed(
+        spark.createDataFrame([(i, float(i)) for i in range(40)], ["id", "v"]),
+        "t", "id", n_buckets=8,
+    )
+    store.overwrite_keyed(
+        spark.createDataFrame([(1, -1.0)], ["id", "v"]), "t", "id", n_buckets=8
+    )
+    assert {tuple(r) for r in store.read("t").collect()} == {(1, -1.0)}
+    # and the versioned form starts its history over just as cleanly
+    store.overwrite_keyed(
+        spark.createDataFrame([(2, -2.0)], ["id", "v"]),
+        "t", "id", n_buckets=8, versioned=True,
+    )
+    assert store.versions("t") == [1]
+    assert {tuple(r) for r in store.read("t").collect()} == {(2, -2.0)}
