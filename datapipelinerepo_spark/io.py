@@ -889,6 +889,11 @@ def write_clustered(
         .sortWithinPartitions(partition_col, *sort_cols)
         .write.mode("overwrite")
         .partitionBy(partition_col)
+        # full replacement intended: under the session's dynamic
+        # default, a re-run covering fewer partition values would keep
+        # the stale directories (same class as the overwrite_keyed bug
+        # fixed r6)
+        .option("partitionOverwriteMode", "static")
         .parquet(path)
     )
 
