@@ -1620,3 +1620,42 @@ def test_bpe_encode_matches_python_reference_and_roundtrips(spark):
         for r in T2.bpe_encode(df, learned).collect()
     }
     assert enc[1][1] < enc[1][0] and enc[2][1] < enc[2][0]
+
+
+def test_bpe_encode_adversarial_inputs(spark):
+    """Encode must survive the dirty-input classes: empty text,
+    whitespace-only, single-char words (no pairs to merge), unicode
+    text outside the merge alphabet, and a word equal to a merged
+    token. Documents with no words simply produce no row (there is
+    nothing to count), never a crash."""
+    from datapipelinerepo_spark.operators import text as T2
+
+    df = spark.createDataFrame(
+        [
+            (1, ""),                      # empty
+            (2, "   "),                   # whitespace only
+            (3, "a b c"),                 # single-char words
+            (4, "héllo wörld"),           # unicode, partial alphabet hit
+            (5, "th the"),                # words equal to merge outputs
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_chars"], r["n_bpe_tokens"])
+        for r in T2.bpe_encode(df, [("t", "h"), ("th", "e")]).collect()
+    }
+    assert 1 not in got and 2 not in got
+    assert got[3] == (3, 3, 3)            # nothing merges
+    assert got[4][0] == 2 and got[4][2] <= got[4][1]
+    # "th" -> one token via (t,h); "the" -> t,h,e -> th,e -> the (1 token)
+    assert got[5] == (2, 5, 2)
+
+
+def test_global_desc_rank_cumsum_tiny_and_empty(spark):
+    from datapipelinerepo_spark.operators import sampling as SMP2
+
+    empty = spark.createDataFrame([], "id long, c long, v long")
+    assert SMP2.global_desc_rank_cumsum(empty, "c", "id", "v").count() == 0
+    one = spark.createDataFrame([(7, 3, 5)], "id long, c long, v long")
+    row = SMP2.global_desc_rank_cumsum(one, "c", "id", "v").first()
+    assert row["_rn"] == 1 and row["_cum"] == 5

@@ -720,3 +720,24 @@ def test_overwrite_keyed_reoverwrite_truncates_all_buckets(spark, tmp_path):
     )
     assert store.versions("t") == [1]
     assert {tuple(r) for r in store.read("t").collect()} == {(2, -2.0)}
+
+
+def test_versioned_upsert_schema_evolution_and_pinned_schema(spark, tmp_path):
+    """Additive schema evolution through the manifest path: an upsert
+    carrying a new column widens the latest snapshot (missing rows read
+    NULL), while a pinned pre-evolution version keeps its original
+    columns."""
+    store = _mk_versioned(spark, tmp_path, n=10, buckets=2)
+    store.upsert(
+        spark.createDataFrame(
+            [(3, 333.0, "U", "extra!")],
+            "id long, price double, status string, note string",
+        ),
+        "t",
+        "id",
+    )
+    latest = store.read("t")
+    assert "note" in latest.columns
+    vals = {r["id"]: r["note"] for r in latest.collect()}
+    assert vals[3] == "extra!" and vals[4] is None
+    assert "note" not in store.read("t", version=1).columns
