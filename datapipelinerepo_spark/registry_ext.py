@@ -3603,6 +3603,75 @@ def text_bpe_learn(spark, sf_dir):
     return T.bpe_learn(t(spark, sf_dir, "documents"), n_merges=8)
 
 
+@register(
+    "scale_sketch_set_ops",
+    sql="""
+    WITH b AS (
+      SELECT event_type, user_id FROM events
+      WHERE event_type IN ('view', 'click')
+    ), seg AS (
+      SELECT CAST(SUM(du) AS BIGINT) AS s FROM (
+        SELECT COUNT(DISTINCT user_id) AS du FROM b GROUP BY event_type
+      )
+    ), u AS (SELECT COUNT(DISTINCT user_id) AS eu FROM b)
+    SELECT CAST(u.eu AS BIGINT) AS exact_union_users,
+           CAST(seg.s - u.eu AS BIGINT) AS exact_overlap_users,
+           true AS union_within_5pct,
+           true AS overlap_within_bound
+    FROM u, seg
+    """,
+)
+def scale_sketch_set_ops(spark, sf_dir):
+    """Sketch SET ALGEBRA over audience segments: per-segment
+    DataSketches HLL sketches (`hll_sketch_agg`) merged with
+    `hll_union_agg` estimate the distinct viewers∪clickers, and
+    inclusion–exclusion over the per-segment estimates gives the
+    overlap — the mergeable-sketch pattern that answers "distinct
+    users across any segment combination" at 100 TB from
+    kilobyte-sized pre-aggregated sketches instead of re-shuffling
+    user ids per question. Hash-checked via the bounded-invariant
+    form (scale_approx_aggs_bounded's treatment): the exact union and
+    overlap are engine-exact outputs, and the sketch estimates must
+    land within 5% of them (HLL lgK=12 rsd ≈1.6%, and at driver-scale
+    cardinalities the sketch is still in exact sparse mode), so both
+    booleans are deterministically true in both engines."""
+    base = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("view", "click"))
+        .select("event_type", "user_id")
+    )
+    seg = base.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("_sk"),
+        F.countDistinct("user_id").alias("_exact_seg"),
+    )
+    merged = seg.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("_sk")).alias("_est_union"),
+        F.sum(F.hll_sketch_estimate("_sk")).alias("_est_seg_sum"),
+        F.sum("_exact_seg").alias("_exact_seg_sum"),
+    )
+    exact = base.agg(F.countDistinct("user_id").alias("_exact_union"))
+    tol = F.col("_exact_union").cast("double") * 0.05
+    return (
+        merged.crossJoin(F.broadcast(exact))
+        .select(
+            F.col("_exact_union").alias("exact_union_users"),
+            (F.col("_exact_seg_sum") - F.col("_exact_union")).alias(
+                "exact_overlap_users"
+            ),
+            (
+                F.abs(F.col("_est_union") - F.col("_exact_union")) <= tol
+            ).alias("union_within_5pct"),
+            (
+                F.abs(
+                    (F.col("_est_seg_sum") - F.col("_est_union"))
+                    - (F.col("_exact_seg_sum") - F.col("_exact_union"))
+                )
+                <= tol
+            ).alias("overlap_within_bound"),
+        )
+    )
+
+
 # fixed rank-ordered merge list for the encode query: decoupled from
 # training so the oracle needn't re-learn rules; includes a chained
 # multi-char merge (th+e) to exercise rule stacking

@@ -1659,3 +1659,25 @@ def test_global_desc_rank_cumsum_tiny_and_empty(spark):
     one = spark.createDataFrame([(7, 3, 5)], "id long, c long, v long")
     row = SMP2.global_desc_rank_cumsum(one, "c", "id", "v").first()
     assert row["_rn"] == 1 and row["_cum"] == 5
+
+
+def test_sketch_set_ops_bounds_hold(spark, sf_dir):
+    """The HLL union/overlap invariants hold on real data, and the
+    exact outputs equal a plain two-way distinct computation."""
+    import datapipelinerepo_spark.registry_ext  # noqa: F401
+    from datapipelinerepo_spark.registry import REGISTRY
+
+    row = REGISTRY["scale_sketch_set_ops"].fn(spark, sf_dir).first()
+    assert row["union_within_5pct"] and row["overlap_within_bound"]
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "click")
+    )
+    exact_union = e.select("user_id").distinct().count()
+    per = (
+        e.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("d"))
+        .agg(F.sum("d"))
+        .first()[0]
+    )
+    assert row["exact_union_users"] == exact_union
+    assert row["exact_overlap_users"] == per - exact_union

@@ -153,6 +153,7 @@ _REGISTRY_ALLOW = {
     # (b) 1-row bound/threshold aggregates crossJoin-broadcast back onto
     # the sketch output
     "scale_approx_aggs_bounded": {"broadcast_nested_loop"},
+    "scale_sketch_set_ops": {"broadcast_nested_loop"},  # 1-row exact ⨯ 1-row sketch agg
     "scale_heavy_hitters_verified": {"broadcast_nested_loop"},
     # (b) intentionally exact / sampled all-pairs baselines
     "ann_topk_bruteforce": {"broadcast_nested_loop"},
