@@ -12,7 +12,13 @@ Two paths:
 
 Embedding arithmetic is done in DOUBLE (elements cast once) so results
 are engine- and partitioning-stable; scores are rounded to 4dp for
-ranking with id tie-breaks (see registry docstring).
+ranking with id tie-breaks (see registry docstring). Every cosine
+division goes through try_divide: Spark 4's ANSI mode raises
+DIVIDE_BY_ZERO even for doubles, so a single zero-norm (failed/empty)
+embedding would otherwise kill a 100 TB job — with try_divide its
+similarity is NULL, which every threshold filter and top-k ordering
+already excludes (r6 hardening; pinned by
+test_zero_norm_vectors_never_crash_cosine_ops).
 """
 
 from __future__ import annotations
@@ -65,7 +71,8 @@ def cosine_topk_bruteforce(
     )
     scored = (
         c.join(F.broadcast(q), F.col("q_id") != F.col("c_id"))
-        .withColumn("sim", _dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn")))
+        .withColumn("sim", F.try_divide(_dot(F.col("_qv"), F.col("_cv")), F.col("_qn") * F.col("_cn")))
+        .filter(F.col("sim").isNotNull())  # zero-norm/NULL vectors never rank
         .select("q_id", "c_id", F.round("sim", 4).alias("sim_r4"))
     )
     w = Window.partitionBy("q_id").orderBy(F.col("sim_r4").desc(), F.col("c_id").asc())
@@ -244,12 +251,13 @@ def cosine_topk_lsh(
         .select(
             "q_id",
             "c_id",
-            (_dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn"))).alias("sim"),
+            F.try_divide(_dot(F.col("_qv"), F.col("_cv")), F.col("_qn") * F.col("_cn")).alias("sim"),
         )
     )
     w = Window.partitionBy("q_id").orderBy(F.round("sim", 4).desc(), F.col("c_id").asc())
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.filter(F.col("sim").isNotNull())  # zero-norm/NULL never rank
+        .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("q_id", "c_id", "rank", F.round("sim", 4).alias("sim_r4"))
     )
@@ -281,7 +289,7 @@ def _cell_sims(vec_col, cents: list[list[float]]):
     v = _as_double(vec_col)
     vn = F.sqrt(_dot(v, v))
     return F.array(
-        *[_dot(v, F.array(*[F.lit(x) for x in c])) / vn for c in cents]
+        *[F.try_divide(_dot(v, F.array(*[F.lit(x) for x in c])), vn) for c in cents]
     )
 
 
@@ -368,11 +376,12 @@ def cosine_topk_ivf(
     scored = with_norm(qn.withColumnRenamed("_ce", "embedding")).select(
         "q_id",
         "c_id",
-        (_dot(F.col("_qv"), F.col("_vec")) / (F.col("_qn") * F.col("_norm"))).alias("sim"),
+        F.try_divide(_dot(F.col("_qv"), F.col("_vec")), F.col("_qn") * F.col("_norm")).alias("sim"),
     )
     w = Window.partitionBy("q_id").orderBy(F.round("sim", 4).desc(), F.col("c_id").asc())
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.filter(F.col("sim").isNotNull())  # zero-norm/NULL never rank
+        .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("q_id", "c_id", "rank", F.round("sim", 4).alias("sim_r4"))
     )
@@ -394,7 +403,7 @@ def cosine_dup_pairs(
     b = n.select(F.col("_id").alias("id_b"), F.col("_vec").alias("_vb"), F.col("_norm").alias("_nb"))
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("sim", _dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")))
+        .withColumn("sim", F.try_divide(_dot(F.col("_va"), F.col("_vb")), F.col("_na") * F.col("_nb")))
         .filter(F.col("sim") >= threshold)
         .select("id_a", "id_b", F.round("sim", 4).alias("sim_r4"))
     )
@@ -908,8 +917,10 @@ def cosine_topk_pq(
             "q_id",
             "c_id",
             (
-                _dot(F.col("_qv"), F.col("_cv"))
-                / (F.col("_qn") * F.col("_cn"))
+                F.try_divide(
+                    _dot(F.col("_qv"), F.col("_cv")),
+                    F.col("_qn") * F.col("_cn"),
+                )
             ).alias("sim"),
         )
     )
@@ -917,7 +928,8 @@ def cosine_topk_pq(
         F.round("sim", 4).desc(), F.col("c_id").asc()
     )
     return (
-        rer.withColumn("rank", F.row_number().over(w2))
+        rer.filter(F.col("sim").isNotNull())  # zero-norm/NULL never rank
+        .withColumn("rank", F.row_number().over(w2))
         .filter(F.col("rank") <= k)
         .select("q_id", "c_id", "rank", F.round("sim", 4).alias("sim_r4"))
     )
@@ -969,8 +981,10 @@ def centroid_outliers(
         ).alias("_c")
     )
     v = _as_double(F.col(vec_col))
-    cos = _dot(F.col("_v"), F.col("_c")) / (
-        F.sqrt(_dot(F.col("_v"), F.col("_v"))) * F.sqrt(_dot(F.col("_c"), F.col("_c")))
+    cos = F.try_divide(
+        _dot(F.col("_v"), F.col("_c")),
+        F.sqrt(_dot(F.col("_v"), F.col("_v")))
+        * F.sqrt(_dot(F.col("_c"), F.col("_c"))),
     )
     return (
         df.withColumn("_v", v)
@@ -1033,7 +1047,7 @@ def semantic_decontaminate(
         c.join(F.broadcast(e))
         .withColumn(
             "_sim",
-            _dot(F.col("_cv"), F.col("_ev")) / (F.col("_cn") * F.col("_en")),
+            F.try_divide(_dot(F.col("_cv"), F.col("_ev")), F.col("_cn") * F.col("_en")),
         )
         .filter(F.col("_sim") >= threshold)
     )
@@ -1164,7 +1178,7 @@ def margin_mining(
         F.count(F.lit(1)).alias("_n"),
     )
     margin = F.round(
-        F.col("best_sim") / (F.col("_s").cast("double") / F.col("_n")), 4
+        F.try_divide(F.col("best_sim"), F.try_divide(F.col("_s").cast("double"), F.col("_n"))), 4
     )
     return agg.select(
         "q_id",

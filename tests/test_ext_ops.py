@@ -1681,3 +1681,32 @@ def test_sketch_set_ops_bounds_hold(spark, sf_dir):
     )
     assert row["exact_union_users"] == exact_union
     assert row["exact_overlap_users"] == per - exact_union
+
+
+def test_zero_norm_vectors_never_crash_cosine_ops(spark):
+    """ANSI-mode hardening (r6): a zero-norm or NULL embedding anywhere
+    in the corpus/query side must not kill brute-force top-k, LSH
+    top-k, dup-pair mining, or centroid outliers — its similarity is
+    NULL via try_divide and it simply never ranks or matches."""
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0], 0),
+        (2, [0.9, 0.1, 0.0, 0.0], 0),
+        (3, [0.0, 0.0, 0.0, 0.0], 0),   # zero vector
+        (4, None, 0),                    # null vector
+        (5, [0.0, 1.0, 0.0, 0.0], 1),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    q = emb.filter(F.col("vec_id") == 1)
+    bf = SIM.cosine_topk_bruteforce(q, emb, k=3, vec_col="embedding")
+    got = {r["c_id"] for r in bf.collect()}
+    assert 2 in got and 3 not in got and 4 not in got
+    lsh = SIM.cosine_topk_lsh(q, emb, dim=4, k=3, n_bits=2)
+    assert {r["c_id"] for r in lsh.collect()} <= {2, 5}
+    dup = SIM.cosine_dup_pairs(emb, threshold=0.5)
+    ids = {x for r in dup.collect() for x in (r["id_a"], r["id_b"])}
+    assert 3 not in ids and 4 not in ids
+    out = SIM.centroid_outliers(emb)
+    # the zero vector yields a NULL cosine, not a crash
+    assert out.filter(F.col("vec_id") == 3).count() == 1
