@@ -3683,6 +3683,7 @@ _BPE_FIXED_MERGES = [
 
 @register(
     "text_bpe_encode",
+    bench=True,
     sql=r"""
     WITH RECURSIVE
     m(iter, l, r) AS (
