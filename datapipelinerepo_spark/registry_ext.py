@@ -3604,6 +3604,95 @@ def text_bpe_learn(spark, sf_dir):
 
 
 @register(
+    "ann_topk_filtered",
+    sql="""
+    WITH q AS (
+      SELECT vec_id AS q_id, embedding FROM embeddings WHERE vec_id % 500 = 0
+    ), c AS (
+      SELECT vec_id AS c_id, label, embedding FROM embeddings
+      WHERE label = 1 AND vec_id % 500 <> 0
+    ), scored AS (
+      SELECT q.q_id, c.c_id, c.label,
+             round(
+               list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) /
+               (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) *
+                sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))), 4)
+             AS sim_r4
+      FROM q, c
+    )
+    SELECT q_id, c_id, label, rank, sim_r4 FROM (
+      SELECT *, row_number() OVER (PARTITION BY q_id
+                                   ORDER BY sim_r4 DESC, c_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def ann_topk_filtered(spark, sf_dir):
+    """FILTERED vector search: exact cosine top-5 per query among ONLY
+    the corpus vectors matching a metadata predicate (label = 1) — the
+    pre-filtered ANN shape every retrieval stack needs ("nearest
+    in-category items", "same-language passages"). Pre-filtering (the
+    predicate prunes the corpus BEFORE scoring) is the correct
+    strategy when the filter is selective; at 100 TB the predicate
+    pushes into the parquet scan (partition/row-group pruning) and the
+    surviving slice streams through the same broadcast-queries scoring
+    plan as ann_topk_bruteforce — vs post-filtering a k'>k unfiltered
+    ANN result, which loses recall when the filter is selective. For
+    non-selective filters compose the predicate with the LSH/IVF probe
+    paths instead (same composition, bucketed corpus)."""
+    emb = t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % 500 == 0)
+    c = emb.filter((F.col("label") == 1) & (F.col("vec_id") % 500 != 0))
+    topk = SIM.cosine_topk_bruteforce(q, c, k=5)
+    lab = emb.select(F.col("vec_id").alias("c_id"), "label")
+    return topk.join(F.broadcast(lab), "c_id").select(
+        "q_id", "c_id", "label", "rank", "sim_r4"
+    )
+
+
+@register(
+    "scale_exact_quantiles",
+    sql="""
+    WITH r AS (
+      SELECT o_totalprice,
+             row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS rn,
+             COUNT(*) OVER () AS n
+      FROM orders
+    )
+    SELECT CAST(q AS DOUBLE) AS q, o_totalprice AS value
+    FROM (VALUES (0.5), (0.9), (0.99)) qs(q) JOIN r
+      ON r.rn = CAST(floor(q * (n - 1)) AS BIGINT) + 1
+    """,
+)
+def scale_exact_quantiles(spark, sf_dir):
+    """EXACT corpus-level quantiles (p50/p90/p99 of order totals)
+    WITHOUT a global sort: global positions come from the
+    range-bucketed rank machinery (sampling.global_order_positions —
+    per-bucket windows + broadcast offsets), the row count from a
+    scalar aggregate, and each quantile is the row at position
+    floor(q·(n−1)) — a 3-row equi-join probe. approx_percentile is the
+    one-pass sketch answer; this is the exact answer at the same scale
+    posture (no corpus-sized single-task sort anywhere), for when the
+    p99 drives a business cutoff that must be reproducible to the
+    cent. Both engines compute the identical discrete rank statistic
+    (value-then-key total order), so it hash-checks."""
+    from .operators.sampling import global_order_positions
+
+    o = t(spark, sf_dir, "orders").select("o_totalprice", "o_orderkey")
+    pos = global_order_positions(o, ("o_totalprice", "o_orderkey"))
+    n = o.agg(F.count(F.lit(1)).alias("_n"))
+    qs = spark.createDataFrame([(0.5,), (0.9,), (0.99,)], ["q"])
+    return (
+        qs.crossJoin(F.broadcast(n))
+        .join(
+            pos,
+            pos["pos"] == F.floor(F.col("q") * (F.col("_n") - 1)).cast("long"),
+        )
+        .select("q", F.col("o_totalprice").alias("value"))
+    )
+
+
+@register(
     "scale_sketch_set_ops",
     sql="""
     WITH b AS (

@@ -121,6 +121,11 @@ _REGISTRY_ALLOW = {
     # (a) ≤33-row bucket-offsets window + (b) 1-row total-count
     # crossJoin broadcast for the exact ntile arithmetic
     "w_ntile_deciles": {"single_partition_exchange", "broadcast_nested_loop"},
+    # (a) same bucket-offsets window + (b) 3-row quantile table ⨯ 1-row
+    # count broadcast (exact global quantiles on the bucketed machinery)
+    "scale_exact_quantiles": {"single_partition_exchange", "broadcast_nested_loop"},
+    # (b) rides the exact brute-force scorer over the pre-filtered slice
+    "ann_topk_filtered": {"broadcast_nested_loop"},
     # (b) 1-row scalar-subquery gate broadcast into a filter
     "a9_above_avg": {"broadcast_nested_loop"},
     "q11_group_share_having": {"broadcast_nested_loop"},
