@@ -1896,6 +1896,67 @@ _COPURCHASE_W2_SQL = """
 
 
 @register(
+    "graph_neighbor_jaccard",
+    sql=f"""
+    WITH
+    {_COPURCHASE_W2_SQL},
+    adj AS (SELECT a AS node, b AS nbr FROM e0
+            UNION ALL SELECT b, a FROM e0),
+    deg AS (SELECT node, COUNT(*) AS d FROM adj GROUP BY 1),
+    cn AS (
+      SELECT x.node AS ia, y.node AS ib, COUNT(*) AS c
+      FROM adj x JOIN adj y ON x.nbr = y.nbr AND x.node < y.node
+      GROUP BY 1, 2
+    )
+    SELECT cn.ia AS id_a, cn.ib AS id_b, CAST(cn.c AS BIGINT) AS n_common,
+           round(CAST(cn.c AS DOUBLE) / (da.d + db.d - cn.c), 6) AS jaccard_r6
+    FROM cn JOIN deg da ON da.node = cn.ia JOIN deg db ON db.node = cn.ib
+    WHERE CAST(cn.c AS DOUBLE) / (da.d + db.d - cn.c) >= 0.5
+    """,
+)
+def graph_neighbor_jaccard(spark, sf_dir):
+    """Structural node similarity / link prediction: part pairs whose
+    co-purchase NEIGHBORHOODS overlap (Jaccard of neighbor sets ≥ 0.5)
+    — the classic common-neighbors feature, surfacing substitutable /
+    bundled parts that may never co-occur directly. Common-neighbor
+    counting reuses the bucketed pair expansion (group adjacency by the
+    shared neighbor, expand in-bucket pairs — one (neighbor, node)
+    shuffle, no self-join; per-bucket fanout = that node's degree, the
+    same bounded-fanout argument as the pagerank edge build), then two
+    broadcast-joined degree lookups and one exact int/int division.
+    At 100 TB hub nodes get the triangle-count treatment (degree-capped
+    orientation) before expansion."""
+    from .operators.dedup import _bucket_pairs
+
+    e = _copurchase_w2(spark, sf_dir)
+    adj = e.select(
+        F.col("id_a").alias("node"), F.col("id_b").alias("nbr")
+    ).union(e.select(F.col("id_b").alias("node"), F.col("id_a").alias("nbr")))
+    deg = adj.groupBy("node").agg(F.count(F.lit(1)).alias("_d"))
+    cn = (
+        _bucket_pairs(
+            adj.select(F.col("node").alias("_id"), "nbr"),
+            bucket_cols=("nbr",),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    da = deg.select(F.col("node").alias("id_a"), F.col("_d").alias("_da"))
+    db = deg.select(F.col("node").alias("id_b"), F.col("_d").alias("_db"))
+    jac = F.col("n_common").cast("double") / (
+        F.col("_da") + F.col("_db") - F.col("n_common")
+    )
+    return (
+        cn.join(F.broadcast(da), "id_a")
+        .join(F.broadcast(db), "id_b")
+        .filter(jac >= 0.5)
+        .select(
+            "id_a", "id_b", "n_common", F.round(jac, 6).alias("jaccard_r6")
+        )
+    )
+
+
+@register(
     "graph_kcore",
     sql=f"""
     WITH RECURSIVE
