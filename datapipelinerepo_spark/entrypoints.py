@@ -77,7 +77,15 @@ def cf_games_pipeline(
     manual: list[str] | None = None, clock: Clock | None = None,
 ) -> PipelineReport:
     """main.py:68-77 — CFGames teams×years incremental pull."""
-    return _run([GamesSource(list(years), fetcher)], manual or [], spark, store, clock)
+    # years=None means the massgrab historical backfill (GamesSource
+    # docstring); list(None) would TypeError before O6 isolation (r6)
+    return _run(
+        [GamesSource(list(years) if years is not None else None, fetcher)],
+        manual or [],
+        spark,
+        store,
+        clock,
+    )
 
 
 def cf_gamestats_pipeline(

@@ -54,8 +54,11 @@ def name_concat(*cols: Column | str, sep: str = " ") -> Column:
 
 def b64_decode_utf8(col: Column | str) -> Column:
     """F8: `base64.b64decode(event['data']).decode('utf-8')`
-    (functions/main.py:41)."""
-    return F.unbase64(col).cast("string")
+    (functions/main.py:41). try_to_binary, not unbase64: under ANSI a
+    single malformed payload would abort the whole batch extract and
+    lose every valid payload with it — malformed input decodes to NULL
+    (the streaming twin's skip semantics; code-review r6)."""
+    return F.try_to_binary(col, F.lit("base64")).cast("string")
 
 
 def json_day_block(col: Column | str, path: str = "$.forecast.forecastday[0].day") -> Column:

@@ -124,6 +124,18 @@ class TableStore:
             millis = json.load(f)["last_modified_millis"]
         return dt.datetime.fromtimestamp(millis / 1000, dt.timezone.utc).date()
 
+    def _dir_has_parquet(self, name: str) -> bool:
+        """Does the table directory hold at least one parquet file
+        (any depth — partition dirs included)? Early-exits on first
+        hit, so the walk is O(1) for healthy tables."""
+        d = self._dir(name)
+        if not os.path.isdir(d):
+            return False
+        for _root, _dirs, files in os.walk(d):
+            if any(f.endswith(".parquet") for f in files):
+                return True
+        return False
+
     def _touch_meta(self, name: str, **extra) -> None:
         meta = {}
         p = self._meta_path(name)
@@ -559,7 +571,17 @@ class TableStore:
             w.format("delta").save(self._dir(name))
         else:
             w.parquet(self._dir(name))
-        self._touch_meta(name)
+        # Stamp the catalog only if the table actually holds data: a
+        # dynamic partitioned write of an EMPTY frame writes no files
+        # (no partition receives data), and stamping it would create a
+        # table that exists() affirms but reads crash on ("unable to
+        # infer schema" on a fileless directory) — which wedges a
+        # streaming foreachBatch whose first batch had zero survivors
+        # into a permanent replay-crash loop (code-review r6). An empty
+        # re-load of an EXISTING table still stamps (it is a completed,
+        # if trivial, load).
+        if self._dir_has_parquet(name) or self._is_delta(name):
+            self._touch_meta(name)
 
     def upsert(self, df: DataFrame, name: str, key: str | list[str]) -> None:
         """Keyed merge (MERGE/upsert): incoming rows replace existing

@@ -407,11 +407,18 @@ def incremental_near_dup_lsh(
     shingle_n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    new_bands: DataFrame | None = None,
 ) -> DataFrame:
     """Which incoming documents near-duplicate something ALREADY in the
     corpus — the nightly-crawl counterpart of ``minhash_lsh_pairs``,
     against a pre-built ``minhash_band_index`` (same num_hashes/bands/
     shingle_n as the index, or band hashes won't line up).
+
+    ``new_bands``: optionally the batch's ALREADY-computed banding (the
+    ``minhash_band_index(new, ...)`` frame) — the streaming ingest
+    computes it once for the index write and passes it here so the
+    pandas-UDF signature pass (the dominant per-doc cost this design
+    amortizes) runs once per batch, not twice (code-review r6).
 
     Scale shape: the historical corpus is never re-signed — the new
     batch is banded map-only, the probe join shuffles |new|×bands rows
@@ -423,9 +430,15 @@ def incremental_near_dup_lsh(
 
     Output: (new_id, corpus_id, jaccard), jaccard ≥ threshold.
     """
-    nb = _band_rows(
-        new, num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
-        text_col=text_col, id_col=id_col,
+    nb = (
+        new_bands.select(
+            F.col(id_col).alias("_id"), "band_no", "band_hash"
+        )
+        if new_bands is not None
+        else _band_rows(
+            new, num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
+            text_col=text_col, id_col=id_col,
+        )
     )
     cand = (
         nb.join(

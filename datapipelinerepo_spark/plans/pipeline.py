@@ -55,8 +55,11 @@ class FixedClock(Clock):
 
 
 def existence_gate(store: TableStore, table: str) -> bool:
-    """S3: pull-everything when the target table doesn't exist yet
-    (__TABLES__ probe, datasources.py:136, :604)."""
+    """S3 existence probe (__TABLES__, datasources.py:136, :604):
+    True iff the target table EXISTS. Sources that want
+    "pull-everything when the table is missing" schedule on
+    ``not existence_gate(...)`` — as every in-repo source does
+    (docstring polarity fixed r6: it used to state the negation)."""
     return store.exists(table)
 
 
@@ -85,9 +88,17 @@ def monthly_quota_gate(
     request budget (1M/month accounting, datasources.py:147-167)."""
     used = 0
     if store.exists(table):
+        today = clock.today()
         used = (
             store.read(table)
-            .where(f"month({date_col}) = {clock.today().month}")
+            # month AND year: month() alone also counts the same month
+            # of every PREVIOUS year, so a table with >1y of history
+            # would strangle its own quota at month start
+            # (code-review r6)
+            .where(
+                f"month({date_col}) = {today.month} "
+                f"AND year({date_col}) = {today.year}"
+            )
             .count()
         )
     return budget - used - upcoming >= 0
@@ -141,6 +152,11 @@ class DataSource(abc.ABC):
     table_name: str
     write_mode: str = "append"  # 'append' | 'overwrite' | 'partition_reload'
     partition_col: str | None = None
+    # plan-lint finding codes this source's extract legitimately carries
+    # (e.g. GamesSource's INTENTIONAL teams×years driving cross join, J4
+    # — without this, Pipeline(lint_plans=True) would reject the
+    # engine's own source library; code-review r6)
+    lint_allow: tuple[str, ...] = ()
 
     @abc.abstractmethod
     def schedule(self, ctx: SourceContext) -> bool: ...
@@ -150,7 +166,15 @@ class DataSource(abc.ABC):
 
     def load(self, ctx: SourceContext, df: DataFrame) -> int:
         """S8/S9/S10 dispatch with the empty-batch guard
-        (`df.shape[0] > 0` before load, datasources.py:756)."""
+        (`df.shape[0] > 0` before load, datasources.py:756).
+
+        The extract is MATERIALIZED once before counting: count + write
+        would otherwise execute the whole extract twice — for a
+        fetch_map source that is 2x the HTTP requests the quota gate
+        budgets, and a fetch that flakes between the two actions would
+        make the reported row count disagree with the table
+        (code-review r6)."""
+        df = df.localCheckpoint(eager=True)
         n = df.count()
         if n == 0:
             return 0
@@ -234,7 +258,7 @@ class Pipeline:
                 if self.lint_plans:
                     from .lint import assert_clean
 
-                    assert_clean(df)
+                    assert_clean(df, allow=getattr(src, "lint_allow", ()))
                 report.loaded_rows[src.name] = src.load(ctx, df)
         except Exception as e:  # O6: isolate per-source failures
             report.errors[src.name] = f"{type(e).__name__}: {e}"

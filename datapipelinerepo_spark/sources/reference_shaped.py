@@ -217,6 +217,10 @@ class GamesSource(DataSource):
     to the year it starts in: Aug-Dec → this year, Jan-Jul → last
     year), which keeps the gate deterministic and testable."""
 
+    # the teams×years work-list IS an intentional driving cross join
+    # (J4) — exempt it from Pipeline(lint_plans=True)
+    lint_allow = ("cartesian_product", "broadcast_nested_loop")
+
     name = "games"
     table_name = "games"
     write_mode = "append"

@@ -36,7 +36,13 @@ def read_base64_event_stream(
         # required event-time field instead
         .filter(F.col("r").isNotNull() & F.col("r.time_stamp").isNotNull())
         .select("r.*")
-        .withColumn("ts", F.to_timestamp("time_stamp"))
+        # try_to_timestamp: a well-formed JSON payload carrying garbage
+        # in time_stamp ('2026-13-99') must be SKIPPED like any other
+        # malformed payload, not kill the stream — ANSI to_timestamp
+        # throws, and a streaming query that dies on a poison record
+        # replays the same offset and dies again forever (code-review r6)
+        .withColumn("ts", F.try_to_timestamp("time_stamp"))
+        .filter(F.col("ts").isNotNull())
     )
 
 
@@ -204,6 +210,12 @@ def near_dup_ingest_stream(
 
     def _ingest(batch: DataFrame, batch_id: int) -> None:
         batch = batch.localCheckpoint(eager=True)  # one materialization per use below
+        # sign the batch ONCE: the same banding feeds the probe (below)
+        # and the index write (bottom) — without this the pandas-UDF
+        # signature pass ran twice per batch (code-review r6)
+        bands = D.minhash_band_index(batch, **lsh_kwargs).localCheckpoint(
+            eager=True
+        )
         if store.exists(index_table):
             # exclude this batch's OWN partitions: an at-least-once
             # retry re-runs the batch after its writes landed, and an
@@ -214,6 +226,7 @@ def near_dup_ingest_stream(
                 store.read(index_table).filter(F.col("_batch_id") != batch_id),
                 store.read(corpus_table).filter(F.col("_batch_id") != batch_id),
                 threshold=threshold,
+                new_bands=bands,
                 **lsh_kwargs,
             )
             store.reload_partitions(
@@ -227,9 +240,7 @@ def near_dup_ingest_stream(
             batch.withColumn("_batch_id", F.lit(batch_id)), corpus_table, "_batch_id"
         )
         store.reload_partitions(
-            D.minhash_band_index(batch, **lsh_kwargs).withColumn(
-                "_batch_id", F.lit(batch_id)
-            ),
+            bands.withColumn("_batch_id", F.lit(batch_id)),
             index_table,
             "_batch_id",
         )

@@ -486,3 +486,99 @@ def test_cli_list_and_oracle_paths(capsys):
     assert "ln(" in capsys.readouterr().out
     assert main(["no_such_query"]) == 2
     assert main(["ann_topk_lsh", "--oracle"]) == 1  # rows-only
+
+
+def test_quota_gate_ignores_previous_years(spark, store):
+    """month() alone also matches the same month of EVERY previous
+    year; a table with >1y of history would strangle its own quota at
+    month start (code-review r6)."""
+    clock = FixedClock(MONDAY)  # 2026-08
+    old = spark.createDataFrame(
+        [("z", dt.date(2025, 8, d), 0.0) for d in range(1, 10)],
+        "zip string, date date, v double",
+    )
+    store.append(old, "w")
+    # 9 rows of LAST August must not count against THIS August's budget
+    assert monthly_quota_gate(store, "w", "date", clock, budget=5, upcoming=5)
+
+
+def test_load_executes_extract_once(spark, store):
+    """count + write must not run the extract twice: for an HTTP-backed
+    source that is 2x the requests the quota gate budgets
+    (code-review r6). Counted via an accumulator inside the extract."""
+    from datapipelinerepo_spark.plans.pipeline import DataSource, Pipeline
+
+    acc = spark.sparkContext.accumulator(0)
+
+    class CountingSource(DataSource):
+        name = "counting"
+        table_name = "counting_t"
+
+        def schedule(self, ctx):
+            return True
+
+        def extract(self, ctx):
+            def tag(batches):
+                for pdf in batches:
+                    acc.add(len(pdf))
+                    yield pdf
+
+            return ctx.spark.range(10).mapInPandas(tag, "id long")
+
+    report = Pipeline([CountingSource()], spark=spark, store=store).run()
+    assert report.loaded_rows["counting"] == 10
+    assert store.read("counting_t").count() == 10
+    assert acc.value == 10, f"extract executed {acc.value / 10:g}x"
+
+
+def test_pipeline_lint_gate_honors_source_allow(spark, tmp_path):
+    """A source whose extract is an INTENTIONAL cross join (the J4
+    driving work list) declares lint_allow and passes the lint gate;
+    without the declaration the same extract is refused
+    (code-review r6)."""
+    from datapipelinerepo_spark.io import TableStore
+    from datapipelinerepo_spark.plans.pipeline import DataSource, Pipeline
+
+    class CrossSource(DataSource):
+        name = "cross"
+        table_name = "cross_t"
+        lint_allow = ("cartesian_product", "broadcast_nested_loop")
+
+        def schedule(self, ctx):
+            return True
+
+        def extract(self, ctx):
+            a = ctx.spark.range(3)
+            b = ctx.spark.range(2).withColumnRenamed("id", "id2")
+            return a.crossJoin(b)
+
+    store2 = TableStore(spark, str(tmp_path / "s1"))
+    rep = Pipeline([CrossSource()], spark=spark, store=store2, lint_plans=True).run()
+    assert rep.errors == {} and rep.loaded_rows["cross"] == 6
+
+    class Undeclared(CrossSource):
+        name = "undeclared"
+        table_name = "undeclared_t"
+        lint_allow = ()
+
+    store3 = TableStore(spark, str(tmp_path / "s2"))
+    rep2 = Pipeline([Undeclared()], spark=spark, store=store3, lint_plans=True).run()
+    assert "undeclared" in rep2.errors
+
+
+def test_games_entrypoint_accepts_none_years(spark, store):
+    """years=None is the documented massgrab-backfill switch; the
+    entrypoint must not TypeError on it before O6 isolation
+    (code-review r6)."""
+    from datapipelinerepo_spark.entrypoints import cf_games_pipeline
+
+    def no_fetch(url):
+        raise RuntimeError("offline")
+
+    report = cf_games_pipeline(
+        spark, store, fetcher=no_fetch, years=None, clock=FixedClock(MONDAY)
+    )
+    # reaching the per-source report (scheduled or error) proves the
+    # TypeError is gone; the missing teams table / offline fetch land
+    # in O6 isolation instead of aborting the entrypoint
+    assert "games" in set(report.scheduled) | set(report.errors)

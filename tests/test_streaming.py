@@ -608,3 +608,64 @@ def test_cdc_ingest_stream_versioned_table_keeps_snapshots(spark, tmp_path):
     }
     assert pinned == {k: float(k) for k in range(1, 9)}
     assert store.latest_version("dim_current") > v0
+
+
+def test_poison_timestamp_skipped_not_stream_killing(spark, tmp_path):
+    """A well-formed base64+JSON payload carrying a garbage time_stamp
+    must be SKIPPED like any malformed payload — under ANSI,
+    to_timestamp would throw and the query would die replaying the
+    same poison offset forever (code-review r6)."""
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "b.txt").write_text(
+        "\n".join(
+            [
+                _payload("2026-08-12 14:03:21", "/ok"),
+                _payload("2026-13-99", "/poison"),  # unparseable ts
+                _payload("garbage", "/poison2"),
+            ]
+        )
+    )
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = stream_to_table(
+        read_base64_event_stream(spark, str(src)), out, ckpt
+    )
+    q.awaitTermination()
+    rows = spark.read.parquet(out).collect()
+    assert {r["page"] for r in rows} == {"/ok"}
+
+
+def test_curate_ingest_survives_all_rejected_first_batch(spark, tmp_path):
+    """First batch with ZERO survivors must not wedge the stream: the
+    empty clean-table write leaves no catalog trace, so the next
+    batch bootstraps normally instead of crashing on a fileless table
+    every replay (code-review r6)."""
+    from datapipelinerepo_spark.io import TableStore
+    from datapipelinerepo_spark.streaming.ingest import curate_ingest_stream
+
+    src = tmp_path / "in"
+    src.mkdir()
+    store = TableStore(spark, str(tmp_path / "store"))
+    ckpt = str(tmp_path / "ckpt")
+    schema = "doc_id long, text string, lang string"
+
+    def drain():
+        stream = spark.readStream.schema(schema).json(str(src))
+        curate_ingest_stream(stream, store, ckpt).awaitTermination()
+
+    # batch 1: every doc fails the min-length gate
+    (src / "b1.json").write_text(
+        "\n".join(
+            json.dumps({"doc_id": i, "text": "x", "lang": "en"})
+            for i in range(3)
+        )
+    )
+    drain()
+    assert not store.exists("clean_corpus")
+    # batch 2: a real document — the pipeline bootstraps cleanly
+    good = "this is a perfectly reasonable document " * 5
+    (src / "b2.json").write_text(
+        json.dumps({"doc_id": 10, "text": good, "lang": "en"})
+    )
+    drain()
+    assert {r["doc_id"] for r in store.read("clean_corpus").collect()} == {10}
