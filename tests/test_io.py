@@ -741,3 +741,20 @@ def test_versioned_upsert_schema_evolution_and_pinned_schema(spark, tmp_path):
     vals = {r["id"]: r["note"] for r in latest.collect()}
     assert vals[3] == "extra!" and vals[4] is None
     assert "note" not in store.read("t", version=1).columns
+
+
+def test_write_clustered_rewrites_whole_path(spark, tmp_path):
+    """write_clustered is a full replacement: a re-write covering fewer
+    partition values must not keep the stale directories (the same
+    dynamic-overwrite class as the overwrite_keyed bug, r6)."""
+    from datapipelinerepo_spark.io import write_clustered
+
+    out = str(tmp_path / "c")
+    df1 = spark.createDataFrame(
+        [("a", 1.0), ("b", 2.0), ("c", 3.0)], "k string, v double"
+    )
+    write_clustered(df1, out, partition_col="k", sort_cols=["v"])
+    df2 = spark.createDataFrame([("a", 9.0)], "k string, v double")
+    write_clustered(df2, out, partition_col="k", sort_cols=["v"])
+    got = {(r["k"], r["v"]) for r in spark.read.parquet(out).collect()}
+    assert got == {("a", 9.0)}
