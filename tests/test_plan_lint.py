@@ -152,9 +152,6 @@ _REGISTRY_ALLOW = {
     # (b) ≤33×33 triangular bucket-offsets join (the same
     # global_desc_rank_cumsum machinery)
     "sample_token_budget": {"broadcast_nested_loop"},
-    # (b) corpus × CONSTANT-size eval suite broadcast — the intended
-    # map-side scoring plan; the corpus never shuffles
-    "embedding_semantic_decontaminate": {"broadcast_nested_loop"},
     # (b) 1-row bound/threshold aggregates crossJoin-broadcast back onto
     # the sketch output
     "scale_approx_aggs_bounded": {"broadcast_nested_loop"},
