@@ -34,38 +34,50 @@ def asof_join(
     ``key`` (NULLs where no prior right row exists).
 
     Output: all left columns + ``value_cols`` (aliased as given).
-    """
+
+    Row-atomic carry (code-review r6): the matched right row travels as
+    ONE struct, so (a) a NULL in the newest matching row is returned as
+    NULL instead of last(ignorenulls) reaching back to a STALE older
+    value, and (b) multiple value_cols always come from the SAME right
+    row — never a column-wise mix of rows that never co-existed. Right
+    rows with a NULL ``right_ts`` are excluded (a NULL event time
+    satisfies no ≤ comparison; under nulls-first ordering it would
+    otherwise poison every left row of its key), a NULL ``left_ts``
+    matches nothing (same reason), and right rows tied on
+    (key, right_ts) resolve by the struct's own ordering — arbitrary
+    but DETERMINISTIC across runs and partitionings."""
     value_cols = value_cols or [c for c in right.columns if c not in (key, right_ts)]
+    rrow = F.struct(*[F.col(c).alias(c) for c in value_cols])
+    rrow_type = right.select(rrow.alias("x")).schema["x"].dataType
+    lrow_type = left.select(F.struct(*left.columns).alias("x")).schema["x"].dataType
+    r_tagged = right.filter(F.col(right_ts).isNotNull()).select(
+        F.col(key),
+        F.col(right_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        rrow.alias("_rrow"),
+        F.lit(None).cast(lrow_type).alias("_lrow"),
+    )
     l_tagged = left.select(
         F.col(key),
         F.col(left_ts).alias("_ts"),
         F.lit(0).alias("_side"),
-        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"_v_{c}") for c in value_cols],
+        F.lit(None).cast(rrow_type).alias("_rrow"),
         F.struct(*left.columns).alias("_lrow"),
     )
-    r_tagged = right.select(
-        F.col(key),
-        F.col(right_ts).alias("_ts"),
-        F.lit(1).alias("_side"),
-        *[F.col(c).alias(f"_v_{c}") for c in value_cols],
-        F.lit(None).cast(l_tagged.schema["_lrow"].dataType).alias("_lrow"),
-    )
     # right rows sort BEFORE left rows at the same _ts (_side desc) so a
-    # tie matches — ASOF's >= semantics
+    # tie matches — ASOF's >= semantics; _rrow as the final key makes
+    # same-timestamp right rows a deterministic total order
     w = (
         Window.partitionBy(key)
-        .orderBy(F.col("_ts").asc(), F.col("_side").desc())
+        .orderBy(F.col("_ts").asc(), F.col("_side").desc(), F.col("_rrow").asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     carried = r_tagged.unionByName(l_tagged).select(
         "_side",
         "_lrow",
-        *[
-            F.last(f"_v_{c}", ignorenulls=True).over(w).alias(f"_cv_{c}")
-            for c in value_cols
-        ],
+        F.last("_rrow", ignorenulls=True).over(w).alias("_cr"),
     )
     return carried.filter(F.col("_side") == 0).select(
         F.col("_lrow.*"),
-        *[F.col(f"_cv_{c}").alias(c) for c in value_cols],
+        *[F.col(f"_cr.{c}").alias(c) for c in value_cols],
     )

@@ -25,12 +25,24 @@ def interval_join_binned(
     start_ts: str,
     end_ts: str,
     bin_width_s: int = 3600,
+    max_span_bins: int = 100_000,
 ) -> DataFrame:
     """Inner join of points to the intervals containing them
     (``start_ts <= point_ts <= end_ts``, same ``key``), returning all
-    columns of both inputs. Intervals must be distinct rows; a point
-    matching an interval whose span crosses bins is deduplicated via
-    the interval's (key, start) identity."""
+    columns of both inputs with the same multiplicity as the naive
+    BETWEEN join: each (point row, interval row) pair matches at most
+    once BY CONSTRUCTION — the point has exactly one bin and the
+    interval appears once per bin — so no post-join dedup runs
+    (code-review r6: the old dropDuplicates collapsed genuinely
+    duplicate point rows and distinct intervals sharing (key, start)).
+
+    Dirty-input posture: inverted intervals (end < start) contain no
+    timestamps, so they are filtered (their correct join result, not
+    an error — and Spark's sequence() would otherwise DESCEND and
+    fabricate junk bins); an interval spanning more than
+    ``max_span_bins`` bins (a far-future sentinel end date at hourly
+    bins ≈ 11 years) raises a clear error instead of exploding the
+    executor with a multi-million-element sequence."""
     w = F.lit(int(bin_width_s)).cast("long")
 
     # Epoch seconds, type-agnostic: TIMESTAMP_NTZ (what parquet reads
@@ -42,24 +54,29 @@ def interval_join_binned(
     def _epoch_s(c: str):
         return F.col(c).cast("timestamp").cast("long")
 
-    i_binned = intervals.withColumn(
-        "_bin",
-        F.explode(
-            F.sequence(
-                F.floor(_epoch_s(start_ts) / w).cast("long"),
-                F.floor(_epoch_s(end_ts) / w).cast("long"),
+    b0 = F.floor(_epoch_s(start_ts) / w).cast("long")
+    b1 = F.floor(_epoch_s(end_ts) / w).cast("long")
+    b1_guarded = F.when(b1 - b0 < F.lit(int(max_span_bins)), b1).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"interval_join_binned: interval spans more than "
+                    f"{max_span_bins} bins of {bin_width_s}s (dirty "
+                    f"far-future end_ts?): start="
+                ),
+                F.col(start_ts).cast("string"),
+                F.lit(" end="),
+                F.col(end_ts).cast("string"),
             )
-        ),
+        ).cast("long")
     )
+    i_binned = intervals.filter(
+        F.col(end_ts) >= F.col(start_ts)
+    ).withColumn("_bin", F.explode(F.sequence(b0, b1_guarded)))
     p_binned = points.withColumn(
         "_bin", F.floor(_epoch_s(point_ts) / w).cast("long")
     )
     exact = (F.col(point_ts) >= F.col(start_ts)) & (
         F.col(point_ts) <= F.col(end_ts)
     )
-    return (
-        p_binned.join(i_binned, on=[key, "_bin"])
-        .filter(exact)
-        .drop("_bin")
-        .dropDuplicates([*points.columns, start_ts])
-    )
+    return p_binned.join(i_binned, on=[key, "_bin"]).filter(exact).drop("_bin")

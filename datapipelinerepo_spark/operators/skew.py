@@ -58,8 +58,15 @@ def salted_join(
             f"salted_join supports how='inner'|'left' (got {how!r}); "
             "right/full joins would emit one row per unmatched dim replica"
         )
+    # rand-free per-row spread that does NOT hash row content: content
+    # hashing sends identical duplicate rows (or a frame that is only
+    # the key column) to ONE bucket — zero fan-out in exactly the
+    # degenerate hot-key case the salt exists for (code-review r6).
+    # monotonically_increasing_id varies per row unconditionally; the
+    # salt only routes rows, never reaches results, so run-to-run id
+    # differences are invisible to the output.
     fact_salted = fact.withColumn(
-        "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in fact.columns]), F.lit(salt_buckets))
+        "_salt", F.pmod(F.monotonically_increasing_id(), F.lit(salt_buckets))
     )
     dim_replicated = dim.withColumn(
         "_salt", F.explode(F.array(*[F.lit(i).cast("long") for i in range(salt_buckets)]))
@@ -75,7 +82,7 @@ def salted_count_by_key(df: DataFrame, key: str, salt_buckets: int = 16) -> Data
     algebraic aggs; the explicit form matters for aggs with large
     per-key state, e.g. collect_set or exact distinct.)"""
     salted = df.withColumn(
-        "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salt_buckets))
-    )
+        "_salt", F.pmod(F.monotonically_increasing_id(), F.lit(salt_buckets))
+    )  # per-row spread independent of content — see salted_join
     partial = salted.groupBy(key, "_salt").agg(F.count(F.lit(1)).alias("_pc"))
     return partial.groupBy(key).agg(F.sum("_pc").alias("n_rows"))

@@ -32,8 +32,13 @@ def running_sum(df: DataFrame, group: str, order: str, value: str, alias: str = 
         .orderBy(order)
         .rangeBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # decimal(30,6), not (18,4): a |v| >= 1e14 would overflow an
+    # 18-digit decimal to NULL under non-ANSI cast semantics and SUM
+    # would silently skip it, shorting every later running total
+    # (code-review r6); 30 digits of headroom keep the SUM itself
+    # (38-digit result precision) exact for corpus-scale frames
     return df.withColumn(
-        alias, F.sum(F.col(value).cast("decimal(18,4)")).over(w).cast("double")
+        alias, F.sum(F.col(value).cast("decimal(30,6)")).over(w).cast("double")
     )
 
 

@@ -20,18 +20,25 @@ from pyspark.sql.types import StringType, StructField, StructType
 class _TableParser(HTMLParser):
     """Collect <tr><td>…</td></tr> cell texts per row; also record each
     cell's first <a href> (the reference pulls team URLs/ids from
-    anchors, datasources.py:429-435)."""
+    anchors, datasources.py:429-435). ``table_starts`` records the row
+    index at which each <table> begins, so a caller skipping header
+    rows can skip one PER TABLE rather than only the first row of the
+    whole page (code-review r6: a nav/summary table above the data
+    table otherwise leaks every later table's header as a record)."""
 
     def __init__(self):
         super().__init__()
         self.rows: list[tuple[list[str], list[str | None]]] = []
+        self.table_starts: list[int] = []
         self._cells: list[str] | None = None
         self._hrefs: list[str | None] | None = None
         self._buf: list[str] | None = None
         self._href: str | None = None
 
     def handle_starttag(self, tag, attrs):
-        if tag == "tr":
+        if tag == "table":
+            self.table_starts.append(len(self.rows))
+        elif tag == "tr":
             self._cells, self._hrefs = [], []
         elif tag in ("td", "th") and self._cells is not None:
             self._buf, self._href = [], None
@@ -53,10 +60,18 @@ class _TableParser(HTMLParser):
             self._buf.append(data)
 
 
-def parse_table_rows(html: str) -> list[tuple[list[str], list[str | None]]]:
+def parse_table_rows(
+    html: str, skip_header_rows: bool = False
+) -> list[tuple[list[str], list[str | None]]]:
+    """All parsed rows of the page; with ``skip_header_rows`` the first
+    row of EVERY table is dropped (pages without <table> tags — bare
+    <tr> fragments — fall back to dropping the first row overall)."""
     p = _TableParser()
     p.feed(html or "")
-    return p.rows
+    if not skip_header_rows or not p.rows:
+        return p.rows
+    skip = set(p.table_starts) if p.table_starts else {0}
+    return [r for i, r in enumerate(p.rows) if i not in skip]
 
 
 def html_records(
@@ -74,9 +89,23 @@ def html_records(
 
     ``with_href_of``: also emit the anchor href of the named column's
     cell (team-URL extraction shape).
-    """
-    carry = [f.name for f in pages.schema.fields if f.name != payload_col]
-    out_fields = [StructField(c, StringType(), True) for c in carry]
+
+    ``skip_header`` drops the first row of every <table> on the page
+    (not just the page's first row — code-review r6). Carry columns
+    keep their ORIGINAL Spark types (a non-string page key no longer
+    breaks the Arrow conversion), and parsed/carry/href names must be
+    mutually distinct (a collision used to corrupt the per-batch
+    column assembly silently)."""
+    carry_fields = [f for f in pages.schema.fields if f.name != payload_col]
+    carry = [f.name for f in carry_fields]
+    clash = (set(carry) & set(columns)) | (
+        {href_alias} & (set(carry) | set(columns)) if with_href_of else set()
+    )
+    if len(set(columns)) != len(columns) or clash:
+        raise ValueError(
+            f"html_records: output names must be distinct; clash={sorted(clash)}"
+        )
+    out_fields = [StructField(f.name, f.dataType, True) for f in carry_fields]
     out_fields += [StructField(c, StringType(), True) for c in columns]
     if with_href_of:
         out_fields.append(StructField(href_alias, StringType(), True))
@@ -87,9 +116,9 @@ def html_records(
         for pdf in batches:
             out: dict[str, list] = {f.name: [] for f in schema.fields}
             for _, row in pdf.iterrows():
-                rows = parse_table_rows(row[payload_col])
-                if skip_header and rows:
-                    rows = rows[1:]
+                rows = parse_table_rows(
+                    row[payload_col], skip_header_rows=skip_header
+                )
                 for cells, hrefs in rows:
                     if len(cells) < len(columns):
                         continue  # malformed row — shape guard (datasources.py:349-352)

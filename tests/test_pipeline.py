@@ -582,3 +582,28 @@ def test_games_entrypoint_accepts_none_years(spark, store):
     # TypeError is gone; the missing teams table / offline fetch land
     # in O6 isolation instead of aborting the entrypoint
     assert "games" in set(report.scheduled) | set(report.errors)
+
+
+def test_html_records_multi_table_headers_and_typed_carry(spark):
+    """Per-TABLE header skip (a summary table above the data table must
+    not leak its header as a record), non-string carry columns keep
+    their types, and colliding output names fail fast
+    (code-review r6)."""
+    import pytest as _pytest
+
+    from datapipelinerepo_spark.sources.html import html_records
+
+    page = (
+        "<table><tr><td>Nav</td><td>X</td></tr></table>"
+        "<table><tr><td>Name</td><td>Score</td></tr>"
+        "<tr><td>alpha</td><td>10</td></tr>"
+        "<tr><td>beta</td><td>20</td></tr></table>"
+    )
+    pages = spark.createDataFrame([(7, page)], "year int, html string")
+    out = html_records(pages, "html", columns=["name", "score"])
+    rows = {(r["year"], r["name"], r["score"]) for r in out.collect()}
+    # both headers skipped ('Nav' and 'Name' rows), year stays an int
+    assert rows == {(7, "alpha", "10"), (7, "beta", "20")}
+    assert dict(out.dtypes)["year"] == "int"
+    with _pytest.raises(ValueError, match="distinct"):
+        html_records(pages, "html", columns=["year", "score"])

@@ -727,3 +727,88 @@ def test_centroid_outliers_null_embeddings_excluded(spark):
     ids = {r["vec_id"] for r in out}
     assert ids == {1, 2}
     assert all(r["cos_centroid"] is not None for r in out)
+
+
+def test_asof_join_null_values_and_null_timestamps(spark):
+    """Row-atomic ASOF semantics (code-review r6): a NULL in the newest
+    matching right row is returned as NULL (not a stale older value),
+    multiple value columns come from the SAME right row, NULL right
+    timestamps match nothing, and a NULL left timestamp gets no match."""
+    from datapipelinerepo_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "k", 3), (2, "k", None), (3, "n", 5)], ["lid", "k", "ts"]
+    )
+    right = spark.createDataFrame(
+        [
+            ("k", 1, 5.0, "old"),
+            ("k", 2, None, "new"),   # newest match: v is genuinely NULL
+            ("n", None, 99.0, "x"),  # NULL ts: matches nothing
+        ],
+        ["k", "ts", "v", "tag"],
+    )
+    got = {
+        r["lid"]: (r["v"], r["tag"])
+        for r in asof_join(
+            left, right, key="k", left_ts="ts", right_ts="ts"
+        ).collect()
+    }
+    # the newest row (ts=2) wins WHOLE: v=NULL and tag='new' together —
+    # not v=5.0 carried from ts=1 beside tag='new'
+    assert got[1] == (None, "new")
+    assert got[2] == (None, None)   # NULL left ts: no prior row
+    assert got[3] == (None, None)   # only right row has NULL ts
+
+
+def test_range_join_multiplicity_and_dirty_intervals(spark):
+    """The binned range join preserves naive-BETWEEN multiplicity
+    (duplicate point rows match twice; distinct intervals sharing
+    (key, start) both match), drops inverted intervals as containing
+    nothing, and fails loudly on an interval whose span would explode
+    the bin sequence (code-review r6)."""
+    import pytest as _pytest
+
+    from datapipelinerepo_spark.operators.rangejoin import interval_join_binned
+
+    pts = spark.createDataFrame(
+        [("k", "2026-01-01 10:00:00"), ("k", "2026-01-01 10:00:00")],
+        ["k", "ts"],
+    ).selectExpr("k", "cast(ts as timestamp) ts")
+    iv = spark.createDataFrame(
+        [
+            ("k", "2026-01-01 09:00:00", "2026-01-01 11:00:00", "a"),
+            ("k", "2026-01-01 09:00:00", "2026-01-01 12:00:00", "b"),
+            ("k", "2026-01-01 11:00:00", "2026-01-01 09:00:00", "inv"),
+        ],
+        ["k", "s", "e", "tag"],
+    ).selectExpr("k", "cast(s as timestamp) s", "cast(e as timestamp) e", "tag")
+    got = interval_join_binned(pts, iv, key="k", point_ts="ts", start_ts="s", end_ts="e")
+    # 2 duplicate points x 2 containing intervals = 4 rows; the
+    # inverted interval contributes none
+    rows = got.collect()
+    assert len(rows) == 4
+    assert sorted(r["tag"] for r in rows) == ["a", "a", "b", "b"]
+
+    huge = spark.createDataFrame(
+        [("k", "2026-01-01 00:00:00", "9999-12-31 00:00:00", "dirty")],
+        ["k", "s", "e", "tag"],
+    ).selectExpr("k", "cast(s as timestamp) s", "cast(e as timestamp) e", "tag")
+    with _pytest.raises(Exception, match="spans more than"):
+        interval_join_binned(
+            pts, huge, key="k", point_ts="ts", start_ts="s", end_ts="e"
+        ).collect()
+
+
+def test_salted_count_fans_out_duplicate_rows(spark):
+    """Content-hash salting sent identical duplicate rows to ONE bucket
+    — zero fan-out in the degenerate hot-key case (code-review r6).
+    The per-row salt must spread them while the final count is exact."""
+    from datapipelinerepo_spark.operators.skew import salted_count_by_key
+
+    hot = spark.createDataFrame([("hot",)] * 4000, ["k"]).repartition(8)
+    out = salted_count_by_key(hot, "k", salt_buckets=16)
+    assert out.first()["n_rows"] == 4000
+    salted = hot.withColumn(
+        "_s", F.pmod(F.monotonically_increasing_id(), F.lit(16))
+    )
+    assert salted.select("_s").distinct().count() > 1
