@@ -19,6 +19,23 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _orderable(dt) -> bool:
+    """Can a column of this type appear in a sort/window ORDER BY?
+    Spark rejects MapType (and the opaque VariantType) anywhere inside
+    an ordering expression; arrays and structs are orderable iff their
+    element/field types are."""
+    if isinstance(dt, T.MapType):
+        return False
+    if dt.typeName() == "variant":
+        return False
+    if isinstance(dt, T.ArrayType):
+        return _orderable(dt.elementType)
+    if isinstance(dt, T.StructType):
+        return all(_orderable(f.dataType) for f in dt.fields)
+    return True
 
 
 def asof_join(
@@ -44,17 +61,26 @@ def asof_join(
     satisfies no ≤ comparison; under nulls-first ordering it would
     otherwise poison every left row of its key), a NULL ``left_ts``
     matches nothing (same reason), and right rows tied on
-    (key, right_ts) resolve by the struct's own ordering — arbitrary
-    but DETERMINISTIC across runs and partitionings."""
+    (key, right_ts) resolve by a struct of the ORDERABLE value columns
+    — arbitrary but DETERMINISTIC across runs and partitionings.
+    (The tie-break struct holds only orderable-typed columns: putting
+    the full payload struct in ORDER BY failed with AnalysisException
+    as soon as any value column was a map — ADVICE r6. Rows tied on
+    (key, right_ts) AND every orderable value column differ only in
+    unorderable columns; that residual tie stays engine-ordered.)"""
     value_cols = value_cols or [c for c in right.columns if c not in (key, right_ts)]
+    ord_cols = [c for c in value_cols if _orderable(right.schema[c].dataType)]
     rrow = F.struct(*[F.col(c).alias(c) for c in value_cols])
     rrow_type = right.select(rrow.alias("x")).schema["x"].dataType
+    rord = F.struct(*[F.col(c).alias(c) for c in ord_cols])
+    rord_type = right.select(rord.alias("x")).schema["x"].dataType
     lrow_type = left.select(F.struct(*left.columns).alias("x")).schema["x"].dataType
     r_tagged = right.filter(F.col(right_ts).isNotNull()).select(
         F.col(key),
         F.col(right_ts).alias("_ts"),
         F.lit(1).alias("_side"),
         rrow.alias("_rrow"),
+        rord.alias("_rord"),
         F.lit(None).cast(lrow_type).alias("_lrow"),
     )
     l_tagged = left.select(
@@ -62,14 +88,19 @@ def asof_join(
         F.col(left_ts).alias("_ts"),
         F.lit(0).alias("_side"),
         F.lit(None).cast(rrow_type).alias("_rrow"),
+        F.lit(None).cast(rord_type).alias("_rord"),
         F.struct(*left.columns).alias("_lrow"),
     )
     # right rows sort BEFORE left rows at the same _ts (_side desc) so a
-    # tie matches — ASOF's >= semantics; _rrow as the final key makes
-    # same-timestamp right rows a deterministic total order
+    # tie matches — ASOF's >= semantics; _rord as the final key makes
+    # same-timestamp right rows a deterministic total order (over the
+    # orderable payload columns)
+    order = [F.col("_ts").asc(), F.col("_side").desc()]
+    if ord_cols:
+        order.append(F.col("_rord").asc())
     w = (
         Window.partitionBy(key)
-        .orderBy(F.col("_ts").asc(), F.col("_side").desc(), F.col("_rrow").asc())
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     carried = r_tagged.unionByName(l_tagged).select(

@@ -1047,22 +1047,29 @@ def semantic_decontaminate(
         F.col("_vec").alias("_cv"),
         F.col("_norm").alias("_cn"),
     )
+    # The eval id column is GENERIC (long, string, …): the candidate
+    # UDF's return type and the empty-case cast both derive from the
+    # evalset's actual id type, and the driver-side id list stays a
+    # dtype=object array so original Python values round-trip through
+    # the Arrow batch untouched (ADVICE r6: the previous np.int64 /
+    # array<long> hard-coding crashed or mis-cast non-long ids).
+    eid_type = evalset.schema[id_col].dataType.simpleString()
     # bounded collect: an eval suite is a fixed artifact (the k-means
     # parameter class); ids ASC
     ev_rows = e.select("_eid", "_ev").orderBy("_eid").collect()
     if not ev_rows:
         return c.select(
             F.col(id_col),
-            F.lit(None).cast("long").alias("nearest_eval"),
+            F.lit(None).cast(eid_type).alias("nearest_eval"),
             F.lit(None).cast("double").alias("sim_r4"),
         ).limit(0)
-    ev_ids = np.array([r["_eid"] for r in ev_rows], dtype=np.int64)
+    ev_ids = np.array([r["_eid"] for r in ev_rows], dtype=object)
     En = np.array([r["_ev"] for r in ev_rows], dtype=np.float64)
     En = En / np.linalg.norm(En, axis=1, keepdims=True)
     dim = En.shape[1]
     margin = float(threshold) - 1e-6
 
-    @pandas_udf("array<long>")
+    @pandas_udf(f"array<{eid_type}>")
     def _cand_evals(emb: pd.Series) -> pd.Series:
         if len(emb) == 0:
             return pd.Series([], dtype=object)

@@ -26,6 +26,7 @@ Node-name notes (what we match and why):
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
@@ -90,6 +91,76 @@ class Finding:
     evidence: str  # first plan line that matched
 
 
+# plan-string tree parsing: a node line is tree-drawing prefix
+# ("   +- ", ":     ", "|  ") + optional WholeStageCodegen star
+# ("*(3) ") + the node name. The prefix END POSITION is the node's
+# depth — children print strictly deeper, siblings at the same depth.
+_TREE_PREFIX = re.compile(r"^[\s:+|-]*")
+_CODEGEN_STAR = re.compile(r"^\*\(\d+\)\s*")
+
+# Nodes that merely wrap/reorder their single child without changing
+# what flows through the exchange — the walk below skips through them
+# when looking for the exchange's producing aggregate. Matched on the
+# node's full leading identifier (NOT a prefix: "Sort" must not
+# swallow "SortAggregate"/"SortMergeJoin").
+_PASS_THROUGH = frozenset(
+    {
+        "WholeStageCodegen",
+        "InputAdapter",
+        "ShuffleQueryStage",
+        "AQEShuffleRead",
+        "Project",
+        "Sort",
+        "CollectMetrics",
+    }
+)
+_AGGREGATES = frozenset(
+    {"HashAggregate", "SortAggregate", "ObjectHashAggregate"}
+)
+_IDENT = re.compile(r"[A-Za-z]+")
+
+
+def _node_at(ln: str) -> tuple[int, str]:
+    """(depth, node text) of one plan line."""
+    depth = _TREE_PREFIX.match(ln).end()
+    return depth, _CODEGEN_STAR.sub("", ln[depth:])
+
+
+def _scalar_partial_child(lines: list[str], i: int) -> bool:
+    """Does the Exchange at ``lines[i]`` sit directly on a
+    grouping-keyless partial aggregate with a bounded buffer?
+
+    Walks the plan TREE by indentation (ADVICE r6: the previous fixed
+    3-line window could mis-scope when project/sort lines sat between
+    the exchange and its aggregate, or when an unrelated keys=[]
+    partial landed in the window): descend the exchange's direct child
+    chain, skipping pass-through wrappers, and judge the first real
+    node reached. Exempt iff that node is a keys=[]/key=[] partial
+    aggregate whose functions carry no data-sized buffer."""
+    depth, _ = _node_at(lines[i])
+    for j in range(i + 1, len(lines)):
+        d, node = _node_at(lines[j])
+        m = _IDENT.match(node)
+        if not node or m is None:
+            continue
+        if d <= depth:
+            return False  # left the exchange's subtree: no aggregate child
+        name = m.group(0)
+        if name in _PASS_THROUGH:
+            depth = d  # descend through the wrapper's child chain
+            continue
+        if name not in _AGGREGATES:
+            return False
+        # the exchange's producing aggregate: judge it
+        # (HashAggregate prints `keys=[]`, SortAggregate `key=[]`)
+        return (
+            ("keys=[]" in node or "key=[]" in node)
+            and "partial_" in node
+            and not any(n in node for n in DATA_SIZED_PARTIALS)
+        )
+    return False
+
+
 def _executed_plan(df: DataFrame) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
@@ -138,19 +209,12 @@ def plan_findings(
             # ships the corpus still flags. (partial_percentile_approx
             # is a bounded sketch and stays exempt: the trailing "(" in
             # each needle keeps it from matching the exact-percentile
-            # entry.)
-            if code == "single_partition_exchange":
-                child = lines[i + 1 : i + 4]
-                # HashAggregate prints `keys=[]`, SortAggregate `key=[]`
-                if any(
-                    ("keys=[]" in c or "key=[]" in c) and "partial_" in c
-                    for c in child
-                ) and not any(
-                    needle in c
-                    for c in child
-                    for needle in DATA_SIZED_PARTIALS
-                ):
-                    continue
+            # entry.) The child is found by an indentation tree walk
+            # (_scalar_partial_child), not a fixed line window.
+            if code == "single_partition_exchange" and _scalar_partial_child(
+                lines, i
+            ):
+                continue
             hit = ln.strip()
             break
         if hit is not None:

@@ -1541,6 +1541,36 @@ def test_semantic_decontaminate_flags_paraphrase_not_orthogonal(spark):
     assert 5 not in got and 6 not in got
 
 
+def test_semantic_decontaminate_string_ids(spark):
+    """The id column is generic (ADVICE r6: the r6 matmul rewrite
+    hard-coded int64 ids) — string-keyed corpora/eval suites flag with
+    their original id values, and nearest_eval carries the eval set's
+    id type. Empty eval set degenerates cleanly with the same type."""
+    ev = spark.createDataFrame(
+        [("mmlu-001", [1.0, 0.0]), ("gsm8k-17", [0.0, 1.0])],
+        "vec_id string, embedding array<float>",
+    )
+    co = spark.createDataFrame(
+        [
+            ("doc-a", [2.0, 0.0]),   # copy of mmlu-001
+            ("doc-b", [0.1, 0.9]),   # near gsm8k-17
+            ("doc-c", [1.0, -1.0]),  # 45° off both; below 0.9 threshold
+        ],
+        "vec_id string, embedding array<float>",
+    )
+    got = {
+        r["vec_id"]: (r["nearest_eval"], r["sim_r4"])
+        for r in SIM.semantic_decontaminate(co, ev, threshold=0.9).collect()
+    }
+    assert got == {
+        "doc-a": ("mmlu-001", 1.0),
+        "doc-b": ("gsm8k-17", round(0.9 / (0.1**2 + 0.9**2) ** 0.5, 4)),
+    }
+    empty = SIM.semantic_decontaminate(co, ev.limit(0), threshold=0.9)
+    assert dict(empty.dtypes)["nearest_eval"] == "string"
+    assert empty.count() == 0
+
+
 def test_global_desc_rank_cumsum_matches_global_window(spark):
     """The bucketed rank+cumsum equals a plain global-window
     computation, including a Zipf-shaped fat tie class on the desc

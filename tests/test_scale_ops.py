@@ -127,6 +127,47 @@ def test_asof_join_semantics(spark):
     assert got == {1: 1.0, 2: 2.0, 3: None, 4: None}
 
 
+def test_asof_join_unorderable_value_column(spark):
+    """A map-typed value column rides along as payload (ADVICE r6: the
+    r6 tie-break put the full payload struct into the window ORDER BY,
+    which Spark rejects for maps) — the tie-break now orders only the
+    orderable value columns, so the join still plans, the map payload
+    still carries row-atomically, and same-timestamp right rows still
+    resolve deterministically by the orderable column."""
+    from datapipelinerepo_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, "k", 10), (2, "k", 3)], ["lid", "k", "ts"])
+    right = spark.createDataFrame(
+        [("k", 5, 1.0, {"a": 1}), ("k", 5, 2.0, {"b": 2})],
+        "k string, ts long, v double, m map<string,int>",
+    )
+    got = {
+        r["lid"]: (r["v"], r["m"])
+        for r in asof_join(
+            left, right, key="k", left_ts="ts", right_ts="ts"
+        ).collect()
+    }
+    # ties on (k, ts) break on the orderable struct (v asc → last wins
+    # under last_value over ordered frame = max v), and the map comes
+    # from the SAME winning row
+    assert got[1] == (2.0, {"b": 2})
+    assert got[2] == (None, None)
+
+
+def test_asof_join_all_values_unorderable(spark):
+    """Degenerate case: every value column is a map — the ORDER BY
+    drops the tie-break entirely (ts+side only) and the join still
+    runs."""
+    from datapipelinerepo_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, "k", 10)], ["lid", "k", "ts"])
+    right = spark.createDataFrame(
+        [("k", 5, {"a": 1})], "k string, ts long, m map<string,int>"
+    )
+    rows = asof_join(left, right, key="k", left_ts="ts", right_ts="ts").collect()
+    assert rows[0]["m"] == {"a": 1}
+
+
 def test_headline_plans_have_no_sort_merge_join(spark, sf_dir):
     """Regression guard: every headline join query broadcasts its dim
     side — a SortMergeJoin appearing here means a broadcast was lost
