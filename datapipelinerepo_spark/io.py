@@ -185,6 +185,29 @@ class TableStore:
             # the snapshot history died with the files
             shutil.rmtree(self._manifest_dir(name), ignore_errors=True)
 
+    def _retire_versioned(self, name: str) -> None:
+        """Retire a table's snapshot history BEFORE a destructive
+        rewrite of its data directory (ADVICE r6: overwrite() deleted
+        the data files first and the manifests only afterwards, so a
+        crash in between left every manifest pointing at deleted files
+        — reads raised path-not-found until another overwrite). Order:
+        un-mark `versioned` in meta first (readers immediately stop
+        resolving manifests and fall back to the still-intact
+        directory), then drop the manifest files. Either crash window
+        leaves a readable table; the in-progress overwrite window
+        itself fails loudly via the _SUCCESS guard, same as
+        overwrite_keyed's reset window."""
+        p = self._meta_path(name)
+        if os.path.isfile(p):
+            with open(p) as f:
+                meta = json.load(f)
+            if meta.get("versioned") or "version" in meta:
+                meta.pop("versioned", None)
+                meta.pop("version", None)
+                with open(p, "w") as f:
+                    json.dump(meta, f)
+        shutil.rmtree(self._manifest_dir(name), ignore_errors=True)
+
     def _kb_expr(
         self, name: str, keys: list[str], n_buckets: int, types: list[str] | None = None
     ):
@@ -277,7 +300,7 @@ class TableStore:
                     out.append(f"{d}/{f}")
         return sorted(out)
 
-    def _manifest_files(self, name: str, version: int) -> list[str]:
+    def _manifest_doc(self, name: str, version: int) -> dict:
         p = self._manifest_path(name, version)
         if not os.path.isfile(p):
             raise FileNotFoundError(
@@ -285,23 +308,61 @@ class TableStore:
                 f"(available: {self.versions(name)})"
             )
         with open(p) as f:
-            return json.load(f)["files"]
+            return json.load(f)
 
-    def _write_manifest_file(self, name: str, files: list[str]) -> int:
-        """Atomically write the next manifest file (tmp + rename —
-        readers see the old complete manifest or the new one, never a
-        partial). The rename is the COMMIT POINT; the meta pointer is
-        stamped separately (and is advisory — see latest_version)."""
-        v = (max(self.versions(name), default=0)) + 1
+    def _manifest_files(self, name: str, version: int) -> list[str]:
+        return self._manifest_doc(name, version)["files"]
+
+    def _write_manifest_file(
+        self, name: str, files: list[str], schema_json: str | None = None
+    ) -> int:
+        """Commit the next manifest version PUT-IF-ABSENT: the document
+        is fully written to a private tmp file, then CLAIMS its version
+        number via os.link — an atomic create-exclusive, so of two
+        writers that both picked N+1 exactly one wins the link and the
+        other rescans and retries with N+2 (VERDICT r6 item 2: the old
+        max+1 → os.replace protocol let a concurrent writer silently
+        clobber the loser's commit). Readers still only ever see a
+        complete manifest (the link target is fully written first).
+        The link is the COMMIT POINT; the meta pointer is stamped
+        separately (and is advisory — see latest_version).
+
+        ``schema_json`` (the written frame's StructType JSON) rides in
+        the manifest so an EMPTY snapshot stays readable — without it,
+        a zero-file manifest has no schema source (ADVICE r6)."""
+        import uuid
+
         os.makedirs(self._manifest_dir(name), exist_ok=True)
-        tmp = self._manifest_path(name, v) + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump({"version": v, "files": sorted(files)}, f)
-        os.replace(tmp, self._manifest_path(name, v))
-        return v
+        doc: dict = {"files": sorted(files)}
+        if schema_json is not None:
+            doc["schema"] = schema_json
+        tmp = os.path.join(
+            self._manifest_dir(name), f".tmp-{os.getpid()}-{uuid.uuid4().hex}"
+        )
+        try:
+            for _ in range(1000):
+                v = (max(self.versions(name), default=0)) + 1
+                doc["version"] = v
+                with open(tmp, "w") as f:
+                    json.dump(doc, f)
+                try:
+                    os.link(tmp, self._manifest_path(name, v))
+                except FileExistsError:
+                    continue  # lost the race for v — rescan and retry
+                return v
+        finally:
+            try:
+                os.remove(tmp)
+            except FileNotFoundError:
+                pass
+        raise RuntimeError(
+            f"{name}: could not claim a manifest version after 1000 attempts"
+        )
 
-    def _publish_version(self, name: str, files: list[str]) -> int:
-        v = self._write_manifest_file(name, files)
+    def _publish_version(
+        self, name: str, files: list[str], schema_json: str | None = None
+    ) -> int:
+        v = self._write_manifest_file(name, files, schema_json=schema_json)
         self._touch_meta(name, versioned=True, version=v)
         return v
 
@@ -358,7 +419,11 @@ class TableStore:
             self._dir(name)
         )
         new_files = set(self._data_files(name, buckets)) - before
-        return self._publish_version(name, list(kept) + sorted(new_files))
+        return self._publish_version(
+            name,
+            list(kept) + sorted(new_files),
+            schema_json=stamped.schema.json(),
+        )
 
     def compact(self, name: str, max_files_per_bucket: int = 1) -> int:
         """OPTIMIZE analog for versioned keyed tables: every live
@@ -402,15 +467,39 @@ class TableStore:
             slice_.repartition(F.col("_kb")), name, fat, kept
         )
 
-    def vacuum(self, name: str, keep_last: int = 1) -> list[str]:
+    def vacuum(
+        self, name: str, keep_last: int = 1, grace_s: float = 0.0
+    ) -> list[str]:
         """Reclaim files referenced by no retained manifest. Keeps the
         newest ``keep_last`` versions (and drops the older manifests, so
         a pinned read of a vacuumed version fails loudly instead of
-        returning partial data). Returns the deleted relative paths."""
+        returning partial data). Returns the deleted relative paths.
+
+        ``grace_s`` is the retention window for IN-FLIGHT readers
+        (VERDICT r6 item 6): versions whose manifest was published
+        within the last ``grace_s`` seconds are retained — files AND
+        manifest — so a reader that planned its scan against version N
+        keeps a complete file list across a concurrent
+        compact+vacuum instead of dying mid-scan on vanished files.
+        This is Delta's VACUUM retention model: a pinned plan is only
+        safe for the grace window, and maintenance jobs should run
+        with ``grace_s`` >= the longest expected query. The default 0
+        reclaims aggressively (readers of dropped versions fail loudly
+        — Spark's ignoreMissingFiles is off by default)."""
         vs = self.versions(name)
         if not vs:
             return []
-        keep = vs[-max(1, keep_last):]
+        keep = set(vs[-max(1, keep_last):])
+        if grace_s > 0:
+            cutoff = time.time() - grace_s
+            for v in vs:
+                if v in keep:
+                    continue
+                try:
+                    if os.path.getmtime(self._manifest_path(name, v)) >= cutoff:
+                        keep.add(v)
+                except FileNotFoundError:
+                    continue
         live: set[str] = set()
         for v in keep:
             live.update(self._manifest_files(name, v))
@@ -436,10 +525,26 @@ class TableStore:
     def _read_manifest_df(
         self, name: str, version: int, merge_schema: bool = True
     ) -> DataFrame:
-        files = self._manifest_files(name, version)
+        doc = self._manifest_doc(name, version)
+        files = doc["files"]
         base = self._dir(name)
         if not files:
-            raise ValueError(f"{name} v{version}: empty manifest")
+            # an existing-but-empty snapshot (empty versioned overwrite,
+            # or every bucket emptied by deletes) reads as an EMPTY
+            # frame with the schema the manifest recorded at write time
+            # — not a ValueError that makes the table unreadable
+            # (ADVICE r6). Manifests predating schema recording (or the
+            # heal path, which can't know the schema) still fail loudly.
+            schema_json = doc.get("schema")
+            if schema_json is None:
+                raise ValueError(
+                    f"{name} v{version}: empty manifest with no recorded schema"
+                )
+            from pyspark.sql.types import StructType
+
+            return self.spark.createDataFrame(
+                [], StructType.fromJson(json.loads(schema_json))
+            )
         return (
             self.spark.read.option("mergeSchema", str(merge_schema).lower())
             # basePath keeps the _kb partition column derivable from the
@@ -542,7 +647,12 @@ class TableStore:
         self._touch_meta(name)
 
     def overwrite(self, df: DataFrame, name: str) -> None:
-        """S9: TRUNCATE + WRITE_TRUNCATE → full overwrite."""
+        """S9: TRUNCATE + WRITE_TRUNCATE → full overwrite. On a
+        previously versioned table the snapshot history retires FIRST
+        (_retire_versioned), mirroring overwrite_keyed's crash-window
+        ordering: the overwrite is about to delete the files the
+        manifests reference, and manifests pointing at deleted files
+        would wedge every read until another overwrite (ADVICE r6)."""
         if self._is_delta(name):
             (
                 df.write.format("delta")
@@ -551,6 +661,7 @@ class TableStore:
                 .save(self._dir(name))
             )
         else:
+            self._retire_versioned(name)
             df.write.mode("overwrite").parquet(self._dir(name))
         self._clear_keyed(name)
         self._touch_meta(name)
@@ -687,7 +798,13 @@ class TableStore:
             .option("partitionOverwriteMode", "static")
             .parquet(self._dir(name))
         )
-        v = self._write_manifest_file(name, self._data_files(name)) if versioned else 0
+        v = (
+            self._write_manifest_file(
+                name, self._data_files(name), schema_json=stamped.schema.json()
+            )
+            if versioned
+            else 0
+        )
         self._touch_meta(
             name,
             keyed_on=keys,

@@ -758,3 +758,135 @@ def test_write_clustered_rewrites_whole_path(spark, tmp_path):
     write_clustered(df2, out, partition_col="k", sort_cols=["v"])
     got = {(r["k"], r["v"]) for r in spark.read.parquet(out).collect()}
     assert got == {("a", 9.0)}
+
+
+def test_concurrent_manifest_commits_both_survive(spark, tmp_path):
+    """Two interleaved versioned writers (VERDICT r6 item 2): writer B
+    publishes in the window between writer A's version-pick and A's
+    publish. With put-if-absent commits (os.link claims the version
+    exclusively), A's link for the contested number fails, A rescans
+    and retries, and BOTH commits survive as distinct versions — the
+    old max+1 → os.replace protocol silently clobbered the loser."""
+    store_a = _mk_versioned(spark, tmp_path)  # publishes v1
+    store_b = TableStore(spark, str(tmp_path))
+    raced = {"done": False}
+    real_versions = TableStore.versions
+
+    def racing_versions(name):
+        vs = real_versions(store_a, name)
+        if not raced["done"]:
+            raced["done"] = True
+            # writer B commits INSIDE A's pick→publish window, claiming
+            # the version A is about to mint
+            store_b.upsert(
+                spark.createDataFrame(
+                    [(900, 900.0, "B")], ["id", "price", "status"]
+                ),
+                "t",
+                "id",
+            )
+        return vs
+
+    store_a.versions = racing_versions
+    store_a.upsert(
+        spark.createDataFrame([(3, 333.0, "A")], ["id", "price", "status"]),
+        "t",
+        "id",
+    )
+    del store_a.versions
+    # v1 = base, v2 = B's commit, v3 = A's commit (retried past the
+    # conflict) — nothing clobbered
+    assert store_a.versions("t") == [1, 2, 3]
+    v3 = {r["id"]: r["status"] for r in store_a.read("t", version=3).collect()}
+    assert v3[3] == "A"
+    v2 = {r["id"]: r["status"] for r in store_a.read("t", version=2).collect()}
+    assert v2.get(900) == "B" and v2[3] == "S"
+    # no stray tmp files leaked by the claim loop
+    import os
+
+    assert not [
+        f
+        for f in os.listdir(store_a._manifest_dir("t"))
+        if f.startswith(".tmp-")
+    ]
+
+
+def test_empty_versioned_overwrite_reads_empty(spark, tmp_path):
+    """overwrite_keyed(empty, versioned=True) publishes a zero-file
+    manifest; reads return an EMPTY frame with the recorded schema
+    instead of raising 'empty manifest' (ADVICE r6) — and a later
+    upsert revives the table normally."""
+    store = TableStore(spark, str(tmp_path))
+    empty = spark.createDataFrame([], "id long, price double, status string")
+    store.overwrite_keyed(empty, "t", "id", n_buckets=4, versioned=True)
+    got = store.read("t")
+    assert got.count() == 0
+    assert got.columns == ["id", "price", "status"]
+    store.upsert(
+        spark.createDataFrame([(1, 1.0, "S")], ["id", "price", "status"]),
+        "t",
+        "id",
+    )
+    assert store.read("t").count() == 1
+    # the empty v1 snapshot is still pinnable
+    assert store.read("t", version=1).count() == 0
+
+
+def test_overwrite_on_versioned_table_retires_history_first(spark, tmp_path):
+    """Plain overwrite() of a versioned table (ADVICE r6): the old
+    ordering deleted the data files first and retired manifests after,
+    so a crash in between left manifests referencing deleted files and
+    every read raised path-not-found. Now the history retires FIRST:
+    after the retire step alone (the simulated crash point) the table
+    still reads from the intact directory, and the completed overwrite
+    reads the new rows."""
+    import os
+
+    store = _mk_versioned(spark, tmp_path, n=20, buckets=4)
+    store.upsert(
+        spark.createDataFrame([(3, 333.0, "U")], ["id", "price", "status"]),
+        "t",
+        "id",
+    )
+    # simulated crash: retire ran, the destructive write never did
+    store._retire_versioned("t")
+    assert not os.path.isdir(store._manifest_dir("t"))
+    got = {r["id"]: r["price"] for r in store.read("t").collect()}
+    assert got[3] == 333.0 and len(got) == 20  # old data, fully readable
+    # the re-run completes the overwrite
+    store.overwrite(
+        spark.createDataFrame([(1, 1.0, "N")], ["id", "price", "status"]), "t"
+    )
+    assert {r["id"] for r in store.read("t").collect()} == {1}
+    assert not store.is_versioned("t")
+
+
+def test_vacuum_grace_keeps_inflight_reader_alive(spark, tmp_path):
+    """VERDICT r6 item 6: a reader holding version N's DataFrame across
+    compact() + vacuum(keep_last=1). With a grace window the pinned
+    plan completes from retained files; with grace 0 the files are
+    reclaimed and both the in-flight plan and a fresh pin fail LOUDLY
+    (never partial data)."""
+    import pytest as _pytest
+
+    store = _mk_versioned(spark, tmp_path, n=100, buckets=4)
+    store.upsert(
+        spark.createDataFrame([(3, 333.0, "U")], ["id", "price", "status"]),
+        "t",
+        "id",
+    )
+    pinned = store.read("t", version=2)  # plan resolves v2's file list now
+    store.compact("t")  # publishes v3
+    # maintenance with a grace window: v2 is young → files retained
+    store.vacuum("t", keep_last=1, grace_s=3600.0)
+    assert pinned.count() == 100  # in-flight reader completes
+    assert 2 in store.versions("t")  # graced manifest retained too
+    # aggressive vacuum (no grace): v1/v2 reclaimed
+    store.vacuum("t", keep_last=1)
+    assert store.versions("t") == [3]
+    with _pytest.raises(FileNotFoundError):
+        store.read("t", version=2)
+    # the stale in-flight plan fails loudly mid-scan, not partial data
+    with _pytest.raises(Exception):
+        pinned.count()
+    assert store.read("t").count() == 100
