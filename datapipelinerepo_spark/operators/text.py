@@ -1145,6 +1145,7 @@ def bpe_learn(
     n_merges: int = 8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    batch: int = 1,
 ) -> DataFrame:
     """Iterated BPE tokenizer training (Sennrich et al. 2016,
     arXiv:1508.07909): learn ``n_merges`` merge rules by repeatedly
@@ -1154,18 +1155,32 @@ def bpe_learn(
 
     Output: (rank, left, right, merged, pair_count) — one row per
     learned rule, in learning order, with a total
-    (count desc, left asc, right asc) argmax tie-break.
+    (count desc, left asc, right asc) argmax tie-break; pair_count is
+    the count at the START of the rule's round.
+
+    ``batch`` > 1 learns up to ``batch`` rules per round (the standard
+    parallel-BPE trick, VERDICT r6 item 5): from the round's top
+    4·batch pairs in (count desc, left, right) order, a candidate is
+    eligible iff its two tokens are DISJOINT from every higher-ranked
+    candidate's tokens (so the selected rules are pairwise disjoint —
+    their pre-round counts stay valid and their rewrites commute); the
+    first ``batch`` eligible pairs apply in one rewrite pass. This is
+    a deterministic, window-expressible schedule (the DuckDB oracle
+    replays it exactly); batch=1 degenerates to the classic
+    one-rule-per-round argmax, bit-identical to the original trainer.
 
     Scale shape — the classic BPE insight made relational: the corpus
     is scanned ONCE for word counts; every merge round then runs on
     the VOCABULARY frame (distinct words × counts — orders smaller
     than the corpus), so round cost is independent of corpus size.
-    Each round is one pair-explode aggregate (argmax via a 1-row
-    bounded collect, the kmeans/kcenter driver-iteration footprint)
-    plus a map-side fold rewrite, checkpointed so plans stay flat.
-    The fold applies the merge greedily left-to-right (an 'aaa' run
-    under merge (a,a) becomes ('aa','a') — the reference
-    implementation's semantics)."""
+    Each round is one pair-explode aggregate (candidate argmax via a
+    ≤4·batch-row bounded collect, the kmeans/kcenter driver-iteration
+    footprint) plus a map-side fold rewrite, checkpointed so plans
+    stay flat — and batching divides the driver-round count (the
+    ≈0.2 s/round fixed cost that dominates 10k-rule training) by up
+    to ``batch``. The fold applies each merge greedily left-to-right
+    (an 'aaa' run under merge (a,a) becomes ('aa','a') — the
+    reference implementation's semantics)."""
     vocab = (
         df.select(F.explode(ws_tokens(F.col(text_col))).alias("_w"))
         .groupBy("_w")
@@ -1174,8 +1189,8 @@ def bpe_learn(
         .localCheckpoint(eager=False)
     )
     merges = []
-    for r in range(1, n_merges + 1):
-        pair_rows = (
+    while len(merges) < n_merges:
+        cand_rows = (
             vocab.select(
                 "_n",
                 F.explode(
@@ -1198,21 +1213,111 @@ def bpe_learn(
             .groupBy(F.col("_p.l").alias("l"), F.col("_p.r").alias("r"))
             .agg(F.sum("_n").alias("c"))
             .orderBy(F.desc("c"), F.asc("l"), F.asc("r"))
-            .limit(1)
+            .limit(4 * batch)
             .collect()
         )
-        if not pair_rows:
+        if not cand_rows:
             break
-        best = pair_rows[0]
-        a, b, cnt = best["l"], best["r"], best["c"]
-        merges.append((r, a, b, a + b, cnt))
-        vocab = vocab.select(
-            _bpe_fold("_t", a, b).alias("_t"), "_n"
-        ).localCheckpoint(eager=False)
+        # greedy disjoint selection over the ranked candidates: a pair
+        # is skipped if either of its tokens appears among ANY
+        # higher-ranked candidate's tokens OR merged output (selected
+        # or not — that's what a SQL window over preceding rows can
+        # express). Token-disjointness makes the selected rewrites
+        # commute; the merged-output exclusion closes the one hole in
+        # that argument (a later rule consuming tokens an earlier
+        # selected rule CREATES — e.g. (a,b) then (ab,d) — would make
+        # sequential folds diverge from the oracle's simultaneous
+        # marking).
+        sel: list = []
+        prev_tokens: set = set()
+        for row in cand_rows:
+            a, b = row["l"], row["r"]
+            if a not in prev_tokens and b not in prev_tokens:
+                sel.append((a, b, row["c"]))
+                if len(sel) == min(batch, n_merges - len(merges)):
+                    break
+            prev_tokens.update((a, b, a + b))
+        for a, b, cnt in sel:
+            merges.append((len(merges) + 1, a, b, a + b, cnt))
+        # disjoint rules commute: apply the batch as chained folds
+        col = F.col("_t")
+        for a, b, _ in sel:
+            col = _bpe_fold(col, a, b)
+        vocab = vocab.select(col.alias("_t"), "_n").localCheckpoint(
+            eager=False
+        )
     spark = df.sparkSession
     return spark.createDataFrame(
         merges, "rank int, left string, right string, merged string, pair_count long"
     )
+
+
+def py_bpe_learn(
+    word_counts: dict[str, int], n_merges: int
+) -> list[tuple[int, str, str, str, int]]:
+    """Driver-side BPE trainer over a word-count dict — the SAME merge
+    sequence as bpe_learn (identical weighted pair counts, identical
+    (count desc, left, right) argmax, identical greedy left-to-right
+    rewrite), computed incrementally: pair counts update only for the
+    words the chosen merge touches (a pair→words index), and the
+    argmax is a lazy-deletion heap — O(touched words) per round, so
+    1k+ rule lists train in seconds.
+
+    This is the rule-list GENERATOR for production-size encode tests
+    and benches (bpe_encode's Arrow engine consumes 30k-rule lists;
+    bpe_learn at 1 Spark round per rule is the wrong tool to mint
+    them). Training from a bounded corpus sample is the standard
+    tokenizer workflow; the sample's word counts are the bounded
+    artifact this takes as input. Parity with bpe_learn is pinned in
+    tests/test_ext_ops."""
+    import heapq
+
+    vocab: list[list] = []  # [tokens, weight] per distinct word
+    pair_counts: dict[tuple[str, str], int] = {}
+    where: dict[tuple[str, str], set[int]] = {}
+    for w, n in word_counts.items():
+        toks = list(w)
+        idx = len(vocab)
+        vocab.append([toks, n])
+        for i in range(len(toks) - 1):
+            p = (toks[i], toks[i + 1])
+            pair_counts[p] = pair_counts.get(p, 0) + n
+            where.setdefault(p, set()).add(idx)
+    heap = [(-c, p) for p, c in pair_counts.items()]
+    heapq.heapify(heap)
+    out: list[tuple[int, str, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        best = None
+        while heap:
+            negc, p = heapq.heappop(heap)
+            # lazy deletion: only a heap entry matching the CURRENT
+            # count is live — stale entries (count since changed) skip
+            if -negc > 0 and pair_counts.get(p, 0) == -negc:
+                best = (p, -negc)
+                break
+        if best is None:
+            break
+        (left, right), c = best
+        out.append((rank, left, right, left + right, c))
+        for idx in where.pop((left, right), set()):
+            toks, n = vocab[idx]
+            if len(toks) < 2:
+                continue
+            for i in range(len(toks) - 1):
+                q = (toks[i], toks[i + 1])
+                nc = pair_counts.get(q, 0) - n
+                pair_counts[q] = nc
+                heapq.heappush(heap, (-nc, q))
+            new = _bpe_merge_pass_py(toks, left, right)
+            vocab[idx][0] = new
+            for i in range(len(new) - 1):
+                q = (new[i], new[i + 1])
+                nc = pair_counts.get(q, 0) + n
+                pair_counts[q] = nc
+                where.setdefault(q, set()).add(idx)
+                heapq.heappush(heap, (-nc, q))
+        pair_counts.pop((left, right), None)
+    return out
 
 
 def _bpe_fold(tokens_col, left: str, right: str):
@@ -1236,11 +1341,87 @@ def _bpe_fold(tokens_col, left: str, right: str):
     )
 
 
+def _bpe_merge_pass_py(toks: list[str], left: str, right: str) -> list[str]:
+    """Pure-Python twin of _bpe_fold: ONE greedy left-to-right pass of
+    merge (left,right) over a token list ('aaa' under (a,a) →
+    ('aa','a'))."""
+    acc: list[str] = []
+    for x in toks:
+        if acc and acc[-1] == left and x == right:
+            acc[-1] = left + right
+        else:
+            acc.append(x)
+    return acc
+
+
+def bpe_rules_sequential_safe(merges: list[tuple[str, str]]) -> bool:
+    """Is rank-priority merging provably equivalent to the sequential
+    per-rule fold for this rule list?
+
+    True iff (a) every multi-character rule component is the merged
+    output of a UNIQUE earlier rule (well-formedness — the invariant
+    every LEARNED list satisfies by construction: a pair can only be
+    counted once its parts exist), and (b) no two rules produce the
+    same merged string (unique derivation). Under (a)+(b) a rule's
+    pair can never REAPPEAR after its pass — the only creator of its
+    component tokens runs strictly earlier — so both algorithms apply
+    exactly one pass per applicable rule in increasing rank order and
+    produce identical tokenizations. Hand-written lists violating
+    either condition take the (slower, always-correct) sequential
+    path in bpe_encode's Arrow engine."""
+    produced: set[str] = set()
+    for left, right in merges:
+        for comp in (left, right):
+            if len(comp) > 1 and comp not in produced:
+                return False
+        m = left + right
+        if m in produced:
+            return False
+        produced.add(m)
+    return True
+
+
+def _bpe_word_tokens_py(
+    word: str,
+    rules: list[tuple[str, str]],
+    ranks: dict[tuple[str, str], int],
+    fast: bool,
+) -> list[str]:
+    """Tokenize ONE word with the full rule list, Python-side.
+
+    fast=True (sequential-safe lists): classic priority merging — find
+    the lowest-ranked pair present, run its greedy pass, repeat. Cost
+    is O(applied merges × |word|), INDEPENDENT of rule-list size — the
+    property that makes 30k-rule production tokenizers tractable where
+    30k sequential passes (or a 30k-deep column-fold expression tree)
+    are not. fast=False: the definitional sequential per-rule fold."""
+    toks = list(word)
+    if len(toks) < 2:
+        return toks
+    if fast:
+        while True:
+            best = -1
+            for i in range(len(toks) - 1):
+                r = ranks.get((toks[i], toks[i + 1]), -1)
+                if r >= 0 and (best < 0 or r < best):
+                    best = r
+            if best < 0:
+                break
+            toks = _bpe_merge_pass_py(toks, *rules[best])
+    else:
+        for left, right in rules:
+            if len(toks) < 2:
+                break
+            toks = _bpe_merge_pass_py(toks, left, right)
+    return toks
+
+
 def bpe_encode(
     df: DataFrame,
     merges: list[tuple[str, str]],
     text_col: str = "text",
     id_col: str = "doc_id",
+    engine: str = "auto",
 ) -> DataFrame:
     """Apply a learned BPE merge list to the corpus — the ENCODE half
     of the tokenizer (bpe_learn trains the rules; this tokenizes with
@@ -1255,24 +1436,56 @@ def bpe_encode(
     Scale shape — the word-cache insight: merges apply to DISTINCT
     words (the vocabulary frame, orders smaller than the corpus), and
     per-word token counts join back to the word instances. One word
-    shuffle for the distinct, map-side chained folds over the
-    vocabulary, one join back (word-keyed; at 100 TB this is the
-    standard shuffle join both sides partition on the word). ``merges``
-    is a driver-side constant — a tokenizer model is a bounded
-    artifact (the k-means-parameter class); each merge compiles to one
-    chained fold, so for production-size merge lists (30k rules)
-    switch the vocabulary rewrite to an Arrow UDF applying the rule
-    list per batch — the surrounding plan is unchanged."""
+    shuffle for the distinct, map-side vocabulary rewrite, one join
+    back (word-keyed; at 100 TB this is the standard shuffle join both
+    sides partition on the word). ``merges`` is a driver-side
+    constant — a tokenizer model is a bounded artifact (the
+    k-means-parameter class).
+
+    ``engine`` picks the vocabulary rewrite (VERDICT r6 item 1):
+    - 'fold': one chained JVM column fold per rule — whole-stage
+      codegen, zero Python, ideal for short lists, but the expression
+      tree grows with the rule count (a 30k-rule list would build a
+      30k-deep plan: analysis/codegen blowup).
+    - 'arrow': ONE Arrow-batched pandas UDF carrying the whole rule
+      list; per word it runs priority merging (cost independent of
+      list size) when bpe_rules_sequential_safe proves it equivalent
+      to the fold, else the literal sequential passes. Bit-identical
+      to 'fold' either way (pinned by the 8-rule DuckDB oracle, a
+      fold-vs-arrow pytest, and a 1k-rule python-reference pytest).
+    - 'auto': 'fold' up to 48 rules, 'arrow' beyond."""
+    if engine == "auto":
+        engine = "fold" if len(merges) <= 48 else "arrow"
     words = df.select(
         F.col(id_col), F.explode(ws_tokens(F.col(text_col))).alias("_w")
     )
-    vocab = words.select("_w").distinct().withColumn("_t", F.split("_w", ""))
-    for left, right in merges:
-        vocab = vocab.withColumn("_t", _bpe_fold("_t", left, right))
+    vocab = words.select("_w").distinct()
+    if engine == "fold":
+        vocab = vocab.withColumn("_t", F.split("_w", ""))
+        for left, right in merges:
+            vocab = vocab.withColumn("_t", _bpe_fold("_t", left, right))
+        n_tokens = F.size("_t")
+    elif engine == "arrow":
+        from pyspark.sql.functions import pandas_udf
+
+        rules = [(left, right) for left, right in merges]
+        ranks = {p: i for i, p in enumerate(rules)}
+        fast = bpe_rules_sequential_safe(rules)
+
+        @pandas_udf("int")
+        def _bpe_ntokens(w):  # pd.Series[str] -> pd.Series[int]
+            return w.map(
+                lambda s: len(_bpe_word_tokens_py(s, rules, ranks, fast))
+            )
+
+        vocab = vocab.withColumn("_t_n", _bpe_ntokens(F.col("_w")))
+        n_tokens = F.col("_t_n")
+    else:
+        raise ValueError(f"engine must be auto|fold|arrow, got {engine!r}")
     vlen = vocab.select(
         "_w",
         F.length("_w").alias("_cl"),
-        F.size("_t").alias("_bl"),
+        n_tokens.alias("_bl"),
     )
     return (
         words.join(vlen, "_w")

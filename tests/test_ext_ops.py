@@ -1681,6 +1681,192 @@ def test_bpe_encode_adversarial_inputs(spark):
     assert got[5] == (2, 5, 2)
 
 
+def _word_counts(texts):
+    """The ws_tokens tokenization (lowercase, whitespace split), as a
+    word-count dict — the py_bpe_learn input."""
+    import re
+    from collections import Counter
+
+    words = Counter()
+    for t in texts:
+        for w in re.sub(r"\s+", " ", (t or "").lower()).split(" "):
+            if w:
+                words[w] += 1
+    return dict(words)
+
+
+def test_py_bpe_learn_matches_spark_trainer(spark, docs):
+    """The incremental driver-side trainer (py_bpe_learn — the
+    production-size rule-list generator) learns the IDENTICAL sequence
+    (rules, order, counts) as the distributed bpe_learn on the same
+    corpus slice."""
+    from datapipelinerepo_spark.operators.text import bpe_learn, py_bpe_learn
+
+    sl = docs.filter(F.col("doc_id") < 150).select("doc_id", "text")
+    wc = _word_counts([r["text"] for r in sl.collect()])
+    got = [tuple(r) for r in bpe_learn(sl, n_merges=8).orderBy("rank").collect()]
+    assert got == py_bpe_learn(wc, 8)
+
+
+def test_bpe_encode_arrow_equals_fold_on_learned_rules(spark, docs):
+    """VERDICT r6 item 1 parity chain, Spark-side link: the Arrow
+    engine (priority merging — the 30k-rule-tractable path) produces
+    byte-identical output to the chained-fold engine on a 48-rule
+    LEARNED list over real corpus text."""
+    from datapipelinerepo_spark.operators import text as T2
+
+    sl = docs.filter(F.col("doc_id") < 200).select("doc_id", "text")
+    wc = _word_counts([r["text"] for r in sl.collect()])
+    rules = [(l, r) for _, l, r, _, _ in T2.py_bpe_learn(wc, 48)]
+    assert len(rules) == 48 and T2.bpe_rules_sequential_safe(rules)
+    fold = {
+        tuple(r)
+        for r in T2.bpe_encode(sl, rules, engine="fold").collect()
+    }
+    arrow = {
+        tuple(r)
+        for r in T2.bpe_encode(sl, rules, engine="arrow").collect()
+    }
+    assert fold == arrow
+
+
+@pytest.mark.slow
+def test_bpe_encode_arrow_equals_fold_on_1k_rules(spark):
+    """VERDICT r6 item 1 parity chain, production-size link: literal
+    fold-vs-Arrow equality on a 1024-rule LEARNED list. The driver
+    testdata's documents table has a 31-word vocabulary (only ~89
+    learnable merges), so the list is learned from a SEEDED synthetic
+    corpus rich enough to support 1k merges. The fold engine at this
+    depth is exactly the expression-tree blowup the Arrow path exists
+    to avoid (≈90 s to compile+run here, hours at 30k) — it still
+    runs, which is what makes this direct cross-check possible. Also
+    pins the per-doc counts against the definitional pure-Python
+    sequential fold."""
+    import random
+    import re
+
+    from datapipelinerepo_spark.operators import text as T2
+
+    rng = random.Random(42)
+    alphabet = "abcdefghijklmnopqrstuvwxyz"
+    vocab = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(3, 12)))
+        for _ in range(4000)
+    ]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(40))) for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    wc = _word_counts([t for _, t in rows])
+    learned = T2.py_bpe_learn(wc, 1024)
+    rules = [(l, r) for _, l, r, _, _ in learned]
+    assert len(rules) == 1024 and T2.bpe_rules_sequential_safe(rules)
+
+    arrow = {
+        r["doc_id"]: (r["n_words"], r["n_chars"], r["n_bpe_tokens"])
+        for r in T2.bpe_encode(df, rules, engine="arrow").collect()
+    }
+    fold = {
+        r["doc_id"]: (r["n_words"], r["n_chars"], r["n_bpe_tokens"])
+        for r in T2.bpe_encode(df, rules, engine="fold").collect()
+    }
+    assert arrow == fold
+
+    def py_doc(text):
+        n_words = n_chars = n_bpe = 0
+        for w in re.sub(r"\s+", " ", text.lower()).split(" "):
+            if not w:
+                continue
+            t = list(w)
+            for left, right in rules:  # definitional sequential passes
+                if len(t) < 2:
+                    break
+                t = T2._bpe_merge_pass_py(t, left, right)
+            n_words += 1
+            n_chars += len(w)
+            n_bpe += len(t)
+        return n_words, n_chars, n_bpe
+
+    assert arrow == {d: py_doc(t) for d, t in rows}
+
+
+def _py_bpe_learn_batched(word_counts, n_merges, batch, m_factor=4):
+    """Pure-Python replay of bpe_learn's batched schedule (top-4·batch
+    candidates, preceding-tokens+merged disjointness, first `batch`
+    eligible, simultaneous commuting rewrite)."""
+    from collections import Counter
+
+    from datapipelinerepo_spark.operators.text import _bpe_merge_pass_py
+
+    v = {tuple(w): n for w, n in word_counts.items()}
+    out = []
+    while len(out) < n_merges:
+        pc = Counter()
+        for toks, n in v.items():
+            for i in range(len(toks) - 1):
+                pc[(toks[i], toks[i + 1])] += n
+        if not pc:
+            break
+        cand = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0]))[
+            : m_factor * batch
+        ]
+        sel, prev = [], set()
+        for (a, b), c in cand:
+            if a not in prev and b not in prev:
+                sel.append((a, b, c))
+                if len(sel) == min(batch, n_merges - len(out)):
+                    break
+            prev.update((a, b, a + b))
+        for a, b, c in sel:
+            out.append((len(out) + 1, a, b, a + b, c))
+        nv = {}
+        for toks, n in v.items():
+            t2 = list(toks)
+            for a, b, _ in sel:
+                t2 = _bpe_merge_pass_py(t2, a, b)
+            nv[tuple(t2)] = nv.get(tuple(t2), 0) + n
+        v = nv
+    return out
+
+
+@pytest.mark.parametrize("batch", [1, 2, 4, 8])
+def test_bpe_learn_batched_matches_python_replay(spark, docs, batch):
+    """The batched trainer's full output (rules, global order, counts)
+    equals a pure-Python replay of the batched schedule at several
+    batch widths on a real corpus slice — and batch=1 equals the
+    classic sequential trainer exactly (same replay, width 1)."""
+    from datapipelinerepo_spark.operators.text import bpe_learn
+
+    sl = docs.filter(F.col("doc_id") < 150).select("doc_id", "text")
+    wc = _word_counts([r["text"] for r in sl.collect()])
+    got = [
+        tuple(r)
+        for r in bpe_learn(sl, n_merges=10, batch=batch)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert got == _py_bpe_learn_batched(wc, 10, batch)
+
+
+def test_bpe_encode_arrow_fallback_on_unsafe_rules(spark):
+    """A rule list the equivalence gate rejects (here: a component that
+    no earlier rule produces) routes the Arrow engine onto the literal
+    sequential passes — still byte-identical to the fold engine."""
+    from datapipelinerepo_spark.operators import text as T2
+
+    # ("ab","c") before ("a","b"): ill-formed — "ab" exists as a token
+    # only AFTER rule 2, so priority merging would tokenize "abc"
+    # differently than the sequential fold
+    rules = [("ab", "c"), ("a", "b")]
+    assert not T2.bpe_rules_sequential_safe(rules)
+    df = spark.createDataFrame(
+        [(1, "abc abd ab"), (2, "cab abcabc")], "doc_id long, text string"
+    )
+    fold = {tuple(r) for r in T2.bpe_encode(df, rules, engine="fold").collect()}
+    arrow = {tuple(r) for r in T2.bpe_encode(df, rules, engine="arrow").collect()}
+    assert fold == arrow
+
+
 def test_global_desc_rank_cumsum_tiny_and_empty(spark):
     from datapipelinerepo_spark.operators import sampling as SMP2
 
