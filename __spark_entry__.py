@@ -30,28 +30,20 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def _ordered_names() -> list[str]:
-    """Registry names with never-all-green queries first.
+    """Registry names ordered so stale-proof risk drives the driver's
+    check budget (the driver verifies the first ~50 entries of
+    ``queries()`` in iteration order).
 
-    Round 1 showed the driver checks the first 50 entries of ``queries()``
-    in iteration order, so ordering decides which queries earn a
-    CORRECTNESS row.  We read the committed ``CORRECTNESS_r*.json`` files
-    and front-load, in order: (1) queries that had a row but were not
-    all-green (fixed this round — need re-proof), (2) never-checked
-    extension queries (registry_ext), (3) never-checked core queries,
-    then (4) already-proven queries.  Self-adapting: each round the
-    unproven tail rotates to the front.
+    Simplified for the all-green regime (VERDICT r6 item 7 — with zero
+    never-green oracle queries left, the old 5-group self-adaptive
+    ordering only rotated green refreshes): (1) queries whose row was
+    not all-green in the NEWEST correctness file (a fix needing
+    re-proof), (2) queries changed since their last green proof
+    (stale proof — maintained by hand in _CHANGED_IN_ROUND when a
+    green query's code or oracle is rewritten), (3) never-checked
+    queries (new this round), then (4) proven queries OLDEST green
+    proof first, so long-unverified proofs refresh before recent ones.
     """
-    # Queries whose Spark code or oracle SQL changed DURING a round
-    # after having earned a green row in an earlier round: the old
-    # proof is stale, so they outrank proven-row refreshes (group 0.5)
-    # until a CORRECTNESS file from the change round or later shows
-    # them green again (self-clearing). Map name -> round changed.
-    changed_in_round = {
-        "w_ntile_deciles": 5,
-        "cdc_latest_wins": 5,
-        "text_vocab_coverage": 6,  # r6: bucketed rank+offsets rewrite
-    }
-
     proven: set[str] = set()
     flagged: set[str] = set()
     green_round: dict[str, int] = {}  # name -> newest round seen green
@@ -79,59 +71,38 @@ def _ordered_names() -> list[str]:
                 flagged.add(name)
     flagged -= proven
     stale_changed = {
-        n
-        for n, r in changed_in_round.items()
-        if green_round.get(n, 0) < r
-    }
-
-    # Within a priority group, cheap queries lead: if the checker's cap
-    # turns out to be time-based rather than count-based, this maximizes
-    # the number of rows earned per round (harmless if count-based).
-    heavy = {
-        "dedup_minhash_lsh",
-        "dedup_simhash_pairs",
-        "dedup_jaccard_pairs",
-        "dedup_connected_components",
-        "dedup_incremental_bloom",
-        "dedup_incremental_lsh",
-        "ann_topk_bruteforce",
-        "ann_topk_lsh",
-        "ann_topk_ivf",
-        "ann_topk_quantized",
-        "embedding_dup_pairs",
+        n for n, r in _CHANGED_IN_ROUND.items() if green_round.get(n, 0) < r
     }
 
     def rank(item):
         i, name = item
-        has_oracle = REGISTRY[name].sql is not None
-        if name in flagged and has_oracle:
-            # an oracle-bearing query whose row wasn't all-green: a real
-            # fix needing re-proof — highest priority
-            group = 0
+        if name in flagged and REGISTRY[name].sql is not None:
+            group = 0  # not all-green last time: re-proof first
         elif name in stale_changed:
-            # previously green but rewritten since: stale proof
-            group = 0.5
-        elif name not in proven and name not in flagged:
-            # never checked at all: a first row (hash-checked when the
-            # query has an oracle) beats refreshing anything
-            group = 1 if REGISTRY[name].fn.__module__.endswith(
-                "registry_ext"
-            ) else 2
-        elif name in flagged:
-            # rows-only (sql=None) queries re-flag every round because
-            # their best outcome is err="no_oracle"; refreshing that row
-            # is worth less than a first-ever row above
-            group = 3
+            group = 1  # green once, rewritten since: stale proof
+        elif name not in proven:
+            group = 2  # never checked: earn a first row
         else:
-            group = 4
-        return (group, name in heavy, i)
+            group = 3  # proven: oldest proof refreshes first
+        return (group, green_round.get(name, 0), i)
 
     # driver=False entries (the permanent rows-only approximate forms)
     # are pytest-covered with green construction-exact twins on this
     # surface; exposing them would spend a check-budget slot per round
     # on an uninformative `no_oracle` row (VERDICT r5 item 2)
     names = [n for n in REGISTRY if REGISTRY[n].driver]
-    return [n for _, n in sorted(enumerate(names), key=lambda x: rank(x))]
+    return [n for _, n in sorted(enumerate(names), key=rank)]
+
+
+# Queries whose Spark code or oracle SQL changed AFTER earning a green
+# row: the old proof is stale until a correctness file from the change
+# round or later shows them green again (self-clearing).
+# Map name -> round changed.
+_CHANGED_IN_ROUND = {
+    "w_ntile_deciles": 5,
+    "cdc_latest_wins": 5,
+    "text_vocab_coverage": 6,  # r6: bucketed rank+offsets rewrite
+}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

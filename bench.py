@@ -215,6 +215,41 @@ def main() -> None:
     times["stream_curate_drain"] = round(samples[RUNS // 2], 3)
     spread["stream_curate_drain"] = round(samples[-1] - samples[0], 3)
 
+    # versioned-store lifecycle (VERDICT r6 item 4): overwrite → 3
+    # bucket-pruned upserts → snapshot read → time-travel read →
+    # compact → vacuum, on a fresh store per run — the full
+    # snapshot-table maintenance cycle, which store_keyed_merge (the
+    # unversioned MERGE path) does not cover. Timing includes manifest
+    # publication overhead per write.
+    samples = []
+    for _ in range(RUNS):
+        wdir = tempfile.mkdtemp(prefix="bench_vstore_")
+        try:
+            store = TableStore(spark, os.path.join(wdir, "store"))
+            base = tabs["orders"].select(
+                "o_orderkey", "o_totalprice", "o_orderstatus"
+            )
+            t0 = time.perf_counter()
+            store.overwrite_keyed(
+                base, "t", "o_orderkey", n_buckets=32, versioned=True
+            )
+            for k in range(3):
+                changes = base.filter(
+                    F.col("o_orderkey") % 100 == k
+                ).withColumn("o_totalprice", F.col("o_totalprice") * 2)
+                store.upsert(changes, "t", "o_orderkey")
+            snap = store.read("t").count()
+            tt = store.read("t", version=1).count()
+            store.compact("t")
+            store.vacuum("t", keep_last=1)
+            assert snap == tt  # upserts replace, never add, here
+            samples.append(time.perf_counter() - t0)
+        finally:
+            shutil.rmtree(wdir, ignore_errors=True)
+    samples.sort()
+    times["store_versioned_lifecycle"] = round(samples[RUNS // 2], 3)
+    spread["store_versioned_lifecycle"] = round(samples[-1] - samples[0], 3)
+
     total = round(sum(times.values()), 3)
     print(
         json.dumps(

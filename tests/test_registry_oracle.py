@@ -63,3 +63,58 @@ def test_oracle_parity_sf01(spark, duck_sf01, name):
     e = REGISTRY[name]
     ok, msg = compare(e.fn(spark, _SF01_DIR), duck_sf01, e.sql)
     assert ok, f"{name} @ sf0.1: {msg}"
+
+
+# ---------------------------------------------------------------------------
+# sf1 oracle pass (VERDICT r6 item 3): the queries whose SCALE.md
+# claims rest on sf1 behavior — text family, the keyed/versioned store,
+# and the global-rank/quantile machinery — value-checked at 100× the
+# driver's data, not just timed. sf1 is synthesized locally from sf0.1
+# (tools/gen_sf1.py: key-offset sharding, decorrelated documents/
+# embeddings) the first time this pass runs. Catches the
+# scale-dependent-value-drift class the r5 ns-timestamp bug
+# exemplified (off by 1 µs for ~12% of values — invisible at sf0.01).
+# ---------------------------------------------------------------------------
+
+_SF1_DIR = "/tmp/testdata_sf1"
+_SF1_NAMES = [
+    "text_bpe_learn",
+    "text_bpe_learn_batched",
+    "text_bpe_encode",
+    "text_vocab_coverage",
+    "scale_exact_quantiles",
+    "scale_sketch_set_ops",
+    "store_keyed_merge",
+    "store_versioned_snapshot",
+    "retrieval_bm25_topk",
+    "sample_token_budget",
+]
+
+
+@pytest.fixture(scope="module")
+def duck_sf1():
+    import os
+
+    if not os.path.isdir(_SF1_DIR):
+        import importlib.util
+
+        gen = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "tools",
+            "gen_sf1.py",
+        )
+        spec = importlib.util.spec_from_file_location("gen_sf1", gen)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        mod.main(_SF1_DIR)
+    con = duck_connection(_SF1_DIR)
+    yield con
+    con.close()
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("name", _SF1_NAMES)
+def test_oracle_parity_sf1(spark, duck_sf1, name):
+    e = REGISTRY[name]
+    ok, msg = compare(e.fn(spark, _SF1_DIR), duck_sf1, e.sql)
+    assert ok, f"{name} @ sf1: {msg}"
