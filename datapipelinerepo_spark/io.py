@@ -167,6 +167,24 @@ class TableStore:
         with open(p) as f:
             return json.load(f).get("key_types")
 
+    def _meta_schema_df(self, name: str) -> DataFrame | None:
+        """Empty frame with the schema recorded at overwrite_keyed time
+        (meta `schema`), or None if none was recorded. The read-side
+        fallback for a keyed table whose every row was deleted: the
+        directory then holds no parquet files to infer from, but the
+        table still EXISTS and must read as empty (ADVICE-r6 class,
+        surfaced by delete_where emptying an unversioned table)."""
+        p = self._meta_path(name)
+        if not os.path.isfile(p):
+            return None
+        with open(p) as f:
+            s = json.load(f).get("schema")
+        if s is None:
+            return None
+        from pyspark.sql.types import StructType
+
+        return self.spark.createDataFrame([], StructType.fromJson(json.loads(s)))
+
     def _clear_keyed(self, name: str) -> None:
         """Remove the keyed marker — a plain overwrite replaces the
         table unstamped, so a stale marker would route the NEXT upsert
@@ -599,6 +617,10 @@ class TableStore:
             raise ValueError(
                 f"{name} is not versioned (overwrite_keyed(..., versioned=True))"
             )
+        if self.keyed_spec(name) is not None and not self._dir_has_parquet(name):
+            fallback = self._meta_schema_df(name)
+            if fallback is not None:
+                return fallback.drop("_kb")  # fully-emptied keyed table
         df = self.spark.read.option(
             "mergeSchema", str(merge_schema).lower()
         ).parquet(self._dir(name))
@@ -812,6 +834,10 @@ class TableStore:
             key_types=key_types,
             versioned=versioned,
             version=v,
+            # read-side fallback for a later fully-emptied table (see
+            # _meta_schema_df); stamped WITH _kb so bucket-path readers
+            # degrade the same way
+            schema=stamped.schema.json(),
         )
 
     def _upsert_keyed(
@@ -837,6 +863,8 @@ class TableStore:
             # the directory (which also holds older versions' files)
             base_v = self._ensure_latest(name)
             raw = self._read_manifest_df(name, base_v)
+        elif not self._dir_has_parquet(name) and self._meta_schema_df(name) is not None:
+            raw = self._meta_schema_df(name)  # fully-emptied table: revive
         else:
             raw = self.spark.read.option("mergeSchema", "true").parquet(
                 self._dir(name)
@@ -892,6 +920,10 @@ class TableStore:
             # the consistent snapshot iff the write committed; see read())
             if self.is_versioned(name):
                 self._assert_committed_dir(name)
+            if not self._dir_has_parquet(name):
+                fallback = self._meta_schema_df(name)
+                if fallback is not None:
+                    return fallback.drop("_kb")  # fully-emptied table
             raw = self.spark.read.option("mergeSchema", "true").parquet(
                 self._dir(name)
             )
@@ -949,6 +981,44 @@ class TableStore:
                 os.path.join(self._dir(name), f"_kb={b}"), ignore_errors=True
             )
         self._touch_meta(name)
+
+    def delete_where(self, name: str, condition) -> list[int]:
+        """Row-level DELETE (the MERGE family's third verb, after
+        upsert and append): remove the rows matching ``condition``
+        (a Column or SQL string). SQL DELETE semantics — rows where
+        the predicate is NULL are KEPT, only true matches go.
+
+        On a keyed table only the buckets that actually CONTAIN
+        matching rows rewrite (their ids come from hashing the matched
+        rows' keys — a ≤ n_buckets bounded collect); untouched buckets'
+        files are never read for the rewrite nor rewritten — the
+        Delta/Iceberg DELETE cost profile on plain parquet, same as
+        _upsert_keyed's. Versioned tables delete LOGICALLY: the new
+        manifest stops referencing the affected buckets' old files and
+        prior snapshots stay pinnable until vacuum (overwrite_buckets
+        handles both, including fully-emptied buckets). Unkeyed tables
+        fall back to filter + full overwrite, the same trade as
+        unkeyed upsert. Returns the affected bucket ids ([] if nothing
+        matched; [-1] for the unkeyed full rewrite)."""
+        if isinstance(condition, str):
+            condition = F.expr(condition)
+        keep = F.coalesce(~condition, F.lit(True))
+        if self.keyed_spec(name) is None:
+            df = self.read(name)
+            if df.filter(condition).isEmpty():
+                return []
+            survivors = df.filter(keep).localCheckpoint()
+            self.overwrite(survivors, name)
+            return [-1]
+        snapshot = self.read(name)
+        affected = self.keyed_buckets(name, snapshot.filter(condition))
+        if not affected:
+            return []
+        survivors = (
+            self.read_buckets(name, affected).filter(keep).localCheckpoint()
+        )
+        self.overwrite_buckets(survivors, name, affected)
+        return sorted(affected)
 
     def _upsert_delta(self, incoming: DataFrame, name: str, keys: list[str]) -> None:
         """Real MERGE INTO on a Delta table: only files containing

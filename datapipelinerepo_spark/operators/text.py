@@ -1499,3 +1499,43 @@ def bpe_encode(
             ).alias("chars_per_token"),
         )
     )
+
+
+def bpe_encode_tokens(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenize the corpus and return the actual per-document TOKEN
+    SEQUENCE in document order — what a training pipeline feeds the
+    model (bpe_encode returns only the count accounting). Output:
+    (id_col, tokens array<string>); documents with no words produce no
+    row, matching bpe_encode.
+
+    Scale shape: the same word-cache plan as bpe_encode (merges fold
+    over the DISTINCT-word frame, word-keyed join back) with word
+    POSITION carried through, so per-document reassembly is a
+    collect_list of (pos, word-tokens) sorted in-plan and flattened —
+    the per-group buffer is bounded by document length (the
+    text_chunking class), never corpus-sized, and document order is
+    deterministic regardless of partitioning."""
+    words = df.select(
+        F.col(id_col),
+        F.posexplode(ws_tokens(F.col(text_col))).alias("_pos", "_w"),
+    )
+    vocab = words.select("_w").distinct().withColumn("_t", F.split("_w", ""))
+    for left, right in merges:
+        vocab = vocab.withColumn("_t", _bpe_fold("_t", left, right))
+    return (
+        words.join(vocab, "_w")
+        .groupBy(id_col)
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_pos", "_t"))),
+                    lambda s: s["_t"],
+                )
+            ).alias("tokens")
+        )
+    )

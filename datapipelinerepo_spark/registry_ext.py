@@ -4320,3 +4320,240 @@ def store_versioned_snapshot(spark, sf_dir):
         F.lit(2).alias("version"), "o_orderkey", "o_totalprice"
     )
     return v1.unionByName(v2)
+
+
+@register(
+    "store_delete_where",
+    sql="""
+    WITH kept AS (
+      SELECT o_orderkey, o_totalprice, o_orderstatus
+      FROM orders WHERE o_orderkey % 2 = 0
+        AND NOT coalesce(o_totalprice > 150000, false)
+    )
+    SELECT o_orderkey, o_totalprice, o_orderstatus FROM kept
+    """,
+)
+def store_delete_where(spark, sf_dir):
+    """Row-level DELETE on a keyed table (io.TableStore.delete_where —
+    the MERGE family's third verb): an orders snapshot is written
+    hash-bucketed, rows matching a non-key predicate are deleted, and
+    the read-back table must equal the oracle's plain NOT-filter (SQL
+    DELETE semantics: NULL-predicate rows are KEPT). Exercises the
+    bucket-pruned rewrite end to end: matched rows hash to their
+    buckets (bounded collect), ONLY those buckets' survivors rewrite
+    (fully-emptied buckets are pruned from disk), untouched buckets'
+    files are never read for the rewrite — the Delta/Iceberg DELETE
+    cost profile on plain parquet."""
+    import tempfile
+
+    from .io import TableStore
+
+    base = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 2 == 0)
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+    )
+    store = TableStore(spark, tempfile.mkdtemp(prefix="delwhere_"))
+    store.overwrite_keyed(base, "t", "o_orderkey", n_buckets=16)
+    store.delete_where("t", F.col("o_totalprice") > 150000)
+    return store.read("t").select("o_orderkey", "o_totalprice", "o_orderstatus")
+
+
+@register(
+    "events_funnel_conversion",
+    sql="""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS v_ts FROM events
+      WHERE event_type = 'view' GROUP BY 1
+    ), c AS (
+      SELECT e.user_id, MIN(e.ts) AS c_ts
+      FROM events e JOIN v USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > v.v_ts GROUP BY 1
+    ), p AS (
+      SELECT e.user_id, MIN(e.ts) AS p_ts
+      FROM events e JOIN c USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > c.c_ts GROUP BY 1
+    )
+    SELECT * FROM (
+      SELECT CAST(1 AS INT) AS step, 'view' AS stage,
+             CAST(COUNT(*) AS BIGINT) AS users FROM v
+      UNION ALL
+      SELECT 2, 'click', COUNT(*) FROM c
+      UNION ALL
+      SELECT 3, 'purchase', COUNT(*) FROM p
+    )
+    """,
+)
+def events_funnel_conversion(spark, sf_dir):
+    """Ordered conversion FUNNEL over the event stream: how many users
+    have a view, then a click strictly after their FIRST view, then a
+    purchase strictly after that click — the existence-of-ordered-
+    subsequence question every product-analytics stack asks, answered
+    with the earliest-first greedy (matching the earliest qualifying
+    event at each stage is exactly the existence test). Three per-user
+    MIN aggregates chained by user-key joins — no windows, no per-user
+    event collection, no collect: at 100 TB each stage is one shuffle
+    on user_id (co-partitioned with the previous stage's frame) over
+    frames that only SHRINK down the funnel; the final counts are
+    keys=[] scalar aggregates. Timestamps compare engine-internally
+    only (counts are the output), so ns-vs-us precision cannot drift
+    the hash."""
+    ev = t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("v_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("c_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+
+    def stage(df, step, name):
+        return df.agg(F.count(F.lit(1)).alias("users")).select(
+            F.lit(step).cast("int").alias("step"),
+            F.lit(name).alias("stage"),
+            F.col("users"),
+        )
+
+    return (
+        stage(v, 1, "view")
+        .unionByName(stage(c, 2, "click"))
+        .unionByName(stage(p, 3, "purchase"))
+    )
+
+
+@register(
+    "events_retention_cohorts",
+    sql="""
+    WITH act AS (
+      SELECT DISTINCT user_id,
+             CAST(floor(datediff('day', DATE '1970-01-05', CAST(ts AS DATE)) / 7)
+                  AS BIGINT) AS wk
+      FROM events WHERE ts IS NOT NULL
+    ), cohort AS (
+      SELECT user_id, MIN(wk) AS c_wk FROM act GROUP BY 1
+    )
+    SELECT DATE '1970-01-05' + CAST(c.c_wk * 7 AS INT) AS cohort_start,
+           a.wk - c.c_wk AS week_offset,
+           CAST(COUNT(*) AS BIGINT) AS users
+    FROM act a JOIN cohort c USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def events_retention_cohorts(spark, sf_dir):
+    """RETENTION COHORT matrix: users bucket into the week of their
+    first activity (Monday-epoch weeks — floor(days-since-1970-01-05
+    / 7), identical arithmetic in both engines, sidestepping the
+    engines' differing WEEK() conventions), and each cell counts the
+    cohort's users active k weeks later — the growth-analytics staple.
+    Scale shape: one DISTINCT (user, week) pass (the only corpus-sized
+    shuffle), a per-user MIN for the cohort, one user-key join back,
+    and a (cohort, offset)-key aggregate whose output is bounded by
+    weeks² — no windows, no collect. A user's every active week lands
+    in exactly one cell, so cell counts are COUNT(*) after the
+    distinct, not COUNT(DISTINCT)."""
+    act = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select(
+            "user_id",
+            F.floor(
+                F.datediff(F.col("ts").cast("date"), F.lit("1970-01-05").cast("date"))
+                / 7
+            ).alias("wk"),
+        )
+        .distinct()
+    )
+    cohort = act.groupBy("user_id").agg(F.min("wk").alias("c_wk"))
+    return (
+        act.join(cohort, "user_id")
+        .groupBy(
+            F.date_add(
+                F.lit("1970-01-05").cast("date"),
+                (F.col("c_wk") * 7).cast("int"),
+            ).alias("cohort_start"),
+            (F.col("wk") - F.col("c_wk")).alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("users"))
+    )
+
+
+@register(
+    "text_bpe_encode_tokens",
+    sql=r"""
+    WITH RECURSIVE
+    m(iter, l, r) AS (
+      VALUES (1,'t','h'),(2,'th','e'),(3,'a','n'),(4,'an','d'),
+             (5,'i','n'),(6,'e','r'),(7,'r','e'),(8,'o','n')
+    ),
+    w0 AS (
+      SELECT doc_id, unnest(ws) AS w, unnest(generate_series(1, len(ws))) AS pos
+      FROM (
+        SELECT doc_id, list_filter(
+                 string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' '),
+                 s -> length(s) > 0) AS ws
+        FROM documents
+      )
+    ),
+    v0 AS (SELECT DISTINCT w FROM w0),
+    state(iter, w, t) AS (
+      SELECT 0, w, string_split(w, '') FROM v0
+      UNION ALL
+      SELECT s.iter + 1, s.w,
+        list_filter(
+          list_transform(generate_series(1, len(s.t)), i ->
+            CASE
+              WHEN i <= len(s.t) - 1 AND s.t[i] = m.l AND s.t[i + 1] = m.r
+                   AND (m.l <> m.r OR
+                        (i - (coalesce(list_max(list_filter(
+                             generate_series(1, i - 1),
+                             j -> s.t[j] <> m.l)), 0) + 1)) % 2 = 0)
+                THEN m.l || m.r
+              WHEN i >= 2 AND s.t[i - 1] = m.l AND s.t[i] = m.r
+                   AND (m.l <> m.r OR
+                        ((i - 1) - (coalesce(list_max(list_filter(
+                             generate_series(1, i - 2),
+                             j -> s.t[j] <> m.l)), 0) + 1)) % 2 = 0)
+                THEN NULL
+              ELSE s.t[i]
+            END),
+          x -> x IS NOT NULL)
+      FROM state s JOIN m ON m.iter = s.iter + 1
+    ),
+    enc AS (SELECT w, t FROM state WHERE iter = 8)
+    SELECT w0.doc_id,
+           CAST(SUM(len(enc.t)) AS INT) AS n_tokens,
+           md5(string_agg(array_to_string(enc.t, '|'), '|' ORDER BY w0.pos))
+             AS tokens_md5
+    FROM w0 JOIN enc ON w0.w = enc.w
+    GROUP BY 1
+    """,
+)
+def text_bpe_encode_tokens(spark, sf_dir):
+    """The tokenizer's ACTUAL OUTPUT, hash-pinned corpus-wide: per
+    document, the full in-order BPE token sequence
+    (text.bpe_encode_tokens — the word-cache encode with word position
+    carried through), emitted as (doc_id, n_tokens, md5 of the
+    '|'-joined sequence) so the driver hash check pins every token of
+    every document in document order, not just the count accounting
+    text_bpe_encode verifies. The oracle replays the 8 fixed rules
+    with the trainer oracle's proven rewrite, reassembles each
+    document with an ORDER BY position string_agg, and md5s the same
+    join — byte-identical sequences or a red row."""
+    tok = T.bpe_encode_tokens(t(spark, sf_dir, "documents"), _BPE_FIXED_MERGES)
+    return tok.select(
+        "doc_id",
+        F.size("tokens").alias("n_tokens"),
+        F.md5(F.concat_ws("|", "tokens")).alias("tokens_md5"),
+    )

@@ -890,3 +890,60 @@ def test_vacuum_grace_keeps_inflight_reader_alive(spark, tmp_path):
     with _pytest.raises(Exception):
         pinned.count()
     assert store.read("t").count() == 100
+
+
+def test_delete_where_keyed_and_versioned(spark, tmp_path):
+    """delete_where: SQL DELETE semantics (NULL-predicate rows kept),
+    bucket-pruned rewrite (untouched buckets' files bit-identical),
+    versioned tables delete logically (prior snapshot still pinnable),
+    and a no-match delete is a no-op."""
+    import os
+
+    store = TableStore(spark, str(tmp_path))
+    base = spark.createDataFrame(
+        [(i, float(i) if i % 10 else None, "S") for i in range(100)],
+        "id long, price double, status string",
+    )
+    store.overwrite_keyed(base, "t", "id", n_buckets=8, versioned=True)
+    files_v1 = set(store._manifest_files("t", 1))
+
+    affected = store.delete_where("t", F.col("price") > 90.0)
+    assert affected and len(affected) < 8  # pruned, not full rewrite
+    got = {r["id"] for r in store.read("t").collect()}
+    # >90 deleted; NULL-price rows (ids % 10 == 0) KEPT
+    assert got == {i for i in range(100) if not (i % 10 and i > 90)}
+    # untouched buckets' v1 files are re-referenced verbatim in v2
+    files_v2 = set(store._manifest_files("t", 2))
+    assert files_v1 & files_v2
+    # prior snapshot pinnable (logical delete)
+    assert store.read("t", version=1).count() == 100
+    # no-match delete: no-op, no new version
+    assert store.delete_where("t", F.col("price") > 1e9) == []
+    assert store.versions("t") == [1, 2]
+
+
+def test_delete_where_empties_bucket_and_unkeyed(spark, tmp_path):
+    """Deleting EVERY row of some buckets prunes them; string
+    predicates work; unkeyed tables fall back to full rewrite."""
+    store = TableStore(spark, str(tmp_path))
+    base = spark.createDataFrame(
+        [(i, float(i)) for i in range(40)], "id long, price double"
+    )
+    store.overwrite_keyed(base, "t", "id", n_buckets=4)
+    store.delete_where("t", "id >= 0")  # everything
+    # a fully-emptied keyed table still reads (empty, stored schema)...
+    empty = store.read("t")
+    assert empty.count() == 0 and empty.columns == ["id", "price"]
+    # ...and a later upsert revives it through the keyed fast path
+    store.upsert(
+        spark.createDataFrame([(7, 7.0)], "id long, price double"), "t", "id"
+    )
+    assert [tuple(r) for r in store.read("t").collect()] == [(7, 7.0)]
+
+    plain = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, 30.0)], "id long, price double"
+    )
+    store.overwrite(plain, "p")
+    assert store.delete_where("p", "price > 20") == [-1]
+    got = {r["id"] for r in store.read("p").collect()}
+    assert got == {1, 2}  # NULL kept, 3 deleted
