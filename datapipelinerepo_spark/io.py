@@ -332,7 +332,11 @@ class TableStore:
         return self._manifest_doc(name, version)["files"]
 
     def _write_manifest_file(
-        self, name: str, files: list[str], schema_json: str | None = None
+        self,
+        name: str,
+        files: list[str],
+        schema_json: str | None = None,
+        txn: tuple[str, int] | None = None,
     ) -> int:
         """Commit the next manifest version PUT-IF-ABSENT: the document
         is fully written to a private tmp file, then CLAIMS its version
@@ -347,7 +351,15 @@ class TableStore:
 
         ``schema_json`` (the written frame's StructType JSON) rides in
         the manifest so an EMPTY snapshot stays readable — without it,
-        a zero-file manifest has no schema source (ADVICE r6)."""
+        a zero-file manifest has no schema source (ADVICE r6).
+
+        ``txn`` = (app_id, txn_version) records a transactional write
+        watermark (Delta's txnAppId/txnVersion pattern): the manifest
+        carries the map {app_id: highest applied txn_version}, copied
+        forward from the previous manifest on EVERY publish (including
+        compaction — maintenance must not resurrect a replayed batch)
+        and bumped by this write's entry. ``last_txn`` reads it back;
+        ``upsert_txn`` turns it into exactly-once streaming upserts."""
         import uuid
 
         os.makedirs(self._manifest_dir(name), exist_ok=True)
@@ -359,7 +371,20 @@ class TableStore:
         )
         try:
             for _ in range(1000):
-                v = (max(self.versions(name), default=0)) + 1
+                vs = self.versions(name)
+                v = (max(vs, default=0)) + 1
+                txn_map: dict = {}
+                if vs:
+                    try:
+                        txn_map = dict(
+                            self._manifest_doc(name, max(vs)).get("txn", {})
+                        )
+                    except FileNotFoundError:
+                        pass
+                if txn is not None:
+                    txn_map[txn[0]] = max(int(txn[1]), txn_map.get(txn[0], -1))
+                if txn_map:
+                    doc["txn"] = txn_map
                 doc["version"] = v
                 with open(tmp, "w") as f:
                     json.dump(doc, f)
@@ -378,11 +403,27 @@ class TableStore:
         )
 
     def _publish_version(
-        self, name: str, files: list[str], schema_json: str | None = None
+        self,
+        name: str,
+        files: list[str],
+        schema_json: str | None = None,
+        txn: tuple[str, int] | None = None,
     ) -> int:
-        v = self._write_manifest_file(name, files, schema_json=schema_json)
+        v = self._write_manifest_file(
+            name, files, schema_json=schema_json, txn=txn
+        )
         self._touch_meta(name, versioned=True, version=v)
         return v
+
+    def last_txn(self, name: str, app_id: str) -> int | None:
+        """The highest transactional write version applied for
+        ``app_id`` (recorded by upsert_txn / txn= writes; carried
+        forward across every publish incl. compaction), or None."""
+        v = self.latest_version(name)
+        if v is None:
+            return None
+        t = self._manifest_doc(name, v).get("txn", {}).get(app_id)
+        return None if t is None else int(t)
 
     def _assert_committed_dir(self, name: str) -> None:
         """Guard for the manifest-missing fallback: the raw directory
@@ -425,6 +466,7 @@ class TableStore:
         name: str,
         buckets: list[int] | None,
         kept: list[str],
+        txn: tuple[str, int] | None = None,
     ) -> int:
         """The shared versioned-write protocol: append ``stamped``
         (already _kb-stamped) as NEW part-files — never deleting live
@@ -441,6 +483,7 @@ class TableStore:
             name,
             list(kept) + sorted(new_files),
             schema_json=stamped.schema.json(),
+            txn=txn,
         )
 
     def compact(self, name: str, max_files_per_bucket: int = 1) -> int:
@@ -773,6 +816,7 @@ class TableStore:
         key: str | list[str],
         n_buckets: int = 64,
         versioned: bool = False,
+        txn: tuple[str, int] | None = None,
     ) -> None:
         """Write a table hash-bucket-partitioned by its merge key: rows
         land in parquet partitions _kb=pmod(xxhash64(key), n_buckets).
@@ -822,7 +866,10 @@ class TableStore:
         )
         v = (
             self._write_manifest_file(
-                name, self._data_files(name), schema_json=stamped.schema.json()
+                name,
+                self._data_files(name),
+                schema_json=stamped.schema.json(),
+                txn=txn,
             )
             if versioned
             else 0
@@ -841,7 +888,12 @@ class TableStore:
         )
 
     def _upsert_keyed(
-        self, incoming: DataFrame, name: str, keys: list[str], n_buckets: int
+        self,
+        incoming: DataFrame,
+        name: str,
+        keys: list[str],
+        n_buckets: int,
+        txn: tuple[str, int] | None = None,
     ) -> None:
         """Bucket-partitioned MERGE: read ONLY the buckets the incoming
         keys hash to (partition pruning), anti-join the survivors,
@@ -886,7 +938,7 @@ class TableStore:
                 for f in self._manifest_files(name, base_v)
                 if self._bucket_of(f) not in aff
             ]
-            self._append_and_publish(merged, name, affected, kept)
+            self._append_and_publish(merged, name, affected, kept, txn=txn)
             return
         (
             merged.write.mode("overwrite")
@@ -981,6 +1033,64 @@ class TableStore:
                 os.path.join(self._dir(name), f"_kb={b}"), ignore_errors=True
             )
         self._touch_meta(name)
+
+    def upsert_txn(
+        self,
+        df: DataFrame,
+        name: str,
+        key: str | list[str],
+        app_id: str,
+        txn_version: int,
+        n_buckets: int = 64,
+    ) -> bool:
+        """EXACTLY-ONCE keyed upsert (Delta's txnAppId/txnVersion
+        pattern on the plain-parquet versioned store): the write and
+        its (app_id, txn_version) watermark publish in ONE atomic
+        manifest commit, so an at-least-once retry of the same
+        transaction (a replayed streaming micro-batch, a re-run job)
+        is detected by ``last_txn`` and SKIPPED — true exactly-once
+        even for non-idempotent change batches, where the _batch_id
+        partition trick only covers append shapes and cdc_apply relies
+        on operator idempotence. Watermarks survive compaction (every
+        publish copies the txn map forward). Returns True if applied,
+        False if skipped as a replay. Creates the table (versioned,
+        keyed) on first use; requires a versioned table thereafter.
+
+        At 100 TB this is the streaming-dimension maintenance
+        contract: per-batch cost is the batch's buckets, replay cost
+        is one manifest read."""
+        keys = [key] if isinstance(key, str) else list(key)
+        if not self.exists(name):
+            self.overwrite_keyed(
+                df.dropDuplicates(keys),
+                name,
+                keys,
+                n_buckets=n_buckets,
+                versioned=True,
+                txn=(app_id, int(txn_version)),
+            )
+            return True
+        spec = self.keyed_spec(name)
+        if spec is None or not self.is_versioned(name):
+            raise ValueError(
+                f"{name}: upsert_txn needs a versioned keyed table "
+                "(overwrite_keyed(..., versioned=True))"
+            )
+        if list(spec[0]) != keys:
+            raise ValueError(
+                f"{name}: upsert_txn key {keys} != table key {list(spec[0])}"
+            )
+        last = self.last_txn(name, app_id)
+        if last is not None and last >= int(txn_version):
+            return False  # replayed transaction: already applied
+        self._upsert_keyed(
+            df.dropDuplicates(keys),
+            name,
+            keys,
+            spec[1],
+            txn=(app_id, int(txn_version)),
+        )
+        return True
 
     def delete_where(self, name: str, condition) -> list[int]:
         """Row-level DELETE (the MERGE family's third verb, after

@@ -4557,3 +4557,54 @@ def text_bpe_encode_tokens(spark, sf_dir):
         F.size("tokens").alias("n_tokens"),
         F.md5(F.concat_ws("|", "tokens")).alias("tokens_md5"),
     )
+
+
+@register(
+    "store_txn_exactly_once",
+    sql="""
+    WITH base AS (
+      SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 2 = 0
+    ), inc AS (
+      SELECT o_orderkey, o_totalprice * 2 AS o_totalprice
+      FROM orders WHERE o_orderkey % 10 = 0
+    )
+    SELECT o_orderkey, o_totalprice FROM base
+    WHERE o_orderkey NOT IN (SELECT o_orderkey FROM inc)
+    UNION ALL
+    SELECT o_orderkey, o_totalprice FROM inc
+    """,
+)
+def store_txn_exactly_once(spark, sf_dir):
+    """Transactional EXACTLY-ONCE upsert as a hash-checked query
+    (io.TableStore.upsert_txn — Delta's txnAppId/txnVersion pattern on
+    the plain-parquet versioned store): a base snapshot writes as
+    transaction 0, a change batch applies as transaction 1, and then
+    transaction 1 is REPLAYED with poisoned values (the at-least-once
+    foreachBatch retry scenario). The replay must be detected by the
+    manifest's carried-forward txn watermark and skipped, so the
+    read-back table equals the oracle's single application of the
+    change batch — if the poison ever landed, the hash goes red. This
+    is the guarantee the _batch_id partition trick can't give
+    non-append shapes and cdc_apply gets only from operator
+    idempotence."""
+    import tempfile
+
+    from .io import TableStore
+
+    base = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 2 == 0)
+        .select("o_orderkey", "o_totalprice")
+    )
+    inc = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 10 == 0)
+        .select("o_orderkey", (F.col("o_totalprice") * 2).alias("o_totalprice"))
+    )
+    poison = inc.withColumn("o_totalprice", F.lit(-1.0))
+    store = TableStore(spark, tempfile.mkdtemp(prefix="txnonce_"))
+    applied0 = store.upsert_txn(base, "t", "o_orderkey", "job", 0, n_buckets=16)
+    applied1 = store.upsert_txn(inc, "t", "o_orderkey", "job", 1)
+    replayed = store.upsert_txn(poison, "t", "o_orderkey", "job", 1)
+    assert applied0 and applied1 and not replayed
+    return store.read("t").select("o_orderkey", "o_totalprice")

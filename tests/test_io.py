@@ -947,3 +947,77 @@ def test_delete_where_empties_bucket_and_unkeyed(spark, tmp_path):
     assert store.delete_where("p", "price > 20") == [-1]
     got = {r["id"] for r in store.read("p").collect()}
     assert got == {1, 2}  # NULL kept, 3 deleted
+
+
+def test_upsert_txn_exactly_once_and_survives_compaction(spark, tmp_path):
+    """upsert_txn (the Delta txnAppId/txnVersion pattern): a replayed
+    transaction is skipped (no new version, no data change); distinct
+    apps track independent watermarks; the watermark survives
+    compaction (every publish copies the txn map forward); and
+    out-of-order replays of OLDER txn versions are also skipped."""
+    store = TableStore(spark, str(tmp_path))
+    b0 = spark.createDataFrame(
+        [(i, float(i)) for i in range(50)], "id long, price double"
+    )
+    assert store.upsert_txn(b0, "t", "id", "appA", 0, n_buckets=8) is True
+    b1 = spark.createDataFrame([(3, 333.0), (900, 900.0)], "id long, price double")
+    assert store.upsert_txn(b1, "t", "id", "appA", 1) is True
+    v_after = store.latest_version("t")
+    got = {r["id"]: r["price"] for r in store.read("t").collect()}
+    assert got[3] == 333.0 and got[900] == 900.0 and len(got) == 51
+
+    # replay of batch 1 (foreachBatch retry): skipped, nothing changes
+    b1_retry = spark.createDataFrame([(3, -1.0), (900, -1.0)], "id long, price double")
+    assert store.upsert_txn(b1_retry, "t", "id", "appA", 1) is False
+    assert store.latest_version("t") == v_after
+    assert {r["id"]: r["price"] for r in store.read("t").collect()} == got
+    # stale out-of-order replay (batch 0) also skipped
+    assert store.upsert_txn(b0, "t", "id", "appA", 0) is False
+
+    # an independent app's txn 0 is NOT shadowed by appA's watermark
+    b_other = spark.createDataFrame([(7, 777.0)], "id long, price double")
+    assert store.upsert_txn(b_other, "t", "id", "appB", 0) is True
+    assert store.last_txn("t", "appA") == 1 and store.last_txn("t", "appB") == 0
+
+    # compaction publishes a new manifest — watermarks carry forward,
+    # so the replay is STILL skipped afterwards
+    store.compact("t")
+    assert store.last_txn("t", "appA") == 1
+    assert store.upsert_txn(b1_retry, "t", "id", "appA", 1) is False
+    final = {r["id"]: r["price"] for r in store.read("t").collect()}
+    assert final[3] == 333.0 and final[7] == 777.0
+
+
+def test_versioned_upsert_stream_end_to_end(spark, tmp_path):
+    """The streaming face: an availableNow drain upserts micro-batches
+    exactly-once into a versioned table; a manual re-application of
+    the final batch id (simulating a foreachBatch retry after the
+    watermark published) is a no-op."""
+    import os
+
+    from datapipelinerepo_spark.streaming.ingest import versioned_upsert_stream
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    spark.createDataFrame(
+        [(i, float(i)) for i in range(20)], "id long, price double"
+    ).coalesce(1).write.mode("overwrite").parquet(src)
+    store = TableStore(spark, str(tmp_path / "store"))
+    stream = spark.readStream.schema("id long, price double").parquet(src)
+    q = versioned_upsert_stream(
+        stream,
+        store,
+        str(tmp_path / "ckpt"),
+        key="id",
+        table="dim",
+        app_id="e2e",
+        n_buckets=4,
+    )
+    q.awaitTermination()
+    assert store.read("dim").count() == 20
+    last = store.last_txn("dim", "e2e")
+    assert last is not None
+    # retry of the already-applied batch: skipped
+    poison = spark.createDataFrame([(0, -1.0)], "id long, price double")
+    assert store.upsert_txn(poison, "dim", "id", "e2e", last) is False
+    assert store.read("dim").filter("price < 0").count() == 0
