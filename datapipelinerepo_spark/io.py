@@ -1217,6 +1217,79 @@ def write_clustered(
     )
 
 
+def zorder_expr(bucket_cols: list, bits: int = 8):
+    """Morton (Z-order) code of the given BUCKET columns (each already
+    an integer 0..2^bits−1): bit b of column i lands at interleaved
+    position b·n+i, so sorting by the code gives locality in EVERY
+    dimension at once. Pure column arithmetic — whole-stage codegen,
+    no UDF."""
+    n = len(bucket_cols)
+    z = F.lit(0).cast("long")
+    for b in range(bits):
+        for i, c in enumerate(bucket_cols):
+            bit = F.shiftright(c.cast("long"), b).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, b * n + i))
+    return z
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    zcols: list[str],
+    bits: int = 8,
+    n_files: int | None = None,
+) -> None:
+    """Multi-dimensional clustering (Delta OPTIMIZE ZORDER's layout on
+    plain parquet): each z column rank-normalizes to a 2^bits-way
+    quantile bucket (approx-percentile boundaries — a bounded driver
+    collect; exactness is irrelevant for LAYOUT, only locality
+    matters), rows order by the interleaved Morton code, and files
+    split on code ranges. Result: every file covers a NARROW value
+    range in EVERY z column simultaneously, so parquet footer min/max
+    statistics skip files/row groups for predicates on ANY of the
+    columns — where a linear sort (write_clustered) skips only on its
+    leading column and a point query on the second column scans
+    everything. The one range exchange is the write-time layout job
+    paid once; reads need no special API (the stats live in the
+    footers).
+
+    NULLs bucket to 0 (their own edge of the curve). At 100 TB size
+    n_files so one file ≈ a few row groups of executor-friendly size —
+    the same knob as write_clustered."""
+    buckets = []
+    probs = [i / (1 << bits) for i in range(1, 1 << bits)]
+    for c in zcols:
+        bounds = df.select(
+            F.percentile_approx(
+                F.col(c), F.array(*[F.lit(p) for p in probs]), 10000
+            )
+        ).first()[0]
+        uniq = sorted(set(b for b in (bounds or []) if b is not None))
+        arr = F.array(*[F.lit(b) for b in uniq])
+        # monotonic bucket id: how many boundaries the value exceeds
+        # (NULL comparisons fold to 0 → bucket 0)
+        buckets.append(
+            F.aggregate(
+                arr,
+                F.lit(0),
+                lambda acc, b: acc
+                + F.when(F.col(c) > b, F.lit(1)).otherwise(F.lit(0)),
+            )
+        )
+    out = df.withColumn("_z", zorder_expr(buckets, bits))
+    out = (
+        out.repartitionByRange(n_files, "_z")
+        if n_files
+        else out.repartitionByRange("_z")
+    )
+    (
+        out.sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
 class Query:
     """Raw-SQL passthrough — the reference's ``Query`` object
     (datasources.py:86-99: a class wrapping an SQL string with

@@ -4608,3 +4608,73 @@ def store_txn_exactly_once(spark, sf_dir):
     replayed = store.upsert_txn(poison, "t", "o_orderkey", "job", 1)
     assert applied0 and applied1 and not replayed
     return store.read("t").select("o_orderkey", "o_totalprice")
+
+
+@register(
+    "scale_zorder_values",
+    sql="""
+    WITH o AS (
+      SELECT o_orderkey, o_totalprice, o_custkey, COUNT(*) OVER () AS n
+      FROM orders
+    ), a AS (
+      SELECT o_orderkey,
+             CAST(floor((row_number() OVER (ORDER BY o_totalprice, o_orderkey) - 1)
+                        * 16.0 / n) AS BIGINT) AS ba
+      FROM o
+    ), b AS (
+      SELECT o_orderkey,
+             CAST(floor((row_number() OVER (ORDER BY o_custkey, o_orderkey) - 1)
+                        * 16.0 / n) AS BIGINT) AS bb
+      FROM o
+    )
+    SELECT a.o_orderkey, ba, bb,
+           CAST(
+             (((ba >> 0) & 1) << 0) | (((bb >> 0) & 1) << 1) |
+             (((ba >> 1) & 1) << 2) | (((bb >> 1) & 1) << 3) |
+             (((ba >> 2) & 1) << 4) | (((bb >> 2) & 1) << 5) |
+             (((ba >> 3) & 1) << 6) | (((bb >> 3) & 1) << 7)
+           AS BIGINT) AS zval
+    FROM a JOIN b USING (o_orderkey)
+    """,
+)
+def scale_zorder_values(spark, sf_dir):
+    """Z-ORDER (Morton) codes, hash-checked: every order's exact
+    16-way rank bucket on o_totalprice and on o_custkey (the
+    global-rank machinery — per-range-bucket windows + broadcast
+    offsets, no corpus-sized window) bit-interleaved into the code
+    that drives multi-dimensional clustering (io.zorder_expr /
+    write_zordered). The oracle recomputes both exact rank buckets
+    with window row_numbers and the identical bit arithmetic — codes
+    match bit for bit or the row goes red. (write_zordered itself
+    buckets by approx quantiles — layout needs locality, not
+    exactness; THIS query pins the interleave arithmetic and the rank
+    machinery it rides on.) bucket = floor(pos·16/n) is exact in both
+    engines: pos·16 < 2^53, so the double division is exact."""
+    from .operators.sampling import global_order_positions
+    from .io import zorder_expr
+
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_custkey"
+    )
+    n = o.agg(F.count(F.lit(1)).alias("_n"))
+    pa = global_order_positions(
+        o.select("o_totalprice", "o_orderkey"), ("o_totalprice", "o_orderkey")
+    ).select("o_orderkey", F.col("pos").alias("_pa"))
+    pb = global_order_positions(
+        o.select("o_custkey", "o_orderkey"), ("o_custkey", "o_orderkey")
+    ).select("o_orderkey", F.col("pos").alias("_pb"))
+    ranked = (
+        pa.join(pb, "o_orderkey")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "o_orderkey",
+            F.floor(F.col("_pa") * 16.0 / F.col("_n")).alias("ba"),
+            F.floor(F.col("_pb") * 16.0 / F.col("_n")).alias("bb"),
+        )
+    )
+    return ranked.select(
+        "o_orderkey",
+        "ba",
+        "bb",
+        zorder_expr([F.col("ba"), F.col("bb")], bits=4).alias("zval"),
+    )

@@ -1021,3 +1021,52 @@ def test_versioned_upsert_stream_end_to_end(spark, tmp_path):
     poison = spark.createDataFrame([(0, -1.0)], "id long, price double")
     assert store.upsert_txn(poison, "dim", "id", "e2e", last) is False
     assert store.read("dim").filter("price < 0").count() == 0
+
+
+def test_write_zordered_narrows_every_dimension(spark, sf_dir, tmp_path):
+    """The z-order layout property: every output file covers a NARROW
+    slice of BOTH z columns, where a linear sort on one column leaves
+    the other column's per-file range at ~the full domain. This is
+    exactly what makes footer min/max stats skip files for predicates
+    on EITHER column."""
+    from datapipelinerepo_spark.io import load_table, write_zordered
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_custkey"
+    )
+
+    def coverage(path, col):
+        per_file = (
+            spark.read.parquet(path)
+            .groupBy(F.input_file_name().alias("f"))
+            .agg(
+                (F.max(col) - F.min(col)).alias("w"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        )
+        glob = o.agg((F.max(col) - F.min(col)).alias("w")).first()["w"]
+        return sum(r["w"] / glob for r in per_file) / len(per_file), len(per_file)
+
+    zpath = str(tmp_path / "z")
+    write_zordered(o, zpath, ["o_totalprice", "o_custkey"], bits=8, n_files=16)
+    cov_price, nf = coverage(zpath, "o_totalprice")
+    cov_cust, _ = coverage(zpath, "o_custkey")
+    assert nf > 4  # the range split actually produced multiple files
+
+    # baseline: linear sort on o_totalprice only
+    lpath = str(tmp_path / "lin")
+    (
+        o.repartitionByRange(16, "o_totalprice")
+        .sortWithinPartitions("o_totalprice")
+        .write.mode("overwrite")
+        .parquet(lpath)
+    )
+    lin_price, _ = coverage(lpath, "o_totalprice")
+    lin_cust, _ = coverage(lpath, "o_custkey")
+
+    # linear: near-perfect on the sort column, ~full domain on the other
+    assert lin_price < 0.2 and lin_cust > 0.8
+    # z-order: materially narrow on BOTH dimensions simultaneously
+    assert cov_price < 0.6 and cov_cust < 0.6, (cov_price, cov_cust)
+    assert cov_cust < lin_cust / 2

@@ -124,6 +124,10 @@ _REGISTRY_ALLOW = {
     # (a) same bucket-offsets window + (b) 3-row quantile table ⨯ 1-row
     # count broadcast (exact global quantiles on the bucketed machinery)
     "scale_exact_quantiles": {"single_partition_exchange", "broadcast_nested_loop"},
+    # (a) two ≤33-row bucket-offsets windows (one per z dimension) +
+    # (b) 1-row total-count crossJoin broadcast for the rank→bucket
+    # arithmetic — the scale_exact_quantiles machinery, twice
+    "scale_zorder_values": {"single_partition_exchange", "broadcast_nested_loop"},
     # (b) rides the exact brute-force scorer over the pre-filtered slice
     "ann_topk_filtered": {"broadcast_nested_loop"},
     # (b) 1-row scalar-subquery gate broadcast into a filter
