@@ -168,12 +168,25 @@ class TableStore:
             return json.load(f).get("key_types")
 
     def _meta_schema_df(self, name: str) -> DataFrame | None:
-        """Empty frame with the schema recorded at overwrite_keyed time
-        (meta `schema`), or None if none was recorded. The read-side
-        fallback for a keyed table whose every row was deleted: the
-        directory then holds no parquet files to infer from, but the
-        table still EXISTS and must read as empty (ADVICE-r6 class,
-        surfaced by delete_where emptying an unversioned table)."""
+        """Empty frame with the schema recorded in the keyed meta
+        (written by overwrite_keyed, refreshed on schema-evolving
+        upserts), or None if none was recorded OR the directory lacks a
+        committed-write marker. The read-side fallback for a keyed
+        table whose every row was deleted: the directory then holds no
+        parquet files to infer from, but the table still EXISTS and
+        must read as empty (ADVICE-r6 class, surfaced by delete_where
+        emptying an unversioned table).
+
+        The `_SUCCESS` gate is load-bearing (code-review r7): a
+        parquet-less directory is ALSO what a crashed overwrite leaves
+        behind (static truncation ran, no task committed). Every
+        legitimate emptying path ends in a committed Spark write job
+        (marker present); the crash leaves no marker — without the
+        gate, the crash would read as silently empty and the next
+        upsert would rebuild the table from just its own batch (silent
+        data loss where the pre-fallback code failed loudly)."""
+        if not os.path.isfile(os.path.join(self._dir(name), "_SUCCESS")):
+            return None
         p = self._meta_path(name)
         if not os.path.isfile(p):
             return None
@@ -184,6 +197,30 @@ class TableStore:
         from pyspark.sql.types import StructType
 
         return self.spark.createDataFrame([], StructType.fromJson(json.loads(s)))
+
+    def _widened_schema_json(self, name: str, schema) -> str:
+        """The stored meta schema widened by ``schema``'s new fields
+        (stored order first). Refreshes after evolving writes must only
+        ever WIDEN: a batch narrower than the table (legal for appends
+        and bucket-sliced merges) must not shrink the column set the
+        emptied-table fallback serves (code-review r7)."""
+        from pyspark.sql.types import StructType
+
+        p = self._meta_path(name)
+        stored = None
+        if os.path.isfile(p):
+            with open(p) as f:
+                s = json.load(f).get("schema")
+            if s:
+                stored = StructType.fromJson(json.loads(s))
+        if stored is None:
+            return schema.json()
+        have = {f.name for f in stored.fields}
+        merged = StructType(
+            list(stored.fields)
+            + [f for f in schema.fields if f.name not in have]
+        )
+        return merged.json()
 
     def _clear_keyed(self, name: str) -> None:
         """Remove the keyed marker — a plain overwrite replaces the
@@ -412,7 +449,17 @@ class TableStore:
         v = self._write_manifest_file(
             name, files, schema_json=schema_json, txn=txn
         )
-        self._touch_meta(name, versioned=True, version=v)
+        # the meta schema tracks evolution (widen-only) so the
+        # fully-emptied-table fallback serves the CURRENT column set
+        # (code-review r7); the manifest keeps the snapshot-exact one
+        extra = {}
+        if schema_json is not None:
+            from pyspark.sql.types import StructType
+
+            extra["schema"] = self._widened_schema_json(
+                name, StructType.fromJson(json.loads(schema_json))
+            )
+        self._touch_meta(name, versioned=True, version=v, **extra)
         return v
 
     def last_txn(self, name: str, app_id: str) -> int | None:
@@ -707,6 +754,12 @@ class TableStore:
                 df.write.mode("append").partitionBy("_kb").parquet(
                     self._dir(name)
                 )
+                # evolving appends widen the stored schema the
+                # emptied-table fallback serves (code-review r7)
+                self._touch_meta(
+                    name, schema=self._widened_schema_json(name, df.schema)
+                )
+                return
             else:
                 df.write.mode("append").parquet(self._dir(name))
         self._touch_meta(name)
@@ -915,12 +968,16 @@ class TableStore:
             # the directory (which also holds older versions' files)
             base_v = self._ensure_latest(name)
             raw = self._read_manifest_df(name, base_v)
-        elif not self._dir_has_parquet(name) and self._meta_schema_df(name) is not None:
-            raw = self._meta_schema_df(name)  # fully-emptied table: revive
         else:
-            raw = self.spark.read.option("mergeSchema", "true").parquet(
-                self._dir(name)
+            raw = (
+                self._meta_schema_df(name)  # fully-emptied table: revive
+                if not self._dir_has_parquet(name)
+                else None
             )
+            if raw is None:
+                raw = self.spark.read.option("mergeSchema", "true").parquet(
+                    self._dir(name)
+                )
         slice_ = raw.filter(F.col("_kb").isin(affected))
         inc_keys = stamped.select(*[F.col(k).alias(f"_ik_{k}") for k in keys])
         cond = None
@@ -946,7 +1003,14 @@ class TableStore:
             .option("partitionOverwriteMode", "dynamic")
             .parquet(self._dir(name))
         )
-        self._touch_meta(name, keyed_on=keys, key_buckets=n_buckets)
+        self._touch_meta(
+            name,
+            keyed_on=keys,
+            key_buckets=n_buckets,
+            # refresh: an evolving upsert widens the stored schema the
+            # emptied-table fallback serves (code-review r7)
+            schema=self._widened_schema_json(name, merged.schema),
+        )
 
     def keyed_buckets(self, name: str, df: DataFrame) -> list[int]:
         """Bucket ids the rows of ``df`` hash to under the table's key
@@ -1032,7 +1096,9 @@ class TableStore:
             shutil.rmtree(
                 os.path.join(self._dir(name), f"_kb={b}"), ignore_errors=True
             )
-        self._touch_meta(name)
+        self._touch_meta(
+            name, schema=self._widened_schema_json(name, stamped.schema)
+        )
 
     def upsert_txn(
         self,
@@ -1222,8 +1288,17 @@ def zorder_expr(bucket_cols: list, bits: int = 8):
     an integer 0..2^bits−1): bit b of column i lands at interleaved
     position b·n+i, so sorting by the code gives locality in EVERY
     dimension at once. Pure column arithmetic — whole-stage codegen,
-    no UDF."""
+    no UDF. bits·len(bucket_cols) must stay under the long's 63 value
+    bits — beyond that, positions would hit the sign bit or wrap
+    (Spark masks shift amounts to 6 bits) and SILENTLY corrupt the
+    ordering, so it is rejected up front (code-review r7)."""
     n = len(bucket_cols)
+    if bits * n > 63:
+        raise ValueError(
+            f"zorder_expr: {n} columns x {bits} bits = {bits * n} "
+            "interleaved bits exceeds the 63 value bits of a long — "
+            "lower bits (e.g. bits=63//n_cols)"
+        )
     z = F.lit(0).cast("long")
     for b in range(bits):
         for i, c in enumerate(bucket_cols):
@@ -1256,18 +1331,26 @@ def write_zordered(
     NULLs bucket to 0 (their own edge of the curve). At 100 TB size
     n_files so one file ≈ a few row groups of executor-friendly size —
     the same knob as write_clustered."""
-    buckets = []
     probs = [i / (1 << bits) for i in range(1, 1 << bits)]
-    for c in zcols:
-        bounds = df.select(
+    # ONE boundary pass for every z column together (code-review r7:
+    # a per-column .first() loop was len(zcols) full scans)
+    bounds_row = df.select(
+        *[
             F.percentile_approx(
                 F.col(c), F.array(*[F.lit(p) for p in probs]), 10000
-            )
-        ).first()[0]
-        uniq = sorted(set(b for b in (bounds or []) if b is not None))
+            ).alias(f"_b{i}")
+            for i, c in enumerate(zcols)
+        ]
+    ).first()
+    buckets = []
+    for i, c in enumerate(zcols):
+        uniq = sorted(set(b for b in (bounds_row[i] or []) if b is not None))
         arr = F.array(*[F.lit(b) for b in uniq])
         # monotonic bucket id: how many boundaries the value exceeds
-        # (NULL comparisons fold to 0 → bucket 0)
+        # (NULL comparisons fold to 0 → bucket 0). Two-arg lambda only:
+        # F.aggregate dispatches on lambda ARITY, so a bound third
+        # default-arg would receive a lambda Column. `c` binds safely —
+        # F.aggregate invokes the lambda eagerly inside this iteration.
         buckets.append(
             F.aggregate(
                 arr,

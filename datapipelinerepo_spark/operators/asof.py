@@ -24,12 +24,15 @@ from pyspark.sql import types as T
 
 def _orderable(dt) -> bool:
     """Can a column of this type appear in a sort/window ORDER BY?
-    Spark rejects MapType (and the opaque VariantType) anywhere inside
-    an ordering expression; arrays and structs are orderable iff their
+    Spark rejects MapType, the opaque VariantType, and the legacy
+    CalendarIntervalType (months+days+micros have no total order;
+    make_interval produces it — code-review r7) anywhere inside an
+    ordering expression; the ANSI DayTime/YearMonth interval types ARE
+    orderable. Arrays and structs are orderable iff their
     element/field types are."""
     if isinstance(dt, T.MapType):
         return False
-    if dt.typeName() == "variant":
+    if dt.typeName() in ("variant", "calendarinterval", "interval"):
         return False
     if isinstance(dt, T.ArrayType):
         return _orderable(dt.elementType)

@@ -1506,6 +1506,7 @@ def bpe_encode_tokens(
     merges: list[tuple[str, str]],
     text_col: str = "text",
     id_col: str = "doc_id",
+    engine: str = "auto",
 ) -> DataFrame:
     """Tokenize the corpus and return the actual per-document TOKEN
     SEQUENCE in document order — what a training pipeline feeds the
@@ -1519,14 +1520,37 @@ def bpe_encode_tokens(
     collect_list of (pos, word-tokens) sorted in-plan and flattened —
     the per-group buffer is bounded by document length (the
     text_chunking class), never corpus-sized, and document order is
-    deterministic regardless of partitioning."""
+    deterministic regardless of partitioning. ``engine`` mirrors
+    bpe_encode exactly (code-review r7: the production-size 30k-rule
+    list this function's use case implies must not compile 30k chained
+    folds): 'fold' = per-rule JVM folds, 'arrow' = one pandas UDF
+    returning each word's token array via priority merging with the
+    sequential-safety gate, 'auto' = fold ≤48 rules, arrow beyond."""
+    if engine == "auto":
+        engine = "fold" if len(merges) <= 48 else "arrow"
     words = df.select(
         F.col(id_col),
         F.posexplode(ws_tokens(F.col(text_col))).alias("_pos", "_w"),
     )
-    vocab = words.select("_w").distinct().withColumn("_t", F.split("_w", ""))
-    for left, right in merges:
-        vocab = vocab.withColumn("_t", _bpe_fold("_t", left, right))
+    vocab = words.select("_w").distinct()
+    if engine == "fold":
+        vocab = vocab.withColumn("_t", F.split("_w", ""))
+        for left, right in merges:
+            vocab = vocab.withColumn("_t", _bpe_fold("_t", left, right))
+    elif engine == "arrow":
+        from pyspark.sql.functions import pandas_udf
+
+        rules = [(left, right) for left, right in merges]
+        ranks = {p: i for i, p in enumerate(rules)}
+        fast = bpe_rules_sequential_safe(rules)
+
+        @pandas_udf("array<string>")
+        def _bpe_tokens(w):  # pd.Series[str] -> pd.Series[list[str]]
+            return w.map(lambda s: _bpe_word_tokens_py(s, rules, ranks, fast))
+
+        vocab = vocab.withColumn("_t", _bpe_tokens(F.col("_w")))
+    else:
+        raise ValueError(f"engine must be auto|fold|arrow, got {engine!r}")
     return (
         words.join(vocab, "_w")
         .groupBy(id_col)

@@ -1848,6 +1848,27 @@ def test_bpe_learn_batched_matches_python_replay(spark, docs, batch):
     assert got == _py_bpe_learn_batched(wc, 10, batch)
 
 
+def test_bpe_encode_tokens_arrow_equals_fold(spark, docs):
+    """bpe_encode_tokens' Arrow engine (code-review r7: the sequence
+    form needs the production-size path too) returns byte-identical
+    token sequences to the fold engine on a learned list over real
+    corpus text."""
+    from datapipelinerepo_spark.operators import text as T2
+
+    sl = docs.filter(F.col("doc_id") < 150).select("doc_id", "text")
+    wc = _word_counts([r["text"] for r in sl.collect()])
+    rules = [(l, r) for _, l, r, _, _ in T2.py_bpe_learn(wc, 40)]
+    fold = {
+        r["doc_id"]: list(r["tokens"])
+        for r in T2.bpe_encode_tokens(sl, rules, engine="fold").collect()
+    }
+    arrow = {
+        r["doc_id"]: list(r["tokens"])
+        for r in T2.bpe_encode_tokens(sl, rules, engine="arrow").collect()
+    }
+    assert fold == arrow and len(fold) == 150
+
+
 def test_bpe_encode_arrow_fallback_on_unsafe_rules(spark):
     """A rule list the equivalence gate rejects (here: a component that
     no earlier rule produces) routes the Arrow engine onto the literal

@@ -1070,3 +1070,71 @@ def test_write_zordered_narrows_every_dimension(spark, sf_dir, tmp_path):
     # z-order: materially narrow on BOTH dimensions simultaneously
     assert cov_price < 0.6 and cov_cust < 0.6, (cov_price, cov_cust)
     assert cov_cust < lin_cust / 2
+
+
+def test_emptied_table_fallback_requires_committed_marker(spark, tmp_path):
+    """Code-review r7: a parquet-less keyed directory is ALSO what a
+    crashed overwrite leaves (static truncation ran, no task
+    committed). The empty-table fallback must gate on the _SUCCESS
+    marker: without it, reads fail LOUDLY and an upsert cannot
+    silently rebuild the table from just its own batch."""
+    import os
+
+    import pytest as _pytest
+
+    store = TableStore(spark, str(tmp_path))
+    base = spark.createDataFrame(
+        [(i, float(i)) for i in range(20)], "id long, price double"
+    )
+    store.overwrite_keyed(base, "t", "id", n_buckets=4)
+    # simulate the crash window: every data file AND the marker gone
+    for root, _dirs, files in os.walk(str(tmp_path / "t")):
+        for f in files:
+            os.remove(os.path.join(root, f))
+    with _pytest.raises(Exception):
+        store.read("t").count()
+    with _pytest.raises(Exception):
+        store.upsert(
+            spark.createDataFrame([(1, 1.0)], "id long, price double"),
+            "t",
+            "id",
+        )
+
+
+def test_emptied_table_schema_tracks_evolution(spark, tmp_path):
+    """Code-review r7: the meta schema the emptied-table fallback
+    serves must WIDEN with evolving upserts (and never narrow from a
+    slim batch), so a later fully-emptied table reads back with every
+    column the table ever had."""
+    store = TableStore(spark, str(tmp_path))
+    store.overwrite_keyed(
+        spark.createDataFrame([(1, 1.0)], "id long, price double"),
+        "t",
+        "id",
+        n_buckets=4,
+    )
+    # evolving upsert adds `note`
+    store.upsert(
+        spark.createDataFrame([(2, 2.0, "x")], "id long, price double, note string"),
+        "t",
+        "id",
+    )
+    # a NARROW batch afterwards must not shrink the stored schema
+    store.upsert(
+        spark.createDataFrame([(3, 3.0)], "id long, price double"), "t", "id"
+    )
+    store.delete_where("t", "id >= 0")
+    empty = store.read("t")
+    assert empty.count() == 0
+    assert set(empty.columns) == {"id", "price", "note"}
+
+
+def test_zorder_expr_rejects_overflowing_bit_budget(spark):
+    import pytest as _pytest
+
+    from datapipelinerepo_spark.io import zorder_expr
+
+    cols = [F.lit(i) for i in range(8)]
+    with _pytest.raises(ValueError, match="63"):
+        zorder_expr(cols, bits=8)  # 64 interleaved bits: sign-bit corruption
+    zorder_expr(cols, bits=7)  # 56 bits: fine

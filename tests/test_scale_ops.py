@@ -853,3 +853,22 @@ def test_salted_count_fans_out_duplicate_rows(spark):
         "_s", F.pmod(F.monotonically_increasing_id(), F.lit(16))
     )
     assert salted.select("_s").distinct().count() > 1
+
+
+def test_asof_join_calendarinterval_value_column(spark):
+    """Code-review r7: CalendarIntervalType (make_interval) is also
+    unorderable — it must ride as payload, not in the tie-break."""
+    from datapipelinerepo_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, "k", 10)], ["lid", "k", "ts"])
+    right = spark.createDataFrame(
+        [("k", 5, 1.0)], "k string, ts long, v double"
+    ).withColumn("iv", F.expr("make_interval(0, 2, 0, 3, 0, 0, 0)"))
+    out = asof_join(left, right, key="k", left_ts="ts", right_ts="ts")
+    # (PySpark can't ship CalendarInterval VALUES to Python — inspect
+    # it in-plan: carried non-null, and stringifies to the interval)
+    rows = out.select(
+        "v", F.col("iv").isNotNull().alias("has_iv"), F.col("iv").cast("string").alias("iv_s")
+    ).collect()
+    assert rows[0]["v"] == 1.0 and rows[0]["has_iv"]
+    assert "2 months" in rows[0]["iv_s"]
