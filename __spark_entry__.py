@@ -102,6 +102,15 @@ _CHANGED_IN_ROUND = {
     "w_ntile_deciles": 5,
     "cdc_latest_wins": 5,
     "text_vocab_coverage": 6,  # r6: bucketed rank+offsets rewrite
+    # r7: bpe_learn gained batched selection (batch=1 bit-identical,
+    # locally re-proven at sf0.001/0.01/0.1/1); bpe_encode gained the
+    # Arrow engine (8-rule default still fold); the store queries ride
+    # the reworked manifest/commit protocol
+    "text_bpe_learn": 7,
+    "text_bpe_learn_single": 7,
+    "text_bpe_encode": 7,
+    "store_keyed_merge": 7,
+    "store_versioned_snapshot": 7,
 }
 
 

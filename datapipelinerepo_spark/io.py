@@ -533,7 +533,12 @@ class TableStore:
             txn=txn,
         )
 
-    def compact(self, name: str, max_files_per_bucket: int = 1) -> int:
+    def compact(
+        self,
+        name: str,
+        max_files_per_bucket: int = 1,
+        sort_cols: list[str] | None = None,
+    ) -> int:
         """OPTIMIZE analog for versioned keyed tables: every live
         bucket holding more than ``max_files_per_bucket`` files (the
         small-file debt upserts accumulate, since versioned writes only
@@ -570,10 +575,19 @@ class TableStore:
         )
         fat_set = set(fat)
         kept = [f for b, fs in by_bucket.items() if b not in fat_set for f in fs]
-        # repartition on _kb → one task per bucket → ~one file per dir
-        return self._append_and_publish(
-            slice_.repartition(F.col("_kb")), name, fat, kept
-        )
+        # repartition on _kb → one task per bucket → ~one file per dir.
+        # ``sort_cols`` re-CLUSTERS the rewritten buckets while we're
+        # already paying to rewrite them (the OPTIMIZE ... ZORDER/sort
+        # maintenance pattern): rows sort on the given columns within
+        # each bucket, so parquet row-group min/max stats on those
+        # columns become disjoint ranges and point/range predicates
+        # skip row groups on the compacted files — clustering debt from
+        # append-ordered upserts is paid down incrementally, only on
+        # the buckets being rewritten anyway.
+        out = slice_.repartition(F.col("_kb"))
+        if sort_cols:
+            out = out.sortWithinPartitions("_kb", *sort_cols)
+        return self._append_and_publish(out, name, fat, kept)
 
     def vacuum(
         self, name: str, keep_last: int = 1, grace_s: float = 0.0
@@ -730,6 +744,7 @@ class TableStore:
         columns surface on read via mergeSchema=true. Appends to a
         Delta-backed table go through the Delta writer (a raw parquet
         append would be invisible to the Delta log — silent data loss)."""
+        df = self._enforce_constraints(name, df)
         if self._is_delta(name):
             (
                 df.write.format("delta")
@@ -771,6 +786,7 @@ class TableStore:
         ordering: the overwrite is about to delete the files the
         manifests reference, and manifests pointing at deleted files
         would wedge every read until another overwrite (ADVICE r6)."""
+        df = self._enforce_constraints(name, df)
         if self._is_delta(name):
             (
                 df.write.format("delta")
@@ -791,6 +807,7 @@ class TableStore:
         ``df`` and leaves all others intact — exactly-once under re-run.
         (Delta honors the same dynamic partitionOverwriteMode option.)
         """
+        df = self._enforce_constraints(name, df)
         w = (
             df.write.mode("overwrite")
             .partitionBy(part_col)
@@ -829,7 +846,7 @@ class TableStore:
         (last-writer-wins within a batch is not defined — dropDuplicates
         keeps one) before merging, in both backends."""
         keys = [key] if isinstance(key, str) else list(key)
-        incoming = df.dropDuplicates(keys)
+        incoming = self._enforce_constraints(name, df).dropDuplicates(keys)
         # MERGE only on tables that ARE Delta (or don't exist yet, so
         # this call creates them as Delta); a table previously written
         # as plain parquet keeps the fallback — DeltaTable.forPath on a
@@ -887,6 +904,7 @@ class TableStore:
         isolation and ``read(name, version=N)`` time travel, and
         ``vacuum`` reclaims unreferenced files."""
         keys = [key] if isinstance(key, str) else list(key)
+        df = self._enforce_constraints(name, df)
         key_types = [df.schema[k].dataType.simpleString() for k in keys]
         stamped = df.withColumn(
             "_kb", self._kb_expr(name, keys, n_buckets, types=key_types)
@@ -1100,6 +1118,63 @@ class TableStore:
             name, schema=self._widened_schema_json(name, stamped.schema)
         )
 
+    def set_constraints(self, name: str, constraints: dict[str, str]) -> None:
+        """Declare CHECK constraints for a table (Delta's ALTER TABLE
+        ADD CONSTRAINT parity): a map of constraint-name → boolean SQL
+        expression every row of every future write must satisfy
+        (`{"price_positive": "price > 0", "id_set": "id IS NOT NULL"}`).
+        Stored in the table meta; enforced by every write verb
+        (append/overwrite/upsert/overwrite_keyed/upsert_txn) BEFORE any
+        data lands — a violating batch raises with per-constraint
+        violation counts and the whole write is refused, so the table
+        can never hold a row that fails its contract. NULL evaluations
+        count as violations (a CHECK must prove true, SQL semantics).
+
+        Cost: one aggregate over the INCOMING batch per write — at
+        100 TB this is a map-side pass over data already in flight,
+        not a table scan."""
+        for cname, expr in constraints.items():
+            # fail fast on unparseable expressions (F.expr itself is
+            # lazy — the string would otherwise only blow up at the
+            # first write). Column RESOLUTION still happens per write,
+            # against each batch's actual schema.
+            self.spark._jsparkSession.sessionState().sqlParser().parseExpression(
+                expr
+            )
+        self._touch_meta(
+            name, constraints={str(k): str(v) for k, v in constraints.items()}
+        )
+
+    def constraints(self, name: str) -> dict[str, str]:
+        p = self._meta_path(name)
+        if not os.path.isfile(p):
+            return {}
+        with open(p) as f:
+            return json.load(f).get("constraints", {})
+
+    def _enforce_constraints(self, name: str, df: DataFrame) -> DataFrame:
+        """Raise if any incoming row violates a declared constraint;
+        returns ``df`` unchanged otherwise. One keys=[] aggregate over
+        the batch counts every constraint's violations at once."""
+        cons = self.constraints(name)
+        if not cons:
+            return df
+        counts = df.agg(
+            *[
+                F.sum(
+                    F.when(F.expr(expr), F.lit(0)).otherwise(F.lit(1))
+                ).alias(cname)
+                for cname, expr in cons.items()
+            ]
+        ).first()
+        bad = {c: counts[c] for c in cons if counts[c]}
+        if bad:
+            raise ValueError(
+                f"{name}: write refused — constraint violations {bad} "
+                f"(constraints: { {c: cons[c] for c in bad} })"
+            )
+        return df
+
     def upsert_txn(
         self,
         df: DataFrame,
@@ -1126,6 +1201,7 @@ class TableStore:
         contract: per-batch cost is the batch's buckets, replay cost
         is one manifest read."""
         keys = [key] if isinstance(key, str) else list(key)
+        df = self._enforce_constraints(name, df)
         if not self.exists(name):
             self.overwrite_keyed(
                 df.dropDuplicates(keys),

@@ -4678,3 +4678,54 @@ def scale_zorder_values(spark, sf_dir):
         "bb",
         zorder_expr([F.col("ba"), F.col("bb")], bits=4).alias("zval"),
     )
+
+
+@register(
+    "store_constraint_reject",
+    sql="""
+    WITH base AS (
+      SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 2 = 0
+    ), inc AS (
+      SELECT o_orderkey, o_totalprice + 10 AS o_totalprice
+      FROM orders WHERE o_orderkey % 20 = 0
+    )
+    SELECT o_orderkey, o_totalprice FROM base
+    WHERE o_orderkey NOT IN (SELECT o_orderkey FROM inc)
+    UNION ALL
+    SELECT o_orderkey, o_totalprice FROM inc
+    """,
+)
+def store_constraint_reject(spark, sf_dir):
+    """CHECK constraints as a hash-checked query
+    (io.TableStore.set_constraints — Delta's ADD CONSTRAINT parity): a
+    keyed table declares `o_totalprice > 0`; a POISONED batch (every
+    price negated) must be refused atomically with per-constraint
+    violation counts, and a conformant batch must land — so the
+    read-back table equals the oracle's merge of base + the GOOD batch
+    only. If the constraint gate ever let the poison through (or
+    blocked the good batch), the hash goes red."""
+    import tempfile
+
+    from .io import TableStore
+
+    base = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 2 == 0)
+        .select("o_orderkey", "o_totalprice")
+    )
+    good = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 20 == 0)
+        .select("o_orderkey", (F.col("o_totalprice") + 10).alias("o_totalprice"))
+    )
+    poison = good.withColumn("o_totalprice", -F.col("o_totalprice"))
+    store = TableStore(spark, tempfile.mkdtemp(prefix="constraint_"))
+    store.overwrite_keyed(base, "t", "o_orderkey", n_buckets=16)
+    store.set_constraints("t", {"price_pos": "o_totalprice > 0"})
+    try:
+        store.upsert(poison, "t", "o_orderkey")
+        raise AssertionError("poison batch was not refused")
+    except ValueError:
+        pass
+    store.upsert(good, "t", "o_orderkey")
+    return store.read("t").select("o_orderkey", "o_totalprice")

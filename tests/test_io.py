@@ -1138,3 +1138,103 @@ def test_zorder_expr_rejects_overflowing_bit_budget(spark):
     with _pytest.raises(ValueError, match="63"):
         zorder_expr(cols, bits=8)  # 64 interleaved bits: sign-bit corruption
     zorder_expr(cols, bits=7)  # 56 bits: fine
+
+
+def test_constraints_enforced_on_every_write_verb(spark, tmp_path):
+    """CHECK constraints (Delta ADD CONSTRAINT parity): a violating
+    batch is refused by append, upsert, overwrite and upsert_txn with
+    per-constraint counts, the table is left untouched, NULL
+    evaluations count as violations, and a conformant write passes."""
+    import pytest as _pytest
+
+    store = TableStore(spark, str(tmp_path))
+    good = spark.createDataFrame([(1, 10.0), (2, 20.0)], "id long, price double")
+    store.overwrite_keyed(good, "t", "id", n_buckets=4)
+    store.set_constraints(
+        "t", {"price_pos": "price > 0", "id_set": "id IS NOT NULL"}
+    )
+
+    bad = spark.createDataFrame(
+        [(3, -5.0), (None, 30.0), (4, None)], "id long, price double"
+    )
+    for verb in (
+        lambda: store.upsert(bad, "t", "id"),
+        lambda: store.append(bad, "t"),
+        lambda: store.overwrite_keyed(bad, "t", "id", n_buckets=4),
+        lambda: store.overwrite(bad, "t"),
+    ):
+        with _pytest.raises(ValueError, match="constraint violations"):
+            verb()
+    # table untouched by every refused write
+    assert {r["id"] for r in store.read("t").collect()} == {1, 2}
+
+    # conformant writes pass through all verbs
+    store.upsert(
+        spark.createDataFrame([(3, 30.0)], "id long, price double"), "t", "id"
+    )
+    assert store.read("t").count() == 3
+    # unparseable constraint rejected at declaration time
+    with _pytest.raises(Exception):
+        store.set_constraints("t", {"oops": "price >"})
+
+
+def test_constraints_guard_txn_writes(spark, tmp_path):
+    store = TableStore(spark, str(tmp_path))
+    import pytest as _pytest
+
+    g = spark.createDataFrame([(1, 1.0)], "id long, price double")
+    store.upsert_txn(g, "t", "id", "app", 0, n_buckets=4)
+    store.set_constraints("t", {"p": "price >= 0"})
+    with _pytest.raises(ValueError, match="constraint"):
+        store.upsert_txn(
+            spark.createDataFrame([(2, -1.0)], "id long, price double"),
+            "t",
+            "id",
+            "app",
+            1,
+        )
+    # the refused txn did NOT consume the watermark: the corrected
+    # batch applies under the same txn_version
+    ok = store.upsert_txn(
+        spark.createDataFrame([(2, 2.0)], "id long, price double"),
+        "t",
+        "id",
+        "app",
+        1,
+    )
+    assert ok and store.read("t").count() == 2
+
+
+def test_compact_sort_cols_reclusters_buckets(spark, tmp_path):
+    """compact(sort_cols=...) leaves every rewritten file internally
+    sorted on the requested columns (disjoint row-group stats), while
+    plain compaction preserves append order."""
+    store = TableStore(spark, str(tmp_path))
+    base = spark.createDataFrame(
+        [(i, float((i * 37) % 100)) for i in range(200)],
+        "id long, price double",
+    )
+    store.overwrite_keyed(base, "t", "id", n_buckets=2, versioned=True)
+    for k in range(3):  # accumulate small unsorted files
+        store.upsert(
+            spark.createDataFrame(
+                [(i, float((i * 13 + k) % 100)) for i in range(k, 200, 7)],
+                "id long, price double",
+            ),
+            "t",
+            "id",
+        )
+    store.compact("t", sort_cols=["price"])
+    from pyspark.sql import Window
+
+    back = store.read("t").select(
+        F.input_file_name().alias("f"), "price"
+    )
+    w = Window.partitionBy("f").orderBy(F.monotonically_increasing_id())
+    disorder = (
+        back.withColumn("_prev", F.lag("price").over(w))
+        .filter(F.col("_prev").isNotNull() & (F.col("price") < F.col("_prev")))
+        .count()
+    )
+    assert disorder == 0, "compacted files not sorted on sort_cols"
+    assert store.read("t").count() == 200
