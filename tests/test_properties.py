@@ -405,8 +405,13 @@ _OPS = st.lists(
         st.tuples(st.just("append"), _BATCH),
         st.tuples(st.just("compact"), st.just(None)),
         st.tuples(st.just("vacuum"), st.just(None)),
+        # row-level DELETE on a value predicate (v > threshold)
+        st.tuples(st.just("delete"), st.floats(-100, 100, allow_nan=False)),
+        # transactional upsert with a SMALL txn-version space, so random
+        # sequences naturally contain replays (exactly-once must skip)
+        st.tuples(st.just("txn"), st.tuples(_BATCH, st.integers(0, 3))),
     ),
-    min_size=1, max_size=5,
+    min_size=1, max_size=6,
 )
 
 
@@ -436,6 +441,7 @@ def test_versioned_store_matches_reference_model(spark, tmp_path_factory, ops):
             out.setdefault(r["id"], []).append(r["v"])
         return {k: sorted(vs) for k, vs in out.items()}
 
+    last_txn = -1  # reference watermark for the exactly-once verb
     for op, arg in ops:
         if op == "upsert":
             store.upsert(
@@ -449,6 +455,24 @@ def test_versioned_store_matches_reference_model(spark, tmp_path_factory, ops):
             )
             for k, v in arg:
                 model.setdefault(k, []).append(v)
+        elif op == "delete":
+            store.delete_where("t", f"v > {arg!r}")
+            model = {
+                k: kept
+                for k, vs in model.items()
+                if (kept := [v for v in vs if not v > arg])
+            }
+        elif op == "txn":
+            batch, tv = arg
+            applied = store.upsert_txn(
+                spark.createDataFrame(batch, "id long, v double"),
+                "t", "id", "model-app", tv,
+            )
+            assert applied == (tv > last_txn), (tv, last_txn)
+            if applied:
+                last_txn = tv
+                for k, v in batch:
+                    model[k] = [v]
         elif op == "compact":
             store.compact("t")
         else:
@@ -456,7 +480,7 @@ def test_versioned_store_matches_reference_model(spark, tmp_path_factory, ops):
             snapshots = {
                 v: s for v, s in snapshots.items() if v in set(store.versions("t"))
             }
-        if op in ("upsert", "append", "compact"):
+        if op != "vacuum":
             snapshots[store.latest_version("t")] = {
                 k: sorted(vs) for k, vs in model.items()
             }
