@@ -786,7 +786,15 @@ class TableStore:
         ordering: the overwrite is about to delete the files the
         manifests reference, and manifests pointing at deleted files
         would wedge every read until another overwrite (ADVICE r6)."""
-        df = self._enforce_constraints(name, df)
+        self._overwrite_raw(self._enforce_constraints(name, df), name)
+
+    def _overwrite_raw(self, df: DataFrame, name: str) -> None:
+        """overwrite() minus constraint enforcement — the internal
+        landing path for frames that CONTAIN historical table rows
+        (unkeyed upsert's merged frame, delete_where's survivors).
+        Validating those would re-judge rows written before a
+        constraint existed, wedging the table (code-review r7 wave 2);
+        the public verbs validate their INCOMING batches instead."""
         if self._is_delta(name):
             (
                 df.write.format("delta")
@@ -860,7 +868,7 @@ class TableStore:
         if spec is not None and list(spec[0]) == keys:
             self._upsert_keyed(incoming, name, keys, spec[1])
             return
-        if self.exists(name):
+        if self._table_initialized(name):
             existing = self.read(name)
             # null-safe key equality: plain `on=keys` never matches NULL
             # keys, so a NULL-key row would be appended again every call
@@ -875,9 +883,12 @@ class TableStore:
             merged = survivors.unionByName(incoming, allowMissingColumns=True)
         else:
             merged = incoming
-        # materialize before overwriting the directory being read
+        # materialize before overwriting the directory being read;
+        # land via the RAW path — merged holds historical rows that
+        # must not be re-judged by constraints (the incoming batch was
+        # validated above)
         merged = merged.localCheckpoint()
-        self.overwrite(merged, name)
+        self._overwrite_raw(merged, name)
 
     def overwrite_keyed(
         self,
@@ -1077,7 +1088,12 @@ class TableStore:
         On a versioned table nothing is deleted: the new bucket
         contents append as new part-files and the published manifest
         simply stops referencing the replaced (or emptied) buckets'
-        old files — deletes are logical until vacuum."""
+        old files — deletes are logical until vacuum.
+
+        This is the low-level maintenance primitive (delete_where and
+        CDC feed SURVIVOR frames through it), so CHECK constraints are
+        deliberately NOT enforced here — the caller owns validation of
+        any genuinely new rows."""
         keys, n = self.keyed_spec(name)
         stamped = df.withColumn("_kb", self._kb_expr(name, keys, n))
         if self.is_versioned(name):
@@ -1118,21 +1134,47 @@ class TableStore:
             name, schema=self._widened_schema_json(name, stamped.schema)
         )
 
+    def _table_initialized(self, name: str) -> bool:
+        """Has any WRITE ever landed for this table? Distinguishes a
+        real (possibly empty) table from a meta-only shell, which
+        set_constraints on a not-yet-written table creates — exists()
+        affirms the shell (it sees the meta file), so routing
+        create-vs-merge on exists() broke contract-first creation
+        (code-review r7 wave 2: declare constraints, then upsert)."""
+        return (
+            self._is_delta(name)
+            or self._dir_has_parquet(name)
+            or bool(self.versions(name))
+            or self.keyed_spec(name) is not None
+        )
+
     def set_constraints(self, name: str, constraints: dict[str, str]) -> None:
         """Declare CHECK constraints for a table (Delta's ALTER TABLE
         ADD CONSTRAINT parity): a map of constraint-name → boolean SQL
         expression every row of every future write must satisfy
         (`{"price_positive": "price > 0", "id_set": "id IS NOT NULL"}`).
-        Stored in the table meta; enforced by every write verb
-        (append/overwrite/upsert/overwrite_keyed/upsert_txn) BEFORE any
-        data lands — a violating batch raises with per-constraint
-        violation counts and the whole write is refused, so the table
-        can never hold a row that fails its contract. NULL evaluations
-        count as violations (a CHECK must prove true, SQL semantics).
+        Stored in the table meta; enforced on the INCOMING batch of
+        every write verb (append/overwrite/upsert/overwrite_keyed/
+        upsert_txn) BEFORE any data lands — a violating batch raises
+        with per-constraint violation counts and the whole write is
+        refused, so no NEW row can land that fails its contract. NULL
+        evaluations count as violations — deliberately STRICTER than
+        standard SQL CHECK (where UNKNOWN passes): in a training
+        pipeline a null sneaking past a gate is almost always a bug;
+        write "x IS NULL OR <pred>" to opt into the lax form.
+
+        Scope notes: rows written BEFORE a constraint was declared are
+        not re-judged (declare-then-backfill with delete_where or an
+        overwrite if needed), merged/survivor frames carrying such
+        historical rows pass through unvalidated, and the low-level
+        overwrite_buckets primitive leaves validation to its caller.
+        Declaring constraints on a not-yet-written table is supported
+        (contract-first creation).
 
         Cost: one aggregate over the INCOMING batch per write — at
         100 TB this is a map-side pass over data already in flight,
-        not a table scan."""
+        not a table scan. Replayed transactions (upsert_txn) skip
+        before validation and stay free."""
         for cname, expr in constraints.items():
             # fail fast on unparseable expressions (F.expr itself is
             # lazy — the string would otherwise only blow up at the
@@ -1153,20 +1195,60 @@ class TableStore:
             return json.load(f).get("constraints", {})
 
     def _enforce_constraints(self, name: str, df: DataFrame) -> DataFrame:
-        """Raise if any incoming row violates a declared constraint;
-        returns ``df`` unchanged otherwise. One keys=[] aggregate over
-        the batch counts every constraint's violations at once."""
+        """Raise if any row of the INCOMING batch violates a declared
+        constraint; returns the (checkpointed) batch otherwise.
+
+        Design points, all surfaced by code-review r7 wave 2:
+        - called once per PUBLIC verb on the incoming batch only —
+          never on merged/survivor frames, so historical rows written
+          before a constraint existed don't wedge later writes, and
+          validation cost is the batch, not the table;
+        - the batch is localCheckpoint'ed first, so the rows the
+          constraint aggregate judged are EXACTLY the rows the write
+          lands (a non-deterministic lineage can't pass the check and
+          then materialize different rows), and the write doesn't
+          recompute the lineage;
+        - the batch is evaluated WIDENED to the stored table schema
+          (missing columns as NULL — what the write would land), so a
+          narrow batch is judged on its real effect ("note IS NOT
+          NULL" refuses a note-less batch instead of crashing
+          unresolved);
+        - NULL evaluations count as violations: stricter than SQL's
+          CHECK (which lets UNKNOWN pass) BY DESIGN — in a training
+          pipeline a null sneaking past a gate is almost always a bug;
+          write "x IS NULL OR <pred>" to opt into SQL's laxness."""
         cons = self.constraints(name)
         if not cons:
             return df
-        counts = df.agg(
-            *[
-                F.sum(
-                    F.when(F.expr(expr), F.lit(0)).otherwise(F.lit(1))
-                ).alias(cname)
-                for cname, expr in cons.items()
-            ]
-        ).first()
+        df = df.localCheckpoint(eager=True)
+        probe = df
+        p = self._meta_path(name)
+        if os.path.isfile(p):
+            with open(p) as f:
+                s = json.load(f).get("schema")
+            if s:
+                from pyspark.sql.types import StructType
+
+                for fld in StructType.fromJson(json.loads(s)).fields:
+                    if fld.name not in probe.columns and fld.name != "_kb":
+                        probe = probe.withColumn(
+                            fld.name, F.lit(None).cast(fld.dataType)
+                        )
+        try:
+            counts = probe.agg(
+                *[
+                    F.sum(
+                        F.when(F.expr(expr), F.lit(0)).otherwise(F.lit(1))
+                    ).alias(cname)
+                    for cname, expr in cons.items()
+                ]
+            ).first()
+        except Exception as ex:
+            raise ValueError(
+                f"{name}: constraint expressions {list(cons.values())} "
+                f"failed to evaluate against batch columns "
+                f"{probe.columns}: {ex}"
+            ) from ex
         bad = {c: counts[c] for c in cons if counts[c]}
         if bad:
             raise ValueError(
@@ -1201,8 +1283,8 @@ class TableStore:
         contract: per-batch cost is the batch's buckets, replay cost
         is one manifest read."""
         keys = [key] if isinstance(key, str) else list(key)
-        df = self._enforce_constraints(name, df)
-        if not self.exists(name):
+        if not self._table_initialized(name):
+            # creation path: overwrite_keyed enforces constraints
             self.overwrite_keyed(
                 df.dropDuplicates(keys),
                 name,
@@ -1224,7 +1306,14 @@ class TableStore:
             )
         last = self.last_txn(name, app_id)
         if last is not None and last >= int(txn_version):
-            return False  # replayed transaction: already applied
+            # replayed transaction: already applied. Checked BEFORE
+            # constraint enforcement (code-review r7 wave 2): a replay
+            # must skip for free even if constraints have since
+            # tightened past the batch — raising here would wedge a
+            # restarted stream into a crash-replay loop, and even a
+            # conformant replay should not pay an aggregate job.
+            return False
+        df = self._enforce_constraints(name, df)
         self._upsert_keyed(
             df.dropDuplicates(keys),
             name,
@@ -1260,7 +1349,9 @@ class TableStore:
             if df.filter(condition).isEmpty():
                 return []
             survivors = df.filter(keep).localCheckpoint()
-            self.overwrite(survivors, name)
+            # survivors are existing rows: constraint enforcement does
+            # not apply (deletes on legacy-violating tables must work)
+            self._overwrite_raw(survivors, name)
             return [-1]
         snapshot = self.read(name)
         affected = self.keyed_buckets(name, snapshot.filter(condition))

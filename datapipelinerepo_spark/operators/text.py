@@ -1416,6 +1416,22 @@ def _bpe_word_tokens_py(
     return toks
 
 
+# the chained-fold engine is preferable up to this many rules (pure JVM,
+# whole-stage codegen); beyond it the expression tree's analysis/codegen
+# cost dominates and the Arrow engine takes over (engine="auto")
+_BPE_AUTO_FOLD_MAX = 48
+
+
+def _bpe_arrow_ctx(merges):
+    """(rules, ranks, fast) shared by bpe_encode / bpe_encode_tokens'
+    Arrow engines — one construction of the rule list, rank index, and
+    the sequential-safety gate decision, so the count path and the
+    token-sequence path can never drift (code-review r7 wave 2)."""
+    rules = [(left, right) for left, right in merges]
+    ranks = {pr: i for i, pr in enumerate(rules)}
+    return rules, ranks, bpe_rules_sequential_safe(rules)
+
+
 def bpe_encode(
     df: DataFrame,
     merges: list[tuple[str, str]],
@@ -1455,7 +1471,7 @@ def bpe_encode(
       fold-vs-arrow pytest, and a 1k-rule python-reference pytest).
     - 'auto': 'fold' up to 48 rules, 'arrow' beyond."""
     if engine == "auto":
-        engine = "fold" if len(merges) <= 48 else "arrow"
+        engine = "fold" if len(merges) <= _BPE_AUTO_FOLD_MAX else "arrow"
     words = df.select(
         F.col(id_col), F.explode(ws_tokens(F.col(text_col))).alias("_w")
     )
@@ -1468,9 +1484,7 @@ def bpe_encode(
     elif engine == "arrow":
         from pyspark.sql.functions import pandas_udf
 
-        rules = [(left, right) for left, right in merges]
-        ranks = {p: i for i, p in enumerate(rules)}
-        fast = bpe_rules_sequential_safe(rules)
+        rules, ranks, fast = _bpe_arrow_ctx(merges)
 
         @pandas_udf("int")
         def _bpe_ntokens(w):  # pd.Series[str] -> pd.Series[int]
@@ -1527,7 +1541,7 @@ def bpe_encode_tokens(
     returning each word's token array via priority merging with the
     sequential-safety gate, 'auto' = fold ≤48 rules, arrow beyond."""
     if engine == "auto":
-        engine = "fold" if len(merges) <= 48 else "arrow"
+        engine = "fold" if len(merges) <= _BPE_AUTO_FOLD_MAX else "arrow"
     words = df.select(
         F.col(id_col),
         F.posexplode(ws_tokens(F.col(text_col))).alias("_pos", "_w"),
@@ -1540,9 +1554,7 @@ def bpe_encode_tokens(
     elif engine == "arrow":
         from pyspark.sql.functions import pandas_udf
 
-        rules = [(left, right) for left, right in merges]
-        ranks = {p: i for i, p in enumerate(rules)}
-        fast = bpe_rules_sequential_safe(rules)
+        rules, ranks, fast = _bpe_arrow_ctx(merges)
 
         @pandas_udf("array<string>")
         def _bpe_tokens(w):  # pd.Series[str] -> pd.Series[list[str]]

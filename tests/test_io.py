@@ -1238,3 +1238,96 @@ def test_compact_sort_cols_reclusters_buckets(spark, tmp_path):
     )
     assert disorder == 0, "compacted files not sorted on sort_cols"
     assert store.read("t").count() == 200
+
+
+def test_constraints_judge_only_incoming_batches(spark, tmp_path):
+    """Review-wave-2 semantics: historical rows written before a
+    constraint existed never wedge later writes — a conformant batch
+    upserts into (and deletes from) a legacy-violating table, both on
+    the unkeyed fallback and the keyed fast path."""
+    store = TableStore(spark, str(tmp_path))
+    # unkeyed table with a legacy violation
+    store.overwrite(
+        spark.createDataFrame([(1, -5.0), (2, 2.0)], "id long, price double"),
+        "u",
+    )
+    store.set_constraints("u", {"p": "price > 0"})
+    store.upsert(
+        spark.createDataFrame([(3, 3.0)], "id long, price double"), "u", "id"
+    )
+    assert {r["id"] for r in store.read("u").collect()} == {1, 2, 3}
+    assert store.delete_where("u", "id = 1") == [-1]  # legacy row removable
+    assert {r["id"] for r in store.read("u").collect()} == {2, 3}
+
+
+def test_constraints_contract_first_creation(spark, tmp_path):
+    """set_constraints on a not-yet-written table leaves a meta-only
+    shell that upsert/upsert_txn still treat as CREATE — and the very
+    first batch is already validated."""
+    import pytest as _pytest
+
+    store = TableStore(spark, str(tmp_path))
+    store.set_constraints("t", {"p": "price > 0"})
+    with _pytest.raises(ValueError, match="constraint"):
+        store.upsert(
+            spark.createDataFrame([(1, -1.0)], "id long, price double"),
+            "t",
+            "id",
+        )
+    store.upsert(
+        spark.createDataFrame([(1, 1.0)], "id long, price double"), "t", "id"
+    )
+    assert store.read("t").count() == 1
+
+    store2 = TableStore(spark, str(tmp_path / "s2"))
+    store2.set_constraints("v", {"p": "price > 0"})
+    assert store2.upsert_txn(
+        spark.createDataFrame([(1, 1.0)], "id long, price double"),
+        "v", "id", "app", 0, n_buckets=4,
+    )
+    assert store2.read("v").count() == 1
+
+
+def test_constraint_replay_skips_even_after_tightening(spark, tmp_path):
+    """Exactly-once beats validation: a REPLAYED transaction returns
+    False before constraints are consulted, even if the contract has
+    since tightened past the batch — a restarted stream must not land
+    in a crash-replay loop."""
+    store = TableStore(spark, str(tmp_path))
+    b = spark.createDataFrame([(1, 5.0)], "id long, price double")
+    assert store.upsert_txn(b, "t", "id", "app", 0, n_buckets=4)
+    store.set_constraints("t", {"p": "price > 10"})  # batch 0 now violates
+    assert store.upsert_txn(b, "t", "id", "app", 0) is False  # skip, no raise
+
+
+def test_constraint_on_evolved_column_vs_narrow_batch(spark, tmp_path):
+    """A constraint on a schema-evolved column judges a NARROW batch on
+    its real effect (the missing column lands as NULL → strict-NULL
+    violation → clean refusal naming the constraint), instead of an
+    unresolved-column crash; a batch carrying the column passes."""
+    import pytest as _pytest
+
+    store = TableStore(spark, str(tmp_path))
+    store.overwrite_keyed(
+        spark.createDataFrame([(1, 1.0)], "id long, price double"),
+        "t", "id", n_buckets=4,
+    )
+    store.upsert(  # evolve: add note
+        spark.createDataFrame(
+            [(2, 2.0, "x")], "id long, price double, note string"
+        ),
+        "t", "id",
+    )
+    store.set_constraints("t", {"note_set": "note IS NOT NULL"})
+    with _pytest.raises(ValueError, match="note_set"):
+        store.upsert(
+            spark.createDataFrame([(3, 3.0)], "id long, price double"),
+            "t", "id",
+        )
+    store.upsert(
+        spark.createDataFrame(
+            [(3, 3.0, "y")], "id long, price double, note string"
+        ),
+        "t", "id",
+    )
+    assert store.read("t").count() == 3
