@@ -374,6 +374,7 @@ class TableStore:
         files: list[str],
         schema_json: str | None = None,
         txn: tuple[str, int] | None = None,
+        op: str | None = None,
     ) -> int:
         """Commit the next manifest version PUT-IF-ABSENT: the document
         is fully written to a private tmp file, then CLAIMS its version
@@ -403,6 +404,9 @@ class TableStore:
         doc: dict = {"files": sorted(files)}
         if schema_json is not None:
             doc["schema"] = schema_json
+        if op is not None:
+            doc["op"] = op  # audit trail for history()
+        doc["ts"] = int(time.time() * 1000)
         tmp = os.path.join(
             self._manifest_dir(name), f".tmp-{os.getpid()}-{uuid.uuid4().hex}"
         )
@@ -445,9 +449,10 @@ class TableStore:
         files: list[str],
         schema_json: str | None = None,
         txn: tuple[str, int] | None = None,
+        op: str | None = None,
     ) -> int:
         v = self._write_manifest_file(
-            name, files, schema_json=schema_json, txn=txn
+            name, files, schema_json=schema_json, txn=txn, op=op
         )
         # the meta schema tracks evolution (widen-only) so the
         # fully-emptied-table fallback serves the CURRENT column set
@@ -499,7 +504,7 @@ class TableStore:
         v = self.latest_version(name)
         if v is None:
             self._assert_committed_dir(name)
-            v = self._publish_version(name, self._data_files(name))
+            v = self._publish_version(name, self._data_files(name), op="heal")
         return v
 
     @staticmethod
@@ -514,6 +519,7 @@ class TableStore:
         buckets: list[int] | None,
         kept: list[str],
         txn: tuple[str, int] | None = None,
+        op: str | None = None,
     ) -> int:
         """The shared versioned-write protocol: append ``stamped``
         (already _kb-stamped) as NEW part-files — never deleting live
@@ -531,6 +537,7 @@ class TableStore:
             list(kept) + sorted(new_files),
             schema_json=stamped.schema.json(),
             txn=txn,
+            op=op,
         )
 
     def compact(
@@ -587,7 +594,7 @@ class TableStore:
         out = slice_.repartition(F.col("_kb"))
         if sort_cols:
             out = out.sortWithinPartitions("_kb", *sort_cols)
-        return self._append_and_publish(out, name, fat, kept)
+        return self._append_and_publish(out, name, fat, kept, op="compact")
 
     def vacuum(
         self, name: str, keep_last: int = 1, grace_s: float = 0.0
@@ -643,6 +650,46 @@ class TableStore:
                 except FileNotFoundError:
                     pass
         return deleted
+
+    def history(self, name: str) -> list[dict]:
+        """DESCRIBE HISTORY parity: one entry per retained version of a
+        versioned table, newest first — version, publish timestamp
+        (ms), operation tag, file count, and the transactional
+        watermark map at that version. Reads only the kilobyte
+        manifests; versions dropped by vacuum no longer appear (their
+        files are gone — an audit needing full retention should vacuum
+        with keep_last/grace sized accordingly)."""
+        out = []
+        for v in reversed(self.versions(name)):
+            doc = self._manifest_doc(name, v)
+            out.append(
+                {
+                    "version": v,
+                    "ts_millis": doc.get("ts"),
+                    "op": doc.get("op"),
+                    "n_files": len(doc["files"]),
+                    "txn": doc.get("txn", {}),
+                }
+            )
+        return out
+
+    def restore(self, name: str, version: int) -> int:
+        """RESTORE TABLE ... TO VERSION parity: make snapshot
+        ``version`` the CURRENT table again by publishing a NEW version
+        referencing exactly its files — a metadata-only rollback (no
+        data moves; the bad intermediate versions stay in history until
+        vacuum, so a restore is itself revertible). Requires the target
+        version to still be retained (vacuumed targets raise — their
+        files are gone). Transactional watermarks deliberately carry
+        FORWARD across a restore: rolling data back must not let an
+        already-applied streaming batch re-apply."""
+        doc = self._manifest_doc(name, version)
+        return self._publish_version(
+            name,
+            doc["files"],
+            schema_json=doc.get("schema"),
+            op=f"restore(v{version})",
+        )
 
     def _read_manifest_df(
         self, name: str, version: int, merge_schema: bool = True
@@ -763,7 +810,8 @@ class TableStore:
                 if self.is_versioned(name):
                     base_v = self._ensure_latest(name)
                     self._append_and_publish(
-                        df, name, None, self._manifest_files(name, base_v)
+                        df, name, None, self._manifest_files(name, base_v),
+                        op="append",
                     )
                     return
                 df.write.mode("append").partitionBy("_kb").parquet(
@@ -952,6 +1000,7 @@ class TableStore:
                 self._data_files(name),
                 schema_json=stamped.schema.json(),
                 txn=txn,
+                op="overwrite",
             )
             if versioned
             else 0
@@ -1024,7 +1073,9 @@ class TableStore:
                 for f in self._manifest_files(name, base_v)
                 if self._bucket_of(f) not in aff
             ]
-            self._append_and_publish(merged, name, affected, kept, txn=txn)
+            self._append_and_publish(
+                merged, name, affected, kept, txn=txn, op="upsert"
+            )
             return
         (
             merged.write.mode("overwrite")
@@ -1075,7 +1126,7 @@ class TableStore:
         return raw.filter(F.col("_kb").isin(list(buckets))).drop("_kb")
 
     def overwrite_buckets(
-        self, df: DataFrame, name: str, buckets: list[int]
+        self, df: DataFrame, name: str, buckets: list[int], op: str = "replace_buckets"
     ) -> None:
         """Replace exactly the listed buckets with ``df``'s rows
         (stamped by the table's key spec). Buckets in ``buckets`` that
@@ -1115,7 +1166,7 @@ class TableStore:
                 for f in self._manifest_files(name, base_v)
                 if self._bucket_of(f) not in eff_set
             ]
-            self._append_and_publish(stamped, name, eff, kept)
+            self._append_and_publish(stamped, name, eff, kept, op=op)
             return
         (
             stamped.write.mode("overwrite")
@@ -1360,7 +1411,7 @@ class TableStore:
         survivors = (
             self.read_buckets(name, affected).filter(keep).localCheckpoint()
         )
-        self.overwrite_buckets(survivors, name, affected)
+        self.overwrite_buckets(survivors, name, affected, op="delete")
         return sorted(affected)
 
     def _upsert_delta(self, incoming: DataFrame, name: str, keys: list[str]) -> None:

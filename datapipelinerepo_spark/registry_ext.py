@@ -4729,3 +4729,39 @@ def store_constraint_reject(spark, sf_dir):
         pass
     store.upsert(good, "t", "o_orderkey")
     return store.read("t").select("o_orderkey", "o_totalprice")
+
+
+@register(
+    "store_restore_rollback",
+    sql="""
+    SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 2 = 0
+    """,
+)
+def store_restore_rollback(spark, sf_dir):
+    """RESTORE as a hash-checked query (io.TableStore.restore —
+    Delta's RESTORE TABLE ... TO VERSION on the plain-parquet
+    versioned store): a base snapshot publishes as v1, a corrupting
+    upsert (every price negated) lands as v2, and restore(1) publishes
+    a NEW version referencing exactly v1's files — a metadata-only
+    rollback. The read-back table must hash-equal the untouched base:
+    if any corrupted row survived the rollback (or any base row was
+    lost), the row goes red. history() records the full
+    overwrite→upsert→restore trail."""
+    import tempfile
+
+    from .io import TableStore
+
+    base = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 2 == 0)
+        .select("o_orderkey", "o_totalprice")
+    )
+    corrupt = base.withColumn("o_totalprice", -F.col("o_totalprice"))
+    store = TableStore(spark, tempfile.mkdtemp(prefix="restore_"))
+    store.overwrite_keyed(base, "t", "o_orderkey", n_buckets=16, versioned=True)
+    store.upsert(corrupt, "t", "o_orderkey")
+    store.restore("t", 1)
+    assert [h["op"] for h in store.history("t")] == [
+        "restore(v1)", "upsert", "overwrite",
+    ]
+    return store.read("t").select("o_orderkey", "o_totalprice")

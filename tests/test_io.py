@@ -1331,3 +1331,49 @@ def test_constraint_on_evolved_column_vs_narrow_batch(spark, tmp_path):
         "t", "id",
     )
     assert store.read("t").count() == 3
+
+
+def test_history_and_restore(spark, tmp_path):
+    """DESCRIBE HISTORY + RESTORE parity: every publish records its
+    operation; restore(v) republished v's exact file list as a new
+    version (metadata-only, revertible), txn watermarks survive the
+    rollback, and a vacuumed target refuses."""
+    import pytest as _pytest
+
+    store = TableStore(spark, str(tmp_path))
+    base = spark.createDataFrame(
+        [(i, float(i)) for i in range(40)], "id long, price double"
+    )
+    store.upsert_txn(base, "t", "id", "app", 0, n_buckets=4)   # v1 overwrite
+    store.upsert_txn(                                            # v2 upsert
+        spark.createDataFrame([(3, 999.0)], "id long, price double"),
+        "t", "id", "app", 1,
+    )
+    store.compact("t")                                           # v3 compact
+    hist = store.history("t")
+    assert [h["version"] for h in hist] == [3, 2, 1]
+    assert hist[0]["op"] == "compact" and hist[1]["op"] == "upsert"
+    assert hist[2]["op"] == "overwrite"
+    assert all(h["ts_millis"] for h in hist)
+    assert hist[0]["txn"] == {"app": 1}
+
+    # rollback the bad upsert: restore v1
+    v4 = store.restore("t", 1)
+    assert v4 == 4
+    got = {r["id"]: r["price"] for r in store.read("t").collect()}
+    assert got[3] == 3.0 and len(got) == 40
+    assert store.history("t")[0]["op"] == "restore(v1)"
+    # the watermark survived the rollback: replay of txn 1 still skips
+    assert store.upsert_txn(
+        spark.createDataFrame([(3, -1.0)], "id long, price double"),
+        "t", "id", "app", 1,
+    ) is False
+    # the restore is itself revertible (v2 still in history)
+    store.restore("t", 2)
+    assert store.read("t").collect() and {
+        r["id"]: r["price"] for r in store.read("t").collect()
+    }[3] == 999.0
+    # vacuumed target refuses
+    store.vacuum("t", keep_last=1)
+    with _pytest.raises(FileNotFoundError):
+        store.restore("t", 1)
