@@ -1126,7 +1126,12 @@ class TableStore:
         return raw.filter(F.col("_kb").isin(list(buckets))).drop("_kb")
 
     def overwrite_buckets(
-        self, df: DataFrame, name: str, buckets: list[int], op: str = "replace_buckets"
+        self,
+        df: DataFrame,
+        name: str,
+        buckets: list[int],
+        op: str = "replace_buckets",
+        txn: tuple[str, int] | None = None,
     ) -> None:
         """Replace exactly the listed buckets with ``df``'s rows
         (stamped by the table's key spec). Buckets in ``buckets`` that
@@ -1166,7 +1171,7 @@ class TableStore:
                 for f in self._manifest_files(name, base_v)
                 if self._bucket_of(f) not in eff_set
             ]
-            self._append_and_publish(stamped, name, eff, kept, op=op)
+            self._append_and_publish(stamped, name, eff, kept, op=op, txn=txn)
             return
         (
             stamped.write.mode("overwrite")

@@ -366,6 +366,7 @@ def cdc_ingest_stream(
     op_col: str = "op",
     base_table: str = "dim_current",
     available_now: bool = True,
+    exactly_once_app: str | None = None,
 ) -> StreamingQuery:
     """Streaming CDC apply: each micro-batch of change events merges
     into the maintained ``base_table`` via the latest-wins MERGE
@@ -383,6 +384,15 @@ def cdc_ingest_stream(
     merged result is localCheckpoint'ed before the overwrite because
     it reads the very table it replaces.
 
+    ``exactly_once_app`` upgrades replay handling from convergence to
+    TRANSACTIONAL skip when ``base_table`` is a VERSIONED keyed table:
+    the bucket rewrite publishes the (app, batch_id) watermark in the
+    same manifest commit (TableStore txn machinery), so a replayed
+    batch returns before reading anything — the retry costs one
+    manifest read instead of a full re-merge, and the guarantee no
+    longer leans on cdc_apply's idempotence at all. Applied per batch
+    via cdc_apply_txn (directly testable).
+
     When ``base_table`` was created with store.overwrite_keyed on the
     same key, maintenance is bucket-partitioned: each batch reads and
     rewrites ONLY the buckets its keys hash to (a bucket emptied by
@@ -395,17 +405,16 @@ def cdc_ingest_stream(
         batch = batch.localCheckpoint(eager=True)
         spec = store.keyed_spec(base_table) if store.exists(base_table) else None
         if spec is not None and spec[0] == [key]:
-            # bucket-partitioned maintenance: merge each batch into
-            # ONLY the buckets its keys hash to — the per-batch cost is
-            # |batch's buckets|, not the table (the keyed-upsert fast
-            # path generalized to CDC: deletes prune, and a bucket
-            # emptied entirely is removed from disk)
-            buckets = store.keyed_buckets(base_table, batch)
-            base = store.read_buckets(base_table, buckets)
-            merged = cdc_apply(
-                base, batch, key=key, seq_col=seq_col, op_col=op_col
-            ).localCheckpoint(eager=True)
-            store.overwrite_buckets(merged, base_table, buckets)
+            cdc_apply_txn(
+                store,
+                batch,
+                int(batch_id),
+                key=key,
+                seq_col=seq_col,
+                op_col=op_col,
+                base_table=base_table,
+                app_id=exactly_once_app,
+            )
             return
         if store.exists(base_table):
             base = store.read(base_table)
@@ -424,6 +433,44 @@ def cdc_ingest_stream(
     if available_now:
         w = w.trigger(availableNow=True)
     return w.start()
+
+
+def cdc_apply_txn(
+    store,
+    batch: DataFrame,
+    batch_id: int,
+    key: str,
+    seq_col: str,
+    op_col: str = "op",
+    base_table: str = "dim_current",
+    app_id: str | None = None,
+) -> bool:
+    """One CDC micro-batch applied to a keyed ``base_table`` with
+    optional transactional replay protection — the per-batch unit
+    cdc_ingest_stream's foreachBatch runs, factored out so replay
+    semantics are directly testable. Returns False iff the batch was
+    skipped as an already-applied transaction (``app_id`` set, table
+    versioned, watermark >= batch_id); True when applied."""
+    from ..operators.relational import cdc_apply
+
+    txn = None
+    if app_id is not None and store.is_versioned(base_table):
+        last = store.last_txn(base_table, app_id)
+        if last is not None and last >= int(batch_id):
+            return False  # replayed batch: skip before reading anything
+        txn = (app_id, int(batch_id))
+    # bucket-partitioned maintenance: merge the batch into ONLY the
+    # buckets its keys hash to — the per-batch cost is |batch's
+    # buckets|, not the table (the keyed-upsert fast path generalized
+    # to CDC: deletes prune, and a bucket emptied entirely is removed
+    # from disk)
+    buckets = store.keyed_buckets(base_table, batch)
+    base = store.read_buckets(base_table, buckets)
+    merged = cdc_apply(
+        base, batch, key=key, seq_col=seq_col, op_col=op_col
+    ).localCheckpoint(eager=True)
+    store.overwrite_buckets(merged, base_table, buckets, op="cdc", txn=txn)
+    return True
 
 
 def versioned_upsert_stream(

@@ -669,3 +669,41 @@ def test_curate_ingest_survives_all_rejected_first_batch(spark, tmp_path):
     )
     drain()
     assert {r["doc_id"] for r in store.read("clean_corpus").collect()} == {10}
+
+
+def test_cdc_apply_txn_exactly_once(spark, tmp_path):
+    """Transactional CDC (cdc_apply_txn): a replayed batch id skips
+    before reading anything — even a POISONED replay cannot land —
+    while fresh batch ids apply deletes/upserts normally, and the
+    watermark rides the same manifest commit as the data."""
+    from pyspark.sql import functions as F
+
+    from datapipelinerepo_spark.io import TableStore
+    from datapipelinerepo_spark.streaming.ingest import cdc_apply_txn
+
+    store = TableStore(spark, str(tmp_path))
+    base = spark.createDataFrame(
+        [(i, float(i)) for i in range(20)], "id long, v double"
+    )
+    store.overwrite_keyed(base, "dim", "id", n_buckets=4, versioned=True)
+
+    b1 = spark.createDataFrame(
+        [(3, 333.0, 1, "U"), (4, 0.0, 1, "D")], "id long, v double, seq long, op string"
+    )
+    assert cdc_apply_txn(store, b1, 1, key="id", seq_col="seq",
+                         base_table="dim", app_id="cdc") is True
+    got = {r["id"]: r["v"] for r in store.read("dim").collect()}
+    assert got[3] == 333.0 and 4 not in got and len(got) == 19
+
+    poison = spark.createDataFrame(
+        [(3, -1.0, 9, "U")], "id long, v double, seq long, op string"
+    )
+    assert cdc_apply_txn(store, poison, 1, key="id", seq_col="seq",
+                         base_table="dim", app_id="cdc") is False
+    assert {r["id"]: r["v"] for r in store.read("dim").collect()} == got
+    assert store.last_txn("dim", "cdc") == 1
+
+    # without app_id the convergence path still applies (no skip)
+    assert cdc_apply_txn(store, b1, 1, key="id", seq_col="seq",
+                         base_table="dim", app_id=None) is True
+    assert F is not None
