@@ -1125,6 +1125,42 @@ class TableStore:
             )
         return raw.filter(F.col("_kb").isin(list(buckets))).drop("_kb")
 
+    def lookup(self, name: str, values) -> DataFrame:
+        """Bucket-pruned POINT LOOKUP: fetch the rows whose key equals
+        any of ``values`` (a list of key values for single-column keys,
+        or of tuples matching the composite key) by reading ONLY the
+        buckets those keys hash to — the serving-path read that makes
+        a keyed table answer "give me these ids" by scanning
+        |keys' buckets| / n_buckets of the table instead of all of it.
+        On a versioned table the lookup is snapshot-consistent (the
+        bucket read resolves one manifest). Equality is null-safe,
+        mirroring upsert's key matching.
+
+        At 100 TB with n_buckets sized to a few files per bucket, a
+        k-key lookup touches ≤ k bucket directories' footers — the
+        poor man's primary-key index that bucketing already paid for."""
+        keys, _n = self.keyed_spec(name)
+        rows = [
+            (v if isinstance(v, (tuple, list)) else (v,)) for v in values
+        ]
+        if not rows:
+            return self.read(name).limit(0)
+        types = self._key_types(name)
+        probe = self.spark.createDataFrame(rows, keys)
+        if types:
+            probe = probe.select(
+                *[F.col(k).cast(t) for k, t in zip(keys, types)]
+            )
+        probe = probe.dropDuplicates(keys)
+        buckets = self.keyed_buckets(name, probe)
+        slice_ = self.read_buckets(name, buckets)
+        cond = None
+        lk = probe.select(*[F.col(k).alias(f"_lk_{k}") for k in keys])
+        for k in keys:
+            c = F.col(k).eqNullSafe(F.col(f"_lk_{k}"))
+            cond = c if cond is None else (cond & c)
+        return slice_.join(F.broadcast(lk), cond, "left_semi")
+
     def overwrite_buckets(
         self,
         df: DataFrame,

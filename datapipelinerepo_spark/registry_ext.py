@@ -4765,3 +4765,35 @@ def store_restore_rollback(spark, sf_dir):
         "restore(v1)", "upsert", "overwrite",
     ]
     return store.read("t").select("o_orderkey", "o_totalprice")
+
+
+@register(
+    "store_point_lookup",
+    sql="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    WHERE o_orderkey % 2 = 0 AND o_orderkey IN (2, 34, 96, 4000, 999999)
+    """,
+)
+def store_point_lookup(spark, sf_dir):
+    """Bucket-pruned point lookup as a hash-checked query
+    (io.TableStore.lookup): an orders snapshot written hash-bucketed
+    on its key answers a 5-key fetch by reading ONLY the buckets
+    those keys hash to (absent keys — 999999 here at small scale —
+    simply don't match, in both engines). The read-back rows must
+    equal the oracle's plain IN-list filter: wrong bucket routing
+    (the r5 type-coercion bug class) or a leaky bucket filter goes
+    red."""
+    import tempfile
+
+    from .io import TableStore
+
+    base = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 2 == 0)
+        .select("o_orderkey", "o_totalprice")
+    )
+    store = TableStore(spark, tempfile.mkdtemp(prefix="lookup_"))
+    store.overwrite_keyed(base, "t", "o_orderkey", n_buckets=16)
+    return store.lookup("t", [2, 34, 96, 4000, 999999]).select(
+        "o_orderkey", "o_totalprice"
+    )

@@ -1377,3 +1377,36 @@ def test_history_and_restore(spark, tmp_path):
     store.vacuum("t", keep_last=1)
     with _pytest.raises(FileNotFoundError):
         store.restore("t", 1)
+
+
+def test_lookup_prunes_to_key_buckets(spark, tmp_path):
+    """Point lookup reads only the requested keys' buckets (partition
+    pruning visible in the scan), returns exactly the matching rows
+    (null-safe on NULL keys, typed-key coercion like upsert), and is
+    snapshot-consistent on versioned tables."""
+    store = TableStore(spark, str(tmp_path))
+    base = spark.createDataFrame(
+        [(i, float(i)) for i in range(100)] + [(None, -1.0)],
+        "id long, price double",
+    )
+    store.overwrite_keyed(base, "t", "id", n_buckets=16, versioned=True)
+    got = {r["id"]: r["price"] for r in store.lookup("t", [3, 97, None, 555]).collect()}
+    assert got == {3: 3.0, 97: 97.0, None: -1.0}
+    # pruning: the scan lists at most 3 bucket partitions (3 keys)
+    slice_ = store.read_buckets("t", store.keyed_buckets(
+        "t", spark.createDataFrame([(3,), (97,), (None,)], "id long")))
+    assert len(store.keyed_buckets(
+        "t", spark.createDataFrame([(3,), (97,), (None,)], "id long"))) <= 3
+    assert slice_.count() < 100  # strictly less than the whole table
+    # int (not long) probe values still route correctly (cast to key_types)
+    assert store.lookup("t", [7]).count() == 1
+    # empty probe: empty result with the table schema
+    empty = store.lookup("t", [])
+    assert empty.count() == 0 and empty.columns == ["id", "price"]
+    # composite keys via tuples
+    store.overwrite_keyed(
+        spark.createDataFrame([(1, "a", 10.0), (2, "b", 20.0)],
+                              "k1 long, k2 string, v double"),
+        "c", ["k1", "k2"], n_buckets=4,
+    )
+    assert [tuple(r) for r in store.lookup("c", [(2, "b")]).collect()] == [(2, "b", 20.0)]
