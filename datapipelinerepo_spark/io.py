@@ -89,6 +89,21 @@ def register_views(spark: SparkSession, sf_dir: str, tables=TABLES) -> None:
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)
 
 
+def _key_match(keys: list[str], df: DataFrame, prefix: str):
+    """(aliased key frame, null-safe equality condition) for joining a
+    table against ``df``'s key columns — the one definition of the
+    store's key-matching semantics (eqNullSafe per column), shared by
+    upsert's anti-join, the keyed-merge slice, and lookup
+    (code-review r7 wave 3: three hand-rolled copies had to stay in
+    lockstep)."""
+    aliased = df.select(*[F.col(k).alias(f"{prefix}{k}") for k in keys])
+    cond = None
+    for k in keys:
+        c = F.col(k).eqNullSafe(F.col(f"{prefix}{k}"))
+        cond = c if cond is None else (cond & c)
+    return aliased, cond
+
+
 class TableStore:
     """A directory of named parquet tables with the reference's load
     semantics. Plays the role BigQuery datasets played
@@ -920,13 +935,7 @@ class TableStore:
             existing = self.read(name)
             # null-safe key equality: plain `on=keys` never matches NULL
             # keys, so a NULL-key row would be appended again every call
-            inc_keys = incoming.select(
-                *[F.col(k).alias(f"_ik_{k}") for k in keys]
-            )
-            cond = None
-            for k in keys:
-                c = F.col(k).eqNullSafe(F.col(f"_ik_{k}"))
-                cond = c if cond is None else (cond & c)
+            inc_keys, cond = _key_match(keys, incoming, "_ik_")
             survivors = existing.join(inc_keys, cond, how="left_anti")
             merged = survivors.unionByName(incoming, allowMissingColumns=True)
         else:
@@ -1057,11 +1066,7 @@ class TableStore:
                     self._dir(name)
                 )
         slice_ = raw.filter(F.col("_kb").isin(affected))
-        inc_keys = stamped.select(*[F.col(k).alias(f"_ik_{k}") for k in keys])
-        cond = None
-        for k in keys:
-            c = F.col(k).eqNullSafe(F.col(f"_ik_{k}"))
-            cond = c if cond is None else (cond & c)
+        inc_keys, cond = _key_match(keys, stamped, "_ik_")
         survivors = slice_.join(inc_keys, cond, how="left_anti")
         merged = survivors.unionByName(
             stamped, allowMissingColumns=True
@@ -1139,26 +1144,35 @@ class TableStore:
         At 100 TB with n_buckets sized to a few files per bucket, a
         k-key lookup touches ≤ k bucket directories' footers — the
         poor man's primary-key index that bucketing already paid for."""
-        keys, _n = self.keyed_spec(name)
+        spec = self.keyed_spec(name)
+        if spec is None:
+            raise ValueError(
+                f"{name}: lookup() needs a keyed table "
+                "(overwrite_keyed) — plain tables have no bucket "
+                "routing to prune by"
+            )
+        keys, _n = spec
         rows = [
-            (v if isinstance(v, (tuple, list)) else (v,)) for v in values
+            tuple(v) if isinstance(v, (tuple, list)) else (v,)
+            for v in values
         ]
         if not rows:
             return self.read(name).limit(0)
         types = self._key_types(name)
-        probe = self.spark.createDataFrame(rows, keys)
+        # EXPLICIT schema from the stored key types (code-review r7
+        # wave 3): inference dies on an all-None probe, and a lazy cast
+        # of an uncastable value would become NULL and eqNullSafe-match
+        # the table's NULL-key rows — with the typed schema, a
+        # wrong-typed probe value fails loudly at conversion instead.
         if types:
-            probe = probe.select(
-                *[F.col(k).cast(t) for k, t in zip(keys, types)]
-            )
+            schema = ", ".join(f"{k} {t}" for k, t in zip(keys, types))
+            probe = self.spark.createDataFrame(rows, schema)
+        else:
+            probe = self.spark.createDataFrame(rows, keys)
         probe = probe.dropDuplicates(keys)
         buckets = self.keyed_buckets(name, probe)
         slice_ = self.read_buckets(name, buckets)
-        cond = None
-        lk = probe.select(*[F.col(k).alias(f"_lk_{k}") for k in keys])
-        for k in keys:
-            c = F.col(k).eqNullSafe(F.col(f"_lk_{k}"))
-            cond = c if cond is None else (cond & c)
+        lk, cond = _key_match(keys, probe, "_lk_")
         return slice_.join(F.broadcast(lk), cond, "left_semi")
 
     def overwrite_buckets(
@@ -1309,23 +1323,25 @@ class TableStore:
           CHECK (which lets UNKNOWN pass) BY DESIGN — in a training
           pipeline a null sneaking past a gate is almost always a bug;
           write "x IS NULL OR <pred>" to opt into SQL's laxness."""
-        cons = self.constraints(name)
+        meta = {}
+        p = self._meta_path(name)
+        if os.path.isfile(p):
+            with open(p) as f:
+                meta = json.load(f)  # one read serves constraints AND schema
+        cons = meta.get("constraints", {})
         if not cons:
             return df
         df = df.localCheckpoint(eager=True)
         probe = df
-        p = self._meta_path(name)
-        if os.path.isfile(p):
-            with open(p) as f:
-                s = json.load(f).get("schema")
-            if s:
-                from pyspark.sql.types import StructType
+        s = meta.get("schema")
+        if s:
+            from pyspark.sql.types import StructType
 
-                for fld in StructType.fromJson(json.loads(s)).fields:
-                    if fld.name not in probe.columns and fld.name != "_kb":
-                        probe = probe.withColumn(
-                            fld.name, F.lit(None).cast(fld.dataType)
-                        )
+            for fld in StructType.fromJson(json.loads(s)).fields:
+                if fld.name not in probe.columns and fld.name != "_kb":
+                    probe = probe.withColumn(
+                        fld.name, F.lit(None).cast(fld.dataType)
+                    )
         try:
             counts = probe.agg(
                 *[

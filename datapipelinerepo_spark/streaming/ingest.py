@@ -402,7 +402,6 @@ def cdc_ingest_stream(
     from ..operators.relational import cdc_apply
 
     def _apply(batch: DataFrame, batch_id: int) -> None:
-        batch = batch.localCheckpoint(eager=True)
         spec = store.keyed_spec(base_table) if store.exists(base_table) else None
         if spec is not None and spec[0] == [key]:
             cdc_apply_txn(
@@ -416,6 +415,21 @@ def cdc_ingest_stream(
                 app_id=exactly_once_app,
             )
             return
+        if exactly_once_app is not None:
+            raise ValueError(
+                f"{base_table}: exactly-once CDC needs the table "
+                "pre-created with overwrite_keyed(..., versioned=True) "
+                f"on key {key!r} — the unkeyed fallback cannot carry "
+                "the watermark"
+            )
+        batch = batch.localCheckpoint(eager=True)
+        # validate the rows this batch LANDS (not the historical rows
+        # the merged frame carries — code-review r7 wave 3: judging
+        # merged via overwrite() wedged streams into crash-replay
+        # loops once a constraint postdated any table row)
+        store._enforce_constraints(
+            base_table, batch.filter(F.col(op_col) != F.lit("D"))
+        )
         if store.exists(base_table):
             base = store.read(base_table)
         else:
@@ -423,7 +437,7 @@ def cdc_ingest_stream(
         merged = cdc_apply(
             base, batch, key=key, seq_col=seq_col, op_col=op_col
         ).localCheckpoint(eager=True)
-        store.overwrite(merged, base_table)
+        store._overwrite_raw(merged, base_table)
 
     w = (
         changes.writeStream.foreachBatch(_apply)
@@ -454,11 +468,31 @@ def cdc_apply_txn(
     from ..operators.relational import cdc_apply
 
     txn = None
-    if app_id is not None and store.is_versioned(base_table):
+    if app_id is not None:
+        if not store.is_versioned(base_table):
+            # silent degradation to at-least-once convergence is worse
+            # than a loud contract failure (code-review r7 wave 3: the
+            # caller believes they bought transactional exactly-once)
+            raise ValueError(
+                f"{base_table}: exactly-once CDC needs a VERSIONED "
+                "keyed table (overwrite_keyed(..., versioned=True)) — "
+                "unversioned tables have no manifest to carry the "
+                "(app, batch) watermark"
+            )
         last = store.last_txn(base_table, app_id)
         if last is not None and last >= int(batch_id):
             return False  # replayed batch: skip before reading anything
         txn = (app_id, int(batch_id))
+    # pin the batch ONCE: keyed_buckets and cdc_apply both evaluate it,
+    # and a non-deterministic lineage evaluated twice could hash rows
+    # into buckets outside the pruned set (code-review r7 wave 3)
+    batch = batch.localCheckpoint(eager=True)
+    # CHECK constraints judge the rows this batch LANDS — upserts and
+    # inserts; delete markers carry no payload to validate
+    # (overwrite_buckets delegates validation to this caller)
+    store._enforce_constraints(
+        base_table, batch.filter(F.col(op_col) != F.lit("D"))
+    )
     # bucket-partitioned maintenance: merge the batch into ONLY the
     # buckets its keys hash to — the per-batch cost is |batch's
     # buckets|, not the table (the keyed-upsert fast path generalized

@@ -1410,3 +1410,25 @@ def test_lookup_prunes_to_key_buckets(spark, tmp_path):
         "c", ["k1", "k2"], n_buckets=4,
     )
     assert [tuple(r) for r in store.lookup("c", [(2, "b")]).collect()] == [(2, "b", 20.0)]
+
+
+def test_lookup_edge_cases_wave3(spark, tmp_path):
+    """Wave-3 review fixes: unkeyed tables refuse loudly; an all-None
+    probe works (explicit typed schema, no inference); a wrong-typed
+    probe value fails loudly instead of silently matching NULL-key
+    rows."""
+    import pytest as _pytest
+
+    store = TableStore(spark, str(tmp_path))
+    store.overwrite(spark.createDataFrame([(1,)], "id long"), "plain")
+    with _pytest.raises(ValueError, match="keyed"):
+        store.lookup("plain", [1])
+
+    base = spark.createDataFrame(
+        [(1, 1.0), (None, -1.0)], "id long, price double"
+    )
+    store.overwrite_keyed(base, "t", "id", n_buckets=4)
+    got = [tuple(r) for r in store.lookup("t", [None]).collect()]
+    assert got == [(None, -1.0)]
+    with _pytest.raises(Exception):
+        store.lookup("t", ["garbage"]).collect()

@@ -707,3 +707,60 @@ def test_cdc_apply_txn_exactly_once(spark, tmp_path):
     assert cdc_apply_txn(store, b1, 1, key="id", seq_col="seq",
                          base_table="dim", app_id=None) is True
     assert F is not None
+
+
+def test_cdc_constraints_and_exactly_once_guard(spark, tmp_path):
+    """Wave-3 review fixes: CDC batches are constraint-judged on the
+    rows they LAND (delete markers exempt), historical violations
+    never wedge the stream, and exactly_once on an unversioned table
+    refuses loudly instead of silently degrading."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from datapipelinerepo_spark.io import TableStore
+    from datapipelinerepo_spark.streaming.ingest import cdc_apply_txn
+
+    store = TableStore(spark, str(tmp_path))
+    # legacy-violating row exists BEFORE the constraint
+    store.overwrite_keyed(
+        spark.createDataFrame([(1, -5.0), (2, 2.0)], "id long, v double"),
+        "dim", "id", n_buckets=4, versioned=True,
+    )
+    store.set_constraints("dim", {"p": "v > 0"})
+
+    # conformant upsert + a delete (payload 0.0 would violate if judged)
+    ok_batch = spark.createDataFrame(
+        [(3, 3.0, 1, "U"), (2, 0.0, 1, "D")],
+        "id long, v double, seq long, op string",
+    )
+    assert cdc_apply_txn(store, ok_batch, 1, key="id", seq_col="seq",
+                         base_table="dim", app_id="cdc")
+    got = {r["id"]: r["v"] for r in store.read("dim").collect()}
+    assert got == {1: -5.0, 3: 3.0}  # legacy row untouched, delete worked
+
+    # a violating UPSERT row is refused
+    with _pytest.raises(ValueError, match="constraint"):
+        cdc_apply_txn(
+            store,
+            spark.createDataFrame(
+                [(4, -4.0, 2, "U")], "id long, v double, seq long, op string"
+            ),
+            2, key="id", seq_col="seq", base_table="dim", app_id="cdc",
+        )
+    # refused batch did not consume the watermark
+    assert store.last_txn("dim", "cdc") == 1
+
+    # exactly-once on an UNVERSIONED table: loud refusal
+    store.overwrite_keyed(
+        spark.createDataFrame([(1, 1.0)], "id long, v double"),
+        "u", "id", n_buckets=4,
+    )
+    with _pytest.raises(ValueError, match="VERSIONED"):
+        cdc_apply_txn(
+            store,
+            spark.createDataFrame(
+                [(1, 2.0, 1, "U")], "id long, v double, seq long, op string"
+            ),
+            1, key="id", seq_col="seq", base_table="u", app_id="cdc",
+        )
+    assert F is not None
