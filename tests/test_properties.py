@@ -490,3 +490,64 @@ def test_versioned_store_matches_reference_model(spark, tmp_path_factory, ops):
 
     for v, snap in snapshots.items():
         assert as_model(store.read("t", version=v).collect()) == snap, v
+
+
+# --- BPE: priority merging ≡ sequential folds on learned lists --------------
+
+_WORDS = st.lists(
+    st.text(alphabet="abcdef", min_size=1, max_size=10), min_size=1, max_size=30
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(words=_WORDS, n_rules=st.integers(1, 40))
+def test_bpe_priority_equals_sequential_on_learned_lists(words, n_rules):
+    """The Arrow encode engine's core claim, property-tested: for any
+    LEARNED rule list (py_bpe_learn output — well-formed by
+    construction), priority merging tokenizes every word exactly like
+    the definitional sequential per-rule folds, and the
+    bpe_rules_sequential_safe gate accepts the list. Pure-Python (no
+    Spark) so hypothesis can hammer hundreds of corpora."""
+    from collections import Counter
+
+    from datapipelinerepo_spark.operators.text import (
+        _bpe_word_tokens_py,
+        bpe_rules_sequential_safe,
+        py_bpe_learn,
+    )
+
+    wc = dict(Counter(words))
+    rules = [(l, r) for _, l, r, _, _ in py_bpe_learn(wc, n_rules)]
+    assert bpe_rules_sequential_safe(rules)
+    ranks = {p: i for i, p in enumerate(rules)}
+    for w in set(words):
+        fast = _bpe_word_tokens_py(w, rules, ranks, fast=True)
+        seq = _bpe_word_tokens_py(w, rules, ranks, fast=False)
+        assert fast == seq, (w, rules)
+        assert "".join(fast) == w  # tokenization is always lossless
+
+
+@settings(max_examples=100, deadline=None)
+@given(words=_WORDS)
+def test_bpe_gate_rejects_order_sensitive_lists(words):
+    """The gate's necessity, property-tested: an ill-formed list (a
+    component no earlier rule produces — the (ab,c)-before-(a,b)
+    shape) is rejected, and the engine's fallback (sequential) is the
+    semantics the fold engine pins, diverging from priority merging on
+    at least SOME input when the divergence is real."""
+    from datapipelinerepo_spark.operators.text import (
+        _bpe_word_tokens_py,
+        bpe_rules_sequential_safe,
+    )
+
+    rules = [("ab", "c"), ("a", "b")]
+    assert not bpe_rules_sequential_safe(rules)
+    ranks = {p: i for i, p in enumerate(rules)}
+    for w in set(words):
+        # the engine must use fast=False here; both paths stay lossless
+        seq = _bpe_word_tokens_py(w, rules, ranks, fast=False)
+        assert "".join(seq) == w
+    # the canonical divergence witness: priority would re-apply rule 0
+    # after rule 1 creates "ab"; sequential (the spec) cannot
+    assert _bpe_word_tokens_py("abc", rules, ranks, fast=False) == ["ab", "c"]
+    assert _bpe_word_tokens_py("abc", rules, ranks, fast=True) == ["abc"]
