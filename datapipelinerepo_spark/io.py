@@ -312,6 +312,14 @@ class TableStore:
     # crash window heal: orphan data files are invisible until a
     # manifest names them, and an unpointed manifest is re-discovered by
     # max-version scan (crash-window tests in test_io).
+    #
+    # Object-store mapping (S3/GCS have no hard links or atomic rename):
+    # the commit primitive here is "create manifest vN exclusively"
+    # (os.link on a filesystem); on S3 it becomes a conditional PUT
+    # (If-None-Match: *), on GCS x-goog-if-generation-match: 0 — the
+    # same put-if-absent contract Delta/Iceberg commit services provide.
+    # Everything else (append-only data files, manifest-resolved reads,
+    # txn watermarks) is already rename-free and ports as-is.
     def _manifest_dir(self, name: str) -> str:
         return os.path.join(self.root, f"_manifest_{name}")
 
@@ -1299,6 +1307,27 @@ class TableStore:
             return {}
         with open(p) as f:
             return json.load(f).get("constraints", {})
+
+    def validate(self, name: str) -> dict[str, int]:
+        """Audit the CURRENT table against its declared constraints:
+        violation count per constraint (0s included) — the
+        declare-then-backfill companion to set_constraints (which only
+        guards FUTURE writes; rows predating a constraint stay until
+        audited and repaired, e.g. via delete_where on the violating
+        predicate). One table scan, one keys=[] aggregate, no raise —
+        audits report, gates refuse."""
+        cons = self.constraints(name)
+        if not cons:
+            return {}
+        counts = self.read(name).agg(
+            *[
+                F.sum(
+                    F.when(F.expr(expr), F.lit(0)).otherwise(F.lit(1))
+                ).alias(cname)
+                for cname, expr in cons.items()
+            ]
+        ).first()
+        return {c: int(counts[c] or 0) for c in cons}
 
     def _enforce_constraints(self, name: str, df: DataFrame) -> DataFrame:
         """Raise if any row of the INCOMING batch violates a declared

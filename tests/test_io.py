@@ -1432,3 +1432,21 @@ def test_lookup_edge_cases_wave3(spark, tmp_path):
     assert got == [(None, -1.0)]
     with _pytest.raises(Exception):
         store.lookup("t", ["garbage"]).collect()
+
+
+def test_validate_audits_legacy_violations(spark, tmp_path):
+    """validate() reports per-constraint violation counts over the
+    CURRENT table without raising — the backfill companion: audit,
+    repair with delete_where, audit clean."""
+    store = TableStore(spark, str(tmp_path))
+    store.overwrite_keyed(
+        spark.createDataFrame(
+            [(1, -5.0), (2, 2.0), (3, None)], "id long, price double"
+        ),
+        "t", "id", n_buckets=4,
+    )
+    store.set_constraints("t", {"p_pos": "price > 0", "p_set": "price IS NOT NULL"})
+    assert store.validate("t") == {"p_pos": 2, "p_set": 1}  # NULL fails both
+    store.delete_where("t", "price IS NULL OR price <= 0")
+    assert store.validate("t") == {"p_pos": 0, "p_set": 0}
+    assert store.validate("nonexistent") == {}
