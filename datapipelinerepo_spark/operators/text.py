@@ -1478,8 +1478,15 @@ def bpe_encode(
     vocab = words.select("_w").distinct()
     if engine == "fold":
         vocab = vocab.withColumn("_t", F.split("_w", ""))
-        for left, right in merges:
+        for i, (left, right) in enumerate(merges, 1):
             vocab = vocab.withColumn("_t", _bpe_fold("_t", left, right))
+            if i % 64 == 0:
+                # bound the expression-tree depth: past ~1k chained
+                # folds the analyzer's recursion overflows the JVM
+                # stack (observed at 1024); materializing the small
+                # vocabulary frame every 64 rules keeps each segment's
+                # plan shallow with identical semantics
+                vocab = vocab.localCheckpoint(eager=True)
         n_tokens = F.size("_t")
     elif engine == "arrow":
         from pyspark.sql.functions import pandas_udf
@@ -1549,8 +1556,10 @@ def bpe_encode_tokens(
     vocab = words.select("_w").distinct()
     if engine == "fold":
         vocab = vocab.withColumn("_t", F.split("_w", ""))
-        for left, right in merges:
+        for i, (left, right) in enumerate(merges, 1):
             vocab = vocab.withColumn("_t", _bpe_fold("_t", left, right))
+            if i % 64 == 0:
+                vocab = vocab.localCheckpoint(eager=True)  # see bpe_encode
     elif engine == "arrow":
         from pyspark.sql.functions import pandas_udf
 
