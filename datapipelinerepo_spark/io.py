@@ -1173,7 +1173,7 @@ class TableStore:
         # the table's NULL-key rows — with the typed schema, a
         # wrong-typed probe value fails loudly at conversion instead.
         if types:
-            schema = ", ".join(f"{k} {t}" for k, t in zip(keys, types))
+            schema = ", ".join(f"`{k}` {t}" for k, t in zip(keys, types))
             probe = self.spark.createDataFrame(rows, schema)
         else:
             probe = self.spark.createDataFrame(rows, keys)
@@ -1319,15 +1319,47 @@ class TableStore:
         cons = self.constraints(name)
         if not cons:
             return {}
-        counts = self.read(name).agg(
-            *[
-                F.sum(
-                    F.when(F.expr(expr), F.lit(0)).otherwise(F.lit(1))
-                ).alias(cname)
-                for cname, expr in cons.items()
-            ]
-        ).first()
+        return self._violation_counts(name, cons, self.read(name))
+
+    def _violation_counts(
+        self, name: str, cons: dict[str, str], df: DataFrame
+    ) -> dict[str, int]:
+        """The one definition of violation counting (shared by the
+        write gates and validate(), so audit and enforcement can never
+        diverge — code-review r7 wave 4): per-constraint count of rows
+        where the expression is not TRUE (strict-NULL semantics)."""
+        try:
+            counts = df.agg(
+                *[
+                    F.sum(
+                        F.when(F.expr(expr), F.lit(0)).otherwise(F.lit(1))
+                    ).alias(cname)
+                    for cname, expr in cons.items()
+                ]
+            ).first()
+        except Exception as ex:
+            raise ValueError(
+                f"{name}: constraint expressions {list(cons.values())} "
+                f"failed to evaluate against columns {df.columns}: {ex}"
+            ) from ex
         return {c: int(counts[c] or 0) for c in cons}
+
+    def _check_constraints(self, name: str, df: DataFrame) -> None:
+        """Raise-only constraint gate for frames that are ALREADY
+        pinned and schema-complete (the CDC paths validate the
+        post-merge rows a batch lands — full table schema, already
+        checkpointed): no extra localCheckpoint, no NULL-widening."""
+        cons = self.constraints(name)
+        if not cons:
+            return
+        bad = {
+            c: n for c, n in self._violation_counts(name, cons, df).items() if n
+        }
+        if bad:
+            raise ValueError(
+                f"{name}: write refused — constraint violations {bad} "
+                f"(constraints: { {c: cons[c] for c in bad} })"
+            )
 
     def _enforce_constraints(self, name: str, df: DataFrame) -> DataFrame:
         """Raise if any row of the INCOMING batch violates a declared
@@ -1371,22 +1403,11 @@ class TableStore:
                     probe = probe.withColumn(
                         fld.name, F.lit(None).cast(fld.dataType)
                     )
-        try:
-            counts = probe.agg(
-                *[
-                    F.sum(
-                        F.when(F.expr(expr), F.lit(0)).otherwise(F.lit(1))
-                    ).alias(cname)
-                    for cname, expr in cons.items()
-                ]
-            ).first()
-        except Exception as ex:
-            raise ValueError(
-                f"{name}: constraint expressions {list(cons.values())} "
-                f"failed to evaluate against batch columns "
-                f"{probe.columns}: {ex}"
-            ) from ex
-        bad = {c: counts[c] for c in cons if counts[c]}
+        bad = {
+            c: n
+            for c, n in self._violation_counts(name, cons, probe).items()
+            if n
+        }
         if bad:
             raise ValueError(
                 f"{name}: write refused — constraint violations {bad} "

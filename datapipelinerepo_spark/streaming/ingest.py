@@ -423,20 +423,18 @@ def cdc_ingest_stream(
                 "the watermark"
             )
         batch = batch.localCheckpoint(eager=True)
-        # validate the rows this batch LANDS (not the historical rows
-        # the merged frame carries — code-review r7 wave 3: judging
-        # merged via overwrite() wedged streams into crash-replay
-        # loops once a constraint postdated any table row)
-        store._enforce_constraints(
-            base_table, batch.filter(F.col(op_col) != F.lit("D"))
-        )
-        if store.exists(base_table):
+        # _table_initialized, not exists(): a meta-only shell from
+        # contract-first set_constraints must route to CREATE, not a
+        # read of a fileless directory (code-review r7 wave 4)
+        if store._table_initialized(base_table):
             base = store.read(base_table)
         else:
             base = batch.drop(seq_col, op_col).limit(0)
         merged = cdc_apply(
             base, batch, key=key, seq_col=seq_col, op_col=op_col
         ).localCheckpoint(eager=True)
+        # judge the POST-MERGE rows the batch lands (see cdc_apply_txn)
+        _check_landed_rows(store, base_table, merged, batch, key)
         store._overwrite_raw(merged, base_table)
 
     w = (
@@ -447,6 +445,16 @@ def cdc_ingest_stream(
     if available_now:
         w = w.trigger(availableNow=True)
     return w.start()
+
+
+def _check_landed_rows(store, base_table, merged, batch, key) -> None:
+    """Constraint-gate the rows a CDC batch LANDS: the post-merge rows
+    whose key appears in the batch (deleted keys are absent; untouched
+    historical rows are excluded — they are not being written)."""
+    store._check_constraints(
+        base_table,
+        merged.join(batch.select(key).distinct(), key, "left_semi"),
+    )
 
 
 def cdc_apply_txn(
@@ -487,12 +495,6 @@ def cdc_apply_txn(
     # and a non-deterministic lineage evaluated twice could hash rows
     # into buckets outside the pruned set (code-review r7 wave 3)
     batch = batch.localCheckpoint(eager=True)
-    # CHECK constraints judge the rows this batch LANDS — upserts and
-    # inserts; delete markers carry no payload to validate
-    # (overwrite_buckets delegates validation to this caller)
-    store._enforce_constraints(
-        base_table, batch.filter(F.col(op_col) != F.lit("D"))
-    )
     # bucket-partitioned maintenance: merge the batch into ONLY the
     # buckets its keys hash to — the per-batch cost is |batch's
     # buckets|, not the table (the keyed-upsert fast path generalized
@@ -503,6 +505,17 @@ def cdc_apply_txn(
     merged = cdc_apply(
         base, batch, key=key, seq_col=seq_col, op_col=op_col
     ).localCheckpoint(eager=True)
+    # CHECK constraints judge the POST-MERGE rows the batch actually
+    # LANDS — merged rows whose key the batch touched (code-review r7
+    # wave 4: judging the raw batch refused rows superseded by a
+    # later in-batch delete, and NULL-widening falsely refused
+    # partial-payload updates whose landed row keeps the base's valid
+    # values; here a key deleted within the batch is simply absent,
+    # and carried-over payload columns are judged at their real
+    # values). An update that REWRITES a historically-invalid row
+    # without fixing it is refused — the batch is publishing that row
+    # anew, which is exactly what the contract gates.
+    _check_landed_rows(store, base_table, merged, batch, key)
     store.overwrite_buckets(merged, base_table, buckets, op="cdc", txn=txn)
     return True
 

@@ -1450,3 +1450,14 @@ def test_validate_audits_legacy_violations(spark, tmp_path):
     store.delete_where("t", "price IS NULL OR price <= 0")
     assert store.validate("t") == {"p_pos": 0, "p_set": 0}
     assert store.validate("nonexistent") == {}
+
+
+def test_lookup_handles_non_identifier_key_names(spark, tmp_path):
+    """Wave-4: key columns that aren't plain identifiers (dashes,
+    spaces) still probe correctly — the typed probe schema backticks
+    the names."""
+    store = TableStore(spark, str(tmp_path))
+    df = spark.createDataFrame([(1, 10.0), (2, 20.0)], ["order-id", "v"])
+    store.overwrite_keyed(df, "t", "order-id", n_buckets=4)
+    got = [tuple(r) for r in store.lookup("t", [2]).collect()]
+    assert got == [(2, 20.0)]
