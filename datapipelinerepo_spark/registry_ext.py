@@ -4359,64 +4359,96 @@ def store_delete_where(spark, sf_dir):
     return store.read("t").select("o_orderkey", "o_totalprice", "o_orderstatus")
 
 
+# 72-hour conversion window, as integer microseconds (exact integer
+# arithmetic in BOTH engines — interval arithmetic on ns-vs-us
+# timestamps could flip a boundary comparison)
+_FUNNEL_WINDOW_US = 72 * 3600 * 1_000_000
+
+
 @register(
     "events_funnel_conversion",
-    sql="""
-    WITH v AS (
-      SELECT user_id, MIN(ts) AS v_ts FROM events
-      WHERE event_type = 'view' GROUP BY 1
-    ), c AS (
-      SELECT e.user_id, MIN(e.ts) AS c_ts
-      FROM events e JOIN v USING (user_id)
-      WHERE e.event_type = 'click' AND e.ts > v.v_ts GROUP BY 1
-    ), p AS (
-      SELECT e.user_id, MIN(e.ts) AS p_ts
-      FROM events e JOIN c USING (user_id)
-      WHERE e.event_type = 'purchase' AND e.ts > c.c_ts GROUP BY 1
+    sql=f"""
+    WITH e AS (
+      SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+    ),
+    qc AS (
+      SELECT DISTINCT c.user_id, c.us
+      FROM e c JOIN e v
+        ON v.user_id = c.user_id AND v.event_type = 'view'
+       AND c.us - v.us BETWEEN 1 AND {_FUNNEL_WINDOW_US}
+      WHERE c.event_type = 'click'
+    ),
+    qp AS (
+      SELECT DISTINCT p.user_id
+      FROM e p JOIN qc ON qc.user_id = p.user_id
+       AND p.us - qc.us BETWEEN 1 AND {_FUNNEL_WINDOW_US}
+      WHERE p.event_type = 'purchase'
     )
     SELECT * FROM (
       SELECT CAST(1 AS INT) AS step, 'view' AS stage,
-             CAST(COUNT(*) AS BIGINT) AS users FROM v
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS users
+      FROM e WHERE event_type = 'view'
       UNION ALL
-      SELECT 2, 'click', COUNT(*) FROM c
+      SELECT 2, 'click_within_72h', COUNT(DISTINCT user_id) FROM qc
       UNION ALL
-      SELECT 3, 'purchase', COUNT(*) FROM p
+      SELECT 3, 'purchase_within_72h', COUNT(*) FROM qp
     )
     """,
 )
 def events_funnel_conversion(spark, sf_dir):
-    """Ordered conversion FUNNEL over the event stream: how many users
-    have a view, then a click strictly after their FIRST view, then a
-    purchase strictly after that click — the existence-of-ordered-
-    subsequence question every product-analytics stack asks, answered
-    with the earliest-first greedy (matching the earliest qualifying
-    event at each stage is exactly the existence test). Three per-user
-    MIN aggregates chained by user-key joins — no windows, no per-user
-    event collection, no collect: at 100 TB each stage is one shuffle
-    on user_id (co-partitioned with the previous stage's frame) over
-    frames that only SHRINK down the funnel; the final counts are
-    keys=[] scalar aggregates. Timestamps compare engine-internally
-    only (counts are the output), so ns-vs-us precision cannot drift
-    the hash."""
-    ev = t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
-    v = (
-        ev.filter(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("v_ts"))
+    """TIME-BOUNDED conversion funnel: users with a view, a click
+    within 72 HOURS of some view, and a purchase within 72 hours of
+    some qualifying click — the conversion-window form every
+    product-analytics stack actually ships (events_funnel is the
+    unbounded variant). The window makes the problem genuinely
+    harder than the unbounded funnel's chained-min greedy: the
+    earliest qualifying click can EXPIRE before a purchase that a
+    later qualifying click covers, so each stage must keep EVERY
+    qualifying event, not the first — expressed as per-user interval
+    joins (equi-join on user_id + window predicate), the stage frames
+    still shrinking down the funnel and the outputs still keys=[]
+    scalar counts. Timestamps compare as integer MICROSECONDS in both
+    engines (Spark stores µs; the oracle's epoch_us truncates
+    DuckDB's ns identically), so the boundary arithmetic is exact —
+    no float or interval-type drift can flip a hash. At 100 TB every
+    join shuffles on user_id (co-partitioned stage to stage) and the
+    per-user interval pairing is bounded by per-user activity, never
+    cross-user."""
+    ev = t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        # ts is TIMESTAMP_NTZ; the NTZ→TZ cast applies the session zone
+        # as a CONSTANT offset, which cancels in the differences these
+        # predicates compare (and the outputs are counts)
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
     )
-    c = (
-        ev.filter(F.col("event_type") == "click")
-        .join(v, "user_id")
-        .filter(F.col("ts") > F.col("v_ts"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("c_ts"))
+    w = F.lit(_FUNNEL_WINDOW_US).cast("long")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("us").alias("v_us")
     )
-    p = (
-        ev.filter(F.col("event_type") == "purchase")
-        .join(c, "user_id")
-        .filter(F.col("ts") > F.col("c_ts"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("p_ts"))
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("us").alias("c_us")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("us").alias("p_us")
+    )
+    qc = (
+        clicks.join(views, "user_id")
+        .filter(
+            (F.col("c_us") - F.col("v_us") >= 1)
+            & (F.col("c_us") - F.col("v_us") <= w)
+        )
+        .select("user_id", "c_us")
+        .distinct()
+    )
+    qp = (
+        purchases.join(qc, "user_id")
+        .filter(
+            (F.col("p_us") - F.col("c_us") >= 1)
+            & (F.col("p_us") - F.col("c_us") <= w)
+        )
+        .select("user_id")
+        .distinct()
     )
 
     def stage(df, step, name):
@@ -4427,65 +4459,9 @@ def events_funnel_conversion(spark, sf_dir):
         )
 
     return (
-        stage(v, 1, "view")
-        .unionByName(stage(c, 2, "click"))
-        .unionByName(stage(p, 3, "purchase"))
-    )
-
-
-@register(
-    "events_retention_cohorts",
-    sql="""
-    WITH act AS (
-      SELECT DISTINCT user_id,
-             CAST(floor(datediff('day', DATE '1970-01-05', CAST(ts AS DATE)) / 7)
-                  AS BIGINT) AS wk
-      FROM events WHERE ts IS NOT NULL
-    ), cohort AS (
-      SELECT user_id, MIN(wk) AS c_wk FROM act GROUP BY 1
-    )
-    SELECT DATE '1970-01-05' + CAST(c.c_wk * 7 AS INT) AS cohort_start,
-           a.wk - c.c_wk AS week_offset,
-           CAST(COUNT(*) AS BIGINT) AS users
-    FROM act a JOIN cohort c USING (user_id)
-    GROUP BY 1, 2
-    """,
-)
-def events_retention_cohorts(spark, sf_dir):
-    """RETENTION COHORT matrix: users bucket into the week of their
-    first activity (Monday-epoch weeks — floor(days-since-1970-01-05
-    / 7), identical arithmetic in both engines, sidestepping the
-    engines' differing WEEK() conventions), and each cell counts the
-    cohort's users active k weeks later — the growth-analytics staple.
-    Scale shape: one DISTINCT (user, week) pass (the only corpus-sized
-    shuffle), a per-user MIN for the cohort, one user-key join back,
-    and a (cohort, offset)-key aggregate whose output is bounded by
-    weeks² — no windows, no collect. A user's every active week lands
-    in exactly one cell, so cell counts are COUNT(*) after the
-    distinct, not COUNT(DISTINCT)."""
-    act = (
-        t(spark, sf_dir, "events")
-        .filter(F.col("ts").isNotNull())
-        .select(
-            "user_id",
-            F.floor(
-                F.datediff(F.col("ts").cast("date"), F.lit("1970-01-05").cast("date"))
-                / 7
-            ).alias("wk"),
-        )
-        .distinct()
-    )
-    cohort = act.groupBy("user_id").agg(F.min("wk").alias("c_wk"))
-    return (
-        act.join(cohort, "user_id")
-        .groupBy(
-            F.date_add(
-                F.lit("1970-01-05").cast("date"),
-                (F.col("c_wk") * 7).cast("int"),
-            ).alias("cohort_start"),
-            (F.col("wk") - F.col("c_wk")).alias("week_offset"),
-        )
-        .agg(F.count(F.lit(1)).alias("users"))
+        stage(views.select("user_id").distinct(), 1, "view")
+        .unionByName(stage(qc.select("user_id").distinct(), 2, "click_within_72h"))
+        .unionByName(stage(qp, 3, "purchase_within_72h"))
     )
 
 

@@ -91,9 +91,7 @@ _SF1_NAMES = [
     # r7 additions with aggregate-sized outputs (the whole-table store
     # queries stay at sf0.1 — comparing a 7.5M-row read-back against
     # DuckDB is a collect cost, not a verification gain)
-    "text_bpe_learn_batched",
     "events_funnel_conversion",
-    "events_retention_cohorts",
 ]
 
 
