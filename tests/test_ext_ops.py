@@ -1947,3 +1947,54 @@ def test_zero_norm_vectors_never_crash_cosine_ops(spark):
     out = SIM.centroid_outliers(emb)
     # the zero vector yields a NULL cosine, not a crash
     assert out.filter(F.col("vec_id") == 3).count() == 1
+
+
+def test_time_bounded_funnel_expiry_semantics(spark, monkeypatch, tmp_path):
+    """The case that makes the window form non-greedy: user A's
+    earliest qualifying click EXPIRES before their purchase, but a
+    later qualifying click covers it — A must count at stage 3. User
+    B's click is outside any view window (not qualifying); user C
+    converts fully inside the windows; user D views only."""
+    import datetime as dt
+    import os
+
+    import datapipelinerepo_spark.registry_ext  # noqa: F401 (registers)
+    from datapipelinerepo_spark.registry import REGISTRY
+
+    H = 3600
+    rows = []
+
+    def ev(uid, etype, hours):
+        rows.append(
+            (
+                len(rows),
+                dt.datetime(2026, 1, 1) + dt.timedelta(seconds=hours * H),
+                uid,
+                etype,
+                1.0,
+                "{}",
+            )
+        )
+
+    ev(1, "view", 0); ev(1, "click", 1)          # A: qualifying click @1h
+    ev(1, "view", 90); ev(1, "click", 95)        # A: later qualifying click
+    ev(1, "purchase", 150)                       # 149h after click@1 (expired),
+                                                 # 55h after click@95 (covered)
+    ev(2, "view", 0); ev(2, "click", 100)        # B: click 100h after view: not qualifying
+    ev(2, "purchase", 101)
+    ev(3, "view", 0); ev(3, "click", 10); ev(3, "purchase", 20)  # C: clean chain
+    ev(4, "view", 0)                             # D: view only
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, event_type string, value double, props string"
+    )
+    sf = str(tmp_path)
+    df.coalesce(1).write.mode("overwrite").parquet(os.path.join(sf, "events.parquet"))
+    got = {
+        r["stage"]: r["users"]
+        for r in REGISTRY["events_funnel_conversion"].fn(spark, sf).collect()
+    }
+    assert got == {
+        "view": 4,                 # A, B, C, D
+        "click_within_72h": 2,     # A, C (B's click is out of window)
+        "purchase_within_72h": 2,  # A (via the LATER click) and C
+    }
