@@ -241,7 +241,7 @@ def main() -> None:
             snap = store.read("t").count()
             tt = store.read("t", version=1).count()
             store.compact("t")
-            store.vacuum("t", keep_last=1)
+            store.vacuum("t", keep_last=1, grace_s=0.0)
             assert snap == tt  # upserts replace, never add, here
             samples.append(time.perf_counter() - t0)
         finally:

@@ -516,7 +516,21 @@ def cdc_apply_txn(
     # without fixing it is refused — the batch is publishing that row
     # anew, which is exactly what the contract gates.
     _check_landed_rows(store, base_table, merged, batch, key)
-    store.overwrite_buckets(merged, base_table, buckets, op="cdc", txn=txn)
+    from ..io import TxnAlreadyApplied
+
+    try:
+        # check_replay re-verifies the watermark INSIDE the manifest
+        # claim loop: the last_txn read above is only the cheap fast
+        # check, so a zombie driver racing its replacement on the same
+        # app_id serializes at the commit and exactly one batch applies
+        # (VERDICT r7 item 1; the loser's appended files stay invisible
+        # orphans until vacuum)
+        store.overwrite_buckets(
+            merged, base_table, buckets, op="cdc", txn=txn,
+            check_replay=txn is not None,
+        )
+    except TxnAlreadyApplied:
+        return False
     return True
 
 

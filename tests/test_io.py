@@ -403,7 +403,7 @@ def test_versioned_vacuum_reclaims_and_old_pin_fails_loudly(spark, tmp_path):
     )
     m1 = set(store._manifest_files("t", 1))
     m2 = set(store._manifest_files("t", 2))
-    deleted = store.vacuum("t", keep_last=1)
+    deleted = store.vacuum("t", keep_last=1, grace_s=0.0)
     assert set(deleted) == m1 - m2 and store.versions("t") == [2]
     for rel in deleted:
         assert not os.path.exists(os.path.join(str(tmp_path), "t", rel))
@@ -584,7 +584,7 @@ def test_versioned_compact_rewrites_only_fat_buckets(spark, tmp_path):
     # vacuum reclaims every file the compacted version dropped (the
     # pre-compaction small files AND the intermediate upsert versions'
     # files), and touches nothing the live manifest references
-    deleted = store.vacuum("t", keep_last=1)
+    deleted = store.vacuum("t", keep_last=1, grace_s=0.0)
     assert set(m_before) - set(m_after) <= set(deleted)
     assert not set(deleted) & set(m_after)
     for rel in deleted:
@@ -877,12 +877,13 @@ def test_vacuum_grace_keeps_inflight_reader_alive(spark, tmp_path):
     )
     pinned = store.read("t", version=2)  # plan resolves v2's file list now
     store.compact("t")  # publishes v3
-    # maintenance with a grace window: v2 is young → files retained
-    store.vacuum("t", keep_last=1, grace_s=3600.0)
+    # maintenance at the DEFAULT grace (VERDICT r7 item 8: the default
+    # must be the safe one): v2 is young → files retained
+    store.vacuum("t", keep_last=1)
     assert pinned.count() == 100  # in-flight reader completes
     assert 2 in store.versions("t")  # graced manifest retained too
-    # aggressive vacuum (no grace): v1/v2 reclaimed
-    store.vacuum("t", keep_last=1)
+    # aggressive vacuum (explicit grace_s=0): v1/v2 reclaimed
+    store.vacuum("t", keep_last=1, grace_s=0.0)
     assert store.versions("t") == [3]
     with _pytest.raises(FileNotFoundError):
         store.read("t", version=2)
@@ -1374,7 +1375,7 @@ def test_history_and_restore(spark, tmp_path):
         r["id"]: r["price"] for r in store.read("t").collect()
     }[3] == 999.0
     # vacuumed target refuses
-    store.vacuum("t", keep_last=1)
+    store.vacuum("t", keep_last=1, grace_s=0.0)
     with _pytest.raises(FileNotFoundError):
         store.restore("t", 1)
 
@@ -1461,3 +1462,189 @@ def test_lookup_handles_non_identifier_key_names(spark, tmp_path):
     store.overwrite_keyed(df, "t", "order-id", n_buckets=4)
     got = [tuple(r) for r in store.lookup("t", [2]).collect()]
     assert got == [(2, 20.0)]
+
+
+# ---------------------------------------------------------------------------
+# Round 8: atomic txn replay check, creation-crash heal, watermark
+# carry-through on reseed overwrites, writer-safe vacuum (VERDICT r7
+# items 1+8, ADVICE r7).
+# ---------------------------------------------------------------------------
+
+
+def test_upsert_txn_concurrent_same_app_applies_exactly_once(
+    spark, tmp_path, monkeypatch
+):
+    """VERDICT r7 item 1: two writers sharing an app_id race the SAME
+    (app_id, txn_version) through upsert_txn, with a barrier ensuring
+    BOTH pass the advisory last_txn fast check before either commits —
+    the manifest-claim-time replay check must let exactly one apply."""
+    import threading
+
+    from datapipelinerepo_spark import io as io_mod
+
+    store = TableStore(spark, str(tmp_path))
+    base = spark.createDataFrame(
+        [(i, float(i)) for i in range(40)], "id long, price double"
+    )
+    assert store.upsert_txn(base, "t", "id", "app", 0, n_buckets=4) is True
+
+    barrier = threading.Barrier(2, timeout=120)
+    orig = io_mod.TableStore.last_txn
+
+    def synced(self, name, app_id):
+        r = orig(self, name, app_id)
+        barrier.wait()  # both racers have read the same stale watermark
+        return r
+
+    monkeypatch.setattr(io_mod.TableStore, "last_txn", synced)
+    # serialize the PHYSICAL append+publish only: Spark's local
+    # FileOutputCommitter shares one _temporary staging dir per path,
+    # so two simultaneous append JOBS corrupt each other (an artifact
+    # of the local committer — object-store committers stage per-job).
+    # The property under test — both racers past the advisory fast
+    # check before either commits a manifest — is untouched: the
+    # barrier above guarantees it, and the loser must now be stopped
+    # by the claim-loop replay check alone.
+    write_lock = threading.Lock()
+    orig_upsert = io_mod.TableStore._upsert_keyed
+
+    def locked(self, *a, **k):
+        with write_lock:
+            return orig_upsert(self, *a, **k)
+
+    monkeypatch.setattr(io_mod.TableStore, "_upsert_keyed", locked)
+    batch = spark.createDataFrame([(3, 333.0)], "id long, price double")
+    results: list[bool] = []
+    errors: list[BaseException] = []
+
+    def run():
+        try:
+            results.append(store.upsert_txn(batch, "t", "id", "app", 1))
+        except BaseException as e:  # surface, don't swallow
+            errors.append(e)
+
+    threads = [threading.Thread(target=run) for _ in range(2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    monkeypatch.setattr(io_mod.TableStore, "last_txn", orig)
+    assert not errors, errors
+    assert sorted(results) == [False, True]  # exactly one applied
+    assert store.last_txn("t", "app") == 1
+    got = {r["id"]: r["price"] for r in store.read("t").collect()}
+    assert got[3] == 333.0 and len(got) == 40
+    # the loser's pre-publish appends are invisible orphans; an
+    # explicit no-grace vacuum reclaims them and the table still reads
+    store.vacuum("t", keep_last=1, grace_s=0.0)
+    assert {r["id"]: r["price"] for r in store.read("t").collect()} == got
+
+
+def test_manifest_commit_replay_check_is_atomic(spark, tmp_path):
+    """Unit form of the race: a check_replay publish whose txn the
+    latest manifest already covers raises TxnAlreadyApplied from
+    inside the claim loop."""
+    import pytest as _pytest
+
+    from datapipelinerepo_spark.io import TxnAlreadyApplied
+
+    store = _mk_versioned(spark, tmp_path, n=10, buckets=2)
+    files = store._manifest_files("t", store.latest_version("t"))
+    store._publish_version(store_name := "t", files, txn=("app", 5))
+    with _pytest.raises(TxnAlreadyApplied):
+        store._publish_version(
+            store_name, files, txn=("app", 5), check_replay=True
+        )
+    # a NEWER txn version still publishes
+    v = store._publish_version(
+        store_name, files, txn=("app", 6), check_replay=True
+    )
+    assert store._manifest_doc("t", v)["txn"]["app"] == 6
+
+
+def test_upsert_txn_creation_crash_retry_heals(spark, tmp_path):
+    """ADVICE r7: overwrite_keyed dies between the data write and the
+    meta stamp (simulated by stripping the meta + manifests after a
+    real creation). The retry must re-run the creation path instead of
+    wedging the stream in a ValueError crash loop."""
+    import os
+    import shutil as _shutil
+
+    store = TableStore(spark, str(tmp_path))
+    b0 = spark.createDataFrame(
+        [(i, float(i)) for i in range(20)], "id long, price double"
+    )
+    assert store.upsert_txn(b0, "t", "id", "app", 0, n_buckets=4) is True
+    # simulate the crash window: data landed (bucket dirs present) but
+    # neither the keyed meta nor the manifest history survives
+    os.remove(store._meta_path("t"))
+    _shutil.rmtree(store._manifest_dir("t"))
+    assert store.keyed_spec("t") is None and store._creation_crashed("t")
+    # the foreachBatch retry re-runs creation and succeeds
+    assert store.upsert_txn(b0, "t", "id", "app", 0, n_buckets=4) is True
+    assert store.keyed_spec("t") == (["id"], 4) and store.is_versioned("t")
+    assert store.read("t").count() == 20
+    # normal exactly-once semantics resume
+    b1 = spark.createDataFrame([(3, 333.0)], "id long, price double")
+    assert store.upsert_txn(b1, "t", "id", "app", 1) is True
+    assert store.upsert_txn(b1, "t", "id", "app", 1) is False
+    # a PLAIN table (no _kb dirs) still fails loudly, not silently
+    # recreated as keyed
+    import pytest as _pytest
+
+    store.overwrite(spark.createDataFrame([(1, 1.0)], "id long, price double"), "p")
+    assert not store._creation_crashed("p")
+    with _pytest.raises(ValueError, match="versioned keyed table"):
+        store.upsert_txn(b1, "p", "id", "app", 0)
+
+
+def test_versioned_reseed_overwrite_carries_txn_watermarks(spark, tmp_path):
+    """ADVICE r7: a versioned reseed overwrite_keyed must carry the
+    retiring history's txn map into its v1 manifest — a replayed
+    streaming batch (same app_id, old txn_version) after the reseed
+    must still be skipped, like Delta and like restore()."""
+    store = TableStore(spark, str(tmp_path))
+    b0 = spark.createDataFrame(
+        [(i, float(i)) for i in range(10)], "id long, price double"
+    )
+    assert store.upsert_txn(b0, "t", "id", "app", 7, n_buckets=4) is True
+    # administrative reseed of the same table, still versioned
+    reseed = spark.createDataFrame([(1, 100.0)], "id long, price double")
+    store.overwrite_keyed(reseed, "t", "id", n_buckets=4, versioned=True)
+    assert store.versions("t") == [1]  # history reset...
+    assert store.last_txn("t", "app") == 7  # ...watermarks carried
+    # the replayed batch is skipped, not re-applied
+    assert store.upsert_txn(b0, "t", "id", "app", 7) is False
+    assert {r["id"] for r in store.read("t").collect()} == {1}
+    # an UNVERSIONED reseed drops versioning (and with it the map) —
+    # the documented trade; upsert_txn then refuses loudly
+    store.overwrite_keyed(reseed, "t", "id", n_buckets=4, versioned=False)
+    assert store.last_txn("t", "app") is None
+
+
+def test_vacuum_age_gate_protects_inflight_writer_files(spark, tmp_path):
+    """ADVICE r7 (medium): a data file appended by a not-yet-committed
+    writer (no manifest references it yet) must survive a vacuum run
+    at the safe default grace — deleting it would let the writer
+    publish a manifest naming deleted files. grace_s=0 explicitly
+    opts out."""
+    import os
+    import shutil as _shutil
+
+    store = _mk_versioned(spark, tmp_path, n=20, buckets=2)
+    # simulate an in-flight writer: a fresh part-file present on disk
+    # but referenced by no manifest (exactly what _append_and_publish
+    # leaves between its append and its publish)
+    src_rel = store._manifest_files("t", 1)[0]
+    orphan_rel = src_rel.rsplit("/", 1)[0] + "/part-inflight.snappy.parquet"
+    _shutil.copy(
+        os.path.join(str(tmp_path), "t", src_rel),
+        os.path.join(str(tmp_path), "t", orphan_rel),
+    )
+    deleted = store.vacuum("t", keep_last=1)  # safe default grace
+    assert orphan_rel not in deleted
+    assert os.path.exists(os.path.join(str(tmp_path), "t", orphan_rel))
+    # explicit no-grace maintenance (no concurrent work) reclaims it
+    deleted = store.vacuum("t", keep_last=1, grace_s=0.0)
+    assert orphan_rel in deleted
+    assert store.read("t").count() == 20

@@ -476,7 +476,7 @@ def test_versioned_store_matches_reference_model(spark, tmp_path_factory, ops):
         elif op == "compact":
             store.compact("t")
         else:
-            store.vacuum("t", keep_last=2)
+            store.vacuum("t", keep_last=2, grace_s=0.0)
             snapshots = {
                 v: s for v, s in snapshots.items() if v in set(store.versions("t"))
             }
