@@ -109,8 +109,18 @@ _CHANGED_IN_ROUND = {
     "text_bpe_learn": 7,
     "text_bpe_learn_single": 7,
     "text_bpe_encode": 7,
-    "store_keyed_merge": 7,
-    "store_versioned_snapshot": 7,
+    # r8: store-backed queries now pin results in memory and delete
+    # their temp dirs (ADVICE r7) and ride the atomic-replay commit
+    # protocol; locally re-proven at sf0.001 + sf0.01
+    "store_keyed_merge": 8,
+    "store_versioned_snapshot": 8,
+    "store_delete_where": 8,
+    "store_txn_exactly_once": 8,
+    "store_constraint_reject": 8,
+    "store_restore_rollback": 8,
+    "store_point_lookup": 8,
+    "events_rollup_hourly": 8,
+    "pipeline_idempotent_reload": 8,
 }
 
 

@@ -21,6 +21,41 @@ from .operators import similarity as SIM
 from .operators import text as T
 from .registry import register, t
 
+
+def _ephemeral_store(spark, prefix: str):
+    """(TableStore on a fresh temp dir, finish) for the store-backed
+    oracle queries. ``finish(df)`` pins the result rows in memory
+    (eager localCheckpoint) and deletes the directory IMMEDIATELY,
+    returning the pinned frame — repeated correctness/bench runs must
+    not accumulate unbounded /tmp data (ADVICE r7; the old shape
+    leaked one full table copy per invocation). The checkpoint cuts
+    the lineage back to the temp files, so the rows survive the
+    rmtree; these result frames are oracle-sized (≤ a few thousand
+    rows), so the pin is cheap."""
+    import shutil
+    import tempfile
+
+    from .io import TableStore
+
+    d = tempfile.mkdtemp(prefix=prefix)
+    store = TableStore(spark, d)
+
+    def finish(df):
+        out = df.localCheckpoint(eager=True)
+        shutil.rmtree(d, ignore_errors=True)
+        return out
+
+    return store, finish
+
+
+def _require(ok: bool, msg: str) -> None:
+    """Load-bearing invariant check for oracle-query bodies: an
+    explicit raise, not ``assert`` — asserts vanish under `python -O`,
+    silently turning a broken invariant into a green-looking hash run
+    (ADVICE r7)."""
+    if not ok:
+        raise RuntimeError(msg)
+
 # ===========================================================================
 # Deduplication
 # ===========================================================================
@@ -1266,24 +1301,23 @@ def events_rollup_hourly(spark, sf_dir):
     plain one-shot SQL rollup, so the driver hash-checks the mergeable-
     partials contract itself: maintain(deltas) == recompute(all).
     Previously this surface was pytest-only (test_io)."""
-    import tempfile
-
-    from .io import TableStore
     from .plans.rollup import rollup_maintain
 
     e = t(spark, sf_dir, "events")
-    store = TableStore(spark, tempfile.mkdtemp(prefix="rollup_q_"))
+    store, finish = _ephemeral_store(spark, "rollup_q_")
     for i in range(3):
         rollup_maintain(
             store,
             e.filter(F.col("event_id") % 3 == i),
             table="events_rollup_hourly",
         )
-    return store.read("events_rollup_hourly").select(
-        "bucket_start",
-        "event_type",
-        "n_events",
-        F.col("sum_value").cast("double").alias("sum_value"),
+    return finish(
+        store.read("events_rollup_hourly").select(
+            "bucket_start",
+            "event_type",
+            "n_events",
+            F.col("sum_value").cast("double").alias("sum_value"),
+        )
     )
 
 
@@ -1305,9 +1339,6 @@ def pipeline_idempotent_reload(spark, sf_dir):
     overwrite). The oracle is the plain daily rollup, so any
     double-load or partition loss hash-mismatches. Previously this
     lifecycle was covered by pytest only (test_pipeline)."""
-    import tempfile
-
-    from .io import TableStore
     from .plans.pipeline import DataSource, Pipeline
 
     class DailyCounts(DataSource):
@@ -1328,12 +1359,14 @@ def pipeline_idempotent_reload(spark, sf_dir):
                 "event_type",
             ).agg(F.count(F.lit(1)).alias("n_events"))
 
-    store = TableStore(spark, tempfile.mkdtemp(prefix="pipe_q_"))
+    store, finish = _ephemeral_store(spark, "pipe_q_")
     for _ in range(2):
         report = Pipeline([DailyCounts()], spark=spark, store=store).run()
-        assert not report.errors, report.errors
-    return store.read("daily_counts").select(
-        "event_date", "event_type", "n_events"
+        _require(not report.errors, f"pipeline run failed: {report.errors}")
+    return finish(
+        store.read("daily_counts").select(
+            "event_date", "event_type", "n_events"
+        )
     )
 
 
@@ -3843,7 +3876,10 @@ def _padded_rule_list(word_counts: dict[str, int], n_rules: int) -> list:
             rules.append((base, "q"))
             produced.add(merged)
         base = merged
-    assert bpe_rules_sequential_safe(rules)
+    _require(
+        bpe_rules_sequential_safe(rules),
+        "padded BPE rule list is not sequential-safe",
+    )
     return rules
 
 
@@ -4140,10 +4176,6 @@ def store_keyed_merge(spark, sf_dir):
     partition overwrite of ONLY the affected buckets, and the hidden
     _kb column staying hidden — the pipeline_idempotent_reload
     pattern applied to keyed merges."""
-    import tempfile
-
-    from .io import TableStore
-
     base = (
         t(spark, sf_dir, "orders")
         .filter(F.col("o_orderkey") % 2 == 0)
@@ -4158,10 +4190,12 @@ def store_keyed_merge(spark, sf_dir):
             F.lit("U").alias("o_orderstatus"),
         )
     )
-    store = TableStore(spark, tempfile.mkdtemp(prefix="keyedmerge_"))
+    store, finish = _ephemeral_store(spark, "keyedmerge_")
     store.overwrite_keyed(base, "t", "o_orderkey", n_buckets=16)
     store.upsert(inc, "t", "o_orderkey")
-    return store.read("t").select("o_orderkey", "o_totalprice", "o_orderstatus")
+    return finish(
+        store.read("t").select("o_orderkey", "o_totalprice", "o_orderstatus")
+    )
 
 
 @register(
@@ -4296,10 +4330,6 @@ def store_versioned_snapshot(spark, sf_dir):
     returns the merged v2, i.e. the one Delta property plain parquet
     lacked (readers pinned pre-upsert are isolated from in-flight
     merges)."""
-    import tempfile
-
-    from .io import TableStore
-
     base = (
         t(spark, sf_dir, "orders")
         .filter(F.col("o_orderkey") % 2 == 0)
@@ -4310,7 +4340,7 @@ def store_versioned_snapshot(spark, sf_dir):
         .filter((F.col("o_orderkey") % 10 == 0) | (F.col("o_orderkey") % 10 == 3))
         .select("o_orderkey", (F.col("o_totalprice") * 2).alias("o_totalprice"))
     )
-    store = TableStore(spark, tempfile.mkdtemp(prefix="versioned_"))
+    store, finish = _ephemeral_store(spark, "versioned_")
     store.overwrite_keyed(base, "t", "o_orderkey", n_buckets=16, versioned=True)
     store.upsert(inc, "t", "o_orderkey")
     v1 = store.read("t", version=1).select(
@@ -4319,7 +4349,7 @@ def store_versioned_snapshot(spark, sf_dir):
     v2 = store.read("t", version=2).select(
         F.lit(2).alias("version"), "o_orderkey", "o_totalprice"
     )
-    return v1.unionByName(v2)
+    return finish(v1.unionByName(v2))
 
 
 @register(
@@ -4344,19 +4374,17 @@ def store_delete_where(spark, sf_dir):
     (fully-emptied buckets are pruned from disk), untouched buckets'
     files are never read for the rewrite — the Delta/Iceberg DELETE
     cost profile on plain parquet."""
-    import tempfile
-
-    from .io import TableStore
-
     base = (
         t(spark, sf_dir, "orders")
         .filter(F.col("o_orderkey") % 2 == 0)
         .select("o_orderkey", "o_totalprice", "o_orderstatus")
     )
-    store = TableStore(spark, tempfile.mkdtemp(prefix="delwhere_"))
+    store, finish = _ephemeral_store(spark, "delwhere_")
     store.overwrite_keyed(base, "t", "o_orderkey", n_buckets=16)
     store.delete_where("t", F.col("o_totalprice") > 150000)
-    return store.read("t").select("o_orderkey", "o_totalprice", "o_orderstatus")
+    return finish(
+        store.read("t").select("o_orderkey", "o_totalprice", "o_orderstatus")
+    )
 
 
 # 72-hour conversion window, as integer microseconds (exact integer
@@ -4563,10 +4591,6 @@ def store_txn_exactly_once(spark, sf_dir):
     is the guarantee the _batch_id partition trick can't give
     non-append shapes and cdc_apply gets only from operator
     idempotence."""
-    import tempfile
-
-    from .io import TableStore
-
     base = (
         t(spark, sf_dir, "orders")
         .filter(F.col("o_orderkey") % 2 == 0)
@@ -4578,12 +4602,16 @@ def store_txn_exactly_once(spark, sf_dir):
         .select("o_orderkey", (F.col("o_totalprice") * 2).alias("o_totalprice"))
     )
     poison = inc.withColumn("o_totalprice", F.lit(-1.0))
-    store = TableStore(spark, tempfile.mkdtemp(prefix="txnonce_"))
+    store, finish = _ephemeral_store(spark, "txnonce_")
     applied0 = store.upsert_txn(base, "t", "o_orderkey", "job", 0, n_buckets=16)
     applied1 = store.upsert_txn(inc, "t", "o_orderkey", "job", 1)
     replayed = store.upsert_txn(poison, "t", "o_orderkey", "job", 1)
-    assert applied0 and applied1 and not replayed
-    return store.read("t").select("o_orderkey", "o_totalprice")
+    _require(
+        applied0 and applied1 and not replayed,
+        f"txn protocol broke: applied0={applied0} applied1={applied1} "
+        f"replayed={replayed}",
+    )
+    return finish(store.read("t").select("o_orderkey", "o_totalprice"))
 
 
 @register(
@@ -4680,10 +4708,6 @@ def store_constraint_reject(spark, sf_dir):
     read-back table equals the oracle's merge of base + the GOOD batch
     only. If the constraint gate ever let the poison through (or
     blocked the good batch), the hash goes red."""
-    import tempfile
-
-    from .io import TableStore
-
     base = (
         t(spark, sf_dir, "orders")
         .filter(F.col("o_orderkey") % 2 == 0)
@@ -4695,16 +4719,17 @@ def store_constraint_reject(spark, sf_dir):
         .select("o_orderkey", (F.col("o_totalprice") + 10).alias("o_totalprice"))
     )
     poison = good.withColumn("o_totalprice", -F.col("o_totalprice"))
-    store = TableStore(spark, tempfile.mkdtemp(prefix="constraint_"))
+    store, finish = _ephemeral_store(spark, "constraint_")
     store.overwrite_keyed(base, "t", "o_orderkey", n_buckets=16)
     store.set_constraints("t", {"price_pos": "o_totalprice > 0"})
+    refused = False
     try:
         store.upsert(poison, "t", "o_orderkey")
-        raise AssertionError("poison batch was not refused")
     except ValueError:
-        pass
+        refused = True
+    _require(refused, "poison batch was not refused by the constraint gate")
     store.upsert(good, "t", "o_orderkey")
-    return store.read("t").select("o_orderkey", "o_totalprice")
+    return finish(store.read("t").select("o_orderkey", "o_totalprice"))
 
 
 @register(
@@ -4723,24 +4748,22 @@ def store_restore_rollback(spark, sf_dir):
     if any corrupted row survived the rollback (or any base row was
     lost), the row goes red. history() records the full
     overwrite→upsert→restore trail."""
-    import tempfile
-
-    from .io import TableStore
-
     base = (
         t(spark, sf_dir, "orders")
         .filter(F.col("o_orderkey") % 2 == 0)
         .select("o_orderkey", "o_totalprice")
     )
     corrupt = base.withColumn("o_totalprice", -F.col("o_totalprice"))
-    store = TableStore(spark, tempfile.mkdtemp(prefix="restore_"))
+    store, finish = _ephemeral_store(spark, "restore_")
     store.overwrite_keyed(base, "t", "o_orderkey", n_buckets=16, versioned=True)
     store.upsert(corrupt, "t", "o_orderkey")
     store.restore("t", 1)
-    assert [h["op"] for h in store.history("t")] == [
-        "restore(v1)", "upsert", "overwrite",
-    ]
-    return store.read("t").select("o_orderkey", "o_totalprice")
+    trail = [h["op"] for h in store.history("t")]
+    _require(
+        trail == ["restore(v1)", "upsert", "overwrite"],
+        f"unexpected history trail: {trail}",
+    )
+    return finish(store.read("t").select("o_orderkey", "o_totalprice"))
 
 
 @register(
@@ -4759,17 +4782,15 @@ def store_point_lookup(spark, sf_dir):
     equal the oracle's plain IN-list filter: wrong bucket routing
     (the r5 type-coercion bug class) or a leaky bucket filter goes
     red."""
-    import tempfile
-
-    from .io import TableStore
-
     base = (
         t(spark, sf_dir, "orders")
         .filter(F.col("o_orderkey") % 2 == 0)
         .select("o_orderkey", "o_totalprice")
     )
-    store = TableStore(spark, tempfile.mkdtemp(prefix="lookup_"))
+    store, finish = _ephemeral_store(spark, "lookup_")
     store.overwrite_keyed(base, "t", "o_orderkey", n_buckets=16)
-    return store.lookup("t", [2, 34, 96, 4000, 999999]).select(
-        "o_orderkey", "o_totalprice"
+    return finish(
+        store.lookup("t", [2, 34, 96, 4000, 999999]).select(
+            "o_orderkey", "o_totalprice"
+        )
     )
