@@ -769,6 +769,61 @@ class TableStore:
             )
         return out
 
+    @staticmethod
+    def _as_millis(ts) -> int:
+        """Normalize a time-travel timestamp to epoch milliseconds:
+        int/float epoch ms pass through; datetimes convert — NAIVE
+        datetimes are treated as UTC (manifest ``ts`` fields are UTC
+        epoch ms; silently interpreting naive as local time would make
+        the same query resolve different versions on differently-zoned
+        machines)."""
+        if isinstance(ts, dt.datetime):
+            if ts.tzinfo is None:
+                ts = ts.replace(tzinfo=dt.timezone.utc)
+            return int(ts.timestamp() * 1000)
+        return int(ts)
+
+    def version_as_of(self, name: str, ts) -> int:
+        """TIMESTAMP AS OF resolution (Delta/Iceberg parity, VERDICT r7
+        item 2): the version CURRENT at ``ts`` — the newest retained
+        version whose manifest published at or before ``ts`` (epoch ms
+        int, or datetime; naive = UTC). A ts after the last commit
+        resolves to the latest version (the table as of now); a ts
+        before the earliest RETAINED commit raises — that history is
+        gone (vacuum) or never existed, and silently serving the oldest
+        snapshot would misattribute data to a time it wasn't live.
+        Reads only the kilobyte manifests."""
+        millis = self._as_millis(ts)
+        vs = self.versions(name)
+        if not vs:
+            raise ValueError(
+                f"{name}: no manifest history — timestamp time travel "
+                "needs a versioned table (overwrite_keyed(..., "
+                "versioned=True))"
+            )
+        best = None
+        for v in vs:  # ascending: the last qualifying version wins
+            doc_ts = self._manifest_doc(name, v).get("ts")
+            if doc_ts is not None and int(doc_ts) <= millis:
+                best = v
+        if best is None:
+            raise ValueError(
+                f"{name}: no retained version existed at ts={millis} "
+                f"(earliest retained commit: "
+                f"{self._manifest_doc(name, vs[0]).get('ts')}) — the "
+                "history was vacuumed or the table is younger than the "
+                "requested timestamp"
+            )
+        return best
+
+    def restore_to_ts(self, name: str, ts) -> int:
+        """RESTORE TABLE ... TO TIMESTAMP parity: roll the table back
+        to the version current at ``ts`` (see version_as_of) by
+        publishing a new version referencing exactly its files —
+        metadata-only, revertible, watermark-preserving, same as
+        restore()."""
+        return self.restore(name, self.version_as_of(name, ts))
+
     def restore(self, name: str, version: int) -> int:
         """RESTORE TABLE ... TO VERSION parity: make snapshot
         ``version`` the CURRENT table again by publishing a NEW version
@@ -829,18 +884,31 @@ class TableStore:
 
     # -- reads -------------------------------------------------------------
     def read(
-        self, name: str, merge_schema: bool = True, version: int | None = None
+        self,
+        name: str,
+        merge_schema: bool = True,
+        version: int | None = None,
+        as_of_ts=None,
     ) -> DataFrame:
         """Scan a table. On a versioned keyed table the scan resolves a
         snapshot manifest at PLAN time — ``version=None`` pins the
         latest published version, an explicit ``version=N`` pins that
-        snapshot; either way the plan keeps reading those exact files
-        even if upserts publish newer versions mid-query (snapshot
-        isolation; vacuumed versions fail loudly)."""
+        snapshot, and ``as_of_ts=`` (epoch ms or datetime; naive = UTC)
+        pins the version current at that wall-clock instant (Delta's
+        ``TIMESTAMP AS OF`` — see version_as_of); either way the plan
+        keeps reading those exact files even if upserts publish newer
+        versions mid-query (snapshot isolation; vacuumed versions fail
+        loudly)."""
+        if version is not None and as_of_ts is not None:
+            raise ValueError("pass version= or as_of_ts=, not both")
         if self._is_delta(name):
-            if version is not None:
-                raise ValueError("version= is only for versioned keyed tables")
+            if version is not None or as_of_ts is not None:
+                raise ValueError(
+                    "version=/as_of_ts= are only for versioned keyed tables"
+                )
             return self.spark.read.format("delta").load(self._dir(name))
+        if as_of_ts is not None:
+            version = self.version_as_of(name, as_of_ts)
         if self.is_versioned(name):
             v = self.latest_version(name) if version is None else version
             if v is None:

@@ -4794,3 +4794,131 @@ def store_point_lookup(spark, sf_dir):
             "o_orderkey", "o_totalprice"
         )
     )
+
+
+@register(
+    "store_time_travel_ts",
+    sql="""
+    WITH base AS (
+      SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 2 = 0
+    ), inc AS (
+      SELECT o_orderkey, o_totalprice * 2 AS o_totalprice
+      FROM orders WHERE o_orderkey % 10 = 0
+    ), inc2 AS (
+      SELECT o_orderkey, o_totalprice + 7 AS o_totalprice
+      FROM orders WHERE o_orderkey % 20 = 0
+    ), v2 AS (
+      SELECT o_orderkey, o_totalprice FROM inc
+      UNION ALL
+      SELECT o_orderkey, o_totalprice FROM base
+      WHERE o_orderkey NOT IN (SELECT o_orderkey FROM inc)
+    ), v3 AS (
+      SELECT o_orderkey, o_totalprice FROM inc2
+      UNION ALL
+      SELECT o_orderkey, o_totalprice FROM v2
+      WHERE o_orderkey NOT IN (SELECT o_orderkey FROM inc2)
+    )
+    SELECT CAST(2 AS INT) AS version, o_orderkey, o_totalprice FROM v2
+    UNION ALL
+    SELECT CAST(3 AS INT) AS version, o_orderkey, o_totalprice FROM v3
+    """,
+)
+def store_time_travel_ts(spark, sf_dir):
+    """TIMESTAMP AS OF time travel, hash-checked end to end
+    (io.TableStore.version_as_of / read(as_of_ts=) — Delta's
+    TIMESTAMP AS OF on the plain-parquet versioned store, VERDICT r7
+    item 2): three versions publish (overwrite, upsert, upsert), then
+    the table is read back AS OF v2's exact commit timestamp (the
+    boundary case: ts == commit resolves that commit) and AS OF a
+    wall-clock instant after v3 (after-last resolves latest). Both
+    reads must hash-equal the oracle's replayed merge states — a
+    resolution off by one version flips thousands of prices. The
+    writes are spaced so adjacent commit timestamps differ (guarded
+    loudly — ms-equal commits would make AS OF ambiguous by design)."""
+    import time as _time
+
+    base = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 2 == 0)
+        .select("o_orderkey", "o_totalprice")
+    )
+    inc = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 10 == 0)
+        .select("o_orderkey", (F.col("o_totalprice") * 2).alias("o_totalprice"))
+    )
+    inc2 = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 20 == 0)
+        .select("o_orderkey", (F.col("o_totalprice") + 7).alias("o_totalprice"))
+    )
+    store, finish = _ephemeral_store(spark, "asofts_")
+    store.overwrite_keyed(base, "t", "o_orderkey", n_buckets=16, versioned=True)
+    _time.sleep(0.005)
+    store.upsert(inc, "t", "o_orderkey")
+    _time.sleep(0.005)
+    store.upsert(inc2, "t", "o_orderkey")
+    ts = {h["version"]: h["ts_millis"] for h in store.history("t")}
+    _require(
+        ts[1] < ts[2] < ts[3],
+        f"commit timestamps not strictly increasing: {ts}",
+    )
+    at_v2 = store.read("t", as_of_ts=ts[2]).select(
+        F.lit(2).alias("version"), "o_orderkey", "o_totalprice"
+    )
+    latest = store.read("t", as_of_ts=ts[3] + 60_000).select(
+        F.lit(3).alias("version"), "o_orderkey", "o_totalprice"
+    )
+    return finish(at_v2.unionByName(latest))
+
+
+@register(
+    "store_schema_evolution",
+    sql="""
+    WITH base AS (
+      SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 2 = 0
+    ), inc AS (
+      SELECT o_orderkey, o_totalprice * 2 AS o_totalprice, o_orderstatus
+      FROM orders WHERE o_orderkey % 10 = 0
+    )
+    SELECT o_orderkey, o_totalprice, o_orderstatus FROM inc
+    UNION ALL
+    SELECT o_orderkey, o_totalprice, CAST(NULL AS VARCHAR) AS o_orderstatus
+    FROM base WHERE o_orderkey NOT IN (SELECT o_orderkey FROM inc)
+    """,
+)
+def store_schema_evolution(spark, sf_dir):
+    """Schema evolution through the versioned keyed store, hash-checked
+    (VERDICT r7 item 3 — Delta MERGE ``mergeSchema`` parity): the
+    upsert batch carries a NEW column (o_orderstatus) the table was
+    created without. The batch must land with the column, every
+    untouched row must read back with NULL in it (the old buckets'
+    files genuinely lack the column — mergeSchema backfills at scan),
+    and the pre-evolution snapshot must keep its narrow schema under
+    time travel. Guarded loudly, then the full table hash-checks
+    against the oracle's merge-with-NULL-backfill."""
+    base = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 2 == 0)
+        .select("o_orderkey", "o_totalprice")
+    )
+    inc = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 10 == 0)
+        .select(
+            "o_orderkey",
+            (F.col("o_totalprice") * 2).alias("o_totalprice"),
+            "o_orderstatus",
+        )
+    )
+    store, finish = _ephemeral_store(spark, "evolve_")
+    store.overwrite_keyed(base, "t", "o_orderkey", n_buckets=16, versioned=True)
+    store.upsert(inc, "t", "o_orderkey")
+    _require(
+        set(store.read("t", version=1).columns)
+        == {"o_orderkey", "o_totalprice"},
+        "pre-evolution snapshot grew a phantom column",
+    )
+    return finish(
+        store.read("t").select("o_orderkey", "o_totalprice", "o_orderstatus")
+    )
