@@ -1,6 +1,7 @@
 from .ingest import (  # noqa: F401
     dedup_stream,
     enrich_stream,
+    funnel_stage_stream,
     interval_join_streams,
     near_dup_ingest_stream,
     read_base64_event_stream,

@@ -175,6 +175,56 @@ def interval_join_streams(
     )
 
 
+def funnel_stage_stream(
+    prev: DataFrame,
+    events: DataFrame,
+    event_type: str,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    window: str = "72 hours",
+    watermark: str = "72 hours",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """One stage advance of a TIME-BOUNDED conversion funnel on live
+    streams — the streaming twin of the batch query's per-stage
+    interval join (registry_ext.events_funnel_conversion, VERDICT r7
+    item 6): pair each prior-stage qualifying event with ``event_type``
+    events of the same user arriving STRICTLY after it and within
+    ``window`` (identical boundary semantics to the batch form's
+    ``BETWEEN 1 AND W`` microsecond arithmetic), emitting the
+    qualifying next-stage events as (key, ts). Chained per stage:
+    views → funnel_stage_stream(clicks) → funnel_stage_stream
+    (purchases), each stage's sink feeding the next stage's source.
+
+    Duplicates are possible when several prior-stage events qualify
+    the same next event — the batch query's DISTINCT is a downstream
+    aggregate here, deliberately: stacking a dedup's second stateful
+    operator onto the join would grow the state story for no
+    correctness gain (the funnel counts dedup anyway).
+
+    State stays bounded: both sides carry watermarks and the join
+    condition bounds the event-time skew to ``window``, so each side
+    retains only the window+watermark horizon — the property that
+    makes the funnel runnable forever at 100 TB/day of events, and
+    exactly the unbounded-state join shape Spark refuses without the
+    time bound."""
+    l = prev.withWatermark(ts_col, watermark).select(
+        F.col(key).alias("_fk"), F.col(ts_col).alias("_l_ts")
+    )
+    r = (
+        events.filter(F.col(type_col) == event_type)
+        .withWatermark(ts_col, watermark)
+        .select(F.col(key).alias("_rk"), F.col(ts_col).alias("_r_ts"))
+    )
+    joined = l.join(
+        r,
+        (F.col("_fk") == F.col("_rk"))
+        & (F.col("_r_ts") > F.col("_l_ts"))
+        & (F.col("_r_ts") <= F.col("_l_ts") + F.expr(f"INTERVAL {window}")),
+    )
+    return joined.select(F.col("_fk").alias(key), F.col("_r_ts").alias(ts_col))
+
+
 def near_dup_ingest_stream(
     docs: DataFrame,
     store,

@@ -841,3 +841,131 @@ def test_cdc_unkeyed_contract_first_creation(spark, tmp_path):
     )
     q.awaitTermination()
     assert store.read("dim_current").count() == 2
+
+
+def test_streaming_funnel_matches_batch(spark, tmp_path, sf_dir):
+    """VERDICT r7 item 6: the chained streaming funnel
+    (views → funnel_stage_stream(click) → funnel_stage_stream(purchase),
+    each stage's parquet sink feeding the next stage's source) drained
+    over the real events table yields EXACTLY the batch
+    events_funnel_conversion counts on the same events."""
+    from datapipelinerepo_spark.io import load_table
+    from datapipelinerepo_spark.registry import REGISTRY
+    import datapipelinerepo_spark.registry_ext  # noqa: F401
+    from datapipelinerepo_spark.streaming import funnel_stage_stream
+
+    from pyspark.sql.types import TimestampType
+
+    # the events table's ts is TIMESTAMP_NTZ; watermarks require the
+    # instant-typed TIMESTAMP — the cast is wall-clock-consistent for
+    # the interval arithmetic, and the batch twin runs on the original
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.col("ts").cast(TimestampType()).alias("ts")
+    )
+    src = str(tmp_path / "funnel_src")
+    ev.write.parquet(src)
+    sch = ev.schema
+
+    def stream():
+        return spark.readStream.schema(sch).parquet(src)
+
+    qc_dir, qp_dir = str(tmp_path / "qc"), str(tmp_path / "qp")
+    q1 = (
+        funnel_stage_stream(
+            stream().filter(F.col("event_type") == "view"), stream(), "click"
+        )
+        .writeStream.format("parquet")
+        .option("path", qc_dir)
+        .option("checkpointLocation", str(tmp_path / "ck1"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q1.awaitTermination(300)
+    stage_sch = "user_id long, ts timestamp"
+    qc_stream = spark.readStream.schema(stage_sch).parquet(qc_dir)
+    q2 = (
+        funnel_stage_stream(qc_stream, stream(), "purchase")
+        .writeStream.format("parquet")
+        .option("path", qp_dir)
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(300)
+
+    batch = {
+        r["stage"]: r["users"]
+        for r in REGISTRY["events_funnel_conversion"].fn(spark, sf_dir).collect()
+    }
+    streamed = {
+        "view": ev.filter(F.col("event_type") == "view")
+        .select("user_id").distinct().count(),
+        "click_within_72h": spark.read.schema(stage_sch).parquet(qc_dir)
+        .select("user_id").distinct().count(),
+        "purchase_within_72h": spark.read.schema(stage_sch).parquet(qp_dir)
+        .select("user_id").distinct().count(),
+    }
+    assert streamed == batch and batch["view"] > 0
+
+
+def test_funnel_stage_stream_boundaries_across_drains(spark, tmp_path):
+    """The stage join's boundary semantics, pinned with planted events
+    arriving across TWO drains (state survives the restart via the
+    checkpoint): a click strictly after a view within 72h qualifies —
+    including the exact 72h boundary — while a same-instant click and
+    a 73h click do not, even when the view arrived in an earlier
+    drain."""
+    import datetime as dt
+
+    from datapipelinerepo_spark.streaming import funnel_stage_stream
+
+    t0 = dt.datetime(2026, 1, 10, 12, 0, 0)
+    h = dt.timedelta(hours=1)
+    src = str(tmp_path / "planted_src")
+    sch = "user_id long, event_type string, ts timestamp"
+    # drain 1: views only
+    spark.createDataFrame(
+        [(1, "view", t0), (2, "view", t0), (3, "view", t0), (4, "view", t0)],
+        sch,
+    ).write.mode("append").parquet(src)
+
+    out, ck = str(tmp_path / "stage_out"), str(tmp_path / "stage_ck")
+
+    def drain():
+        q = (
+            funnel_stage_stream(
+                spark.readStream.schema(sch).parquet(src).filter(
+                    F.col("event_type") == "view"
+                ),
+                spark.readStream.schema(sch).parquet(src),
+                "click",
+            )
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    drain()
+    # drain 2: the clicks arrive later — pairing needs drain-1 state
+    spark.createDataFrame(
+        [
+            (1, "click", t0 + h),        # qualifies (+1h)
+            (2, "click", t0),            # same instant: NOT strictly after
+            (3, "click", t0 + 72 * h),   # exact boundary: qualifies (<=)
+            (4, "click", t0 + 73 * h),   # expired window
+        ],
+        sch,
+    ).write.mode("append").parquet(src)
+    drain()
+    got = {
+        r["user_id"]
+        for r in spark.read.schema("user_id long, ts timestamp")
+        .parquet(out).collect()
+    }
+    assert got == {1, 3}
