@@ -121,6 +121,10 @@ _CHANGED_IN_ROUND = {
     "store_point_lookup": 8,
     "events_rollup_hourly": 8,
     "pipeline_idempotent_reload": 8,
+    # r8: auto engine now always arrow (measured crossover, item 7);
+    # bit-identical by parity pytests, re-proven at sf0.001/0.01
+    "text_bpe_encode": 8,
+    "text_bpe_encode_tokens": 8,
 }
 
 

@@ -250,6 +250,62 @@ def main() -> None:
     times["store_versioned_lifecycle"] = round(samples[RUNS // 2], 3)
     spread["store_versioned_lifecycle"] = round(samples[-1] - samples[0], 3)
 
+    # per-verb store benches (VERDICT r7 item 5): delete_where, restore,
+    # lookup and constraint-gated upsert were timed only inside the
+    # lifecycle aggregate — here each verb is timed ALONE against a
+    # prebuilt (untimed) versioned orders table, so the serving-read
+    # claim (lookup ≈ bucket-count-bounded) and the metadata-only
+    # restore claim get their own numbers.
+    verb_names = (
+        "store_lookup_verb",
+        "store_constrained_upsert_verb",
+        "store_delete_where_verb",
+        "store_restore_verb",
+    )
+    verb_samples: dict[str, list[float]] = {v: [] for v in verb_names}
+    for _ in range(RUNS):
+        wdir = tempfile.mkdtemp(prefix="bench_verbs_")
+        try:
+            store = TableStore(spark, os.path.join(wdir, "store"))
+            base = tabs["orders"].select(
+                "o_orderkey", "o_totalprice", "o_orderstatus"
+            )
+            store.overwrite_keyed(
+                base, "t", "o_orderkey", n_buckets=32, versioned=True
+            )
+            store.set_constraints("t", {"price_pos": "o_totalprice > 0"})
+
+            t0 = time.perf_counter()
+            store.lookup(
+                "t", [1, 7, 34, 96, 4000, 9991, 130, 998]
+            ).write.format("noop").mode("overwrite").save()
+            verb_samples["store_lookup_verb"].append(time.perf_counter() - t0)
+
+            batch = base.filter(F.col("o_orderkey") % 100 == 7).withColumn(
+                "o_totalprice", F.col("o_totalprice") * 2
+            )
+            t0 = time.perf_counter()
+            store.upsert(batch, "t", "o_orderkey")
+            verb_samples["store_constrained_upsert_verb"].append(
+                time.perf_counter() - t0
+            )
+
+            t0 = time.perf_counter()
+            store.delete_where("t", F.col("o_totalprice") > 400000)
+            verb_samples["store_delete_where_verb"].append(
+                time.perf_counter() - t0
+            )
+
+            t0 = time.perf_counter()
+            store.restore("t", 1)
+            verb_samples["store_restore_verb"].append(time.perf_counter() - t0)
+        finally:
+            shutil.rmtree(wdir, ignore_errors=True)
+    for v, s in verb_samples.items():
+        s.sort()
+        times[v] = round(s[RUNS // 2], 3)
+        spread[v] = round(s[-1] - s[0], 3)
+
     total = round(sum(times.values()), 3)
     print(
         json.dumps(

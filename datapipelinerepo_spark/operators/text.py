@@ -1416,10 +1416,19 @@ def _bpe_word_tokens_py(
     return toks
 
 
-# the chained-fold engine is preferable up to this many rules (pure JVM,
-# whole-stage codegen); beyond it the expression tree's analysis/codegen
-# cost dominates and the Arrow engine takes over (engine="auto")
-_BPE_AUTO_FOLD_MAX = 48
+# 'auto' engine switch point: 'fold' (pure-JVM chained column folds) up
+# to this many rules, 'arrow' beyond. MEASURED, not asserted (VERDICT
+# r7 item 7, tools/bench_bpe_crossover.py + a 200k-word synthetic-vocab
+# probe, both median-of-3): arrow wins at EVERY size on both the
+# testdata corpus (8 rules: 0.94 s vs fold 1.46 s; 128 rules: 0.64 vs
+# 6.4 s at sf0.1) and a wide 200k-word vocabulary (8 rules: 1.7 s vs
+# 12.7 s; 32 rules: 0.95 s vs 38 s — fold's per-rule plan/codegen and
+# per-rule passes over the vocab frame dominate long before any Python
+# overhead matters). So the measured crossover is 0: 'auto' is always
+# 'arrow'. The fold engine stays available explicitly (engine="fold")
+# as the no-Python-worker fallback, held bit-identical by the parity
+# pytests.
+_BPE_AUTO_FOLD_MAX = 0
 
 
 def _bpe_arrow_ctx(merges):
@@ -1469,7 +1478,9 @@ def bpe_encode(
       to the fold, else the literal sequential passes. Bit-identical
       to 'fold' either way (pinned by the 8-rule DuckDB oracle, a
       fold-vs-arrow pytest, and a 1k-rule python-reference pytest).
-    - 'auto': 'fold' up to 48 rules, 'arrow' beyond."""
+    - 'auto': 'arrow' — measured fastest at every rule-list size and
+      vocabulary width tried (see _BPE_AUTO_FOLD_MAX); pass
+      engine='fold' explicitly for the no-Python-worker path."""
     if engine == "auto":
         engine = "fold" if len(merges) <= _BPE_AUTO_FOLD_MAX else "arrow"
     words = df.select(
@@ -1546,7 +1557,8 @@ def bpe_encode_tokens(
     list this function's use case implies must not compile 30k chained
     folds): 'fold' = per-rule JVM folds, 'arrow' = one pandas UDF
     returning each word's token array via priority merging with the
-    sequential-safety gate, 'auto' = fold ≤48 rules, arrow beyond."""
+    sequential-safety gate, 'auto' = arrow (measured fastest at every
+    size — see _BPE_AUTO_FOLD_MAX)."""
     if engine == "auto":
         engine = "fold" if len(merges) <= _BPE_AUTO_FOLD_MAX else "arrow"
     words = df.select(
