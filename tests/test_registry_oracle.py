@@ -88,10 +88,30 @@ _SF1_NAMES = [
     "store_versioned_snapshot",
     "retrieval_bm25_topk",
     "sample_token_budget",
-    # r7 additions with aggregate-sized outputs (the whole-table store
-    # queries stay at sf0.1 — comparing a 7.5M-row read-back against
-    # DuckDB is a collect cost, not a verification gain)
     "events_funnel_conversion",
+    # r8 (VERDICT r7 item 4): the REST of the benched oracle set —
+    # every bench=True oracle-bearing entry is now value-checked at
+    # sf1, not just timed. Output sizes measured ≤ 960k rows (the
+    # flagship and sessionize read-backs), collectable in seconds.
+    "flagship_coverage_gap",
+    "q1_pricing_summary",
+    "q3_top_revenue",
+    "q5_region_volume",
+    "events_asof_join",
+    "events_range_join",
+    "events_window_tumbling",
+    "events_sessionize",
+    "q21_waiting_suppliers",
+    "cdc_latest_wins",
+    "dedup_exact_groups",
+    "dedup_minhash_lsh",
+    "ann_topk_bruteforce",
+    "text_quality",
+    "dedup_connected_components",
+    "text_perplexity",
+    "sample_global_shuffle",
+    "text_substring_dedup",
+    "dedup_sorted_neighborhood",
 ]
 
 
