@@ -842,6 +842,111 @@ class TableStore:
             op=f"restore(v{version})",
         )
 
+    def table_changes(
+        self, name: str, from_version: int, to_version: int | None = None
+    ) -> DataFrame:
+        """CHANGE DATA FEED (Delta's table_changes parity on the
+        plain-parquet versioned store): the row-level changes that turn
+        snapshot ``from_version`` into ``to_version`` (default latest),
+        as the table's columns plus ``_change_type`` ∈ {'insert',
+        'delete', 'update_preimage', 'update_postimage'} — the feed a
+        downstream incremental consumer (a secondary index, an
+        aggregate maintainer, a replication target) applies instead of
+        re-reading the table.
+
+        Derivation is manifest-diff + key-diff, NOT a log (the store
+        records states, not operations): only files REFERENCED BY
+        EXACTLY ONE of the two manifests are read — at 100 TB that is
+        the churned buckets' files, never the table — then a full
+        outer join on the merge key over those rows classifies each
+        key (only-new → insert, only-old → delete, both-with-
+        different-payload → update pre+post). Rows rewritten without
+        logical change (compaction, or an upsert landing identical
+        values) cancel out — a pure compact() between the two versions
+        yields ZERO changes. Payload equality is null-safe per column;
+        a column added by schema evolution reads as NULL on the old
+        side, so backfills surface as updates exactly when a real
+        value arrived. Both versions must still be retained (vacuumed
+        versions raise via the manifest read)."""
+        keys_spec = self.keyed_spec(name)
+        if keys_spec is None or not self.is_versioned(name):
+            raise ValueError(
+                f"{name}: table_changes needs a versioned keyed table"
+            )
+        keys = list(keys_spec[0])
+        if to_version is None:
+            to_version = self._ensure_latest(name)
+        old_files = set(self._manifest_files(name, from_version))
+        new_files = set(self._manifest_files(name, to_version))
+        base = self._dir(name)
+
+        def _read(files: set[str], like_version: int) -> DataFrame:
+            if not files:
+                # schema from the manifest so empty diffs still type
+                return (
+                    self._read_manifest_df(name, like_version)
+                    .drop("_kb")
+                    .limit(0)
+                )
+            return (
+                self.spark.read.option("mergeSchema", "true")
+                .option("basePath", base)
+                .parquet(*[os.path.join(base, f) for f in sorted(files)])
+                .drop("_kb")
+            )
+
+        old = _read(old_files - new_files, from_version)
+        new = _read(new_files - old_files, to_version)
+        # widen both sides to the union of columns (schema evolution:
+        # the old side lacks later-added columns — they read as NULL)
+        for c, t_ in new.dtypes:
+            if c not in old.columns:
+                old = old.withColumn(c, F.lit(None).cast(t_))
+        for c, t_ in old.dtypes:
+            if c not in new.columns:
+                new = new.withColumn(c, F.lit(None).cast(t_))
+        cols = [c for c in new.columns]
+        payload = [c for c in cols if c not in keys]
+        o = old.select(*[F.col(c).alias(f"_o_{c}") for c in cols])
+        n = new.select(*[F.col(c).alias(f"_n_{c}") for c in cols])
+        # presence markers tagged PRE-join: a full-outer non-match
+        # leaves every column of the absent side NULL, and checking the
+        # key columns for NULL would misclassify legitimately-NULL keys
+        o = o.withColumn("_o_present", F.lit(True))
+        n = n.withColumn("_n_present", F.lit(True))
+        cond = None
+        for k in keys:
+            c = F.col(f"_o_{k}").eqNullSafe(F.col(f"_n_{k}"))
+            cond = c if cond is None else (cond & c)
+        j = o.join(n, cond, "full_outer")
+        same = None
+        for c in payload:
+            eq = F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}"))
+            same = eq if same is None else (same & eq)
+        if same is None:
+            same = F.lit(True)  # key-only table: presence IS the diff
+        both = F.col("_o_present") & F.col("_n_present")
+        only_old = F.col("_o_present") & F.col("_n_present").isNull()
+        only_new = F.col("_n_present") & F.col("_o_present").isNull()
+        inserts = j.filter(only_new).select(
+            *[F.col(f"_n_{c}").alias(c) for c in cols],
+            F.lit("insert").alias("_change_type"),
+        )
+        deletes = j.filter(only_old).select(
+            *[F.col(f"_o_{c}").alias(c) for c in cols],
+            F.lit("delete").alias("_change_type"),
+        )
+        changed = j.filter(both & ~same)
+        pre = changed.select(
+            *[F.col(f"_o_{c}").alias(c) for c in cols],
+            F.lit("update_preimage").alias("_change_type"),
+        )
+        post = changed.select(
+            *[F.col(f"_n_{c}").alias(c) for c in cols],
+            F.lit("update_postimage").alias("_change_type"),
+        )
+        return inserts.unionByName(deletes).unionByName(pre).unionByName(post)
+
     def _read_manifest_df(
         self, name: str, version: int, merge_schema: bool = True
     ) -> DataFrame:
@@ -1690,6 +1795,150 @@ class TableStore:
         if not os.path.isdir(d):
             return False
         return any(e.startswith("_kb=") for e in os.listdir(d))
+
+    def merge_when(
+        self,
+        source: DataFrame,
+        name: str,
+        key: str | list[str],
+        when_matched_update: dict[str, str] | str | None = "all",
+        matched_condition: str | None = None,
+        when_matched_delete: str | None = None,
+        when_not_matched_insert: bool | str = True,
+    ) -> list[int]:
+        """Conditional MERGE — the full Delta ``MERGE INTO`` clause
+        surface on the keyed store, generalizing ``upsert`` (which is
+        MERGE with unconditional update-all + insert-all):
+
+        - ``when_matched_delete``: SQL predicate over ``t.``/``s.``
+          (target/source); matched target rows satisfying it are
+          DELETED. Evaluated FIRST, like a leading Delta
+          whenMatchedDelete clause.
+        - ``when_matched_update``: ``"all"`` (set every source column),
+          a dict {target_col: SQL expr over t./s.} for partial/computed
+          updates (``{"price": "t.price + s.delta"}``), or None (leave
+          matched rows untouched). Gated by ``matched_condition`` when
+          given.
+        - ``when_not_matched_insert``: True (insert all unmatched
+          source rows), a SQL predicate over ``s.`` columns, or False.
+
+        Matched rows satisfying NO clause survive unchanged, as do all
+        unmatched target rows. The incoming source is deduplicated on
+        the key (multi-row matches would make the update
+        non-deterministic — same contract as upsert). Source columns
+        absent from the target widen the schema (NULL backfill), like
+        upsert.
+
+        Cost profile: identical to the keyed upsert — the source's
+        keys hash to their buckets (bounded collect), ONLY those
+        buckets are read and rewritten (logically, on versioned
+        tables), untouched buckets never move. CHECK constraints judge
+        exactly the rows the merge LANDS (updated + inserted — kept
+        survivors are not re-judged). Returns the affected bucket ids.
+        Reference MERGE surface: Delta DeltaTable.merge /
+        whenMatched{Update,Delete}/whenNotMatchedInsert."""
+        keys = [key] if isinstance(key, str) else list(key)
+        spec = self.keyed_spec(name)
+        if spec is None:
+            raise ValueError(
+                f"{name}: merge_when needs a keyed table (overwrite_keyed)"
+            )
+        if list(spec[0]) != keys:
+            raise ValueError(
+                f"{name}: merge key {keys} != table key {list(spec[0])}"
+            )
+        source = source.dropDuplicates(keys).localCheckpoint(eager=True)
+        buckets = self.keyed_buckets(name, source)
+        target = self.read_buckets(name, buckets)
+        out_cols = list(target.columns) + [
+            c for c in source.columns if c not in target.columns
+        ]
+        t_ = target.withColumn("_t_present", F.lit(True)).alias("t")
+        s_ = source.withColumn("_s_present", F.lit(True)).alias("s")
+        cond = None
+        for k in keys:
+            c = F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}"))
+            cond = c if cond is None else (cond & c)
+        j = t_.join(s_, cond, "full_outer")
+        both = F.col("t._t_present") & F.col("s._s_present")
+        only_t = F.col("t._t_present") & F.col("s._s_present").isNull()
+        only_s = F.col("s._s_present") & F.col("t._t_present").isNull()
+
+        def _t_row():
+            return [
+                (
+                    F.col(f"t.{c}")
+                    if c in target.columns
+                    else F.lit(None).cast(dict(source.dtypes)[c])
+                ).alias(c)
+                for c in out_cols
+            ]
+
+        def _s_row():
+            return [
+                (
+                    F.col(f"s.{c}")
+                    if c in source.columns
+                    else F.lit(None).cast(dict(target.dtypes)[c])
+                ).alias(c)
+                for c in out_cols
+            ]
+
+        del_c = (
+            F.coalesce(F.expr(when_matched_delete), F.lit(False))
+            if when_matched_delete
+            else F.lit(False)
+        )
+        upd_gate = (
+            F.coalesce(F.expr(matched_condition), F.lit(False))
+            if matched_condition
+            else F.lit(True)
+        )
+        if when_matched_update == "all":
+            upd_map = {c: f"s.`{c}`" for c in source.columns if c not in keys}
+        else:
+            upd_map = dict(when_matched_update or {})
+        parts = []
+        if upd_map:
+            updated = j.filter(both & ~del_c & upd_gate).select(
+                *[
+                    (
+                        F.expr(upd_map[c]).alias(c)
+                        if c in upd_map
+                        else _t_row()[out_cols.index(c)]
+                    )
+                    for c in out_cols
+                ]
+            )
+            parts.append(("landed", updated))
+            kept_matched = j.filter(both & ~del_c & ~upd_gate).select(*_t_row())
+        else:
+            kept_matched = j.filter(both & ~del_c).select(*_t_row())
+        parts.append(("kept", kept_matched))
+        parts.append(("kept", j.filter(only_t).select(*_t_row())))
+        if when_not_matched_insert:
+            ins_gate = (
+                F.coalesce(F.expr(when_not_matched_insert), F.lit(False))
+                if isinstance(when_not_matched_insert, str)
+                else F.lit(True)
+            )
+            parts.append(
+                ("landed", j.filter(only_s & ins_gate).select(*_s_row()))
+            )
+        merged = None
+        landed = None
+        for kind, p in parts:
+            merged = p if merged is None else merged.unionByName(p)
+            if kind == "landed":
+                landed = p if landed is None else landed.unionByName(p)
+        merged = merged.localCheckpoint(eager=True)
+        if landed is not None:
+            # constraints judge exactly what this merge WRITES anew —
+            # updated and inserted rows; surviving history is not
+            # re-judged (the delete_where/upsert contract)
+            self._check_constraints(name, landed)
+        self.overwrite_buckets(merged, name, buckets, op="merge")
+        return sorted(buckets)
 
     def delete_where(self, name: str, condition) -> list[int]:
         """Row-level DELETE (the MERGE family's third verb, after

@@ -4922,3 +4922,149 @@ def store_schema_evolution(spark, sf_dir):
     return finish(
         store.read("t").select("o_orderkey", "o_totalprice", "o_orderstatus")
     )
+
+
+@register(
+    "store_cdf_changes",
+    sql="""
+    WITH base AS (
+      SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 2 = 0
+    ), inc AS (
+      SELECT o_orderkey, o_totalprice * 2 AS o_totalprice
+      FROM orders WHERE o_orderkey % 10 IN (0, 5)
+    ), v2 AS (
+      SELECT o_orderkey, o_totalprice FROM inc
+      UNION ALL
+      SELECT o_orderkey, o_totalprice FROM base
+      WHERE o_orderkey NOT IN (SELECT o_orderkey FROM inc)
+    ), v3 AS (
+      SELECT o_orderkey, o_totalprice FROM v2
+      WHERE NOT coalesce(o_totalprice > 300000, FALSE)
+    ), upd AS (
+      SELECT b.o_orderkey, b.o_totalprice AS oldp, v.o_totalprice AS newp
+      FROM base b JOIN v3 v USING (o_orderkey)
+      WHERE b.o_totalprice IS DISTINCT FROM v.o_totalprice
+    )
+    SELECT o_orderkey, o_totalprice, 'insert' AS _change_type FROM v3
+    WHERE o_orderkey NOT IN (SELECT o_orderkey FROM base)
+    UNION ALL
+    SELECT o_orderkey, o_totalprice, 'delete' FROM base
+    WHERE o_orderkey NOT IN (SELECT o_orderkey FROM v3)
+    UNION ALL
+    SELECT o_orderkey, oldp, 'update_preimage' FROM upd
+    UNION ALL
+    SELECT o_orderkey, newp, 'update_postimage' FROM upd
+    """,
+)
+def store_cdf_changes(spark, sf_dir):
+    """CHANGE DATA FEED, hash-checked end to end
+    (io.TableStore.table_changes — Delta CDF parity): three versions
+    publish (orders snapshot → upsert that both updates even keys and
+    inserts odd ones → row-level DELETE of expensive orders), then the
+    v1→v3 feed must classify every key exactly as the oracle's
+    set-algebra replay does — inserts (new keys that survived the
+    delete), deletes (base keys gone, ORIGINAL payload), and
+    update pre/post image pairs for keys whose price changed.
+    Rewritten-but-unchanged rows (bucket cohabitants of deleted rows)
+    must cancel out or thousands of phantom updates go red. The feed
+    reads ONLY files referenced by exactly one of the two manifests —
+    churned buckets, never the table."""
+    base = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 2 == 0)
+        .select("o_orderkey", "o_totalprice")
+    )
+    inc = (
+        t(spark, sf_dir, "orders")
+        .filter((F.col("o_orderkey") % 10).isin(0, 5))
+        .select("o_orderkey", (F.col("o_totalprice") * 2).alias("o_totalprice"))
+    )
+    store, finish = _ephemeral_store(spark, "cdf_")
+    store.overwrite_keyed(base, "t", "o_orderkey", n_buckets=16, versioned=True)
+    store.upsert(inc, "t", "o_orderkey")
+    store.delete_where("t", F.col("o_totalprice") > 300000)
+    return finish(
+        store.table_changes("t", 1).select(
+            "o_orderkey", "o_totalprice", "_change_type"
+        )
+    )
+
+
+@register(
+    "store_merge_when",
+    sql="""
+    WITH base AS (
+      SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 2 = 0
+    ), src AS (
+      SELECT o_orderkey, o_totalprice / 10 AS adj,
+             CASE WHEN o_orderkey % 20 = 0 THEN 'del'
+                  WHEN o_orderkey % 10 = 0 THEN 'adj'
+                  ELSE 'keep' END AS tag
+      FROM orders WHERE o_orderkey % 5 = 0
+    ), matched AS (
+      SELECT b.o_orderkey, b.o_totalprice, s.adj, s.tag
+      FROM base b JOIN src s USING (o_orderkey)
+    )
+    SELECT o_orderkey, o_totalprice,
+           CAST(NULL AS DOUBLE) AS adj, CAST(NULL AS VARCHAR) AS tag
+    FROM base WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src)
+    UNION ALL
+    SELECT o_orderkey, o_totalprice + adj,
+           CAST(NULL AS DOUBLE), CAST(NULL AS VARCHAR)
+    FROM matched WHERE tag = 'adj'
+    UNION ALL
+    SELECT o_orderkey, o_totalprice,
+           CAST(NULL AS DOUBLE), CAST(NULL AS VARCHAR)
+    FROM matched WHERE tag = 'keep'
+    UNION ALL
+    SELECT o_orderkey, CAST(NULL AS DOUBLE), adj, tag
+    FROM src WHERE tag <> 'del'
+      AND o_orderkey NOT IN (SELECT o_orderkey FROM base)
+    """,
+)
+def store_merge_when(spark, sf_dir):
+    """Conditional MERGE, hash-checked end to end
+    (io.TableStore.merge_when — Delta's full whenMatchedUpdate/
+    whenMatchedDelete/whenNotMatchedInsert clause surface, where
+    ``upsert`` is only the unconditional update-all+insert-all form):
+    a source batch carries per-row intents (del/adj/keep tags) and the
+    merge must delete tagged matches, apply a COMPUTED partial update
+    (t.o_totalprice + s.adj — an expression over both sides, not a
+    column copy), leave other matches untouched, gate inserts on the
+    tag, and widen the schema with the source's new columns (NULL on
+    every pre-existing row, Delta UPDATE-SET semantics: unspecified
+    columns keep the target's values). The oracle replays all four
+    clause outcomes as set algebra — one misrouted row class flips the
+    hash. Cost profile identical to upsert: only the source keys'
+    buckets rewrite."""
+    base = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 2 == 0)
+        .select("o_orderkey", "o_totalprice")
+    )
+    src = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 5 == 0)
+        .select(
+            "o_orderkey",
+            (F.col("o_totalprice") / 10).alias("adj"),
+            F.when(F.col("o_orderkey") % 20 == 0, F.lit("del"))
+            .when(F.col("o_orderkey") % 10 == 0, F.lit("adj"))
+            .otherwise(F.lit("keep"))
+            .alias("tag"),
+        )
+    )
+    store, finish = _ephemeral_store(spark, "mergewhen_")
+    store.overwrite_keyed(base, "t", "o_orderkey", n_buckets=16)
+    store.merge_when(
+        src,
+        "t",
+        "o_orderkey",
+        when_matched_update={"o_totalprice": "t.o_totalprice + s.adj"},
+        matched_condition="s.tag = 'adj'",
+        when_matched_delete="s.tag = 'del'",
+        when_not_matched_insert="s.tag <> 'del'",
+    )
+    return finish(
+        store.read("t").select("o_orderkey", "o_totalprice", "adj", "tag")
+    )

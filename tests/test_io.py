@@ -1745,3 +1745,146 @@ def test_schema_evolution_through_versioned_upserts(spark, tmp_path):
     store.delete_where("t", F.col("id") >= 0)
     assert store.read("t").count() == 0
     assert "note" in store.read("t").columns
+
+
+def test_table_changes_change_data_feed(spark, tmp_path):
+    """CDF parity: table_changes(from, to) classifies the row-level
+    diff between two snapshots as insert/delete/update pre+post;
+    rewritten-but-unchanged rows (compaction, identical re-upserts)
+    cancel out; schema-evolved columns surface as updates only when a
+    real value arrived; vacuumed versions refuse."""
+    import pytest as _pytest
+
+    store = _mk_versioned(spark, tmp_path, n=20, buckets=4)  # v1
+    # v2: update id=3, insert id=100
+    store.upsert(
+        spark.createDataFrame(
+            [(3, 333.0, "U"), (100, 100.0, "NEW")], ["id", "price", "status"]
+        ),
+        "t", "id",
+    )
+    # v3: delete id=5
+    store.delete_where("t", F.col("id") == 5)
+    ch = {
+        (r["id"], r["_change_type"]): (r["price"], r["status"])
+        for r in store.table_changes("t", 1).collect()
+    }
+    assert ch == {
+        (100, "insert"): (100.0, "NEW"),
+        (5, "delete"): (5.0, "S"),
+        (3, "update_preimage"): (3.0, "S"),
+        (3, "update_postimage"): (333.0, "U"),
+    }
+    # window slicing: v2→v3 sees only the delete
+    ch23 = {
+        (r["id"], r["_change_type"]) for r in store.table_changes("t", 2, 3).collect()
+    }
+    assert ch23 == {(5, "delete")}
+    # compaction rewrites files but changes no rows → empty feed
+    v_before = store.latest_version("t")
+    store.compact("t")
+    assert store.table_changes("t", v_before).count() == 0
+    # an upsert landing IDENTICAL values also cancels out
+    store.upsert(
+        spark.createDataFrame([(3, 333.0, "U")], ["id", "price", "status"]),
+        "t", "id",
+    )
+    assert store.table_changes("t", v_before).count() == 0
+    # schema evolution: the new column backfills as an update only for
+    # the row that got a real value
+    store.upsert(
+        spark.createDataFrame(
+            [(7, 7.0, "S", "noted")],
+            "id long, price double, status string, note string",
+        ),
+        "t", "id",
+    )
+    ev = {
+        (r["id"], r["_change_type"]): r["note"]
+        for r in store.table_changes("t", v_before).collect()
+    }
+    assert ev == {
+        (7, "update_preimage"): None,
+        (7, "update_postimage"): "noted",
+    }
+    # identity window: from == to → empty
+    v_now = store.latest_version("t")
+    assert store.table_changes("t", v_now, v_now).count() == 0
+    # vacuumed source version refuses loudly
+    store.vacuum("t", keep_last=1, grace_s=0.0)
+    with _pytest.raises(FileNotFoundError):
+        store.table_changes("t", 1).count()
+    # unkeyed/unversioned tables refuse
+    store.overwrite(spark.createDataFrame([(1,)], "id long"), "p")
+    with _pytest.raises(ValueError, match="versioned keyed"):
+        store.table_changes("p", 1)
+
+
+def test_merge_when_full_clause_surface(spark, tmp_path):
+    """Conditional MERGE (Delta whenMatchedUpdate/Delete +
+    whenNotMatchedInsert clause forms): computed partial updates over
+    t./s. expressions, gated deletes, conditional inserts, untouched
+    survivors — and the same bucket-pruned cost profile as upsert."""
+    import pytest as _pytest
+
+    store = _mk_versioned(spark, tmp_path, n=20, buckets=4)  # id/price/status
+    src = spark.createDataFrame(
+        [
+            (3, 10.0, "bump"),     # matched: price += delta
+            (5, 0.0, "cancel"),    # matched: delete
+            (7, 5.0, "ignore"),    # matched: no clause fires → kept
+            (100, 1.0, "bump"),    # unmatched: insert (op != 'drop')
+            (101, 1.0, "drop"),    # unmatched: insert gated out
+        ],
+        "id long, delta double, op string",
+    )
+    buckets = store.merge_when(
+        src,
+        "t",
+        "id",
+        when_matched_update={"price": "t.price + s.delta"},
+        matched_condition="s.op = 'bump'",
+        when_matched_delete="s.op = 'cancel'",
+        when_not_matched_insert="s.op <> 'drop'",
+    )
+    got = {r["id"]: (r["price"], r["status"]) for r in store.read("t").collect()}
+    assert got[3] == (13.0, "S")        # computed update, status kept
+    assert 5 not in got                  # deleted
+    assert got[7] == (7.0, "S")          # matched but no clause → kept
+    assert got[100][0] is None or got[100] == (None, None)  # inserted:
+    # source has no price/status columns → NULL backfill
+    assert 101 not in got                # insert gated out
+    assert got[2] == (2.0, "S") and len(got) == 20  # survivors intact
+    # the source's extra columns (delta/op) widened the schema
+    assert {"delta", "op"} <= set(store.read("t").columns)
+    assert len(buckets) <= 4
+    # update-all form == upsert semantics
+    store2 = _mk_versioned(spark, tmp_path / "b", n=10, buckets=2)
+    s2 = spark.createDataFrame(
+        [(1, 111.0, "U"), (50, 50.0, "NEW")], ["id", "price", "status"]
+    )
+    store2.merge_when(s2, "t", "id")  # defaults: update all + insert all
+    got2 = {r["id"]: r["price"] for r in store2.read("t").collect()}
+    assert got2[1] == 111.0 and got2[50] == 50.0 and len(got2) == 11
+    # constraints judge LANDED rows only
+    store2.set_constraints("t", {"price_pos": "price > 0"})
+    bad = spark.createDataFrame([(2, -5.0, "U")], ["id", "price", "status"])
+    with _pytest.raises(ValueError, match="violations"):
+        store2.merge_when(bad, "t", "id")
+    # a delete-only merge on a legacy-violating table must still work:
+    # nothing lands anew
+    store2.merge_when(
+        spark.createDataFrame([(3,)], "id long"),
+        "t",
+        "id",
+        when_matched_update=None,
+        when_matched_delete="true",
+        when_not_matched_insert=False,
+    )
+    assert 3 not in {r["id"] for r in store2.read("t").collect()}
+    # key mismatch / unkeyed table refuse loudly
+    with _pytest.raises(ValueError, match="merge key"):
+        store2.merge_when(s2, "t", "price")
+    store2.overwrite(spark.createDataFrame([(1,)], "id long"), "p")
+    with _pytest.raises(ValueError, match="keyed table"):
+        store2.merge_when(s2, "p", "id")
