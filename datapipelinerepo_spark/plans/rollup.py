@@ -85,3 +85,78 @@ def rollup_recompute(
 ) -> DataFrame:
     """The full-recompute reference the incremental path must equal."""
     return _partial(events_all, ts_col, key_col, value_col, bucket)
+
+
+def seed_rollup(
+    store: TableStore,
+    snapshot: DataFrame,
+    table: str,
+    group_cols: list[str],
+    value_col: str,
+    count_col: str = "n_rows",
+    sum_col: str = "sum_val",
+    n_buckets: int = 16,
+) -> None:
+    """Materialize the initial grouped COUNT/SUM aggregate of a
+    snapshot as a keyed rollup table — the seed state
+    apply_changes_to_rollup then maintains incrementally. Sums are
+    DECIMAL so incremental maintenance is EXACT: decimal addition is
+    associative, so any sequence of change feeds lands on precisely
+    the value a full recompute would (double sums would drift with
+    accumulation order)."""
+    agg = snapshot.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias(count_col),
+        F.sum(F.col(value_col).cast("decimal(18,4)"))
+        .cast("decimal(28,4)")
+        .alias(sum_col),
+    )
+    store.overwrite_keyed(agg, table, group_cols, n_buckets=n_buckets)
+
+
+def apply_changes_to_rollup(
+    store: TableStore,
+    changes: DataFrame,
+    table: str,
+    group_cols: list[str],
+    value_col: str,
+    count_col: str = "n_rows",
+    sum_col: str = "sum_val",
+) -> None:
+    """INCREMENTAL VIEW MAINTENANCE from a change data feed: apply a
+    ``TableStore.table_changes`` frame to a seeded grouped COUNT/SUM
+    rollup, so the aggregate tracks the base table without ever
+    re-scanning it — the downstream-consumer loop CDF exists for
+    (Delta CDF -> MERGE into the materialized view).
+
+    Each change row contributes a signed delta: inserts and update
+    postimages add, deletes and update preimages subtract (an update
+    thus nets to the value difference). The feed aggregates map-side
+    to one row per touched group, then a conditional MERGE
+    (io.merge_when) lands it: groups netting to zero rows DELETE their
+    rollup row, existing groups get computed additive updates, new
+    groups insert. Cost per application: one aggregate over the feed
+    (churned buckets only, by table_changes' construction) + a
+    bucket-pruned merge on the rollup — never a base-table scan.
+    Decimal arithmetic end to end keeps the incremental result
+    BIT-EQUAL to a full recompute (proven by the
+    store_incremental_rollup oracle)."""
+    sign = F.when(
+        F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
+    ).otherwise(F.lit(-1))
+    delta = changes.groupBy(*group_cols).agg(
+        F.sum(sign).cast("bigint").alias(count_col),
+        F.sum(F.col(value_col).cast("decimal(18,4)") * sign)
+        .cast("decimal(28,4)")
+        .alias(sum_col),
+    )
+    store.merge_when(
+        delta,
+        table,
+        group_cols,
+        when_matched_delete=f"t.{count_col} + s.{count_col} = 0",
+        when_matched_update={
+            count_col: f"CAST(t.{count_col} + s.{count_col} AS BIGINT)",
+            sum_col: f"CAST(t.{sum_col} + s.{sum_col} AS DECIMAL(28,4))",
+        },
+        when_not_matched_insert=True,
+    )

@@ -5068,3 +5068,83 @@ def store_merge_when(spark, sf_dir):
     return finish(
         store.read("t").select("o_orderkey", "o_totalprice", "adj", "tag")
     )
+
+
+@register(
+    "store_incremental_rollup",
+    sql="""
+    WITH base AS (
+      SELECT o_orderkey, o_totalprice, o_orderstatus
+      FROM orders WHERE o_orderkey % 2 = 0
+    ), inc AS (
+      SELECT o_orderkey, o_totalprice * 2 AS o_totalprice, o_orderstatus
+      FROM orders WHERE o_orderkey % 10 IN (0, 5)
+    ), v2 AS (
+      SELECT * FROM inc
+      UNION ALL
+      SELECT * FROM base
+      WHERE o_orderkey NOT IN (SELECT o_orderkey FROM inc)
+    ), v3 AS (
+      SELECT * FROM v2 WHERE NOT coalesce(o_totalprice > 300000, FALSE)
+    )
+    SELECT o_orderstatus,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                AS DECIMAL(28,4)) AS sum_val
+    FROM v3 GROUP BY o_orderstatus
+    """,
+)
+def store_incremental_rollup(spark, sf_dir):
+    """INCREMENTAL VIEW MAINTENANCE over the change data feed,
+    hash-checked (plans/rollup.seed_rollup + apply_changes_to_rollup —
+    the Delta-CDF→MERGE materialized-view loop): a grouped COUNT/SUM
+    rollup seeds from snapshot v1, then tracks the base table through
+    an upsert (updates + inserts) and a row-level DELETE purely by
+    applying the v1→v2 and v2→v3 change feeds — the base table is
+    never re-scanned. The maintained rollup must BIT-EQUAL the
+    oracle's one-shot aggregate over the final state: decimal
+    arithmetic end to end makes incremental == recompute exactly
+    (double sums would drift with accumulation order and flip the
+    hash). Per-application cost: one aggregate over the feed (churned
+    buckets only) + a bucket-pruned conditional merge on the
+    rollup."""
+    from .plans.rollup import apply_changes_to_rollup, seed_rollup
+
+    base = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 2 == 0)
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+    )
+    inc = (
+        t(spark, sf_dir, "orders")
+        .filter((F.col("o_orderkey") % 10).isin(0, 5))
+        .select(
+            "o_orderkey",
+            (F.col("o_totalprice") * 2).alias("o_totalprice"),
+            "o_orderstatus",
+        )
+    )
+    store, finish = _ephemeral_store(spark, "ivm_")
+    store.overwrite_keyed(base, "t", "o_orderkey", n_buckets=16, versioned=True)
+    seed_rollup(
+        store, store.read("t", version=1), "r", ["o_orderstatus"],
+        "o_totalprice",
+    )
+    store.upsert(inc, "t", "o_orderkey")  # v2
+    apply_changes_to_rollup(
+        store, store.table_changes("t", 1, 2), "r", ["o_orderstatus"],
+        "o_totalprice",
+    )
+    store.delete_where("t", F.col("o_totalprice") > 300000)  # v3
+    v3 = store.latest_version("t")
+    apply_changes_to_rollup(
+        store, store.table_changes("t", 2, v3), "r", ["o_orderstatus"],
+        "o_totalprice",
+    )
+    return finish(
+        store.read("r").select(
+            "o_orderstatus",
+            "n_rows",
+            F.col("sum_val").cast("decimal(28,4)").alias("sum_val"),
+        )
+    )

@@ -1888,3 +1888,81 @@ def test_merge_when_full_clause_surface(spark, tmp_path):
     store2.overwrite(spark.createDataFrame([(1,)], "id long"), "p")
     with _pytest.raises(ValueError, match="keyed table"):
         store2.merge_when(s2, "p", "id")
+
+
+def test_incremental_rollup_group_lifecycle(spark, tmp_path):
+    """apply_changes_to_rollup's group lifecycle: a NEW group inserts,
+    a group netting to zero rows DELETES its rollup row, and the
+    maintained state equals a recompute after every feed."""
+    from decimal import Decimal
+
+    from datapipelinerepo_spark.plans.rollup import (
+        apply_changes_to_rollup,
+        seed_rollup,
+    )
+
+    store = TableStore(spark, str(tmp_path))
+    base = spark.createDataFrame(
+        [(1, 10.0, "A"), (2, 20.0, "A"), (3, 30.0, "B")],
+        "id long, val double, grp string",
+    )
+    store.overwrite_keyed(base, "t", "id", n_buckets=4, versioned=True)
+    seed_rollup(store, store.read("t", version=1), "r", ["grp"], "val")
+
+    def rollup():
+        return {
+            r["grp"]: (r["n_rows"], r["sum_val"])
+            for r in store.read("r").collect()
+        }
+
+    def recompute():
+        return {
+            r["grp"]: (r["n"], r["s"])
+            for r in store.read("t")
+            .groupBy("grp")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("val").cast("decimal(18,4)"))
+                .cast("decimal(28,4)")
+                .alias("s"),
+            )
+            .collect()
+        }
+
+    assert rollup() == recompute()
+    # new group C inserts; an update shifts A's sum
+    v_from = store.latest_version("t")
+    store.upsert(
+        spark.createDataFrame(
+            [(1, 15.0, "A"), (9, 9.0, "C")], "id long, val double, grp string"
+        ),
+        "t",
+        "id",
+    )
+    apply_changes_to_rollup(
+        store, store.table_changes("t", v_from), "r", ["grp"], "val"
+    )
+    got = rollup()
+    assert got == recompute() and got["C"] == (1, Decimal("9.0000"))
+    assert got["A"] == (2, Decimal("35.0000"))
+    # deleting every B row removes the B rollup row entirely
+    v_from = store.latest_version("t")
+    store.delete_where("t", F.col("grp") == "B")
+    apply_changes_to_rollup(
+        store, store.table_changes("t", v_from), "r", ["grp"], "val"
+    )
+    got = rollup()
+    assert "B" not in got and got == recompute()
+    # a group MOVE (row changes grp) nets -1/+1 across two groups
+    v_from = store.latest_version("t")
+    store.upsert(
+        spark.createDataFrame([(9, 9.0, "A")], "id long, val double, grp string"),
+        "t",
+        "id",
+    )
+    apply_changes_to_rollup(
+        store, store.table_changes("t", v_from), "r", ["grp"], "val"
+    )
+    got = rollup()
+    assert "C" not in got and got["A"] == (3, Decimal("44.0000"))
+    assert got == recompute()
