@@ -108,7 +108,6 @@ _CHANGED_IN_ROUND = {
     # the reworked manifest/commit protocol
     "text_bpe_learn": 7,
     "text_bpe_learn_single": 7,
-    "text_bpe_encode": 7,
     # r8: store-backed queries now pin results in memory and delete
     # their temp dirs (ADVICE r7) and ride the atomic-replay commit
     # protocol; locally re-proven at sf0.001 + sf0.01

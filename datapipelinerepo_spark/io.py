@@ -876,6 +876,15 @@ class TableStore:
         keys = list(keys_spec[0])
         if to_version is None:
             to_version = self._ensure_latest(name)
+        if int(to_version) < int(from_version):
+            # a transposed range would silently INVERT the feed
+            # (deletes read as inserts, pre/post images swap) — fed
+            # into an incremental consumer that corrupts the target
+            # with no error; Delta raises here too (code-review r8)
+            raise ValueError(
+                f"{name}: table_changes range is reversed "
+                f"(from_version={from_version} > to_version={to_version})"
+            )
         old_files = set(self._manifest_files(name, from_version))
         new_files = set(self._manifest_files(name, to_version))
         base = self._dir(name)
@@ -1785,16 +1794,28 @@ class TableStore:
         return True
 
     def _creation_crashed(self, name: str) -> bool:
-        """Does the table directory look like overwrite_keyed's crash
-        window — bucket-partitioned data (_kb= dirs) but NO keyed meta?
-        A legitimate plain table never has _kb= dirs (plain writes land
-        at the directory root; _clear_keyed only runs after the
-        overwrite already truncated them away), so this signature is
-        unambiguous."""
+        """Does the table look like overwrite_keyed's CREATION crash
+        window — bucket-partitioned data (_kb= dirs) but no keyed
+        meta, and AT MOST the creation's own v1 manifest? A legitimate
+        plain table never has _kb= dirs (plain writes land at the
+        directory root; _clear_keyed only runs after the overwrite
+        already truncated them away). The manifest gate narrows the
+        signature further (code-review r8): a MATURE versioned table
+        that lost only its meta file also reads keyed_spec()=None with
+        _kb= dirs present, but carries a multi-version history the
+        creation window cannot — healing it by re-running creation
+        would truncate months of data to one batch, so that case
+        stays a loud ValueError (recover by restoring the meta).
+        Residual ambiguity: a ONE-commit table losing its meta is
+        indistinguishable from the crash window and heals by
+        recreation — the acceptable trade for un-wedging restarted
+        exactly-once streams (ADVICE r7)."""
         d = self._dir(name)
         if not os.path.isdir(d):
             return False
-        return any(e.startswith("_kb=") for e in os.listdir(d))
+        if not any(e.startswith("_kb=") for e in os.listdir(d)):
+            return False
+        return self.versions(name) in ([], [1])
 
     def merge_when(
         self,
@@ -1898,6 +1919,19 @@ class TableStore:
             upd_map = {c: f"s.`{c}`" for c in source.columns if c not in keys}
         else:
             upd_map = dict(when_matched_update or {})
+            bad_keys = sorted(set(upd_map) & set(keys))
+            if bad_keys:
+                # a key-changing update would re-stamp the row into a
+                # bucket OUTSIDE the read/rewritten set, and
+                # overwrite_buckets would then replace that whole
+                # bucket with just the rewritten row — silently
+                # deleting its other inhabitants (code-review r8).
+                # Key changes are a delete + insert, as in Delta.
+                raise ValueError(
+                    f"{name}: when_matched_update may not assign merge-"
+                    f"key columns {bad_keys} — model a key change as "
+                    "when_matched_delete + a new source row"
+                )
         parts = []
         if upd_map:
             updated = j.filter(both & ~del_c & upd_gate).select(

@@ -106,7 +106,16 @@ def seed_rollup(
     accumulation order)."""
     agg = snapshot.groupBy(*group_cols).agg(
         F.count(F.lit(1)).alias(count_col),
-        F.sum(F.col(value_col).cast("decimal(18,4)"))
+        # NULL measure values contribute 0 — and a group with ONLY
+        # NULLs seeds 0, not NULL, because the incremental update
+        # arithmetic (t.sum + s.sum) would otherwise poison every
+        # later feed to NULL (code-review r8). The rollup's sum_col
+        # is therefore "total of non-null values, 0 when none" —
+        # coalesce SUM(x) to match when comparing against plain SQL.
+        F.coalesce(
+            F.sum(F.col(value_col).cast("decimal(18,4)")),
+            F.lit(0).cast("decimal(18,4)"),
+        )
         .cast("decimal(28,4)")
         .alias(sum_col),
     )
@@ -145,7 +154,20 @@ def apply_changes_to_rollup(
     ).otherwise(F.lit(-1))
     delta = changes.groupBy(*group_cols).agg(
         F.sum(sign).cast("bigint").alias(count_col),
-        F.sum(F.col(value_col).cast("decimal(18,4)") * sign)
+        # NULL measures contribute 0 (matching seed_rollup): without
+        # the coalesce, a feed whose rows for a group are all
+        # NULL-valued sums to NULL and t.sum + NULL poisons the
+        # maintained value to NULL forever (code-review r8)
+        F.coalesce(
+            F.sum(
+                F.coalesce(
+                    F.col(value_col).cast("decimal(18,4)"),
+                    F.lit(0).cast("decimal(18,4)"),
+                )
+                * sign
+            ),
+            F.lit(0).cast("decimal(18,4)"),
+        )
         .cast("decimal(28,4)")
         .alias(sum_col),
     )

@@ -1966,3 +1966,71 @@ def test_incremental_rollup_group_lifecycle(spark, tmp_path):
     got = rollup()
     assert "C" not in got and got["A"] == (3, Decimal("44.0000"))
     assert got == recompute()
+
+
+def test_round8_review_fixes(spark, tmp_path):
+    """Code-review r8 regressions: NULL measures don't poison the
+    maintained rollup sum; merge_when refuses key-column updates;
+    table_changes refuses a reversed range; a mature versioned table
+    that lost only its meta fails LOUDLY instead of being silently
+    recreated from one batch."""
+    from decimal import Decimal
+
+    import pytest as _pytest
+
+    from datapipelinerepo_spark.plans.rollup import (
+        apply_changes_to_rollup,
+        seed_rollup,
+    )
+
+    store = TableStore(spark, str(tmp_path))
+    base = spark.createDataFrame(
+        [(1, 10.0, "A"), (2, 20.0, "A")], "id long, val double, grp string"
+    )
+    store.overwrite_keyed(base, "t", "id", n_buckets=2, versioned=True)
+    seed_rollup(store, store.read("t", version=1), "r", ["grp"], "val")
+    # an insert whose measure is NULL: count moves, sum unchanged
+    v = store.latest_version("t")
+    store.upsert(
+        spark.createDataFrame([(3, None, "A")], "id long, val double, grp string"),
+        "t", "id",
+    )
+    apply_changes_to_rollup(
+        store, store.table_changes("t", v), "r", ["grp"], "val"
+    )
+    got = {r["grp"]: (r["n_rows"], r["sum_val"]) for r in store.read("r").collect()}
+    assert got["A"] == (3, Decimal("30.0000"))  # not NULL-poisoned
+    # ...and later feeds still apply on top
+    v = store.latest_version("t")
+    store.upsert(
+        spark.createDataFrame([(4, 5.0, "A")], "id long, val double, grp string"),
+        "t", "id",
+    )
+    apply_changes_to_rollup(
+        store, store.table_changes("t", v), "r", ["grp"], "val"
+    )
+    got = {r["grp"]: (r["n_rows"], r["sum_val"]) for r in store.read("r").collect()}
+    assert got["A"] == (4, Decimal("35.0000"))
+    # merge_when refuses merge-key assignment
+    with _pytest.raises(ValueError, match="merge-.?key"):
+        store.merge_when(
+            spark.createDataFrame([(1,)], "id long"),
+            "t",
+            "id",
+            when_matched_update={"id": "s.id + 1000"},
+        )
+    # reversed CDF range refuses
+    with _pytest.raises(ValueError, match="reversed"):
+        store.table_changes("t", store.latest_version("t"), 1)
+    # mature table (multi-version history) losing ONLY its meta stays a
+    # loud error on the txn path — not a silent recreation
+    import os as _os
+
+    assert len(store.versions("t")) > 1
+    _os.remove(store._meta_path("t"))
+    assert not store._creation_crashed("t")
+    with _pytest.raises(ValueError, match="versioned keyed table"):
+        store.upsert_txn(
+            spark.createDataFrame([(9, 9.0, "A")], "id long, val double, grp string"),
+            "t", "id", "app", 99,
+        )
