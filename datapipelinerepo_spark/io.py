@@ -457,6 +457,10 @@ class TableStore:
 
         os.makedirs(self._manifest_dir(name), exist_ok=True)
         doc: dict = {"files": sorted(files)}
+        # per-file [min,max] column stats ride every manifest (data
+        # skipping, read_where): carried forward for already-covered
+        # files (immutable), footer-read once for new ones
+        doc["stats"] = self._collect_stats(name, doc["files"])
         if schema_json is not None:
             doc["schema"] = schema_json
         if op is not None:
@@ -536,6 +540,157 @@ class TableStore:
             )
         self._touch_meta(name, versioned=True, version=v, **extra)
         return v
+
+    # -- manifest-carried file statistics (data skipping) ------------------
+    @staticmethod
+    def _stat_val(v):
+        """JSON-safe, ORDER-PRESERVING encoding of a parquet min/max
+        statistic: numbers/strings/bools pass through, dates and
+        timestamps become ISO strings (lexicographic == chronological),
+        anything else (bytes, nested, Decimal) returns None = no stat
+        recorded for pruning."""
+        if isinstance(v, bool) or isinstance(v, (int, float, str)):
+            return v
+        if isinstance(v, dt.datetime):
+            return v.replace(tzinfo=None).isoformat(sep=" ")
+        if isinstance(v, dt.date):
+            # pad to the timestamp shape so a DATE bound compares
+            # boundary-safely against TIMESTAMP column stats: an
+            # unpadded "1997-06-30" sorts BELOW "1997-06-30 00:00:00"
+            # and would prune a file whose min is exactly midnight of
+            # the bound date (rows the exact filter matches)
+            return v.isoformat() + " 00:00:00"
+        return None
+
+    def _file_stats(self, name: str, rel: str) -> dict:
+        """Per-column [min, max] of one part-file, from its parquet
+        FOOTER (pyarrow metadata — no data pages read). Columns whose
+        statistics are absent, non-encodable, or all-NULL are simply
+        omitted: absent stats mean 'cannot prune', never 'no rows'."""
+        import pyarrow.parquet as pq
+
+        path = os.path.join(self._dir(name), rel)
+        try:
+            md = pq.ParquetFile(path).metadata
+        except Exception:
+            return {}
+        out: dict = {}
+        for rg in range(md.num_row_groups):
+            row = md.row_group(rg)
+            for ci in range(row.num_columns):
+                col = row.column(ci)
+                cname = col.path_in_schema
+                if "." in cname:
+                    continue  # nested leaves: top-level pruning only
+                st = col.statistics
+                if st is None or not st.has_min_max:
+                    continue
+                mn, mx = self._stat_val(st.min), self._stat_val(st.max)
+                if mn is None or mx is None:
+                    continue
+                if cname in out:
+                    out[cname] = [min(out[cname][0], mn), max(out[cname][1], mx)]
+                else:
+                    out[cname] = [mn, mx]
+        return out
+
+    def _collect_stats(self, name: str, files: list[str]) -> dict:
+        """Stats map {rel_file: {col: [min, max]}} for a manifest about
+        to publish: carried FORWARD from the latest manifest for files
+        it already covered (part-files are immutable, so stats never
+        go stale) and footer-read only for files new to this publish —
+        at 100 TB the per-publish cost is the churned buckets' new
+        files, each a single footer read by the writer that just
+        produced it."""
+        prev: dict = {}
+        v = self.latest_version(name)
+        if v is not None:
+            try:
+                prev = self._manifest_doc(name, v).get("stats", {})
+            except FileNotFoundError:
+                prev = {}
+        return {
+            f: (prev[f] if f in prev else self._file_stats(name, f))
+            for f in files
+        }
+
+    def read_where(
+        self,
+        name: str,
+        col: str,
+        between: tuple,
+        version: int | None = None,
+    ) -> DataFrame:
+        """DATA-SKIPPING read (Delta/Iceberg file-pruning parity): rows
+        of a versioned keyed table with ``col`` BETWEEN the two bounds
+        (inclusive; pass (v, v) for equality), planning the scan over
+        ONLY the files whose manifest-carried [min, max] interval for
+        ``col`` overlaps the range. The pruning decision reads the
+        KILOBYTE manifest — no footers, no data — so at 100 TB a
+        point/range query on a clustered column (write via
+        compact(sort_cols=...) or overwrite after a sort) opens a
+        handful of files instead of the table. Files without a
+        recorded stat for ``col`` are always kept (pruning is an
+        optimization, never a correctness gate), and the exact filter
+        still applies on the scan — BETWEEN semantics, NULLs never
+        match."""
+        if not self.is_versioned(name):
+            raise ValueError(
+                f"{name}: read_where needs a versioned table (the stats "
+                "live in the snapshot manifests)"
+            )
+        lo, hi = self._stat_val(between[0]), self._stat_val(between[1])
+        v = self._ensure_latest(name) if version is None else version
+        doc = self._manifest_doc(name, v)
+        stats = doc.get("stats", {})
+        keep = []
+        for f in doc["files"]:
+            s = stats.get(f, {}).get(col)
+            if s is None or lo is None or hi is None:
+                keep.append(f)
+                continue
+            try:
+                overlaps = not (s[1] < lo or s[0] > hi)
+            except TypeError:
+                overlaps = True  # incomparable encodings: keep, stay exact
+            if overlaps:
+                keep.append(f)
+        base = self._dir(name)
+        if not keep:
+            out = self._read_manifest_df(name, v).limit(0)
+        else:
+            out = (
+                self.spark.read.option("mergeSchema", "true")
+                .option("basePath", base)
+                .parquet(*[os.path.join(base, f) for f in keep])
+            )
+        return (
+            out.drop("_kb")
+            .filter(F.col(col).between(F.lit(between[0]), F.lit(between[1])))
+        )
+
+    def pruned_file_count(
+        self, name: str, col: str, between: tuple, version: int | None = None
+    ) -> tuple[int, int]:
+        """(files the read_where plan would open, total live files) —
+        the observability hook tests and capacity planning use to see
+        data skipping actually skipping."""
+        v = self._ensure_latest(name) if version is None else version
+        doc = self._manifest_doc(name, v)
+        stats = doc.get("stats", {})
+        lo, hi = self._stat_val(between[0]), self._stat_val(between[1])
+        kept = 0
+        for f in doc["files"]:
+            s = stats.get(f, {}).get(col)
+            if s is None or lo is None or hi is None:
+                kept += 1
+            else:
+                try:
+                    if not (s[1] < lo or s[0] > hi):
+                        kept += 1
+                except TypeError:
+                    kept += 1
+        return kept, len(doc["files"])
 
     def last_txn(self, name: str, app_id: str) -> int | None:
         """The highest transactional write version applied for

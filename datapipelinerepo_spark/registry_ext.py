@@ -5148,3 +5148,51 @@ def store_incremental_rollup(spark, sf_dir):
             F.col("sum_val").cast("decimal(28,4)").alias("sum_val"),
         )
     )
+
+
+@register(
+    "store_stats_skipping",
+    sql="""
+    SELECT o_orderkey, o_totalprice, o_orderdate FROM orders
+    WHERE o_orderdate BETWEEN DATE '1997-01-01' AND DATE '1997-06-30'
+    """,
+)
+def store_stats_skipping(spark, sf_dir):
+    """DATA-SKIPPING read, hash-checked end to end
+    (io.TableStore.read_where — Delta/Iceberg file-pruning parity on
+    manifest-carried footer stats): orders load as SEVEN year slabs
+    (the natural layout of time columns under append ingestion — each
+    append's files cover one year, so per-file [min, max] o_orderdate
+    intervals are narrow even though the hash bucketing spreads KEYS
+    across every file), then a half-year range reads back. The scan
+    plans over only the files whose manifest stats overlap the range —
+    guarded loudly: the pruned plan must open STRICTLY fewer files
+    than the table holds — and the result must hash-equal the oracle's
+    plain BETWEEN filter. The pruning decision reads the kilobyte
+    manifest, no footers, no data."""
+    import datetime as dt
+
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderdate"
+    )
+    store, finish = _ephemeral_store(spark, "skip_")
+    store.overwrite_keyed(
+        orders.filter(F.year("o_orderdate") <= 1995),
+        "t",
+        "o_orderkey",
+        n_buckets=8,
+        versioned=True,
+    )
+    for y in range(1996, 2002):  # the testdata spans 1995–2001
+        store.append(orders.filter(F.year("o_orderdate") == y), "t")
+    lo, hi = dt.date(1997, 1, 1), dt.date(1997, 6, 30)
+    kept, total = store.pruned_file_count("t", "o_orderdate", (lo, hi))
+    _require(
+        0 < kept < total,
+        f"data skipping did not prune: kept {kept} of {total} files",
+    )
+    return finish(
+        store.read_where("t", "o_orderdate", (lo, hi)).select(
+            "o_orderkey", "o_totalprice", "o_orderdate"
+        )
+    )

@@ -2034,3 +2034,71 @@ def test_round8_review_fixes(spark, tmp_path):
             spark.createDataFrame([(9, 9.0, "A")], "id long, val double, grp string"),
             "t", "id", "app", 99,
         )
+
+
+def test_read_where_data_skipping(spark, tmp_path):
+    """Manifest-carried file stats prune the scan: after clustering,
+    a narrow range opens a strict subset of the live files; results
+    always equal the plain filter; files without stats (or all-NULL
+    columns) are kept, never wrongly pruned; stats survive compaction
+    and upserts."""
+    import pytest as _pytest
+
+    store = TableStore(spark, str(tmp_path))
+
+    def slab(lo):  # 100 rows covering one price century
+        return spark.createDataFrame(
+            [(i, float(i), "S") for i in range(lo, lo + 100)],
+            ["id", "price", "status"],
+        )
+
+    # ingestion-ordered slabs (the natural layout of time/sequence
+    # columns): each append's files cover ONE price century, so
+    # file-level [min,max] stats are narrow — hash bucketing spreads
+    # IDS across buckets, but every file still holds one slab's prices
+    store.overwrite_keyed(slab(0), "t", "id", n_buckets=8, versioned=True)
+    for lo in range(100, 1000, 100):
+        store.append(slab(lo), "t")
+
+    def plain(lo, hi):
+        return {
+            r["id"]
+            for r in store.read("t").filter(F.col("price").between(lo, hi)).collect()
+        }
+
+    got = {r["id"] for r in store.read_where("t", "price", (100.0, 120.0)).collect()}
+    assert got == plain(100.0, 120.0) and len(got) == 21
+    # equality form
+    got1 = {r["id"] for r in store.read_where("t", "price", (7.0, 7.0)).collect()}
+    assert got1 == {7}
+    # an out-of-domain range prunes EVERYTHING and still reads as empty
+    kept, total = store.pruned_file_count("t", "price", (1e9, 2e9))
+    assert kept == 0 and total > 0
+    assert store.read_where("t", "price", (1e9, 2e9)).count() == 0
+    # id is bucketed by hash, so id-stats spread across buckets: a
+    # narrow price range must open fewer files than the table holds
+    kept, total = store.pruned_file_count("t", "price", (100.0, 120.0))
+    assert 0 < kept < total
+    # stats carry forward across an upsert (untouched files keep
+    # theirs; the new files get footer-read stats)
+    store.upsert(
+        spark.createDataFrame([(5, 5000.0, "U")], ["id", "price", "status"]),
+        "t", "id",
+    )
+    got2 = {r["id"] for r in store.read_where("t", "price", (4999.0, 5001.0)).collect()}
+    assert got2 == {5}
+    assert {r["id"] for r in store.read_where("t", "price", (5.0, 5.0)).collect()} == set()
+    # all-NULL column: no stat recorded -> file kept, filter exact
+    store.upsert(
+        spark.createDataFrame(
+            [(6, None, "U")], "id long, price double, status string"
+        ),
+        "t", "id",
+    )
+    assert store.read_where("t", "price", (6.0, 6.0)).count() == 0  # NULL never matches
+    got3 = {r["id"] for r in store.read_where("t", "price", (100.0, 120.0)).collect()}
+    assert got3 == plain(100.0, 120.0)
+    # unversioned tables refuse (stats live in manifests)
+    store.overwrite(spark.createDataFrame([(1, 1.0)], "id long, p double"), "u")
+    with _pytest.raises(ValueError, match="versioned"):
+        store.read_where("u", "p", (0, 1))
