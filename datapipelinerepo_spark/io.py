@@ -774,6 +774,8 @@ class TableStore:
         name: str,
         max_files_per_bucket: int = 1,
         sort_cols: list[str] | None = None,
+        zorder_cols: list[str] | None = None,
+        zorder_bits: int = 8,
     ) -> int:
         """OPTIMIZE analog for versioned keyed tables: every live
         bucket holding more than ``max_files_per_bucket`` files (the
@@ -788,7 +790,18 @@ class TableStore:
         At 100 TB this is the maintenance job that keeps bucket scans
         at full parquet row-group efficiency; run it on the buckets the
         upsert stream actually churns (exactly what the file-count
-        predicate selects)."""
+        predicate selects).
+
+        ``zorder_cols`` is the multi-dimensional form of ``sort_cols``
+        (Delta's OPTIMIZE ... ZORDER BY): the rewritten buckets'
+        rows order by the interleaved Morton code of the columns'
+        quantile ranks (one boundary pass over the slice being
+        rewritten, shared machinery with write_zordered), so row-group
+        min/max stats narrow in EVERY listed dimension at once —
+        where a linear sort only narrows its leading column. Mutually
+        exclusive with ``sort_cols``."""
+        if sort_cols and zorder_cols:
+            raise ValueError("pass sort_cols or zorder_cols, not both")
         if not self.is_versioned(name):
             raise ValueError(f"{name}: compact() is for versioned keyed tables")
         base_v = self._ensure_latest(name)
@@ -823,6 +836,14 @@ class TableStore:
         out = slice_.repartition(F.col("_kb"))
         if sort_cols:
             out = out.sortWithinPartitions("_kb", *sort_cols)
+        elif zorder_cols:
+            out = (
+                out.withColumn(
+                    "_z", zorder_rank_code(slice_, zorder_cols, zorder_bits)
+                )
+                .sortWithinPartitions("_kb", "_z")
+                .drop("_z")
+            )
         return self._append_and_publish(out, name, fat, kept, op="compact")
 
     def vacuum(
@@ -2280,33 +2301,16 @@ def zorder_expr(bucket_cols: list, bits: int = 8):
     return z
 
 
-def write_zordered(
-    df: DataFrame,
-    path: str,
-    zcols: list[str],
-    bits: int = 8,
-    n_files: int | None = None,
-) -> None:
-    """Multi-dimensional clustering (Delta OPTIMIZE ZORDER's layout on
-    plain parquet): each z column rank-normalizes to a 2^bits-way
-    quantile bucket (approx-percentile boundaries — a bounded driver
-    collect; exactness is irrelevant for LAYOUT, only locality
-    matters), rows order by the interleaved Morton code, and files
-    split on code ranges. Result: every file covers a NARROW value
-    range in EVERY z column simultaneously, so parquet footer min/max
-    statistics skip files/row groups for predicates on ANY of the
-    columns — where a linear sort (write_clustered) skips only on its
-    leading column and a point query on the second column scans
-    everything. The one range exchange is the write-time layout job
-    paid once; reads need no special API (the stats live in the
-    footers).
-
-    NULLs bucket to 0 (their own edge of the curve). At 100 TB size
-    n_files so one file ≈ a few row groups of executor-friendly size —
-    the same knob as write_clustered."""
+def zorder_rank_code(df: DataFrame, zcols: list[str], bits: int = 8):
+    """Morton code Column over ``df``'s rows: each z column
+    rank-normalizes to a 2^bits-way quantile bucket (ONE
+    approx-percentile boundary pass over ``df`` for all columns
+    together — code-review r7: a per-column .first() loop was
+    len(zcols) full scans), bit-interleaved by zorder_expr. The
+    returned expression references only ``zcols``, so it attaches to
+    any frame carrying those columns — write_zordered's layout write
+    and compact(zorder_cols=…)'s bucket rewrite share it."""
     probs = [i / (1 << bits) for i in range(1, 1 << bits)]
-    # ONE boundary pass for every z column together (code-review r7:
-    # a per-column .first() loop was len(zcols) full scans)
     bounds_row = df.select(
         *[
             F.percentile_approx(
@@ -2332,7 +2336,34 @@ def write_zordered(
                 + F.when(F.col(c) > b, F.lit(1)).otherwise(F.lit(0)),
             )
         )
-    out = df.withColumn("_z", zorder_expr(buckets, bits))
+    return zorder_expr(buckets, bits)
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    zcols: list[str],
+    bits: int = 8,
+    n_files: int | None = None,
+) -> None:
+    """Multi-dimensional clustering (Delta OPTIMIZE ZORDER's layout on
+    plain parquet): each z column rank-normalizes to a 2^bits-way
+    quantile bucket (approx-percentile boundaries — a bounded driver
+    collect; exactness is irrelevant for LAYOUT, only locality
+    matters), rows order by the interleaved Morton code, and files
+    split on code ranges. Result: every file covers a NARROW value
+    range in EVERY z column simultaneously, so parquet footer min/max
+    statistics skip files/row groups for predicates on ANY of the
+    columns — where a linear sort (write_clustered) skips only on its
+    leading column and a point query on the second column scans
+    everything. The one range exchange is the write-time layout job
+    paid once; reads need no special API (the stats live in the
+    footers).
+
+    NULLs bucket to 0 (their own edge of the curve). At 100 TB size
+    n_files so one file ≈ a few row groups of executor-friendly size —
+    the same knob as write_clustered."""
+    out = df.withColumn("_z", zorder_rank_code(df, zcols, bits))
     out = (
         out.repartitionByRange(n_files, "_z")
         if n_files
