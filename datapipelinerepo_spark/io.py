@@ -415,6 +415,7 @@ class TableStore:
         op: str | None = None,
         seed_txn: dict | None = None,
         check_replay: bool = False,
+        seed_stats: dict | None = None,
     ) -> int:
         """Commit the next manifest version PUT-IF-ABSENT: the document
         is fully written to a private tmp file, then CLAIMS its version
@@ -460,7 +461,7 @@ class TableStore:
         # per-file [min,max] column stats ride every manifest (data
         # skipping, read_where): carried forward for already-covered
         # files (immutable), footer-read once for new ones
-        doc["stats"] = self._collect_stats(name, doc["files"])
+        doc["stats"] = self._collect_stats(name, doc["files"], seed=seed_stats)
         if schema_json is not None:
             doc["schema"] = schema_json
         if op is not None:
@@ -519,6 +520,7 @@ class TableStore:
         txn: tuple[str, int] | None = None,
         op: str | None = None,
         check_replay: bool = False,
+        seed_stats: dict | None = None,
     ) -> int:
         v = self._write_manifest_file(
             name,
@@ -527,6 +529,7 @@ class TableStore:
             txn=txn,
             op=op,
             check_replay=check_replay,
+            seed_stats=seed_stats,
         )
         # the meta schema tracks evolution (widen-only) so the
         # fully-emptied-table fallback serves the CURRENT column set
@@ -552,6 +555,14 @@ class TableStore:
         if isinstance(v, bool) or isinstance(v, (int, float, str)):
             return v
         if isinstance(v, dt.datetime):
+            if v.tzinfo is not None:
+                # normalize aware bounds to the UTC instant first:
+                # replace(tzinfo=None) alone keeps the ORIGINAL zone's
+                # wall clock, so a +10:00 bound would compare 10 hours
+                # off against the UTC-encoded stats and prune files
+                # whose rows the exact filter matches (code-review r8
+                # wave 2)
+                v = v.astimezone(dt.timezone.utc)
             return v.replace(tzinfo=None).isoformat(sep=" ")
         if isinstance(v, dt.date):
             # pad to the timestamp shape so a DATE bound compares
@@ -566,7 +577,12 @@ class TableStore:
         """Per-column [min, max] of one part-file, from its parquet
         FOOTER (pyarrow metadata — no data pages read). Columns whose
         statistics are absent, non-encodable, or all-NULL are simply
-        omitted: absent stats mean 'cannot prune', never 'no rows'."""
+        omitted: absent stats mean 'cannot prune', never 'no rows'.
+        Note: files written by a session still on the legacy INT96
+        timestamp type carry no stats for TimestampType columns (the
+        engine session sets TIMESTAMP_MICROS; a vanilla session
+        doesn't) — those columns then never prune, which is the safe
+        direction."""
         import pyarrow.parquet as pq
 
         path = os.path.join(self._dir(name), rel)
@@ -594,21 +610,25 @@ class TableStore:
                     out[cname] = [mn, mx]
         return out
 
-    def _collect_stats(self, name: str, files: list[str]) -> dict:
+    def _collect_stats(
+        self, name: str, files: list[str], seed: dict | None = None
+    ) -> dict:
         """Stats map {rel_file: {col: [min, max]}} for a manifest about
-        to publish: carried FORWARD from the latest manifest for files
-        it already covered (part-files are immutable, so stats never
-        go stale) and footer-read only for files new to this publish —
-        at 100 TB the per-publish cost is the churned buckets' new
-        files, each a single footer read by the writer that just
+        to publish: carried FORWARD from the latest manifest (and the
+        optional ``seed`` map — restore passes its target version's
+        stats so rolling back stays metadata-only, code-review r8
+        wave 2) for files already covered (part-files are immutable,
+        so stats never go stale), footer-read only for genuinely new
+        files — at 100 TB the per-publish cost is the churned buckets'
+        new files, each a single footer read by the writer that just
         produced it."""
-        prev: dict = {}
+        prev: dict = dict(seed or {})
         v = self.latest_version(name)
         if v is not None:
             try:
-                prev = self._manifest_doc(name, v).get("stats", {})
+                prev.update(self._manifest_doc(name, v).get("stats", {}))
             except FileNotFoundError:
-                prev = {}
+                pass
         return {
             f: (prev[f] if f in prev else self._file_stats(name, f))
             for f in files
@@ -639,10 +659,50 @@ class TableStore:
                 f"{name}: read_where needs a versioned table (the stats "
                 "live in the snapshot manifests)"
             )
-        lo, hi = self._stat_val(between[0]), self._stat_val(between[1])
         v = self._ensure_latest(name) if version is None else version
         doc = self._manifest_doc(name, v)
+        keep = self._pruned_files(doc, col, between)
+        base = self._dir(name)
+        if not keep:
+            out = self._read_manifest_df(name, v)
+        else:
+            out = (
+                self.spark.read.option("mergeSchema", "true")
+                .option("basePath", base)
+                .parquet(*[os.path.join(base, f) for f in keep])
+            )
+        # schema evolution guard (code-review r8 wave 2): when pruning
+        # drops every file that CARRIES the queried column (it was
+        # added by a later write the range misses), the kept files'
+        # merged schema lacks it and the filter would raise
+        # UNRESOLVED_COLUMN where read()+filter returns empty — widen
+        # the frame to the manifest-recorded snapshot schema first
+        schema_json = doc.get("schema")
+        if schema_json is not None:
+            from pyspark.sql.types import StructType
+
+            for fld in StructType.fromJson(json.loads(schema_json)).fields:
+                if fld.name != "_kb" and fld.name not in out.columns:
+                    out = out.withColumn(
+                        fld.name, F.lit(None).cast(fld.dataType)
+                    )
+        out = out if keep else out.limit(0)
+        return (
+            out.drop("_kb")
+            .filter(F.col(col).between(F.lit(between[0]), F.lit(between[1])))
+        )
+
+    def _pruned_files(self, doc: dict, col: str, between: tuple) -> list[str]:
+        """The ONE pruning decision (shared by read_where and
+        pruned_file_count, so the observability counter can never
+        drift from what the plan actually opens — the _key_match
+        lesson): keep a file when its recorded [min, max] for ``col``
+        overlaps the bounds, or when no stat / no encodable bound
+        exists (absent stats mean 'cannot prune', never 'no rows');
+        incomparable encodings also keep — pruning is an optimization,
+        the exact filter owns correctness."""
         stats = doc.get("stats", {})
+        lo, hi = self._stat_val(between[0]), self._stat_val(between[1])
         keep = []
         for f in doc["files"]:
             s = stats.get(f, {}).get(col)
@@ -652,22 +712,10 @@ class TableStore:
             try:
                 overlaps = not (s[1] < lo or s[0] > hi)
             except TypeError:
-                overlaps = True  # incomparable encodings: keep, stay exact
+                overlaps = True
             if overlaps:
                 keep.append(f)
-        base = self._dir(name)
-        if not keep:
-            out = self._read_manifest_df(name, v).limit(0)
-        else:
-            out = (
-                self.spark.read.option("mergeSchema", "true")
-                .option("basePath", base)
-                .parquet(*[os.path.join(base, f) for f in keep])
-            )
-        return (
-            out.drop("_kb")
-            .filter(F.col(col).between(F.lit(between[0]), F.lit(between[1])))
-        )
+        return keep
 
     def pruned_file_count(
         self, name: str, col: str, between: tuple, version: int | None = None
@@ -677,20 +725,7 @@ class TableStore:
         data skipping actually skipping."""
         v = self._ensure_latest(name) if version is None else version
         doc = self._manifest_doc(name, v)
-        stats = doc.get("stats", {})
-        lo, hi = self._stat_val(between[0]), self._stat_val(between[1])
-        kept = 0
-        for f in doc["files"]:
-            s = stats.get(f, {}).get(col)
-            if s is None or lo is None or hi is None:
-                kept += 1
-            else:
-                try:
-                    if not (s[1] < lo or s[0] > hi):
-                        kept += 1
-                except TypeError:
-                    kept += 1
-        return kept, len(doc["files"])
+        return len(self._pruned_files(doc, col, between)), len(doc["files"])
 
     def last_txn(self, name: str, app_id: str) -> int | None:
         """The highest transactional write version applied for
@@ -1016,6 +1051,11 @@ class TableStore:
             doc["files"],
             schema_json=doc.get("schema"),
             op=f"restore(v{version})",
+            # the target's own stats seed the new manifest, so a
+            # restore never footer-reads the restored files — it
+            # stays metadata-only even when the files predate the
+            # latest manifest (code-review r8 wave 2)
+            seed_stats=doc.get("stats"),
         )
 
     def table_changes(

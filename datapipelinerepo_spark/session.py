@@ -48,6 +48,13 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
         .config("spark.sql.session.timeZone", "UTC")
+        # INT96 (the legacy default) writes NO parquet min/max
+        # statistics, which silently disables manifest-stats data
+        # skipping (io.read_where) on every TimestampType column —
+        # the flagship event-time range case (code-review r8 wave 2).
+        # TIMESTAMP_MICROS is the modern spec'd physical type, carries
+        # stats, and every current reader (DuckDB included) handles it.
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.sql.parquet.mergeSchema", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))

@@ -2136,25 +2136,105 @@ def test_compact_zorder_recluster(spark, tmp_path):
     assert store.history("t")[0]["op"] == "compact"
     assert {tuple(r) for r in store.read("t").collect()} == before
 
-    def mean_span(col):
-        spans, n = 0.0, 0
-        for rel in store._manifest_files("t", v):
-            md = _pq.ParquetFile(
-                _os.path.join(str(tmp_path), "t", rel)
-            ).metadata
-            for rg in range(md.num_row_groups):
-                row = md.row_group(rg)
-                for ci in range(row.num_columns):
-                    c = row.column(ci)
-                    if c.path_in_schema == col and c.statistics:
-                        spans += c.statistics.max - c.statistics.min
-                        n += 1
-        return spans / max(n, 1)
+    # The layout claim, measured (code-review r8 wave 2: the earlier
+    # smoke assertion was vacuous): slice each rewritten file into
+    # consecutive 256-row chunks (emulated row groups — the files here
+    # are single-row-group) and compare each dimension's mean chunk
+    # span against the full domain. Z-ordered rows cluster BOTH
+    # dimensions, so chunks cover a fraction of each domain; append
+    # order (x = i % 97 cycles every 97 rows) would cover ~all of it.
+    def mean_chunk_span(version, col, chunk=256):
+        spans = []
+        for rel in store._manifest_files("t", version):
+            vals = (
+                _pq.read_table(
+                    _os.path.join(str(tmp_path), "t", rel), columns=[col]
+                )
+                .column(col)
+                .to_pylist()
+            )
+            for i in range(0, len(vals), chunk):
+                part = vals[i : i + chunk]
+                if len(part) >= 32:  # skip tiny tails
+                    spans.append(max(part) - min(part))
+        return sum(spans) / len(spans)
 
-    # row groups are large relative to this table, so instead compare
-    # against the theoretical full spans: z-ordered files should cover
-    # materially less than the full domain in at least one dimension
-    # when multiple row groups exist; with one row group per file the
-    # contents check above is the meaningful assertion. Keep the spans
-    # call as a smoke (no crash reading stats off the new files).
-    assert mean_span("x") >= 0.0 and mean_span("y") >= 0.0
+    # measured A/B against the pre-compaction (id-ordered — x = id % 97
+    # cycles fully every 97 rows, so chunks span ~the whole domain)
+    # layout: the z-ordered rewrite must narrow BOTH dimensions' mean
+    # chunk span materially at once — a linear x-sort would leave y
+    # wide, a no-op ordering would leave both wide (the earlier smoke
+    # assertion caught neither)
+    for col in ("x", "y"):
+        before_span = mean_chunk_span(v - 1, col)
+        after_span = mean_chunk_span(v, col)
+        assert after_span < before_span * 0.8, (col, before_span, after_span)
+
+
+def test_read_where_wave2_fixes(spark, tmp_path, monkeypatch):
+    """Code-review r8 wave 2 regressions: (1) read_where returns empty
+    — not UNRESOLVED_COLUMN — when pruning drops every file carrying a
+    schema-evolved column; (2) timezone-aware bounds prune on the UTC
+    instant, not the foreign wall clock; (3) restore stays
+    metadata-only: it never footer-reads the restored files even when
+    they predate the latest manifest."""
+    import datetime as dt
+
+    from datapipelinerepo_spark import io as io_mod
+
+    store = TableStore(spark, str(tmp_path))
+    base = spark.createDataFrame(
+        [(i, float(i)) for i in range(100)], "id long, price double"
+    )
+    store.overwrite_keyed(base, "t", "id", n_buckets=4, versioned=True)
+    # (1) evolve with column b in one narrow-range file
+    store.append(
+        spark.createDataFrame([(500, 1.0, 100.0)], "id long, price double, b double"),
+        "t",
+    )
+    out = store.read_where("t", "b", (500.0, 600.0))  # prunes the b file
+    assert out.count() == 0 and "b" in out.columns
+    hit = store.read_where("t", "b", (99.0, 101.0))
+    assert [r["id"] for r in hit.collect()] == [500]
+    # (2) aware datetime bounds: build a ts-slabbed table; a +10:00
+    # bound equal to the UTC instant of a slab edge must not prune it
+    t0 = dt.datetime(2026, 3, 1, 0, 0, 0)
+    slabs = spark.createDataFrame(
+        [(i, t0 + dt.timedelta(days=i)) for i in range(10)],
+        "id long, ts timestamp",
+    )
+    store.overwrite_keyed(
+        slabs.filter(F.col("id") < 5), "ts_t", "id", n_buckets=2, versioned=True
+    )
+    store.append(slabs.filter(F.col("id") >= 5), "ts_t")
+    plus10 = dt.timezone(dt.timedelta(hours=10))
+    # UTC instant 2026-03-03 00:00 expressed as 10:00 on the +10 clock
+    lo_aware = dt.datetime(2026, 3, 3, 10, 0, 0, tzinfo=plus10)
+    hi_aware = dt.datetime(2026, 3, 4, 10, 0, 0, tzinfo=plus10)
+    got = {r["id"] for r in store.read_where("ts_t", "ts", (lo_aware, hi_aware)).collect()}
+    naive = {
+        r["id"]
+        for r in store.read_where(
+            "ts_t", "ts", (dt.datetime(2026, 3, 3), dt.datetime(2026, 3, 4))
+        ).collect()
+    }
+    assert got == naive == {2, 3}
+    # timestamp stats are actually recorded (TIMESTAMP_MICROS session)
+    kept, total = store.pruned_file_count(
+        "ts_t", "ts", (dt.datetime(2026, 3, 9), dt.datetime(2026, 3, 9))
+    )
+    assert kept < total
+    # (3) restore with compaction in between: no footer reads
+    store.upsert(
+        spark.createDataFrame([(3, 333.0)], "id long, price double"), "t", "id"
+    )
+    v_target = store.latest_version("t")
+    store.compact("t")
+
+    def boom(self, name, rel):
+        raise AssertionError(f"footer read during restore: {name}/{rel}")
+
+    monkeypatch.setattr(io_mod.TableStore, "_file_stats", boom)
+    store.restore("t", v_target)  # must not touch any footer
+    monkeypatch.undo()
+    assert {r["id"] for r in store.read("t").collect()} >= {0, 3, 500}
