@@ -2042,6 +2042,8 @@ class TableStore:
         matched_condition: str | None = None,
         when_matched_delete: str | None = None,
         when_not_matched_insert: bool | str = True,
+        txn: tuple[str, int] | None = None,
+        check_replay: bool = False,
     ) -> list[int]:
         """Conditional MERGE — the full Delta ``MERGE INTO`` clause
         surface on the keyed store, generalizing ``upsert`` (which is
@@ -2073,7 +2075,14 @@ class TableStore:
         exactly the rows the merge LANDS (updated + inserted — kept
         survivors are not re-judged). Returns the affected bucket ids.
         Reference MERGE surface: Delta DeltaTable.merge /
-        whenMatched{Update,Delete}/whenNotMatchedInsert."""
+        whenMatched{Update,Delete}/whenNotMatchedInsert.
+
+        ``txn``/``check_replay`` give the merge the same transactional
+        watermark upsert_txn has (versioned tables only): the
+        (app_id, version) records atomically with the manifest commit,
+        and ``check_replay=True`` raises TxnAlreadyApplied when the
+        watermark already covers it — sync_rollup rides this for
+        exactly-once incremental view maintenance."""
         keys = [key] if isinstance(key, str) else list(key)
         spec = self.keyed_spec(name)
         if spec is None:
@@ -2187,7 +2196,10 @@ class TableStore:
             # updated and inserted rows; surviving history is not
             # re-judged (the delete_where/upsert contract)
             self._check_constraints(name, landed)
-        self.overwrite_buckets(merged, name, buckets, op="merge")
+        self.overwrite_buckets(
+            merged, name, buckets, op="merge", txn=txn,
+            check_replay=check_replay,
+        )
         return sorted(buckets)
 
     def delete_where(self, name: str, condition) -> list[int]:

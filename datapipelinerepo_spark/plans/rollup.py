@@ -96,6 +96,8 @@ def seed_rollup(
     count_col: str = "n_rows",
     sum_col: str = "sum_val",
     n_buckets: int = 16,
+    versioned: bool = False,
+    txn: tuple | None = None,
 ) -> None:
     """Materialize the initial grouped COUNT/SUM aggregate of a
     snapshot as a keyed rollup table — the seed state
@@ -119,7 +121,10 @@ def seed_rollup(
         .cast("decimal(28,4)")
         .alias(sum_col),
     )
-    store.overwrite_keyed(agg, table, group_cols, n_buckets=n_buckets)
+    store.overwrite_keyed(
+        agg, table, group_cols, n_buckets=n_buckets, versioned=versioned,
+        txn=txn,
+    )
 
 
 def apply_changes_to_rollup(
@@ -130,6 +135,8 @@ def apply_changes_to_rollup(
     value_col: str,
     count_col: str = "n_rows",
     sum_col: str = "sum_val",
+    txn: tuple | None = None,
+    check_replay: bool = False,
 ) -> None:
     """INCREMENTAL VIEW MAINTENANCE from a change data feed: apply a
     ``TableStore.table_changes`` frame to a seeded grouped COUNT/SUM
@@ -181,4 +188,76 @@ def apply_changes_to_rollup(
             sum_col: f"CAST(t.{sum_col} + s.{sum_col} AS DECIMAL(28,4))",
         },
         when_not_matched_insert=True,
+        txn=txn,
+        check_replay=check_replay,
     )
+
+
+def sync_rollup(
+    store: TableStore,
+    base_table: str,
+    rollup_table: str,
+    group_cols: list[str],
+    value_col: str,
+    count_col: str = "n_rows",
+    sum_col: str = "sum_val",
+    n_buckets: int = 16,
+) -> int:
+    """EXACTLY-ONCE catch-up of a maintained rollup to the base
+    table's CURRENT version — the driver loop around seed_rollup /
+    apply_changes_to_rollup that owns the version bookkeeping, so a
+    scheduler can just call sync_rollup() on any cadence.
+
+    The high-water mark ("base version this rollup reflects") is the
+    ROLLUP table's own transactional watermark
+    (app_id = 'rollup_sync:<base>', txn_version = base version), so
+    it commits ATOMICALLY with the merge that applies the feed —
+    there is no stamp-after-merge crash window where a retry would
+    double-apply a feed, and two concurrent syncers serialize at the
+    manifest claim (one applies, the loser's TxnAlreadyApplied is
+    absorbed — same window, same deltas). First call seeds from the
+    current snapshot; a no-change call is one manifest read.
+
+    Returns the base version the rollup now reflects. The base table
+    must be versioned+keyed (table_changes' requirement); the rollup
+    is created versioned to carry the watermark."""
+    from ..io import TxnAlreadyApplied
+
+    current = store._ensure_latest(base_table)
+    app_id = f"rollup_sync:{base_table}"
+    synced = (
+        store.last_txn(rollup_table, app_id)
+        if store.exists(rollup_table)
+        else None
+    )
+    if synced is None:
+        seed_rollup(
+            store,
+            store.read(base_table, version=current),
+            rollup_table,
+            group_cols,
+            value_col,
+            count_col=count_col,
+            sum_col=sum_col,
+            n_buckets=n_buckets,
+            versioned=True,
+            txn=(app_id, current),
+        )
+        return current
+    if synced >= current:
+        return synced  # nothing new: one manifest-listing read
+    try:
+        apply_changes_to_rollup(
+            store,
+            store.table_changes(base_table, synced, current),
+            rollup_table,
+            group_cols,
+            value_col,
+            count_col=count_col,
+            sum_col=sum_col,
+            txn=(app_id, current),
+            check_replay=True,
+        )
+    except TxnAlreadyApplied:
+        pass  # a concurrent syncer landed the identical window first
+    return current

@@ -2238,3 +2238,57 @@ def test_read_where_wave2_fixes(spark, tmp_path, monkeypatch):
     store.restore("t", v_target)  # must not touch any footer
     monkeypatch.undo()
     assert {r["id"] for r in store.read("t").collect()} >= {0, 3, 500}
+
+
+def test_sync_rollup_exactly_once(spark, tmp_path):
+    """sync_rollup: seed, incremental catch-up equal to recompute, and
+    the high-water mark rides the rollup's OWN txn watermark — so a
+    replayed window (the crash-retry / concurrent-syncer case) is
+    refused at the manifest commit, never double-applied."""
+    from decimal import Decimal
+
+    from datapipelinerepo_spark.plans.rollup import (
+        apply_changes_to_rollup,
+        sync_rollup,
+    )
+
+    store = TableStore(spark, str(tmp_path))
+    base = spark.createDataFrame(
+        [(1, 10.0, "A"), (2, 20.0, "B")], "id long, val double, grp string"
+    )
+    store.overwrite_keyed(base, "t", "id", n_buckets=2, versioned=True)
+    assert sync_rollup(store, "t", "r", ["grp"], "val") == 1  # seeds
+
+    def rollup():
+        return {
+            r["grp"]: (r["n_rows"], r["sum_val"])
+            for r in store.read("r").collect()
+        }
+
+    assert rollup() == {"A": (1, Decimal("10.0000")), "B": (1, Decimal("20.0000"))}
+    # no-op sync: same version, nothing applied
+    assert sync_rollup(store, "t", "r", ["grp"], "val") == 1
+    # two base writes, then one catch-up covering both
+    store.upsert(
+        spark.createDataFrame([(3, 5.0, "A")], "id long, val double, grp string"),
+        "t", "id",
+    )
+    store.delete_where("t", F.col("grp") == "B")
+    v = sync_rollup(store, "t", "r", ["grp"], "val")
+    assert v == store.latest_version("t")
+    assert rollup() == {"A": (2, Decimal("15.0000"))}
+    # replaying the already-synced window is refused at commit time:
+    # the direct re-application with the same (app, version) raises
+    # inside the claim loop, so no path can double-apply it
+    import pytest as _pytest
+
+    from datapipelinerepo_spark.io import TxnAlreadyApplied
+
+    with _pytest.raises(TxnAlreadyApplied):
+        apply_changes_to_rollup(
+            store, store.table_changes("t", 1, v), "r", ["grp"], "val",
+            txn=(f"rollup_sync:t", v), check_replay=True,
+        )
+    assert rollup() == {"A": (2, Decimal("15.0000"))}
+    # ...and sync_rollup itself absorbs the race loudly-quietly
+    assert sync_rollup(store, "t", "r", ["grp"], "val") == v
