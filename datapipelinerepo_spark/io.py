@@ -49,6 +49,15 @@ class TxnAlreadyApplied(RuntimeError):
     (no manifest references them) and reclaimed by vacuum."""
 
 
+class TxnConflict(TxnAlreadyApplied):
+    """Raised by a compare-and-swap commit (``txn_expect``): the app's
+    watermark at claim time differs from the value the writer's work
+    was derived from — another writer advanced (or reset) it in
+    between, so applying this write would double-apply or skip a
+    window. Subclasses TxnAlreadyApplied so replay handlers absorb
+    conflicts the same way (the data is NOT applied either way)."""
+
+
 def lakehouse_format() -> str | None:
     """'delta' when delta-spark is importable AND the active session
     carries the Delta SQL extension (a pip-installed delta-spark with an
@@ -190,6 +199,19 @@ class TableStore:
             return None
         return list(meta["keyed_on"]), int(meta["key_buckets"])
 
+    def table_incarnation(self, name: str) -> str | None:
+        """Identity of the table's current LIFETIME: minted fresh by
+        every overwrite_keyed (a reseed replaces the data AND restarts
+        version numbering, so anything derived from the old history —
+        change-feed cursors, sync watermarks — must not be applied to
+        the new one). None for tables predating the marker or never
+        keyed-written."""
+        p = self._meta_path(name)
+        if not os.path.isfile(p):
+            return None
+        with open(p) as f:
+            return json.load(f).get("incarnation")
+
     def _key_types(self, name: str) -> list[str] | None:
         p = self._meta_path(name)
         if not os.path.isfile(p):
@@ -263,7 +285,10 @@ class TableStore:
         with open(p) as f:
             meta = json.load(f)
         if "keyed_on" in meta or meta.get("versioned"):
-            for k in ("keyed_on", "key_buckets", "key_types", "versioned", "version"):
+            for k in (
+                "keyed_on", "key_buckets", "key_types", "versioned",
+                "version", "incarnation",
+            ):
                 meta.pop(k, None)
             with open(p, "w") as f:
                 json.dump(meta, f)
@@ -416,6 +441,7 @@ class TableStore:
         seed_txn: dict | None = None,
         check_replay: bool = False,
         seed_stats: dict | None = None,
+        txn_expect: int | None = None,
     ) -> int:
         """Commit the next manifest version PUT-IF-ABSENT: the document
         is fully written to a private tmp file, then CLAIMS its version
@@ -483,9 +509,19 @@ class TableStore:
                     for a, t in prev.items():
                         txn_map[a] = max(int(t), int(txn_map.get(a, -1)))
                 if txn is not None:
-                    if check_replay and int(txn_map.get(txn[0], -1)) >= int(
-                        txn[1]
-                    ):
+                    cur = int(txn_map.get(txn[0], -1))
+                    if txn_expect is not None and cur != int(txn_expect):
+                        # compare-and-swap: the writer derived its work
+                        # from watermark == txn_expect; any other value
+                        # means a concurrent writer moved it — applying
+                        # an overlapping-but-different window would
+                        # double-apply deltas (code-review r8 wave 3)
+                        raise TxnConflict(
+                            f"{name}: txn watermark for {txn[0]} is "
+                            f"{cur}, writer expected {txn_expect} — "
+                            "concurrent writer advanced it"
+                        )
+                    if check_replay and cur >= int(txn[1]):
                         raise TxnAlreadyApplied(
                             f"{name}: txn ({txn[0]}, {txn[1]}) already "
                             f"covered by watermark {txn_map.get(txn[0])} "
@@ -521,6 +557,7 @@ class TableStore:
         op: str | None = None,
         check_replay: bool = False,
         seed_stats: dict | None = None,
+        txn_expect: int | None = None,
     ) -> int:
         v = self._write_manifest_file(
             name,
@@ -530,6 +567,7 @@ class TableStore:
             op=op,
             check_replay=check_replay,
             seed_stats=seed_stats,
+            txn_expect=txn_expect,
         )
         # the meta schema tracks evolution (widen-only) so the
         # fully-emptied-table fallback serves the CURRENT column set
@@ -781,6 +819,7 @@ class TableStore:
         txn: tuple[str, int] | None = None,
         op: str | None = None,
         check_replay: bool = False,
+        txn_expect: int | None = None,
     ) -> int:
         """The shared versioned-write protocol: append ``stamped``
         (already _kb-stamped) as NEW part-files — never deleting live
@@ -802,6 +841,7 @@ class TableStore:
             txn=txn,
             op=op,
             check_replay=check_replay,
+            txn_expect=txn_expect,
         )
 
     def compact(
@@ -1512,6 +1552,8 @@ class TableStore:
             if versioned
             else 0
         )
+        import uuid
+
         self._touch_meta(
             name,
             keyed_on=keys,
@@ -1519,6 +1561,12 @@ class TableStore:
             key_types=key_types,
             versioned=versioned,
             version=v,
+            # fresh per reseed: downstream incremental consumers
+            # (sync_rollup) key their watermarks on the incarnation so
+            # a reseed — which restarts version numbering at 1 — is
+            # detected as a NEW table, not a stale/garbage feed source
+            # (code-review r8 wave 3)
+            incarnation=uuid.uuid4().hex,
             # read-side fallback for a later fully-emptied table (see
             # _meta_schema_df); stamped WITH _kb so bucket-path readers
             # degrade the same way
@@ -1688,6 +1736,7 @@ class TableStore:
         op: str = "replace_buckets",
         txn: tuple[str, int] | None = None,
         check_replay: bool = False,
+        txn_expect: int | None = None,
     ) -> None:
         """Replace exactly the listed buckets with ``df``'s rows
         (stamped by the table's key spec). Buckets in ``buckets`` that
@@ -1729,7 +1778,7 @@ class TableStore:
             ]
             self._append_and_publish(
                 stamped, name, eff, kept, op=op, txn=txn,
-                check_replay=check_replay,
+                check_replay=check_replay, txn_expect=txn_expect,
             )
             return
         (
@@ -2044,6 +2093,7 @@ class TableStore:
         when_not_matched_insert: bool | str = True,
         txn: tuple[str, int] | None = None,
         check_replay: bool = False,
+        txn_expect: int | None = None,
     ) -> list[int]:
         """Conditional MERGE — the full Delta ``MERGE INTO`` clause
         surface on the keyed store, generalizing ``upsert`` (which is
@@ -2088,6 +2138,16 @@ class TableStore:
         if spec is None:
             raise ValueError(
                 f"{name}: merge_when needs a keyed table (overwrite_keyed)"
+            )
+        if txn is not None and not self.is_versioned(name):
+            # the unversioned write path has no manifest to carry the
+            # watermark: silently applying would hand the caller a txn
+            # guarantee that does not exist (code-review r8 wave 3) —
+            # refuse loudly, like upsert_txn
+            raise ValueError(
+                f"{name}: merge_when(txn=...) needs a VERSIONED keyed "
+                "table (overwrite_keyed(..., versioned=True)) — "
+                "unversioned tables cannot record the watermark"
             )
         if list(spec[0]) != keys:
             raise ValueError(
@@ -2198,7 +2258,7 @@ class TableStore:
             self._check_constraints(name, landed)
         self.overwrite_buckets(
             merged, name, buckets, op="merge", txn=txn,
-            check_replay=check_replay,
+            check_replay=check_replay, txn_expect=txn_expect,
         )
         return sorted(buckets)
 

@@ -106,6 +106,13 @@ def seed_rollup(
     associative, so any sequence of change feeds lands on precisely
     the value a full recompute would (double sums would drift with
     accumulation order)."""
+    if txn is not None and not versioned:
+        raise ValueError(
+            "seed_rollup: txn= needs versioned=True — an unversioned "
+            "rollup has no manifest to record the watermark, and "
+            "silently dropping it would void the caller's replay "
+            "protection (code-review r8 wave 3)"
+        )
     agg = snapshot.groupBy(*group_cols).agg(
         F.count(F.lit(1)).alias(count_col),
         # NULL measure values contribute 0 — and a group with ONLY
@@ -137,6 +144,7 @@ def apply_changes_to_rollup(
     sum_col: str = "sum_val",
     txn: tuple | None = None,
     check_replay: bool = False,
+    txn_expect: int | None = None,
 ) -> None:
     """INCREMENTAL VIEW MAINTENANCE from a change data feed: apply a
     ``TableStore.table_changes`` frame to a seeded grouped COUNT/SUM
@@ -190,6 +198,7 @@ def apply_changes_to_rollup(
         when_not_matched_insert=True,
         txn=txn,
         check_replay=check_replay,
+        txn_expect=txn_expect,
     )
 
 
@@ -209,28 +218,44 @@ def sync_rollup(
     scheduler can just call sync_rollup() on any cadence.
 
     The high-water mark ("base version this rollup reflects") is the
-    ROLLUP table's own transactional watermark
-    (app_id = 'rollup_sync:<base>', txn_version = base version), so
-    it commits ATOMICALLY with the merge that applies the feed —
-    there is no stamp-after-merge crash window where a retry would
-    double-apply a feed, and two concurrent syncers serialize at the
-    manifest claim (one applies, the loser's TxnAlreadyApplied is
-    absorbed — same window, same deltas). First call seeds from the
-    current snapshot; a no-change call is one manifest read.
+    ROLLUP table's own transactional watermark, committed ATOMICALLY
+    with the merge that applies the feed, with COMPARE-AND-SWAP
+    semantics (``txn_expect``): the commit only lands if the watermark
+    still equals the window's STARTING version, so
+    - a crash between merge and any separate stamp cannot exist
+      (there is no separate stamp), and
+    - two concurrent syncers that observed DIFFERENT current versions
+      cannot both land overlapping windows — the second's
+      (synced → current') window conflicts at the claim and is
+      refused with its data unapplied (code-review r8 wave 3; the
+      remaining gap is applied by the next call).
 
-    Returns the base version the rollup now reflects. The base table
-    must be versioned+keyed (table_changes' requirement); the rollup
-    is created versioned to carry the watermark."""
+    The watermark's app id embeds the base table's INCARNATION
+    (minted fresh by every overwrite_keyed), so an administrative
+    reseed of the base — which restarts version numbering at 1 — is
+    detected as a new table and the rollup RE-SEEDS instead of
+    silently staying stale or diffing unrelated manifests.
+
+    First call seeds from the current snapshot (seeding, like every
+    overwrite_keyed, is single-writer — do not race two FIRST-TIME
+    syncers; steady-state concurrent syncs are safe per the CAS
+    above). A no-change call is one manifest read. Returns the base
+    version the rollup now reflects; the base must be versioned+keyed
+    (table_changes' requirement)."""
     from ..io import TxnAlreadyApplied
 
     current = store._ensure_latest(base_table)
-    app_id = f"rollup_sync:{base_table}"
+    inc = store.table_incarnation(base_table) or "0"
+    app_id = f"rollup_sync:{base_table}:{inc}"
     synced = (
         store.last_txn(rollup_table, app_id)
         if store.exists(rollup_table)
         else None
     )
     if synced is None:
+        # first sync for THIS base incarnation: (re)seed wholesale —
+        # covers both the genuinely-new rollup and a base reseed,
+        # where the old incarnation's watermark must not be trusted
         seed_rollup(
             store,
             store.read(base_table, version=current),
@@ -257,7 +282,11 @@ def sync_rollup(
             sum_col=sum_col,
             txn=(app_id, current),
             check_replay=True,
+            txn_expect=synced,  # CAS: only if nobody advanced it
         )
     except TxnAlreadyApplied:
-        pass  # a concurrent syncer landed the identical window first
+        # replay of the identical window, or a concurrent syncer's
+        # conflicting one — either way nothing was applied here;
+        # report the actual progress
+        return int(store.last_txn(rollup_table, app_id) or current)
     return current

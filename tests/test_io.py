@@ -2284,11 +2284,88 @@ def test_sync_rollup_exactly_once(spark, tmp_path):
 
     from datapipelinerepo_spark.io import TxnAlreadyApplied
 
+    app_id = f"rollup_sync:t:{store.table_incarnation('t')}"
     with _pytest.raises(TxnAlreadyApplied):
         apply_changes_to_rollup(
             store, store.table_changes("t", 1, v), "r", ["grp"], "val",
-            txn=(f"rollup_sync:t", v), check_replay=True,
+            txn=(app_id, v), check_replay=True,
         )
     assert rollup() == {"A": (2, Decimal("15.0000"))}
     # ...and sync_rollup itself absorbs the race loudly-quietly
     assert sync_rollup(store, "t", "r", ["grp"], "val") == v
+
+
+def test_sync_rollup_wave3_fixes(spark, tmp_path):
+    """Code-review r8 wave 3 regressions: (1) compare-and-swap
+    watermarks refuse an overlapping-but-longer concurrent window;
+    (2) a base reseed (new incarnation, version numbering restarted)
+    makes the next sync RE-SEED instead of silently no-oping or
+    diffing unrelated manifests; (3) merge_when and seed_rollup refuse
+    txn= on unversioned tables instead of silently dropping the
+    watermark."""
+    from decimal import Decimal
+
+    import pytest as _pytest
+
+    from datapipelinerepo_spark.io import TxnConflict
+    from datapipelinerepo_spark.plans.rollup import (
+        apply_changes_to_rollup,
+        seed_rollup,
+        sync_rollup,
+    )
+
+    store = TableStore(spark, str(tmp_path))
+    base = spark.createDataFrame(
+        [(1, 10.0, "A"), (2, 20.0, "B")], "id long, val double, grp string"
+    )
+    store.overwrite_keyed(base, "t", "id", n_buckets=2, versioned=True)
+    inc = store.table_incarnation("t")
+    assert inc  # minted by overwrite_keyed
+    app = f"rollup_sync:t:{inc}"
+    assert sync_rollup(store, "t", "r", ["grp"], "val") == 1
+    # two base writes
+    store.upsert(
+        spark.createDataFrame([(3, 5.0, "A")], "id long, val double, grp string"),
+        "t", "id",
+    )  # v2
+    store.upsert(
+        spark.createDataFrame([(4, 7.0, "B")], "id long, val double, grp string"),
+        "t", "id",
+    )  # v3
+    # (1) simulate two syncers that both read synced=1: the first
+    # applies window 1→2; the second's 1→3 window must CONFLICT (its
+    # start no longer matches the watermark), leaving its deltas out
+    apply_changes_to_rollup(
+        store, store.table_changes("t", 1, 2), "r", ["grp"], "val",
+        txn=(app, 2), check_replay=True, txn_expect=1,
+    )
+    with _pytest.raises(TxnConflict):
+        apply_changes_to_rollup(
+            store, store.table_changes("t", 1, 3), "r", ["grp"], "val",
+            txn=(app, 3), check_replay=True, txn_expect=1,
+        )
+    got = {r["grp"]: (r["n_rows"], r["sum_val"]) for r in store.read("r").collect()}
+    assert got == {"A": (2, Decimal("15.0000")), "B": (1, Decimal("20.0000"))}
+    # the scheduler's next sync applies the remaining 2→3 window
+    assert sync_rollup(store, "t", "r", ["grp"], "val") == 3
+    got = {r["grp"]: (r["n_rows"], r["sum_val"]) for r in store.read("r").collect()}
+    assert got == {"A": (2, Decimal("15.0000")), "B": (2, Decimal("27.0000"))}
+    # (2) base reseed: fresh incarnation, version numbering restarts —
+    # the sync must re-seed the rollup from the NEW data
+    reseed = spark.createDataFrame(
+        [(9, 100.0, "Z")], "id long, val double, grp string"
+    )
+    store.overwrite_keyed(reseed, "t", "id", n_buckets=2, versioned=True)
+    assert store.table_incarnation("t") != inc
+    assert sync_rollup(store, "t", "r", ["grp"], "val") == 1
+    got = {r["grp"]: (r["n_rows"], r["sum_val"]) for r in store.read("r").collect()}
+    assert got == {"Z": (1, Decimal("100.0000"))}
+    # (3) txn on unversioned surfaces refuse loudly
+    store.overwrite_keyed(base, "u", "id", n_buckets=2, versioned=False)
+    with _pytest.raises(ValueError, match="VERSIONED"):
+        store.merge_when(
+            spark.createDataFrame([(1, 1.0, "A")], "id long, val double, grp string"),
+            "u", "id", txn=("app", 1),
+        )
+    with _pytest.raises(ValueError, match="versioned=True"):
+        seed_rollup(store, base, "u2", ["grp"], "val", txn=("app", 1))
