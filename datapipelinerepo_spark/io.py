@@ -675,9 +675,10 @@ class TableStore:
     def read_where(
         self,
         name: str,
-        col: str,
-        between: tuple,
+        col: str | None = None,
+        between: tuple | None = None,
         version: int | None = None,
+        ranges: dict | None = None,
     ) -> DataFrame:
         """DATA-SKIPPING read (Delta/Iceberg file-pruning parity): rows
         of a versioned keyed table with ``col`` BETWEEN the two bounds
@@ -691,15 +692,30 @@ class TableStore:
         recorded stat for ``col`` are always kept (pruning is an
         optimization, never a correctness gate), and the exact filter
         still applies on the scan — BETWEEN semantics, NULLs never
-        match."""
+        match.
+
+        ``ranges={col: (lo, hi), ...}`` is the multi-column
+        conjunction form (every predicate must hold): a file survives
+        only if EVERY listed column's interval overlaps its stats, so
+        the kept set is the intersection of the per-column prunes —
+        the payoff of z-ordered layout, where every file is narrow in
+        every clustered dimension at once."""
         if not self.is_versioned(name):
             raise ValueError(
                 f"{name}: read_where needs a versioned table (the stats "
                 "live in the snapshot manifests)"
             )
+        if (col is None) == (ranges is None):
+            raise ValueError("pass col+between OR ranges, exactly one")
+        if ranges is None:
+            ranges = {col: between}
         v = self._ensure_latest(name) if version is None else version
         doc = self._manifest_doc(name, v)
-        keep = self._pruned_files(doc, col, between)
+        keep = None
+        for c, b in ranges.items():
+            kept_c = set(self._pruned_files(doc, c, b))
+            keep = kept_c if keep is None else (keep & kept_c)
+        keep = [f for f in doc["files"] if f in keep]
         base = self._dir(name)
         if not keep:
             out = self._read_manifest_df(name, v)
@@ -725,10 +741,10 @@ class TableStore:
                         fld.name, F.lit(None).cast(fld.dataType)
                     )
         out = out if keep else out.limit(0)
-        return (
-            out.drop("_kb")
-            .filter(F.col(col).between(F.lit(between[0]), F.lit(between[1])))
-        )
+        out = out.drop("_kb")
+        for c, b in ranges.items():
+            out = out.filter(F.col(c).between(F.lit(b[0]), F.lit(b[1])))
+        return out
 
     def _pruned_files(self, doc: dict, col: str, between: tuple) -> list[str]:
         """The ONE pruning decision (shared by read_where and
@@ -2261,6 +2277,37 @@ class TableStore:
             check_replay=check_replay, txn_expect=txn_expect,
         )
         return sorted(buckets)
+
+    def rebucket(self, name: str, n_buckets: int) -> None:
+        """Change a keyed table's bucket count — the knob that tunes
+        lookup/merge granularity as the table grows (SCALE.md: at
+        fixed data, more buckets only add per-file overhead; at
+        growing data, n_buckets should track 'a few row groups per
+        bucket'). A full rewrite by necessity (every row re-hashes),
+        executed as a reseed overwrite_keyed: versioned tables carry
+        their txn watermark map forward (replayed streaming batches
+        stay skipped), but version numbering restarts and a NEW
+        incarnation is minted — change-feed cursors and sync_rollup
+        watermarks correctly treat the rebucketed table as a fresh
+        seed source, because old version numbers are meaningless
+        against the new history. Single-writer, like every
+        overwrite."""
+        spec = self.keyed_spec(name)
+        if spec is None:
+            raise ValueError(f"{name}: rebucket needs a keyed table")
+        keys, old_n = spec
+        if int(n_buckets) == int(old_n):
+            return
+        # pin the current rows before truncating the directory they
+        # live in (same rule as every read-then-overwrite path)
+        snapshot = self.read(name).localCheckpoint(eager=True)
+        self.overwrite_keyed(
+            snapshot,
+            name,
+            list(keys),
+            n_buckets=int(n_buckets),
+            versioned=self.is_versioned(name),
+        )
 
     def delete_where(self, name: str, condition) -> list[int]:
         """Row-level DELETE (the MERGE family's third verb, after

@@ -2369,3 +2369,69 @@ def test_sync_rollup_wave3_fixes(spark, tmp_path):
         )
     with _pytest.raises(ValueError, match="versioned=True"):
         seed_rollup(store, base, "u2", ["grp"], "val", txn=("app", 1))
+
+
+def test_read_where_multi_column_and_rebucket(spark, tmp_path):
+    """Multi-column data skipping intersects per-column prunes (the
+    z-order payoff); rebucket re-hashes every row into the new bucket
+    count while carrying txn watermarks and minting a new
+    incarnation."""
+    import pytest as _pytest
+
+    store = TableStore(spark, str(tmp_path))
+
+    def slab(lo):  # two correlated range columns per slab
+        return spark.createDataFrame(
+            [(i, float(i), float(2000 - i)) for i in range(lo, lo + 100)],
+            ["id", "x", "y"],
+        )
+
+    store.overwrite_keyed(slab(0), "t", "id", n_buckets=4, versioned=True)
+    for lo in range(100, 1000, 100):
+        store.append(slab(lo), "t")
+    # conjunction: x in [150,160] AND y in [1840,1850] → same slab;
+    # results equal the plain double filter
+    got = {
+        r["id"]
+        for r in store.read_where(
+            "t", ranges={"x": (150.0, 160.0), "y": (1840.0, 1850.0)}
+        ).collect()
+    }
+    plain = {
+        r["id"]
+        for r in store.read("t")
+        .filter(F.col("x").between(150.0, 160.0))
+        .filter(F.col("y").between(1840.0, 1850.0))
+        .collect()
+    }
+    assert got == plain == set(range(150, 161))
+    # contradictory conjunction prunes everything and reads empty
+    assert (
+        store.read_where(
+            "t", ranges={"x": (150.0, 160.0), "y": (0.0, 10.0)}
+        ).count()
+        == 0
+    )
+    with _pytest.raises(ValueError, match="exactly one"):
+        store.read_where("t")
+    # rebucket: same rows, new bucket count, new incarnation, carried
+    # watermark
+    assert store.upsert_txn(
+        spark.createDataFrame([(5000, 1.0, 1.0)], ["id", "x", "y"]),
+        "t", "id", "app", 9,
+    ) is True
+    inc_before = store.table_incarnation("t")
+    before = {tuple(r) for r in store.read("t").collect()}
+    store.rebucket("t", 16)
+    assert store.keyed_spec("t") == (["id"], 16)
+    assert {tuple(r) for r in store.read("t").collect()} == before
+    assert store.table_incarnation("t") != inc_before
+    assert store.last_txn("t", "app") == 9  # watermark survived
+    # same-count rebucket is a no-op (no rewrite, incarnation kept)
+    inc2 = store.table_incarnation("t")
+    store.rebucket("t", 16)
+    assert store.table_incarnation("t") == inc2
+    # lookups still route correctly against the new bucketing
+    assert {r["id"] for r in store.lookup("t", [5000, 150]).collect()} == {
+        5000, 150,
+    }
