@@ -705,17 +705,14 @@ class TableStore:
                 f"{name}: read_where needs a versioned table (the stats "
                 "live in the snapshot manifests)"
             )
-        if (col is None) == (ranges is None):
-            raise ValueError("pass col+between OR ranges, exactly one")
-        if ranges is None:
-            ranges = {col: between}
+        ranges = self._normalize_ranges(col, between, ranges)
         v = self._ensure_latest(name) if version is None else version
         doc = self._manifest_doc(name, v)
-        keep = None
+        keep_set: set | None = None
         for c, b in ranges.items():
             kept_c = set(self._pruned_files(doc, c, b))
-            keep = kept_c if keep is None else (keep & kept_c)
-        keep = [f for f in doc["files"] if f in keep]
+            keep_set = kept_c if keep_set is None else (keep_set & kept_c)
+        keep = [f for f in doc["files"] if f in keep_set]
         base = self._dir(name)
         if not keep:
             out = self._read_manifest_df(name, v)
@@ -746,6 +743,28 @@ class TableStore:
             out = out.filter(F.col(c).between(F.lit(b[0]), F.lit(b[1])))
         return out
 
+    @staticmethod
+    def _normalize_ranges(col, between, ranges) -> dict:
+        """The one validation of read_where/pruned_file_count's two
+        calling forms (code-review r8 wave 4: the first cut let
+        col-without-between, between-without-col, and an empty ranges
+        dict crash deep in pruning with opaque TypeErrors)."""
+        if ranges is not None:
+            if col is not None or between is not None:
+                raise ValueError("pass col+between OR ranges, exactly one")
+            if not ranges:
+                raise ValueError("ranges must name at least one column")
+            bad = {c: b for c, b in ranges.items()
+                   if not isinstance(c, str) or b is None or len(b) != 2}
+            if bad:
+                raise ValueError(f"malformed ranges entries: {bad}")
+            return dict(ranges)
+        if col is None or between is None:
+            raise ValueError("pass col+between OR ranges, exactly one")
+        if len(between) != 2:
+            raise ValueError(f"between must be (lo, hi), got {between!r}")
+        return {col: between}
+
     def _pruned_files(self, doc: dict, col: str, between: tuple) -> list[str]:
         """The ONE pruning decision (shared by read_where and
         pruned_file_count, so the observability counter can never
@@ -772,14 +791,27 @@ class TableStore:
         return keep
 
     def pruned_file_count(
-        self, name: str, col: str, between: tuple, version: int | None = None
+        self,
+        name: str,
+        col: str | None = None,
+        between: tuple | None = None,
+        version: int | None = None,
+        ranges: dict | None = None,
     ) -> tuple[int, int]:
         """(files the read_where plan would open, total live files) —
         the observability hook tests and capacity planning use to see
-        data skipping actually skipping."""
+        data skipping actually skipping. Mirrors read_where's two
+        calling forms exactly (same normalization, same per-column
+        intersection), so the counter can never drift from the plan
+        (code-review r8 wave 4)."""
+        ranges = self._normalize_ranges(col, between, ranges)
         v = self._ensure_latest(name) if version is None else version
         doc = self._manifest_doc(name, v)
-        return len(self._pruned_files(doc, col, between)), len(doc["files"])
+        keep_set: set | None = None
+        for c, b in ranges.items():
+            kept_c = set(self._pruned_files(doc, c, b))
+            keep_set = kept_c if keep_set is None else (keep_set & kept_c)
+        return len(keep_set), len(doc["files"])
 
     def last_txn(self, name: str, app_id: str) -> int | None:
         """The highest transactional write version applied for
@@ -1507,6 +1539,13 @@ class TableStore:
         isolation and ``read(name, version=N)`` time travel, and
         ``vacuum`` reclaims unreferenced files."""
         keys = [key] if isinstance(key, str) else list(key)
+        if int(n_buckets) < 1:
+            # pmod(x, 0) is NULL: every row would land in the Hive
+            # default partition and bucket-pruned lookups/upserts would
+            # silently match nothing (code-review r8 wave 4)
+            raise ValueError(
+                f"{name}: n_buckets must be >= 1, got {n_buckets}"
+            )
         df = self._enforce_constraints(name, df)
         key_types = [df.schema[k].dataType.simpleString() for k in keys]
         stamped = df.withColumn(
@@ -2290,24 +2329,39 @@ class TableStore:
         incarnation is minted — change-feed cursors and sync_rollup
         watermarks correctly treat the rebucketed table as a fresh
         seed source, because old version numbers are meaningless
-        against the new history. Single-writer, like every
-        overwrite."""
+        against the new history. Single-writer, like every overwrite.
+
+        Crash safety (code-review r8 wave 4): the snapshot STAGES to
+        durable parquet (`_rebucket_<name>` beside the table) before
+        the destructive overwrite — an in-memory checkpoint would be
+        the only copy of the table the moment the overwrite truncates
+        it, so a driver crash mid-rewrite would destroy every version
+        with no recovery source. A crashed rebucket instead RESUMES:
+        the retry finds the committed stage and completes the
+        overwrite from it; the stage is removed only after success."""
         spec = self.keyed_spec(name)
         if spec is None:
             raise ValueError(f"{name}: rebucket needs a keyed table")
         keys, old_n = spec
+        stage = os.path.join(self.root, f"_rebucket_{name}")
         if int(n_buckets) == int(old_n):
+            # a retry after the overwrite already completed: just
+            # clear the leftover stage
+            shutil.rmtree(stage, ignore_errors=True)
             return
-        # pin the current rows before truncating the directory they
-        # live in (same rule as every read-then-overwrite path)
-        snapshot = self.read(name).localCheckpoint(eager=True)
+        staged = os.path.isfile(os.path.join(stage, "_SUCCESS"))
+        if not staged:
+            # stale partial stage from an earlier crash-in-staging is
+            # overwritten (the table itself was untouched then)
+            self.read(name).write.mode("overwrite").parquet(stage)
         self.overwrite_keyed(
-            snapshot,
+            self.spark.read.parquet(stage),
             name,
             list(keys),
             n_buckets=int(n_buckets),
             versioned=self.is_versioned(name),
         )
+        shutil.rmtree(stage, ignore_errors=True)
 
     def delete_where(self, name: str, condition) -> list[int]:
         """Row-level DELETE (the MERGE family's third verb, after

@@ -2435,3 +2435,70 @@ def test_read_where_multi_column_and_rebucket(spark, tmp_path):
     assert {r["id"] for r in store.lookup("t", [5000, 150]).collect()} == {
         5000, 150,
     }
+
+
+def test_rebucket_and_read_where_wave4_fixes(spark, tmp_path, monkeypatch):
+    """Code-review r8 wave 4 regressions: a crashed rebucket resumes
+    from the durable stage instead of losing the table; bad bucket
+    counts and malformed read_where argument forms refuse up front;
+    the pruned-file counter supports the ranges form and matches the
+    intersection plan."""
+    import os as _os
+
+    import pytest as _pytest
+
+    from datapipelinerepo_spark import io as io_mod
+
+    store = TableStore(spark, str(tmp_path))
+
+    def slab(lo):
+        return spark.createDataFrame(
+            [(i, float(i), float(2000 - i)) for i in range(lo, lo + 100)],
+            ["id", "x", "y"],
+        )
+
+    store.overwrite_keyed(slab(0), "t", "id", n_buckets=4, versioned=True)
+    for lo in range(100, 500, 100):
+        store.append(slab(lo), "t")
+    before = {tuple(r) for r in store.read("t").collect()}
+    # n_buckets validation, at the root (overwrite_keyed) and rebucket
+    with _pytest.raises(ValueError, match="n_buckets"):
+        store.rebucket("t", 0)
+    with _pytest.raises(ValueError, match="n_buckets"):
+        store.overwrite_keyed(slab(0), "t2", "id", n_buckets=-3)
+    # crashed rebucket: staging completed, overwrite died mid-way
+    # (simulated by making overwrite_keyed fail after staging)
+    orig = io_mod.TableStore.overwrite_keyed
+
+    def boom(self, *a, **k):
+        raise RuntimeError("injected crash mid-rebucket")
+
+    monkeypatch.setattr(io_mod.TableStore, "overwrite_keyed", boom)
+    with _pytest.raises(RuntimeError, match="injected"):
+        store.rebucket("t", 8)
+    monkeypatch.setattr(io_mod.TableStore, "overwrite_keyed", orig)
+    stage = _os.path.join(str(tmp_path), "_rebucket_t")
+    assert _os.path.isfile(_os.path.join(stage, "_SUCCESS"))  # durable copy
+    # the retry resumes from the stage and completes
+    store.rebucket("t", 8)
+    assert store.keyed_spec("t") == (["id"], 8)
+    assert {tuple(r) for r in store.read("t").collect()} == before
+    assert not _os.path.isdir(stage)  # stage cleared after success
+    # malformed read_where forms refuse with clear errors
+    for bad in (
+        dict(col="x"),                      # between forgotten
+        dict(between=(0.0, 1.0)),           # col forgotten
+        dict(ranges={}),                    # empty conjunction
+        dict(col="x", between=(0.0, 1.0), ranges={"y": (0.0, 1.0)}),
+        dict(ranges={"x": None}),           # malformed entry
+    ):
+        with _pytest.raises(ValueError):
+            store.read_where("t", **bad)
+    # the counter's ranges form matches the intersection plan: the
+    # conjunction opens no more files than either column alone
+    both, total = store.pruned_file_count(
+        "t", ranges={"x": (150.0, 160.0), "y": (1840.0, 1850.0)}
+    )
+    only_x, _ = store.pruned_file_count("t", "x", (150.0, 160.0))
+    only_y, _ = store.pruned_file_count("t", "y", (1840.0, 1850.0))
+    assert 0 < both <= min(only_x, only_y) < total

@@ -31,7 +31,11 @@ RUNS = 3
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    tail = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf = float(tail)  # tolerate dirs not named sf<number>
+    except ValueError:
+        sf = sf_dir
     spark = get_spark(app_name="bench_lookup_buckets")
     spark.sparkContext.setLogLevel("ERROR")
     orders = load_table(spark, sf_dir, "orders").select(
@@ -60,7 +64,7 @@ def main() -> None:
             print(f"# {points[-1]}", file=sys.stderr)
         finally:
             shutil.rmtree(wdir, ignore_errors=True)
-    print(json.dumps({"sf": float(sf), "runs": RUNS, "points": points}))
+    print(json.dumps({"sf": sf, "runs": RUNS, "points": points}))
 
 
 if __name__ == "__main__":
