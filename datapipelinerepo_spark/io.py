@@ -2428,6 +2428,10 @@ class TableStore:
     def drop(self, name: str) -> None:
         shutil.rmtree(self._dir(name), ignore_errors=True)
         shutil.rmtree(self._manifest_dir(name), ignore_errors=True)
+        # a crashed rebucket's durable stage dies with its table
+        shutil.rmtree(
+            os.path.join(self.root, f"_rebucket_{name}"), ignore_errors=True
+        )
         try:
             os.remove(self._meta_path(name))
         except FileNotFoundError:

@@ -551,3 +551,88 @@ def test_bpe_gate_rejects_order_sensitive_lists(words):
     # after rule 1 creates "ab"; sequential (the spec) cannot
     assert _bpe_word_tokens_py("abc", rules, ranks, fast=False) == ["ab", "c"]
     assert _bpe_word_tokens_py("abc", rules, ranks, fast=True) == ["abc"]
+
+
+# --- CDF + incremental view maintenance: sync == recompute ------------------
+
+_GRP_BATCH = st.lists(
+    st.tuples(
+        st.integers(0, 25),
+        st.one_of(st.none(), st.floats(-50, 50, allow_nan=False)),
+        st.sampled_from(["A", "B", "C"]),
+    ),
+    min_size=1, max_size=5,
+    unique_by=lambda t: t[0],
+)
+_SYNC_OPS = st.lists(
+    st.one_of(
+        st.tuples(st.just("upsert"), _GRP_BATCH),
+        st.tuples(st.just("delete"), st.floats(-50, 50, allow_nan=False)),
+        st.tuples(st.just("compact"), st.just(None)),
+        st.tuples(st.just("sync"), st.just(None)),
+    ),
+    min_size=1, max_size=6,
+)
+
+
+@settings(max_examples=5, deadline=None)
+@given(ops=_SYNC_OPS)
+def test_cdf_sync_rollup_matches_recompute(spark, tmp_path_factory, ops):
+    """Model-based check of the round-8 CDF→IVM pipeline: a random
+    sequence of upserts (with NULL measures), value-predicate deletes
+    and compactions on a versioned base, with sync_rollup interleaved
+    at random points — after EVERY sync the maintained aggregate must
+    equal a direct grouped recompute of the current base (counts and
+    decimal sums), including groups that empty out and re-appear."""
+    from pyspark.sql import functions as F
+
+    from datapipelinerepo_spark.io import TableStore
+    from datapipelinerepo_spark.plans.rollup import sync_rollup
+
+    tmp = tmp_path_factory.mktemp("cdfsync")
+    store = TableStore(spark, str(tmp))
+    base = [(k, float(k), "A" if k % 2 else "B") for k in range(0, 10)]
+    schema = "id long, val double, grp string"
+    store.overwrite_keyed(
+        spark.createDataFrame(base, schema), "t", "id", n_buckets=4,
+        versioned=True,
+    )
+
+    def recompute():
+        return {
+            r["grp"]: (r["n"], r["s"])
+            for r in store.read("t")
+            .groupBy("grp")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.coalesce(
+                    F.sum(F.coalesce(
+                        F.col("val").cast("decimal(18,4)"),
+                        F.lit(0).cast("decimal(18,4)"),
+                    )),
+                    F.lit(0).cast("decimal(18,4)"),
+                ).cast("decimal(28,4)").alias("s"),
+            )
+            .collect()
+        }
+
+    def rollup():
+        return {
+            r["grp"]: (r["n_rows"], r["sum_val"])
+            for r in store.read("r").collect()
+        }
+
+    sync_rollup(store, "t", "r", ["grp"], "val")  # seed
+    assert rollup() == recompute()
+    for op, arg in ops:
+        if op == "upsert":
+            store.upsert(spark.createDataFrame(arg, schema), "t", "id")
+        elif op == "delete":
+            store.delete_where("t", f"val > {arg!r}")
+        elif op == "compact":
+            store.compact("t")
+        else:
+            sync_rollup(store, "t", "r", ["grp"], "val")
+            assert rollup() == recompute(), f"after sync: ops={ops}"
+    sync_rollup(store, "t", "r", ["grp"], "val")
+    assert rollup() == recompute(), f"final: ops={ops}"
