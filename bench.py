@@ -259,7 +259,9 @@ def main() -> None:
     verb_names = (
         "store_lookup_verb",
         "store_constrained_upsert_verb",
+        "store_merge_when_verb",
         "store_delete_where_verb",
+        "store_table_changes_verb",
         "store_restore_verb",
     )
     verb_samples: dict[str, list[float]] = {v: [] for v in verb_names}
@@ -290,9 +292,42 @@ def main() -> None:
                 time.perf_counter() - t0
             )
 
+            merge_src = base.filter(F.col("o_orderkey") % 100 == 9).select(
+                "o_orderkey",
+                (F.col("o_totalprice") / 10).alias("adj"),
+                F.when(F.col("o_orderkey") % 200 == 9, F.lit("del"))
+                .otherwise(F.lit("adj"))
+                .alias("tag"),
+            )
+            t0 = time.perf_counter()
+            store.merge_when(
+                merge_src,
+                "t",
+                "o_orderkey",
+                when_matched_update={
+                    "o_totalprice": "t.o_totalprice + s.adj"
+                },
+                matched_condition="s.tag = 'adj'",
+                when_matched_delete="s.tag = 'del'",
+                when_not_matched_insert=False,
+            )
+            verb_samples["store_merge_when_verb"].append(
+                time.perf_counter() - t0
+            )
+
             t0 = time.perf_counter()
             store.delete_where("t", F.col("o_totalprice") > 400000)
             verb_samples["store_delete_where_verb"].append(
+                time.perf_counter() - t0
+            )
+
+            # the change feed from the initial snapshot across the
+            # upsert+merge+delete above — CDF derivation cost
+            t0 = time.perf_counter()
+            store.table_changes("t", 1).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            verb_samples["store_table_changes_verb"].append(
                 time.perf_counter() - t0
             )
 
