@@ -1046,6 +1046,87 @@ class TableStore:
                     pass
         return deleted
 
+    def fsck(self, name: str) -> dict:
+        """Consistency audit of a versioned table's metadata against
+        the filesystem — the operability check a maintenance job runs
+        before/after vacuum or a migration (audits REPORT, gates
+        refuse — the validate() convention). Reads manifests + a
+        directory listing, no data. Returns:
+
+        - ``broken_versions``: {version: [missing files]} — retained
+          manifests referencing files that no longer exist (a vacuumed
+          pin, manual deletion, or a partial restore): reads of those
+          versions will fail.
+        - ``orphan_files`` / ``orphan_bytes``: live on disk but
+          referenced by NO retained manifest — aborted commits and
+          vacuum debt (reclaimable; fresh ones may be in-flight
+          writers, see vacuum's grace).
+        - ``issues``: structural problems — meta/manifest version
+          pointer ahead of the published history, malformed txn or
+          stats entries, a keyed spec whose key_types length mismatch.
+        A healthy table returns all-empty/zero fields."""
+        report: dict = {
+            "broken_versions": {},
+            "orphan_files": [],
+            "orphan_bytes": 0,
+            "issues": [],
+        }
+        vs = self.versions(name)
+        referenced: set[str] = set()
+        for v in vs:
+            try:
+                doc = self._manifest_doc(name, v)
+            except (OSError, ValueError) as ex:
+                report["issues"].append(f"v{v}: unreadable manifest ({ex})")
+                continue
+            missing = [
+                f
+                for f in doc.get("files", [])
+                if not os.path.isfile(os.path.join(self._dir(name), f))
+            ]
+            if missing:
+                report["broken_versions"][v] = missing
+            referenced.update(doc.get("files", []))
+            txn = doc.get("txn", {})
+            if not all(
+                isinstance(a, str) and isinstance(t, int)
+                for a, t in txn.items()
+            ):
+                report["issues"].append(f"v{v}: malformed txn map {txn}")
+            stray_stats = set(doc.get("stats", {})) - set(doc.get("files", []))
+            if stray_stats:
+                report["issues"].append(
+                    f"v{v}: stats for unreferenced files {sorted(stray_stats)}"
+                )
+        for rel in self._data_files(name):
+            if rel not in referenced:
+                report["orphan_files"].append(rel)
+                try:
+                    report["orphan_bytes"] += os.path.getsize(
+                        os.path.join(self._dir(name), rel)
+                    )
+                except OSError:
+                    pass
+        p = self._meta_path(name)
+        if os.path.isfile(p):
+            with open(p) as f:
+                meta = json.load(f)
+            if vs and int(meta.get("version", 0)) > max(vs):
+                report["issues"].append(
+                    f"meta version pointer {meta.get('version')} ahead of "
+                    f"published history (max v{max(vs)})"
+                )
+            keys = meta.get("keyed_on")
+            types = meta.get("key_types")
+            if keys is not None and types is not None and len(keys) != len(
+                types
+            ):
+                report["issues"].append(
+                    f"keyed spec mismatch: {len(keys)} keys vs "
+                    f"{len(types)} key_types"
+                )
+        return report
+
     def history(self, name: str) -> list[dict]:
         """DESCRIBE HISTORY parity: one entry per retained version of a
         versioned table, newest first — version, publish timestamp

@@ -2502,3 +2502,46 @@ def test_rebucket_and_read_where_wave4_fixes(spark, tmp_path, monkeypatch):
     only_x, _ = store.pruned_file_count("t", "x", (150.0, 160.0))
     only_y, _ = store.pruned_file_count("t", "y", (1840.0, 1850.0))
     assert 0 < both <= min(only_x, only_y) < total
+
+
+def test_fsck_reports_consistency(spark, tmp_path):
+    """fsck: clean on a healthy table; flags a vacuumed/deleted file a
+    retained manifest still references; counts orphans (aborted-commit
+    debt); surfaces a meta pointer ahead of the published history."""
+    import json as _json
+    import os as _os
+    import shutil as _shutil
+
+    store = _mk_versioned(spark, tmp_path, n=40, buckets=4)
+    store.upsert(
+        spark.createDataFrame([(3, 333.0, "U")], ["id", "price", "status"]),
+        "t", "id",
+    )
+    rep = store.fsck("t")
+    assert rep == {
+        "broken_versions": {},
+        "orphan_files": [],
+        "orphan_bytes": 0,
+        "issues": [],
+    }
+    # orphan: an unreferenced copy on disk
+    src = store._manifest_files("t", 1)[0]
+    orphan = src.rsplit("/", 1)[0] + "/part-orphan.snappy.parquet"
+    _shutil.copy(
+        _os.path.join(str(tmp_path), "t", src),
+        _os.path.join(str(tmp_path), "t", orphan),
+    )
+    rep = store.fsck("t")
+    assert rep["orphan_files"] == [orphan] and rep["orphan_bytes"] > 0
+    # broken version: a referenced file vanishes
+    victim = store._manifest_files("t", 2)[-1]
+    _os.remove(_os.path.join(str(tmp_path), "t", victim))
+    rep = store.fsck("t")
+    assert victim in rep["broken_versions"].get(2, [])
+    # meta pointer ahead of history
+    p = store._meta_path("t")
+    meta = _json.load(open(p))
+    meta["version"] = 99
+    _json.dump(meta, open(p, "w"))
+    rep = store.fsck("t")
+    assert any("ahead of published history" in i for i in rep["issues"])
