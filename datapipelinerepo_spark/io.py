@@ -1064,42 +1064,82 @@ class TableStore:
         - ``issues``: structural problems — meta/manifest version
           pointer ahead of the published history, malformed txn or
           stats entries, a keyed spec whose key_types length mismatch.
-        A healthy table returns all-empty/zero fields."""
+        A healthy table returns all-empty/zero fields. Hardened to
+        keep auditing THROUGH the corruption it exists to diagnose
+        (code-review r8 wave 5): malformed txn/stats/meta become
+        ``issues`` entries instead of tracebacks; an UNREADABLE
+        manifest suppresses the orphan classification entirely (its
+        files are unknown — calling them reclaimable would convert a
+        recoverable metadata problem into data loss); a crashed
+        rebucket's durable stage counts as ``stage_bytes`` debt."""
+        meta = None
+        meta_issue = None
+        p = self._meta_path(name)
+        if os.path.isfile(p):
+            try:
+                with open(p) as f:
+                    meta = json.load(f)
+            except Exception as ex:
+                meta_issue = f"unreadable meta file ({ex})"
+        vs = self.versions(name)
+        if meta_issue is None and not (
+            (meta or {}).get("versioned") or vs
+        ):
+            # a CLEARLY unversioned keyed table has no manifests, so
+            # EVERY live file would read as a reclaimable orphan — a
+            # dangerously wrong report (code-review r8 wave 5). A
+            # table with manifests (or an unreadable meta) still
+            # audits.
+            raise ValueError(
+                f"{name}: fsck audits versioned tables "
+                "(overwrite_keyed(..., versioned=True))"
+            )
         report: dict = {
             "broken_versions": {},
             "orphan_files": [],
             "orphan_bytes": 0,
+            "stage_bytes": 0,
             "issues": [],
         }
-        vs = self.versions(name)
+        if meta_issue:
+            report["issues"].append(meta_issue)
         referenced: set[str] = set()
+        on_disk = set(self._data_files(name))  # ONE listing pass
+        unreadable = False
         for v in vs:
             try:
                 doc = self._manifest_doc(name, v)
-            except (OSError, ValueError) as ex:
+                files = list(doc.get("files", []))
+                missing = [f for f in files if f not in on_disk]
+                if missing:
+                    report["broken_versions"][v] = missing
+                referenced.update(files)
+                txn = doc.get("txn", {})
+                if not isinstance(txn, dict) or not all(
+                    isinstance(a, str) and isinstance(t, int)
+                    for a, t in txn.items()
+                ):
+                    report["issues"].append(f"v{v}: malformed txn map {txn!r}")
+                stats = doc.get("stats", {})
+                if not isinstance(stats, dict):
+                    report["issues"].append(f"v{v}: malformed stats entry")
+                else:
+                    stray = set(stats) - set(files)
+                    if stray:
+                        report["issues"].append(
+                            f"v{v}: stats for unreferenced files "
+                            f"{sorted(stray)}"
+                        )
+            except Exception as ex:  # audit THROUGH corruption
                 report["issues"].append(f"v{v}: unreadable manifest ({ex})")
-                continue
-            missing = [
-                f
-                for f in doc.get("files", [])
-                if not os.path.isfile(os.path.join(self._dir(name), f))
-            ]
-            if missing:
-                report["broken_versions"][v] = missing
-            referenced.update(doc.get("files", []))
-            txn = doc.get("txn", {})
-            if not all(
-                isinstance(a, str) and isinstance(t, int)
-                for a, t in txn.items()
-            ):
-                report["issues"].append(f"v{v}: malformed txn map {txn}")
-            stray_stats = set(doc.get("stats", {})) - set(doc.get("files", []))
-            if stray_stats:
-                report["issues"].append(
-                    f"v{v}: stats for unreferenced files {sorted(stray_stats)}"
-                )
-        for rel in self._data_files(name):
-            if rel not in referenced:
+                unreadable = True
+        if unreadable:
+            report["issues"].append(
+                "orphan scan skipped: unreadable manifests make file "
+                "reachability unknown — repair the manifests first"
+            )
+        else:
+            for rel in sorted(on_disk - referenced):
                 report["orphan_files"].append(rel)
                 try:
                     report["orphan_bytes"] += os.path.getsize(
@@ -1107,19 +1147,39 @@ class TableStore:
                     )
                 except OSError:
                     pass
-        p = self._meta_path(name)
-        if os.path.isfile(p):
-            with open(p) as f:
-                meta = json.load(f)
-            if vs and int(meta.get("version", 0)) > max(vs):
+        stage = os.path.join(self.root, f"_rebucket_{name}")
+        if os.path.isdir(stage):
+            for root_, _dirs, files_ in os.walk(stage):
+                for fn in files_:
+                    try:
+                        report["stage_bytes"] += os.path.getsize(
+                            os.path.join(root_, fn)
+                        )
+                    except OSError:
+                        pass
+            report["issues"].append(
+                f"stale rebucket stage holds {report['stage_bytes']} bytes "
+                "(a crashed rebucket; the next rebucket resumes from it, "
+                "drop() removes it)"
+            )
+        if meta is not None:
+            try:
+                ptr = int(meta.get("version", 0))
+                if vs and ptr > max(vs):
+                    report["issues"].append(
+                        f"meta version pointer {ptr} ahead of published "
+                        f"history (max v{max(vs)})"
+                    )
+            except (TypeError, ValueError):
                 report["issues"].append(
-                    f"meta version pointer {meta.get('version')} ahead of "
-                    f"published history (max v{max(vs)})"
+                    f"malformed meta version pointer {meta.get('version')!r}"
                 )
             keys = meta.get("keyed_on")
             types = meta.get("key_types")
-            if keys is not None and types is not None and len(keys) != len(
-                types
+            if (
+                keys is not None
+                and types is not None
+                and len(keys) != len(types)
             ):
                 report["issues"].append(
                     f"keyed spec mismatch: {len(keys)} keys vs "

@@ -2522,6 +2522,7 @@ def test_fsck_reports_consistency(spark, tmp_path):
         "broken_versions": {},
         "orphan_files": [],
         "orphan_bytes": 0,
+        "stage_bytes": 0,
         "issues": [],
     }
     # orphan: an unreferenced copy on disk
@@ -2545,3 +2546,55 @@ def test_fsck_reports_consistency(spark, tmp_path):
     _json.dump(meta, open(p, "w"))
     rep = store.fsck("t")
     assert any("ahead of published history" in i for i in rep["issues"])
+
+
+def test_fsck_hardening_wave5(spark, tmp_path):
+    """fsck audits THROUGH corruption: malformed txn maps and meta
+    files become issues (not tracebacks), an unreadable manifest
+    suppresses the orphan scan instead of misreporting pinned files as
+    reclaimable, a stale rebucket stage counts as debt, and
+    unversioned tables refuse."""
+    import json as _json
+    import os as _os
+
+    import pytest as _pytest
+
+    store = _mk_versioned(spark, tmp_path, n=20, buckets=2)
+    store.upsert(
+        spark.createDataFrame([(3, 333.0, "U")], ["id", "price", "status"]),
+        "t", "id",
+    )
+    # malformed txn map in v2's manifest: reported, not crashed
+    mp = store._manifest_path("t", 2)
+    doc = _json.load(open(mp))
+    doc["txn"] = ["app", 3]
+    _json.dump(doc, open(mp, "w"))
+    rep = store.fsck("t")
+    assert any("malformed txn" in i for i in rep["issues"])
+    # unreadable manifest: orphan scan suppressed (no false debt)
+    open(mp, "w").write("{not json")
+    rep = store.fsck("t")
+    assert any("unreadable manifest" in i for i in rep["issues"])
+    assert rep["orphan_files"] == [] and any(
+        "orphan scan skipped" in i for i in rep["issues"]
+    )
+    _json.dump(doc, open(mp, "w"))  # restore (still has the bad txn)
+    # stale rebucket stage counts as debt
+    stage = _os.path.join(str(tmp_path), "_rebucket_t")
+    _os.makedirs(stage)
+    open(_os.path.join(stage, "part-x.parquet"), "wb").write(b"x" * 128)
+    rep = store.fsck("t")
+    assert rep["stage_bytes"] >= 128
+    # corrupt meta: reported, not crashed (the manifests still audit)
+    open(store._meta_path("t"), "w").write("{bad")
+    rep = store.fsck("t")
+    assert any("unreadable meta" in i for i in rep["issues"])
+    # a genuinely unversioned keyed table refuses loudly — every live
+    # file would otherwise read as reclaimable debt
+    store2 = TableStore(spark, str(tmp_path / "u"))
+    store2.overwrite_keyed(
+        spark.createDataFrame([(1, 1.0)], "id long, v double"),
+        "u", "id", n_buckets=2, versioned=False,
+    )
+    with _pytest.raises(ValueError, match="versioned"):
+        store2.fsck("u")
