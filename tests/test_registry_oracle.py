@@ -112,6 +112,13 @@ _SF1_NAMES = [
     "sample_global_shuffle",
     "text_substring_dedup",
     "dedup_sorted_neighborhood",
+    # r8 store additions with aggregate/slice-sized outputs (the
+    # whole-table read-backs — time travel, schema evolution, CDF,
+    # merge — stay at sf0.01: multi-million-row collects are cost, not
+    # verification gain; their machinery is exercised here through
+    # the rollup and skipping compositions)
+    "store_incremental_rollup",
+    "store_stats_skipping",
 ]
 
 
