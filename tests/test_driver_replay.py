@@ -1,0 +1,115 @@
+"""Replay the driver's exact ordered check sequence in ONE session
+(VERDICT r8 items 1–2).
+
+The r8 driver flagged ``store_incremental_rollup`` hash_match=false,
+yet the query re-proved green in every isolated run — including a
+vanilla session at the driver's exact sf0.01/shuffle=32. The untested
+difference was the harness itself: the driver runs its ~50-query check
+budget sequentially in one shared session, so cross-query session
+state (conf mutations, block-manager pressure, lineage into since-
+deleted temp dirs) could corrupt a LATER query in ways no per-query
+test sees. This module reproduces that harness shape:
+
+* ``test_driver_sequence_replay`` — run ``_ordered_names()[:50]`` in
+  driver order, in one session, at the driver's sf0.01 scale, and
+  oracle-compare EVERY result (rows + schema + value hash), exactly
+  the CORRECTNESS gate.
+* session-conf fencing — between every query in the replay, assert
+  the set of explicitly-set session confs did not change, modulo the
+  one documented exception (``load_table``'s nanosAsLong, io.py:96).
+  A conf-fence breach fails with the offending query named, so any
+  future global mutation is caught before a driver row goes red.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+import __spark_entry__ as entrymod  # noqa: E402
+
+from datapipelinerepo_spark.registry import REGISTRY  # noqa: E402
+
+from .oracle import compare, duck_connection  # noqa: E402
+
+_DRIVER_SF_DIR = "/root/testdata/sf0.01"
+_BUDGET = 50
+
+# The one documented global conf side effect: load_table("events")
+# must set nanosAsLong BEFORE planning (io.py:96). Anything else
+# appearing in the delta is a new, unreviewed global mutation.
+_CONF_ALLOWLIST = {"spark.sql.legacy.parquet.nanosAsLong"}
+
+
+def _set_confs(spark) -> dict[str, str]:
+    """Explicitly-set session confs (the SET command's view) — the
+    surface a query-body ``spark.conf.set`` mutates."""
+    return {r["key"]: r["value"] for r in spark.sql("SET").collect()}
+
+
+@pytest.mark.slow
+def test_driver_sequence_replay(spark):
+    """The driver's ordered 50-query single-session run, oracle-checked
+    per query, with a conf fence between queries."""
+    names = entrymod._ordered_names()[:_BUDGET]
+    con = duck_connection(_DRIVER_SF_DIR)
+    failures: list[str] = []
+    try:
+        before = _set_confs(spark)
+        for name in names:
+            e = REGISTRY[name]
+            df = e.fn(spark, _DRIVER_SF_DIR)
+            if e.sql is not None:
+                ok, msg = compare(df, con, e.sql)
+                if not ok:
+                    failures.append(f"{name}: {msg}")
+            else:
+                assert df.count() >= 0, name
+            after = _set_confs(spark)
+            delta = {
+                k
+                for k in set(before) ^ set(after)
+                if k not in _CONF_ALLOWLIST
+            } | {
+                k
+                for k in set(before) & set(after)
+                if before[k] != after[k] and k not in _CONF_ALLOWLIST
+            }
+            assert not delta, (
+                f"{name} mutated session confs outside the allowlist: "
+                f"{sorted(delta)}"
+            )
+            before = after
+    finally:
+        con.close()
+    assert not failures, "\n".join(failures)
+
+
+def test_conf_fence_fast_registry(spark, sf_dir):
+    """Fast-suite conf fence over EVERY registry query at sf0.001
+    (VERDICT r8 item 2 generalized): build + materialize each plan and
+    assert no query leaves a conf mutation behind beyond the
+    allowlist. Values are proven elsewhere (test_registry_oracle);
+    this test only polices session-global state."""
+    before = _set_confs(spark)
+    offenders: list[str] = []
+    for name, e in REGISTRY.items():
+        e.fn(spark, sf_dir).count()
+        after = _set_confs(spark)
+        delta = {
+            k for k in set(before) ^ set(after) if k not in _CONF_ALLOWLIST
+        } | {
+            k
+            for k in set(before) & set(after)
+            if before[k] != after[k] and k not in _CONF_ALLOWLIST
+        }
+        if delta:
+            offenders.append(f"{name}: {sorted(delta)}")
+        before = after
+    assert not offenders, "\n".join(offenders)
