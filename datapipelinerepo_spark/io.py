@@ -492,7 +492,6 @@ class TableStore:
             doc["schema"] = schema_json
         if op is not None:
             doc["op"] = op  # audit trail for history()
-        doc["ts"] = int(time.time() * 1000)
         tmp = os.path.join(
             self._manifest_dir(name), f".tmp-{os.getpid()}-{uuid.uuid4().hex}"
         )
@@ -501,13 +500,24 @@ class TableStore:
                 vs = self.versions(name)
                 v = (max(vs, default=0)) + 1
                 txn_map: dict = dict(seed_txn or {})
+                prev_doc: dict = {}
                 if vs:
                     try:
-                        prev = self._manifest_doc(name, max(vs)).get("txn", {})
+                        prev_doc = self._manifest_doc(name, max(vs))
                     except FileNotFoundError:
-                        prev = {}
-                    for a, t in prev.items():
+                        prev_doc = {}
+                    for a, t in prev_doc.get("txn", {}).items():
                         txn_map[a] = max(int(t), int(txn_map.get(a, -1)))
+                # in-commit timestamp (ADVICE r8, Delta's in-commit-ts
+                # adjustment): stamped at CLAIM time on every retry —
+                # not once before the loop — and clamped to >= the
+                # superseded manifest's ts, so version order implies
+                # ts order even when a racing loser retries later or
+                # the clock steps backward. version_as_of's binary
+                # resolution relies on this monotonicity.
+                doc["ts"] = max(
+                    int(time.time() * 1000), int(prev_doc.get("ts", 0))
+                )
                 if txn is not None:
                     cur = int(txn_map.get(txn[0], -1))
                     if txn_expect is not None and cur != int(txn_expect):
@@ -754,14 +764,22 @@ class TableStore:
                 raise ValueError("pass col+between OR ranges, exactly one")
             if not ranges:
                 raise ValueError("ranges must name at least one column")
-            bad = {c: b for c, b in ranges.items()
-                   if not isinstance(c, str) or b is None or len(b) != 2}
+            # isinstance BEFORE len() (ADVICE r8): a scalar bound like
+            # ranges={"x": 5} must get the descriptive ValueError, not
+            # the bare TypeError this validator exists to replace
+            bad = {
+                c: b
+                for c, b in ranges.items()
+                if not isinstance(c, str)
+                or not isinstance(b, (tuple, list))
+                or len(b) != 2
+            }
             if bad:
                 raise ValueError(f"malformed ranges entries: {bad}")
             return dict(ranges)
         if col is None or between is None:
             raise ValueError("pass col+between OR ranges, exactly one")
-        if len(between) != 2:
+        if not isinstance(between, (tuple, list)) or len(between) != 2:
             raise ValueError(f"between must be (lo, hi), got {between!r}")
         return {col: between}
 
@@ -872,16 +890,45 @@ class TableStore:
         """The shared versioned-write protocol: append ``stamped``
         (already _kb-stamped) as NEW part-files — never deleting live
         ones — then publish a manifest of ``kept`` (the re-referenced
-        prior files) + exactly the files this append created in
-        ``buckets`` (None = all buckets). ``check_replay`` makes the
-        publish raise TxnAlreadyApplied when ``txn`` is already covered
-        at commit time (the appended files then stay invisible orphans
-        until vacuum)."""
-        before = set(self._data_files(name, buckets))
-        stamped.write.mode("append").partitionBy("_kb").parquet(
-            self._dir(name)
-        )
-        new_files = set(self._data_files(name, buckets)) - before
+        prior files) + exactly the files THIS writer created.
+        ``check_replay`` makes the publish raise TxnAlreadyApplied when
+        ``txn`` is already covered at commit time (the appended files
+        then stay invisible orphans until vacuum).
+
+        Attribution is by writer, not by directory diff (ADVICE r8):
+        the write job lands in a writer-private staging dir, and each
+        produced part-file is renamed into the table under a
+        stage-unique filename prefix — so a concurrent writer's files
+        can never be captured into this writer's manifest (the old
+        before/after listing diff could publish a racing loser's rows
+        as the winner's). Private staging also gives each job its own
+        ``_temporary`` dir, closing the local FileOutputCommitter
+        corruption two same-path append jobs otherwise race on.
+        ``buckets`` documents the touched slice for callers; all
+        staged files are attributed regardless."""
+        import uuid
+
+        token = uuid.uuid4().hex[:12]
+        stage = os.path.join(self.root, f".stage-{name}-{token}")
+        try:
+            stamped.write.mode("append").partitionBy("_kb").parquet(stage)
+            base = self._dir(name)
+            new_files: list[str] = []
+            for d in sorted(os.listdir(stage)):
+                if not d.startswith("_kb="):
+                    continue
+                os.makedirs(os.path.join(base, d), exist_ok=True)
+                for f in sorted(os.listdir(os.path.join(stage, d))):
+                    if not f.endswith(".parquet"):
+                        continue
+                    dst = f"{token}-{f}"
+                    os.replace(
+                        os.path.join(stage, d, f),
+                        os.path.join(base, d, dst),
+                    )
+                    new_files.append(f"{d}/{dst}")
+        finally:
+            shutil.rmtree(stage, ignore_errors=True)
         return self._publish_version(
             name,
             list(kept) + sorted(new_files),
@@ -976,6 +1023,16 @@ class TableStore:
         newest ``keep_last`` versions (and drops the older manifests, so
         a pinned read of a vacuumed version fails loudly instead of
         returning partial data). Returns the deleted relative paths.
+
+        **BEHAVIOR CHANGE (r8, ADVICE r8):** the default ``grace_s``
+        moved from 0.0 to **600.0** — by default, files and manifests
+        newer than ~10 minutes are now RETAINED, not reclaimed
+        immediately. Callers that relied on instant reclamation must
+        pass ``grace_s=0.0`` explicitly. The writer-side age gate
+        relies on **filesystem mtime semantics**: it is trustworthy on
+        local/POSIX filesystems and on object stores that report
+        object creation time, but an mtime-less or clock-skewed store
+        weakens it to best-effort — size ``grace_s`` generously there.
 
         ``grace_s`` is the retention window for IN-FLIGHT work
         (VERDICT r6 item 6 + ADVICE r7, Delta's VACUUM retention
@@ -2222,6 +2279,15 @@ class TableStore:
                 txn=(app_id, int(txn_version)),
             )
             return True
+        if spec is None and self._meta_lost_one_commit(name):
+            # meta-only damage on a readable one-commit snapshot
+            # (ADVICE r8): recover losslessly instead of truncating —
+            # the rebuild PROVES the caller's spec against the data
+            # first. A (3)→(4) creation-crash retry lands here too and
+            # then skips below as an already-applied txn (the v1
+            # manifest carries the creation's watermark).
+            self._rebuild_meta_from_manifest(name, keys, int(n_buckets))
+            spec = self.keyed_spec(name)
         if spec is None or not self.is_versioned(name):
             raise ValueError(
                 f"{name}: upsert_txn needs a versioned keyed table "
@@ -2257,26 +2323,105 @@ class TableStore:
     def _creation_crashed(self, name: str) -> bool:
         """Does the table look like overwrite_keyed's CREATION crash
         window — bucket-partitioned data (_kb= dirs) but no keyed
-        meta, and AT MOST the creation's own v1 manifest? A legitimate
-        plain table never has _kb= dirs (plain writes land at the
-        directory root; _clear_keyed only runs after the overwrite
-        already truncated them away). The manifest gate narrows the
-        signature further (code-review r8): a MATURE versioned table
-        that lost only its meta file also reads keyed_spec()=None with
+        meta, and no READABLE committed snapshot? A legitimate plain
+        table never has _kb= dirs (plain writes land at the directory
+        root; _clear_keyed only runs after the overwrite already
+        truncated them away). The manifest gates narrow the signature
+        (code-review r8 + ADVICE r8): a MATURE versioned table that
+        lost only its meta file also reads keyed_spec()=None with
         _kb= dirs present, but carries a multi-version history the
-        creation window cannot — healing it by re-running creation
-        would truncate months of data to one batch, so that case
-        stays a loud ValueError (recover by restoring the meta).
-        Residual ambiguity: a ONE-commit table losing its meta is
-        indistinguishable from the crash window and heals by
-        recreation — the acceptable trade for un-wedging restarted
-        exactly-once streams (ADVICE r7)."""
+        creation window cannot; and a ONE-commit table whose v1
+        manifest still resolves (every referenced file on disk) is a
+        committed, readable snapshot that merely lost its meta —
+        recreating EITHER would truncate committed data to one batch.
+        Both now stay out of the heal: the one-commit case is
+        recovered losslessly by _rebuild_meta_from_manifest (the
+        upsert_txn retry path), the multi-version case stays a loud
+        ValueError (restore the meta). Only versions()==[] (crash
+        before the v1 manifest published) or a v1 manifest pointing
+        at missing files (no readable snapshot exists at all) heal by
+        re-running creation."""
         d = self._dir(name)
         if not os.path.isdir(d):
             return False
         if not any(e.startswith("_kb=") for e in os.listdir(d)):
             return False
-        return self.versions(name) in ([], [1])
+        vs = self.versions(name)
+        if vs == []:
+            return True
+        if vs != [1]:
+            return False
+        files = self._manifest_files(name, 1)
+        return any(
+            not os.path.isfile(os.path.join(d, f)) for f in files
+        )
+
+    def _meta_lost_one_commit(self, name: str) -> bool:
+        """Meta-only damage signature: bucket-partitioned data, no
+        keyed meta, and a v1-only manifest history whose files all
+        still exist — a committed readable snapshot that merely lost
+        its sidecar (ADVICE r8). Disjoint from _creation_crashed,
+        which now requires the snapshot to be absent or unreadable."""
+        d = self._dir(name)
+        if not os.path.isdir(d) or not any(
+            e.startswith("_kb=") for e in os.listdir(d)
+        ):
+            return False
+        if self.versions(name) != [1]:
+            return False
+        return all(
+            os.path.isfile(os.path.join(d, f))
+            for f in self._manifest_files(name, 1)
+        )
+
+    def _rebuild_meta_from_manifest(
+        self, name: str, keys: list[str], n_buckets: int
+    ) -> None:
+        """Lossless recovery for a versioned keyed table that lost
+        ONLY its meta sidecar (ADVICE r8): the v1 manifest still
+        resolves, so the data is a committed snapshot — rebuild the
+        meta from the caller's declared (keys, n_buckets) instead of
+        truncating the table through the creation path. The declared
+        spec is PROVEN against the data before anything is stamped:
+        every row's stored _kb must equal pmod(xxhash64(keys),
+        n_buckets) under the snapshot's own key column types — a
+        wrong key set or bucket count fails this for some row (or at
+        minimum cannot be verified), and stamping it anyway would
+        route future upserts to the wrong buckets (silent duplicate
+        keys). One scan over the one-commit snapshot; this is a rare
+        repair path."""
+        df = self._read_manifest_df(name, 1)
+        missing = [k for k in keys if k not in df.columns]
+        if missing:
+            raise ValueError(
+                f"{name}: cannot rebuild lost meta — declared keys "
+                f"{missing} not in the v1 snapshot schema"
+            )
+        key_types = [df.schema[k].dataType.simpleString() for k in keys]
+        expr = self._kb_expr(name, keys, int(n_buckets), types=key_types)
+        bad = df.filter(~expr.eqNullSafe(F.col("_kb"))).limit(1).count()
+        if bad:
+            raise ValueError(
+                f"{name}: cannot rebuild lost meta — declared spec "
+                f"(keys={keys}, n_buckets={n_buckets}) does not "
+                "reproduce the stored bucket ids; pass the spec the "
+                "table was created with"
+            )
+        import uuid
+
+        doc = self._manifest_doc(name, 1)
+        self._touch_meta(
+            name,
+            keyed_on=keys,
+            key_buckets=int(n_buckets),
+            key_types=key_types,
+            versioned=True,
+            version=1,
+            # fresh lifetime: downstream incremental consumers must
+            # re-seed rather than trust cursors from before the loss
+            incarnation=uuid.uuid4().hex,
+            schema=doc.get("schema") or df.schema.json(),
+        )
 
     def merge_when(
         self,

@@ -1497,22 +1497,13 @@ def test_upsert_txn_concurrent_same_app_applies_exactly_once(
         return r
 
     monkeypatch.setattr(io_mod.TableStore, "last_txn", synced)
-    # serialize the PHYSICAL append+publish only: Spark's local
-    # FileOutputCommitter shares one _temporary staging dir per path,
-    # so two simultaneous append JOBS corrupt each other (an artifact
-    # of the local committer — object-store committers stage per-job).
-    # The property under test — both racers past the advisory fast
-    # check before either commits a manifest — is untouched: the
-    # barrier above guarantees it, and the loser must now be stopped
-    # by the claim-loop replay check alone.
-    write_lock = threading.Lock()
-    orig_upsert = io_mod.TableStore._upsert_keyed
-
-    def locked(self, *a, **k):
-        with write_lock:
-            return orig_upsert(self, *a, **k)
-
-    monkeypatch.setattr(io_mod.TableStore, "_upsert_keyed", locked)
+    # NO physical-write lock (ADVICE r8): _append_and_publish stages
+    # each append in a writer-private dir (own _temporary, own
+    # filename prefix), so the two racers' write JOBS run genuinely
+    # concurrently — and file attribution is by writer, so the
+    # winner's manifest cannot capture the loser's part-files. The
+    # loser must be stopped by the claim-loop replay check alone, and
+    # its rows must stay invisible (the duplicate-count assert below).
     batch = spark.createDataFrame([(3, 333.0)], "id long, price double")
     results: list[bool] = []
     errors: list[BaseException] = []
@@ -1532,6 +1523,11 @@ def test_upsert_txn_concurrent_same_app_applies_exactly_once(
     assert not errors, errors
     assert sorted(results) == [False, True]  # exactly one applied
     assert store.last_txn("t", "app") == 1
+    # exact row count, not just distinct keys: if the winner's listing
+    # window had captured the loser's concurrently appended files into
+    # the published manifest (the pre-r9 directory-diff attribution
+    # bug), id=3 would read back TWICE here
+    assert store.read("t").count() == 40
     got = {r["id"]: r["price"] for r in store.read("t").collect()}
     assert got[3] == 333.0 and len(got) == 40
     # the loser's pre-publish appends are invisible orphans; an
@@ -1598,6 +1594,99 @@ def test_upsert_txn_creation_crash_retry_heals(spark, tmp_path):
         store.upsert_txn(b1, "p", "id", "app", 0)
 
 
+def test_upsert_txn_meta_only_loss_recovers_without_truncation(
+    spark, tmp_path
+):
+    """ADVICE r8 (medium): a legitimate ONE-commit versioned table
+    that lost only its meta sidecar (v1 manifest intact, every file
+    on disk) must NOT be silently recreated — the old heal truncated
+    it to the incoming batch. The retry path now rebuilds the meta
+    from the manifest after PROVING the declared spec against the
+    stored bucket ids, and the data survives."""
+    import os
+
+    store = TableStore(spark, str(tmp_path))
+    b0 = spark.createDataFrame(
+        [(i, float(i)) for i in range(20)], "id long, price double"
+    )
+    assert store.upsert_txn(b0, "t", "id", "app", 0, n_buckets=4) is True
+    os.remove(store._meta_path("t"))
+    assert store.keyed_spec("t") is None
+    assert not store._creation_crashed("t")  # narrowed signature
+    assert store._meta_lost_one_commit("t")
+    # a NEW batch applies as a normal upsert — 20 base rows survive
+    b1 = spark.createDataFrame([(3, 333.0)], "id long, price double")
+    assert store.upsert_txn(b1, "t", "id", "app", 1, n_buckets=4) is True
+    assert store.keyed_spec("t") == (["id"], 4) and store.is_versioned("t")
+    got = {r["id"]: r["price"] for r in store.read("t").collect()}
+    assert len(got) == 20 and got[3] == 333.0
+    # replay of the pre-loss creation txn is still skipped
+    assert store.upsert_txn(b0, "t", "id", "app", 0) is False
+
+
+def test_upsert_txn_creation_crash_after_manifest_skips_as_applied(
+    spark, tmp_path
+):
+    """The (3)→(4) creation-crash window — v1 manifest published, meta
+    stamp never ran — is byte-identical to a meta-only loss; the retry
+    of the SAME creation txn must rebuild the meta and then skip as
+    already-applied (the v1 manifest carries the creation watermark),
+    not truncate-and-rewrite."""
+    import os
+
+    store = TableStore(spark, str(tmp_path))
+    b0 = spark.createDataFrame(
+        [(i, float(i)) for i in range(20)], "id long, price double"
+    )
+    assert store.upsert_txn(b0, "t", "id", "app", 0, n_buckets=4) is True
+    v1_files = store._manifest_files("t", 1)
+    os.remove(store._meta_path("t"))
+    assert store.upsert_txn(b0, "t", "id", "app", 0, n_buckets=4) is False
+    # same snapshot, same files — nothing was rewritten
+    assert store.versions("t") == [1]
+    assert store._manifest_files("t", 1) == v1_files
+    assert store.read("t").count() == 20
+
+
+def test_rebuild_meta_refuses_wrong_spec_and_multi_version_loss(
+    spark, tmp_path
+):
+    """The rebuild proves the declared spec against the data: a wrong
+    key set or bucket count raises instead of stamping a spec that
+    would mis-route future upserts. A MULTI-version table losing its
+    meta stays a loud error (no silent recreation either)."""
+    import os
+
+    import pytest as _pytest
+
+    store = TableStore(spark, str(tmp_path))
+    b0 = spark.createDataFrame(
+        [(i, float(i)) for i in range(20)], "id long, price double"
+    )
+    assert store.upsert_txn(b0, "t", "id", "app", 0, n_buckets=4) is True
+    os.remove(store._meta_path("t"))
+    b1 = spark.createDataFrame([(3, 333.0)], "id long, price double")
+    with _pytest.raises(ValueError, match="does not reproduce"):
+        store.upsert_txn(b1, "t", "id", "app", 1, n_buckets=8)
+    with _pytest.raises(ValueError, match="not in the v1 snapshot"):
+        store.upsert_txn(
+            b1.withColumnRenamed("id", "nope"), "t", "nope", "app", 1,
+            n_buckets=4,
+        )
+    # correct spec still recovers after the refused attempts
+    assert store.upsert_txn(b1, "t", "id", "app", 1, n_buckets=4) is True
+    # multi-version meta loss: loud, untouched
+    store2 = TableStore(spark, str(tmp_path / "m"))
+    assert store2.upsert_txn(b0, "t", "id", "app", 0, n_buckets=4) is True
+    assert store2.upsert_txn(b1, "t", "id", "app", 1) is True
+    os.remove(store2._meta_path("t"))
+    assert not store2._creation_crashed("t")
+    assert not store2._meta_lost_one_commit("t")
+    with _pytest.raises(ValueError, match="versioned keyed table"):
+        store2.upsert_txn(b1, "t", "id", "app", 2)
+    assert len(store2.versions("t")) == 2  # data untouched
+
+
 def test_versioned_reseed_overwrite_carries_txn_watermarks(spark, tmp_path):
     """ADVICE r7: a versioned reseed overwrite_keyed must carry the
     retiring history's txn map into its v1 manifest — a replayed
@@ -1620,6 +1709,29 @@ def test_versioned_reseed_overwrite_carries_txn_watermarks(spark, tmp_path):
     # the documented trade; upsert_txn then refuses loudly
     store.overwrite_keyed(reseed, "t", "id", n_buckets=4, versioned=False)
     assert store.last_txn("t", "app") is None
+
+
+def test_manifest_ts_monotonic_across_clock_skew(spark, tmp_path, monkeypatch):
+    """ADVICE r8 (low): manifest ts is stamped at claim time and
+    clamped to >= the superseded manifest's ts, so a writer that
+    retried late (or a backwards clock step) can never publish a
+    LATER version with an EARLIER timestamp — version_as_of assumes
+    ts is monotonic with version order."""
+    import time as time_mod
+
+    from datapipelinerepo_spark import io as io_mod
+
+    store = _mk_versioned(spark, tmp_path, n=10, buckets=2)
+    t1 = store._manifest_doc("t", 1)["ts"]
+    # clock steps BACKWARD by an hour before the next publish
+    real = time_mod.time
+    monkeypatch.setattr(io_mod.time, "time", lambda: real() - 3600.0)
+    files = store._manifest_files("t", 1)
+    v2 = store._publish_version("t", files, op="noop")
+    t2 = store._manifest_doc("t", v2)["ts"]
+    assert t2 >= t1
+    # ts resolution still lands on the latest version at/after t2
+    assert store.version_as_of("t", t2) == v2
 
 
 def test_vacuum_age_gate_protects_inflight_writer_files(spark, tmp_path):
@@ -2102,6 +2214,13 @@ def test_read_where_data_skipping(spark, tmp_path):
     store.overwrite(spark.createDataFrame([(1, 1.0)], "id long, p double"), "u")
     with _pytest.raises(ValueError, match="versioned"):
         store.read_where("u", "p", (0, 1))
+    # malformed bounds get the descriptive ValueError, not the bare
+    # TypeError the validator exists to replace (ADVICE r8): a scalar
+    # where (lo, hi) is expected, in both calling forms
+    with _pytest.raises(ValueError, match="between must be"):
+        store.read_where("t", "price", 5)
+    with _pytest.raises(ValueError, match="malformed ranges"):
+        store.read_where("t", ranges={"price": 5})
 
 
 def test_compact_zorder_recluster(spark, tmp_path):
