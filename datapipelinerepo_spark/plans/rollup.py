@@ -87,6 +87,14 @@ def rollup_recompute(
     return _partial(events_all, ts_col, key_col, value_col, bucket)
 
 
+def _nullsafe_cond(left, right, cols):
+    cond = None
+    for c in cols:
+        e = left[c].eqNullSafe(right[c])
+        cond = e if cond is None else (cond & e)
+    return cond
+
+
 def seed_rollup(
     store: TableStore,
     snapshot: DataFrame,
@@ -95,17 +103,28 @@ def seed_rollup(
     value_col: str,
     count_col: str = "n_rows",
     sum_col: str = "sum_val",
+    min_col: str | None = None,
+    max_col: str | None = None,
+    avg_col: str | None = None,
     n_buckets: int = 16,
     versioned: bool = False,
     txn: tuple | None = None,
 ) -> None:
-    """Materialize the initial grouped COUNT/SUM aggregate of a
-    snapshot as a keyed rollup table — the seed state
-    apply_changes_to_rollup then maintains incrementally. Sums are
-    DECIMAL so incremental maintenance is EXACT: decimal addition is
-    associative, so any sequence of change feeds lands on precisely
-    the value a full recompute would (double sums would drift with
-    accumulation order)."""
+    """Materialize the initial grouped aggregate of a snapshot as a
+    keyed rollup table — the seed state apply_changes_to_rollup then
+    maintains incrementally. Sums are DECIMAL so incremental
+    maintenance is EXACT: decimal addition is associative, so any
+    sequence of change feeds lands on precisely the value a full
+    recompute would (double sums would drift with accumulation order).
+
+    Optional maintained columns (VERDICT r8 item 3):
+    - ``min_col``/``max_col``: plain MIN/MAX of ``value_col`` in the
+      value's native type (NULL for all-NULL groups, like SQL MIN).
+    - ``avg_col``: DOUBLE, derived exactly as sum_col/count_col — so
+      it inherits sum_col's NULL-as-0 semantics (compare against
+      ``COALESCE(SUM(x), 0) / COUNT(*)`` in plain SQL, not AVG(x)).
+      Double division of identical (sum, count) pairs is IEEE-
+      deterministic, so incremental == recompute holds bit-exactly."""
     if txn is not None and not versioned:
         raise ValueError(
             "seed_rollup: txn= needs versioned=True — an unversioned "
@@ -113,7 +132,7 @@ def seed_rollup(
             "silently dropping it would void the caller's replay "
             "protection (code-review r8 wave 3)"
         )
-    agg = snapshot.groupBy(*group_cols).agg(
+    aggs = [
         F.count(F.lit(1)).alias(count_col),
         # NULL measure values contribute 0 — and a group with ONLY
         # NULLs seeds 0, not NULL, because the incremental update
@@ -127,7 +146,17 @@ def seed_rollup(
         )
         .cast("decimal(28,4)")
         .alias(sum_col),
-    )
+    ]
+    if min_col:
+        aggs.append(F.min(value_col).alias(min_col))
+    if max_col:
+        aggs.append(F.max(value_col).alias(max_col))
+    agg = snapshot.groupBy(*group_cols).agg(*aggs)
+    if avg_col:
+        agg = agg.withColumn(
+            avg_col,
+            F.col(sum_col).cast("double") / F.col(count_col),
+        )
     store.overwrite_keyed(
         agg, table, group_cols, n_buckets=n_buckets, versioned=versioned,
         txn=txn,
@@ -142,32 +171,64 @@ def apply_changes_to_rollup(
     value_col: str,
     count_col: str = "n_rows",
     sum_col: str = "sum_val",
+    min_col: str | None = None,
+    max_col: str | None = None,
+    avg_col: str | None = None,
+    base_snapshot: DataFrame | None = None,
     txn: tuple | None = None,
     check_replay: bool = False,
     txn_expect: int | None = None,
 ) -> None:
     """INCREMENTAL VIEW MAINTENANCE from a change data feed: apply a
-    ``TableStore.table_changes`` frame to a seeded grouped COUNT/SUM
-    rollup, so the aggregate tracks the base table without ever
-    re-scanning it — the downstream-consumer loop CDF exists for
-    (Delta CDF -> MERGE into the materialized view).
+    ``TableStore.table_changes`` frame to a seeded grouped rollup, so
+    the aggregate tracks the base table without ever re-scanning it —
+    the downstream-consumer loop CDF exists for (Delta CDF -> MERGE
+    into the materialized view).
 
-    Each change row contributes a signed delta: inserts and update
-    postimages add, deletes and update preimages subtract (an update
-    thus nets to the value difference). The feed aggregates map-side
-    to one row per touched group, then a conditional MERGE
+    COUNT/SUM: each change row contributes a signed delta — inserts
+    and update postimages add, deletes and update preimages subtract
+    (an update thus nets to the value difference). The feed aggregates
+    map-side to one row per touched group, then a conditional MERGE
     (io.merge_when) lands it: groups netting to zero rows DELETE their
-    rollup row, existing groups get computed additive updates, new
-    groups insert. Cost per application: one aggregate over the feed
-    (churned buckets only, by table_changes' construction) + a
-    bucket-pruned merge on the rollup — never a base-table scan.
-    Decimal arithmetic end to end keeps the incremental result
-    BIT-EQUAL to a full recompute (proven by the
-    store_incremental_rollup oracle)."""
-    sign = F.when(
-        F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
-    ).otherwise(F.lit(-1))
-    delta = changes.groupBy(*group_cols).agg(
+    rollup row (brand-new groups netting to zero are skipped, not
+    inserted as phantom 0-count rows), existing groups get computed
+    additive updates, new groups insert. Cost per application: one
+    aggregate over the feed (churned buckets only, by table_changes'
+    construction) + a bucket-pruned merge on the rollup — never a
+    base-table scan. Decimal arithmetic end to end keeps the
+    incremental result BIT-EQUAL to a full recompute (proven by the
+    store_incremental_rollup oracle).
+
+    MIN/MAX (``min_col``/``max_col``, VERDICT r8 item 3): insert-only
+    groups maintain purely from the feed (new min = LEAST(current,
+    feed's inserted min) — removals can't have happened, so the
+    extremum can only improve). Groups with ANY removal (delete /
+    update preimage) are DELETE-AWARE re-aggregated: the removed value
+    might have BEEN the extremum, which no feed can answer, so their
+    exact MIN/MAX recomputes from ``base_snapshot`` (the base table's
+    post-window version — required when min/max are maintained)
+    restricted to exactly those groups by a broadcast semi-join of the
+    churned group keys (the feed-bounded frame), letting parquet
+    row-group stats / clustering prune the scan. Groups without
+    removals never touch the base. The final per-group values are
+    precomputed into the merge source by joining the rollup's CURRENT
+    rows (a bucket-pruned read of only the touched groups); the
+    read-then-merge window is protected by the caller's ``txn_expect``
+    CAS — a concurrent advance refuses the commit.
+
+    AVG (``avg_col``): derived as (t.sum + s.sum) / (t.count +
+    s.count) in DOUBLE inside the merge — exact given the maintained
+    decimal pair, NULL-as-0 semantics inherited from sum_col."""
+    if (min_col or max_col) and base_snapshot is None:
+        raise ValueError(
+            "apply_changes_to_rollup: min_col/max_col maintenance "
+            "needs base_snapshot= (the base table's post-window "
+            "version) — a removed extremum cannot be recomputed from "
+            "the feed alone"
+        )
+    ins = F.col("_change_type").isin("insert", "update_postimage")
+    sign = F.when(ins, F.lit(1)).otherwise(F.lit(-1))
+    aggs = [
         F.sum(sign).cast("bigint").alias(count_col),
         # NULL measures contribute 0 (matching seed_rollup): without
         # the coalesce, a feed whose rows for a group are all
@@ -185,17 +246,118 @@ def apply_changes_to_rollup(
         )
         .cast("decimal(28,4)")
         .alias(sum_col),
-    )
+    ]
+    if min_col or max_col:
+        aggs += [
+            F.min(F.when(ins, F.col(value_col))).alias("_ins_min"),
+            F.max(F.when(ins, F.col(value_col))).alias("_ins_max"),
+            F.max(F.when(ins, F.lit(0)).otherwise(F.lit(1))).alias(
+                "_has_rm"
+            ),
+        ]
+    delta = changes.groupBy(*group_cols).agg(*aggs)
+    if min_col or max_col:
+        # one row per churned group — consumed several times below
+        delta = delta.localCheckpoint(eager=True)
+        out_cols = list(delta.columns)
+        cur_cols = ([min_col] if min_col else []) + (
+            [max_col] if max_col else []
+        )
+        cur = (
+            store.read_buckets(
+                table,
+                store.keyed_buckets(table, delta.select(*group_cols)),
+            )
+            .select(
+                *group_cols,
+                *[F.col(c).alias(f"_cur_{c}") for c in cur_cols],
+            )
+        )
+        joined = delta.join(
+            cur, _nullsafe_cond(delta, cur, group_cols), "left"
+        ).select(
+            *[delta[c] for c in out_cols],
+            *[f"_cur_{c}" for c in cur_cols],
+        )
+        rm_keys = delta.filter(F.col("_has_rm") == 1).select(*group_cols)
+        if rm_keys.limit(1).count() > 0:
+            ex_aggs = []
+            if min_col:
+                ex_aggs.append(F.min(value_col).alias("_ex_min"))
+            if max_col:
+                ex_aggs.append(F.max(value_col).alias("_ex_max"))
+            exact = (
+                base_snapshot.join(
+                    F.broadcast(rm_keys),
+                    _nullsafe_cond(base_snapshot, rm_keys, group_cols),
+                    "left_semi",
+                )
+                .groupBy(*group_cols)
+                .agg(*ex_aggs)
+            )
+            joined = joined.join(
+                exact, _nullsafe_cond(joined, exact, group_cols), "left"
+            ).select(
+                *[joined[c] for c in joined.columns],
+                *(["_ex_min"] if min_col else []),
+                *(["_ex_max"] if max_col else []),
+            )
+        else:  # insert-only feed: no base read at all
+            if min_col:
+                joined = joined.withColumn(
+                    "_ex_min", F.lit(None).cast(dict(delta.dtypes)["_ins_min"])
+                )
+            if max_col:
+                joined = joined.withColumn(
+                    "_ex_max", F.lit(None).cast(dict(delta.dtypes)["_ins_max"])
+                )
+        final = []
+        if min_col:
+            final.append(
+                F.when(F.col("_has_rm") == 1, F.col("_ex_min"))
+                .otherwise(F.least(f"_cur_{min_col}", "_ins_min"))
+                .alias(min_col)
+            )
+        if max_col:
+            final.append(
+                F.when(F.col("_has_rm") == 1, F.col("_ex_max"))
+                .otherwise(F.greatest(f"_cur_{max_col}", "_ins_max"))
+                .alias(max_col)
+            )
+        delta = joined.select(*group_cols, count_col, sum_col, *final)
+    if avg_col:
+        # final value for INSERTED (brand-new) groups; matched groups
+        # recompute it from t+s inside the merge below
+        delta = delta.withColumn(
+            avg_col,
+            F.when(F.col(count_col) == 0, F.lit(None).cast("double"))
+            .otherwise(F.col(sum_col).cast("double") / F.col(count_col)),
+        )
+    upd = {
+        count_col: f"CAST(t.{count_col} + s.{count_col} AS BIGINT)",
+        sum_col: f"CAST(t.{sum_col} + s.{sum_col} AS DECIMAL(28,4))",
+    }
+    if min_col:
+        upd[min_col] = f"s.{min_col}"
+    if max_col:
+        upd[max_col] = f"s.{max_col}"
+    if avg_col:
+        upd[avg_col] = (
+            f"CASE WHEN CAST(t.{count_col} + s.{count_col} AS BIGINT) = 0 "
+            f"THEN CAST(NULL AS DOUBLE) "
+            f"ELSE CAST(CAST(t.{sum_col} + s.{sum_col} AS DECIMAL(28,4)) "
+            f"AS DOUBLE) / CAST(t.{count_col} + s.{count_col} AS DOUBLE) END"
+        )
     store.merge_when(
         delta,
         table,
         group_cols,
         when_matched_delete=f"t.{count_col} + s.{count_col} = 0",
-        when_matched_update={
-            count_col: f"CAST(t.{count_col} + s.{count_col} AS BIGINT)",
-            sum_col: f"CAST(t.{sum_col} + s.{sum_col} AS DECIMAL(28,4))",
-        },
-        when_not_matched_insert=True,
+        when_matched_update=upd,
+        # a brand-new group whose window nets to zero rows (inserted
+        # and fully deleted within one sync window) must NOT land a
+        # phantom 0-count row — a recompute would have no row at all
+        when_not_matched_insert=f"s.{count_col} <> 0",
         txn=txn,
         check_replay=check_replay,
         txn_expect=txn_expect,
@@ -210,6 +372,9 @@ def sync_rollup(
     value_col: str,
     count_col: str = "n_rows",
     sum_col: str = "sum_val",
+    min_col: str | None = None,
+    max_col: str | None = None,
+    avg_col: str | None = None,
     n_buckets: int = 16,
 ) -> int:
     """EXACTLY-ONCE catch-up of a maintained rollup to the base
@@ -264,6 +429,9 @@ def sync_rollup(
             value_col,
             count_col=count_col,
             sum_col=sum_col,
+            min_col=min_col,
+            max_col=max_col,
+            avg_col=avg_col,
             n_buckets=n_buckets,
             versioned=True,
             txn=(app_id, current),
@@ -280,6 +448,16 @@ def sync_rollup(
             value_col,
             count_col=count_col,
             sum_col=sum_col,
+            min_col=min_col,
+            max_col=max_col,
+            avg_col=avg_col,
+            # post-window snapshot for delete-aware MIN/MAX
+            # re-aggregation; only read if the feed has removals
+            base_snapshot=(
+                store.read(base_table, version=current)
+                if (min_col or max_col)
+                else None
+            ),
             txn=(app_id, current),
             check_replay=True,
             txn_expect=synced,  # CAS: only if nobody advanced it

@@ -5156,6 +5156,87 @@ def store_incremental_rollup(spark, sf_dir):
 
 
 @register(
+    "store_incremental_minmax",
+    sql="""
+    WITH base AS (
+      SELECT o_orderkey, o_totalprice, o_orderstatus
+      FROM orders WHERE o_orderkey % 2 = 0
+    ), inc AS (
+      SELECT o_orderkey, o_totalprice * 2 AS o_totalprice, o_orderstatus
+      FROM orders WHERE o_orderkey % 10 IN (0, 5)
+    ), v2 AS (
+      SELECT * FROM inc
+      UNION ALL
+      SELECT * FROM base
+      WHERE o_orderkey NOT IN (SELECT o_orderkey FROM inc)
+    ), v3 AS (
+      SELECT * FROM v2 WHERE NOT coalesce(o_totalprice > 300000, FALSE)
+    )
+    SELECT o_orderstatus,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                AS DECIMAL(28,4)) AS sum_val,
+           MIN(o_totalprice) AS min_val,
+           MAX(o_totalprice) AS max_val,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                     AS DECIMAL(28,4)) AS DOUBLE) / COUNT(*) AS avg_val
+    FROM v3 GROUP BY o_orderstatus
+    """,
+)
+def store_incremental_minmax(spark, sf_dir):
+    """MIN/MAX/AVG INCREMENTAL VIEW MAINTENANCE, hash-checked (VERDICT
+    r8 item 3; plans/rollup.sync_rollup with min/max/avg columns): the
+    same CDF-driven loop as store_incremental_rollup, but the rollup
+    additionally maintains MIN/MAX of the measure: the upsert window
+    carries pure inserts (the odd new keys) AND update pre/post image
+    pairs (the doubled even keys), and the purge window carries
+    deletes of group maxima — both removal shapes trigger the
+    DELETE-AWARE path (a removed extremum is unanswerable from the
+    feed: exact re-aggregation of ONLY the churned groups, restricted
+    by a broadcast semi-join of the feed's group keys), while
+    insert-only groups merge via LEAST/GREATEST with no base read —
+    and AVG derives exactly from the maintained decimal sum/count
+    pair in DOUBLE. The final rollup must hash-equal the
+    oracle's one-shot aggregate over the end state. Exercised through
+    sync_rollup, so the version bookkeeping (CAS watermarks,
+    incarnation ids) carries the min/max path too."""
+    from .plans.rollup import sync_rollup
+
+    base = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 2 == 0)
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+    )
+    inc = (
+        t(spark, sf_dir, "orders")
+        .filter((F.col("o_orderkey") % 10).isin(0, 5))
+        .select(
+            "o_orderkey",
+            (F.col("o_totalprice") * 2).alias("o_totalprice"),
+            "o_orderstatus",
+        )
+    )
+    store, finish = _ephemeral_store(spark, "ivmx_")
+    kw = dict(min_col="min_val", max_col="max_val", avg_col="avg_val")
+    store.overwrite_keyed(base, "t", "o_orderkey", n_buckets=16, versioned=True)
+    sync_rollup(store, "t", "r", ["o_orderstatus"], "o_totalprice", **kw)
+    store.upsert(inc, "t", "o_orderkey")  # v2: insert-only min/max path
+    sync_rollup(store, "t", "r", ["o_orderstatus"], "o_totalprice", **kw)
+    store.delete_where("t", F.col("o_totalprice") > 300000)  # v3: removals
+    sync_rollup(store, "t", "r", ["o_orderstatus"], "o_totalprice", **kw)
+    return finish(
+        store.read("r").select(
+            "o_orderstatus",
+            "n_rows",
+            F.col("sum_val").cast("decimal(28,4)").alias("sum_val"),
+            "min_val",
+            "max_val",
+            "avg_val",
+        )
+    )
+
+
+@register(
     "store_stats_skipping",
     sql="""
     SELECT o_orderkey, o_totalprice, o_orderdate FROM orders

@@ -118,6 +118,7 @@ _SF1_NAMES = [
     # verification gain; their machinery is exercised here through
     # the rollup and skipping compositions)
     "store_incremental_rollup",
+    "store_incremental_minmax",  # r9: maintained MIN/MAX/AVG
     "store_stats_skipping",
 ]
 
