@@ -364,6 +364,35 @@ def apply_changes_to_rollup(
     )
 
 
+def _acquire_seed_claim(path: str, stale_s: float) -> bool:
+    """Create-exclusive claim file — the put-if-absent primitive that
+    serializes FIRST-TIME seeding (VERDICT r8 item 6). A claim older
+    than ``stale_s`` is presumed orphaned by a crashed seeder and
+    stolen (unlink + retry); the unlink race is itself harmless — of
+    two stealers, exactly one wins the subsequent create-exclusive."""
+    import os
+    import time as _time
+
+    for _ in range(8):
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.write(fd, str(os.getpid()).encode())
+            os.close(fd)
+            return True
+        except FileExistsError:
+            try:
+                age = _time.time() - os.path.getmtime(path)
+            except FileNotFoundError:
+                continue  # released between open and stat: retry
+            if age <= stale_s:
+                return False
+            try:
+                os.remove(path)  # orphaned by a crashed seeder
+            except FileNotFoundError:
+                pass
+    return False
+
+
 def sync_rollup(
     store: TableStore,
     base_table: str,
@@ -376,6 +405,8 @@ def sync_rollup(
     max_col: str | None = None,
     avg_col: str | None = None,
     n_buckets: int = 16,
+    seed_wait_s: float = 300.0,
+    seed_stale_s: float = 600.0,
 ) -> int:
     """EXACTLY-ONCE catch-up of a maintained rollup to the base
     table's CURRENT version — the driver loop around seed_rollup /
@@ -401,11 +432,17 @@ def sync_rollup(
     detected as a new table and the rollup RE-SEEDS instead of
     silently staying stale or diffing unrelated manifests.
 
-    First call seeds from the current snapshot (seeding, like every
-    overwrite_keyed, is single-writer — do not race two FIRST-TIME
-    syncers; steady-state concurrent syncs are safe per the CAS
-    above). A no-change call is one manifest read. Returns the base
-    version the rollup now reflects; the base must be versioned+keyed
+    First call seeds from the current snapshot. FIRST-TIME seeding is
+    serialized by a create-exclusive claim file (VERDICT r8 item 6):
+    exactly one racer runs the overwrite — two concurrent physical
+    overwrites of one directory would corrupt each other — while
+    losers wait (up to ``seed_wait_s``) for the winner's watermark to
+    appear and converge on it; a claim orphaned by a crashed seeder
+    goes stale after ``seed_stale_s`` and is stolen by the next
+    caller, whose re-seed safely re-truncates any partial state.
+    Steady-state concurrent syncs are safe per the CAS above. A
+    no-change call is one manifest read. Returns the base version the
+    rollup now reflects; the base must be versioned+keyed
     (table_changes' requirement)."""
     from ..io import TxnAlreadyApplied
 
@@ -420,23 +457,70 @@ def sync_rollup(
     if synced is None:
         # first sync for THIS base incarnation: (re)seed wholesale —
         # covers both the genuinely-new rollup and a base reseed,
-        # where the old incarnation's watermark must not be trusted
-        seed_rollup(
-            store,
-            store.read(base_table, version=current),
-            rollup_table,
-            group_cols,
-            value_col,
-            count_col=count_col,
-            sum_col=sum_col,
-            min_col=min_col,
-            max_col=max_col,
-            avg_col=avg_col,
-            n_buckets=n_buckets,
-            versioned=True,
-            txn=(app_id, current),
-        )
-        return current
+        # where the old incarnation's watermark must not be trusted.
+        # Serialized by the claim file; losers converge on the
+        # winner's watermark instead of double-overwriting.
+        import os
+        import time as _time
+
+        from ..io import TxnConflict
+
+        claim = os.path.join(store.root, f".seedclaim_{rollup_table}")
+        deadline = _time.time() + seed_wait_s
+        while True:
+            if _acquire_seed_claim(claim, seed_stale_s):
+                try:
+                    # double-check under the claim: a racer that lost
+                    # an earlier acquire may reach here AFTER the
+                    # winner seeded and released — converge instead of
+                    # redundantly re-overwriting (and re-minting the
+                    # rollup's incarnation)
+                    w = (
+                        store.last_txn(rollup_table, app_id)
+                        if store.exists(rollup_table)
+                        else None
+                    )
+                    if w is not None:
+                        return int(w)
+                    seed_rollup(
+                        store,
+                        store.read(base_table, version=current),
+                        rollup_table,
+                        group_cols,
+                        value_col,
+                        count_col=count_col,
+                        sum_col=sum_col,
+                        min_col=min_col,
+                        max_col=max_col,
+                        avg_col=avg_col,
+                        n_buckets=n_buckets,
+                        versioned=True,
+                        txn=(app_id, current),
+                    )
+                finally:
+                    try:
+                        os.remove(claim)
+                    except FileNotFoundError:
+                        pass
+                return current
+            # lost the claim: the winner is seeding — wait for its
+            # watermark (durable BEFORE it releases the claim) and
+            # converge; if the winner errored and released without
+            # one, the loop re-contends for the claim
+            w = (
+                store.last_txn(rollup_table, app_id)
+                if store.exists(rollup_table)
+                else None
+            )
+            if w is not None:
+                return int(w)
+            if _time.time() >= deadline:
+                raise TxnConflict(
+                    f"{rollup_table}: concurrent first-time seed did "
+                    f"not complete within {seed_wait_s}s — claim file "
+                    f"{claim} still held"
+                )
+            _time.sleep(0.05)
     if synced >= current:
         return synced  # nothing new: one manifest-listing read
     try:

@@ -627,3 +627,77 @@ def versioned_upsert_stream(
     if available_now:
         w = w.trigger(availableNow=True)
     return w.start()
+
+
+def maintained_rollup_stream(
+    updates: DataFrame,
+    store,
+    checkpoint_dir: str,
+    key: str,
+    group_cols: list[str],
+    value_col: str,
+    base_table: str = "facts",
+    rollup_table: str = "facts_rollup",
+    count_col: str = "n_rows",
+    sum_col: str = "sum_val",
+    min_col: str | None = None,
+    max_col: str | None = None,
+    avg_col: str | None = None,
+    app_id: str = "maintained_rollup_stream",
+    n_buckets: int = 64,
+    rollup_buckets: int = 16,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming MAINTAINED VIEW (VERDICT r8 item 4): each micro-batch
+    (1) lands in the versioned base table EXACTLY-ONCE via
+    ``upsert_txn`` with the Spark-assigned batch_id as the transaction
+    version, then (2) catches the materialized rollup up to the base's
+    new current version via ``plans.rollup.sync_rollup`` — the
+    CDF-driven IVM loop driven from foreachBatch, closing the
+    stream → base → change feed → materialized view pipeline
+    end-to-end.
+
+    Both halves carry their own exactly-once watermark, so every
+    at-least-once failure mode converges:
+    - a REPLAYED batch (even a poisoned one — different data, same
+      batch_id) skips at the base upsert's commit-time replay check;
+      the follow-on sync sees synced >= current and no-ops, so the
+      rollup never ingests the poison;
+    - a crash BETWEEN upsert and sync leaves the rollup one window
+      behind; the next batch's sync window (synced → current) covers
+      both batches' churn — the feed-driven delta is cumulative;
+    - two concurrent zombie drivers serialize on the manifest claims
+      (upsert_txn's check_replay, sync_rollup's txn_expect CAS).
+
+    Per-batch cost: the batch's buckets on the base + the churned
+    groups on the rollup — never a base-table re-scan."""
+    from ..plans.rollup import sync_rollup
+
+    def _apply(batch: DataFrame, batch_id: int) -> None:
+        batch = batch.localCheckpoint(eager=True)
+        store.upsert_txn(
+            batch, base_table, key, app_id, int(batch_id),
+            n_buckets=n_buckets,
+        )
+        sync_rollup(
+            store,
+            base_table,
+            rollup_table,
+            group_cols,
+            value_col,
+            count_col=count_col,
+            sum_col=sum_col,
+            min_col=min_col,
+            max_col=max_col,
+            avg_col=avg_col,
+            n_buckets=rollup_buckets,
+        )
+
+    w = (
+        updates.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()

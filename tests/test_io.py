@@ -2499,6 +2499,87 @@ def test_sync_rollup_min_max_avg(spark, tmp_path):
     assert rollup() == recompute()
 
 
+def test_sync_rollup_concurrent_first_seed(spark, tmp_path, monkeypatch):
+    """VERDICT r8 item 6: two barrier-raced FIRST-TIME syncers on a
+    brand-new rollup. Exactly one runs the seed overwrite (two
+    concurrent physical overwrites of one directory would corrupt
+    each other); the loser waits on the claim file and converges on
+    the winner's watermark. Both callers end with the same correct
+    rollup."""
+    import threading
+
+    from datapipelinerepo_spark.plans import rollup as rollup_mod
+
+    store = TableStore(spark, str(tmp_path))
+    base = spark.createDataFrame(
+        [(i, float(i), "A" if i % 2 else "B") for i in range(20)],
+        "id long, val double, grp string",
+    )
+    store.overwrite_keyed(base, "t", "id", n_buckets=4, versioned=True)
+
+    seeds: list[int] = []
+    barrier = threading.Barrier(2, timeout=120)
+    orig_seed = rollup_mod.seed_rollup
+
+    def counted(*a, **k):
+        seeds.append(1)
+        return orig_seed(*a, **k)
+
+    monkeypatch.setattr(rollup_mod, "seed_rollup", counted)
+    orig_acquire = rollup_mod._acquire_seed_claim
+    first_call = threading.local()
+
+    def synced_acquire(path, stale_s):
+        # barrier only each thread's FIRST attempt (the loser's retry
+        # loop re-enters; a second wait would deadlock)
+        if not getattr(first_call, "done", False):
+            first_call.done = True
+            barrier.wait()  # both racers contend for the claim at once
+        return orig_acquire(path, stale_s)
+
+    monkeypatch.setattr(rollup_mod, "_acquire_seed_claim", synced_acquire)
+    results: list[int] = []
+    errors: list[BaseException] = []
+
+    def run():
+        try:
+            results.append(
+                rollup_mod.sync_rollup(store, "t", "r", ["grp"], "val")
+            )
+        except BaseException as e:
+            errors.append(e)
+        finally:
+            # free a partner stuck on the barrier if this thread died
+            barrier.abort() if errors else None
+
+    threads = [threading.Thread(target=run) for _ in range(2)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join(timeout=300)
+    monkeypatch.undo()
+    assert not errors, errors
+    assert len(seeds) == 1  # exactly one physical seed
+    assert results == [1, 1]  # both converged on the same base version
+    got = {
+        r["grp"]: (r["n_rows"], float(r["sum_val"]))
+        for r in store.read("r").collect()
+    }
+    assert got == {"A": (10, 100.0), "B": (10, 90.0)}
+    # the claim file is released for future reseeds
+    import os
+
+    assert not os.path.exists(os.path.join(str(tmp_path), ".seedclaim_r"))
+    # a stale orphaned claim (crashed seeder) is stolen, not waited on
+    open(os.path.join(str(tmp_path), ".seedclaim_r2"), "w").close()
+    old = __import__("time").time() - 10_000
+    os.utime(os.path.join(str(tmp_path), ".seedclaim_r2"), (old, old))
+    assert (
+        rollup_mod.sync_rollup(store, "t", "r2", ["grp"], "val")
+        == 1
+    )
+
+
 def test_sync_rollup_wave3_fixes(spark, tmp_path):
     """Code-review r8 wave 3 regressions: (1) compare-and-swap
     watermarks refuse an overlapping-but-longer concurrent window;

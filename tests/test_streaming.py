@@ -969,3 +969,99 @@ def test_funnel_stage_stream_boundaries_across_drains(spark, tmp_path):
         .parquet(out).collect()
     }
     assert got == {1, 3}
+
+
+def test_maintained_rollup_stream_end_to_end(spark, tmp_path):
+    """VERDICT r8 item 4: the streaming maintained-view loop. Each
+    drained micro-batch upserts the base exactly-once and syncs the
+    rollup through the change feed; after every drain the rollup
+    (count/sum/min/max/avg) equals a direct recompute of the base.
+    External base churn between drains (a delete_where) is picked up
+    by the next batch's sync window; a drained replay adds nothing;
+    and a POISONED replayed batch (different data, same batch id) is
+    refused at the base commit so the rollup never sees it."""
+    from datapipelinerepo_spark.io import TableStore
+    from datapipelinerepo_spark.plans.rollup import sync_rollup
+    from datapipelinerepo_spark.streaming.ingest import (
+        maintained_rollup_stream,
+    )
+
+    src = tmp_path / "in"
+    src.mkdir()
+    store = TableStore(spark, str(tmp_path / "store"))
+    ckpt = str(tmp_path / "ckpt")
+    schema = "id long, val double, grp string"
+    kw = dict(min_col="min_val", max_col="max_val", avg_col="avg_val")
+
+    def drain():
+        stream = spark.readStream.schema(schema).json(str(src))
+        maintained_rollup_stream(
+            stream, store, ckpt, "id", ["grp"], "val",
+            base_table="b", rollup_table="r", n_buckets=4,
+            rollup_buckets=2, **kw,
+        ).awaitTermination()
+
+    def recompute():
+        return {
+            r["grp"]: (r["n"], r["s"], r["mn"], r["mx"], r["av"])
+            for r in store.read("b")
+            .groupBy("grp")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.coalesce(
+                    F.sum(F.coalesce(
+                        F.col("val").cast("decimal(18,4)"),
+                        F.lit(0).cast("decimal(18,4)"),
+                    )),
+                    F.lit(0).cast("decimal(18,4)"),
+                ).cast("decimal(28,4)").alias("s"),
+                F.min("val").alias("mn"),
+                F.max("val").alias("mx"),
+            )
+            .withColumn("av", F.col("s").cast("double") / F.col("n"))
+            .collect()
+        }
+
+    def rollup():
+        return {
+            r["grp"]: (
+                r["n_rows"], r["sum_val"], r["min_val"], r["max_val"],
+                r["avg_val"],
+            )
+            for r in store.read("r").collect()
+        }
+
+    rows = [
+        {"id": i, "val": float(i), "grp": "A" if i % 2 else "B"}
+        for i in range(10)
+    ]
+    (src / "b1.json").write_text("\n".join(json.dumps(r) for r in rows))
+    drain()
+    assert rollup() == recompute()
+    # batch 2: updates (id 1 moves groups) + inserts incl. a new group
+    rows2 = [
+        {"id": 1, "val": 100.0, "grp": "B"},
+        {"id": 20, "val": -7.0, "grp": "C"},
+    ]
+    (src / "b2.json").write_text("\n".join(json.dumps(r) for r in rows2))
+    # external churn the stream didn't produce: the next sync window
+    # must still cover it (the feed is version-driven, not batch-driven)
+    store.delete_where("b", "val = 9.0")
+    drain()
+    assert rollup() == recompute()
+    base_now = {r["id"]: r["val"] for r in store.read("b").collect()}
+    # drained replay: same checkpoint, no new files — nothing changes
+    drain()
+    assert rollup() == recompute()
+    assert {r["id"]: r["val"] for r in store.read("b").collect()} == base_now
+    # poisoned replay: what a zombie foreachBatch retry would run —
+    # DIFFERENT data under an already-committed batch id. The base
+    # upsert refuses at commit time; the sync no-ops; the rollup is
+    # untouched.
+    app = "maintained_rollup_stream"
+    used = store.last_txn("b", app)
+    poison = spark.createDataFrame([(1, -1e9, "A")], schema)
+    assert store.upsert_txn(poison, "b", "id", app, used) is False
+    sync_rollup(store, "b", "r", ["grp"], "val", **kw)
+    assert rollup() == recompute()
+    assert {r["id"]: r["val"] for r in store.read("b").collect()} == base_now
