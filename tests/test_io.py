@@ -2223,6 +2223,45 @@ def test_read_where_data_skipping(spark, tmp_path):
         store.read_where("t", ranges={"price": 5})
 
 
+def test_read_where_warns_when_stats_inert(spark, tmp_path):
+    """VERDICT r8 item 9: an INT96-written timestamp column carries NO
+    parquet min/max stats, so data skipping on it is inert — read_where
+    must WARN loudly and bump the observability counter instead of
+    silently scanning everything, while still returning correct rows
+    (absent stats mean 'cannot prune', never 'no rows')."""
+    import datetime as dt
+    import warnings as _warnings
+
+    import pytest as _pytest
+
+    store = TableStore(spark, str(tmp_path))
+    rows = [
+        (i, dt.datetime(2026, 1, 1) + dt.timedelta(days=i)) for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "id long, ts timestamp")
+    key = "spark.sql.parquet.outputTimestampType"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "INT96")  # the vanilla-writer default
+    try:
+        store.overwrite_keyed(df, "t", "id", n_buckets=2, versioned=True)
+    finally:
+        spark.conf.set(key, prev)
+    lo, hi = dt.datetime(2026, 1, 5), dt.datetime(2026, 1, 10)
+    with _pytest.warns(UserWarning, match="data skipping is INERT"):
+        got = {r["id"] for r in store.read_where("t", "ts", (lo, hi)).collect()}
+    assert got == {4, 5, 6, 7, 8, 9}  # correctness unaffected
+    with _pytest.warns(UserWarning, match="no min/max stats"):
+        kept, total = store.pruned_file_count("t", "ts", (lo, hi))
+    assert kept == total and total > 0  # inert: nothing pruned
+    assert store.prune_stat_misses[("t", "ts")] == 2
+    # a column WITH stats stays silent (no false alarms)
+    with _warnings.catch_warnings():
+        _warnings.simplefilter("error")
+        kept_id, total_id = store.pruned_file_count("t", "id", (0, 5))
+    assert ("t", "id") not in store.prune_stat_misses
+    assert kept_id <= total_id
+
+
 def test_compact_zorder_recluster(spark, tmp_path):
     """compact(zorder_cols=...) rewrites fat buckets ordered by the
     Morton code of the columns' quantile ranks: contents identical,

@@ -150,3 +150,103 @@ def test_oracle_parity_sf1(spark, duck_sf1, name):
     e = REGISTRY[name]
     ok, msg = compare(e.fn(spark, _SF1_DIR), duck_sf1, e.sql)
     assert ok, f"{name} @ sf1: {msg}"
+
+
+# ---------------------------------------------------------------------------
+# sf1 CHECKSUM twins for the whole-table read-back store queries
+# (VERDICT r8 item 5): store_time_travel_ts / store_schema_evolution /
+# store_cdf_changes / store_merge_when return multi-million-row frames
+# at sf1, so their full value hash stays an sf0.01-only proof (the
+# documented collect-cost trade). These twins run the SAME query and
+# the SAME oracle at sf1 but compare an aggregate projection — row
+# count, per-column non-null count, decimal sum, min/max (distinct
+# count for strings) — catching scale-dependent value drift without
+# the collect. The full-hash proof at sf0.01 anchors exactness; this
+# anchors scale.
+# ---------------------------------------------------------------------------
+
+_READBACK_CHECKSUMS = {
+    "store_time_travel_ts": {
+        "num": ["version", "o_orderkey", "o_totalprice"], "str": [],
+    },
+    "store_schema_evolution": {
+        "num": ["o_orderkey", "o_totalprice"], "str": ["o_orderstatus"],
+    },
+    "store_cdf_changes": {
+        "num": ["o_orderkey", "o_totalprice"], "str": ["_change_type"],
+    },
+    "store_merge_when": {
+        "num": ["o_orderkey", "o_totalprice", "adj"], "str": ["tag"],
+    },
+}
+
+
+def _checksum_spark(df, spec):
+    from pyspark.sql import functions as F
+
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n_rows")]
+    for c in spec["num"]:
+        aggs += [
+            F.count(F.col(c)).cast("bigint").alias(f"n_{c}"),
+            F.sum(F.col(c).cast("decimal(18,4)"))
+            .cast("decimal(38,4)")
+            .alias(f"sum_{c}"),
+            F.min(F.col(c).cast("double")).alias(f"min_{c}"),
+            F.max(F.col(c).cast("double")).alias(f"max_{c}"),
+        ]
+    for c in spec["str"]:
+        aggs += [
+            F.count(F.col(c)).cast("bigint").alias(f"n_{c}"),
+            F.count_distinct(F.col(c)).cast("bigint").alias(f"nd_{c}"),
+            F.min(c).alias(f"min_{c}"),
+            F.max(c).alias(f"max_{c}"),
+        ]
+    return df.agg(*aggs)
+
+
+def _checksum_sql(sql, spec):
+    parts = ["CAST(COUNT(*) AS BIGINT) AS n_rows"]
+    for c in spec["num"]:
+        parts += [
+            f'CAST(COUNT("{c}") AS BIGINT) AS "n_{c}"',
+            f'CAST(SUM(CAST("{c}" AS DECIMAL(18,4))) AS DECIMAL(38,4))'
+            f' AS "sum_{c}"',
+            f'MIN(CAST("{c}" AS DOUBLE)) AS "min_{c}"',
+            f'MAX(CAST("{c}" AS DOUBLE)) AS "max_{c}"',
+        ]
+    for c in spec["str"]:
+        parts += [
+            f'CAST(COUNT("{c}") AS BIGINT) AS "n_{c}"',
+            f'CAST(COUNT(DISTINCT "{c}") AS BIGINT) AS "nd_{c}"',
+            f'MIN("{c}") AS "min_{c}"',
+            f'MAX("{c}") AS "max_{c}"',
+        ]
+    return f"SELECT {', '.join(parts)} FROM ({sql})"
+
+
+@pytest.mark.parametrize("name", sorted(_READBACK_CHECKSUMS))
+def test_readback_checksum_twin_construction(spark, sf_dir, duck, name):
+    """Fast-suite anchor: the checksum twins must agree at sf0.001 too
+    (guards the twin construction itself against drift from the real
+    query/oracle)."""
+    e = REGISTRY[name]
+    spec = _READBACK_CHECKSUMS[name]
+    ok, msg = compare(
+        _checksum_spark(e.fn(spark, sf_dir), spec),
+        duck,
+        _checksum_sql(e.sql, spec),
+    )
+    assert ok, f"{name} checksum twin: {msg}"
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("name", sorted(_READBACK_CHECKSUMS))
+def test_readback_checksums_sf1(spark, duck_sf1, name):
+    e = REGISTRY[name]
+    spec = _READBACK_CHECKSUMS[name]
+    ok, msg = compare(
+        _checksum_spark(e.fn(spark, _SF1_DIR), spec),
+        duck_sf1,
+        _checksum_sql(e.sql, spec),
+    )
+    assert ok, f"{name} checksum @ sf1: {msg}"
