@@ -144,6 +144,10 @@ _CHANGED_IN_ROUND = {
     "store_merge_when": 9,
     "store_incremental_rollup": 9,
     "store_stats_skipping": 9,
+    # r9: rewritten after the registry-wide bench sweep caught the
+    # 7-value key enumerating ~500M pairs at sf0.1 — now a
+    # high-cardinality nullable key (re-proven at sf0.001 + sf0.01)
+    "j_null_safe_join": 9,
 }
 
 

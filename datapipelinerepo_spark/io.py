@@ -128,6 +128,69 @@ def _key_match(keys: list[str], df: DataFrame, prefix: str):
     return aliased, cond
 
 
+def _acquire_claim(path: str, stale_s: float) -> int | None:
+    """Create-exclusive claim file — the put-if-absent primitive that
+    serializes FIRST-WRITER windows (first-time rollup seeding,
+    first-write table creation): physical static overwrites of one
+    directory must never run concurrently. Returns the won claim's
+    inode (the holder's identity token, re-checked by the caller
+    before anything destructive) or None.
+
+    A claim older than ``stale_s`` is presumed orphaned by a crashed
+    holder and stolen. The steal is an atomic RENAME to a
+    stealer-unique name — never a bare unlink (code-review r9 wave 1:
+    two waiters crossing the staleness threshold together could
+    otherwise interleave stat→remove so the second's remove deletes
+    the first's freshly WON claim, letting both write concurrently).
+    Exactly one stealer wins the rename; and because the stat→rename
+    pair is itself not atomic, the stealer re-checks the RENAMED
+    file's age — if it turns out fresh (a live claim was displaced),
+    it is restored via an atomic put-if-absent link and the steal is
+    reported lost. Residual window: a live claim displaced and a third
+    caller claiming before the restore — three writers interleaving
+    within milliseconds on a path that requires a prior crash plus
+    ``stale_s`` of inactivity; the caller's inode self-check shrinks
+    it further. Expiry-based stealing is inherently advisory (the
+    lease model Delta commit services use); size ``stale_s``
+    comfortably above the longest possible protected write."""
+    import uuid
+
+    for _ in range(8):
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.write(fd, str(os.getpid()).encode())
+            ino = os.fstat(fd).st_ino
+            os.close(fd)
+            return ino
+        except FileExistsError:
+            try:
+                age = time.time() - os.path.getmtime(path)
+            except FileNotFoundError:
+                continue  # released between open and stat: retry
+            if age <= stale_s:
+                return None
+            grave = f"{path}.stolen-{uuid.uuid4().hex}"
+            try:
+                os.rename(path, grave)  # atomic: one stealer wins
+            except FileNotFoundError:
+                continue  # another stealer (or release) got it first
+            try:
+                fresh = time.time() - os.path.getmtime(grave) <= stale_s
+            except FileNotFoundError:
+                fresh = False
+            if fresh:
+                # the stat→rename window displaced a LIVE claim:
+                # restore it put-if-absent and report this steal lost
+                try:
+                    os.link(grave, path)
+                except FileExistsError:
+                    pass
+                os.remove(grave)
+                return None
+            os.remove(grave)
+    return None
+
+
 class TableStore:
     """A directory of named parquet tables with the reference's load
     semantics. Plays the role BigQuery datasets played
@@ -2309,16 +2372,19 @@ class TableStore:
             # _kb= dirs without a keyed meta are that window's
             # signature, never a legitimately written plain table):
             # overwrite_keyed enforces constraints and statically
-            # re-truncates whatever the crash left behind
-            self.overwrite_keyed(
-                df.dropDuplicates(keys),
-                name,
-                keys,
-                n_buckets=n_buckets,
-                versioned=True,
-                txn=(app_id, int(txn_version)),
+            # re-truncates whatever the crash left behind. Serialized
+            # behind a create-exclusive claim (code-review r9 wave 1):
+            # a zombie driver and its replacement both replaying
+            # batch 0 would otherwise run two concurrent static
+            # overwrites of the same directory — the claim lets one
+            # create while the other converges and falls through to
+            # the steady-state replay check below.
+            created = self._create_txn_serialized(
+                df, name, keys, app_id, int(txn_version), int(n_buckets)
             )
-            return True
+            if created:
+                return True
+            spec = self.keyed_spec(name)  # converged on a racer's table
         if spec is None and self._meta_lost_one_commit(name):
             # meta-only damage on a readable one-commit snapshot
             # (ADVICE r8): recover losslessly instead of truncating —
@@ -2395,6 +2461,76 @@ class TableStore:
         return any(
             not os.path.isfile(os.path.join(d, f)) for f in files
         )
+
+    def _create_txn_serialized(
+        self,
+        df: DataFrame,
+        name: str,
+        keys: list[str],
+        app_id: str,
+        txn_version: int,
+        n_buckets: int,
+        wait_s: float = 300.0,
+        stale_s: float = 600.0,
+    ) -> bool:
+        """upsert_txn's FIRST-WRITE path, serialized behind a
+        create-exclusive claim (code-review r9 wave 1): two writers
+        racing the creation of one table (a zombie foreachBatch driver
+        plus its replacement, both replaying batch 0) must not run two
+        concurrent static overwrites of the same directory — the local
+        committer shares one _temporary dir per path and the second
+        truncation can destroy the first's committed files. Exactly
+        one racer creates; the other returns False and falls through
+        to the steady-state path, where the ordinary manifest replay
+        check decides whether its batch still applies. A claim
+        orphaned by a crashed creator goes stale after ``stale_s`` and
+        is stolen; the stealer's creation safely re-truncates partial
+        state (the _creation_crashed retry contract)."""
+        claim = os.path.join(self.root, f".createclaim_{name}")
+
+        def _created() -> bool:
+            return (
+                self._table_initialized(name)
+                and self.keyed_spec(name) is not None
+            )
+
+        deadline = time.time() + wait_s
+        while True:
+            tok = _acquire_claim(claim, stale_s)
+            if tok is not None:
+                try:
+                    held = os.stat(claim).st_ino == tok
+                except FileNotFoundError:
+                    held = False
+                if not held:
+                    continue  # displaced by a stealer: re-contend
+                try:
+                    if _created():
+                        return False  # a racer finished: converge
+                    self.overwrite_keyed(
+                        df.dropDuplicates(keys),
+                        name,
+                        keys,
+                        n_buckets=n_buckets,
+                        versioned=True,
+                        txn=(app_id, int(txn_version)),
+                    )
+                    return True
+                finally:
+                    try:
+                        if os.stat(claim).st_ino == tok:
+                            os.remove(claim)
+                    except FileNotFoundError:
+                        pass
+            if _created():
+                return False  # the winner finished: converge
+            if time.time() >= deadline:
+                raise TxnConflict(
+                    f"{name}: concurrent first-write creation did not "
+                    f"complete within {wait_s}s — claim file {claim} "
+                    "still held"
+                )
+            time.sleep(0.05)
 
     def _meta_lost_one_commit(self, name: str) -> bool:
         """Meta-only damage signature: bucket-partitioned data, no

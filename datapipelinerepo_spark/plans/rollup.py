@@ -161,6 +161,54 @@ def seed_rollup(
         agg, table, group_cols, n_buckets=n_buckets, versioned=versioned,
         txn=txn,
     )
+    # record the maintained-column spec so a later apply/sync that
+    # names DIFFERENT columns fails loudly instead of silently leaving
+    # extrema stale (code-review r9 wave 1)
+    store._touch_meta(table, rollup_spec=_spec_dict(
+        group_cols, value_col, count_col, sum_col, min_col, max_col,
+        avg_col,
+    ))
+
+
+def _spec_dict(group_cols, value_col, count_col, sum_col, min_col,
+               max_col, avg_col) -> dict:
+    return {
+        "group_cols": list(group_cols),
+        "value_col": value_col,
+        "count_col": count_col,
+        "sum_col": sum_col,
+        "min_col": min_col,
+        "max_col": max_col,
+        "avg_col": avg_col,
+    }
+
+
+def _check_rollup_spec(store, table: str, spec: dict) -> None:
+    """Refuse maintenance whose column spec disagrees with the one the
+    rollup was SEEDED with (recorded in the table meta): a COUNT/SUM
+    sync against a min/max-maintained rollup would silently leave the
+    extrema columns stale forever — internally inconsistent with no
+    error (code-review r9 wave 1). Rollups seeded before the spec was
+    recorded skip the check."""
+    import json as _json
+    import os as _os
+
+    p = store._meta_path(table)
+    if not _os.path.isfile(p):
+        return
+    with open(p) as fh:
+        stored = _json.load(fh).get("rollup_spec")
+    if stored is None:
+        return
+    diffs = {
+        k: (stored[k], spec[k]) for k in spec if stored.get(k) != spec[k]
+    }
+    if diffs:
+        raise ValueError(
+            f"{table}: maintenance spec disagrees with the spec this "
+            f"rollup was seeded with — {diffs} (stored, call). Pass "
+            "the same columns on every sync, or reseed."
+        )
 
 
 def apply_changes_to_rollup(
@@ -226,6 +274,10 @@ def apply_changes_to_rollup(
             "version) — a removed extremum cannot be recomputed from "
             "the feed alone"
         )
+    _check_rollup_spec(store, table, _spec_dict(
+        group_cols, value_col, count_col, sum_col, min_col, max_col,
+        avg_col,
+    ))
     ins = F.col("_change_type").isin("insert", "update_postimage")
     sign = F.when(ins, F.lit(1)).otherwise(F.lit(-1))
     aggs = [
@@ -364,33 +416,11 @@ def apply_changes_to_rollup(
     )
 
 
-def _acquire_seed_claim(path: str, stale_s: float) -> bool:
-    """Create-exclusive claim file — the put-if-absent primitive that
-    serializes FIRST-TIME seeding (VERDICT r8 item 6). A claim older
-    than ``stale_s`` is presumed orphaned by a crashed seeder and
-    stolen (unlink + retry); the unlink race is itself harmless — of
-    two stealers, exactly one wins the subsequent create-exclusive."""
-    import os
-    import time as _time
-
-    for _ in range(8):
-        try:
-            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            os.write(fd, str(os.getpid()).encode())
-            os.close(fd)
-            return True
-        except FileExistsError:
-            try:
-                age = _time.time() - os.path.getmtime(path)
-            except FileNotFoundError:
-                continue  # released between open and stat: retry
-            if age <= stale_s:
-                return False
-            try:
-                os.remove(path)  # orphaned by a crashed seeder
-            except FileNotFoundError:
-                pass
-    return False
+# the put-if-absent claim primitive serializing first-writer windows
+# (first-time rollup seeding here; first-write table creation in
+# io.upsert_txn) — module alias kept so tests can monkeypatch the
+# seeding path independently
+from ..io import _acquire_claim as _acquire_seed_claim  # noqa: E402
 
 
 def sync_rollup(
@@ -466,22 +496,55 @@ def sync_rollup(
         from ..io import TxnConflict
 
         claim = os.path.join(store.root, f".seedclaim_{rollup_table}")
+
+        def _settled() -> int | None:
+            # a finished seed = watermark visible AND keyed meta
+            # stamped. Converging on the watermark alone (manifest
+            # publish, overwrite step 3) would hand the caller a
+            # rollup whose read() still takes the unkeyed branch and
+            # leaks the internal _kb column until the meta lands
+            # (step 4) — code-review r9 wave 1.
+            if not store.exists(rollup_table):
+                return None
+            w = store.last_txn(rollup_table, app_id)
+            if w is None or store.keyed_spec(rollup_table) is None:
+                return None
+            return int(w)
+
+        def _release(tok: int) -> None:
+            # release only OUR claim: after a (pathological) mid-seed
+            # displacement the file on disk is a stealer's
+            try:
+                if os.stat(claim).st_ino == tok:
+                    os.remove(claim)
+            except FileNotFoundError:
+                pass
+
         deadline = _time.time() + seed_wait_s
         while True:
-            if _acquire_seed_claim(claim, seed_stale_s):
+            tok = _acquire_seed_claim(claim, seed_stale_s)
+            if tok is not None:
+                # identity self-check before anything destructive: a
+                # racing staleness-stealer may have displaced this
+                # claim in its stat→rename window — if the file on
+                # disk is no longer OUR inode, the claim is lost;
+                # re-contend instead of seeding unheld
+                try:
+                    held = os.stat(claim).st_ino == tok
+                except FileNotFoundError:
+                    held = False
+                if not held:
+                    continue
                 try:
                     # double-check under the claim: a racer that lost
                     # an earlier acquire may reach here AFTER the
-                    # winner seeded and released — converge instead of
-                    # redundantly re-overwriting (and re-minting the
-                    # rollup's incarnation)
-                    w = (
-                        store.last_txn(rollup_table, app_id)
-                        if store.exists(rollup_table)
-                        else None
-                    )
+                    # winner seeded and released (or after a crashed
+                    # winner published the manifest but not the meta —
+                    # then fall through and complete the seed) —
+                    # converge instead of redundantly re-overwriting
+                    w = _settled()
                     if w is not None:
-                        return int(w)
+                        return w
                     seed_rollup(
                         store,
                         store.read(base_table, version=current),
@@ -498,22 +561,14 @@ def sync_rollup(
                         txn=(app_id, current),
                     )
                 finally:
-                    try:
-                        os.remove(claim)
-                    except FileNotFoundError:
-                        pass
+                    _release(tok)
                 return current
             # lost the claim: the winner is seeding — wait for its
-            # watermark (durable BEFORE it releases the claim) and
-            # converge; if the winner errored and released without
-            # one, the loop re-contends for the claim
-            w = (
-                store.last_txn(rollup_table, app_id)
-                if store.exists(rollup_table)
-                else None
-            )
+            # completed state and converge; if the winner errored and
+            # released without one, the loop re-contends for the claim
+            w = _settled()
             if w is not None:
-                return int(w)
+                return w
             if _time.time() >= deadline:
                 raise TxnConflict(
                     f"{rollup_table}: concurrent first-time seed did "

@@ -3128,14 +3128,17 @@ def profile_column_stats(spark, sf_dir):
     "j_null_safe_join",
     sql="""
     WITH a AS (
-      SELECT o_orderkey, NULLIF(o_orderkey % 7, 0) AS bucket FROM orders
-      WHERE o_orderkey % 2 = 0
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 97 = 0 THEN NULL ELSE o_custkey END AS k
+      FROM orders WHERE o_orderkey % 2 = 0
     ), b AS (
-      SELECT o_orderkey, NULLIF(o_orderkey % 7, 0) AS bucket FROM orders
-      WHERE o_orderkey % 3 = 0
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 97 = 0 THEN NULL ELSE o_custkey END AS k
+      FROM orders WHERE o_orderkey % 3 = 0
     )
-    SELECT a.bucket, COUNT(*) AS n_pairs
-    FROM a JOIN b ON a.bucket IS NOT DISTINCT FROM b.bucket
+    SELECT a.k IS NULL AS null_key, COUNT(*) AS n_pairs,
+           CAST(COUNT(DISTINCT a.k) AS BIGINT) AS n_keys
+    FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
                  AND a.o_orderkey < b.o_orderkey
     GROUP BY 1
     """,
@@ -3145,24 +3148,35 @@ def j_null_safe_join(spark, sf_dir):
     match EACH OTHER instead of vanishing — the semantics a dedup or
     reconciliation join needs when the key is legitimately absent.
     Catalyst plans eqNullSafe as a hash join on a null-safe key (NOT a
-    nested loop), so the shape survives scale; the NULL bucket is the
-    skew hot-spot to watch (here it carries ~1/7 of rows; salt it when
-    the null share is large). Hash-checked per bucket including the
-    NULL group."""
+    nested loop), so the shape survives scale. The key is
+    HIGH-CARDINALITY (o_custkey) with a ~1% NULL share (every 97th
+    order's key is 'absent'): per-key match counts stay constant as
+    the data grows, so join output scales linearly — the r9 bench
+    sweep caught the original 7-value key enumerating ~500M pairs at
+    sf0.1 (quadratic per bucket; 100× worse at sf1). The NULL bucket
+    is still the inherent quadratic hot-spot of null-safe semantics
+    (all-nulls pair with each other): keep the null share small or
+    pre-aggregate it separately when it is large. Hash-checked for
+    both the null and non-null key classes."""
     o = t(spark, sf_dir, "orders")
     mk = lambda flt: (  # noqa: E731
         o.filter(F.col("o_orderkey") % flt == 0).select(
             "o_orderkey",
-            F.nullif(F.col("o_orderkey") % 7, F.lit(0)).alias("bucket"),
+            F.when(F.col("o_orderkey") % 97 == 0, F.lit(None))
+            .otherwise(F.col("o_custkey"))
+            .alias("k"),
         )
     )
     a, b = mk(2).alias("a"), mk(3).alias("b")
     return (
         a.join(
             b,
-            F.col("a.bucket").eqNullSafe(F.col("b.bucket"))
+            F.col("a.k").eqNullSafe(F.col("b.k"))
             & (F.col("a.o_orderkey") < F.col("b.o_orderkey")),
         )
-        .groupBy(F.col("a.bucket").alias("bucket"))
-        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .groupBy(F.col("a.k").isNull().alias("null_key"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.count_distinct(F.col("a.k")).cast("bigint").alias("n_keys"),
+        )
     )

@@ -5227,6 +5227,14 @@ def store_rebucket(spark, sf_dir):
     _require(len(bks) == 1 and 0 <= bks[0] < 32, "lookup must prune to 1/32")
     looked = store.lookup("t", [probe_key]).collect()
     _require(len(looked) == 1, "lookup must return exactly the probed key")
+    expected = inc.filter(F.col("o_orderkey") == probe_key).collect()[0][
+        "o_totalprice"
+    ]
+    _require(
+        looked[0]["o_totalprice"] == expected,
+        "lookup must return the post-upsert (doubled) value, not a "
+        "stale snapshot's",
+    )
     return finish(store.read("t").select("o_orderkey", "o_totalprice"))
 
 

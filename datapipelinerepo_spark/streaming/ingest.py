@@ -667,7 +667,11 @@ def maintained_rollup_stream(
       behind; the next batch's sync window (synced → current) covers
       both batches' churn — the feed-driven delta is cumulative;
     - two concurrent zombie drivers serialize on the manifest claims
-      (upsert_txn's check_replay, sync_rollup's txn_expect CAS).
+      (upsert_txn's check_replay, sync_rollup's txn_expect CAS), and
+      the FIRST batch's table/rollup creations serialize on
+      create-exclusive claim files (io._create_txn_serialized,
+      sync_rollup's seed claim) — first writes are physical static
+      overwrites, which must never run concurrently.
 
     Per-batch cost: the batch's buckets on the base + the churned
     groups on the rollup — never a base-table re-scan."""

@@ -2538,6 +2538,77 @@ def test_sync_rollup_min_max_avg(spark, tmp_path):
     assert rollup() == recompute()
 
 
+def test_upsert_txn_concurrent_creation_serializes(spark, tmp_path):
+    """Code-review r9 wave 1: two writers racing the CREATION of one
+    table through upsert_txn (a zombie foreachBatch driver plus its
+    replacement, both replaying batch 0) must not run two concurrent
+    static overwrites of the same directory. The create claim lets
+    exactly one create; the other converges and its replayed batch is
+    skipped by the ordinary watermark check."""
+    import threading
+
+    store = TableStore(spark, str(tmp_path))
+    b0 = spark.createDataFrame(
+        [(i, float(i)) for i in range(30)], "id long, price double"
+    )
+    barrier = threading.Barrier(2, timeout=120)
+    results: list[bool] = []
+    errors: list[BaseException] = []
+
+    def run():
+        try:
+            barrier.wait()
+            results.append(
+                store.upsert_txn(b0, "t", "id", "app", 0, n_buckets=4)
+            )
+        except BaseException as e:
+            errors.append(e)
+            barrier.abort()
+
+    threads = [threading.Thread(target=run) for _ in range(2)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join(timeout=300)
+    assert not errors, errors
+    assert sorted(results) == [False, True]  # one created, one skipped
+    assert store.keyed_spec("t") == (["id"], 4) and store.is_versioned("t")
+    assert store.read("t").count() == 30
+    assert store.last_txn("t", "app") == 0
+    import os
+
+    assert not os.path.exists(os.path.join(str(tmp_path), ".createclaim_t"))
+
+
+def test_rollup_spec_mismatch_refused(spark, tmp_path):
+    """Code-review r9 wave 1: maintenance whose column spec disagrees
+    with the spec the rollup was SEEDED with must fail loudly — a
+    COUNT/SUM-only sync against a min/max rollup would silently leave
+    the extrema stale forever."""
+    import pytest as _pytest
+
+    from datapipelinerepo_spark.plans.rollup import sync_rollup
+
+    store = TableStore(spark, str(tmp_path))
+    base = spark.createDataFrame(
+        [(i, float(i), "A" if i % 2 else "B") for i in range(10)],
+        "id long, val double, grp string",
+    )
+    store.overwrite_keyed(base, "t", "id", n_buckets=4, versioned=True)
+    kw = dict(min_col="min_val", max_col="max_val", avg_col="avg_val")
+    sync_rollup(store, "t", "r", ["grp"], "val", **kw)
+    store.upsert(
+        spark.createDataFrame([(50, 5.0, "A")], "id long, val double, grp string"),
+        "t", "id",
+    )
+    with _pytest.raises(ValueError, match="disagrees with the spec"):
+        sync_rollup(store, "t", "r", ["grp"], "val")  # extrema omitted
+    # the matching spec still syncs
+    sync_rollup(store, "t", "r", ["grp"], "val", **kw)
+    got = {r["grp"]: r["n_rows"] for r in store.read("r").collect()}
+    assert got == {"A": 6, "B": 5}
+
+
 def test_sync_rollup_concurrent_first_seed(spark, tmp_path, monkeypatch):
     """VERDICT r8 item 6: two barrier-raced FIRST-TIME syncers on a
     brand-new rollup. Exactly one runs the seed overwrite (two
