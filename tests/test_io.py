@@ -2993,3 +2993,112 @@ def test_fsck_hardening_wave5(spark, tmp_path):
     )
     with _pytest.raises(ValueError, match="versioned"):
         store2.fsck("u")
+
+
+def test_column_mapping_rename_drop(spark, tmp_path):
+    """Column mapping (Delta rename/drop parity, r9): rename and drop
+    are METADATA-ONLY — same files, new manifest with an updated
+    logical→physical map. Reads, lookups, read_where pruning,
+    delete_where/merge_when predicates and CDF all speak the CURRENT
+    logical names; time travel reads each version under its own map;
+    restore brings the target version's names back; re-adding a
+    dropped name, renaming onto one, and touching key columns are all
+    refused loudly."""
+    import pytest as _pytest
+
+    store = TableStore(spark, str(tmp_path))
+    df = spark.createDataFrame(
+        [(i, float(i), f"s{i % 3}") for i in range(20)],
+        "id long, price double, status string",
+    )
+    store.overwrite_keyed(df, "t", "id", n_buckets=4, versioned=True)
+    store.upsert(
+        spark.createDataFrame(
+            [(3, 333.0, "sX")], "id long, price double, status string"
+        ),
+        "t", "id",
+    )
+    v_pre = store.latest_version("t")
+    v_r = store.rename_column("t", "price", "amount")
+    assert store.read("t").columns == ["id", "amount", "status"]
+    # time travel: the old snapshot keeps the old name
+    assert store.read("t", version=v_pre).columns == ["id", "price", "status"]
+    # upserts speak the new logical name; physical files keep 'price'
+    store.upsert(
+        spark.createDataFrame(
+            [(5, 555.0, "sY")], "id long, amount double, status string"
+        ),
+        "t", "id",
+    )
+    got = {r["id"]: r["amount"] for r in store.read("t").collect()}
+    assert got[5] == 555.0 and got[3] == 333.0 and len(got) == 20
+    assert store.lookup("t", [5]).collect()[0]["amount"] == 555.0
+    # predicates in logical names
+    store.delete_where("t", "amount > 400")
+    assert 5 not in {r["id"] for r in store.read("t").collect()}
+    store.merge_when(
+        spark.createDataFrame([(3, 1.0)], "id long, adj double"), "t", "id",
+        when_matched_update={"amount": "t.amount + s.adj"},
+    )
+    assert {r["id"]: r["amount"] for r in store.read("t").collect()}[3] == 334.0
+    # a metadata-only rename publishes an EMPTY change feed; later
+    # feeds carry the current logical names
+    assert store.table_changes("t", v_pre, v_r).count() == 0
+    ch = store.table_changes("t", v_pre)
+    assert "amount" in ch.columns and "price" not in ch.columns
+    # drop: metadata-only, old snapshots unaffected
+    store.drop_column("t", "status")
+    assert store.read("t").columns == ["id", "amount", "adj"]
+    assert store.read("t", version=v_pre).columns == ["id", "price", "status"]
+    # guards
+    with _pytest.raises(ValueError, match="previously dropped"):
+        store.upsert(
+            spark.createDataFrame(
+                [(9, 9.0, "zz")], "id long, amount double, status string"
+            ),
+            "t", "id",
+        )
+    with _pytest.raises(ValueError, match="previously dropped"):
+        store.rename_column("t", "amount", "status")
+    with _pytest.raises(ValueError, match="merge-key"):
+        store.rename_column("t", "id", "pk")
+    with _pytest.raises(ValueError, match="merge-key"):
+        store.drop_column("t", "id")
+    # compaction rewrites physically and carries the map; stats-pruned
+    # reads translate the logical prune column to its physical stats
+    store.compact("t", sort_cols=["amount"])
+    assert store.read("t").columns == ["id", "amount", "adj"]
+    got = {r["id"] for r in store.read_where("t", "amount", (300.0, 400.0)).collect()}
+    assert got == {3}
+    kept, total = store.pruned_file_count("t", "amount", (300.0, 400.0))
+    assert kept < total  # pruning works THROUGH the rename
+    # restore brings the target version's metadata (names) back
+    store.restore("t", v_pre)
+    assert store.read("t").columns == ["id", "price", "status"]
+    assert store.read("t").count() == 20
+
+
+def test_column_mapping_refuses_stale_physical_name(spark, tmp_path):
+    """After a rename, an incoming frame still using the OLD name must
+    be refused — identity-passing it would silently write into the
+    renamed column's physical storage under a name the logical schema
+    no longer has."""
+    import pytest as _pytest
+
+    store = TableStore(spark, str(tmp_path))
+    df = spark.createDataFrame(
+        [(1, 10.0)], "id long, price double"
+    )
+    store.overwrite_keyed(df, "t", "id", n_buckets=2, versioned=True)
+    store.rename_column("t", "price", "amount")
+    with _pytest.raises(ValueError, match="physical storage names"):
+        store.upsert(
+            spark.createDataFrame([(2, 20.0)], "id long, price double"),
+            "t", "id",
+        )
+    # the logical name works
+    store.upsert(
+        spark.createDataFrame([(2, 20.0)], "id long, amount double"),
+        "t", "id",
+    )
+    assert store.read("t").count() == 2
