@@ -515,6 +515,7 @@ class TableStore:
         seed_stats: dict | None = None,
         txn_expect: int | None = None,
         colmap: dict | None = _CARRY,
+        version_expect: int | None = None,
     ) -> int:
         """Commit the next manifest version PUT-IF-ABSENT: the document
         is fully written to a private tmp file, then CLAIMS its version
@@ -571,6 +572,18 @@ class TableStore:
         try:
             for _ in range(1000):
                 vs = self.versions(name)
+                if version_expect is not None and max(vs, default=0) != int(
+                    version_expect
+                ):
+                    # compare-and-swap on the BASE VERSION: this
+                    # publish's content (file list, colmap) was derived
+                    # from version_expect — a concurrent commit means
+                    # publishing would silently drop its files/map
+                    # (code-review r9 wave 2). Caller re-derives.
+                    raise TxnConflict(
+                        f"{name}: base version moved past "
+                        f"{version_expect} — re-derive and retry"
+                    )
                 v = (max(vs, default=0)) + 1
                 txn_map: dict = dict(seed_txn or {})
                 prev_doc: dict = {}
@@ -652,6 +665,7 @@ class TableStore:
         seed_stats: dict | None = None,
         txn_expect: int | None = None,
         colmap: dict | None = _CARRY,
+        version_expect: int | None = None,
     ) -> int:
         v = self._write_manifest_file(
             name,
@@ -663,6 +677,7 @@ class TableStore:
             seed_stats=seed_stats,
             txn_expect=txn_expect,
             colmap=colmap,
+            version_expect=version_expect,
         )
         # the meta schema tracks evolution (widen-only) so the
         # fully-emptied-table fallback serves the CURRENT column set
@@ -1653,7 +1668,9 @@ class TableStore:
         if not colmap:
             return df
         renames = colmap.get("renames", {})
-        dropped = set(colmap.get("dropped", []))
+        dropped = set(colmap.get("dropped", [])) | set(
+            colmap.get("dropped_logical", [])
+        )
         bad = sorted(
             c for c in df.columns if c in dropped and c not in renames
         )
@@ -1702,6 +1719,10 @@ class TableStore:
             if c != "_kb" and c not in dropped
         ]
 
+    _RESERVED_COLS = frozenset(
+        {"_kb", "_change_type", "_t_present", "_s_present"}
+    )
+
     def _colmap_op_guard(self, name: str, col: str) -> tuple[int, dict]:
         if self._is_delta(name):
             raise ValueError(f"{name}: use Delta's own column mapping")
@@ -1717,62 +1738,152 @@ class TableStore:
                 "buckets and cannot be renamed or dropped; model a key "
                 "change as a full rewrite (overwrite_keyed)"
             )
+        self._refuse_constrained_column(name, col)
         v = self._ensure_latest(name)
         return v, dict(self._manifest_doc(name, v).get("colmap") or {})
 
+    def _refuse_constrained_column(self, name: str, col: str) -> None:
+        """A declared CHECK constraint referencing the column would
+        wedge every future write after a rename/drop (the enforcement
+        probe widens the vanished name to NULL, and strict-NULL
+        semantics then count every row as a violation — code-review r9
+        wave 2). Resolution is the test: the constraint expression
+        must still resolve against the logical schema WITHOUT the
+        column, else the op is refused until the constraint is
+        remapped or dropped."""
+        cons = self.constraints(name)
+        if not cons:
+            return
+        v = self._ensure_latest(name)
+        others = [c for c in self._logical_columns(name, v) if c != col]
+        probe = self.read(name, version=v).select(*others).limit(0)
+        for cname, expr in cons.items():
+            try:
+                probe.select(F.expr(expr)).schema  # resolve, no job
+            except Exception:
+                raise ValueError(
+                    f"{name}: CHECK constraint {cname!r} ({expr!r}) "
+                    f"references column {col!r} — drop or remap the "
+                    "constraint before renaming/dropping the column"
+                ) from None
+
+    def _publish_colmap(self, name: str, op: str, mutate) -> int:
+        """Shared publish loop for the metadata-only mapping verbs:
+        derives (files, schema, stats, colmap) from the CURRENT
+        version and commits with a version CAS, retrying from the new
+        latest if a concurrent write landed first — without the CAS, a
+        racing upsert's files would silently vanish from the published
+        manifest, and two concurrent mapping ops would clobber each
+        other's map (code-review r9 wave 2). Carrying the snapshot's
+        schema and stats keeps it metadata-only AND keeps empty-table
+        readability and read_where's schema-widen guard working at the
+        new version (same wave)."""
+        for _ in range(16):
+            v, cm = mutate.guard()
+            colmap = mutate.build(v, cm)
+            doc = self._manifest_doc(name, v)
+            try:
+                return self._publish_version(
+                    name,
+                    doc["files"],
+                    schema_json=doc.get("schema"),
+                    seed_stats=doc.get("stats"),
+                    op=op,
+                    colmap=colmap,
+                    version_expect=v,
+                )
+            except TxnConflict:
+                continue  # concurrent commit: re-derive from new latest
+        raise TxnConflict(
+            f"{name}: {op} lost the publish race 16 times — retry"
+        )
+
     def rename_column(self, name: str, old: str, new: str) -> int:
         """Metadata-only column RENAME (Delta column-mapping parity):
-        publishes a new manifest with the same files and an updated
-        logical→physical map — no data rewrite, old snapshots keep the
-        old name under time travel. Returns the published version."""
-        v, cm = self._colmap_op_guard(name, old)
-        logical = self._logical_columns(name, v)
-        if old not in logical:
-            raise ValueError(f"{name}: no column {old!r} (have {logical})")
-        if new in logical:
-            raise ValueError(f"{name}: column {new!r} already exists")
-        renames = dict(cm.get("renames", {}))
-        dropped = list(cm.get("dropped", []))
-        if new in dropped and new not in renames.values():
+        publishes a new manifest with the same files (schema and stats
+        carried) and an updated logical→physical map — no data
+        rewrite, old snapshots keep the old name under time travel.
+        Concurrency-safe via a base-version CAS. Returns the published
+        version."""
+        if new in self._RESERVED_COLS:
             raise ValueError(
-                f"{name}: {new!r} names a previously dropped physical "
-                "column; pick another name"
+                f"{name}: {new!r} is a reserved internal column name"
             )
-        phys = renames.pop(old, old)
-        renames[new] = phys
-        colmap = {"renames": renames, "dropped": dropped}
-        return self._publish_version(
-            name,
-            self._manifest_files(name, v),
-            op="rename_column",
-            colmap=colmap,
-        )
+
+        class _M:
+            guard = lambda _s=self: _s._colmap_op_guard(name, old)  # noqa: E731
+
+            @staticmethod
+            def build(v, cm):
+                logical = self._logical_columns(name, v)
+                if old not in logical:
+                    raise ValueError(
+                        f"{name}: no column {old!r} (have {logical})"
+                    )
+                if new in logical:
+                    raise ValueError(
+                        f"{name}: column {new!r} already exists"
+                    )
+                renames = dict(cm.get("renames", {}))
+                dropped = list(cm.get("dropped", []))
+                dropped_logical = list(cm.get("dropped_logical", []))
+                if new in dropped_logical or (
+                    new in dropped and new not in renames.values()
+                ):
+                    raise ValueError(
+                        f"{name}: {new!r} names a previously dropped "
+                        "column; pick another name"
+                    )
+                phys = renames.pop(old, old)
+                renames[new] = phys
+                return {
+                    "renames": renames,
+                    "dropped": dropped,
+                    "dropped_logical": dropped_logical,
+                }
+
+        return self._publish_colmap(name, "rename_column", _M)
 
     def drop_column(self, name: str, col: str) -> int:
         """Metadata-only column DROP: the physical data stays in the
         old files (time travel still sees it) but the current logical
         view excludes it; future bucket rewrites simply stop carrying
-        it. Returns the published version."""
-        v, cm = self._colmap_op_guard(name, col)
-        logical = self._logical_columns(name, v)
-        if col not in logical:
-            raise ValueError(f"{name}: no column {col!r} (have {logical})")
-        renames = dict(cm.get("renames", {}))
-        dropped = list(cm.get("dropped", []))
-        phys = renames.pop(col, col)
-        dropped.append(phys)
-        colmap = {"renames": renames, "dropped": dropped}
-        return self._publish_version(
-            name,
-            self._manifest_files(name, v),
-            op="drop_column",
-            colmap=colmap,
-        )
+        it. Records BOTH the physical name and the logical name as
+        dropped, so neither can be silently re-introduced (the old
+        physical data would resurrect / old rows would read NULL under
+        a name that once held values). Concurrency-safe via a
+        base-version CAS. Returns the published version."""
+
+        class _M:
+            guard = lambda _s=self: _s._colmap_op_guard(name, col)  # noqa: E731
+
+            @staticmethod
+            def build(v, cm):
+                logical = self._logical_columns(name, v)
+                if col not in logical:
+                    raise ValueError(
+                        f"{name}: no column {col!r} (have {logical})"
+                    )
+                renames = dict(cm.get("renames", {}))
+                dropped = list(cm.get("dropped", []))
+                dropped_logical = list(cm.get("dropped_logical", []))
+                phys = renames.pop(col, col)
+                dropped.append(phys)
+                dropped_logical.append(col)
+                return {
+                    "renames": renames,
+                    "dropped": dropped,
+                    "dropped_logical": dropped_logical,
+                }
+
+        return self._publish_colmap(name, "drop_column", _M)
 
     def _read_manifest_df(
-        self, name: str, version: int, merge_schema: bool = True
+        self, name: str, version: int, merge_schema: bool = True,
+        doc: dict | None = None,
     ) -> DataFrame:
-        doc = self._manifest_doc(name, version)
+        if doc is None:
+            doc = self._manifest_doc(name, version)
         files = doc["files"]
         base = self._dir(name)
         if not files:
@@ -1852,9 +1963,12 @@ class TableStore:
                     .parquet(self._dir(name))
                     .drop("_kb")
                 )
+            doc = self._manifest_doc(name, v)
             return self._to_logical(
-                self._read_manifest_df(name, v, merge_schema=merge_schema),
-                self._colmap_doc(name, v),
+                self._read_manifest_df(
+                    name, v, merge_schema=merge_schema, doc=doc
+                ),
+                doc.get("colmap"),
             ).drop("_kb")
         if version is not None:
             raise ValueError(
@@ -2233,8 +2347,10 @@ class TableStore:
         """Partition-pruned read of just the listed buckets (without
         the internal _kb column)."""
         v = self.latest_version(name) if self.is_versioned(name) else None
+        doc = None
         if v is not None:
-            raw = self._read_manifest_df(name, v)
+            doc = self._manifest_doc(name, v)
+            raw = self._read_manifest_df(name, v, doc=doc)
         else:
             # unversioned, or versioned with missing history (crash
             # inside overwrite_keyed's reset window — the directory is
@@ -2249,7 +2365,7 @@ class TableStore:
                 self._dir(name)
             )
         out = raw.filter(F.col("_kb").isin(list(buckets))).drop("_kb")
-        return self._to_logical(out, self._colmap_doc(name, v) if v is not None else None)
+        return self._to_logical(out, (doc or {}).get("colmap"))
 
     def lookup(self, name: str, values) -> DataFrame:
         """Bucket-pruned POINT LOOKUP: fetch the rows whose key equals

@@ -3102,3 +3102,70 @@ def test_column_mapping_refuses_stale_physical_name(spark, tmp_path):
         "t", "id",
     )
     assert store.read("t").count() == 2
+
+
+def test_column_mapping_wave2_hardening(spark, tmp_path):
+    """Code-review r9 wave 2: (1) mapping publishes carry the snapshot
+    schema + stats, so a fully-emptied table stays readable and
+    writable across a rename; (2) a CHECK constraint referencing the
+    column refuses the rename/drop (instead of wedging every later
+    write); (3) reserved internal names are refused as rename targets;
+    (4) a renamed-then-dropped LOGICAL name cannot be silently
+    re-introduced; (5) a mapping publish derived from a stale base
+    version is refused by the version CAS."""
+    import pytest as _pytest
+
+    from datapipelinerepo_spark.io import TxnConflict
+
+    store = TableStore(spark, str(tmp_path))
+    df = spark.createDataFrame(
+        [(1, 10.0, "a"), (2, 20.0, "b")],
+        "id long, price double, status string",
+    )
+    store.overwrite_keyed(df, "t", "id", n_buckets=2, versioned=True)
+    # (2) constraint referencing the column blocks the ops
+    store.set_constraints("t", {"pos": "price > 0"})
+    with _pytest.raises(ValueError, match="references column"):
+        store.rename_column("t", "price", "amount")
+    with _pytest.raises(ValueError, match="references column"):
+        store.drop_column("t", "price")
+    store.set_constraints("t", {})  # unblock
+    # (3) reserved names refused
+    with _pytest.raises(ValueError, match="reserved internal"):
+        store.rename_column("t", "price", "_kb")
+    # (1) empty table survives a mapping op
+    v_r = store.rename_column("t", "price", "amount")
+    store.delete_where("t", "amount > 0")  # empties the table
+    assert store.read("t").count() == 0
+    store.drop_column("t", "status")  # mapping op ON an empty table
+    assert store.read("t").columns == ["id", "amount"]  # still readable
+    store.upsert(
+        spark.createDataFrame([(3, 30.0)], "id long, amount double"),
+        "t", "id",
+    )  # still writable
+    assert store.read("t").count() == 1
+    # (4) the logical name 'amount' was renamed FROM price then... drop
+    # it and try to re-add under the same logical name
+    store.drop_column("t", "amount")
+    with _pytest.raises(ValueError, match="previously dropped"):
+        store.upsert(
+            spark.createDataFrame([(4, 4.0)], "id long, amount double"),
+            "t", "id",
+        )
+    # ...and renaming another column ONTO the dropped logical name is
+    # refused too
+    store.upsert(
+        spark.createDataFrame([(3, 7.0)], "id long, v2 double"), "t", "id"
+    )
+    with _pytest.raises(ValueError, match="previously dropped"):
+        store.rename_column("t", "v2", "amount")
+    # (5) stale-base publish refused by the CAS
+    v_now = store.latest_version("t")
+    with _pytest.raises(TxnConflict, match="base version moved"):
+        store._publish_version(
+            "t",
+            store._manifest_files("t", v_now),
+            op="noop",
+            version_expect=v_now - 1,
+        )
+    assert v_r >= 2
