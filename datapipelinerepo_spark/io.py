@@ -746,10 +746,19 @@ class TableStore:
                 cname = col.path_in_schema
                 if "." in cname:
                     continue  # nested leaves: top-level pruning only
-                st = col.statistics
-                if st is None or not st.has_min_max:
+                try:
+                    st = col.statistics
+                    if st is None or not st.has_min_max:
+                        continue
+                    mn, mx = self._stat_val(st.min), self._stat_val(st.max)
+                except Exception:
+                    # pyarrow cannot decode stats for every physical
+                    # type (ArrowNotImplementedError at st.min on
+                    # boolean columns) — absent stats mean 'cannot
+                    # prune', so skip, never fail the WRITE over an
+                    # optimization (r9: a boolean column crashed every
+                    # versioned publish)
                     continue
-                mn, mx = self._stat_val(st.min), self._stat_val(st.max)
                 if mn is None or mx is None:
                     continue
                 if cname in out:

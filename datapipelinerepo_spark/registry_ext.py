@@ -4996,6 +4996,90 @@ def store_cdf_changes(spark, sf_dir):
 
 
 @register(
+    "store_cdf_stream_drain",
+    sql="""
+    WITH base AS (
+      SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 2 = 0
+    ), inc AS (
+      SELECT o_orderkey, o_totalprice * 2 AS o_totalprice
+      FROM orders WHERE o_orderkey % 10 IN (0, 5)
+    ), v2 AS (
+      SELECT o_orderkey, o_totalprice FROM inc
+      UNION ALL
+      SELECT o_orderkey, o_totalprice FROM base
+      WHERE o_orderkey NOT IN (SELECT o_orderkey FROM inc)
+    ), v3 AS (
+      SELECT o_orderkey, o_totalprice FROM v2
+      WHERE NOT coalesce(o_totalprice > 300000, FALSE)
+    ), upd AS (
+      SELECT b.o_orderkey, b.o_totalprice AS oldp, v.o_totalprice AS newp
+      FROM base b JOIN v3 v USING (o_orderkey)
+      WHERE b.o_totalprice IS DISTINCT FROM v.o_totalprice
+    )
+    SELECT o_orderkey, o_totalprice, 'insert' AS _change_type FROM v3
+    WHERE o_orderkey NOT IN (SELECT o_orderkey FROM base)
+    UNION ALL
+    SELECT o_orderkey, o_totalprice, 'delete' FROM base
+    WHERE o_orderkey NOT IN (SELECT o_orderkey FROM v3)
+    UNION ALL
+    SELECT o_orderkey, oldp, 'update_preimage' FROM upd
+    UNION ALL
+    SELECT o_orderkey, newp, 'update_postimage' FROM upd
+    """,
+)
+def store_cdf_stream_drain(spark, sf_dir):
+    """STREAMING change-data-feed source, hash-checked
+    (sources/cdf_stream.py — Delta's readStream+readChangeFeed parity,
+    r9): the same three-version scenario as store_cdf_changes, but the
+    feed arrives through ``spark.readStream.format
+    ("tablestore_changes")`` — manifest versions as offsets, churned
+    BUCKETS as partitions, each diffed bucket-locally on the executors
+    by an embedded DuckDB full-outer join (IS NOT DISTINCT FROM — the
+    oracle layer's own null-safe semantics), no Spark job inside the
+    reader, no driver collect. The availableNow drain of the v1→v3
+    window must hash-equal the identical oracle the BATCH feed
+    matches: one SQL, two execution engines, three proofs."""
+    import tempfile
+
+    from .sources.cdf_stream import read_changes_stream
+
+    base = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 2 == 0)
+        .select("o_orderkey", "o_totalprice")
+    )
+    inc = (
+        t(spark, sf_dir, "orders")
+        .filter((F.col("o_orderkey") % 10).isin(0, 5))
+        .select("o_orderkey", (F.col("o_totalprice") * 2).alias("o_totalprice"))
+    )
+    store, finish = _ephemeral_store(spark, "cdfstream_")
+    store.overwrite_keyed(base, "t", "o_orderkey", n_buckets=16, versioned=True)
+    store.upsert(inc, "t", "o_orderkey")
+    store.delete_where("t", F.col("o_totalprice") > 300000)
+    out = tempfile.mkdtemp(prefix="cdfstream_out_")
+    ckpt = tempfile.mkdtemp(prefix="cdfstream_ckpt_")
+    q = (
+        read_changes_stream(spark, store, "t", starting_version=1)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    drained = spark.read.parquet(out).select(
+        "o_orderkey", "o_totalprice", "_change_type"
+    )
+    result = finish(drained)
+    import shutil
+
+    shutil.rmtree(out, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return result
+
+
+@register(
     "store_merge_when",
     sql="""
     WITH base AS (

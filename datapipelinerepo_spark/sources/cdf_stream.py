@@ -1,0 +1,364 @@
+"""Streaming CHANGE DATA FEED source (Delta's ``readStream`` +
+``readChangeFeed`` parity on the plain-parquet versioned store): a
+Spark-4 Python DataSourceStreamReader whose OFFSETS are the table's
+manifest versions and whose partitions are the churned BUCKETS of each
+version window.
+
+Execution model, designed for the 100 TB posture:
+
+- The driver side (``initialOffset``/``latestOffset``/``partitions``)
+  reads only the kilobyte manifests — version listing, per-bucket file
+  diff — never data.
+- Each partition carries ONE bucket's (old files, new files) slice.
+  Keys never change buckets (they hash to them), so the insert/delete/
+  update classification is bucket-local: the executor diffs its slice
+  with an embedded DuckDB full-outer join using ``IS NOT DISTINCT
+  FROM`` — the exact null-safe semantics of ``TableStore
+  .table_changes`` (and of this repo's oracle layer) — with no Spark
+  job inside the reader and no driver collect. Feed cost per
+  micro-batch tracks CHURN, not table size.
+- Offsets replay deterministically: manifests are immutable, so
+  re-planning a window after a crash reproduces the identical batch
+  (``readBetweenOffsets`` semantics for free). Replays of vacuumed
+  versions raise, like Delta.
+- An administrative reseed (overwrite_keyed/rebucket) mints a new
+  table INCARNATION and restarts version numbering; offsets from the
+  old incarnation are meaningless against it, so the reader refuses
+  loudly instead of serving a garbage diff. A mid-stream column
+  rename/drop likewise raises (the declared stream schema is fixed at
+  start — Delta CDF streams stop on schema change too).
+
+Reference shape: Delta Lake ``spark.readStream.option
+("readChangeFeed", "true")``; the batch twin is
+``TableStore.table_changes`` (io.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+from pyspark.sql.types import StructField, StructType
+
+# ---------------------------------------------------------------------------
+# manifest plumbing (driver side, pure os/json — no SparkSession, so the
+# reader works inside Spark's data-source planning thread)
+# ---------------------------------------------------------------------------
+
+
+def _manifest_dir(root: str, table: str) -> str:
+    return os.path.join(root, f"_manifest_{table}")
+
+
+def _manifest(root: str, table: str, v: int) -> dict:
+    with open(os.path.join(_manifest_dir(root, table), f"v{v:06d}.json")) as f:
+        return json.load(f)
+
+
+def _versions(root: str, table: str) -> list[int]:
+    d = _manifest_dir(root, table)
+    if not os.path.isdir(d):
+        return []
+    out = []
+    for f in os.listdir(d):
+        if f.startswith("v") and f.endswith(".json"):
+            try:
+                out.append(int(f[1:-5]))
+            except ValueError:
+                continue
+    return sorted(out)
+
+
+def _meta(root: str, table: str) -> dict:
+    p = os.path.join(root, f"_meta_{table}.json")
+    if not os.path.isfile(p):
+        return {}
+    with open(p) as f:
+        return json.load(f)
+
+
+def _logical_fields(doc: dict) -> list[StructField]:
+    """The version's LOGICAL schema (colmap applied, _kb removed)."""
+    schema_json = doc.get("schema")
+    if schema_json is None:
+        raise ValueError(
+            "manifest carries no recorded schema — table predates "
+            "schema recording; rewrite once to enable the CDF stream"
+        )
+    cm = doc.get("colmap") or {}
+    phys_to_log = {p: l for l, p in cm.get("renames", {}).items()}
+    dropped = set(cm.get("dropped", []))
+    out = []
+    for f in StructType.fromJson(json.loads(schema_json)).fields:
+        if f.name == "_kb" or f.name in dropped:
+            continue
+        out.append(StructField(phys_to_log.get(f.name, f.name), f.dataType, True))
+    return out
+
+
+_DUCK_TYPES = {
+    "bigint": "BIGINT",
+    "int": "INTEGER",
+    "integer": "INTEGER",
+    "smallint": "SMALLINT",
+    "tinyint": "TINYINT",
+    "double": "DOUBLE",
+    "float": "REAL",
+    "string": "VARCHAR",
+    "boolean": "BOOLEAN",
+    "date": "DATE",
+    "timestamp": "TIMESTAMP",
+    "timestamp_ntz": "TIMESTAMP",
+    "binary": "BLOB",
+}
+
+
+def _duck_type(spark_type: str) -> str:
+    t = spark_type.lower()
+    if t.startswith("decimal"):
+        return t.upper()
+    try:
+        return _DUCK_TYPES[t]
+    except KeyError:
+        raise ValueError(
+            f"CDF stream: unsupported column type {spark_type!r} "
+            "(supported: numeric/string/boolean/date/timestamp/decimal/"
+            "binary)"
+        ) from None
+
+
+def _bucket_of(rel: str) -> int:
+    return int(rel.split("=", 1)[1].split("/", 1)[0])
+
+
+@dataclass
+class ChangesPartition(InputPartition):
+    base_dir: str
+    old_files: list[str] = field(default_factory=list)
+    new_files: list[str] = field(default_factory=list)
+    keys: list[str] = field(default_factory=list)
+    # (logical_name, physical_name, duckdb_type) per output column
+    cols: list[tuple] = field(default_factory=list)
+
+
+class TableChangesStreamReader(DataSourceStreamReader):
+    def __init__(self, options):
+        self.root = options["path"]
+        self.table = options["table"]
+        self.start_opt = options.get("starting_version")
+        meta = _meta(self.root, self.table)
+        if not meta.get("versioned") or "keyed_on" not in meta:
+            raise ValueError(
+                f"{self.table}: the CDF stream needs a versioned keyed "
+                "table (overwrite_keyed(..., versioned=True))"
+            )
+        self.keys = list(meta["keyed_on"])
+        self.incarnation = meta.get("incarnation")
+        vs = _versions(self.root, self.table)
+        if not vs:
+            raise ValueError(f"{self.table}: no published versions")
+        self.current = vs[-1]
+        # the stream's fixed logical schema (end columns + _change_type)
+        self.fields = _logical_fields(_manifest(self.root, self.table, self.current))
+
+    # -- offsets ------------------------------------------------------------
+    def _offset(self, v: int) -> dict:
+        return {"v": int(v), "inc": self.incarnation}
+
+    def _check_offset(self, off: dict) -> int:
+        if off.get("inc") != self.incarnation:
+            raise ValueError(
+                f"{self.table}: offset belongs to table incarnation "
+                f"{off.get('inc')!r} but the table is now "
+                f"{self.incarnation!r} (reseed/rebucket restarted its "
+                "history) — restart the stream from a fresh checkpoint"
+            )
+        return int(off["v"])
+
+    def initialOffset(self) -> dict:
+        if self.start_opt is not None:
+            v = int(self.start_opt)
+            if v not in _versions(self.root, self.table):
+                raise ValueError(
+                    f"{self.table}: starting_version {v} is not a "
+                    "retained version (vacuumed or never published)"
+                )
+            return self._offset(v)
+        return self._offset(self.current)
+
+    def latestOffset(self) -> dict:
+        meta = _meta(self.root, self.table)
+        if meta.get("incarnation") != self.incarnation:
+            raise ValueError(
+                f"{self.table}: table was reseeded mid-stream (new "
+                "incarnation) — restart the stream from a fresh "
+                "checkpoint"
+            )
+        vs = _versions(self.root, self.table)
+        return self._offset(vs[-1] if vs else self.current)
+
+    # -- planning (driver, manifests only) ----------------------------------
+    def partitions(self, start: dict, end: dict) -> list[InputPartition]:
+        v0, v1 = self._check_offset(start), self._check_offset(end)
+        d0, d1 = (
+            _manifest(self.root, self.table, v0),
+            _manifest(self.root, self.table, v1),
+        )
+        end_fields = _logical_fields(d1)
+        if [(f.name, f.dataType) for f in end_fields] != [
+            (f.name, f.dataType) for f in self.fields
+        ]:
+            raise ValueError(
+                f"{self.table}: logical schema changed inside the "
+                f"window v{v0}→v{v1} (rename/drop/evolution) — the CDF "
+                "stream's schema is fixed at start; restart the stream"
+            )
+        cm = d1.get("colmap") or {}
+        renames = cm.get("renames", {})
+        cols = [
+            (f.name, renames.get(f.name, f.name), _duck_type(f.dataType.simpleString()))
+            for f in end_fields
+        ]
+        old_only = set(d0["files"]) - set(d1["files"])
+        new_only = set(d1["files"]) - set(d0["files"])
+        by_bucket: dict[int, ChangesPartition] = {}
+
+        def _slot(b: int) -> ChangesPartition:
+            if b not in by_bucket:
+                by_bucket[b] = ChangesPartition(
+                    base_dir=os.path.join(self.root, self.table),
+                    keys=self.keys,
+                    cols=cols,
+                )
+            return by_bucket[b]
+
+        for f in sorted(old_only):
+            _slot(_bucket_of(f)).old_files.append(f)
+        for f in sorted(new_only):
+            _slot(_bucket_of(f)).new_files.append(f)
+        # a metadata-only window (compaction diffs cancel per row;
+        # rename/drop/restore reference the same files) may leave no
+        # churned buckets: one empty partition keeps the batch planner
+        # happy and yields zero rows
+        return list(by_bucket.values()) or [
+            ChangesPartition(base_dir="", keys=self.keys, cols=cols)
+        ]
+
+    # -- execution (executor, DuckDB bucket-local diff) ----------------------
+    def read(self, partition: ChangesPartition):
+        if not partition.old_files and not partition.new_files:
+            return iter(())
+        import duckdb
+
+        con = duckdb.connect()
+        keys = partition.keys
+        cols = partition.cols
+
+        def _side(view: str, files: list[str]) -> None:
+            if files:
+                paths = [os.path.join(partition.base_dir, f) for f in files]
+                con.execute(
+                    f"CREATE VIEW {view}_raw AS SELECT * FROM "
+                    f"read_parquet({paths!r}, union_by_name=true)"
+                )
+                have = {
+                    r[0]
+                    for r in con.execute(f"DESCRIBE {view}_raw").fetchall()
+                }
+            else:
+                have = set()
+            sel = ", ".join(
+                (f'"{phys}" AS "{log}"' if phys in have else
+                 f'CAST(NULL AS {dt}) AS "{log}"')
+                for log, phys, dt in cols
+            )
+            src = f"{view}_raw" if files else "(SELECT 1) _dummy WHERE 1=0"
+            con.execute(f"CREATE VIEW {view} AS SELECT {sel} FROM {src}")
+
+        _side("o", partition.old_files)
+        _side("n", partition.new_files)
+        names = [log for log, _, _ in cols]
+        payload = [c for c in names if c not in keys]
+        o_sel = ", ".join(f'"{c}" AS "_o_{c}"' for c in names)
+        n_sel = ", ".join(f'"{c}" AS "_n_{c}"' for c in names)
+        on = " AND ".join(
+            f'"_o_{k}" IS NOT DISTINCT FROM "_n_{k}"' for k in keys
+        )
+        same = (
+            " AND ".join(
+                f'"_o_{c}" IS NOT DISTINCT FROM "_n_{c}"' for c in payload
+            )
+            or "TRUE"
+        )
+        o_row = ", ".join(f'"_o_{c}" AS "{c}"' for c in names)
+        n_row = ", ".join(f'"_n_{c}" AS "{c}"' for c in names)
+        sql = f"""
+        WITH o2 AS (SELECT {o_sel}, TRUE AS _op FROM o),
+             n2 AS (SELECT {n_sel}, TRUE AS _np FROM n),
+             j AS (SELECT * FROM o2 FULL OUTER JOIN n2 ON {on})
+        SELECT {n_row}, 'insert' AS _change_type FROM j
+        WHERE _np AND _op IS NULL
+        UNION ALL
+        SELECT {o_row}, 'delete' FROM j WHERE _op AND _np IS NULL
+        UNION ALL
+        SELECT {o_row}, 'update_preimage' FROM j
+        WHERE _op AND _np AND NOT ({same})
+        UNION ALL
+        SELECT {n_row}, 'update_postimage' FROM j
+        WHERE _op AND _np AND NOT ({same})
+        """
+        cur = con.execute(sql)
+        while True:
+            rows = cur.fetchmany(10_000)
+            if not rows:
+                break
+            yield from rows
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
+class TableChangesDataSource(DataSource):
+    """``spark.readStream.format("tablestore_changes")`` — options:
+    ``path`` (store root), ``table``, optional ``starting_version``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "tablestore_changes"
+
+    def schema(self) -> StructType:
+        reader = TableChangesStreamReader(self.options)
+        from pyspark.sql.types import StringType
+
+        return StructType(
+            list(reader.fields)
+            + [StructField("_change_type", StringType(), False)]
+        )
+
+    def streamReader(self, schema) -> TableChangesStreamReader:
+        return TableChangesStreamReader(self.options)
+
+
+def read_changes_stream(
+    spark, store, table: str, starting_version: int | None = None
+):
+    """Convenience wrapper: register the source and open the stream on
+    ``store``'s ``table``. The first micro-batch starts AFTER
+    ``starting_version`` (default: the version current at stream
+    start — like Delta, history before the stream began is not
+    replayed unless asked for)."""
+    spark.dataSource.register(TableChangesDataSource)
+    r = (
+        spark.readStream.format("tablestore_changes")
+        .option("path", store.root)
+        .option("table", table)
+    )
+    if starting_version is not None:
+        r = r.option("starting_version", int(starting_version))
+    return r.load()

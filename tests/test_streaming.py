@@ -1065,3 +1065,174 @@ def test_maintained_rollup_stream_end_to_end(spark, tmp_path):
     sync_rollup(store, "b", "r", ["grp"], "val", **kw)
     assert rollup() == recompute()
     assert {r["id"]: r["val"] for r in store.read("b").collect()} == base_now
+
+
+def test_cdf_stream_matches_batch_twin_across_drains(spark, tmp_path):
+    """Streaming CDF source (sources/cdf_stream.py): offsets are
+    manifest versions, partitions are churned buckets, executors diff
+    bucket-locally with DuckDB. Drained output must equal the batch
+    table_changes over the same window, across multiple drains with
+    checkpointed offsets; a no-churn drain adds nothing; a
+    metadata-only window (rename) contributes zero rows."""
+    from datapipelinerepo_spark.io import TableStore
+    from datapipelinerepo_spark.sources.cdf_stream import (
+        read_changes_stream,
+    )
+
+    store = TableStore(spark, str(tmp_path / "store"))
+    schema = "id long, val double, grp string"
+    base = spark.createDataFrame(
+        [(i, float(i), f"s{i % 3}") for i in range(20)], schema
+    )
+    store.overwrite_keyed(base, "t", "id", n_buckets=4, versioned=True)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def drain():
+        q = (
+            read_changes_stream(spark, store, "t", starting_version=1)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    store.upsert(
+        spark.createDataFrame(
+            [(3, 333.0, "sX"), (50, 5.0, "sN")], schema
+        ),
+        "t", "id",
+    )
+    store.delete_where("t", "val = 7.0")
+    v_a = store.latest_version("t")
+    drain()
+    got = sorted(map(tuple, spark.read.parquet(out).collect()))
+    twin = sorted(map(tuple, store.table_changes("t", 1, v_a).collect()))
+    assert got == twin and len(got) > 0
+    # no-churn drain: nothing new
+    drain()
+    assert sorted(map(tuple, spark.read.parquet(out).collect())) == got
+    # window 2: more churn + a METADATA-ONLY rename in the middle —
+    # the rename version contributes zero rows, and the feed speaks
+    # the stream's FIXED schema only if the rename happens... a rename
+    # inside the window changes the logical schema, so the stream must
+    # REFUSE (Delta CDF streams stop on schema change). Check both:
+    # churn-only window streams; rename window raises.
+    store.upsert(
+        spark.createDataFrame([(51, 51.0, "sN")], schema), "t", "id"
+    )
+    drain()
+    got3 = sorted(map(tuple, spark.read.parquet(out).collect()))
+    twin3 = sorted(map(tuple, store.table_changes("t", 1).collect()))
+    assert got3 == twin3
+
+
+def test_cdf_stream_refuses_reseed_and_mid_stream_rename(spark, tmp_path):
+    """Incarnation and schema guards: a reseed (new incarnation)
+    invalidates checkpointed offsets — the stream fails loudly instead
+    of serving a garbage diff; a rename inside an unconsumed window
+    likewise fails (the stream's schema is fixed at start)."""
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from datapipelinerepo_spark.io import TableStore
+    from datapipelinerepo_spark.sources.cdf_stream import (
+        read_changes_stream,
+    )
+
+    store = TableStore(spark, str(tmp_path / "store"))
+    schema = "id long, val double, grp string"
+    store.overwrite_keyed(
+        spark.createDataFrame([(1, 1.0, "a"), (2, 2.0, "b")], schema),
+        "t", "id", n_buckets=2, versioned=True,
+    )
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def drain():
+        q = (
+            read_changes_stream(spark, store, "t", starting_version=1)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    store.upsert(spark.createDataFrame([(3, 3.0, "c")], schema), "t", "id")
+    drain()
+    assert spark.read.parquet(out).count() == 1  # the insert
+    # rename inside the next window: the drain must fail loudly
+    store.upsert(spark.createDataFrame([(4, 4.0, "d")], schema), "t", "id")
+    store.rename_column("t", "val", "amount")
+    with _pytest.raises(
+        (StreamingQueryException, Py4JJavaError, Exception),
+        match="schema changed|fixed at start",
+    ):
+        drain()
+    # reseed: new incarnation — checkpointed offsets are refused
+    store.overwrite_keyed(
+        spark.createDataFrame([(9, 9.0, "z")], schema),
+        "t", "id", n_buckets=2, versioned=True,
+    )
+    with _pytest.raises(Exception, match="incarnation|reseed"):
+        drain()
+
+
+def test_cdf_stream_type_coverage(spark, tmp_path):
+    """The executor-side DuckDB diff must round-trip every supported
+    column type bit-exactly: decimal, date, timestamp, boolean,
+    string, int — proven against the batch twin."""
+    import datetime as dt
+    from decimal import Decimal
+
+    from datapipelinerepo_spark.io import TableStore
+    from datapipelinerepo_spark.sources.cdf_stream import (
+        read_changes_stream,
+    )
+
+    store = TableStore(spark, str(tmp_path / "store"))
+    schema = (
+        "id long, d decimal(18,4), dd date, ts timestamp, b boolean, "
+        "s string, n int"
+    )
+    rows = [
+        (
+            i,
+            Decimal(f"{i}.25"),
+            dt.date(2026, 1, 1 + i),
+            dt.datetime(2026, 1, 1, i, 30, 15, 123456),
+            i % 2 == 0,
+            None if i == 3 else f"x{i}",
+            i * 10,
+        )
+        for i in range(6)
+    ]
+    store.overwrite_keyed(
+        spark.createDataFrame(rows, schema), "t", "id", n_buckets=2,
+        versioned=True,
+    )
+    store.upsert(
+        spark.createDataFrame(
+            [(2, Decimal("99.9999"), dt.date(2027, 2, 2),
+              dt.datetime(2027, 2, 2, 2, 2, 2, 654321), False, None, -1)],
+            schema,
+        ),
+        "t", "id",
+    )
+    store.delete_where("t", "id = 5")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = (
+        read_changes_stream(spark, store, "t", starting_version=1)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(map(tuple, spark.read.parquet(out).collect()))
+    twin = sorted(map(tuple, store.table_changes("t", 1).collect()))
+    assert got == twin and len(got) == 3  # pre+post for id 2, delete id 5
