@@ -2340,6 +2340,30 @@ class TableStore:
             schema=self._widened_schema_json(name, merged.schema),
         )
 
+    @staticmethod
+    def _route_buckets(rows, types, n_buckets: int) -> list[int] | None:
+        """Driver-side bucket routing for point lookups: pmod(
+        xxhash64(key), n_buckets) computed in pure Python
+        (functions/xxhash.py — bit-exact parity with Spark's
+        expression, pinned by test) — a handful of probe keys should
+        not cost a Spark JOB just to learn which buckets they live in.
+        Returns None when a key type is outside the validated set
+        (temporal/float keys carry normalization subtleties), sending
+        the caller to the keyed_buckets Spark path. Probe values have
+        already passed createDataFrame's typed-schema coercion, so
+        they conform to the stored key types."""
+        if not types or len(types) == 0:
+            return None
+        from .functions.xxhash import bucket_of
+
+        out: set[int] = set()
+        try:
+            for r in rows:
+                out.add(bucket_of(r, types, n_buckets))
+        except TypeError:
+            return None  # unsupported key type: Spark-job fallback
+        return sorted(out)
+
     def keyed_buckets(self, name: str, df: DataFrame) -> list[int]:
         """Bucket ids the rows of ``df`` hash to under the table's key
         spec — a bounded (≤ n_buckets) collect that drives
@@ -2416,7 +2440,9 @@ class TableStore:
         else:
             probe = self.spark.createDataFrame(rows, keys)
         probe = probe.dropDuplicates(keys)
-        buckets = self.keyed_buckets(name, probe)
+        buckets = self._route_buckets(rows, types, _n)
+        if buckets is None:
+            buckets = self.keyed_buckets(name, probe)
         slice_ = self.read_buckets(name, buckets)
         lk, cond = _key_match(keys, probe, "_lk_")
         return slice_.join(F.broadcast(lk), cond, "left_semi")

@@ -199,3 +199,75 @@ def test_gram_operators_ignore_boundary_whitespace(spark):
         a = [tuple(r) for r in fn(clean).collect()]
         b = [tuple(r) for r in fn(messy).collect()]
         assert a == b
+
+
+def test_python_xxhash64_matches_spark(spark):
+    """functions/xxhash.py's contract: the pure-Python XXH64 must be
+    BIT-EXACT with Spark's xxhash64 expression for every type the
+    driver-side bucket router supports — longs (full range), ints,
+    strings (every length class of the algorithm: <4, <8, <32, >=32,
+    unicode, NULs), booleans, NULLs, and composite chaining — plus
+    bucket parity against the store's own _kb_expr."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from datapipelinerepo_spark.functions.xxhash import bucket_of, xxhash64
+
+    rnd = random.Random(7)
+    longs = [0, 1, -1, 2**63 - 1, -(2**63), 42] + [
+        rnd.randint(-(2**63), 2**63 - 1) for _ in range(150)
+    ]
+    df = spark.createDataFrame([(v,) for v in longs], "v long")
+    assert [r[0] for r in df.select(F.xxhash64("v")).collect()] == [
+        xxhash64((v,), ("bigint",)) for v in longs
+    ]
+    ints = [0, 1, -1, 2**31 - 1, -(2**31)] + [
+        rnd.randint(-(2**31), 2**31 - 1) for _ in range(150)
+    ]
+    df = spark.createDataFrame([(v,) for v in ints], "v int")
+    assert [r[0] for r in df.select(F.xxhash64("v")).collect()] == [
+        xxhash64((v,), ("int",)) for v in ints
+    ]
+    strs = [
+        "", "a", "abc", "abcd", "abcdefg", "abcdefgh", "x" * 31,
+        "y" * 32, "z" * 33, "w" * 100, "héllo ✓" * 5, "\x00\x01",
+    ] + [
+        "".join(rnd.choice("abcdefghij ") for _ in range(rnd.randint(0, 80)))
+        for _ in range(80)
+    ]
+    df = spark.createDataFrame([(v,) for v in strs], "v string")
+    assert [r[0] for r in df.select(F.xxhash64("v")).collect()] == [
+        xxhash64((v,), ("string",)) for v in strs
+    ]
+    df = spark.createDataFrame(
+        [(None, "x", 5), (3, None, None), (None, None, None), (7, "y", 8)],
+        "a int, b string, c bigint",
+    )
+    assert [r[0] for r in df.select(F.xxhash64("a", "b", "c")).collect()] == [
+        xxhash64(t, ("int", "string", "bigint"))
+        for t in [(None, "x", 5), (3, None, None), (None, None, None), (7, "y", 8)]
+    ]
+    # bucket parity with the store's routing expression
+    import tempfile
+
+    from datapipelinerepo_spark.io import TableStore
+
+    store = TableStore(spark, tempfile.mkdtemp(prefix="xxh_"))
+    base = spark.createDataFrame(
+        [(i, f"k{i}") for i in range(60)], "id long, name string"
+    )
+    store.overwrite_keyed(base, "t", ["id", "name"], n_buckets=7)
+    kb = {
+        (r["id"], r["name"]): r["_kb"]
+        for r in base.withColumn(
+            "_kb", store._kb_expr("t", ["id", "name"], 7)
+        ).collect()
+    }
+    for (i, nm), b in kb.items():
+        assert bucket_of((i, nm), ("bigint", "string"), 7) == b
+    # lookup's driver-side router agrees and unsupported types decline
+    assert TableStore._route_buckets([(5, "k5")], ["bigint", "string"], 7) == [
+        bucket_of((5, "k5"), ("bigint", "string"), 7)
+    ]
+    assert TableStore._route_buckets([(1.5,)], ["double"], 7) is None
