@@ -133,6 +133,78 @@ def _key_match(keys: list[str], df: DataFrame, prefix: str):
 _CARRY: dict = {"__carry__": True}
 
 
+# ---------------------------------------------------------------------------
+# Manifest-layout plumbing, shared with sources/cdf_stream.py (pure
+# os/json — no SparkSession): ONE definition of the directory naming,
+# version filename format, meta sidecar path and logical-schema
+# derivation, so a layout change cannot silently strand the streaming
+# CDF source on a stale private copy (code-review r9 wave 3).
+# ---------------------------------------------------------------------------
+
+
+def manifest_dir(root: str, name: str) -> str:
+    return os.path.join(root, f"_manifest_{name}")
+
+
+def manifest_path(root: str, name: str, version: int) -> str:
+    return os.path.join(manifest_dir(root, name), f"v{version:06d}.json")
+
+
+def read_manifest(root: str, name: str, version: int) -> dict:
+    with open(manifest_path(root, name, version)) as f:
+        return json.load(f)
+
+
+def list_versions(root: str, name: str) -> list[int]:
+    d = manifest_dir(root, name)
+    if not os.path.isdir(d):
+        return []
+    out = []
+    for f in os.listdir(d):
+        if f.startswith("v") and f.endswith(".json"):
+            try:
+                out.append(int(f[1:-5]))
+            except ValueError:
+                continue
+    return sorted(out)
+
+
+def meta_path(root: str, name: str) -> str:
+    return os.path.join(root, f"_meta_{name}.json")
+
+
+def read_meta(root: str, name: str) -> dict:
+    p = meta_path(root, name)
+    if not os.path.isfile(p):
+        return {}
+    with open(p) as f:
+        return json.load(f)
+
+
+def logical_fields(doc: dict):
+    """A manifest's LOGICAL schema as StructFields (colmap applied,
+    _kb removed) — the one derivation read() and the CDF stream share."""
+    from pyspark.sql.types import StructField, StructType
+
+    schema_json = doc.get("schema")
+    if schema_json is None:
+        raise ValueError(
+            "manifest carries no recorded schema — table predates "
+            "schema recording; rewrite once to enable this path"
+        )
+    cm = doc.get("colmap") or {}
+    phys_to_log = {p: l for l, p in cm.get("renames", {}).items()}
+    dropped = set(cm.get("dropped", []))
+    out = []
+    for f in StructType.fromJson(json.loads(schema_json)).fields:
+        if f.name == "_kb" or f.name in dropped:
+            continue
+        out.append(
+            StructField(phys_to_log.get(f.name, f.name), f.dataType, True)
+        )
+    return out
+
+
 def _acquire_claim(path: str, stale_s: float) -> int | None:
     """Create-exclusive claim file — the put-if-absent primitive that
     serializes FIRST-WRITER windows (first-time rollup seeding,
@@ -216,7 +288,7 @@ class TableStore:
         return os.path.join(self.root, name)
 
     def _meta_path(self, name: str) -> str:
-        return os.path.join(self.root, f"_meta_{name}.json")
+        return meta_path(self.root, name)
 
     def exists(self, name: str) -> bool:
         """S3 existence probe (``__TABLES__`` scan, datasources.py:136)."""
@@ -433,10 +505,10 @@ class TableStore:
     # Everything else (append-only data files, manifest-resolved reads,
     # txn watermarks) is already rename-free and ports as-is.
     def _manifest_dir(self, name: str) -> str:
-        return os.path.join(self.root, f"_manifest_{name}")
+        return manifest_dir(self.root, name)
 
     def _manifest_path(self, name: str, version: int) -> str:
-        return os.path.join(self._manifest_dir(name), f"v{version:06d}.json")
+        return manifest_path(self.root, name, version)
 
     def is_versioned(self, name: str) -> bool:
         p = self._meta_path(name)
@@ -446,17 +518,7 @@ class TableStore:
             return bool(json.load(f).get("versioned"))
 
     def versions(self, name: str) -> list[int]:
-        d = self._manifest_dir(name)
-        if not os.path.isdir(d):
-            return []
-        out = []
-        for f in os.listdir(d):
-            if f.startswith("v") and f.endswith(".json"):
-                try:
-                    out.append(int(f[1:-5]))
-                except ValueError:
-                    continue
-        return sorted(out)
+        return list_versions(self.root, name)
 
     def latest_version(self, name: str) -> int | None:
         """The version reads resolve by default: the max PUBLISHED
@@ -2352,7 +2414,7 @@ class TableStore:
         the caller to the keyed_buckets Spark path. Probe values have
         already passed createDataFrame's typed-schema coercion, so
         they conform to the stored key types."""
-        if not types or len(types) == 0:
+        if not types:
             return None
         from .functions.xxhash import bucket_of
 
@@ -2360,8 +2422,11 @@ class TableStore:
         try:
             for r in rows:
                 out.add(bucket_of(r, types, n_buckets))
-        except TypeError:
-            return None  # unsupported key type: Spark-job fallback
+        except Exception:
+            # unsupported key type, unencodable value (lone-surrogate
+            # strings raise UnicodeEncodeError), anything else — the
+            # Spark-job path is always definitionally correct
+            return None
         return sorted(out)
 
     def keyed_buckets(self, name: str, df: DataFrame) -> list[int]:

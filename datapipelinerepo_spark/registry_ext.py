@@ -5057,26 +5057,29 @@ def store_cdf_stream_drain(spark, sf_dir):
     store.overwrite_keyed(base, "t", "o_orderkey", n_buckets=16, versioned=True)
     store.upsert(inc, "t", "o_orderkey")
     store.delete_where("t", F.col("o_totalprice") > 300000)
-    out = tempfile.mkdtemp(prefix="cdfstream_out_")
-    ckpt = tempfile.mkdtemp(prefix="cdfstream_ckpt_")
-    q = (
-        read_changes_stream(spark, store, "t", starting_version=1)
-        .writeStream.format("parquet")
-        .option("path", out)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    drained = spark.read.parquet(out).select(
-        "o_orderkey", "o_totalprice", "_change_type"
-    )
-    result = finish(drained)
     import shutil
 
-    shutil.rmtree(out, ignore_errors=True)
-    shutil.rmtree(ckpt, ignore_errors=True)
-    return result
+    out = tempfile.mkdtemp(prefix="cdfstream_out_")
+    ckpt = tempfile.mkdtemp(prefix="cdfstream_ckpt_")
+    try:
+        q = (
+            read_changes_stream(spark, store, "t", starting_version=1)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        drained = spark.read.parquet(out).select(
+            "o_orderkey", "o_totalprice", "_change_type"
+        )
+        return finish(drained)
+    finally:
+        # even a failed drain must not leak /tmp data across repeated
+        # correctness/bench runs (the r7 ephemeral-store lesson)
+        shutil.rmtree(out, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
 
 
 @register(

@@ -46,60 +46,28 @@ from pyspark.sql.datasource import (
 )
 from pyspark.sql.types import StructField, StructType
 
-# ---------------------------------------------------------------------------
-# manifest plumbing (driver side, pure os/json — no SparkSession, so the
-# reader works inside Spark's data-source planning thread)
-# ---------------------------------------------------------------------------
-
-
-def _manifest_dir(root: str, table: str) -> str:
-    return os.path.join(root, f"_manifest_{table}")
+# ONE shared definition of the manifest layout (io.py module-level
+# helpers): directory naming, version filename format, meta sidecar,
+# logical-schema derivation — a layout change there cannot strand this
+# source on a stale private copy (code-review r9 wave 3)
+from ..io import (
+    list_versions as _versions_of,
+    logical_fields as _logical_fields,
+    read_manifest,
+    read_meta,
+)
 
 
 def _manifest(root: str, table: str, v: int) -> dict:
-    with open(os.path.join(_manifest_dir(root, table), f"v{v:06d}.json")) as f:
-        return json.load(f)
+    return read_manifest(root, table, v)
 
 
 def _versions(root: str, table: str) -> list[int]:
-    d = _manifest_dir(root, table)
-    if not os.path.isdir(d):
-        return []
-    out = []
-    for f in os.listdir(d):
-        if f.startswith("v") and f.endswith(".json"):
-            try:
-                out.append(int(f[1:-5]))
-            except ValueError:
-                continue
-    return sorted(out)
+    return _versions_of(root, table)
 
 
 def _meta(root: str, table: str) -> dict:
-    p = os.path.join(root, f"_meta_{table}.json")
-    if not os.path.isfile(p):
-        return {}
-    with open(p) as f:
-        return json.load(f)
-
-
-def _logical_fields(doc: dict) -> list[StructField]:
-    """The version's LOGICAL schema (colmap applied, _kb removed)."""
-    schema_json = doc.get("schema")
-    if schema_json is None:
-        raise ValueError(
-            "manifest carries no recorded schema — table predates "
-            "schema recording; rewrite once to enable the CDF stream"
-        )
-    cm = doc.get("colmap") or {}
-    phys_to_log = {p: l for l, p in cm.get("renames", {}).items()}
-    dropped = set(cm.get("dropped", []))
-    out = []
-    for f in StructType.fromJson(json.loads(schema_json)).fields:
-        if f.name == "_kb" or f.name in dropped:
-            continue
-        out.append(StructField(phys_to_log.get(f.name, f.name), f.dataType, True))
-    return out
+    return read_meta(root, table)
 
 
 _DUCK_TYPES = {
@@ -143,7 +111,7 @@ class ChangesPartition(InputPartition):
     old_files: list[str] = field(default_factory=list)
     new_files: list[str] = field(default_factory=list)
     keys: list[str] = field(default_factory=list)
-    # (logical_name, physical_name, duckdb_type) per output column
+    # (logical_name, physical_name, duckdb_type, spark_type) per column
     cols: list[tuple] = field(default_factory=list)
 
 
@@ -222,7 +190,12 @@ class TableChangesStreamReader(DataSourceStreamReader):
         cm = d1.get("colmap") or {}
         renames = cm.get("renames", {})
         cols = [
-            (f.name, renames.get(f.name, f.name), _duck_type(f.dataType.simpleString()))
+            (
+                f.name,
+                renames.get(f.name, f.name),
+                _duck_type(f.dataType.simpleString()),
+                f.dataType.simpleString().lower(),
+            )
             for f in end_fields
         ]
         old_only = set(d0["files"]) - set(d1["files"])
@@ -276,14 +249,14 @@ class TableChangesStreamReader(DataSourceStreamReader):
             sel = ", ".join(
                 (f'"{phys}" AS "{log}"' if phys in have else
                  f'CAST(NULL AS {dt}) AS "{log}"')
-                for log, phys, dt in cols
+                for log, phys, dt, _ in cols
             )
             src = f"{view}_raw" if files else "(SELECT 1) _dummy WHERE 1=0"
             con.execute(f"CREATE VIEW {view} AS SELECT {sel} FROM {src}")
 
         _side("o", partition.old_files)
         _side("n", partition.new_files)
-        names = [log for log, _, _ in cols]
+        names = [log for log, _, _, _ in cols]
         payload = [c for c in names if c not in keys]
         o_sel = ", ".join(f'"{c}" AS "_o_{c}"' for c in names)
         n_sel = ", ".join(f'"{c}" AS "_n_{c}"' for c in names)
@@ -314,10 +287,32 @@ class TableChangesStreamReader(DataSourceStreamReader):
         WHERE _op AND _np AND NOT ({same})
         """
         cur = con.execute(sql)
+        # TimestampType (LTZ) columns: DuckDB hands back NAIVE
+        # UTC-wall datetimes (the store writes UTC-adjusted
+        # TIMESTAMP_MICROS), but PySpark's data-source conversion
+        # calls astimezone(utc) on naive values — interpreting them in
+        # the executor's OS timezone, shifting every value on non-UTC
+        # hosts (code-review r9 wave 3). Attaching tzinfo=UTC makes
+        # astimezone the identity. timestamp_ntz stays naive.
+        ts_idx = [
+            i for i, (_, _, _, st) in enumerate(cols) if st == "timestamp"
+        ]
+        if ts_idx:
+            from datetime import timezone
+
+            def _fix(row):
+                row = list(row)
+                for i in ts_idx:
+                    v = row[i]
+                    if v is not None and v.tzinfo is None:
+                        row[i] = v.replace(tzinfo=timezone.utc)
+                return tuple(row)
         while True:
             rows = cur.fetchmany(10_000)
             if not rows:
                 break
+            if ts_idx:
+                rows = [_fix(r) for r in rows]
             yield from rows
 
     def commit(self, end: dict) -> None:
@@ -332,17 +327,26 @@ class TableChangesDataSource(DataSource):
     def name(cls) -> str:
         return "tablestore_changes"
 
+    def _reader(self) -> TableChangesStreamReader:
+        # ONE reader per DataSource instance: schema() and
+        # streamReader() constructing independent readers raced a
+        # version published between the two calls — the reader's fixed
+        # fields could diverge from the schema declared to the query
+        # (code-review r9 wave 3)
+        if not hasattr(self, "_cached_reader"):
+            self._cached_reader = TableChangesStreamReader(self.options)
+        return self._cached_reader
+
     def schema(self) -> StructType:
-        reader = TableChangesStreamReader(self.options)
         from pyspark.sql.types import StringType
 
         return StructType(
-            list(reader.fields)
+            list(self._reader().fields)
             + [StructField("_change_type", StringType(), False)]
         )
 
     def streamReader(self, schema) -> TableChangesStreamReader:
-        return TableChangesStreamReader(self.options)
+        return self._reader()
 
 
 def read_changes_stream(

@@ -1113,12 +1113,13 @@ def test_cdf_stream_matches_batch_twin_across_drains(spark, tmp_path):
     # no-churn drain: nothing new
     drain()
     assert sorted(map(tuple, spark.read.parquet(out).collect())) == got
-    # window 2: more churn + a METADATA-ONLY rename in the middle —
-    # the rename version contributes zero rows, and the feed speaks
-    # the stream's FIXED schema only if the rename happens... a rename
-    # inside the window changes the logical schema, so the stream must
-    # REFUSE (Delta CDF streams stop on schema change). Check both:
-    # churn-only window streams; rename window raises.
+    # METADATA-ONLY window: restore(current) publishes a new version
+    # referencing the same files — the drain plans it (offset
+    # advances) but the empty-partition path yields zero rows
+    store.restore("t", store.latest_version("t"))
+    drain()
+    assert sorted(map(tuple, spark.read.parquet(out).collect())) == got
+    # window 3: real churn again
     store.upsert(
         spark.createDataFrame([(51, 51.0, "sN")], schema), "t", "id"
     )
