@@ -263,6 +263,10 @@ def main() -> None:
         "store_delete_where_verb",
         "store_table_changes_verb",
         "store_restore_verb",
+        # r9 column-mapping verbs: both must clock metadata-only
+        # (same files, new kilobyte manifest) — like restore
+        "store_rename_column_verb",
+        "store_drop_column_verb",
     )
     verb_samples: dict[str, list[float]] = {v: [] for v in verb_names}
     for _ in range(RUNS):
@@ -334,6 +338,21 @@ def main() -> None:
             t0 = time.perf_counter()
             store.restore("t", 1)
             verb_samples["store_restore_verb"].append(time.perf_counter() - t0)
+
+            # untimed: the price constraint references the column and
+            # would (correctly) refuse the rename
+            store.set_constraints("t", {})
+            t0 = time.perf_counter()
+            store.rename_column("t", "o_totalprice", "amount")
+            verb_samples["store_rename_column_verb"].append(
+                time.perf_counter() - t0
+            )
+
+            t0 = time.perf_counter()
+            store.drop_column("t", "o_orderstatus")
+            verb_samples["store_drop_column_verb"].append(
+                time.perf_counter() - t0
+            )
         finally:
             shutil.rmtree(wdir, ignore_errors=True)
     for v, s in verb_samples.items():
