@@ -1143,7 +1143,7 @@ class TableStore:
                     new_files.append(f"{d}/{dst}")
         finally:
             shutil.rmtree(stage, ignore_errors=True)
-        return self._publish_version(
+        v = self._publish_version(
             name,
             list(kept) + sorted(new_files),
             schema_json=stamped.schema.json(),
@@ -1152,6 +1152,48 @@ class TableStore:
             check_replay=check_replay,
             txn_expect=txn_expect,
         )
+        self._maybe_auto_compact(name, op)
+        return v
+
+    def set_table_properties(self, name: str, **props) -> None:
+        """Table properties in the meta sidecar. Supported:
+        ``auto_compact_files_per_bucket=N`` — after every incremental
+        versioned write, buckets holding more than N live files are
+        compacted inline (Delta's autoOptimize/auto-compaction
+        posture): the small-file debt appends accumulate is paid by
+        the writer that created it, instead of waiting for a
+        maintenance window. ``None`` clears a property."""
+        allowed = {"auto_compact_files_per_bucket"}
+        bad = sorted(set(props) - allowed)
+        if bad:
+            raise ValueError(
+                f"{name}: unknown table properties {bad} "
+                f"(supported: {sorted(allowed)})"
+            )
+        self._touch_meta(name, **props)
+
+    def table_property(self, name: str, key: str):
+        p = self._meta_path(name)
+        if not os.path.isfile(p):
+            return None
+        with open(p) as f:
+            return json.load(f).get(key)
+
+    def _maybe_auto_compact(self, name: str, op: str | None) -> None:
+        """Write-path auto-compaction: runs after an INCREMENTAL write
+        published (never after compaction itself — that would recurse —
+        and never on unversioned tables). The decision reads only the
+        just-published manifest's per-bucket file counts; when nothing
+        exceeds the threshold, compact() returns without touching
+        data. The compaction publishes its own version, so the
+        triggering write's snapshot (and its txn watermark) is already
+        durable whatever happens here."""
+        if op in (None, "compact"):
+            return
+        n = self.table_property(name, "auto_compact_files_per_bucket")
+        if n is None:
+            return
+        self.compact(name, max_files_per_bucket=int(n))
 
     def compact(
         self,

@@ -3169,3 +3169,70 @@ def test_column_mapping_wave2_hardening(spark, tmp_path):
             version_expect=v_now - 1,
         )
     assert v_r >= 2
+
+
+def test_auto_compaction_table_property(spark, tmp_path):
+    """Write-path auto-compaction (Delta autoOptimize parity, r9):
+    with auto_compact_files_per_bucket set, the writer that creates
+    small-file debt pays it — after each incremental write, buckets
+    over the threshold compact inline (own version, triggering write
+    already durable). Without the property, nothing auto-compacts;
+    exactly-once replay semantics survive the extra versions."""
+    import pytest as _pytest
+
+    store = TableStore(spark, str(tmp_path))
+    base = spark.createDataFrame(
+        [(i, float(i)) for i in range(40)], "id long, price double"
+    )
+    store.overwrite_keyed(base, "t", "id", n_buckets=2, versioned=True)
+    with _pytest.raises(ValueError, match="unknown table properties"):
+        store.set_table_properties("t", nope=1)
+    # no property: appends accumulate files per bucket (append adds
+    # part-files without rewriting; upsert rewrites churned buckets)
+    for k in range(3):
+        store.append(
+            spark.createDataFrame(
+                [(100 + 40 * k + i, float(i)) for i in range(40)],
+                "id long, price double",
+            ),
+            "t",
+        )
+    files = store._manifest_files("t", store.latest_version("t"))
+    per_bucket: dict[int, int] = {}
+    for f in files:
+        b = store._bucket_of(f)
+        per_bucket[b] = per_bucket.get(b, 0) + 1
+    assert max(per_bucket.values()) > 2  # debt exists
+    # enable: the NEXT write pays the whole debt down
+    store.set_table_properties("t", auto_compact_files_per_bucket=2)
+    assert store.upsert_txn(
+        spark.createDataFrame([(3, 999.0)], "id long, price double"),
+        "t", "id", "app", 1,
+    ) is True
+    v = store.latest_version("t")
+    assert store._manifest_doc("t", v)["op"] == "compact"
+    files = store._manifest_files("t", v)
+    per_bucket = {}
+    for f in files:
+        b = store._bucket_of(f)
+        per_bucket[b] = per_bucket.get(b, 0) + 1
+    assert max(per_bucket.values()) <= 2
+    # data intact, watermark carried through the compact version
+    got = {r["id"]: r["price"] for r in store.read("t").collect()}
+    assert got[3] == 999.0 and len(got) == 160  # 40 base + 3×40 appended
+    assert store.last_txn("t", "app") == 1
+    # replay still skips (and does NOT trigger another compact)
+    assert store.upsert_txn(
+        spark.createDataFrame([(3, -1.0)], "id long, price double"),
+        "t", "id", "app", 1,
+    ) is False
+    assert store.latest_version("t") == v
+    # a below-threshold write publishes no compact version
+    store.upsert(
+        spark.createDataFrame([(7, 70.0)], "id long, price double"),
+        "t", "id",
+    )
+    assert store._manifest_doc("t", store.latest_version("t"))["op"] == "upsert"
+    # property cleared: accumulation resumes
+    store.set_table_properties("t", auto_compact_files_per_bucket=None)
+    assert store.table_property("t", "auto_compact_files_per_bucket") is None
