@@ -148,6 +148,12 @@ _CHANGED_IN_ROUND = {
     # 7-value key enumerating ~500M pairs at sf0.1 — now a
     # high-cardinality nullable key (re-proven at sf0.001 + sf0.01)
     "j_null_safe_join": 9,
+    # r10: the two never-green IVM queries are now SELF-CHECKING
+    # (IVM-vs-recompute _require + sf0.01 literal pin) per VERDICT r9
+    # item 1b; bodies refactored onto the shared lifecycle helpers the
+    # new bisection instruments reuse (re-proven at sf0.001 + sf0.01)
+    "store_incremental_rollup": 10,
+    "store_incremental_minmax": 10,
 }
 
 

@@ -5162,6 +5162,244 @@ def store_merge_when(spark, sf_dir):
     )
 
 
+# --- IVM lifecycle + r10 bisection instruments -----------------------------
+#
+# store_incremental_rollup and store_incremental_minmax are the only two
+# of 213 oracle queries that have NEVER earned a green driver hash row
+# (CORRECTNESS_r08/r09: rows_match=true, schema_match=true,
+# hash_match=false, 3 rows both sides) while reproducing green in every
+# isolated local re-proof. VERDICT r9 item 1 prescribes instruments, not
+# theories: the helpers below share ONE lifecycle across the two queries
+# and a lattice of control twins, each isolating one layer —
+#   store_ivm_pure_agg        no store at all (pure DataFrame v2/v3)
+#   store_ivm_base_state      store lifecycle, ROW-LEVEL read-back
+#   store_incremental_rollup_recompute
+#                             store lifecycle, direct aggregate, no IVM
+#   store_incremental_rollup_nrows / _sum
+#                             full IVM, single output column
+#   store_incremental_minmax_extrema
+#                             full min/max IVM, extrema columns only
+# and the two red queries are now SELF-CHECKING (IVM state must multiset-
+# equal a direct recompute over the store's final state, with the full
+# per-group diff in the raised message) and carry an sf0.01 LITERAL PIN
+# (expected values from DuckDB 1.0.0 on the round-10 testdata): under the
+# driver, {pin green + self-check green + hash red} proves the divergence
+# is oracle-side (the driver's DuckDB disagrees with DuckDB 1.0.0);
+# {pin red} names the exact Spark-side value that moved.
+
+_IVM_CTES = """
+    WITH base AS (
+      SELECT o_orderkey, o_totalprice, o_orderstatus
+      FROM orders WHERE o_orderkey % 2 = 0
+    ), inc AS (
+      SELECT o_orderkey, o_totalprice * 2 AS o_totalprice, o_orderstatus
+      FROM orders WHERE o_orderkey % 10 IN (0, 5)
+    ), v2 AS (
+      SELECT * FROM inc
+      UNION ALL
+      SELECT * FROM base
+      WHERE o_orderkey NOT IN (SELECT o_orderkey FROM inc)
+    ), v3 AS (
+      SELECT * FROM v2 WHERE NOT coalesce(o_totalprice > 300000, FALSE)
+    )
+"""
+
+
+def _ivm_frames(spark, sf_dir):
+    """The (base, inc) input frames every IVM query and instrument
+    shares — byte-for-byte the same derivation as the oracle's
+    base/inc CTEs."""
+    base = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 2 == 0)
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+    )
+    inc = (
+        t(spark, sf_dir, "orders")
+        .filter((F.col("o_orderkey") % 10).isin(0, 5))
+        .select(
+            "o_orderkey",
+            (F.col("o_totalprice") * 2).alias("o_totalprice"),
+            "o_orderstatus",
+        )
+    )
+    return base, inc
+
+
+def _ivm_base_only(spark, sf_dir, prefix):
+    """The base-table lifecycle with NO rollup attached: overwrite (v1)
+    → upsert (v2) → delete (v3). The recompute/base-state instruments
+    run on exactly this store state."""
+    base, inc = _ivm_frames(spark, sf_dir)
+    store, finish = _ephemeral_store(spark, prefix)
+    store.overwrite_keyed(
+        base, "t", "o_orderkey", n_buckets=16, versioned=True
+    )
+    store.upsert(inc, "t", "o_orderkey")  # v2
+    store.delete_where("t", F.col("o_totalprice") > 300000)  # v3
+    return store, finish
+
+
+def _ivm_rollup_lifecycle(spark, sf_dir, prefix):
+    """store_incremental_rollup's full lifecycle: seed the COUNT/SUM
+    rollup from v1, then track v1→v2 (upsert) and v2→v3 (delete)
+    purely from the change feed."""
+    from .plans.rollup import apply_changes_to_rollup, seed_rollup
+
+    base, inc = _ivm_frames(spark, sf_dir)
+    store, finish = _ephemeral_store(spark, prefix)
+    store.overwrite_keyed(
+        base, "t", "o_orderkey", n_buckets=16, versioned=True
+    )
+    seed_rollup(
+        store, store.read("t", version=1), "r", ["o_orderstatus"],
+        "o_totalprice",
+    )
+    store.upsert(inc, "t", "o_orderkey")  # v2
+    apply_changes_to_rollup(
+        store, store.table_changes("t", 1, 2), "r", ["o_orderstatus"],
+        "o_totalprice",
+    )
+    store.delete_where("t", F.col("o_totalprice") > 300000)  # v3
+    v3 = store.latest_version("t")
+    apply_changes_to_rollup(
+        store, store.table_changes("t", 2, v3), "r", ["o_orderstatus"],
+        "o_totalprice",
+    )
+    return store, finish
+
+
+def _ivm_minmax_lifecycle(spark, sf_dir, prefix):
+    """store_incremental_minmax's full lifecycle: the same three base
+    versions, maintained through sync_rollup with min/max/avg."""
+    from .plans.rollup import sync_rollup
+
+    base, inc = _ivm_frames(spark, sf_dir)
+    store, finish = _ephemeral_store(spark, prefix)
+    kw = dict(min_col="min_val", max_col="max_val", avg_col="avg_val")
+    store.overwrite_keyed(
+        base, "t", "o_orderkey", n_buckets=16, versioned=True
+    )
+    sync_rollup(store, "t", "r", ["o_orderstatus"], "o_totalprice", **kw)
+    store.upsert(inc, "t", "o_orderkey")  # v2: insert-only min/max path
+    sync_rollup(store, "t", "r", ["o_orderstatus"], "o_totalprice", **kw)
+    store.delete_where("t", F.col("o_totalprice") > 300000)  # v3: removals
+    sync_rollup(store, "t", "r", ["o_orderstatus"], "o_totalprice", **kw)
+    return store, finish
+
+
+def _ivm_direct_agg(state, minmax: bool):
+    """One-shot aggregate over a base-table state, with the exact
+    aliases/types the maintained rollup carries — the recompute the IVM
+    result must bit-equal (NULL-as-0 sum semantics match seed_rollup)."""
+    aggs = [
+        F.count(F.lit(1)).alias("n_rows"),
+        F.coalesce(
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)")),
+            F.lit(0).cast("decimal(18,4)"),
+        )
+        .cast("decimal(28,4)")
+        .alias("sum_val"),
+    ]
+    if minmax:
+        aggs += [
+            F.min("o_totalprice").alias("min_val"),
+            F.max("o_totalprice").alias("max_val"),
+        ]
+    out = state.groupBy("o_orderstatus").agg(*aggs)
+    if minmax:
+        out = out.withColumn(
+            "avg_val", F.col("sum_val").cast("double") / F.col("n_rows")
+        )
+    return out
+
+
+def _ivm_rollup_cols(minmax: bool):
+    cols = [
+        "o_orderstatus",
+        "n_rows",
+        F.col("sum_val").cast("decimal(28,4)").alias("sum_val"),
+    ]
+    if minmax:
+        cols += ["min_val", "max_val", "avg_val"]
+    return cols
+
+
+def _require_same_rows(a_rows, b_rows, label: str) -> None:
+    """Multiset-compare two collected Row lists and raise with the FULL
+    per-row diff — so a driver-side divergence surfaces as a diagnostic
+    err string in the correctness row instead of a mute hash flip
+    (VERDICT r9 item 1b). repr() keeps decimals exact and floats
+    bit-faithful."""
+    from collections import Counter
+
+    def canon(rows):
+        return Counter(
+            tuple(
+                (k, repr(v)) for k, v in sorted(r.asDict().items())
+            )
+            for r in rows
+        )
+
+    ca, cb = canon(a_rows), canon(b_rows)
+    if ca != cb:
+        only_a = sorted(k for k in ca if ca[k] != cb.get(k, 0))
+        only_b = sorted(k for k in cb if cb[k] != ca.get(k, 0))
+        raise RuntimeError(
+            f"{label}: first-side-only={only_a} second-side-only={only_b}"
+        )
+
+
+# Expected sf0.01 per-group values, computed with DuckDB 1.0.0 against
+# the round-10 testdata (orders.parquet md5 70788a8cef5c555a8d0e669205cf
+# a795; row counts stable across rounds 8-9). Tuple order:
+# (n_rows, sum_val, min_val, max_val, avg_val) as canonical strings.
+# Diagnostic pin for the driver-only hash mismatch — remove once the
+# divergence is localized.
+_IVM_SF001_PIN = {
+    "F": ("1468", "222612625.8400", "1013.7", "299816.32",
+          "151643.47809264305"),
+    "O": ("1539", "232010365.1100", "1143.47", "299484.7",
+          "150753.97343079923"),
+    "P": ("1511", "226131478.4700", "1067.39", "299993.74",
+          "149656.8355195235"),
+}
+
+
+def _ivm_selfcheck(store, minmax: bool, sf_dir: str, label: str):
+    """The r10 instrument core: collect the maintained rollup, require
+    it multiset-equal a direct recompute over the store's final state,
+    and (at sf0.01 only) require it equal the DuckDB-1.0.0 literal pin.
+    Returns the collected rollup rows so the caller's finish() is the
+    only other materialization."""
+    ivm_df = store.read("r").select(*_ivm_rollup_cols(minmax))
+    ivm_rows = ivm_df.collect()
+    rc_rows = _ivm_direct_agg(store.read("t"), minmax).collect()
+    _require_same_rows(
+        ivm_rows, rc_rows,
+        f"{label}: maintained rollup != direct recompute over the "
+        f"store's final state (ivm, recompute)",
+    )
+    if sf_dir.rstrip("/").endswith("sf0.01"):
+        n_take = 5 if minmax else 2
+        got = {}
+        for r in ivm_rows:
+            d = r.asDict()
+            vals = [str(d["n_rows"]), format(d["sum_val"], "f")]
+            if minmax:
+                vals += [repr(d["min_val"]), repr(d["max_val"]),
+                         repr(d["avg_val"])]
+            got[d["o_orderstatus"]] = tuple(vals)
+        expected = {k: v[:n_take] for k, v in _IVM_SF001_PIN.items()}
+        _require(
+            got == expected,
+            f"{label}: sf0.01 literal pin diff — got={got} "
+            f"expected={expected} (expected = DuckDB 1.0.0 on the "
+            f"round-10 testdata)",
+        )
+    return ivm_df
+
+
 @register(
     "store_incremental_rollup",
     sql="""
@@ -5199,46 +5437,17 @@ def store_incremental_rollup(spark, sf_dir):
     (double sums would drift with accumulation order and flip the
     hash). Per-application cost: one aggregate over the feed (churned
     buckets only) + a bucket-pruned conditional merge on the
-    rollup."""
-    from .plans.rollup import apply_changes_to_rollup, seed_rollup
+    rollup.
 
-    base = (
-        t(spark, sf_dir, "orders")
-        .filter(F.col("o_orderkey") % 2 == 0)
-        .select("o_orderkey", "o_totalprice", "o_orderstatus")
-    )
-    inc = (
-        t(spark, sf_dir, "orders")
-        .filter((F.col("o_orderkey") % 10).isin(0, 5))
-        .select(
-            "o_orderkey",
-            (F.col("o_totalprice") * 2).alias("o_totalprice"),
-            "o_orderstatus",
-        )
-    )
-    store, finish = _ephemeral_store(spark, "ivm_")
-    store.overwrite_keyed(base, "t", "o_orderkey", n_buckets=16, versioned=True)
-    seed_rollup(
-        store, store.read("t", version=1), "r", ["o_orderstatus"],
-        "o_totalprice",
-    )
-    store.upsert(inc, "t", "o_orderkey")  # v2
-    apply_changes_to_rollup(
-        store, store.table_changes("t", 1, 2), "r", ["o_orderstatus"],
-        "o_totalprice",
-    )
-    store.delete_where("t", F.col("o_totalprice") > 300000)  # v3
-    v3 = store.latest_version("t")
-    apply_changes_to_rollup(
-        store, store.table_changes("t", 2, v3), "r", ["o_orderstatus"],
-        "o_totalprice",
-    )
+    r10 instrumentation (VERDICT r9 item 1b): SELF-CHECKING — the
+    maintained rollup must multiset-equal a direct recompute over the
+    store's final state (full per-group diff raised on divergence) and,
+    at sf0.01, equal the DuckDB-1.0.0 literal pin. Under the driver,
+    {no err + hash red} therefore proves the divergence is oracle-side;
+    {err} names the exact group/column/side that moved."""
+    store, finish = _ivm_rollup_lifecycle(spark, sf_dir, "ivm_")
     return finish(
-        store.read("r").select(
-            "o_orderstatus",
-            "n_rows",
-            F.col("sum_val").cast("decimal(28,4)").alias("sum_val"),
-        )
+        _ivm_selfcheck(store, False, sf_dir, "store_incremental_rollup")
     )
 
 
@@ -5439,40 +5648,14 @@ def store_incremental_minmax(spark, sf_dir):
     pair in DOUBLE. The final rollup must hash-equal the
     oracle's one-shot aggregate over the end state. Exercised through
     sync_rollup, so the version bookkeeping (CAS watermarks,
-    incarnation ids) carries the min/max path too."""
-    from .plans.rollup import sync_rollup
+    incarnation ids) carries the min/max path too.
 
-    base = (
-        t(spark, sf_dir, "orders")
-        .filter(F.col("o_orderkey") % 2 == 0)
-        .select("o_orderkey", "o_totalprice", "o_orderstatus")
-    )
-    inc = (
-        t(spark, sf_dir, "orders")
-        .filter((F.col("o_orderkey") % 10).isin(0, 5))
-        .select(
-            "o_orderkey",
-            (F.col("o_totalprice") * 2).alias("o_totalprice"),
-            "o_orderstatus",
-        )
-    )
-    store, finish = _ephemeral_store(spark, "ivmx_")
-    kw = dict(min_col="min_val", max_col="max_val", avg_col="avg_val")
-    store.overwrite_keyed(base, "t", "o_orderkey", n_buckets=16, versioned=True)
-    sync_rollup(store, "t", "r", ["o_orderstatus"], "o_totalprice", **kw)
-    store.upsert(inc, "t", "o_orderkey")  # v2: insert-only min/max path
-    sync_rollup(store, "t", "r", ["o_orderstatus"], "o_totalprice", **kw)
-    store.delete_where("t", F.col("o_totalprice") > 300000)  # v3: removals
-    sync_rollup(store, "t", "r", ["o_orderstatus"], "o_totalprice", **kw)
+    r10 instrumentation (VERDICT r9 item 1b): self-checking against a
+    direct recompute + the sf0.01 DuckDB-1.0.0 literal pin, exactly as
+    store_incremental_rollup — see there."""
+    store, finish = _ivm_minmax_lifecycle(spark, sf_dir, "ivmx_")
     return finish(
-        store.read("r").select(
-            "o_orderstatus",
-            "n_rows",
-            F.col("sum_val").cast("decimal(28,4)").alias("sum_val"),
-            "min_val",
-            "max_val",
-            "avg_val",
-        )
+        _ivm_selfcheck(store, True, sf_dir, "store_incremental_minmax")
     )
 
 
@@ -5522,3 +5705,140 @@ def store_stats_skipping(spark, sf_dir):
             "o_orderkey", "o_totalprice", "o_orderdate"
         )
     )
+
+
+# --- r10 IVM bisection instrument queries (VERDICT r9 items 1a, 1c, 2) ----
+# Registered as ordinary driver queries so CORRECTNESS_r10 itself
+# localizes the two-round driver-only hash mismatch. Decision lattice
+# (P = store_ivm_pure_agg, R = ..._recompute, B = ..._base_state,
+#  I = the self-checking IVM queries):
+#   P red                      → Spark-vs-driver-DuckDB semantics, no store
+#   P green, R red, B red      → the store wrote wrong base rows
+#   R red, B green             → the aggregate over the store read-back
+#   R green, I err             → feed math (err names group/column/side)
+#   R green, I hash-red, no err→ oracle-side (driver DuckDB ≠ 1.0.0)
+#   all green                  → localized to a since-fixed mechanism
+
+
+@register(
+    "store_ivm_pure_agg",
+    sql=_IVM_CTES + """
+    SELECT o_orderstatus,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                AS DECIMAL(28,4)) AS sum_val
+    FROM v3 GROUP BY o_orderstatus
+    """,
+)
+def store_ivm_pure_agg(spark, sf_dir):
+    """IVM instrument P: the identical aggregate over the identical
+    v2/v3 derivation computed PURELY in DataFrame ops — no TableStore,
+    no rollup, no temp dirs. The only machinery left is Spark's own
+    per-row CAST(double AS DECIMAL(18,4)) + decimal SUM vs the driver's
+    DuckDB. A red row here means the divergence has nothing to do with
+    the store; a green one exonerates the cast/aggregate semantics."""
+    base, inc = _ivm_frames(spark, sf_dir)
+    v2 = inc.unionByName(
+        base.join(inc.select("o_orderkey"), "o_orderkey", "left_anti")
+    )
+    v3 = v2.filter(
+        ~F.coalesce(F.col("o_totalprice") > 300000, F.lit(False))
+    )
+    return _ivm_direct_agg(v3, False)
+
+
+@register(
+    "store_ivm_base_state",
+    sql=_IVM_CTES + """
+    SELECT o_orderkey, o_totalprice, o_orderstatus FROM v3
+    """,
+)
+def store_ivm_base_state(spark, sf_dir):
+    """IVM instrument B (VERDICT r9 item 2): ROW-LEVEL read-back of the
+    base table "t" at its final version vs the oracle's v3 CTE — the
+    missing discriminator between "the store wrote wrong rows under the
+    driver" and "the rollup maintenance mis-applied a correct feed".
+    Every other row-level store query uses a different table lifecycle,
+    so none controls for this one."""
+    store, finish = _ivm_base_only(spark, sf_dir, "ivmb_")
+    return finish(
+        store.read("t").select(
+            "o_orderkey", "o_totalprice", "o_orderstatus"
+        )
+    )
+
+
+@register(
+    "store_incremental_rollup_recompute",
+    sql=_IVM_CTES + """
+    SELECT o_orderstatus,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                AS DECIMAL(28,4)) AS sum_val
+    FROM v3 GROUP BY o_orderstatus
+    """,
+)
+def store_incremental_rollup_recompute(spark, sf_dir):
+    """IVM instrument R (VERDICT r9 item 1a): IDENTICAL oracle SQL to
+    store_incremental_rollup, but the Spark side aggregates DIRECTLY
+    from the store's final state — same store lifecycle, no rollup
+    maintenance at all. Red here + red IVM row → the base-table store
+    pipeline (or the oracle) diverges; green here + red IVM row → the
+    feed math does."""
+    store, finish = _ivm_base_only(spark, sf_dir, "ivmr_")
+    return finish(_ivm_direct_agg(store.read("t"), False))
+
+
+@register(
+    "store_incremental_rollup_nrows",
+    sql=_IVM_CTES + """
+    SELECT o_orderstatus, COUNT(*) AS n_rows
+    FROM v3 GROUP BY o_orderstatus
+    """,
+)
+def store_incremental_rollup_nrows(spark, sf_dir):
+    """IVM instrument (column twin, VERDICT r9 item 1c): the FULL
+    COUNT/SUM maintenance lifecycle, returning only the count column —
+    with its _sum sibling, a red hash localizes to WHICH maintained
+    column flips under the driver."""
+    store, finish = _ivm_rollup_lifecycle(spark, sf_dir, "ivmn_")
+    return finish(store.read("r").select("o_orderstatus", "n_rows"))
+
+
+@register(
+    "store_incremental_rollup_sum",
+    sql=_IVM_CTES + """
+    SELECT o_orderstatus,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                AS DECIMAL(28,4)) AS sum_val
+    FROM v3 GROUP BY o_orderstatus
+    """,
+)
+def store_incremental_rollup_sum(spark, sf_dir):
+    """IVM instrument (column twin): the full COUNT/SUM maintenance
+    lifecycle, returning only the decimal sum column."""
+    store, finish = _ivm_rollup_lifecycle(spark, sf_dir, "ivms_")
+    return finish(
+        store.read("r").select(
+            "o_orderstatus",
+            F.col("sum_val").cast("decimal(28,4)").alias("sum_val"),
+        )
+    )
+
+
+@register(
+    "store_incremental_minmax_extrema",
+    sql=_IVM_CTES + """
+    SELECT o_orderstatus,
+           MIN(o_totalprice) AS min_val,
+           MAX(o_totalprice) AS max_val
+    FROM v3 GROUP BY o_orderstatus
+    """,
+)
+def store_incremental_minmax_extrema(spark, sf_dir):
+    """IVM instrument (column twin): the full min/max/avg sync_rollup
+    lifecycle, returning only the extrema columns — isolates the
+    delete-aware re-aggregation path from the decimal sum and the
+    derived average."""
+    store, finish = _ivm_minmax_lifecycle(spark, sf_dir, "ivme_")
+    return finish(store.read("r").select("o_orderstatus", "min_val", "max_val"))
