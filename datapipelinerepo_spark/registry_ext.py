@@ -5842,3 +5842,136 @@ def store_incremental_minmax_extrema(spark, sf_dir):
     derived average."""
     store, finish = _ivm_minmax_lifecycle(spark, sf_dir, "ivme_")
     return finish(store.read("r").select("o_orderstatus", "min_val", "max_val"))
+
+
+@register(
+    "store_auto_compact",
+    sql="SELECT o_orderkey, o_totalprice FROM orders",
+)
+def store_auto_compact(spark, sf_dir):
+    """WRITE-PATH AUTO-COMPACTION, hash-checked end to end
+    (io.TableStore._maybe_auto_compact via table properties — Delta's
+    autoOptimize posture; VERDICT r9 missing item 1 promotes the r9
+    pytest to a driver proof): a versioned keyed table opts in with
+    ``auto_compact_files_per_bucket=2``, then three appends land the
+    odd keys in disjoint slabs. Appends only add files, so the third
+    write pushes buckets past the threshold and the WRITER pays the
+    debt inline — compaction publishes its own version. Loud in-query
+    guards: a ``compact`` op must appear in the history, its manifest
+    must hold STRICTLY fewer files than its parent, and its change
+    feed must be EMPTY (a pure rewrite moves no rows). The read-back
+    must hash-equal the plain recompute (evens ∪ all three odd slabs =
+    every order)."""
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    store, finish = _ephemeral_store(spark, "autoc_")
+    store.overwrite_keyed(
+        orders.filter(F.col("o_orderkey") % 2 == 0),
+        "t", "o_orderkey", n_buckets=8, versioned=True,
+    )
+    store.set_table_properties("t", auto_compact_files_per_bucket=2)
+    store.append(orders.filter(F.col("o_orderkey") % 4 == 1), "t")
+    store.append(orders.filter(F.col("o_orderkey") % 8 == 3), "t")
+    store.append(orders.filter(F.col("o_orderkey") % 8 == 7), "t")
+    compacts = [h for h in store.history("t") if h.get("op") == "compact"]
+    _require(
+        bool(compacts),
+        "auto-compaction never triggered (no 'compact' op in history)",
+    )
+    v = compacts[0]["version"]  # newest-first
+    _require(
+        len(store._manifest_files("t", v))
+        < len(store._manifest_files("t", v - 1)),
+        "the compaction version must reference fewer files than its parent",
+    )
+    _require(
+        store.table_changes("t", v - 1, v).count() == 0,
+        "a pure compaction must produce an EMPTY change feed",
+    )
+    return finish(store.read("t").select("o_orderkey", "o_totalprice"))
+
+
+@register(
+    "store_streaming_rollup",
+    sql=_IVM_CTES + """
+    SELECT o_orderstatus,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                AS DECIMAL(28,4)) AS sum_val,
+           MIN(o_totalprice) AS min_val,
+           MAX(o_totalprice) AS max_val,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                     AS DECIMAL(28,4)) AS DOUBLE) / COUNT(*) AS avg_val
+    FROM v3 GROUP BY o_orderstatus
+    """,
+)
+def store_streaming_rollup(spark, sf_dir):
+    """STREAMING MAINTAINED VIEW, hash-checked end to end
+    (streaming/ingest.maintained_rollup_stream — the foreachBatch →
+    upsert_txn → sync_rollup loop; VERDICT r9 missing item 1 promotes
+    the r9 pytest to a driver proof): the IVM lifecycle's base and inc
+    frames arrive as two PARQUET micro-batches through a real
+    Structured Streaming file source (two availableNow drains on one
+    checkpoint — Spark assigns batch ids 0 and 1, each landing in the
+    versioned base exactly-once before the CDF-driven sync catches the
+    min/max/avg rollup up). External churn the stream never saw (the
+    delete_where) is absorbed by a direct sync_rollup — the feed is
+    version-driven, not batch-driven. The final rollup must hash-equal
+    the one-shot oracle over the end state; since the lifecycle lands
+    the SAME v3 state as store_incremental_minmax through an entirely
+    different write path, the pair is also a free cross-check for the
+    r10 bisection. Scale: per batch, cost is the batch's buckets plus
+    the churned rollup groups — never a base re-scan."""
+    import os
+    import shutil
+    import tempfile
+
+    from .io import TableStore
+    from .plans.rollup import sync_rollup
+    from .streaming.ingest import maintained_rollup_stream
+
+    base, inc = _ivm_frames(spark, sf_dir)
+    d = tempfile.mkdtemp(prefix="strroll_")
+    src = os.path.join(d, "in")
+    os.makedirs(src)
+    store = TableStore(spark, os.path.join(d, "store"))
+    kw = dict(min_col="min_val", max_col="max_val", avg_col="avg_val")
+
+    def stage(df, tag):
+        # land one parquet file in the stream's source dir = one batch
+        staging = os.path.join(d, f"stage_{tag}")
+        df.coalesce(1).write.parquet(staging)
+        parts = [f for f in sorted(os.listdir(staging)) if f.endswith(".parquet")]
+        for i, f in enumerate(parts):
+            os.rename(
+                os.path.join(staging, f),
+                os.path.join(src, f"{tag}_{i}.parquet"),
+            )
+        shutil.rmtree(staging)
+
+    def drain():
+        stream = spark.readStream.schema(
+            "o_orderkey long, o_totalprice double, o_orderstatus string"
+        ).parquet(src)
+        maintained_rollup_stream(
+            stream, store, os.path.join(d, "ckpt"),
+            "o_orderkey", ["o_orderstatus"], "o_totalprice",
+            base_table="t", rollup_table="r",
+            n_buckets=16, rollup_buckets=4, **kw,
+        ).awaitTermination()
+
+    stage(base, "b1")
+    drain()
+    stage(inc, "b2")
+    drain()
+    _require(
+        store.last_txn("t", "maintained_rollup_stream") == 1,
+        "exactly two micro-batches (ids 0, 1) must have landed in the base",
+    )
+    store.delete_where("t", F.col("o_totalprice") > 300000)  # external churn
+    sync_rollup(store, "t", "r", ["o_orderstatus"], "o_totalprice", **kw)
+    out = spark.createDataFrame(
+        store.read("r").select(*_ivm_rollup_cols(True)).collect(),
+        store.read("r").select(*_ivm_rollup_cols(True)).schema,
+    )
+    shutil.rmtree(d, ignore_errors=True)
+    return out
