@@ -95,6 +95,19 @@ def _nullsafe_cond(left, right, cols):
     return cond
 
 
+def _check_distinct_args(distinct_of, distinct_col, distinct_sketch_col):
+    if (distinct_col or distinct_sketch_col) and not distinct_of:
+        raise ValueError(
+            "distinct_col/distinct_sketch_col need distinct_of= (the "
+            "column whose distinct values are counted)"
+        )
+    if distinct_of and not (distinct_col or distinct_sketch_col):
+        raise ValueError(
+            "distinct_of= without distinct_col/distinct_sketch_col "
+            "maintains nothing — name at least one output column"
+        )
+
+
 def seed_rollup(
     store: TableStore,
     snapshot: DataFrame,
@@ -106,6 +119,9 @@ def seed_rollup(
     min_col: str | None = None,
     max_col: str | None = None,
     avg_col: str | None = None,
+    distinct_of: str | None = None,
+    distinct_col: str | None = None,
+    distinct_sketch_col: str | None = None,
     n_buckets: int = 16,
     versioned: bool = False,
     txn: tuple | None = None,
@@ -124,7 +140,23 @@ def seed_rollup(
       it inherits sum_col's NULL-as-0 semantics (compare against
       ``COALESCE(SUM(x), 0) / COUNT(*)`` in plain SQL, not AVG(x)).
       Double division of identical (sum, count) pairs is IEEE-
-      deterministic, so incremental == recompute holds bit-exactly."""
+      deterministic, so incremental == recompute holds bit-exactly.
+    - ``distinct_col`` (with ``distinct_of``, VERDICT r9 missing
+      item 2): EXACT COUNT(DISTINCT distinct_of) per group, bigint,
+      NULLs excluded like SQL. Exact distinct is feed-unanswerable in
+      BOTH directions (an inserted value may pre-exist; a deleted one
+      may survive on other rows), so maintenance re-counts ONLY the
+      churned groups from the base snapshot — the min/max removal
+      path, applied to every churned group.
+    - ``distinct_sketch_col`` (with ``distinct_of``): a mergeable
+      DataSketches HLL sketch (binary) of the group's distinct values
+      — the 100 TB-scale form. Insert-only groups maintain purely from
+      the feed via hll_union (no base read at all); groups with
+      removals re-sketch from the base like min/max. Estimate with
+      F.hll_sketch_estimate; bounded-error vs exact is pytest-proven
+      (union drops DataSketches' HIP estimator, so the estimate is
+      approximate even at small cardinalities — never oracle-hash it)."""
+    _check_distinct_args(distinct_of, distinct_col, distinct_sketch_col)
     if txn is not None and not versioned:
         raise ValueError(
             "seed_rollup: txn= needs versioned=True — an unversioned "
@@ -151,6 +183,12 @@ def seed_rollup(
         aggs.append(F.min(value_col).alias(min_col))
     if max_col:
         aggs.append(F.max(value_col).alias(max_col))
+    if distinct_col:
+        aggs.append(F.count_distinct(F.col(distinct_of)).alias(distinct_col))
+    if distinct_sketch_col:
+        aggs.append(
+            F.hll_sketch_agg(F.col(distinct_of)).alias(distinct_sketch_col)
+        )
     agg = snapshot.groupBy(*group_cols).agg(*aggs)
     if avg_col:
         agg = agg.withColumn(
@@ -166,12 +204,13 @@ def seed_rollup(
     # extrema stale (code-review r9 wave 1)
     store._touch_meta(table, rollup_spec=_spec_dict(
         group_cols, value_col, count_col, sum_col, min_col, max_col,
-        avg_col,
+        avg_col, distinct_of, distinct_col, distinct_sketch_col,
     ))
 
 
 def _spec_dict(group_cols, value_col, count_col, sum_col, min_col,
-               max_col, avg_col) -> dict:
+               max_col, avg_col, distinct_of=None, distinct_col=None,
+               distinct_sketch_col=None) -> dict:
     return {
         "group_cols": list(group_cols),
         "value_col": value_col,
@@ -180,6 +219,9 @@ def _spec_dict(group_cols, value_col, count_col, sum_col, min_col,
         "min_col": min_col,
         "max_col": max_col,
         "avg_col": avg_col,
+        "distinct_of": distinct_of,
+        "distinct_col": distinct_col,
+        "distinct_sketch_col": distinct_sketch_col,
     }
 
 
@@ -222,6 +264,9 @@ def apply_changes_to_rollup(
     min_col: str | None = None,
     max_col: str | None = None,
     avg_col: str | None = None,
+    distinct_of: str | None = None,
+    distinct_col: str | None = None,
+    distinct_sketch_col: str | None = None,
     base_snapshot: DataFrame | None = None,
     txn: tuple | None = None,
     check_replay: bool = False,
@@ -266,17 +311,37 @@ def apply_changes_to_rollup(
 
     AVG (``avg_col``): derived as (t.sum + s.sum) / (t.count +
     s.count) in DOUBLE inside the merge — exact given the maintained
-    decimal pair, NULL-as-0 semantics inherited from sum_col."""
-    if (min_col or max_col) and base_snapshot is None:
+    decimal pair, NULL-as-0 semantics inherited from sum_col.
+
+    COUNT(DISTINCT) (``distinct_col`` over ``distinct_of``, VERDICT r9
+    missing item 2): exact distinct is feed-unanswerable in BOTH
+    directions (an inserted value may pre-exist in the group, a
+    deleted one may survive on other rows), so EVERY churned group
+    re-counts exactly from ``base_snapshot``, restricted to the feed's
+    group keys by the same broadcast semi-join the min/max removal
+    path uses — untouched groups keep their stored exact value, never
+    a full-table scan.
+
+    HLL sketch (``distinct_sketch_col``): the scale form — insert-only
+    groups fold the feed's per-group sketch into the stored one via
+    hll_union (NO base read, unlike distinct_col), groups with
+    removals re-sketch from the base like min/max. The sketch is a
+    deterministic function of the union path, but its ESTIMATE is
+    approximate (union drops the HIP estimator); the exact/sketch pair
+    lets a caller hold both and alert on drift."""
+    _check_distinct_args(distinct_of, distinct_col, distinct_sketch_col)
+    if (min_col or max_col or distinct_col or distinct_sketch_col) and (
+        base_snapshot is None
+    ):
         raise ValueError(
-            "apply_changes_to_rollup: min_col/max_col maintenance "
+            "apply_changes_to_rollup: min/max/distinct maintenance "
             "needs base_snapshot= (the base table's post-window "
-            "version) — a removed extremum cannot be recomputed from "
-            "the feed alone"
+            "version) — a removed extremum / churned distinct set "
+            "cannot be recomputed from the feed alone"
         )
     _check_rollup_spec(store, table, _spec_dict(
         group_cols, value_col, count_col, sum_col, min_col, max_col,
-        avg_col,
+        avg_col, distinct_of, distinct_col, distinct_sketch_col,
     ))
     ins = F.col("_change_type").isin("insert", "update_postimage")
     sign = F.when(ins, F.lit(1)).otherwise(F.lit(-1))
@@ -299,49 +364,93 @@ def apply_changes_to_rollup(
         .cast("decimal(28,4)")
         .alias(sum_col),
     ]
-    if min_col or max_col:
+    track_ext = bool(min_col or max_col)
+    track_sk = bool(distinct_sketch_col)
+    track_nd = bool(distinct_col)
+    if track_ext:
         aggs += [
             F.min(F.when(ins, F.col(value_col))).alias("_ins_min"),
             F.max(F.when(ins, F.col(value_col))).alias("_ins_max"),
+        ]
+    if track_sk:
+        # the feed's per-group sketch of INSERTED values; never NULL
+        # (zero non-null inputs yield an empty sketch, probed on
+        # Spark 4.1), so the hll_union below cannot be poisoned
+        aggs.append(
+            F.hll_sketch_agg(F.when(ins, F.col(distinct_of))).alias(
+                "_ins_sk"
+            )
+        )
+    if track_ext or track_sk:
+        aggs.append(
             F.max(F.when(ins, F.lit(0)).otherwise(F.lit(1))).alias(
                 "_has_rm"
-            ),
-        ]
+            )
+        )
     delta = changes.groupBy(*group_cols).agg(*aggs)
-    if min_col or max_col:
+    if track_ext or track_sk or track_nd:
         # one row per churned group — consumed several times below
         delta = delta.localCheckpoint(eager=True)
         out_cols = list(delta.columns)
-        cur_cols = ([min_col] if min_col else []) + (
-            [max_col] if max_col else []
+        cur_cols = (
+            ([min_col] if min_col else [])
+            + ([max_col] if max_col else [])
+            + ([distinct_sketch_col] if track_sk else [])
         )
-        cur = (
-            store.read_buckets(
-                table,
-                store.keyed_buckets(table, delta.select(*group_cols)),
+        if cur_cols:
+            cur = (
+                store.read_buckets(
+                    table,
+                    store.keyed_buckets(table, delta.select(*group_cols)),
+                )
+                .select(
+                    *group_cols,
+                    *[F.col(c).alias(f"_cur_{c}") for c in cur_cols],
+                )
             )
-            .select(
-                *group_cols,
-                *[F.col(c).alias(f"_cur_{c}") for c in cur_cols],
+            joined = delta.join(
+                cur, _nullsafe_cond(delta, cur, group_cols), "left"
+            ).select(
+                *[delta[c] for c in out_cols],
+                *[f"_cur_{c}" for c in cur_cols],
             )
+        else:  # exact-distinct only: the re-count replaces, never merges
+            joined = delta
+        # exact re-aggregation scope: EVERY churned group when exact
+        # distinct is maintained (feed-unanswerable in both
+        # directions); otherwise only groups with removals
+        if track_nd:
+            ex_keys = delta.select(*group_cols)
+            run_exact = True  # empty feed → empty delta → empty joins
+        else:
+            ex_keys = delta.filter(F.col("_has_rm") == 1).select(
+                *group_cols
+            )
+            run_exact = ex_keys.limit(1).count() > 0
+        ex_names = (
+            (["_ex_min"] if min_col else [])
+            + (["_ex_max"] if max_col else [])
+            + (["_ex_sk"] if track_sk else [])
+            + (["_ex_nd"] if track_nd else [])
         )
-        joined = delta.join(
-            cur, _nullsafe_cond(delta, cur, group_cols), "left"
-        ).select(
-            *[delta[c] for c in out_cols],
-            *[f"_cur_{c}" for c in cur_cols],
-        )
-        rm_keys = delta.filter(F.col("_has_rm") == 1).select(*group_cols)
-        if rm_keys.limit(1).count() > 0:
+        if run_exact:
             ex_aggs = []
             if min_col:
                 ex_aggs.append(F.min(value_col).alias("_ex_min"))
             if max_col:
                 ex_aggs.append(F.max(value_col).alias("_ex_max"))
+            if track_sk:
+                ex_aggs.append(
+                    F.hll_sketch_agg(F.col(distinct_of)).alias("_ex_sk")
+                )
+            if track_nd:
+                ex_aggs.append(
+                    F.count_distinct(F.col(distinct_of)).alias("_ex_nd")
+                )
             exact = (
                 base_snapshot.join(
-                    F.broadcast(rm_keys),
-                    _nullsafe_cond(base_snapshot, rm_keys, group_cols),
+                    F.broadcast(ex_keys),
+                    _nullsafe_cond(base_snapshot, ex_keys, group_cols),
                     "left_semi",
                 )
                 .groupBy(*group_cols)
@@ -351,8 +460,7 @@ def apply_changes_to_rollup(
                 exact, _nullsafe_cond(joined, exact, group_cols), "left"
             ).select(
                 *[joined[c] for c in joined.columns],
-                *(["_ex_min"] if min_col else []),
-                *(["_ex_max"] if max_col else []),
+                *ex_names,
             )
         else:  # insert-only feed: no base read at all
             if min_col:
@@ -362,6 +470,10 @@ def apply_changes_to_rollup(
             if max_col:
                 joined = joined.withColumn(
                     "_ex_max", F.lit(None).cast(dict(delta.dtypes)["_ins_max"])
+                )
+            if track_sk:
+                joined = joined.withColumn(
+                    "_ex_sk", F.lit(None).cast("binary")
                 )
         final = []
         if min_col:
@@ -376,6 +488,20 @@ def apply_changes_to_rollup(
                 .otherwise(F.greatest(f"_cur_{max_col}", "_ins_max"))
                 .alias(max_col)
             )
+        if track_sk:
+            sk_cur = f"_cur_{distinct_sketch_col}"
+            final.append(
+                F.when(F.col("_has_rm") == 1, F.col("_ex_sk"))
+                .otherwise(
+                    # brand-new group: no stored sketch to merge into
+                    # (hll_union(NULL, x) is NULL — probed, would poison)
+                    F.when(F.col(sk_cur).isNull(), F.col("_ins_sk"))
+                    .otherwise(F.hll_union(sk_cur, "_ins_sk"))
+                )
+                .alias(distinct_sketch_col)
+            )
+        if track_nd:
+            final.append(F.col("_ex_nd").alias(distinct_col))
         delta = joined.select(*group_cols, count_col, sum_col, *final)
     if avg_col:
         # final value for INSERTED (brand-new) groups; matched groups
@@ -393,6 +519,10 @@ def apply_changes_to_rollup(
         upd[min_col] = f"s.{min_col}"
     if max_col:
         upd[max_col] = f"s.{max_col}"
+    if distinct_sketch_col:
+        upd[distinct_sketch_col] = f"s.{distinct_sketch_col}"
+    if distinct_col:
+        upd[distinct_col] = f"s.{distinct_col}"
     if avg_col:
         upd[avg_col] = (
             f"CASE WHEN CAST(t.{count_col} + s.{count_col} AS BIGINT) = 0 "
@@ -434,6 +564,9 @@ def sync_rollup(
     min_col: str | None = None,
     max_col: str | None = None,
     avg_col: str | None = None,
+    distinct_of: str | None = None,
+    distinct_col: str | None = None,
+    distinct_sketch_col: str | None = None,
     n_buckets: int = 16,
     seed_wait_s: float = 300.0,
     seed_stale_s: float = 600.0,
@@ -556,6 +689,9 @@ def sync_rollup(
                         min_col=min_col,
                         max_col=max_col,
                         avg_col=avg_col,
+                        distinct_of=distinct_of,
+                        distinct_col=distinct_col,
+                        distinct_sketch_col=distinct_sketch_col,
                         n_buckets=n_buckets,
                         versioned=True,
                         txn=(app_id, current),
@@ -590,11 +726,16 @@ def sync_rollup(
             min_col=min_col,
             max_col=max_col,
             avg_col=avg_col,
-            # post-window snapshot for delete-aware MIN/MAX
-            # re-aggregation; only read if the feed has removals
+            distinct_of=distinct_of,
+            distinct_col=distinct_col,
+            distinct_sketch_col=distinct_sketch_col,
+            # post-window snapshot for delete-aware MIN/MAX and
+            # churned-group distinct re-aggregation; only read if the
+            # feed actually needs it
             base_snapshot=(
                 store.read(base_table, version=current)
-                if (min_col or max_col)
+                if (min_col or max_col or distinct_col
+                    or distinct_sketch_col)
                 else None
             ),
             txn=(app_id, current),

@@ -5975,3 +5975,100 @@ def store_streaming_rollup(spark, sf_dir):
     )
     shutil.rmtree(d, ignore_errors=True)
     return out
+
+
+@register(
+    "store_incremental_distinct",
+    sql="""
+    WITH base AS (
+      SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+      FROM orders WHERE o_orderkey % 2 = 0
+    ), inc AS (
+      SELECT o_orderkey, o_custkey, o_totalprice * 2 AS o_totalprice,
+             o_orderstatus
+      FROM orders WHERE o_orderkey % 10 IN (0, 5)
+    ), v2 AS (
+      SELECT * FROM inc
+      UNION ALL
+      SELECT * FROM base
+      WHERE o_orderkey NOT IN (SELECT o_orderkey FROM inc)
+    ), v3 AS (
+      SELECT * FROM v2 WHERE NOT coalesce(o_totalprice > 300000, FALSE)
+    )
+    SELECT o_orderstatus,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                AS DECIMAL(28,4)) AS sum_val,
+           COUNT(DISTINCT o_custkey) AS n_custkeys
+    FROM v3 GROUP BY o_orderstatus
+    """,
+)
+def store_incremental_distinct(spark, sf_dir):
+    """COUNT(DISTINCT) INCREMENTAL VIEW MAINTENANCE, hash-checked
+    (plans/rollup distinct_of/distinct_col/distinct_sketch_col —
+    VERDICT r9 missing item 2): the familiar three-version lifecycle,
+    where the rollup now also maintains the EXACT per-group
+    COUNT(DISTINCT o_custkey). Exact distinct is feed-unanswerable in
+    BOTH directions (an upserted customer may already order in the
+    group; a deleted order's customer may survive on other orders), so
+    every churned group re-counts from the base snapshot, restricted by
+    a broadcast semi-join of the feed's group keys — untouched groups
+    keep their stored value, never a full scan. Alongside it rides the
+    100 TB-scale form: a mergeable HLL sketch column maintained
+    insert-only from the feed (hll_union, no base read) with
+    delete-aware re-sketching — guarded in-query to estimate within 5%
+    of the exact count per group (the driver-hashed columns are the
+    exact ones; a sketch estimate is approximate by design and is
+    never oracle-hashed)."""
+    from .plans.rollup import sync_rollup
+
+    base = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 2 == 0)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+    )
+    inc = (
+        t(spark, sf_dir, "orders")
+        .filter((F.col("o_orderkey") % 10).isin(0, 5))
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            (F.col("o_totalprice") * 2).alias("o_totalprice"),
+            "o_orderstatus",
+        )
+    )
+    store, finish = _ephemeral_store(spark, "ivmd_")
+    kw = dict(
+        distinct_of="o_custkey",
+        distinct_col="n_custkeys",
+        distinct_sketch_col="custkeys_hll",
+    )
+    store.overwrite_keyed(
+        base, "t", "o_orderkey", n_buckets=16, versioned=True
+    )
+    sync_rollup(store, "t", "r", ["o_orderstatus"], "o_totalprice", **kw)
+    store.upsert(inc, "t", "o_orderkey")  # v2: insert-only sketch path
+    sync_rollup(store, "t", "r", ["o_orderstatus"], "o_totalprice", **kw)
+    store.delete_where("t", F.col("o_totalprice") > 300000)  # v3: re-sketch
+    sync_rollup(store, "t", "r", ["o_orderstatus"], "o_totalprice", **kw)
+    r = store.read("r")
+    for row in r.select(
+        "o_orderstatus",
+        "n_custkeys",
+        F.hll_sketch_estimate("custkeys_hll").alias("est"),
+    ).collect():
+        _require(
+            abs(row["est"] - row["n_custkeys"])
+            <= max(1.0, 0.05 * row["n_custkeys"]),
+            f"HLL estimate drifted past 5% of exact for group "
+            f"{row['o_orderstatus']}: est={row['est']} "
+            f"exact={row['n_custkeys']}",
+        )
+    return finish(
+        r.select(
+            "o_orderstatus",
+            "n_rows",
+            F.col("sum_val").cast("decimal(28,4)").alias("sum_val"),
+            "n_custkeys",
+        )
+    )

