@@ -678,24 +678,30 @@ def sync_rollup(
                     w = _settled()
                     if w is not None:
                         return w
-                    seed_rollup(
-                        store,
-                        store.read(base_table, version=current),
-                        rollup_table,
-                        group_cols,
-                        value_col,
-                        count_col=count_col,
-                        sum_col=sum_col,
-                        min_col=min_col,
-                        max_col=max_col,
-                        avg_col=avg_col,
-                        distinct_of=distinct_of,
-                        distinct_col=distinct_col,
-                        distinct_sketch_col=distinct_sketch_col,
-                        n_buckets=n_buckets,
-                        versioned=True,
-                        txn=(app_id, current),
-                    )
+                    # heartbeat: a seed running longer than
+                    # seed_stale_s must not look orphaned and get
+                    # stolen mid-overwrite (ADVICE r9)
+                    from ..io import _ClaimHeartbeat
+
+                    with _ClaimHeartbeat(claim, tok, seed_stale_s):
+                        seed_rollup(
+                            store,
+                            store.read(base_table, version=current),
+                            rollup_table,
+                            group_cols,
+                            value_col,
+                            count_col=count_col,
+                            sum_col=sum_col,
+                            min_col=min_col,
+                            max_col=max_col,
+                            avg_col=avg_col,
+                            distinct_of=distinct_of,
+                            distinct_col=distinct_col,
+                            distinct_sketch_col=distinct_sketch_col,
+                            n_buckets=n_buckets,
+                            versioned=True,
+                            txn=(app_id, current),
+                        )
                 finally:
                     _release(tok)
                 return current

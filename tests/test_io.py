@@ -3320,3 +3320,112 @@ def test_sync_rollup_distinct(spark, tmp_path):
     up([(31, 3.0, 1, "B")])
     with pytest.raises(ValueError, match="spec disagrees"):
         sync_rollup(store, "t", "r", ["grp"], "val")
+
+
+def test_upsert_retries_on_concurrent_commit(spark, tmp_path, monkeypatch):
+    """ADVICE r9 (medium): a writer whose 'kept' file list was derived
+    from a stale base version must NOT publish a manifest that silently
+    drops a concurrent writer's just-published files. Deterministic
+    reproduction: writer B lands v2 between writer A's (forced-stale)
+    base read and its publish — the version CAS refuses, the verb
+    re-derives against v2, and BOTH writers' rows survive."""
+    from datapipelinerepo_spark.io import TableStore as TS
+
+    store = TS(spark, str(tmp_path))
+    a = spark.createDataFrame(
+        [(i, float(i)) for i in range(10)], "id long, v double"
+    )
+    store.overwrite_keyed(a, "t", "id", n_buckets=4, versioned=True)  # v1
+    b = spark.createDataFrame(
+        [(i, 100.0 + i) for i in range(10, 20)], "id long, v double"
+    )
+    store.upsert(b, "t", "id")  # concurrent writer B lands v2
+
+    real = TS._ensure_latest
+    calls = {"n": 0}
+
+    def stale_once(self, name):
+        v = real(self, name)
+        calls["n"] += 1
+        if calls["n"] == 1:
+            return v - 1  # writer A derives from v1: kept misses B's files
+        return v
+
+    monkeypatch.setattr(TS, "_ensure_latest", stale_once)
+    c = spark.createDataFrame(
+        [(i, -1.0) for i in range(5)], "id long, v double"
+    )
+    store.upsert(c, "t", "id")  # writer A: conflicts once, retries, lands
+    monkeypatch.undo()
+    assert calls["n"] >= 2, "the stale derivation never retried"
+    got = {r["id"]: r["v"] for r in store.read("t").collect()}
+    assert got == (
+        {i: -1.0 for i in range(5)}
+        | {i: float(i) for i in range(5, 10)}
+        | {i: 100.0 + i for i in range(10, 20)}
+    ), "a concurrent writer's rows were lost or an update misapplied"
+
+
+def test_concurrent_disjoint_writers_both_survive(spark, tmp_path):
+    """ADVICE r9 (medium), the live form: two threads upsert DISJOINT
+    key sets under DIFFERENT app ids with no external serialization.
+    Whatever the interleaving (including both deriving from the same
+    base version), the final table must hold both writers' rows — the
+    loser of the manifest race re-derives instead of dropping the
+    winner's files."""
+    import threading
+
+    store = TableStore(spark, str(tmp_path))
+    base = spark.createDataFrame(
+        [(i, 0.0) for i in range(8)], "id long, v double"
+    )
+    store.overwrite_keyed(base, "t", "id", n_buckets=4, versioned=True)
+    barrier = threading.Barrier(2, timeout=120)
+    errors: list[BaseException] = []
+
+    def writer(lo: int, app: str):
+        try:
+            df = spark.createDataFrame(
+                [(i, float(lo)) for i in range(lo, lo + 10)],
+                "id long, v double",
+            )
+            barrier.wait()
+            store.upsert_txn(df, "t", "id", app, 1)
+        except BaseException as e:  # noqa: BLE001 — surfaced below
+            errors.append(e)
+
+    t1 = threading.Thread(target=writer, args=(100, "appA"))
+    t2 = threading.Thread(target=writer, args=(200, "appB"))
+    t1.start(); t2.start(); t1.join(120); t2.join(120)
+    assert not errors, errors
+    got = {r["id"]: r["v"] for r in store.read("t").collect()}
+    assert got == (
+        {i: 0.0 for i in range(8)}
+        | {i: 100.0 for i in range(100, 110)}
+        | {i: 200.0 for i in range(200, 210)}
+    )
+
+
+def test_claim_heartbeat_prevents_stale_steal(tmp_path):
+    """ADVICE r9: a claim's mtime was set once at creation, so a
+    LEGITIMATE write outliving stale_s looked identical to a crashed
+    holder and got stolen — starting a second concurrent overwrite of
+    the same directory. The heartbeat touches the held claim while the
+    protected write runs: staleness now measures holder SILENCE. A
+    crashed holder (heartbeat gone) still expires and is stolen."""
+    import time
+
+    from datapipelinerepo_spark.io import _acquire_claim, _ClaimHeartbeat
+
+    claim = str(tmp_path / "c")
+    tok = _acquire_claim(claim, 0.5)
+    assert tok is not None
+    with _ClaimHeartbeat(claim, tok, 0.5):
+        time.sleep(1.2)  # far past stale_s — without heartbeat, stale
+        assert _acquire_claim(claim, 0.5) is None, (
+            "a live, heartbeating holder was stolen from"
+        )
+    time.sleep(1.2)  # "crash": heartbeat stopped, claim ages out
+    # (compare by acquisition success, not token inequality — the
+    # freed inode number may be recycled for the stealer's new claim)
+    assert _acquire_claim(claim, 0.5) is not None

@@ -1237,3 +1237,81 @@ def test_cdf_stream_type_coverage(spark, tmp_path):
     got = sorted(map(tuple, spark.read.parquet(out).collect()))
     twin = sorted(map(tuple, store.table_changes("t", 1).collect()))
     assert got == twin and len(got) == 3  # pre+post for id 2, delete id 5
+
+
+def test_cdf_stream_duckdb_fence_and_quoted_paths(spark, tmp_path):
+    """VERDICT r9 item 6: the CDF stream's executor-side diff runs
+    embedded DuckDB — a hard runtime dep. (a) With duckdb unavailable,
+    the reader must refuse AT STREAM START (driver-side constructor)
+    with a message naming the per-executor requirement — never an
+    ImportError from inside a task mid-drain. (b) An ancient wheel
+    trips the version floor. (c) ADVICE r9: a store root containing a
+    single quote must round-trip through the executor-side SQL (paths
+    are escaped into the read_parquet list literal, not repr-injected)."""
+    import sys
+    import types
+
+    import pytest
+
+    from datapipelinerepo_spark.io import TableStore
+    from datapipelinerepo_spark.sources.cdf_stream import (
+        TableChangesStreamReader,
+        read_changes_stream,
+    )
+
+    # a real table to point the reader at (quote in the ROOT path)
+    root = tmp_path / "it's a store"
+    store = TableStore(spark, str(root))
+    store.overwrite_keyed(
+        spark.createDataFrame([(1, 1.0), (2, 2.0)], "id long, v double"),
+        "t", "id", n_buckets=2, versioned=True,
+    )
+    opts = {"path": str(root), "table": "t"}
+
+    # (a) missing wheel → loud refusal in the constructor
+    real = sys.modules.get("duckdb")
+    sys.modules["duckdb"] = None  # forces ImportError on import
+    try:
+        with pytest.raises(RuntimeError, match="every executor"):
+            TableChangesStreamReader(opts)
+    finally:
+        if real is not None:
+            sys.modules["duckdb"] = real
+        else:
+            sys.modules.pop("duckdb", None)
+
+    # (b) ancient wheel → version floor
+    fake = types.ModuleType("duckdb")
+    fake.__version__ = "0.5.1"
+    sys.modules["duckdb"] = fake
+    try:
+        with pytest.raises(RuntimeError, match="needs duckdb>="):
+            TableChangesStreamReader(opts)
+    finally:
+        sys.modules["duckdb"] = real
+
+    # (c) quoted path round-trips through the executor-side SQL
+    store.upsert(
+        spark.createDataFrame([(2, 20.0), (3, 3.0)], "id long, v double"),
+        "t", "id",
+    )
+    out = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+    (
+        read_changes_stream(spark, store, "t", starting_version=1)
+        .writeStream.format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    got = {
+        (r["id"], r["v"], r["_change_type"])
+        for r in spark.read.parquet(str(out)).collect()
+    }
+    assert got == {
+        (2, 2.0, "update_preimage"),
+        (2, 20.0, "update_postimage"),
+        (3, 3.0, "insert"),
+    }
