@@ -164,7 +164,12 @@ def main() -> None:
     )
 
     RUNS = 3
-    names = [n for n, e in REGISTRY.items() if e.bench]
+    # store_keyed_merge is timed by a dedicated verb-boundary block
+    # below (VERDICT r9 item 4): its registry form materializes the
+    # ~75k-row sf0.1 read-back as driver-literal rows inside
+    # _ephemeral_store.finish() — an oracle-harness requirement that
+    # made the bench row time the HARNESS, not the merge
+    names = [n for n, e in REGISTRY.items() if e.bench and n != "store_keyed_merge"]
     times: dict[str, float] = {}
     spread: dict[str, float] = {}
     for name in names:
@@ -214,6 +219,47 @@ def main() -> None:
     samples.sort()
     times["stream_curate_drain"] = round(samples[RUNS // 2], 3)
     spread["stream_curate_drain"] = round(samples[-1] - samples[0], 3)
+
+    # store_keyed_merge, verb-boundary form (VERDICT r9 item 4): the
+    # IDENTICAL lifecycle the registry query runs — overwrite_keyed +
+    # bucket-pruned upsert + read-back — but the read-back goes to the
+    # noop sink instead of being collected and rebuilt as driver-
+    # literal rows (finish() exists for the driver's oracle compare,
+    # not for the verb). The registry query itself is unchanged.
+    samples = []
+    for _ in range(RUNS):
+        wdir = tempfile.mkdtemp(prefix="bench_keyedmerge_")
+        try:
+            store = TableStore(spark, os.path.join(wdir, "store"))
+            base = (
+                tabs["orders"]
+                .filter(F.col("o_orderkey") % 2 == 0)
+                .select("o_orderkey", "o_totalprice", "o_orderstatus")
+            )
+            inc = (
+                tabs["orders"]
+                .filter(
+                    (F.col("o_orderkey") % 10 == 0)
+                    | (F.col("o_orderkey") % 10 == 3)
+                )
+                .select(
+                    "o_orderkey",
+                    (F.col("o_totalprice") * 2).alias("o_totalprice"),
+                    F.lit("U").alias("o_orderstatus"),
+                )
+            )
+            t0 = time.perf_counter()
+            store.overwrite_keyed(base, "t", "o_orderkey", n_buckets=16)
+            store.upsert(inc, "t", "o_orderkey")
+            store.read("t").select(
+                "o_orderkey", "o_totalprice", "o_orderstatus"
+            ).write.format("noop").mode("overwrite").save()
+            samples.append(time.perf_counter() - t0)
+        finally:
+            shutil.rmtree(wdir, ignore_errors=True)
+    samples.sort()
+    times["store_keyed_merge"] = round(samples[RUNS // 2], 3)
+    spread["store_keyed_merge"] = round(samples[-1] - samples[0], 3)
 
     # versioned-store lifecycle (VERDICT r6 item 4): overwrite → 3
     # bucket-pruned upserts → snapshot read → time-travel read →
@@ -361,6 +407,12 @@ def main() -> None:
         spread[v] = round(s[-1] - s[0], 3)
 
     total = round(sum(times.values()), 3)
+    # The driver records only the LAST ~2000 chars of stdout; r9's
+    # single line (queries + spread) overflowed that window, cutting
+    # the leading rows mid-stream and leaving the artifact unparseable
+    # (VERDICT r9 "what's wrong" 3). Emit the full diagnostic line
+    # FIRST (humans, greppable logs), then a compact spread-free line
+    # LAST so the parseable record always fits the tail window.
     print(
         json.dumps(
             {
@@ -374,6 +426,32 @@ def main() -> None:
             }
         )
     )
+    compact = json.dumps(
+        {
+            "metric": "headline_queries_total",
+            "value": total,
+            "unit": "sec",
+            "queries": times,
+            "sf": float(sf),
+        },
+        separators=(",", ":"),
+    )
+    if len(compact) > 1900:  # tail-window guard as rows accumulate
+        compact = json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": {
+                    k: times[k]
+                    for k in sorted(times, key=times.get, reverse=True)[:30]
+                },
+                "sf": float(sf),
+                "queries_truncated_to_top": 30,
+            },
+            separators=(",", ":"),
+        )
+    print(compact)
 
 
 if __name__ == "__main__":
