@@ -27,7 +27,7 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from . import TABLES
+from . import TABLES, _fs
 
 
 def table_path(sf_dir: str, name: str) -> str:
@@ -241,42 +241,38 @@ def _acquire_claim(path: str, stale_s: float) -> int | None:
     ``stale_s`` of inactivity; the caller's inode self-check shrinks
     it further. Expiry-based stealing is inherently advisory (the
     lease model Delta commit services use); size ``stale_s``
-    comfortably above the longest possible protected write."""
+    comfortably above the longest possible protected write.
+
+    Built entirely on the _fs primitives (VERDICT r9 item 7) — an
+    object-store port implements _fs.py, not this logic."""
     import uuid
 
     for _ in range(8):
+        tok = _fs.put_if_absent(path, str(os.getpid()).encode())
+        if tok is not None:
+            return tok
         try:
-            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            os.write(fd, str(os.getpid()).encode())
-            ino = os.fstat(fd).st_ino
-            os.close(fd)
-            return ino
-        except FileExistsError:
-            try:
-                age = time.time() - os.path.getmtime(path)
-            except FileNotFoundError:
-                continue  # released between open and stat: retry
-            if age <= stale_s:
-                return None
-            grave = f"{path}.stolen-{uuid.uuid4().hex}"
-            try:
-                os.rename(path, grave)  # atomic: one stealer wins
-            except FileNotFoundError:
-                continue  # another stealer (or release) got it first
-            try:
-                fresh = time.time() - os.path.getmtime(grave) <= stale_s
-            except FileNotFoundError:
-                fresh = False
-            if fresh:
-                # the stat→rename window displaced a LIVE claim:
-                # restore it put-if-absent and report this steal lost
-                try:
-                    os.link(grave, path)
-                except FileExistsError:
-                    pass
-                os.remove(grave)
-                return None
-            os.remove(grave)
+            age = time.time() - _fs.mtime(path)
+        except FileNotFoundError:
+            continue  # released between create and stat: retry
+        if age <= stale_s:
+            return None
+        grave = f"{path}.stolen-{uuid.uuid4().hex}"
+        try:
+            _fs.rename(path, grave)  # atomic: one stealer wins
+        except FileNotFoundError:
+            continue  # another stealer (or release) got it first
+        try:
+            fresh = time.time() - _fs.mtime(grave) <= stale_s
+        except FileNotFoundError:
+            fresh = False
+        if fresh:
+            # the stat→rename window displaced a LIVE claim:
+            # restore it put-if-absent and report this steal lost
+            _fs.link_if_absent(grave, path)
+            _fs.remove(grave)
+            return None
+        _fs.remove(grave)
     return None
 
 
@@ -309,9 +305,9 @@ class _ClaimHeartbeat:
     def _run(self) -> None:
         while not self._stop.wait(self.interval):
             try:
-                if os.stat(self.path).st_ino != self.token:
+                if _fs.identity(self.path) != self.token:
                     return  # displaced: the claim is no longer ours
-                os.utime(self.path)
+                _fs.touch(self.path)
             except OSError:
                 return  # released/stolen: nothing left to keep alive
 
@@ -758,9 +754,7 @@ class TableStore:
                 doc["version"] = v
                 with open(tmp, "w") as f:
                     json.dump(doc, f)
-                try:
-                    os.link(tmp, self._manifest_path(name, v))
-                except FileExistsError:
+                if not _fs.link_if_absent(tmp, self._manifest_path(name, v)):
                     continue  # lost the race for v — rescan and retry
                 return v
         finally:
@@ -1215,7 +1209,7 @@ class TableStore:
                     if not f.endswith(".parquet"):
                         continue
                     dst = f"{token}-{f}"
-                    os.replace(
+                    _fs.replace(
                         os.path.join(stage, d, f),
                         os.path.join(base, d, dst),
                     )
@@ -3145,11 +3139,7 @@ class TableStore:
         while True:
             tok = _acquire_claim(claim, stale_s)
             if tok is not None:
-                try:
-                    held = os.stat(claim).st_ino == tok
-                except FileNotFoundError:
-                    held = False
-                if not held:
+                if _fs.identity(claim) != tok:
                     continue  # displaced by a stealer: re-contend
                 try:
                     if _created():
@@ -3168,8 +3158,8 @@ class TableStore:
                     return True
                 finally:
                     try:
-                        if os.stat(claim).st_ino == tok:
-                            os.remove(claim)
+                        if _fs.identity(claim) == tok:
+                            _fs.remove(claim)
                     except FileNotFoundError:
                         pass
             if _created():

@@ -647,9 +647,11 @@ def sync_rollup(
         def _release(tok: int) -> None:
             # release only OUR claim: after a (pathological) mid-seed
             # displacement the file on disk is a stealer's
+            from .. import _fs
+
             try:
-                if os.stat(claim).st_ino == tok:
-                    os.remove(claim)
+                if _fs.identity(claim) == tok:
+                    _fs.remove(claim)
             except FileNotFoundError:
                 pass
 
@@ -659,14 +661,12 @@ def sync_rollup(
             if tok is not None:
                 # identity self-check before anything destructive: a
                 # racing staleness-stealer may have displaced this
-                # claim in its stat→rename window — if the file on
-                # disk is no longer OUR inode, the claim is lost;
-                # re-contend instead of seeding unheld
-                try:
-                    held = os.stat(claim).st_ino == tok
-                except FileNotFoundError:
-                    held = False
-                if not held:
+                # claim in its stat→rename window — if the object on
+                # disk no longer carries OUR identity token, the claim
+                # is lost; re-contend instead of seeding unheld
+                from .. import _fs
+
+                if _fs.identity(claim) != tok:
                     continue
                 try:
                     # double-check under the claim: a racer that lost
