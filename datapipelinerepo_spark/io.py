@@ -58,7 +58,7 @@ class TxnConflict(TxnAlreadyApplied):
     conflicts the same way (the data is NOT applied either way)."""
 
 
-class BaseVersionConflict(TxnConflict):
+class BaseVersionConflict(RuntimeError):
     """Raised by the BASE-VERSION compare-and-swap (``version_expect``):
     the table's latest version moved while this writer derived its
     manifest content (the ``kept`` file list / column map), so
@@ -67,7 +67,16 @@ class BaseVersionConflict(TxnConflict):
     The incremental write verbs catch this INTERNALLY and re-derive
     against the new current version (optimistic concurrency); it
     escapes to callers only after repeated conflicts. The failed
-    attempt's staged part-files stay invisible orphans until vacuum."""
+    attempt's staged part-files stay invisible orphans until vacuum.
+
+    Deliberately NOT a TxnConflict/TxnAlreadyApplied subclass
+    (code-review r10 wave 1): those mean "this batch is already
+    covered — safe to skip", and the exactly-once streaming handlers
+    absorb them by returning False with the checkpoint advancing. A
+    base-version conflict means the batch was NOT applied at all —
+    swallowing it there would convert a recoverable retry into silent
+    permanent data loss. Escaping here fails the foreachBatch batch,
+    and Spark's replay re-runs it to convergence."""
 
 
 def lakehouse_format() -> str | None:
@@ -305,11 +314,22 @@ class _ClaimHeartbeat:
     def _run(self) -> None:
         while not self._stop.wait(self.interval):
             try:
-                if _fs.identity(self.path) != self.token:
-                    return  # displaced: the claim is no longer ours
+                ident = _fs.identity(self.path)
+                if ident is None:
+                    # transient: _acquire_claim's steal protocol moves
+                    # a claim to a grave and RESTORES it when the
+                    # freshness re-check finds the holder alive — a
+                    # tick landing in that rename→restore gap must not
+                    # kill the heartbeat of a still-held claim
+                    # (code-review r10 wave 1); if the claim is truly
+                    # gone, __exit__ ends the thread right after the
+                    # protected write anyway
+                    continue
+                if ident != self.token:
+                    return  # displaced for real: the claim is a stealer's
                 _fs.touch(self.path)
             except OSError:
-                return  # released/stolen: nothing left to keep alive
+                continue  # same transient-window reasoning as above
 
     def __enter__(self) -> "_ClaimHeartbeat":
         self._thread.start()
@@ -2031,9 +2051,9 @@ class TableStore:
                     colmap=colmap,
                     version_expect=v,
                 )
-            except TxnConflict:
+            except BaseVersionConflict:
                 continue  # concurrent commit: re-derive from new latest
-        raise TxnConflict(
+        raise BaseVersionConflict(
             f"{name}: {op} lost the publish race 16 times — retry"
         )
 

@@ -5959,22 +5959,26 @@ def store_streaming_rollup(spark, sf_dir):
             n_buckets=16, rollup_buckets=4, **kw,
         ).awaitTermination()
 
-    stage(base, "b1")
-    drain()
-    stage(inc, "b2")
-    drain()
-    _require(
-        store.last_txn("t", "maintained_rollup_stream") == 1,
-        "exactly two micro-batches (ids 0, 1) must have landed in the base",
-    )
-    store.delete_where("t", F.col("o_totalprice") > 300000)  # external churn
-    sync_rollup(store, "t", "r", ["o_orderstatus"], "o_totalprice", **kw)
-    out = spark.createDataFrame(
-        store.read("r").select(*_ivm_rollup_cols(True)).collect(),
-        store.read("r").select(*_ivm_rollup_cols(True)).schema,
-    )
-    shutil.rmtree(d, ignore_errors=True)
-    return out
+    try:
+        stage(base, "b1")
+        drain()
+        stage(inc, "b2")
+        drain()
+        _require(
+            store.last_txn("t", "maintained_rollup_stream") == 1,
+            "exactly two micro-batches (ids 0, 1) must have landed in "
+            "the base",
+        )
+        store.delete_where("t", F.col("o_totalprice") > 300000)  # churn
+        sync_rollup(store, "t", "r", ["o_orderstatus"], "o_totalprice", **kw)
+        result = store.read("r").select(*_ivm_rollup_cols(True))
+        return spark.createDataFrame(result.collect(), result.schema)
+    finally:
+        # cleanup must run on FAILED _require paths too — repeated
+        # correctness/bench runs must not accumulate /tmp data (the
+        # ADVICE r7 leak _ephemeral_store.finish exists to stop;
+        # code-review r10 wave 1)
+        shutil.rmtree(d, ignore_errors=True)
 
 
 @register(

@@ -545,30 +545,42 @@ def cdc_apply_txn(
     # and a non-deterministic lineage evaluated twice could hash rows
     # into buckets outside the pruned set (code-review r7 wave 3)
     batch = batch.localCheckpoint(eager=True)
-    # bucket-partitioned maintenance: merge the batch into ONLY the
-    # buckets its keys hash to — the per-batch cost is |batch's
-    # buckets|, not the table (the keyed-upsert fast path generalized
-    # to CDC: deletes prune, and a bucket emptied entirely is removed
-    # from disk)
-    buckets = store.keyed_buckets(base_table, batch)
-    base = store.read_buckets(base_table, buckets)
-    merged = cdc_apply(
-        base, batch, key=key, seq_col=seq_col, op_col=op_col
-    ).localCheckpoint(eager=True)
-    # CHECK constraints judge the POST-MERGE rows the batch actually
-    # LANDS — merged rows whose key the batch touched (code-review r7
-    # wave 4: judging the raw batch refused rows superseded by a
-    # later in-batch delete, and NULL-widening falsely refused
-    # partial-payload updates whose landed row keeps the base's valid
-    # values; here a key deleted within the batch is simply absent,
-    # and carried-over payload columns are judged at their real
-    # values). An update that REWRITES a historically-invalid row
-    # without fixing it is refused — the batch is publishing that row
-    # anew, which is exactly what the contract gates.
-    _check_landed_rows(store, base_table, merged, batch, key)
-    from ..io import TxnAlreadyApplied
 
-    try:
+    def _attempt() -> None:
+        # base-version OCC (code-review r10 wave 1): pin the version
+        # BEFORE reading the buckets; the publish CASes on it, so a
+        # concurrent writer committing inside the read→publish window
+        # re-runs this whole derivation instead of having its rows
+        # silently replaced by a merge over the prior snapshot —
+        # cdc_apply was the one bucket-rewriting verb the r10 OCC
+        # scheme initially missed
+        v0 = (
+            store._ensure_latest(base_table)
+            if store.is_versioned(base_table)
+            else None
+        )
+        # bucket-partitioned maintenance: merge the batch into ONLY
+        # the buckets its keys hash to — the per-batch cost is
+        # |batch's buckets|, not the table (the keyed-upsert fast path
+        # generalized to CDC: deletes prune, and a bucket emptied
+        # entirely is removed from disk)
+        buckets = store.keyed_buckets(base_table, batch)
+        base = store.read_buckets(base_table, buckets)
+        merged = cdc_apply(
+            base, batch, key=key, seq_col=seq_col, op_col=op_col
+        ).localCheckpoint(eager=True)
+        # CHECK constraints judge the POST-MERGE rows the batch
+        # actually LANDS — merged rows whose key the batch touched
+        # (code-review r7 wave 4: judging the raw batch refused rows
+        # superseded by a later in-batch delete, and NULL-widening
+        # falsely refused partial-payload updates whose landed row
+        # keeps the base's valid values; here a key deleted within the
+        # batch is simply absent, and carried-over payload columns are
+        # judged at their real values). An update that REWRITES a
+        # historically-invalid row without fixing it is refused — the
+        # batch is publishing that row anew, which is exactly what the
+        # contract gates.
+        _check_landed_rows(store, base_table, merged, batch, key)
         # check_replay re-verifies the watermark INSIDE the manifest
         # claim loop: the last_txn read above is only the cheap fast
         # check, so a zombie driver racing its replacement on the same
@@ -577,8 +589,16 @@ def cdc_apply_txn(
         # orphans until vacuum)
         store.overwrite_buckets(
             merged, base_table, buckets, op="cdc", txn=txn,
-            check_replay=txn is not None,
+            check_replay=txn is not None, version_expect=v0,
         )
+
+    from ..io import TxnAlreadyApplied
+
+    try:
+        # BaseVersionConflict deliberately escapes this handler (it is
+        # NOT a TxnAlreadyApplied): "not applied — retry" must fail the
+        # batch and be replayed, never reported as a skipped replay
+        store._retry_base_conflicts(_attempt)
     except TxnAlreadyApplied:
         return False
     return True

@@ -3159,9 +3159,14 @@ def test_column_mapping_wave2_hardening(spark, tmp_path):
     )
     with _pytest.raises(ValueError, match="previously dropped"):
         store.rename_column("t", "v2", "amount")
-    # (5) stale-base publish refused by the CAS
+    # (5) stale-base publish refused by the CAS. BaseVersionConflict
+    # is deliberately NOT a TxnConflict/TxnAlreadyApplied (code-review
+    # r10 wave 1): "not applied — re-derive" must never be absorbed by
+    # the exactly-once handlers that mean "already applied — skip"
+    from datapipelinerepo_spark.io import BaseVersionConflict
+
     v_now = store.latest_version("t")
-    with _pytest.raises(TxnConflict, match="base version moved"):
+    with _pytest.raises(BaseVersionConflict, match="base version moved"):
         store._publish_version(
             "t",
             store._manifest_files("t", v_now),
@@ -3429,3 +3434,47 @@ def test_claim_heartbeat_prevents_stale_steal(tmp_path):
     # (compare by acquisition success, not token inequality — the
     # freed inode number may be recycled for the stealer's new claim)
     assert _acquire_claim(claim, 0.5) is not None
+
+
+def test_base_conflict_escapes_exactly_once_handlers(
+    spark, tmp_path, monkeypatch
+):
+    """code-review r10 wave 1: an EXHAUSTED base-version conflict means
+    the batch was NOT applied — it must fail the exactly-once verbs
+    loudly (so a streaming caller's batch fails and replays), never be
+    absorbed by their `except TxnAlreadyApplied: return False` as an
+    already-applied replay (checkpoint advances, rows permanently
+    lost). Forced by pinning every derivation to a stale base."""
+    import pytest
+
+    from datapipelinerepo_spark.io import BaseVersionConflict
+    from datapipelinerepo_spark.io import TableStore as TS
+    from datapipelinerepo_spark.streaming.ingest import cdc_apply_txn
+
+    store = TS(spark, str(tmp_path))
+    base = spark.createDataFrame(
+        [(i, float(i)) for i in range(8)], "id long, v double"
+    )
+    store.overwrite_keyed(base, "t", "id", n_buckets=2, versioned=True)
+    store.upsert(
+        spark.createDataFrame([(9, 9.0)], "id long, v double"), "t", "id"
+    )  # v2: makes (latest - 1) a valid-but-stale base
+    real = TS._ensure_latest
+    monkeypatch.setattr(
+        TS, "_ensure_latest", lambda self, name: real(self, name) - 1
+    )
+    monkeypatch.setattr(TS, "_CONFLICT_RETRIES", 2)
+    batch = spark.createDataFrame([(1, -1.0)], "id long, v double")
+    with pytest.raises(BaseVersionConflict):
+        store.upsert_txn(batch, "t", "id", "appX", 1)
+    cdc = spark.createDataFrame(
+        [(1, -1.0, 1, "U")], "id long, v double, seq long, op string"
+    )
+    with pytest.raises(BaseVersionConflict):
+        cdc_apply_txn(
+            store, cdc, 1, "id", "seq", base_table="t", app_id="appY"
+        )
+    monkeypatch.undo()
+    # nothing was applied and no watermark advanced: replays still run
+    assert store.last_txn("t", "appX") is None
+    assert store.last_txn("t", "appY") is None

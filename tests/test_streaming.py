@@ -1288,7 +1288,12 @@ def test_cdf_stream_duckdb_fence_and_quoted_paths(spark, tmp_path):
         with pytest.raises(RuntimeError, match="needs duckdb>="):
             TableChangesStreamReader(opts)
     finally:
-        sys.modules["duckdb"] = real
+        # mirror part (a): re-inserting None on a duckdb-less machine
+        # would poison every later `import duckdb` in the session
+        if real is not None:
+            sys.modules["duckdb"] = real
+        else:
+            sys.modules.pop("duckdb", None)
 
     # (c) quoted path round-trips through the executor-side SQL
     store.upsert(
