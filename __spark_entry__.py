@@ -154,6 +154,36 @@ _CHANGED_IN_ROUND = {
     # new bisection instruments reuse (re-proven at sf0.001 + sf0.01)
     "store_incremental_rollup": 10,
     "store_incremental_minmax": 10,
+    # r10: every store-backed query rides the reworked commit protocol
+    # (base-version CAS + OCC re-derive on upsert/append/delete/merge/
+    # compact/cdc, claim heartbeat, _fs primitive extraction) — by the
+    # r8/r9 precedent their green proofs are stale until a post-change
+    # correctness file shows them green again (code-review r10 wave 2);
+    # locally re-proven by the end-of-round full-registry sf0.01 sweep
+    "f18_unavail_fill": 10,
+    "s3_exists_probe": 10,
+    "s4_last_modified_probe": 10,
+    "s8_append_roundtrip": 10,
+    "s9_replace_roundtrip": 10,
+    "s10_reload_roundtrip": 10,
+    "cdc_latest_wins": 10,
+    "events_rollup_hourly": 10,
+    "pipeline_idempotent_reload": 10,
+    "store_keyed_merge": 10,
+    "store_versioned_snapshot": 10,
+    "store_delete_where": 10,
+    "store_txn_exactly_once": 10,
+    "store_constraint_reject": 10,
+    "store_restore_rollback": 10,
+    "store_point_lookup": 10,
+    "store_time_travel_ts": 10,
+    "store_schema_evolution": 10,
+    "store_cdf_changes": 10,
+    "store_cdf_stream_drain": 10,
+    "store_merge_when": 10,
+    "store_column_mapping": 10,
+    "store_rebucket": 10,
+    "store_stats_skipping": 10,
 }
 
 

@@ -39,11 +39,21 @@ def _ephemeral_store(spark, prefix: str):
     (≤ a few thousand rows), so the driver round-trip is cheap."""
     import shutil
     import tempfile
+    import weakref
 
     from .io import TableStore
 
     d = tempfile.mkdtemp(prefix=prefix)
     store = TableStore(spark, d)
+    # failure-path cleanup (code-review r10 wave 2): many store queries
+    # raise via in-query _require guards BEFORE reaching finish() — the
+    # only rmtree — so every red run leaked a full table copy in /tmp
+    # (the exact ADVICE-r7 accumulation finish() exists to stop, and
+    # the diagnostic IVM instruments are EXPECTED to go red under the
+    # driver). A finalizer on the store object reclaims the dir as soon
+    # as the failed query's frames are released; rmtree is idempotent,
+    # so the success path's explicit cleanup in finish() is unaffected.
+    weakref.finalize(store, shutil.rmtree, d, ignore_errors=True)
 
     def finish(df):
         out = spark.createDataFrame(df.collect(), df.schema)
@@ -5370,8 +5380,11 @@ def _ivm_selfcheck(store, minmax: bool, sf_dir: str, label: str):
     """The r10 instrument core: collect the maintained rollup, require
     it multiset-equal a direct recompute over the store's final state,
     and (at sf0.01 only) require it equal the DuckDB-1.0.0 literal pin.
-    Returns the collected rollup rows so the caller's finish() is the
-    only other materialization."""
+    Returns the ALREADY-COLLECTED rows as a literal frame (code-review
+    r10 wave 2): returning the live plan would make finish() re-run
+    the whole store read/aggregate job, and the hashed frame is now
+    bit-identical to the rows the pin/self-check just validated."""
+    spark = store.spark
     ivm_df = store.read("r").select(*_ivm_rollup_cols(minmax))
     ivm_rows = ivm_df.collect()
     rc_rows = _ivm_direct_agg(store.read("t"), minmax).collect()
@@ -5397,7 +5410,7 @@ def _ivm_selfcheck(store, minmax: bool, sf_dir: str, label: str):
             f"expected={expected} (expected = DuckDB 1.0.0 on the "
             f"round-10 testdata)",
         )
-    return ivm_df
+    return spark.createDataFrame(ivm_rows, ivm_df.schema)
 
 
 @register(
@@ -5991,20 +6004,25 @@ def store_streaming_rollup(spark, sf_dir):
       SELECT o_orderkey, o_custkey, o_totalprice * 2 AS o_totalprice,
              o_orderstatus
       FROM orders WHERE o_orderkey % 10 IN (0, 5)
+    ), ins AS (
+      SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+      FROM orders WHERE o_orderkey % 10 = 7
     ), v2 AS (
       SELECT * FROM inc
       UNION ALL
       SELECT * FROM base
       WHERE o_orderkey NOT IN (SELECT o_orderkey FROM inc)
     ), v3 AS (
-      SELECT * FROM v2 WHERE NOT coalesce(o_totalprice > 300000, FALSE)
+      SELECT * FROM v2 UNION ALL SELECT * FROM ins
+    ), v4 AS (
+      SELECT * FROM v3 WHERE NOT coalesce(o_totalprice > 300000, FALSE)
     )
     SELECT o_orderstatus,
            COUNT(*) AS n_rows,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
                 AS DECIMAL(28,4)) AS sum_val,
            COUNT(DISTINCT o_custkey) AS n_custkeys
-    FROM v3 GROUP BY o_orderstatus
+    FROM v4 GROUP BY o_orderstatus
     """,
 )
 def store_incremental_distinct(spark, sf_dir):
@@ -6023,24 +6041,23 @@ def store_incremental_distinct(spark, sf_dir):
     delete-aware re-sketching — guarded in-query to estimate within 5%
     of the exact count per group (the driver-hashed columns are the
     exact ones; a sketch estimate is approximate by design and is
-    never oracle-hashed)."""
+    never oracle-hashed). Four windows so BOTH sketch branches execute
+    (code-review r10 wave 2: the original lifecycle's only upsert
+    carried update preimages into every group, so the hll_union
+    fast path never ran): v2's upsert mixes updates+inserts (removal
+    re-sketch), v3's upsert is PURE new keys (insert-only union, no
+    base read), v4 deletes (removal re-sketch again)."""
     from .plans.rollup import sync_rollup
 
-    base = (
-        t(spark, sf_dir, "orders")
-        .filter(F.col("o_orderkey") % 2 == 0)
-        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
     )
+    base = orders.filter(F.col("o_orderkey") % 2 == 0)
     inc = (
-        t(spark, sf_dir, "orders")
-        .filter((F.col("o_orderkey") % 10).isin(0, 5))
-        .select(
-            "o_orderkey",
-            "o_custkey",
-            (F.col("o_totalprice") * 2).alias("o_totalprice"),
-            "o_orderstatus",
-        )
+        orders.filter((F.col("o_orderkey") % 10).isin(0, 5))
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2)
     )
+    ins = orders.filter(F.col("o_orderkey") % 10 == 7)  # all-new odd keys
     store, finish = _ephemeral_store(spark, "ivmd_")
     kw = dict(
         distinct_of="o_custkey",
@@ -6051,9 +6068,11 @@ def store_incremental_distinct(spark, sf_dir):
         base, "t", "o_orderkey", n_buckets=16, versioned=True
     )
     sync_rollup(store, "t", "r", ["o_orderstatus"], "o_totalprice", **kw)
-    store.upsert(inc, "t", "o_orderkey")  # v2: insert-only sketch path
+    store.upsert(inc, "t", "o_orderkey")  # v2: updates+inserts → re-sketch
     sync_rollup(store, "t", "r", ["o_orderstatus"], "o_totalprice", **kw)
-    store.delete_where("t", F.col("o_totalprice") > 300000)  # v3: re-sketch
+    store.upsert(ins, "t", "o_orderkey")  # v3: pure inserts → hll_union
+    sync_rollup(store, "t", "r", ["o_orderstatus"], "o_totalprice", **kw)
+    store.delete_where("t", F.col("o_totalprice") > 300000)  # v4: re-sketch
     sync_rollup(store, "t", "r", ["o_orderstatus"], "o_totalprice", **kw)
     r = store.read("r")
     for row in r.select(

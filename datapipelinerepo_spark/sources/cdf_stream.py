@@ -85,7 +85,13 @@ def _require_duckdb() -> None:
         if not p.isdigit():
             break
         parts.append(int(p))
-    if tuple(parts[:3]) < _DUCKDB_MIN:
+    # pad to the floor's arity: '0.9' or '0.9.1-dev1' (third component
+    # non-digit) must compare as (0,9,0)/(0,9,0), not the shorter tuple
+    # (0,9) < (0,9,0) — which spuriously rejected satisfying wheels
+    # (code-review r10 wave 2)
+    while len(parts) < len(_DUCKDB_MIN):
+        parts.append(0)
+    if tuple(parts[: len(_DUCKDB_MIN)]) < _DUCKDB_MIN:
         raise RuntimeError(
             f"the tablestore_changes stream needs duckdb>="
             f"{'.'.join(map(str, _DUCKDB_MIN))} (found "
