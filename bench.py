@@ -226,28 +226,17 @@ def main() -> None:
     # noop sink instead of being collected and rebuilt as driver-
     # literal rows (finish() exists for the driver's oracle compare,
     # not for the verb). The registry query itself is unchanged.
+    from datapipelinerepo_spark.registry_ext import keyed_merge_frames
+
     samples = []
     for _ in range(RUNS):
         wdir = tempfile.mkdtemp(prefix="bench_keyedmerge_")
         try:
             store = TableStore(spark, os.path.join(wdir, "store"))
-            base = (
-                tabs["orders"]
-                .filter(F.col("o_orderkey") % 2 == 0)
-                .select("o_orderkey", "o_totalprice", "o_orderstatus")
-            )
-            inc = (
-                tabs["orders"]
-                .filter(
-                    (F.col("o_orderkey") % 10 == 0)
-                    | (F.col("o_orderkey") % 10 == 3)
-                )
-                .select(
-                    "o_orderkey",
-                    (F.col("o_totalprice") * 2).alias("o_totalprice"),
-                    F.lit("U").alias("o_orderstatus"),
-                )
-            )
+            # ONE lifecycle definition shared with the hash-proven
+            # registry query — the benched verb cannot de-sync from
+            # what correctness proved (code-review r10 wave 3)
+            base, inc = keyed_merge_frames(spark, sf_dir)
             t0 = time.perf_counter()
             store.overwrite_keyed(base, "t", "o_orderkey", n_buckets=16)
             store.upsert(inc, "t", "o_orderkey")

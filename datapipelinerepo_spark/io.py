@@ -650,6 +650,7 @@ class TableStore:
         txn_expect: int | None = None,
         colmap: dict | None = _CARRY,
         version_expect: int | None = None,
+        version_expect_ident: str | None = None,
     ) -> int:
         """Commit the next manifest version PUT-IF-ABSENT: the document
         is fully written to a private tmp file, then CLAIMS its version
@@ -691,7 +692,11 @@ class TableStore:
         import uuid
 
         os.makedirs(self._manifest_dir(name), exist_ok=True)
-        doc: dict = {"files": sorted(files)}
+        # every manifest carries a unique id — the identity token the
+        # base-version CAS compares (version NUMBERS repeat across
+        # reseeds, and file inodes are recycled on this filesystem, so
+        # neither names "the exact object this write derived from")
+        doc: dict = {"files": sorted(files), "uid": uuid.uuid4().hex}
         # per-file [min,max] column stats ride every manifest (data
         # skipping, read_where): carried forward for already-covered
         # files (immutable), footer-read once for new ones
@@ -706,18 +711,42 @@ class TableStore:
         try:
             for _ in range(1000):
                 vs = self.versions(name)
-                if version_expect is not None and max(vs, default=0) != int(
-                    version_expect
-                ):
+                if version_expect is not None:
                     # compare-and-swap on the BASE VERSION: this
                     # publish's content (file list, colmap) was derived
                     # from version_expect — a concurrent commit means
                     # publishing would silently drop its files/map
                     # (code-review r9 wave 2). Caller re-derives.
-                    raise BaseVersionConflict(
-                        f"{name}: base version moved past "
-                        f"{version_expect} — re-derive and retry"
-                    )
+                    if max(vs, default=0) != int(version_expect):
+                        raise BaseVersionConflict(
+                            f"{name}: base version moved past "
+                            f"{version_expect} — re-derive and retry"
+                        )
+                    # ...and on the version's IDENTITY (code-review r10
+                    # wave 3): a reseed (overwrite_keyed/_retire_
+                    # versioned) wipes the manifest history and
+                    # restarts numbering at 1, so a concurrent writer
+                    # pinned at the OLD incarnation's version 1 would
+                    # pass the number check and publish a manifest
+                    # mixing the retired incarnation's deleted files
+                    # with its own. The manifest's uid (minted per
+                    # publish) names the exact object the derivation
+                    # read — version numbers repeat across reseeds and
+                    # inodes are recycled, so neither suffices.
+                    if version_expect_ident is not None:
+                        try:
+                            cur_uid = self._manifest_doc(
+                                name, int(version_expect)
+                            ).get("uid")
+                        except FileNotFoundError:
+                            cur_uid = None  # mid-reseed wipe window
+                        if cur_uid != version_expect_ident:
+                            raise BaseVersionConflict(
+                                f"{name}: version {version_expect}'s "
+                                "manifest is not the object this write "
+                                "was derived from (table reseeded "
+                                "mid-write) — re-derive and retry"
+                            )
                 v = (max(vs, default=0)) + 1
                 txn_map: dict = dict(seed_txn or {})
                 prev_doc: dict = {}
@@ -798,6 +827,7 @@ class TableStore:
         txn_expect: int | None = None,
         colmap: dict | None = _CARRY,
         version_expect: int | None = None,
+        version_expect_ident: str | None = None,
     ) -> int:
         v = self._write_manifest_file(
             name,
@@ -810,6 +840,7 @@ class TableStore:
             txn_expect=txn_expect,
             colmap=colmap,
             version_expect=version_expect,
+            version_expect_ident=version_expect_ident,
         )
         # the meta schema tracks evolution (widen-only) so the
         # fully-emptied-table fallback serves the CURRENT column set
@@ -1173,13 +1204,31 @@ class TableStore:
         a racing writer's just-published files. Watermark conflicts
         (plain TxnConflict/TxnAlreadyApplied) propagate — those mean
         the WORK is stale, which only the caller can judge."""
+        import random
+
         last: BaseVersionConflict | None = None
-        for _ in range(self._CONFLICT_RETRIES):
+        for i in range(self._CONFLICT_RETRIES):
             try:
                 return attempt()
             except BaseVersionConflict as e:
                 last = e
+                # jittered backoff (code-review r10 wave 3): two
+                # sustained writers whose derivation jobs take similar
+                # wall-clock would otherwise re-collide on every
+                # attempt; a small randomized delay desynchronizes
+                # them at negligible cost
+                time.sleep(min(0.05 * (2 ** i), 1.0) * random.random())
         raise last
+
+    def _pin_base(self, name: str) -> tuple[int, str | None]:
+        """(current version, manifest uid) — the pin every OCC attempt
+        derives from and CASes its publish on. The uid detects a
+        reseed restarting version numbering (the number alone cannot,
+        and inode identity is unreliable — inodes recycle; code-review
+        r10 wave 3). None for pre-r10 manifests (no uid recorded):
+        the CAS then degrades to the version-number check alone."""
+        v = self._ensure_latest(name)
+        return v, self._manifest_doc(name, v).get("uid")
 
     def _append_and_publish(
         self,
@@ -1192,6 +1241,7 @@ class TableStore:
         check_replay: bool = False,
         txn_expect: int | None = None,
         version_expect: int | None = None,
+        version_expect_ident: str | None = None,
         rederive_kept=None,
     ) -> int:
         """The shared versioned-write protocol: append ``stamped``
@@ -1255,12 +1305,13 @@ class TableStore:
                     check_replay=check_replay,
                     txn_expect=txn_expect,
                     version_expect=version_expect,
+                    version_expect_ident=version_expect_ident,
                 )
                 break
             except BaseVersionConflict:
                 if rederive_kept is None or i == self._CONFLICT_RETRIES - 1:
                     raise
-                kept, version_expect = rederive_kept()
+                kept, version_expect, version_expect_ident = rederive_kept()
         self._maybe_auto_compact(name, op)
         return v
 
@@ -1374,7 +1425,7 @@ class TableStore:
             raise ValueError("pass sort_cols or zorder_cols, not both")
         if not self.is_versioned(name):
             raise ValueError(f"{name}: compact() is for versioned keyed tables")
-        base_v = self._ensure_latest(name)
+        base_v, base_ident = self._pin_base(name)
         # the rewrite is purely physical; clustering column args are
         # logical — translate through the snapshot's map
         _ren = (self._colmap_doc(name, base_v) or {}).get("renames", {})
@@ -1422,7 +1473,8 @@ class TableStore:
                 .drop("_z")
             )
         return self._append_and_publish(
-            out, name, fat, kept, op="compact", version_expect=base_v
+            out, name, fat, kept, op="compact", version_expect=base_v,
+            version_expect_ident=base_ident,
         )
 
     def vacuum(
@@ -2041,6 +2093,7 @@ class TableStore:
             v, cm = mutate.guard()
             colmap = mutate.build(v, cm)
             doc = self._manifest_doc(name, v)
+            ident = doc.get("uid")
             try:
                 return self._publish_version(
                     name,
@@ -2050,6 +2103,7 @@ class TableStore:
                     op=op,
                     colmap=colmap,
                     version_expect=v,
+                    version_expect_ident=ident,
                 )
             except BaseVersionConflict:
                 continue  # concurrent commit: re-derive from new latest
@@ -2274,19 +2328,20 @@ class TableStore:
                 df = self._to_physical(df, self._colmap_doc(name))
                 df = df.withColumn("_kb", self._kb_expr(name, keys, n))
                 if self.is_versioned(name):
-                    base_v = self._ensure_latest(name)
+                    base_v, base_ident = self._pin_base(name)
 
                     def _rederive():
                         # appends never remove files: against whatever
                         # version a concurrent writer just published,
                         # 'kept' is simply ALL of its files — no
                         # re-merge, the staged rows are base-independent
-                        nv = self._ensure_latest(name)
-                        return self._manifest_files(name, nv), nv
+                        nv, nident = self._pin_base(name)
+                        return self._manifest_files(name, nv), nv, nident
 
                     self._append_and_publish(
                         df, name, None, self._manifest_files(name, base_v),
                         op="append", version_expect=base_v,
+                        version_expect_ident=base_ident,
                         rederive_kept=_rederive,
                     )
                     return
@@ -2565,7 +2620,7 @@ class TableStore:
                 # commit between this read and the publish re-runs the
                 # merge against the new version instead of silently
                 # dropping the racer's files (ADVICE r9)
-                base_v = self._ensure_latest(name)
+                base_v, base_ident = self._pin_base(name)
                 merged = _merge_with(self._read_manifest_df(name, base_v))
                 aff = set(affected)
                 kept = [
@@ -2582,6 +2637,7 @@ class TableStore:
                     op="upsert",
                     check_replay=check_replay,
                     version_expect=base_v,
+                    version_expect_ident=base_ident,
                 )
 
             self._retry_base_conflicts(_attempt)
@@ -2731,6 +2787,7 @@ class TableStore:
         check_replay: bool = False,
         txn_expect: int | None = None,
         version_expect: int | None = None,
+        version_expect_ident: str | None = None,
     ) -> None:
         """Replace exactly the listed buckets with ``df``'s rows
         (stamped by the table's key spec). Buckets in ``buckets`` that
@@ -2759,11 +2816,10 @@ class TableStore:
             # BaseVersionConflict for the caller's retry instead of a
             # lost update (ADVICE r9). Default: pinned here, which
             # still guards the kept-list derivation below.
-            base_v = (
-                self._ensure_latest(name)
-                if version_expect is None
-                else int(version_expect)
-            )
+            if version_expect is None:
+                base_v, base_ident = self._pin_base(name)
+            else:
+                base_v, base_ident = int(version_expect), version_expect_ident
             # rows hashing OUTSIDE the listed buckets must still land
             # in the manifest — without widening, their files would be
             # appended but unreferenced (an invisible write) while the
@@ -2784,7 +2840,7 @@ class TableStore:
             self._append_and_publish(
                 stamped, name, eff, kept, op=op, txn=txn,
                 check_replay=check_replay, txn_expect=txn_expect,
-                version_expect=base_v,
+                version_expect=base_v, version_expect_ident=base_ident,
             )
             return
         (
@@ -3358,7 +3414,9 @@ class TableStore:
         check_replay,
         txn_expect,
     ) -> list[int]:
-        v0 = self._ensure_latest(name) if self.is_versioned(name) else None
+        v0, v0_ident = (
+            self._pin_base(name) if self.is_versioned(name) else (None, None)
+        )
         buckets = self.keyed_buckets(name, source)
         target = self.read_buckets(name, buckets)
         out_cols = list(target.columns) + [
@@ -3464,7 +3522,7 @@ class TableStore:
         self.overwrite_buckets(
             merged, name, buckets, op="merge", txn=txn,
             check_replay=check_replay, txn_expect=txn_expect,
-            version_expect=v0,
+            version_expect=v0, version_expect_ident=v0_ident,
         )
         return sorted(buckets)
 
@@ -3545,10 +3603,10 @@ class TableStore:
             self._overwrite_raw(survivors, name)
             return [-1]
         def _attempt() -> list[int]:
-            v0 = (
-                self._ensure_latest(name)
+            v0, v0_ident = (
+                self._pin_base(name)
                 if self.is_versioned(name)
-                else None
+                else (None, None)
             )
             snapshot = self.read(name)
             affected = self.keyed_buckets(name, snapshot.filter(condition))
@@ -3560,7 +3618,8 @@ class TableStore:
                 .localCheckpoint()
             )
             self.overwrite_buckets(
-                survivors, name, affected, op="delete", version_expect=v0
+                survivors, name, affected, op="delete",
+                version_expect=v0, version_expect_ident=v0_ident,
             )
             return sorted(affected)
 

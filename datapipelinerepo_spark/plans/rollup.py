@@ -418,15 +418,19 @@ def apply_changes_to_rollup(
             joined = delta
         # exact re-aggregation scope: EVERY churned group when exact
         # distinct is maintained (feed-unanswerable in both
-        # directions); otherwise only groups with removals
+        # directions); otherwise only groups with removals. Either
+        # way, probe before paying the base read — a metadata-only
+        # window (compaction versions are common now that writes
+        # auto-compact) nets to an EMPTY delta, and launching the
+        # semi-join aggregate + merge for it would waste several
+        # Spark jobs per no-op sync (code-review r10 wave 3)
         if track_nd:
             ex_keys = delta.select(*group_cols)
-            run_exact = True  # empty feed → empty delta → empty joins
         else:
             ex_keys = delta.filter(F.col("_has_rm") == 1).select(
                 *group_cols
             )
-            run_exact = ex_keys.limit(1).count() > 0
+        run_exact = ex_keys.limit(1).count() > 0
         ex_names = (
             (["_ex_min"] if min_col else [])
             + (["_ex_max"] if max_col else [])
@@ -462,7 +466,7 @@ def apply_changes_to_rollup(
                 *[joined[c] for c in joined.columns],
                 *ex_names,
             )
-        else:  # insert-only feed: no base read at all
+        else:  # insert-only (or empty) feed: no base read at all
             if min_col:
                 joined = joined.withColumn(
                     "_ex_min", F.lit(None).cast(dict(delta.dtypes)["_ins_min"])
@@ -474,6 +478,13 @@ def apply_changes_to_rollup(
             if track_sk:
                 joined = joined.withColumn(
                     "_ex_sk", F.lit(None).cast("binary")
+                )
+            if track_nd:
+                # only reachable on an EMPTY delta (track_nd probes
+                # all churned groups): typed placeholder for the
+                # zero-row select below
+                joined = joined.withColumn(
+                    "_ex_nd", F.lit(None).cast("bigint")
                 )
         final = []
         if min_col:

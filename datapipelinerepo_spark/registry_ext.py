@@ -4191,6 +4191,22 @@ def store_keyed_merge(spark, sf_dir):
     partition overwrite of ONLY the affected buckets, and the hidden
     _kb column staying hidden — the pipeline_idempotent_reload
     pattern applied to keyed merges."""
+    base, inc = keyed_merge_frames(spark, sf_dir)
+    store, finish = _ephemeral_store(spark, "keyedmerge_")
+    store.overwrite_keyed(base, "t", "o_orderkey", n_buckets=16)
+    store.upsert(inc, "t", "o_orderkey")
+    return finish(
+        store.read("t").select("o_orderkey", "o_totalprice", "o_orderstatus")
+    )
+
+
+def keyed_merge_frames(spark, sf_dir):
+    """The (base, inc) frames of the store_keyed_merge lifecycle — ONE
+    definition shared by the hash-proven registry query above and
+    bench.py's verb-boundary timing block, so the benched lifecycle
+    can never silently de-sync from the correctness-proven one
+    (code-review r10 wave 3). n_buckets=16 is part of the contract;
+    both callers pass it explicitly."""
     base = (
         t(spark, sf_dir, "orders")
         .filter(F.col("o_orderkey") % 2 == 0)
@@ -4205,12 +4221,7 @@ def store_keyed_merge(spark, sf_dir):
             F.lit("U").alias("o_orderstatus"),
         )
     )
-    store, finish = _ephemeral_store(spark, "keyedmerge_")
-    store.overwrite_keyed(base, "t", "o_orderkey", n_buckets=16)
-    store.upsert(inc, "t", "o_orderkey")
-    return finish(
-        store.read("t").select("o_orderkey", "o_totalprice", "o_orderstatus")
-    )
+    return base, inc
 
 
 @register(
@@ -6045,8 +6056,13 @@ def store_incremental_distinct(spark, sf_dir):
     (code-review r10 wave 2: the original lifecycle's only upsert
     carried update preimages into every group, so the hll_union
     fast path never ran): v2's upsert mixes updates+inserts (removal
-    re-sketch), v3's upsert is PURE new keys (insert-only union, no
-    base read), v4 deletes (removal re-sketch again)."""
+    re-sketch), v3's upsert is PURE new keys (hll_union branch), v4
+    deletes (removal re-sketch again). Note the cost caveat
+    (code-review r10 wave 3): because this query CO-maintains the
+    exact column, every window re-counts churned groups from the base
+    — the sketch's no-base-read property holds only for sketch-ONLY
+    rollups (pytest `test_sync_rollup_distinct` drives that
+    configuration); here v3 exercises the union EXPRESSION path."""
     from .plans.rollup import sync_rollup
 
     orders = t(spark, sf_dir, "orders").select(

@@ -554,10 +554,10 @@ def cdc_apply_txn(
         # silently replaced by a merge over the prior snapshot —
         # cdc_apply was the one bucket-rewriting verb the r10 OCC
         # scheme initially missed
-        v0 = (
-            store._ensure_latest(base_table)
+        v0, v0_ident = (
+            store._pin_base(base_table)
             if store.is_versioned(base_table)
-            else None
+            else (None, None)
         )
         # bucket-partitioned maintenance: merge the batch into ONLY
         # the buckets its keys hash to — the per-batch cost is
@@ -590,6 +590,7 @@ def cdc_apply_txn(
         store.overwrite_buckets(
             merged, base_table, buckets, op="cdc", txn=txn,
             check_replay=txn is not None, version_expect=v0,
+            version_expect_ident=v0_ident,
         )
 
     from ..io import TxnAlreadyApplied

@@ -3115,8 +3115,6 @@ def test_column_mapping_wave2_hardening(spark, tmp_path):
     version is refused by the version CAS."""
     import pytest as _pytest
 
-    from datapipelinerepo_spark.io import TxnConflict
-
     store = TableStore(spark, str(tmp_path))
     df = spark.createDataFrame(
         [(1, 10.0, "a"), (2, 20.0, "b")],
@@ -3325,6 +3323,30 @@ def test_sync_rollup_distinct(spark, tmp_path):
     up([(31, 3.0, 1, "B")])
     with pytest.raises(ValueError, match="spec disagrees"):
         sync_rollup(store, "t", "r", ["grp"], "val")
+    # sketch-ONLY rollup (no exact column): the configuration whose
+    # insert-only windows genuinely skip the base read (run_exact
+    # stays False — code-review r10 wave 3); estimates must still
+    # track exact through union-only and re-sketch windows
+    kw2 = dict(distinct_of="cust", distinct_sketch_col="sk")
+    sync_rollup(store, "t", "r2", ["grp"], "val", **kw2)
+
+    def sketch2_ok():
+        exact = recompute()
+        for r in store.read("r2").select(
+            "grp", F.hll_sketch_estimate("sk").alias("est")
+        ).collect():
+            e = exact[r["grp"]]
+            assert abs(r["est"] - e) <= max(1.0, 0.05 * e), (
+                r["grp"], r["est"], e,
+            )
+
+    sketch2_ok()
+    up([(50, 5.0, 77, "A"), (51, 5.0, 78, "D")])  # pure inserts: union path
+    sync_rollup(store, "t", "r2", ["grp"], "val", **kw2)
+    sketch2_ok()
+    store.delete_where("t", "cust = 77")  # removal: re-sketch path
+    sync_rollup(store, "t", "r2", ["grp"], "val", **kw2)
+    sketch2_ok()
 
 
 def test_upsert_retries_on_concurrent_commit(spark, tmp_path, monkeypatch):
@@ -3478,3 +3500,50 @@ def test_base_conflict_escapes_exactly_once_handlers(
     # nothing was applied and no watermark advanced: replays still run
     assert store.last_txn("t", "appX") is None
     assert store.last_txn("t", "appY") is None
+
+
+def test_cas_detects_reseed_with_same_version_number(spark, tmp_path):
+    """code-review r10 wave 3: a reseed (overwrite_keyed) wipes the
+    manifest history and restarts numbering at 1, so a concurrent
+    incremental writer pinned at the OLD incarnation's v1 passes a
+    number-only CAS and would publish a manifest mixing the retired
+    incarnation's deleted files with its own. The CAS therefore also
+    compares the pinned manifest's uid — version numbers repeat across
+    reseeds (and inodes recycle on this filesystem, so object identity
+    can't stand in)."""
+    import pytest
+
+    from datapipelinerepo_spark.io import BaseVersionConflict
+
+    store = TableStore(spark, str(tmp_path))
+    a = spark.createDataFrame(
+        [(i, float(i)) for i in range(8)], "id long, v double"
+    )
+    store.overwrite_keyed(a, "t", "id", n_buckets=2, versioned=True)
+    v0, ident = store._pin_base("t")  # writer A pins old-incarnation v1
+    assert v0 == 1 and ident is not None
+    b = spark.createDataFrame(
+        [(i, 100.0) for i in range(100, 108)], "id long, v double"
+    )
+    store.overwrite_keyed(b, "t", "id", n_buckets=2, versioned=True)  # reseed
+    assert store.latest_version("t") == 1  # same NUMBER, new history
+    with pytest.raises(BaseVersionConflict, match="reseeded"):
+        store._publish_version(
+            "t",
+            store._manifest_files("t", 1),
+            op="noop",
+            version_expect=v0,
+            version_expect_ident=ident,
+        )
+    # same pin against the same incarnation still publishes fine
+    v1, ident1 = store._pin_base("t")
+    assert (
+        store._publish_version(
+            "t",
+            store._manifest_files("t", 1),
+            op="noop",
+            version_expect=v1,
+            version_expect_ident=ident1,
+        )
+        == 2
+    )
