@@ -3327,6 +3327,7 @@ class TableStore:
         txn: tuple[str, int] | None = None,
         check_replay: bool = False,
         txn_expect: int | None = None,
+        source_meta_cols: list[str] | None = None,
     ) -> list[int]:
         """Conditional MERGE — the full Delta ``MERGE INTO`` clause
         surface on the keyed store, generalizing ``upsert`` (which is
@@ -3392,7 +3393,7 @@ class TableStore:
             return self._merge_when_once(
                 source, name, keys, when_matched_update, matched_condition,
                 when_matched_delete, when_not_matched_insert, txn,
-                check_replay, txn_expect,
+                check_replay, txn_expect, source_meta_cols or [],
             )
 
         # derivation-level OCC retry (ADVICE r9): the merged frame is
@@ -3413,14 +3414,36 @@ class TableStore:
         txn,
         check_replay,
         txn_expect,
+        source_meta_cols,
     ) -> list[int]:
         v0, v0_ident = (
             self._pin_base(name) if self.is_versioned(name) else (None, None)
         )
         buckets = self.keyed_buckets(name, source)
         target = self.read_buckets(name, buckets)
+        # ``source_meta_cols`` are per-row MERGE DIRECTIVES (e.g. an
+        # op marker the delete/update/insert predicates dispatch on) —
+        # referenceable as ``s.<col>`` in every clause, but excluded
+        # from schema widening and from "all" updates, so a CDC-style
+        # single-publish merge doesn't grow the target a bookkeeping
+        # column (r10: plans/viewmaint rides this)
+        meta = set(source_meta_cols)
+        bad_meta = sorted(meta - set(source.columns))
+        if bad_meta:
+            raise ValueError(
+                f"{name}: source_meta_cols {bad_meta} not in the source"
+            )
+        if meta & set(target.columns):
+            raise ValueError(
+                f"{name}: source_meta_cols "
+                f"{sorted(meta & set(target.columns))} collide with "
+                "target columns — a directive column must not shadow "
+                "real data"
+            )
         out_cols = list(target.columns) + [
-            c for c in source.columns if c not in target.columns
+            c
+            for c in source.columns
+            if c not in target.columns and c not in meta
         ]
         t_ = target.withColumn("_t_present", F.lit(True)).alias("t")
         s_ = source.withColumn("_s_present", F.lit(True)).alias("s")
@@ -3464,7 +3487,11 @@ class TableStore:
             else F.lit(True)
         )
         if when_matched_update == "all":
-            upd_map = {c: f"s.`{c}`" for c in source.columns if c not in keys}
+            upd_map = {
+                c: f"s.`{c}`"
+                for c in source.columns
+                if c not in keys and c not in meta
+            }
         else:
             upd_map = dict(when_matched_update or {})
             bad_keys = sorted(set(upd_map) & set(keys))

@@ -1,0 +1,342 @@
+"""Materialized JOIN-view maintenance: a fact ⟕ dim (LEFT join) view
+kept current from BOTH base tables' change feeds — the materialized-
+view case grouped-rollup IVM (plans/rollup.py) does not cover, and the
+reason real engines (Materialize, Delta Live Tables) treat join views
+as first-class.
+
+Shape and cost model, designed for the 100 TB posture:
+
+- The view is a versioned keyed table on the FACT key, holding the
+  fact's columns plus the dim's payload columns (LEFT-join semantics:
+  NULL payload for unmatched fact rows). LEFT — not inner — is what
+  makes the view maintainable without re-scanning the fact: an inner
+  view drops unmatched fact rows, so a later dim INSERT matching them
+  would need a fact scan to find what to add; the LEFT view still
+  holds those rows (NULL-extended) and a dim insert is a bucket-pruned
+  UPDATE of them.
+- FACT churn (upsert/delete windows): removals delete view rows by
+  fact key; additions join ONLY the changed fact rows against the
+  pinned dim snapshot and upsert — cost tracks fact churn, never the
+  fact table.
+- DIM churn: the churned dim keys' new values re-derive from the dim
+  snapshot (a broadcast-sized semi-join — dim churn is small by
+  assumption), and the view rows to update are found by a COLUMN-
+  PRUNED scan of the view's (fact_key, join_col) pair — two narrow
+  columns, the honest cost of not maintaining a secondary index from
+  join key to fact key. The rewrite itself is bucket-pruned on the
+  affected fact keys.
+- Exactly-once per base: the view's manifests carry one transactional
+  watermark per base table (app ids embed each base's INCARNATION, so
+  an administrative reseed of either base re-seeds the view instead of
+  diffing unrelated histories). Each window's final merge commits with
+  ``txn_expect`` CAS on its base's watermark, so concurrent syncers
+  cannot land overlapping windows. Unlike rollup deltas (additive —
+  replays double-count), join maintenance is STATE REPLACEMENT: every
+  merge writes full final values, so a crash between the fact and dim
+  phases (or a replayed window) converges on the next sync.
+
+Reference shape: the delta-join rule d(A ⋈ B) = dA ⋈ B ∪ A ⋈ dB from
+incremental view maintenance literature, with the A ⋈ dB term answered
+from the VIEW itself (it already materializes A's join column) instead
+of re-scanning A.
+"""
+
+from __future__ import annotations
+
+import os
+import time as _time
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..io import TableStore, TxnAlreadyApplied, TxnConflict, _ClaimHeartbeat
+from .rollup import _acquire_seed_claim
+
+
+def _fact_app(store: TableStore, fact_table: str) -> str:
+    inc = store.table_incarnation(fact_table) or "0"
+    return f"viewsync_fact:{fact_table}:{inc}"
+
+
+def _dim_app(store: TableStore, dim_table: str) -> str:
+    inc = store.table_incarnation(dim_table) or "0"
+    return f"viewsync_dim:{dim_table}:{inc}"
+
+
+def _joined(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_join_col: str,
+    dim_join_col: str,
+    payload: list[str],
+) -> DataFrame:
+    """fact ⟕ dim with plain SQL `=` matching (NULL join keys match
+    nothing, like the LEFT JOIN oracle), keeping the fact's columns +
+    the dim payload."""
+    d = dim.select(dim_join_col, *payload)
+    out = fact.join(
+        d, fact[fact_join_col] == d[dim_join_col], "left"
+    )
+    return out.select(*[fact[c] for c in fact.columns], *payload)
+
+
+def _dim_payload_cols(
+    store: TableStore, fact_table: str, dim_table: str,
+    fact_join_col: str, dim_join_col: str,
+) -> list[str]:
+    fact_cols = store.read(fact_table).columns
+    dim_cols = store.read(dim_table).columns
+    if fact_join_col not in fact_cols:
+        raise ValueError(
+            f"{fact_table}: join column {fact_join_col!r} not found"
+        )
+    if dim_join_col not in dim_cols:
+        raise ValueError(
+            f"{dim_table}: join column {dim_join_col!r} not found"
+        )
+    payload = [c for c in dim_cols if c != dim_join_col]
+    clash = sorted(set(payload) & set(fact_cols))
+    if clash:
+        raise ValueError(
+            f"join view column clash: dim payload {clash} already "
+            f"exist on the fact — rename before materializing"
+        )
+    return payload
+
+
+def sync_join_view(
+    store: TableStore,
+    fact_table: str,
+    dim_table: str,
+    view_table: str,
+    fact_key: str | list[str],
+    fact_join_col: str,
+    dim_join_col: str,
+    n_buckets: int = 16,
+    seed_wait_s: float = 300.0,
+    seed_stale_s: float = 600.0,
+) -> tuple[int, int]:
+    """EXACTLY-ONCE catch-up of the materialized LEFT-join view to both
+    base tables' CURRENT versions. First call seeds (serialized behind
+    a create-exclusive, heartbeated claim — two concurrent first-time
+    seeds would run two static overwrites of one directory); later
+    calls apply only the two change-feed windows. Returns the
+    (fact_version, dim_version) the view now reflects. Both bases must
+    be versioned keyed tables.
+
+    Mid-sync visibility: the fact phase and dim phase commit
+    separately, so a reader between them can see fact-fresh rows
+    joined against dim values one window old — each phase is
+    individually atomic and the next sync converges (state-replacement
+    merges are idempotent). A deployment needing a single atomic cut
+    reads the view AS OF a version, like any lakehouse table.
+    """
+    fkeys = [fact_key] if isinstance(fact_key, str) else list(fact_key)
+    cur_f = store._ensure_latest(fact_table)
+    cur_d = store._ensure_latest(dim_table)
+    fact_app = _fact_app(store, fact_table)
+    dim_app = _dim_app(store, dim_table)
+    payload = _dim_payload_cols(
+        store, fact_table, dim_table, fact_join_col, dim_join_col
+    )
+    vf = (
+        store.last_txn(view_table, fact_app)
+        if store.exists(view_table)
+        else None
+    )
+    vd = (
+        store.last_txn(view_table, dim_app)
+        if store.exists(view_table)
+        else None
+    )
+    if vf is None or vd is None:
+        # first sync for THESE base incarnations (or a crash between
+        # the seed overwrite and the dim-watermark stamp): (re)seed
+        # wholesale, serialized by the claim
+        return _seed_join_view(
+            store, fact_table, dim_table, view_table, fkeys,
+            fact_join_col, dim_join_col, payload, n_buckets,
+            cur_f, cur_d, fact_app, dim_app, seed_wait_s, seed_stale_s,
+        )
+
+    # ---- fact phase: apply the fact window vf -> cur_f --------------------
+    if cur_f > vf:
+        feed = store.table_changes(fact_table, vf, cur_f)
+        rm = F.col("_change_type").isin("delete", "update_preimage")
+        added = (
+            feed.filter(~rm)
+            .drop("_change_type")
+            .dropDuplicates(fkeys)
+            .localCheckpoint(eager=True)
+        )
+        # removed-ONLY keys (an update appears on both sides of the
+        # feed; its postimage row in `added` is the final state and
+        # must win — two source rows per key would make the merge's
+        # dedup pick one arbitrarily)
+        removed = (
+            feed.filter(rm)
+            .select(*fkeys)
+            .dropDuplicates(fkeys)
+            .join(added.select(*fkeys), fkeys, "left_anti")
+        )
+        adds_joined = _joined(
+            added,
+            store.read(dim_table, version=cur_d),
+            fact_join_col,
+            dim_join_col,
+            payload,
+        ).withColumn("_vm_op", F.lit("up"))
+        # deleted keys as typed NULL rows so the union lines up; the
+        # _vm_op directive column never reaches the view's schema
+        # (merge_when source_meta_cols)
+        del_rows = removed
+        for f in adds_joined.schema.fields:
+            if f.name not in fkeys and f.name != "_vm_op":
+                del_rows = del_rows.withColumn(
+                    f.name, F.lit(None).cast(f.dataType)
+                )
+        del_rows = del_rows.withColumn("_vm_op", F.lit("del"))
+        src = adds_joined.unionByName(
+            del_rows.select(*adds_joined.columns)
+        )
+        # ONE publish for the whole window, CAS-guarded — deletes and
+        # upserts land atomically, so a concurrent syncer's losing
+        # window is refused in full (a separate untracked delete-merge
+        # would apply even when its add-merge loses the CAS)
+        try:
+            store.merge_when(
+                src,
+                view_table,
+                fkeys,
+                when_matched_update="all",
+                matched_condition="s._vm_op = 'up'",
+                when_matched_delete="s._vm_op = 'del'",
+                when_not_matched_insert="s._vm_op = 'up'",
+                source_meta_cols=["_vm_op"],
+                txn=(fact_app, cur_f),
+                check_replay=True,
+                txn_expect=vf,  # CAS: refuse overlapping windows
+            )
+        except TxnAlreadyApplied:
+            pass  # concurrent syncer landed this window: converge
+        vf = int(store.last_txn(view_table, fact_app) or cur_f)
+
+    # ---- dim phase: apply the dim window vd -> cur_d -----------------------
+    if cur_d > vd:
+        churned = (
+            store.table_changes(dim_table, vd, cur_d)
+            .select(dim_join_col)
+            .dropDuplicates([dim_join_col])
+            .localCheckpoint(eager=True)
+        )
+        # the view rows to refresh: a COLUMN-PRUNED scan of the view's
+        # (fact_key, join_col) — the documented cost of dim churn —
+        # semi-joined to the churned keys
+        narrow = store.read(view_table).select(*fkeys, fact_join_col)
+        affected = narrow.join(
+            F.broadcast(churned),
+            # qualified on both sides: fact_join_col and dim_join_col
+            # may share a NAME (a natural-key join)
+            narrow[fact_join_col] == churned[dim_join_col],
+            "left_semi",
+        )
+        # new payload from the dim snapshot (deleted keys -> NULLs,
+        # LEFT-join semantics)
+        src = _joined(
+            affected,
+            store.read(dim_table, version=cur_d),
+            fact_join_col,
+            dim_join_col,
+            payload,
+        ).drop(fact_join_col)
+        try:
+            store.merge_when(
+                src,
+                view_table,
+                fkeys,
+                when_matched_update={c: f"s.`{c}`" for c in payload},
+                when_not_matched_insert=False,
+                txn=(dim_app, cur_d),
+                check_replay=True,
+                txn_expect=vd,
+            )
+        except TxnAlreadyApplied:
+            pass
+        vd = int(store.last_txn(view_table, dim_app) or cur_d)
+    return vf, vd
+
+
+def _seed_join_view(
+    store, fact_table, dim_table, view_table, fkeys,
+    fact_join_col, dim_join_col, payload, n_buckets,
+    cur_f, cur_d, fact_app, dim_app, seed_wait_s, seed_stale_s,
+) -> tuple[int, int]:
+    claim = os.path.join(store.root, f".seedclaim_{view_table}")
+
+    def _settled():
+        if not store.exists(view_table):
+            return None
+        wf = store.last_txn(view_table, fact_app)
+        wd = store.last_txn(view_table, dim_app)
+        if wf is None or wd is None or store.keyed_spec(view_table) is None:
+            return None
+        return int(wf), int(wd)
+
+    def _release(tok: int) -> None:
+        from .. import _fs
+
+        try:
+            if _fs.identity(claim) == tok:
+                _fs.remove(claim)
+        except FileNotFoundError:
+            pass
+
+    deadline = _time.time() + seed_wait_s
+    while True:
+        tok = _acquire_seed_claim(claim, seed_stale_s)
+        if tok is not None:
+            from .. import _fs
+
+            if _fs.identity(claim) != tok:
+                continue  # displaced by a stealer: re-contend
+            try:
+                w = _settled()
+                if w is not None:
+                    return w
+                with _ClaimHeartbeat(claim, tok, seed_stale_s):
+                    seeded = _joined(
+                        store.read(fact_table, version=cur_f),
+                        store.read(dim_table, version=cur_d),
+                        fact_join_col,
+                        dim_join_col,
+                        payload,
+                    )
+                    store.overwrite_keyed(
+                        seeded, view_table, fkeys, n_buckets=n_buckets,
+                        versioned=True, txn=(fact_app, cur_f),
+                    )
+                    # the dim watermark rides a metadata-only publish
+                    # (empty merge source): a crash between the two
+                    # stamps re-enters the seed path, which re-seeds —
+                    # a full but CONVERGENT redo
+                    store.merge_when(
+                        store.read(view_table).limit(0),
+                        view_table,
+                        fkeys,
+                        when_matched_update=None,
+                        when_not_matched_insert=False,
+                        txn=(dim_app, cur_d),
+                    )
+                return cur_f, cur_d
+            finally:
+                _release(tok)
+        w = _settled()
+        if w is not None:
+            return w
+        if _time.time() >= deadline:
+            raise TxnConflict(
+                f"{view_table}: concurrent first-time seed did not "
+                f"complete within {seed_wait_s}s — claim file {claim} "
+                "still held"
+            )
+        _time.sleep(0.05)

@@ -6111,3 +6111,125 @@ def store_incremental_distinct(spark, sf_dir):
             "n_custkeys",
         )
     )
+
+
+@register(
+    "store_incremental_join",
+    sql="""
+    WITH fact0 AS (
+      SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      WHERE o_orderkey % 2 = 0
+    ), factinc AS (
+      SELECT o_orderkey, o_custkey, o_totalprice * 2 AS o_totalprice
+      FROM orders WHERE o_orderkey % 10 IN (0, 5)
+    ), fact1 AS (
+      SELECT * FROM factinc
+      UNION ALL
+      SELECT * FROM fact0
+      WHERE o_orderkey NOT IN (SELECT o_orderkey FROM factinc)
+    ), fact2 AS (
+      SELECT * FROM fact1 WHERE NOT coalesce(o_totalprice > 300000, FALSE)
+    ), dim0 AS (
+      SELECT c_custkey, c_name, c_acctbal FROM customer
+      WHERE c_custkey % 3 <> 0
+    ), diminc AS (
+      SELECT c_custkey, c_name, c_acctbal * 2 AS c_acctbal
+      FROM customer WHERE c_custkey % 5 = 0
+    ), dim1 AS (
+      SELECT * FROM diminc
+      UNION ALL
+      SELECT * FROM dim0
+      WHERE c_custkey NOT IN (SELECT c_custkey FROM diminc)
+    ), dim2 AS (
+      SELECT * FROM dim1 WHERE c_custkey % 7 <> 0
+    )
+    SELECT f.o_orderkey, f.o_custkey, f.o_totalprice,
+           d.c_name, d.c_acctbal
+    FROM fact2 f LEFT JOIN dim2 d ON f.o_custkey = d.c_custkey
+    """,
+)
+def store_incremental_join(spark, sf_dir):
+    """MATERIALIZED JOIN-VIEW MAINTENANCE, hash-checked
+    (plans/viewmaint.sync_join_view — the delta-join d(A⋈B) = dA⋈B ∪
+    A⋈dB loop, with the A⋈dB term answered from the VIEW itself): an
+    orders⟕customer LEFT-join view seeds from both snapshots, then
+    tracks a FACT window (doubled prices + new odd keys + a
+    price-threshold delete), and a DIM window (balance-doubling
+    upserts + customer deletions) purely from the two change feeds.
+    LEFT semantics are the maintainability trick: unmatched orders
+    stay NULL-extended in the view, so dim churn is an UPDATE of the
+    view rows holding those keys — never a fact re-scan. The final
+    view must hash-equal the oracle's one-shot LEFT JOIN over both
+    end states: customers never in dim0 (every 3rd) and customers
+    deleted in the dim window (every 7th) surface as NULL name/
+    balance, and each fact phase commits in ONE CAS-guarded merge
+    (deletes + upserts atomic — the _vm_op directive column rides
+    merge_when's source_meta_cols and never reaches the schema).
+    Per-sync cost: fact churn joins only the changed rows against the
+    pinned dim; dim churn pays one column-pruned (fact_key, join_col)
+    view scan + a bucket-pruned merge of the affected fact keys."""
+    from .plans.viewmaint import sync_join_view
+
+    fact0 = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 2 == 0)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+    factinc = (
+        t(spark, sf_dir, "orders")
+        .filter((F.col("o_orderkey") % 10).isin(0, 5))
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            (F.col("o_totalprice") * 2).alias("o_totalprice"),
+        )
+    )
+    dim0 = (
+        t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 3 != 0)
+        .select("c_custkey", "c_name", "c_acctbal")
+    )
+    diminc = (
+        t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 5 == 0)
+        .select(
+            "c_custkey",
+            "c_name",
+            (F.col("c_acctbal") * 2).alias("c_acctbal"),
+        )
+    )
+    store, finish = _ephemeral_store(spark, "ivj_")
+    store.overwrite_keyed(
+        fact0, "fact", "o_orderkey", n_buckets=16, versioned=True
+    )
+    store.overwrite_keyed(
+        dim0, "dim", "c_custkey", n_buckets=8, versioned=True
+    )
+    args = (store, "fact", "dim", "v", "o_orderkey", "o_custkey",
+            "c_custkey")
+    sync_join_view(*args)  # seed from both snapshots
+    store.upsert(factinc, "fact", "o_orderkey")
+    store.delete_where("fact", F.col("o_totalprice") > 300000)
+    sync_join_view(*args)  # fact-only window (two versions, one sync)
+    store.upsert(diminc, "dim", "c_custkey")
+    store.delete_where("dim", F.col("c_custkey") % 7 == 0)
+    vf, vd = sync_join_view(*args)  # dim-only window
+    _require(
+        vf == store.latest_version("fact")
+        and vd == store.latest_version("dim"),
+        "the view must reflect both bases' current versions",
+    )
+    # replayed sync: both feeds empty — one manifest read per base,
+    # nothing republished
+    v_before = store.latest_version("v")
+    sync_join_view(*args)
+    _require(
+        store.latest_version("v") == v_before,
+        "a no-change sync must not publish a new view version",
+    )
+    return finish(
+        store.read("v").select(
+            "o_orderkey", "o_custkey", "o_totalprice", "c_name",
+            "c_acctbal",
+        )
+    )

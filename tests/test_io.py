@@ -3547,3 +3547,89 @@ def test_cas_detects_reseed_with_same_version_number(spark, tmp_path):
         )
         == 2
     )
+
+
+def test_sync_join_view(spark, tmp_path):
+    """Materialized LEFT-join view maintenance (plans/viewmaint, r10):
+    after every sync the view must equal a one-shot fact⟕dim recompute,
+    across fact-only windows (inserts, deletes, a join-column-changing
+    update), dim-only windows (upserts, deletions → NULL payload),
+    mixed windows, a replayed sync (no new version published), and a
+    dim RESEED (new incarnation → the view re-seeds instead of diffing
+    unrelated histories). The _vm_op merge directive must never reach
+    the view's schema."""
+    from datapipelinerepo_spark.plans.viewmaint import sync_join_view
+
+    store = TableStore(spark, str(tmp_path))
+    fschema = "fid long, ck long, amt double"
+    dschema = "ck long, nm string, bal double"
+    fact = [(i, i % 4, float(i)) for i in range(12)]
+    dim = [(k, f"c{k}", 10.0 * k) for k in (0, 1, 2)]  # ck=3 unmatched
+    store.overwrite_keyed(
+        spark.createDataFrame(fact, fschema), "f", "fid",
+        n_buckets=4, versioned=True,
+    )
+    store.overwrite_keyed(
+        spark.createDataFrame(dim, dschema), "d", "ck",
+        n_buckets=2, versioned=True,
+    )
+    args = (store, "f", "d", "v", "fid", "ck", "ck")
+
+    def recompute():
+        f, d = store.read("f"), store.read("d")
+        j = f.join(d, f["ck"] == d["ck"], "left").select(
+            f["fid"], f["ck"], "amt", "nm", "bal"
+        )
+        return {r["fid"]: tuple(r)[1:] for r in j.collect()}
+
+    def view():
+        got = store.read("v")
+        assert set(got.columns) == {"fid", "ck", "amt", "nm", "bal"}, (
+            "merge directive column leaked into the view schema"
+        )
+        return {r["fid"]: (r["ck"], r["amt"], r["nm"], r["bal"])
+                for r in got.collect()}
+
+    sync_join_view(*args)
+    assert view() == recompute()
+    assert view()[3] == (3, 3.0, None, None)  # unmatched: NULL payload
+    # fact window: insert + delete + a join-column-CHANGING update
+    store.upsert(
+        spark.createDataFrame([(20, 2, 99.0), (1, 3, 1.5)], fschema),
+        "f", "fid",
+    )
+    store.delete_where("f", "fid = 2")
+    sync_join_view(*args)
+    assert view() == recompute()
+    assert view()[1] == (3, 1.5, None, None)  # moved to unmatched key
+    assert 2 not in view()
+    # dim window: balance update + a deletion (rows go NULL, not away)
+    store.upsert(
+        spark.createDataFrame([(2, "c2x", 222.0)], dschema), "d", "ck"
+    )
+    store.delete_where("d", "ck = 0")
+    sync_join_view(*args)
+    assert view() == recompute()
+    assert view()[6][2:] == ("c2x", 222.0)
+    assert view()[0][2:] == (None, None)  # deleted dim: LEFT semantics
+    # mixed window: both bases churn before one sync
+    store.upsert(spark.createDataFrame([(21, 0, 5.0)], fschema), "f", "fid")
+    store.upsert(spark.createDataFrame([(0, "c0", 7.0)], dschema), "d", "ck")
+    sync_join_view(*args)
+    assert view() == recompute()
+    assert view()[21][2:] == ("c0", 7.0)
+    # replayed sync: both feeds empty — no new view version
+    v_before = store.latest_version("v")
+    sync_join_view(*args)
+    assert store.latest_version("v") == v_before
+    assert view() == recompute()
+    # dim RESEED: version numbering restarts under a new incarnation —
+    # the view must re-seed, not diff unrelated manifests
+    store.overwrite_keyed(
+        spark.createDataFrame([(1, "new1", -1.0)], dschema), "d", "ck",
+        n_buckets=2, versioned=True,
+    )
+    sync_join_view(*args)
+    assert view() == recompute()
+    assert view()[5][2:] == ("new1", -1.0)
+    assert view()[6][2:] == (None, None)  # c2x gone with the reseed
