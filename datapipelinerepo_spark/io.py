@@ -340,6 +340,77 @@ class _ClaimHeartbeat:
         self._thread.join(timeout=5)
 
 
+def run_claim_serialized(
+    claim: str,
+    settled,
+    seed,
+    wait_s: float,
+    stale_s: float,
+    what: str,
+    acquire=None,
+):
+    """Serialize a FIRST-WRITER window behind a create-exclusive,
+    heartbeated claim — the one protocol first-time rollup seeding and
+    join-view seeding share (code-review r10 wave 4 extracted it; two
+    drifting copies of subtle concurrency code is how a future fix
+    misses one). Exactly one racer runs ``seed()`` (under the claim +
+    heartbeat); losers poll ``settled()`` — which must return the
+    result once a winner finished, None while not — and converge on
+    it; a claim orphaned by a crashed winner goes stale after
+    ``stale_s`` and is stolen, and the stealer re-checks ``settled()``
+    under the claim before redoing any destructive work.
+
+    ``acquire`` defaults to the module's _acquire_claim; callers pass
+    their own module-resolved alias so tests can interpose on ONE
+    seeding path without touching the others (the rollup/viewmaint
+    race tests barrier inside it)."""
+    acquire = acquire or _acquire_claim
+    deadline = time.time() + wait_s
+    while True:
+        tok = acquire(claim, stale_s)
+        if tok is not None:
+            # identity self-check before anything destructive: a
+            # racing staleness-stealer may have displaced this claim
+            # in its stat→rename window — if the object on disk no
+            # longer carries OUR token, the claim is lost; re-contend
+            # instead of seeding unheld
+            if _fs.identity(claim) != tok:
+                continue
+            try:
+                # double-check under the claim: a racer that lost an
+                # earlier acquire may reach here AFTER the winner
+                # seeded and released — converge instead of
+                # redundantly re-overwriting
+                w = settled()
+                if w is not None:
+                    return w
+                # heartbeat: a seed running longer than stale_s must
+                # not look orphaned and get stolen mid-overwrite
+                with _ClaimHeartbeat(claim, tok, stale_s):
+                    return seed()
+            finally:
+                # release only OUR claim: after a (pathological)
+                # mid-seed displacement the object on disk is a
+                # stealer's
+                try:
+                    if _fs.identity(claim) == tok:
+                        _fs.remove(claim)
+                except FileNotFoundError:
+                    pass
+        # lost the claim: the winner is seeding — wait for its
+        # completed state and converge; if the winner errored and
+        # released without one, the loop re-contends for the claim
+        w = settled()
+        if w is not None:
+            return w
+        if time.time() >= deadline:
+            raise TxnConflict(
+                f"{what}: concurrent first-time seed did not complete "
+                f"within {wait_s}s — claim file {claim} still held"
+            )
+        time.sleep(0.05)
+
+
 class TableStore:
     """A directory of named parquet tables with the reference's load
     semantics. Plays the role BigQuery datasets played
@@ -1216,8 +1287,10 @@ class TableStore:
                 # sustained writers whose derivation jobs take similar
                 # wall-clock would otherwise re-collide on every
                 # attempt; a small randomized delay desynchronizes
-                # them at negligible cost
-                time.sleep(min(0.05 * (2 ** i), 1.0) * random.random())
+                # them at negligible cost. No sleep after the FINAL
+                # attempt — it precedes an unconditional raise
+                if i < self._CONFLICT_RETRIES - 1:
+                    time.sleep(min(0.05 * (2 ** i), 1.0) * random.random())
         raise last
 
     def _pin_base(self, name: str) -> tuple[int, str | None]:

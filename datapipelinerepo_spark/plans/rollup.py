@@ -632,12 +632,12 @@ def sync_rollup(
         # first sync for THIS base incarnation: (re)seed wholesale —
         # covers both the genuinely-new rollup and a base reseed,
         # where the old incarnation's watermark must not be trusted.
-        # Serialized by the claim file; losers converge on the
-        # winner's watermark instead of double-overwriting.
+        # Serialized by the shared claim protocol (io.run_claim_
+        # serialized): losers converge on the winner's watermark
+        # instead of double-overwriting.
         import os
-        import time as _time
 
-        from ..io import TxnConflict
+        from ..io import run_claim_serialized
 
         claim = os.path.join(store.root, f".seedclaim_{rollup_table}")
 
@@ -647,7 +647,9 @@ def sync_rollup(
             # publish, overwrite step 3) would hand the caller a
             # rollup whose read() still takes the unkeyed branch and
             # leaks the internal _kb column until the meta lands
-            # (step 4) — code-review r9 wave 1.
+            # (step 4) — code-review r9 wave 1. (A crashed winner that
+            # published the manifest but not the meta reads as
+            # not-settled, and the stealer completes the seed.)
             if not store.exists(rollup_table):
                 return None
             w = store.last_txn(rollup_table, app_id)
@@ -655,80 +657,34 @@ def sync_rollup(
                 return None
             return int(w)
 
-        def _release(tok: int) -> None:
-            # release only OUR claim: after a (pathological) mid-seed
-            # displacement the file on disk is a stealer's
-            from .. import _fs
+        def _seed() -> int:
+            seed_rollup(
+                store,
+                store.read(base_table, version=current),
+                rollup_table,
+                group_cols,
+                value_col,
+                count_col=count_col,
+                sum_col=sum_col,
+                min_col=min_col,
+                max_col=max_col,
+                avg_col=avg_col,
+                distinct_of=distinct_of,
+                distinct_col=distinct_col,
+                distinct_sketch_col=distinct_sketch_col,
+                n_buckets=n_buckets,
+                versioned=True,
+                txn=(app_id, current),
+            )
+            return current
 
-            try:
-                if _fs.identity(claim) == tok:
-                    _fs.remove(claim)
-            except FileNotFoundError:
-                pass
-
-        deadline = _time.time() + seed_wait_s
-        while True:
-            tok = _acquire_seed_claim(claim, seed_stale_s)
-            if tok is not None:
-                # identity self-check before anything destructive: a
-                # racing staleness-stealer may have displaced this
-                # claim in its stat→rename window — if the object on
-                # disk no longer carries OUR identity token, the claim
-                # is lost; re-contend instead of seeding unheld
-                from .. import _fs
-
-                if _fs.identity(claim) != tok:
-                    continue
-                try:
-                    # double-check under the claim: a racer that lost
-                    # an earlier acquire may reach here AFTER the
-                    # winner seeded and released (or after a crashed
-                    # winner published the manifest but not the meta —
-                    # then fall through and complete the seed) —
-                    # converge instead of redundantly re-overwriting
-                    w = _settled()
-                    if w is not None:
-                        return w
-                    # heartbeat: a seed running longer than
-                    # seed_stale_s must not look orphaned and get
-                    # stolen mid-overwrite (ADVICE r9)
-                    from ..io import _ClaimHeartbeat
-
-                    with _ClaimHeartbeat(claim, tok, seed_stale_s):
-                        seed_rollup(
-                            store,
-                            store.read(base_table, version=current),
-                            rollup_table,
-                            group_cols,
-                            value_col,
-                            count_col=count_col,
-                            sum_col=sum_col,
-                            min_col=min_col,
-                            max_col=max_col,
-                            avg_col=avg_col,
-                            distinct_of=distinct_of,
-                            distinct_col=distinct_col,
-                            distinct_sketch_col=distinct_sketch_col,
-                            n_buckets=n_buckets,
-                            versioned=True,
-                            txn=(app_id, current),
-                        )
-                finally:
-                    _release(tok)
-                return current
-            # lost the claim: the winner is seeding — wait for its
-            # completed state and converge; if the winner errored and
-            # released without one, the loop re-contends for the claim
-            w = _settled()
-            if w is not None:
-                return w
-            if _time.time() >= deadline:
-                raise TxnConflict(
-                    f"{rollup_table}: concurrent first-time seed did "
-                    f"not complete within {seed_wait_s}s — claim file "
-                    f"{claim} still held"
-                )
-            _time.sleep(0.05)
+        return run_claim_serialized(
+            claim, _settled, _seed, seed_wait_s, seed_stale_s,
+            rollup_table,
+            # late-bound module alias: the concurrent-seed race test
+            # barriers inside it (monkeypatching rollup's name)
+            acquire=lambda p, s: _acquire_seed_claim(p, s),
+        )
     if synced >= current:
         return synced  # nothing new: one manifest-listing read
     try:

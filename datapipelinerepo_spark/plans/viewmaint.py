@@ -44,13 +44,12 @@ of re-scanning A.
 from __future__ import annotations
 
 import os
-import time as _time
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..io import TableStore, TxnAlreadyApplied, TxnConflict, _ClaimHeartbeat
-from .rollup import _acquire_seed_claim
+from ..io import TableStore, TxnAlreadyApplied
+from ..io import _acquire_claim as _acquire_seed_claim  # test seam
 
 
 def _fact_app(store: TableStore, fact_table: str) -> str:
@@ -159,111 +158,184 @@ def sync_join_view(
             cur_f, cur_d, fact_app, dim_app, seed_wait_s, seed_stale_s,
         )
 
-    # ---- fact phase: apply the fact window vf -> cur_f --------------------
     if cur_f > vf:
-        feed = store.table_changes(fact_table, vf, cur_f)
-        rm = F.col("_change_type").isin("delete", "update_preimage")
-        added = (
-            feed.filter(~rm)
-            .drop("_change_type")
-            .dropDuplicates(fkeys)
-            .localCheckpoint(eager=True)
+        vf = _fact_phase(
+            store, fact_table, dim_table, view_table, fkeys,
+            fact_join_col, dim_join_col, payload, vf, cur_f, cur_d,
+            fact_app,
         )
-        # removed-ONLY keys (an update appears on both sides of the
-        # feed; its postimage row in `added` is the final state and
-        # must win — two source rows per key would make the merge's
-        # dedup pick one arbitrarily)
-        removed = (
-            feed.filter(rm)
-            .select(*fkeys)
-            .dropDuplicates(fkeys)
-            .join(added.select(*fkeys), fkeys, "left_anti")
-        )
-        adds_joined = _joined(
-            added,
-            store.read(dim_table, version=cur_d),
-            fact_join_col,
-            dim_join_col,
-            payload,
-        ).withColumn("_vm_op", F.lit("up"))
-        # deleted keys as typed NULL rows so the union lines up; the
-        # _vm_op directive column never reaches the view's schema
-        # (merge_when source_meta_cols)
-        del_rows = removed
-        for f in adds_joined.schema.fields:
-            if f.name not in fkeys and f.name != "_vm_op":
-                del_rows = del_rows.withColumn(
-                    f.name, F.lit(None).cast(f.dataType)
-                )
-        del_rows = del_rows.withColumn("_vm_op", F.lit("del"))
-        src = adds_joined.unionByName(
-            del_rows.select(*adds_joined.columns)
-        )
-        # ONE publish for the whole window, CAS-guarded — deletes and
-        # upserts land atomically, so a concurrent syncer's losing
-        # window is refused in full (a separate untracked delete-merge
-        # would apply even when its add-merge loses the CAS)
-        try:
-            store.merge_when(
-                src,
-                view_table,
-                fkeys,
-                when_matched_update="all",
-                matched_condition="s._vm_op = 'up'",
-                when_matched_delete="s._vm_op = 'del'",
-                when_not_matched_insert="s._vm_op = 'up'",
-                source_meta_cols=["_vm_op"],
-                txn=(fact_app, cur_f),
-                check_replay=True,
-                txn_expect=vf,  # CAS: refuse overlapping windows
-            )
-        except TxnAlreadyApplied:
-            pass  # concurrent syncer landed this window: converge
-        vf = int(store.last_txn(view_table, fact_app) or cur_f)
-
-    # ---- dim phase: apply the dim window vd -> cur_d -----------------------
     if cur_d > vd:
-        churned = (
-            store.table_changes(dim_table, vd, cur_d)
-            .select(dim_join_col)
-            .dropDuplicates([dim_join_col])
-            .localCheckpoint(eager=True)
+        vd = _dim_phase(
+            store, dim_table, view_table, fkeys, fact_join_col,
+            dim_join_col, payload, vd, cur_d, dim_app,
         )
-        # the view rows to refresh: a COLUMN-PRUNED scan of the view's
-        # (fact_key, join_col) — the documented cost of dim churn —
-        # semi-joined to the churned keys
-        narrow = store.read(view_table).select(*fkeys, fact_join_col)
-        affected = narrow.join(
-            F.broadcast(churned),
-            # qualified on both sides: fact_join_col and dim_join_col
-            # may share a NAME (a natural-key join)
-            narrow[fact_join_col] == churned[dim_join_col],
-            "left_semi",
-        )
-        # new payload from the dim snapshot (deleted keys -> NULLs,
-        # LEFT-join semantics)
-        src = _joined(
-            affected,
-            store.read(dim_table, version=cur_d),
-            fact_join_col,
-            dim_join_col,
-            payload,
-        ).drop(fact_join_col)
-        try:
-            store.merge_when(
-                src,
-                view_table,
-                fkeys,
-                when_matched_update={c: f"s.`{c}`" for c in payload},
-                when_not_matched_insert=False,
-                txn=(dim_app, cur_d),
-                check_replay=True,
-                txn_expect=vd,
-            )
-        except TxnAlreadyApplied:
-            pass
-        vd = int(store.last_txn(view_table, dim_app) or cur_d)
     return vf, vd
+
+
+def _converge(store, view_table, app, fallback, merge):
+    """Run one window's CAS-guarded merge; a TxnAlreadyApplied (replay
+    of the identical window) or its TxnConflict subclass (a concurrent
+    syncer advanced the watermark first — its whole window landed
+    atomically, ours was refused in full) both mean: nothing applied
+    here, read back the actual progress."""
+    try:
+        merge()
+    except TxnAlreadyApplied:
+        pass
+    return int(store.last_txn(view_table, app) or fallback)
+
+
+def _fact_phase(
+    store, fact_table, dim_table, view_table, fkeys, fact_join_col,
+    dim_join_col, payload, vf, cur_f, cur_d, fact_app,
+) -> int:
+    feed = store.table_changes(fact_table, vf, cur_f).localCheckpoint(
+        eager=True
+    )
+    if feed.limit(1).count() == 0:
+        # metadata-only window (compaction/rename versions — common
+        # under write-path auto-compaction): bump the watermark
+        # without paying any maintenance jobs (code-review r10 wave 4)
+        return _converge(
+            store, view_table, fact_app, cur_f,
+            lambda: _stamp_watermark(
+                store, view_table, fkeys, (fact_app, cur_f),
+                txn_expect=vf,
+            ),
+        )
+    rm = F.col("_change_type").isin("delete", "update_preimage")
+    added = (
+        feed.filter(~rm)
+        .drop("_change_type")
+        .dropDuplicates(fkeys)
+        .localCheckpoint(eager=True)
+    )
+    # removed-ONLY keys (an update appears on both sides of the feed;
+    # its postimage row in `added` is the final state and must win —
+    # two source rows per key would make the merge's dedup pick one
+    # arbitrarily)
+    removed = (
+        feed.filter(rm)
+        .select(*fkeys)
+        .dropDuplicates(fkeys)
+        .join(added.select(*fkeys), fkeys, "left_anti")
+    )
+    adds_joined = _joined(
+        added,
+        store.read(dim_table, version=cur_d),
+        fact_join_col,
+        dim_join_col,
+        payload,
+    ).withColumn("_vm_op", F.lit("up"))
+    # deleted keys as typed NULL rows so the union lines up; the
+    # _vm_op directive column never reaches the view's schema
+    # (merge_when source_meta_cols)
+    del_rows = removed
+    for f in adds_joined.schema.fields:
+        if f.name not in fkeys and f.name != "_vm_op":
+            del_rows = del_rows.withColumn(
+                f.name, F.lit(None).cast(f.dataType)
+            )
+    del_rows = del_rows.withColumn("_vm_op", F.lit("del"))
+    src = adds_joined.unionByName(del_rows.select(*adds_joined.columns))
+
+    # ONE publish for the whole window, CAS-guarded — deletes and
+    # upserts land atomically, so a concurrent syncer's losing window
+    # is refused in full (a separate untracked delete-merge would
+    # apply even when its add-merge loses the CAS)
+    return _converge(
+        store, view_table, fact_app, cur_f,
+        lambda: store.merge_when(
+            src,
+            view_table,
+            fkeys,
+            when_matched_update="all",
+            matched_condition="s._vm_op = 'up'",
+            when_matched_delete="s._vm_op = 'del'",
+            when_not_matched_insert="s._vm_op = 'up'",
+            source_meta_cols=["_vm_op"],
+            txn=(fact_app, cur_f),
+            check_replay=True,
+            txn_expect=vf,  # CAS: refuse overlapping windows
+        ),
+    )
+
+
+def _dim_phase(
+    store, dim_table, view_table, fkeys, fact_join_col, dim_join_col,
+    payload, vd, cur_d, dim_app,
+) -> int:
+    churned = (
+        store.table_changes(dim_table, vd, cur_d)
+        .select(dim_join_col)
+        .dropDuplicates([dim_join_col])
+        .localCheckpoint(eager=True)
+    )
+    if churned.limit(1).count() == 0:
+        return _converge(
+            store, view_table, dim_app, cur_d,
+            lambda: _stamp_watermark(
+                store, view_table, fkeys, (dim_app, cur_d),
+                txn_expect=vd,
+            ),
+        )
+    # the view rows to refresh: a COLUMN-PRUNED scan of the view's
+    # (fact_key, join_col) — the documented cost of dim churn —
+    # semi-joined to the churned keys. dict.fromkeys dedups when the
+    # join column IS (part of) the fact key (a natural-key 1:1 join —
+    # code-review r10 wave 4: the duplicate select made every
+    # reference ambiguous)
+    narrow_cols = list(dict.fromkeys([*fkeys, fact_join_col]))
+    narrow = store.read(view_table).select(*narrow_cols)
+    affected = narrow.join(
+        F.broadcast(churned),
+        # qualified on both sides: fact_join_col and dim_join_col may
+        # share a NAME too
+        narrow[fact_join_col] == churned[dim_join_col],
+        "left_semi",
+    )
+    # new payload from the dim snapshot (deleted keys -> NULLs,
+    # LEFT-join semantics); keep the join column only when it is part
+    # of the merge key
+    src = _joined(
+        affected,
+        store.read(dim_table, version=cur_d),
+        fact_join_col,
+        dim_join_col,
+        payload,
+    )
+    if fact_join_col not in fkeys:
+        src = src.drop(fact_join_col)
+    return _converge(
+        store, view_table, dim_app, cur_d,
+        lambda: store.merge_when(
+            src,
+            view_table,
+            fkeys,
+            when_matched_update={c: f"s.`{c}`" for c in payload},
+            when_not_matched_insert=False,
+            txn=(dim_app, cur_d),
+            check_replay=True,
+            txn_expect=vd,
+        ),
+    )
+
+
+def _stamp_watermark(store, view_table, fkeys, txn, txn_expect=None):
+    """Advance one base's watermark with a METADATA-ONLY publish (an
+    empty merge source): the mechanism that records 'this window was
+    empty' (compaction-only versions — common under write-path
+    auto-compaction) without paying any of the maintenance jobs."""
+    store.merge_when(
+        store.read(view_table).limit(0),
+        view_table,
+        fkeys,
+        when_matched_update=None,
+        when_not_matched_insert=False,
+        txn=txn,
+        check_replay=txn_expect is not None,
+        txn_expect=txn_expect,
+    )
 
 
 def _seed_join_view(
@@ -271,6 +343,8 @@ def _seed_join_view(
     fact_join_col, dim_join_col, payload, n_buckets,
     cur_f, cur_d, fact_app, dim_app, seed_wait_s, seed_stale_s,
 ) -> tuple[int, int]:
+    from ..io import run_claim_serialized
+
     claim = os.path.join(store.root, f".seedclaim_{view_table}")
 
     def _settled():
@@ -282,61 +356,26 @@ def _seed_join_view(
             return None
         return int(wf), int(wd)
 
-    def _release(tok: int) -> None:
-        from .. import _fs
+    def _seed():
+        seeded = _joined(
+            store.read(fact_table, version=cur_f),
+            store.read(dim_table, version=cur_d),
+            fact_join_col,
+            dim_join_col,
+            payload,
+        )
+        store.overwrite_keyed(
+            seeded, view_table, fkeys, n_buckets=n_buckets,
+            versioned=True, txn=(fact_app, cur_f),
+        )
+        # the dim watermark rides a metadata-only publish: a crash
+        # between the two stamps re-enters the seed path, which
+        # re-seeds — a full but CONVERGENT redo
+        _stamp_watermark(store, view_table, fkeys, (dim_app, cur_d))
+        return cur_f, cur_d
 
-        try:
-            if _fs.identity(claim) == tok:
-                _fs.remove(claim)
-        except FileNotFoundError:
-            pass
-
-    deadline = _time.time() + seed_wait_s
-    while True:
-        tok = _acquire_seed_claim(claim, seed_stale_s)
-        if tok is not None:
-            from .. import _fs
-
-            if _fs.identity(claim) != tok:
-                continue  # displaced by a stealer: re-contend
-            try:
-                w = _settled()
-                if w is not None:
-                    return w
-                with _ClaimHeartbeat(claim, tok, seed_stale_s):
-                    seeded = _joined(
-                        store.read(fact_table, version=cur_f),
-                        store.read(dim_table, version=cur_d),
-                        fact_join_col,
-                        dim_join_col,
-                        payload,
-                    )
-                    store.overwrite_keyed(
-                        seeded, view_table, fkeys, n_buckets=n_buckets,
-                        versioned=True, txn=(fact_app, cur_f),
-                    )
-                    # the dim watermark rides a metadata-only publish
-                    # (empty merge source): a crash between the two
-                    # stamps re-enters the seed path, which re-seeds —
-                    # a full but CONVERGENT redo
-                    store.merge_when(
-                        store.read(view_table).limit(0),
-                        view_table,
-                        fkeys,
-                        when_matched_update=None,
-                        when_not_matched_insert=False,
-                        txn=(dim_app, cur_d),
-                    )
-                return cur_f, cur_d
-            finally:
-                _release(tok)
-        w = _settled()
-        if w is not None:
-            return w
-        if _time.time() >= deadline:
-            raise TxnConflict(
-                f"{view_table}: concurrent first-time seed did not "
-                f"complete within {seed_wait_s}s — claim file {claim} "
-                "still held"
-            )
-        _time.sleep(0.05)
+    return run_claim_serialized(
+        claim, _settled, _seed, seed_wait_s, seed_stale_s, view_table,
+        # late-bound module alias (test seam, same pattern as rollup)
+        acquire=lambda p, s: _acquire_seed_claim(p, s),
+    )

@@ -3633,3 +3633,62 @@ def test_sync_join_view(spark, tmp_path):
     assert view() == recompute()
     assert view()[5][2:] == ("new1", -1.0)
     assert view()[6][2:] == (None, None)  # c2x gone with the reseed
+
+
+def test_sync_join_view_natural_key_and_empty_window(spark, tmp_path):
+    """code-review r10 wave 4: (a) a 1:1 natural-key join view —
+    fact_join_col IS the fact key — must maintain (the dim-phase
+    source used to drop its own merge key); (b) a METADATA-ONLY base
+    window (an upsert rewriting identical values nets an empty change
+    feed) must bump the watermark with a single metadata publish, not
+    run the maintenance pipeline."""
+    from datapipelinerepo_spark.plans.viewmaint import sync_join_view
+
+    store = TableStore(spark, str(tmp_path))
+    fschema = "ck long, amt double"
+    dschema = "ck long, nm string"
+    store.overwrite_keyed(
+        spark.createDataFrame([(k, float(k)) for k in range(6)], fschema),
+        "f", "ck", n_buckets=2, versioned=True,
+    )
+    dim_rows = [(k, f"c{k}") for k in (0, 1, 2, 3)]
+    store.overwrite_keyed(
+        spark.createDataFrame(dim_rows, dschema), "d", "ck",
+        n_buckets=2, versioned=True,
+    )
+    args = (store, "f", "d", "v", "ck", "ck", "ck")
+
+    def recompute():
+        f, d = store.read("f"), store.read("d")
+        j = f.join(d, f["ck"] == d["ck"], "left").select(
+            f["ck"], "amt", "nm"
+        )
+        return {r["ck"]: (r["amt"], r["nm"]) for r in j.collect()}
+
+    def view():
+        return {
+            r["ck"]: (r["amt"], r["nm"])
+            for r in store.read("v").collect()
+        }
+
+    sync_join_view(*args)
+    assert view() == recompute()
+    # (a) dim churn through the natural-key path
+    store.upsert(spark.createDataFrame([(1, "x1")], dschema), "d", "ck")
+    store.delete_where("d", "ck = 2")
+    sync_join_view(*args)
+    assert view() == recompute()
+    assert view()[1] == (1.0, "x1") and view()[2] == (2.0, None)
+    # (b) metadata-only window: identical-value rewrite -> empty feed
+    store.upsert(
+        spark.createDataFrame([(0, "c0")], dschema), "d", "ck"
+    )  # rewrites bucket; CDF cancels to zero rows
+    before = store.latest_version("v")
+    vf, vd = sync_join_view(*args)
+    assert vd == store.latest_version("d")  # watermark advanced
+    assert store.latest_version("v") == before + 1  # ONE metadata publish
+    assert view() == recompute()
+    # and the follow-up sync is a true no-op
+    before = store.latest_version("v")
+    sync_join_view(*args)
+    assert store.latest_version("v") == before
