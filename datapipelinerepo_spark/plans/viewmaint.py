@@ -131,22 +131,41 @@ def sync_join_view(
     reads the view AS OF a version, like any lakehouse table.
     """
     fkeys = [fact_key] if isinstance(fact_key, str) else list(fact_key)
+    # fail FAST on the documented contract (code-review r10 wave 5:
+    # an unversioned base silently seeded, then the first incremental
+    # sync errored one call too late with a stray healed manifest)
+    for tbl, role in ((fact_table, "fact"), (dim_table, "dim")):
+        if not store.is_versioned(tbl) or store.keyed_spec(tbl) is None:
+            raise ValueError(
+                f"{tbl}: sync_join_view needs a VERSIONED KEYED {role} "
+                "table (overwrite_keyed(..., versioned=True)) — the "
+                "change feeds it maintains from require manifests"
+            )
+    # the dim must be keyed ON the join column: the store's key-level
+    # dedup on every upsert is what guarantees the 1:N shape — a dim
+    # keyed on anything else can fan the join out, and the maintenance
+    # merges would then collapse duplicate fact-key rows to ONE
+    # arbitrary payload with no error (code-review r10 wave 5)
+    if list(store.keyed_spec(dim_table)[0]) != [dim_join_col]:
+        raise ValueError(
+            f"{dim_table}: must be keyed on the join column "
+            f"[{dim_join_col!r}] (found "
+            f"{list(store.keyed_spec(dim_table)[0])}) — key-level "
+            "dedup is what guarantees one dim row per join value"
+        )
     cur_f = store._ensure_latest(fact_table)
     cur_d = store._ensure_latest(dim_table)
     fact_app = _fact_app(store, fact_table)
     dim_app = _dim_app(store, dim_table)
+    view_exists = store.exists(view_table)
+    vf = store.last_txn(view_table, fact_app) if view_exists else None
+    vd = store.last_txn(view_table, dim_app) if view_exists else None
+    if vf is not None and vd is not None and cur_f <= vf and cur_d <= vd:
+        # steady-state no-op: manifest reads only — no schema reads,
+        # no clash validation (code-review r10 wave 5)
+        return int(vf), int(vd)
     payload = _dim_payload_cols(
         store, fact_table, dim_table, fact_join_col, dim_join_col
-    )
-    vf = (
-        store.last_txn(view_table, fact_app)
-        if store.exists(view_table)
-        else None
-    )
-    vd = (
-        store.last_txn(view_table, dim_app)
-        if store.exists(view_table)
-        else None
     )
     if vf is None or vd is None:
         # first sync for THESE base incarnations (or a crash between
@@ -161,7 +180,7 @@ def sync_join_view(
     if cur_f > vf:
         vf = _fact_phase(
             store, fact_table, dim_table, view_table, fkeys,
-            fact_join_col, dim_join_col, payload, vf, cur_f, cur_d,
+            fact_join_col, dim_join_col, payload, vf, cur_f, vd,
             fact_app,
         )
     if cur_d > vd:
@@ -187,7 +206,7 @@ def _converge(store, view_table, app, fallback, merge):
 
 def _fact_phase(
     store, fact_table, dim_table, view_table, fkeys, fact_join_col,
-    dim_join_col, payload, vf, cur_f, cur_d, fact_app,
+    dim_join_col, payload, vf, cur_f, vd, fact_app,
 ) -> int:
     feed = store.table_changes(fact_table, vf, cur_f).localCheckpoint(
         eager=True
@@ -213,16 +232,35 @@ def _fact_phase(
     # removed-ONLY keys (an update appears on both sides of the feed;
     # its postimage row in `added` is the final state and must win —
     # two source rows per key would make the merge's dedup pick one
-    # arbitrarily)
+    # arbitrarily). NULL-SAFE anti-join (code-review r10 wave 5: the
+    # store's keys are null-safe everywhere — a plain `=` anti-join
+    # would leave an updated NULL-keyed row on BOTH sides of src and
+    # let the dedup nondeterministically delete a live row)
+    added_keys = added.select(
+        *[F.col(k).alias(f"_ak_{k}") for k in fkeys]
+    )
+    anti = None
+    for k in fkeys:
+        e = F.col(k).eqNullSafe(F.col(f"_ak_{k}"))
+        anti = e if anti is None else (anti & e)
     removed = (
         feed.filter(rm)
         .select(*fkeys)
         .dropDuplicates(fkeys)
-        .join(added.select(*fkeys), fkeys, "left_anti")
+        .join(added_keys, anti, "left_anti")
     )
+    # join the window's rows against dim AT THE VERSION THE VIEW'S DIM
+    # STATE REFLECTS (vd), not the dim's current version (code-review
+    # r10 wave 5): joining at current would leave newer payload on
+    # just these rows if this sync crashes before its dim phase — and
+    # a dim revert in between would then 'cancel out' of the next
+    # window's net feed, leaving the stale payload PERMANENT. Joining
+    # at vd keeps the whole view uniformly at vd, so the vd→current
+    # dim window corrects every row. (vd's manifest must be retained —
+    # the same requirement the dim phase's table_changes(vd, ·) has.)
     adds_joined = _joined(
         added,
-        store.read(dim_table, version=cur_d),
+        store.read(dim_table, version=vd),
         fact_join_col,
         dim_join_col,
         payload,
@@ -357,9 +395,29 @@ def _seed_join_view(
         return int(wf), int(wd)
 
     def _seed():
+        dim_snap = store.read(dim_table, version=cur_d)
+        # the entry check proves the dim is KEYED on the join column
+        # (upserts dedup); the seed additionally data-checks the
+        # snapshot, because overwrite_keyed/append write rows verbatim
+        # — a duplicated join value would fan the join out and later
+        # maintenance would silently collapse it (code-review r10
+        # wave 5)
+        if (
+            dim_snap.groupBy(dim_join_col)
+            .count()
+            .filter(F.col("count") > 1)
+            .limit(1)
+            .count()
+            > 0
+        ):
+            raise ValueError(
+                f"{dim_table}: duplicate {dim_join_col!r} values in "
+                "the dim snapshot — a LEFT-join view needs one dim "
+                "row per join value (dedup the dim first)"
+            )
         seeded = _joined(
             store.read(fact_table, version=cur_f),
-            store.read(dim_table, version=cur_d),
+            dim_snap,
             fact_join_col,
             dim_join_col,
             payload,
