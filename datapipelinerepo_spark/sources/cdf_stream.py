@@ -12,10 +12,14 @@ Execution model, designed for the 100 TB posture:
 - Each partition carries ONE bucket's (old files, new files) slice.
   Keys never change buckets (they hash to them), so the insert/delete/
   update classification is bucket-local: the executor diffs its slice
-  with an embedded DuckDB full-outer join using ``IS NOT DISTINCT
-  FROM`` — the exact null-safe semantics of ``TableStore
-  .table_changes`` (and of this repo's oracle layer) — with no Spark
-  job inside the reader and no driver collect. Feed cost per
+  with a full-outer join using null-safe key equality — the exact
+  semantics of ``TableStore.table_changes`` (and of this repo's oracle
+  layer) — with no Spark job inside the reader and no driver collect.
+  Two interchangeable engines (picked ONCE at stream start, r10):
+  embedded DuckDB (``IS NOT DISTINCT FROM``, the faster diff) or a
+  pure-pyarrow fallback (vectorized full-outer join on
+  (filled value, was-null) key pairs), so the duckdb wheel is an
+  optimization, not a per-executor hard dependency. Feed cost per
   micro-batch tracks CHURN, not table size.
 - Offsets replay deterministically: manifests are immutable, so
   re-planning a window after a crash reproduces the identical batch
@@ -100,6 +104,39 @@ def _require_duckdb() -> None:
         )
 
 
+def _resolve_diff_engine(requested: str | None) -> str:
+    """Pick the executor-side diff engine at STREAM START (r10: the
+    duckdb wheel is no longer a hard dependency — a pure-pyarrow
+    implementation of the identical null-safe diff serves as the
+    fallback, and pyarrow ships with PySpark's own requirements).
+    ``requested``: "duckdb" / "arrow" force one (and fail loudly at
+    start if it is unavailable); None/"auto" prefers duckdb (the
+    faster diff) and falls back to arrow."""
+    if requested in (None, "auto"):
+        try:
+            _require_duckdb()
+            return "duckdb"
+        except RuntimeError:
+            requested = "arrow"  # fall through to the arrow probe
+    if requested == "duckdb":
+        _require_duckdb()
+        return "duckdb"
+    if requested == "arrow":
+        try:
+            import pyarrow  # noqa: F401
+            import pyarrow.compute  # noqa: F401
+        except ImportError as e:
+            raise RuntimeError(
+                "the tablestore_changes stream's arrow diff engine "
+                "needs pyarrow on the driver AND every executor"
+            ) from e
+        return "arrow"
+    raise ValueError(
+        f"diff_engine must be 'auto', 'duckdb' or 'arrow' — got "
+        f"{requested!r}"
+    )
+
+
 def _sql_path_list(paths: list[str]) -> str:
     """DuckDB list literal of path strings, single-quote-escaped — a
     store root or table name containing a quote must not break (or
@@ -156,6 +193,154 @@ def _bucket_of(rel: str) -> int:
     return int(rel.split("=", 1)[1].split("/", 1)[0])
 
 
+# --- arrow diff engine (r10): same null-safe diff, no duckdb ------------
+
+
+def _arrow_type(spark_type: str):
+    """The arrow type a logical column materializes as on the arrow
+    diff path. 'timestamp' (Spark LTZ) carries tz=UTC — the store
+    writes UTC-adjusted TIMESTAMP_MICROS, and arrow's naive→tz cast
+    attaches the zone without moving the epoch, so values surface as
+    tz-AWARE datetimes (the shape the Python-data-source converter
+    needs; naive values would shift by the executor OS zone)."""
+    import pyarrow as pa
+
+    t = spark_type.lower()
+    if t.startswith("decimal"):
+        p, s = t[t.index("(") + 1: t.index(")")].split(",")
+        return pa.decimal128(int(p), int(s))
+    return {
+        "bigint": pa.int64(), "int": pa.int32(), "integer": pa.int32(),
+        "smallint": pa.int16(), "tinyint": pa.int8(),
+        "double": pa.float64(), "float": pa.float32(),
+        "string": pa.string(), "boolean": pa.bool_(),
+        "date": pa.date32(),
+        "timestamp": pa.timestamp("us", tz="UTC"),
+        "timestamp_ns": pa.timestamp("us", tz="UTC"),
+        "timestamp_ntz": pa.timestamp("us"),
+        "binary": pa.binary(),
+    }[t]  # same surface _duck_type validated at plan time
+
+
+def _fill_scalar(at):
+    """A type-default used ONLY as the null-replacement half of the
+    null-safe join-key pair (value, was_null) — the companion boolean
+    keeps a real default-valued key distinct from a NULL one."""
+    import datetime as _dt
+    import decimal as _dec
+
+    import pyarrow as pa
+
+    if pa.types.is_integer(at) or pa.types.is_floating(at):
+        return pa.scalar(0, at)
+    if pa.types.is_decimal(at):
+        return pa.scalar(_dec.Decimal(0), at)
+    if pa.types.is_string(at):
+        return pa.scalar("", at)
+    if pa.types.is_binary(at):
+        return pa.scalar(b"", at)
+    if pa.types.is_boolean(at):
+        return pa.scalar(False, at)
+    if pa.types.is_date(at):
+        return pa.scalar(_dt.date(1970, 1, 1), at)
+    if pa.types.is_timestamp(at):
+        v = (
+            _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
+            if at.tz
+            else _dt.datetime(1970, 1, 1)
+        )
+        return pa.scalar(v, at)
+    raise ValueError(f"CDF stream: unsupported join-key type {at}")
+
+
+def _read_side_arrow(base_dir: str, files: list[str], cols: list[tuple]):
+    """One side of the diff as a pyarrow Table in the LOGICAL end
+    schema: per-file projection + physical→logical rename + cast
+    (schema evolution / column mapping), with missing physical columns
+    as typed NULLs — union_by_name semantics without duckdb."""
+    import pyarrow as pa
+
+    fields = [(log, phys, _arrow_type(st)) for log, phys, _, st in cols]
+    schema = pa.schema([(log, at) for log, _, at in fields])
+    tables = []
+    for f in files:
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(os.path.join(base_dir, f))
+        n = t.num_rows
+        data = {}
+        for log, phys, at in fields:
+            if phys in t.column_names:
+                data[log] = t[phys].cast(at)
+            else:
+                data[log] = pa.nulls(n, at)
+        tables.append(pa.table(data))
+    if not tables:
+        return schema.empty_table()
+    return pa.concat_tables(tables)
+
+
+def _read_arrow(partition: ChangesPartition):
+    """The arrow twin of the DuckDB diff: a full-outer join on
+    null-safe key pairs (filled value + was-null boolean — arrow joins
+    are SQL-semantics, NULL matches nothing, so the pair encodes
+    IS NOT DISTINCT FROM), presence markers on both sides, and
+    per-column null-safe payload equality for the update split.
+    Vectorized end to end; rows materialize to Python only at yield."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    cols = partition.cols
+    names = [log for log, _, _, _ in cols]
+    keys = partition.keys
+    payload = [c for c in names if c not in keys]
+    old = _read_side_arrow(partition.base_dir, partition.old_files, cols)
+    new = _read_side_arrow(partition.base_dir, partition.new_files, cols)
+
+    def _prep(t, prefix: str, marker: str):
+        data = {}
+        for c in names:
+            data[prefix + c] = t[c]
+        for k in keys:
+            arr = t[k]
+            data["_jk_" + k] = pc.fill_null(
+                arr, _fill_scalar(t.schema.field(k).type)
+            )
+            data["_jn_" + k] = pc.is_null(arr)
+        data[marker] = pa.nulls(t.num_rows, pa.bool_()).fill_null(True)
+        return pa.table(data)
+
+    jk = [p + k for k in keys for p in ("_jk_", "_jn_")]
+    j = _prep(old, "_o_", "_op").join(
+        _prep(new, "_n_", "_np"), keys=jk, join_type="full outer"
+    )
+    op = pc.fill_null(j["_op"], False)
+    np_ = pc.fill_null(j["_np"], False)
+    both = pc.and_(op, np_)
+    same = None
+    for c in payload:
+        a, b = j["_o_" + c], j["_n_" + c]
+        e = pc.or_(
+            pc.fill_null(pc.equal(a, b), False),
+            pc.and_(pc.is_null(a), pc.is_null(b)),
+        )
+        same = e if same is None else pc.and_(same, e)
+    if same is None:  # key-only table: presence IS equality
+        same = pa.nulls(j.num_rows, pa.bool_()).fill_null(True)
+    changed = pc.and_(both, pc.invert(same))
+
+    def _emit(mask, prefix, tag):
+        sub = j.filter(mask)
+        arrays = [sub[prefix + c].to_pylist() for c in names]
+        for row in zip(*arrays):
+            yield (*row, tag)
+
+    yield from _emit(pc.and_(np_, pc.invert(op)), "_n_", "insert")
+    yield from _emit(pc.and_(op, pc.invert(np_)), "_o_", "delete")
+    yield from _emit(changed, "_o_", "update_preimage")
+    yield from _emit(changed, "_n_", "update_postimage")
+
+
 @dataclass
 class ChangesPartition(InputPartition):
     base_dir: str
@@ -164,11 +349,13 @@ class ChangesPartition(InputPartition):
     keys: list[str] = field(default_factory=list)
     # (logical_name, physical_name, duckdb_type, spark_type) per column
     cols: list[tuple] = field(default_factory=list)
+    engine: str = "duckdb"  # resolved ONCE at stream start (driver)
 
 
 class TableChangesStreamReader(DataSourceStreamReader):
     def __init__(self, options):
-        _require_duckdb()  # fail at stream start, not mid-drain
+        # engine availability is proven at stream start, not mid-drain
+        self.engine = _resolve_diff_engine(options.get("diff_engine"))
         self.root = options["path"]
         self.table = options["table"]
         self.start_opt = options.get("starting_version")
@@ -260,6 +447,7 @@ class TableChangesStreamReader(DataSourceStreamReader):
                     base_dir=os.path.join(self.root, self.table),
                     keys=self.keys,
                     cols=cols,
+                    engine=self.engine,
                 )
             return by_bucket[b]
 
@@ -275,10 +463,15 @@ class TableChangesStreamReader(DataSourceStreamReader):
             ChangesPartition(base_dir="", keys=self.keys, cols=cols)
         ]
 
-    # -- execution (executor, DuckDB bucket-local diff) ----------------------
+    # -- execution (executor, bucket-local diff) -----------------------------
     def read(self, partition: ChangesPartition):
         if not partition.old_files and not partition.new_files:
             return iter(())
+        if partition.engine == "arrow":
+            return _read_arrow(partition)
+        return self._read_duckdb(partition)
+
+    def _read_duckdb(self, partition: ChangesPartition):
         import duckdb
 
         con = duckdb.connect()
@@ -374,7 +567,9 @@ class TableChangesStreamReader(DataSourceStreamReader):
 
 class TableChangesDataSource(DataSource):
     """``spark.readStream.format("tablestore_changes")`` — options:
-    ``path`` (store root), ``table``, optional ``starting_version``."""
+    ``path`` (store root), ``table``, optional ``starting_version``,
+    optional ``diff_engine`` ("auto" default: duckdb if available,
+    else the pure-pyarrow fallback; "duckdb"/"arrow" force one)."""
 
     @classmethod
     def name(cls) -> str:
@@ -403,13 +598,18 @@ class TableChangesDataSource(DataSource):
 
 
 def read_changes_stream(
-    spark, store, table: str, starting_version: int | None = None
+    spark,
+    store,
+    table: str,
+    starting_version: int | None = None,
+    diff_engine: str | None = None,
 ):
     """Convenience wrapper: register the source and open the stream on
     ``store``'s ``table``. The first micro-batch starts AFTER
     ``starting_version`` (default: the version current at stream
     start — like Delta, history before the stream began is not
-    replayed unless asked for)."""
+    replayed unless asked for). ``diff_engine``: "auto" (default),
+    "duckdb", or "arrow" — see TableChangesDataSource."""
     spark.dataSource.register(TableChangesDataSource)
     r = (
         spark.readStream.format("tablestore_changes")
@@ -418,4 +618,6 @@ def read_changes_stream(
     )
     if starting_version is not None:
         r = r.option("starting_version", int(starting_version))
+    if diff_engine is not None:
+        r = r.option("diff_engine", diff_engine)
     return r.load()

@@ -1240,14 +1240,15 @@ def test_cdf_stream_type_coverage(spark, tmp_path):
 
 
 def test_cdf_stream_duckdb_fence_and_quoted_paths(spark, tmp_path):
-    """VERDICT r9 item 6: the CDF stream's executor-side diff runs
-    embedded DuckDB — a hard runtime dep. (a) With duckdb unavailable,
-    the reader must refuse AT STREAM START (driver-side constructor)
-    with a message naming the per-executor requirement — never an
-    ImportError from inside a task mid-drain. (b) An ancient wheel
-    trips the version floor. (c) ADVICE r9: a store root containing a
-    single quote must round-trip through the executor-side SQL (paths
-    are escaped into the read_parquet list literal, not repr-injected)."""
+    """VERDICT r9 item 6 + the r10 arrow fallback. (a) With duckdb
+    unavailable, AUTO falls back to the arrow engine at STREAM START
+    (the wheel is an optimization, not a per-executor hard dep); a
+    FORCED duckdb engine still refuses loudly in the constructor —
+    never an ImportError from inside a task mid-drain. (b) An ancient
+    wheel trips the version floor (forced) and falls back (auto).
+    (c) ADVICE r9: a store root containing a single quote must
+    round-trip through the executor-side SQL (paths are escaped into
+    the read_parquet list literal, not repr-injected)."""
     import sys
     import types
 
@@ -1268,25 +1269,27 @@ def test_cdf_stream_duckdb_fence_and_quoted_paths(spark, tmp_path):
     )
     opts = {"path": str(root), "table": "t"}
 
-    # (a) missing wheel → loud refusal in the constructor
+    # (a) missing wheel: auto falls back to arrow; forced duckdb refuses
     real = sys.modules.get("duckdb")
     sys.modules["duckdb"] = None  # forces ImportError on import
     try:
+        assert TableChangesStreamReader(opts).engine == "arrow"
         with pytest.raises(RuntimeError, match="every executor"):
-            TableChangesStreamReader(opts)
+            TableChangesStreamReader({**opts, "diff_engine": "duckdb"})
     finally:
         if real is not None:
             sys.modules["duckdb"] = real
         else:
             sys.modules.pop("duckdb", None)
 
-    # (b) ancient wheel → version floor
+    # (b) ancient wheel: version floor when forced, fallback on auto
     fake = types.ModuleType("duckdb")
     fake.__version__ = "0.5.1"
     sys.modules["duckdb"] = fake
     try:
         with pytest.raises(RuntimeError, match="needs duckdb>="):
-            TableChangesStreamReader(opts)
+            TableChangesStreamReader({**opts, "diff_engine": "duckdb"})
+        assert TableChangesStreamReader(opts).engine == "arrow"
     finally:
         # mirror part (a): re-inserting None on a duckdb-less machine
         # would poison every later `import duckdb` in the session
@@ -1295,28 +1298,103 @@ def test_cdf_stream_duckdb_fence_and_quoted_paths(spark, tmp_path):
         else:
             sys.modules.pop("duckdb", None)
 
-    # (c) quoted path round-trips through the executor-side SQL
+    # an unknown engine name refuses at start
+    with pytest.raises(Exception, match="diff_engine"):
+        TableChangesStreamReader({**opts, "diff_engine": "sqlite"})
+
+    # (c) quoted path round-trips through the executor-side SQL —
+    # drained once per engine, identical output required
     store.upsert(
         spark.createDataFrame([(2, 20.0), (3, 3.0)], "id long, v double"),
         "t", "id",
     )
-    out = tmp_path / "out"
-    ckpt = tmp_path / "ckpt"
-    (
-        read_changes_stream(spark, store, "t", starting_version=1)
-        .writeStream.format("parquet")
-        .option("path", str(out))
-        .option("checkpointLocation", str(ckpt))
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
-    )
-    got = {
-        (r["id"], r["v"], r["_change_type"])
-        for r in spark.read.parquet(str(out)).collect()
-    }
-    assert got == {
+    expected = {
         (2, 2.0, "update_preimage"),
         (2, 20.0, "update_postimage"),
         (3, 3.0, "insert"),
+    }
+    for engine in ("duckdb", "arrow"):
+        out = tmp_path / f"out_{engine}"
+        ckpt = tmp_path / f"ckpt_{engine}"
+        (
+            read_changes_stream(
+                spark, store, "t", starting_version=1, diff_engine=engine
+            )
+            .writeStream.format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+        got = {
+            (r["id"], r["v"], r["_change_type"])
+            for r in spark.read.parquet(str(out)).collect()
+        }
+        assert got == expected, engine
+
+
+def test_cdf_stream_engine_parity_exotic_types(spark, tmp_path):
+    """The two diff engines must produce IDENTICAL multisets on the
+    exotic-type surface: NULL keys (null-safe matching), NULL payload,
+    decimals, dates, LTZ timestamps (tz-aware out of both engines),
+    strings, binary, and schema-evolution NULL backfill."""
+    import datetime as dt
+    from collections import Counter
+
+    from datapipelinerepo_spark.io import TableStore
+    from datapipelinerepo_spark.sources.cdf_stream import (
+        TableChangesStreamReader,
+    )
+
+    store = TableStore(spark, str(tmp_path))
+    schema = (
+        "id long, d decimal(12,4), dd date, ts timestamp, s string, "
+        "b binary"
+    )
+    rows = [
+        (1, None, dt.date(2020, 1, 2), dt.datetime(2020, 1, 2, 3, 4, 5),
+         "a", bytearray(b"\x00\x01")),
+        (None, None, None, None, None, None),  # NULL key row
+        (3, None, dt.date(2021, 5, 6), None, "it's", bytearray(b"q")),
+    ]
+    store.overwrite_keyed(
+        spark.createDataFrame(rows, schema), "t", "id",
+        n_buckets=2, versioned=True,
+    )
+    # window: update the NULL-keyed row, delete one, insert one, and
+    # widen the schema (NULL backfill on the old side)
+    up = [
+        (None, None, None, None, "CHANGED", None, 9.5),
+        (4, None, dt.date(2022, 1, 1),
+         dt.datetime(2022, 2, 2, tzinfo=dt.timezone.utc), "new", None,
+         1.5),
+    ]
+    store.upsert(
+        spark.createDataFrame(up, schema + ", extra double"), "t", "id"
+    )
+    store.delete_where("t", "id = 1")
+    rdr = TableChangesStreamReader({"path": str(tmp_path), "table": "t"})
+    parts = rdr.partitions(rdr._offset(1), rdr._offset(rdr.current))
+
+    def drain(engine):
+        out = []
+        for p in parts:
+            p2 = type(p)(
+                base_dir=p.base_dir, old_files=p.old_files,
+                new_files=p.new_files, keys=p.keys, cols=p.cols,
+                engine=engine,
+            )
+            out.extend(rdr.read(p2))
+        return Counter(tuple(r) for r in out)
+
+    duck, arrow = drain("duckdb"), drain("arrow")
+    assert duck == arrow, (
+        f"engines diverged:\n  duck-only={duck - arrow}\n  "
+        f"arrow-only={arrow - duck}"
+    )
+    # sanity: the window actually exercised every change class
+    tags = {r[-1] for r in duck}
+    assert tags == {
+        "insert", "delete", "update_preimage", "update_postimage"
     }
