@@ -62,15 +62,15 @@ from ..io import (
 )
 
 
-# The per-bucket diff runs EMBEDDED DUCKDB inside
-# DataSourceStreamReader.read() — a hard runtime dependency of this
-# source on every executor (VERDICT r9 item 6). The probe below runs at
-# stream START on the driver, so a missing/ancient wheel fails the
-# query up front with a message naming the requirement, instead of an
-# ImportError thrown from deep inside a Python data source at task
-# time, mid-drain. (The driver's environment is the proxy check — on a
-# real cluster, ship the same wheel to executors, e.g. via
-# spark.submit.pyFiles / a cluster image.)
+# When the DUCKDB diff engine is selected, read() runs embedded DuckDB
+# on every executor — the probe below runs at stream START on the
+# driver, so a missing/ancient wheel fails the query up front (or
+# routes auto mode to the arrow fallback) instead of an ImportError
+# thrown from deep inside a Python data source at task time, mid-drain.
+# (The driver's environment is the proxy check — on a real cluster,
+# whichever engine is selected must be importable on executors too,
+# e.g. via a cluster image; pyarrow ships with PySpark's own
+# requirements, which is why it is the fallback.)
 _DUCKDB_MIN = (0, 9, 0)
 
 
@@ -116,8 +116,22 @@ def _resolve_diff_engine(requested: str | None) -> str:
         try:
             _require_duckdb()
             return "duckdb"
-        except RuntimeError:
-            requested = "arrow"  # fall through to the arrow probe
+        except RuntimeError as duck_err:
+            try:
+                import pyarrow  # noqa: F401
+                import pyarrow.compute  # noqa: F401
+            except ImportError as arrow_err:
+                # name BOTH missing engines: the user never selected
+                # arrow, so an arrow-only message would hide that
+                # installing duckdb is an equally valid fix
+                # (code-review r10 wave 6)
+                raise RuntimeError(
+                    "the tablestore_changes stream has no usable diff "
+                    f"engine: duckdb unavailable ({duck_err}); pyarrow "
+                    f"unavailable ({arrow_err}) — install either on "
+                    "the driver and every executor"
+                ) from arrow_err
+            return "arrow"
     if requested == "duckdb":
         _require_duckdb()
         return "duckdb"
@@ -216,10 +230,9 @@ def _arrow_type(spark_type: str):
         "string": pa.string(), "boolean": pa.bool_(),
         "date": pa.date32(),
         "timestamp": pa.timestamp("us", tz="UTC"),
-        "timestamp_ns": pa.timestamp("us", tz="UTC"),
         "timestamp_ntz": pa.timestamp("us"),
         "binary": pa.binary(),
-    }[t]  # same surface _duck_type validated at plan time
+    }[t]  # exactly _DUCK_TYPES' surface, validated at plan time
 
 
 def _fill_scalar(at):
@@ -263,10 +276,20 @@ def _read_side_arrow(base_dir: str, files: list[str], cols: list[tuple]):
     fields = [(log, phys, _arrow_type(st)) for log, phys, _, st in cols]
     schema = pa.schema([(log, at) for log, _, at in fields])
     tables = []
+    needed = {phys for _, phys, _ in fields}
     for f in files:
         import pyarrow.parquet as pq
 
-        t = pq.read_table(os.path.join(base_dir, f))
+        path = os.path.join(base_dir, f)
+        # projection pushed into the scan (footer-only cost to prune):
+        # dropped/renamed-away physical columns in old files must not
+        # be decoded just to be discarded (code-review r10 wave 6)
+        have = [
+            c
+            for c in pq.ParquetFile(path).schema_arrow.names
+            if c in needed
+        ]
+        t = pq.read_table(path, columns=have)
         n = t.num_rows
         data = {}
         for log, phys, at in fields:
@@ -324,21 +347,42 @@ def _read_arrow(partition: ChangesPartition):
             pc.fill_null(pc.equal(a, b), False),
             pc.and_(pc.is_null(a), pc.is_null(b)),
         )
+        if pa.types.is_floating(j.schema.field("_o_" + c).type):
+            # NaN: pc.equal is IEEE (NaN != NaN) but the diff contract
+            # is IS NOT DISTINCT FROM / eqNullSafe (NaN == NaN, like
+            # the duckdb engine and TableStore.table_changes) — an
+            # unchanged NaN row in a rewritten bucket must not surface
+            # as a phantom update (code-review r10 wave 6). fill_null:
+            # is_nan(NULL) is NULL and arrow's and_/or_ are NOT Kleene
+            # — an unfilled NULL here would poison `same` and silently
+            # DROP the row from every change class
+            e = pc.or_(
+                e,
+                pc.fill_null(
+                    pc.and_(pc.is_nan(a), pc.is_nan(b)), False
+                ),
+            )
         same = e if same is None else pc.and_(same, e)
     if same is None:  # key-only table: presence IS equality
         same = pa.nulls(j.num_rows, pa.bool_()).fill_null(True)
     changed = pc.and_(both, pc.invert(same))
 
-    def _emit(mask, prefix, tag):
-        sub = j.filter(mask)
-        arrays = [sub[prefix + c].to_pylist() for c in names]
-        for row in zip(*arrays):
-            yield (*row, tag)
+    def _emit(sub, prefix, tag):
+        # stream per record batch — never the whole filtered result as
+        # simultaneous full-size Python lists (code-review r10 wave 6:
+        # a bulk-load window classifies a whole bucket as inserts, and
+        # the duckdb engine bounds residency at 10k rows via fetchmany)
+        want = [prefix + c for c in names]
+        for batch in sub.select(want).to_batches(max_chunksize=10_000):
+            arrays = [batch.column(i).to_pylist() for i in range(len(want))]
+            for row in zip(*arrays):
+                yield (*row, tag)
 
-    yield from _emit(pc.and_(np_, pc.invert(op)), "_n_", "insert")
-    yield from _emit(pc.and_(op, pc.invert(np_)), "_o_", "delete")
-    yield from _emit(changed, "_o_", "update_preimage")
-    yield from _emit(changed, "_n_", "update_postimage")
+    chg = j.filter(changed)  # computed ONCE for both update images
+    yield from _emit(j.filter(pc.and_(np_, pc.invert(op))), "_n_", "insert")
+    yield from _emit(j.filter(pc.and_(op, pc.invert(np_))), "_o_", "delete")
+    yield from _emit(chg, "_o_", "update_preimage")
+    yield from _emit(chg, "_n_", "update_postimage")
 
 
 @dataclass

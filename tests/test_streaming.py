@@ -1337,38 +1337,52 @@ def test_cdf_stream_duckdb_fence_and_quoted_paths(spark, tmp_path):
 def test_cdf_stream_engine_parity_exotic_types(spark, tmp_path):
     """The two diff engines must produce IDENTICAL multisets on the
     exotic-type surface: NULL keys (null-safe matching), NULL payload,
-    decimals, dates, LTZ timestamps (tz-aware out of both engines),
-    strings, binary, and schema-evolution NULL backfill."""
+    non-null decimals (changed AND carried), NaN doubles (NaN == NaN
+    per the IS-NOT-DISTINCT-FROM contract — an unchanged NaN row in a
+    rewritten bucket must emit NOTHING), dates, LTZ timestamps
+    (tz-aware out of both engines), strings, binary, and
+    schema-evolution NULL backfill. n_buckets=1 forces every window to
+    rewrite ALL rows, so the unchanged-row cancellation path is
+    exercised for every type."""
     import datetime as dt
     from collections import Counter
+    from decimal import Decimal
 
     from datapipelinerepo_spark.io import TableStore
     from datapipelinerepo_spark.sources.cdf_stream import (
         TableChangesStreamReader,
     )
 
+    nan = float("nan")
     store = TableStore(spark, str(tmp_path))
     schema = (
         "id long, d decimal(12,4), dd date, ts timestamp, s string, "
-        "b binary"
+        "b binary, x double"
     )
     rows = [
-        (1, None, dt.date(2020, 1, 2), dt.datetime(2020, 1, 2, 3, 4, 5),
-         "a", bytearray(b"\x00\x01")),
-        (None, None, None, None, None, None),  # NULL key row
-        (3, None, dt.date(2021, 5, 6), None, "it's", bytearray(b"q")),
+        (1, Decimal("1.5"), dt.date(2020, 1, 2),
+         dt.datetime(2020, 1, 2, 3, 4, 5), "a", bytearray(b"\x00\x01"),
+         nan),
+        (None, Decimal("2"), None, None, None, None, nan),  # NULL key
+        (3, None, dt.date(2021, 5, 6), None, "it's", bytearray(b"q"),
+         0.5),
+        (5, Decimal("9.9"), None, None, "same", None, nan),  # untouched
+        (6, Decimal("3.3"), None, None, "dec", None, None),
     ]
     store.overwrite_keyed(
         spark.createDataFrame(rows, schema), "t", "id",
-        n_buckets=2, versioned=True,
+        n_buckets=1, versioned=True,
     )
-    # window: update the NULL-keyed row, delete one, insert one, and
-    # widen the schema (NULL backfill on the old side)
+    # window: update the NULL-keyed row (its NaN carries), change row
+    # 6's DECIMAL, delete row 1, insert row 4 (NaN payload), and widen
+    # the schema (NULL backfill on the old side). Row 5 is untouched —
+    # but the single bucket rewrites, so both engines must cancel it.
     up = [
-        (None, None, None, None, "CHANGED", None, 9.5),
+        (None, Decimal("2"), None, None, "CHANGED", None, nan, 9.5),
         (4, None, dt.date(2022, 1, 1),
          dt.datetime(2022, 2, 2, tzinfo=dt.timezone.utc), "new", None,
-         1.5),
+         nan, 1.5),
+        (6, Decimal("4.4"), None, None, "dec", None, None, None),
     ]
     store.upsert(
         spark.createDataFrame(up, schema + ", extra double"), "t", "id"
@@ -1386,15 +1400,33 @@ def test_cdf_stream_engine_parity_exotic_types(spark, tmp_path):
                 engine=engine,
             )
             out.extend(rdr.read(p2))
-        return Counter(tuple(r) for r in out)
+        def norm(v):
+            # isoformat: the engines attach DIFFERENT (but equal-UTC)
+            # tzinfo objects — pytz StaticTzInfo vs arrow's — and repr
+            # would flag that cosmetic difference; repr elsewhere keeps
+            # NaN comparable (NaN != NaN under ==) and decimals exact
+            if isinstance(v, dt.datetime):
+                return v.isoformat()
+            return repr(v)
+
+        return Counter(tuple(norm(v) for v in r) for r in out)
 
     duck, arrow = drain("duckdb"), drain("arrow")
     assert duck == arrow, (
         f"engines diverged:\n  duck-only={duck - arrow}\n  "
         f"arrow-only={arrow - duck}"
     )
-    # sanity: the window actually exercised every change class
-    tags = {r[-1] for r in duck}
+    # sanity: every change class fired, and the untouched NaN row
+    # (id=5) emitted NOTHING despite its bucket being rewritten twice
+    tags = {eval(r[-1]) for r in duck}
     assert tags == {
         "insert", "delete", "update_preimage", "update_postimage"
     }
+    assert not [r for r in duck if r[0] == "5"], (
+        "unchanged NaN row surfaced as a phantom change"
+    )
+    # the decimal change is visible with exact values
+    dec_rows = {r for r in duck if r[0] == "6"}
+    assert any("4.4" in r[1] for r in dec_rows) and any(
+        "3.3" in r[1] for r in dec_rows
+    )
