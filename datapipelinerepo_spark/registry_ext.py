@@ -6233,3 +6233,139 @@ def store_incremental_join(spark, sf_dir):
             "c_acctbal",
         )
     )
+
+
+@register(
+    "store_streaming_join",
+    sql="""
+    WITH fact0 AS (
+      SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      WHERE o_orderkey % 2 = 0
+    ), factinc AS (
+      SELECT o_orderkey, o_custkey, o_totalprice * 2 AS o_totalprice
+      FROM orders WHERE o_orderkey % 10 IN (0, 5)
+    ), fact1 AS (
+      SELECT * FROM factinc
+      UNION ALL
+      SELECT * FROM fact0
+      WHERE o_orderkey NOT IN (SELECT o_orderkey FROM factinc)
+    ), fact2 AS (
+      SELECT * FROM fact1 WHERE NOT coalesce(o_totalprice > 300000, FALSE)
+    ), dim0 AS (
+      SELECT c_custkey, c_name, c_acctbal FROM customer
+      WHERE c_custkey % 3 <> 0
+    ), diminc AS (
+      SELECT c_custkey, c_name, c_acctbal * 2 AS c_acctbal
+      FROM customer WHERE c_custkey % 5 = 0
+    ), dim1 AS (
+      SELECT * FROM diminc
+      UNION ALL
+      SELECT * FROM dim0
+      WHERE c_custkey NOT IN (SELECT c_custkey FROM diminc)
+    ), dim2 AS (
+      SELECT * FROM dim1 WHERE c_custkey % 7 <> 0
+    )
+    SELECT f.o_orderkey, f.o_custkey, f.o_totalprice,
+           d.c_name, d.c_acctbal
+    FROM fact2 f LEFT JOIN dim2 d ON f.o_custkey = d.c_custkey
+    """,
+)
+def store_streaming_join(spark, sf_dir):
+    """STREAMING MAINTAINED JOIN VIEW, hash-checked end to end
+    (streaming/ingest.maintained_join_view_stream — the foreachBatch →
+    upsert_txn → sync_join_view loop, the join twin of
+    store_streaming_rollup): the store_incremental_join lifecycle's
+    FACT windows arrive as two parquet micro-batches through a real
+    Structured Streaming file source (batch ids 0 and 1, each landing
+    in the versioned fact exactly-once before the delta-join sync),
+    while the fact delete and ALL dim churn happen externally and are
+    absorbed by a direct sync — the feeds are version-driven, not
+    batch-driven. The final view must hash-equal the one-shot LEFT
+    JOIN oracle; since this lands the SAME end state as
+    store_incremental_join through an entirely different fact write
+    path, the pair cross-checks the whole viewmaint machinery."""
+    import os
+    import shutil
+    import tempfile
+
+    from .io import TableStore
+    from .plans.viewmaint import sync_join_view
+    from .streaming.ingest import maintained_join_view_stream
+
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    fact0 = orders.filter(F.col("o_orderkey") % 2 == 0)
+    factinc = (
+        orders.filter((F.col("o_orderkey") % 10).isin(0, 5))
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+    )
+    dim0 = (
+        t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 3 != 0)
+        .select("c_custkey", "c_name", "c_acctbal")
+    )
+    diminc = (
+        t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 5 == 0)
+        .select(
+            "c_custkey",
+            "c_name",
+            (F.col("c_acctbal") * 2).alias("c_acctbal"),
+        )
+    )
+    d = tempfile.mkdtemp(prefix="strjoin_")
+    try:
+        src = os.path.join(d, "in")
+        os.makedirs(src)
+        store = TableStore(spark, os.path.join(d, "store"))
+        store.overwrite_keyed(
+            dim0, "dim", "c_custkey", n_buckets=8, versioned=True
+        )
+
+        def stage(df, tag):
+            staging = os.path.join(d, f"stage_{tag}")
+            df.coalesce(1).write.parquet(staging)
+            for i, f in enumerate(sorted(os.listdir(staging))):
+                if f.endswith(".parquet"):
+                    os.rename(
+                        os.path.join(staging, f),
+                        os.path.join(src, f"{tag}_{i}.parquet"),
+                    )
+            shutil.rmtree(staging)
+
+        def drain():
+            stream = spark.readStream.schema(
+                "o_orderkey long, o_custkey long, o_totalprice double"
+            ).parquet(src)
+            maintained_join_view_stream(
+                stream, store, os.path.join(d, "ckpt"),
+                "o_orderkey", "o_custkey", "c_custkey",
+                fact_table="fact", dim_table="dim", view_table="v",
+                n_buckets=16, view_buckets=16,
+            ).awaitTermination()
+
+        stage(fact0, "b1")
+        drain()
+        stage(factinc, "b2")
+        drain()
+        _require(
+            store.last_txn("fact", "maintained_join_view_stream") == 1,
+            "exactly two micro-batches (ids 0, 1) must have landed",
+        )
+        # external churn the stream never saw: a fact delete + the
+        # whole dim window — one direct sync absorbs all of it
+        store.delete_where("fact", F.col("o_totalprice") > 300000)
+        store.upsert(diminc, "dim", "c_custkey")
+        store.delete_where("dim", F.col("c_custkey") % 7 == 0)
+        sync_join_view(
+            store, "fact", "dim", "v", "o_orderkey", "o_custkey",
+            "c_custkey",
+        )
+        result = store.read("v").select(
+            "o_orderkey", "o_custkey", "o_totalprice", "c_name",
+            "c_acctbal",
+        )
+        return spark.createDataFrame(result.collect(), result.schema)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

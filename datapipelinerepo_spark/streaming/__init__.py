@@ -3,6 +3,7 @@ from .ingest import (  # noqa: F401
     enrich_stream,
     funnel_stage_stream,
     interval_join_streams,
+    maintained_join_view_stream,
     maintained_rollup_stream,
     near_dup_ingest_stream,
     read_base64_event_stream,

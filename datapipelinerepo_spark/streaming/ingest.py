@@ -726,3 +726,70 @@ def maintained_rollup_stream(
     if available_now:
         w = w.trigger(availableNow=True)
     return w.start()
+
+
+def maintained_join_view_stream(
+    updates: DataFrame,
+    store,
+    checkpoint_dir: str,
+    fact_key: str,
+    fact_join_col: str,
+    dim_join_col: str,
+    fact_table: str = "facts",
+    dim_table: str = "dim",
+    view_table: str = "facts_enriched",
+    app_id: str = "maintained_join_view_stream",
+    n_buckets: int = 64,
+    view_buckets: int = 16,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming MAINTAINED JOIN VIEW (r10): each micro-batch (1) lands
+    in the versioned FACT table exactly-once via ``upsert_txn`` with
+    the Spark-assigned batch_id as the transaction version, then
+    (2) catches the materialized fact⟕dim view up to BOTH bases'
+    current versions via ``plans.viewmaint.sync_join_view`` — the
+    delta-join loop driven from foreachBatch, the join-view twin of
+    ``maintained_rollup_stream``. Dim churn arriving through OTHER
+    writers between batches is absorbed by the next batch's sync (the
+    feeds are version-driven, not batch-driven).
+
+    The same at-least-once failure taxonomy converges: a replayed
+    batch (even poisoned — different data, same batch_id) skips at the
+    fact upsert's commit-time replay check and the follow-on sync
+    no-ops; a crash between upsert and sync leaves the view one window
+    behind, covered by the next batch; concurrent zombie drivers
+    serialize on the manifest claims and the per-base watermark CAS.
+    The DIM table must already exist (versioned, keyed on
+    ``dim_join_col``) — a stream cannot create the dimension it
+    enriches from.
+
+    Per-batch cost: the batch's fact buckets + the churned view rows —
+    never a fact re-scan (dim churn pays the view's documented
+    column-pruned (fact_key, join_col) scan)."""
+    from ..plans.viewmaint import sync_join_view
+
+    def _apply(batch: DataFrame, batch_id: int) -> None:
+        batch = batch.localCheckpoint(eager=True)
+        store.upsert_txn(
+            batch, fact_table, fact_key, app_id, int(batch_id),
+            n_buckets=n_buckets,
+        )
+        sync_join_view(
+            store,
+            fact_table,
+            dim_table,
+            view_table,
+            fact_key,
+            fact_join_col,
+            dim_join_col,
+            n_buckets=view_buckets,
+        )
+
+    w = (
+        updates.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()

@@ -1430,3 +1430,94 @@ def test_cdf_stream_engine_parity_exotic_types(spark, tmp_path):
     assert any("4.4" in r[1] for r in dec_rows) and any(
         "3.3" in r[1] for r in dec_rows
     )
+
+
+def test_maintained_join_view_stream_end_to_end(spark, tmp_path):
+    """r10: the streaming maintained JOIN-VIEW loop — the join twin of
+    maintained_rollup_stream. Each drained micro-batch upserts the
+    FACT exactly-once and syncs the fact⟕dim view through both change
+    feeds; after every drain the view equals a direct LEFT-join
+    recompute. External DIM churn between drains is picked up by the
+    next batch's sync; a drained replay adds nothing; a POISONED
+    replayed batch (different data, same batch id) is refused at the
+    fact commit so the view never sees it."""
+    import json
+
+    from datapipelinerepo_spark.io import TableStore
+    from datapipelinerepo_spark.plans.viewmaint import sync_join_view
+    from datapipelinerepo_spark.streaming.ingest import (
+        maintained_join_view_stream,
+    )
+
+    src = tmp_path / "in"
+    src.mkdir()
+    store = TableStore(spark, str(tmp_path / "store"))
+    ckpt = str(tmp_path / "ckpt")
+    schema = "fid long, ck long, amt double"
+    # the dim must pre-exist (versioned, keyed on the join column)
+    store.overwrite_keyed(
+        spark.createDataFrame(
+            [(k, f"c{k}", 10.0 * k) for k in (0, 1, 2)],
+            "ck long, nm string, bal double",
+        ),
+        "d", "ck", n_buckets=2, versioned=True,
+    )
+
+    def drain():
+        stream = spark.readStream.schema(schema).json(str(src))
+        maintained_join_view_stream(
+            stream, store, ckpt, "fid", "ck", "ck",
+            fact_table="f", dim_table="d", view_table="v",
+            n_buckets=4, view_buckets=2,
+        ).awaitTermination()
+
+    def recompute():
+        f, d = store.read("f"), store.read("d")
+        j = f.join(d, f["ck"] == d["ck"], "left").select(
+            f["fid"], f["ck"], "amt", "nm", "bal"
+        )
+        return {r["fid"]: tuple(r)[1:] for r in j.collect()}
+
+    def view():
+        return {
+            r["fid"]: (r["ck"], r["amt"], r["nm"], r["bal"])
+            for r in store.read("v").collect()
+        }
+
+    rows = [
+        {"fid": i, "ck": i % 4, "amt": float(i)} for i in range(10)
+    ]  # ck=3 unmatched -> NULL payload
+    (src / "b1.json").write_text("\n".join(json.dumps(r) for r in rows))
+    drain()
+    assert view() == recompute()
+    assert view()[3][2:] == (None, None)
+    # batch 2: a fact update (fid 1 moves join keys) + an insert,
+    # with EXTERNAL dim churn the stream never saw in between
+    rows2 = [
+        {"fid": 1, "ck": 2, "amt": 100.0},
+        {"fid": 20, "ck": 0, "amt": -7.0},
+    ]
+    (src / "b2.json").write_text("\n".join(json.dumps(r) for r in rows2))
+    store.upsert(
+        spark.createDataFrame([(2, "c2x", 222.0)], "ck long, nm string, bal double"),
+        "d", "ck",
+    )
+    store.delete_where("d", "ck = 0")
+    drain()
+    assert view() == recompute()
+    assert view()[1][2:] == ("c2x", 222.0)
+    assert view()[20][2:] == (None, None)  # deleted dim key
+    fact_now = {r["fid"]: r["amt"] for r in store.read("f").collect()}
+    # drained replay: same checkpoint, no new files — nothing changes
+    drain()
+    assert view() == recompute()
+    assert {r["fid"]: r["amt"] for r in store.read("f").collect()} == fact_now
+    # poisoned replay: DIFFERENT data under an already-committed batch
+    # id — the fact upsert refuses at commit; the sync no-ops
+    app = "maintained_join_view_stream"
+    used = store.last_txn("f", app)
+    poison = spark.createDataFrame([(1, 0, -1e9)], schema)
+    assert store.upsert_txn(poison, "f", "fid", app, used) is False
+    sync_join_view(store, "f", "d", "v", "fid", "ck", "ck")
+    assert view() == recompute()
+    assert {r["fid"]: r["amt"] for r in store.read("f").collect()} == fact_now
