@@ -5914,6 +5914,25 @@ def store_auto_compact(spark, sf_dir):
     return finish(store.read("t").select("o_orderkey", "o_totalprice"))
 
 
+def _stage_one_parquet(df, workdir: str, src: str, tag: str) -> None:
+    """Land ``df`` as ONE parquet file in a file-stream source dir —
+    one staged file per call = one micro-batch per availableNow drain.
+    Shared by the streaming-rollup and streaming-join proofs
+    (code-review r10 wave 7: two drifting copies)."""
+    import os
+    import shutil
+
+    staging = os.path.join(workdir, f"stage_{tag}")
+    df.coalesce(1).write.parquet(staging)
+    parts = [f for f in sorted(os.listdir(staging)) if f.endswith(".parquet")]
+    os.makedirs(src, exist_ok=True)
+    for i, f in enumerate(parts):
+        os.rename(
+            os.path.join(staging, f), os.path.join(src, f"{tag}_{i}.parquet")
+        )
+    shutil.rmtree(staging)
+
+
 @register(
     "store_streaming_rollup",
     sql=_IVM_CTES + """
@@ -5961,16 +5980,7 @@ def store_streaming_rollup(spark, sf_dir):
     kw = dict(min_col="min_val", max_col="max_val", avg_col="avg_val")
 
     def stage(df, tag):
-        # land one parquet file in the stream's source dir = one batch
-        staging = os.path.join(d, f"stage_{tag}")
-        df.coalesce(1).write.parquet(staging)
-        parts = [f for f in sorted(os.listdir(staging)) if f.endswith(".parquet")]
-        for i, f in enumerate(parts):
-            os.rename(
-                os.path.join(staging, f),
-                os.path.join(src, f"{tag}_{i}.parquet"),
-            )
-        shutil.rmtree(staging)
+        _stage_one_parquet(df, d, src, tag)
 
     def drain():
         stream = spark.readStream.schema(
@@ -6324,15 +6334,7 @@ def store_streaming_join(spark, sf_dir):
         )
 
         def stage(df, tag):
-            staging = os.path.join(d, f"stage_{tag}")
-            df.coalesce(1).write.parquet(staging)
-            for i, f in enumerate(sorted(os.listdir(staging))):
-                if f.endswith(".parquet"):
-                    os.rename(
-                        os.path.join(staging, f),
-                        os.path.join(src, f"{tag}_{i}.parquet"),
-                    )
-            shutil.rmtree(staging)
+            _stage_one_parquet(df, d, src, tag)
 
         def drain():
             stream = spark.readStream.schema(

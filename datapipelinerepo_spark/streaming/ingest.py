@@ -605,6 +605,22 @@ def cdc_apply_txn(
     return True
 
 
+def _start_foreach_batch(
+    updates: DataFrame, apply, checkpoint_dir: str, available_now: bool
+) -> StreamingQuery:
+    """The shared foreachBatch starter the maintained-table streams use
+    (ONE definition — code-review r10 wave 7: three copies of the same
+    8-line scaffolding drift apart on the next shape change)."""
+    w = (
+        updates.writeStream.foreachBatch(apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
 def versioned_upsert_stream(
     updates: DataFrame,
     store,
@@ -640,14 +656,9 @@ def versioned_upsert_stream(
             batch, table, key, app_id, int(batch_id), n_buckets=n_buckets
         )
 
-    w = (
-        updates.writeStream.foreachBatch(_apply)
-        .option("checkpointLocation", checkpoint_dir)
-        .outputMode("update")
+    return _start_foreach_batch(
+        updates, _apply, checkpoint_dir, available_now
     )
-    if available_now:
-        w = w.trigger(availableNow=True)
-    return w.start()
 
 
 def maintained_rollup_stream(
@@ -718,14 +729,9 @@ def maintained_rollup_stream(
             n_buckets=rollup_buckets,
         )
 
-    w = (
-        updates.writeStream.foreachBatch(_apply)
-        .option("checkpointLocation", checkpoint_dir)
-        .outputMode("update")
+    return _start_foreach_batch(
+        updates, _apply, checkpoint_dir, available_now
     )
-    if available_now:
-        w = w.trigger(availableNow=True)
-    return w.start()
 
 
 def maintained_join_view_stream(
@@ -768,6 +774,22 @@ def maintained_join_view_stream(
     column-pruned (fact_key, join_col) scan)."""
     from ..plans.viewmaint import sync_join_view
 
+    # fail fast BEFORE start(): a missing/mis-keyed dim would otherwise
+    # surface as a StreamingQueryException from inside batch 0's
+    # foreachBatch — after the fact upsert landed — and every restart
+    # would replay into the same crash (code-review r10 wave 7; the
+    # same fail-fast class wave 5 added to sync_join_view itself)
+    if not store.is_versioned(dim_table) or (
+        store.keyed_spec(dim_table) is None
+        or list(store.keyed_spec(dim_table)[0]) != [dim_join_col]
+    ):
+        raise ValueError(
+            f"{dim_table}: maintained_join_view_stream needs a "
+            f"pre-existing dim table, versioned and keyed on "
+            f"[{dim_join_col!r}] — a stream cannot create the "
+            "dimension it enriches from"
+        )
+
     def _apply(batch: DataFrame, batch_id: int) -> None:
         batch = batch.localCheckpoint(eager=True)
         store.upsert_txn(
@@ -785,11 +807,6 @@ def maintained_join_view_stream(
             n_buckets=view_buckets,
         )
 
-    w = (
-        updates.writeStream.foreachBatch(_apply)
-        .option("checkpointLocation", checkpoint_dir)
-        .outputMode("update")
+    return _start_foreach_batch(
+        updates, _apply, checkpoint_dir, available_now
     )
-    if available_now:
-        w = w.trigger(availableNow=True)
-    return w.start()
