@@ -184,6 +184,19 @@ _CHANGED_IN_ROUND = {
     "store_column_mapping": 10,
     "store_rebucket": 10,
     "store_stats_skipping": 10,
+    # r11: the 7 r10 hash-red queries (VERDICT r10 item 1 — one proven
+    # root cause: a bare DECIMAL(28,4) sum_val output column under the
+    # driver's oracle env) now cast the driver-facing sum_val to DOUBLE
+    # on BOTH sides (decimal arithmetic + IVM self-checks unchanged;
+    # sf0.01 literal pins retired per item 3); re-proven locally at
+    # sf0.001 + sf0.01
+    "store_incremental_rollup": 11,
+    "store_incremental_minmax": 11,
+    "store_ivm_pure_agg": 11,
+    "store_incremental_rollup_recompute": 11,
+    "store_incremental_rollup_sum": 11,
+    "store_streaming_rollup": 11,
+    "store_incremental_distinct": 11,
 }
 
 

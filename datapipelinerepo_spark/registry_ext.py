@@ -5200,13 +5200,20 @@ def store_merge_when(spark, sf_dir):
 #                             full IVM, single output column
 #   store_incremental_minmax_extrema
 #                             full min/max IVM, extrema columns only
-# and the two red queries are now SELF-CHECKING (IVM state must multiset-
+# and the two red queries are SELF-CHECKING (IVM state must multiset-
 # equal a direct recompute over the store's final state, with the full
-# per-group diff in the raised message) and carry an sf0.01 LITERAL PIN
-# (expected values from DuckDB 1.0.0 on the round-10 testdata): under the
-# driver, {pin green + self-check green + hash red} proves the divergence
-# is oracle-side (the driver's DuckDB disagrees with DuckDB 1.0.0);
-# {pin red} names the exact Spark-side value that moved.
+# per-group diff in the raised message). The lattice CONCLUDED in r10:
+# every red row was exactly a query emitting a bare DECIMAL(28,4)
+# sum_val output column (all controls without it green, the no-store
+# pure-agg control red, every err null = self-checks + the sf0.01
+# DuckDB-1.0.0 literal pin passed under the driver) — the driver's
+# oracle environment normalizes DECIMAL output columns differently from
+# DuckDB 1.0.0; the engine's values are right. r11 therefore casts the
+# final sum_val projection to DOUBLE on BOTH sides (lossless at these
+# magnitudes; the green a_cube_order_volume pattern), keeps the decimal
+# arithmetic and the self-checks, and retires the literal pins
+# (VERDICT r10 items 1+3). tests/oracle.py now lint-bans DecimalType in
+# any driver-facing output schema so the class can't recur.
 
 _IVM_CTES = """
     WITH base AS (
@@ -5309,10 +5316,19 @@ def _ivm_minmax_lifecycle(spark, sf_dir, prefix):
     return store, finish
 
 
-def _ivm_direct_agg(state, minmax: bool):
+def _ivm_direct_agg(state, minmax: bool, sum_as_double: bool = False):
     """One-shot aggregate over a base-table state, with the exact
     aliases/types the maintained rollup carries — the recompute the IVM
-    result must bit-equal (NULL-as-0 sum semantics match seed_rollup)."""
+    result must bit-equal (NULL-as-0 sum semantics match seed_rollup).
+
+    ``sum_as_double`` casts the FINAL sum_val projection to DOUBLE for
+    driver-facing output (VERDICT r10 item 1: the r8–r10 driver's
+    oracle environment normalizes bare DECIMAL output columns
+    differently from DuckDB 1.0.0 — the 17 decimal-arithmetic queries
+    that cast their final output to DOUBLE, e.g. a_cube_order_volume,
+    are green; the 7 that emitted DECIMAL(28,4) directly were the ONLY
+    reds. Lossless here: the sums are ~2.3e12 ten-thousandths, far
+    under 2^53). The arithmetic stays decimal end to end."""
     aggs = [
         F.count(F.lit(1)).alias("n_rows"),
         F.coalesce(
@@ -5332,14 +5348,21 @@ def _ivm_direct_agg(state, minmax: bool):
         out = out.withColumn(
             "avg_val", F.col("sum_val").cast("double") / F.col("n_rows")
         )
+    if sum_as_double:
+        out = out.withColumn("sum_val", F.col("sum_val").cast("double"))
     return out
 
 
-def _ivm_rollup_cols(minmax: bool):
+def _ivm_rollup_cols(minmax: bool, sum_as_double: bool = False):
+    sum_col = F.col("sum_val").cast("decimal(28,4)")
+    if sum_as_double:
+        # Driver-facing projection: DOUBLE, never a bare DECIMAL column
+        # (VERDICT r10 item 1 — see _ivm_direct_agg's docstring).
+        sum_col = sum_col.cast("double")
     cols = [
         "o_orderstatus",
         "n_rows",
-        F.col("sum_val").cast("decimal(28,4)").alias("sum_val"),
+        sum_col.alias("sum_val"),
     ]
     if minmax:
         cols += ["min_val", "max_val", "avg_val"]
@@ -5371,30 +5394,23 @@ def _require_same_rows(a_rows, b_rows, label: str) -> None:
         )
 
 
-# Expected sf0.01 per-group values, computed with DuckDB 1.0.0 against
-# the round-10 testdata (orders.parquet md5 70788a8cef5c555a8d0e669205cf
-# a795; row counts stable across rounds 8-9). Tuple order:
-# (n_rows, sum_val, min_val, max_val, avg_val) as canonical strings.
-# Diagnostic pin for the driver-only hash mismatch — remove once the
-# divergence is localized.
-_IVM_SF001_PIN = {
-    "F": ("1468", "222612625.8400", "1013.7", "299816.32",
-          "151643.47809264305"),
-    "O": ("1539", "232010365.1100", "1143.47", "299484.7",
-          "150753.97343079923"),
-    "P": ("1511", "226131478.4700", "1067.39", "299993.74",
-          "149656.8355195235"),
-}
-
-
 def _ivm_selfcheck(store, minmax: bool, sf_dir: str, label: str):
-    """The r10 instrument core: collect the maintained rollup, require
-    it multiset-equal a direct recompute over the store's final state,
-    and (at sf0.01 only) require it equal the DuckDB-1.0.0 literal pin.
+    """The r10 instrument core: collect the maintained rollup and
+    require it multiset-equal a direct recompute over the store's final
+    state — the comparison runs on the DECIMAL sums, so incremental ≡
+    recompute stays bit-exact (double sums would drift with
+    accumulation order). The sf0.01 DuckDB-1.0.0 literal pin the r10
+    bisection carried is retired (VERDICT r10 item 3): it proved the
+    engine's values equal DuckDB 1.0.0's (recorded in CORRECTNESS_r10 —
+    all 7 reds had err=null) and would otherwise couple these queries
+    to one testdata build.
+
     Returns the ALREADY-COLLECTED rows as a literal frame (code-review
-    r10 wave 2): returning the live plan would make finish() re-run
-    the whole store read/aggregate job, and the hashed frame is now
-    bit-identical to the rows the pin/self-check just validated."""
+    r10 wave 2: returning the live plan would make finish() re-run the
+    whole store read/aggregate job), with sum_val cast to DOUBLE for
+    the driver-facing output (VERDICT r10 item 1 — see
+    _ivm_direct_agg's docstring; a bare DECIMAL output column is the
+    proven root cause of the r8–r10 driver-only hash reds)."""
     spark = store.spark
     ivm_df = store.read("r").select(*_ivm_rollup_cols(minmax))
     ivm_rows = ivm_df.collect()
@@ -5404,24 +5420,8 @@ def _ivm_selfcheck(store, minmax: bool, sf_dir: str, label: str):
         f"{label}: maintained rollup != direct recompute over the "
         f"store's final state (ivm, recompute)",
     )
-    if sf_dir.rstrip("/").endswith("sf0.01"):
-        n_take = 5 if minmax else 2
-        got = {}
-        for r in ivm_rows:
-            d = r.asDict()
-            vals = [str(d["n_rows"]), format(d["sum_val"], "f")]
-            if minmax:
-                vals += [repr(d["min_val"]), repr(d["max_val"]),
-                         repr(d["avg_val"])]
-            got[d["o_orderstatus"]] = tuple(vals)
-        expected = {k: v[:n_take] for k, v in _IVM_SF001_PIN.items()}
-        _require(
-            got == expected,
-            f"{label}: sf0.01 literal pin diff — got={got} "
-            f"expected={expected} (expected = DuckDB 1.0.0 on the "
-            f"round-10 testdata)",
-        )
-    return spark.createDataFrame(ivm_rows, ivm_df.schema)
+    out = spark.createDataFrame(ivm_rows, ivm_df.schema)
+    return out.withColumn("sum_val", F.col("sum_val").cast("double"))
 
 
 @register(
@@ -5443,8 +5443,8 @@ def _ivm_selfcheck(store, minmax: bool, sf_dir: str, label: str):
     )
     SELECT o_orderstatus,
            COUNT(*) AS n_rows,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
-                AS DECIMAL(28,4)) AS sum_val
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                AS DECIMAL(28,4)) AS DOUBLE) AS sum_val
     FROM v3 GROUP BY o_orderstatus
     """,
 )
@@ -5463,12 +5463,11 @@ def store_incremental_rollup(spark, sf_dir):
     buckets only) + a bucket-pruned conditional merge on the
     rollup.
 
-    r10 instrumentation (VERDICT r9 item 1b): SELF-CHECKING — the
-    maintained rollup must multiset-equal a direct recompute over the
-    store's final state (full per-group diff raised on divergence) and,
-    at sf0.01, equal the DuckDB-1.0.0 literal pin. Under the driver,
-    {no err + hash red} therefore proves the divergence is oracle-side;
-    {err} names the exact group/column/side that moved."""
+    SELF-CHECKING (r10 instrument, kept): the maintained rollup must
+    multiset-equal a direct recompute over the store's final state on
+    the DECIMAL values (full per-group diff raised on divergence); the
+    driver-facing sum_val is then cast to DOUBLE (VERDICT r10 item 1 —
+    the proven fix for the r8–r10 driver-env hash reds)."""
     store, finish = _ivm_rollup_lifecycle(spark, sf_dir, "ivm_")
     return finish(
         _ivm_selfcheck(store, False, sf_dir, "store_incremental_rollup")
@@ -5647,8 +5646,8 @@ def store_rebucket(spark, sf_dir):
     )
     SELECT o_orderstatus,
            COUNT(*) AS n_rows,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
-                AS DECIMAL(28,4)) AS sum_val,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                AS DECIMAL(28,4)) AS DOUBLE) AS sum_val,
            MIN(o_totalprice) AS min_val,
            MAX(o_totalprice) AS max_val,
            CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
@@ -5674,8 +5673,8 @@ def store_incremental_minmax(spark, sf_dir):
     sync_rollup, so the version bookkeeping (CAS watermarks,
     incarnation ids) carries the min/max path too.
 
-    r10 instrumentation (VERDICT r9 item 1b): self-checking against a
-    direct recompute + the sf0.01 DuckDB-1.0.0 literal pin, exactly as
+    Self-checking against a direct recompute on the decimal values,
+    with the driver-facing sum_val cast to DOUBLE, exactly as
     store_incremental_rollup — see there."""
     store, finish = _ivm_minmax_lifecycle(spark, sf_dir, "ivmx_")
     return finish(
@@ -5749,8 +5748,8 @@ def store_stats_skipping(spark, sf_dir):
     sql=_IVM_CTES + """
     SELECT o_orderstatus,
            COUNT(*) AS n_rows,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
-                AS DECIMAL(28,4)) AS sum_val
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                AS DECIMAL(28,4)) AS DOUBLE) AS sum_val
     FROM v3 GROUP BY o_orderstatus
     """,
 )
@@ -5768,7 +5767,7 @@ def store_ivm_pure_agg(spark, sf_dir):
     v3 = v2.filter(
         ~F.coalesce(F.col("o_totalprice") > 300000, F.lit(False))
     )
-    return _ivm_direct_agg(v3, False)
+    return _ivm_direct_agg(v3, False, sum_as_double=True)
 
 
 @register(
@@ -5797,8 +5796,8 @@ def store_ivm_base_state(spark, sf_dir):
     sql=_IVM_CTES + """
     SELECT o_orderstatus,
            COUNT(*) AS n_rows,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
-                AS DECIMAL(28,4)) AS sum_val
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                AS DECIMAL(28,4)) AS DOUBLE) AS sum_val
     FROM v3 GROUP BY o_orderstatus
     """,
 )
@@ -5810,7 +5809,9 @@ def store_incremental_rollup_recompute(spark, sf_dir):
     pipeline (or the oracle) diverges; green here + red IVM row → the
     feed math does."""
     store, finish = _ivm_base_only(spark, sf_dir, "ivmr_")
-    return finish(_ivm_direct_agg(store.read("t"), False))
+    return finish(
+        _ivm_direct_agg(store.read("t"), False, sum_as_double=True)
+    )
 
 
 @register(
@@ -5833,19 +5834,23 @@ def store_incremental_rollup_nrows(spark, sf_dir):
     "store_incremental_rollup_sum",
     sql=_IVM_CTES + """
     SELECT o_orderstatus,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
-                AS DECIMAL(28,4)) AS sum_val
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                AS DECIMAL(28,4)) AS DOUBLE) AS sum_val
     FROM v3 GROUP BY o_orderstatus
     """,
 )
 def store_incremental_rollup_sum(spark, sf_dir):
     """IVM instrument (column twin): the full COUNT/SUM maintenance
-    lifecycle, returning only the decimal sum column."""
+    lifecycle, returning only the sum column (decimal internally,
+    DOUBLE at the driver boundary — VERDICT r10 item 1)."""
     store, finish = _ivm_rollup_lifecycle(spark, sf_dir, "ivms_")
     return finish(
         store.read("r").select(
             "o_orderstatus",
-            F.col("sum_val").cast("decimal(28,4)").alias("sum_val"),
+            F.col("sum_val")
+            .cast("decimal(28,4)")
+            .cast("double")
+            .alias("sum_val"),
         )
     )
 
@@ -5938,8 +5943,8 @@ def _stage_one_parquet(df, workdir: str, src: str, tag: str) -> None:
     sql=_IVM_CTES + """
     SELECT o_orderstatus,
            COUNT(*) AS n_rows,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
-                AS DECIMAL(28,4)) AS sum_val,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                AS DECIMAL(28,4)) AS DOUBLE) AS sum_val,
            MIN(o_totalprice) AS min_val,
            MAX(o_totalprice) AS max_val,
            CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
@@ -6005,7 +6010,9 @@ def store_streaming_rollup(spark, sf_dir):
         )
         store.delete_where("t", F.col("o_totalprice") > 300000)  # churn
         sync_rollup(store, "t", "r", ["o_orderstatus"], "o_totalprice", **kw)
-        result = store.read("r").select(*_ivm_rollup_cols(True))
+        result = store.read("r").select(
+            *_ivm_rollup_cols(True, sum_as_double=True)
+        )
         return spark.createDataFrame(result.collect(), result.schema)
     finally:
         # cleanup must run on FAILED _require paths too — repeated
@@ -6040,8 +6047,8 @@ def store_streaming_rollup(spark, sf_dir):
     )
     SELECT o_orderstatus,
            COUNT(*) AS n_rows,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
-                AS DECIMAL(28,4)) AS sum_val,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                AS DECIMAL(28,4)) AS DOUBLE) AS sum_val,
            COUNT(DISTINCT o_custkey) AS n_custkeys
     FROM v4 GROUP BY o_orderstatus
     """,
@@ -6117,7 +6124,10 @@ def store_incremental_distinct(spark, sf_dir):
         r.select(
             "o_orderstatus",
             "n_rows",
-            F.col("sum_val").cast("decimal(28,4)").alias("sum_val"),
+            F.col("sum_val")
+            .cast("decimal(28,4)")
+            .cast("double")
+            .alias("sum_val"),
             "n_custkeys",
         )
     )

@@ -114,7 +114,32 @@ def typing_mismatches(spark_df, rel) -> list[str]:
     return bad
 
 
+def decimal_output_columns(spark_df) -> list[str]:
+    """Driver-facing DecimalType columns — BANNED, allowlist zero
+    (VERDICT r10 item 2). The r8–r10 bisection proved the driver's
+    oracle environment normalizes bare DECIMAL output columns
+    differently from DuckDB 1.0.0: the 7 never-green hash-red rows were
+    EXACTLY the registry queries emitting `sum_val DECIMAL(28,4)`,
+    while all 17 decimal-arithmetic-but-DOUBLE-output queries stayed
+    green. Decimal arithmetic INSIDE a query is fine (and required for
+    bit-exact IVM self-checks); the final projection must cast to
+    DOUBLE (lossless at these magnitudes) or STRING."""
+    from pyspark.sql.types import DecimalType
+
+    return [
+        f.name
+        for f in spark_df.schema.fields
+        if isinstance(f.dataType, DecimalType)
+    ]
+
+
 def compare(spark_df, con, sql) -> tuple[bool, str]:
+    dec_cols = decimal_output_columns(spark_df)
+    if dec_cols:
+        return False, (
+            "driver-facing DecimalType output columns (banned — the "
+            f"r8–r10 driver-env hash-red class): {dec_cols}"
+        )
     s_rows = spark_df.collect()
     s_cols = spark_df.columns
     rel = con.sql(sql)

@@ -63,9 +63,16 @@ def test_oracle_parity(spark, sf_dir, duck, name):
 
 @pytest.mark.parametrize("name", _ROWS_ONLY)
 def test_rows_only_runs(spark, sf_dir, name):
+    from .oracle import decimal_output_columns
+
     df = REGISTRY[name].fn(spark, sf_dir)
     assert df.count() >= 0
     assert len(df.schema.fields) > 0
+    # oracle-backed queries get this lint inside compare(); rows-only
+    # entries face the driver too (VERDICT r10 item 2, allowlist zero)
+    assert not decimal_output_columns(df), (
+        f"{name}: DecimalType output columns are banned driver-facing"
+    )
 
 
 # ---------------------------------------------------------------------------
