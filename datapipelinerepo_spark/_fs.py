@@ -10,8 +10,13 @@ The contracts, and their object-store translations:
   object iff absent; exactly one concurrent caller succeeds. The token
   names the CREATED OBJECT'S IDENTITY — not the path — so a holder can
   later ask "is the object there still mine?" after a possible
-  displacement. Local: ``O_CREAT|O_EXCL`` + inode. S3: ``PUT
-  If-None-Match: *`` + ETag. GCS: ``ifGenerationMatch=0`` + generation.
+  displacement. The token is a CONTENT digest, not an inode (ADVICE
+  r10: this filesystem recycles inodes immediately, so a stolen-and-
+  recreated claim could reuse the displaced holder's inode and fool
+  its self-checks; callers make content unique per acquire — a uuid
+  in the claim body). Local: ``O_CREAT|O_EXCL`` + md5(data). S3:
+  ``PUT If-None-Match: *`` + ETag (itself a content md5). GCS:
+  ``ifGenerationMatch=0`` + generation.
 - ``link_if_absent(src, dst) -> bool``: make fully-written content
   visible at ``dst`` iff ``dst`` is absent — the MANIFEST COMMIT POINT
   (the version-claim race: of two writers picking version N+1, exactly
@@ -25,7 +30,10 @@ The contracts, and their object-store translations:
   RENAME-not-COPY property matters only for cost, not correctness.
 - ``identity(path) -> token | None``: the CURRENT object's identity
   (None when absent) — compared against a held token before anything
-  destructive (the claim self-check). Local: inode. S3/GCS:
+  destructive (the claim self-check). Local: content digest (a read
+  racing a mid-creation writer may digest PARTIAL content — safe,
+  because every caller acts only on a MATCH, so a partial read can
+  only withhold an action, never misattribute ownership). S3/GCS:
   ETag/generation from a HEAD.
 - ``rename(src, dst)``: unconditionally displace ``dst`` (the
   stale-claim STEAL: atomic take-with-evidence — the stolen content
@@ -45,19 +53,25 @@ map to the object store's 412/404 preconditions.
 
 from __future__ import annotations
 
+import hashlib
 import os
 
 
-def put_if_absent(path: str, data: bytes) -> int | None:
+def _digest(data: bytes) -> str:
+    return hashlib.md5(data).hexdigest()
+
+
+def put_if_absent(path: str, data: bytes) -> str | None:
     """Atomic create-exclusive write; returns the created object's
-    identity token, or None when the path already exists."""
+    identity token (a content digest — see the module contract), or
+    None when the path already exists."""
     try:
         fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
     except FileExistsError:
         return None
     try:
         os.write(fd, data)
-        return os.fstat(fd).st_ino
+        return _digest(data)
     finally:
         os.close(fd)
 
@@ -77,10 +91,11 @@ def replace(src: str, dst: str) -> None:
     os.replace(src, dst)
 
 
-def identity(path: str) -> int | None:
+def identity(path: str) -> str | None:
     """The current object's identity token, None when absent."""
     try:
-        return os.stat(path).st_ino
+        with open(path, "rb") as f:
+            return _digest(f.read())
     except FileNotFoundError:
         return None
 

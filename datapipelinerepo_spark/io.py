@@ -58,6 +58,26 @@ class TxnConflict(TxnAlreadyApplied):
     conflicts the same way (the data is NOT applied either way)."""
 
 
+class CrossTxnConflict(RuntimeError):
+    """Raised by the CROSS-APP watermark assertion (``txn_assert``):
+    at commit time, ANOTHER app's watermark on the same table differs
+    from the value this write's derivation was pinned to. The join-view
+    maintainer rides this (ADVICE r10 medium): a fact-phase merge joins
+    its added rows against the dim snapshot at the view's dim watermark
+    vd, so if a concurrent syncer's dim phase advances vd before the
+    fact merge lands, the landed rows would carry vd-era payload under
+    a cur_d watermark — staleness no later window covers. The check is
+    atomic with the manifest claim (winning the put-if-absent link
+    means the asserted map was the latest at the commit point), so the
+    losing phase re-pins and re-derives.
+
+    Deliberately NOT a TxnAlreadyApplied/TxnConflict subclass (the r10
+    BaseVersionConflict lesson): those mean "covered — safe to skip";
+    this write was NOT applied and must be RE-DERIVED against the
+    other app's new watermark, so swallowing it in an exactly-once
+    handler would freeze stale payload permanently."""
+
+
 class BaseVersionConflict(RuntimeError):
     """Raised by the BASE-VERSION compare-and-swap (``version_expect``):
     the table's latest version moved while this writer derived its
@@ -226,13 +246,17 @@ def logical_fields(doc: dict):
     return out
 
 
-def _acquire_claim(path: str, stale_s: float) -> int | None:
+def _acquire_claim(path: str, stale_s: float) -> str | None:
     """Create-exclusive claim file — the put-if-absent primitive that
     serializes FIRST-WRITER windows (first-time rollup seeding,
     first-write table creation): physical static overwrites of one
     directory must never run concurrently. Returns the won claim's
-    inode (the holder's identity token, re-checked by the caller
-    before anything destructive) or None.
+    identity token (a content digest over a per-acquire uuid — ADVICE
+    r10: inode tokens aliased on this inode-recycling filesystem, so a
+    stolen-then-recreated claim could reuse the displaced holder's
+    inode and fool its heartbeat/release self-checks; content minted
+    fresh per acquire cannot collide), re-checked by the caller before
+    anything destructive — or None.
 
     A claim older than ``stale_s`` is presumed orphaned by a crashed
     holder and stolen. The steal is an atomic RENAME to a
@@ -257,7 +281,9 @@ def _acquire_claim(path: str, stale_s: float) -> int | None:
     import uuid
 
     for _ in range(8):
-        tok = _fs.put_if_absent(path, str(os.getpid()).encode())
+        tok = _fs.put_if_absent(
+            path, f"{os.getpid()}:{uuid.uuid4().hex}".encode()
+        )
         if tok is not None:
             return tok
         try:
@@ -300,7 +326,7 @@ class _ClaimHeartbeat:
             ...protected write...
     """
 
-    def __init__(self, path: str, token: int, stale_s: float):
+    def __init__(self, path: str, token: str, stale_s: float):
         import threading
 
         self.path = path
@@ -722,6 +748,7 @@ class TableStore:
         colmap: dict | None = _CARRY,
         version_expect: int | None = None,
         version_expect_ident: str | None = None,
+        txn_assert: dict[str, int] | None = None,
     ) -> int:
         """Commit the next manifest version PUT-IF-ABSENT: the document
         is fully written to a private tmp file, then CLAIMS its version
@@ -759,7 +786,15 @@ class TableStore:
         closing the fast-check→commit race (VERDICT r7 item 1). The
         explicit-reseed path (overwrite_keyed) leaves it off: an
         administrative overwrite stamping a watermark is setting state,
-        not replaying an incremental batch."""
+        not replaying an incremental batch.
+
+        ``txn_assert`` = {app_id: expected_watermark} CASes on OTHER
+        apps' watermarks, atomically with the claim like txn_expect —
+        for multi-feed maintainers (the join view) whose derivation
+        pins one feed's state while committing under another's app id
+        (ADVICE r10 medium). Raises CrossTxnConflict (NOT a
+        TxnAlreadyApplied subclass — the write must be re-derived, not
+        skipped) when any asserted watermark moved."""
         import uuid
 
         os.makedirs(self._manifest_dir(name), exist_ok=True)
@@ -848,6 +883,19 @@ class TableStore:
                 doc["ts"] = max(
                     int(time.time() * 1000), int(prev_doc.get("ts", 0))
                 )
+                if txn_assert:
+                    # cross-app CAS: atomic with the claim — if this
+                    # attempt wins the link below, the map read from
+                    # the superseded manifest WAS the state at commit
+                    for app, exp in txn_assert.items():
+                        cur_a = txn_map.get(app)
+                        if cur_a is None or int(cur_a) != int(exp):
+                            raise CrossTxnConflict(
+                                f"{name}: watermark for {app} is "
+                                f"{cur_a}, this write was derived "
+                                f"against {exp} — re-derive against "
+                                "the new state and retry"
+                            )
                 if txn is not None:
                     cur = int(txn_map.get(txn[0], -1))
                     if txn_expect is not None and cur != int(txn_expect):
@@ -899,6 +947,7 @@ class TableStore:
         colmap: dict | None = _CARRY,
         version_expect: int | None = None,
         version_expect_ident: str | None = None,
+        txn_assert: dict[str, int] | None = None,
     ) -> int:
         v = self._write_manifest_file(
             name,
@@ -912,6 +961,7 @@ class TableStore:
             colmap=colmap,
             version_expect=version_expect,
             version_expect_ident=version_expect_ident,
+            txn_assert=txn_assert,
         )
         # the meta schema tracks evolution (widen-only) so the
         # fully-emptied-table fallback serves the CURRENT column set
@@ -1316,6 +1366,7 @@ class TableStore:
         version_expect: int | None = None,
         version_expect_ident: str | None = None,
         rederive_kept=None,
+        txn_assert: dict[str, int] | None = None,
     ) -> int:
         """The shared versioned-write protocol: append ``stamped``
         (already _kb-stamped) as NEW part-files — never deleting live
@@ -1379,6 +1430,7 @@ class TableStore:
                     txn_expect=txn_expect,
                     version_expect=version_expect,
                     version_expect_ident=version_expect_ident,
+                    txn_assert=txn_assert,
                 )
                 break
             except BaseVersionConflict:
@@ -2861,6 +2913,7 @@ class TableStore:
         txn_expect: int | None = None,
         version_expect: int | None = None,
         version_expect_ident: str | None = None,
+        txn_assert: dict[str, int] | None = None,
     ) -> None:
         """Replace exactly the listed buckets with ``df``'s rows
         (stamped by the table's key spec). Buckets in ``buckets`` that
@@ -2914,6 +2967,7 @@ class TableStore:
                 stamped, name, eff, kept, op=op, txn=txn,
                 check_replay=check_replay, txn_expect=txn_expect,
                 version_expect=base_v, version_expect_ident=base_ident,
+                txn_assert=txn_assert,
             )
             return
         (
@@ -3401,6 +3455,7 @@ class TableStore:
         check_replay: bool = False,
         txn_expect: int | None = None,
         source_meta_cols: list[str] | None = None,
+        txn_assert: dict[str, int] | None = None,
     ) -> list[int]:
         """Conditional MERGE — the full Delta ``MERGE INTO`` clause
         surface on the keyed store, generalizing ``upsert`` (which is
@@ -3467,6 +3522,7 @@ class TableStore:
                 source, name, keys, when_matched_update, matched_condition,
                 when_matched_delete, when_not_matched_insert, txn,
                 check_replay, txn_expect, source_meta_cols or [],
+                txn_assert,
             )
 
         # derivation-level OCC retry (ADVICE r9): the merged frame is
@@ -3488,6 +3544,7 @@ class TableStore:
         check_replay,
         txn_expect,
         source_meta_cols,
+        txn_assert=None,
     ) -> list[int]:
         v0, v0_ident = (
             self._pin_base(name) if self.is_versioned(name) else (None, None)
@@ -3623,6 +3680,7 @@ class TableStore:
             merged, name, buckets, op="merge", txn=txn,
             check_replay=check_replay, txn_expect=txn_expect,
             version_expect=v0, version_expect_ident=v0_ident,
+            txn_assert=txn_assert,
         )
         return sorted(buckets)
 

@@ -48,7 +48,7 @@ import os
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..io import TableStore, TxnAlreadyApplied
+from ..io import CrossTxnConflict, TableStore, TxnAlreadyApplied
 from ..io import _acquire_claim as _acquire_seed_claim  # test seam
 
 
@@ -177,18 +177,49 @@ def sync_join_view(
             cur_f, cur_d, fact_app, dim_app, seed_wait_s, seed_stale_s,
         )
 
-    if cur_f > vf:
-        vf = _fact_phase(
-            store, fact_table, dim_table, view_table, fkeys,
-            fact_join_col, dim_join_col, payload, vf, cur_f, vd,
-            fact_app,
-        )
-    if cur_d > vd:
-        vd = _dim_phase(
-            store, dim_table, view_table, fkeys, fact_join_col,
-            dim_join_col, payload, vd, cur_d, dim_app,
-        )
-    return vf, vd
+    # Cross-phase OCC loop (ADVICE r10 medium): each phase's merge
+    # additionally CASes the OTHER base's watermark (txn_assert) at the
+    # commit point — the fact phase pins the dim at vd, so a concurrent
+    # syncer's dim phase advancing vd→cur_d between this syncer reading
+    # vd and its fact merge landing would otherwise freeze vd-era
+    # payload under a cur_d watermark (no later window covers vd→cur_d
+    # for those rows); symmetrically, the dim phase's narrow view scan
+    # misses fact rows a concurrent fact phase lands after it. A failed
+    # assert raises CrossTxnConflict (NOT TxnAlreadyApplied — nothing
+    # applied, must re-derive), and this loop re-pins both watermarks
+    # and redoes only the still-behind windows.
+    for _ in range(10):
+        if vf is None or vd is None:
+            # an administrative reseed of the view mid-flight wiped a
+            # watermark: fall back to the serialized seed path
+            return _seed_join_view(
+                store, fact_table, dim_table, view_table, fkeys,
+                fact_join_col, dim_join_col, payload, n_buckets,
+                cur_f, cur_d, fact_app, dim_app, seed_wait_s,
+                seed_stale_s,
+            )
+        vf, vd = int(vf), int(vd)
+        try:
+            if cur_f > vf:
+                vf = _fact_phase(
+                    store, fact_table, dim_table, view_table, fkeys,
+                    fact_join_col, dim_join_col, payload, vf, cur_f, vd,
+                    fact_app, dim_app,
+                )
+            if cur_d > vd:
+                vd = _dim_phase(
+                    store, dim_table, view_table, fkeys, fact_join_col,
+                    dim_join_col, payload, vd, cur_d, dim_app, fact_app,
+                )
+            return vf, vd
+        except CrossTxnConflict:
+            vf = store.last_txn(view_table, fact_app)
+            vd = store.last_txn(view_table, dim_app)
+    raise RuntimeError(
+        f"{view_table}: sync_join_view could not land its windows in "
+        "10 attempts — a concurrent syncer keeps advancing the other "
+        "base's watermark mid-phase"
+    )
 
 
 def _converge(store, view_table, app, fallback, merge):
@@ -206,7 +237,7 @@ def _converge(store, view_table, app, fallback, merge):
 
 def _fact_phase(
     store, fact_table, dim_table, view_table, fkeys, fact_join_col,
-    dim_join_col, payload, vf, cur_f, vd, fact_app,
+    dim_join_col, payload, vf, cur_f, vd, fact_app, dim_app,
 ) -> int:
     feed = store.table_changes(fact_table, vf, cur_f).localCheckpoint(
         eager=True
@@ -295,14 +326,34 @@ def _fact_phase(
             txn=(fact_app, cur_f),
             check_replay=True,
             txn_expect=vf,  # CAS: refuse overlapping windows
+            # cross-phase CAS (ADVICE r10 medium): the adds were joined
+            # against dim@vd — if a concurrent syncer's dim phase
+            # advanced the view past vd, landing them would freeze
+            # vd-era payload under the newer watermark. Refused →
+            # sync_join_view re-pins vd and re-derives this window.
+            txn_assert={dim_app: vd},
         ),
     )
 
 
 def _dim_phase(
     store, dim_table, view_table, fkeys, fact_join_col, dim_join_col,
-    payload, vd, cur_d, dim_app,
+    payload, vd, cur_d, dim_app, fact_app,
 ) -> int:
+    # pin the view's FACT watermark before scanning it: fact rows a
+    # concurrent fact phase lands AFTER the narrow scan below carry
+    # dim@vd payload this phase would never refresh, yet this phase's
+    # commit advances the dim watermark past the window that would
+    # have corrected them (the symmetric twin of the ADVICE r10 race).
+    # The merge CASes on this pin; a mid-phase fact landing refuses the
+    # commit and sync_join_view re-derives with a fresh scan.
+    vf_pin = store.last_txn(view_table, fact_app)
+    if vf_pin is None:
+        raise CrossTxnConflict(
+            f"{view_table}: fact watermark vanished mid-sync (view "
+            "reseeded?) — re-derive"
+        )
+    vf_pin = int(vf_pin)
     churned = (
         store.table_changes(dim_table, vd, cur_d)
         .select(dim_join_col)
@@ -355,6 +406,7 @@ def _dim_phase(
             txn=(dim_app, cur_d),
             check_replay=True,
             txn_expect=vd,
+            txn_assert={fact_app: vf_pin},
         ),
     )
 

@@ -111,7 +111,20 @@ def _resolve_diff_engine(requested: str | None) -> str:
     fallback, and pyarrow ships with PySpark's own requirements).
     ``requested``: "duckdb" / "arrow" force one (and fail loudly at
     start if it is unavailable); None/"auto" prefers duckdb (the
-    faster diff) and falls back to arrow."""
+    faster diff) and falls back to arrow.
+
+    Memory asymmetry (ADVICE r10): the arrow engine materializes BOTH
+    versions' bucket slices plus the full-outer join result in
+    executor RAM before emitting (only the OUTPUT is batched at 10k
+    rows) — a bulk-load window classifying a whole large bucket as
+    inserts holds roughly 2× the bucket in memory. The duckdb engine
+    runs the same diff through its spilling operators, bounded by
+    duckdb's memory_limit. "auto" silently picks arrow when duckdb is
+    absent, so operators streaming changes off LARGE buckets (≳ a few
+    hundred MB per bucket per window) should install duckdb on the
+    executors — or rebucket so per-bucket windows stay executor-RAM
+    sized. The per-bucket partitioning already bounds the unit of work;
+    this note is about the constant factor within one bucket."""
     if requested in (None, "auto"):
         try:
             _require_duckdb()
@@ -613,7 +626,12 @@ class TableChangesDataSource(DataSource):
     """``spark.readStream.format("tablestore_changes")`` — options:
     ``path`` (store root), ``table``, optional ``starting_version``,
     optional ``diff_engine`` ("auto" default: duckdb if available,
-    else the pure-pyarrow fallback; "duckdb"/"arrow" force one)."""
+    else the pure-pyarrow fallback; "duckdb"/"arrow" force one).
+
+    Engine sizing: the arrow fallback diffs one bucket-window fully
+    in executor RAM (~2× the bucket for an all-insert window), while
+    duckdb spills — see _resolve_diff_engine's docstring before
+    relying on "auto" over large buckets (ADVICE r10)."""
 
     @classmethod
     def name(cls) -> str:

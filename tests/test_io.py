@@ -3453,9 +3453,12 @@ def test_claim_heartbeat_prevents_stale_steal(tmp_path):
             "a live, heartbeating holder was stolen from"
         )
     time.sleep(1.2)  # "crash": heartbeat stopped, claim ages out
-    # (compare by acquisition success, not token inequality — the
-    # freed inode number may be recycled for the stealer's new claim)
-    assert _acquire_claim(claim, 0.5) is not None
+    tok2 = _acquire_claim(claim, 0.5)
+    assert tok2 is not None
+    # ADVICE r10: tokens are per-acquire content digests now, so a
+    # steal's replacement claim can NEVER alias the displaced holder's
+    # token (inode numbers could — this filesystem recycles them)
+    assert tok2 != tok
 
 
 def test_base_conflict_escapes_exactly_once_handlers(
@@ -3692,3 +3695,173 @@ def test_sync_join_view_natural_key_and_empty_window(spark, tmp_path):
     before = store.latest_version("v")
     sync_join_view(*args)
     assert store.latest_version("v") == before
+
+
+def test_cross_txn_assert_primitive(spark, tmp_path):
+    """io-level ``txn_assert`` (ADVICE r10 medium): a publish may CAS
+    on ANOTHER app's watermark, atomically with the manifest claim —
+    the primitive the join-view maintainer uses to refuse commits whose
+    derivation pinned the other feed's state. CrossTxnConflict must NOT
+    be swallowable as TxnAlreadyApplied (taxonomy: nothing applied,
+    must re-derive)."""
+    import pytest
+
+    from datapipelinerepo_spark.io import (
+        CrossTxnConflict,
+        TxnAlreadyApplied,
+    )
+
+    assert not issubclass(CrossTxnConflict, TxnAlreadyApplied)
+
+    store = TableStore(spark, str(tmp_path))
+    schema = "id long, val double"
+    store.overwrite_keyed(
+        spark.createDataFrame([(i, float(i)) for i in range(8)], schema),
+        "t", "id", n_buckets=2, versioned=True, txn=("appA", 0),
+    )
+    src = spark.createDataFrame([(1, 11.0)], schema)
+    # assert holds: appA's watermark is 0, as pinned
+    store.merge_when(
+        src, "t", "id", txn=("appB", 1), check_replay=True,
+        txn_assert={"appA": 0},
+    )
+    # appA advances...
+    assert store.upsert_txn(
+        spark.createDataFrame([(2, 22.0)], schema), "t", "id", "appA", 1
+    )
+    # ...so a write still pinned to appA==0 must be REFUSED
+    with pytest.raises(CrossTxnConflict):
+        store.merge_when(
+            spark.createDataFrame([(3, 33.0)], schema), "t", "id",
+            txn=("appB", 2), check_replay=True, txn_expect=1,
+            txn_assert={"appA": 0},
+        )
+    # the refused merge applied nothing
+    assert store.last_txn("t", "appB") == 1
+    vals = {r["id"]: r["val"] for r in store.read("t").collect()}
+    assert vals[3] == 3.0 and vals[1] == 11.0 and vals[2] == 22.0
+    # an asserted app with NO watermark at all also refuses
+    with pytest.raises(CrossTxnConflict):
+        store.merge_when(
+            src, "t", "id", txn=("appB", 2), txn_expect=1,
+            check_replay=True, txn_assert={"ghost": 0},
+        )
+
+
+def test_sync_join_view_cross_phase_race(spark, tmp_path):
+    """ADVICE r10 medium, both directions. (1) A fact phase that pinned
+    the dim at watermark vd must be REFUSED when a concurrent syncer's
+    dim phase advanced vd first — previously its rows landed with
+    vd-era payload under the newer watermark, and no later window
+    covered vd→cur_d for them (permanent silent staleness until those
+    dim keys churned again). (2) Symmetrically, a dim phase whose
+    narrow view scan missed fact rows a concurrent fact phase landed
+    mid-flight must be refused. Both: the public sync_join_view
+    converges afterwards."""
+    import pytest
+
+    from datapipelinerepo_spark.io import CrossTxnConflict
+    from datapipelinerepo_spark.plans import viewmaint as vm
+
+    store = TableStore(spark, str(tmp_path))
+    fschema = "fid long, ck long, amt double"
+    dschema = "ck long, nm string, bal double"
+    store.overwrite_keyed(
+        spark.createDataFrame(
+            [(i, i % 2, float(i)) for i in range(8)], fschema
+        ),
+        "f", "fid", n_buckets=2, versioned=True,
+    )
+    store.overwrite_keyed(
+        spark.createDataFrame(
+            [(0, "c0", 0.0), (1, "c1", 10.0)], dschema
+        ),
+        "d", "ck", n_buckets=2, versioned=True,
+    )
+    args = (store, "f", "d", "v", "fid", "ck", "ck")
+    f1, d1 = vm.sync_join_view(*args)
+    fact_app, dim_app = vm._fact_app(store, "f"), vm._dim_app(store, "d")
+    payload = ["nm", "bal"]
+
+    def recompute():
+        f, d = store.read("f"), store.read("d")
+        j = f.join(d, f["ck"] == d["ck"], "left").select(
+            f["fid"], f["ck"], "amt", "nm", "bal"
+        )
+        return {r["fid"]: tuple(r)[1:] for r in j.collect()}
+
+    # --- direction 1: dim phase lands between A's pin and A's merge
+    store.upsert(
+        spark.createDataFrame([(100, 0, 100.0)], fschema), "f", "fid"
+    )
+    store.upsert(
+        spark.createDataFrame([(0, "z0", 999.0)], dschema), "d", "ck"
+    )
+    cur_f, cur_d = store.latest_version("f"), store.latest_version("d")
+    # syncer B's dim phase wins
+    assert vm._dim_phase(
+        store, "d", "v", ["fid"], "ck", "ck", payload, d1, cur_d,
+        dim_app, fact_app,
+    ) == cur_d
+    # syncer A's fact phase, still pinned to the OLD dim watermark d1,
+    # must be refused at commit — not land fid=100 with "c0" payload
+    with pytest.raises(CrossTxnConflict):
+        vm._fact_phase(
+            store, "f", "d", "v", ["fid"], "ck", "ck", payload,
+            f1, cur_f, d1, fact_app, dim_app,
+        )
+    assert store.last_txn("v", fact_app) == f1  # nothing applied
+    # the public loop re-pins and converges; the new row carries the
+    # NEW dim payload
+    f2, d2 = vm.sync_join_view(*args)
+    assert (f2, d2) == (cur_f, cur_d)
+    view = {
+        r["fid"]: (r["ck"], r["amt"], r["nm"], r["bal"])
+        for r in store.read("v").collect()
+    }
+    assert view == recompute()
+    assert view[100] == (0, 100.0, "z0", 999.0)
+
+    # --- direction 2: a fact phase lands while a dim phase is between
+    # its fact-watermark pin and its merge commit
+    store.upsert(
+        spark.createDataFrame([(1, "y1", -1.0)], dschema), "d", "ck"
+    )
+    cur_d3 = store.latest_version("d")
+    real_merge = store.merge_when
+    fired = {"n": 0}
+
+    def interleaved(*a, **kw):
+        if fired["n"] == 0 and kw.get("txn", ("", 0))[0] == dim_app:
+            fired["n"] += 1
+            # a concurrent fact window lands mid-dim-phase
+            store.upsert(
+                spark.createDataFrame([(200, 1, 200.0)], fschema),
+                "f", "fid",
+            )
+            vm._fact_phase(
+                store, "f", "d", "v", ["fid"], "ck", "ck", payload,
+                f2, store.latest_version("f"), d2, fact_app, dim_app,
+            )
+        return real_merge(*a, **kw)
+
+    store.merge_when = interleaved
+    try:
+        with pytest.raises(CrossTxnConflict):
+            vm._dim_phase(
+                store, "d", "v", ["fid"], "ck", "ck", payload,
+                d2, cur_d3, dim_app, fact_app,
+            )
+    finally:
+        store.merge_when = real_merge
+    # fid=200 landed joined at dim@d2 — the OLD payload, since d2
+    # predates the y1 upsert — and the refused dim phase did NOT
+    # advance the watermark past the d2→cur_d3 window that corrects it
+    assert store.last_txn("v", dim_app) == d2
+    vm.sync_join_view(*args)
+    view = {
+        r["fid"]: (r["ck"], r["amt"], r["nm"], r["bal"])
+        for r in store.read("v").collect()
+    }
+    assert view == recompute()
+    assert view[200][2:] == ("y1", -1.0)
