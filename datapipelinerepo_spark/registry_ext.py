@@ -6134,6 +6134,123 @@ def store_incremental_distinct(spark, sf_dir):
 
 
 @register(
+    "store_incremental_distinct_sketch",
+    sql="""
+    WITH base AS (
+      SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+      FROM orders WHERE o_orderkey % 2 = 0
+    ), ins AS (
+      SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+      FROM orders WHERE o_orderkey % 10 = 7
+    ), v2 AS (
+      SELECT * FROM base UNION ALL SELECT * FROM ins
+    ), v3 AS (
+      SELECT * FROM v2 WHERE NOT coalesce(o_totalprice > 300000, FALSE)
+    )
+    SELECT o_orderstatus,
+           COUNT(*) AS n_rows,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                AS DECIMAL(28,4)) AS DOUBLE) AS sum_val,
+           COUNT(DISTINCT o_custkey) AS n_custkeys
+    FROM v3 GROUP BY o_orderstatus
+    """,
+)
+def store_incremental_distinct_sketch(spark, sf_dir):
+    """SKETCH-ONLY COUNT(DISTINCT) rollup maintenance, hash-checked
+    (VERDICT r10 item 5 — the no-base-read HLL fast path's end-to-end
+    driver proof; `store_incremental_distinct` CO-maintains the exact
+    column, which forces a base re-count every window, so the sketch's
+    defining scale property never got a driver row). The rollup here
+    maintains ONLY ``distinct_sketch_col`` (plus count/sum): on the
+    pure-insert window (v1→v2, all-new odd keys into an even-key base)
+    the maintained sketch folds the feed's per-group sketch via
+    hll_union with NO base-table read — the 100 TB path, where a
+    nightly feed updates a billion-group rollup without rescanning the
+    base (pytest ``test_sync_rollup_distinct`` asserts the
+    no-base-read property mechanically; this query proves the
+    lifecycle's VALUES under the driver). The delete window (v2→v3)
+    takes the delete-aware re-sketch branch.
+
+    The driver-hashed output is the EXACT recount of the churned
+    groups from the final base state (COUNT/SUM/COUNT(DISTINCT) — all
+    deterministic); the sketch ESTIMATE is approximate by design and
+    is never hashed. In-query guards bind the two: the maintained
+    rollup's count/sum must BIT-EQUAL the recompute on the decimal
+    values, and each group's hll_sketch_estimate must sit within 5%
+    of the exact recount (hll_union drops the HIP estimator, so the
+    merged estimate is the looser register-based one — 5% covers it
+    at these cardinalities)."""
+    from .plans.rollup import sync_rollup
+
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    )
+    base = orders.filter(F.col("o_orderkey") % 2 == 0)
+    ins = orders.filter(F.col("o_orderkey") % 10 == 7)  # all-new odd keys
+    store, finish = _ephemeral_store(spark, "ivmsk_")
+    kw = dict(distinct_of="o_custkey", distinct_sketch_col="custkeys_hll")
+    store.overwrite_keyed(
+        base, "t", "o_orderkey", n_buckets=16, versioned=True
+    )
+    sync_rollup(store, "t", "r", ["o_orderstatus"], "o_totalprice", **kw)
+    store.upsert(ins, "t", "o_orderkey")  # v2: PURE inserts → hll_union
+    sync_rollup(store, "t", "r", ["o_orderstatus"], "o_totalprice", **kw)
+    store.delete_where("t", F.col("o_totalprice") > 300000)  # v3: re-sketch
+    sync_rollup(store, "t", "r", ["o_orderstatus"], "o_totalprice", **kw)
+
+    exact = (
+        store.read("t")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.coalesce(
+                F.sum(F.col("o_totalprice").cast("decimal(18,4)")),
+                F.lit(0).cast("decimal(18,4)"),
+            )
+            .cast("decimal(28,4)")
+            .alias("sum_val"),
+            F.count_distinct("o_custkey").alias("n_custkeys"),
+        )
+    )
+    ex_rows = {r["o_orderstatus"]: r for r in exact.collect()}
+    r_rows = store.read("r").select(
+        "o_orderstatus",
+        "n_rows",
+        "sum_val",
+        F.hll_sketch_estimate("custkeys_hll").alias("est"),
+    ).collect()
+    _require(
+        sorted(ex_rows) == sorted(row["o_orderstatus"] for row in r_rows),
+        "sketch-only rollup and recompute must cover the same groups",
+    )
+    for row in r_rows:
+        ex = ex_rows[row["o_orderstatus"]]
+        _require(
+            row["n_rows"] == ex["n_rows"]
+            and row["sum_val"] == ex["sum_val"],
+            f"sketch-only rollup count/sum diverged for group "
+            f"{row['o_orderstatus']}: ivm=({row['n_rows']}, "
+            f"{row['sum_val']}) recompute=({ex['n_rows']}, "
+            f"{ex['sum_val']})",
+        )
+        _require(
+            abs(row["est"] - ex["n_custkeys"])
+            <= max(1.0, 0.05 * ex["n_custkeys"]),
+            f"HLL estimate drifted past 5% of the exact recount for "
+            f"group {row['o_orderstatus']}: est={row['est']} "
+            f"exact={ex['n_custkeys']}",
+        )
+    return finish(
+        exact.select(
+            "o_orderstatus",
+            "n_rows",
+            F.col("sum_val").cast("double").alias("sum_val"),
+            "n_custkeys",
+        )
+    )
+
+
+@register(
     "store_incremental_join",
     sql="""
     WITH fact0 AS (
