@@ -1,0 +1,225 @@
+"""Snapshot-consistent CROSS-TABLE reads over the versioned store
+(VERDICT r10 item 6 — the next lakehouse-parity gap after per-table
+snapshots).
+
+The store commits PER TABLE: a reader joining a base ``t`` with its
+maintained rollup or join view ``r`` between syncs can observe ``r``
+ahead of or behind ``t`` — each read is individually a clean snapshot,
+but the PAIR is not a state any sequential execution ever produced
+(Delta has the same per-table-log limitation and answers it with
+application-level version pinning; Materialize's virtual-timestamp
+consistency is the strong form of what ``read_group`` provides here).
+
+``read_group`` resolves ONE consistent version vector and returns
+snapshot reads pinned to it:
+
+- Dependencies are DISCOVERED from manifests, not declared by the
+  caller: every maintained-view sync commits its base watermark
+  atomically with the merge, as a transactional app id the maintenance
+  layer formats as ``rollup_sync:{base}:{incarnation}`` /
+  ``viewsync_fact:{fact}:{inc}`` / ``viewsync_dim:{dim}:{inc}`` with
+  the BASE VERSION the view now reflects as its value — and manifests
+  carry the txn dict forward across every publish, so each view
+  VERSION pins an exact (base → base-version) vector.
+- For each base, the candidate cut points are the watermark values
+  every dependent view in the group has actually synced at (∩ the
+  base's still-readable versions); the resolver picks the NEWEST
+  vector for which every view has a version whose watermark vector
+  matches EXACTLY — view == f(base @ pinned version), bit-for-bit, by
+  the maintenance layer's own incremental-equals-recompute contract.
+  Equality (not ≤) is the consistency guarantee: a view merely "not
+  ahead" of the base can still be arbitrarily stale relative to it.
+- The cut can therefore sit BEHIND the bases' latest versions — that
+  is correct, not a bug: the newest mutually-synced state IS the
+  freshest consistent cut. Callers wanting freshness run their syncs
+  first, then ``read_group`` (the common steady-state: everything
+  synced → every table pins its latest version).
+- Watermarks from a PRIOR base incarnation are ignored (an
+  administrative reseed restarts version numbering, so cross-
+  incarnation version equality would be meaningless — the same rule
+  sync_rollup itself applies).
+
+At 100 TB the resolver's cost is manifest-metadata only: version
+listings + kilobyte manifest reads, no data I/O; the returned frames
+are ordinary pinned snapshot scans (bucket-pruned, stats-skipped like
+any ``read(version=)``). Vacuum keeps ``keep_last`` versions; a group
+whose only common cut was vacuumed raises loudly rather than serving
+an inconsistent pair.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+from ..io import TableStore
+
+# app ids minted by plans/rollup.sync_rollup and
+# plans/viewmaint.sync_join_view — the single source of the
+# view → base dependency edge
+_APP_RE = re.compile(
+    r"^(?:rollup_sync|viewsync_fact|viewsync_dim):(?P<base>[^:]+):(?P<inc>.+)$"
+)
+
+
+class GroupConsistencyError(RuntimeError):
+    """No mutually-consistent version vector exists for the requested
+    group — typically a view that has never synced (or only synced
+    under a prior base incarnation, i.e. needs a reseed), or the only
+    common cut was vacuumed. The fix is to run the view's sync and
+    retry; read_group never silently serves an inconsistent pair."""
+
+
+def _view_deps(
+    store: TableStore, name: str, version: int
+) -> tuple[dict[str, int], bool]:
+    """The maintenance watermark vector of ``name@version``: (base
+    table → base version reflected, had_maintenance_apps). The vector
+    is restricted to app ids whose incarnation matches the base's
+    CURRENT one (stale-incarnation watermarks are not valid cut
+    points); the flag distinguishes a plain base table (no maintenance
+    apps at all) from a view STRANDED on a prior incarnation (apps
+    present, none current — needs a reseed, must not be silently
+    treated as a base)."""
+    txn = store._manifest_doc(name, version).get("txn", {}) or {}
+    deps: dict[str, int] = {}
+    had = False
+    for app, w in txn.items():
+        m = _APP_RE.match(app)
+        if not m:
+            continue
+        had = True
+        base = m.group("base")
+        if (store.table_incarnation(base) or "0") != m.group("inc"):
+            continue
+        deps[base] = int(w)
+    return deps, had
+
+
+def resolve_group_versions(
+    store: TableStore, tables: list[str]
+) -> dict[str, int]:
+    """Resolve the newest consistent version vector for ``tables``:
+    {table → version to read}. Bases referenced by a view's watermarks
+    are resolved even if not listed. Raises GroupConsistencyError when
+    no consistent cut exists."""
+    if not tables:
+        raise ValueError("read_group needs at least one table")
+    views: dict[str, list[tuple[int, dict[str, int]]]] = {}
+    bases: set[str] = set()
+    for name in tables:
+        if not store.is_versioned(name):
+            raise ValueError(
+                f"read_group: {name} is not a versioned table "
+                "(overwrite_keyed(..., versioned=True))"
+            )
+        hist = []
+        stranded = False
+        for v in sorted(store.versions(name), reverse=True):
+            deps, had = _view_deps(store, name, v)
+            hist.append((v, deps))
+            if had and not deps and v == hist[0][0]:
+                stranded = True
+        if hist and hist[0][1]:
+            views[name] = hist
+        elif stranded:
+            raise GroupConsistencyError(
+                f"{name} is a maintained view whose watermarks all "
+                "point at a PRIOR incarnation of its base (the base "
+                "was reseeded) — re-sync/reseed the view, then retry"
+            )
+        else:
+            bases.add(name)
+    for name, hist in views.items():
+        for b in hist[0][1]:
+            if b in views:
+                raise NotImplementedError(
+                    f"read_group: {name} is maintained over {b}, which "
+                    "is itself a maintained view — stacked views are "
+                    "not supported yet"
+                )
+            bases.add(b)
+
+    # newest candidate cut per base: must be a version every dependent
+    # view has actually synced at AND still readable on the base
+    w: dict[str, int] = {}
+    for b in bases:
+        avail = set(store.versions(b))
+        if not avail:
+            raise GroupConsistencyError(f"{b}: no published versions")
+        sets = [avail]
+        for name, hist in views.items():
+            marks = {d[b] for _, d in hist if b in d}
+            if marks:
+                sets.append(marks)
+        common = set.intersection(*sets)
+        if not common:
+            raise GroupConsistencyError(
+                f"no common readable cut point on base {b} for the "
+                f"group {sorted(tables)} — run the views' syncs (or "
+                "reseed a view stranded on a prior base incarnation) "
+                "and retry"
+            )
+        w[b] = max(common)
+
+    # lower the cut until every view has a version whose watermark
+    # vector matches w EXACTLY on its bases. Each pass only lowers
+    # some w[b] to a strictly smaller synced value, so this terminates
+    # (finite histories); equality-on-all-bases is what makes a
+    # multi-base view (fact, dim) land on a co-occurring pair rather
+    # than two watermarks no single version ever held together.
+    pinned: dict[str, int] = {}
+    for _ in range(sum(len(h) for h in views.values()) + 1):
+        pinned.clear()
+        lowered = False
+        for name, hist in views.items():
+            exact = [
+                v for v, d in hist
+                if d and all(b in w and d[b] == w[b] for b in d)
+            ]
+            if exact:
+                pinned[name] = max(exact)  # newest (compaction carries txn)
+                continue
+            fallback = None
+            for _, d in hist:  # newest first
+                if d and all(
+                    b in w and d[b] <= w[b] for b in d
+                ):
+                    fallback = d
+                    break
+            if fallback is None:
+                raise GroupConsistencyError(
+                    f"{name}: no version consistent with cut {w} — run "
+                    "its sync and retry"
+                )
+            for b, val in fallback.items():
+                if val < w[b]:
+                    w[b] = val
+                    lowered = True
+        if not lowered and len(pinned) == len(views):
+            break
+    else:
+        raise GroupConsistencyError(
+            f"could not converge on a consistent cut for {sorted(tables)}"
+        )
+
+    out = {b: w[b] for b in bases if b in set(tables)}
+    out.update(pinned)
+    return out
+
+
+def read_group(
+    store: TableStore, tables: list[str]
+) -> dict[str, DataFrame]:
+    """Snapshot-consistent multi-table read: resolve one consistent
+    version vector (see resolve_group_versions) and return
+    {table → DataFrame pinned at its cut version}. Every returned
+    frame keeps reading its exact manifest files even if writes
+    publish newer versions mid-query (per-table snapshot isolation,
+    now group-wide)."""
+    vec = resolve_group_versions(store, tables)
+    return {
+        name: store.read(name, version=vec[name])
+        for name in tables
+    }

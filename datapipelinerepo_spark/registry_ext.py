@@ -6251,6 +6251,125 @@ def store_incremental_distinct_sketch(spark, sf_dir):
 
 
 @register(
+    "store_read_group",
+    sql="""
+    WITH base AS (
+      SELECT o_orderkey, o_totalprice, o_orderstatus
+      FROM orders WHERE o_orderkey % 2 = 0
+    ), inc AS (
+      SELECT o_orderkey, o_totalprice * 2 AS o_totalprice, o_orderstatus
+      FROM orders WHERE o_orderkey % 10 IN (0, 5)
+    ), v2 AS (
+      SELECT * FROM inc
+      UNION ALL
+      SELECT * FROM base
+      WHERE o_orderkey NOT IN (SELECT o_orderkey FROM inc)
+    )
+    SELECT 1 AS cut, o_orderstatus,
+           COUNT(*) AS n_rows,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                AS DECIMAL(28,4)) AS DOUBLE) AS sum_val
+    FROM base GROUP BY o_orderstatus
+    UNION ALL
+    SELECT 2 AS cut, o_orderstatus,
+           COUNT(*) AS n_rows,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                AS DECIMAL(28,4)) AS DOUBLE) AS sum_val
+    FROM v2 GROUP BY o_orderstatus
+    """,
+)
+def store_read_group(spark, sf_dir):
+    """SNAPSHOT-CONSISTENT CROSS-TABLE READ, hash-checked
+    (plans/consistency.read_group — VERDICT r10 item 6, the next
+    lakehouse-parity gap after per-table snapshots): the store commits
+    per table, so between syncs a reader joining base ``t`` with its
+    maintained rollup ``r`` can observe a pair no sequential execution
+    produced. read_group resolves ONE consistent version vector from
+    the watermarks each view sync committed atomically with its merge
+    (dependencies DISCOVERED from manifests, metadata-only cost) and
+    pins every frame to it.
+
+    The lifecycle interleaves writes and group reads: seed + sync
+    (cut 1), then an UNSYNCED base upsert — the first group read must
+    REWIND the base to the rollup's watermark (in-query guards: pinned
+    base version == 1 < latest, none of the unsynced keys visible in
+    the group's base frame, rollup multiset-equal a recompute over the
+    group's pinned base on the DECIMAL values) — then a sync, after
+    which the second group read pins both tables at latest. The
+    driver-hashed output carries BOTH cuts (tagged 1/2), so the oracle
+    proves the rewound read served exactly the v1 state THROUGH the
+    group API, not just the final state."""
+    from .plans.consistency import read_group, resolve_group_versions
+    from .plans.rollup import sync_rollup
+
+    base, inc = _ivm_frames(spark, sf_dir)
+    store, finish = _ephemeral_store(spark, "rg_")
+    store.overwrite_keyed(
+        base, "t", "o_orderkey", n_buckets=16, versioned=True
+    )
+    sync_rollup(store, "t", "r", ["o_orderstatus"], "o_totalprice")
+    store.upsert(inc, "t", "o_orderkey")  # v2 — deliberately UNSYNCED
+
+    vec1 = resolve_group_versions(store, ["t", "r"])
+    _require(
+        vec1["t"] == 1 and vec1["t"] < store.latest_version("t"),
+        f"group read must rewind the base to the rollup's watermark "
+        f"(got {vec1['t']}, latest {store.latest_version('t')})",
+    )
+    g1 = read_group(store, ["t", "r"])
+    _require(
+        # the unsynced upsert INSERTED odd keys (≡5 mod 10) into an
+        # even-key base — none may be visible in the group's base frame
+        g1["t"].filter(F.col("o_orderkey") % 10 == 5).limit(1).count()
+        == 0,
+        "cut 1: unsynced inserts leaked into the group's base frame",
+    )
+    cut1_rows = g1["r"].select(
+        "o_orderstatus", "n_rows", "sum_val"
+    ).collect()
+    rc1_rows = _ivm_direct_agg(g1["t"], False).collect()
+    _require_same_rows(
+        cut1_rows, rc1_rows,
+        "cut 1: rollup != recompute over the group's pinned base "
+        "(ivm, recompute)",
+    )
+
+    sync_rollup(store, "t", "r", ["o_orderstatus"], "o_totalprice")
+    vec2 = resolve_group_versions(store, ["t", "r"])
+    _require(
+        vec2["t"] == store.latest_version("t"),
+        "after the sync the cut must advance to the bases' latest",
+    )
+    g2 = read_group(store, ["t", "r"])
+    cut2_rows = g2["r"].select(
+        "o_orderstatus", "n_rows", "sum_val"
+    ).collect()
+    rc2_rows = _ivm_direct_agg(g2["t"], False).collect()
+    _require_same_rows(
+        cut2_rows, rc2_rows,
+        "cut 2: rollup != recompute over the group's pinned base "
+        "(ivm, recompute)",
+    )
+
+    schema = g1["r"].select("o_orderstatus", "n_rows", "sum_val").schema
+    out = spark.createDataFrame(cut1_rows, schema).withColumn(
+        "cut", F.lit(1)
+    ).unionByName(
+        spark.createDataFrame(cut2_rows, schema).withColumn(
+            "cut", F.lit(2)
+        )
+    )
+    return finish(
+        out.select(
+            "cut",
+            "o_orderstatus",
+            "n_rows",
+            F.col("sum_val").cast("double").alias("sum_val"),
+        )
+    )
+
+
+@register(
     "store_incremental_join",
     sql="""
     WITH fact0 AS (

@@ -1,0 +1,233 @@
+"""Snapshot-consistent cross-table reads (plans/consistency.read_group
+— VERDICT r10 item 6): the store commits per table, so a reader
+joining a base with its maintained rollup/view between syncs can see
+an inconsistent pair. read_group must resolve one consistent version
+vector, including under concurrent writers (the raced test)."""
+
+from __future__ import annotations
+
+import threading
+
+
+import pytest
+from pyspark.sql import functions as F
+
+from datapipelinerepo_spark.io import TableStore
+from datapipelinerepo_spark.plans.consistency import (
+    GroupConsistencyError,
+    read_group,
+    resolve_group_versions,
+)
+from datapipelinerepo_spark.plans.rollup import sync_rollup
+from datapipelinerepo_spark.plans.viewmaint import sync_join_view
+
+SCHEMA = "id long, val double, grp string"
+
+
+def _mk(spark, tmp_path):
+    store = TableStore(spark, str(tmp_path))
+    base = spark.createDataFrame(
+        [(1, 10.0, "A"), (2, 20.0, "B"), (3, 7.0, "A")], SCHEMA
+    )
+    store.overwrite_keyed(base, "t", "id", n_buckets=2, versioned=True)
+    sync_rollup(store, "t", "r", ["grp"], "val")
+    return store
+
+
+def _recompute(store, version):
+    return {
+        r["grp"]: (r["n_rows"], r["sum_val"])
+        for r in store.read("t", version=version)
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("val").cast("decimal(18,4)"))
+            .cast("decimal(28,4)")
+            .alias("sum_val"),
+        )
+        .collect()
+    }
+
+
+def _rollup_rows(df):
+    return {
+        r["grp"]: (r["n_rows"], r["sum_val"]) for r in df.collect()
+    }
+
+
+def test_read_group_rewinds_base_to_the_views_cut(spark, tmp_path):
+    """An unsynced base write must NOT surface in the group read: the
+    cut pins the base at the rollup's watermark, and the pair is
+    bit-consistent (rollup == recompute over the pinned base)."""
+    store = _mk(spark, tmp_path)
+    store.upsert(
+        spark.createDataFrame([(4, 100.0, "B")], SCHEMA), "t", "id"
+    )  # base v2, rollup still reflects v1
+    vec = resolve_group_versions(store, ["t", "r"])
+    assert vec["t"] == 1  # rewound behind latest
+    assert vec["t"] < store.latest_version("t")
+    frames = read_group(store, ["t", "r"])
+    assert _rollup_rows(frames["r"]) == _recompute(store, vec["t"])
+    # the unsynced row is invisible in BOTH frames of the group
+    assert frames["t"].filter(F.col("id") == 4).count() == 0
+    # after the sync, the cut advances to latest
+    sync_rollup(store, "t", "r", ["grp"], "val")
+    vec2 = resolve_group_versions(store, ["t", "r"])
+    assert vec2["t"] == store.latest_version("t")
+    frames2 = read_group(store, ["t", "r"])
+    assert _rollup_rows(frames2["r"]) == _recompute(store, vec2["t"])
+    assert frames2["t"].filter(F.col("id") == 4).count() == 1
+
+
+def test_read_group_base_only_and_errors(spark, tmp_path):
+    store = _mk(spark, tmp_path)
+    # a group of just bases pins latest
+    assert resolve_group_versions(store, ["t"]) == {
+        "t": store.latest_version("t")
+    }
+    with pytest.raises(ValueError):
+        resolve_group_versions(store, [])
+    store.overwrite(
+        spark.createDataFrame([(1, 1.0, "A")], SCHEMA), "plain"
+    )
+    with pytest.raises(ValueError):
+        resolve_group_versions(store, ["plain"])
+
+
+def test_read_group_stranded_view_raises(spark, tmp_path):
+    """A base reseed (new incarnation) strands the view's watermarks:
+    the group read must refuse loudly, not pair the new base with a
+    view of the old one."""
+    store = _mk(spark, tmp_path)
+    store.overwrite_keyed(
+        spark.createDataFrame([(9, 1.0, "Z")], SCHEMA),
+        "t", "id", n_buckets=2, versioned=True,
+    )  # reseed: new incarnation, version numbering restarts
+    with pytest.raises(GroupConsistencyError, match="PRIOR incarnation"):
+        resolve_group_versions(store, ["t", "r"])
+    # sync re-seeds the rollup under the new incarnation → consistent
+    sync_rollup(store, "t", "r", ["grp"], "val")
+    vec = resolve_group_versions(store, ["t", "r"])
+    frames = read_group(store, ["t", "r"])
+    assert _rollup_rows(frames["r"]) == _recompute(store, vec["t"])
+
+
+def test_read_group_vacuumed_cut_raises(spark, tmp_path):
+    """When the only mutually-synced base version has been vacuumed
+    away, the resolver raises instead of serving an inconsistent
+    pair."""
+    store = _mk(spark, tmp_path)  # rollup watermark = base v1
+    store.upsert(
+        spark.createDataFrame([(4, 100.0, "B")], SCHEMA), "t", "id"
+    )
+    store.upsert(
+        spark.createDataFrame([(5, 2.0, "A")], SCHEMA), "t", "id"
+    )
+    store.vacuum("t", keep_last=1, grace_s=0.0)  # v1 manifest dropped
+    with pytest.raises(GroupConsistencyError, match="common readable cut"):
+        resolve_group_versions(store, ["t", "r"])
+    # (sync_rollup can't recover either — table_changes needs the
+    # vacuumed watermark manifest; vacuum retention must cover every
+    # dependent view's watermark, the same operational rule Delta's
+    # CDF consumers live by. The group read's job is only to refuse
+    # loudly, which it did.)
+
+
+def test_read_group_join_view_two_bases(spark, tmp_path):
+    """A join view pins BOTH bases at a co-occurring watermark pair —
+    advancing only the dim between syncs rewinds the dim in the group
+    read (the fact/dim pair must be one a single view version actually
+    held)."""
+    store = TableStore(spark, str(tmp_path))
+    fact = spark.createDataFrame(
+        [(1, 10, 100.0), (2, 20, 50.0)], "fk long, jk long, amt double"
+    )
+    dim = spark.createDataFrame(
+        [(10, "x"), (20, "y")], "jk long, label string"
+    )
+    store.overwrite_keyed(fact, "f", "fk", n_buckets=2, versioned=True)
+    store.overwrite_keyed(dim, "d", "jk", n_buckets=2, versioned=True)
+    sync_join_view(store, "f", "d", "v", "fk", "jk", "jk", n_buckets=2)
+    # advance the dim only — view still reflects (f@1, d@1)
+    store.upsert(
+        spark.createDataFrame([(10, "x2")], "jk long, label string"),
+        "d", "jk",
+    )
+    vec = resolve_group_versions(store, ["f", "d", "v"])
+    assert vec["d"] == 1 and vec["f"] == 1
+    frames = read_group(store, ["f", "d", "v"])
+    # the group's dim frame agrees with the view's materialized label
+    joined = {
+        r["fk"]: r["label"]
+        for r in frames["v"].select("fk", "label").collect()
+    }
+    direct = {
+        r["fk"]: r["label"]
+        for r in frames["f"]
+        .join(frames["d"], "jk", "left")
+        .select("fk", "label")
+        .collect()
+    }
+    assert joined == direct == {1: "x", 2: "y"}
+    sync_join_view(store, "f", "d", "v", "fk", "jk", "jk", n_buckets=2)
+    vec2 = resolve_group_versions(store, ["f", "d", "v"])
+    assert vec2["d"] == store.latest_version("d")
+    frames2 = read_group(store, ["f", "d", "v"])
+    assert {
+        r["fk"]: r["label"]
+        for r in frames2["v"].select("fk", "label").collect()
+    } == {1: "x2", 2: "y"}
+
+
+def test_read_group_raced_against_writer(spark, tmp_path):
+    """The raced proof (VERDICT r10 item 6): a writer loops
+    upsert+sync while a reader loops read_group — EVERY group read
+    must be internally consistent (rollup bit-equals a recompute over
+    the group's pinned base frame), no matter where the writer is.
+    Without group pinning, a read between the base write and its sync
+    would mismatch."""
+    store = _mk(spark, tmp_path)
+    stop = threading.Event()
+    errors: list[BaseException] = []
+
+    def writer():
+        try:
+            i = 100
+            while not stop.is_set():
+                store.upsert(
+                    spark.createDataFrame(
+                        [(i, float(i), "A" if i % 2 else "B")], SCHEMA
+                    ),
+                    "t", "id",
+                )
+                sync_rollup(store, "t", "r", ["grp"], "val")
+                i += 1
+        except BaseException as e:  # surfaced below
+            errors.append(e)
+
+    wt = threading.Thread(target=writer)
+    wt.start()
+    try:
+        checked = 0
+        while checked < 8 and wt.is_alive():
+            frames = read_group(store, ["t", "r"])
+            got = _rollup_rows(frames["r"])
+            want = {
+                r["grp"]: (r["n_rows"], r["sum_val"])
+                for r in frames["t"]
+                .groupBy("grp")
+                .agg(
+                    F.count(F.lit(1)).alias("n_rows"),
+                    F.sum(F.col("val").cast("decimal(18,4)"))
+                    .cast("decimal(28,4)")
+                    .alias("sum_val"),
+                )
+                .collect()
+            }
+            assert got == want, f"inconsistent group read: {got} vs {want}"
+            checked += 1
+    finally:
+        stop.set()
+        wt.join(timeout=120)
+    assert not errors, errors
+    assert checked >= 8
