@@ -62,6 +62,10 @@ _APP_RE = re.compile(
     r"^(?:rollup_sync|viewsync_fact|viewsync_dim):(?P<base>[^:]+):(?P<inc>.+)$"
 )
 
+# app ids minted by write_group: co-written tables carry the same
+# group sequence, and the resolver refuses to serve a torn group
+_GROUP_RE = re.compile(r"^group_txn:(?P<group>.+)$")
+
 
 class GroupConsistencyError(RuntimeError):
     """No mutually-consistent version vector exists for the requested
@@ -95,6 +99,19 @@ def _view_deps(
             continue
         deps[base] = int(w)
     return deps, had
+
+
+def _group_seqs(store: TableStore, name: str, version: int) -> dict[str, int]:
+    """The write-group stamps of ``name@version``: group name → group
+    sequence (from write_group's ``group_txn:{group}`` app ids,
+    carried forward across every publish like all txn watermarks)."""
+    txn = store._manifest_doc(name, version).get("txn", {}) or {}
+    out: dict[str, int] = {}
+    for app, v in txn.items():
+        m = _GROUP_RE.match(app)
+        if m:
+            out[m.group("group")] = int(v)
+    return out
 
 
 def resolve_group_versions(
@@ -141,11 +158,58 @@ def resolve_group_versions(
                 )
             bases.add(b)
 
+    # write_group constraint: requested tables co-written under a
+    # shared group_txn stamp must pin versions carrying the SAME group
+    # sequence — a reader holding two members of a torn group (one
+    # committed, one not) would otherwise observe a transaction half
+    # applied. Constraints bind only among members actually co-read
+    # here; a single member read alone is an ordinary snapshot.
+    ghist: dict[str, list[tuple[int, dict[str, int]]]] = {}
+    gmembers: dict[str, list[str]] = {}
+    for name in tables:
+        gh = [
+            (v, _group_seqs(store, name, v))
+            for v in sorted(store.versions(name), reverse=True)
+        ]
+        ghist[name] = gh
+        for g in (gh[0][1] if gh else {}):
+            gmembers.setdefault(g, []).append(name)
+    allowed: dict[str, set[int]] = {}
+    for g, members in gmembers.items():
+        if len(members) < 2:
+            continue
+        bad = [m for m in members if m in views]
+        if bad:
+            raise NotImplementedError(
+                f"read_group: {bad} are maintained views carrying a "
+                f"group_txn stamp ({g}) — group-stamped views are not "
+                "supported"
+            )
+        common_seq = set.intersection(
+            *[{d[g] for _, d in ghist[m] if g in d} for m in members]
+        )
+        if not common_seq:
+            raise GroupConsistencyError(
+                f"write group {g}: members {sorted(members)} share no "
+                "common committed sequence — a torn or freshly-seeded "
+                "group; retry write_group to complete it"
+            )
+        s = max(common_seq)
+        for m in members:
+            ok = {v for v, d in ghist[m] if d.get(g) == s}
+            allowed[m] = (allowed[m] & ok) if m in allowed else ok
+            if not allowed[m]:
+                raise GroupConsistencyError(
+                    f"{m}: no single version satisfies all of its "
+                    "write-group constraints at their newest common "
+                    "sequences"
+                )
+
     # newest candidate cut per base: must be a version every dependent
     # view has actually synced at AND still readable on the base
     w: dict[str, int] = {}
     for b in bases:
-        avail = set(store.versions(b))
+        avail = allowed.get(b) or set(store.versions(b))
         if not avail:
             raise GroupConsistencyError(f"{b}: no published versions")
         sets = [avail]
@@ -195,6 +259,13 @@ def resolve_group_versions(
                 )
             for b, val in fallback.items():
                 if val < w[b]:
+                    if b in allowed and val not in allowed[b]:
+                        raise GroupConsistencyError(
+                            f"{name} needs {b}@{val}, but {b}'s write-"
+                            f"group constraint only allows versions "
+                            f"{sorted(allowed[b])} — sync the view to "
+                            "the group-consistent state and retry"
+                        )
                     w[b] = val
                     lowered = True
         if not lowered and len(pinned) == len(views):
@@ -223,3 +294,94 @@ def read_group(
         name: store.read(name, version=vec[name])
         for name in tables
     }
+
+
+def write_group(
+    store: TableStore,
+    group: str,
+    writes: dict,
+    wait_s: float = 300.0,
+    stale_s: float = 600.0,
+) -> int:
+    """MULTI-TABLE TRANSACTIONAL WRITE — the dual of read_group: apply
+    one write per table as a single logical transaction that
+    group-consistent readers observe all-or-nothing.
+
+    ``writes`` maps table name → ``fn(app_id, seq)``; each callable
+    must perform its table's write through an exactly-once verb
+    carrying that stamp (``upsert_txn(df, t, key, app_id, seq)`` or
+    ``merge_when(..., txn=(app_id, seq), check_replay=True)``) — the
+    stamp publishes atomically with the table's manifest commit, which
+    is what makes the protocol crash-safe without a second log.
+
+    Protocol (under a per-group, heartbeated claim — two concurrent
+    write_groups of one group would otherwise interleave HALF-groups
+    at the same sequence with different content):
+
+    - all member watermarks equal → a NEW transaction: seq = that + 1,
+      every table written.
+    - watermarks differ → a prior write_group CRASHED mid-group:
+      RESUME at seq = max, writing only the tables still behind it.
+      Like every exactly-once verb here, the retrying caller must
+      re-derive the same content for the same sequence (the
+      upsert_txn/foreachBatch contract).
+
+    Atomic VISIBILITY is the reader's side of the bargain: plain
+    per-table reads can still see a mid-group state (exactly Delta's
+    multi-table story), but ``read_group`` refuses any cut where
+    co-read members disagree on the group sequence — so
+    writers-via-write_group + readers-via-read_group compose into
+    cross-table snapshot isolation. Readers pay metadata only; the
+    writer pays one claim acquire + its tables' ordinary commits.
+
+    Returns the group sequence committed (or resumed)."""
+    from ..io import (
+        TxnAlreadyApplied,
+        _acquire_claim,
+        _ClaimHeartbeat,
+        _fs,
+    )
+    import os as _os
+    import time as _time
+
+    if not writes:
+        raise ValueError("write_group needs at least one write")
+    app = f"group_txn:{group}"
+    claim = _os.path.join(store.root, f".groupclaim_{group}")
+    deadline = _time.time() + wait_s
+    while True:
+        tok = _acquire_claim(claim, stale_s)
+        if tok is not None and _fs.identity(claim) == tok:
+            break
+        if _time.time() >= deadline:
+            raise GroupConsistencyError(
+                f"write_group({group}): could not acquire the group "
+                f"claim within {wait_s}s — a concurrent group write "
+                "is running (or crashed holding it; it goes stale "
+                f"after {stale_s}s)"
+            )
+        _time.sleep(0.05)
+    try:
+        with _ClaimHeartbeat(claim, tok, stale_s):
+            marks = {
+                t: (store.last_txn(t, app) or 0) if store.exists(t) else 0
+                for t in writes
+            }
+            seq = max(marks.values())
+            if len(set(marks.values())) == 1:
+                seq += 1  # clean state: a new transaction
+            # else: torn group — resume max, writing the laggards only
+            for t in sorted(writes):
+                if marks[t] >= seq:
+                    continue  # already carries this sequence
+                try:
+                    writes[t](app, seq)
+                except TxnAlreadyApplied:
+                    pass  # raced replay landed it: carries seq now
+            return seq
+    finally:
+        try:
+            if _fs.identity(claim) == tok:
+                _fs.remove(claim)
+        except FileNotFoundError:
+            pass

@@ -6370,6 +6370,170 @@ def store_read_group(spark, sf_dir):
 
 
 @register(
+    "store_write_group",
+    sql="""
+    WITH base AS (
+      SELECT o_orderkey, o_totalprice, o_orderstatus
+      FROM orders WHERE o_orderkey % 2 = 0
+    ), inc AS (
+      SELECT o_orderkey, o_totalprice * 2 AS o_totalprice, o_orderstatus
+      FROM orders WHERE o_orderkey % 10 IN (0, 5)
+    ), v2 AS (
+      SELECT * FROM inc
+      UNION ALL
+      SELECT * FROM base
+      WHERE o_orderkey NOT IN (SELECT o_orderkey FROM inc)
+    ), ins AS (
+      SELECT o_orderkey, o_totalprice, o_orderstatus
+      FROM orders WHERE o_orderkey % 10 = 7
+    ), v3 AS (
+      SELECT * FROM v2 UNION ALL SELECT * FROM ins
+    )
+    SELECT 1 AS cut, o_orderstatus,
+           COUNT(*) AS n_rows,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                AS DECIMAL(28,4)) AS DOUBLE) AS sum_val
+    FROM v2 GROUP BY o_orderstatus
+    UNION ALL
+    SELECT 2 AS cut, o_orderstatus,
+           COUNT(*) AS n_rows,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                AS DECIMAL(28,4)) AS DOUBLE) AS sum_val
+    FROM v3 GROUP BY o_orderstatus
+    """,
+)
+def store_write_group(spark, sf_dir):
+    """MULTI-TABLE TRANSACTIONAL WRITE, hash-checked
+    (plans/consistency.write_group — the dual of store_read_group):
+    a detail table ``a`` and its summary table ``b`` are co-written
+    under one group stamp per transaction (each member's stamp
+    publishes atomically with its own manifest commit; no second
+    log), and group-consistent readers observe the pair
+    all-or-nothing.
+
+    The lifecycle commits two clean group transactions (seed + an
+    upsert wave), then SIMULATES A CRASH mid-group: member ``a``
+    alone receives the seq-3 write (new odd keys), leaving the group
+    torn — ``last_txn`` proves a=3 vs b=2. The first hashed cut is a
+    group read taken IN that torn state: it must pin both members at
+    the seq-2 versions (in-query guards: none of the seq-3 keys
+    visible in the group's ``a`` frame, and ``b`` multiset-equal a
+    DECIMAL recompute over the group's pinned ``a`` frame — the pair
+    is bit-consistent even though the store's latest state is torn).
+    write_group is then RETRIED with both writes: it must resume seq
+    3, write ONLY the laggard (a recording wrapper proves ``a``'s
+    callable never runs again), and the second hashed cut shows the
+    completed transaction. At 100 TB the reader pays metadata only
+    (version listings + kilobyte manifests); the writer pays one
+    claim acquire plus its tables' ordinary churn-bounded commits."""
+    from .plans.consistency import read_group, write_group
+
+    base, inc = _ivm_frames(spark, sf_dir)
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    ins = orders.filter(F.col("o_orderkey") % 10 == 7)  # all-new odd keys
+    store, finish = _ephemeral_store(spark, "wg_")
+    app = "group_txn:orders_pair"
+
+    def w_a(batch):
+        def fn(app_id, seq):
+            store.upsert_txn(batch, "a", "o_orderkey", app_id, seq,
+                             n_buckets=16)
+        return fn
+
+    def w_b(app_id, seq):
+        # full summary of a's state AT this sequence (a commits before
+        # b inside write_group's sorted order, so read("a") is the
+        # post-seq snapshot — re-derivable on a resume, the
+        # exactly-once contract every txn verb here requires)
+        store.upsert_txn(
+            _ivm_direct_agg(store.read("a"), False),
+            "b", "o_orderstatus", app_id, seq, n_buckets=4,
+        )
+
+    _require(
+        write_group(store, "orders_pair", {"a": w_a(base), "b": w_b})
+        == 1,
+        "first group transaction must commit at sequence 1",
+    )
+    _require(
+        write_group(store, "orders_pair", {"a": w_a(inc), "b": w_b})
+        == 2,
+        "second group transaction must commit at sequence 2",
+    )
+    # CRASH SIMULATION: member a alone gets the seq-3 write
+    w_a(ins)(app, 3)
+    _require(
+        store.last_txn("a", app) == 3 and store.last_txn("b", app) == 2,
+        "the store must actually be torn (a=3, b=2) for the proof",
+    )
+    g1 = read_group(store, ["a", "b"])
+    _require(
+        g1["a"].filter(F.col("o_orderkey") % 10 == 7).limit(1).count()
+        == 0,
+        "torn seq-3 rows leaked into the group read",
+    )
+    cut1_rows = g1["b"].select(
+        "o_orderstatus", "n_rows", "sum_val"
+    ).collect()
+    _require_same_rows(
+        cut1_rows,
+        _ivm_direct_agg(g1["a"], False).collect(),
+        "cut 1 (torn): summary != recompute over the group's pinned "
+        "detail frame (summary, recompute)",
+    )
+
+    calls: list = []
+
+    def a_recorder(app_id, seq):
+        calls.append(seq)
+        w_a(ins)(app_id, seq)
+
+    _require(
+        write_group(store, "orders_pair", {"a": a_recorder, "b": w_b})
+        == 3,
+        "retry must RESUME the torn transaction at sequence 3",
+    )
+    _require(
+        calls == [],
+        "resume re-wrote the finished member (exactly-once violated)",
+    )
+    g2 = read_group(store, ["a", "b"])
+    _require(
+        g2["a"].filter(F.col("o_orderkey") % 10 == 7).limit(1).count()
+        > 0,
+        "completed seq-3 rows must be visible after the resume",
+    )
+    cut2_rows = g2["b"].select(
+        "o_orderstatus", "n_rows", "sum_val"
+    ).collect()
+    _require_same_rows(
+        cut2_rows,
+        _ivm_direct_agg(g2["a"], False).collect(),
+        "cut 2 (resumed): summary != recompute over the group's "
+        "pinned detail frame (summary, recompute)",
+    )
+
+    schema = g1["b"].select("o_orderstatus", "n_rows", "sum_val").schema
+    out = spark.createDataFrame(cut1_rows, schema).withColumn(
+        "cut", F.lit(1)
+    ).unionByName(
+        spark.createDataFrame(cut2_rows, schema).withColumn(
+            "cut", F.lit(2)
+        )
+    )
+    return finish(
+        out.select(
+            "cut",
+            "o_orderstatus",
+            "n_rows",
+            F.col("sum_val").cast("double").alias("sum_val"),
+        )
+    )
+
+
+@register(
     "store_incremental_join",
     sql="""
     WITH fact0 AS (

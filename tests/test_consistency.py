@@ -231,3 +231,107 @@ def test_read_group_raced_against_writer(spark, tmp_path):
         wt.join(timeout=120)
     assert not errors, errors
     assert checked >= 8
+
+
+# -- write_group: the dual (multi-table transactional writes) ----------
+
+
+def _wg_store(spark, tmp_path):
+    store = TableStore(spark, str(tmp_path))
+
+    def mk_write(table, seq_to_val):
+        def fn(app, seq):
+            df = spark.createDataFrame(
+                [(1, seq_to_val(seq))], "id long, v long"
+            )
+            store.upsert_txn(df, table, "id", app, seq, n_buckets=2)
+        return fn
+
+    return store, mk_write
+
+
+def _vals(store, tables, frames=None):
+    frames = frames or read_group(store, tables)
+    return {t: frames[t].collect()[0]["v"] for t in tables}
+
+
+def test_write_group_all_or_nothing(spark, tmp_path):
+    from datapipelinerepo_spark.plans.consistency import write_group
+
+    store, mk = _wg_store(spark, tmp_path)
+    writes = {"a": mk("a", lambda s: s * 10), "b": mk("b", lambda s: s * 10)}
+    assert write_group(store, "g", writes) == 1
+    assert write_group(store, "g", writes) == 2
+    assert _vals(store, ["a", "b"]) == {"a": 20, "b": 20}
+    app = "group_txn:g"
+    assert store.last_txn("a", app) == store.last_txn("b", app) == 2
+
+
+def test_write_group_torn_is_invisible_and_resumable(spark, tmp_path):
+    """A crash mid-group (one member stamped at seq 3, the other
+    still at 2) must (a) never be visible through read_group — both
+    members rewind to the seq-2 cut — and (b) resume: the next
+    write_group completes only the laggard, never re-applies the
+    finished member."""
+    from datapipelinerepo_spark.plans.consistency import write_group
+
+    store, mk = _wg_store(spark, tmp_path)
+    writes = {"a": mk("a", lambda s: s * 10), "b": mk("b", lambda s: s * 10)}
+    write_group(store, "g", writes)
+    write_group(store, "g", writes)
+    # simulate the crash: only member "a" gets the seq-3 write
+    writes["a"]("group_txn:g", 3)
+    assert store.last_txn("a", "group_txn:g") == 3
+    assert store.last_txn("b", "group_txn:g") == 2
+    # torn state invisible: both pinned at the seq-2 cut
+    assert _vals(store, ["a", "b"]) == {"a": 20, "b": 20}
+    # resume: b completes at seq 3; a's callable must NOT run again
+    calls = []
+
+    def poisoned_a(app, seq):
+        calls.append(seq)
+        raise AssertionError("resume must not re-write the finished member")
+
+    assert write_group(
+        store, "g", {"a": poisoned_a, "b": writes["b"]}
+    ) == 3
+    assert calls == []
+    assert _vals(store, ["a", "b"]) == {"a": 30, "b": 30}
+
+
+def test_write_group_raced_writers_serialize(spark, tmp_path):
+    """Two concurrent write_group callers must serialize behind the
+    group claim: sequences interleave cleanly (no two half-groups at
+    one sequence), and a concurrent group reader never observes
+    members disagreeing."""
+    import threading
+
+    from datapipelinerepo_spark.plans.consistency import write_group
+
+    store, mk = _wg_store(spark, tmp_path)
+    writes = {"a": mk("a", lambda s: s * 10), "b": mk("b", lambda s: s * 10)}
+    write_group(store, "g", writes)  # seed both members (seq 1)
+    errors: list[BaseException] = []
+    seqs: list[int] = []
+
+    def writer(n):
+        try:
+            for _ in range(n):
+                seqs.append(write_group(store, "g", writes))
+        except BaseException as e:
+            errors.append(e)
+
+    threads = [threading.Thread(target=writer, args=(3,)) for _ in range(2)]
+    for th in threads:
+        th.start()
+    # group reader racing the writers: members must always agree
+    reads = 0
+    while any(th.is_alive() for th in threads) and reads < 6:
+        vals = _vals(store, ["a", "b"])
+        assert vals["a"] == vals["b"], f"torn group served: {vals}"
+        reads += 1
+    for th in threads:
+        th.join(timeout=300)
+    assert not errors, errors
+    assert sorted(seqs) == [2, 3, 4, 5, 6, 7]  # serialized, no dupes
+    assert _vals(store, ["a", "b"]) == {"a": 70, "b": 70}
