@@ -209,7 +209,9 @@ def resolve_group_versions(
     # view has actually synced at AND still readable on the base
     w: dict[str, int] = {}
     for b in bases:
-        avail = allowed.get(b) or set(store.versions(b))
+        avail = (
+            allowed[b] if b in allowed else set(store.versions(b))
+        )
         if not avail:
             raise GroupConsistencyError(f"{b}: no published versions")
         sets = [avail]
@@ -324,7 +326,11 @@ def write_group(
       RESUME at seq = max, writing only the tables still behind it.
       Like every exactly-once verb here, the retrying caller must
       re-derive the same content for the same sequence (the
-      upsert_txn/foreachBatch contract).
+      upsert_txn/foreachBatch contract). A NEW member joining an
+      existing group is deliberately indistinguishable from a torn
+      group: its first call backfills the group's current sequence
+      (catching it up to the others' state), and the next call
+      starts a fresh transaction across all members.
 
     Atomic VISIBILITY is the reader's side of the bargain: plain
     per-table reads can still see a mid-group state (exactly Delta's
