@@ -118,45 +118,78 @@ def resolve_group_versions(
     store: TableStore, tables: list[str]
 ) -> dict[str, int]:
     """Resolve the newest consistent version vector for ``tables``:
-    {table → version to read}. Bases referenced by a view's watermarks
-    are resolved even if not listed. Raises GroupConsistencyError when
-    no consistent cut exists."""
+    {table → version to read}. Tables referenced by a view's
+    watermarks are resolved even if not listed — transitively, so a
+    STACKED view DAG (e.g. a rollup maintained over a join view over
+    two bases — sync_rollup works on any versioned keyed table,
+    including maintained views) resolves end to end: every edge of
+    the DAG must watermark-match exactly at the chosen cut. Raises
+    GroupConsistencyError when no consistent cut exists."""
     if not tables:
         raise ValueError("read_group needs at least one table")
-    views: dict[str, list[tuple[int, dict[str, int]]]] = {}
-    bases: set[str] = set()
-    for name in tables:
+
+    # transitively load version histories: requested tables plus
+    # every table a loaded view's watermarks reference
+    hist: dict[str, list[tuple[int, dict[str, int]]]] = {}
+    stranded: set[str] = set()
+    loading: list[str] = []
+
+    def _load(name: str) -> None:
+        if name in hist:
+            return
+        if name in loading:
+            raise GroupConsistencyError(
+                f"maintenance watermark cycle: {' -> '.join(loading)} "
+                f"-> {name}"
+            )
         if not store.is_versioned(name):
             raise ValueError(
                 f"read_group: {name} is not a versioned table "
                 "(overwrite_keyed(..., versioned=True))"
             )
-        hist = []
-        stranded = False
-        for v in sorted(store.versions(name), reverse=True):
-            deps, had = _view_deps(store, name, v)
-            hist.append((v, deps))
-            if had and not deps and v == hist[0][0]:
-                stranded = True
-        if hist and hist[0][1]:
-            views[name] = hist
-        elif stranded:
-            raise GroupConsistencyError(
-                f"{name} is a maintained view whose watermarks all "
-                "point at a PRIOR incarnation of its base (the base "
-                "was reseeded) — re-sync/reseed the view, then retry"
+        loading.append(name)
+        try:
+            h: list[tuple[int, dict[str, int]]] = []
+            vers = sorted(store.versions(name), reverse=True)
+            for v in vers:
+                deps, had = _view_deps(store, name, v)
+                h.append((v, deps))
+                if v == vers[0] and had and not deps:
+                    stranded.add(name)
+            hist[name] = h
+            if h and h[0][1]:
+                for b in h[0][1]:
+                    _load(b)
+        finally:
+            loading.pop()
+
+    for name in tables:
+        _load(name)
+    bad = stranded & set(tables)
+    if bad:
+        raise GroupConsistencyError(
+            f"{sorted(bad)} are maintained views whose watermarks all "
+            "point at a PRIOR incarnation of their base (the base was "
+            "reseeded) — re-sync/reseed the view, then retry"
+        )
+
+    views = {n: h for n, h in hist.items() if h and h[0][1]}
+    bases = set(hist) - set(views)
+
+    # topological order by dependency depth, so within one resolution
+    # pass a view's pin is computed before any view stacked on it
+    # reads it (the _load cycle guard makes the recursion finite)
+    depth: dict[str, int] = {}
+
+    def _depth(n: str) -> int:
+        if n not in depth:
+            depth[n] = (
+                0 if n not in views
+                else 1 + max(_depth(b) for b in views[n][0][1])
             )
-        else:
-            bases.add(name)
-    for name, hist in views.items():
-        for b in hist[0][1]:
-            if b in views:
-                raise NotImplementedError(
-                    f"read_group: {name} is maintained over {b}, which "
-                    "is itself a maintained view — stacked views are "
-                    "not supported yet"
-                )
-            bases.add(b)
+        return depth[n]
+
+    vorder = sorted(views, key=_depth)
 
     # write_group constraint: requested tables co-written under a
     # shared group_txn stamp must pin versions carrying the SAME group
@@ -205,21 +238,30 @@ def resolve_group_versions(
                     "sequences"
                 )
 
-    # newest candidate cut per base: must be a version every dependent
-    # view has actually synced at AND still readable on the base
+    # marks_on(x): the cut points each dependent view has actually
+    # synced at — a table's chosen version must sit in every
+    # dependent's mark set, or that dependent can never pin
+    def _marks_on(x: str) -> list[set[int]]:
+        out = []
+        for _, h in views.items():
+            ms = {d[x] for _, d in h if x in d}
+            if ms:
+                out.append(ms)
+        return out
+
+    # newest candidate cut per base: still readable AND a version
+    # every dependent view has actually synced at (∩ write-group
+    # constraint for co-read group members)
     w: dict[str, int] = {}
     for b in bases:
         avail = (
-            allowed[b] if b in allowed else set(store.versions(b))
+            allowed[b] if b in allowed else {v for v, _ in hist[b]}
         )
         if not avail:
             raise GroupConsistencyError(f"{b}: no published versions")
-        sets = [avail]
-        for name, hist in views.items():
-            marks = {d[b] for _, d in hist if b in d}
-            if marks:
-                sets.append(marks)
-        common = set.intersection(*sets)
+        common = set.intersection(avail, *_marks_on(b)) if _marks_on(
+            b
+        ) else avail
         if not common:
             raise GroupConsistencyError(
                 f"no common readable cut point on base {b} for the "
@@ -229,29 +271,65 @@ def resolve_group_versions(
             )
         w[b] = max(common)
 
+    # per-view candidate pool: versions carrying watermarks, within
+    # every dependent's mark set (a stacked view can only pin on a
+    # version of its input that the downstream view has synced at)
+    pools: dict[str, list[tuple[int, dict[str, int]]]] = {}
+    for name in vorder:
+        ms = _marks_on(name)
+        ok = set.intersection(*ms) if ms else None
+        pool = [
+            (v, d) for v, d in views[name]
+            if d and (ok is None or v in ok)
+        ]
+        if not pool:
+            raise GroupConsistencyError(
+                f"{name}: no version lies in every dependent view's "
+                "synced set — sync the stacked views bottom-up and "
+                "retry"
+            )
+        pools[name] = pool
+
     # lower the cut until every view has a version whose watermark
-    # vector matches w EXACTLY on its bases. Each pass only lowers
-    # some w[b] to a strictly smaller synced value, so this terminates
-    # (finite histories); equality-on-all-bases is what makes a
-    # multi-base view (fact, dim) land on a co-occurring pair rather
-    # than two watermarks no single version ever held together.
+    # vector matches w EXACTLY on all its inputs (bases or upstream
+    # views — vorder guarantees an upstream view's pin lands in w
+    # before anything stacked on it reads it). Each pass either pins
+    # everything or strictly lowers some w[x]/cap[x] to a smaller
+    # synced value, so this terminates (finite histories);
+    # equality-on-all-inputs is what makes a multi-input view (fact,
+    # dim) land on a co-occurring pair rather than two watermarks no
+    # single version ever held together.
+    cap: dict[str, int] = {}
     pinned: dict[str, int] = {}
-    for _ in range(sum(len(h) for h in views.values()) + 1):
+    for _ in range(2 * sum(len(h) for h in views.values()) + 2):
         pinned.clear()
         lowered = False
-        for name, hist in views.items():
+        for name in vorder:
+            cands = [
+                (v, d) for v, d in pools[name]
+                if v <= cap.get(name, v)
+            ]
             exact = [
-                v for v, d in hist
-                if d and all(b in w and d[b] == w[b] for b in d)
+                v for v, d in cands
+                if all(x in w and d[x] == w[x] for x in d)
             ]
             if exact:
-                pinned[name] = max(exact)  # newest (compaction carries txn)
+                pv = max(exact)  # newest (compaction carries txn)
+                pinned[name] = pv
+                w[name] = pv  # visible to views stacked on this one
+                continue
+            if any(
+                x in views and x not in w
+                for _, d in cands for x in d
+            ):
+                # an upstream view failed to pin THIS pass (it just
+                # lowered the cut instead) — defer; it pins next pass
+                # and the loop's iteration bound still backstops a
+                # genuinely unsatisfiable chain
                 continue
             fallback = None
-            for _, d in hist:  # newest first
-                if d and all(
-                    b in w and d[b] <= w[b] for b in d
-                ):
+            for _, d in cands:  # newest first
+                if all(x in w and d[x] <= w[x] for x in d):
                     fallback = d
                     break
             if fallback is None:
@@ -259,16 +337,19 @@ def resolve_group_versions(
                     f"{name}: no version consistent with cut {w} — run "
                     "its sync and retry"
                 )
-            for b, val in fallback.items():
-                if val < w[b]:
-                    if b in allowed and val not in allowed[b]:
+            for x, val in fallback.items():
+                if val < w[x]:
+                    if x in allowed and val not in allowed[x]:
                         raise GroupConsistencyError(
-                            f"{name} needs {b}@{val}, but {b}'s write-"
+                            f"{name} needs {x}@{val}, but {x}'s write-"
                             f"group constraint only allows versions "
-                            f"{sorted(allowed[b])} — sync the view to "
+                            f"{sorted(allowed[x])} — sync the view to "
                             "the group-consistent state and retry"
                         )
-                    w[b] = val
+                    if x in views:
+                        cap[x] = val  # re-pinned ≤ val next pass
+                    else:
+                        w[x] = val
                     lowered = True
         if not lowered and len(pinned) == len(views):
             break
@@ -278,7 +359,7 @@ def resolve_group_versions(
         )
 
     out = {b: w[b] for b in bases if b in set(tables)}
-    out.update(pinned)
+    out.update({n: pv for n, pv in pinned.items() if n in set(tables)})
     return out
 
 
@@ -352,6 +433,12 @@ def write_group(
 
     if not writes:
         raise ValueError("write_group needs at least one write")
+    if not re.fullmatch(r"[A-Za-z0-9_.-]+", group):
+        raise ValueError(
+            f"write_group: group name {group!r} must be filesystem- "
+            "and app-id-safe ([A-Za-z0-9_.-]+) — it names the claim "
+            "file and the txn app id"
+        )
     app = f"group_txn:{group}"
     claim = _os.path.join(store.root, f".groupclaim_{group}")
     deadline = _time.time() + wait_s

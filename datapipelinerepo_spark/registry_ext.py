@@ -6534,6 +6534,164 @@ def store_write_group(spark, sf_dir):
 
 
 @register(
+    "store_stacked_view_group",
+    sql="""
+    WITH base AS (
+      SELECT o_orderkey, o_custkey, o_totalprice
+      FROM orders WHERE o_orderkey % 2 = 0
+    ), inc AS (
+      SELECT o_orderkey, o_custkey, o_totalprice * 2 AS o_totalprice
+      FROM orders WHERE o_orderkey % 10 IN (0, 5)
+    ), v2 AS (
+      SELECT * FROM inc
+      UNION ALL
+      SELECT * FROM base
+      WHERE o_orderkey NOT IN (SELECT o_orderkey FROM inc)
+    ), j1 AS (
+      SELECT b.o_totalprice, c.c_mktsegment
+      FROM base b LEFT JOIN customer c ON b.o_custkey = c.c_custkey
+    ), j2 AS (
+      SELECT b.o_totalprice, c.c_mktsegment
+      FROM v2 b LEFT JOIN customer c ON b.o_custkey = c.c_custkey
+    )
+    SELECT 1 AS cut, c_mktsegment,
+           COUNT(*) AS n_rows,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                AS DECIMAL(28,4)) AS DOUBLE) AS sum_val
+    FROM j1 GROUP BY c_mktsegment
+    UNION ALL
+    SELECT 2 AS cut, c_mktsegment,
+           COUNT(*) AS n_rows,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                AS DECIMAL(28,4)) AS DOUBLE) AS sum_val
+    FROM j2 GROUP BY c_mktsegment
+    """,
+)
+def store_stacked_view_group(spark, sf_dir):
+    """STACKED IVM DAG with consistent group reads, hash-checked: a
+    rollup maintained OVER a maintained join view (orders ⟕ customer →
+    view v; rollup r2 over v grouped by market segment). Maintained
+    views are themselves versioned keyed tables with change feeds, so
+    sync_rollup composes on top of sync_join_view with no new
+    machinery — each level maintains from the level below's CDF, never
+    re-scanning it. plans/consistency resolves the whole DAG
+    transitively: requesting {fact, dim, v, r2} pins every EDGE at an
+    exactly-matching watermark.
+
+    The lifecycle proves the transitive rewind under the driver: after
+    seeding, the fact is upserted AND the mid-level view synced — but
+    NOT the rollup. The first hashed cut is a group read in that state:
+    the resolver must rewind v to the version r2 reflects (older than
+    v's latest) and the fact to THAT version's own watermark (in-query
+    guards), with the rollup multiset-equal a DECIMAL recompute over
+    the group's pinned view frame. After the rollup catch-up the second
+    cut pins everything at latest. At 100 TB each sync level is
+    churn-bounded (feed aggregate + bucket-pruned merge) and the
+    group-read resolver stays metadata-only regardless of DAG depth."""
+    from .plans.consistency import read_group, resolve_group_versions
+    from .plans.rollup import sync_rollup
+    from .plans.viewmaint import sync_join_view
+
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    base = orders.filter(F.col("o_orderkey") % 2 == 0)
+    inc = (
+        orders.filter((F.col("o_orderkey") % 10).isin(0, 5))
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+    )
+    cust = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    store, finish = _ephemeral_store(spark, "stk_")
+    store.overwrite_keyed(
+        base, "f", "o_orderkey", n_buckets=16, versioned=True
+    )
+    store.overwrite_keyed(
+        cust, "d", "c_custkey", n_buckets=8, versioned=True
+    )
+
+    def sync_view():
+        sync_join_view(
+            store, "f", "d", "v", "o_orderkey", "o_custkey",
+            "c_custkey", n_buckets=16,
+        )
+
+    def sync_top():
+        sync_rollup(
+            store, "v", "r2", ["c_mktsegment"], "o_totalprice",
+            n_buckets=8,
+        )
+
+    def agg_of(view_frame):
+        return view_frame.groupBy("c_mktsegment").agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.coalesce(
+                F.sum(F.col("o_totalprice").cast("decimal(18,4)")),
+                F.lit(0).cast("decimal(18,4)"),
+            )
+            .cast("decimal(28,4)")
+            .alias("sum_val"),
+        )
+
+    sync_view()
+    sync_top()
+    store.upsert(inc, "f", "o_orderkey")
+    sync_view()  # mid-level advances; the TOP rollup does not
+
+    vec1 = resolve_group_versions(store, ["f", "d", "v", "r2"])
+    _require(
+        vec1["v"] < store.latest_version("v"),
+        "the group must rewind the mid-level view to the rollup's cut",
+    )
+    _require(
+        vec1["f"] == 1 and vec1["f"] < store.latest_version("f"),
+        "the transitive rewind must reach the base fact table",
+    )
+    g1 = read_group(store, ["f", "d", "v", "r2"])
+    cut1_rows = g1["r2"].select(
+        "c_mktsegment", "n_rows", "sum_val"
+    ).collect()
+    _require_same_rows(
+        cut1_rows, agg_of(g1["v"]).collect(),
+        "cut 1: rollup != recompute over the group's pinned view "
+        "(rollup, recompute)",
+    )
+
+    sync_top()
+    vec2 = resolve_group_versions(store, ["f", "d", "v", "r2"])
+    _require(
+        vec2["v"] == store.latest_version("v")
+        and vec2["f"] == store.latest_version("f"),
+        "after the rollup catch-up the whole DAG must pin latest",
+    )
+    g2 = read_group(store, ["f", "d", "v", "r2"])
+    cut2_rows = g2["r2"].select(
+        "c_mktsegment", "n_rows", "sum_val"
+    ).collect()
+    _require_same_rows(
+        cut2_rows, agg_of(g2["v"]).collect(),
+        "cut 2: rollup != recompute over the group's pinned view "
+        "(rollup, recompute)",
+    )
+
+    schema = g1["r2"].select("c_mktsegment", "n_rows", "sum_val").schema
+    out = spark.createDataFrame(cut1_rows, schema).withColumn(
+        "cut", F.lit(1)
+    ).unionByName(
+        spark.createDataFrame(cut2_rows, schema).withColumn(
+            "cut", F.lit(2)
+        )
+    )
+    return finish(
+        out.select(
+            "cut",
+            "c_mktsegment",
+            "n_rows",
+            F.col("sum_val").cast("double").alias("sum_val"),
+        )
+    )
+
+
+@register(
     "store_incremental_join",
     sql="""
     WITH fact0 AS (

@@ -335,3 +335,157 @@ def test_write_group_raced_writers_serialize(spark, tmp_path):
     assert not errors, errors
     assert sorted(seqs) == [2, 3, 4, 5, 6, 7]  # serialized, no dupes
     assert _vals(store, ["a", "b"]) == {"a": 70, "b": 70}
+
+
+# -- stacked views: a rollup maintained OVER a join view ----------------
+
+
+def _stacked_store(spark, tmp_path):
+    """f (fact) ⟕ d (dim) → view v; rollup r2 over v grouped by the
+    dim label — a two-level IVM DAG (sync_rollup works on any
+    versioned keyed table, including maintained views)."""
+    store = TableStore(spark, str(tmp_path))
+    fact = spark.createDataFrame(
+        [(1, 10, 100.0), (2, 20, 50.0), (3, 10, 25.0)],
+        "fk long, jk long, amt double",
+    )
+    dim = spark.createDataFrame(
+        [(10, "x"), (20, "y")], "jk long, label string"
+    )
+    store.overwrite_keyed(fact, "f", "fk", n_buckets=2, versioned=True)
+    store.overwrite_keyed(dim, "d", "jk", n_buckets=2, versioned=True)
+    sync_join_view(store, "f", "d", "v", "fk", "jk", "jk", n_buckets=2)
+    sync_rollup(store, "v", "r2", ["label"], "amt", n_buckets=2)
+    return store
+
+
+def _sync_stack(store):
+    sync_join_view(store, "f", "d", "v", "fk", "jk", "jk", n_buckets=2)
+    sync_rollup(store, "v", "r2", ["label"], "amt", n_buckets=2)
+
+
+def _stack_consistent(store, frames):
+    """The invariant every stacked group read must satisfy: the rollup
+    equals a recompute over the group's view frame, and the view
+    equals the join of the group's base frames."""
+    got = {
+        r["label"]: (r["n_rows"], r["sum_val"])
+        for r in frames["r2"].collect()
+    }
+    want = {
+        r["label"]: (r["n_rows"], r["sum_val"])
+        for r in frames["v"]
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("amt").cast("decimal(18,4)"))
+            .cast("decimal(28,4)")
+            .alias("sum_val"),
+        )
+        .collect()
+    }
+    assert got == want, f"rollup vs view recompute: {got} != {want}"
+    view_rows = {
+        (r["fk"], r["label"]) for r in frames["v"].select("fk", "label").collect()
+    }
+    direct = {
+        (r["fk"], r["label"])
+        for r in frames["f"]
+        .join(frames["d"], "jk", "left")
+        .select("fk", "label")
+        .collect()
+    }
+    assert view_rows == direct, f"view vs base join: {view_rows} != {direct}"
+
+
+def test_read_group_stacked_dag_rewinds_transitively(spark, tmp_path):
+    """Advancing the fact AND syncing only the mid-level view must
+    rewind the WHOLE group (bases + view) to the top rollup's cut —
+    the view is re-pinned at an older version of itself, and the
+    bases at that version's own watermarks."""
+    store = _stacked_store(spark, tmp_path)
+    vec0 = resolve_group_versions(store, ["f", "d", "v", "r2"])
+    frames0 = read_group(store, ["f", "d", "v", "r2"])
+    _stack_consistent(store, frames0)
+
+    # fact write + view sync, rollup NOT synced: r2 still reflects the
+    # old v — the group must rewind v (and its bases) to vec0's cut
+    store.upsert(
+        spark.createDataFrame([(4, 20, 75.0)], "fk long, jk long, amt double"),
+        "f", "fk",
+    )
+    sync_join_view(store, "f", "d", "v", "fk", "jk", "jk", n_buckets=2)
+    vec1 = resolve_group_versions(store, ["f", "d", "v", "r2"])
+    assert vec1["v"] == vec0["v"] < store.latest_version("v")
+    assert vec1["f"] == vec0["f"] < store.latest_version("f")
+    frames1 = read_group(store, ["f", "d", "v", "r2"])
+    _stack_consistent(store, frames1)
+    assert frames1["f"].filter(F.col("fk") == 4).count() == 0
+
+    # rollup catch-up advances the whole cut to latest
+    sync_rollup(store, "v", "r2", ["label"], "amt", n_buckets=2)
+    vec2 = resolve_group_versions(store, ["f", "d", "v", "r2"])
+    assert vec2["v"] == store.latest_version("v")
+    assert vec2["f"] == store.latest_version("f")
+    frames2 = read_group(store, ["f", "d", "v", "r2"])
+    _stack_consistent(store, frames2)
+    assert frames2["f"].filter(F.col("fk") == 4).count() == 1
+
+
+def test_read_group_stacked_implied_tables(spark, tmp_path):
+    """Requesting only the TOP of the DAG still resolves: the mid
+    view and bases are loaded transitively, and the top pins on a
+    consistent cut of the whole chain."""
+    store = _stacked_store(spark, tmp_path)
+    store.upsert(
+        spark.createDataFrame([(5, 10, 10.0)], "fk long, jk long, amt double"),
+        "f", "fk",
+    )
+    # nothing synced: the rollup alone must pin its (stale) cut fine
+    vec = resolve_group_versions(store, ["r2"])
+    assert set(vec) == {"r2"}
+    _sync_stack(store)
+    frames = read_group(store, ["v", "r2"])
+    _stack_consistent(
+        store, {**frames, **read_group(store, ["f", "d", "v"])}
+    )
+
+
+def test_read_group_stacked_raced(spark, tmp_path):
+    """Raced proof for the DAG: a writer loops fact-write → view sync
+    → rollup sync; a reader loops full-group reads — every read must
+    satisfy BOTH stacked invariants regardless of where the writer
+    is (between any two of the three steps)."""
+    store = _stacked_store(spark, tmp_path)
+    stop = threading.Event()
+    errors: list[BaseException] = []
+
+    def writer():
+        try:
+            i = 100
+            while not stop.is_set():
+                store.upsert(
+                    spark.createDataFrame(
+                        [(i, 10 if i % 2 else 20, float(i))],
+                        "fk long, jk long, amt double",
+                    ),
+                    "f", "fk",
+                )
+                _sync_stack(store)
+                i += 1
+        except BaseException as e:
+            errors.append(e)
+
+    wt = threading.Thread(target=writer)
+    wt.start()
+    try:
+        checked = 0
+        while checked < 6 and wt.is_alive():
+            frames = read_group(store, ["f", "d", "v", "r2"])
+            _stack_consistent(store, frames)
+            checked += 1
+    finally:
+        stop.set()
+        wt.join(timeout=120)
+    assert not errors, errors
+    assert checked >= 6
