@@ -275,6 +275,7 @@ def test_readback_checksum_twin_construction(spark, sf_dir, duck, name):
         _checksum_spark(e.fn(spark, sf_dir), spec),
         duck,
         _checksum_sql(e.sql, spec),
+        allow_decimal=True,  # twins compare exact DECIMAL sums locally
     )
     assert ok, f"{name} checksum twin: {msg}"
 
@@ -288,5 +289,6 @@ def test_readback_checksums_sf1(spark, duck_sf1, name):
         _checksum_spark(e.fn(spark, _SF1_DIR), spec),
         duck_sf1,
         _checksum_sql(e.sql, spec),
+        allow_decimal=True,  # twins compare exact DECIMAL sums locally
     )
     assert ok, f"{name} checksum @ sf1: {msg}"
