@@ -395,6 +395,48 @@ def main() -> None:
         times[v] = round(s[RUNS // 2], 3)
         spread[v] = round(s[-1] - s[0], 3)
 
+    # group-read resolver (r11): the consistency layer's read-side
+    # claim is METADATA-ONLY cost — time the version-vector resolution
+    # over a base + maintained rollup with a 4-version history
+    # (untimed setup). A regression here (e.g. accidental data I/O in
+    # the resolver) would show as this row jumping from milliseconds
+    # to scan time.
+    from datapipelinerepo_spark.plans.consistency import (
+        resolve_group_versions,
+    )
+    from datapipelinerepo_spark.plans.rollup import sync_rollup
+
+    samples = []
+    wdir = tempfile.mkdtemp(prefix="bench_group_")
+    try:
+        store = TableStore(spark, os.path.join(wdir, "store"))
+        base = tabs["orders"].select(
+            "o_orderkey", "o_totalprice", "o_orderstatus"
+        )
+        store.overwrite_keyed(
+            base, "t", "o_orderkey", n_buckets=32, versioned=True
+        )
+        sync_rollup(store, "t", "r", ["o_orderstatus"], "o_totalprice")
+        for k in range(3):
+            store.upsert(
+                base.filter(F.col("o_orderkey") % 100 == k).withColumn(
+                    "o_totalprice", F.col("o_totalprice") * 2
+                ),
+                "t", "o_orderkey",
+            )
+            sync_rollup(store, "t", "r", ["o_orderstatus"], "o_totalprice")
+        vec = None
+        for _ in range(RUNS):
+            t0 = time.perf_counter()
+            vec = resolve_group_versions(store, ["t", "r"])
+            samples.append(time.perf_counter() - t0)
+        assert vec["t"] == store.latest_version("t")  # fully synced
+    finally:
+        shutil.rmtree(wdir, ignore_errors=True)
+    samples.sort()
+    times["store_read_group_verb"] = round(samples[RUNS // 2], 3)
+    spread["store_read_group_verb"] = round(samples[-1] - samples[0], 3)
+
     total = round(sum(times.values()), 3)
     # The driver records only the LAST ~2000 chars of stdout; r9's
     # single line (queries + spread) overflowed that window, cutting

@@ -160,6 +160,12 @@ _SF1_NAMES = [
     "store_incremental_rollup",
     "store_incremental_minmax",  # r9: maintained MIN/MAX/AVG
     "store_stats_skipping",
+    # r11: the consistency layer + sketch-only rollup — heavy
+    # multi-write lifecycles with tiny (≤10-row) outputs
+    "store_incremental_distinct_sketch",
+    "store_read_group",
+    "store_write_group",
+    "store_stacked_view_group",
 ]
 
 
