@@ -207,7 +207,7 @@ def resolve_group_versions(
         ghist[name] = gh
         for g in (gh[0][1] if gh else {}):
             gmembers.setdefault(g, []).append(name)
-    allowed: dict[str, set[int]] = {}
+    seq_lists: dict[str, list[int]] = {}
     for g, members in gmembers.items():
         if len(members) < 2:
             continue
@@ -227,16 +227,20 @@ def resolve_group_versions(
                 "common committed sequence — a torn or freshly-seeded "
                 "group; retry write_group to complete it"
             )
-        s = max(common_seq)
-        for m in members:
-            ok = {v for v, d in ghist[m] if d.get(g) == s}
-            allowed[m] = (allowed[m] & ok) if m in allowed else ok
-            if not allowed[m]:
-                raise GroupConsistencyError(
-                    f"{m}: no single version satisfies all of its "
-                    "write-group constraints at their newest common "
-                    "sequences"
-                )
+        seq_lists[g] = sorted(common_seq, reverse=True)
+
+    def _allowed_for(chosen: dict[str, int]) -> dict[str, set[int]]:
+        allowed: dict[str, set[int]] = {}
+        for g, s in chosen.items():
+            for m in gmembers[g]:
+                ok = {v for v, d in ghist[m] if d.get(g) == s}
+                allowed[m] = (allowed[m] & ok) if m in allowed else ok
+                if not allowed[m]:
+                    raise GroupConsistencyError(
+                        f"{m}: no single version satisfies all of its "
+                        f"write-group constraints at sequences {chosen}"
+                    )
+        return allowed
 
     # marks_on(x): the cut points each dependent view has actually
     # synced at — a table's chosen version must sit in every
@@ -249,118 +253,147 @@ def resolve_group_versions(
                 out.append(ms)
         return out
 
-    # newest candidate cut per base: still readable AND a version
-    # every dependent view has actually synced at (∩ write-group
-    # constraint for co-read group members)
-    w: dict[str, int] = {}
-    for b in bases:
-        avail = (
-            allowed[b] if b in allowed else {v for v, _ in hist[b]}
-        )
-        if not avail:
-            raise GroupConsistencyError(f"{b}: no published versions")
-        common = set.intersection(avail, *_marks_on(b)) if _marks_on(
-            b
-        ) else avail
-        if not common:
-            raise GroupConsistencyError(
-                f"no common readable cut point on base {b} for the "
-                f"group {sorted(tables)} — run the views' syncs (or "
-                "reseed a view stranded on a prior base incarnation) "
-                "and retry"
+    def _attempt(allowed: dict[str, set[int]]) -> dict[str, int]:
+        # newest candidate cut per base: still readable AND a version
+        # every dependent view has actually synced at (∩ write-group
+        # constraint for co-read group members)
+        w: dict[str, int] = {}
+        for b in bases:
+            avail = (
+                allowed[b] if b in allowed else {v for v, _ in hist[b]}
             )
-        w[b] = max(common)
-
-    # per-view candidate pool: versions carrying watermarks, within
-    # every dependent's mark set (a stacked view can only pin on a
-    # version of its input that the downstream view has synced at)
-    pools: dict[str, list[tuple[int, dict[str, int]]]] = {}
-    for name in vorder:
-        ms = _marks_on(name)
-        ok = set.intersection(*ms) if ms else None
-        pool = [
-            (v, d) for v, d in views[name]
-            if d and (ok is None or v in ok)
-        ]
-        if not pool:
-            raise GroupConsistencyError(
-                f"{name}: no version lies in every dependent view's "
-                "synced set — sync the stacked views bottom-up and "
-                "retry"
-            )
-        pools[name] = pool
-
-    # lower the cut until every view has a version whose watermark
-    # vector matches w EXACTLY on all its inputs (bases or upstream
-    # views — vorder guarantees an upstream view's pin lands in w
-    # before anything stacked on it reads it). Each pass either pins
-    # everything or strictly lowers some w[x]/cap[x] to a smaller
-    # synced value, so this terminates (finite histories);
-    # equality-on-all-inputs is what makes a multi-input view (fact,
-    # dim) land on a co-occurring pair rather than two watermarks no
-    # single version ever held together.
-    cap: dict[str, int] = {}
-    pinned: dict[str, int] = {}
-    for _ in range(2 * sum(len(h) for h in views.values()) + 2):
-        pinned.clear()
-        lowered = False
-        for name in vorder:
-            cands = [
-                (v, d) for v, d in pools[name]
-                if v <= cap.get(name, v)
-            ]
-            exact = [
-                v for v, d in cands
-                if all(x in w and d[x] == w[x] for x in d)
-            ]
-            if exact:
-                pv = max(exact)  # newest (compaction carries txn)
-                pinned[name] = pv
-                w[name] = pv  # visible to views stacked on this one
-                continue
-            if any(
-                x in views and x not in w
-                for _, d in cands for x in d
-            ):
-                # an upstream view failed to pin THIS pass (it just
-                # lowered the cut instead) — defer; it pins next pass
-                # and the loop's iteration bound still backstops a
-                # genuinely unsatisfiable chain
-                continue
-            fallback = None
-            for _, d in cands:  # newest first
-                if all(x in w and d[x] <= w[x] for x in d):
-                    fallback = d
-                    break
-            if fallback is None:
+            if not avail:
+                raise GroupConsistencyError(f"{b}: no published versions")
+            common = set.intersection(
+                avail, *_marks_on(b)
+            ) if _marks_on(b) else avail
+            if not common:
                 raise GroupConsistencyError(
-                    f"{name}: no version consistent with cut {w} — run "
-                    "its sync and retry"
+                    f"no common readable cut point on base {b} for the "
+                    f"group {sorted(tables)} — run the views' syncs (or "
+                    "reseed a view stranded on a prior base "
+                    "incarnation) and retry"
                 )
-            for x, val in fallback.items():
-                if val < w[x]:
-                    if x in allowed and val not in allowed[x]:
-                        raise GroupConsistencyError(
-                            f"{name} needs {x}@{val}, but {x}'s write-"
-                            f"group constraint only allows versions "
-                            f"{sorted(allowed[x])} — sync the view to "
-                            "the group-consistent state and retry"
-                        )
-                    if x in views:
-                        cap[x] = val  # re-pinned ≤ val next pass
-                    else:
-                        w[x] = val
-                    lowered = True
-        if not lowered and len(pinned) == len(views):
-            break
-    else:
-        raise GroupConsistencyError(
-            f"could not converge on a consistent cut for {sorted(tables)}"
-        )
+            w[b] = max(common)
 
-    out = {b: w[b] for b in bases if b in set(tables)}
-    out.update({n: pv for n, pv in pinned.items() if n in set(tables)})
-    return out
+        # per-view candidate pool: versions carrying watermarks,
+        # within every dependent's mark set (a stacked view can only
+        # pin on a version of its input that the downstream view has
+        # synced at)
+        pools: dict[str, list[tuple[int, dict[str, int]]]] = {}
+        for name in vorder:
+            ms = _marks_on(name)
+            ok = set.intersection(*ms) if ms else None
+            pool = [
+                (v, d) for v, d in views[name]
+                if d and (ok is None or v in ok)
+            ]
+            if not pool:
+                raise GroupConsistencyError(
+                    f"{name}: no version lies in every dependent "
+                    "view's synced set — sync the stacked views "
+                    "bottom-up and retry"
+                )
+            pools[name] = pool
+
+        # lower the cut until every view has a version whose watermark
+        # vector matches w EXACTLY on all its inputs (bases or
+        # upstream views — vorder guarantees an upstream view's pin
+        # lands in w before anything stacked on it reads it). Each
+        # pass either pins everything or strictly lowers some
+        # w[x]/cap[x] to a smaller synced value, so this terminates
+        # (finite histories); equality-on-all-inputs is what makes a
+        # multi-input view (fact, dim) land on a co-occurring pair
+        # rather than two watermarks no single version ever held
+        # together.
+        cap: dict[str, int] = {}
+        pinned: dict[str, int] = {}
+        for _ in range(2 * sum(len(h) for h in views.values()) + 2):
+            pinned.clear()
+            lowered = False
+            for name in vorder:
+                cands = [
+                    (v, d) for v, d in pools[name]
+                    if v <= cap.get(name, v)
+                ]
+                exact = [
+                    v for v, d in cands
+                    if all(x in w and d[x] == w[x] for x in d)
+                ]
+                if exact:
+                    pv = max(exact)  # newest (compaction carries txn)
+                    pinned[name] = pv
+                    w[name] = pv  # visible to views stacked on this
+                    continue
+                if any(
+                    x in views and x not in w
+                    for _, d in cands for x in d
+                ):
+                    # an upstream view failed to pin THIS pass (it
+                    # just lowered the cut instead) — defer; it pins
+                    # next pass and the loop's iteration bound still
+                    # backstops a genuinely unsatisfiable chain
+                    continue
+                fallback = None
+                for _, d in cands:  # newest first
+                    if all(x in w and d[x] <= w[x] for x in d):
+                        fallback = d
+                        break
+                if fallback is None:
+                    raise GroupConsistencyError(
+                        f"{name}: no version consistent with cut {w} "
+                        "— run its sync and retry"
+                    )
+                for x, val in fallback.items():
+                    if val < w[x]:
+                        if x in allowed and val not in allowed[x]:
+                            raise GroupConsistencyError(
+                                f"{name} needs {x}@{val}, but {x}'s "
+                                "write-group constraint only allows "
+                                f"versions {sorted(allowed[x])} at "
+                                "this sequence choice"
+                            )
+                        if x in views:
+                            cap[x] = val  # re-pinned ≤ val next pass
+                        else:
+                            w[x] = val
+                        lowered = True
+            if not lowered and len(pinned) == len(views):
+                break
+        else:
+            raise GroupConsistencyError(
+                "could not converge on a consistent cut for "
+                f"{sorted(tables)}"
+            )
+
+        out = {b: w[b] for b in bases if b in set(tables)}
+        out.update(
+            {n: pv for n, pv in pinned.items() if n in set(tables)}
+        )
+        return out
+
+    # enumerate write-group sequence choices NEWEST-FIRST and return
+    # the first fully consistent cut: a view lagging behind the
+    # newest group sequence must not error when an older sequence
+    # still gives a consistent read (e.g. a summary rollup synced at
+    # seq N while the group has committed N+1 — the seq-N cut is the
+    # freshest consistent state). Bounded enumeration; one group is
+    # the overwhelmingly common case.
+    import itertools
+
+    last_err: GroupConsistencyError | None = None
+    names = list(seq_lists)
+    for i, combo in enumerate(
+        itertools.product(*seq_lists.values()) if names else [()]
+    ):
+        if i >= 64:
+            break
+        try:
+            return _attempt(_allowed_for(dict(zip(names, combo))))
+        except GroupConsistencyError as e:
+            last_err = e
+    assert last_err is not None
+    raise last_err
 
 
 def read_group(

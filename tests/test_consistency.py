@@ -489,3 +489,42 @@ def test_read_group_stacked_raced(spark, tmp_path):
         wt.join(timeout=120)
     assert not errors, errors
     assert checked >= 6
+
+
+def test_write_group_composes_with_lagging_view(spark, tmp_path):
+    """A rollup over one member of a write group lags behind the
+    group's newest sequence: the resolver must FALL BACK to the older
+    sequence (the freshest fully consistent cut) instead of erroring,
+    and advance once the rollup catches up."""
+    from datapipelinerepo_spark.plans.consistency import write_group
+
+    store, mk = _wg_store(spark, tmp_path)
+    writes = {"a": mk("a", lambda s: s * 10), "b": mk("b", lambda s: s * 10)}
+    write_group(store, "g", writes)           # seq 1: a@1, b@1
+    sync_rollup(store, "a", "r", ["id"], "v")  # r reflects a@1
+    write_group(store, "g", writes)           # seq 2 — r NOT synced
+
+    vec = resolve_group_versions(store, ["a", "b", "r"])
+    assert vec["a"] == 1 and vec["b"] == 1  # fell back to seq 1
+    frames = read_group(store, ["a", "b", "r"])
+    assert frames["a"].collect()[0]["v"] == 10  # seq-1 content
+    got = {
+        r["id"]: r["sum_val"] for r in frames["r"].collect()
+    }
+    want = {
+        r["id"]: r["sum_val"]
+        for r in frames["a"]
+        .groupBy("id")
+        .agg(
+            F.sum(F.col("v").cast("decimal(18,4)"))
+            .cast("decimal(28,4)")
+            .alias("sum_val")
+        )
+        .collect()
+    }
+    assert got == want
+    # the rollup catch-up restores the newest sequence
+    sync_rollup(store, "a", "r", ["id"], "v")
+    vec2 = resolve_group_versions(store, ["a", "b", "r"])
+    assert vec2["a"] == store.latest_version("a")
+    assert _vals(store, ["a", "b"]) == {"a": 20, "b": 20}
