@@ -115,7 +115,7 @@ def _group_seqs(store: TableStore, name: str, version: int) -> dict[str, int]:
 
 
 def resolve_group_versions(
-    store: TableStore, tables: list[str]
+    store: TableStore, tables: list[str], as_of_ts=None
 ) -> dict[str, int]:
     """Resolve the newest consistent version vector for ``tables``:
     {table → version to read}. Tables referenced by a view's
@@ -124,7 +124,15 @@ def resolve_group_versions(
     two bases — sync_rollup works on any versioned keyed table,
     including maintained views) resolves end to end: every edge of
     the DAG must watermark-match exactly at the chosen cut. Raises
-    GroupConsistencyError when no consistent cut exists."""
+    GroupConsistencyError when no consistent cut exists.
+
+    ``as_of_ts`` (epoch ms or datetime; naive = UTC) is GROUP TIME
+    TRAVEL: every table's history is truncated to the versions
+    published at or before the timestamp (per-table TIMESTAMP AS OF
+    semantics, see io.version_as_of), and resolution then finds the
+    newest consistent cut WITHIN that horizon — the cut a group
+    reader would have been served at that instant. Vacuumed history
+    raises, as in the per-table form."""
     if not tables:
         raise ValueError("read_group needs at least one table")
 
@@ -151,6 +159,9 @@ def resolve_group_versions(
         try:
             h: list[tuple[int, dict[str, int]]] = []
             vers = sorted(store.versions(name), reverse=True)
+            if as_of_ts is not None:
+                horizon = store.version_as_of(name, as_of_ts)
+                vers = [v for v in vers if v <= horizon]
             for v in vers:
                 deps, had = _view_deps(store, name, v)
                 h.append((v, deps))
@@ -201,8 +212,9 @@ def resolve_group_versions(
     gmembers: dict[str, list[str]] = {}
     for name in tables:
         gh = [
+            # reuse the (as-of-truncated) loaded history's version list
             (v, _group_seqs(store, name, v))
-            for v in sorted(store.versions(name), reverse=True)
+            for v, _ in hist[name]
         ]
         ghist[name] = gh
         for g in (gh[0][1] if gh else {}):
@@ -397,15 +409,15 @@ def resolve_group_versions(
 
 
 def read_group(
-    store: TableStore, tables: list[str]
+    store: TableStore, tables: list[str], as_of_ts=None
 ) -> dict[str, DataFrame]:
     """Snapshot-consistent multi-table read: resolve one consistent
-    version vector (see resolve_group_versions) and return
-    {table → DataFrame pinned at its cut version}. Every returned
-    frame keeps reading its exact manifest files even if writes
-    publish newer versions mid-query (per-table snapshot isolation,
-    now group-wide)."""
-    vec = resolve_group_versions(store, tables)
+    version vector (see resolve_group_versions; ``as_of_ts`` = group
+    time travel) and return {table → DataFrame pinned at its cut
+    version}. Every returned frame keeps reading its exact manifest
+    files even if writes publish newer versions mid-query (per-table
+    snapshot isolation, now group-wide)."""
+    vec = resolve_group_versions(store, tables, as_of_ts=as_of_ts)
     return {
         name: store.read(name, version=vec[name])
         for name in tables

@@ -528,3 +528,32 @@ def test_write_group_composes_with_lagging_view(spark, tmp_path):
     vec2 = resolve_group_versions(store, ["a", "b", "r"])
     assert vec2["a"] == store.latest_version("a")
     assert _vals(store, ["a", "b"]) == {"a": 20, "b": 20}
+
+
+def test_read_group_as_of_ts(spark, tmp_path):
+    """Group time travel: the cut resolved as of an earlier instant
+    must use only versions published by then — the base AND its
+    rollup rewind together to the historical pair."""
+    import time
+
+    store = _mk(spark, tmp_path)  # base v1 + rollup synced
+    time.sleep(0.05)
+    t_mid = int(time.time() * 1000)
+    time.sleep(0.05)
+    store.upsert(
+        spark.createDataFrame([(4, 100.0, "B")], SCHEMA), "t", "id"
+    )
+    sync_rollup(store, "t", "r", ["grp"], "val")
+
+    # now: latest pair
+    vec_now = resolve_group_versions(store, ["t", "r"])
+    assert vec_now["t"] == store.latest_version("t")
+    # as of t_mid: the v1 pair, mutually consistent
+    vec_then = resolve_group_versions(store, ["t", "r"], as_of_ts=t_mid)
+    assert vec_then["t"] == 1
+    frames = read_group(store, ["t", "r"], as_of_ts=t_mid)
+    assert _rollup_rows(frames["r"]) == _recompute(store, 1)
+    assert frames["t"].filter(F.col("id") == 4).count() == 0
+    # before the table existed: loud per-table semantics
+    with pytest.raises(ValueError, match="no retained version"):
+        resolve_group_versions(store, ["t", "r"], as_of_ts=0)
