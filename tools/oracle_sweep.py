@@ -1,0 +1,75 @@
+"""Full-registry correctness sweep under an arbitrary session config
+(the end-of-round gate — VERDICT r8+ item "keep the green surface
+green"): run EVERY oracle-bearing registry query against DuckDB at a
+chosen scale factor and shuffle-partition count, so partitioning-
+sensitive bugs (accumulation order, per-partition state, bucket
+routing) can't hide behind the test suite's fixed shuffle=4.
+
+Usage:
+    python tools/oracle_sweep.py [--sf-dir DIR] [--shuffle N] [--cpus N]
+
+Prints one JSON line: {"sf": ..., "shuffle": N, "n": N, "green": N,
+"red": {name: msg, ...}} — red is empty on a clean sweep.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _ROOT)
+sys.path.insert(0, os.path.join(_ROOT, "tests"))
+
+from datapipelinerepo_spark.registry import REGISTRY  # noqa: E402
+import datapipelinerepo_spark.registry_ext  # noqa: E402,F401
+from datapipelinerepo_spark.session import get_spark  # noqa: E402
+from oracle import compare, duck_connection  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    shuffle = 13
+    cpus = 4
+    if "--sf-dir" in sys.argv:
+        sf_dir = sys.argv[sys.argv.index("--sf-dir") + 1]
+    if "--shuffle" in sys.argv:
+        shuffle = int(sys.argv[sys.argv.index("--shuffle") + 1])
+    if "--cpus" in sys.argv:
+        cpus = int(sys.argv[sys.argv.index("--cpus") + 1])
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark(
+        app_name="oracle_sweep",
+        master=f"local[{cpus}]",
+        shuffle_partitions=shuffle,
+        extra_conf={"spark.driver.memory": "6g"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duck_connection(sf_dir)
+    red: dict[str, str] = {}
+    names = sorted(n for n, e in REGISTRY.items() if e.sql is not None)
+    for i, name in enumerate(names):
+        e = REGISTRY[name]
+        try:
+            ok, msg = compare(e.fn(spark, sf_dir), con, e.sql)
+        except Exception as ex:  # noqa: BLE001 — sweep must finish
+            ok, msg = False, f"{type(ex).__name__}: {ex}"
+        if not ok:
+            red[name] = msg[:300]
+        if (i + 1) % 25 == 0:
+            print(
+                f"... {i + 1}/{len(names)} ({len(red)} red)",
+                file=sys.stderr,
+            )
+    print(json.dumps({
+        "sf": sf,
+        "shuffle": shuffle,
+        "n": len(names),
+        "green": len(names) - len(red),
+        "red": red,
+    }))
+
+
+if __name__ == "__main__":
+    main()
