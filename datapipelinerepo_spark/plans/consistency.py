@@ -516,6 +516,19 @@ def write_group(
                     writes[t](app, seq)
                 except TxnAlreadyApplied:
                     pass  # raced replay landed it: carries seq now
+                if (store.last_txn(t, app) or 0) != seq:
+                    # the callable wrote WITHOUT the stamp (or not at
+                    # all) — the group would silently stop being a
+                    # group: readers couldn't tell its writes from
+                    # torn state, and the next write_group would
+                    # re-run this member's write at the same content
+                    raise GroupConsistencyError(
+                        f"write_group({group}): the write for {t} did "
+                        f"not commit the (app_id={app}, seq={seq}) "
+                        "stamp — route it through an exactly-once "
+                        "verb (upsert_txn / merge_when(txn=...)) "
+                        "using the arguments passed to the callable"
+                    )
             return seq
     finally:
         try:

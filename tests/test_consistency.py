@@ -557,3 +557,23 @@ def test_read_group_as_of_ts(spark, tmp_path):
     # before the table existed: loud per-table semantics
     with pytest.raises(ValueError, match="no retained version"):
         resolve_group_versions(store, ["t", "r"], as_of_ts=0)
+
+
+def test_write_group_rejects_unstamped_write(spark, tmp_path):
+    """A callable that writes WITHOUT the passed (app, seq) stamp must
+    fail loudly — otherwise the group silently stops being a group."""
+    from datapipelinerepo_spark.plans.consistency import write_group
+
+    store, mk = _wg_store(spark, tmp_path)
+
+    def unstamped(app, seq):  # plain upsert: ignores the stamp
+        store.upsert_txn(
+            spark.createDataFrame([(1, 1)], "id long, v long"),
+            "a", "id", "some_other_app", seq, n_buckets=2,
+        )
+
+    with pytest.raises(GroupConsistencyError, match="did not commit"):
+        write_group(
+            store, "g",
+            {"a": unstamped, "b": mk("b", lambda s: s)},
+        )
