@@ -6692,6 +6692,147 @@ def store_stacked_view_group(spark, sf_dir):
 
 
 @register(
+    "store_streaming_stack",
+    sql="""
+    WITH fact0 AS (
+      SELECT o_orderkey, o_custkey, o_totalprice
+      FROM orders WHERE o_orderkey % 2 = 0
+    ), factinc AS (
+      SELECT o_orderkey, o_custkey, o_totalprice * 2 AS o_totalprice
+      FROM orders WHERE o_orderkey % 10 IN (0, 5)
+    ), fact1 AS (
+      SELECT * FROM factinc
+      UNION ALL
+      SELECT * FROM fact0
+      WHERE o_orderkey NOT IN (SELECT o_orderkey FROM factinc)
+    ), fact2 AS (
+      SELECT * FROM fact1 WHERE NOT coalesce(o_totalprice > 300000, FALSE)
+    ), j AS (
+      SELECT f.o_totalprice, c.c_mktsegment
+      FROM fact2 f LEFT JOIN customer c ON f.o_custkey = c.c_custkey
+    )
+    SELECT c_mktsegment,
+           COUNT(*) AS n_rows,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                AS DECIMAL(28,4)) AS DOUBLE) AS sum_val
+    FROM j GROUP BY c_mktsegment
+    """,
+)
+def store_streaming_stack(spark, sf_dir):
+    """STREAMING MAINTAINED STACKED DAG, hash-checked end to end
+    (streaming/ingest.maintained_stack_stream — foreachBatch →
+    upsert_txn → sync_join_view → sync_rollup, TWO IVM levels per
+    micro-batch): the store_stacked_view_group lifecycle's fact
+    windows arrive as two parquet micro-batches through a real
+    Structured Streaming file source, each landing exactly-once in
+    the versioned fact and rippling up through the join view into the
+    rollup-over-the-view — aggregating the enriched stream by a
+    DIMENSION ATTRIBUTE (market segment) the raw fact rows don't
+    carry. An external fact delete the stream never saw is absorbed
+    by one direct sync pair (the feeds are version-driven, not
+    batch-driven). The final rollup must hash-equal the one-shot
+    LEFT-JOIN + GROUP BY oracle AND multiset-equal a DECIMAL
+    recompute over a snapshot-consistent read_group cut of all four
+    tables — since this lands the SAME end state as
+    store_stacked_view_group through an entirely different fact write
+    path, the pair cross-checks the whole two-level machinery."""
+    import os
+    import shutil
+    import tempfile
+
+    from .io import TableStore
+    from .plans.consistency import read_group, resolve_group_versions
+    from .plans.rollup import sync_rollup
+    from .plans.viewmaint import sync_join_view
+    from .streaming.ingest import maintained_stack_stream
+
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    fact0 = orders.filter(F.col("o_orderkey") % 2 == 0)
+    factinc = (
+        orders.filter((F.col("o_orderkey") % 10).isin(0, 5))
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+    )
+    cust = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    d = tempfile.mkdtemp(prefix="strstack_")
+    try:
+        src = os.path.join(d, "in")
+        os.makedirs(src)
+        store = TableStore(spark, os.path.join(d, "store"))
+        store.overwrite_keyed(
+            cust, "dim", "c_custkey", n_buckets=8, versioned=True
+        )
+
+        def drain():
+            stream = spark.readStream.schema(
+                "o_orderkey long, o_custkey long, o_totalprice double"
+            ).parquet(src)
+            maintained_stack_stream(
+                stream, store, os.path.join(d, "ckpt"),
+                "o_orderkey", "o_custkey", "c_custkey",
+                ["c_mktsegment"], "o_totalprice",
+                fact_table="fact", dim_table="dim", view_table="v",
+                rollup_table="r2",
+                n_buckets=16, view_buckets=16, rollup_buckets=8,
+            ).awaitTermination()
+
+        _stage_one_parquet(fact0, d, src, "b1")
+        drain()
+        _stage_one_parquet(factinc, d, src, "b2")
+        drain()
+        _require(
+            store.last_txn("fact", "maintained_stack_stream") == 1,
+            "exactly two micro-batches (ids 0, 1) must have landed",
+        )
+        # external churn the stream never saw — one direct sync pair
+        # absorbs it at both levels (version-driven feeds)
+        store.delete_where("fact", F.col("o_totalprice") > 300000)
+        sync_join_view(
+            store, "fact", "dim", "v", "o_orderkey", "o_custkey",
+            "c_custkey",
+        )
+        sync_rollup(store, "v", "r2", ["c_mktsegment"], "o_totalprice")
+
+        vec = resolve_group_versions(store, ["fact", "dim", "v", "r2"])
+        _require(
+            vec["v"] == store.latest_version("v")
+            and vec["fact"] == store.latest_version("fact"),
+            "fully synced DAG must group-pin at latest",
+        )
+        g = read_group(store, ["fact", "dim", "v", "r2"])
+        out_rows = g["r2"].select(
+            "c_mktsegment", "n_rows", "sum_val"
+        ).collect()
+        recompute = (
+            g["v"].groupBy("c_mktsegment").agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.coalesce(
+                    F.sum(F.col("o_totalprice").cast("decimal(18,4)")),
+                    F.lit(0).cast("decimal(18,4)"),
+                )
+                .cast("decimal(28,4)")
+                .alias("sum_val"),
+            )
+        ).collect()
+        _require_same_rows(
+            out_rows, recompute,
+            "streamed stacked rollup != recompute over the group's "
+            "pinned view (rollup, recompute)",
+        )
+        result = g["r2"].select(
+            "c_mktsegment",
+            "n_rows",
+            F.col("sum_val").cast("double").alias("sum_val"),
+        )
+        # driver-materialized literal rows (the r9 lesson): the temp
+        # store dir is deleted in the finally below
+        return spark.createDataFrame(result.collect(), result.schema)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+@register(
     "store_incremental_join",
     sql="""
     WITH fact0 AS (

@@ -5,6 +5,7 @@ from .ingest import (  # noqa: F401
     interval_join_streams,
     maintained_join_view_stream,
     maintained_rollup_stream,
+    maintained_stack_stream,
     near_dup_ingest_stream,
     read_base64_event_stream,
     sessionized_counts_stream,

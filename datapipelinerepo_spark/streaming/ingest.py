@@ -810,3 +810,90 @@ def maintained_join_view_stream(
     return _start_foreach_batch(
         updates, _apply, checkpoint_dir, available_now
     )
+
+
+def maintained_stack_stream(
+    updates: DataFrame,
+    store,
+    checkpoint_dir: str,
+    fact_key: str,
+    fact_join_col: str,
+    dim_join_col: str,
+    group_cols: list[str],
+    value_col: str,
+    fact_table: str = "facts",
+    dim_table: str = "dim",
+    view_table: str = "facts_enriched",
+    rollup_table: str = "facts_enriched_rollup",
+    app_id: str = "maintained_stack_stream",
+    n_buckets: int = 64,
+    view_buckets: int = 16,
+    rollup_buckets: int = 16,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming MAINTAINED STACKED DAG (r11): each micro-batch
+    (1) lands in the versioned FACT table exactly-once, (2) catches
+    the fact⟕dim view up via ``sync_join_view``, then (3) catches a
+    rollup OVER THE VIEW up via ``sync_rollup`` — two IVM levels
+    driven from one foreachBatch, composing with no new machinery
+    because the maintained view is itself a versioned keyed table
+    with a change feed. ``group_cols``/``value_col`` name columns of
+    the VIEW (typically dim attributes the join materialized —
+    aggregating the enriched stream by a dimension the raw events
+    don't carry).
+
+    The at-least-once failure taxonomy converges level by level, each
+    on its own watermark: a replayed batch skips at the fact upsert
+    and both syncs no-op; a crash between ANY two steps leaves the
+    downstream level one window behind, covered by the next batch's
+    sync (version-driven feeds); zombie drivers serialize on the
+    manifest claims and per-base CAS at every level. Group-consistent
+    readers (plans/consistency.read_group over {fact, dim, view,
+    rollup}) see each level at an exactly-matching watermark no
+    matter where the stream is.
+
+    Per-batch cost: the batch's fact buckets + the churned view rows
+    + the churned rollup groups — no level ever re-scans the one
+    below it."""
+    from ..plans.rollup import sync_rollup
+    from ..plans.viewmaint import sync_join_view
+
+    if not store.is_versioned(dim_table) or (
+        store.keyed_spec(dim_table) is None
+        or list(store.keyed_spec(dim_table)[0]) != [dim_join_col]
+    ):
+        raise ValueError(
+            f"{dim_table}: maintained_stack_stream needs a "
+            f"pre-existing dim table, versioned and keyed on "
+            f"[{dim_join_col!r}] — a stream cannot create the "
+            "dimension it enriches from"
+        )
+
+    def _apply(batch: DataFrame, batch_id: int) -> None:
+        batch = batch.localCheckpoint(eager=True)
+        store.upsert_txn(
+            batch, fact_table, fact_key, app_id, int(batch_id),
+            n_buckets=n_buckets,
+        )
+        sync_join_view(
+            store,
+            fact_table,
+            dim_table,
+            view_table,
+            fact_key,
+            fact_join_col,
+            dim_join_col,
+            n_buckets=view_buckets,
+        )
+        sync_rollup(
+            store,
+            view_table,
+            rollup_table,
+            group_cols,
+            value_col,
+            n_buckets=rollup_buckets,
+        )
+
+    return _start_foreach_batch(
+        updates, _apply, checkpoint_dir, available_now
+    )
