@@ -1521,3 +1521,110 @@ def test_maintained_join_view_stream_end_to_end(spark, tmp_path):
     sync_join_view(store, "f", "d", "v", "fid", "ck", "ck")
     assert view() == recompute()
     assert {r["fid"]: r["amt"] for r in store.read("f").collect()} == fact_now
+
+
+def test_maintained_stack_stream_crash_between_levels(spark, tmp_path, monkeypatch):
+    """The streaming stacked DAG's failure taxonomy, proven by crash
+    injection: a batch that dies BETWEEN levels (after the fact
+    upsert / after the view sync, before the rollup sync) leaves the
+    downstream level a window behind; the checkpoint replays the
+    batch, the fact upsert skips exactly-once, the completed syncs
+    no-op, and the crashed level catches up. Mid-crash, a
+    snapshot-consistent group read must rewind the WHOLE DAG to the
+    lagging level's cut rather than serve the torn stack."""
+    from datapipelinerepo_spark import plans
+    from datapipelinerepo_spark.io import TableStore
+    from datapipelinerepo_spark.plans import rollup as rollup_mod
+    from datapipelinerepo_spark.plans.consistency import read_group
+    from datapipelinerepo_spark.streaming.ingest import (
+        maintained_stack_stream,
+    )
+    from pyspark.sql.streaming import StreamingQueryException
+
+    src = tmp_path / "in"
+    src.mkdir()
+    store = TableStore(spark, str(tmp_path / "store"))
+    ckpt = str(tmp_path / "ckpt")
+    schema = "fk long, jk long, amt double"
+    store.overwrite_keyed(
+        spark.createDataFrame([(10, "x"), (20, "y")], "jk long, label string"),
+        "d", "jk", n_buckets=2, versioned=True,
+    )
+
+    def drain():
+        stream = spark.readStream.schema(schema).json(str(src))
+        maintained_stack_stream(
+            stream, store, ckpt, "fk", "jk", "jk", ["label"], "amt",
+            fact_table="f", dim_table="d", view_table="v",
+            rollup_table="r2", n_buckets=4, view_buckets=2,
+            rollup_buckets=2,
+        ).awaitTermination()
+
+    def stack_ok(frames=None):
+        frames = frames or {
+            "f": store.read("f"), "d": store.read("d"),
+            "v": store.read("v"), "r2": store.read("r2"),
+        }
+        got = {
+            r["label"]: (r["n_rows"], r["sum_val"])
+            for r in frames["r2"].collect()
+        }
+        want = {
+            r["label"]: (r["n"], r["s"])
+            for r in frames["v"].groupBy("label").agg(
+                F.count(F.lit(1)).alias("n"),
+                F.coalesce(
+                    F.sum(F.col("amt").cast("decimal(18,4)")),
+                    F.lit(0).cast("decimal(18,4)"),
+                ).cast("decimal(28,4)").alias("s"),
+            ).collect()
+        }
+        assert got == want, (got, want)
+        view_rows = {
+            (r["fk"], r["label"])
+            for r in frames["v"].select("fk", "label").collect()
+        }
+        direct = {
+            (r["fk"], r["label"])
+            for r in frames["f"].join(frames["d"], "jk", "left")
+            .select("fk", "label").collect()
+        }
+        assert view_rows == direct, (view_rows, direct)
+
+    rows = [{"fk": 1, "jk": 10, "amt": 100.0}, {"fk": 2, "jk": 20, "amt": 50.0}]
+    (src / "b1.json").write_text("\n".join(json.dumps(r) for r in rows))
+    drain()
+    stack_ok()
+
+    # batch 2 CRASHES after the view sync, before the rollup sync
+    real_sync_rollup = rollup_mod.sync_rollup
+    calls = {"n": 0}
+
+    def boom(*a, **k):
+        calls["n"] += 1
+        raise RuntimeError("injected crash between levels")
+
+    monkeypatch.setattr(rollup_mod, "sync_rollup", boom)
+    rows2 = [{"fk": 3, "jk": 10, "amt": 25.0}]
+    (src / "b2.json").write_text("\n".join(json.dumps(r) for r in rows2))
+    with pytest.raises(StreamingQueryException, match="injected crash"):
+        drain()
+    assert calls["n"] == 1
+    monkeypatch.setattr(rollup_mod, "sync_rollup", real_sync_rollup)
+
+    # torn mid-stack: fact+view advanced, rollup a window behind —
+    # the group read must rewind all four to the rollup's cut
+    assert store.read("f").count() == 3
+    frames = read_group(store, ["f", "d", "v", "r2"])
+    assert frames["f"].count() == 2  # rewound: batch 2 invisible
+    stack_ok(frames)
+
+    # checkpoint replay: upsert skips exactly-once, view sync no-ops,
+    # the crashed rollup level catches up — fully converged
+    fact_v = store.latest_version("f")
+    drain()
+    assert store.latest_version("f") == fact_v  # no double-apply
+    stack_ok()
+    frames = read_group(store, ["f", "d", "v", "r2"])
+    assert frames["f"].count() == 3
+    stack_ok(frames)
