@@ -197,6 +197,43 @@ _CHANGED_IN_ROUND = {
     "store_incremental_rollup_sum": 11,
     "store_streaming_rollup": 11,
     "store_incremental_distinct": 11,
+    # r11: every store-backed query rides the reworked claim identity
+    # tokens (content digests over a per-acquire uuid — inode tokens
+    # aliased on this fs) and the join-view queries additionally ride
+    # the cross-phase watermark CAS (txn_assert) + OCC re-derive loop
+    # (code-review r11 finding 5, by the r8–r10 precedent: a commit-
+    # protocol rework staleness-marks the whole store family); locally
+    # re-proven by the r11 end-of-round full-registry sweeps (228/228
+    # at shuffle=13/sf0.001 AND at the driver's sf0.01/shuffle=32),
+    # the 50-query driver-sequence replay, and the full suite
+    "f18_unavail_fill": 11,
+    "s3_exists_probe": 11,
+    "s4_last_modified_probe": 11,
+    "s8_append_roundtrip": 11,
+    "s9_replace_roundtrip": 11,
+    "s10_reload_roundtrip": 11,
+    "cdc_latest_wins": 11,
+    "events_rollup_hourly": 11,
+    "pipeline_idempotent_reload": 11,
+    "store_keyed_merge": 11,
+    "store_versioned_snapshot": 11,
+    "store_delete_where": 11,
+    "store_txn_exactly_once": 11,
+    "store_constraint_reject": 11,
+    "store_restore_rollback": 11,
+    "store_point_lookup": 11,
+    "store_time_travel_ts": 11,
+    "store_schema_evolution": 11,
+    "store_cdf_changes": 11,
+    "store_cdf_stream_drain": 11,
+    "store_merge_when": 11,
+    "store_column_mapping": 11,
+    "store_rebucket": 11,
+    "store_stats_skipping": 11,
+    "store_auto_compact": 11,
+    "store_ivm_base_state": 11,
+    "store_incremental_join": 11,
+    "store_streaming_join": 11,
 }
 
 

@@ -76,36 +76,48 @@ class GroupConsistencyError(RuntimeError):
 
 
 def _view_deps(
-    store: TableStore, name: str, version: int
+    store: TableStore, name: str, version: int, txn: dict,
+    inc_of,
 ) -> tuple[dict[str, int], bool]:
     """The maintenance watermark vector of ``name@version``: (base
-    table → base version reflected, had_maintenance_apps). The vector
-    is restricted to app ids whose incarnation matches the base's
-    CURRENT one (stale-incarnation watermarks are not valid cut
-    points); the flag distinguishes a plain base table (no maintenance
-    apps at all) from a view STRANDED on a prior incarnation (apps
-    present, none current — needs a reseed, must not be silently
-    treated as a base)."""
-    txn = store._manifest_doc(name, version).get("txn", {}) or {}
+    table → base version reflected, had_maintenance_apps). Watermark
+    app ids are matched against each base's CURRENT incarnation
+    (``inc_of``) — stale-incarnation watermarks are not valid cut
+    points. PER-TABLE completeness is required: if ANY referenced
+    base at this version carries only stale-incarnation apps (the
+    version predates that base's reseed+resync), the WHOLE vector is
+    invalid (deps = {}) — dropping just that edge would let a
+    multi-input view (a join view whose fact was reseeded) resolve as
+    if it never depended on the reseeded base, silently serving a
+    torn pair (code-review r11 finding 1). Post-resync versions are
+    fine: txn maps carry old apps forward, but the CURRENT-incarnation
+    app is present alongside them. The flag distinguishes a plain
+    base table (no maintenance apps at all) from a view whose
+    watermarks are stale (apps present, vector invalid)."""
     deps: dict[str, int] = {}
     had = False
+    stale_only: set[str] = set()
+    current: set[str] = set()
     for app, w in txn.items():
         m = _APP_RE.match(app)
         if not m:
             continue
         had = True
         base = m.group("base")
-        if (store.table_incarnation(base) or "0") != m.group("inc"):
+        if inc_of(base) != m.group("inc"):
+            stale_only.add(base)
             continue
+        current.add(base)
         deps[base] = int(w)
+    if stale_only - current:
+        return {}, had  # incomplete vector: not a valid cut candidate
     return deps, had
 
 
-def _group_seqs(store: TableStore, name: str, version: int) -> dict[str, int]:
-    """The write-group stamps of ``name@version``: group name → group
-    sequence (from write_group's ``group_txn:{group}`` app ids,
+def _group_seqs(txn: dict) -> dict[str, int]:
+    """The write-group stamps in a manifest txn dict: group name →
+    group sequence (from write_group's ``group_txn:{group}`` app ids,
     carried forward across every publish like all txn watermarks)."""
-    txn = store._manifest_doc(name, version).get("txn", {}) or {}
     out: dict[str, int] = {}
     for app, v in txn.items():
         m = _GROUP_RE.match(app)
@@ -137,10 +149,21 @@ def resolve_group_versions(
         raise ValueError("read_group needs at least one table")
 
     # transitively load version histories: requested tables plus
-    # every table a loaded view's watermarks reference
+    # every table a loaded view's watermarks reference. Manifest txn
+    # dicts are read ONCE per (table, version) and shared between the
+    # watermark and group-stamp passes, and base incarnations are
+    # cached per table (code-review r11 finding 7 — the resolver's
+    # 'metadata only' promise shouldn't hide a 2-3× manifest re-read).
     hist: dict[str, list[tuple[int, dict[str, int]]]] = {}
+    txns: dict[str, dict[int, dict]] = {}
     stranded: set[str] = set()
     loading: list[str] = []
+    inc_cache: dict[str, str] = {}
+
+    def _inc_of(base: str) -> str:
+        if base not in inc_cache:
+            inc_cache[base] = store.table_incarnation(base) or "0"
+        return inc_cache[base]
 
     def _load(name: str) -> None:
         if name in hist:
@@ -162,8 +185,11 @@ def resolve_group_versions(
             if as_of_ts is not None:
                 horizon = store.version_as_of(name, as_of_ts)
                 vers = [v for v in vers if v <= horizon]
+            txns[name] = {}
             for v in vers:
-                deps, had = _view_deps(store, name, v)
+                txn = store._manifest_doc(name, v).get("txn", {}) or {}
+                txns[name][v] = txn
+                deps, had = _view_deps(store, name, v, txn, _inc_of)
                 h.append((v, deps))
                 if v == vers[0] and had and not deps:
                     stranded.add(name)
@@ -176,12 +202,16 @@ def resolve_group_versions(
 
     for name in tables:
         _load(name)
-    bad = stranded & set(tables)
-    if bad:
+    if stranded:
+        # ANY loaded table counts — a transitively loaded mid-DAG view
+        # whose watermarks are stale must not be silently reclassified
+        # as a base, severing the DAG (code-review r11 finding 2);
+        # every loaded table is either requested or depended upon, so
+        # a stranded one always poisons the requested group.
         raise GroupConsistencyError(
-            f"{sorted(bad)} are maintained views whose watermarks all "
-            "point at a PRIOR incarnation of their base (the base was "
-            "reseeded) — re-sync/reseed the view, then retry"
+            f"{sorted(stranded)} are maintained views whose newest "
+            "watermarks reference a PRIOR incarnation of a base (the "
+            "base was reseeded) — re-sync/reseed them, then retry"
         )
 
     views = {n: h for n, h in hist.items() if h and h[0][1]}
@@ -212,8 +242,8 @@ def resolve_group_versions(
     gmembers: dict[str, list[str]] = {}
     for name in tables:
         gh = [
-            # reuse the (as-of-truncated) loaded history's version list
-            (v, _group_seqs(store, name, v))
+            # reuse the loaded (as-of-truncated, once-read) txn dicts
+            (v, _group_seqs(txns[name][v]))
             for v, _ in hist[name]
         ]
         ghist[name] = gh
@@ -294,17 +324,29 @@ def resolve_group_versions(
         # synced at)
         pools: dict[str, list[tuple[int, dict[str, int]]]] = {}
         for name in vorder:
+            # full edge set = union of dep keys across the history: a
+            # version whose vector is missing an edge is a MID-SYNC
+            # phase commit (e.g. a join view's fact phase landed, dim
+            # watermark not yet) — its content reflects a base the
+            # manifest doesn't constrain, so pinning it would pair it
+            # with an arbitrary version of that base (code-review r11
+            # follow-up: the vacuumed-fallback probe exposed a
+            # half-seeded view@v1 being served with dim unpinned)
+            full: set = set()
+            for _, d2 in views[name]:
+                full |= set(d2)
             ms = _marks_on(name)
             ok = set.intersection(*ms) if ms else None
             pool = [
                 (v, d) for v, d in views[name]
-                if d and (ok is None or v in ok)
+                if d and set(d) >= full and (ok is None or v in ok)
             ]
             if not pool:
                 raise GroupConsistencyError(
-                    f"{name}: no version lies in every dependent "
-                    "view's synced set — sync the stacked views "
-                    "bottom-up and retry"
+                    f"{name}: no version carries a complete, "
+                    "dependent-compatible watermark vector — sync the "
+                    "stacked views bottom-up (a view mid-first-seed "
+                    "is not yet consistently readable) and retry"
                 )
             pools[name] = pool
 
@@ -367,6 +409,16 @@ def resolve_group_versions(
                             )
                         if x in views:
                             cap[x] = val  # re-pinned ≤ val next pass
+                        elif not any(v == val for v, _ in hist[x]):
+                            # the needed base version is no longer
+                            # published (vacuumed): refuse loudly
+                            # instead of returning an unreadable
+                            # vector (code-review r11 finding 4)
+                            raise GroupConsistencyError(
+                                f"{name} needs {x}@{val}, which is no "
+                                "longer retained (vacuumed) — sync "
+                                "the view forward and retry"
+                            )
                         else:
                             w[x] = val
                         lowered = True
@@ -466,15 +518,18 @@ def write_group(
     cross-table snapshot isolation. Readers pay metadata only; the
     writer pays one claim acquire + its tables' ordinary commits.
 
+    Member writes apply in the ``writes`` dict's INSERTION ORDER —
+    list dependents after the members they derive from (a summary
+    callable reading its detail table's post-write state needs the
+    detail listed first; code-review r11 finding 3 — the previous
+    sorted-by-name order made that pattern depend on alphabetical
+    naming). A concurrent group writer holding the claim past
+    ``wait_s`` raises io.TxnConflict.
+
     Returns the group sequence committed (or resumed)."""
-    from ..io import (
-        TxnAlreadyApplied,
-        _acquire_claim,
-        _ClaimHeartbeat,
-        _fs,
-    )
     import os as _os
-    import time as _time
+
+    from ..io import TxnAlreadyApplied, run_claim_serialized
 
     if not writes:
         raise ValueError("write_group needs at least one write")
@@ -486,53 +541,44 @@ def write_group(
         )
     app = f"group_txn:{group}"
     claim = _os.path.join(store.root, f".groupclaim_{group}")
-    deadline = _time.time() + wait_s
-    while True:
-        tok = _acquire_claim(claim, stale_s)
-        if tok is not None and _fs.identity(claim) == tok:
-            break
-        if _time.time() >= deadline:
-            raise GroupConsistencyError(
-                f"write_group({group}): could not acquire the group "
-                f"claim within {wait_s}s — a concurrent group write "
-                "is running (or crashed holding it; it goes stale "
-                f"after {stale_s}s)"
-            )
-        _time.sleep(0.05)
-    try:
-        with _ClaimHeartbeat(claim, tok, stale_s):
-            marks = {
-                t: (store.last_txn(t, app) or 0) if store.exists(t) else 0
-                for t in writes
-            }
-            seq = max(marks.values())
-            if len(set(marks.values())) == 1:
-                seq += 1  # clean state: a new transaction
-            # else: torn group — resume max, writing the laggards only
-            for t in sorted(writes):
-                if marks[t] >= seq:
-                    continue  # already carries this sequence
-                try:
-                    writes[t](app, seq)
-                except TxnAlreadyApplied:
-                    pass  # raced replay landed it: carries seq now
-                if (store.last_txn(t, app) or 0) != seq:
-                    # the callable wrote WITHOUT the stamp (or not at
-                    # all) — the group would silently stop being a
-                    # group: readers couldn't tell its writes from
-                    # torn state, and the next write_group would
-                    # re-run this member's write at the same content
-                    raise GroupConsistencyError(
-                        f"write_group({group}): the write for {t} did "
-                        f"not commit the (app_id={app}, seq={seq}) "
-                        "stamp — route it through an exactly-once "
-                        "verb (upsert_txn / merge_when(txn=...)) "
-                        "using the arguments passed to the callable"
-                    )
-            return seq
-    finally:
-        try:
-            if _fs.identity(claim) == tok:
-                _fs.remove(claim)
-        except FileNotFoundError:
-            pass
+
+    def _body() -> int:
+        marks = {
+            t: (store.last_txn(t, app) or 0) if store.exists(t) else 0
+            for t in writes
+        }
+        seq = max(marks.values())
+        if len(set(marks.values())) == 1:
+            seq += 1  # clean state: a new transaction
+        # else: torn group — resume max, writing the laggards only
+        for t in writes:  # insertion order: caller's dependency order
+            if marks[t] >= seq:
+                continue  # already carries this sequence
+            try:
+                writes[t](app, seq)
+            except TxnAlreadyApplied:
+                pass  # raced replay landed it: carries seq now
+            if (store.last_txn(t, app) or 0) != seq:
+                # the callable wrote WITHOUT the stamp (or not at
+                # all) — the group would silently stop being a
+                # group: readers couldn't tell its writes from
+                # torn state, and the next write_group would
+                # re-run this member's write at the same content
+                raise GroupConsistencyError(
+                    f"write_group({group}): the write for {t} did "
+                    f"not commit the (app_id={app}, seq={seq}) "
+                    "stamp — route it through an exactly-once "
+                    "verb (upsert_txn / merge_when(txn=...)) "
+                    "using the arguments passed to the callable"
+                )
+        return seq
+
+    # the shared claim protocol (io.run_claim_serialized — ONE
+    # definition of acquire/identity-self-check/heartbeat/conditional-
+    # release; code-review r11 finding 6): settled() is always None,
+    # so this degenerates to a heartbeated mutex — every caller runs
+    # its own body, serialized.
+    return run_claim_serialized(
+        claim, lambda: None, _body, wait_s, stale_s,
+        f"write_group({group})",
+    )

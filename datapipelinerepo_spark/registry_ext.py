@@ -6250,6 +6250,39 @@ def store_incremental_distinct_sketch(spark, sf_dir):
     )
 
 
+def _decimal_sum_agg(df, group_col: str, value_col: str):
+    """COUNT + decimal-exact SUM per group — the recompute the
+    consistency-layer group queries compare their maintained rollups
+    against (shared; code-review r11 finding 8)."""
+    return df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.coalesce(
+            F.sum(F.col(value_col).cast("decimal(18,4)")),
+            F.lit(0).cast("decimal(18,4)"),
+        )
+        .cast("decimal(28,4)")
+        .alias("sum_val"),
+    )
+
+
+def _cut_tagged_output(spark, schema, *cut_rows):
+    """Union per-cut collected row lists into one driver-facing
+    literal frame tagged ``cut`` = 1, 2, … with the decimal sum_val
+    cast to DOUBLE (the r11 output rule; shared by the three
+    consistency-layer group queries — code-review r11 finding 8)."""
+    out = None
+    for i, rows in enumerate(cut_rows, start=1):
+        f = spark.createDataFrame(rows, schema).withColumn(
+            "cut", F.lit(i)
+        )
+        out = f if out is None else out.unionByName(f)
+    return out.select(
+        "cut",
+        *[n for n in schema.names if n != "sum_val"],
+        F.col("sum_val").cast("double").alias("sum_val"),
+    )
+
+
 @register(
     "store_read_group",
     sql="""
@@ -6352,20 +6385,8 @@ def store_read_group(spark, sf_dir):
     )
 
     schema = g1["r"].select("o_orderstatus", "n_rows", "sum_val").schema
-    out = spark.createDataFrame(cut1_rows, schema).withColumn(
-        "cut", F.lit(1)
-    ).unionByName(
-        spark.createDataFrame(cut2_rows, schema).withColumn(
-            "cut", F.lit(2)
-        )
-    )
     return finish(
-        out.select(
-            "cut",
-            "o_orderstatus",
-            "n_rows",
-            F.col("sum_val").cast("double").alias("sum_val"),
-        )
+        _cut_tagged_output(spark, schema, cut1_rows, cut2_rows)
     )
 
 
@@ -6444,7 +6465,7 @@ def store_write_group(spark, sf_dir):
 
     def w_b(app_id, seq):
         # full summary of a's state AT this sequence (a commits before
-        # b inside write_group's sorted order, so read("a") is the
+        # b inside write_group's INSERTION order, so read("a") is the
         # post-seq snapshot — re-derivable on a resume, the
         # exactly-once contract every txn verb here requires)
         store.upsert_txn(
@@ -6516,20 +6537,8 @@ def store_write_group(spark, sf_dir):
     )
 
     schema = g1["b"].select("o_orderstatus", "n_rows", "sum_val").schema
-    out = spark.createDataFrame(cut1_rows, schema).withColumn(
-        "cut", F.lit(1)
-    ).unionByName(
-        spark.createDataFrame(cut2_rows, schema).withColumn(
-            "cut", F.lit(2)
-        )
-    )
     return finish(
-        out.select(
-            "cut",
-            "o_orderstatus",
-            "n_rows",
-            F.col("sum_val").cast("double").alias("sum_val"),
-        )
+        _cut_tagged_output(spark, schema, cut1_rows, cut2_rows)
     )
 
 
@@ -6622,15 +6631,7 @@ def store_stacked_view_group(spark, sf_dir):
         )
 
     def agg_of(view_frame):
-        return view_frame.groupBy("c_mktsegment").agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.coalesce(
-                F.sum(F.col("o_totalprice").cast("decimal(18,4)")),
-                F.lit(0).cast("decimal(18,4)"),
-            )
-            .cast("decimal(28,4)")
-            .alias("sum_val"),
-        )
+        return _decimal_sum_agg(view_frame, "c_mktsegment", "o_totalprice")
 
     sync_view()
     sync_top()
@@ -6674,20 +6675,8 @@ def store_stacked_view_group(spark, sf_dir):
     )
 
     schema = g1["r2"].select("c_mktsegment", "n_rows", "sum_val").schema
-    out = spark.createDataFrame(cut1_rows, schema).withColumn(
-        "cut", F.lit(1)
-    ).unionByName(
-        spark.createDataFrame(cut2_rows, schema).withColumn(
-            "cut", F.lit(2)
-        )
-    )
     return finish(
-        out.select(
-            "cut",
-            "c_mktsegment",
-            "n_rows",
-            F.col("sum_val").cast("double").alias("sum_val"),
-        )
+        _cut_tagged_output(spark, schema, cut1_rows, cut2_rows)
     )
 
 
@@ -6804,16 +6793,8 @@ def store_streaming_stack(spark, sf_dir):
         out_rows = g["r2"].select(
             "c_mktsegment", "n_rows", "sum_val"
         ).collect()
-        recompute = (
-            g["v"].groupBy("c_mktsegment").agg(
-                F.count(F.lit(1)).alias("n_rows"),
-                F.coalesce(
-                    F.sum(F.col("o_totalprice").cast("decimal(18,4)")),
-                    F.lit(0).cast("decimal(18,4)"),
-                )
-                .cast("decimal(28,4)")
-                .alias("sum_val"),
-            )
+        recompute = _decimal_sum_agg(
+            g["v"], "c_mktsegment", "o_totalprice"
         ).collect()
         _require_same_rows(
             out_rows, recompute,

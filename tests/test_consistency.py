@@ -577,3 +577,131 @@ def test_write_group_rejects_unstamped_write(spark, tmp_path):
             store, "g",
             {"a": unstamped, "b": mk("b", lambda s: s)},
         )
+
+
+# -- code-review r11 regression tests -----------------------------------
+
+
+def test_read_group_partial_reseed_of_multi_input_view_raises(spark, tmp_path):
+    """Finding 1: a join view whose FACT base was reseeded must not
+    silently resolve as a view over the dim alone — the per-version
+    watermark vector is invalid when any referenced base carries only
+    stale-incarnation apps."""
+    store = TableStore(spark, str(tmp_path))
+    fact = spark.createDataFrame(
+        [(1, 10, 100.0)], "fk long, jk long, amt double"
+    )
+    dim = spark.createDataFrame([(10, "x")], "jk long, label string")
+    store.overwrite_keyed(fact, "f", "fk", n_buckets=2, versioned=True)
+    store.overwrite_keyed(dim, "d", "jk", n_buckets=2, versioned=True)
+    sync_join_view(store, "f", "d", "v", "fk", "jk", "jk", n_buckets=2)
+    # reseed ONLY the fact: the view's fact edge is now stale while
+    # its dim edge is still current
+    store.overwrite_keyed(
+        spark.createDataFrame([(9, 10, 1.0)], "fk long, jk long, amt double"),
+        "f", "fk", n_buckets=2, versioned=True,
+    )
+    with pytest.raises(GroupConsistencyError, match="PRIOR incarnation"):
+        resolve_group_versions(store, ["f", "v"])
+    # even a dim-only request must refuse: the view cannot vouch for
+    # ANY consistent cut while one of its edges is stale
+    with pytest.raises(GroupConsistencyError, match="PRIOR incarnation"):
+        resolve_group_versions(store, ["d", "v"])
+    # re-sync reseeds the view under the new fact incarnation
+    sync_join_view(store, "f", "d", "v", "fk", "jk", "jk", n_buckets=2)
+    vec = resolve_group_versions(store, ["f", "d", "v"])
+    assert vec["f"] == store.latest_version("f")
+
+
+def test_read_group_transitively_stranded_mid_view_raises(spark, tmp_path):
+    """Finding 2: a stacked DAG whose MID view is stranded (its base
+    was reseeded) must refuse even when only the top is requested —
+    the mid view must not be silently reclassified as a base."""
+    store = _stacked_store(spark, tmp_path)
+    store.overwrite_keyed(
+        spark.createDataFrame(
+            [(9, 10, 1.0)], "fk long, jk long, amt double"
+        ),
+        "f", "fk", n_buckets=2, versioned=True,
+    )  # reseed the bottom: v (transitively loaded) is now stranded
+    with pytest.raises(GroupConsistencyError, match="PRIOR incarnation"):
+        resolve_group_versions(store, ["r2"])
+    # bottom-up re-sync restores the whole chain
+    _sync_stack(store)
+    frames = read_group(store, ["f", "d", "v", "r2"])
+    _stack_consistent(store, frames)
+
+
+def test_read_group_fallback_to_vacuumed_version_raises(spark, tmp_path):
+    """Finding 4: when the only consistent cut requires a base
+    version that vacuum dropped, the resolver must raise
+    GroupConsistencyError — not return an unreadable vector."""
+    store = TableStore(spark, str(tmp_path))
+    fact = spark.createDataFrame(
+        [(1, 10, 100.0)], "fk long, jk long, amt double"
+    )
+    dim = spark.createDataFrame([(10, "x")], "jk long, label string")
+    store.overwrite_keyed(fact, "a", "fk", n_buckets=2, versioned=True)
+    store.overwrite_keyed(dim, "b", "jk", n_buckets=2, versioned=True)
+    sync_join_view(store, "a", "b", "vv", "fk", "jk", "jk", n_buckets=2)
+    sync_rollup(store, "a", "w", ["jk"], "amt", n_buckets=2)  # marks a@1
+    store.upsert(
+        spark.createDataFrame([(2, 10, 50.0)], "fk long, jk long, amt double"),
+        "a", "fk",
+    )
+    store.upsert(
+        spark.createDataFrame([(10, "x2")], "jk long, label string"),
+        "b", "jk",
+    )
+    sync_join_view(store, "a", "b", "vv", "fk", "jk", "jk", n_buckets=2)
+    # w is pinned at a@1, so the group must fall back to vv's (1, 1)
+    # vector — but b@1 is vacuumed away
+    store.vacuum("b", keep_last=1, grace_s=0.0)
+    with pytest.raises(
+        GroupConsistencyError, match="no longer retained|common readable"
+    ):
+        resolve_group_versions(store, ["a", "b", "vv", "w"])
+
+
+def test_write_group_applies_in_insertion_order(spark, tmp_path):
+    """Finding 3: member writes apply in the writes dict's insertion
+    order, so a summary listed AFTER its detail derives from the
+    detail's post-write state regardless of table names (the old
+    sorted-by-name order silently required detail < summary
+    alphabetically)."""
+    from decimal import Decimal
+
+    from datapipelinerepo_spark.plans.consistency import write_group
+
+    store = TableStore(spark, str(tmp_path))
+
+    def w_detail(app, seq):
+        store.upsert_txn(
+            spark.createDataFrame(
+                [(seq, float(seq) * 10)], "id long, v double"
+            ),
+            "z_detail", "id", app, seq, n_buckets=2,
+        )
+
+    def w_summary(app, seq):  # derives from the detail's CURRENT state
+        agg = store.read("z_detail").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("v").cast("decimal(18,4)"))
+            .cast("decimal(28,4)")
+            .alias("s"),
+        ).withColumn("id", F.lit(1))
+        store.upsert_txn(agg, "a_summary", "id", app, seq, n_buckets=2)
+
+    # detail FIRST despite sorting after the summary alphabetically
+    writes = {"z_detail": w_detail, "a_summary": w_summary}
+    write_group(store, "ord", writes)
+    write_group(store, "ord", writes)
+    row = store.read("a_summary").collect()[0]
+    assert (row["n"], row["s"]) == (2, Decimal("30.0000"))
+    vals = read_group(store, ["z_detail", "a_summary"])
+    got = vals["z_detail"].agg(
+        F.sum(F.col("v").cast("decimal(18,4)"))
+        .cast("decimal(28,4)")
+        .alias("s")
+    ).collect()[0]["s"]
+    assert got == row["s"]
