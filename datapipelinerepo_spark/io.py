@@ -1602,13 +1602,61 @@ class TableStore:
             version_expect_ident=base_ident,
         )
 
+    def _dependent_watermark_floor(self, name: str) -> int | None:
+        """The oldest version of ``name`` some maintained view in this
+        store still reflects (current incarnation only), or None. Scans
+        every other versioned table's LATEST manifest txn for
+        maintenance watermark apps (``rollup_sync:{name}:{inc}`` /
+        ``viewsync_fact/dim:{name}:{inc}``) — kilobyte manifest reads,
+        one per sibling table."""
+        inc = self.table_incarnation(name) or "0"
+        suffix = f":{name}:{inc}"
+        floor = None
+        for entry in os.listdir(self.root):
+            if not entry.startswith("_manifest_"):
+                continue
+            other = entry[len("_manifest_"):]
+            if other == name:
+                continue
+            v = self.latest_version(other)
+            if v is None:
+                continue
+            try:
+                txn = self._manifest_doc(other, v).get("txn", {}) or {}
+            except FileNotFoundError:
+                continue
+            for app, w in txn.items():
+                if app.endswith(suffix) and app.split(":", 1)[0] in (
+                    "rollup_sync", "viewsync_fact", "viewsync_dim"
+                ):
+                    floor = (
+                        int(w) if floor is None else min(floor, int(w))
+                    )
+        return floor
+
     def vacuum(
-        self, name: str, keep_last: int = 1, grace_s: float = 600.0
+        self,
+        name: str,
+        keep_last: int = 1,
+        grace_s: float = 600.0,
+        keep_watermarked: bool = True,
     ) -> list[str]:
         """Reclaim files referenced by no retained manifest. Keeps the
         newest ``keep_last`` versions (and drops the older manifests, so
         a pinned read of a vacuumed version fails loudly instead of
         returning partial data). Returns the deleted relative paths.
+
+        ``keep_watermarked`` (default True, r11): ALSO retain every
+        version at or after the oldest watermark any maintained view
+        of this table still reflects — vacuuming a dependent view's
+        watermark version is the documented footgun that wedges BOTH
+        the view's next sync (``table_changes`` needs the watermark
+        manifest) and group-consistent reads (the only common cut
+        becomes unreadable). Delta's VACUUM cannot know its downstream
+        CDF consumers; this store's views register their watermarks in
+        sibling manifests, so it can. Pass ``keep_watermarked=False``
+        to reclaim regardless (accepting that stranded views must be
+        reseeded).
 
         **BEHAVIOR CHANGE (r8, ADVICE r8):** the default ``grace_s``
         moved from 0.0 to **600.0** — by default, files and manifests
@@ -1648,6 +1696,10 @@ class TableStore:
         if not vs:
             return []
         keep = set(vs[-max(1, keep_last):])
+        if keep_watermarked:
+            floor = self._dependent_watermark_floor(name)
+            if floor is not None:
+                keep.update(v for v in vs if v >= floor)
         cutoff = time.time() - grace_s
         if grace_s > 0:
             for v in vs:

@@ -123,7 +123,9 @@ def test_read_group_vacuumed_cut_raises(spark, tmp_path):
     store.upsert(
         spark.createDataFrame([(5, 2.0, "A")], SCHEMA), "t", "id"
     )
-    store.vacuum("t", keep_last=1, grace_s=0.0)  # v1 manifest dropped
+    store.vacuum(  # keep_watermarked=False: we WANT the footgun here
+        "t", keep_last=1, grace_s=0.0, keep_watermarked=False
+    )
     with pytest.raises(GroupConsistencyError, match="common readable cut"):
         resolve_group_versions(store, ["t", "r"])
     # (sync_rollup can't recover either — table_changes needs the
@@ -656,7 +658,7 @@ def test_read_group_fallback_to_vacuumed_version_raises(spark, tmp_path):
     sync_join_view(store, "a", "b", "vv", "fk", "jk", "jk", n_buckets=2)
     # w is pinned at a@1, so the group must fall back to vv's (1, 1)
     # vector — but b@1 is vacuumed away
-    store.vacuum("b", keep_last=1, grace_s=0.0)
+    store.vacuum("b", keep_last=1, grace_s=0.0, keep_watermarked=False)
     with pytest.raises(
         GroupConsistencyError, match="no longer retained|common readable"
     ):
@@ -705,3 +707,29 @@ def test_write_group_applies_in_insertion_order(spark, tmp_path):
         .alias("s")
     ).collect()[0]["s"]
     assert got == row["s"]
+
+
+def test_vacuum_protects_dependent_view_watermarks(spark, tmp_path):
+    """r11: vacuum's default retains every version at or after the
+    oldest watermark a maintained view still reflects — the
+    sync-wedging / unreadable-cut footgun requires an explicit
+    keep_watermarked=False."""
+    store = _mk(spark, tmp_path)  # base v1 + rollup synced at v1
+    store.upsert(
+        spark.createDataFrame([(4, 100.0, "B")], SCHEMA), "t", "id"
+    )
+    store.upsert(
+        spark.createDataFrame([(5, 2.0, "A")], SCHEMA), "t", "id"
+    )
+    store.vacuum("t", keep_last=1, grace_s=0.0)  # default: protected
+    assert 1 in store.versions("t")  # the rollup's watermark survives
+    # the group still resolves AND the lagging rollup can still sync
+    vec = resolve_group_versions(store, ["t", "r"])
+    assert vec["t"] == 1
+    sync_rollup(store, "t", "r", ["grp"], "val")
+    assert resolve_group_versions(store, ["t", "r"])["t"] == (
+        store.latest_version("t")
+    )
+    # once the view is current, old versions become reclaimable
+    store.vacuum("t", keep_last=1, grace_s=0.0)
+    assert store.versions("t") == [store.latest_version("t")]
