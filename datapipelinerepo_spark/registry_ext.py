@@ -6391,6 +6391,128 @@ def store_read_group(spark, sf_dir):
 
 
 @register(
+    "store_read_group_asof",
+    sql="""
+    WITH base AS (
+      SELECT o_orderkey, o_totalprice, o_orderstatus
+      FROM orders WHERE o_orderkey % 2 = 0
+    ), inc AS (
+      SELECT o_orderkey, o_totalprice * 2 AS o_totalprice, o_orderstatus
+      FROM orders WHERE o_orderkey % 10 IN (0, 5)
+    ), v2 AS (
+      SELECT * FROM inc
+      UNION ALL
+      SELECT * FROM base
+      WHERE o_orderkey NOT IN (SELECT o_orderkey FROM inc)
+    ), ins AS (
+      SELECT o_orderkey, o_totalprice, o_orderstatus
+      FROM orders WHERE o_orderkey % 10 = 7
+    ), v3 AS (
+      SELECT * FROM v2 UNION ALL SELECT * FROM ins
+    )
+    SELECT 1 AS cut, o_orderstatus,
+           COUNT(*) AS n_rows,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                AS DECIMAL(28,4)) AS DOUBLE) AS sum_val
+    FROM base GROUP BY o_orderstatus
+    UNION ALL
+    SELECT 2 AS cut, o_orderstatus,
+           COUNT(*) AS n_rows,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                AS DECIMAL(28,4)) AS DOUBLE) AS sum_val
+    FROM v3 GROUP BY o_orderstatus
+    """,
+)
+def store_read_group_asof(spark, sf_dir):
+    """GROUP TIME TRAVEL, hash-checked (plans/consistency.py:141 —
+    VERDICT r11 item 2, the one consistency verb without a driver
+    row): ``read_group(as_of_ts=...)`` truncates every member's
+    history to the versions published at or before the timestamp and
+    resolves the newest consistent cut WITHIN that horizon — the cut a
+    group reader would have been served at that instant.
+
+    Determinism: the as-of pin is derived from MANIFEST metadata, not
+    wall-clock — the lifecycle captures the rollup's v1 publish
+    timestamp (``store.history``) after the first sync, so the as-of
+    read resolves {t: 1, r: 1} regardless of when or how fast the run
+    executes (in-query guard). Two further base writes + syncs advance
+    the pair to v3; the driver-hashed output carries BOTH cuts (tagged
+    1/2), so the oracle proves the as-of read served exactly the
+    first-sync state THROUGH the group API while the store's current
+    state is two transactions ahead — and that the current-cut read is
+    unaffected by the horizonned one."""
+    from .plans.consistency import read_group, resolve_group_versions
+    from .plans.rollup import sync_rollup
+
+    base, inc = _ivm_frames(spark, sf_dir)
+    ins = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 10 == 7)
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+    )
+    store, finish = _ephemeral_store(spark, "rga_")
+    store.overwrite_keyed(
+        base, "t", "o_orderkey", n_buckets=16, versioned=True
+    )
+    sync_rollup(store, "t", "r", ["o_orderstatus"], "o_totalprice")
+    # the consistency point: the instant the first sync published.
+    # Manifest ts, not wall-clock — deterministic across replays.
+    asof = store.history("r")[-1]["ts_millis"]
+
+    store.upsert(inc, "t", "o_orderkey")  # v2
+    sync_rollup(store, "t", "r", ["o_orderstatus"], "o_totalprice")
+    store.upsert(ins, "t", "o_orderkey")  # v3
+    sync_rollup(store, "t", "r", ["o_orderstatus"], "o_totalprice")
+
+    vec_asof = resolve_group_versions(store, ["t", "r"], as_of_ts=asof)
+    _require(
+        vec_asof == {"t": 1, "r": 1},
+        f"group time travel must resolve the first-sync cut "
+        f"{{t: 1, r: 1}}, got {vec_asof}",
+    )
+    g1 = read_group(store, ["t", "r"], as_of_ts=asof)
+    _require(
+        # v2 doubled the ≡0-mod-10 keys' prices and inserted ≡5 keys;
+        # none of the inserted keys may be visible at the as-of cut
+        g1["t"].filter(F.col("o_orderkey") % 10 == 5).limit(1).count()
+        == 0,
+        "as-of cut: post-horizon inserts leaked into the base frame",
+    )
+    cut1_rows = g1["r"].select(
+        "o_orderstatus", "n_rows", "sum_val"
+    ).collect()
+    rc1_rows = _ivm_direct_agg(g1["t"], False).collect()
+    _require_same_rows(
+        cut1_rows, rc1_rows,
+        "as-of cut: rollup != recompute over the group's pinned base "
+        "(ivm, recompute)",
+    )
+
+    vec_now = resolve_group_versions(store, ["t", "r"])
+    _require(
+        vec_now["t"] == store.latest_version("t")
+        and vec_now["t"] == 3,
+        f"the un-horizonned read must pin the latest (v3) cut, got "
+        f"{vec_now}",
+    )
+    g2 = read_group(store, ["t", "r"])
+    cut2_rows = g2["r"].select(
+        "o_orderstatus", "n_rows", "sum_val"
+    ).collect()
+    rc2_rows = _ivm_direct_agg(g2["t"], False).collect()
+    _require_same_rows(
+        cut2_rows, rc2_rows,
+        "current cut: rollup != recompute over the group's pinned "
+        "base (ivm, recompute)",
+    )
+
+    schema = g1["r"].select("o_orderstatus", "n_rows", "sum_val").schema
+    return finish(
+        _cut_tagged_output(spark, schema, cut1_rows, cut2_rows)
+    )
+
+
+@register(
     "store_write_group",
     sql="""
     WITH base AS (
