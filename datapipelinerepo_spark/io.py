@@ -1604,11 +1604,18 @@ class TableStore:
 
     def _dependent_watermark_floor(self, name: str) -> int | None:
         """The oldest version of ``name`` some maintained view in this
-        store still reflects (current incarnation only), or None. Scans
-        every other versioned table's LATEST manifest txn for
-        maintenance watermark apps (``rollup_sync:{name}:{inc}`` /
-        ``viewsync_fact/dim:{name}:{inc}``) — kilobyte manifest reads,
-        one per sibling table."""
+        store still reflects, or None. Scans EVERY RETAINED manifest of
+        every other versioned table (not just the latest — ADVICE r11:
+        a stacked DAG whose top-level rollup lags can have its only
+        consistent cut pinned by a mid-level view's OLDER watermark
+        version, which a latest-only floor would let vacuum reclaim;
+        group time travel and write-group sequence backtracking
+        likewise pin versions only older dependent manifests
+        reference) for maintenance watermark apps
+        (``rollup_sync:{name}:{inc}`` / ``viewsync_fact/dim:{name}:
+        {inc}``, current incarnation only). Kilobyte manifest reads,
+        one per retained sibling version — dependents' own vacuums
+        (keep_last) bound the scan and raise the floor over time."""
         inc = self.table_incarnation(name) or "0"
         suffix = f":{name}:{inc}"
         floor = None
@@ -1618,20 +1625,18 @@ class TableStore:
             other = entry[len("_manifest_"):]
             if other == name:
                 continue
-            v = self.latest_version(other)
-            if v is None:
-                continue
-            try:
-                txn = self._manifest_doc(other, v).get("txn", {}) or {}
-            except FileNotFoundError:
-                continue
-            for app, w in txn.items():
-                if app.endswith(suffix) and app.split(":", 1)[0] in (
-                    "rollup_sync", "viewsync_fact", "viewsync_dim"
-                ):
-                    floor = (
-                        int(w) if floor is None else min(floor, int(w))
-                    )
+            for v in self.versions(other):
+                try:
+                    txn = self._manifest_doc(other, v).get("txn", {}) or {}
+                except FileNotFoundError:
+                    continue
+                for app, w in txn.items():
+                    if app.endswith(suffix) and app.split(":", 1)[0] in (
+                        "rollup_sync", "viewsync_fact", "viewsync_dim"
+                    ):
+                        floor = (
+                            int(w) if floor is None else min(floor, int(w))
+                        )
         return floor
 
     def vacuum(
@@ -1640,20 +1645,39 @@ class TableStore:
         keep_last: int = 1,
         grace_s: float = 600.0,
         keep_watermarked: bool = True,
+        retain_s: float | None = None,
     ) -> list[str]:
         """Reclaim files referenced by no retained manifest. Keeps the
         newest ``keep_last`` versions (and drops the older manifests, so
         a pinned read of a vacuumed version fails loudly instead of
         returning partial data). Returns the deleted relative paths.
 
+        ``retain_s`` (r12 — VERDICT r11 item 3, the analog of Delta's
+        ``delta.deletedFileRetentionDuration``) makes the TIME-TRAVEL
+        HORIZON a stated contract instead of an accident of keep_last:
+        every version that was CURRENT at any instant within the last
+        ``retain_s`` seconds is retained — i.e. all versions published
+        inside the window PLUS the newest version published before it
+        (the one ``version_as_of(now - retain_s)`` resolves). With
+        ``retain_s=86400``, ``read(name, ts=...)`` and
+        ``read_group(as_of_ts=...)`` are guaranteed to serve any
+        timestamp in the last 24 h; older timestamps raise the existing
+        loud not-retained error. A manifest missing its publish
+        timestamp is retained conservatively. Default None = no
+        time-horizon retention (keep_last/grace/watermarks only).
+
         ``keep_watermarked`` (default True, r11): ALSO retain every
         version at or after the oldest watermark any maintained view
-        of this table still reflects — vacuuming a dependent view's
-        watermark version is the documented footgun that wedges BOTH
-        the view's next sync (``table_changes`` needs the watermark
-        manifest) and group-consistent reads (the only common cut
-        becomes unreadable). Delta's VACUUM cannot know its downstream
-        CDF consumers; this store's views register their watermarks in
+        of this table still reflects — in ANY of the view's retained
+        manifest versions, not just its newest (r12, ADVICE r11: group
+        time travel, sequence backtracking, and lagging stacked DAGs
+        can pin cuts only older dependent manifests reference).
+        Vacuuming a dependent view's watermark version is the
+        documented footgun that wedges BOTH the view's next sync
+        (``table_changes`` needs the watermark manifest) and
+        group-consistent reads (the only common cut becomes
+        unreadable). Delta's VACUUM cannot know its downstream CDF
+        consumers; this store's views register their watermarks in
         sibling manifests, so it can. Pass ``keep_watermarked=False``
         to reclaim regardless (accepting that stranded views must be
         reseeded).
@@ -1700,6 +1724,23 @@ class TableStore:
             floor = self._dependent_watermark_floor(name)
             if floor is not None:
                 keep.update(v for v in vs if v >= floor)
+        if retain_s is not None:
+            # the as-of horizon contract: keep every version published
+            # inside the window, and the newest one published before
+            # it — that version was CURRENT at the window's start, so
+            # version_as_of(now - retain_s) must still resolve it
+            horizon_ms = (time.time() - retain_s) * 1000
+            newest_before = None
+            for v in vs:  # ascending
+                ts = self._manifest_doc(name, v).get("ts")
+                if ts is None:
+                    keep.add(v)  # undated commit: retain conservatively
+                elif int(ts) <= horizon_ms:
+                    newest_before = v
+                else:
+                    keep.add(v)
+            if newest_before is not None:
+                keep.add(newest_before)
         cutoff = time.time() - grace_s
         if grace_s > 0:
             for v in vs:

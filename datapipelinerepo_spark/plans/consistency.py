@@ -66,6 +66,10 @@ _APP_RE = re.compile(
 # group sequence, and the resolver refuses to serve a torn group
 _GROUP_RE = re.compile(r"^group_txn:(?P<group>.+)$")
 
+# bound on the write-group sequence-combination search (newest-first);
+# a truncated search says so in its error (ADVICE r11)
+_SEQ_ENUM_CAP = 64
+
 
 class GroupConsistencyError(RuntimeError):
     """No mutually-consistent version vector exists for the requested
@@ -108,7 +112,17 @@ def _view_deps(
             stale_only.add(base)
             continue
         current.add(base)
-        deps[base] = int(w)
+        # two current-incarnation apps for the SAME base (e.g.
+        # rollup_sync and viewsync_fact after a maintenance-mechanism
+        # change: the old app id carries forward in the txn map
+        # forever, the new mechanism stamps its own) — take the MAX,
+        # deterministically: within one base incarnation watermarks
+        # are monotone (base versions only grow), so the freshest
+        # maintenance run — the one the view's content actually
+        # reflects — always carries the highest value. Dict-iteration-
+        # last was a latent nondeterminism (ADVICE r11).
+        w = int(w)
+        deps[base] = max(deps[base], w) if base in deps else w
     if stale_only - current:
         return {}, had  # incomplete vector: not a valid cut candidate
     return deps, had
@@ -447,16 +461,27 @@ def resolve_group_versions(
 
     last_err: GroupConsistencyError | None = None
     names = list(seq_lists)
+    truncated = False
     for i, combo in enumerate(
         itertools.product(*seq_lists.values()) if names else [()]
     ):
-        if i >= 64:
+        if i >= _SEQ_ENUM_CAP:
+            truncated = True
             break
         try:
             return _attempt(_allowed_for(dict(zip(names, combo))))
         except GroupConsistencyError as e:
             last_err = e
     assert last_err is not None
+    if truncated:
+        # ADVICE r11: a caller hitting the bound must be able to
+        # distinguish 'no cut exists' from 'search truncated'
+        raise GroupConsistencyError(
+            f"no consistent cut found within the first {_SEQ_ENUM_CAP} "
+            f"write-group sequence combinations (groups: {names}; the "
+            "search was TRUNCATED — an older combination may still be "
+            f"consistent). Last failure: {last_err}"
+        ) from last_err
     raise last_err
 
 

@@ -713,7 +713,10 @@ def test_vacuum_protects_dependent_view_watermarks(spark, tmp_path):
     """r11: vacuum's default retains every version at or after the
     oldest watermark a maintained view still reflects — the
     sync-wedging / unreadable-cut footgun requires an explicit
-    keep_watermarked=False."""
+    keep_watermarked=False. r12 (ADVICE r11): the floor scans the
+    dependents' RETAINED HISTORIES, not just their latest manifests,
+    so releasing base history is top-down — vacuum the view first,
+    then the base."""
     store = _mk(spark, tmp_path)  # base v1 + rollup synced at v1
     store.upsert(
         spark.createDataFrame([(4, 100.0, "B")], SCHEMA), "t", "id"
@@ -730,6 +733,119 @@ def test_vacuum_protects_dependent_view_watermarks(spark, tmp_path):
     assert resolve_group_versions(store, ["t", "r"])["t"] == (
         store.latest_version("t")
     )
-    # once the view is current, old versions become reclaimable
+    # the rollup is current, but its RETAINED v1 manifest still pins
+    # base v1 (group time travel / backtracking can serve that cut) —
+    # the base stays protected until the view's history is vacuumed
+    store.vacuum("t", keep_last=1, grace_s=0.0)
+    assert 1 in store.versions("t")
+    store.vacuum("r", keep_last=1, grace_s=0.0)  # top-down release
     store.vacuum("t", keep_last=1, grace_s=0.0)
     assert store.versions("t") == [store.latest_version("t")]
+
+
+def test_vacuum_protects_lagging_stacked_cut(spark, tmp_path):
+    """ADVICE r11 (io._dependent_watermark_floor): a stacked DAG whose
+    top-level rollup lags pins a MID-LEVEL view's older version, whose
+    watermark references a base version BELOW the latest-manifest
+    floor. The r12 history-deep floor must keep that base version, so
+    the group's only consistent cut stays readable after a default
+    vacuum."""
+    store = _mk(spark, tmp_path)       # t@1, mid view r synced (r@1)
+    sync_rollup(store, "r", "rr", ["grp"], "sum_val")  # top: rr@1 ← r@1
+    # advance the base twice and sync ONLY the mid view: rr still
+    # pins r@1, which pins t@1 — the DAG's only consistent cut
+    store.upsert(
+        spark.createDataFrame([(4, 100.0, "B")], SCHEMA), "t", "id"
+    )
+    sync_rollup(store, "t", "r", ["grp"], "val")       # r@2 ← t@2
+    store.upsert(
+        spark.createDataFrame([(5, 2.0, "A")], SCHEMA), "t", "id"
+    )
+    sync_rollup(store, "t", "r", ["grp"], "val")       # r@3 ← t@3
+    vec_before = resolve_group_versions(store, ["t", "r", "rr"])
+    assert vec_before == {"t": 1, "r": 1, "rr": 1}
+    # default vacuum of the BASE: r's latest watermark says t@3, but
+    # r's retained v1 manifest says t@1 — the deep floor keeps t@1
+    store.vacuum("t", keep_last=1, grace_s=0.0)
+    assert 1 in store.versions("t")
+    vec_after = resolve_group_versions(store, ["t", "r", "rr"])
+    assert vec_after == vec_before
+    frames = read_group(store, ["t", "r", "rr"])
+    assert _rollup_rows(frames["r"]) == _recompute(store, 1)
+
+
+def test_vacuum_retain_s_time_travel_contract(spark, tmp_path):
+    """r12 (VERDICT r11 item 3): ``vacuum(retain_s=...)`` is the
+    deletedFileRetentionDuration analog — every timestamp within the
+    window stays servable (the newest pre-window version is retained
+    because it was CURRENT at the window's start); older timestamps
+    raise the existing loud not-retained error."""
+    import time
+
+    store = TableStore(spark, str(tmp_path))
+    df = spark.createDataFrame([(1, 1.0, "A")], SCHEMA)
+    store.overwrite_keyed(df, "t", "id", n_buckets=2, versioned=True)
+    time.sleep(0.15)
+    store.upsert(spark.createDataFrame([(2, 2.0, "B")], SCHEMA), "t", "id")
+    time.sleep(0.15)
+    store.upsert(spark.createDataFrame([(3, 3.0, "A")], SCHEMA), "t", "id")
+    ts = {h["version"]: h["ts_millis"] for h in store.history("t")}
+    # horizon strictly between v2's and v3's publish instants
+    horizon_ms = (ts[2] + ts[3]) // 2
+    retain_s = time.time() - horizon_ms / 1000.0
+    store.vacuum("t", keep_last=1, grace_s=0.0, retain_s=retain_s)
+    # v3 (window) and v2 (current at window start) retained; v1 gone
+    assert store.versions("t") == [2, 3]
+    # inside the horizon: any ts in the window resolves
+    assert store.version_as_of("t", horizon_ms) == 2
+    assert store.version_as_of("t", ts[3]) == 3
+    assert store.read("t", version=2).count() == 2
+    # outside the horizon: loud, not a silently-older snapshot
+    with pytest.raises(ValueError, match="no retained version"):
+        store.version_as_of("t", ts[2] - 1)
+
+
+def test_view_deps_conflicting_watermarks_take_max(spark, tmp_path):
+    """ADVICE r11 (consistency._view_deps): two current-incarnation
+    maintenance apps for the SAME base (a mechanism change carries the
+    old app id forward) must resolve deterministically to the MAX —
+    watermarks are monotone within an incarnation — never to whichever
+    the dict yields last."""
+    from datapipelinerepo_spark.plans.consistency import _view_deps
+
+    store = _mk(spark, tmp_path)
+    inc = store.table_incarnation("t") or "0"
+    for txn in (
+        {f"rollup_sync:t:{inc}": 1, f"viewsync_fact:t:{inc}": 3},
+        {f"viewsync_fact:t:{inc}": 3, f"rollup_sync:t:{inc}": 1},
+    ):
+        deps, had = _view_deps(
+            store, "r", 1, txn, lambda b: inc
+        )
+        assert had and deps == {"t": 3}
+
+
+def test_write_group_seq_enum_cap_truncation_is_loud(spark, tmp_path):
+    """ADVICE r11 (consistency resolver): when the bounded write-group
+    sequence search is TRUNCATED before finding a cut, the error must
+    say so (and name the bound) — distinguishable from 'no cut
+    exists'. Reproduced by capping the search at 1 in the lagging-view
+    scenario whose consistent cut is the SECOND combination."""
+    from datapipelinerepo_spark.plans import consistency as C
+    from datapipelinerepo_spark.plans.consistency import write_group
+
+    store, mk = _wg_store(spark, tmp_path)
+    writes = {"a": mk("a", lambda s: s * 10), "b": mk("b", lambda s: s * 10)}
+    write_group(store, "g", writes)            # seq 1
+    sync_rollup(store, "a", "r", ["id"], "v")  # r reflects a@seq1
+    write_group(store, "g", writes)            # seq 2 — r lags
+
+    # uncapped: falls back to seq 1 (the lagging-view test's contract)
+    assert resolve_group_versions(store, ["a", "b", "r"])["a"] == 1
+    cap = C._SEQ_ENUM_CAP
+    C._SEQ_ENUM_CAP = 1
+    try:
+        with pytest.raises(GroupConsistencyError, match="TRUNCATED"):
+            resolve_group_versions(store, ["a", "b", "r"])
+    finally:
+        C._SEQ_ENUM_CAP = cap
