@@ -825,6 +825,69 @@ def test_view_deps_conflicting_watermarks_take_max(spark, tmp_path):
         assert had and deps == {"t": 3}
 
 
+@pytest.mark.slow
+def test_resolver_stress_deep_dag_metadata_only(spark, tmp_path):
+    """VERDICT r11 item 4: resolution over a 3-level stacked DAG with
+    ~100-version base history and interleaved PARTIAL syncs (the top
+    rollup lags one mid-view version at the end) must stay
+    metadata-only — zero Spark jobs, bounded wall-clock — and land on
+    the exact manifest-proven cut: rr's newest watermark names
+    vec['r'], whose manifest watermark names vec['t']."""
+    import time
+
+    store = _mk(spark, tmp_path)                       # t@1, r@1 ← t@1
+    sync_rollup(store, "r", "rr", ["grp"], "sum_val")  # rr@1 ← r@1
+    for i in range(20):
+        for _ in range(5):  # metadata-only history inflation
+            store.restore("t", store.latest_version("t"))
+        sync_rollup(store, "t", "r", ["grp"], "val")
+        if i % 2 == 0:  # partial: the top syncs every OTHER round
+            sync_rollup(store, "r", "rr", ["grp"], "sum_val")
+    assert len(store.versions("t")) >= 100
+
+    sc = spark.sparkContext
+    sc.setJobGroup("resolver_probe", "resolution must run zero jobs")
+    try:
+        t0 = time.monotonic()
+        vec = resolve_group_versions(store, ["t", "r", "rr"])
+        elapsed = time.monotonic() - t0
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    assert not sc.statusTracker().getJobIdsForGroup("resolver_probe"), (
+        "group resolution triggered Spark jobs — it must read only "
+        "kilobyte manifests"
+    )
+    assert elapsed < 2.0, (
+        f"resolution took {elapsed:.2f}s on a ~130-manifest DAG — "
+        "metadata-only cost should be tens of ms"
+    )
+
+    # the lagging top pins the DAG: rr at its newest version, r at
+    # rr's watermark (one behind latest), t at THAT r version's
+    # watermark (five base versions behind latest)
+    wm = {
+        name: {
+            h["version"]: {
+                app: int(v)
+                for app, v in h["txn"].items()
+                if app.startswith(("rollup_sync:", "viewsync_"))
+            }
+            for h in store.history(name)
+        }
+        for name in ("r", "rr")
+    }
+    inc_t = store.table_incarnation("t") or "0"
+    inc_r = store.table_incarnation("r") or "0"
+    assert vec["rr"] == store.latest_version("rr")
+    assert vec["r"] == wm["rr"][vec["rr"]][f"rollup_sync:r:{inc_r}"]
+    assert vec["r"] == store.latest_version("r") - 1  # top lags one
+    assert vec["t"] == wm["r"][vec["r"]][f"rollup_sync:t:{inc_t}"]
+    assert vec["t"] < store.latest_version("t")
+    # and the cut is servable: the pinned frames exist and agree
+    frames = read_group(store, ["t", "r", "rr"])
+    assert _rollup_rows(frames["r"]) == _recompute(store, vec["t"])
+
+
 def test_write_group_seq_enum_cap_truncation_is_loud(spark, tmp_path):
     """ADVICE r11 (consistency resolver): when the bounded write-group
     sequence search is TRUNCATED before finding a cut, the error must
