@@ -7183,3 +7183,183 @@ def store_streaming_join(spark, sf_dir):
         return spark.createDataFrame(result.collect(), result.schema)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+# ===========================================================================
+# r12: incremental dedup THROUGH the versioned store (VERDICT r11
+# item 6 — "what of today's crawl is already in the corpus" is the
+# nightly production query; the batch-snapshot forms
+# dedup_incremental_bloom / dedup_incremental_lsh are driver-green,
+# these lifecycles prove the persisted-state path: a corpus table and
+# its probe structures live in the store and ACCUMULATE across
+# batches, so batch 2 dedups against batch 1's survivors too)
+# ===========================================================================
+
+
+@register(
+    "store_incremental_dedup_corpus",
+    sql="""
+    WITH c0 AS (SELECT * FROM documents WHERE doc_id % 3 = 1),
+    b1 AS (SELECT * FROM documents WHERE doc_id % 3 = 2),
+    s1 AS (
+      SELECT * FROM b1 WHERE NOT EXISTS
+        (SELECT 1 FROM c0 WHERE md5(c0.text) = md5(b1.text))
+    ),
+    c1 AS (SELECT * FROM c0 UNION ALL SELECT * FROM s1),
+    b2 AS (SELECT * FROM documents WHERE doc_id % 3 = 0),
+    s2 AS (
+      SELECT * FROM b2 WHERE NOT EXISTS
+        (SELECT 1 FROM c1 WHERE md5(c1.text) = md5(b2.text))
+    )
+    SELECT 1 AS cut, doc_id, lang, n_chars FROM s1
+    UNION ALL
+    SELECT 2 AS cut, doc_id, lang, n_chars FROM s2
+    """,
+)
+def store_incremental_dedup_corpus(spark, sf_dir):
+    """CROSS-BATCH exact dedup against a PERSISTED corpus table: seed
+    the corpus (doc_id % 3 = 1), then ingest two successive batches —
+    each batch is bloom-prefiltered + digest-anti-joined against the
+    store's CURRENT corpus snapshot (operators/dedup.
+    incremental_dedup_bloom — no false negatives, so the survivor set
+    provably equals the plain digest anti-join the oracle computes),
+    and its survivors are upserted back, so batch 2 dedups against
+    batch 1's survivors too (the accumulation step the one-shot
+    dedup_incremental_bloom query doesn't exercise). The driver-hashed
+    output carries both batches' survivors (tagged cut 1/2); an
+    in-query guard proves the accumulation is live: every batch-2 text
+    digest that matches a batch-1 SURVIVOR (not just the seed corpus)
+    must be absent from cut 2."""
+    docs = t(spark, sf_dir, "documents")
+    store, finish = _ephemeral_store(spark, "idc_")
+    store.overwrite_keyed(
+        docs.filter(F.col("doc_id") % 3 == 1),
+        "corpus", "doc_id", n_buckets=8, versioned=True,
+    )
+
+    def ingest(batch):
+        surv = D.incremental_dedup_bloom(batch, store.read("corpus"))
+        rows = surv.select("doc_id", "lang", "n_chars").collect()
+        # persist the survivors: the corpus table accumulates
+        store.upsert(
+            surv.select(*docs.columns), "corpus", "doc_id"
+        )
+        return rows
+
+    cut1_rows = ingest(docs.filter(F.col("doc_id") % 3 == 2))
+    cut2_rows = ingest(docs.filter(F.col("doc_id") % 3 == 0))
+
+    # accumulation guard: a batch-2 doc whose text duplicates a
+    # batch-1 survivor must have been dropped even though the SEED
+    # corpus never contained that text
+    s1_ids = {r["doc_id"] for r in cut1_rows}
+    b1_only = (
+        docs.filter(F.col("doc_id") % 3 == 2)
+        .filter(F.col("doc_id").isin(list(s1_ids)) if s1_ids else F.lit(False))
+        .select(F.md5("text").alias("_d"))
+        .distinct()
+    )
+    leaked = (
+        docs.filter(F.col("doc_id") % 3 == 0)
+        .filter(
+            F.col("doc_id").isin([r["doc_id"] for r in cut2_rows])
+            if cut2_rows else F.lit(False)
+        )
+        .select(F.md5("text").alias("_d"))
+        .join(b1_only, "_d", "left_semi")
+        .limit(1)
+        .count()
+    )
+    _require(
+        leaked == 0,
+        "a batch-2 duplicate of a batch-1 survivor leaked through — "
+        "the persisted corpus is not accumulating",
+    )
+    schema = (
+        docs.select("doc_id", "lang", "n_chars").schema
+    )
+    out = None
+    for i, rows in enumerate((cut1_rows, cut2_rows), start=1):
+        f = spark.createDataFrame(rows, schema).withColumn("cut", F.lit(i))
+        out = f if out is None else out.unionByName(f)
+    return finish(out.select("cut", "doc_id", "lang", "n_chars"))
+
+
+@register(
+    "store_incremental_lsh_index",
+    sql="""
+    WITH tk AS (
+      SELECT doc_id,
+             string_split(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' ')
+               AS toks
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct(
+               CASE WHEN len(toks) >= 3 THEN
+                 list_transform(generate_series(1, len(toks) - 2),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+               ELSE [array_to_string(toks, ' ')] END
+             ) AS sh
+      FROM tk
+    ), f AS (
+      SELECT doc_id, unnest(sh) AS s, len(sh) AS sz FROM sh
+    ), inter AS (
+      SELECT a.doc_id AS new_id, b.doc_id AS corpus_id, COUNT(*) AS i,
+             any_value(a.sz) AS sza, any_value(b.sz) AS szb,
+             CASE WHEN a.doc_id % 10 = 0 THEN 1 ELSE 2 END AS cut
+      FROM f a JOIN f b ON a.s = b.s
+      WHERE (a.doc_id % 10 = 0 AND b.doc_id % 5 <> 0)
+         OR (a.doc_id % 10 = 5 AND (b.doc_id % 5 <> 0 OR b.doc_id % 10 = 0))
+      GROUP BY 1, 2, 6
+    )
+    SELECT cut, new_id, corpus_id,
+           round(CAST(i AS DOUBLE) / (sza + szb - i), 4) AS jaccard
+    FROM inter WHERE CAST(i AS DOUBLE) / (sza + szb - i) >= 0.5
+    """,
+)
+def store_incremental_lsh_index(spark, sf_dir):
+    """CROSS-BATCH near-dup against a PERSISTED LSH band index: the
+    historical corpus (doc_id % 5 <> 0) is signed ONCE into a store
+    table of (doc_id, band_no, band_hash) rows (operators/dedup.
+    minhash_band_index — ~bands×16 bytes/doc, tiny next to the
+    corpus), then two successive batches arrive (doc_id % 10 = 0, then
+    % 10 = 5): each is banded map-only, probed against the STORED
+    index (incremental_near_dup_lsh — the historical side is never
+    re-signed), and its banding + documents are APPENDED, so batch 2's
+    probe also sees batch 1 (the accumulation step the one-shot
+    dedup_incremental_lsh query doesn't exercise). Oracle-checked by
+    the dedup_incremental_lsh argument: emitted pairs are candidates ∩
+    exact cross-batch shingle-Jaccard ≥ 0.5 (the operator's verify
+    stage IS exact), and banding recall is complete on this corpus at
+    these splits — verified empirically at sf0.001/sf0.01 — so the
+    result equals the DuckDB exact all-pairs twin restricted to
+    (new, already-ingested) pairs, cut-tagged per batch."""
+    docs = t(spark, sf_dir, "documents")
+    store, finish = _ephemeral_store(spark, "ili_")
+    hist = docs.filter(F.col("doc_id") % 5 != 0)
+    store.overwrite_keyed(
+        hist, "corpus", "doc_id", n_buckets=8, versioned=True
+    )
+    store.overwrite(D.minhash_band_index(hist), "bandidx")
+
+    def ingest(batch):
+        bands = D.minhash_band_index(batch)
+        pairs = D.incremental_near_dup_lsh(
+            batch, store.read("bandidx"), store.read("corpus"),
+            threshold=0.5, new_bands=bands,
+        )
+        rows = pairs.collect()
+        store.append(bands, "bandidx")
+        store.upsert(batch, "corpus", "doc_id")
+        return rows
+
+    cut1_rows = ingest(docs.filter(F.col("doc_id") % 10 == 0))
+    cut2_rows = ingest(docs.filter(F.col("doc_id") % 10 == 5))
+
+    schema = "new_id long, corpus_id long, jaccard double"
+    out = None
+    for i, rows in enumerate((cut1_rows, cut2_rows), start=1):
+        f = spark.createDataFrame(rows, schema).withColumn("cut", F.lit(i))
+        out = f if out is None else out.unionByName(f)
+    return finish(out.select("cut", "new_id", "corpus_id", "jaccard"))
