@@ -587,6 +587,13 @@ def sync_rollup(
     apply_changes_to_rollup that owns the version bookkeeping, so a
     scheduler can just call sync_rollup() on any cadence.
 
+    READERS: consume the rollup together with its base through
+    ``plans.consistency.read_group`` (README: "read maintained views
+    through read_group") — the store commits per table, so plain
+    per-table reads between syncs can pair a fresh base with a stale
+    rollup; read_group pins both to one consistent version vector
+    resolved from the watermark this sync commits.
+
     The high-water mark ("base version this rollup reflects") is the
     ROLLUP table's own transactional watermark, committed ATOMICALLY
     with the merge that applies the feed, with COMPARE-AND-SWAP

@@ -123,6 +123,14 @@ def sync_join_view(
     (fact_version, dim_version) the view now reflects. Both bases must
     be versioned keyed tables.
 
+    READERS: consume the view together with either base through
+    ``plans.consistency.read_group`` (README: "read maintained views
+    through read_group") — the store commits per table, so plain
+    per-table reads between syncs can pair a fresh base with a stale
+    view; read_group pins the whole group to one consistent version
+    vector resolved from the (fact, dim) watermark pair this sync
+    commits.
+
     Mid-sync visibility: the fact phase and dim phase commit
     separately, so a reader between them can see fact-fresh rows
     joined against dim values one window old — each phase is
