@@ -1122,32 +1122,11 @@ class TableStore:
             kept_c = set(self._pruned_files(doc, c, b))
             keep_set = kept_c if keep_set is None else (keep_set & kept_c)
         keep = [f for f in doc["files"] if f in keep_set]
-        base = self._dir(name)
-        if not keep:
-            out = self._read_manifest_df(name, v)
-        else:
-            out = (
-                self.spark.read.option("mergeSchema", "true")
-                .option("basePath", base)
-                .parquet(*[os.path.join(base, f) for f in keep])
-            )
-        # schema evolution guard (code-review r8 wave 2): when pruning
-        # drops every file that CARRIES the queried column (it was
-        # added by a later write the range misses), the kept files'
-        # merged schema lacks it and the filter would raise
-        # UNRESOLVED_COLUMN where read()+filter returns empty — widen
-        # the frame to the manifest-recorded snapshot schema first
-        schema_json = doc.get("schema")
-        if schema_json is not None:
-            from pyspark.sql.types import StructType
-
-            for fld in StructType.fromJson(json.loads(schema_json)).fields:
-                if fld.name != "_kb" and fld.name not in out.columns:
-                    out = out.withColumn(
-                        fld.name, F.lit(None).cast(fld.dataType)
-                    )
-        out = out if keep else out.limit(0)
-        out = self._to_logical(out, cm).drop("_kb")
+        # _scan_files carries the schema-evolution guard (code-review
+        # r8 wave 2): when pruning drops every file CARRYING the
+        # queried column, the frame widens to the manifest-recorded
+        # snapshot schema so the filter can't raise UNRESOLVED_COLUMN
+        out = self._scan_files(name, v, doc, keep)
         for c, b in ranges.items():
             out = out.filter(F.col(c).between(F.lit(b[0]), F.lit(b[1])))
         return out
@@ -1266,6 +1245,359 @@ class TableStore:
             "and rewrite, e.g. via compact()).",
             stacklevel=3,
         )
+
+    # -- per-file BLOOM index: equality-probe file skipping ------------
+    #
+    # min/max stats (read_where) prune RANGE predicates on clustered
+    # columns, but an equality probe on a high-cardinality UNCLUSTERED
+    # column — "fetch this customer's orders" on a table bucketed by
+    # orderkey — straddles every file's [min, max], so stats skipping
+    # is inert. Delta answers this with its bloom filter index (a
+    # sidecar per file); the analog here is a per-file bloom bitmap
+    # over xxhash64(col), stored as a SIDECAR parquet dataset under
+    # the table dir (never in the manifest: at 100 TB a 128 KiB bitmap
+    # per file would bloat the kilobyte manifests vacuum/resolvers
+    # re-read constantly, while the sidecar is touched only by probes
+    # that benefit from it). File immutability makes staleness safe:
+    # a bitmap stays valid for its file forever; files written after
+    # the index build are simply not covered and always scan.
+
+    _BLOOM_SEED = 17
+
+    def _bloom_dir(self, name: str, phys_col: str) -> str:
+        return os.path.join(self._dir(name), ".bloomidx", phys_col)
+
+    def _bloom_bitmaps(
+        self, df: DataFrame, phys: str, m_bits: int, k: int, seed: int
+    ) -> DataFrame:
+        """(file, bitmap) per source parquet file of ``df`` — the build
+        core shared by full and incremental indexing. ONE scan, NO
+        row shuffle: bit positions are computed JVM-side (k seeded
+        xxhash64, mod m), each task folds its rows into per-file
+        bitmaps in Arrow batches, and a file split across tasks is
+        OR-merged by a tiny groupBy over (file, bitmap) rows — n_files
+        rows total, never row-sized data."""
+        import numpy as np
+        import pandas as pd
+
+        n_bytes = (m_bits + 7) // 8
+        parts = F.split(F.input_file_name(), "/")
+        pos = df.select(
+            # manifest-relative file path: always _kb=N/part-...
+            F.concat_ws(
+                "/", F.element_at(parts, -2), F.element_at(parts, -1)
+            ).alias("_file"),
+            F.explode(
+                F.array(
+                    *[
+                        F.pmod(
+                            F.xxhash64(F.col(phys), F.lit(seed + i)),
+                            F.lit(m_bits),
+                        )
+                        for i in range(k)
+                    ]
+                )
+            ).alias("_pos"),
+        )
+
+        def fold(batches):
+            maps: dict = {}
+            for pdf in batches:
+                for f, grp in pdf.groupby("_file"):
+                    bm = maps.get(f)
+                    if bm is None:
+                        bm = maps[f] = np.zeros(n_bytes, dtype=np.uint8)
+                    p = grp["_pos"].to_numpy()
+                    np.bitwise_or.at(
+                        bm, p >> 3, (1 << (p & 7)).astype(np.uint8)
+                    )
+            yield pd.DataFrame(
+                {
+                    "file": list(maps),
+                    "bitmap": [m.tobytes() for m in maps.values()],
+                }
+            )
+
+        def or_merge(pdf: pd.DataFrame) -> pd.DataFrame:
+            out = np.zeros(n_bytes, dtype=np.uint8)
+            for b in pdf["bitmap"]:
+                out |= np.frombuffer(b, dtype=np.uint8)
+            return pd.DataFrame(
+                {"file": [pdf["file"].iloc[0]], "bitmap": [out.tobytes()]}
+            )
+
+        return (
+            pos.mapInPandas(fold, "file string, bitmap binary")
+            .groupBy("file")
+            .applyInPandas(or_merge, "file string, bitmap binary")
+        )
+
+    def _bloom_resolve(self, name: str, col: str, doc: dict) -> str:
+        """Physical column name for an index request (stats and files
+        are keyed physically; the index dir likewise)."""
+        return (doc.get("colmap") or {}).get("renames", {}).get(col, col)
+
+    def build_bloom_index(
+        self,
+        name: str,
+        col: str,
+        m_bits: int = 1 << 20,
+        k: int = 5,
+        version: int | None = None,
+    ) -> int:
+        """Build (or rebuild from scratch) the per-file bloom index for
+        equality probes on ``col``; returns the number of files
+        indexed.
+
+        Sizing: m ≈ 9.6·n_distinct_per_file bits gives ~1% false
+        positives at k=5 — the default 1 Mib (128 KiB) bitmap covers
+        ~109k distinct values per file; size m_bits to the expected
+        per-file cardinality, not the table's.
+
+        The index publishes atomically (tmp dir + rename); a probe
+        that races the rebuild sees either the old index or none, both
+        correct (no index = no pruning). File immutability makes
+        coverage permanent: a bitmap stays valid for its file forever,
+        and files written later are caught up INCREMENTALLY by
+        ``update_bloom_index`` — the nightly maintenance verb — which
+        scans only the uncovered files."""
+        import uuid
+
+        if not self.is_versioned(name):
+            raise ValueError(
+                f"{name}: build_bloom_index needs a versioned table"
+            )
+        v = self._ensure_latest(name) if version is None else version
+        doc = self._manifest_doc(name, v)
+        phys = self._bloom_resolve(name, col, doc)
+        df = self._read_manifest_df(name, v, doc=doc)
+        if phys not in df.columns:
+            raise ValueError(
+                f"{name}: no column {col!r} (physical {phys!r}) to index"
+            )
+        seed = self._BLOOM_SEED
+        merged = self._bloom_bitmaps(df, phys, m_bits, k, seed)
+        final = self._bloom_dir(name, phys)
+        tmp = f"{final}.tmp-{uuid.uuid4().hex[:8]}"
+        try:
+            merged.write.mode("overwrite").parquet(
+                os.path.join(tmp, "parts", "full.parquet")
+            )
+            with open(os.path.join(tmp, "meta.json"), "w") as fh:
+                json.dump(
+                    {
+                        "version": v,
+                        "m_bits": m_bits,
+                        "k": k,
+                        "seed": seed,
+                        "col": col,
+                        "phys": phys,
+                        "dtype": df.schema[phys].dataType.simpleString(),
+                        "n_files": len(doc["files"]),
+                    },
+                    fh,
+                )
+            shutil.rmtree(final, ignore_errors=True)
+            os.rename(tmp, final)
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+        return len(doc["files"])
+
+    def update_bloom_index(
+        self, name: str, col: str, version: int | None = None
+    ) -> int:
+        """INCREMENTAL index maintenance: scan only the live files the
+        index does not yet cover (written by upserts/compactions since
+        the last build/update) and APPEND their bitmaps as a new part
+        of the sidecar dataset — the historical files are never
+        re-scanned, mirroring the store's every other maintenance verb.
+        Bitmaps of removed files linger harmlessly (probes intersect
+        with the live manifest); a periodic ``build_bloom_index``
+        rebuild reclaims them. Returns the number of newly indexed
+        files (0 = fully covered, nothing scanned)."""
+        import uuid
+
+        v = self._ensure_latest(name) if version is None else version
+        doc = self._manifest_doc(name, v)
+        phys = self._bloom_resolve(name, col, doc)
+        bdir = self._bloom_dir(name, phys)
+        meta_p = os.path.join(bdir, "meta.json")
+        if not os.path.isfile(meta_p):
+            raise ValueError(
+                f"{name}: no bloom index on {col!r} — run "
+                "build_bloom_index first"
+            )
+        with open(meta_p) as fh:
+            meta = json.load(fh)
+        covered = {
+            r["file"] for r in self._bloom_index_df(bdir)
+            .select("file").collect()
+        }
+        new = [f for f in doc["files"] if f not in covered]
+        if not new:
+            return 0
+        base = self._dir(name)
+        df = (
+            self.spark.read.option("mergeSchema", "true")
+            .option("basePath", base)
+            .parquet(*[os.path.join(base, f) for f in new])
+        )
+        merged = self._bloom_bitmaps(
+            df, phys, meta["m_bits"], meta["k"], meta["seed"]
+        )
+        tmp = os.path.join(bdir, f".tmp-{uuid.uuid4().hex[:8]}")
+        try:
+            merged.write.mode("overwrite").parquet(tmp)
+            os.rename(
+                tmp,
+                os.path.join(
+                    bdir, "parts", f"inc-{uuid.uuid4().hex[:8]}.parquet"
+                ),
+            )
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+        return len(new)
+
+    def _bloom_index_df(self, bdir: str) -> DataFrame:
+        """The sidecar dataset: every (file, bitmap) part written by
+        the full build plus incremental updates."""
+        return (
+            self.spark.read.option("recursiveFileLookup", "true")
+            .parquet(os.path.join(bdir, "parts"))
+        )
+
+    def bloom_kept_files(
+        self, name: str, col: str, value, version: int | None = None
+    ) -> tuple[list[str], int]:
+        """(files an equality probe must open, total live files) — the
+        pruning decision read_point plans with, exposed for
+        observability like pruned_file_count. A file is kept when its
+        bitmap might-contain the probe value OR it is not covered by
+        the index (written after the build, or no index at all):
+        pruning is an optimization, never a correctness gate. The
+        bitmaps are tested WHERE THEY LIVE — a pandas-filtered scan of
+        the sidecar dataset ships only matching file names to the
+        driver, never the bitmaps themselves."""
+        import numpy as np
+        import pandas as pd
+
+        if value is None:
+            raise ValueError(
+                "bloom probes are equality probes — NULL never equals "
+                "anything; filter IS NULL through an ordinary read"
+            )
+        v = self._ensure_latest(name) if version is None else version
+        doc = self._manifest_doc(name, v)
+        phys = self._bloom_resolve(name, col, doc)
+        files = doc["files"]
+        bdir = self._bloom_dir(name, phys)
+        meta_p = os.path.join(bdir, "meta.json")
+        if not os.path.isfile(meta_p):
+            return list(files), len(files)
+        with open(meta_p) as fh:
+            meta = json.load(fh)
+        m_bits, k, seed = meta["m_bits"], meta["k"], meta["seed"]
+        # probe positions from the SAME JVM expression as the build,
+        # with the literal cast to the column's recorded type —
+        # xxhash64(int 42) != xxhash64(bigint 42)
+        probe = F.array(
+            *[
+                F.pmod(
+                    F.xxhash64(
+                        F.lit(value).cast(meta["dtype"]), F.lit(seed + i)
+                    ),
+                    F.lit(m_bits),
+                )
+                for i in range(k)
+            ]
+        )
+        idx = self._bloom_index_df(bdir).withColumn("_pos", probe)
+
+        def probe_filter(batches):
+            for pdf in batches:
+                hits = []
+                for bm_bytes, p in zip(pdf["bitmap"], pdf["_pos"]):
+                    bm = np.frombuffer(bm_bytes, dtype=np.uint8)
+                    pa = np.asarray(p)
+                    hits.append(
+                        bool(
+                            (
+                                (bm[pa >> 3]
+                                 & (1 << (pa & 7)).astype(np.uint8))
+                                != 0
+                            ).all()
+                        )
+                    )
+                out = pdf.loc[hits, ["file"]]
+                if len(out):
+                    yield out
+
+        hit_files = {
+            r["file"]
+            for r in idx.mapInPandas(probe_filter, "file string").collect()
+        }
+        covered = None  # lazily: only needed if some file misses
+        kept = []
+        for f in files:
+            if f in hit_files:
+                kept.append(f)
+                continue
+            if covered is None:
+                covered = {
+                    r["file"]
+                    for r in self._bloom_index_df(bdir)
+                    .select("file").collect()
+                }
+            if f not in covered:
+                kept.append(f)  # post-build file: not prunable
+        return kept, len(files)
+
+    def read_point(
+        self, name: str, col: str, value, version: int | None = None
+    ) -> DataFrame:
+        """EQUALITY-probe read planned over only the files whose bloom
+        bitmap might contain ``value`` (plus any file the index does
+        not cover) — the Delta bloom-filter-index analog for point
+        queries on high-cardinality unclustered columns, where min/max
+        skipping (read_where) is inert. No false negatives by
+        construction; false positives (~1% at the default sizing) cost
+        one extra file scan each, and the exact filter below owns
+        correctness either way. Without an index this degrades to an
+        ordinary filtered snapshot read."""
+        v = self._ensure_latest(name) if version is None else version
+        doc = self._manifest_doc(name, v)
+        kept, _total = self.bloom_kept_files(name, col, value, version=v)
+        out = self._scan_files(name, v, doc, kept)
+        return out.filter(F.col(col) == F.lit(value))
+
+    def _scan_files(
+        self, name: str, version: int, doc: dict, keep: list[str]
+    ) -> DataFrame:
+        """Plan a logical-schema scan over a pruned subset of a
+        snapshot's files (shared by read_where and read_point): widen
+        to the manifest-recorded schema when pruning dropped every
+        file carrying a late-added column, translate physical → logical
+        names, drop the bucket column."""
+        base = self._dir(name)
+        if not keep:
+            out = self._read_manifest_df(name, version, doc=doc)
+        else:
+            out = (
+                self.spark.read.option("mergeSchema", "true")
+                .option("basePath", base)
+                .parquet(*[os.path.join(base, f) for f in keep])
+            )
+        schema_json = doc.get("schema")
+        if schema_json is not None:
+            from pyspark.sql.types import StructType
+
+            for fld in StructType.fromJson(json.loads(schema_json)).fields:
+                if fld.name != "_kb" and fld.name not in out.columns:
+                    out = out.withColumn(
+                        fld.name, F.lit(None).cast(fld.dataType)
+                    )
+        out = out if keep else out.limit(0)
+        return self._to_logical(out, doc.get("colmap")).drop("_kb")
 
     def last_txn(self, name: str, app_id: str) -> int | None:
         """The highest transactional write version applied for

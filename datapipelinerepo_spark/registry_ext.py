@@ -7363,3 +7363,95 @@ def store_incremental_lsh_index(spark, sf_dir):
         f = spark.createDataFrame(rows, schema).withColumn("cut", F.lit(i))
         out = f if out is None else out.unionByName(f)
     return finish(out.select("cut", "new_id", "corpus_id", "jaccard"))
+
+
+@register(
+    "store_bloom_point_read",
+    sql="""
+    WITH base AS (
+      SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+    ), inj AS (
+      SELECT o_orderkey + 10000000 AS o_orderkey,
+             CAST(42 AS BIGINT) AS o_custkey, o_totalprice
+      FROM orders WHERE o_orderkey % 1000 = 7
+    )
+    SELECT 1 AS cut, o_orderkey, o_custkey, o_totalprice
+    FROM base WHERE o_custkey = 42
+    UNION ALL
+    SELECT 2 AS cut, o_orderkey, o_custkey, o_totalprice
+    FROM (SELECT * FROM base WHERE o_custkey = 42
+          UNION ALL SELECT * FROM inj)
+    """,
+)
+def store_bloom_point_read(spark, sf_dir):
+    """PER-FILE BLOOM INDEX point read, hash-checked (io.
+    build_bloom_index / update_bloom_index / read_point — r12): an
+    equality probe on a high-cardinality UNCLUSTERED column
+    (o_custkey on a table bucketed by o_orderkey) straddles every
+    file's [min, max], so stats skipping (read_where) is inert; the
+    per-file bloom bitmap prunes the scan to the files that might
+    contain the value — Delta's bloom filter index re-expressed as a
+    sidecar parquet dataset the probe tests WHERE IT LIVES (a
+    pandas-filtered scan ships only matching file NAMES to the
+    driver, never bitmaps).
+
+    Lifecycle: seed + build index + probe (cut 1 — in-query guard:
+    the probe opened STRICTLY FEWER files than the table holds, i.e.
+    skipping actually skipped), then an upsert lands new files the
+    index does not cover (injected rows all carry the probed value),
+    INCREMENTAL update_bloom_index covers exactly those files (second
+    call must be a 0-file no-op), and the second probe (cut 2) must
+    see every injected row — no false negatives across build, churn,
+    and incremental maintenance. Both cuts hashed against the plain
+    filter the oracle computes."""
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    store, finish = _ephemeral_store(spark, "bpr_")
+    store.overwrite_keyed(
+        orders, "t", "o_orderkey", n_buckets=16, versioned=True
+    )
+    store.build_bloom_index("t", "o_custkey", m_bits=1 << 17)
+
+    kept1, total1 = store.bloom_kept_files("t", "o_custkey", 42)
+    _require(
+        0 < len(kept1) < total1,
+        f"bloom probe must open strictly fewer files than the table "
+        f"holds (kept {len(kept1)} of {total1}) — skipping is inert",
+    )
+    cut1 = store.read_point("t", "o_custkey", 42).collect()
+
+    inj = orders.filter(F.col("o_orderkey") % 1000 == 7).select(
+        (F.col("o_orderkey") + 10000000).alias("o_orderkey"),
+        F.lit(42).cast("long").alias("o_custkey"),
+        "o_totalprice",
+    )
+    n_inj = inj.count()
+    store.upsert(inj, "t", "o_orderkey")
+    n_new = store.update_bloom_index("t", "o_custkey")
+    _require(
+        n_new > 0 and store.update_bloom_index("t", "o_custkey") == 0,
+        "incremental index update must cover the upsert's new files "
+        "exactly once (then no-op)",
+    )
+    kept2, total2 = store.bloom_kept_files("t", "o_custkey", 42)
+    _require(
+        len(kept2) < total2,
+        "post-churn probe must still prune (index fully covers the "
+        "table again after update_bloom_index)",
+    )
+    cut2 = store.read_point("t", "o_custkey", 42).collect()
+    _require(
+        len(cut2) == len(cut1) + n_inj,
+        f"cut 2 must contain every injected row: {len(cut1)} + "
+        f"{n_inj} != {len(cut2)} — a false negative",
+    )
+
+    schema = store.read("t").schema
+    out = None
+    for i, rows in enumerate((cut1, cut2), start=1):
+        f = spark.createDataFrame(rows, schema).withColumn("cut", F.lit(i))
+        out = f if out is None else out.unionByName(f)
+    return finish(
+        out.select("cut", "o_orderkey", "o_custkey", "o_totalprice")
+    )

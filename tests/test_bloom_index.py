@@ -1,0 +1,153 @@
+"""Per-file bloom index (io.build_bloom_index / update_bloom_index /
+read_point — r12): equality-probe file skipping where min/max stats
+are inert (high-cardinality unclustered columns), the Delta bloom
+filter index analog. Correctness contract: NO false negatives ever —
+pruning is an optimization, the exact filter owns the result; files
+the index does not cover always scan."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from datapipelinerepo_spark.io import TableStore
+
+
+def _mk(spark, tmp_path, n=400, buckets=8):
+    store = TableStore(spark, str(tmp_path))
+    df = spark.range(n).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 97).alias("cust"),
+        (F.col("id") * 1.5).alias("amt"),
+    )
+    store.overwrite_keyed(df, "t", "k", n_buckets=buckets, versioned=True)
+    return store
+
+
+def _probe_rows(store, value):
+    return sorted(
+        r["k"] for r in store.read_point("t", "cust", value).collect()
+    )
+
+
+def _exact_rows(store, value):
+    return sorted(
+        r["k"]
+        for r in store.read("t").filter(F.col("cust") == value).collect()
+    )
+
+
+def test_bloom_probe_matches_exact_filter(spark, tmp_path):
+    store = _mk(spark, tmp_path)
+    n_idx = store.build_bloom_index("t", "cust", m_bits=1 << 14)
+    assert n_idx > 0
+    for v in (0, 13, 96):
+        assert _probe_rows(store, v) == _exact_rows(store, v)
+    # absent value: every covered file prunes, result empty with the
+    # full logical schema intact
+    kept, total = store.bloom_kept_files("t", "cust", 10**9)
+    assert kept == [] and total == n_idx
+    empty = store.read_point("t", "cust", 10**9)
+    assert empty.count() == 0
+    assert set(empty.columns) == {"k", "cust", "amt"}
+
+
+def test_bloom_actually_prunes(spark, tmp_path):
+    """The point of the index: a present value keeps a strict subset
+    of files (each bucket holds ~50 of 97 cust values — a specific
+    value appears in some buckets, its bitmap rejects the rest)."""
+    store = _mk(spark, tmp_path, n=160)  # 20 rows/bucket, 97 values
+    store.build_bloom_index("t", "cust", m_bits=1 << 14)
+    kept, total = store.bloom_kept_files("t", "cust", 96)
+    assert 0 < len(kept) < total
+    assert _probe_rows(store, 96) == _exact_rows(store, 96)
+
+
+def test_bloom_uncovered_files_always_scan(spark, tmp_path):
+    """Files written AFTER the build are not covered: they must be
+    kept unconditionally, so the probe never loses rows to a stale
+    index."""
+    store = _mk(spark, tmp_path)
+    store.build_bloom_index("t", "cust", m_bits=1 << 14)
+    store.upsert(
+        spark.createDataFrame([(10_000, 55, 1.0)], "k long, cust long, amt double"),
+        "t", "k",
+    )
+    assert 10_000 in _probe_rows(store, 55)
+    assert _probe_rows(store, 55) == _exact_rows(store, 55)
+
+
+def test_bloom_incremental_update(spark, tmp_path):
+    """update_bloom_index scans ONLY uncovered files (returns their
+    count; second call is a 0-file no-op) and restores full pruning
+    power — including for values that exist only in the new files."""
+    store = _mk(spark, tmp_path)
+    store.build_bloom_index("t", "cust", m_bits=1 << 14)
+    store.upsert(
+        spark.createDataFrame(
+            [(10_000, 1234, 1.0), (10_001, 55, 2.0)],
+            "k long, cust long, amt double",
+        ),
+        "t", "k",
+    )
+    n_new = store.update_bloom_index("t", "cust")
+    assert n_new > 0
+    assert store.update_bloom_index("t", "cust") == 0
+    # fully covered again: the never-seen value prunes everything but
+    # the files that really carry it
+    kept, total = store.bloom_kept_files("t", "cust", 1234)
+    assert 0 < len(kept) < total
+    assert _probe_rows(store, 1234) == [10_000]
+    kept_absent, _ = store.bloom_kept_files("t", "cust", 10**9)
+    assert kept_absent == []
+
+
+def test_bloom_survives_column_rename(spark, tmp_path):
+    """The index is keyed by PHYSICAL column name; probing by the new
+    logical name translates through the snapshot colmap."""
+    store = _mk(spark, tmp_path)
+    store.build_bloom_index("t", "cust", m_bits=1 << 14)
+    want = _exact_rows(store, 13)
+    store.rename_column("t", "cust", "customer")
+    got = sorted(
+        r["k"] for r in store.read_point("t", "customer", 13).collect()
+    )
+    assert got == want
+    kept, total = store.bloom_kept_files("t", "customer", 10**9)
+    assert kept == []  # pruning still live through the rename
+
+
+def test_bloom_errors_and_degradation(spark, tmp_path):
+    store = _mk(spark, tmp_path)
+    # no index: read_point degrades to an ordinary filtered read
+    kept, total = store.bloom_kept_files("t", "cust", 13)
+    assert len(kept) == total > 0
+    assert _probe_rows(store, 13) == _exact_rows(store, 13)
+    # NULL probe: loud
+    store.build_bloom_index("t", "cust")
+    with pytest.raises(ValueError, match="NULL"):
+        store.bloom_kept_files("t", "cust", None)
+    # update before build: loud
+    with pytest.raises(ValueError, match="build_bloom_index"):
+        store.update_bloom_index("t", "amt")
+    # indexing a missing column: loud
+    with pytest.raises(ValueError, match="no column"):
+        store.build_bloom_index("t", "nope")
+
+
+def test_bloom_index_invisible_to_table_reads(spark, tmp_path):
+    """The sidecar lives under the table dir but outside the _kb data
+    dirs: plain reads, vacuum, and fsck must not see it."""
+    store = _mk(spark, tmp_path)
+    store.build_bloom_index("t", "cust")
+    assert store.read("t").count() == 400
+    store.upsert(
+        spark.createDataFrame([(10_000, 1, 1.0)], "k long, cust long, amt double"),
+        "t", "k",
+    )
+    store.vacuum("t", keep_last=1, grace_s=0.0)
+    audit = store.fsck("t")
+    assert audit["broken_versions"] == {}
+    assert audit["orphan_files"] == []
+    # index still functional after vacuum
+    assert _probe_rows(store, 1) == _exact_rows(store, 1)
