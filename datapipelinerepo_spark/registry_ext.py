@@ -7455,3 +7455,102 @@ def store_bloom_point_read(spark, sf_dir):
     return finish(
         out.select("cut", "o_orderkey", "o_custkey", "o_totalprice")
     )
+
+
+@register(
+    "store_incremental_ann_index",
+    sql="""
+    WITH c1 AS (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 <> 0
+    ), qa AS (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0
+    ), c2 AS (
+      SELECT * FROM c1 UNION ALL SELECT * FROM qa
+    ), qb AS (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 5
+    ), s1 AS (
+      SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+             round(
+               list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) /
+               (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) *
+                sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))), 4)
+             AS sim_r4
+      FROM qa q, c1 c WHERE q.vec_id <> c.vec_id
+    ), s2 AS (
+      SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+             round(
+               list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) /
+               (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) *
+                sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))), 4)
+             AS sim_r4
+      FROM qb q, c2 c WHERE q.vec_id <> c.vec_id
+    ), r1 AS (
+      SELECT q_id, c_id, sim_r4,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+                                ORDER BY sim_r4 DESC, c_id ASC) AS rank
+      FROM s1
+    ), r2 AS (
+      SELECT q_id, c_id, sim_r4,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+                                ORDER BY sim_r4 DESC, c_id ASC) AS rank
+      FROM s2
+    )
+    SELECT 1 AS cut, q_id, c_id, rank, sim_r4 FROM r1 WHERE rank <= 10
+    UNION ALL
+    SELECT 2 AS cut, q_id, c_id, rank, sim_r4 FROM r2 WHERE rank <= 10
+    """,
+)
+def store_incremental_ann_index(spark, sf_dir):
+    """CROSS-BATCH ANN against a PERSISTED bucket index (operators/
+    similarity.ann_bucket_index + cosine_topk_lsh(corpus_buckets=...)
+    — the embedding-side twin of store_incremental_lsh_index): the
+    historical corpus (vec_id % 5 <> 0) is projected through the
+    hyperplanes ONCE into a store table of (vec_id, table_no, bucket)
+    rows, then two query batches arrive (vec_id % 10 = 0, then = 5):
+    each is projected map-only, top-k'd against the STORED index (the
+    corpus is never re-projected), and its bucket rows + vectors are
+    APPENDED, so batch 2's search space includes batch 1 — the
+    accumulate-and-serve loop of a production embedding store.
+
+    Oracle-exact BY CONSTRUCTION (the ann_topk_lsh_exhaustive
+    argument): 1 table × 1 hyperplane bit = two buckets and the 1-bit
+    multi-probe flips the only bit, so every corpus vector is a
+    candidate regardless of the hyperplane draw, and the exact cosine
+    re-rank must reproduce brute-force top-k — which the DuckDB twin
+    computes per cut. The index path (bucket join, candidate dedup,
+    join-back re-rank) is the SAME code the production 8-bit×8-table
+    settings run."""
+    emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    store, finish = _ephemeral_store(spark, "iai_")
+    hist = emb.filter(F.col("vec_id") % 5 != 0)
+    store.overwrite_keyed(
+        hist, "corpus", "vec_id", n_buckets=8, versioned=True
+    )
+    store.overwrite(
+        SIM.ann_bucket_index(hist, dim=64, n_bits=1, n_tables=1),
+        "annidx",
+    )
+
+    def serve(batch):
+        topk = SIM.cosine_topk_lsh(
+            batch, store.read("corpus"), dim=64, k=10,
+            n_bits=1, n_tables=1,
+            corpus_buckets=store.read("annidx"),
+        )
+        rows = topk.collect()
+        store.append(
+            SIM.ann_bucket_index(batch, dim=64, n_bits=1, n_tables=1),
+            "annidx",
+        )
+        store.upsert(batch, "corpus", "vec_id")
+        return rows
+
+    cut1_rows = serve(emb.filter(F.col("vec_id") % 10 == 0))
+    cut2_rows = serve(emb.filter(F.col("vec_id") % 10 == 5))
+
+    schema = "q_id long, c_id long, rank int, sim_r4 double"
+    out = None
+    for i, rows in enumerate((cut1_rows, cut2_rows), start=1):
+        f = spark.createDataFrame(rows, schema).withColumn("cut", F.lit(i))
+        out = f if out is None else out.unionByName(f)
+    return finish(out.select("cut", "q_id", "c_id", "rank", "sim_r4"))
