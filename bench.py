@@ -437,6 +437,38 @@ def main() -> None:
     times["store_read_group_verb"] = round(samples[RUNS // 2], 3)
     spread["store_read_group_verb"] = round(samples[-1] - samples[0], 3)
 
+    # bloom point probe (r12): the per-file bloom index's serving-read
+    # claim — an equality probe on the UNCLUSTERED o_custkey column
+    # opens only might-contain files. Setup (table + index build) is
+    # untimed; the timed verb is the full probe: index scan → file
+    # pruning → pruned data scan → exact filter. A regression here
+    # (e.g. the probe collecting bitmaps instead of file names) shows
+    # as this row jumping toward full-scan time.
+    samples = []
+    wdir = tempfile.mkdtemp(prefix="bench_bloom_")
+    try:
+        store = TableStore(spark, os.path.join(wdir, "store"))
+        base = tabs["orders"].select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        store.overwrite_keyed(
+            base, "t", "o_orderkey", n_buckets=32, versioned=True
+        )
+        store.build_bloom_index("t", "o_custkey", m_bits=1 << 17)
+        kept, total_files = store.bloom_kept_files("t", "o_custkey", 42)
+        assert 0 < len(kept) < total_files  # pruning live, not inert
+        for _ in range(RUNS):
+            t0 = time.perf_counter()
+            store.read_point("t", "o_custkey", 42).write.format(
+                "noop"
+            ).mode("overwrite").save()
+            samples.append(time.perf_counter() - t0)
+    finally:
+        shutil.rmtree(wdir, ignore_errors=True)
+    samples.sort()
+    times["store_bloom_probe_verb"] = round(samples[RUNS // 2], 3)
+    spread["store_bloom_probe_verb"] = round(samples[-1] - samples[0], 3)
+
     total = round(sum(times.values()), 3)
     # The driver records only the LAST ~2000 chars of stdout; r9's
     # single line (queries + spread) overflowed that window, cutting

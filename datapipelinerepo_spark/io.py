@@ -1513,7 +1513,11 @@ class TableStore:
         )
         idx = self._bloom_index_df(bdir).withColumn("_pos", probe)
 
-        def probe_filter(batches):
+        def probe_test(batches):
+            # ONE index scan answers both questions a probe needs —
+            # which covered files might contain the value, and which
+            # files are covered at all (uncovered = always scan):
+            # (file, hit) rows are names+booleans, never bitmaps
             for pdf in batches:
                 hits = []
                 for bm_bytes, p in zip(pdf["bitmap"], pdf["_pos"]):
@@ -1528,28 +1532,18 @@ class TableStore:
                             ).all()
                         )
                     )
-                out = pdf.loc[hits, ["file"]]
-                if len(out):
-                    yield out
+                yield pd.DataFrame({"file": pdf["file"], "hit": hits})
 
-        hit_files = {
-            r["file"]
-            for r in idx.mapInPandas(probe_filter, "file string").collect()
-        }
-        covered = None  # lazily: only needed if some file misses
-        kept = []
-        for f in files:
-            if f in hit_files:
-                kept.append(f)
-                continue
-            if covered is None:
-                covered = {
-                    r["file"]
-                    for r in self._bloom_index_df(bdir)
-                    .select("file").collect()
-                }
-            if f not in covered:
-                kept.append(f)  # post-build file: not prunable
+        rows = idx.mapInPandas(probe_test, "file string, hit boolean")
+        hit_files: set = set()
+        covered: set = set()
+        for r in rows.collect():
+            covered.add(r["file"])
+            if r["hit"]:
+                hit_files.add(r["file"])
+        kept = [
+            f for f in files if f in hit_files or f not in covered
+        ]
         return kept, len(files)
 
     def read_point(

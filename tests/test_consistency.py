@@ -805,6 +805,45 @@ def test_vacuum_retain_s_time_travel_contract(spark, tmp_path):
         store.version_as_of("t", ts[2] - 1)
 
 
+def test_read_group_asof_composes_with_retain_s(spark, tmp_path):
+    """r12: the vacuum retention window is the GROUP time-travel
+    contract too — an as-of group read inside the horizon keeps
+    resolving after vacuum; once the horizon passes (views vacuumed,
+    then bases), the same read raises the loud per-table not-retained
+    error instead of silently serving a younger cut."""
+    import time
+
+    store = _mk(spark, tmp_path)  # t@1 + r@1 synced
+    time.sleep(0.05)
+    t_mid = int(time.time() * 1000)
+    time.sleep(0.05)
+    for i in (4, 5):
+        store.upsert(
+            spark.createDataFrame([(i, float(i), "B")], SCHEMA), "t", "id"
+        )
+        sync_rollup(store, "t", "r", ["grp"], "val")
+
+    # inside the horizon: a retain_s window reaching past t_mid keeps
+    # the v1 pair servable through default vacuum
+    wide = time.time() - (t_mid / 1000.0) + 5.0
+    store.vacuum("r", keep_last=1, grace_s=0.0, retain_s=wide)
+    store.vacuum("t", keep_last=1, grace_s=0.0, retain_s=wide)
+    vec = resolve_group_versions(store, ["t", "r"], as_of_ts=t_mid)
+    assert vec == {"t": 1, "r": 1}
+    frames = read_group(store, ["t", "r"], as_of_ts=t_mid)
+    assert _rollup_rows(frames["r"]) == _recompute(store, 1)
+
+    # horizon passed: top-down vacuum without the window reclaims the
+    # old pair; the as-of group read must refuse loudly
+    store.vacuum("r", keep_last=1, grace_s=0.0)
+    store.vacuum("t", keep_last=1, grace_s=0.0)
+    with pytest.raises(ValueError, match="no retained version"):
+        read_group(store, ["t", "r"], as_of_ts=t_mid)
+    # the current cut is untouched by the reclamation
+    vec_now = resolve_group_versions(store, ["t", "r"])
+    assert vec_now["t"] == store.latest_version("t")
+
+
 def test_view_deps_conflicting_watermarks_take_max(spark, tmp_path):
     """ADVICE r11 (consistency._view_deps): two current-incarnation
     maintenance apps for the SAME base (a mechanism change carries the
