@@ -1466,13 +1466,33 @@ class TableStore:
             .parquet(os.path.join(bdir, "parts"))
         )
 
+    @staticmethod
+    def _bloom_values(value) -> list:
+        """Normalize a probe argument (scalar or IN-list) to a
+        non-empty list of non-NULL values."""
+        values = (
+            list(value) if isinstance(value, (list, tuple, set))
+            else [value]
+        )
+        if not values:
+            raise ValueError("bloom IN-list probe needs at least one value")
+        if any(v is None for v in values):
+            raise ValueError(
+                "bloom probes are equality probes — NULL never equals "
+                "anything; filter IS NULL through an ordinary read"
+            )
+        return values
+
     def bloom_kept_files(
         self, name: str, col: str, value, version: int | None = None
     ) -> tuple[list[str], int]:
         """(files an equality probe must open, total live files) — the
         pruning decision read_point plans with, exposed for
-        observability like pruned_file_count. A file is kept when its
-        bitmap might-contain the probe value OR it is not covered by
+        observability like pruned_file_count. ``value`` may be a
+        scalar or a list/tuple/set (an IN-list probe: one index scan
+        answers every value; a file is kept when ANY value might be in
+        it — the batch-key-lookup shape). A file is kept when its
+        bitmap might-contain a probe value OR it is not covered by
         the index (written after the build, or no index at all):
         pruning is an optimization, never a correctness gate. The
         bitmaps are tested WHERE THEY LIVE — a pandas-filtered scan of
@@ -1481,11 +1501,7 @@ class TableStore:
         import numpy as np
         import pandas as pd
 
-        if value is None:
-            raise ValueError(
-                "bloom probes are equality probes — NULL never equals "
-                "anything; filter IS NULL through an ordinary read"
-            )
+        values = self._bloom_values(value)
         v = self._ensure_latest(name) if version is None else version
         doc = self._manifest_doc(name, v)
         phys = self._bloom_resolve(name, col, doc)
@@ -1498,38 +1514,46 @@ class TableStore:
             meta = json.load(fh)
         m_bits, k, seed = meta["m_bits"], meta["k"], meta["seed"]
         # probe positions from the SAME JVM expression as the build,
-        # with the literal cast to the column's recorded type —
+        # with each literal cast to the column's recorded type —
         # xxhash64(int 42) != xxhash64(bigint 42)
         probe = F.array(
             *[
-                F.pmod(
-                    F.xxhash64(
-                        F.lit(value).cast(meta["dtype"]), F.lit(seed + i)
-                    ),
-                    F.lit(m_bits),
+                F.array(
+                    *[
+                        F.pmod(
+                            F.xxhash64(
+                                F.lit(val).cast(meta["dtype"]),
+                                F.lit(seed + i),
+                            ),
+                            F.lit(m_bits),
+                        )
+                        for i in range(k)
+                    ]
                 )
-                for i in range(k)
+                for val in values
             ]
         )
         idx = self._bloom_index_df(bdir).withColumn("_pos", probe)
 
         def probe_test(batches):
             # ONE index scan answers both questions a probe needs —
-            # which covered files might contain the value, and which
-            # files are covered at all (uncovered = always scan):
+            # which covered files might contain ANY probe value, and
+            # which files are covered at all (uncovered = always scan):
             # (file, hit) rows are names+booleans, never bitmaps
             for pdf in batches:
                 hits = []
                 for bm_bytes, p in zip(pdf["bitmap"], pdf["_pos"]):
                     bm = np.frombuffer(bm_bytes, dtype=np.uint8)
-                    pa = np.asarray(p)
+                    # (n_values, k) position matrix: hit = some value
+                    # has ALL its k bits set
+                    pa = np.asarray([np.asarray(row) for row in p])
                     hits.append(
                         bool(
                             (
                                 (bm[pa >> 3]
                                  & (1 << (pa & 7)).astype(np.uint8))
                                 != 0
-                            ).all()
+                            ).all(axis=1).any()
                         )
                     )
                 yield pd.DataFrame({"file": pdf["file"], "hit": hits})
@@ -1553,15 +1577,20 @@ class TableStore:
         bitmap might contain ``value`` (plus any file the index does
         not cover) — the Delta bloom-filter-index analog for point
         queries on high-cardinality unclustered columns, where min/max
-        skipping (read_where) is inert. No false negatives by
-        construction; false positives (~1% at the default sizing) cost
-        one extra file scan each, and the exact filter below owns
-        correctness either way. Without an index this degrades to an
-        ordinary filtered snapshot read."""
+        skipping (read_where) is inert. ``value`` may be a
+        list/tuple/set for an IN-list probe (batch key lookup: one
+        index scan prunes for every value at once; the exact filter is
+        ``isin``). No false negatives by construction; false positives
+        (~1% at the default sizing) cost one extra file scan each, and
+        the exact filter below owns correctness either way. Without an
+        index this degrades to an ordinary filtered snapshot read."""
         v = self._ensure_latest(name) if version is None else version
         doc = self._manifest_doc(name, v)
         kept, _total = self.bloom_kept_files(name, col, value, version=v)
         out = self._scan_files(name, v, doc, kept)
+        values = self._bloom_values(value)
+        if isinstance(value, (list, tuple, set)):
+            return out.filter(F.col(col).isin(values))
         return out.filter(F.col(col) == F.lit(value))
 
     def _scan_files(
@@ -1764,6 +1793,7 @@ class TableStore:
                     raise
                 kept, version_expect, version_expect_ident = rederive_kept()
         self._maybe_auto_compact(name, op)
+        self._maybe_auto_bloom(name, op)
         return v
 
     def set_table_properties(self, name: str, **props) -> None:
@@ -1773,13 +1803,28 @@ class TableStore:
         compacted inline (Delta's autoOptimize/auto-compaction
         posture): the small-file debt appends accumulate is paid by
         the writer that created it, instead of waiting for a
-        maintenance window. ``None`` clears a property."""
-        allowed = {"auto_compact_files_per_bucket"}
+        maintenance window. ``bloom_index_cols=[col, ...]`` — after
+        every incremental versioned write, the per-file bloom indexes
+        on the listed columns are incrementally updated
+        (update_bloom_index: only the write's NEW files are scanned),
+        so equality probes keep full pruning power without a nightly
+        catch-up job; the initial build_bloom_index (which fixes
+        m_bits/k) is still explicit. ``None`` clears a property."""
+        allowed = {"auto_compact_files_per_bucket", "bloom_index_cols"}
         bad = sorted(set(props) - allowed)
         if bad:
             raise ValueError(
                 f"{name}: unknown table properties {bad} "
                 f"(supported: {sorted(allowed)})"
+            )
+        cols = props.get("bloom_index_cols")
+        if cols is not None and (
+            not isinstance(cols, (list, tuple))
+            or not all(isinstance(c, str) for c in cols)
+        ):
+            raise ValueError(
+                f"{name}: bloom_index_cols must be a list of column "
+                f"names, got {cols!r}"
             )
         self._touch_meta(name, **props)
 
@@ -1821,6 +1866,36 @@ class TableStore:
                 RuntimeWarning,
                 stacklevel=2,
             )
+
+    def _maybe_auto_bloom(self, name: str, op: str | None) -> None:
+        """Write-path bloom index maintenance (the bloom_index_cols
+        table property): after an incremental versioned write — or an
+        auto-/explicit compaction, whose rewritten files are just as
+        uncovered — update each listed column's index over the NEW
+        files only. Best-effort like auto-compaction (the write's
+        manifest is already durably published; a failed update leaves
+        uncovered files, which always scan — slower probes, never
+        wrong ones). A column listed before its build_bloom_index ran
+        is skipped with a warning rather than failing the write."""
+        if op is None:
+            return
+        cols = self.table_property(name, "bloom_index_cols")
+        if not cols:
+            return
+        import warnings
+
+        for col in cols:
+            try:
+                self.update_bloom_index(name, col)
+            except Exception as e:  # noqa: BLE001 — best-effort
+                warnings.warn(
+                    f"{name}: bloom index auto-update on {col!r} after "
+                    f"{op} failed and was skipped (the write itself is "
+                    f"committed; uncovered files scan until the next "
+                    f"update): {e}",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
 
     def compact(
         self,

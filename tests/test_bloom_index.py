@@ -151,3 +151,68 @@ def test_bloom_index_invisible_to_table_reads(spark, tmp_path):
     assert audit["orphan_files"] == []
     # index still functional after vacuum
     assert _probe_rows(store, 1) == _exact_rows(store, 1)
+
+
+def test_bloom_in_list_probe(spark, tmp_path):
+    """IN-list probe: one index scan prunes for every value at once; a
+    file is kept when ANY value might be in it, and the exact isin
+    filter owns the result."""
+    store = _mk(spark, tmp_path)
+    store.build_bloom_index("t", "cust", m_bits=1 << 14)
+    vals = [0, 13, 96]
+    got = sorted(
+        r["k"] for r in store.read_point("t", "cust", vals).collect()
+    )
+    want = sorted(
+        r["k"]
+        for r in store.read("t").filter(F.col("cust").isin(vals)).collect()
+    )
+    assert got == want and got
+    # the IN-list keeps at least every single-value kept set, and an
+    # all-absent list prunes everything
+    kept_union = {
+        f for v in vals for f in store.bloom_kept_files("t", "cust", v)[0]
+    }
+    kept_in, _ = store.bloom_kept_files("t", "cust", vals)
+    assert kept_union <= set(kept_in)
+    assert store.bloom_kept_files("t", "cust", [10**9, 10**9 + 1])[0] == []
+    with pytest.raises(ValueError, match="at least one"):
+        store.bloom_kept_files("t", "cust", [])
+    with pytest.raises(ValueError, match="NULL"):
+        store.bloom_kept_files("t", "cust", [1, None])
+
+
+def test_bloom_auto_maintenance_property(spark, tmp_path):
+    """bloom_index_cols table property: every incremental write pays
+    its own index debt (update_bloom_index over the new files only),
+    so probes keep full pruning power without a nightly job."""
+    store = _mk(spark, tmp_path)
+    store.build_bloom_index("t", "cust", m_bits=1 << 14)
+    store.set_table_properties("t", bloom_index_cols=["cust"])
+    store.upsert(
+        spark.createDataFrame([(10_000, 1234, 1.0)], "k long, cust long, amt double"),
+        "t", "k",
+    )
+    # the write already updated the index: a manual update is a no-op
+    assert store.update_bloom_index("t", "cust") == 0
+    kept, total = store.bloom_kept_files("t", "cust", 1234)
+    assert 0 < len(kept) < total
+    assert _probe_rows(store, 1234) == [10_000]
+    # absent value: full coverage means everything prunes
+    assert store.bloom_kept_files("t", "cust", 10**9)[0] == []
+    # compaction rewrites files — its output is covered too
+    store.compact("t", max_files_per_bucket=1)
+    assert store.update_bloom_index("t", "cust") == 0
+    assert _probe_rows(store, 1234) == [10_000]
+    # property validation is loud
+    with pytest.raises(ValueError, match="unknown table properties"):
+        store.set_table_properties("t", nope=1)
+    with pytest.raises(ValueError, match="list of column"):
+        store.set_table_properties("t", bloom_index_cols="cust")
+    # clearing the property stops the auto-update
+    store.set_table_properties("t", bloom_index_cols=None)
+    store.upsert(
+        spark.createDataFrame([(10_001, 777, 1.0)], "k long, cust long, amt double"),
+        "t", "k",
+    )
+    assert store.update_bloom_index("t", "cust") > 0
