@@ -1593,6 +1593,37 @@ class TableStore:
             return out.filter(F.col(col).isin(values))
         return out.filter(F.col(col) == F.lit(value))
 
+    def read_point_where(
+        self, name: str, eq: dict, version: int | None = None
+    ) -> DataFrame:
+        """CONJUNCTIVE equality probe: ``eq = {col: value, ...}`` —
+        the kept set is the INTERSECTION of each column's bloom prune
+        (the read_where(ranges=…) multi-column form, for point
+        predicates), so a file survives only if EVERY probed value
+        might be in it. Columns without an index contribute no pruning
+        (all files kept for that column); the exact AND-of-equalities
+        filter owns correctness. The common serving shape: 'customer X
+        AND status Y' opens only files that might hold both."""
+        if not eq:
+            raise ValueError("read_point_where needs at least one column")
+        v = self._ensure_latest(name) if version is None else version
+        doc = self._manifest_doc(name, v)
+        keep_set: set | None = None
+        for c, val in eq.items():
+            kept_c, _ = self.bloom_kept_files(name, c, val, version=v)
+            keep_set = (
+                set(kept_c) if keep_set is None else keep_set & set(kept_c)
+            )
+        keep = [f for f in doc["files"] if f in keep_set]
+        out = self._scan_files(name, v, doc, keep)
+        for c, val in eq.items():
+            out = out.filter(
+                F.col(c).isin(list(val))
+                if isinstance(val, (list, tuple, set))
+                else F.col(c) == F.lit(val)
+            )
+        return out
+
     def _scan_files(
         self, name: str, version: int, doc: dict, keep: list[str]
     ) -> DataFrame:

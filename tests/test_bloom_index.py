@@ -216,3 +216,87 @@ def test_bloom_auto_maintenance_property(spark, tmp_path):
         "t", "k",
     )
     assert store.update_bloom_index("t", "cust") > 0
+
+
+def test_bloom_auto_maintenance_through_streaming(spark, tmp_path):
+    """Cross-feature composition: a streaming exactly-once upsert
+    (versioned_upsert_stream) into a table with bloom_index_cols set
+    pays its index debt per micro-batch through the same publish hook
+    — the probe stays fully covered with no external catch-up job."""
+    from datapipelinerepo_spark.streaming.ingest import (
+        versioned_upsert_stream,
+    )
+
+    store = _mk(spark, tmp_path / "store")
+    store.build_bloom_index("t", "cust", m_bits=1 << 14)
+    store.set_table_properties("t", bloom_index_cols=["cust"])
+
+    src = tmp_path / "src"
+    spark.createDataFrame(
+        [(10_000, 4242, 1.0), (10_001, 55, 2.0)],
+        "k long, cust long, amt double",
+    ).write.parquet(str(src))
+    stream = (
+        spark.readStream.schema("k long, cust long, amt double")
+        .parquet(str(src))
+    )
+    versioned_upsert_stream(
+        stream, store, str(tmp_path / "ckpt"), key="k", table="t",
+        n_buckets=8,
+    ).awaitTermination()
+
+    # the stream's publishes already updated the index
+    assert store.update_bloom_index("t", "cust") == 0
+    kept, total = store.bloom_kept_files("t", "cust", 4242)
+    assert 0 < len(kept) < total
+    assert _probe_rows(store, 4242) == [10_000]
+    assert store.bloom_kept_files("t", "cust", 10**9)[0] == []
+
+
+def test_bloom_conjunctive_probe(spark, tmp_path):
+    """read_point_where intersects per-column prunes: a (cust, parity)
+    pair opens only files that might hold BOTH values, and an
+    unindexed column degrades to no-pruning for that column while the
+    exact conjunction filter still owns the result."""
+    store = _mk(spark, tmp_path)
+    # second table with two indexed probe columns
+    df = store.read("t").withColumn("par", F.col("k") % 7)
+    store.overwrite_keyed(df, "t2", "k", n_buckets=8, versioned=True)
+    store.build_bloom_index("t2", "cust", m_bits=1 << 14)
+    store.build_bloom_index("t2", "par", m_bits=1 << 14)
+
+    got = sorted(
+        r["k"]
+        for r in store.read_point_where(
+            "t2", {"cust": 13, "par": 6}
+        ).collect()
+    )
+    want = sorted(
+        r["k"]
+        for r in store.read("t2")
+        .filter((F.col("cust") == 13) & (F.col("par") == 6))
+        .collect()
+    )
+    assert got == want
+    # intersection prunes at least as hard as either column alone
+    k_cust, total = store.bloom_kept_files("t2", "cust", 13)
+    k_par, _ = store.bloom_kept_files("t2", "par", 6)
+    both = set(k_cust) & set(k_par)
+    # recompute via the public path: conjunctive read must open <= both
+    assert len(both) <= min(len(k_cust), len(k_par)) <= total
+    # unindexed column composes (no pruning from it, still correct)
+    got2 = sorted(
+        r["k"]
+        for r in store.read_point_where(
+            "t2", {"cust": 13, "amt": 19.5}
+        ).collect()
+    )
+    want2 = sorted(
+        r["k"]
+        for r in store.read("t2")
+        .filter((F.col("cust") == 13) & (F.col("amt") == 19.5))
+        .collect()
+    )
+    assert got2 == want2
+    with pytest.raises(ValueError, match="at least one column"):
+        store.read_point_where("t2", {})

@@ -166,6 +166,15 @@ _SF1_NAMES = [
     "store_read_group",
     "store_write_group",
     "store_stacked_view_group",
+    # r12: group time travel, store-accumulating incremental
+    # dedup/ANN, and the bloom point probe — output sizes are cuts,
+    # pairs, or a key-slice (all collectable); the lifecycles
+    # themselves are the scale exercise
+    "store_read_group_asof",
+    "store_incremental_dedup_corpus",
+    "store_incremental_lsh_index",
+    "store_incremental_ann_index",
+    "store_bloom_point_read",
 ]
 
 
