@@ -1466,6 +1466,59 @@ class TableStore:
             .parquet(os.path.join(bdir, "parts"))
         )
 
+    def compact_bloom_index(
+        self, name: str, col: str
+    ) -> tuple[int, int]:
+        """Reclaim the sidecar's accumulated debt WITHOUT rescanning
+        any data: bitmaps of files no longer in the live manifest
+        (vacuumed/compacted away) are dropped, duplicate coverage rows
+        from raced updates dedup to one, and the incremental parts
+        fold into a single part. Returns (live rows kept, stale rows
+        dropped). This touches only the sidecar — n_files rows — so it
+        costs seconds at any table size; ``build_bloom_index`` remains
+        the full data-rescanning rebuild (e.g. after changing m_bits).
+        Publishes atomically like the build (tmp dir + rename); a
+        probe racing it sees the old sidecar or the new one, both
+        correct."""
+        import uuid
+
+        v = self._ensure_latest(name)
+        doc = self._manifest_doc(name, v)
+        phys = self._bloom_resolve(name, col, doc)
+        bdir = self._bloom_dir(name, phys)
+        meta_p = os.path.join(bdir, "meta.json")
+        if not os.path.isfile(meta_p):
+            raise ValueError(
+                f"{name}: no bloom index on {col!r} — run "
+                "build_bloom_index first"
+            )
+        # semi-join against the live file list, not a 100k-literal
+        # isin: the list is driver-small either way, but the join
+        # keeps the plan sane at large file counts
+        live_df = self.spark.createDataFrame(
+            [(f,) for f in doc["files"]], "file string"
+        )
+        idx = self._bloom_index_df(bdir)
+        total = idx.count()
+        kept = idx.join(
+            F.broadcast(live_df), "file", "left_semi"
+        ).dropDuplicates(["file"])
+        final = self._bloom_dir(name, phys)
+        tmp = f"{final}.tmp-{uuid.uuid4().hex[:8]}"
+        try:
+            kept.write.mode("overwrite").parquet(
+                os.path.join(tmp, "parts", "full.parquet")
+            )
+            shutil.copy2(meta_p, os.path.join(tmp, "meta.json"))
+            old = f"{final}.old-{uuid.uuid4().hex[:8]}"
+            os.rename(final, old)
+            os.rename(tmp, final)
+            shutil.rmtree(old, ignore_errors=True)
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+        n_live = self._bloom_index_df(bdir).count()
+        return n_live, total - n_live
+
     @staticmethod
     def _bloom_values(value) -> list:
         """Normalize a probe argument (scalar or IN-list) to a

@@ -300,3 +300,33 @@ def test_bloom_conjunctive_probe(spark, tmp_path):
     assert got2 == want2
     with pytest.raises(ValueError, match="at least one column"):
         store.read_point_where("t2", {})
+
+
+def test_bloom_index_compaction_reclaims_stale_rows(spark, tmp_path):
+    """compact_bloom_index drops bitmaps of files no longer live and
+    folds the incremental parts — WITHOUT rescanning data — while
+    probes stay exactly as correct and as selective as before."""
+    store = _mk(spark, tmp_path)
+    store.build_bloom_index("t", "cust", m_bits=1 << 14)
+    # churn: upserts rewrite buckets (old files leave the manifest),
+    # incremental updates append parts
+    for i, c in ((10_000, 1234), (10_001, 55)):
+        store.upsert(
+            spark.createDataFrame([(i, c, 1.0)], "k long, cust long, amt double"),
+            "t", "k",
+        )
+        store.update_bloom_index("t", "cust")
+    store.vacuum("t", keep_last=1, grace_s=0.0)
+    before_kept, before_total = store.bloom_kept_files("t", "cust", 1234)
+    n_live, n_stale = store.compact_bloom_index("t", "cust")
+    assert n_stale > 0  # the churn left reclaimable rows
+    # fully covered, one row per live file
+    assert store.update_bloom_index("t", "cust") == 0
+    after_kept, after_total = store.bloom_kept_files("t", "cust", 1234)
+    assert after_total == before_total
+    assert sorted(after_kept) == sorted(before_kept)
+    assert _probe_rows(store, 1234) == [10_000]
+    assert store.bloom_kept_files("t", "cust", 10**9)[0] == []
+    # loud on a column that was never indexed
+    with pytest.raises(ValueError, match="build_bloom_index"):
+        store.compact_bloom_index("t", "amt")
