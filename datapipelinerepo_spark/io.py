@@ -2267,6 +2267,116 @@ class TableStore:
                     pass
         return deleted
 
+    def tables(self) -> list[str]:
+        """Catalog listing: every table this store holds (manifested
+        versioned tables and plain directories alike) — one directory
+        scan, no data I/O."""
+        out: set[str] = set()
+        if not os.path.isdir(self.root):
+            return []
+        for entry in os.listdir(self.root):
+            p = os.path.join(self.root, entry)
+            if entry.startswith("_manifest_"):
+                out.add(entry[len("_manifest_"):])
+            elif entry.startswith("_meta_") and entry.endswith(".json"):
+                out.add(entry[len("_meta_"):-len(".json")])
+            elif os.path.isdir(p) and not entry.startswith((".", "_")):
+                out.add(entry)
+        return sorted(out)
+
+    def describe_detail(self, name: str) -> dict:
+        """DESCRIBE DETAIL parity (Delta's operability verb): one dict
+        of table facts from metadata only — kilobyte manifest + meta
+        reads plus one directory listing, no data I/O, no Spark jobs.
+
+        Fields: ``format``, ``version`` (latest), ``n_versions``
+        retained, ``n_files`` / ``size_bytes`` of the CURRENT
+        snapshot, ``n_buckets`` + ``key_cols`` (keyed tables),
+        ``incarnation``, ``created_ts_millis`` (earliest retained
+        commit) / ``last_modified_ts_millis`` (latest commit),
+        ``properties`` (table properties), ``txn_apps`` (app ids with
+        watermarks — the maintenance/streaming consumers), and
+        ``bloom_index_cols`` (columns with a built per-file bloom
+        index). Per-bucket file-count skew is in ``files_per_bucket``
+        (max/min/avg) — the auto-compaction signal."""
+        if not self.exists(name):
+            raise ValueError(f"{name}: no such table")
+        out: dict = {"name": name, "format": "parquet"}
+        spec = self.keyed_spec(name)
+        if spec is not None:
+            out["key_cols"], out["n_buckets"] = spec
+        out["incarnation"] = self.table_incarnation(name)
+        props = {}
+        p = self._meta_path(name)
+        if os.path.isfile(p):
+            with open(p) as f:
+                meta = json.load(f)
+            props = {
+                k: v
+                for k, v in meta.items()
+                if k in ("auto_compact_files_per_bucket", "bloom_index_cols")
+                and v is not None
+            }
+        out["properties"] = props
+        bdir = os.path.join(self._dir(name), ".bloomidx")
+        out["bloom_index_cols"] = (
+            sorted(
+                c for c in os.listdir(bdir)
+                if os.path.isfile(os.path.join(bdir, c, "meta.json"))
+            )
+            if os.path.isdir(bdir)
+            else []
+        )
+        if not self.is_versioned(name):
+            out.update({"version": None, "n_versions": 0})
+            # plain (unkeyed/unversioned) tables have no _kb layout:
+            # walk the directory for parquet files
+            files = []
+            base_dir = self._dir(name)
+            for dirpath, _, fnames in os.walk(base_dir):
+                for f in fnames:
+                    if f.endswith(".parquet"):
+                        files.append(
+                            os.path.relpath(
+                                os.path.join(dirpath, f), base_dir
+                            )
+                        )
+        else:
+            vs = self.versions(name)
+            v = max(vs)
+            doc = self._manifest_doc(name, v)
+            out["version"] = v
+            out["n_versions"] = len(vs)
+            out["created_ts_millis"] = self._manifest_doc(
+                name, vs[0]
+            ).get("ts")
+            out["last_modified_ts_millis"] = doc.get("ts")
+            out["txn_apps"] = {
+                a: int(w) for a, w in (doc.get("txn", {}) or {}).items()
+            }
+            files = doc["files"]
+        base = self._dir(name)
+        size = 0
+        per_bucket: dict[int, int] = {}
+        for f in files:
+            try:
+                size += os.path.getsize(os.path.join(base, f))
+            except OSError:
+                pass
+            if f.startswith("_kb="):
+                b = self._bucket_of(f)
+                per_bucket[b] = per_bucket.get(b, 0) + 1
+        out["n_files"] = len(files)
+        out["size_bytes"] = size
+        if per_bucket:
+            counts = list(per_bucket.values())
+            out["files_per_bucket"] = {
+                "max": max(counts),
+                "min": min(counts),
+                "avg": round(sum(counts) / len(counts), 2),
+            }
+        return out
+
     def fsck(self, name: str) -> dict:
         """Consistency audit of a versioned table's metadata against
         the filesystem — the operability check a maintenance job runs

@@ -3865,3 +3865,52 @@ def test_sync_join_view_cross_phase_race(spark, tmp_path):
     }
     assert view == recompute()
     assert view[200][2:] == ("y1", -1.0)
+
+
+def test_tables_and_describe_detail(spark, tmp_path):
+    """Catalog verbs (r12): tables() lists every table; describe_detail
+    returns the DESCRIBE DETAIL facts from metadata only — no Spark
+    jobs (asserted via a dedicated job group)."""
+    from datapipelinerepo_spark.io import TableStore
+    from pyspark.sql import functions as F
+
+    store = TableStore(spark, str(tmp_path))
+    df = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") % 9).alias("c")
+    )
+    store.overwrite_keyed(df, "kv", "k", n_buckets=4, versioned=True)
+    store.upsert(
+        spark.createDataFrame([(500, 1)], "k long, c long"), "kv", "k"
+    )
+    store.build_bloom_index("kv", "c", m_bits=1 << 12)
+    store.set_table_properties("kv", auto_compact_files_per_bucket=4)
+    store.overwrite(spark.range(5).toDF("x"), "plain")
+
+    assert store.tables() == ["kv", "plain"]
+
+    sc = spark.sparkContext
+    sc.setJobGroup("detail_probe", "describe_detail must run zero jobs")
+    try:
+        d = store.describe_detail("kv")
+        p = store.describe_detail("plain")
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    assert not sc.statusTracker().getJobIdsForGroup("detail_probe")
+
+    assert d["key_cols"] == ["k"] and d["n_buckets"] == 4
+    assert d["version"] == 2 and d["n_versions"] == 2
+    assert d["n_files"] > 0 and d["size_bytes"] > 0
+    assert d["bloom_index_cols"] == ["c"]
+    assert d["properties"] == {"auto_compact_files_per_bucket": 4}
+    assert d["files_per_bucket"]["max"] >= d["files_per_bucket"]["min"]
+    assert d["created_ts_millis"] <= d["last_modified_ts_millis"]
+    assert d["incarnation"]
+
+    assert p["version"] is None and p["n_versions"] == 0
+    assert p["n_files"] > 0 and p["size_bytes"] > 0
+    assert p["bloom_index_cols"] == []
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no such table"):
+        store.describe_detail("nope")
