@@ -1479,7 +1479,11 @@ class TableStore:
         the full data-rescanning rebuild (e.g. after changing m_bits).
         Publishes atomically like the build (tmp dir + rename); a
         probe racing it sees the old sidecar or the new one, both
-        correct."""
+        correct. An update_bloom_index racing the swap can land its
+        part in the retiring directory and lose it — the affected
+        files stay uncovered (slower probes, never wrong ones) until
+        the next update re-covers them; serialize maintenance verbs
+        per table if that matters."""
         import uuid
 
         v = self._ensure_latest(name)
@@ -1512,7 +1516,15 @@ class TableStore:
             shutil.copy2(meta_p, os.path.join(tmp, "meta.json"))
             old = f"{final}.old-{uuid.uuid4().hex[:8]}"
             os.rename(final, old)
-            os.rename(tmp, final)
+            try:
+                os.rename(tmp, final)
+            except OSError:
+                # failure-atomic swap (code-review r12): a failed
+                # second rename must not strand the index in the
+                # retiring dir while finally deletes the compacted
+                # copy — restore the original and re-raise
+                os.rename(old, final)
+                raise
             shutil.rmtree(old, ignore_errors=True)
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
@@ -1537,7 +1549,8 @@ class TableStore:
         return values
 
     def bloom_kept_files(
-        self, name: str, col: str, value, version: int | None = None
+        self, name: str, col: str, value, version: int | None = None,
+        doc: dict | None = None,
     ) -> tuple[list[str], int]:
         """(files an equality probe must open, total live files) — the
         pruning decision read_point plans with, exposed for
@@ -1556,15 +1569,21 @@ class TableStore:
 
         values = self._bloom_values(value)
         v = self._ensure_latest(name) if version is None else version
-        doc = self._manifest_doc(name, v)
+        if doc is None:
+            doc = self._manifest_doc(name, v)
         phys = self._bloom_resolve(name, col, doc)
         files = doc["files"]
         bdir = self._bloom_dir(name, phys)
         meta_p = os.path.join(bdir, "meta.json")
         if not os.path.isfile(meta_p):
             return list(files), len(files)
-        with open(meta_p) as fh:
-            meta = json.load(fh)
+        try:
+            with open(meta_p) as fh:
+                meta = json.load(fh)
+        except (OSError, ValueError):
+            # the sidecar vanished or is mid-swap under this probe
+            # (compact_bloom_index race): degrade to no pruning
+            return list(files), len(files)
         m_bits, k, seed = meta["m_bits"], meta["k"], meta["seed"]
         # probe positions from the SAME JVM expression as the build,
         # with each literal cast to the column's recorded type —
@@ -1586,7 +1605,10 @@ class TableStore:
                 for val in values
             ]
         )
-        idx = self._bloom_index_df(bdir).withColumn("_pos", probe)
+        try:
+            idx = self._bloom_index_df(bdir).withColumn("_pos", probe)
+        except Exception:  # noqa: BLE001 — parts dir mid-swap/vanished
+            return list(files), len(files)
 
         def probe_test(batches):
             # ONE index scan answers both questions a probe needs —
@@ -1614,7 +1636,11 @@ class TableStore:
         rows = idx.mapInPandas(probe_test, "file string, hit boolean")
         hit_files: set = set()
         covered: set = set()
-        for r in rows.collect():
+        try:
+            collected = rows.collect()
+        except Exception:  # noqa: BLE001 — sidecar swapped mid-scan
+            return list(files), len(files)
+        for r in collected:
             covered.add(r["file"])
             if r["hit"]:
                 hit_files.add(r["file"])
@@ -1639,7 +1665,9 @@ class TableStore:
         index this degrades to an ordinary filtered snapshot read."""
         v = self._ensure_latest(name) if version is None else version
         doc = self._manifest_doc(name, v)
-        kept, _total = self.bloom_kept_files(name, col, value, version=v)
+        kept, _total = self.bloom_kept_files(
+            name, col, value, version=v, doc=doc
+        )
         out = self._scan_files(name, v, doc, kept)
         values = self._bloom_values(value)
         if isinstance(value, (list, tuple, set)):
@@ -1663,7 +1691,11 @@ class TableStore:
         doc = self._manifest_doc(name, v)
         keep_set: set | None = None
         for c, val in eq.items():
-            kept_c, _ = self.bloom_kept_files(name, c, val, version=v)
+            # one doc load shared across columns (each column still
+            # probes its OWN sidecar — one small index job per column)
+            kept_c, _ = self.bloom_kept_files(
+                name, c, val, version=v, doc=doc
+            )
             keep_set = (
                 set(kept_c) if keep_set is None else keep_set & set(kept_c)
             )
@@ -2217,7 +2249,10 @@ class TableStore:
             horizon_ms = (time.time() - retain_s) * 1000
             newest_before = None
             for v in vs:  # ascending
-                ts = self._manifest_doc(name, v).get("ts")
+                try:
+                    ts = self._manifest_doc(name, v).get("ts")
+                except FileNotFoundError:
+                    continue  # a concurrent vacuum dropped it mid-scan
                 if ts is None:
                     keep.add(v)  # undated commit: retain conservatively
                 elif int(ts) <= horizon_ms:
@@ -2298,7 +2333,14 @@ class TableStore:
         watermarks — the maintenance/streaming consumers), and
         ``bloom_index_cols`` (columns with a built per-file bloom
         index). Per-bucket file-count skew is in ``files_per_bucket``
-        (max/min/avg) — the auto-compaction signal."""
+        (max/min/avg) — the auto-compaction signal.
+
+        Delta-backed tables (the env-gated MERGE path) report
+        ``format: delta`` with ``version: None`` — their version
+        history lives in the Delta log, not the store's manifests —
+        and file counts EXCLUDE the _delta_log but may include
+        tombstoned data files the log removed but VACUUM hasn't
+        reclaimed (exact snapshot accounting needs the log reader)."""
         if not self.exists(name):
             raise ValueError(f"{name}: no such table")
         out: dict = {"name": name, "format": "parquet"}
@@ -2322,18 +2364,29 @@ class TableStore:
         out["bloom_index_cols"] = (
             sorted(
                 c for c in os.listdir(bdir)
-                if os.path.isfile(os.path.join(bdir, c, "meta.json"))
+                # exclude a crashed build/compact's .tmp-* / .old-*
+                # leftovers — they carry a meta.json but are not
+                # published indexes (code-review r12)
+                if ".tmp-" not in c and ".old-" not in c
+                and os.path.isfile(os.path.join(bdir, c, "meta.json"))
             )
             if os.path.isdir(bdir)
             else []
         )
-        if not self.is_versioned(name):
+        vs = self.versions(name) if self.is_versioned(name) else []
+        if not vs:
+            # plain tables have no _kb layout (walk the dir); a
+            # versioned table with NO retained manifests is the
+            # overwrite-reset/heal window — report what exists
+            # instead of crashing on max([]) (code-review r12)
             out.update({"version": None, "n_versions": 0})
-            # plain (unkeyed/unversioned) tables have no _kb layout:
-            # walk the directory for parquet files
+            if self._is_delta(name):
+                out["format"] = "delta"
             files = []
             base_dir = self._dir(name)
             for dirpath, _, fnames in os.walk(base_dir):
+                if "_delta_log" in dirpath:
+                    continue  # log checkpoints are not data files
                 for f in fnames:
                     if f.endswith(".parquet"):
                         files.append(
@@ -2342,7 +2395,6 @@ class TableStore:
                             )
                         )
         else:
-            vs = self.versions(name)
             v = max(vs)
             doc = self._manifest_doc(name, v)
             out["version"] = v

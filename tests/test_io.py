@@ -3914,3 +3914,49 @@ def test_tables_and_describe_detail(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="no such table"):
         store.describe_detail("nope")
+
+
+def test_describe_detail_edge_states(spark, tmp_path):
+    """code-review r12 hardening: describe_detail must report (not
+    crash) through the overwrite-reset heal window, must not count
+    _delta_log checkpoints as data, and must not list a crashed
+    build's .tmp-* sidecar leftovers as indexed columns."""
+    import os
+
+    from datapipelinerepo_spark.io import TableStore
+    from pyspark.sql import functions as F
+
+    store = TableStore(spark, str(tmp_path))
+    df = spark.range(50).select(
+        F.col("id").alias("k"), (F.col("id") % 5).alias("c")
+    )
+    store.overwrite_keyed(df, "kv", "k", n_buckets=2, versioned=True)
+    store.build_bloom_index("kv", "c", m_bits=1 << 10)
+    # phantom sidecar leftovers from a crashed build/compact
+    ghost = os.path.join(str(tmp_path), "kv", ".bloomidx", "c.tmp-dead")
+    os.makedirs(ghost)
+    open(os.path.join(ghost, "meta.json"), "w").write("{}")
+    d = store.describe_detail("kv")
+    assert d["bloom_index_cols"] == ["c"]
+
+    # heal window: versioned meta with no retained manifests
+    import shutil as _sh
+
+    _sh.rmtree(os.path.join(str(tmp_path), "_manifest_kv"))
+    d2 = store.describe_detail("kv")
+    assert d2["version"] is None and d2["n_versions"] == 0
+    assert d2["n_files"] > 0  # the data files still report
+
+    # delta-marked dir: format flips, log checkpoints excluded
+    store.overwrite(spark.range(5).toDF("x"), "dl")
+    log = os.path.join(str(tmp_path), "dl", "_delta_log")
+    os.makedirs(log)
+    spark.range(3).toDF("y").coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(log, "0.checkpoint.parquet")
+    )
+    d3 = store.describe_detail("dl")
+    assert d3["format"] == "delta"
+    # only the table's own parquet counts, not the checkpoint
+    plain = TableStore(spark, str(tmp_path / "p2"))
+    plain.overwrite(spark.range(5).toDF("x"), "dl2")
+    assert d3["n_files"] == plain.describe_detail("dl2")["n_files"]
