@@ -234,6 +234,20 @@ _CHANGED_IN_ROUND = {
     "store_ivm_base_state": 11,
     "store_incremental_join": 11,
     "store_streaming_join": 11,
+    # r13: bloom maintenance gained the per-(table, column) claim,
+    # dtype-drift rebuild, and mid-swap detection; probes gained the
+    # dtype safety net + loud degradation; read() gained where=
+    # planning (versioned-branch restructure); read_group gained the
+    # where= passthrough; pipeline gates routed through the catalog
+    # verbs; incarnation resets now retire sidecars. Locally re-proven
+    # at sf0.001 + sf0.01 (four-query oracle run + end-of-round sweep).
+    "store_bloom_point_read": 13,
+    "store_read_group": 13,
+    "store_read_group_asof": 13,
+    "store_write_group": 13,
+    "store_stacked_view_group": 13,
+    "store_streaming_stack": 13,
+    "pipeline_idempotent_reload": 13,
 }
 
 

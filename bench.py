@@ -469,6 +469,39 @@ def main() -> None:
     times["store_bloom_probe_verb"] = round(samples[RUNS // 2], 3)
     spread["store_bloom_probe_verb"] = round(samples[-1] - samples[0], 3)
 
+    # Machine calibration row (VERDICT r12 item 2): a FROZEN,
+    # engine-independent workload — 20M-row range → hash agg into 100k
+    # groups (one fixed-size shuffle), pinned constants, no table I/O,
+    # no engine code. Its time measures THIS MACHINE TODAY, nothing
+    # else; cross-round bench comparisons are read relative to it
+    # (protocol note in SCALE.md). Three consecutive rounds burned
+    # builder+judge cycles adjudicating ±25-35% machine-day drift by
+    # ad-hoc A/B; this row makes the drift visible in the artifact
+    # itself. Reported BESIDE the set total, never inside it, so
+    # "value" stays comparable to prior rounds. The constants below
+    # are frozen as of r13 — changing them breaks cross-round
+    # calibration and requires a SCALE.md protocol note.
+    def _calibration_df():
+        return (
+            spark.range(0, 20_000_000, 1, 32)
+            .select(
+                (F.col("id") % 100_000).alias("k"),
+                (F.col("id") * 2654435761 % 1_000_003).alias("v"),
+            )
+            .groupBy("k")
+            .agg(F.sum("v").alias("s"), F.count("*").alias("c"))
+        )
+
+    _calibration_df().write.format("noop").mode("overwrite").save()  # JIT
+    samples = []
+    for _ in range(RUNS):
+        t0 = time.perf_counter()
+        _calibration_df().write.format("noop").mode("overwrite").save()
+        samples.append(time.perf_counter() - t0)
+    samples.sort()
+    calibration = round(samples[RUNS // 2], 3)
+    calibration_spread = round(samples[-1] - samples[0], 3)
+
     total = round(sum(times.values()), 3)
     # The driver records only the LAST ~2000 chars of stdout; r9's
     # single line (queries + spread) overflowed that window, cutting
@@ -486,6 +519,8 @@ def main() -> None:
                 "sf": float(sf),
                 "runs": RUNS,
                 "spread": spread,
+                "calibration_sec": calibration,
+                "calibration_spread": calibration_spread,
             }
         )
     )
@@ -496,6 +531,7 @@ def main() -> None:
             "unit": "sec",
             "queries": times,
             "sf": float(sf),
+            "calibration_sec": calibration,
         },
         separators=(",", ":"),
     )
@@ -510,6 +546,7 @@ def main() -> None:
                     for k in sorted(times, key=times.get, reverse=True)[:30]
                 },
                 "sf": float(sf),
+                "calibration_sec": calibration,
                 "queries_truncated_to_top": 30,
             },
             separators=(",", ":"),

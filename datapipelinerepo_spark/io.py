@@ -450,6 +450,10 @@ class TableStore:
         # read_where/pruned_file_count calls whose requested prune
         # column had NO stats in any file (skipping inert)
         self.prune_stat_misses: dict[tuple[str, str], int] = {}
+        # observability counter: (table, column) -> number of bloom
+        # probes that degraded to no-pruning (unreadable/inconsistent
+        # sidecar — correct but slow; see _bloom_degrade_warn)
+        self.bloom_degrades: dict[tuple[str, str], int] = {}
         os.makedirs(root, exist_ok=True)
 
     # -- catalog (S3/S4) ---------------------------------------------------
@@ -587,6 +591,31 @@ class TableStore:
         )
         return merged.json()
 
+    def _retire_bloom_indexes(self, name: str) -> None:
+        """Drop every bloom sidecar (and maintenance-claim files /
+        crashed-swap leftovers) for a table whose data directory is
+        about to be destructively rewritten (ADVICE r12): a sidecar
+        surviving an incarnation reset indexes files that no longer
+        exist under a dtype that may no longer match — at best inert,
+        at worst (dtype drift) a source of silent false negatives.
+        Called from the same reset windows that retire the manifest
+        history; probes see no index (no pruning) until a rebuild."""
+        d = self._dir(name)
+        if not os.path.isdir(d):
+            return
+        for e in os.listdir(d):
+            if e == ".bloomidx" or e.startswith(
+                (".bloomidx.", ".bloomidx-claim-")
+            ):
+                p = os.path.join(d, e)
+                if os.path.isdir(p):
+                    shutil.rmtree(p, ignore_errors=True)
+                else:
+                    try:
+                        os.remove(p)
+                    except FileNotFoundError:
+                        pass
+
     def _clear_keyed(self, name: str) -> None:
         """Remove the keyed marker — a plain overwrite replaces the
         table unstamped, so a stale marker would route the NEXT upsert
@@ -607,6 +636,7 @@ class TableStore:
                 json.dump(meta, f)
             # the snapshot history died with the files
             shutil.rmtree(self._manifest_dir(name), ignore_errors=True)
+            self._retire_bloom_indexes(name)
 
     def _retire_versioned(self, name: str) -> None:
         """Retire a table's snapshot history BEFORE a destructive
@@ -630,6 +660,7 @@ class TableStore:
                 with open(p, "w") as f:
                     json.dump(meta, f)
         shutil.rmtree(self._manifest_dir(name), ignore_errors=True)
+        self._retire_bloom_indexes(name)
 
     def _kb_expr(
         self, name: str, keys: list[str], n_buckets: int, types: list[str] | None = None
@@ -1337,6 +1368,50 @@ class TableStore:
         are keyed physically; the index dir likewise)."""
         return (doc.get("colmap") or {}).get("renames", {}).get(col, col)
 
+    def _bloom_claim(
+        self, name: str, phys: str,
+        wait_s: float = 300.0, stale_s: float = 600.0,
+    ):
+        """Serialize the sidecar MAINTENANCE verbs per (table, column)
+        behind the store's create-exclusive heartbeated claim (VERDICT
+        r12 item 5): build/update/compact on the same index are
+        mutually exclusive, closing the documented lost-part window
+        where an update racing compact's directory swap landed its
+        part in the retiring dir. Probes stay claim-free — they only
+        read, and degrade to no-pruning under any race. The claim
+        lives BESIDE the index dir (not inside it) because compact
+        renames the dir itself. A claim orphaned by a crashed verb
+        goes stale after ``stale_s`` and is stolen; the heartbeat
+        keeps a long legitimate build from looking orphaned."""
+        import contextlib
+
+        claim = os.path.join(self._dir(name), f".bloomidx-claim-{phys}")
+
+        @contextlib.contextmanager
+        def _held():
+            deadline = time.time() + wait_s
+            while True:
+                tok = _acquire_claim(claim, stale_s)
+                if tok is not None and _fs.identity(claim) == tok:
+                    break
+                if time.time() >= deadline:
+                    raise TxnConflict(
+                        f"{name}.{phys}: bloom index maintenance claim "
+                        f"still held after {wait_s}s ({claim})"
+                    )
+                time.sleep(0.05)
+            try:
+                with _ClaimHeartbeat(claim, tok, stale_s):
+                    yield
+            finally:
+                try:
+                    if _fs.identity(claim) == tok:
+                        _fs.remove(claim)
+                except FileNotFoundError:
+                    pass
+
+        return _held()
+
     def build_bloom_index(
         self,
         name: str,
@@ -1379,28 +1454,29 @@ class TableStore:
         merged = self._bloom_bitmaps(df, phys, m_bits, k, seed)
         final = self._bloom_dir(name, phys)
         tmp = f"{final}.tmp-{uuid.uuid4().hex[:8]}"
-        try:
-            merged.write.mode("overwrite").parquet(
-                os.path.join(tmp, "parts", "full.parquet")
-            )
-            with open(os.path.join(tmp, "meta.json"), "w") as fh:
-                json.dump(
-                    {
-                        "version": v,
-                        "m_bits": m_bits,
-                        "k": k,
-                        "seed": seed,
-                        "col": col,
-                        "phys": phys,
-                        "dtype": df.schema[phys].dataType.simpleString(),
-                        "n_files": len(doc["files"]),
-                    },
-                    fh,
+        with self._bloom_claim(name, phys):
+            try:
+                merged.write.mode("overwrite").parquet(
+                    os.path.join(tmp, "parts", "full.parquet")
                 )
-            shutil.rmtree(final, ignore_errors=True)
-            os.rename(tmp, final)
-        finally:
-            shutil.rmtree(tmp, ignore_errors=True)
+                with open(os.path.join(tmp, "meta.json"), "w") as fh:
+                    json.dump(
+                        {
+                            "version": v,
+                            "m_bits": m_bits,
+                            "k": k,
+                            "seed": seed,
+                            "col": col,
+                            "phys": phys,
+                            "dtype": df.schema[phys].dataType.simpleString(),
+                            "n_files": len(doc["files"]),
+                        },
+                        fh,
+                    )
+                shutil.rmtree(final, ignore_errors=True)
+                os.rename(tmp, final)
+            finally:
+                shutil.rmtree(tmp, ignore_errors=True)
         return len(doc["files"])
 
     def update_bloom_index(
@@ -1414,49 +1490,130 @@ class TableStore:
         Bitmaps of removed files linger harmlessly (probes intersect
         with the live manifest); a periodic ``build_bloom_index``
         rebuild reclaims them. Returns the number of newly indexed
-        files (0 = fully covered, nothing scanned)."""
+        files (0 = fully covered, nothing scanned).
+
+        If the live column's type no longer matches the type the index
+        was built under (``meta['dtype']``) — possible via a schema-
+        widening write, since xxhash64(int x) != xxhash64(bigint x) —
+        mixing old and new bitmaps would make probes hash differently
+        than the stored bits and produce SILENT FALSE NEGATIVES, so
+        this forces a full ``build_bloom_index`` rebuild at the
+        recorded sizing instead (ADVICE r12)."""
         import uuid
 
         v = self._ensure_latest(name) if version is None else version
         doc = self._manifest_doc(name, v)
         phys = self._bloom_resolve(name, col, doc)
         bdir = self._bloom_dir(name, phys)
-        meta_p = os.path.join(bdir, "meta.json")
-        if not os.path.isfile(meta_p):
-            raise ValueError(
-                f"{name}: no bloom index on {col!r} — run "
-                "build_bloom_index first"
+        meta = self._bloom_meta(name, col, bdir)
+        live_dtype = self._live_dtype(doc, phys)
+        if live_dtype is not None and live_dtype != meta["dtype"]:
+            import warnings
+
+            warnings.warn(
+                f"{name}: bloom index on {col!r} was built under dtype "
+                f"{meta['dtype']!r} but the column is now {live_dtype!r}"
+                " — incremental bitmaps would hash differently than the "
+                "recorded probes (silent false negatives), so the index "
+                "is being fully rebuilt at the recorded sizing.",
+                RuntimeWarning,
+                stacklevel=2,
             )
-        with open(meta_p) as fh:
-            meta = json.load(fh)
-        covered = {
-            r["file"] for r in self._bloom_index_df(bdir)
-            .select("file").collect()
-        }
-        new = [f for f in doc["files"] if f not in covered]
-        if not new:
-            return 0
-        base = self._dir(name)
-        df = (
-            self.spark.read.option("mergeSchema", "true")
-            .option("basePath", base)
-            .parquet(*[os.path.join(base, f) for f in new])
-        )
-        merged = self._bloom_bitmaps(
-            df, phys, meta["m_bits"], meta["k"], meta["seed"]
-        )
-        tmp = os.path.join(bdir, f".tmp-{uuid.uuid4().hex[:8]}")
-        try:
-            merged.write.mode("overwrite").parquet(tmp)
-            os.rename(
-                tmp,
-                os.path.join(
-                    bdir, "parts", f"inc-{uuid.uuid4().hex[:8]}.parquet"
-                ),
+            self.build_bloom_index(
+                name, col, m_bits=meta["m_bits"], k=meta["k"], version=v
             )
-        finally:
-            shutil.rmtree(tmp, ignore_errors=True)
+            return len(doc["files"])
+        with self._bloom_claim(name, phys):
+            covered = {
+                r["file"] for r in self._bloom_index_df(bdir)
+                .select("file").collect()
+            }
+            new = [f for f in doc["files"] if f not in covered]
+            if not new:
+                return 0
+            base = self._dir(name)
+            df = (
+                self.spark.read.option("mergeSchema", "true")
+                .option("basePath", base)
+                .parquet(*[os.path.join(base, f) for f in new])
+            )
+            merged = self._bloom_bitmaps(
+                df, phys, meta["m_bits"], meta["k"], meta["seed"]
+            )
+            tmp = os.path.join(bdir, f".tmp-{uuid.uuid4().hex[:8]}")
+            try:
+                merged.write.mode("overwrite").parquet(tmp)
+                os.rename(
+                    tmp,
+                    os.path.join(
+                        bdir, "parts", f"inc-{uuid.uuid4().hex[:8]}.parquet"
+                    ),
+                )
+            finally:
+                shutil.rmtree(tmp, ignore_errors=True)
         return len(new)
+
+    def _bloom_meta(self, name: str, col: str, bdir: str) -> dict:
+        """Load the sidecar's meta.json for a MAINTENANCE verb,
+        distinguishing 'never built' from 'mid-swap under a racing or
+        crashed compact' (ADVICE r12): when meta.json is absent but a
+        sibling ``<dir>.tmp-*``/``<dir>.old-*`` swap dir exists, retry
+        briefly (the swap is two renames apart), then report the race
+        explicitly instead of the misleading 'run build_bloom_index
+        first'. The maintenance claim makes the live-race window
+        internal; the distinction still matters for crash leftovers."""
+        meta_p = os.path.join(bdir, "meta.json")
+        parent, leaf = os.path.dirname(bdir), os.path.basename(bdir)
+
+        def _swap_sibling() -> bool:
+            if not os.path.isdir(parent):
+                return False
+            return any(
+                e.startswith((f"{leaf}.tmp-", f"{leaf}.old-"))
+                for e in os.listdir(parent)
+            )
+
+        for attempt in range(3):
+            if os.path.isfile(meta_p):
+                with open(meta_p) as fh:
+                    return json.load(fh)
+            if not _swap_sibling():
+                break
+            time.sleep(0.1 * (attempt + 1))
+        if os.path.isfile(meta_p):
+            with open(meta_p) as fh:
+                return json.load(fh)
+        if _swap_sibling():
+            raise RuntimeError(
+                f"{name}: bloom index on {col!r} is MID-SWAP (a "
+                "concurrent compact_bloom_index, or a crashed verb's "
+                ".tmp-/.old- leftover, holds the directory) — retry, "
+                "or rebuild with build_bloom_index if the sibling is "
+                "a crash leftover"
+            )
+        raise ValueError(
+            f"{name}: no bloom index on {col!r} — run "
+            "build_bloom_index first"
+        )
+
+    @staticmethod
+    def _live_dtype(doc: dict, phys: str) -> str | None:
+        """The snapshot's recorded type for a physical column (from
+        the manifest-carried schema JSON — no data/footer reads), or
+        None when the manifest predates schema recording."""
+        schema_json = doc.get("schema")
+        if schema_json is None:
+            return None
+        from pyspark.sql.types import StructType
+
+        try:
+            st = StructType.fromJson(json.loads(schema_json))
+        except (ValueError, TypeError, KeyError):
+            return None
+        for fld in st.fields:
+            if fld.name == phys:
+                return fld.dataType.simpleString()
+        return None
 
     def _bloom_index_df(self, bdir: str) -> DataFrame:
         """The sidecar dataset: every (file, bitmap) part written by
@@ -1479,57 +1636,82 @@ class TableStore:
         the full data-rescanning rebuild (e.g. after changing m_bits).
         Publishes atomically like the build (tmp dir + rename); a
         probe racing it sees the old sidecar or the new one, both
-        correct. An update_bloom_index racing the swap can land its
-        part in the retiring directory and lose it — the affected
-        files stay uncovered (slower probes, never wrong ones) until
-        the next update re-covers them; serialize maintenance verbs
-        per table if that matters."""
+        correct. Maintenance verbs (build/update/compact) are
+        serialized per (table, column) behind the store's heartbeated
+        claim (VERDICT r12 item 5), so an update can no longer land
+        its part in the retiring directory mid-swap and lose it."""
         import uuid
 
         v = self._ensure_latest(name)
         doc = self._manifest_doc(name, v)
         phys = self._bloom_resolve(name, col, doc)
         bdir = self._bloom_dir(name, phys)
-        meta_p = os.path.join(bdir, "meta.json")
-        if not os.path.isfile(meta_p):
-            raise ValueError(
-                f"{name}: no bloom index on {col!r} — run "
-                "build_bloom_index first"
+        with self._bloom_claim(name, phys):
+            meta = self._bloom_meta(name, col, bdir)
+            # semi-join against the live file list, not a 100k-literal
+            # isin: the list is driver-small either way, but the join
+            # keeps the plan sane at large file counts
+            live_df = self.spark.createDataFrame(
+                [(f,) for f in doc["files"]], "file string"
             )
-        # semi-join against the live file list, not a 100k-literal
-        # isin: the list is driver-small either way, but the join
-        # keeps the plan sane at large file counts
-        live_df = self.spark.createDataFrame(
-            [(f,) for f in doc["files"]], "file string"
-        )
-        idx = self._bloom_index_df(bdir)
-        total = idx.count()
-        kept = idx.join(
-            F.broadcast(live_df), "file", "left_semi"
-        ).dropDuplicates(["file"])
-        final = self._bloom_dir(name, phys)
-        tmp = f"{final}.tmp-{uuid.uuid4().hex[:8]}"
-        try:
-            kept.write.mode("overwrite").parquet(
-                os.path.join(tmp, "parts", "full.parquet")
-            )
-            shutil.copy2(meta_p, os.path.join(tmp, "meta.json"))
-            old = f"{final}.old-{uuid.uuid4().hex[:8]}"
-            os.rename(final, old)
+            idx = self._bloom_index_df(bdir)
+            total = idx.count()
+            kept = idx.join(
+                F.broadcast(live_df), "file", "left_semi"
+            ).dropDuplicates(["file"])
+            final = self._bloom_dir(name, phys)
+            tmp = f"{final}.tmp-{uuid.uuid4().hex[:8]}"
             try:
-                os.rename(tmp, final)
-            except OSError:
-                # failure-atomic swap (code-review r12): a failed
-                # second rename must not strand the index in the
-                # retiring dir while finally deletes the compacted
-                # copy — restore the original and re-raise
-                os.rename(old, final)
-                raise
-            shutil.rmtree(old, ignore_errors=True)
-        finally:
-            shutil.rmtree(tmp, ignore_errors=True)
-        n_live = self._bloom_index_df(bdir).count()
+                kept.write.mode("overwrite").parquet(
+                    os.path.join(tmp, "parts", "full.parquet")
+                )
+                # n_files tracks what the sidecar NOW covers (ADVICE
+                # r12: the copied meta went permanently stale here) —
+                # count the just-written n_files-row part, not the data
+                n_live = (
+                    self.spark.read.option("recursiveFileLookup", "true")
+                    .parquet(os.path.join(tmp, "parts"))
+                    .count()
+                )
+                with open(os.path.join(tmp, "meta.json"), "w") as fh:
+                    json.dump({**meta, "n_files": n_live}, fh)
+                old = f"{final}.old-{uuid.uuid4().hex[:8]}"
+                os.rename(final, old)
+                try:
+                    os.rename(tmp, final)
+                except OSError:
+                    # failure-atomic swap (code-review r12): a failed
+                    # second rename must not strand the index in the
+                    # retiring dir while finally deletes the compacted
+                    # copy — restore the original and re-raise
+                    os.rename(old, final)
+                    raise
+                shutil.rmtree(old, ignore_errors=True)
+            finally:
+                shutil.rmtree(tmp, ignore_errors=True)
         return n_live, total - n_live
+
+    def _bloom_degrade_warn(self, name: str, col: str, why: str) -> None:
+        """LOUD degraded-probe signal (ADVICE r12): a probe falling
+        back to a full scan because the sidecar is unreadable or
+        type-inconsistent is CORRECT but slow — persistently so if the
+        sidecar is corrupt, which without a signal reads exactly like
+        pruning working. Warns and counts (``bloom_degrades`` is the
+        observability counter) so one-off mid-swap races (a handful of
+        warnings) are distinguishable from permanent corruption (the
+        counter climbs forever)."""
+        import warnings
+
+        key = (name, col)
+        self.bloom_degrades[key] = self.bloom_degrades.get(key, 0) + 1
+        warnings.warn(
+            f"{name}: bloom probe on {col!r} degraded to NO PRUNING "
+            f"(full scan — correct, slower): {why}. Persistent "
+            "recurrence means a corrupt sidecar; rebuild with "
+            "build_bloom_index.",
+            RuntimeWarning,
+            stacklevel=3,
+        )
 
     @staticmethod
     def _bloom_values(value) -> list:
@@ -1580,9 +1762,27 @@ class TableStore:
         try:
             with open(meta_p) as fh:
                 meta = json.load(fh)
-        except (OSError, ValueError):
+        except (OSError, ValueError) as e:
             # the sidecar vanished or is mid-swap under this probe
-            # (compact_bloom_index race): degrade to no pruning
+            # (compact_bloom_index race): degrade to no pruning —
+            # LOUDLY (ADVICE r12: a permanently corrupt meta.json must
+            # not read as pruning-working-slowly forever)
+            self._bloom_degrade_warn(name, col, f"meta.json unreadable: {e}")
+            return list(files), len(files)
+        live_dtype = self._live_dtype(doc, phys)
+        if live_dtype is not None and live_dtype != meta["dtype"]:
+            # probe-side safety net for the ADVICE r12 false-negative
+            # mechanism: an index built under another dtype hashes
+            # values differently than this snapshot's column — pruning
+            # with it could wrongly drop covered files. No pruning
+            # until update_bloom_index (which detects this and
+            # rebuilds) or build_bloom_index runs.
+            self._bloom_degrade_warn(
+                name, col,
+                f"index dtype {meta['dtype']!r} != live column dtype "
+                f"{live_dtype!r} — rebuild via update_bloom_index/"
+                "build_bloom_index",
+            )
             return list(files), len(files)
         m_bits, k, seed = meta["m_bits"], meta["k"], meta["seed"]
         # probe positions from the SAME JVM expression as the build,
@@ -1607,7 +1807,8 @@ class TableStore:
         )
         try:
             idx = self._bloom_index_df(bdir).withColumn("_pos", probe)
-        except Exception:  # noqa: BLE001 — parts dir mid-swap/vanished
+        except Exception as e:  # noqa: BLE001 — parts dir mid-swap/vanished
+            self._bloom_degrade_warn(name, col, f"sidecar unreadable: {e}")
             return list(files), len(files)
 
         def probe_test(batches):
@@ -1638,7 +1839,10 @@ class TableStore:
         covered: set = set()
         try:
             collected = rows.collect()
-        except Exception:  # noqa: BLE001 — sidecar swapped mid-scan
+        except Exception as e:  # noqa: BLE001 — sidecar swapped mid-scan
+            self._bloom_degrade_warn(
+                name, col, f"sidecar scan failed mid-probe: {e}"
+            )
             return list(files), len(files)
         for r in collected:
             covered.add(r["file"])
@@ -1707,6 +1911,157 @@ class TableStore:
                 if isinstance(val, (list, tuple, set))
                 else F.col(c) == F.lit(val)
             )
+        return out
+
+    # -- unified predicate-driven read planning (VERDICT r12 item 3) ---
+    #
+    # read_where prunes with manifest min/max stats; read_point /
+    # read_point_where prune with the bloom sidecars — but the CALLER
+    # had to know which structure exists and pick the verb. Delta and
+    # Iceberg readers consult every available skipping structure per
+    # conjunct automatically; plan_read is that router: the user
+    # states the predicate, the planner routes each conjunct to stats
+    # (ranges, equalities) AND bloom (equalities, IN-lists) where they
+    # exist, intersects the kept sets, and reports what pruned.
+    # read(name, where=...) is the user-facing entry point.
+
+    @staticmethod
+    def _classify_spec(col: str, spec) -> tuple[str, list]:
+        """Normalize one ``where`` conjunct: a scalar is an equality,
+        a list/tuple/set an IN-list, a ``slice(lo, hi)`` an inclusive
+        range (BETWEEN — Python's literal range syntax, with no step).
+        NULLs are rejected everywhere: equality to NULL never matches
+        (probe IS NULL through an ordinary read + filter)."""
+        if isinstance(spec, slice):
+            if spec.step is not None:
+                raise ValueError(
+                    f"{col}: range spec slice(lo, hi) takes no step"
+                )
+            if spec.start is None or spec.stop is None:
+                raise ValueError(
+                    f"{col}: range spec needs both bounds — "
+                    "slice(lo, hi), inclusive"
+                )
+            return "range", [spec.start, spec.stop]
+        if isinstance(spec, (list, tuple, set)):
+            vals = list(spec)
+            if not vals:
+                raise ValueError(f"{col}: IN-list spec needs >= 1 value")
+            if any(v is None for v in vals):
+                raise ValueError(f"{col}: NULL in IN-list never matches")
+            return "in", vals
+        if spec is None:
+            raise ValueError(
+                f"{col}: equality to NULL never matches — filter "
+                "IS NULL through an ordinary read"
+            )
+        return "eq", [spec]
+
+    def plan_read(
+        self,
+        name: str,
+        where: dict,
+        version: int | None = None,
+        doc: dict | None = None,
+    ) -> tuple[list[str], dict]:
+        """THE file-skipping planner: route each conjunct of ``where``
+        (``{col: scalar | [v, ...] | slice(lo, hi)}``) to every
+        applicable skipping structure — manifest min/max stats for
+        ranges and (as point intervals) equalities/IN-lists, the bloom
+        sidecar for equalities/IN-lists — intersect all kept sets, and
+        return ``(kept file list, report)``. The report says what
+        pruned: per column, per pruner, files kept / total (``None``
+        for a pruner that does not apply or is not built), so "is my
+        layout/index actually skipping" is one call, the same
+        observability contract as pruned_file_count/bloom_kept_files.
+        Pruning is an optimization, never a correctness gate: absent
+        stats keep, uncovered files keep, and read() re-applies the
+        exact predicate on the scan."""
+        if not where:
+            raise ValueError("where must name at least one column")
+        if not self.is_versioned(name):
+            raise ValueError(
+                f"{name}: where= planning needs a versioned table (the "
+                "stats and indexes live in/next to snapshot manifests)"
+            )
+        v = self._ensure_latest(name) if version is None else version
+        if doc is None:
+            doc = self._manifest_doc(name, v)
+        files = doc["files"]
+        cm_renames = (doc.get("colmap") or {}).get("renames", {})
+        keep_set = set(files)
+        report: dict = {
+            "table": name,
+            "version": v,
+            "total_files": len(files),
+            "columns": {},
+        }
+        for c, spec in where.items():
+            kind, payload = self._classify_spec(c, spec)
+            phys = cm_renames.get(c, c)
+            pruners: dict = {"stats": None, "bloom": None}
+            kept_col = set(files)
+            if kind == "range":
+                # the only pruner for a range is stats — warn loudly
+                # if the column has none anywhere (read_where parity)
+                self._warn_if_stats_inert(name, doc, phys)
+                stats_kept = set(
+                    self._pruned_files(doc, phys, tuple(payload))
+                )
+                pruners["stats"] = {
+                    "kept": len(stats_kept), "total": len(files)
+                }
+                kept_col &= stats_kept
+            else:  # eq / in: stats as point intervals, union of values
+                stats_kept: set = set()
+                for val in payload:
+                    stats_kept |= set(
+                        self._pruned_files(doc, phys, (val, val))
+                    )
+                pruners["stats"] = {
+                    "kept": len(stats_kept), "total": len(files)
+                }
+                kept_col &= stats_kept
+                if os.path.isfile(
+                    os.path.join(self._bloom_dir(name, phys), "meta.json")
+                ):
+                    bloom_kept, _total = self.bloom_kept_files(
+                        name, c,
+                        payload if kind == "in" else payload[0],
+                        version=v, doc=doc,
+                    )
+                    pruners["bloom"] = {
+                        "kept": len(bloom_kept), "total": len(files)
+                    }
+                    kept_col &= set(bloom_kept)
+            report["columns"][c] = {
+                "kind": kind,
+                "pruners": pruners,
+                "kept": len(kept_col),
+            }
+            keep_set &= kept_col
+        report["kept_files"] = len(keep_set)
+        return [f for f in files if f in keep_set], report
+
+    def _read_planned(
+        self, name: str, where: dict, version: int, doc: dict
+    ) -> DataFrame:
+        """read(where=...)'s body: plan the pruned scan, then apply
+        the EXACT predicate on it (correctness never rides pruning)."""
+        keep, _report = self.plan_read(
+            name, where, version=version, doc=doc
+        )
+        out = self._scan_files(name, version, doc, keep)
+        for c, spec in where.items():
+            kind, payload = self._classify_spec(c, spec)
+            if kind == "range":
+                out = out.filter(
+                    F.col(c).between(F.lit(payload[0]), F.lit(payload[1]))
+                )
+            elif kind == "in":
+                out = out.filter(F.col(c).isin(payload))
+            else:
+                out = out.filter(F.col(c) == F.lit(payload[0]))
         return out
 
     def _scan_files(
@@ -2382,11 +2737,25 @@ class TableStore:
             out.update({"version": None, "n_versions": 0})
             if self._is_delta(name):
                 out["format"] = "delta"
+            # unversioned tables carry their S4 mod-time in meta, not
+            # manifests — surface it so describe_detail is the one
+            # catalog verb pipeline gates need (VERDICT r12 item 7)
+            if os.path.isfile(p):
+                out["last_modified_ts_millis"] = meta.get(
+                    "last_modified_millis"
+                )
             files = []
             base_dir = self._dir(name)
-            for dirpath, _, fnames in os.walk(base_dir):
+            for dirpath, dirnames, fnames in os.walk(base_dir):
                 if "_delta_log" in dirpath:
                     continue  # log checkpoints are not data files
+                # hidden dirs (.bloomidx sidecars, crashed .tmp-/.old-
+                # swaps) hold bitmap parquet, not data — a versioned
+                # table healing through this window must not count
+                # them (ADVICE r12); prune in-place so walk skips them
+                dirnames[:] = [
+                    x for x in dirnames if not x.startswith(".")
+                ]
                 for f in fnames:
                     if f.endswith(".parquet"):
                         files.append(
@@ -3105,6 +3474,7 @@ class TableStore:
         merge_schema: bool = True,
         version: int | None = None,
         as_of_ts=None,
+        where: dict | None = None,
     ) -> DataFrame:
         """Scan a table. On a versioned keyed table the scan resolves a
         snapshot manifest at PLAN time — ``version=None`` pins the
@@ -3114,7 +3484,18 @@ class TableStore:
         ``TIMESTAMP AS OF`` — see version_as_of); either way the plan
         keeps reading those exact files even if upserts publish newer
         versions mid-query (snapshot isolation; vacuumed versions fail
-        loudly)."""
+        loudly).
+
+        ``where={col: scalar | [v, ...] | slice(lo, hi)}`` (VERDICT
+        r12 item 3) plans the scan through EVERY applicable
+        file-skipping structure automatically — manifest min/max stats
+        and per-column bloom sidecars, per conjunct, kept sets
+        intersected (see plan_read for the routing + the pruning
+        report) — and applies the exact predicate on the pruned scan.
+        The caller states the predicate; the engine picks the index,
+        Delta/Iceberg data-skipping parity. Composes with version=/
+        as_of_ts= (prune within the pinned snapshot). Versioned keyed
+        tables only — everything else should filter an ordinary read."""
         if version is not None and as_of_ts is not None:
             raise ValueError("pass version= or as_of_ts=, not both")
         if self._is_delta(name):
@@ -3122,11 +3503,32 @@ class TableStore:
                 raise ValueError(
                     "version=/as_of_ts= are only for versioned keyed tables"
                 )
+            if where is not None:
+                raise ValueError(
+                    "where= planning is for this store's versioned "
+                    "tables; filter the Delta read directly"
+                )
             return self.spark.read.format("delta").load(self._dir(name))
         if as_of_ts is not None:
             version = self.version_as_of(name, as_of_ts)
+        if where is not None and not self.is_versioned(name):
+            raise ValueError(
+                f"{name}: where= planning needs a versioned table "
+                "(overwrite_keyed(..., versioned=True)); filter an "
+                "ordinary read instead"
+            )
         if self.is_versioned(name):
             v = self.latest_version(name) if version is None else version
+            if v is not None and where is not None:
+                return self._read_planned(
+                    name, where, v, self._manifest_doc(name, v)
+                )
+            if v is None and where is not None:
+                raise ValueError(
+                    f"{name}: where= planning needs a published "
+                    "snapshot manifest (table is mid-heal); retry "
+                    "after the next write republishes"
+                )
             if v is None:
                 # manifest history missing (crash inside overwrite_keyed's
                 # reset window): the freshly overwritten directory is the
@@ -3394,6 +3796,10 @@ class TableStore:
                 except FileNotFoundError:
                     pass
         shutil.rmtree(self._manifest_dir(name), ignore_errors=True)
+        # stale sidecars must not carry across the reset (ADVICE r12:
+        # a surviving index hashes under the OLD incarnation's dtype —
+        # probes casting to it could silently false-negative)
+        self._retire_bloom_indexes(name)
         (
             stamped.write.mode("overwrite")
             .partitionBy("_kb")

@@ -59,14 +59,20 @@ def existence_gate(store: TableStore, table: str) -> bool:
     True iff the target table EXISTS. Sources that want
     "pull-everything when the table is missing" schedule on
     ``not existence_gate(...)`` — as every in-repo source does
-    (docstring polarity fixed r6: it used to state the negation)."""
-    return store.exists(table)
+    (docstring polarity fixed r6: it used to state the negation).
+
+    Routed through the catalog verb (VERDICT r12 item 7): membership
+    in ``store.tables()`` is the __TABLES__-listing shape, with
+    ``exists()`` confirming committed data/meta so an empty directory
+    (a crashed first write's husk) does not count as a table."""
+    return table in store.tables() and store.exists(table)
 
 
 def watermark_gate(store: TableStore, table: str, date_col: str, clock: Clock) -> bool:
     """A1/O1: pull iff MAX(date_col) is behind yesterday
-    (datasources.py:140, :197). Missing table → pull."""
-    if not store.exists(table):
+    (datasources.py:140, :197). Missing table → pull (existence via
+    the catalog verb — VERDICT r12 item 7)."""
+    if not existence_gate(store, table):
         return True
     wm = store.max_value(table, date_col)
     if wm is None:
@@ -85,9 +91,11 @@ def monthly_quota_gate(
     upcoming: int,
 ) -> bool:
     """A2/O7: proceed iff this month's pulls + the upcoming batch fit the
-    request budget (1M/month accounting, datasources.py:147-167)."""
+    request budget (1M/month accounting, datasources.py:147-167).
+    Existence via the catalog verb (VERDICT r12 item 7); the month
+    count itself is the one data read this gate owns."""
     used = 0
-    if store.exists(table):
+    if existence_gate(store, table):
         today = clock.today()
         used = (
             store.read(table)
@@ -117,12 +125,20 @@ def annual_refresh_gate(store: TableStore, table: str, clock: Clock) -> bool:
     """S4/F14: refresh when a year has passed since last load
     (datetime(y+1,m,d) <= today, datasources.py:390-397; the reference's
     version is dead code after an unconditional return — §2.11 — the
-    *intent* is implemented here)."""
-    if not store.exists(table):
+    *intent* is implemented here).
+
+    Mod-time comes from the catalog verb (VERDICT r12 item 7):
+    ``describe_detail``'s ``last_modified_ts_millis`` — the manifest
+    commit ts for versioned tables, the S4 meta stamp for plain ones
+    — zero Spark jobs, kilobyte metadata reads only."""
+    if not existence_gate(store, table):
         return True
-    lm = store.last_modified_date(table)
-    if lm is None:
+    millis = store.describe_detail(table).get("last_modified_ts_millis")
+    if millis is None:
         return True
+    lm = dt.datetime.fromtimestamp(
+        millis / 1000, dt.timezone.utc
+    ).date()
     try:
         anniversary = lm.replace(year=lm.year + 1)
     except ValueError:  # Feb 29

@@ -7554,3 +7554,312 @@ def store_incremental_ann_index(spark, sf_dir):
         f = spark.createDataFrame(rows, schema).withColumn("cut", F.lit(i))
         out = f if out is None else out.unionByName(f)
     return finish(out.select("cut", "q_id", "c_id", "rank", "sim_r4"))
+
+
+# --- r13: unified predicate-driven read planning + point-probe serving ----
+# VERDICT r12 items 3 (read(where=) routes each conjunct to stats or
+# bloom automatically), 4 (point probes through the consistency
+# layer's pinned cuts), 6 (driver rows for the conjunctive and
+# IN-list bloom probe shapes, previously pytest-only).
+
+
+@register(
+    "store_read_planned",
+    sql="""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           o_orderdate
+    FROM orders
+    WHERE o_custkey = 41
+      AND o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                          AND TIMESTAMP '1998-12-31 23:59:59'
+      AND o_orderstatus IN ('O', 'F')
+    """,
+)
+def store_read_planned(spark, sf_dir):
+    """UNIFIED predicate-driven read planner, hash-checked (io.
+    TableStore.plan_read / read(where=...) — VERDICT r12 item 3,
+    Delta/Iceberg data-skipping parity): the caller states ONE
+    conjunctive predicate; the engine routes each conjunct to every
+    applicable file-skipping structure — the o_orderdate RANGE to
+    manifest min/max stats (the table loads as year slabs, so date
+    intervals are narrow per file), the o_custkey EQUALITY to the
+    bloom sidecar (custkeys straddle every file's [min, max] under
+    hash bucketing, so stats are inert for it), and the unindexed
+    o_orderstatus IN-list to nothing — intersects the kept sets, and
+    applies the exact filter on the pruned scan.
+
+    In-query guards on the planner's own report: the stats pruner
+    fired on the range (kept < total), the bloom pruner fired on the
+    equality (kept < total), the IN-list contributed no pruning (its
+    only pruners report inert/absent), and the final kept set is no
+    larger than any single conjunct's. The returned rows hash-match
+    the oracle's plain WHERE — pruning is an optimization, never a
+    correctness gate."""
+    import datetime as dt
+
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate",
+    )
+    store, finish = _ephemeral_store(spark, "rpl_")
+    store.overwrite_keyed(
+        orders.filter(F.year("o_orderdate") <= 1995),
+        "t", "o_orderkey", n_buckets=8, versioned=True,
+    )
+    for y in range(1996, 2002):  # testdata spans 1995-2001
+        store.append(orders.filter(F.year("o_orderdate") == y), "t")
+    store.build_bloom_index("t", "o_custkey", m_bits=1 << 17)
+
+    where = {
+        "o_custkey": 41,
+        "o_orderdate": slice(
+            dt.datetime(1996, 1, 1), dt.datetime(1998, 12, 31, 23, 59, 59)
+        ),
+        "o_orderstatus": ["O", "F"],
+    }
+    keep, rep = store.plan_read("t", where)
+    total = rep["total_files"]
+    rg = rep["columns"]["o_orderdate"]["pruners"]
+    _require(
+        0 < rg["stats"]["kept"] < total,
+        f"stats pruner did not fire on the year-slab range: kept "
+        f"{rg['stats']['kept']} of {total}",
+    )
+    eq = rep["columns"]["o_custkey"]["pruners"]
+    _require(
+        eq["bloom"] is not None and 0 < eq["bloom"]["kept"] < total,
+        f"bloom pruner did not fire on the equality: {eq['bloom']}",
+    )
+    il = rep["columns"]["o_orderstatus"]["pruners"]
+    _require(
+        il["bloom"] is None and il["stats"]["kept"] == total,
+        f"unindexed IN-list must contribute no pruning, got {il}",
+    )
+    _require(
+        0 < rep["kept_files"] <= min(
+            c["kept"] for c in rep["columns"].values()
+        ),
+        f"kept set must be the conjuncts' intersection: {rep}",
+    )
+    return finish(
+        store.read("t", where=where).select(
+            "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "o_orderdate",
+        )
+    )
+
+
+@register(
+    "store_bloom_conjunctive_read",
+    sql="""
+    WITH p AS (
+      SELECT l_partkey AS pk, l_extendedprice AS ep
+      FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 1
+    )
+    SELECT l_orderkey, l_linenumber, l_partkey, l_extendedprice,
+           l_quantity
+    FROM lineitem, p
+    WHERE l_partkey = p.pk AND l_extendedprice = p.ep
+    """,
+)
+def store_bloom_conjunctive_read(spark, sf_dir):
+    """CONJUNCTIVE bloom probe, hash-checked (io.read_point_where —
+    VERDICT r12 item 6: the multi-column intersection was
+    pytest-only): lineitem keyed by l_orderkey with bloom indexes on
+    BOTH l_partkey and l_extendedprice — two high-cardinality
+    unclustered columns (suppkey would be the natural second probe
+    but is ~10 distinct values at sf0.001, so every file contains
+    every value and no per-file structure can prune it) — probed for
+    the (partkey, price) pair of the table's first line item (derived
+    deterministically in-query AND in the oracle, so the probe values
+    exist at every sf). The kept set is the INTERSECTION of the two
+    columns' prunes: a file is opened only if both values might be in
+    it. In-query guards: each column's own prune kept fewer files
+    than the table holds, and the intersection is no larger than
+    either."""
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_extendedprice",
+        "l_quantity",
+    )
+    probe = (
+        li.orderBy("l_orderkey", "l_linenumber").limit(1).collect()[0]
+    )
+    pk, ep = probe["l_partkey"], probe["l_extendedprice"]
+    store, finish = _ephemeral_store(spark, "bcr_")
+    store.overwrite_keyed(
+        li, "t", "l_orderkey", n_buckets=16, versioned=True
+    )
+    store.build_bloom_index("t", "l_partkey", m_bits=1 << 17)
+    store.build_bloom_index("t", "l_extendedprice", m_bits=1 << 17)
+    kept_p, total = store.bloom_kept_files("t", "l_partkey", pk)
+    kept_e, _ = store.bloom_kept_files("t", "l_extendedprice", ep)
+    _require(
+        0 < len(kept_p) < total,
+        f"l_partkey bloom inert: kept {len(kept_p)} of {total}",
+    )
+    _require(
+        0 < len(kept_e) < total,
+        f"l_extendedprice bloom inert: kept {len(kept_e)} of {total}",
+    )
+    inter = set(kept_p) & set(kept_e)
+    _require(
+        len(inter) <= min(len(kept_p), len(kept_e)),
+        "conjunctive kept set must be the per-column intersection",
+    )
+    return finish(
+        store.read_point_where(
+            "t", {"l_partkey": pk, "l_extendedprice": ep}
+        ).select(
+            "l_orderkey", "l_linenumber", "l_partkey",
+            "l_extendedprice", "l_quantity",
+        )
+    )
+
+
+@register(
+    "store_bloom_inlist_read",
+    sql="""
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+    WHERE o_custkey IN (7, 21, 41, 100, 1000000007)
+    """,
+)
+def store_bloom_inlist_read(spark, sf_dir):
+    """IN-LIST bloom probe, hash-checked (io.read_point with a value
+    list — VERDICT r12 item 6: the batch-key-lookup shape was
+    pytest-only): ONE index scan answers every probe value at once —
+    a file is kept when ANY of the five custkeys might be in it
+    (including one value absent at every sf, which must prune
+    everywhere and match nothing). In-query guards: the batch probe
+    pruned (kept < total), and its kept set equals the union of the
+    per-value prunes — the single-scan batch probe plans exactly
+    what five single-value probes would."""
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    store, finish = _ephemeral_store(spark, "bil_")
+    store.overwrite_keyed(
+        orders, "t", "o_orderkey", n_buckets=16, versioned=True
+    )
+    store.build_bloom_index("t", "o_custkey", m_bits=1 << 17)
+    vals = [7, 21, 41, 100, 1000000007]
+    kept, total = store.bloom_kept_files("t", "o_custkey", vals)
+    _require(
+        0 < len(kept) < total,
+        f"IN-list bloom probe inert: kept {len(kept)} of {total}",
+    )
+    union: set = set()
+    for v in vals:
+        union |= set(store.bloom_kept_files("t", "o_custkey", v)[0])
+    _require(
+        set(kept) == union,
+        "batch probe must plan the union of per-value prunes "
+        f"({len(kept)} != {len(union)})",
+    )
+    return finish(
+        store.read_point("t", "o_custkey", vals).select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+    )
+
+
+@register(
+    "store_group_point_read",
+    sql="""
+    WITH base AS (
+      SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+    ), inj AS (
+      SELECT o_orderkey + 10000000 AS o_orderkey,
+             CAST(41 AS BIGINT) AS o_custkey, o_totalprice
+      FROM orders WHERE o_orderkey % 500 = 7
+    )
+    SELECT 1 AS cut, o_orderkey, o_custkey, o_totalprice
+    FROM base WHERE o_custkey = 41
+    UNION ALL
+    SELECT 2 AS cut, o_orderkey, o_custkey, o_totalprice
+    FROM (SELECT * FROM base WHERE o_custkey = 41
+          UNION ALL SELECT * FROM inj)
+    """,
+)
+def store_group_point_read(spark, sf_dir):
+    """POINT PROBE THROUGH THE CONSISTENCY LAYER, hash-checked
+    (plans/consistency.read_group(where=...) — VERDICT r12 item 4:
+    'entity X from a maintained view at a consistent cut', the
+    serving shape neither feature alone covers): a base table with a
+    maintained per-customer rollup; the base moves one write AHEAD of
+    the rollup's last sync, so the group's only consistent cut is the
+    REWOUND base version — and the probe for customer 41 must both
+    honor that cut (none of the newly upserted rows, though every one
+    of them carries the probed key) and bloom-prune its scan at the
+    pinned version (in-query guard on plan_read's report at the cut).
+    Cut 2 re-probes after the rollup catches up: now the injected
+    rows must ALL surface through the same group API. The rollup
+    member is read whole at each cut and cross-checked in-query
+    against the base's same-cut aggregate (never hashed — the hashed
+    surface is the probe rows at both cuts)."""
+    from .plans.consistency import read_group, resolve_group_versions
+    from .plans.rollup import sync_rollup
+
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    store, finish = _ephemeral_store(spark, "gpr_")
+    store.overwrite_keyed(
+        orders, "t", "o_orderkey", n_buckets=16, versioned=True
+    )
+    sync_rollup(store, "t", "r", ["o_custkey"], "o_totalprice")
+    store.build_bloom_index("t", "o_custkey", m_bits=1 << 17)
+
+    inj = orders.filter(F.col("o_orderkey") % 500 == 7).select(
+        (F.col("o_orderkey") + 10000000).alias("o_orderkey"),
+        F.lit(41).cast("long").alias("o_custkey"),
+        "o_totalprice",
+    )
+    n_inj = inj.count()
+    store.upsert(inj, "t", "o_orderkey")  # base ahead of rollup
+
+    vec = resolve_group_versions(store, ["t", "r"])
+    _require(
+        vec["t"] < store.latest_version("t"),
+        f"the consistent cut must rewind the base below its latest "
+        f"version, got {vec}",
+    )
+    keep, rep = store.plan_read("t", {"o_custkey": 41}, version=vec["t"])
+    _require(
+        0 < rep["kept_files"] < rep["total_files"],
+        f"point probe at the pinned cut did not bloom-prune: {rep}",
+    )
+    g1 = read_group(store, ["t", "r"], where={"t": {"o_custkey": 41}})
+    cut1 = g1["t"].collect()
+    _require(
+        all(r["o_orderkey"] < 10000000 for r in cut1),
+        "pinned cut leaked post-sync upserts into the point probe",
+    )
+    roll1 = g1["r"].filter(F.col("o_custkey") == 41).collect()
+    roll1_sum = float(roll1[0]["sum_val"]) if roll1 else float("nan")
+    _require(
+        len(roll1) == 1
+        and abs(roll1_sum - sum(r["o_totalprice"] for r in cut1))
+        < 1e-6 * max(1.0, abs(roll1_sum)),
+        "rollup member at the cut disagrees with the probed base rows",
+    )
+
+    sync_rollup(store, "t", "r", ["o_custkey"], "o_totalprice")
+    g2 = read_group(store, ["t", "r"], where={"t": {"o_custkey": 41}})
+    cut2 = g2["t"].collect()
+    _require(
+        len(cut2) == len(cut1) + n_inj,
+        f"caught-up cut must serve every injected row: {len(cut1)} + "
+        f"{n_inj} != {len(cut2)}",
+    )
+
+    schema = "o_orderkey long, o_custkey long, o_totalprice double"
+    out = None
+    for i, rows in enumerate((cut1, cut2), start=1):
+        f = spark.createDataFrame(
+            [(r["o_orderkey"], r["o_custkey"], r["o_totalprice"])
+             for r in rows], schema
+        ).withColumn("cut", F.lit(i))
+        out = f if out is None else out.unionByName(f)
+    return finish(
+        out.select("cut", "o_orderkey", "o_custkey", "o_totalprice")
+    )
