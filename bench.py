@@ -445,6 +445,8 @@ def main() -> None:
     # (e.g. the probe collecting bitmaps instead of file names) shows
     # as this row jumping toward full-scan time.
     samples = []
+    planned_samples: list[float] = []
+    key_samples: list[float] = []
     wdir = tempfile.mkdtemp(prefix="bench_bloom_")
     try:
         store = TableStore(spark, os.path.join(wdir, "store"))
@@ -463,11 +465,43 @@ def main() -> None:
                 "noop"
             ).mode("overwrite").save()
             samples.append(time.perf_counter() - t0)
+            # the r13 unified planner over the same probe: routing +
+            # report + (here) bloom pruning — its delta over the raw
+            # read_point row above IS the planning overhead, which
+            # must stay index-scan-sized at any table size
+            t0 = time.perf_counter()
+            store.read("t", where={"o_custkey": 42}).write.format(
+                "noop"
+            ).mode("overwrite").save()
+            planned_samples.append(time.perf_counter() - t0)
+        # and the bucket-routed key probe: driver-side hash routing,
+        # strongest pruner, zero index scans — the lookup() cost
+        # profile reached by stating the predicate
+        for _ in range(RUNS):
+            t0 = time.perf_counter()
+            store.read("t", where={"o_orderkey": 4217}).write.format(
+                "noop"
+            ).mode("overwrite").save()
+            key_samples.append(time.perf_counter() - t0)
     finally:
         shutil.rmtree(wdir, ignore_errors=True)
     samples.sort()
     times["store_bloom_probe_verb"] = round(samples[RUNS // 2], 3)
     spread["store_bloom_probe_verb"] = round(samples[-1] - samples[0], 3)
+    planned_samples.sort()
+    times["store_planned_probe_verb"] = round(
+        planned_samples[RUNS // 2], 3
+    )
+    spread["store_planned_probe_verb"] = round(
+        planned_samples[-1] - planned_samples[0], 3
+    )
+    key_samples.sort()
+    times["store_planned_key_probe_verb"] = round(
+        key_samples[RUNS // 2], 3
+    )
+    spread["store_planned_key_probe_verb"] = round(
+        key_samples[-1] - key_samples[0], 3
+    )
 
     # Machine calibration row (VERDICT r12 item 2): a FROZEN,
     # engine-independent workload — 20M-row range → hash agg into 100k

@@ -454,6 +454,9 @@ class TableStore:
         # probes that degraded to no-pruning (unreadable/inconsistent
         # sidecar — correct but slow; see _bloom_degrade_warn)
         self.bloom_degrades: dict[tuple[str, str], int] = {}
+        # immutable-manifest txn-map memo for _dependent_watermark_floor
+        # (ADVICE r12): path -> ((mtime_ns, size), txn dict)
+        self._txn_map_cache: dict[str, tuple[tuple[int, int], dict]] = {}
         os.makedirs(root, exist_ok=True)
 
     # -- catalog (S3/S4) ---------------------------------------------------
@@ -1957,6 +1960,38 @@ class TableStore:
             )
         return "eq", [spec]
 
+    @staticmethod
+    def _route_key_buckets(values, key_type: str, n_buckets: int):
+        """Driver-side bucket routing for the planner's bucket pruner
+        — lookup()'s _route_buckets, hardened for UNCOERCED user
+        values: the probe value's PYTHON type must exactly match the
+        declared key type (int for integer keys — bool excluded as an
+        int subclass —, str for string, bool for boolean), because a
+        loosely-typed value (4217.0 against a bigint key) can hash to
+        a different bucket than the rows Spark's relaxed equality
+        would match, which would be a silent FALSE NEGATIVE. Any
+        mismatch or unsupported type returns None — no pruning, the
+        other pruners and the exact filter still apply."""
+        t = (key_type or "").lower()
+        checks = {
+            "bigint": int, "int": int, "smallint": int, "tinyint": int,
+            "string": str, "boolean": bool,
+        }
+        py = checks.get(t)
+        if py is None:
+            return None
+        if any(
+            type(v) is not py or (py is int and isinstance(v, bool))
+            for v in values
+        ):
+            return None
+        from .functions.xxhash import bucket_of
+
+        try:
+            return {bucket_of((v,), [t], n_buckets) for v in values}
+        except Exception:  # noqa: BLE001 — Spark-job path owns the rest
+            return None
+
     def plan_read(
         self,
         name: str,
@@ -1968,15 +2003,20 @@ class TableStore:
         (``{col: scalar | [v, ...] | slice(lo, hi)}``) to every
         applicable skipping structure — manifest min/max stats for
         ranges and (as point intervals) equalities/IN-lists, the bloom
-        sidecar for equalities/IN-lists — intersect all kept sets, and
-        return ``(kept file list, report)``. The report says what
-        pruned: per column, per pruner, files kept / total (``None``
-        for a pruner that does not apply or is not built), so "is my
-        layout/index actually skipping" is one call, the same
-        observability contract as pruned_file_count/bloom_kept_files.
-        Pruning is an optimization, never a correctness gate: absent
-        stats keep, uncovered files keep, and read() re-applies the
-        exact predicate on the scan."""
+        sidecar for equalities/IN-lists, and (for an equality/IN-list
+        on a single-column merge key) the table's OWN bucket layout,
+        which routes each probe value to its hash bucket driver-side
+        and is the strongest pruner of all (lookup()'s mechanism,
+        now reached by stating the predicate) — intersect all kept
+        sets, and return ``(kept file list, report)``. The report says
+        what pruned: per column, per pruner, files kept / total
+        (``None`` for a pruner that does not apply or is not built),
+        so "is my layout/index actually skipping" is one call, the
+        same observability contract as pruned_file_count/
+        bloom_kept_files. Pruning is an optimization, never a
+        correctness gate: absent stats keep, uncovered files keep,
+        loosely-typed key probes skip bucket routing, and read()
+        re-applies the exact predicate on the scan."""
         if not where:
             raise ValueError("where must name at least one column")
         if not self.is_versioned(name):
@@ -1989,6 +2029,18 @@ class TableStore:
             doc = self._manifest_doc(name, v)
         files = doc["files"]
         cm_renames = (doc.get("colmap") or {}).get("renames", {})
+        # bucket routing applies to single-column merge keys (the
+        # composite-tuple form stays lookup()'s job: routing needs
+        # full key tuples, not independent conjuncts). Safe across
+        # version pins: rebucket is a reseed (new incarnation, old
+        # manifests retired), so any resolvable version of this table
+        # shares the current spec's bucketing.
+        kspec = self.keyed_spec(name)
+        key_phys = key_nb = key_type = None
+        if kspec is not None and len(kspec[0]) == 1:
+            key_phys, key_nb = kspec[0][0], kspec[1]
+            ktypes = self._key_types(name)
+            key_type = ktypes[0] if ktypes else None
         keep_set = set(files)
         report: dict = {
             "table": name,
@@ -1999,7 +2051,7 @@ class TableStore:
         for c, spec in where.items():
             kind, payload = self._classify_spec(c, spec)
             phys = cm_renames.get(c, c)
-            pruners: dict = {"stats": None, "bloom": None}
+            pruners: dict = {"stats": None, "bloom": None, "bucket": None}
             kept_col = set(files)
             if kind == "range":
                 # the only pruner for a range is stats — warn loudly
@@ -2034,6 +2086,21 @@ class TableStore:
                         "kept": len(bloom_kept), "total": len(files)
                     }
                     kept_col &= set(bloom_kept)
+                if phys == key_phys and key_type is not None:
+                    bks = self._route_key_buckets(
+                        payload, key_type, key_nb
+                    )
+                    if bks is not None:
+                        bucket_kept = {
+                            f for f in files
+                            if not f.startswith("_kb=")
+                            or self._bucket_of(f) in bks
+                        }
+                        pruners["bucket"] = {
+                            "kept": len(bucket_kept),
+                            "total": len(files),
+                        }
+                        kept_col &= bucket_kept
             report["columns"][c] = {
                 "kind": kind,
                 "pruners": pruners,
@@ -2487,10 +2554,20 @@ class TableStore:
         (``rollup_sync:{name}:{inc}`` / ``viewsync_fact/dim:{name}:
         {inc}``, current incarnation only). Kilobyte manifest reads,
         one per retained sibling version — dependents' own vacuums
-        (keep_last) bound the scan and raise the floor over time."""
+        (keep_last) bound the scan and raise the floor over time.
+
+        Cost note (ADVICE r12): a store-wide vacuum pass calls this
+        once per vacuumed table, so without memoization the pass is
+        O(tables × retained versions) manifest READS. Published
+        manifests are immutable (put-if-absent commit), so their txn
+        maps are cached per store instance keyed by path +
+        (mtime_ns, size) — repeat floors cost one stat per manifest
+        instead of one read+parse; deleted manifests (a sibling's own
+        vacuum) just miss and are skipped as before."""
         inc = self.table_incarnation(name) or "0"
         suffix = f":{name}:{inc}"
         floor = None
+        cache = self._txn_map_cache
         for entry in os.listdir(self.root):
             if not entry.startswith("_manifest_"):
                 continue
@@ -2498,9 +2575,21 @@ class TableStore:
             if other == name:
                 continue
             for v in self.versions(other):
+                path = self._manifest_path(other, v)
                 try:
-                    txn = self._manifest_doc(other, v).get("txn", {}) or {}
+                    st = os.stat(path)
+                    key = (st.st_mtime_ns, st.st_size)
+                    hit = cache.get(path)
+                    if hit is not None and hit[0] == key:
+                        txn = hit[1]
+                    else:
+                        txn = (
+                            self._manifest_doc(other, v).get("txn", {})
+                            or {}
+                        )
+                        cache[path] = (key, txn)
                 except FileNotFoundError:
+                    cache.pop(path, None)
                     continue
                 for app, w in txn.items():
                     if app.endswith(suffix) and app.split(":", 1)[0] in (

@@ -188,3 +188,61 @@ def test_read_group_point_probe_at_pinned_cut(spark, tmp_path):
         for r in g["r"].filter(F.col("cust") == 13).collect()
     }
     assert roll[13] == pytest.approx(agg[13])
+
+
+def test_planner_bucket_pruner_on_merge_key(spark, tmp_path):
+    """The strongest pruner: an equality/IN-list on the single-column
+    merge key routes to its hash bucket DRIVER-SIDE (lookup()'s
+    mechanism, reached by stating the predicate). Type looseness must
+    disable it, never false-negative: 777.0 probed against a BIGINT
+    key matches row 777 under Spark's relaxed equality but can hash
+    to a different bucket — the planner skips the pruner for any
+    probe whose Python type is not exactly the key's."""
+    store, df = _mk(spark, tmp_path, n=1500, buckets=16)
+    keep, rep = store.plan_read("t", {"k": 777})
+    bk = rep["columns"]["k"]["pruners"]["bucket"]
+    assert bk is not None and 0 < bk["kept"] < rep["total_files"]
+    assert [r["k"] for r in store.read("t", where={"k": 777}).collect()] \
+        == [777]
+    # IN-list routes each value; union of buckets
+    keep, rep = store.plan_read("t", {"k": [5, 777, 1499, 10**7]})
+    bk = rep["columns"]["k"]["pruners"]["bucket"]
+    assert bk is not None and bk["kept"] < rep["total_files"]
+    assert sorted(
+        r["k"]
+        for r in store.read("t", where={"k": [5, 777, 1499, 10**7]})
+        .collect()
+    ) == [5, 777, 1499]
+    # loosely-typed probes: pruner OFF, exact filter still owns result
+    for probe in (777.0, True):
+        keep, rep = store.plan_read("t", {"k": probe})
+        assert rep["columns"]["k"]["pruners"]["bucket"] is None
+    assert [
+        r["k"] for r in store.read("t", where={"k": 777.0}).collect()
+    ] == [777]
+    # composite keys: bucket routing needs full tuples — pruner off
+    two = spark.range(100).select(
+        F.col("id").alias("a"), (F.col("id") % 7).alias("b"),
+        (F.col("id") * 2.0).alias("v"),
+    )
+    store.overwrite_keyed(two, "t2", ["a", "b"], n_buckets=4,
+                          versioned=True)
+    keep, rep = store.plan_read("t2", {"a": 5})
+    assert rep["columns"]["a"]["pruners"]["bucket"] is None
+    assert [r["b"] for r in store.read("t2", where={"a": 5}).collect()] \
+        == [5]
+
+
+def test_planner_bucket_pruner_string_key(spark, tmp_path):
+    store = TableStore(spark, str(tmp_path))
+    df = spark.range(500).select(
+        F.concat(F.lit("id-"), F.col("id")).alias("k"),
+        (F.col("id") % 13).alias("g"),
+    )
+    store.overwrite_keyed(df, "s", "k", n_buckets=8, versioned=True)
+    keep, rep = store.plan_read("s", {"k": "id-77"})
+    bk = rep["columns"]["k"]["pruners"]["bucket"]
+    assert bk is not None and bk["kept"] < rep["total_files"]
+    assert [
+        r["g"] for r in store.read("s", where={"k": "id-77"}).collect()
+    ] == [77 % 13]

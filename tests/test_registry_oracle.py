@@ -175,6 +175,13 @@ _SF1_NAMES = [
     "store_incremental_lsh_index",
     "store_incremental_ann_index",
     "store_bloom_point_read",
+    # r13: the unified planner + point-probe serving lifecycles —
+    # year-slab/stats + bloom + bucket routing composed; outputs are
+    # key-slices and two-cut tags (all collectable)
+    "store_read_planned",
+    "store_bloom_conjunctive_read",
+    "store_bloom_inlist_read",
+    "store_group_point_read",
 ]
 
 
