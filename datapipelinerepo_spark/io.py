@@ -1136,7 +1136,11 @@ class TableStore:
         only if EVERY listed column's interval overlaps its stats, so
         the kept set is the intersection of the per-column prunes —
         the payoff of z-ordered layout, where every file is narrow in
-        every clustered dimension at once."""
+        every clustered dimension at once.
+
+        This is the stats-only specialized verb; ``read(name,
+        where=...)`` (r13) is the general entry point that also
+        consults bloom sidecars and bucket routing per conjunct."""
         if not self.is_versioned(name):
             raise ValueError(
                 f"{name}: read_where needs a versioned table (the stats "
@@ -1869,17 +1873,21 @@ class TableStore:
         ``isin``). No false negatives by construction; false positives
         (~1% at the default sizing) cost one extra file scan each, and
         the exact filter below owns correctness either way. Without an
-        index this degrades to an ordinary filtered snapshot read."""
+        index this degrades to an ordinary filtered snapshot read.
+
+        Since r13 this routes through the ONE planning engine
+        (plan_read, via _read_planned), so a point probe also gets
+        min/max stats pruning and — on the merge key — driver-side
+        bucket routing for free; ``read(name, where=...)`` is the
+        general multi-conjunct entry point."""
+        self._bloom_values(value)  # validate probe shape loudly
         v = self._ensure_latest(name) if version is None else version
         doc = self._manifest_doc(name, v)
-        kept, _total = self.bloom_kept_files(
-            name, col, value, version=v, doc=doc
+        spec = (
+            list(value) if isinstance(value, (list, tuple, set))
+            else value
         )
-        out = self._scan_files(name, v, doc, kept)
-        values = self._bloom_values(value)
-        if isinstance(value, (list, tuple, set)):
-            return out.filter(F.col(col).isin(values))
-        return out.filter(F.col(col) == F.lit(value))
+        return self._read_planned(name, {col: spec}, v, doc)
 
     def read_point_where(
         self, name: str, eq: dict, version: int | None = None
@@ -1891,30 +1899,21 @@ class TableStore:
         might be in it. Columns without an index contribute no pruning
         (all files kept for that column); the exact AND-of-equalities
         filter owns correctness. The common serving shape: 'customer X
-        AND status Y' opens only files that might hold both."""
+        AND status Y' opens only files that might hold both.
+
+        Since r13 this routes through the ONE planning engine
+        (plan_read, via _read_planned) — each equality also gets
+        stats-interval pruning and, on the merge key, bucket routing;
+        ``read(name, where=...)`` additionally accepts ranges."""
         if not eq:
             raise ValueError("read_point_where needs at least one column")
         v = self._ensure_latest(name) if version is None else version
         doc = self._manifest_doc(name, v)
-        keep_set: set | None = None
-        for c, val in eq.items():
-            # one doc load shared across columns (each column still
-            # probes its OWN sidecar — one small index job per column)
-            kept_c, _ = self.bloom_kept_files(
-                name, c, val, version=v, doc=doc
-            )
-            keep_set = (
-                set(kept_c) if keep_set is None else keep_set & set(kept_c)
-            )
-        keep = [f for f in doc["files"] if f in keep_set]
-        out = self._scan_files(name, v, doc, keep)
-        for c, val in eq.items():
-            out = out.filter(
-                F.col(c).isin(list(val))
-                if isinstance(val, (list, tuple, set))
-                else F.col(c) == F.lit(val)
-            )
-        return out
+        where = {
+            c: (list(val) if isinstance(val, (list, tuple, set)) else val)
+            for c, val in eq.items()
+        }
+        return self._read_planned(name, where, v, doc)
 
     # -- unified predicate-driven read planning (VERDICT r12 item 3) ---
     #
@@ -2413,8 +2412,11 @@ class TableStore:
         files only. Best-effort like auto-compaction (the write's
         manifest is already durably published; a failed update leaves
         uncovered files, which always scan — slower probes, never
-        wrong ones). A column listed before its build_bloom_index ran
-        is skipped with a warning rather than failing the write."""
+        wrong ones). A column listed BEFORE any build ran gets its
+        index BUILT here at default sizing (r13: the property is fully
+        declarative — list the column, the write path takes care of
+        the rest; size-sensitive deployments still call
+        build_bloom_index explicitly for custom m_bits/k)."""
         if op is None:
             return
         cols = self.table_property(name, "bloom_index_cols")
@@ -2424,13 +2426,18 @@ class TableStore:
 
         for col in cols:
             try:
-                self.update_bloom_index(name, col)
+                try:
+                    self.update_bloom_index(name, col)
+                except ValueError as e:
+                    if "no bloom index" not in str(e):
+                        raise
+                    self.build_bloom_index(name, col)
             except Exception as e:  # noqa: BLE001 — best-effort
                 warnings.warn(
-                    f"{name}: bloom index auto-update on {col!r} after "
-                    f"{op} failed and was skipped (the write itself is "
-                    f"committed; uncovered files scan until the next "
-                    f"update): {e}",
+                    f"{name}: bloom index auto-maintenance on {col!r} "
+                    f"after {op} failed and was skipped (the write "
+                    f"itself is committed; uncovered files scan until "
+                    f"the next update): {e}",
                     RuntimeWarning,
                     stacklevel=2,
                 )

@@ -495,3 +495,27 @@ def test_describe_detail_excludes_bloom_sidecar(spark, tmp_path):
     d = store.describe_detail("t")
     assert d["version"] is None
     assert d["n_files"] == before["n_files"]  # data only, no bitmaps
+
+
+def test_bloom_property_auto_builds_first_index(spark, tmp_path):
+    """r13: bloom_index_cols is fully declarative — a column listed
+    BEFORE any build gets its index built by the next write's
+    auto-maintenance hook (default sizing) instead of a warn-skip."""
+    import os
+
+    store = _mk(spark, tmp_path)
+    store.set_table_properties("t", bloom_index_cols=["cust"])
+    assert not os.path.isdir(
+        os.path.join(str(tmp_path), "t", ".bloomidx", "cust")
+    )
+    store.upsert(
+        spark.createDataFrame(
+            [(20_000, 4321, 1.0)], "k long, cust long, amt double"
+        ),
+        "t", "k",
+    )
+    # the write built the index over the whole snapshot
+    assert store.update_bloom_index("t", "cust") == 0
+    kept, total = store.bloom_kept_files("t", "cust", 4321)
+    assert 0 < len(kept) < total
+    assert _probe_rows(store, 4321) == [20_000]
