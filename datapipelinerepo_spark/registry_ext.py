@@ -7737,8 +7737,14 @@ def store_bloom_inlist_read(spark, sf_dir):
         "o_orderkey", "o_custkey", "o_totalprice"
     )
     store, finish = _ephemeral_store(spark, "bil_")
+    # 64 buckets (not 16): each file then holds ~1.5% of rows, so a
+    # specific custkey appears in ~15% of files at every sf and the
+    # strict-pruning guard below is satisfiable; at 16 buckets and
+    # sf>=0.1 the four probed FREQUENT keys blanket every file and
+    # the probe legitimately keeps all of them (caught by the r13
+    # sf0.1 bench sweep)
     store.overwrite_keyed(
-        orders, "t", "o_orderkey", n_buckets=16, versioned=True
+        orders, "t", "o_orderkey", n_buckets=64, versioned=True
     )
     store.build_bloom_index("t", "o_custkey", m_bits=1 << 17)
     vals = [7, 21, 41, 100, 1000000007]
