@@ -1698,6 +1698,51 @@ class TableStore:
                 shutil.rmtree(tmp, ignore_errors=True)
         return n_live, total - n_live
 
+    def bloom_coverage(
+        self, name: str, col: str, version: int | None = None
+    ) -> dict:
+        """Operability verb: how much of the snapshot the bloom index
+        on ``col`` actually covers — the maintenance-debt dashboard
+        behind the probes' silent degrade-to-scan behavior. Returns
+        ``{indexed, n_files, covered, uncovered, stale_rows,
+        dtype_ok, m_bits, k, meta_version}``: ``uncovered`` live
+        files always scan (update_bloom_index pays them down),
+        ``stale_rows`` are sidecar bitmaps for vacuumed/compacted-away
+        files (compact_bloom_index reclaims them), ``dtype_ok=False``
+        means probes are degrading to full scans until a rebuild
+        (ADVICE r12 drift). Cost: one kilobyte manifest read + one
+        n_files-row sidecar scan shipping only file NAMES."""
+        v = self._ensure_latest(name) if version is None else version
+        doc = self._manifest_doc(name, v)
+        phys = self._bloom_resolve(name, col, doc)
+        live = set(doc["files"])
+        bdir = self._bloom_dir(name, phys)
+        meta_p = os.path.join(bdir, "meta.json")
+        if not os.path.isfile(meta_p):
+            return {
+                "indexed": False, "n_files": len(live),
+                "covered": 0, "uncovered": len(live), "stale_rows": 0,
+            }
+        with open(meta_p) as fh:
+            meta = json.load(fh)
+        covered_files = {
+            r["file"]
+            for r in self._bloom_index_df(bdir).select("file")
+            .dropDuplicates(["file"]).collect()
+        }
+        live_dtype = self._live_dtype(doc, phys)
+        return {
+            "indexed": True,
+            "n_files": len(live),
+            "covered": len(live & covered_files),
+            "uncovered": len(live - covered_files),
+            "stale_rows": len(covered_files - live),
+            "dtype_ok": live_dtype is None or live_dtype == meta["dtype"],
+            "m_bits": meta["m_bits"],
+            "k": meta["k"],
+            "meta_version": meta.get("version"),
+        }
+
     def _bloom_degrade_warn(self, name: str, col: str, why: str) -> None:
         """LOUD degraded-probe signal (ADVICE r12): a probe falling
         back to a full scan because the sidecar is unreadable or

@@ -519,3 +519,34 @@ def test_bloom_property_auto_builds_first_index(spark, tmp_path):
     kept, total = store.bloom_kept_files("t", "cust", 4321)
     assert 0 < len(kept) < total
     assert _probe_rows(store, 4321) == [20_000]
+
+
+def test_bloom_coverage_operability_verb(spark, tmp_path):
+    """bloom_coverage reports the maintenance debt the probes pay
+    silently: uncovered live files (scan until update), stale sidecar
+    rows (until compact_bloom_index), and dtype health."""
+    store = _mk(spark, tmp_path)
+    cov = store.bloom_coverage("t", "cust")
+    assert cov["indexed"] is False and cov["uncovered"] == cov["n_files"]
+    store.build_bloom_index("t", "cust", m_bits=1 << 14)
+    cov = store.bloom_coverage("t", "cust")
+    assert cov["indexed"] and cov["uncovered"] == 0
+    assert cov["covered"] == cov["n_files"] and cov["dtype_ok"]
+    assert cov["m_bits"] == 1 << 14
+    # churn: new files uncovered, compaction strands stale rows
+    store.upsert(
+        spark.createDataFrame(
+            [(10_000, 1, 1.0)], "k long, cust long, amt double"
+        ),
+        "t", "k",
+    )
+    cov = store.bloom_coverage("t", "cust")
+    assert cov["uncovered"] > 0
+    store.update_bloom_index("t", "cust")
+    store.compact("t", max_files_per_bucket=1)
+    store.update_bloom_index("t", "cust")
+    cov = store.bloom_coverage("t", "cust")
+    assert cov["uncovered"] == 0 and cov["stale_rows"] > 0
+    n_live, dropped = store.compact_bloom_index("t", "cust")
+    cov = store.bloom_coverage("t", "cust")
+    assert cov["stale_rows"] == 0 and cov["covered"] == n_live
