@@ -2039,30 +2039,33 @@ class TableStore:
     def plan_read(
         self,
         name: str,
-        where: dict,
+        where,
         version: int | None = None,
         doc: dict | None = None,
     ) -> tuple[list[str], dict]:
-        """THE file-skipping planner: route each conjunct of ``where``
-        (``{col: scalar | [v, ...] | slice(lo, hi)}``) to every
+        """THE file-skipping planner. ``where`` is one conjunct dict
+        (``{col: scalar | [v, ...] | slice(lo, hi)}`` — AND of the
+        entries) or a LIST of such dicts (OR of the branches —
+        disjunctive normal form, r13): each conjunct routes to every
         applicable skipping structure — manifest min/max stats for
         ranges and (as point intervals) equalities/IN-lists, the bloom
         sidecar for equalities/IN-lists, and (for an equality/IN-list
         on a single-column merge key) the table's OWN bucket layout,
         which routes each probe value to its hash bucket driver-side
         and is the strongest pruner of all (lookup()'s mechanism,
-        now reached by stating the predicate) — intersect all kept
-        sets, and return ``(kept file list, report)``. The report says
-        what pruned: per column, per pruner, files kept / total
-        (``None`` for a pruner that does not apply or is not built),
-        so "is my layout/index actually skipping" is one call, the
-        same observability contract as pruned_file_count/
-        bloom_kept_files. Pruning is an optimization, never a
-        correctness gate: absent stats keep, uncovered files keep,
-        loosely-typed key probes skip bucket routing, and read()
-        re-applies the exact predicate on the scan."""
-        if not where:
-            raise ValueError("where must name at least one column")
+        now reached by stating the predicate). Kept sets INTERSECT
+        across a branch's conjuncts and UNION across branches — the
+        Delta data-skipping algebra for AND/OR. Returns ``(kept file
+        list, report)``; the report says what pruned: per column, per
+        pruner, files kept / total (``None`` for a pruner that does
+        not apply or is not built) — for a disjunction, one such block
+        per branch under ``"branches"`` — so "is my layout/index
+        actually skipping" is one call, the same observability
+        contract as pruned_file_count/bloom_kept_files. Pruning is an
+        optimization, never a correctness gate: absent stats keep,
+        uncovered files keep, loosely-typed key probes skip bucket
+        routing, and read() re-applies the exact predicate on the
+        scan."""
         if not self.is_versioned(name):
             raise ValueError(
                 f"{name}: where= planning needs a versioned table (the "
@@ -2071,6 +2074,46 @@ class TableStore:
         v = self._ensure_latest(name) if version is None else version
         if doc is None:
             doc = self._manifest_doc(name, v)
+        files = doc["files"]
+        if isinstance(where, (list, tuple)):
+            branches = list(where)
+            if not branches:
+                raise ValueError(
+                    "a disjunctive where needs at least one branch"
+                )
+            keep_set: set = set()
+            branch_reports = []
+            for b in branches:
+                b_keep, b_cols = self._plan_branch(name, b, v, doc)
+                keep_set |= b_keep
+                branch_reports.append(
+                    {"columns": b_cols, "kept": len(b_keep)}
+                )
+            report = {
+                "table": name,
+                "version": v,
+                "total_files": len(files),
+                "branches": branch_reports,
+                "kept_files": len(keep_set),
+            }
+            return [f for f in files if f in keep_set], report
+        keep_set, cols = self._plan_branch(name, where, v, doc)
+        report = {
+            "table": name,
+            "version": v,
+            "total_files": len(files),
+            "columns": cols,
+            "kept_files": len(keep_set),
+        }
+        return [f for f in files if f in keep_set], report
+
+    def _plan_branch(
+        self, name: str, where: dict, v: int, doc: dict
+    ) -> tuple[set, dict]:
+        """One conjunct dict's kept set (intersection across its
+        columns) + per-column report — plan_read's branch core."""
+        if not where:
+            raise ValueError("where must name at least one column")
         files = doc["files"]
         cm_renames = (doc.get("colmap") or {}).get("renames", {})
         # bucket routing applies to single-column merge keys (the
@@ -2086,12 +2129,7 @@ class TableStore:
             ktypes = self._key_types(name)
             key_type = ktypes[0] if ktypes else None
         keep_set = set(files)
-        report: dict = {
-            "table": name,
-            "version": v,
-            "total_files": len(files),
-            "columns": {},
-        }
+        columns: dict = {}
         for c, spec in where.items():
             kind, payload = self._classify_spec(c, spec)
             phys = cm_renames.get(c, c)
@@ -2145,35 +2183,47 @@ class TableStore:
                             "total": len(files),
                         }
                         kept_col &= bucket_kept
-            report["columns"][c] = {
+            columns[c] = {
                 "kind": kind,
                 "pruners": pruners,
                 "kept": len(kept_col),
             }
             keep_set &= kept_col
-        report["kept_files"] = len(keep_set)
-        return [f for f in files if f in keep_set], report
+        return keep_set, columns
+
+    def _branch_expr(self, where: dict):
+        """One conjunct dict's EXACT predicate as a Column (AND of the
+        entries) — the filter side of _plan_branch."""
+        expr = None
+        for c, spec in where.items():
+            kind, payload = self._classify_spec(c, spec)
+            if kind == "range":
+                e = F.col(c).between(F.lit(payload[0]), F.lit(payload[1]))
+            elif kind == "in":
+                e = F.col(c).isin(payload)
+            else:
+                e = F.col(c) == F.lit(payload[0])
+            expr = e if expr is None else expr & e
+        return expr
 
     def _read_planned(
-        self, name: str, where: dict, version: int, doc: dict
+        self, name: str, where, version: int, doc: dict
     ) -> DataFrame:
         """read(where=...)'s body: plan the pruned scan, then apply
-        the EXACT predicate on it (correctness never rides pruning)."""
+        the EXACT predicate on it (correctness never rides pruning).
+        A dict filters as an AND chain; a list of dicts as the OR of
+        its branches' AND chains (matching plan_read's union)."""
         keep, _report = self.plan_read(
             name, where, version=version, doc=doc
         )
         out = self._scan_files(name, version, doc, keep)
-        for c, spec in where.items():
-            kind, payload = self._classify_spec(c, spec)
-            if kind == "range":
-                out = out.filter(
-                    F.col(c).between(F.lit(payload[0]), F.lit(payload[1]))
-                )
-            elif kind == "in":
-                out = out.filter(F.col(c).isin(payload))
-            else:
-                out = out.filter(F.col(c) == F.lit(payload[0]))
-        return out
+        if isinstance(where, (list, tuple)):
+            expr = None
+            for b in where:
+                e = self._branch_expr(b)
+                expr = e if expr is None else expr | e
+            return out.filter(expr)
+        return out.filter(self._branch_expr(where))
 
     def _scan_files(
         self, name: str, version: int, doc: dict, keep: list[str]

@@ -7869,3 +7869,88 @@ def store_group_point_read(spark, sf_dir):
     return finish(
         out.select("cut", "o_orderkey", "o_custkey", "o_totalprice")
     )
+
+
+@register(
+    "store_read_planned_disjunction",
+    sql="""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           o_orderdate
+    FROM orders
+    WHERE o_custkey = 41
+       OR o_orderdate BETWEEN TIMESTAMP '1997-06-01 00:00:00'
+                          AND TIMESTAMP '1997-06-30 23:59:59'
+       OR o_orderkey = (SELECT max(o_orderkey) FROM orders)
+    """,
+)
+def store_read_planned_disjunction(spark, sf_dir):
+    """DISJUNCTIVE (OR-of-ANDs) planned read, hash-checked (io.
+    plan_read list form / read(where=[b1, b2, ...]) — r13): the same
+    year-slab + bloom-indexed orders table as store_read_planned,
+    probed with THREE OR branches that each exercise a different
+    pruner — a bloom equality (customer 41), a stats range (June
+    1997), and a bucket-routed merge-key equality (the max orderkey,
+    derived deterministically in-query AND in the oracle). Kept sets
+    UNION across branches (the Delta data-skipping algebra for OR);
+    in-query guards: every branch pruned on its own (kept < total,
+    with its designated pruner firing), and the union is bounded by
+    the branches' sum while still a strict subset of the table. The
+    returned rows hash-match the oracle's plain OR WHERE."""
+    import datetime as dt
+
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate",
+    )
+    max_key = orders.agg(F.max("o_orderkey")).collect()[0][0]
+    store, finish = _ephemeral_store(spark, "rpd_")
+    store.overwrite_keyed(
+        orders.filter(F.year("o_orderdate") <= 1995),
+        "t", "o_orderkey", n_buckets=8, versioned=True,
+    )
+    for y in range(1996, 2002):
+        store.append(orders.filter(F.year("o_orderdate") == y), "t")
+    store.build_bloom_index("t", "o_custkey", m_bits=1 << 17)
+
+    where = [
+        {"o_custkey": 41},
+        {"o_orderdate": slice(
+            dt.datetime(1997, 6, 1), dt.datetime(1997, 6, 30, 23, 59, 59)
+        )},
+        {"o_orderkey": int(max_key)},
+    ]
+    keep, rep = store.plan_read("t", where)
+    total = rep["total_files"]
+    b_bloom, b_stats, b_key = rep["branches"]
+    _require(
+        0 < b_bloom["kept"] < total
+        and b_bloom["columns"]["o_custkey"]["pruners"]["bloom"]
+        is not None,
+        f"bloom branch did not prune: {b_bloom}",
+    )
+    _require(
+        0 < b_stats["kept"] < total,
+        f"stats branch did not prune: {b_stats}",
+    )
+    _require(
+        0 < b_key["kept"] < total
+        and b_key["columns"]["o_orderkey"]["pruners"]["bucket"]
+        is not None,
+        f"bucket branch did not route: {b_key}",
+    )
+    _require(
+        max(b["kept"] for b in rep["branches"])
+        <= rep["kept_files"]
+        <= min(total, sum(b["kept"] for b in rep["branches"])),
+        f"union bounds violated: {rep}",
+    )
+    _require(
+        rep["kept_files"] < total,
+        f"disjunction kept every file ({rep['kept_files']}/{total})",
+    )
+    return finish(
+        store.read("t", where=where).select(
+            "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "o_orderdate",
+        )
+    )

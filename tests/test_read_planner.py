@@ -246,3 +246,45 @@ def test_planner_bucket_pruner_string_key(spark, tmp_path):
     assert [
         r["g"] for r in store.read("s", where={"k": "id-77"}).collect()
     ] == [77 % 13]
+
+
+def test_planner_disjunction_unions_branches(spark, tmp_path):
+    """DNF planning (r13): where=[b1, b2, ...] is OR-of-ANDs — kept
+    sets union across branches, each branch still intersects its own
+    conjuncts with every applicable pruner, and the exact filter is
+    the OR of the branches' AND chains."""
+    store, df = _mk(spark, tmp_path, n=2000, buckets=16)
+    store.build_bloom_index("t", "cust", m_bits=1 << 14)
+    where = [
+        {"cust": 13},                      # bloom
+        {"k": slice(0, 120)},              # stats (clustered)
+        {"k": 1999},                       # bucket routing
+        {"cust": 7, "k": slice(0, 900)},   # bloom ∩ stats
+    ]
+    keep, rep = store.plan_read("t", where)
+    total = rep["total_files"]
+    assert len(rep["branches"]) == 4
+    for b in rep["branches"]:
+        assert 0 < b["kept"] < total
+    assert rep["kept_files"] <= sum(b["kept"] for b in rep["branches"])
+    assert rep["kept_files"] >= max(b["kept"] for b in rep["branches"])
+    got = sorted(r["k"] for r in store.read("t", where=where).collect())
+    exp = sorted(
+        r["k"]
+        for r in df.filter(
+            (F.col("cust") == 13)
+            | F.col("k").between(0, 120)
+            | (F.col("k") == 1999)
+            | ((F.col("cust") == 7) & F.col("k").between(0, 900))
+        ).collect()
+    )
+    assert got == exp and got
+    # single-branch list ≡ plain dict; empty list is loud
+    one = store.read("t", where=[{"cust": 13}])
+    assert sorted(r["k"] for r in one.collect()) == sorted(
+        r["k"] for r in store.read("t", where={"cust": 13}).collect()
+    )
+    with pytest.raises(ValueError, match="at least one branch"):
+        store.plan_read("t", [])
+    with pytest.raises(ValueError, match="at least one column"):
+        store.plan_read("t", [{}])

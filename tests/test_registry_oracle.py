@@ -179,6 +179,7 @@ _SF1_NAMES = [
     # year-slab/stats + bloom + bucket routing composed; outputs are
     # key-slices and two-cut tags (all collectable)
     "store_read_planned",
+    "store_read_planned_disjunction",
     "store_bloom_conjunctive_read",
     "store_bloom_inlist_read",
     "store_group_point_read",
