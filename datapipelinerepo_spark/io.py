@@ -2084,6 +2084,11 @@ class TableStore:
             keep_set: set = set()
             branch_reports = []
             for b in branches:
+                if not isinstance(b, dict):
+                    raise ValueError(
+                        "a disjunctive where is a list of conjunct "
+                        f"DICTS ({{col: spec}}), got {type(b).__name__}"
+                    )
                 b_keep, b_cols = self._plan_branch(name, b, v, doc)
                 keep_set |= b_keep
                 branch_reports.append(
@@ -2930,11 +2935,17 @@ class TableStore:
                 out["format"] = "delta"
             # unversioned tables carry their S4 mod-time in meta, not
             # manifests — surface it so describe_detail is the one
-            # catalog verb pipeline gates need (VERDICT r12 item 7)
-            if os.path.isfile(p):
-                out["last_modified_ts_millis"] = meta.get(
-                    "last_modified_millis"
-                )
+            # catalog verb pipeline gates need (VERDICT r12 item 7).
+            # Re-read rather than reuse the props-block local: that
+            # one is bound only if the meta file existed at ITS check,
+            # and a meta appearing in between must not NameError.
+            try:
+                with open(p) as f:
+                    out["last_modified_ts_millis"] = json.load(f).get(
+                        "last_modified_millis"
+                    )
+            except (OSError, ValueError):
+                pass
             files = []
             base_dir = self._dir(name)
             for dirpath, dirnames, fnames in os.walk(base_dir):
