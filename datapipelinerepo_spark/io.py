@@ -2004,37 +2004,48 @@ class TableStore:
             )
         return "eq", [spec]
 
-    @staticmethod
-    def _route_key_buckets(values, key_type: str, n_buckets: int):
+    _KEY_ROUTE_PY_TYPES = {
+        "bigint": int, "int": int, "smallint": int, "tinyint": int,
+        "string": str, "boolean": bool,
+    }
+
+    @classmethod
+    def _route_key_tuples(cls, tuples, types, n_buckets: int):
         """Driver-side bucket routing for the planner's bucket pruner
         — lookup()'s _route_buckets, hardened for UNCOERCED user
-        values: the probe value's PYTHON type must exactly match the
+        values: every probe value's PYTHON type must exactly match its
         declared key type (int for integer keys — bool excluded as an
         int subclass —, str for string, bool for boolean), because a
         loosely-typed value (4217.0 against a bigint key) can hash to
         a different bucket than the rows Spark's relaxed equality
         would match, which would be a silent FALSE NEGATIVE. Any
         mismatch or unsupported type returns None — no pruning, the
-        other pruners and the exact filter still apply."""
-        t = (key_type or "").lower()
-        checks = {
-            "bigint": int, "int": int, "smallint": int, "tinyint": int,
-            "string": str, "boolean": bool,
-        }
-        py = checks.get(t)
-        if py is None:
+        other pruners and the exact filter still apply. Takes full key
+        TUPLES (one element per key column, xxhash64-chained exactly
+        like _kb_expr — parity pinned by test_quality)."""
+        pys = [
+            cls._KEY_ROUTE_PY_TYPES.get((t or "").lower()) for t in types
+        ]
+        if any(p is None for p in pys):
             return None
-        if any(
-            type(v) is not py or (py is int and isinstance(v, bool))
-            for v in values
-        ):
-            return None
+        for tup in tuples:
+            for v, p in zip(tup, pys):
+                if type(v) is not p or (p is int and isinstance(v, bool)):
+                    return None
         from .functions.xxhash import bucket_of
 
+        lt = [(t or "").lower() for t in types]
         try:
-            return {bucket_of((v,), [t], n_buckets) for v in values}
+            return {bucket_of(tup, lt, n_buckets) for tup in tuples}
         except Exception:  # noqa: BLE001 — Spark-job path owns the rest
             return None
+
+    @classmethod
+    def _route_key_buckets(cls, values, key_type: str, n_buckets: int):
+        """Single-column form of _route_key_tuples."""
+        return cls._route_key_tuples(
+            [(v,) for v in values], [key_type], n_buckets
+        )
 
     def plan_read(
         self,
@@ -2194,6 +2205,63 @@ class TableStore:
                 "kept": len(kept_col),
             }
             keep_set &= kept_col
+        # COMPOSITE-key bucket routing (r13 late): when the branch
+        # pins EVERY key column of a multi-column merge key with an
+        # equality/IN-list, the full key tuples are computable
+        # driver-side — route their cartesian product (bounded) to
+        # buckets exactly like lookup() would, and report it as a
+        # synthetic pseudo-column spanning the branch. Single-column
+        # keys are handled per-column above.
+        if kspec is not None and len(kspec[0]) > 1:
+            keys, n_b = kspec
+            ktypes = self._key_types(name)
+            if ktypes and len(ktypes) == len(keys):
+                phys_specs = {
+                    cm_renames.get(c, c): spec
+                    for c, spec in where.items()
+                }
+                vals_per_key = []
+                for k in keys:
+                    spec = phys_specs.get(k)
+                    if spec is None:
+                        vals_per_key = None
+                        break
+                    kind, payload = self._classify_spec(k, spec)
+                    if kind == "range":
+                        vals_per_key = None
+                        break
+                    vals_per_key.append(payload)
+                n_combos = 0
+                if vals_per_key is not None:
+                    n_combos = 1
+                    for vl in vals_per_key:
+                        n_combos *= len(vl)
+                # bound the product: beyond this, the probe is a batch
+                # job, not a point lookup — other pruners still apply
+                if vals_per_key is not None and 0 < n_combos <= 1024:
+                    import itertools
+
+                    bks = self._route_key_tuples(
+                        list(itertools.product(*vals_per_key)),
+                        ktypes, n_b,
+                    )
+                    if bks is not None:
+                        bucket_kept = {
+                            f for f in files
+                            if not f.startswith("_kb=")
+                            or self._bucket_of(f) in bks
+                        }
+                        columns["__key_tuple__"] = {
+                            "kind": "key-tuple",
+                            "pruners": {
+                                "bucket": {
+                                    "kept": len(bucket_kept),
+                                    "total": len(files),
+                                }
+                            },
+                            "kept": len(bucket_kept),
+                        }
+                        keep_set &= bucket_kept
         return keep_set, columns
 
     def _branch_expr(self, where: dict):

@@ -288,3 +288,59 @@ def test_planner_disjunction_unions_branches(spark, tmp_path):
         store.plan_read("t", [])
     with pytest.raises(ValueError, match="at least one column"):
         store.plan_read("t", [{}])
+
+
+def test_planner_composite_key_tuple_routing(spark, tmp_path):
+    """r13 late: a branch pinning EVERY column of a composite merge
+    key with equalities routes the full key tuples driver-side —
+    the lookup() mechanism through read(where=). Partial key pins
+    stay unrouted; loose types stay unrouted; IN-lists route their
+    cartesian product."""
+    store = TableStore(spark, str(tmp_path))
+    two = spark.range(3000).select(
+        (F.col("id") % 50).alias("a"), (F.col("id") % 61).alias("b"),
+        (F.col("id") * 2.0).alias("v"),
+    )
+    store.overwrite_keyed(two, "t2", ["a", "b"], n_buckets=32,
+                          versioned=True)
+    keep, rep = store.plan_read("t2", {"a": 5, "b": 7})
+    kt = rep["columns"].get("__key_tuple__")
+    assert kt is not None
+    assert 0 < kt["pruners"]["bucket"]["kept"] < rep["total_files"]
+    got = sorted(
+        r["v"] for r in store.read("t2", where={"a": 5, "b": 7}).collect()
+    )
+    exp = sorted(
+        r["v"]
+        for r in two.filter((F.col("a") == 5) & (F.col("b") == 7))
+        .collect()
+    )
+    assert got == exp and got
+    # IN-list on one key column: cartesian of tuples routes
+    keep, rep = store.plan_read("t2", {"a": [5, 6], "b": 7})
+    assert "__key_tuple__" in rep["columns"]
+    got = sorted(
+        r["v"]
+        for r in store.read("t2", where={"a": [5, 6], "b": 7}).collect()
+    )
+    exp = sorted(
+        r["v"]
+        for r in two.filter(F.col("a").isin([5, 6]) & (F.col("b") == 7))
+        .collect()
+    )
+    assert got == exp and got
+    # partial pin: no tuple routing (still correct)
+    keep, rep = store.plan_read("t2", {"a": 5})
+    assert "__key_tuple__" not in rep["columns"]
+    # loose type on one component: no routing, result still exact
+    keep, rep = store.plan_read("t2", {"a": 5.0, "b": 7})
+    assert "__key_tuple__" not in rep["columns"]
+    got2 = sorted(
+        r["v"] for r in store.read("t2", where={"a": 5.0, "b": 7}).collect()
+    )
+    exp2 = sorted(
+        r["v"]
+        for r in two.filter((F.col("a") == 5.0) & (F.col("b") == 7))
+        .collect()
+    )
+    assert got2 == exp2
