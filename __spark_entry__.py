@@ -248,6 +248,16 @@ _CHANGED_IN_ROUND = {
     "store_stacked_view_group": 13,
     "store_streaming_stack": 13,
     "pipeline_idempotent_reload": 13,
+    # r13 continuation: _file_stats entries gained the null-count
+    # extension [min, max, nulls, rows] and value probes now skip
+    # all-NULL files — the stats-pruning queries re-prove under the
+    # new manifest format. Locally re-proven at sf0.001 + sf0.01.
+    "store_stats_skipping": 13,
+    "store_read_planned": 13,
+    "store_read_planned_disjunction": 13,
+    "store_bloom_conjunctive_read": 13,
+    "store_bloom_inlist_read": 13,
+    "store_group_point_read": 13,
 }
 
 

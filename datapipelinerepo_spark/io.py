@@ -34,6 +34,89 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+class _NullSpec:
+    """Planner spec sentinel for ``read(where=...)`` / ``plan_read``:
+    ``where={col: IS_NULL}`` plans an IS NULL probe and
+    ``where={col: NOT_NULL}`` an IS NOT NULL probe, each routed to the
+    manifest null-count stats (files whose footer says the column has
+    zero NULLs are skipped for IS_NULL; files that are ALL NULL are
+    skipped for NOT_NULL). Singletons — identity-compared, so a stray
+    equal-looking object can never classify as a null probe."""
+
+    __slots__ = ("_label",)
+
+    def __init__(self, label: str) -> None:
+        self._label = label
+
+    def __repr__(self) -> str:
+        return self._label
+
+
+#: planner spec: column IS NULL (see _NullSpec)
+IS_NULL = _NullSpec("IS_NULL")
+#: planner spec: column IS NOT NULL (see _NullSpec)
+NOT_NULL = _NullSpec("NOT_NULL")
+
+
+class Prefix:
+    """Planner spec for a STRING-PREFIX probe: ``where={col:
+    Prefix("abc")}`` plans ``col LIKE 'abc%'`` through the manifest
+    min/max stats — a file is skipped when its recorded [min, max]
+    interval cannot contain any string starting with the prefix
+    (max < prefix, or min >= the smallest string above the prefix
+    range). Parquet writers may TRUNCATE long string stats, but the
+    spec requires a truncated min to under-run and a truncated max to
+    over-run the true bounds, so the skip test stays conservative in
+    both directions; the exact ``startswith`` filter re-applies on the
+    pruned scan either way."""
+
+    __slots__ = ("s",)
+
+    def __init__(self, s: str) -> None:
+        if not isinstance(s, str) or not s:
+            raise ValueError(
+                f"Prefix needs a non-empty string, got {s!r}"
+            )
+        self.s = s
+
+    def __repr__(self) -> str:
+        return f"Prefix({self.s!r})"
+
+
+class Has:
+    """Planner spec for an ARRAY-MEMBERSHIP probe: ``where={col:
+    Has("tok")}`` filters ``array_contains(col, "tok")`` and routes
+    to an ELEMENT bloom index when one is built
+    (``build_bloom_index(..., elements=True)`` — bitmaps hash the
+    array's ELEMENTS, so a membership probe skips files no element of
+    which can be the token). ``Has([v1, v2, ...])`` is the ANY-OF
+    form (``arrays_overlap``); like IN-list point probes, one index
+    scan answers every value. Min/max stats don't exist for array
+    columns (parquet stats live on the nested leaf), so the element
+    index is the only pruner — absent index means full scan, never
+    wrong results."""
+
+    __slots__ = ("values",)
+
+    def __init__(self, value) -> None:
+        vals = (
+            list(value)
+            if isinstance(value, (list, tuple, set))
+            else [value]
+        )
+        if not vals:
+            raise ValueError("Has needs at least one value")
+        if any(v is None for v in vals):
+            raise ValueError(
+                "NULL never matches array membership — drop it from "
+                "the Has values"
+            )
+        self.values = vals
+
+    def __repr__(self) -> str:
+        return f"Has({self.values!r})"
+
+
 class TxnAlreadyApplied(RuntimeError):
     """Raised at MANIFEST-COMMIT time when the transaction watermark of
     the version being superseded already covers this write's
@@ -1040,14 +1123,22 @@ class TableStore:
         return None
 
     def _file_stats(self, name: str, rel: str) -> dict:
-        """Per-column [min, max] of one part-file, from its parquet
-        FOOTER (pyarrow metadata — no data pages read). Columns whose
-        statistics are absent, non-encodable, or all-NULL are simply
-        omitted: absent stats mean 'cannot prune', never 'no rows'.
-        Note: files written by a session still on the legacy INT96
-        timestamp type carry no stats for TimestampType columns (the
-        engine session sets TIMESTAMP_MICROS; a vanilla session
-        doesn't) — those columns then never prune, which is the safe
+        """Per-column stats of one part-file, from its parquet FOOTER
+        (pyarrow metadata — no data pages read). Entry shape:
+        ``[min, max]`` when only min/max are known (the pre-r13
+        format, still what carried-forward old manifests hold), or
+        ``[min, max, null_count, num_rows]`` when the footer also
+        records null counts for every row group (r13 — feeds the
+        IS_NULL/NOT_NULL planner route and lets value probes skip
+        ALL-NULL files); ``[None, None, null_count, num_rows]`` for a
+        column whose min/max is absent or non-encodable but whose null
+        count is known (e.g. a fully-NULL column, or boolean stats
+        pyarrow cannot decode). Columns with neither are omitted:
+        absent stats mean 'cannot prune', never 'no rows'. Note:
+        files written by a session still on the legacy INT96 timestamp
+        type carry no min/max for TimestampType columns (the engine
+        session sets TIMESTAMP_MICROS; a vanilla session doesn't) —
+        those columns then never value-prune, which is the safe
         direction."""
         import pyarrow.parquet as pq
 
@@ -1057,6 +1148,8 @@ class TableStore:
         except Exception:
             return {}
         out: dict = {}
+        nulls: dict = {}
+        null_unknown: set = set()
         for rg in range(md.num_row_groups):
             row = md.row_group(rg)
             for ci in range(row.num_columns):
@@ -1064,8 +1157,26 @@ class TableStore:
                 cname = col.path_in_schema
                 if "." in cname:
                     continue  # nested leaves: top-level pruning only
+                # null counts accumulate independently of min/max: a
+                # row group without a recorded null_count poisons the
+                # column (a partial sum would UNDER-count NULLs and
+                # could wrongly prune an IS_NULL probe)
+                st = None
                 try:
                     st = col.statistics
+                    if (
+                        st is not None
+                        and st.has_null_count
+                        and st.null_count is not None
+                    ):
+                        nulls[cname] = nulls.get(cname, 0) + int(
+                            st.null_count
+                        )
+                    else:
+                        null_unknown.add(cname)
+                except Exception:
+                    null_unknown.add(cname)
+                try:
                     if st is None or not st.has_min_max:
                         continue
                     mn, mx = self._stat_val(st.min), self._stat_val(st.max)
@@ -1083,6 +1194,14 @@ class TableStore:
                     out[cname] = [min(out[cname][0], mn), max(out[cname][1], mx)]
                 else:
                     out[cname] = [mn, mx]
+        n_rows = int(md.num_rows)
+        for cname, nc in nulls.items():
+            if cname in null_unknown:
+                continue
+            if cname in out:
+                out[cname] = out[cname][:2] + [nc, n_rows]
+            else:
+                out[cname] = [None, None, nc, n_rows]
         return out
 
     def _collect_stats(
@@ -1207,13 +1326,21 @@ class TableStore:
         overlaps the bounds, or when no stat / no encodable bound
         exists (absent stats mean 'cannot prune', never 'no rows');
         incomparable encodings also keep — pruning is an optimization,
-        the exact filter owns correctness."""
+        the exact filter owns correctness. A file whose null-count
+        stats say the column is ALL NULL is skipped regardless of the
+        bounds (r13): BETWEEN/equality semantics never match NULL, so
+        no row in it can pass the exact filter."""
         stats = doc.get("stats", {})
         lo, hi = self._stat_val(between[0]), self._stat_val(between[1])
         keep = []
         for f in doc["files"]:
             s = stats.get(f, {}).get(col)
-            if s is None or lo is None or hi is None:
+            if s is None:
+                keep.append(f)
+                continue
+            if self._all_null(s):
+                continue
+            if lo is None or hi is None:
                 keep.append(f)
                 continue
             try:
@@ -1223,6 +1350,220 @@ class TableStore:
             if overlaps:
                 keep.append(f)
         return keep
+
+    @staticmethod
+    def _all_null(s) -> bool:
+        """True when a stats entry's null-count extension proves the
+        column is NULL on EVERY row of the file (and the file is
+        non-empty — an empty file has nothing to keep either, but
+        empty parts are not published). 2-element legacy entries and
+        unknown counts return False: cannot prove, cannot prune."""
+        return (
+            len(s) >= 4
+            and s[2] is not None
+            and s[3] is not None
+            and s[2] == s[3]
+        )
+
+    def _null_pruned_files(
+        self, doc: dict, col: str, want_null: bool
+    ) -> list[str]:
+        """Kept files for an IS_NULL (``want_null=True``) or NOT_NULL
+        probe, from the manifests' null-count stats: an IS_NULL probe
+        skips files whose footer recorded ZERO nulls for the column;
+        a NOT_NULL probe skips files recorded ALL-null. Files with a
+        legacy 2-element entry, an unknown count, or no entry at all
+        (including files that predate a late-added column — their rows
+        read back as NULL under schema merge, so they MUST stay in an
+        IS_NULL scan) always keep."""
+        stats = doc.get("stats", {})
+        keep = []
+        for f in doc["files"]:
+            s = stats.get(f, {}).get(col)
+            if s is None or len(s) < 4 or s[2] is None or s[3] is None:
+                keep.append(f)
+                continue
+            if want_null:
+                if s[2] > 0:
+                    keep.append(f)
+            else:
+                if s[2] < s[3]:
+                    keep.append(f)
+        return keep
+
+    @staticmethod
+    def _next_prefix(p: str) -> str | None:
+        """The smallest string that sorts AFTER every string starting
+        with ``p`` (increment the last code point, carrying over
+        maxed-out tails; skip the surrogate block, which cannot appear
+        in well-formed stats). None when every code point is U+10FFFF
+        — then only the lower bound prunes."""
+        chars = list(p)
+        while chars:
+            o = ord(chars[-1])
+            if o < 0x10FFFF:
+                nxt = o + 1
+                if 0xD800 <= nxt <= 0xDFFF:
+                    nxt = 0xE000
+                chars[-1] = chr(nxt)
+                return "".join(chars)
+            chars.pop()
+        return None
+
+    def _prefix_pruned_files(
+        self, doc: dict, col: str, p: str
+    ) -> list[str]:
+        """Kept files for a Prefix probe: a string starting with ``p``
+        satisfies ``p <= x < _next_prefix(p)``, so a file is skipped
+        when its recorded max sorts below ``p`` or its recorded min
+        sorts at/above the exclusive upper bound. Non-string stats
+        (the column is not a string at this file — schema evolution)
+        and absent entries keep; all-NULL files skip (startswith never
+        matches NULL)."""
+        stats = doc.get("stats", {})
+        hi = self._next_prefix(p)
+        keep = []
+        for f in doc["files"]:
+            s = stats.get(f, {}).get(col)
+            if s is None:
+                keep.append(f)
+                continue
+            if self._all_null(s):
+                continue
+            mn, mx = s[0], s[1]
+            if not isinstance(mn, str) or not isinstance(mx, str):
+                keep.append(f)
+                continue
+            if mx < p:
+                continue
+            if hi is not None and mn >= hi:
+                continue
+            keep.append(f)
+        return keep
+
+    _STATS_SCALAR_AGGS = ("min", "max", "count", "count_col")
+
+    def stats_scalar(
+        self,
+        name: str,
+        agg: str,
+        col: str | None = None,
+        version: int | None = None,
+    ):
+        """Scalar aggregate answered ENTIRELY from manifest stats —
+        a kilobyte metadata read, ZERO Spark jobs (Delta's
+        stats-answered ``SELECT MAX(col)`` / ``COUNT(*)`` parity, the
+        watermark-gate shape at no scan cost). ``agg``:
+
+        - ``"count"`` — COUNT(*): sum of per-file row counts (any
+          column's null-count extension carries num_rows).
+        - ``"count_col"`` — COUNT(col): rows minus NULLs of ``col``.
+        - ``"min"`` / ``"max"`` — MIN/MAX(col) over non-null values:
+          fold of the per-file [min, max] entries; all-NULL files
+          contribute nothing; every file all-NULL returns None (SQL
+          MIN/MAX of no values). STRING columns are refused (parquet
+          writers may truncate binary stats, and a truncated bound is
+          a valid PRUNING bound but not an exact extremum; numeric /
+          date / timestamp / bool stats are always exact).
+
+        Returns the scalar, or raises ``ValueError`` when the stats
+        cannot answer EXACTLY — a live file missing the needed entry
+        (pre-extension manifest, INT96 timestamps, undecodable types)
+        means the caller must run the real aggregate; this verb never
+        silently approximates. Timestamps/dates decode back from
+        their order-preserving ISO encoding to ``datetime``/``date``,
+        so the result is exactly what the scan-based aggregate would
+        collect."""
+        if agg not in self._STATS_SCALAR_AGGS:
+            raise ValueError(
+                f"agg must be one of {self._STATS_SCALAR_AGGS}, "
+                f"got {agg!r}"
+            )
+        if agg != "count" and col is None:
+            raise ValueError(f"{agg} needs col=")
+        if not self.is_versioned(name):
+            raise ValueError(
+                f"{name}: stats_scalar needs a versioned table (the "
+                "stats live in the snapshot manifests)"
+            )
+        v = self._ensure_latest(name) if version is None else version
+        doc = self._manifest_doc(name, v)
+        stats = doc.get("stats", {})
+        files = doc["files"]
+        if agg == "count":
+            total = 0
+            for f in files:
+                fs = stats.get(f, {})
+                rows = next(
+                    (
+                        s[3] for s in fs.values()
+                        if len(s) >= 4 and s[3] is not None
+                    ),
+                    None,
+                )
+                if rows is None:
+                    raise ValueError(
+                        f"{name}: stats cannot answer COUNT(*) — file "
+                        f"{f!r} carries no row-count extension (pre-"
+                        "extension manifest; compact() republishes it)"
+                    )
+                total += rows
+            return total
+        phys = (doc.get("colmap") or {}).get("renames", {}).get(col, col)
+        if agg == "count_col":
+            total = 0
+            for f in files:
+                s = stats.get(f, {}).get(phys)
+                if s is None or len(s) < 4 or s[2] is None or s[3] is None:
+                    raise ValueError(
+                        f"{name}: stats cannot answer COUNT({col}) — "
+                        f"file {f!r} has no null-count entry for it"
+                    )
+                total += s[3] - s[2]
+            return total
+        # min / max
+        dtype = self._live_dtype(doc, phys)
+        if dtype == "string":
+            raise ValueError(
+                f"{name}: refusing stats MIN/MAX on string column "
+                f"{col!r} — parquet writers may truncate string stats "
+                "(valid bounds for pruning, not exact extrema); run "
+                "the real aggregate"
+            )
+        best = None
+        for f in files:
+            s = stats.get(f, {}).get(phys)
+            if s is None:
+                raise ValueError(
+                    f"{name}: stats cannot answer {agg.upper()}({col}) "
+                    f"— file {f!r} has no stats entry for it"
+                )
+            if self._all_null(s):
+                continue  # no non-null values to contribute
+            b = s[0] if agg == "min" else s[1]
+            if b is None:
+                raise ValueError(
+                    f"{name}: stats cannot answer {agg.upper()}({col}) "
+                    f"— file {f!r} has null counts but no [min, max]"
+                )
+            if best is None:
+                best = b
+            else:
+                best = min(best, b) if agg == "min" else max(best, b)
+        return self._stat_decode(best, dtype)
+
+    @staticmethod
+    def _stat_decode(v, dtype: str | None):
+        """Invert _stat_val's order-preserving encoding back to the
+        column's Python type (timestamp/date columns encode as ISO
+        strings in the manifest)."""
+        if v is None or dtype is None or not isinstance(v, str):
+            return v
+        if dtype.startswith("timestamp"):
+            return dt.datetime.fromisoformat(v)
+        if dtype == "date":
+            return dt.date.fromisoformat(v.split(" ")[0])
+        return v
 
     def pruned_file_count(
         self,
@@ -1284,6 +1625,87 @@ class TableStore:
             stacklevel=3,
         )
 
+    def stats_coverage(
+        self, name: str, version: int | None = None
+    ) -> dict:
+        """Operability verb (bloom_coverage's stats twin): per LOGICAL
+        column, how many of the snapshot's files carry a [min, max]
+        stat and how many carry the null-count extension —
+        ``{col: {"minmax": n, "nulls": n, "total": N}}``. The answer
+        to "why is my range/prefix probe not pruning" (minmax == 0:
+        INT96 timestamps, non-encodable types, pre-stats manifests)
+        and "why is my IS_NULL probe inert / stats_scalar refusing"
+        (nulls < total: pre-extension entries — compact() republishes
+        with the extension). Kilobyte manifest read, zero Spark
+        jobs."""
+        v = self._ensure_latest(name) if version is None else version
+        doc = self._manifest_doc(name, v)
+        stats = doc.get("stats", {})
+        files = doc["files"]
+        renames = (doc.get("colmap") or {}).get("renames", {})
+        to_logical = {p: l for l, p in renames.items()}
+        out: dict = {}
+        # schema-known columns first, so never-covered ones show 0s
+        schema_json = doc.get("schema")
+        if schema_json is not None:
+            from pyspark.sql.types import StructType
+
+            try:
+                for fld in StructType.fromJson(
+                    json.loads(schema_json)
+                ).fields:
+                    if fld.name != "_kb":
+                        out[to_logical.get(fld.name, fld.name)] = {
+                            "minmax": 0, "nulls": 0, "total": len(files)
+                        }
+            except (ValueError, TypeError, KeyError):
+                pass
+        for f in files:
+            for phys, s in stats.get(f, {}).items():
+                col = to_logical.get(phys, phys)
+                ent = out.setdefault(
+                    col, {"minmax": 0, "nulls": 0, "total": len(files)}
+                )
+                if s[0] is not None and s[1] is not None:
+                    ent["minmax"] += 1
+                if len(s) >= 4 and s[2] is not None:
+                    ent["nulls"] += 1
+        return out
+
+    def _warn_if_null_stats_inert(
+        self, name: str, doc: dict, col: str
+    ) -> None:
+        """_warn_if_stats_inert's twin for IS_NULL/NOT_NULL probes:
+        those prune on the NULL-COUNT extension (4-element entries,
+        r13), which legacy manifests' carried-forward 2-element
+        entries lack — a probe against an old snapshot is silently
+        inert even though min/max stats exist. Same counter, same
+        warn-don't-raise contract; rewriting the files (compact())
+        republishes with the extended entries."""
+        files = doc.get("files", [])
+        if not files:
+            return
+        stats = doc.get("stats", {})
+        if any(
+            (s := stats.get(f, {}).get(col)) is not None
+            and len(s) >= 4
+            and s[2] is not None
+            for f in files
+        ):
+            return
+        import warnings
+
+        key = (name, col)
+        self.prune_stat_misses[key] = self.prune_stat_misses.get(key, 0) + 1
+        warnings.warn(
+            f"{name}: no null-count stats recorded for prune column "
+            f"{col!r} in any of {len(files)} files — IS_NULL/NOT_NULL "
+            "skipping is INERT (every file scans). Likely cause: the "
+            "manifest carries pre-r13 stats entries; rewrite the files "
+            "(e.g. via compact()) to republish with null counts.",
+            stacklevel=3,
+        )
+
     # -- per-file BLOOM index: equality-probe file skipping ------------
     #
     # min/max stats (read_where) prune RANGE predicates on clustered
@@ -1306,7 +1728,8 @@ class TableStore:
         return os.path.join(self._dir(name), ".bloomidx", phys_col)
 
     def _bloom_bitmaps(
-        self, df: DataFrame, phys: str, m_bits: int, k: int, seed: int
+        self, df: DataFrame, phys: str, m_bits: int, k: int, seed: int,
+        elements: bool = False,
     ) -> DataFrame:
         """(file, bitmap) per source parquet file of ``df`` — the build
         core shared by full and incremental indexing. ONE scan, NO
@@ -1314,22 +1737,33 @@ class TableStore:
         xxhash64, mod m), each task folds its rows into per-file
         bitmaps in Arrow batches, and a file split across tasks is
         OR-merged by a tiny groupBy over (file, bitmap) rows — n_files
-        rows total, never row-sized data."""
+        rows total, never row-sized data. ``elements=True`` (array
+        columns) hashes the column's exploded ELEMENTS instead of the
+        values, so membership probes can test single tokens; rows
+        whose array is empty or NULL contribute no bits, and a file
+        made ONLY of such rows simply stays uncovered (always kept —
+        the safe direction)."""
         import numpy as np
         import pandas as pd
 
         n_bytes = (m_bits + 7) // 8
         parts = F.split(F.input_file_name(), "/")
-        pos = df.select(
+        src = df.select(
             # manifest-relative file path: always _kb=N/part-...
             F.concat_ws(
                 "/", F.element_at(parts, -2), F.element_at(parts, -1)
             ).alias("_file"),
+            (
+                F.explode(F.col(phys)) if elements else F.col(phys)
+            ).alias("_v"),
+        )
+        pos = src.select(
+            "_file",
             F.explode(
                 F.array(
                     *[
                         F.pmod(
-                            F.xxhash64(F.col(phys), F.lit(seed + i)),
+                            F.xxhash64(F.col("_v"), F.lit(seed + i)),
                             F.lit(m_bits),
                         )
                         for i in range(k)
@@ -1426,15 +1860,23 @@ class TableStore:
         m_bits: int = 1 << 20,
         k: int = 5,
         version: int | None = None,
+        elements: bool = False,
     ) -> int:
         """Build (or rebuild from scratch) the per-file bloom index for
         equality probes on ``col``; returns the number of files
-        indexed.
+        indexed. ``elements=True`` builds an ELEMENT index over an
+        array column (bitmaps hash the exploded elements), serving
+        ``Has(...)`` membership probes instead of equality — required
+        for array columns, rejected for scalar ones (the two modes
+        hash different things; meta records which, and probes of the
+        other shape degrade to no pruning rather than risk false
+        negatives).
 
         Sizing: m ≈ 9.6·n_distinct_per_file bits gives ~1% false
         positives at k=5 — the default 1 Mib (128 KiB) bitmap covers
         ~109k distinct values per file; size m_bits to the expected
-        per-file cardinality, not the table's.
+        per-file cardinality (for element indexes: distinct ELEMENTS
+        per file), not the table's.
 
         The index publishes atomically (tmp dir + rename); a probe
         that races the rebuild sees either the old index or none, both
@@ -1457,8 +1899,29 @@ class TableStore:
             raise ValueError(
                 f"{name}: no column {col!r} (physical {phys!r}) to index"
             )
+        from pyspark.sql.types import ArrayType
+
+        is_array = isinstance(df.schema[phys].dataType, ArrayType)
+        if elements and not is_array:
+            raise ValueError(
+                f"{name}: elements=True needs an array column, "
+                f"{col!r} is {df.schema[phys].dataType.simpleString()}"
+            )
+        if is_array and not elements:
+            raise ValueError(
+                f"{name}: {col!r} is an array column — index its "
+                "elements (elements=True) and probe with Has(...); a "
+                "whole-array bitmap would serve no planner probe"
+            )
+        dtype = (
+            df.schema[phys].dataType.elementType.simpleString()
+            if elements
+            else df.schema[phys].dataType.simpleString()
+        )
         seed = self._BLOOM_SEED
-        merged = self._bloom_bitmaps(df, phys, m_bits, k, seed)
+        merged = self._bloom_bitmaps(
+            df, phys, m_bits, k, seed, elements=elements
+        )
         final = self._bloom_dir(name, phys)
         tmp = f"{final}.tmp-{uuid.uuid4().hex[:8]}"
         with self._bloom_claim(name, phys):
@@ -1475,7 +1938,8 @@ class TableStore:
                             "seed": seed,
                             "col": col,
                             "phys": phys,
-                            "dtype": df.schema[phys].dataType.simpleString(),
+                            "dtype": dtype,
+                            "elements": elements,
                             "n_files": len(doc["files"]),
                         },
                         fh,
@@ -1514,12 +1978,13 @@ class TableStore:
         bdir = self._bloom_dir(name, phys)
         meta = self._bloom_meta(name, col, bdir)
         live_dtype = self._live_dtype(doc, phys)
-        if live_dtype is not None and live_dtype != meta["dtype"]:
+        expected = self._bloom_expected_dtype(meta)
+        if live_dtype is not None and live_dtype != expected:
             import warnings
 
             warnings.warn(
                 f"{name}: bloom index on {col!r} was built under dtype "
-                f"{meta['dtype']!r} but the column is now {live_dtype!r}"
+                f"{expected!r} but the column is now {live_dtype!r}"
                 " — incremental bitmaps would hash differently than the "
                 "recorded probes (silent false negatives), so the index "
                 "is being fully rebuilt at the recorded sizing.",
@@ -1527,7 +1992,8 @@ class TableStore:
                 stacklevel=2,
             )
             self.build_bloom_index(
-                name, col, m_bits=meta["m_bits"], k=meta["k"], version=v
+                name, col, m_bits=meta["m_bits"], k=meta["k"], version=v,
+                elements=bool(meta.get("elements")),
             )
             return len(doc["files"])
         with self._bloom_claim(name, phys):
@@ -1545,7 +2011,8 @@ class TableStore:
                 .parquet(*[os.path.join(base, f) for f in new])
             )
             merged = self._bloom_bitmaps(
-                df, phys, meta["m_bits"], meta["k"], meta["seed"]
+                df, phys, meta["m_bits"], meta["k"], meta["seed"],
+                elements=bool(meta.get("elements")),
             )
             tmp = os.path.join(bdir, f".tmp-{uuid.uuid4().hex[:8]}")
             try:
@@ -1621,6 +2088,16 @@ class TableStore:
             if fld.name == phys:
                 return fld.dataType.simpleString()
         return None
+
+    @staticmethod
+    def _bloom_expected_dtype(meta: dict) -> str:
+        """The live column type a sidecar's bitmaps are valid for:
+        ``meta['dtype']`` records the HASHED type — the element type
+        for an element index — so an element index built on
+        array<string> expects the live column to still be
+        array<string>."""
+        d = meta["dtype"]
+        return f"array<{d}>" if meta.get("elements") else d
 
     def _bloom_index_df(self, bdir: str) -> DataFrame:
         """The sidecar dataset: every (file, bitmap) part written by
@@ -1737,7 +2214,11 @@ class TableStore:
             "covered": len(live & covered_files),
             "uncovered": len(live - covered_files),
             "stale_rows": len(covered_files - live),
-            "dtype_ok": live_dtype is None or live_dtype == meta["dtype"],
+            "dtype_ok": (
+                live_dtype is None
+                or live_dtype == self._bloom_expected_dtype(meta)
+            ),
+            "elements": bool(meta.get("elements")),
             "m_bits": meta["m_bits"],
             "k": meta["k"],
             "meta_version": meta.get("version"),
@@ -1784,7 +2265,7 @@ class TableStore:
 
     def bloom_kept_files(
         self, name: str, col: str, value, version: int | None = None,
-        doc: dict | None = None,
+        doc: dict | None = None, elements: bool | None = None,
     ) -> tuple[list[str], int]:
         """(files an equality probe must open, total live files) — the
         pruning decision read_point plans with, exposed for
@@ -1797,7 +2278,16 @@ class TableStore:
         pruning is an optimization, never a correctness gate. The
         bitmaps are tested WHERE THEY LIVE — a pandas-filtered scan of
         the sidecar dataset ships only matching file names to the
-        driver, never the bitmaps themselves."""
+        driver, never the bitmaps themselves.
+
+        ``elements`` states the PROBE's shape: False = value equality
+        (bitmaps must hash whole values), True = array membership
+        (bitmaps must hash elements — ``Has`` probes). When the
+        sidecar's recorded mode disagrees, the probe degrades to no
+        pruning LOUDLY — testing tokens against whole-array bitmaps
+        (or vice versa) would be a silent false negative. ``None``
+        (legacy/observability callers) accepts whichever mode the
+        sidecar holds."""
         import numpy as np
         import pandas as pd
 
@@ -1821,8 +2311,17 @@ class TableStore:
             # not read as pruning-working-slowly forever)
             self._bloom_degrade_warn(name, col, f"meta.json unreadable: {e}")
             return list(files), len(files)
+        if elements is not None and bool(meta.get("elements")) != elements:
+            self._bloom_degrade_warn(
+                name, col,
+                f"index mode elements={bool(meta.get('elements'))} does "
+                f"not serve a {'membership' if elements else 'equality'} "
+                "probe — rebuild with the matching elements= flag",
+            )
+            return list(files), len(files)
         live_dtype = self._live_dtype(doc, phys)
-        if live_dtype is not None and live_dtype != meta["dtype"]:
+        expected = self._bloom_expected_dtype(meta)
+        if live_dtype is not None and live_dtype != expected:
             # probe-side safety net for the ADVICE r12 false-negative
             # mechanism: an index built under another dtype hashes
             # values differently than this snapshot's column — pruning
@@ -1831,7 +2330,7 @@ class TableStore:
             # rebuilds) or build_bloom_index runs.
             self._bloom_degrade_warn(
                 name, col,
-                f"index dtype {meta['dtype']!r} != live column dtype "
+                f"index dtype {expected!r} != live column dtype "
                 f"{live_dtype!r} — rebuild via update_bloom_index/"
                 "build_bloom_index",
             )
@@ -1976,9 +2475,19 @@ class TableStore:
     def _classify_spec(col: str, spec) -> tuple[str, list]:
         """Normalize one ``where`` conjunct: a scalar is an equality,
         a list/tuple/set an IN-list, a ``slice(lo, hi)`` an inclusive
-        range (BETWEEN — Python's literal range syntax, with no step).
-        NULLs are rejected everywhere: equality to NULL never matches
-        (probe IS NULL through an ordinary read + filter)."""
+        range (BETWEEN — Python's literal range syntax, with no step),
+        ``IS_NULL``/``NOT_NULL`` a null probe (routed to null-count
+        stats), and ``Prefix("abc")`` a LIKE-'abc%%' probe (routed to
+        min/max stats). A bare ``None`` is still rejected: equality to
+        NULL never matches — say ``IS_NULL`` when you mean it."""
+        if spec is IS_NULL:
+            return "isnull", []
+        if spec is NOT_NULL:
+            return "notnull", []
+        if isinstance(spec, Prefix):
+            return "prefix", [spec.s]
+        if isinstance(spec, Has):
+            return "has", list(spec.values)
         if isinstance(spec, slice):
             if spec.step is not None:
                 raise ValueError(
@@ -1999,8 +2508,8 @@ class TableStore:
             return "in", vals
         if spec is None:
             raise ValueError(
-                f"{col}: equality to NULL never matches — filter "
-                "IS NULL through an ordinary read"
+                f"{col}: equality to NULL never matches — probe with "
+                "the IS_NULL spec sentinel when you mean IS NULL"
             )
         return "eq", [spec]
 
@@ -2162,6 +2671,44 @@ class TableStore:
                     "kept": len(stats_kept), "total": len(files)
                 }
                 kept_col &= stats_kept
+            elif kind == "prefix":
+                # prefix probes are range probes over [p, next(p)) —
+                # stats-only, same inert warning
+                self._warn_if_stats_inert(name, doc, phys)
+                stats_kept = set(
+                    self._prefix_pruned_files(doc, phys, payload[0])
+                )
+                pruners["stats"] = {
+                    "kept": len(stats_kept), "total": len(files)
+                }
+                kept_col &= stats_kept
+            elif kind in ("isnull", "notnull"):
+                self._warn_if_null_stats_inert(name, doc, phys)
+                stats_kept = set(
+                    self._null_pruned_files(
+                        doc, phys, kind == "isnull"
+                    )
+                )
+                pruners["stats"] = {
+                    "kept": len(stats_kept), "total": len(files)
+                }
+                kept_col &= stats_kept
+            elif kind == "has":
+                # array membership: the ELEMENT bloom index is the
+                # only pruner (arrays carry no top-level min/max
+                # stats, and buckets hash keys, not elements)
+                if os.path.isfile(
+                    os.path.join(self._bloom_dir(name, phys), "meta.json")
+                ):
+                    bloom_kept, _total = self.bloom_kept_files(
+                        name, c,
+                        payload if len(payload) > 1 else payload[0],
+                        version=v, doc=doc, elements=True,
+                    )
+                    pruners["bloom"] = {
+                        "kept": len(bloom_kept), "total": len(files)
+                    }
+                    kept_col &= set(bloom_kept)
             else:  # eq / in: stats as point intervals, union of values
                 stats_kept: set = set()
                 for val in payload:
@@ -2178,7 +2725,7 @@ class TableStore:
                     bloom_kept, _total = self.bloom_kept_files(
                         name, c,
                         payload if kind == "in" else payload[0],
-                        version=v, doc=doc,
+                        version=v, doc=doc, elements=False,
                     )
                     pruners["bloom"] = {
                         "kept": len(bloom_kept), "total": len(files)
@@ -2227,7 +2774,9 @@ class TableStore:
                         vals_per_key = None
                         break
                     kind, payload = self._classify_spec(k, spec)
-                    if kind == "range":
+                    if kind not in ("eq", "in"):
+                        # ranges, prefixes and null probes don't
+                        # enumerate key values — no tuple routing
                         vals_per_key = None
                         break
                     vals_per_key.append(payload)
@@ -2274,6 +2823,19 @@ class TableStore:
                 e = F.col(c).between(F.lit(payload[0]), F.lit(payload[1]))
             elif kind == "in":
                 e = F.col(c).isin(payload)
+            elif kind == "isnull":
+                e = F.col(c).isNull()
+            elif kind == "notnull":
+                e = F.col(c).isNotNull()
+            elif kind == "prefix":
+                e = F.col(c).startswith(F.lit(payload[0]))
+            elif kind == "has":
+                if len(payload) == 1:
+                    e = F.array_contains(F.col(c), F.lit(payload[0]))
+                else:
+                    e = F.arrays_overlap(
+                        F.col(c), F.array(*[F.lit(p) for p in payload])
+                    )
             else:
                 e = F.col(c) == F.lit(payload[0])
             expr = e if expr is None else expr & e
@@ -2599,7 +3161,24 @@ class TableStore:
                 except ValueError as e:
                     if "no bloom index" not in str(e):
                         raise
-                    self.build_bloom_index(name, col)
+                    # declarative first build: element mode is
+                    # inferred from the live column type (array →
+                    # element index serving Has probes)
+                    v = self.latest_version(name)
+                    live = (
+                        self._live_dtype(
+                            self._manifest_doc(name, v),
+                            self._bloom_resolve(
+                                name, col, self._manifest_doc(name, v)
+                            ),
+                        )
+                        if v is not None
+                        else None
+                    )
+                    self.build_bloom_index(
+                        name, col,
+                        elements=bool(live and live.startswith("array<")),
+                    )
             except Exception as e:  # noqa: BLE001 — best-effort
                 warnings.warn(
                     f"{name}: bloom index auto-maintenance on {col!r} "
@@ -3837,7 +4416,16 @@ class TableStore:
 
     def max_value(self, name: str, col: str):
         """A1+S11 watermark: MAX(col) fetched as a scalar
-        (datasources.py:140-142). The only sanctioned driver-side collect."""
+        (datasources.py:140-142). On a versioned table the manifest
+        stats answer first (``stats_scalar`` — zero Spark jobs, exact
+        or refuse; r13), so the freshness gates every orchestration
+        loop runs stop costing a scan; any refusal (string column,
+        pre-extension manifest, unversioned table) falls back to the
+        real aggregate — the only sanctioned driver-side collect."""
+        try:
+            return self.stats_scalar(name, "max", col)
+        except ValueError:
+            pass
         row = self.read(name).selectExpr(f"max({col}) AS w").first()
         return None if row is None else row["w"]
 
@@ -5146,7 +5734,9 @@ class TableStore:
         )
         shutil.rmtree(stage, ignore_errors=True)
 
-    def delete_where(self, name: str, condition) -> list[int]:
+    def delete_where(
+        self, name: str, condition=None, where=None
+    ) -> list[int]:
         """Row-level DELETE (the MERGE family's third verb, after
         upsert and append): remove the rows matching ``condition``
         (a Column or SQL string). SQL DELETE semantics — rows where
@@ -5163,7 +5753,37 @@ class TableStore:
         handles both, including fully-emptied buckets). Unkeyed tables
         fall back to filter + full overwrite, the same trade as
         unkeyed upsert. Returns the affected bucket ids ([] if nothing
-        matched; [-1] for the unkeyed full rewrite)."""
+        matched; [-1] for the unkeyed full rewrite).
+
+        ``where=`` (r13, versioned keyed tables; mutually exclusive
+        with ``condition``) states the delete as a PLANNER spec —
+        ``{col: spec}`` or a DNF list, the read(where=) grammar — so
+        the FIND phase ("which buckets hold matching rows") runs over
+        the stats/bloom/bucket-pruned file set instead of the whole
+        table: deleting a rare key on a bloom-indexed column reads
+        ~1% of files to locate its buckets at any table size. The
+        rewrite phase is unchanged (affected buckets rewrite whole —
+        that is the merge-on-read-free contract), and the exact
+        predicate still owns which rows go."""
+        if (condition is None) == (where is None):
+            raise ValueError("pass condition= OR where=, exactly one")
+        if where is not None:
+            if self.keyed_spec(name) is None or not self.is_versioned(name):
+                raise ValueError(
+                    f"{name}: where= delete planning needs a versioned "
+                    "keyed table; pass condition= instead"
+                )
+            if isinstance(where, (list, tuple)):
+                if not where:
+                    raise ValueError(
+                        "a disjunctive where needs at least one branch"
+                    )
+                condition = None
+                for b in where:
+                    e = self._branch_expr(b)
+                    condition = e if condition is None else condition | e
+            else:
+                condition = self._branch_expr(where)
         if isinstance(condition, str):
             condition = F.expr(condition)
         keep = F.coalesce(~condition, F.lit(True))
@@ -5182,8 +5802,16 @@ class TableStore:
                 if self.is_versioned(name)
                 else (None, None)
             )
-            snapshot = self.read(name)
-            affected = self.keyed_buckets(name, snapshot.filter(condition))
+            if where is not None:
+                # pruned find phase: _read_planned applies the exact
+                # predicate on the skipped scan, pinned at v0 so the
+                # OCC retry re-plans against a fresh snapshot
+                matches = self._read_planned(
+                    name, where, v0, self._manifest_doc(name, v0)
+                )
+            else:
+                matches = self.read(name).filter(condition)
+            affected = self.keyed_buckets(name, matches)
             if not affected:
                 return []
             survivors = (
@@ -5193,6 +5821,143 @@ class TableStore:
             )
             self.overwrite_buckets(
                 survivors, name, affected, op="delete",
+                version_expect=v0, version_expect_ident=v0_ident,
+            )
+            return sorted(affected)
+
+        return self._retry_base_conflicts(_attempt)
+
+    def update_where(
+        self, name: str, set: dict, condition=None, where=None
+    ) -> list[int]:
+        """SQL UPDATE (Delta ``UPDATE table SET ... WHERE ...``
+        parity, completing the MERGE family: upsert / append /
+        delete_where / merge_when / update_where): assign ``set``'s
+        expressions to the rows matching the predicate. ``set`` maps
+        existing column names to a Column, a SQL string, or a literal;
+        every right-hand side evaluates against the PRE-update row
+        (one projection, SQL UPDATE semantics — two set entries can
+        swap columns), is cast to the target column's type, and rows
+        where the predicate is NULL are left untouched. Key columns
+        refuse (a key change re-buckets rows — that is a delete +
+        insert, i.e. ``upsert``).
+
+        Cost profile mirrors delete_where: only buckets CONTAINING
+        matched rows rewrite; ``where=`` (planner grammar, versioned
+        keyed tables) lets the FIND phase ride stats/bloom/bucket file
+        skipping, so updating a rare key on an indexed column reads
+        ~1% of files to locate its buckets. Versioned tables publish
+        the rewrite as a new snapshot (time travel, CDF and the OCC
+        retry all compose as with delete). Declared constraints are
+        enforced on the post-update MATCHED rows only — judged on the
+        write's real effect, while untouched legacy rows can't wedge
+        the verb (the _enforce_constraints contract). Returns affected
+        bucket ids ([] if nothing matched; [-1] unkeyed full
+        rewrite)."""
+        from pyspark.sql import Column
+
+        if not isinstance(set, dict) or not set:
+            raise ValueError(
+                "set must map >= 1 existing column to its new value"
+            )
+        if (condition is None) == (where is None):
+            raise ValueError("pass condition= OR where=, exactly one")
+        if where is not None:
+            if self.keyed_spec(name) is None or not self.is_versioned(name):
+                raise ValueError(
+                    f"{name}: where= update planning needs a versioned "
+                    "keyed table; pass condition= instead"
+                )
+            if isinstance(where, (list, tuple)):
+                if not where:
+                    raise ValueError(
+                        "a disjunctive where needs at least one branch"
+                    )
+                condition = None
+                for b in where:
+                    e = self._branch_expr(b)
+                    condition = e if condition is None else condition | e
+            else:
+                condition = self._branch_expr(where)
+        if isinstance(condition, str):
+            condition = F.expr(condition)
+        kspec = self.keyed_spec(name)
+        if kspec is not None:
+            bad = [c for c in set if c in kspec[0]]
+            if bad:
+                raise ValueError(
+                    f"{name}: refusing to UPDATE key column(s) {bad} — "
+                    "a key change re-buckets the row; delete + upsert "
+                    "instead"
+                )
+        set_exprs = {
+            c: (
+                F.expr(e) if isinstance(e, str)
+                else e if isinstance(e, Column)
+                else F.lit(e)
+            )
+            for c, e in set.items()
+        }
+
+        def _apply(df: DataFrame, always: bool = False) -> DataFrame:
+            missing = [c for c in set_exprs if c not in df.columns]
+            if missing:
+                raise ValueError(
+                    f"{name}: UPDATE of non-existent column(s) "
+                    f"{missing} — set assigns existing columns only"
+                )
+            # ONE projection: every RHS sees the pre-update row.
+            # always=True applies unconditionally (the enforcement
+            # frame: rows already filtered to the PRE-update matches —
+            # the predicate cannot be re-evaluated after assignment,
+            # it references the old values)
+            return df.select(
+                *[
+                    (
+                        set_exprs[c].cast(df.schema[c].dataType)
+                        if always
+                        else F.when(
+                            F.coalesce(condition, F.lit(False)),
+                            set_exprs[c].cast(df.schema[c].dataType),
+                        ).otherwise(F.col(c))
+                    ).alias(c)
+                    if c in set_exprs
+                    else F.col(c)
+                    for c in df.columns
+                ]
+            )
+
+        if kspec is None:
+            df = self.read(name)
+            matched = df.filter(condition)
+            if matched.isEmpty():
+                return []
+            self._enforce_constraints(name, _apply(matched, always=True))
+            self._overwrite_raw(_apply(df).localCheckpoint(), name)
+            return [-1]
+
+        def _attempt() -> list[int]:
+            v0, v0_ident = (
+                self._pin_base(name)
+                if self.is_versioned(name)
+                else (None, None)
+            )
+            if where is not None:
+                matches = self._read_planned(
+                    name, where, v0, self._manifest_doc(name, v0)
+                )
+            else:
+                matches = self.read(name).filter(condition)
+            affected = self.keyed_buckets(name, matches)
+            if not affected:
+                return []
+            bucket_rows = self.read_buckets(name, affected)
+            self._enforce_constraints(
+                name, _apply(bucket_rows.filter(condition), always=True)
+            )
+            updated = _apply(bucket_rows).localCheckpoint()
+            self.overwrite_buckets(
+                updated, name, affected, op="update",
                 version_expect=v0, version_expect_ident=v0_ident,
             )
             return sorted(affected)

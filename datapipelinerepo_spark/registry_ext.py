@@ -7954,3 +7954,368 @@ def store_read_planned_disjunction(spark, sf_dir):
             "o_orderdate",
         )
     )
+
+
+# --- r13 continuation: null-count + prefix planner routes -------------
+# The read planner's spec surface grows two Delta-parity routes:
+# IS_NULL/NOT_NULL probes planned against per-file NULL-COUNT stats
+# (parquet footers record null_count per column; manifests carry it as
+# the 4-element stats extension [min, max, nulls, rows]), and
+# Prefix("abc") probes (LIKE 'abc%') planned against string min/max
+# stats as the range [p, next(p)). Value probes additionally skip
+# files whose stats prove the column ALL NULL (equality/BETWEEN never
+# match NULL). Reference parity: the reference's BigQuery rental
+# gets these from clustered-table metadata automatically
+# (datasources.py:1-822 never states them); here they are native
+# manifest stats — same engine, two more predicate shapes.
+
+
+@register(
+    "store_read_planned_prefix",
+    sql="""
+    SELECT p_partkey, p_name, p_brand, p_retailprice
+    FROM part
+    WHERE p_name LIKE 'sm%'
+    """,
+)
+def store_read_planned_prefix(spark, sf_dir):
+    """STRING-PREFIX planned read, hash-checked (io.Prefix spec →
+    plan_read's stats route — r13): part loads as THREE lexicographic
+    name slabs (the natural layout of an ingest sorted by a string
+    business key), so per-file [min, max] p_name intervals are
+    narrow; a Prefix("sm") probe (LIKE 'sm%') plans the scan over
+    only the slab whose interval can contain 'sm'-prefixed names —
+    the planner derives the range [p, next_prefix(p)) and prunes on
+    string stats exactly like a numeric BETWEEN. In-query guards:
+    the stats pruner fired (kept strictly under the non-probed
+    slabs' share), no bloom/bucket route claimed the probe, and the
+    returned rows hash-match the oracle's plain LIKE. Parquet string
+    stats may be writer-truncated, but the spec keeps truncated
+    bounds conservative (min under-runs, max over-runs), so the skip
+    test can never lose a file — and the exact startswith filter
+    re-applies on the pruned scan regardless."""
+    from .io import Prefix, TableStore  # noqa: F401 (TableStore via helper)
+
+    part = t(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", "p_brand", "p_retailprice"
+    )
+    store, finish = _ephemeral_store(spark, "rpp_")
+    store.overwrite_keyed(
+        part.filter(F.col("p_name") < "h"),
+        "t", "p_partkey", n_buckets=4, versioned=True,
+    )
+    store.append(
+        part.filter((F.col("p_name") >= "h") & (F.col("p_name") < "o")),
+        "t",
+    )
+    store.append(part.filter(F.col("p_name") >= "o"), "t")
+
+    where = {"p_name": Prefix("sm")}
+    keep, rep = store.plan_read("t", where)
+    total = rep["total_files"]
+    pr = rep["columns"]["p_name"]["pruners"]
+    _require(
+        pr["bloom"] is None and pr["bucket"] is None,
+        f"prefix probe must be stats-only, got {pr}",
+    )
+    _require(
+        0 < pr["stats"]["kept"] <= total - 2 * (total // 3),
+        f"prefix stats pruning did not isolate the probed slab: kept "
+        f"{pr['stats']['kept']} of {total}",
+    )
+    return finish(
+        store.read("t", where=where).select(
+            "p_partkey", "p_name", "p_brand", "p_retailprice"
+        )
+    )
+
+
+@register(
+    "store_read_planned_nulls",
+    sql="""
+    SELECT o_orderkey, 'null' AS probe, o_totalprice
+    FROM orders
+    WHERE o_orderstatus = 'F'
+      AND o_totalprice BETWEEN 50000.0 AND 150000.0
+    UNION ALL
+    SELECT o_orderkey, 'value' AS probe, o_totalprice
+    FROM orders
+    WHERE o_orderstatus <> 'F' AND o_orderpriority = '5-LOW'
+    """,
+)
+def store_read_planned_nulls(spark, sf_dir):
+    """NULL-COUNT planned reads, hash-checked (io.IS_NULL/NOT_NULL
+    specs + the all-NULL value-probe skip — r13): orders loads as two
+    appended batches with opposite nullability of a derived ``note``
+    column (NULL exactly where o_orderstatus = 'F' — the
+    sparse-column shape of optional enrichment fields), so per-file
+    null counts separate the batches. Three probes, all planned from
+    the manifests' 4-element stats entries: (1) {note: IS_NULL}
+    skips the zero-null batch, (2) {note: NOT_NULL} skips the
+    all-null batch, (3) the value probe {note: '5-LOW'} ALSO skips
+    the all-null batch (equality never matches NULL — pre-r13 those
+    files always scanned because an all-NULL column has no [min,
+    max]). In-query guards assert each skip fired and that the null
+    routes claimed no bloom/bucket pruner; the returned union (the
+    IS_NULL branch range-composed with a price conjunct, plus the
+    value branch) hash-matches the oracle's CASE-free equivalent
+    predicates."""
+    from .io import IS_NULL, NOT_NULL
+
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice"
+    ).withColumn(
+        "note",
+        F.when(
+            F.col("o_orderstatus") != "F", F.col("o_orderpriority")
+        ),
+    )
+    store, finish = _ephemeral_store(spark, "rpn_")
+    store.overwrite_keyed(
+        orders.filter(F.col("o_orderstatus") != "F"),
+        "t", "o_orderkey", n_buckets=4, versioned=True,
+    )
+    store.append(orders.filter(F.col("o_orderstatus") == "F"), "t")
+
+    keep_n, rep_n = store.plan_read("t", {"note": IS_NULL})
+    total = rep_n["total_files"]
+    pr = rep_n["columns"]["note"]["pruners"]
+    _require(
+        pr["bloom"] is None and pr["bucket"] is None,
+        f"null probe must be stats-only, got {pr}",
+    )
+    _require(
+        0 < pr["stats"]["kept"] < total,
+        f"IS_NULL did not skip the zero-null batch: "
+        f"{pr['stats']['kept']} of {total}",
+    )
+    _, rep_v = store.plan_read("t", {"note": NOT_NULL})
+    _require(
+        0 < rep_v["columns"]["note"]["pruners"]["stats"]["kept"] < total,
+        f"NOT_NULL did not skip the all-null batch: {rep_v}",
+    )
+    _, rep_eq = store.plan_read("t", {"note": "5-LOW"})
+    _require(
+        rep_eq["columns"]["note"]["pruners"]["stats"]["kept"] < total,
+        f"value probe did not skip the all-null batch: {rep_eq}",
+    )
+    null_rows = store.read(
+        "t",
+        where={"note": IS_NULL, "o_totalprice": slice(50000.0, 150000.0)},
+    ).select(
+        "o_orderkey", F.lit("null").alias("probe"), "o_totalprice"
+    )
+    value_rows = store.read("t", where={"note": "5-LOW"}).select(
+        "o_orderkey", F.lit("value").alias("probe"), "o_totalprice"
+    )
+    return finish(null_rows.unionByName(value_rows))
+
+
+@register(
+    "store_bloom_element_read",
+    sql="""
+    SELECT doc_id, 'one' AS probe, lang, n_chars
+    FROM documents
+    WHERE list_contains(string_split(text, ' '), 'dup')
+    UNION ALL
+    SELECT doc_id, 'any' AS probe, lang, n_chars
+    FROM documents
+    WHERE list_contains(string_split(text, ' '), 'dup')
+       OR list_contains(string_split(text, ' '), 'line')
+    """,
+)
+def store_bloom_element_read(spark, sf_dir):
+    """ELEMENT bloom index, hash-checked (io.build_bloom_index(...,
+    elements=True) + the Has(...) planner spec — r13 continuation):
+    documents tokenize to an array<string> column and load as two
+    appended batches; the bitmaps hash the EXPLODED elements, so an
+    array-MEMBERSHIP probe ("which documents contain token X") plans
+    over only the files whose bitmap might contain the token — the
+    token-level skip structure a 100 TB crawl store needs for "find
+    documents mentioning X" without an inverted index's storage bill.
+    Min/max stats cannot serve this shape at all (parquet stats live
+    on the nested leaf; arrays carry no top-level [min, max]), and
+    mode-mismatched probes (value-equality against an element index
+    or vice versa) degrade loudly to full scans rather than risk
+    hashing tokens against whole-array bitmaps — a silent false
+    negative (pinned by the mode-mismatch pytest).
+
+    In-query guards: the Has probe routes to the bloom pruner ONLY
+    (stats/bucket report not-applicable); a token present in no
+    document prunes every covered file (kept strictly under half the
+    table — at the testdata's ~31-element files the false-positive
+    odds are ~1e-10 per file); coverage reports element mode with
+    zero uncovered files. The returned single-token and any-of
+    branches hash-match DuckDB's list_contains equivalents."""
+    from .io import Has
+
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars",
+        F.split(F.col("text"), " ").alias("toks"),
+    )
+    store, finish = _ephemeral_store(spark, "bel_")
+    store.overwrite_keyed(
+        docs.filter(F.col("doc_id") < 250),
+        "t", "doc_id", n_buckets=4, versioned=True,
+    )
+    store.append(docs.filter(F.col("doc_id") >= 250), "t")
+    store.build_bloom_index("t", "toks", m_bits=1 << 14, elements=True)
+
+    cov = store.bloom_coverage("t", "toks")
+    _require(
+        cov["elements"] is True and cov["uncovered"] == 0,
+        f"element index must fully cover the snapshot: {cov}",
+    )
+    keep, rep = store.plan_read("t", {"toks": Has("dup")})
+    pr = rep["columns"]["toks"]["pruners"]
+    _require(
+        pr["stats"] is None and pr["bucket"] is None
+        and pr["bloom"] is not None,
+        f"Has must route to the element bloom pruner only, got {pr}",
+    )
+    _, rep_absent = store.plan_read("t", {"toks": Has("no_such_token")})
+    _require(
+        rep_absent["kept_files"] * 2 < rep_absent["total_files"],
+        f"absent-token probe failed to prune: {rep_absent}",
+    )
+    one = store.read("t", where={"toks": Has("dup")}).select(
+        "doc_id", F.lit("one").alias("probe"), "lang", "n_chars"
+    )
+    anyof = store.read("t", where={"toks": Has(["dup", "line"])}).select(
+        "doc_id", F.lit("any").alias("probe"), "lang", "n_chars"
+    )
+    return finish(one.unionByName(anyof))
+
+
+@register(
+    "store_stats_scalar_agg",
+    sql="""
+    SELECT COUNT(*) AS n_rows,
+           COUNT(CASE WHEN o_orderstatus <> 'F' THEN 1 END) AS n_note,
+           MIN(o_totalprice) AS min_price,
+           MAX(o_totalprice) AS max_price,
+           MIN(o_orderdate) AS min_date,
+           MAX(o_orderdate) AS max_date
+    FROM orders
+    """,
+)
+def store_stats_scalar_agg(spark, sf_dir):
+    """STATS-ANSWERED scalar aggregates, hash-checked (io.TableStore.
+    stats_scalar — r13 continuation; Delta's stats-answered SELECT
+    MAX/COUNT parity): MIN/MAX/COUNT(*)/COUNT(col) computed ENTIRELY
+    from the manifest's per-file stats entries — the in-query guard
+    asserts ZERO Spark jobs ran while the six scalars were answered
+    (job-group tracked), i.e. the watermark-gate shape ("how fresh is
+    this table", "how many rows landed") costs a kilobyte manifest
+    read at ANY table size. The verb never approximates: a string
+    MIN/MAX (writer-truncatable stats) or a file without the needed
+    entry refuses loudly and the caller runs the real aggregate
+    (refusal paths pinned by pytest). The six scalars hash-match the
+    oracle's full-scan aggregates over the same rows — exactness, not
+    estimation. The nullable ``note`` column (NULL exactly where
+    o_orderstatus = 'F') makes COUNT(col) differ from COUNT(*), so
+    the null-count arithmetic is actually exercised."""
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority",
+        "o_totalprice", "o_orderdate",
+    ).withColumn(
+        "note",
+        F.when(
+            F.col("o_orderstatus") != "F", F.col("o_orderpriority")
+        ),
+    )
+    store, finish = _ephemeral_store(spark, "ssa_")
+    store.overwrite_keyed(
+        orders.filter(F.col("o_orderkey") % 2 == 0),
+        "t", "o_orderkey", n_buckets=4, versioned=True,
+    )
+    store.append(orders.filter(F.col("o_orderkey") % 2 == 1), "t")
+
+    sc = spark.sparkContext
+    sc.setJobGroup("stats_scalar_q", "scalars must run zero jobs")
+    try:
+        scalars = (
+            store.stats_scalar("t", "count"),
+            store.stats_scalar("t", "count_col", "note"),
+            store.stats_scalar("t", "min", "o_totalprice"),
+            store.stats_scalar("t", "max", "o_totalprice"),
+            store.stats_scalar("t", "min", "o_orderdate"),
+            store.stats_scalar("t", "max", "o_orderdate"),
+        )
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    _require(
+        not sc.statusTracker().getJobIdsForGroup("stats_scalar_q"),
+        "stats_scalar ran Spark jobs — must answer from manifests",
+    )
+    _require(
+        all(s is not None for s in scalars),
+        f"stats could not answer a scalar: {scalars}",
+    )
+    out = spark.createDataFrame(
+        [scalars],
+        "n_rows bigint, n_note bigint, min_price double, "
+        "max_price double, min_date timestamp, max_date timestamp",
+    )
+    return finish(out)
+
+
+@register(
+    "store_update_where",
+    sql="""
+    SELECT o_orderkey,
+           CASE WHEN o_orderpriority = '1-URGENT'
+                THEN o_totalprice * 0.9 ELSE o_totalprice
+           END AS price,
+           CASE WHEN o_orderpriority = '1-URGENT'
+                THEN o_orderstatus || '!' ELSE o_orderstatus
+           END AS status
+    FROM orders
+    """,
+)
+def store_update_where(spark, sf_dir):
+    """SQL UPDATE verb, hash-checked (io.TableStore.update_where —
+    r13 continuation; Delta ``UPDATE ... SET ... WHERE`` parity,
+    completing the MERGE family beside upsert/delete_where/
+    merge_when): orders load versioned, then ONE update assigns two
+    columns — a discount on the price and a status suffix — to the
+    urgent rows, stated as a PLANNER spec (the find phase rides the
+    same file-skipping engine as read(where=)/delete_where(where=)).
+    Semantics under test: every right-hand side evaluates against the
+    PRE-update row in one projection, values cast to the target
+    column's type, unmatched rows bit-identical, only matched buckets
+    rewrite (guarded: affected is a strict subset of the bucket
+    count... the urgent rows hash across all buckets, so the guard is
+    non-empty + read-back equality), and the pre-update snapshot
+    stays readable (guarded via version count). The read-back
+    hash-matches the oracle's CASE projection of the same
+    assignments."""
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice"
+    )
+    store, finish = _ephemeral_store(spark, "upw_")
+    store.overwrite_keyed(
+        orders, "t", "o_orderkey", n_buckets=8, versioned=True
+    )
+    v1 = store.latest_version("t")
+    affected = store.update_where(
+        "t",
+        {
+            "o_totalprice": F.col("o_totalprice") * 0.9,
+            "o_orderstatus": F.concat(F.col("o_orderstatus"), F.lit("!")),
+        },
+        where={"o_orderpriority": "1-URGENT"},
+    )
+    _require(bool(affected), "update matched no buckets")
+    v2 = store.latest_version("t")
+    _require(
+        v2 == v1 + 1,
+        f"update must publish exactly one new version: {v1} -> {v2}",
+    )
+    return finish(
+        store.read("t").select(
+            "o_orderkey",
+            F.col("o_totalprice").alias("price"),
+            F.col("o_orderstatus").alias("status"),
+        )
+    )

@@ -550,3 +550,165 @@ def test_bloom_coverage_operability_verb(spark, tmp_path):
     n_live, dropped = store.compact_bloom_index("t", "cust")
     cov = store.bloom_coverage("t", "cust")
     assert cov["stale_rows"] == 0 and cov["covered"] == n_live
+
+
+# --- r13 continuation: ELEMENT bloom indexes (array membership) -------
+
+
+def _mk_tokens(spark, tmp_path, n=300, buckets=4, prefix="tok"):
+    """A versioned table with an array<string> tokens column whose
+    membership is derived from k (token "w<i>" appears in row k iff
+    i divides k) — deterministic, and probes have k-computable exact
+    answers."""
+    store = TableStore(spark, str(tmp_path / prefix))
+    df = spark.range(n).select(
+        F.col("id").alias("k"),
+        F.array_compact(
+            F.array(
+                *[
+                    F.when(F.col("id") % d == 0, F.lit(f"w{d}"))
+                    for d in (2, 3, 5, 7, 11)
+                ]
+            )
+        ).alias("toks"),
+    )
+    store.overwrite_keyed(df, "t", "k", n_buckets=buckets, versioned=True)
+    return store, df
+
+
+def test_element_bloom_membership_probe(spark, tmp_path):
+    from datapipelinerepo_spark.io import Has
+
+    store, df = _mk_tokens(spark, tmp_path)
+    n = store.build_bloom_index("t", "toks", m_bits=1 << 14, elements=True)
+    assert n > 0
+    # planner: Has routes to the element index ONLY
+    keep, rep = store.plan_read("t", {"toks": Has("w11")})
+    pr = rep["columns"]["toks"]["pruners"]
+    assert pr["stats"] is None and pr["bucket"] is None
+    assert pr["bloom"] is not None
+    got = sorted(
+        r["k"] for r in store.read("t", where={"toks": Has("w11")}).collect()
+    )
+    assert got == [k for k in range(300) if k % 11 == 0]
+    # any-of form: one scan, union semantics
+    got = sorted(
+        r["k"]
+        for r in store.read("t", where={"toks": Has(["w7", "w11"])}).collect()
+    )
+    assert got == [k for k in range(300) if k % 7 == 0 or k % 11 == 0]
+    # a token never present: exact filter returns empty
+    assert store.read("t", where={"toks": Has("nope")}).count() == 0
+
+
+def test_element_bloom_composes_with_other_conjuncts(spark, tmp_path):
+    from datapipelinerepo_spark.io import Has
+
+    store, df = _mk_tokens(spark, tmp_path)
+    store.build_bloom_index("t", "toks", m_bits=1 << 14, elements=True)
+    got = sorted(
+        r["k"]
+        for r in store.read(
+            "t", where={"toks": Has("w7"), "k": slice(0, 150)}
+        ).collect()
+    )
+    assert got == [k for k in range(151) if k % 7 == 0]
+
+
+def test_element_bloom_incremental_update_covers_new_files(spark, tmp_path):
+    from datapipelinerepo_spark.io import Has
+
+    store, _ = _mk_tokens(spark, tmp_path, n=200)
+    store.build_bloom_index("t", "toks", m_bits=1 << 14, elements=True)
+    extra = spark.range(200, 320).select(
+        F.col("id").alias("k"),
+        F.when(
+            F.col("id") % 13 == 0, F.array(F.lit("w13"))
+        ).otherwise(F.array(F.lit("w2"))).alias("toks"),
+    )
+    store.append(extra, "t")
+    n_new = store.update_bloom_index("t", "toks")
+    assert n_new > 0
+    cov = store.bloom_coverage("t", "toks")
+    assert cov["uncovered"] == 0 and cov["elements"] is True
+    got = sorted(
+        r["k"] for r in store.read("t", where={"toks": Has("w13")}).collect()
+    )
+    assert got == [k for k in range(320) if k % 13 == 0 and k >= 200]
+    # second update: nothing new to scan
+    assert store.update_bloom_index("t", "toks") == 0
+
+
+def test_element_bloom_mode_mismatch_degrades_not_false_negatives(
+    spark, tmp_path
+):
+    """A value-equality probe against an element index (or a Has probe
+    against a value index) must NOT prune — the bitmaps hash different
+    things. Both directions degrade loudly to full scans."""
+    import warnings as _w
+
+    from datapipelinerepo_spark.io import Has
+
+    store, _ = _mk_tokens(spark, tmp_path)
+    store.build_bloom_index("t", "toks", m_bits=1 << 14, elements=True)
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        kept, total = store.bloom_kept_files(
+            "t", "toks", "w2", elements=False
+        )
+    assert len(kept) == total  # no pruning
+    assert any("elements=" in str(w.message) for w in rec)
+    # scalar index probed with a Has shape: same degrade
+    store2 = TableStore(spark, str(tmp_path / "scalar"))
+    df = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") % 9).alias("c")
+    )
+    store2.overwrite_keyed(df, "t", "k", n_buckets=2, versioned=True)
+    store2.build_bloom_index("t", "c", m_bits=1 << 12)
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        kept, total = store2.bloom_kept_files(
+            "t", "c", 3, elements=True
+        )
+    assert len(kept) == total
+    assert any("elements=" in str(w.message) for w in rec)
+
+
+def test_element_bloom_build_validation(spark, tmp_path):
+    store, _ = _mk_tokens(spark, tmp_path, n=50, buckets=2)
+    # array column without elements=True: refused with guidance
+    with pytest.raises(ValueError, match="elements=True"):
+        store.build_bloom_index("t", "toks")
+    # scalar column with elements=True: refused
+    with pytest.raises(ValueError, match="needs an array column"):
+        store.build_bloom_index("t", "k", elements=True)
+    from datapipelinerepo_spark.io import Has
+
+    with pytest.raises(ValueError):
+        Has([])
+    with pytest.raises(ValueError):
+        Has(["a", None])
+
+
+def test_element_bloom_declarative_property_auto_builds(spark, tmp_path):
+    """bloom_index_cols on an array column: the write path infers
+    element mode for the first build and keeps paying index debt."""
+    from datapipelinerepo_spark.io import Has
+
+    store, _ = _mk_tokens(spark, tmp_path, n=150)
+    store.set_table_properties("t", bloom_index_cols=["toks"])
+    extra = spark.range(150, 220).select(
+        F.col("id").alias("k"),
+        F.array(F.lit("w17")).alias("toks"),
+    )
+    store.append(extra, "t")  # triggers auto build/update
+    cov = store.bloom_coverage("t", "toks")
+    assert cov["indexed"] and cov["elements"] is True
+    assert cov["uncovered"] == 0
+    keep, rep = store.plan_read("t", {"toks": Has("w17")})
+    pr = rep["columns"]["toks"]["pruners"]["bloom"]
+    assert pr is not None and pr["kept"] < pr["total"]
+    got = sorted(
+        r["k"] for r in store.read("t", where={"toks": Has("w17")}).collect()
+    )
+    assert got == list(range(150, 220))

@@ -3960,3 +3960,298 @@ def test_describe_detail_edge_states(spark, tmp_path):
     plain = TableStore(spark, str(tmp_path / "p2"))
     plain.overwrite(spark.range(5).toDF("x"), "dl2")
     assert d3["n_files"] == plain.describe_detail("dl2")["n_files"]
+
+
+# --- r13 continuation: stats-answered scalar aggregates ---------------
+
+
+def test_stats_scalar_answers_without_jobs(spark, tmp_path):
+    """MIN/MAX/COUNT/COUNT(col) from manifest stats: exact values,
+    ZERO Spark jobs (the Delta stats-answered-aggregate shape — a
+    watermark gate at no scan cost)."""
+    import datetime as dt
+
+    store = TableStore(spark, str(tmp_path))
+    df = spark.range(500).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 2.5).alias("amt"),
+        F.when(
+            F.col("id") % 5 != 0, F.col("id") % 100
+        ).alias("opt"),  # NULL on every 5th row
+        (
+            F.lit(dt.datetime(2001, 1, 1))
+            + F.make_interval(days=F.col("id").cast("int"))
+        ).alias("ts"),
+    )
+    store.overwrite_keyed(df, "t", "k", n_buckets=4, versioned=True)
+    store.append(
+        df.select(
+            (F.col("k") + 500).alias("k"), "amt", "opt",
+            (F.col("ts") + F.expr("INTERVAL 500 DAYS")).alias("ts"),
+        ),
+        "t",
+    )
+    sc = spark.sparkContext
+    sc.setJobGroup("stats_scalar_probe", "must run zero jobs")
+    try:
+        got = {
+            "count": store.stats_scalar("t", "count"),
+            "count_opt": store.stats_scalar("t", "count_col", "opt"),
+            "min_amt": store.stats_scalar("t", "min", "amt"),
+            "max_amt": store.stats_scalar("t", "max", "amt"),
+            "min_ts": store.stats_scalar("t", "min", "ts"),
+            "max_ts": store.stats_scalar("t", "max", "ts"),
+        }
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    assert not sc.statusTracker().getJobIdsForGroup(
+        "stats_scalar_probe"
+    ), "stats_scalar triggered Spark jobs — it must read only manifests"
+    assert got["count"] == 1000
+    assert got["count_opt"] == 800  # every 5th of 1000 rows is NULL
+    # amt repeats across the two batches: max is 499 * 2.5
+    assert got["min_amt"] == 0.0 and got["max_amt"] == 499 * 2.5
+    assert got["min_ts"] == dt.datetime(2001, 1, 1)
+    assert got["max_ts"] == dt.datetime(2001, 1, 1) + dt.timedelta(
+        days=999
+    )
+    # the real aggregates agree (the exactness contract)
+    real = store.read("t").agg(
+        F.count(F.lit(1)), F.count("opt"), F.min("amt"), F.max("amt"),
+        F.min("ts"), F.max("ts"),
+    ).collect()[0]
+    assert list(real) == [
+        got["count"], got["count_opt"], got["min_amt"], got["max_amt"],
+        got["min_ts"], got["max_ts"],
+    ]
+
+
+def test_stats_scalar_refusals(spark, tmp_path):
+    """Never silently approximate: strings refuse (truncation), files
+    without the extension refuse, unknown aggs/missing col refuse;
+    version pinning answers from the pinned snapshot."""
+    import pytest
+
+    store = TableStore(spark, str(tmp_path))
+    df = spark.range(100).select(
+        F.col("id").alias("k"),
+        F.format_string("n%03d", F.col("id")).alias("name"),
+        F.col("id").alias("v"),
+    )
+    store.overwrite_keyed(df, "t", "k", n_buckets=2, versioned=True)
+    v1 = store.latest_version("t")
+    with pytest.raises(ValueError, match="string"):
+        store.stats_scalar("t", "max", "name")
+    with pytest.raises(ValueError, match="agg must be"):
+        store.stats_scalar("t", "sum", "v")
+    with pytest.raises(ValueError, match="needs col"):
+        store.stats_scalar("t", "min")
+    # pinned snapshot: the upsert's larger values are invisible at v1
+    store.upsert(
+        spark.range(100, 120).select(
+            F.col("id").alias("k"),
+            F.lit("zz").alias("name"),
+            (F.col("id") * 10).alias("v"),
+        ),
+        "t",
+        "k",
+    )
+    assert store.stats_scalar("t", "max", "v") == 1190
+    assert store.stats_scalar("t", "max", "v", version=v1) == 99
+    assert store.stats_scalar("t", "count", version=v1) == 100
+
+
+def test_stats_scalar_all_null_and_legacy(spark, tmp_path, monkeypatch):
+    """MIN/MAX over an all-NULL column returns None (SQL semantics);
+    a legacy manifest without the extension refuses COUNT loudly."""
+    import pytest
+
+    from datapipelinerepo_spark import io as io_mod
+
+    store = TableStore(spark, str(tmp_path / "a"))
+    df = spark.range(50).select(
+        F.col("id").alias("k"),
+        F.lit(None).cast("double").alias("empty"),
+    )
+    store.overwrite_keyed(df, "t", "k", n_buckets=2, versioned=True)
+    assert store.stats_scalar("t", "min", "empty") is None
+    assert store.stats_scalar("t", "count_col", "empty") == 0
+    orig = io_mod.TableStore._file_stats
+
+    def legacy(self, name, rel):
+        return {
+            c: s[:2] for c, s in orig(self, name, rel).items()
+            if s[0] is not None
+        }
+
+    monkeypatch.setattr(io_mod.TableStore, "_file_stats", legacy)
+    store2 = TableStore(spark, str(tmp_path / "b"))
+    store2.overwrite_keyed(
+        spark.range(10).select(F.col("id").alias("k")),
+        "t", "k", n_buckets=2, versioned=True,
+    )
+    with pytest.raises(ValueError, match="COUNT"):
+        store2.stats_scalar("t", "count")
+    # min/max still answer from the legacy [min, max] entries
+    assert store2.stats_scalar("t", "max", "k") == 9
+
+
+def test_max_value_answers_from_stats_on_versioned(spark, tmp_path):
+    """The A1 watermark fetch rides the stats fast path on versioned
+    tables: zero Spark jobs, same value as the scan; unversioned
+    tables still scan (and agree)."""
+    import datetime as dt
+
+    store = TableStore(spark, str(tmp_path))
+    df = spark.range(200).select(
+        F.col("id").alias("k"),
+        (
+            F.lit(dt.datetime(2002, 3, 1))
+            + F.make_interval(days=F.col("id").cast("int"))
+        ).alias("d"),
+    )
+    store.overwrite_keyed(df, "v", "k", n_buckets=2, versioned=True)
+    sc = spark.sparkContext
+    sc.setJobGroup("wm_probe", "watermark must run zero jobs")
+    try:
+        wm = store.max_value("v", "d")
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    assert not sc.statusTracker().getJobIdsForGroup("wm_probe")
+    assert wm == dt.datetime(2002, 3, 1) + dt.timedelta(days=199)
+    # unversioned: the scan path still owns it, same answer
+    store.overwrite(df, "plain")
+    assert store.max_value("plain", "d") == wm
+
+
+# --- r13 continuation: SQL UPDATE verb --------------------------------
+
+
+def test_update_where_basic_semantics(spark, tmp_path):
+    """UPDATE ... SET ... WHERE on a versioned keyed table: matched
+    rows get the new values (RHS sees the PRE-update row — the
+    column-swap case), unmatched and NULL-predicate rows keep theirs,
+    only matched buckets rewrite, and prior snapshots still read the
+    old values."""
+    import pytest
+
+    store = TableStore(spark, str(tmp_path))
+    df = spark.range(400).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 37).alias("cust"),
+        (F.col("id") * 1.0).alias("a"),
+        (F.col("id") * 2.0).alias("b"),
+    )
+    store.overwrite_keyed(df, "t", "k", n_buckets=8, versioned=True)
+    v1 = store.latest_version("t")
+    affected = store.update_where(
+        "t", {"a": F.col("b"), "b": F.col("a")},
+        condition=F.col("cust") == 5,
+    )
+    assert affected and len(affected) <= 8
+    rows = {r["k"]: (r["a"], r["b"]) for r in store.read("t").collect()}
+    for k in range(400):
+        if k % 37 == 5:
+            assert rows[k] == (k * 2.0, k * 1.0)  # swapped
+        else:
+            assert rows[k] == (k * 1.0, k * 2.0)
+    # time travel: the pre-update snapshot is intact
+    old = {
+        r["k"]: (r["a"], r["b"])
+        for r in store.read("t", version=v1).collect()
+    }
+    assert all(old[k] == (k * 1.0, k * 2.0) for k in range(400))
+    # literals and SQL strings as RHS; dtype preserved via cast
+    store.update_where(
+        "t", {"a": 0, "b": "a + 1"}, condition="cust = 6"
+    )
+    r6 = [r for r in store.read("t").collect() if r["cust"] == 6]
+    assert all(r["a"] == 0.0 for r in r6)
+    assert all(r["b"] == (r["k"] * 2.0 if r["k"] % 37 == 5 else r["k"] * 1.0) + 1 for r in r6)
+    # nothing matched: no rewrite
+    assert store.update_where("t", {"a": 1.0}, condition="cust = 999") == []
+    # validation: key columns refuse, unknown columns refuse
+    with pytest.raises(ValueError, match="key column"):
+        store.update_where("t", {"k": 0}, condition="cust = 1")
+    with pytest.raises(ValueError, match="non-existent"):
+        store.update_where("t", {"zz": 0}, condition="cust = 1")
+    with pytest.raises(ValueError, match="exactly one"):
+        store.update_where("t", {"a": 1.0})
+
+
+def test_update_where_planner_and_constraints(spark, tmp_path):
+    """where= planner specs drive the find phase; declared constraints
+    judge the post-update matched rows (a violating assignment
+    refuses, untouched legacy rows cannot wedge)."""
+    import pytest
+
+    from datapipelinerepo_spark.io import Prefix
+
+    store = TableStore(spark, str(tmp_path))
+    df = spark.range(300).select(
+        F.col("id").alias("k"),
+        F.format_string("u%04d", F.col("id")).alias("name"),
+        (F.col("id") % 11).alias("cust"),
+        (F.col("id") * 1.0).alias("amt"),
+    )
+    store.overwrite_keyed(df, "t", "k", n_buckets=4, versioned=True)
+    store.build_bloom_index("t", "cust", m_bits=1 << 12)
+    affected = store.update_where(
+        "t", {"amt": F.col("amt") + 100.0}, where={"cust": 7}
+    )
+    assert affected
+    got = {r["k"]: r["amt"] for r in store.read("t").collect()}
+    assert all(
+        got[k] == (k + 100.0 if k % 11 == 7 else float(k))
+        for k in range(300)
+    )
+    # prefix-spec update
+    store.update_where(
+        "t", {"amt": -1.0}, where={"name": Prefix("u000")}
+    )
+    got = {r["k"]: r["amt"] for r in store.read("t").collect()}
+    assert all(got[k] == -1.0 for k in range(10))
+    # constraint: refuse an assignment that violates it
+    store.set_constraints("t", {"amt_nonneg": "amt >= -1"})
+    with pytest.raises(Exception, match="amt_nonneg"):
+        store.update_where("t", {"amt": -5.0}, where={"cust": 3})
+    # the refused update left state untouched
+    got2 = {r["k"]: r["amt"] for r in store.read("t").collect()}
+    assert got2 == got
+    # unkeyed fallback: full rewrite, same semantics
+    store.overwrite(
+        spark.range(10).select(F.col("id").alias("x"), F.lit(1.0).alias("y")),
+        "plain",
+    )
+    assert store.update_where(
+        "plain", {"y": 9.0}, condition="x >= 5"
+    ) == [-1]
+    ys = {r["x"]: r["y"] for r in store.read("plain").collect()}
+    assert all(ys[x] == (9.0 if x >= 5 else 1.0) for x in range(10))
+
+
+def test_update_where_feeds_cdf(spark, tmp_path):
+    """update_where composes with CHANGE DATA FEED: the rewritten
+    buckets diff to exactly the matched rows' update_preimage/
+    update_postimage pairs — no phantom inserts/deletes from the
+    unmatched rows that rewrote bit-identically."""
+    store = TableStore(spark, str(tmp_path))
+    df = spark.range(200).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 13).alias("cust"),
+        (F.col("id") * 1.0).alias("amt"),
+    )
+    store.overwrite_keyed(df, "t", "k", n_buckets=4, versioned=True)
+    v1 = store.latest_version("t")
+    store.update_where("t", {"amt": F.col("amt") + 1000.0},
+                       condition="cust = 4")
+    ch = store.table_changes("t", v1).collect()
+    by_type: dict = {}
+    for r in ch:
+        by_type.setdefault(r["_change_type"], []).append(r)
+    assert set(by_type) == {"update_preimage", "update_postimage"}
+    matched = [k for k in range(200) if k % 13 == 4]
+    assert sorted(r["k"] for r in by_type["update_preimage"]) == matched
+    assert sorted(r["k"] for r in by_type["update_postimage"]) == matched
+    assert all(r["amt"] == r["k"] + 1000.0 for r in by_type["update_postimage"])
+    assert all(r["amt"] == float(r["k"]) for r in by_type["update_preimage"])

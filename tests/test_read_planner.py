@@ -344,3 +344,321 @@ def test_planner_composite_key_tuple_routing(spark, tmp_path):
         .collect()
     )
     assert got2 == exp2
+
+
+# --- r13 continuation: null-count stats + IS_NULL/NOT_NULL/Prefix -----
+
+
+def _mk_nullable(spark, tmp_path, prefix="tn"):
+    """A versioned keyed table loaded as TWO appended batches with
+    opposite nullability of ``note``: the base write's rows all carry
+    a value, the appended batch's rows are all NULL — so per-file
+    null-count stats can separate the batches (appends never rewrite
+    existing files)."""
+    store = TableStore(spark, str(tmp_path / prefix))
+    base = spark.range(500).select(
+        F.col("id").alias("k"),
+        F.format_string("w%05d", F.col("id")).alias("note"),
+        (F.col("id") % 7).alias("g"),
+    )
+    extra = spark.range(500, 800).select(
+        F.col("id").alias("k"),
+        F.lit(None).cast("string").alias("note"),
+        (F.col("id") % 7).alias("g"),
+    )
+    store.overwrite_keyed(base, "t", "k", n_buckets=4, versioned=True)
+    store.append(extra, "t")
+    return store, base.unionByName(extra)
+
+
+def test_is_null_and_not_null_prune_and_match(spark, tmp_path):
+    from datapipelinerepo_spark.io import IS_NULL, NOT_NULL
+
+    store, df = _mk_nullable(spark, tmp_path)
+    keep, rep = store.plan_read("t", {"note": IS_NULL})
+    total = rep["total_files"]
+    pr = rep["columns"]["note"]["pruners"]
+    assert pr["bloom"] is None and pr["bucket"] is None
+    assert 0 < pr["stats"]["kept"] < total  # base files pruned
+    got = sorted(
+        r["k"] for r in store.read("t", where={"note": IS_NULL}).collect()
+    )
+    assert got == list(range(500, 800))
+
+    keep, rep = store.plan_read("t", {"note": NOT_NULL})
+    assert 0 < rep["columns"]["note"]["pruners"]["stats"]["kept"] < total
+    got = sorted(
+        r["k"] for r in store.read("t", where={"note": NOT_NULL}).collect()
+    )
+    assert got == list(range(500))
+
+
+def test_null_specs_compose_with_value_conjuncts_and_dnf(spark, tmp_path):
+    from datapipelinerepo_spark.io import IS_NULL, NOT_NULL
+
+    store, df = _mk_nullable(spark, tmp_path)
+    got = sorted(
+        r["k"]
+        for r in store.read(
+            "t", where={"note": NOT_NULL, "g": 3}
+        ).collect()
+    )
+    exp = sorted(
+        r["k"]
+        for r in df.filter(
+            F.col("note").isNotNull() & (F.col("g") == 3)
+        ).collect()
+    )
+    assert got == exp and got
+    # DNF: IS NULL on one branch OR a key range on the other
+    got = sorted(
+        r["k"]
+        for r in store.read(
+            "t", where=[{"note": IS_NULL}, {"k": slice(0, 9)}]
+        ).collect()
+    )
+    exp = sorted(
+        r["k"]
+        for r in df.filter(
+            F.col("note").isNull() | F.col("k").between(0, 9)
+        ).collect()
+    )
+    assert got == exp and got
+
+
+def test_value_probe_skips_all_null_files(spark, tmp_path):
+    """An equality/range probe never matches NULL, so a file whose
+    null-count stats prove the column is ALL NULL is skipped even
+    though it has no [min, max] to compare (pre-r13 those files were
+    always kept)."""
+    store, df = _mk_nullable(spark, tmp_path)
+    keep, rep = store.plan_read("t", {"note": "w00007"})
+    total = rep["total_files"]
+    # all-NULL appended files pruned via the stats route
+    assert rep["columns"]["note"]["pruners"]["stats"]["kept"] < total
+    got = [
+        r["k"] for r in store.read("t", where={"note": "w00007"}).collect()
+    ]
+    assert got == [7]
+
+
+def test_is_null_keeps_files_that_predate_the_column(spark, tmp_path):
+    """Schema-evolution false-negative trap: files written BEFORE a
+    column was added have no stats entry for it, but their rows read
+    back as NULL under schema merge — an IS_NULL probe must keep
+    them."""
+    from datapipelinerepo_spark.io import IS_NULL, NOT_NULL
+
+    store = TableStore(spark, str(tmp_path / "evo"))
+    store.overwrite_keyed(
+        spark.range(100).select(F.col("id").alias("k")),
+        "t", "k", n_buckets=2, versioned=True,
+    )
+    store.append(
+        spark.range(100, 150).select(
+            F.col("id").alias("k"),
+            F.format_string("x%d", F.col("id")).alias("late"),
+        ),
+        "t",
+    )
+    got = sorted(
+        r["k"] for r in store.read("t", where={"late": IS_NULL}).collect()
+    )
+    assert got == list(range(100))
+    got = sorted(
+        r["k"] for r in store.read("t", where={"late": NOT_NULL}).collect()
+    )
+    assert got == list(range(100, 150))
+
+
+def test_null_probe_on_legacy_stats_is_inert_and_warns(spark, tmp_path, monkeypatch):
+    """Manifests carried forward from pre-null-count publishes hold
+    2-element entries: null probes keep every file (correct, slower)
+    and warn that the route is inert."""
+    import warnings as _w
+
+    from datapipelinerepo_spark import io as io_mod
+    from datapipelinerepo_spark.io import IS_NULL
+
+    orig = io_mod.TableStore._file_stats
+
+    def legacy(self, name, rel):
+        return {
+            c: s[:2] for c, s in orig(self, name, rel).items()
+            if s[0] is not None
+        }
+
+    monkeypatch.setattr(io_mod.TableStore, "_file_stats", legacy)
+    store, df = _mk_nullable(spark, tmp_path, prefix="leg")
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        keep, rep = store.plan_read("t", {"note": IS_NULL})
+    assert rep["columns"]["note"]["pruners"]["stats"]["kept"] == (
+        rep["total_files"]
+    )
+    assert any("null-count stats" in str(w.message) for w in rec)
+    got = sorted(
+        r["k"] for r in store.read("t", where={"note": IS_NULL}).collect()
+    )
+    assert got == list(range(500, 800))
+
+
+def test_prefix_spec_prunes_clustered_strings(spark, tmp_path):
+    from datapipelinerepo_spark.io import Prefix
+
+    store, df = _mk_nullable(spark, tmp_path)
+    # note is formatted from k, and the appended all-NULL files are
+    # prunable too — both routes feed the same stats pruner
+    keep, rep = store.plan_read("t", {"note": Prefix("w0000")})
+    total = rep["total_files"]
+    pr = rep["columns"]["note"]["pruners"]
+    assert pr["bloom"] is None and pr["bucket"] is None
+    assert pr["stats"]["kept"] < total  # all-NULL appended files skip
+    got = sorted(
+        r["k"]
+        for r in store.read("t", where={"note": Prefix("w0000")}).collect()
+    )
+    assert got == list(range(10))
+    # a prefix matching nothing: exact filter returns empty
+    assert (
+        store.read("t", where={"note": Prefix("zz")}).count() == 0
+    )
+
+
+def test_prefix_spec_on_slab_layout_prunes_value_files(spark, tmp_path):
+    """With the table loaded as note-slab APPENDS (each batch covers a
+    narrow note range — the natural layout of a monotone ingest key),
+    per-file [min, max] intervals are narrow and a prefix probe opens
+    a strict subset of the VALUE-bearing files."""
+    from datapipelinerepo_spark.io import Prefix
+
+    store = TableStore(spark, str(tmp_path / "srt"))
+    df = spark.range(4000).select(
+        F.col("id").alias("k"),
+        F.format_string("w%05d", F.col("id")).alias("note"),
+    )
+    store.overwrite_keyed(
+        df.filter(F.col("k") < 1000), "t", "k", n_buckets=8,
+        versioned=True,
+    )
+    for lo in (1000, 2000, 3000):
+        store.append(
+            df.filter(F.col("k").between(lo, lo + 999)), "t"
+        )
+    keep, rep = store.plan_read("t", {"note": Prefix("w003")})
+    # only the first slab's files can hold w003xx
+    assert 0 < rep["kept_files"] <= rep["total_files"] // 4
+    got = sorted(
+        r["k"]
+        for r in store.read("t", where={"note": Prefix("w003")}).collect()
+    )
+    assert got == list(range(300, 400))
+
+
+def test_prefix_validation_and_next_prefix_edges(spark, tmp_path):
+    from datapipelinerepo_spark.io import Prefix, TableStore as TS
+
+    with pytest.raises(ValueError):
+        Prefix("")
+    with pytest.raises(ValueError):
+        Prefix(5)
+    assert TS._next_prefix("a") == "b"
+    assert TS._next_prefix("az") == "a{"
+    # carry over a maxed-out last code point
+    assert TS._next_prefix("a" + chr(0x10FFFF)) == "b"
+    # surrogate block skipped: U+D7FF increments to U+E000
+    assert TS._next_prefix(chr(0xD7FF)) == chr(0xE000)
+    # every code point maxed: no upper bound
+    assert TS._next_prefix(chr(0x10FFFF) * 3) is None
+
+
+def test_delete_where_planner_specs(spark, tmp_path):
+    """delete_where(where=...) — the find phase rides the planner.
+    Same end state as the condition= form; spec validation rejects
+    ambiguous calls and unversioned tables."""
+    from datapipelinerepo_spark.io import IS_NULL
+
+    store = TableStore(spark, str(tmp_path / "dw"))
+    df = spark.range(600).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 37).alias("cust"),
+        F.when(F.col("id") % 4 != 0, F.col("id") % 9).alias("opt"),
+    )
+    store.overwrite_keyed(df, "t", "k", n_buckets=8, versioned=True)
+    store.build_bloom_index("t", "cust", m_bits=1 << 14)
+    # delete by bloom-indexed equality
+    affected = store.delete_where("t", where={"cust": 13})
+    assert affected  # some buckets rewrote
+    got = sorted(r["k"] for r in store.read("t").collect())
+    assert got == [k for k in range(600) if k % 37 != 13]
+    # delete NULL rows via the null route
+    store.delete_where("t", where={"opt": IS_NULL})
+    got = sorted(r["k"] for r in store.read("t").collect())
+    assert got == [
+        k for k in range(600) if k % 37 != 13 and k % 4 != 0
+    ]
+    # DNF form
+    store.delete_where(
+        "t", where=[{"cust": 1}, {"k": slice(500, 599)}]
+    )
+    got = sorted(r["k"] for r in store.read("t").collect())
+    assert got == [
+        k for k in range(600)
+        if k % 37 not in (13, 1) and k % 4 != 0 and k < 500
+    ]
+    # empty match: no buckets touched
+    assert store.delete_where("t", where={"cust": 999}) == []
+    # validation
+    with pytest.raises(ValueError, match="exactly one"):
+        store.delete_where("t")
+    with pytest.raises(ValueError, match="exactly one"):
+        store.delete_where("t", F.col("cust") == 1, where={"cust": 1})
+    store.overwrite(
+        spark.range(5).select(F.col("id").alias("x")), "plain"
+    )
+    with pytest.raises(ValueError, match="versioned keyed"):
+        store.delete_where("plain", where={"x": 1})
+
+
+def test_stats_coverage_operability_verb(spark, tmp_path, monkeypatch):
+    """stats_coverage: per-column minmax/null-count file coverage —
+    the 'why is my probe inert' dashboard. Full coverage after engine
+    writes; legacy entries show nulls=0 while minmax stays; renamed
+    columns report under their LOGICAL name."""
+    from datapipelinerepo_spark import io as io_mod
+
+    store = TableStore(spark, str(tmp_path / "cov"))
+    df = spark.range(100).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 1.0).alias("amt"),
+        F.format_string("s%d", F.col("id")).alias("name"),
+    )
+    store.overwrite_keyed(df, "t", "k", n_buckets=2, versioned=True)
+    cov = store.stats_coverage("t")
+    n = cov["k"]["total"]
+    assert n > 0
+    for c in ("k", "amt", "name"):
+        assert cov[c]["minmax"] == n and cov[c]["nulls"] == n, cov
+    # rename: the report keys by logical name
+    store.rename_column("t", "amt", "amount")
+    cov = store.stats_coverage("t")
+    assert "amount" in cov and "amt" not in cov
+    assert cov["amount"]["minmax"] == cov["amount"]["total"]
+    # legacy (pre-extension) entries: minmax covered, nulls not
+    orig = io_mod.TableStore._file_stats
+
+    def legacy(self, name, rel):
+        return {
+            c: s[:2] for c, s in orig(self, name, rel).items()
+            if s[0] is not None
+        }
+
+    monkeypatch.setattr(io_mod.TableStore, "_file_stats", legacy)
+    store2 = TableStore(spark, str(tmp_path / "leg2"))
+    store2.overwrite_keyed(
+        spark.range(50).select(F.col("id").alias("k")),
+        "t", "k", n_buckets=2, versioned=True,
+    )
+    cov2 = store2.stats_coverage("t")
+    assert cov2["k"]["minmax"] == cov2["k"]["total"]
+    assert cov2["k"]["nulls"] == 0

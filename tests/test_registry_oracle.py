@@ -183,6 +183,14 @@ _SF1_NAMES = [
     "store_bloom_conjunctive_read",
     "store_bloom_inlist_read",
     "store_group_point_read",
+    # r13 continuation: null-count/prefix planner routes, the element
+    # bloom index, and the stats-answered scalars — outputs are
+    # filtered slices or one aggregate row (all collectable); the
+    # per-file skip arithmetic is the scale exercise
+    "store_read_planned_nulls",
+    "store_read_planned_prefix",
+    "store_bloom_element_read",
+    "store_stats_scalar_agg",
 ]
 
 
