@@ -1552,6 +1552,142 @@ class TableStore:
                 best = min(best, b) if agg == "min" else max(best, b)
         return self._stat_decode(best, dtype)
 
+    def count_where(
+        self,
+        name: str,
+        where: dict,
+        version: int | None = None,
+        with_report: bool = False,
+    ):
+        """EXACT planned COUNT (partial aggregate pushdown — the
+        row-group-count trick DuckDB/Delta play on parquet, done at
+        the manifest level): count the rows matching ONE conjunct
+        dict (the read(where=) grammar) by splitting the snapshot's
+        files three ways — files the pruners prove can hold NO match
+        contribute zero, files the stats prove EVERY row matches
+        contribute their recorded row count with no I/O, and only the
+        BOUNDARY files (partial overlap) scan, with the exact
+        predicate applied. "How many events in March" on a date-slab
+        table reads the two edge files at any table size; a
+        slab-aligned range (or a pure IS_NULL/NOT_NULL conjunct on a
+        fully-extended snapshot) costs ZERO Spark jobs.
+
+        ALL-match proofs are conservative: every value kind demands a
+        recorded zero null count (predicates never match NULL), range
+        containment compares in the order-preserving stat encoding,
+        prefix containment uses [p, next_prefix(p)) (writer-truncated
+        string stats under-run the min and over-run the max, which is
+        exactly the safe direction for a containment proof), and
+        membership (Has) never proves ALL — bloom can only prove
+        absence. Returns the exact count; ``with_report=True`` returns
+        ``(count, {"total_files", "pruned", "stats_counted",
+        "scanned", "rows_from_stats"})`` — the observability twin."""
+        if not isinstance(where, dict) or not where:
+            raise ValueError(
+                "count_where takes ONE conjunct dict ({col: spec}) — "
+                "count a disjunction as branch counts minus overlaps, "
+                "or scan read(where=[...])"
+            )
+        if not self.is_versioned(name):
+            raise ValueError(
+                f"{name}: count_where needs a versioned table (the "
+                "stats live in the snapshot manifests)"
+            )
+        v = self._ensure_latest(name) if version is None else version
+        doc = self._manifest_doc(name, v)
+        stats = doc.get("stats", {})
+        cm_renames = (doc.get("colmap") or {}).get("renames", {})
+        keep_set, _cols = self._plan_branch(name, where, v, doc)
+        specs = [
+            (cm_renames.get(c, c), *self._classify_spec(c, spec))
+            for c, spec in where.items()
+        ]
+        from_stats = 0
+        n_full = 0
+        boundary: list[str] = []
+        for f in doc["files"]:
+            if f not in keep_set:
+                continue
+            fs = stats.get(f, {})
+            proven = all(
+                self._proves_all_match(fs.get(phys), kind, payload)
+                for phys, kind, payload in specs
+            )
+            rows = next(
+                (
+                    s[3] for s in fs.values()
+                    if len(s) >= 4 and s[3] is not None
+                ),
+                None,
+            )
+            if proven and rows is not None:
+                from_stats += rows
+                n_full += 1
+            else:
+                boundary.append(f)
+        n = from_stats
+        if boundary:
+            n += (
+                self._scan_files(name, v, doc, boundary)
+                .filter(self._branch_expr(where))
+                .count()
+            )
+        if not with_report:
+            return n
+        return n, {
+            "total_files": len(doc["files"]),
+            "pruned": len(doc["files"]) - len(keep_set),
+            "stats_counted": n_full,
+            "scanned": len(boundary),
+            "rows_from_stats": from_stats,
+        }
+
+    @classmethod
+    def _proves_all_match(cls, s, kind: str, payload) -> bool:
+        """True when a file's stats entry PROVES every row satisfies
+        the conjunct — count_where's no-I/O contribution test. Absent
+        entries, legacy 2-element entries, unknown nulls, and
+        membership probes all return False (scan owns it)."""
+        if s is None:
+            return False
+        nulls_known = (
+            len(s) >= 4 and s[2] is not None and s[3] is not None
+        )
+        if kind == "isnull":
+            return nulls_known and s[2] == s[3]
+        # every value kind needs zero NULLs: a NULL row never matches
+        if not nulls_known or s[2] != 0:
+            return False
+        if kind == "notnull":
+            return True
+        mn, mx = s[0], s[1]
+        if mn is None or mx is None:
+            return False
+        try:
+            if kind == "range":
+                lo = cls._stat_val(payload[0])
+                hi = cls._stat_val(payload[1])
+                return (
+                    lo is not None and hi is not None
+                    and lo <= mn and mx <= hi
+                )
+            if kind == "eq":
+                val = cls._stat_val(payload[0])
+                return val is not None and mn == val and mx == val
+            if kind == "in":
+                vs = {cls._stat_val(p) for p in payload}
+                return None not in vs and mn == mx and mn in vs
+            if kind == "prefix":
+                p = payload[0]
+                hi = cls._next_prefix(p)
+                return (
+                    isinstance(mn, str) and isinstance(mx, str)
+                    and mn >= p and (hi is None or mx < hi)
+                )
+        except TypeError:
+            return False
+        return False  # has / unknown kinds: a scan owns it
+
     @staticmethod
     def _stat_decode(v, dtype: str | None):
         """Invert _stat_val's order-preserving encoding back to the

@@ -8319,3 +8319,105 @@ def store_update_where(spark, sf_dir):
             F.col("o_orderstatus").alias("status"),
         )
     )
+
+
+@register(
+    "store_count_planned",
+    sql="""
+    SELECT
+      COUNT(CASE WHEN o_orderdate
+              BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                  AND TIMESTAMP '1996-12-31 23:59:59'
+            THEN 1 END) AS n_1996,
+      COUNT(CASE WHEN o_orderdate
+              BETWEEN TIMESTAMP '1996-07-01 00:00:00'
+                  AND TIMESTAMP '1998-06-30 23:59:59'
+            THEN 1 END) AS n_mid,
+      COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_null,
+      COUNT(CASE WHEN o_orderpriority = '1-URGENT'
+                  AND o_orderdate
+                      BETWEEN TIMESTAMP '1997-01-01 00:00:00'
+                          AND TIMESTAMP '1997-12-31 23:59:59'
+            THEN 1 END) AS n_conj
+    FROM orders
+    """,
+)
+def store_count_planned(spark, sf_dir):
+    """PLANNED exact COUNT, hash-checked (io.TableStore.count_where —
+    r13 continuation; partial aggregate pushdown at the manifest
+    level): orders load as year slabs with a nullable ``note`` column
+    (NULL exactly where o_orderstatus = 'F'), then four counts run
+    through the planner's three-way file split — pruned files
+    contribute zero, files whose stats PROVE every row matches
+    contribute their recorded row count with no I/O, boundary files
+    scan with the exact predicate. In-query guards: the slab-ALIGNED
+    year count comes entirely from stats (scanned == 0 — "how many
+    rows in 1996" is a metadata read at any table size), the
+    straddling two-year count scans ONLY boundary files
+    (0 < scanned < total with stats_counted > 0 — the middle slabs
+    never scan), and the IS_NULL count is answered by the null-count
+    extension. All four hash-match the oracle's full-scan conditional
+    counts — exactness, never estimation."""
+    import datetime as dt
+
+    from .io import IS_NULL
+
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority", "o_orderdate"
+    ).withColumn(
+        "note",
+        F.when(
+            F.col("o_orderstatus") != "F", F.col("o_orderpriority")
+        ),
+    )
+    store, finish = _ephemeral_store(spark, "cwp_")
+    store.overwrite_keyed(
+        orders.filter(F.year("o_orderdate") <= 1995),
+        "t", "o_orderkey", n_buckets=4, versioned=True,
+    )
+    for y in range(1996, 2002):
+        store.append(orders.filter(F.year("o_orderdate") == y), "t")
+
+    n_1996, rep = store.count_where(
+        "t",
+        {"o_orderdate": slice(
+            dt.datetime(1996, 1, 1), dt.datetime(1996, 12, 31, 23, 59, 59)
+        )},
+        with_report=True,
+    )
+    _require(
+        rep["scanned"] == 0 and rep["rows_from_stats"] == n_1996,
+        f"slab-aligned count must be stats-only: {rep}",
+    )
+    _require(
+        0 < rep["pruned"],
+        f"aligned count pruned nothing: {rep}",
+    )
+    n_mid, rep_mid = store.count_where(
+        "t",
+        {"o_orderdate": slice(
+            dt.datetime(1996, 7, 1), dt.datetime(1998, 6, 30, 23, 59, 59)
+        )},
+        with_report=True,
+    )
+    _require(
+        0 < rep_mid["scanned"] < rep_mid["total_files"]
+        and rep_mid["stats_counted"] > 0,
+        f"straddling count must scan only boundaries: {rep_mid}",
+    )
+    n_null = store.count_where("t", {"note": IS_NULL})
+    n_conj = store.count_where(
+        "t",
+        {
+            "o_orderpriority": "1-URGENT",
+            "o_orderdate": slice(
+                dt.datetime(1997, 1, 1),
+                dt.datetime(1997, 12, 31, 23, 59, 59),
+            ),
+        },
+    )
+    out = spark.createDataFrame(
+        [(n_1996, n_mid, n_null, n_conj)],
+        "n_1996 bigint, n_mid bigint, n_null bigint, n_conj bigint",
+    )
+    return finish(out)

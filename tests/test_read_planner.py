@@ -662,3 +662,64 @@ def test_stats_coverage_operability_verb(spark, tmp_path, monkeypatch):
     cov2 = store2.stats_coverage("t")
     assert cov2["k"]["minmax"] == cov2["k"]["total"]
     assert cov2["k"]["nulls"] == 0
+
+
+def test_count_where_partial_pushdown(spark, tmp_path):
+    """count_where: slab-aligned predicates count from stats with
+    ZERO jobs; partial overlaps scan only the boundary files; results
+    are exact across spec shapes."""
+    from datapipelinerepo_spark.io import IS_NULL, NOT_NULL
+
+    store = TableStore(spark, str(tmp_path / "cw"))
+    df = spark.range(1000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 53).alias("cust"),
+        F.when(F.col("id") % 3 != 0, F.col("id")).alias("opt"),
+    )
+    # k-slab appends: files narrow in k
+    store.overwrite_keyed(
+        df.filter(F.col("k") < 250), "t", "k", n_buckets=4,
+        versioned=True,
+    )
+    for lo in (250, 500, 750):
+        store.append(df.filter(F.col("k").between(lo, lo + 249)), "t")
+
+    sc = spark.sparkContext
+    sc.setJobGroup("cw_probe", "aligned count must run zero jobs")
+    try:
+        n, rep = store.count_where(
+            "t", {"k": slice(250, 499)}, with_report=True
+        )
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    assert n == 250
+    assert rep["scanned"] == 0 and rep["rows_from_stats"] == 250
+    assert rep["pruned"] > 0
+    assert not sc.statusTracker().getJobIdsForGroup("cw_probe")
+
+    # partial overlap: boundary files scan, count stays exact
+    n, rep = store.count_where(
+        "t", {"k": slice(100, 899)}, with_report=True
+    )
+    assert n == 800
+    assert 0 < rep["scanned"] < rep["total_files"]
+    assert rep["stats_counted"] > 0  # the fully-covered middle slabs
+
+    # NULL specs: the extension proves whole files
+    assert store.count_where("t", {"opt": NOT_NULL}) == sum(
+        1 for k in range(1000) if k % 3 != 0
+    )
+    assert store.count_where("t", {"opt": IS_NULL}) == sum(
+        1 for k in range(1000) if k % 3 == 0
+    )
+    # conjunction: value condition forces a scan, exactness holds
+    assert store.count_where(
+        "t", {"k": slice(0, 499), "cust": 7}
+    ) == sum(1 for k in range(500) if k % 53 == 7)
+    # validation
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="ONE conjunct"):
+        store.count_where("t", [{"k": 1}])
+    with _pt.raises(ValueError, match="ONE conjunct"):
+        store.count_where("t", {})

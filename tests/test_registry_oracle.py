@@ -191,6 +191,7 @@ _SF1_NAMES = [
     "store_read_planned_prefix",
     "store_bloom_element_read",
     "store_stats_scalar_agg",
+    "store_count_planned",
 ]
 
 
