@@ -447,6 +447,7 @@ def main() -> None:
     samples = []
     planned_samples: list[float] = []
     key_samples: list[float] = []
+    count_samples: list[float] = []
     wdir = tempfile.mkdtemp(prefix="bench_bloom_")
     try:
         store = TableStore(spark, os.path.join(wdir, "store"))
@@ -483,6 +484,21 @@ def main() -> None:
                 "noop"
             ).mode("overwrite").save()
             key_samples.append(time.perf_counter() - t0)
+        # r13 continuation: the stats-proven COUNT — every file proves
+        # ALL rows match a NOT_NULL conjunct (zero recorded nulls), so
+        # the count is a pure manifest fold: ZERO Spark jobs. Timed so
+        # a regression that silently demotes the proof to a scan shows
+        # as this row jumping from milliseconds to scan time.
+        from datapipelinerepo_spark.io import NOT_NULL
+
+        n_expect = base.count()
+        for _ in range(RUNS):
+            t0 = time.perf_counter()
+            n, rep = store.count_where(
+                "t", {"o_totalprice": NOT_NULL}, with_report=True
+            )
+            count_samples.append(time.perf_counter() - t0)
+        assert n == n_expect and rep["scanned"] == 0
     finally:
         shutil.rmtree(wdir, ignore_errors=True)
     samples.sort()
@@ -501,6 +517,13 @@ def main() -> None:
     )
     spread["store_planned_key_probe_verb"] = round(
         key_samples[-1] - key_samples[0], 3
+    )
+    count_samples.sort()
+    times["store_planned_count_verb"] = round(
+        count_samples[RUNS // 2], 3
+    )
+    spread["store_planned_count_verb"] = round(
+        count_samples[-1] - count_samples[0], 3
     )
 
     # Machine calibration row (VERDICT r12 item 2): a FROZEN,

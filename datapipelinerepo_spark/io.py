@@ -1505,11 +1505,20 @@ class TableStore:
                     raise ValueError(
                         f"{name}: stats cannot answer COUNT(*) — file "
                         f"{f!r} carries no row-count extension (pre-"
-                        "extension manifest; compact() republishes it)"
+                        "extension manifest; compact(name, max_files_per_bucket=0) rewrites every bucket and republishes it)"
                     )
                 total += rows
             return total
-        phys = (doc.get("colmap") or {}).get("renames", {}).get(col, col)
+        cm = doc.get("colmap") or {}
+        phys = cm.get("renames", {}).get(col, col)
+        if phys in set(cm.get("dropped", [])):
+            # carried-forward physical stats survive a drop_column,
+            # but the table no longer logically HAS the column — the
+            # scan-based aggregate would raise, so refuse (review)
+            raise ValueError(
+                f"{name}: no column {col!r} (dropped from the logical "
+                "schema) — stats for it are retention artifacts"
+            )
         if agg == "count_col":
             total = 0
             for f in files:
@@ -1523,6 +1532,18 @@ class TableStore:
             return total
         # min / max
         dtype = self._live_dtype(doc, phys)
+        if dtype is None:
+            # no manifest-recorded schema (heal-window publish, or a
+            # column the snapshot never carried): without the type we
+            # can neither apply the string-truncation refusal nor
+            # decode timestamp/date bounds — exact-or-refuse means
+            # refuse (review: returning the raw encoded stat here
+            # silently broke both contracts)
+            raise ValueError(
+                f"{name}: stats cannot answer {agg.upper()}({col}) — "
+                "the snapshot records no schema type for it; run the "
+                "real aggregate"
+            )
         if dtype == "string":
             raise ValueError(
                 f"{name}: refusing stats MIN/MAX on string column "
@@ -1596,7 +1617,20 @@ class TableStore:
         v = self._ensure_latest(name) if version is None else version
         doc = self._manifest_doc(name, v)
         stats = doc.get("stats", {})
-        cm_renames = (doc.get("colmap") or {}).get("renames", {})
+        cm = doc.get("colmap") or {}
+        cm_renames = cm.get("renames", {})
+        dropped = set(cm.get("dropped", []))
+        bad = [
+            c for c in where if cm_renames.get(c, c) in dropped
+        ]
+        if bad:
+            # the boundary-scan path would raise on these anyway; the
+            # all-proven path must not silently answer from retention
+            # artifacts (review)
+            raise ValueError(
+                f"{name}: no column(s) {bad} (dropped from the "
+                "logical schema)"
+            )
         keep_set, _cols = self._plan_branch(name, where, v, doc)
         specs = [
             (cm_renames.get(c, c), *self._classify_spec(c, spec))
@@ -1744,7 +1778,20 @@ class TableStore:
         if not files:
             return
         stats = doc.get("stats", {})
-        if any(stats.get(f, {}).get(col) is not None for f in files):
+        # a [None, None, nulls, rows] extension entry carries NO
+        # usable min/max — range/prefix pruning on it is just as
+        # inert as no entry at all, so it must not silence the
+        # warning (review: the null-count extension regressed this).
+        # A provably ALL-NULL file IS prunable evidence though (value
+        # probes skip it outright), so it counts.
+        if any(
+            (s := stats.get(f, {}).get(col)) is not None
+            and (
+                (s[0] is not None and s[1] is not None)
+                or self._all_null(s)
+            )
+            for f in files
+        ):
             return
         import warnings
 
@@ -1757,7 +1804,8 @@ class TableStore:
             "written without column statistics for this type (e.g. a "
             "timestamp column under Spark's INT96 parquet default — "
             "set spark.sql.parquet.outputTimestampType=TIMESTAMP_MICROS "
-            "and rewrite, e.g. via compact()).",
+            "and rewrite, e.g. compact(name, max_files_per_bucket=0) "
+            "— the default compact skips healthy buckets).",
             stacklevel=3,
         )
 
@@ -1771,14 +1819,19 @@ class TableStore:
         to "why is my range/prefix probe not pruning" (minmax == 0:
         INT96 timestamps, non-encodable types, pre-stats manifests)
         and "why is my IS_NULL probe inert / stats_scalar refusing"
-        (nulls < total: pre-extension entries — compact() republishes
-        with the extension). Kilobyte manifest read, zero Spark
+        (nulls < total: pre-extension entries —
+        ``compact(name, max_files_per_bucket=0)`` rewrites every
+        bucket and republishes with the extension; the DEFAULT
+        compact skips healthy buckets and would be a no-op on a
+        well-maintained table). Kilobyte manifest read, zero Spark
         jobs."""
         v = self._ensure_latest(name) if version is None else version
         doc = self._manifest_doc(name, v)
         stats = doc.get("stats", {})
         files = doc["files"]
-        renames = (doc.get("colmap") or {}).get("renames", {})
+        cm = doc.get("colmap") or {}
+        renames = cm.get("renames", {})
+        dropped = set(cm.get("dropped", []))
         to_logical = {p: l for l, p in renames.items()}
         out: dict = {}
         # schema-known columns first, so never-covered ones show 0s
@@ -1790,7 +1843,7 @@ class TableStore:
                 for fld in StructType.fromJson(
                     json.loads(schema_json)
                 ).fields:
-                    if fld.name != "_kb":
+                    if fld.name != "_kb" and fld.name not in dropped:
                         out[to_logical.get(fld.name, fld.name)] = {
                             "minmax": 0, "nulls": 0, "total": len(files)
                         }
@@ -1798,6 +1851,8 @@ class TableStore:
                 pass
         for f in files:
             for phys, s in stats.get(f, {}).items():
+                if phys in dropped:
+                    continue  # retention artifacts of drop_column
                 col = to_logical.get(phys, phys)
                 ent = out.setdefault(
                     col, {"minmax": 0, "nulls": 0, "total": len(files)}
@@ -1816,8 +1871,10 @@ class TableStore:
         r13), which legacy manifests' carried-forward 2-element
         entries lack — a probe against an old snapshot is silently
         inert even though min/max stats exist. Same counter, same
-        warn-don't-raise contract; rewriting the files (compact())
-        republishes with the extended entries."""
+        warn-don't-raise contract; rewriting the files
+        (``compact(name, max_files_per_bucket=0)`` — the default
+        compact skips healthy buckets) republishes with the extended
+        entries."""
         files = doc.get("files", [])
         if not files:
             return
@@ -1838,7 +1895,9 @@ class TableStore:
             f"{col!r} in any of {len(files)} files — IS_NULL/NOT_NULL "
             "skipping is INERT (every file scans). Likely cause: the "
             "manifest carries pre-r13 stats entries; rewrite the files "
-            "(e.g. via compact()) to republish with null counts.",
+            "(compact(name, max_files_per_bucket=0) — the default "
+            "compact skips healthy buckets) to republish with null "
+            "counts.",
             stacklevel=3,
         )
 
@@ -1875,10 +1934,13 @@ class TableStore:
         OR-merged by a tiny groupBy over (file, bitmap) rows — n_files
         rows total, never row-sized data. ``elements=True`` (array
         columns) hashes the column's exploded ELEMENTS instead of the
-        values, so membership probes can test single tokens; rows
-        whose array is empty or NULL contribute no bits, and a file
-        made ONLY of such rows simply stays uncovered (always kept —
-        the safe direction)."""
+        values, so membership probes can test single tokens. The
+        explode is OUTER: rows whose array is empty or NULL surface
+        one NULL element (hashing to the k seed positions, same as an
+        all-NULL scalar column), so a file made only of such rows
+        still gets a bitmap and counts as COVERED — otherwise
+        update_bloom_index would rescan it on every run and
+        bloom_coverage could never reach zero uncovered (review)."""
         import numpy as np
         import pandas as pd
 
@@ -1890,7 +1952,7 @@ class TableStore:
                 "/", F.element_at(parts, -2), F.element_at(parts, -1)
             ).alias("_file"),
             (
-                F.explode(F.col(phys)) if elements else F.col(phys)
+                F.explode_outer(F.col(phys)) if elements else F.col(phys)
             ).alias("_v"),
         )
         pos = src.select(
@@ -3301,16 +3363,12 @@ class TableStore:
                     # inferred from the live column type (array →
                     # element index serving Has probes)
                     v = self.latest_version(name)
-                    live = (
-                        self._live_dtype(
-                            self._manifest_doc(name, v),
-                            self._bloom_resolve(
-                                name, col, self._manifest_doc(name, v)
-                            ),
+                    live = None
+                    if v is not None:
+                        vdoc = self._manifest_doc(name, v)
+                        live = self._live_dtype(
+                            vdoc, self._bloom_resolve(name, col, vdoc)
                         )
-                        if v is not None
-                        else None
-                    )
                     self.build_bloom_index(
                         name, col,
                         elements=bool(live and live.startswith("array<")),
@@ -5870,6 +5928,47 @@ class TableStore:
         )
         shutil.rmtree(stage, ignore_errors=True)
 
+    def _where_to_condition(self, name: str, verb: str, condition, where):
+        """Shared condition=/where= normalization for the mutating
+        verbs (delete_where / update_where): exactly one of the two,
+        where= only on versioned keyed tables (it drives the planner's
+        find phase), a dict folds to its AND chain and a list to the
+        OR of its branches' chains — with the planner's own
+        empty-conjunct validation, so ``where={}`` raises the
+        descriptive error instead of crashing on ``~None`` (review).
+        Returns the exact-predicate Column."""
+        if (condition is None) == (where is None):
+            raise ValueError("pass condition= OR where=, exactly one")
+        if where is not None:
+            if self.keyed_spec(name) is None or not self.is_versioned(name):
+                raise ValueError(
+                    f"{name}: where= {verb} planning needs a versioned "
+                    "keyed table; pass condition= instead"
+                )
+            if isinstance(where, (list, tuple)):
+                if not where:
+                    raise ValueError(
+                        "a disjunctive where needs at least one branch"
+                    )
+                condition = None
+                for b in where:
+                    if not isinstance(b, dict) or not b:
+                        raise ValueError(
+                            "each disjunctive branch must be a "
+                            "non-empty {col: spec} dict"
+                        )
+                    e = self._branch_expr(b)
+                    condition = e if condition is None else condition | e
+            else:
+                if not isinstance(where, dict) or not where:
+                    raise ValueError(
+                        "where must name at least one column"
+                    )
+                condition = self._branch_expr(where)
+        if isinstance(condition, str):
+            condition = F.expr(condition)
+        return condition
+
     def delete_where(
         self, name: str, condition=None, where=None
     ) -> list[int]:
@@ -5901,27 +6000,9 @@ class TableStore:
         rewrite phase is unchanged (affected buckets rewrite whole —
         that is the merge-on-read-free contract), and the exact
         predicate still owns which rows go."""
-        if (condition is None) == (where is None):
-            raise ValueError("pass condition= OR where=, exactly one")
-        if where is not None:
-            if self.keyed_spec(name) is None or not self.is_versioned(name):
-                raise ValueError(
-                    f"{name}: where= delete planning needs a versioned "
-                    "keyed table; pass condition= instead"
-                )
-            if isinstance(where, (list, tuple)):
-                if not where:
-                    raise ValueError(
-                        "a disjunctive where needs at least one branch"
-                    )
-                condition = None
-                for b in where:
-                    e = self._branch_expr(b)
-                    condition = e if condition is None else condition | e
-            else:
-                condition = self._branch_expr(where)
-        if isinstance(condition, str):
-            condition = F.expr(condition)
+        condition = self._where_to_condition(
+            name, "delete", condition, where
+        )
         keep = F.coalesce(~condition, F.lit(True))
         if self.keyed_spec(name) is None:
             df = self.read(name)
@@ -5996,27 +6077,9 @@ class TableStore:
             raise ValueError(
                 "set must map >= 1 existing column to its new value"
             )
-        if (condition is None) == (where is None):
-            raise ValueError("pass condition= OR where=, exactly one")
-        if where is not None:
-            if self.keyed_spec(name) is None or not self.is_versioned(name):
-                raise ValueError(
-                    f"{name}: where= update planning needs a versioned "
-                    "keyed table; pass condition= instead"
-                )
-            if isinstance(where, (list, tuple)):
-                if not where:
-                    raise ValueError(
-                        "a disjunctive where needs at least one branch"
-                    )
-                condition = None
-                for b in where:
-                    e = self._branch_expr(b)
-                    condition = e if condition is None else condition | e
-            else:
-                condition = self._branch_expr(where)
-        if isinstance(condition, str):
-            condition = F.expr(condition)
+        condition = self._where_to_condition(
+            name, "update", condition, where
+        )
         kspec = self.keyed_spec(name)
         if kspec is not None:
             bad = [c for c in set if c in kspec[0]]

@@ -723,3 +723,96 @@ def test_count_where_partial_pushdown(spark, tmp_path):
         store.count_where("t", [{"k": 1}])
     with _pt.raises(ValueError, match="ONE conjunct"):
         store.count_where("t", {})
+
+
+def test_review_fixes_stats_verbs_dropped_and_schemaless(spark, tmp_path):
+    """Review wave: stats verbs refuse dropped columns (retention
+    artifacts must not answer queries the scan would raise on), and
+    empty where= dicts raise the descriptive error on the mutating
+    verbs instead of crashing."""
+    store = TableStore(spark, str(tmp_path / "rf"))
+    df = spark.range(100).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 1.0).alias("amt"),
+        (F.col("id") % 5).alias("grp"),
+    )
+    store.overwrite_keyed(df, "t", "k", n_buckets=2, versioned=True)
+    store.drop_column("t", "amt")
+    with pytest.raises(ValueError, match="dropped"):
+        store.stats_scalar("t", "max", "amt")
+    with pytest.raises(ValueError, match="dropped"):
+        store.count_where("t", {"amt": slice(0.0, 10.0)})
+    assert "amt" not in store.stats_coverage("t")
+    # empty conjuncts on the mutating verbs: descriptive errors
+    with pytest.raises(ValueError, match="at least one column"):
+        store.delete_where("t", where={})
+    with pytest.raises(ValueError, match="non-empty"):
+        store.update_where("t", {"grp": 0}, where=[{}])
+
+
+def test_review_fix_element_bloom_covers_empty_array_files(spark, tmp_path):
+    """Review wave: a file whose rows all carry empty/NULL arrays gets
+    a bitmap (outer explode) — update_bloom_index reaches the
+    0-new-files steady state instead of rescanning it forever."""
+    from datapipelinerepo_spark.io import Has
+
+    store = TableStore(spark, str(tmp_path / "eb"))
+    df = spark.range(100).select(
+        F.col("id").alias("k"),
+        F.array(F.lit("w")).alias("toks"),
+    )
+    store.overwrite_keyed(df, "t", "k", n_buckets=2, versioned=True)
+    store.build_bloom_index("t", "toks", m_bits=1 << 12, elements=True)
+    # append a batch of ONLY empty arrays
+    store.append(
+        spark.range(100, 140).select(
+            F.col("id").alias("k"),
+            F.array().cast("array<string>").alias("toks"),
+        ),
+        "t",
+    )
+    assert store.update_bloom_index("t", "toks") > 0
+    cov = store.bloom_coverage("t", "toks")
+    assert cov["uncovered"] == 0
+    assert store.update_bloom_index("t", "toks") == 0  # steady state
+    # membership still correct: empty-array rows never match
+    got = sorted(
+        r["k"] for r in store.read("t", where={"toks": Has("w")}).collect()
+    )
+    assert got == list(range(100))
+
+
+def test_review_fix_inert_warning_not_silenced_by_null_entries(
+    spark, tmp_path, monkeypatch
+):
+    """Review wave: [None, None, nulls, rows] entries (null counts
+    without usable min/max) must not silence the stats-inert warning
+    for range probes."""
+    import warnings as _w
+
+    from datapipelinerepo_spark import io as io_mod
+
+    orig = io_mod.TableStore._file_stats
+
+    def nulls_only(self, name, rel):
+        return {
+            c: [None, None, s[2], s[3]]
+            for c, s in orig(self, name, rel).items()
+            if len(s) >= 4 and s[2] is not None and s[2] < s[3]
+        }
+
+    monkeypatch.setattr(io_mod.TableStore, "_file_stats", nulls_only)
+    store = TableStore(spark, str(tmp_path / "iw"))
+    store.overwrite_keyed(
+        spark.range(50).select(
+            F.col("id").alias("k"), (F.col("id") * 1.0).alias("amt")
+        ),
+        "t", "k", n_buckets=2, versioned=True,
+    )
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        keep, rep = store.plan_read("t", {"amt": slice(0.0, 10.0)})
+    assert rep["columns"]["amt"]["pruners"]["stats"]["kept"] == (
+        rep["total_files"]
+    )
+    assert any("INERT" in str(w.message) for w in rec)
