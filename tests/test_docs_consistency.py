@@ -72,10 +72,22 @@ def test_coverage_md_driver_counts_match_newest_correctness():
     claimed = (int(m.group(1)), int(m.group(2)), int(m.group(3)),
                int(m.group(4)))
     actual = (rnd, green, red, total)
-    assert claimed == actual, (
+    # VERDICT r13 item 1: the driver lands a new CORRECTNESS file AFTER
+    # the builder's final commit, so a fresh checkout legitimately sees
+    # the lead line one round behind.  Accept exactly that state — the
+    # newest file is one round ahead AND all-green with identical
+    # green/red/total — and stay strict on any substantive drift
+    # (count mismatch, red rows, or a gap of more than one round).
+    boundary_ok = (
+        actual[0] == claimed[0] + 1
+        and red == 0
+        and (green, red, total) == claimed[1:]
+    )
+    assert claimed == actual or boundary_ok, (
         f"COVERAGE.md lead bullet is stale: claims "
         f"round/green/red/total={claimed} but the newest correctness "
-        f"file {os.path.basename(newest)} says {actual}"
+        f"file {os.path.basename(newest)} says {actual} — run "
+        f"tools/update_coverage_lead.py"
     )
 
 
