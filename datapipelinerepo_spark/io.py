@@ -531,8 +531,10 @@ class TableStore:
         self.root = root
         # observability counter: (table, column) -> number of
         # read_where/pruned_file_count calls whose requested prune
-        # column had NO stats in any file (skipping inert)
-        self.prune_stat_misses: dict[tuple[str, str], int] = {}
+        # column had NO min/max stats in any file (skipping inert);
+        # null-count-inert probes count separately under
+        # (table, column, "nulls") (ADVICE r13)
+        self.prune_stat_misses: dict[tuple, int] = {}
         # observability counter: (table, column) -> number of bloom
         # probes that degraded to no-pruning (unreadable/inconsistent
         # sidecar — correct but slow; see _bloom_degrade_warn)
@@ -1511,7 +1513,12 @@ class TableStore:
             return total
         cm = doc.get("colmap") or {}
         phys = cm.get("renames", {}).get(col, col)
-        if phys in set(cm.get("dropped", [])):
+        # a renamed-then-dropped column has its renames entry popped by
+        # drop_column, so the logical name resolves to itself and only
+        # dropped_logical still knows it (ADVICE r13)
+        if phys in set(cm.get("dropped", [])) or col in set(
+            cm.get("dropped_logical", [])
+        ):
             # carried-forward physical stats survive a drop_column,
             # but the table no longer logically HAS the column — the
             # scan-based aggregate would raise, so refuse (review)
@@ -1620,8 +1627,10 @@ class TableStore:
         cm = doc.get("colmap") or {}
         cm_renames = cm.get("renames", {})
         dropped = set(cm.get("dropped", []))
+        dropped_logical = set(cm.get("dropped_logical", []))
         bad = [
-            c for c in where if cm_renames.get(c, c) in dropped
+            c for c in where
+            if cm_renames.get(c, c) in dropped or c in dropped_logical
         ]
         if bad:
             # the boundary-scan path would raise on these anyway; the
@@ -1888,7 +1897,10 @@ class TableStore:
             return
         import warnings
 
-        key = (name, col)
+        # distinct key from the min/max-inert counter: conflating the
+        # two made "why is my probe inert" ambiguous and double-counted
+        # probes hitting both warnings (ADVICE r13)
+        key = (name, col, "nulls")
         self.prune_stat_misses[key] = self.prune_stat_misses.get(key, 0) + 1
         warnings.warn(
             f"{name}: no null-count stats recorded for prune column "
@@ -4620,8 +4632,26 @@ class TableStore:
             return self.stats_scalar(name, "max", col)
         except ValueError:
             pass
-        row = self.read(name).selectExpr(f"max({col}) AS w").first()
-        return None if row is None else row["w"]
+        agg = self.read(name).selectExpr(f"max({col}) AS w")
+        row = agg.first()
+        if row is None:
+            return None
+        w = row["w"]
+        if isinstance(w, dt.datetime) and w.tzinfo is None:
+            from pyspark.sql.types import TimestampType
+
+            # PySpark's fromInternal renders TIMESTAMP (tz-adjusted)
+            # scalars in the driver's OS timezone, while the stats
+            # path above answers in UTC wall-clock (the parquet-footer
+            # basis _stat_val normalizes to). On a non-UTC driver the
+            # two paths would disagree by the UTC offset and the
+            # watermark could jump whenever the path flips (one
+            # pre-extension file forces the scan fallback) — normalize
+            # the fallback to the same UTC basis (ADVICE r13).
+            # TIMESTAMP_NTZ is a different class and needs no shift.
+            if type(agg.schema[0].dataType) is TimestampType:
+                w = w.astimezone(dt.timezone.utc).replace(tzinfo=None)
+        return w
 
     # -- writes ------------------------------------------------------------
     def append(self, df: DataFrame, name: str) -> None:

@@ -4255,3 +4255,89 @@ def test_update_where_feeds_cdf(spark, tmp_path):
     assert sorted(r["k"] for r in by_type["update_postimage"]) == matched
     assert all(r["amt"] == r["k"] + 1000.0 for r in by_type["update_postimage"])
     assert all(r["amt"] == float(r["k"]) for r in by_type["update_preimage"])
+
+
+# --- r14: ADVICE fixes -------------------------------------------------
+
+
+def test_max_value_scan_fallback_utc_basis(spark, tmp_path):
+    """ADVICE r13: on a non-UTC driver the scan fallback used to render
+    TIMESTAMP scalars in the OS timezone while the stats path answers
+    in UTC wall-clock — the watermark jumped when the path flipped.
+    Both paths must agree on the UTC basis regardless of driver TZ."""
+    import os
+    import time
+
+    store = TableStore(spark, str(tmp_path))
+    hi = dt.datetime(2002, 3, 1, 12, 0, 0)
+    df = spark.createDataFrame(
+        [(i, hi - dt.timedelta(days=i)) for i in range(5)],
+        "k long, ts timestamp",
+    )
+    store.overwrite_keyed(df, "v", "k", n_buckets=2, versioned=True)
+    store.overwrite(df, "plain")  # unversioned: always the scan path
+    prev = os.environ.get("TZ")
+    os.environ["TZ"] = "Australia/Sydney"  # +10/+11, far from UTC
+    time.tzset()
+    try:
+        from_stats = store.max_value("v", "ts")
+        from_scan = store.max_value("plain", "ts")
+    finally:
+        if prev is None:
+            os.environ.pop("TZ", None)
+        else:
+            os.environ["TZ"] = prev
+        time.tzset()
+    assert from_stats == hi
+    assert from_scan == hi  # pre-fix: hi shifted by the Sydney offset
+
+
+def test_stats_verbs_renamed_then_dropped_diagnostic(spark, tmp_path):
+    """ADVICE r13: drop_column pops the renames entry, so a
+    renamed-then-dropped column resolves to itself and used to slip
+    past the dropped guard into a misleading 'no stats entry' refusal.
+    Both stats_scalar and count_where must name the real cause."""
+    import pytest
+
+    store = TableStore(spark, str(tmp_path))
+    df = spark.range(50).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("a")
+    )
+    store.overwrite_keyed(df, "t", "k", n_buckets=2, versioned=True)
+    store.rename_column("t", "a", "b")
+    store.drop_column("t", "b")
+    with pytest.raises(ValueError, match="dropped from the logical"):
+        store.stats_scalar("t", "max", "b")
+    with pytest.raises(ValueError, match="dropped from the logical"):
+        store.count_where("t", {"b": 4})
+
+
+def test_null_stats_inert_counter_distinct_key(spark, tmp_path):
+    """ADVICE r13: the null-stats-inert warning counts under
+    (table, col, 'nulls'), not the min/max key — the two causes stay
+    distinguishable in prune_stat_misses."""
+    import warnings as _warnings
+
+    from datapipelinerepo_spark.io import IS_NULL
+
+    store = TableStore(spark, str(tmp_path))
+    key = "spark.sql.parquet.outputTimestampType"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "INT96")  # kills min/max AND null-count stats
+    try:
+        store.overwrite_keyed(
+            spark.createDataFrame(
+                [(i, dt.datetime(2026, 1, 1 + i)) for i in range(10)],
+                "k long, ts timestamp",
+            ),
+            "t", "k", n_buckets=2, versioned=True,
+        )
+    finally:
+        spark.conf.set(key, prev)
+    with _warnings.catch_warnings(record=True):
+        _warnings.simplefilter("always")
+        store.read("t", where={"ts": IS_NULL}).collect()
+    assert store.prune_stat_misses.get(("t", "ts", "nulls"), 0) >= 1
+    # the min/max key stays untouched by the null-inert path alone
+    nulls_only = store.prune_stat_misses.get(("t", "ts", "nulls"))
+    assert ("t", "ts") not in store.prune_stat_misses or nulls_only
