@@ -559,6 +559,58 @@ def main() -> None:
     calibration = round(samples[RUNS // 2], 3)
     calibration_spread = round(samples[-1] - samples[0], 3)
 
+    # I/O calibration row (VERDICT r13 item 3): the CPU row above
+    # cannot see disk/page-cache volatility, which r13 showed is the
+    # louder axis (calibration_spread 26% while untouched store
+    # lifecycles swung 2-5x). This FROZEN workload exercises exactly
+    # that axis: write a pinned 2M-row / 3-column parquet table to a
+    # fresh temp dir, read it back with a count, median-of-RUNS.
+    # Engine-free (plain spark.read/write), constants frozen as of
+    # r14 — changing them breaks cross-round calibration and requires
+    # a SCALE.md protocol note. Reported BESIDE the total like the
+    # CPU row.
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    def _calibration_io_once() -> float:
+        d = _tempfile.mkdtemp(prefix="bench_iocal_")
+        try:
+            t0 = time.perf_counter()
+            (
+                spark.range(0, 2_000_000, 1, 8)
+                .select(
+                    F.col("id"),
+                    (F.col("id") % 9973).alias("k"),
+                    (F.col("id") * 2654435761 % 1_000_003).alias("v"),
+                )
+                .write.mode("overwrite")
+                .parquet(os.path.join(d, "t"))
+            )
+            n = spark.read.parquet(os.path.join(d, "t")).count()
+            el = time.perf_counter() - t0
+            assert n == 2_000_000
+            return el
+        finally:
+            _shutil.rmtree(d, ignore_errors=True)
+
+    _calibration_io_once()  # JIT / committer warm-up
+    io_samples = sorted(_calibration_io_once() for _ in range(RUNS))
+    calibration_io = round(io_samples[RUNS // 2], 3)
+    calibration_io_spread = round(io_samples[-1] - io_samples[0], 3)
+
+    # compact volatility summary for the PARSED line (VERDICT r13
+    # item 3): per-row spreads previously survived only in the
+    # truncation-prone diagnostic line. Fraction over rows big enough
+    # for a ratio to mean anything (>= 50 ms median).
+    max_spread_frac = round(
+        max(
+            (spread[k] / times[k] for k in times
+             if times[k] >= 0.05 and k in spread),
+            default=0.0,
+        ),
+        3,
+    )
+
     total = round(sum(times.values()), 3)
     # The driver records only the LAST ~2000 chars of stdout; r9's
     # single line (queries + spread) overflowed that window, cutting
@@ -578,6 +630,9 @@ def main() -> None:
                 "spread": spread,
                 "calibration_sec": calibration,
                 "calibration_spread": calibration_spread,
+                "calibration_io_sec": calibration_io,
+                "calibration_io_spread": calibration_io_spread,
+                "max_spread_frac": max_spread_frac,
             }
         )
     )
@@ -589,6 +644,8 @@ def main() -> None:
             "queries": times,
             "sf": float(sf),
             "calibration_sec": calibration,
+            "calibration_io_sec": calibration_io,
+            "max_spread_frac": max_spread_frac,
         },
         separators=(",", ":"),
     )
@@ -604,6 +661,8 @@ def main() -> None:
                 },
                 "sf": float(sf),
                 "calibration_sec": calibration,
+                "calibration_io_sec": calibration_io,
+                "max_spread_frac": max_spread_frac,
                 "queries_truncated_to_top": 30,
             },
             separators=(",", ":"),
