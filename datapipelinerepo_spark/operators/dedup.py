@@ -971,7 +971,26 @@ def sorted_neighborhood_pairs(
     that diverge early but agree late (which the forward key scatters)
     sort adjacent in the rotated order; results union distinct. Each
     pass is an independent sort/window — recall compounds the way LSH
-    tables do, and the cost stays linear."""
+    tables do, and the cost stays linear.
+
+    r14 (optimization): the per-pass BOUNDARY SAMPLING was the measured
+    dominant cost — global_order_positions' internal sampler ran one
+    distinct+sort collect job PER PASS, each computing the pass's key
+    expression over the whole corpus (~2 s of the ~3 s sf0.1 total;
+    the join tower itself collapses to broadcasts + reused exchanges at
+    runtime). Both passes now share ONE boundary-sample job that
+    hash-samples ROWS first (1/m of the corpus) and evaluates every
+    pass's key on the sample only; the boundaries feed
+    global_order_positions(boundaries=...) so its internal sampler is
+    skipped. Boundary choice never affects results (any
+    order-consistent bucketing yields exact positions — see
+    global_order_positions); only bucket balance differs, and
+    row-sampled quantiles balance buckets by row count, which is the
+    axis that matters. A full lead-window restructure (in-bucket pairs
+    via lead() + seam repair) was prototyped and measured SLOWER at
+    sf0.1 (+0.2..1.1 s: its checkpoint barriers and extra corpus sorts
+    cost more than the join tower it removed), so the equi-join
+    structure stays."""
     from .sampling import global_order_positions
 
     if passes not in (1, 2):
@@ -979,6 +998,7 @@ def sorted_neighborhood_pairs(
             f"sorted_neighborhood_pairs: passes must be 1 or 2 (only the "
             f"forward and reversed-head rotations are defined), got {passes}"
         )
+    n_buckets = 32
     base = df.select(
         F.col(id_col).alias("_id"),
         F.substring(F.col(text_col), 1, head_len).alias("_h"),
@@ -986,11 +1006,63 @@ def sorted_neighborhood_pairs(
     key_exprs = [F.substring(F.lower(F.col("_h")), 1, key_len)]
     if passes >= 2:
         key_exprs.append(F.substring(F.reverse(F.lower(F.col("_h"))), 1, key_len))
+    key_exprs = key_exprs[:passes]
+
+    # ONE deterministic row-sample job yields boundary candidates for
+    # EVERY pass (the per-pass sampler was the measured dominant cost —
+    # two distinct+sort collect jobs, each computing its key on the
+    # whole corpus): rows are sampled by id-hash BEFORE any key is
+    # computed, keys evaluated on the sample only, both rotations
+    # carried through one explode, ordered BY SPARK ITSELF per pass
+    # (collation safety — a Python sort could disagree on non-ASCII and
+    # break bucket monotonicity). Boundary CHOICE never affects results
+    # (any order-consistent bucketing is exact); only balance differs,
+    # and row-sampled quantiles balance buckets by row count, which is
+    # the axis that matters. The modulus grows until the distinct
+    # sample fits the cap, as in the value-sampled machinery.
+    cap, m = 8192, 16
+    while True:
+        sampled = (
+            base.filter(F.pmod(F.xxhash64(F.col("_id")), F.lit(m)) == 0)
+            .select(
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(i).alias("_p"), key_exprs[i].alias("_v")
+                            )
+                            for i in range(passes)
+                        ]
+                    )
+                ).alias("_e")
+            )
+            .select(F.col("_e._p").alias("_p"), F.col("_e._v").alias("_v"))
+            .filter(F.col("_v").isNotNull())
+            .distinct()
+            .orderBy("_p", "_v")
+            .limit(passes * cap + 1)
+            .collect()
+        )
+        per_pass: dict[int, list] = {i: [] for i in range(passes)}
+        for r in sampled:
+            per_pass[r[0]].append(r[1])
+        if len(sampled) <= passes * cap and all(
+            len(v) <= cap for v in per_pass.values()
+        ):
+            break
+        m *= 8
+    boundaries: list[list] = []
+    for i in range(passes):
+        vals = per_pass[i]
+        step = max(1, len(vals) // n_buckets)
+        boundaries.append(vals[step - 1 :: step][: n_buckets - 1])
 
     outs = []
-    for key_expr in key_exprs[:passes]:
+    for key_expr, uniq in zip(key_exprs, boundaries):
         heads = base.withColumn("_key", key_expr)
-        pos = global_order_positions(heads, ("_key", "_id"), n_buckets=32)
+        pos = global_order_positions(
+            heads, ("_key", "_id"), n_buckets=n_buckets, boundaries=uniq
+        )
         a = pos.select(
             F.col("_id").alias("id_a"), F.col("_h").alias("_ha"), F.col("pos").alias("_pa")
         )

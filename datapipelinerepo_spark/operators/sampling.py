@@ -207,6 +207,7 @@ def global_order_positions(
     df: DataFrame,
     order_cols: tuple[str, ...],
     n_buckets: int = 32,
+    boundaries: list | None = None,
 ) -> DataFrame:
     """Exact global position 0..n-1 of every row in ``order_cols``
     order, WITHOUT a corpus-sized global window — the value-ordered
@@ -230,11 +231,47 @@ def global_order_positions(
     This is what repartitionByRange + per-partition rank does
     internally, made explicit so the offsets join stays visible to the
     plan lint. At 100 TB raise n_buckets so each range bucket fits an
-    executor (the same knob as the shuffle-positions byte-prefix)."""
+    executor (the same knob as the shuffle-positions byte-prefix).
+
+    ``boundaries``: pre-sampled sorted boundary values for the leading
+    column. Callers that already hold order-consistent boundaries (e.g.
+    a multi-pass operator sampling all its sort rotations in ONE job)
+    pass them here to skip the internal per-call sampling job; any
+    order-consistent boundary list is exact (see above), so the choice
+    of sampler never affects results."""
     from pyspark.sql import Window
+
+    if boundaries is None:
+        bucket = order_bucket_column(df, order_cols[0], n_buckets)
+    else:
+        bucket = bucket_chain(F.col(order_cols[0]), boundaries)
+    bucketed = df.withColumn("_b", bucket)
+    counts = bucketed.groupBy("_b").agg(F.count(F.lit(1)).alias("_n"))
+    woff = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "_b", F.coalesce(F.sum("_n").over(woff), F.lit(0)).alias("_off")
+    )  # ≤ n_buckets+1 rows: bounded global window, not corpus-sized
+    wrank = Window.partitionBy("_b").orderBy(*[F.col(c).asc() for c in order_cols])
+    return (
+        bucketed.join(F.broadcast(offsets), "_b")
+        .withColumn("pos", F.col("_off") + F.row_number().over(wrank) - 1)
+        .drop("_b", "_off")
+    )
+
+
+def order_bucket_column(df: DataFrame, lead: str, n_buckets: int):
+    """The range-bucket assignment expression global_order_positions is
+    built on, exposed so order-local operators (sorted-neighborhood
+    windows) can reuse the bucketing WITHOUT paying for global
+    positions on every row: a monotonic ``when``-chain over sampled
+    boundaries of ``lead`` (approx-percentile sketch for orderable
+    numeric/temporal keys, deterministic hash-sample ordered by Spark
+    itself otherwise), NULLs pinned to their own first bucket (-1).
+    Any order-consistent bucketing is correct for every caller — ties
+    on ``lead`` always land in ONE bucket; balance only affects
+    performance."""
     from pyspark.sql.types import DateType, NumericType, TimestampType
 
-    lead = order_cols[0]
     if isinstance(df.schema[lead].dataType, (NumericType, DateType, TimestampType)):
         probs = [i / n_buckets for i in range(1, n_buckets)]
         bounds = df.select(
@@ -268,29 +305,23 @@ def global_order_positions(
             m *= 8
         step = max(1, len(vals) // n_buckets)
         uniq = vals[step - 1 :: step][: n_buckets - 1]
+    return bucket_chain(F.col(lead), uniq)
+
+
+def bucket_chain(lead_col, uniq: list):
+    """Monotonic range-bucket assignment over sorted boundary values:
+    the ``when``-chain both order-bucketing entry points build. NULL
+    lead keys: `NULL <= bound` is NULL and would fall through to the
+    LAST bucket, ranking NULLs mid-order and boundary-dependent
+    (code-review r5). Pin them to their own first bucket instead —
+    positions then follow Spark's own ASC NULLS FIRST total order
+    regardless of where the sampled boundaries land. (A DuckDB oracle
+    over NULL-bearing keys must say NULLS FIRST explicitly; its
+    default is NULLS LAST.)"""
     bucket = F.lit(len(uniq))
     for i in reversed(range(len(uniq))):
-        bucket = F.when(F.col(lead) <= F.lit(uniq[i]), F.lit(i)).otherwise(bucket)
-    # NULL lead keys: `NULL <= bound` is NULL and would fall through to
-    # the LAST bucket, ranking NULLs mid-order and boundary-dependent
-    # (code-review r5). Pin them to their own first bucket instead —
-    # positions then follow Spark's own ASC NULLS FIRST total order
-    # regardless of where the sampled boundaries land. (A DuckDB oracle
-    # over NULL-bearing keys must say NULLS FIRST explicitly; its
-    # default is NULLS LAST.)
-    bucket = F.when(F.col(lead).isNull(), F.lit(-1)).otherwise(bucket)
-    bucketed = df.withColumn("_b", bucket)
-    counts = bucketed.groupBy("_b").agg(F.count(F.lit(1)).alias("_n"))
-    woff = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = counts.select(
-        "_b", F.coalesce(F.sum("_n").over(woff), F.lit(0)).alias("_off")
-    )  # ≤ n_buckets+1 rows: bounded global window, not corpus-sized
-    wrank = Window.partitionBy("_b").orderBy(*[F.col(c).asc() for c in order_cols])
-    return (
-        bucketed.join(F.broadcast(offsets), "_b")
-        .withColumn("pos", F.col("_off") + F.row_number().over(wrank) - 1)
-        .drop("_b", "_off")
-    )
+        bucket = F.when(lead_col <= F.lit(uniq[i]), F.lit(i)).otherwise(bucket)
+    return F.when(lead_col.isNull(), F.lit(-1)).otherwise(bucket)
 
 
 def global_desc_rank_cumsum(

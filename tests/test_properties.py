@@ -391,6 +391,35 @@ def test_global_order_positions_match_sort(spark, rows):
     assert got == expected
 
 
+@settings(max_examples=5, deadline=None)
+@given(rows=ORDER_ROWS)
+def test_global_order_positions_explicit_boundaries_exact(spark, rows):
+    """r14: caller-supplied ``boundaries=`` (sampled externally, e.g.
+    sorted_neighborhood_pairs' shared one-job sampler) must yield the
+    SAME exact positions as the internal sampler — including skewed,
+    unsorted-duplicate, and deliberately terrible boundary lists,
+    because any order-consistent bucketing is exact by construction."""
+    from datapipelinerepo_spark.operators.sampling import global_order_positions
+
+    if not rows:
+        return
+    df = spark.createDataFrame(
+        [(i, float(v) if v is not None else None) for i, v in rows],
+        "id long, v double",
+    )
+    ordered = sorted(rows, key=lambda t: (t[1] is not None, t[1] or 0.0, t[0]))
+    expected = {rid: pos for pos, (rid, _) in enumerate(ordered)}
+    vals = sorted(v for _, v in rows if v is not None)
+    for bounds in ([], [0.0], vals[:3], [vals[len(vals) // 2]] if vals else []):
+        got = {
+            r["id"]: r["pos"]
+            for r in global_order_positions(
+                df, ("v", "id"), n_buckets=4, boundaries=bounds
+            ).collect()
+        }
+        assert got == expected, f"boundaries={bounds}"
+
+
 # --- versioned keyed store: model-based sequence test -----------------------
 
 _BATCH = st.lists(
