@@ -3467,9 +3467,18 @@ class TableStore:
         if not fat:
             return base_v
         base = self._dir(name)
+        _doc_schema = self._manifest_doc(name, base_v).get("schema")
+        if _doc_schema is not None:
+            # recorded snapshot schema — no mergeSchema footer job (r14)
+            from pyspark.sql.types import StructType
+
+            _rdr = self.spark.read.schema(
+                StructType.fromJson(json.loads(_doc_schema))
+            )
+        else:
+            _rdr = self.spark.read.option("mergeSchema", "true")
         slice_ = (
-            self.spark.read.option("mergeSchema", "true")
-            .option("basePath", base)
+            _rdr.option("basePath", base)
             .parquet(
                 *[os.path.join(base, f) for b in fat for f in by_bucket[b]]
             )
@@ -4155,9 +4164,22 @@ class TableStore:
                     .drop("_kb")
                     .limit(0)
                 )
+            _doc_schema = self._manifest_doc(name, like_version).get(
+                "schema"
+            )
+            if _doc_schema is not None:
+                # recorded snapshot schema — no mergeSchema job (r14);
+                # the file set is a subset of that version's manifest,
+                # so its recorded schema covers every file
+                from pyspark.sql.types import StructType
+
+                _rdr = self.spark.read.schema(
+                    StructType.fromJson(json.loads(_doc_schema))
+                )
+            else:
+                _rdr = self.spark.read.option("mergeSchema", "true")
             return (
-                self.spark.read.option("mergeSchema", "true")
-                .option("basePath", base)
+                _rdr.option("basePath", base)
                 .parquet(*[os.path.join(base, f) for f in sorted(files)])
                 .drop("_kb")
             )
@@ -4196,24 +4218,38 @@ class TableStore:
         both = F.col("_o_present") & F.col("_n_present")
         only_old = F.col("_o_present") & F.col("_n_present").isNull()
         only_new = F.col("_n_present") & F.col("_o_present").isNull()
-        inserts = j.filter(only_new).select(
-            *[F.col(f"_n_{c}").alias(c) for c in cols],
-            F.lit("insert").alias("_change_type"),
+
+        # ONE evaluation of the full-outer join (r14 optimization: the
+        # previous four filtered branches unioned the SAME join subtree
+        # four times — the scans' exchanges were runtime-reused but the
+        # join itself executed once per branch): each joined row maps
+        # to 0-2 output rows via a struct array exploded in place —
+        # inserts/deletes yield one row, a changed pair yields
+        # pre+postimage, an unchanged matched pair (same row carried by
+        # both diff file sets after an untouched-row bucket rewrite)
+        # yields none.
+        def _row(side: str, change: str):
+            return F.struct(
+                *[F.col(f"_{side}_{c}").alias(c) for c in cols],
+                F.lit(change).alias("_change_type"),
+            )
+
+        rows = (
+            F.when(only_new, F.array(_row("n", "insert")))
+            .when(only_old, F.array(_row("o", "delete")))
+            .when(
+                both & ~same,
+                F.array(
+                    _row("o", "update_preimage"),
+                    _row("n", "update_postimage"),
+                ),
+            )
+        )  # no otherwise: unchanged pairs -> NULL, explode drops them
+        return (
+            j.filter(only_new | only_old | (both & ~same))
+            .select(F.explode(rows).alias("_r"))
+            .select("_r.*")
         )
-        deletes = j.filter(only_old).select(
-            *[F.col(f"_o_{c}").alias(c) for c in cols],
-            F.lit("delete").alias("_change_type"),
-        )
-        changed = j.filter(both & ~same)
-        pre = changed.select(
-            *[F.col(f"_o_{c}").alias(c) for c in cols],
-            F.lit("update_preimage").alias("_change_type"),
-        )
-        post = changed.select(
-            *[F.col(f"_n_{c}").alias(c) for c in cols],
-            F.lit("update_postimage").alias("_change_type"),
-        )
-        return inserts.unionByName(deletes).unionByName(pre).unionByName(post)
 
     # -- column mapping (rename/drop without rewriting data) ---------------
     #
@@ -4504,6 +4540,27 @@ class TableStore:
 
             return self.spark.createDataFrame(
                 [], StructType.fromJson(json.loads(schema_json))
+            )
+        schema_json = doc.get("schema")
+        if schema_json is not None:
+            # r14 (optimization): the manifest already records the
+            # snapshot's exact schema, so supply it instead of letting
+            # a mergeSchema job re-derive it from every file footer —
+            # one Spark job per snapshot read removed, and at 100 TB
+            # the job it removes is proportional to file count. Files
+            # missing a newer column read as NULL (the same widening
+            # mergeSchema produced); physical columns a file carries
+            # beyond the snapshot schema are simply not read.
+            from pyspark.sql.types import StructType
+
+            return (
+                self.spark.read.schema(
+                    StructType.fromJson(json.loads(schema_json))
+                )
+                # basePath keeps the _kb partition column derivable from
+                # the explicit file list, so bucket-pruned filters work
+                .option("basePath", base)
+                .parquet(*[os.path.join(base, f) for f in files])
             )
         return (
             self.spark.read.option("mergeSchema", str(merge_schema).lower())
@@ -4960,10 +5017,19 @@ class TableStore:
             slice_ = raw.filter(F.col("_kb").isin(affected))
             inc_keys, cond = _key_match(keys, stamped, "_ik_")
             survivors = slice_.join(inc_keys, cond, how="left_anti")
-            # materialize before overwriting what we read
-            return survivors.unionByName(
-                stamped, allowMissingColumns=True
-            ).localCheckpoint()
+            merged = survivors.unionByName(stamped, allowMissingColumns=True)
+            if versioned:
+                # r14 (optimization): the versioned path APPENDS new
+                # part-files and publishes a manifest — it never
+                # deletes or overwrites the files it reads, so the
+                # defensive materialization below is pure overhead
+                # there: the staging write IS the single
+                # read-merge-write pass (one corpus-of-affected-buckets
+                # pass instead of checkpoint-materialize + re-read).
+                return merged
+            # unversioned: dynamic partition overwrite REPLACES the
+            # files being read — materialize before overwriting
+            return merged.localCheckpoint()
 
         if versioned:
             def _attempt() -> None:
@@ -5142,6 +5208,7 @@ class TableStore:
         version_expect: int | None = None,
         version_expect_ident: str | None = None,
         txn_assert: dict[str, int] | None = None,
+        rows_within_buckets: bool = False,
     ) -> None:
         """Replace exactly the listed buckets with ``df``'s rows
         (stamped by the table's key spec). Buckets in ``buckets`` that
@@ -5149,12 +5216,22 @@ class TableStore:
         overwrite only replaces partitions that receive data, so a
         bucket fully emptied by deletes would otherwise keep its stale
         files. ``df`` must already be materialized if it was derived
-        from this table's own files.
+        from this table's own files of an UNVERSIONED table (the
+        in-place rewrite deletes what it reads); versioned tables
+        append + publish and may pass lazy frames.
 
         On a versioned table nothing is deleted: the new bucket
         contents append as new part-files and the published manifest
         simply stops referencing the replaced (or emptied) buckets'
         old files — deletes are logical until vacuum.
+
+        ``rows_within_buckets=True`` (internal verbs) asserts the
+        caller PROVED every row of ``df`` hashes into ``buckets``
+        (delete/update survivors keep their keys; merge_when derived
+        ``buckets`` from every source row including inserts) — the
+        versioned widening collect below is then skipped, saving a
+        full evaluation of ``df``'s lineage (r14). Public callers
+        leave it False and keep the safety net.
 
         This is the low-level maintenance primitive (delete_where and
         CDC feed SURVIVOR frames through it), so CHECK constraints are
@@ -5180,11 +5257,16 @@ class TableStore:
             # stale old rows of their buckets stayed live
             # (code-review r6). Widening mirrors the unversioned path,
             # where dynamic overwrite replaces every bucket that
-            # receives data.
-            nonempty = {
-                r[0] for r in stamped.select("_kb").distinct().collect()
-            }
-            eff = sorted(set(buckets) | nonempty)
+            # receives data. Callers that PROVED containment skip the
+            # widening evaluation (rows_within_buckets above).
+            if rows_within_buckets:
+                eff = sorted(set(buckets))
+            else:
+                nonempty = {
+                    r[0]
+                    for r in stamped.select("_kb").distinct().collect()
+                }
+                eff = sorted(set(buckets) | nonempty)
             eff_set = set(eff)
             kept = [
                 f
@@ -5898,7 +5980,13 @@ class TableStore:
             merged = p if merged is None else merged.unionByName(p)
             if kind == "landed":
                 landed = p if landed is None else landed.unionByName(p)
-        merged = merged.localCheckpoint(eager=True)
+        if not self.is_versioned(name):
+            # unversioned: overwrite_buckets rewrites the files the
+            # full-outer join reads — materialize first; versioned
+            # appends + publishes, so the staging write is the single
+            # merge pass (r14 — the eager checkpoint here was a second
+            # full evaluation of the join)
+            merged = merged.localCheckpoint(eager=True)
         if landed is not None:
             # constraints judge exactly what this merge WRITES anew —
             # updated and inserted rows; surviving history is not
@@ -5909,6 +5997,7 @@ class TableStore:
             check_replay=check_replay, txn_expect=txn_expect,
             version_expect=v0, version_expect_ident=v0_ident,
             txn_assert=txn_assert,
+            rows_within_buckets=True,
         )
         return sorted(buckets)
 
@@ -6061,14 +6150,16 @@ class TableStore:
             affected = self.keyed_buckets(name, matches)
             if not affected:
                 return []
-            survivors = (
-                self.read_buckets(name, affected)
-                .filter(keep)
-                .localCheckpoint()
-            )
+            survivors = self.read_buckets(name, affected).filter(keep)
+            if not self.is_versioned(name):
+                # unversioned rewrites the files being read in place —
+                # materialize first; versioned appends + publishes, so
+                # the staging write is the single pass (r14)
+                survivors = survivors.localCheckpoint()
             self.overwrite_buckets(
                 survivors, name, affected, op="delete",
                 version_expect=v0, version_expect_ident=v0_ident,
+                rows_within_buckets=True,
             )
             return sorted(affected)
 
@@ -6184,10 +6275,15 @@ class TableStore:
             self._enforce_constraints(
                 name, _apply(bucket_rows.filter(condition), always=True)
             )
-            updated = _apply(bucket_rows).localCheckpoint()
+            updated = _apply(bucket_rows)
+            if not self.is_versioned(name):
+                # unversioned rewrites the files being read in place —
+                # materialize first; versioned appends + publishes (r14)
+                updated = updated.localCheckpoint()
             self.overwrite_buckets(
                 updated, name, affected, op="update",
                 version_expect=v0, version_expect_ident=v0_ident,
+                rows_within_buckets=True,
             )
             return sorted(affected)
 
