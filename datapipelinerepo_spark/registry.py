@@ -2553,11 +2553,23 @@ def q21_waiting_suppliers(spark, sf_dir):
     j = li.join(o, li.l_orderkey == o.o_orderkey).select(
         "l_orderkey", "l_suppkey", late_flag.alias("_late")
     )
-    per_order = j.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(F.when(F.col("_late"), F.col("l_suppkey"))).alias("n_late"),
-        F.sum(F.col("_late").cast("long")).alias("n_late_lines"),
-        F.max(F.when(F.col("_late"), F.col("l_suppkey"))).alias("late_supp"),
+    # r14 (optimization): the one-level form's two COUNT(DISTINCT)s
+    # made Catalyst plan an Expand — every joined lineitem row
+    # TRIPLED before the first exchange. Two-level aggregation
+    # computes the same four order-level statistics with no Expand:
+    # per (order, supplier) first (map-side partial agg, rows shrink
+    # to distinct pairs before any shuffle), then per order —
+    # n_supp = count of pairs, n_late = count of pairs with any late
+    # line, identical values by definition of DISTINCT.
+    per_os = j.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("_late").alias("_any_late"),
+        F.sum(F.col("_late").cast("long")).alias("_late_lines"),
+    )
+    per_order = per_os.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum(F.col("_any_late").cast("long")).alias("n_late"),
+        F.sum("_late_lines").alias("n_late_lines"),
+        F.max(F.when(F.col("_any_late"), F.col("l_suppkey"))).alias("late_supp"),
     )
     s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
     n = t(spark, sf_dir, "nation").filter(F.col("n_nationkey") < 13).select("n_nationkey")
