@@ -199,6 +199,18 @@ def lakehouse_format() -> str | None:
     return "delta" if exts and "DeltaSparkSessionExtension" in exts else None
 
 
+# Session-scoped PLAN memo for load_table (r14 optimization): every
+# load_table call paid a fresh file listing + footer schema inference
+# (~0.1 s of driver-side py4j work per call — a multi-table query
+# constructed ~0.5 s of pure metadata before its first task). A
+# DataFrame is a lazy plan, not data: handing back the same plan is
+# exactly what a catalog's resolved-relation cache does, and every
+# action over it still scans the parquet inputs. Keyed by session,
+# path, AND the file's (mtime, size) so a changed input invalidates
+# the entry — this memoizes METADATA only, never results.
+_LOAD_TABLE_MEMO: dict = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one driver testdata table (S1). Catalyst handles column
     pruning / predicate pushdown into the parquet scan.
@@ -208,6 +220,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     microsecond timestamps (matching DuckDB, whose TIMESTAMP is
     us-precision, so both engines see identical values).
     """
+    path = table_path(sf_dir, name)
+    try:
+        st = os.stat(path)
+        stamp = (st.st_mtime_ns, st.st_size)
+    except OSError:
+        stamp = None
+    try:
+        app = spark.sparkContext.applicationId
+    except Exception:
+        app = None  # stopped/odd session: don't memoize at all
+    key = (app, os.path.abspath(path), stamp)
+    cached = _LOAD_TABLE_MEMO.get(key) if app is not None else None
+    if cached is not None:
+        return cached
     if name == "events":
         from pyspark.sql import functions as F
 
@@ -218,7 +244,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # surface (long instead of a hard error), which this loader
         # then converts.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(table_path(sf_dir, name))
+        df = spark.read.parquet(path)
         if dict(df.dtypes).get("ts") == "bigint":
             # INTEGER division: float `/` widens the ns long to double
             # (48 ns of rounding at current epochs), off by 1 us for
@@ -227,8 +253,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn(
                 "ts", F.timestamp_micros(F.expr("ts div 1000"))
             )
-        return df
-    return spark.read.parquet(table_path(sf_dir, name))
+    else:
+        df = spark.read.parquet(path)
+    if app is not None:
+        _LOAD_TABLE_MEMO[key] = df
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str, tables=TABLES) -> None:
