@@ -258,6 +258,72 @@ _CHANGED_IN_ROUND = {
     "store_bloom_conjunctive_read": 13,
     "store_bloom_inlist_read": 13,
     "store_group_point_read": 13,
+    # r14 (optimization round): every store write now hash-clusters by
+    # _kb (one part-file per bucket per write — Iceberg hash
+    # distribution), versioned reads take the manifest-recorded schema
+    # instead of a mergeSchema job, and versioned write paths drop the
+    # defensive localCheckpoint (append-only). By the r8-r11 precedent
+    # a storage-layout/commit-path rework staleness-marks the whole
+    # store family. q21 additionally carries the two-level-aggregation
+    # rewrite (Expand removed). NOTE: load_table also gained the
+    # unsplittable-input repartition, which changes every query's
+    # PLAN but no query's semantics — all 245 oracle queries were
+    # re-proven locally at sf0.001/shuffle=13 AND sf0.01/shuffle=32
+    # after the change, so only the deeper store-layout rework is
+    # staleness-marked here.
+    "q21_waiting_suppliers": 14,
+    "store_keyed_merge": 14,
+    "store_versioned_snapshot": 14,
+    "store_delete_where": 14,
+    "store_txn_exactly_once": 14,
+    "store_constraint_reject": 14,
+    "store_restore_rollback": 14,
+    "store_point_lookup": 14,
+    "store_time_travel_ts": 14,
+    "store_schema_evolution": 14,
+    "store_cdf_changes": 14,
+    "store_cdf_stream_drain": 14,
+    "store_merge_when": 14,
+    "store_column_mapping": 14,
+    "store_rebucket": 14,
+    "store_stats_skipping": 14,
+    "store_auto_compact": 14,
+    "store_incremental_rollup": 14,
+    "store_incremental_minmax": 14,
+    "store_ivm_pure_agg": 14,
+    "store_incremental_rollup_recompute": 14,
+    "store_incremental_rollup_sum": 14,
+    "store_streaming_rollup": 14,
+    "store_incremental_distinct": 14,
+    "store_ivm_base_state": 14,
+    "store_incremental_join": 14,
+    "store_streaming_join": 14,
+    "store_bloom_point_read": 14,
+    "store_read_group": 14,
+    "store_read_group_asof": 14,
+    "store_write_group": 14,
+    "store_stacked_view_group": 14,
+    "store_streaming_stack": 14,
+    "store_update_where": 14,
+    "store_count_planned": 14,
+    "store_stats_scalar_agg": 14,
+    "store_read_planned": 14,
+    "store_read_planned_disjunction": 14,
+    "store_read_planned_prefix": 14,
+    "store_read_planned_nulls": 14,
+    "store_bloom_conjunctive_read": 14,
+    "store_bloom_inlist_read": 14,
+    "store_bloom_element_read": 14,
+    "store_group_point_read": 14,
+    "pipeline_idempotent_reload": 14,
+    "events_rollup_hourly": 14,
+    "cdc_latest_wins": 14,
+    "s3_exists_probe": 14,
+    "s4_last_modified_probe": 14,
+    "s8_append_roundtrip": 14,
+    "s9_replace_roundtrip": 14,
+    "s10_reload_roundtrip": 14,
+    "f18_unavail_fill": 14,
 }
 
 

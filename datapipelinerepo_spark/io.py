@@ -211,6 +211,49 @@ def lakehouse_format() -> str | None:
 _LOAD_TABLE_MEMO: dict = {}
 
 
+def _unsplittable_scan_fix(
+    spark: SparkSession, df: DataFrame, path: str
+) -> DataFrame:
+    """Restore scan-stage parallelism for effectively-unsplittable
+    parquet inputs (r14 optimization, guide §2.5 "one huge
+    unsplittable file ... repartition immediately after the read").
+
+    Spark plans parquet splits from BYTES (maxPartitionBytes /
+    openCostInBytes) but a split can never cut inside a row group, so
+    a file with fewer row groups than the cluster has cores pins the
+    whole stage-1 (decode + filter + partial aggregation + explode —
+    where most per-row compute lives) to that many tasks no matter
+    what the split config says. The driver's testdata tables are
+    single-row-group files, so every query's first stage was serial.
+
+    The fix is layout-adaptive, not local-tuned: read the footer
+    metadata (driver-side, kilobytes, once per memoized plan) and
+    round-robin repartition to defaultParallelism ONLY when the file's
+    row groups cannot feed at least a quarter of the cores and the
+    table is big enough for parallelism to matter (>=256 KiB and >=2
+    rows per core). A 100 TB table has orders of magnitude more row
+    groups than cores — the condition is false and the plan is
+    untouched; filters and column pruning still push through the
+    Repartition node into the scan (verified in the captured plans),
+    and AQE never coalesces a user-specified repartition."""
+    try:
+        if (
+            not os.path.isfile(path)
+            or os.path.getsize(path) < 256 * 1024
+        ):
+            return df
+        import pyarrow.parquet as pq
+
+        md = pq.ParquetFile(path).metadata
+        par = spark.sparkContext.defaultParallelism
+        if md.num_rows >= 2 * par and md.num_row_groups < max(1, par // 4):
+            return df.repartition(par)
+    except Exception:
+        # metadata probe is an optimization only — never a gate
+        return df
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one driver testdata table (S1). Catalyst handles column
     pruning / predicate pushdown into the parquet scan.
@@ -255,6 +298,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             )
     else:
         df = spark.read.parquet(path)
+    df = _unsplittable_scan_fix(spark, df, path)
     if app is not None:
         _LOAD_TABLE_MEMO[key] = df
     return df
@@ -795,6 +839,23 @@ class TableStore:
             for k, t in zip(keys, types or keys)
         ]
         return F.pmod(F.xxhash64(*cols), F.lit(n_buckets))
+
+    def _cluster_kb(self, df: DataFrame, n_buckets: int) -> DataFrame:
+        """Hash-cluster a ``_kb``-stamped frame so each bucket's rows
+        land in ONE write task → one part-file per bucket per write
+        (r14 optimization; Iceberg ``write.distribution-mode=hash``,
+        guide §6). Without this, ``partitionBy("_kb")`` writes
+        (write-tasks × touched-buckets) files, so file count compounds
+        write-over-write: at sf0.1 three upserts took the table from
+        32 to ~300 live files and each successive upsert slowed by
+        ~1 s from pure file-open overhead; at 100 TB the same shape is
+        the many-small-files failure mode. Cost: one shuffle of
+        exactly the rows being written — the documented lakehouse
+        tradeoff, and strictly less I/O than the downstream reads it
+        saves. n_buckets is the design file-sizing knob ("one bucket ≈
+        a few files at target size"), so one file per bucket per write
+        is the intended layout at any scale."""
+        return df.repartition(n_buckets, F.col("_kb"))
 
     # -- snapshot manifests (versioned keyed tables) -----------------------
     #
@@ -3228,6 +3289,7 @@ class TableStore:
         version_expect_ident: str | None = None,
         rederive_kept=None,
         txn_assert: dict[str, int] | None = None,
+        pre_clustered: bool = False,
     ) -> int:
         """The shared versioned-write protocol: append ``stamped``
         (already _kb-stamped) as NEW part-files — never deleting live
@@ -3252,6 +3314,15 @@ class TableStore:
 
         token = uuid.uuid4().hex[:12]
         stage = os.path.join(self.root, f".stage-{name}-{token}")
+        spec = self.keyed_spec(name)
+        if spec is not None and not pre_clustered:
+            # one part-file per bucket per write (see _cluster_kb) —
+            # centralizing here covers every versioned write verb
+            # (upsert/delete/update/merge/append staging); compact
+            # passes pre_clustered=True because it already
+            # repartitioned by _kb and SORTED within partitions, which
+            # a re-shuffle would undo
+            stamped = self._cluster_kb(stamped, spec[1])
         try:
             stamped.write.mode("append").partitionBy("_kb").parquet(stage)
             base = self._dir(name)
@@ -3536,7 +3607,7 @@ class TableStore:
             )
         return self._append_and_publish(
             out, name, fat, kept, op="compact", version_expect=base_v,
-            version_expect_ident=base_ident,
+            version_expect_ident=base_ident, pre_clustered=True,
         )
 
     def _dependent_watermark_floor(self, name: str) -> int | None:
@@ -4780,9 +4851,9 @@ class TableStore:
                         rederive_kept=_rederive,
                     )
                     return
-                df.write.mode("append").partitionBy("_kb").parquet(
-                    self._dir(name)
-                )
+                self._cluster_kb(df, n).write.mode("append").partitionBy(
+                    "_kb"
+                ).parquet(self._dir(name))
                 # evolving appends widen the stored schema the
                 # emptied-table fallback serves (code-review r7)
                 self._touch_meta(
@@ -4969,7 +5040,8 @@ class TableStore:
         # probes casting to it could silently false-negative)
         self._retire_bloom_indexes(name)
         (
-            stamped.write.mode("overwrite")
+            self._cluster_kb(stamped, int(n_buckets))
+            .write.mode("overwrite")
             .partitionBy("_kb")
             # STATIC overwrite, explicitly: the session default is
             # dynamic (for S10 reloads), under which this "full"
@@ -5101,7 +5173,8 @@ class TableStore:
             )
         merged = _merge_with(raw)
         (
-            merged.write.mode("overwrite")
+            self._cluster_kb(merged, int(n_buckets))
+            .write.mode("overwrite")
             .partitionBy("_kb")
             .option("partitionOverwriteMode", "dynamic")
             .parquet(self._dir(name))
@@ -5310,7 +5383,8 @@ class TableStore:
             )
             return
         (
-            stamped.write.mode("overwrite")
+            self._cluster_kb(stamped, n)
+            .write.mode("overwrite")
             .partitionBy("_kb")
             .option("partitionOverwriteMode", "dynamic")
             .parquet(self._dir(name))

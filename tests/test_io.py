@@ -545,13 +545,22 @@ def test_versioned_compact_rewrites_only_fat_buckets(spark, tmp_path):
     import os
 
     store = _mk_versioned(spark, tmp_path, n=100, buckets=4)
-    for i in range(3):
-        store.upsert(
+    store.upsert(
+        spark.createDataFrame([(3, 102.0, "U")], ["id", "price", "status"]),
+        "t",
+        "id",
+    )
+    # r14: writes now hash-cluster by _kb (one part-file per bucket per
+    # write), so an upsert REPLACES its bucket with exactly one file and
+    # can no longer leave multi-file buckets behind. Small-file debt now
+    # accumulates through the verb whose contract is accumulation —
+    # append — so build the fat buckets with appends.
+    for i in range(2):
+        store.append(
             spark.createDataFrame(
-                [(3, 100.0 + i, "U")], ["id", "price", "status"]
+                [(100 + i, 1000.0 + i, "A")], ["id", "price", "status"]
             ),
             "t",
-            "id",
         )
     v_before = store.latest_version("t")
     m_before = store._manifest_files("t", v_before)
@@ -560,7 +569,7 @@ def test_versioned_compact_rewrites_only_fat_buckets(spark, tmp_path):
         b = int(f.split("=", 1)[1].split("/", 1)[0])
         counts[b] = counts.get(b, 0) + 1
     fat = {b for b, c in counts.items() if c > 1}
-    assert fat, "upserts should have accumulated multi-file buckets"
+    assert fat, "appends should have accumulated multi-file buckets"
 
     v_after = store.compact("t")
     assert v_after == v_before + 1
@@ -578,7 +587,7 @@ def test_versioned_compact_rewrites_only_fat_buckets(spark, tmp_path):
     # identical contents; pinned pre-compaction version still reads
     want = {r["id"]: r["price"] for r in store.read("t", version=v_before).collect()}
     got = {r["id"]: r["price"] for r in store.read("t", version=v_after).collect()}
-    assert got == want and got[3] == 102.0 and len(got) == 100
+    assert got == want and got[3] == 102.0 and len(got) == 102
     # idempotent: nothing fat remains
     assert store.compact("t") == v_after
     # vacuum reclaims every file the compacted version dropped (the
@@ -852,7 +861,13 @@ def test_overwrite_on_versioned_table_retires_history_first(spark, tmp_path):
     store._retire_versioned("t")
     assert not os.path.isdir(store._manifest_dir("t"))
     got = {r["id"]: r["price"] for r in store.read("t").collect()}
-    assert got[3] == 333.0 and len(got) == 20  # old data, fully readable
+    # the heal serves the DIRECTORY (union of every version's files):
+    # the upserted key appears in both its v1 and v2 file, so which
+    # value the dict keeps is parquet split order — an implementation
+    # detail that the r14 one-file-per-bucket write clustering
+    # re-shuffled. The guarantee under test is "fully readable, every
+    # key present", not a winner among the duplicate window's rows.
+    assert got[3] in (3.0, 333.0) and len(got) == 20
     # the re-run completes the overwrite
     store.overwrite(
         spark.createDataFrame([(1, 1.0, "N")], ["id", "price", "status"]), "t"
@@ -876,7 +891,11 @@ def test_vacuum_grace_keeps_inflight_reader_alive(spark, tmp_path):
         "id",
     )
     pinned = store.read("t", version=2)  # plan resolves v2's file list now
-    store.compact("t")  # publishes v3
+    # r14: clustered writes leave one file per bucket, so the default
+    # fatness predicate finds nothing — force the full rewrite so the
+    # compact still publishes v3 (the vacuum/grace semantics under
+    # test are unchanged)
+    store.compact("t", max_files_per_bucket=0)  # publishes v3
     # maintenance at the DEFAULT grace (VERDICT r7 item 8: the default
     # must be the safe one): v2 is young → files retained
     store.vacuum("t", keep_last=1)
@@ -1225,7 +1244,9 @@ def test_compact_sort_cols_reclusters_buckets(spark, tmp_path):
             "t",
             "id",
         )
-    store.compact("t", sort_cols=["price"])
+    # r14: upserts now leave one file per bucket, so force the rewrite
+    # (the sort-on-rewrite behavior under test is unchanged)
+    store.compact("t", sort_cols=["price"], max_files_per_bucket=0)
     from pyspark.sql import Window
 
     back = store.read("t").select(
@@ -1350,7 +1371,7 @@ def test_history_and_restore(spark, tmp_path):
         spark.createDataFrame([(3, 999.0)], "id long, price double"),
         "t", "id", "app", 1,
     )
-    store.compact("t")                                           # v3 compact
+    store.compact("t", max_files_per_bucket=0)                   # v3 compact
     hist = store.history("t")
     assert [h["version"] for h in hist] == [3, 2, 1]
     assert hist[0]["op"] == "compact" and hist[1]["op"] == "upsert"
@@ -2290,7 +2311,11 @@ def test_compact_zorder_recluster(spark, tmp_path):
     before = {tuple(r) for r in store.read("t").collect()}
     with _pytest.raises(ValueError, match="not both"):
         store.compact("t", sort_cols=["x"], zorder_cols=["y"])
-    v = store.compact("t", zorder_cols=["x", "y"], zorder_bits=4)
+    # r14: clustered upserts leave one file per bucket — force the
+    # rewrite; the z-order layout claim below is unchanged
+    v = store.compact(
+        "t", zorder_cols=["x", "y"], zorder_bits=4, max_files_per_bucket=0
+    )
     assert store.history("t")[0]["op"] == "compact"
     assert {tuple(r) for r in store.read("t").collect()} == before
 
@@ -2890,12 +2915,18 @@ def test_rebucket_and_read_where_wave4_fixes(spark, tmp_path, monkeypatch):
         with _pytest.raises(ValueError):
             store.read_where("t", **bad)
     # the counter's ranges form matches the intersection plan: the
-    # conjunction opens no more files than either column alone
+    # conjunction opens no more files than either column alone.
+    # r14: the rebucket rewrite now clusters to one file per bucket
+    # (each spanning the full id range — nothing for min/max stats to
+    # separate), so append a fresh narrow slab and probe inside it:
+    # the appended files carry tight x/y ranges while the rebucketed
+    # wide files prune away, keeping the inequality chain meaningful.
+    store.append(slab(500), "t")
     both, total = store.pruned_file_count(
-        "t", ranges={"x": (150.0, 160.0), "y": (1840.0, 1850.0)}
+        "t", ranges={"x": (510.0, 520.0), "y": (1480.0, 1490.0)}
     )
-    only_x, _ = store.pruned_file_count("t", "x", (150.0, 160.0))
-    only_y, _ = store.pruned_file_count("t", "y", (1840.0, 1850.0))
+    only_x, _ = store.pruned_file_count("t", "x", (510.0, 520.0))
+    only_y, _ = store.pruned_file_count("t", "y", (1480.0, 1490.0))
     assert 0 < both <= min(only_x, only_y) < total
 
 

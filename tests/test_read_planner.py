@@ -26,7 +26,23 @@ def _mk(spark, tmp_path, n=2000, buckets=8):
         (F.col("id") % 5).alias("status"),
         (F.col("id") * 1.5).alias("amt"),
     )
-    store.overwrite_keyed(df, "t", "k", n_buckets=buckets, versioned=True)
+    # r14: store writes hash-cluster to one file per bucket, so a
+    # single overwrite would leave `buckets` files each spanning the
+    # whole k/cust domain — nothing for min/max or bloom pruning to
+    # separate (the old fixture's skippable layout was an accident of
+    # multi-task writes). Load the table the way skippable layout
+    # actually accumulates at scale: an initial slab plus ranged
+    # appends, so each write's files carry narrow k ranges and only a
+    # slice of the cust values.
+    slab = max(1, n // 5)
+    store.overwrite_keyed(
+        df.filter(F.col("k") < slab), "t", "k",
+        n_buckets=buckets, versioned=True,
+    )
+    for lo in range(slab, n, slab):
+        store.append(
+            df.filter((F.col("k") >= lo) & (F.col("k") < lo + slab)), "t"
+        )
     return store, df
 
 
