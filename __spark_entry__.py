@@ -265,12 +265,9 @@ _CHANGED_IN_ROUND = {
     # defensive localCheckpoint (append-only). By the r8-r11 precedent
     # a storage-layout/commit-path rework staleness-marks the whole
     # store family. q21 additionally carries the two-level-aggregation
-    # rewrite (Expand removed). NOTE: load_table also gained the
-    # unsplittable-input repartition, which changes every query's
-    # PLAN but no query's semantics — all 245 oracle queries were
-    # re-proven locally at sf0.001/shuffle=13 AND sf0.01/shuffle=32
-    # after the change, so only the deeper store-layout rework is
-    # staleness-marked here.
+    # rewrite (Expand removed). All 245 oracle queries were re-proven
+    # locally at sf0.001/shuffle=13 AND sf0.01/shuffle=32 after the
+    # r14 changes.
     "q21_waiting_suppliers": 14,
     "store_keyed_merge": 14,
     "store_versioned_snapshot": 14,

@@ -211,49 +211,6 @@ def lakehouse_format() -> str | None:
 _LOAD_TABLE_MEMO: dict = {}
 
 
-def _unsplittable_scan_fix(
-    spark: SparkSession, df: DataFrame, path: str
-) -> DataFrame:
-    """Restore scan-stage parallelism for effectively-unsplittable
-    parquet inputs (r14 optimization, guide §2.5 "one huge
-    unsplittable file ... repartition immediately after the read").
-
-    Spark plans parquet splits from BYTES (maxPartitionBytes /
-    openCostInBytes) but a split can never cut inside a row group, so
-    a file with fewer row groups than the cluster has cores pins the
-    whole stage-1 (decode + filter + partial aggregation + explode —
-    where most per-row compute lives) to that many tasks no matter
-    what the split config says. The driver's testdata tables are
-    single-row-group files, so every query's first stage was serial.
-
-    The fix is layout-adaptive, not local-tuned: read the footer
-    metadata (driver-side, kilobytes, once per memoized plan) and
-    round-robin repartition to defaultParallelism ONLY when the file's
-    row groups cannot feed at least a quarter of the cores and the
-    table is big enough for parallelism to matter (>=256 KiB and >=2
-    rows per core). A 100 TB table has orders of magnitude more row
-    groups than cores — the condition is false and the plan is
-    untouched; filters and column pruning still push through the
-    Repartition node into the scan (verified in the captured plans),
-    and AQE never coalesces a user-specified repartition."""
-    try:
-        if (
-            not os.path.isfile(path)
-            or os.path.getsize(path) < 256 * 1024
-        ):
-            return df
-        import pyarrow.parquet as pq
-
-        md = pq.ParquetFile(path).metadata
-        par = spark.sparkContext.defaultParallelism
-        if md.num_rows >= 2 * par and md.num_row_groups < max(1, par // 4):
-            return df.repartition(par)
-    except Exception:
-        # metadata probe is an optimization only — never a gate
-        return df
-    return df
-
-
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one driver testdata table (S1). Catalyst handles column
     pruning / predicate pushdown into the parquet scan.
@@ -298,7 +255,6 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             )
     else:
         df = spark.read.parquet(path)
-    df = _unsplittable_scan_fix(spark, df, path)
     if app is not None:
         _LOAD_TABLE_MEMO[key] = df
     return df
