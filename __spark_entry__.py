@@ -269,6 +269,13 @@ _CHANGED_IN_ROUND = {
     # locally at sf0.001/shuffle=13 AND sf0.01/shuffle=32 after the
     # r14 changes.
     "q21_waiting_suppliers": 14,
+    # r14: bpe_learn batch=1 gained the bounded-vocab driver replay
+    # (py_bpe_learn fast path; parity + over-cap fallback pinned in
+    # test_ext_ops; all three queries re-proven vs DuckDB at
+    # sf0.001 AND sf0.01 this session)
+    "text_bpe_learn": 14,
+    "text_bpe_learn_single": 14,
+    "text_bpe_learn_batched": 14,
     "store_keyed_merge": 14,
     "store_versioned_snapshot": 14,
     "store_delete_where": 14,

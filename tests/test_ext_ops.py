@@ -1460,8 +1460,27 @@ def test_bpe_learn_matches_python_reference(spark, docs):
             v = nv
         return out
 
-    got = [tuple(r) for r in bpe_learn(sl, n_merges=5).orderBy("rank").collect()]
+    # driver_vocab_cap=0 forces the DISTRIBUTED trainer (r14: the
+    # default batch=1 path replays through py_bpe_learn when the
+    # vocab fits the bounded driver collect — pinned separately below)
+    got = [
+        tuple(r)
+        for r in bpe_learn(sl, n_merges=5, driver_vocab_cap=0)
+        .orderBy("rank")
+        .collect()
+    ]
     assert got == ref_merges(5)
+    # and the r14 driver fast path + the over-cap fallback both learn
+    # the identical sequence: default cap (fits -> py_bpe_learn
+    # replay) and cap=1 (vocab overflows the bounded probe -> falls
+    # back to the distributed rounds)
+    for cap in (65_536, 1):
+        assert [
+            tuple(r)
+            for r in bpe_learn(sl, n_merges=5, driver_vocab_cap=cap)
+            .orderBy("rank")
+            .collect()
+        ] == got, cap
 
 
 def test_sorted_neighborhood_second_pass_catches_prefix_divergence(spark, docs):
@@ -1704,7 +1723,15 @@ def test_py_bpe_learn_matches_spark_trainer(spark, docs):
 
     sl = docs.filter(F.col("doc_id") < 150).select("doc_id", "text")
     wc = _word_counts([r["text"] for r in sl.collect()])
-    got = [tuple(r) for r in bpe_learn(sl, n_merges=8).orderBy("rank").collect()]
+    # driver_vocab_cap=0: pin the DISTRIBUTED rounds against the
+    # driver trainer (the default path already IS py_bpe_learn when
+    # the vocab fits — r14)
+    got = [
+        tuple(r)
+        for r in bpe_learn(sl, n_merges=8, driver_vocab_cap=0)
+        .orderBy("rank")
+        .collect()
+    ]
     assert got == py_bpe_learn(wc, 8)
 
 
