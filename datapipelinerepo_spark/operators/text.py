@@ -1206,10 +1206,15 @@ def bpe_learn(
     out_schema = (
         "rank int, left string, right string, merged string, pair_count long"
     )
-    if batch == 1 and driver_vocab_cap > 0:
+    if driver_vocab_cap > 0:
         head = wc.limit(driver_vocab_cap + 1).collect()
         if len(head) <= driver_vocab_cap:
-            rules = py_bpe_learn({r["_w"]: r["_n"] for r in head}, n_merges)
+            counts = {r["_w"]: r["_n"] for r in head}
+            rules = (
+                py_bpe_learn(counts, n_merges)
+                if batch == 1
+                else py_bpe_learn_batched(counts, n_merges, batch)
+            )
             return df.sparkSession.createDataFrame(rules, out_schema)
     vocab = (
         wc.select(F.split(F.col("_w"), "").alias("_t"), "_n")
@@ -1342,6 +1347,50 @@ def py_bpe_learn(
                 heapq.heappush(heap, (-nc, q))
         pair_counts.pop((left, right), None)
     return out
+
+
+def py_bpe_learn_batched(
+    word_counts: dict[str, int], n_merges: int, batch: int
+) -> list[tuple[int, str, str, str, int]]:
+    """Driver-side replay of bpe_learn's BATCHED rounds — a verbatim
+    twin of the distributed loop (r14): per round, rank pairs by
+    (count desc, left, right), walk the top 4·batch candidates with
+    the SAME greedy disjoint selection (a candidate is skipped when
+    either token appeared among any higher-ranked candidate's tokens
+    OR merged output — updated for every walked row, selected or
+    not), select up to ``batch`` rules, apply them as chained greedy
+    left-to-right folds in selection order, recount. Counts are
+    recomputed per round (the cap bounds the vocab, and round counts
+    are what the schedule is DEFINED over), so equivalence with the
+    relational loop is by construction; parity is pinned in
+    test_ext_ops against the distributed path."""
+    vocab: list[list] = [[list(w), n] for w, n in word_counts.items()]
+    merges: list[tuple[int, str, str, str, int]] = []
+    while len(merges) < n_merges:
+        pc: dict[tuple[str, str], int] = {}
+        for toks, n in vocab:
+            for i in range(len(toks) - 1):
+                p = (toks[i], toks[i + 1])
+                pc[p] = pc.get(p, 0) + n
+        if not pc:
+            break
+        cand = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0]))[
+            : 4 * batch
+        ]
+        sel: list[tuple[str, str, int]] = []
+        prev: set[str] = set()
+        for (a, b), c in cand:
+            if a not in prev and b not in prev:
+                sel.append((a, b, c))
+                if len(sel) == min(batch, n_merges - len(merges)):
+                    break
+            prev.update((a, b, a + b))
+        for a, b, c in sel:
+            merges.append((len(merges) + 1, a, b, a + b, c))
+        for a, b, _ in sel:
+            for entry in vocab:
+                entry[0] = _bpe_merge_pass_py(entry[0], a, b)
+    return merges
 
 
 def _bpe_fold(tokens_col, left: str, right: str):

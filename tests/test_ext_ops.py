@@ -1875,6 +1875,35 @@ def test_bpe_learn_batched_matches_python_replay(spark, docs, batch):
     assert got == _py_bpe_learn_batched(wc, 10, batch)
 
 
+@pytest.mark.parametrize("batch", [2, 4])
+def test_bpe_learn_batched_driver_replay_matches_distributed(
+    spark, docs, batch
+):
+    """r14: batch>1 also replays on the driver when the vocabulary is
+    bounded. Pin the DISTRIBUTED batched rounds (driver_vocab_cap=0)
+    against the default path (which is py_bpe_learn_batched here —
+    the 31-word corpus vocab fits any real cap), and the over-cap
+    fallback (cap=1) against both."""
+    from datapipelinerepo_spark.operators.text import bpe_learn
+
+    sl = docs.filter(F.col("doc_id") < 150).select("doc_id", "text")
+
+    def run(cap):
+        return [
+            tuple(r)
+            for r in bpe_learn(
+                sl, n_merges=10, batch=batch, driver_vocab_cap=cap
+            )
+            .orderBy("rank")
+            .collect()
+        ]
+
+    distributed = run(0)
+    driver = run(65_536)
+    over_cap = run(1)  # vocab > 1 -> falls back to distributed rounds
+    assert distributed == driver == over_cap
+
+
 def test_bpe_encode_tokens_arrow_equals_fold(spark, docs):
     """bpe_encode_tokens' Arrow engine (code-review r7: the sequence
     form needs the production-size path too) returns byte-identical
