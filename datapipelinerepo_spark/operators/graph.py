@@ -31,13 +31,38 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 25,
+    driver_edge_cap: int = 262_144,
 ) -> DataFrame:
     """Component label (min reachable node id) per node appearing in
     ``edges``. Output: (node, comp). Undirected: edges are symmetrized.
 
     The convergence probe (one count per round) is a sanctioned scalar
-    gate — the work itself is fully distributed."""
+    gate — the work itself is fully distributed.
+
+    r14 (optimization): the label is a FIXPOINT — min node id reachable
+    from each node — so unlike BPE's schedule it is algorithm-
+    independent: any correct components algorithm produces bit-identical
+    output. When the edge set is driver-small (near-dup pair sets are
+    pair-pruned long before this step), the O(log d) distributed rounds
+    are pure scheduler overhead (~10 eagerly-checkpointed jobs + count
+    probes for a 2-round graph, measured ~1.4 s at sf0.1); a BOUNDED
+    ``limit(cap+1)`` collect (never more than ``driver_edge_cap + 1``
+    edge rows cross to the driver — the kmeans/BPE bounded-collect
+    pattern) feeds union-find with path compression instead. Guarded to
+    integer/string node ids (Python min == Spark min ordering there;
+    float NaN and temporal normalization subtleties stay distributed)
+    and to null-free edge heads. Over the cap — any real corpus-scale
+    pair set — the distributed rounds run exactly as before;
+    ``driver_edge_cap=0`` forces them (parity pinned in tests)."""
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    if driver_edge_cap > 0 and _cc_driver_types_ok(e):
+        head = e.limit(driver_edge_cap + 1).collect()
+        if len(head) <= driver_edge_cap and not any(
+            r[0] is None or r[1] is None for r in head
+        ):
+            return _py_connected_components(
+                edges.sparkSession, head, e.schema
+            )
     e = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
     e = e.localCheckpoint()
     # Seed with the round-1 neighborhood minimum directly: one groupBy
@@ -110,6 +135,74 @@ def connected_components(
         if changed == 0:
             break
     return labels
+
+
+# node-id types where Python's min/ordering is bit-identical to
+# Spark's (signed integers; strings compare by code point in Python
+# and by UTF-8 bytes in Spark — UTF-8 preserves code-point order).
+# Floats (NaN ordering) and temporal types (tz/normalization) fall
+# back to the distributed rounds.
+_CC_DRIVER_TYPES = frozenset(
+    {"tinyint", "smallint", "int", "bigint", "string"}
+)
+
+
+def _cc_driver_types_ok(e: DataFrame) -> bool:
+    a, b = (f.dataType for f in e.schema.fields)
+    # mixed src/dst types would be coerced by the distributed union;
+    # the driver path requires one exact type to mirror that ordering
+    return a == b and a.simpleString() in _CC_DRIVER_TYPES
+
+
+def _py_connected_components(spark, edge_rows, schema) -> DataFrame:
+    """Driver-side components over a bounded edge list: union-find with
+    path compression, then label every node with the MIN id of its
+    component — the same fixpoint the distributed min-label-propagation
+    converges to (equivalence is definitional: both emit one row per
+    distinct endpoint, labeled with the minimum reachable node id)."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in edge_rows:
+        u, v = r[0], r[1]
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[ru] = rv
+    # min node id per component root, then one (node, comp) row per
+    # distinct endpoint — mirroring the distributed groupBy("u") over
+    # the symmetrized edge set
+    comp_min: dict = {}
+    nodes: set = set()
+    for r in edge_rows:
+        for x in (r[0], r[1]):
+            if x in nodes:
+                continue
+            nodes.add(x)
+            root = find(x)
+            cur = comp_min.get(root)
+            if cur is None or x < cur:
+                comp_min[root] = x
+    from pyspark.sql.types import StructField, StructType
+
+    out_schema = StructType(
+        [
+            StructField("node", schema.fields[0].dataType),
+            StructField("comp", schema.fields[0].dataType),
+        ]
+    )
+    rows = [(x, comp_min[find(x)]) for x in nodes]
+    # a local-relation frame carries no size stats, so downstream
+    # joins (dedup_components' full-corpus left join) would plan
+    # SortMergeJoin and shuffle the corpus; the label set is bounded
+    # at 2·driver_edge_cap rows by construction — broadcast it
+    return F.broadcast(spark.createDataFrame(rows, out_schema))
 
 
 def pagerank(

@@ -228,15 +228,84 @@ def test_connected_components_planted_graph(spark):
 
 def test_connected_components_long_chain(spark):
     """A 30-node path graph converges to a single component (the
-    worst-case diameter for label propagation)."""
+    worst-case diameter for label propagation). driver_edge_cap=0
+    forces the DISTRIBUTED rounds (r14: the default path union-finds
+    bounded edge sets on the driver)."""
     from datapipelinerepo_spark.operators import graph as G
 
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(30)], ["id_a", "id_b"]
     )
-    comps = G.connected_components(pairs)
+    comps = G.connected_components(pairs, driver_edge_cap=0)
     assert comps.select("comp").distinct().count() == 1
     assert comps.agg(F.min("comp")).first()[0] == 0
+
+
+def test_connected_components_driver_matches_distributed(spark, docs):
+    """r14 bounded-driver path: union-find output (rows, labels, types)
+    equals the distributed min-label rounds on the registry's own edge
+    shape (consecutive same-lang chains), and the over-cap fallback
+    (cap=1) rides the distributed path to the same answer."""
+    from datapipelinerepo_spark.operators import graph as G
+
+    d = docs.select("doc_id", "lang")
+    nxt = d.select(
+        (F.col("doc_id") - 1).alias("doc_id"),
+        F.col("lang").alias("_lang2"),
+    )
+    edges = (
+        d.join(nxt, on="doc_id")
+        .filter(F.col("lang") == F.col("_lang2"))
+        .select(
+            F.col("doc_id").alias("id_a"),
+            (F.col("doc_id") + 1).alias("id_b"),
+        )
+    )
+
+    def run(cap):
+        out = G.connected_components(edges, driver_edge_cap=cap)
+        assert dict(out.dtypes) == {"node": "bigint", "comp": "bigint"}
+        return {r["node"]: r["comp"] for r in out.collect()}
+
+    driver, distributed, over_cap = run(262_144), run(0), run(1)
+    assert driver == distributed == over_cap and len(driver) > 0
+
+
+def test_connected_components_driver_string_ids_and_null_fallback(spark):
+    """String node ids ride the driver path with Spark-identical
+    ordering; a null endpoint anywhere in the bounded head falls back
+    to the distributed rounds (which drop the null side in the join)
+    rather than guessing null semantics on the driver."""
+    from datapipelinerepo_spark.operators import graph as G
+
+    pairs = spark.createDataFrame(
+        [("b", "c"), ("a", "b"), ("x", "y")], ["id_a", "id_b"]
+    )
+    got = {
+        r["node"]: r["comp"] for r in G.connected_components(pairs).collect()
+    }
+    want = {
+        r["node"]: r["comp"]
+        for r in G.connected_components(pairs, driver_edge_cap=0).collect()
+    }
+    assert got == want == {
+        "a": "a", "b": "a", "c": "a", "x": "x", "y": "x"
+    }
+
+    with_null = spark.createDataFrame(
+        [(1, 2), (None, 3)], "id_a int, id_b int"
+    )
+    got_n = {
+        r["node"]: r["comp"]
+        for r in G.connected_components(with_null).collect()
+    }
+    want_n = {
+        r["node"]: r["comp"]
+        for r in G.connected_components(
+            with_null, driver_edge_cap=0
+        ).collect()
+    }
+    assert got_n == want_n
 
 
 def test_multimodal_features_deterministic(spark, docs):

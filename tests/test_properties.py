@@ -185,10 +185,17 @@ def test_connected_components_matches_union_find(spark, edges):
     want = {n: find(n) for n in parent}
 
     df = spark.createDataFrame(edges, "id_a long, id_b long")
+    # default path (r14: driver union-find under the bounded cap) AND
+    # the forced distributed rounds must both match the reference
     got = {
         r.node: r.comp for r in connected_components(df).collect()
     }
     assert got == want
+    got_dist = {
+        r.node: r.comp
+        for r in connected_components(df, driver_edge_cap=0).collect()
+    }
+    assert got_dist == want
 
 
 @settings(max_examples=5, deadline=None)
