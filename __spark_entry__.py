@@ -276,6 +276,15 @@ _CHANGED_IN_ROUND = {
     "text_bpe_learn": 14,
     "text_bpe_learn_single": 14,
     "text_bpe_learn_batched": 14,
+    # r14: connected_components gained the bounded-edge driver
+    # union-find (fixpoint-identical by definition; distributed rounds
+    # unchanged over the cap) + broadcast-hinted label frame — every
+    # component-consuming oracle query re-proven vs DuckDB at
+    # sf0.001/shuffle=13 AND sf0.01/shuffle=32 this session
+    "dedup_connected_components": 14,
+    "dedup_canonical_keep": 14,
+    "dedup_semantic_keep_verified": 14,
+    "dedup_cluster_size_histogram": 14,
     "store_keyed_merge": 14,
     "store_versioned_snapshot": 14,
     "store_delete_where": 14,

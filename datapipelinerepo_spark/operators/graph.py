@@ -197,7 +197,9 @@ def _py_connected_components(spark, edge_rows, schema) -> DataFrame:
             StructField("comp", schema.fields[0].dataType),
         ]
     )
-    rows = [(x, comp_min[find(x)]) for x in nodes]
+    # sorted: set iteration order varies with the hash seed, and a
+    # reproducible local relation costs nothing at ≤ 2·cap rows
+    rows = sorted((x, comp_min[find(x)]) for x in nodes)
     # a local-relation frame carries no size stats, so downstream
     # joins (dedup_components' full-corpus left join) would plan
     # SortMergeJoin and shuffle the corpus; the label set is bounded
