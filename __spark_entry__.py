@@ -97,8 +97,10 @@ def _ordered_names() -> list[str]:
 # Queries whose Spark code or oracle SQL changed AFTER earning a green
 # row: the old proof is stale until a correctness file from the change
 # round or later shows them green again (self-clearing).
-# Map name -> round changed.
-_CHANGED_IN_ROUND = {
+# Built as per-round dicts merged in round order so the later-round-wins
+# semantics are explicit (ADVICE r14: a single literal with duplicate
+# keys relied silently on last-wins and a reorder could flip marks).
+_CHANGED_R5_TO_R7 = {
     "w_ntile_deciles": 5,
     "cdc_latest_wins": 5,
     "text_vocab_coverage": 6,  # r6: bucketed rank+offsets rewrite
@@ -108,6 +110,8 @@ _CHANGED_IN_ROUND = {
     # the reworked manifest/commit protocol
     "text_bpe_learn": 7,
     "text_bpe_learn_single": 7,
+}
+_CHANGED_R8 = {
     # r8: store-backed queries now pin results in memory and delete
     # their temp dirs (ADVICE r7) and ride the atomic-replay commit
     # protocol; locally re-proven at sf0.001 + sf0.01
@@ -124,6 +128,8 @@ _CHANGED_IN_ROUND = {
     # bit-identical by parity pytests, re-proven at sf0.001/0.01
     "text_bpe_encode": 8,
     "text_bpe_encode_tokens": 8,
+}
+_CHANGED_R9 = {
     # r9: every _ephemeral_store query now returns driver-materialized
     # literal rows instead of localCheckpoint-pinned frames (VERDICT r8
     # item 1 — removes the lineage-into-deleted-files mechanism behind
@@ -148,6 +154,8 @@ _CHANGED_IN_ROUND = {
     # 7-value key enumerating ~500M pairs at sf0.1 — now a
     # high-cardinality nullable key (re-proven at sf0.001 + sf0.01)
     "j_null_safe_join": 9,
+}
+_CHANGED_R10 = {
     # r10: the two never-green IVM queries are now SELF-CHECKING
     # (IVM-vs-recompute _require + sf0.01 literal pin) per VERDICT r9
     # item 1b; bodies refactored onto the shared lifecycle helpers the
@@ -184,6 +192,8 @@ _CHANGED_IN_ROUND = {
     "store_column_mapping": 10,
     "store_rebucket": 10,
     "store_stats_skipping": 10,
+}
+_CHANGED_R11 = {
     # r11: the 7 r10 hash-red queries (VERDICT r10 item 1 — one proven
     # root cause: a bare DECIMAL(28,4) sum_val output column under the
     # driver's oracle env) now cast the driver-facing sum_val to DOUBLE
@@ -234,6 +244,8 @@ _CHANGED_IN_ROUND = {
     "store_ivm_base_state": 11,
     "store_incremental_join": 11,
     "store_streaming_join": 11,
+}
+_CHANGED_R13 = {
     # r13: bloom maintenance gained the per-(table, column) claim,
     # dtype-drift rebuild, and mid-swap detection; probes gained the
     # dtype safety net + loud degradation; read() gained where=
@@ -258,6 +270,8 @@ _CHANGED_IN_ROUND = {
     "store_bloom_conjunctive_read": 13,
     "store_bloom_inlist_read": 13,
     "store_group_point_read": 13,
+}
+_CHANGED_R14 = {
     # r14 (optimization round): every store write now hash-clusters by
     # _kb (one part-file per bucket per write — Iceberg hash
     # distribution), versioned reads take the manifest-recorded schema
@@ -269,10 +283,10 @@ _CHANGED_IN_ROUND = {
     # locally at sf0.001/shuffle=13 AND sf0.01/shuffle=32 after the
     # r14 changes.
     "q21_waiting_suppliers": 14,
-    # r14: bpe_learn batch=1 gained the bounded-vocab driver replay
-    # (py_bpe_learn fast path; parity + over-cap fallback pinned in
-    # test_ext_ops; all three queries re-proven vs DuckDB at
-    # sf0.001 AND sf0.01 this session)
+    # r14: bpe_learn gained the bounded-vocab driver replay for BOTH
+    # batch==1 (py_bpe_learn) and batch>1 (py_bpe_learn_batched);
+    # parity + over-cap fallback pinned in test_ext_ops; all three
+    # queries re-proven vs DuckDB at sf0.001 AND sf0.01 that session
     "text_bpe_learn": 14,
     "text_bpe_learn_single": 14,
     "text_bpe_learn_batched": 14,
@@ -337,6 +351,29 @@ _CHANGED_IN_ROUND = {
     "s9_replace_roundtrip": 14,
     "s10_reload_roundtrip": 14,
     "f18_unavail_fill": 14,
+    # r15 audit of the r13→r14 inherited commits (VERDICT r14 item 3):
+    # a649cd3 rewrote global_order_positions' sampler path (shared
+    # boundary-sample job, order_bucket_column/bucket_chain extraction)
+    # but only dedup_sorted_neighborhood's consumers were locally
+    # re-proven — none of the riders was staleness-marked, so the
+    # driver has not re-proven them since r12/r13. Marked at 14 (the
+    # round the change entered the judged tree) so the r15 sample
+    # re-proves them.
+    "dedup_sorted_neighborhood": 14,
+    "scale_exact_quantiles": 14,
+    "w_ntile_deciles": 14,
+    "scale_zorder_values": 14,
+}
+
+# Merged in round order: a later round's mark for the same query wins.
+_CHANGED_IN_ROUND = {
+    **_CHANGED_R5_TO_R7,
+    **_CHANGED_R8,
+    **_CHANGED_R9,
+    **_CHANGED_R10,
+    **_CHANGED_R11,
+    **_CHANGED_R13,
+    **_CHANGED_R14,
 }
 
 

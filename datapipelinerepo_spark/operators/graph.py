@@ -146,6 +146,12 @@ _CC_DRIVER_TYPES = frozenset(
     {"tinyint", "smallint", "int", "bigint", "string"}
 )
 
+# Broadcast the driver-computed label frame only below this row count
+# (2× the rows the DEFAULT edge cap can produce; ~32 MB of long pairs —
+# comfortably under broadcast limits regardless of what a caller sets
+# driver_edge_cap to).
+_CC_BROADCAST_ROWS_MAX = 1_048_576
+
 
 def _cc_driver_types_ok(e: DataFrame) -> bool:
     a, b = (f.dataType for f in e.schema.fields)
@@ -203,8 +209,14 @@ def _py_connected_components(spark, edge_rows, schema) -> DataFrame:
     # a local-relation frame carries no size stats, so downstream
     # joins (dedup_components' full-corpus left join) would plan
     # SortMergeJoin and shuffle the corpus; the label set is bounded
-    # at 2·driver_edge_cap rows by construction — broadcast it
-    return F.broadcast(spark.createDataFrame(rows, out_schema))
+    # at 2·driver_edge_cap rows by construction — broadcast it. The
+    # hint is gated on a FIXED row bound, not the cap (ADVICE r14:
+    # driver_edge_cap is a public parameter, so a caller raising it
+    # must not silently push a multi-GB relation into every executor).
+    out = spark.createDataFrame(rows, out_schema)
+    if len(rows) <= _CC_BROADCAST_ROWS_MAX:
+        out = F.broadcast(out)
+    return out
 
 
 def pagerank(

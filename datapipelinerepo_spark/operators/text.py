@@ -1187,17 +1187,18 @@ def bpe_learn(
     merge rounds run over the VOCABULARY — and when that vocabulary
     is driver-small, paying a Spark job per round is pure scheduler
     overhead (measured ~0.4 s/round over a 31-row vocab at sf0.1).
-    For ``batch == 1`` the word-count table is probed with a BOUNDED
-    ``limit(cap+1)`` collect (never more than ``driver_vocab_cap + 1``
-    rows cross to the driver — the kmeans/boundary-sample bounded-
-    collect pattern); if it fits, the remaining rounds replay through
-    ``py_bpe_learn``, the incremental driver trainer whose schedule
-    is pinned BIT-IDENTICAL to this loop by the parity tests — same
-    weighted pair counts, same (count desc, left, right) argmax, same
-    greedy fold. Over the cap (web-scale vocabularies) or for
-    ``batch > 1`` the distributed rounds run exactly as before;
-    ``driver_vocab_cap=0`` forces the distributed path (tests pin the
-    two paths against each other)."""
+    The word-count table is probed with a BOUNDED ``limit(cap+1)``
+    collect (never more than ``driver_vocab_cap + 1`` rows cross to
+    the driver — the kmeans/boundary-sample bounded-collect pattern);
+    if it fits, the remaining rounds replay through ``py_bpe_learn``
+    (``batch == 1``) or ``py_bpe_learn_batched`` (``batch > 1``), the
+    incremental driver trainers whose schedules are pinned
+    BIT-IDENTICAL to this loop by the parity tests — same weighted
+    pair counts, same (count desc, left, right) candidate ranking,
+    same disjointness exclusion, same greedy folds. Over the cap
+    (web-scale vocabularies) the distributed rounds run exactly as
+    before; ``driver_vocab_cap=0`` forces the distributed path (tests
+    pin the two paths against each other)."""
     wc = (
         df.select(F.explode(ws_tokens(F.col(text_col))).alias("_w"))
         .groupBy("_w")
@@ -1207,6 +1208,13 @@ def bpe_learn(
         "rank int, left string, right string, merged string, pair_count long"
     )
     if driver_vocab_cap > 0:
+        # Pin the corpus-sized aggregation before probing it (ADVICE
+        # r14): without this the over-cap fallback recomputed the
+        # heaviest job — once for the probe, again for the distributed
+        # loop — exactly on the web-scale inputs the fallback exists
+        # for. The lazy local checkpoint caches partitions as the probe
+        # computes them and completes the rest on demand.
+        wc = wc.localCheckpoint(eager=False)
         head = wc.limit(driver_vocab_cap + 1).collect()
         if len(head) <= driver_vocab_cap:
             counts = {r["_w"]: r["_n"] for r in head}

@@ -7,6 +7,7 @@ routing) can't hide behind the test suite's fixed shuffle=4.
 
 Usage:
     python tools/oracle_sweep.py [--sf-dir DIR] [--shuffle N] [--cpus N]
+                                 [--only name1,name2,...]
 
 Prints one JSON line: {"sf": ..., "shuffle": N, "n": N, "green": N,
 "red": {name: msg, ...}} — red is empty on a clean sweep.
@@ -38,6 +39,9 @@ def main() -> None:
         shuffle = int(sys.argv[sys.argv.index("--shuffle") + 1])
     if "--cpus" in sys.argv:
         cpus = int(sys.argv[sys.argv.index("--cpus") + 1])
+    only = None
+    if "--only" in sys.argv:
+        only = set(sys.argv[sys.argv.index("--only") + 1].split(","))
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark(
         app_name="oracle_sweep",
@@ -49,6 +53,11 @@ def main() -> None:
     con = duck_connection(sf_dir)
     red: dict[str, str] = {}
     names = sorted(n for n, e in REGISTRY.items() if e.sql is not None)
+    if only is not None:
+        missing = only - set(names)
+        if missing:
+            raise SystemExit(f"--only names not in oracle registry: {missing}")
+        names = [n for n in names if n in only]
     for i, name in enumerate(names):
         e = REGISTRY[name]
         try:
