@@ -5067,6 +5067,20 @@ class TableStore:
         stamped = incoming.withColumn(
             "_kb", self._kb_expr(name, keys, n_buckets)
         )
+        # r15 (guide §1.2/§5): pin the batch lineage ONCE — the probe
+        # job below materializes the lazy checkpoint as it computes,
+        # and the merge's two references (anti-join key side + union
+        # side) then read the cache instead of re-running the lineage.
+        # The old flow evaluated the batch THREE times per upsert; for
+        # an expensive upstream batch at 100 TB that triples the cost
+        # of every upsert, and a non-deterministic lineage could hash
+        # rows into buckets outside the probed set. A full two-phase
+        # parquet staging of the batch was prototyped and measured
+        # SLOWER locally (+0.75 s per 3-upsert lifecycle, interleaved
+        # median-of-7: the extra staging job + tiny-file read-back cost
+        # more than the saved evaluations); the checkpoint gets the
+        # same single-evaluation property with no extra job.
+        stamped = stamped.localCheckpoint(eager=False)
         affected = [r[0] for r in stamped.select("_kb").distinct().collect()]
         versioned = self.is_versioned(name)
 
@@ -6006,51 +6020,76 @@ class TableStore:
                     f"key columns {bad_keys} — model a key change as "
                     "when_matched_delete + a new source row"
                 )
-        parts = []
+        # r15 (optimization, guide §2.4): ONE projection over ONE
+        # evaluation of the full-outer join. The old form unioned
+        # filtered branches (updated / kept-matched / kept-unmatched /
+        # inserted) of the SAME join — the physical plan repeated the
+        # join subtree once per branch (plus once more for the landed
+        # constraint check), re-scanning the target buckets each time.
+        # Each joined row now gets exactly one action tag (U(pdate) /
+        # K(eep) / I(nsert); delete and non-inserted source rows fall
+        # through to NULL and are filtered), and every output column is
+        # a per-action CASE — the same row multiset by construction
+        # (the branch predicates were mutually exclusive and exhaustive
+        # over the kept rows). CASE branches resolve a common type the
+        # same way unionByName did, so the output schema is unchanged
+        # (pinned by the merge_when tests + store_merge_when oracle).
+        act = F.when(both & del_c, F.lit(None).cast("string"))
+        has_landed = False
         if upd_map:
-            updated = j.filter(both & ~del_c & upd_gate).select(
-                *[
-                    (
-                        F.expr(upd_map[c]).alias(c)
-                        if c in upd_map
-                        else _t_row()[out_cols.index(c)]
-                    )
-                    for c in out_cols
-                ]
-            )
-            parts.append(("landed", updated))
-            kept_matched = j.filter(both & ~del_c & ~upd_gate).select(*_t_row())
-        else:
-            kept_matched = j.filter(both & ~del_c).select(*_t_row())
-        parts.append(("kept", kept_matched))
-        parts.append(("kept", j.filter(only_t).select(*_t_row())))
+            act = act.when(both & upd_gate, F.lit("U"))
+            has_landed = True
+        act = act.when(both, F.lit("K")).when(only_t, F.lit("K"))
         if when_not_matched_insert:
             ins_gate = (
                 F.coalesce(F.expr(when_not_matched_insert), F.lit(False))
                 if isinstance(when_not_matched_insert, str)
                 else F.lit(True)
             )
-            parts.append(
-                ("landed", j.filter(only_s & ins_gate).select(*_s_row()))
+            act = act.when(only_s & ins_gate, F.lit("I"))
+            has_landed = True
+
+        def _out_col(i: int, c: str):
+            t_e, s_e = _t_row()[i], _s_row()[i]
+            e = None
+            if upd_map:
+                u_e = F.expr(upd_map[c]) if c in upd_map else t_e
+                e = F.when(F.col("_act") == "U", u_e)
+            if when_not_matched_insert:
+                w = F.when(F.col("_act") == "I", s_e)
+                e = e.when(F.col("_act") == "I", s_e) if e is not None else w
+            return (e.otherwise(t_e) if e is not None else t_e).alias(c)
+
+        proj = (
+            j.withColumn("_act", act)
+            .filter(F.col("_act").isNotNull())
+            .select(
+                *[_out_col(i, c) for i, c in enumerate(out_cols)], "_act"
             )
-        merged = None
-        landed = None
-        for kind, p in parts:
-            merged = p if merged is None else merged.unionByName(p)
-            if kind == "landed":
-                landed = p if landed is None else landed.unionByName(p)
-        if not self.is_versioned(name):
+        )
+        check_needed = has_landed and bool(self.constraints(name))
+        if check_needed:
+            # the landed check is an aggregate over the same projection
+            # the write lands — pin it so check + write evaluate the
+            # join ONCE between them (the check job materializes the
+            # lazy checkpoint; the staging write reads the cache)
+            proj = proj.localCheckpoint(eager=False)
+        merged = proj.drop("_act")
+        if not self.is_versioned(name) and not check_needed:
             # unversioned: overwrite_buckets rewrites the files the
             # full-outer join reads — materialize first; versioned
             # appends + publishes, so the staging write is the single
-            # merge pass (r14 — the eager checkpoint here was a second
-            # full evaluation of the join)
+            # merge pass (r14). With a landed check the lazy checkpoint
+            # above is already fully materialized by the check's
+            # aggregate before the rewrite starts.
             merged = merged.localCheckpoint(eager=True)
-        if landed is not None:
+        if check_needed:
             # constraints judge exactly what this merge WRITES anew —
             # updated and inserted rows; surviving history is not
             # re-judged (the delete_where/upsert contract)
-            self._check_constraints(name, landed)
+            self._check_constraints(
+                name, proj.filter(F.col("_act") != "K").drop("_act")
+            )
         self.overwrite_buckets(
             merged, name, buckets, op="merge", txn=txn,
             check_replay=check_replay, txn_expect=txn_expect,
