@@ -990,8 +990,22 @@ def sorted_neighborhood_pairs(
     via lead() + seam repair) was prototyped and measured SLOWER at
     sf0.1 (+0.2..1.1 s: its checkpoint barriers and extra corpus sorts
     cost more than the join tower it removed), so the equi-join
-    structure stays."""
-    from .sampling import global_order_positions
+    structure stays.
+
+    r15 (optimization, guide §2.2/§2.4): both passes run through ONE
+    position tower instead of one tower per pass. The corpus explodes
+    to (pass, key, id, head) rows — each rotation is just a value of
+    the ``_p`` column — positions come from a single rank-with-offsets
+    computation partitioned by (_p, bucket) with per-pass cumulative
+    offsets, and the window probe join keys on (_p, position).
+    Per-pass positions are identical to the per-pass towers by
+    construction (the rank window never crosses passes, offsets
+    accumulate within a pass), so the candidate sets and the verified
+    output are unchanged (oracle re-proven). What changes is the plan:
+    one counts aggregate, one rank shuffle, one probe join and one
+    verify instead of two of each — half the Exchanges/stages carrying
+    the same total bytes (guide §2.2: fewer, larger shuffles)."""
+    from .sampling import bucket_chain
 
     if passes not in (1, 2):
         raise ValueError(
@@ -1057,39 +1071,80 @@ def sorted_neighborhood_pairs(
         step = max(1, len(vals) // n_buckets)
         boundaries.append(vals[step - 1 :: step][: n_buckets - 1])
 
-    outs = []
-    for key_expr, uniq in zip(key_exprs, boundaries):
-        heads = base.withColumn("_key", key_expr)
-        pos = global_order_positions(
-            heads, ("_key", "_id"), n_buckets=n_buckets, boundaries=uniq
-        )
-        a = pos.select(
-            F.col("_id").alias("id_a"), F.col("_h").alias("_ha"), F.col("pos").alias("_pa")
-        )
-        probes = a.select(
-            "id_a",
-            "_ha",
-            "_pa",
-            F.explode(F.array(*[F.lit(o) for o in range(1, window + 1)])).alias("_o"),
-        ).select("id_a", "_ha", (F.col("_pa") + F.col("_o")).alias("_pb"))
-        b = pos.select(
-            F.col("_id").alias("id_b"), F.col("_h").alias("_hb"), F.col("pos").alias("_pb")
-        )
-        cand = probes.join(b, "_pb")
-        # bounded 3-arg Levenshtein: banded O(k*n) DP with early exit,
-        # -1 when the distance exceeds k — the window produces corpus x
-        # window candidates and nearly all miss, so the full O(n^2) DP
-        # was the dominant cost (measured 3.5 s -> sub-second at sf0.1)
-        outs.append(
-            cand.withColumn("edit_dist", F.levenshtein("_ha", "_hb", k))
-            .filter(F.col("edit_dist") >= 0)
-            .select(
-                F.least("id_a", "id_b").alias("id_a"),
-                F.greatest("id_a", "id_b").alias("id_b"),
-                "edit_dist",
+    # one (pass, key, id, head) frame for every rotation; per-pass
+    # bucket assignment dispatches on _p over the pass's own sampled
+    # boundaries (the when-chain per pass is the same bucket_chain the
+    # per-pass towers used)
+    rows = base.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("_p"), key_exprs[i].alias("_key")
+                    )
+                    for i in range(passes)
+                ]
             )
+        ).alias("_e"),
+        "_id",
+        "_h",
+    ).select(
+        F.col("_e._p").alias("_p"), F.col("_e._key").alias("_key"), "_id", "_h"
+    )
+    bucket = bucket_chain(F.col("_key"), boundaries[0])
+    for i in range(1, passes):
+        bucket = F.when(
+            F.col("_p") == i, bucket_chain(F.col("_key"), boundaries[i])
+        ).otherwise(bucket)
+    bucketed = rows.withColumn("_b", bucket)
+    counts = bucketed.groupBy("_p", "_b").agg(F.count(F.lit(1)).alias("_n"))
+    woff = (
+        Window.partitionBy("_p")
+        .orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "_p", "_b", F.coalesce(F.sum("_n").over(woff), F.lit(0)).alias("_off")
+    )  # ≤ passes·(n_buckets+1) rows: bounded windows, not corpus-sized
+    wrank = Window.partitionBy("_p", "_b").orderBy(
+        F.col("_key").asc(), F.col("_id").asc()
+    )
+    pos = (
+        bucketed.join(F.broadcast(offsets), ["_p", "_b"])
+        .withColumn("pos", F.col("_off") + F.row_number().over(wrank) - 1)
+        .drop("_b", "_off", "_key")
+    )
+    a = pos.select(
+        "_p",
+        F.col("_id").alias("id_a"),
+        F.col("_h").alias("_ha"),
+        F.col("pos").alias("_pa"),
+    )
+    probes = a.select(
+        "_p",
+        "id_a",
+        "_ha",
+        "_pa",
+        F.explode(F.array(*[F.lit(o) for o in range(1, window + 1)])).alias("_o"),
+    ).select("_p", "id_a", "_ha", (F.col("_pa") + F.col("_o")).alias("_pb"))
+    b = pos.select(
+        "_p",
+        F.col("_id").alias("id_b"),
+        F.col("_h").alias("_hb"),
+        F.col("pos").alias("_pb"),
+    )
+    cand = probes.join(b, ["_p", "_pb"])
+    # bounded 3-arg Levenshtein: banded O(k*n) DP with early exit,
+    # -1 when the distance exceeds k — the window produces corpus x
+    # window candidates and nearly all miss, so the full O(n^2) DP
+    # was the dominant cost (measured 3.5 s -> sub-second at sf0.1)
+    out = (
+        cand.withColumn("edit_dist", F.levenshtein("_ha", "_hb", k))
+        .filter(F.col("edit_dist") >= 0)
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+            "edit_dist",
         )
-    out = outs[0]
-    for extra in outs[1:]:
-        out = out.unionByName(extra)
-    return out.distinct() if len(outs) > 1 else out
+    )
+    return out.distinct() if passes > 1 else out
