@@ -281,6 +281,41 @@ def _key_match(keys: list[str], df: DataFrame, prefix: str):
     return aliased, cond
 
 
+# integer bounds per Spark int-family simpleString, for the driver
+# bloom probe's native-type gate
+_INT_BOUNDS = {
+    "tinyint": (-(1 << 7), (1 << 7) - 1),
+    "smallint": (-(1 << 15), (1 << 15) - 1),
+    "int": (-(1 << 31), (1 << 31) - 1),
+    "bigint": (-(1 << 63), (1 << 63) - 1),
+}
+
+
+def _bloom_cast_probe(val, dtype: str):
+    """A probe value the driver bloom path may hash directly: the
+    python value must ALREADY be a native instance of the recorded
+    dtype (no cast emulation — Spark's cast semantics under ANSI are
+    not worth mirroring for a fast path; mismatched-type probes keep
+    the Spark-job route, which applies the real cast)."""
+    t = dtype.lower()
+    if t in _INT_BOUNDS:
+        if isinstance(val, bool) or not isinstance(val, int):
+            raise TypeError(f"probe {val!r} is not a native {dtype}")
+        lo, hi = _INT_BOUNDS[t]
+        if not lo <= val <= hi:
+            raise TypeError(f"probe {val!r} outside {dtype} range")
+        return val
+    if t == "string":
+        if not isinstance(val, str):
+            raise TypeError(f"probe {val!r} is not a native string")
+        return val
+    if t == "boolean":
+        if not isinstance(val, bool):
+            raise TypeError(f"probe {val!r} is not a native boolean")
+        return val
+    raise TypeError(f"no driver-side probe for dtype {dtype!r}")
+
+
 # sentinel: "carry the previous manifest's column map forward" —
 # distinct from None ("clear the map", used only by explicit resets)
 _CARRY: dict = {"__carry__": True}
@@ -2519,6 +2554,73 @@ class TableStore:
             )
         return values
 
+    # sidecar size under which a probe tests the bitmaps in-process
+    # instead of launching a Spark job (32 MB ≈ thousands of files'
+    # bitmaps; a 100 TB table's sidecar is orders bigger and keeps the
+    # distributed scan)
+    _BLOOM_DRIVER_PROBE_BYTES = 32 << 20
+
+    def _bloom_kept_files_driver(
+        self, bdir: str, meta: dict, values: list, files: list
+    ) -> list | None:
+        """Driver-side bitmap test for a small sidecar — the bounded
+        fast path of bloom_kept_files. Returns the kept file list, or
+        None when the sidecar is too big, a probe value/type cannot be
+        hashed bit-exactly in python, or any read fails (callers then
+        run the distributed probe, whose semantics are identical)."""
+        import numpy as np
+
+        from .functions.xxhash import hash_value
+
+        parts = os.path.join(bdir, "parts")
+        try:
+            total = 0
+            for root, _dirs, names in os.walk(parts):
+                for f in names:
+                    if f.endswith(".parquet"):
+                        total += os.path.getsize(os.path.join(root, f))
+                        if total > self._BLOOM_DRIVER_PROBE_BYTES:
+                            return None
+            m_bits, k, seed = meta["m_bits"], meta["k"], meta["seed"]
+            dtype = meta["dtype"]
+            # positions via the parity-pinned python xxhash64, casting
+            # each probe value as F.lit(v).cast(dtype) would; the
+            # chained second column is the literal int seed like the
+            # JVM expression form below
+            pos = np.empty((len(values), k), dtype=np.int64)
+            for vi, val in enumerate(values):
+                cast_v = _bloom_cast_probe(val, dtype)
+                for i in range(k):
+                    h = hash_value(cast_v, dtype, 42)
+                    h = hash_value(seed + i, "int", h)
+                    h = h - (1 << 64) if h >= (1 << 63) else h
+                    pos[vi, i] = h % m_bits
+            import pyarrow.dataset as pads
+
+            tbl = pads.dataset(parts, format="parquet").to_table(
+                columns=["file", "bitmap"]
+            )
+            hit_files: set = set()
+            covered: set = set()
+            for batch in tbl.to_batches():
+                fcol = batch.column(0).to_pylist()
+                bcol = batch.column(1)
+                for ri, fname in enumerate(fcol):
+                    covered.add(fname)
+                    if fname in hit_files:
+                        continue
+                    bm = np.frombuffer(
+                        bcol[ri].as_py(), dtype=np.uint8
+                    )
+                    if (
+                        (bm[pos >> 3] & (1 << (pos & 7)).astype(np.uint8))
+                        != 0
+                    ).all(axis=1).any():
+                        hit_files.add(fname)
+            return [f for f in files if f in hit_files or f not in covered]
+        except (TypeError, ValueError, OverflowError, OSError):
+            return None  # distributed probe handles what python can't
+
     def bloom_kept_files(
         self, name: str, col: str, value, version: int | None = None,
         doc: dict | None = None, elements: bool | None = None,
@@ -2592,6 +2694,23 @@ class TableStore:
             )
             return list(files), len(files)
         m_bits, k, seed = meta["m_bits"], meta["k"], meta["seed"]
+        # r15 (optimization, guide §1.2): a DRIVER fast path for small
+        # sidecars. The distributed probe below pays one Spark job +
+        # a pandas-worker round trip just to test bitmaps — the right
+        # shape when the sidecar is huge (millions of files at 100 TB),
+        # pure fixed cost when it is kilobytes. When the parts dataset
+        # is under _BLOOM_DRIVER_PROBE_BYTES on disk, read it with
+        # pyarrow and test the bitmaps in-process, computing the probe
+        # positions with the SAME bit-exact python xxhash64 the bucket
+        # router uses (functions/xxhash.py, parity-pinned vs Spark's
+        # expression). Types/values python hashing can't mirror
+        # (temporal/float casts) fall back to the Spark job, as does
+        # any read error — pruning semantics identical either way.
+        kept_fast = self._bloom_kept_files_driver(
+            bdir, meta, values, files
+        )
+        if kept_fast is not None:
+            return kept_fast, len(files)
         # probe positions from the SAME JVM expression as the build,
         # with each literal cast to the column's recorded type —
         # xxhash64(int 42) != xxhash64(bigint 42)

@@ -712,3 +712,55 @@ def test_element_bloom_declarative_property_auto_builds(spark, tmp_path):
         r["k"] for r in store.read("t", where={"toks": Has("w17")}).collect()
     )
     assert got == list(range(150, 220))
+
+
+def test_bloom_driver_probe_matches_distributed(spark, tmp_path):
+    """r15: the size-gated driver fast path of bloom_kept_files must
+    produce the EXACT kept set the distributed mapInPandas probe
+    produces — for scalar, IN-list, string and element probes — and
+    fall back cleanly when the probe value is not a native instance of
+    the indexed dtype."""
+    from datapipelinerepo_spark.io import Has
+
+    store = _mk(spark, tmp_path)
+    store.build_bloom_index("t", "cust", m_bits=1 << 14)
+
+    def both(value):
+        driver = store.bloom_kept_files("t", "cust", value)
+        old = TableStore._BLOOM_DRIVER_PROBE_BYTES
+        TableStore._BLOOM_DRIVER_PROBE_BYTES = 0  # force the Spark job
+        try:
+            dist = store.bloom_kept_files("t", "cust", value)
+        finally:
+            TableStore._BLOOM_DRIVER_PROBE_BYTES = old
+        assert driver == dist, (value, driver, dist)
+        return driver
+
+    for v in (0, 13, 96, 10**9, [7, 13, 10**9]):
+        both(v)
+    # non-native probe type (float on a bigint column): the driver
+    # path declines, the Spark path still answers, results agree with
+    # the exact filter (here: no match)
+    kept, total = store.bloom_kept_files("t", "cust", 13.5)
+    assert total > 0
+    # element-mode index: driver path handles Has probes too
+    toks = spark.range(200).select(
+        F.col("id").alias("k"),
+        F.array(F.concat(F.lit("w"), (F.col("id") % 41).cast("string"))).alias(
+            "toks"
+        ),
+    )
+    store.overwrite_keyed(toks, "te", "k", n_buckets=8, versioned=True)
+    store.build_bloom_index("te", "toks", elements=True)
+    d_kept, d_tot = store.bloom_kept_files(
+        "te", "toks", "w17", elements=True
+    )
+    old = TableStore._BLOOM_DRIVER_PROBE_BYTES
+    TableStore._BLOOM_DRIVER_PROBE_BYTES = 0
+    try:
+        s_kept, s_tot = store.bloom_kept_files(
+            "te", "toks", "w17", elements=True
+        )
+    finally:
+        TableStore._BLOOM_DRIVER_PROBE_BYTES = old
+    assert (d_kept, d_tot) == (s_kept, s_tot)
