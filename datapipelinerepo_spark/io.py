@@ -4841,6 +4841,7 @@ class TableStore:
             raise ValueError(
                 f"{name} is not versioned (overwrite_keyed(..., versioned=True))"
             )
+        self._heal_swaps(name)  # finish any interrupted bucket swap (r15)
         if self.keyed_spec(name) is not None and not self._dir_has_parquet(name):
             fallback = self._meta_schema_df(name)
             if fallback is not None:
@@ -5163,6 +5164,95 @@ class TableStore:
             schema=stamped.schema.json(),
         )
 
+    # -- unversioned stage-and-swap commit (r15) ---------------------------
+    #
+    # The unversioned keyed rewrite protocol: the merged bucket
+    # contents land in a private staging dir, then a JOURNAL file
+    # (._swap-<token>.json in the table dir, invisible to Spark's file
+    # index) records every (staged file → final name) move and every
+    # old file to delete BEFORE any mutation happens. Adds run before
+    # deletes, so the only mid-crash states are (a) journal + staged
+    # files → roll forward, (b) journal + fully-moved adds → finish
+    # deletes, (c) journal with neither staged nor moved adds (the
+    # writer's cleanup ran after a failed move) → roll back the moved
+    # adds and keep the old files. _heal_swaps runs at the head of the
+    # unversioned read/write verbs; an interrupted swap therefore
+    # never loses a bucket — unlike the dynamic-overwrite committer
+    # this replaces, whose commit deletes a partition dir before
+    # renaming the staged one in.
+
+    def _commit_swap(self, name: str, stage: str) -> None:
+        import uuid
+
+        base = self._dir(name)
+        token = uuid.uuid4().hex[:12]
+        moves: list[list[str]] = []
+        for d in sorted(os.listdir(stage)):
+            if not d.startswith("_kb="):
+                continue
+            for f in sorted(os.listdir(os.path.join(stage, d))):
+                if f.endswith(".parquet"):
+                    moves.append([f"{d}/{f}", f"{d}/{token}-{f}"])
+        dels: list[str] = []
+        for d in sorted({m[1].split("/", 1)[0] for m in moves}):
+            p = os.path.join(base, d)
+            if os.path.isdir(p):
+                dels += [
+                    f"{d}/{f}"
+                    for f in sorted(os.listdir(p))
+                    if f.endswith(".parquet")
+                ]
+        os.makedirs(base, exist_ok=True)
+        jpath = os.path.join(base, f"._swap-{token}.json")
+        tmp = jpath + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"stage": stage, "moves": moves, "dels": dels}, fh)
+        os.replace(tmp, jpath)
+        self._replay_swap(name, jpath)
+
+    def _replay_swap(self, name: str, jpath: str) -> None:
+        base = self._dir(name)
+        try:
+            with open(jpath) as fh:
+                j = json.load(fh)
+        except (OSError, ValueError):
+            # half-written journal (crash before the atomic replace
+            # never leaves this; a vanished file means a racer healed)
+            return
+        stage = j["stage"]
+        # roll forward only if every add is still completable —
+        # otherwise the staging dir was cleaned up after a failed
+        # write/move and finishing the deletes would lose buckets
+        forward = all(
+            os.path.isfile(os.path.join(base, dst))
+            or os.path.isfile(os.path.join(stage, src))
+            for src, dst in j["moves"]
+        )
+        if forward:
+            for src, dst in j["moves"]:
+                d = os.path.join(base, dst)
+                if not os.path.isfile(d):
+                    os.makedirs(os.path.dirname(d), exist_ok=True)
+                    _fs.replace(os.path.join(stage, src), d)
+            for rel in j["dels"]:
+                p = os.path.join(base, rel)
+                if os.path.isfile(p):
+                    os.remove(p)
+        else:
+            for _src, dst in j["moves"]:
+                p = os.path.join(base, dst)
+                if os.path.isfile(p):
+                    os.remove(p)
+        os.remove(jpath)
+
+    def _heal_swaps(self, name: str) -> None:
+        base = self._dir(name)
+        if not os.path.isdir(base):
+            return
+        for e in sorted(os.listdir(base)):
+            if e.startswith("._swap-") and e.endswith(".json"):
+                self._replay_swap(name, os.path.join(base, e))
+
     def _upsert_keyed(
         self,
         incoming: DataFrame,
@@ -5202,24 +5292,20 @@ class TableStore:
         stamped = stamped.localCheckpoint(eager=False)
         affected = [r[0] for r in stamped.select("_kb").distinct().collect()]
         versioned = self.is_versioned(name)
+        if not versioned:
+            self._heal_swaps(name)  # finish interrupted swaps (r15)
 
         def _merge_with(raw: DataFrame) -> DataFrame:
             slice_ = raw.filter(F.col("_kb").isin(affected))
             inc_keys, cond = _key_match(keys, stamped, "_ik_")
             survivors = slice_.join(inc_keys, cond, how="left_anti")
             merged = survivors.unionByName(stamped, allowMissingColumns=True)
-            if versioned:
-                # r14 (optimization): the versioned path APPENDS new
-                # part-files and publishes a manifest — it never
-                # deletes or overwrites the files it reads, so the
-                # defensive materialization below is pure overhead
-                # there: the staging write IS the single
-                # read-merge-write pass (one corpus-of-affected-buckets
-                # pass instead of checkpoint-materialize + re-read).
-                return merged
-            # unversioned: dynamic partition overwrite REPLACES the
-            # files being read — materialize before overwriting
-            return merged.localCheckpoint()
+            # both paths write the merged frame in a SINGLE pass: the
+            # versioned path appends + publishes a manifest (r14), the
+            # unversioned path stages to a private dir and swaps files
+            # under a roll-forward journal (r15) — neither overwrites
+            # what it reads, so no defensive materialization is needed
+            return merged
 
         if versioned:
             def _attempt() -> None:
@@ -5261,13 +5347,35 @@ class TableStore:
                 self._dir(name)
             )
         merged = _merge_with(raw)
-        (
-            self._cluster_kb(merged, int(n_buckets))
-            .write.mode("overwrite")
-            .partitionBy("_kb")
-            .option("partitionOverwriteMode", "dynamic")
-            .parquet(self._dir(name))
+        # r15 (optimization, guide §5): stage-and-swap instead of
+        # localCheckpoint + dynamic partition overwrite. The old form
+        # materialized the WHOLE merged result in executor memory
+        # (a full extra evaluation locally; cache pressure proportional
+        # to the affected buckets at scale) purely to sever the
+        # read-from-overwritten-path lineage. Writing the merged frame
+        # to a private staging dir reads the live files and writes new
+        # ones — one pass, no cache — and the journaled file swap
+        # (_commit_swap) replaces the affected buckets' files with a
+        # roll-forward heal that is strictly SAFER than the dynamic
+        # committer's crash window (which could drop a bucket between
+        # its delete and rename): the journal lands before any
+        # mutation, adds precede deletes, and readers/writers heal
+        # pending journals before listing the directory.
+        import uuid
+
+        swap_stage = os.path.join(
+            self.root, f".stagein-{name}-{uuid.uuid4().hex[:12]}"
         )
+        try:
+            (
+                self._cluster_kb(merged, int(n_buckets))
+                .write.mode("append")
+                .partitionBy("_kb")
+                .parquet(swap_stage)
+            )
+            self._commit_swap(name, swap_stage)
+        finally:
+            shutil.rmtree(swap_stage, ignore_errors=True)
         self._touch_meta(
             name,
             keyed_on=keys,
@@ -5330,6 +5438,8 @@ class TableStore:
             # the consistent snapshot iff the write committed; see read())
             if self.is_versioned(name):
                 self._assert_committed_dir(name)
+            else:
+                self._heal_swaps(name)  # finish interrupted swaps (r15)
             if not self._dir_has_parquet(name):
                 fallback = self._meta_schema_df(name)
                 if fallback is not None:

@@ -4372,3 +4372,122 @@ def test_null_stats_inert_counter_distinct_key(spark, tmp_path):
     # the min/max key stays untouched by the null-inert path alone
     nulls_only = store.prune_stat_misses.get(("t", "ts", "nulls"))
     assert ("t", "ts") not in store.prune_stat_misses or nulls_only
+
+
+def test_unversioned_swap_crash_recovery(spark, tmp_path):
+    """r15: the unversioned keyed upsert commits via stage-and-swap
+    under a roll-forward journal. Every crash window must heal to a
+    consistent table: (a) journal + staged adds -> roll forward to the
+    merged state; (b) journal + adds moved but deletes pending ->
+    finish deletes (no duplicate keys); (c) journal with the staging
+    dir gone and adds unmoved -> roll back to the pre-upsert state."""
+    import json
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    def mk(tag):
+        store = TableStore(spark, str(tmp_path / tag))
+        base = spark.range(40).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+        )
+        store.overwrite_keyed(base, "t", "k", n_buckets=4)
+        inc = spark.range(10, 20).select(
+            F.col("id").alias("k"), F.lit(-1).alias("v")
+        )
+        return store, inc
+
+    def interrupted_swap(store, inc, stop_after):
+        """Run the upsert but interrupt _replay_swap at a chosen point
+        by capturing the journal before replay and re-creating it."""
+        tdir = store._dir("t")
+        stamped = store._to_physical(inc, store._colmap_doc("t")).withColumn(
+            "_kb", store._kb_expr("t", ["k"], 4)
+        )
+        stage = str(tmp_path / "crash_stage")
+        shutil.rmtree(stage, ignore_errors=True)
+        raw = spark.read.option("mergeSchema", "true").parquet(tdir)
+        from datapipelinerepo_spark.io import _key_match
+
+        affected = [r[0] for r in stamped.select("_kb").distinct().collect()]
+        inc_keys, cond = _key_match(["k"], stamped, "_ik_")
+        merged = (
+            raw.filter(F.col("_kb").isin(affected))
+            .join(inc_keys, cond, how="left_anti")
+            .unionByName(stamped)
+            .localCheckpoint()
+        )
+        store._cluster_kb(merged, 4).write.mode("append").partitionBy(
+            "_kb"
+        ).parquet(stage)
+        # build the journal exactly as _commit_swap would, then stop
+        # at the requested point instead of replaying
+        token = "crashtok12345"
+        moves = []
+        for d in sorted(os.listdir(stage)):
+            if d.startswith("_kb="):
+                for f in sorted(os.listdir(os.path.join(stage, d))):
+                    if f.endswith(".parquet"):
+                        moves.append([f"{d}/{f}", f"{d}/{token}-{f}"])
+        dels = []
+        for d in sorted({m[1].split("/", 1)[0] for m in moves}):
+            p = os.path.join(tdir, d)
+            if os.path.isdir(p):
+                dels += [
+                    f"{d}/{f}"
+                    for f in sorted(os.listdir(p))
+                    if f.endswith(".parquet")
+                ]
+        jpath = os.path.join(tdir, f"._swap-{token}.json")
+        with open(jpath, "w") as fh:
+            json.dump({"stage": stage, "moves": moves, "dels": dels}, fh)
+        if stop_after == "journal":
+            return stage
+        for src, dst in moves:  # adds fully moved, deletes pending
+            d = os.path.join(tdir, dst)
+            os.makedirs(os.path.dirname(d), exist_ok=True)
+            os.replace(os.path.join(stage, src), d)
+        if stop_after == "adds":
+            return stage
+        raise AssertionError(stop_after)
+
+    merged_expect = sorted(
+        [(k, -1 if 10 <= k < 20 else k * 10) for k in range(40)]
+    )
+    pre_expect = sorted([(k, k * 10) for k in range(40)])
+
+    # (a) crash right after the journal landed: heal rolls forward
+    store, inc = mk("a")
+    stage = interrupted_swap(store, inc, "journal")
+    got = sorted((r["k"], r["v"]) for r in store.read("t").collect())
+    assert got == merged_expect
+    assert not [
+        e for e in os.listdir(store._dir("t")) if e.startswith("._swap-")
+    ]
+    shutil.rmtree(stage, ignore_errors=True)
+
+    # (b) crash after the adds moved: heal finishes the deletes —
+    # no duplicate keys survive
+    store, inc = mk("b")
+    stage = interrupted_swap(store, inc, "adds")
+    got = sorted((r["k"], r["v"]) for r in store.read("t").collect())
+    assert got == merged_expect
+    shutil.rmtree(stage, ignore_errors=True)
+
+    # (c) journal present but the staging dir is gone and no add
+    # moved (writer cleanup after a failed staging write): heal rolls
+    # back to the pre-upsert table
+    store, inc = mk("c")
+    stage = interrupted_swap(store, inc, "journal")
+    # undo nothing in the table, but delete the stage as the writer's
+    # finally-cleanup would
+    shutil.rmtree(stage)
+    got = sorted((r["k"], r["v"]) for r in store.read("t").collect())
+    assert got == pre_expect
+
+    # and the normal (uninterrupted) path still merges correctly
+    store, inc = mk("d")
+    store.upsert(inc, "t", "k")
+    got = sorted((r["k"], r["v"]) for r in store.read("t").collect())
+    assert got == merged_expect
