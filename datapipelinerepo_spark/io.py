@@ -5181,7 +5181,13 @@ class TableStore:
     # this replaces, whose commit deletes a partition dir before
     # renaming the staged one in.
 
-    def _commit_swap(self, name: str, stage: str) -> None:
+    def _commit_swap(
+        self, name: str, stage: str, replace_buckets=None
+    ) -> None:
+        """``replace_buckets``: bucket ids whose old files must go even
+        when the staged write produced NO rows for them (the
+        overwrite_buckets contract — a bucket fully emptied by deletes
+        is pruned from disk); the staged buckets are always replaced."""
         import uuid
 
         base = self._dir(name)
@@ -5193,8 +5199,11 @@ class TableStore:
             for f in sorted(os.listdir(os.path.join(stage, d))):
                 if f.endswith(".parquet"):
                     moves.append([f"{d}/{f}", f"{d}/{token}-{f}"])
+        replaced = {m[1].split("/", 1)[0] for m in moves} | {
+            f"_kb={b}" for b in (replace_buckets or [])
+        }
         dels: list[str] = []
-        for d in sorted({m[1].split("/", 1)[0] for m in moves}):
+        for d in sorted(replaced):
             p = os.path.join(base, d)
             if os.path.isdir(p):
                 dels += [
@@ -5228,6 +5237,14 @@ class TableStore:
             or os.path.isfile(os.path.join(stage, src))
             for src, dst in j["moves"]
         )
+        def _rm_with_crc(p: str) -> None:
+            if os.path.isfile(p):
+                os.remove(p)
+            d_, f_ = os.path.split(p)
+            crc = os.path.join(d_, f".{f_}.crc")
+            if os.path.isfile(crc):
+                os.remove(crc)  # Hadoop LocalFS checksum sidecar
+
         if forward:
             for src, dst in j["moves"]:
                 d = os.path.join(base, dst)
@@ -5235,14 +5252,28 @@ class TableStore:
                     os.makedirs(os.path.dirname(d), exist_ok=True)
                     _fs.replace(os.path.join(stage, src), d)
             for rel in j["dels"]:
-                p = os.path.join(base, rel)
-                if os.path.isfile(p):
-                    os.remove(p)
+                _rm_with_crc(os.path.join(base, rel))
         else:
             for _src, dst in j["moves"]:
-                p = os.path.join(base, dst)
-                if os.path.isfile(p):
-                    os.remove(p)
+                _rm_with_crc(os.path.join(base, dst))
+        # parity with the dynamic-overwrite era: a bucket dir fully
+        # emptied by the swap is removed (idempotent, unjournaled — an
+        # empty dir is harmless to every reader either way); leftover
+        # checksum sidecars of files deleted long ago count as empty
+        for d in sorted({rel.split("/", 1)[0] for rel in j["dels"]}):
+            p = os.path.join(base, d)
+            try:
+                if os.path.isdir(p):
+                    entries = os.listdir(p)
+                    if all(
+                        e.startswith(".") and e.endswith(".crc")
+                        for e in entries
+                    ):
+                        for e in entries:
+                            os.remove(os.path.join(p, e))
+                        os.rmdir(p)
+            except OSError:
+                pass
         os.remove(jpath)
 
     def _heal_swaps(self, name: str) -> None:
@@ -5513,13 +5544,11 @@ class TableStore:
     ) -> None:
         """Replace exactly the listed buckets with ``df``'s rows
         (stamped by the table's key spec). Buckets in ``buckets`` that
-        end up with NO rows are pruned from disk — dynamic partition
-        overwrite only replaces partitions that receive data, so a
-        bucket fully emptied by deletes would otherwise keep its stale
-        files. ``df`` must already be materialized if it was derived
-        from this table's own files of an UNVERSIONED table (the
-        in-place rewrite deletes what it reads); versioned tables
-        append + publish and may pass lazy frames.
+        end up with NO rows are pruned from disk. Lazy frames are fine
+        on BOTH paths (r15): versioned tables append + publish,
+        unversioned tables stage to a private dir and swap files under
+        a roll-forward journal — neither overwrites the files ``df``
+        reads, so callers no longer materialize survivor frames.
 
         On a versioned table nothing is deleted: the new bucket
         contents append as new part-files and the published manifest
@@ -5581,20 +5610,32 @@ class TableStore:
                 txn_assert=txn_assert,
             )
             return
-        (
-            self._cluster_kb(stamped, n)
-            .write.mode("overwrite")
-            .partitionBy("_kb")
-            .option("partitionOverwriteMode", "dynamic")
-            .parquet(self._dir(name))
+        # r15: journaled stage-and-swap (see _commit_swap) instead of
+        # dynamic partition overwrite + a SECOND evaluation of the
+        # frame (the nonempty probe that pruned fully-emptied buckets).
+        # The swap's delete set is the staged buckets ∪ the LISTED
+        # buckets, so rows hashing outside ``buckets`` still replace
+        # their bucket (the widening dynamic overwrite provided) and a
+        # listed bucket that received no rows is emptied from disk —
+        # both without re-running the frame's lineage; callers no
+        # longer need to materialize frames derived from this table's
+        # own files (the staging write never overwrites what it reads).
+        import uuid
+
+        self._heal_swaps(name)
+        stage = os.path.join(
+            self.root, f".stagein-{name}-{uuid.uuid4().hex[:12]}"
         )
-        nonempty = {
-            r[0] for r in stamped.select("_kb").distinct().collect()
-        }
-        for b in set(buckets) - nonempty:
-            shutil.rmtree(
-                os.path.join(self._dir(name), f"_kb={b}"), ignore_errors=True
+        try:
+            (
+                self._cluster_kb(stamped, n)
+                .write.mode("append")
+                .partitionBy("_kb")
+                .parquet(stage)
             )
+            self._commit_swap(name, stage, replace_buckets=buckets)
+        finally:
+            shutil.rmtree(stage, ignore_errors=True)
         self._touch_meta(
             name, schema=self._widened_schema_json(name, stamped.schema)
         )
@@ -6304,14 +6345,11 @@ class TableStore:
             # lazy checkpoint; the staging write reads the cache)
             proj = proj.localCheckpoint(eager=False)
         merged = proj.drop("_act")
-        if not self.is_versioned(name) and not check_needed:
-            # unversioned: overwrite_buckets rewrites the files the
-            # full-outer join reads — materialize first; versioned
-            # appends + publishes, so the staging write is the single
-            # merge pass (r14). With a landed check the lazy checkpoint
-            # above is already fully materialized by the check's
-            # aggregate before the rewrite starts.
-            merged = merged.localCheckpoint(eager=True)
+        # r15: no defensive materialization on either path — versioned
+        # appends + publishes; unversioned stages + swaps (neither
+        # overwrites the files the join reads); the lazy checkpoint
+        # above exists purely so the landed check and the write share
+        # one evaluation of the join
         if check_needed:
             # constraints judge exactly what this merge WRITES anew —
             # updated and inserted rows; surviving history is not
@@ -6478,11 +6516,9 @@ class TableStore:
             if not affected:
                 return []
             survivors = self.read_buckets(name, affected).filter(keep)
-            if not self.is_versioned(name):
-                # unversioned rewrites the files being read in place —
-                # materialize first; versioned appends + publishes, so
-                # the staging write is the single pass (r14)
-                survivors = survivors.localCheckpoint()
+            # r15: no materialization on either path — versioned
+            # appends + publishes (r14); unversioned stages + swaps,
+            # neither overwrites the files the survivors frame reads
             self.overwrite_buckets(
                 survivors, name, affected, op="delete",
                 version_expect=v0, version_expect_ident=v0_ident,
@@ -6603,10 +6639,8 @@ class TableStore:
                 name, _apply(bucket_rows.filter(condition), always=True)
             )
             updated = _apply(bucket_rows)
-            if not self.is_versioned(name):
-                # unversioned rewrites the files being read in place —
-                # materialize first; versioned appends + publishes (r14)
-                updated = updated.localCheckpoint()
+            # r15: no materialization on either path — versioned
+            # appends + publishes (r14); unversioned stages + swaps
             self.overwrite_buckets(
                 updated, name, affected, op="update",
                 version_expect=v0, version_expect_ident=v0_ident,
