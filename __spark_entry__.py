@@ -364,6 +364,83 @@ _CHANGED_R14 = {
     "w_ntile_deciles": 14,
     "scale_zorder_values": 14,
 }
+_CHANGED_R15 = {
+    # r15 (optimization round 2): the store verbs rework again — the
+    # keyed upsert pins its batch lineage once (lazy checkpoint),
+    # merge_when computes through ONE action-tagged CASE projection
+    # instead of unioned join branches, the unversioned keyed rewrite
+    # commits by journaled stage-and-swap instead of localCheckpoint +
+    # dynamic overwrite, and small bloom sidecars are probed on the
+    # driver (bit-exact python xxhash64). By the r8-r14 precedent a
+    # commit-path rework staleness-marks the whole store family.
+    # Locally re-proven vs DuckDB at sf0.001/shuffle=13 during the
+    # round and by the end-of-round sweeps.
+    "store_keyed_merge": 15,
+    "store_versioned_snapshot": 15,
+    "store_delete_where": 15,
+    "store_txn_exactly_once": 15,
+    "store_constraint_reject": 15,
+    "store_restore_rollback": 15,
+    "store_point_lookup": 15,
+    "store_time_travel_ts": 15,
+    "store_schema_evolution": 15,
+    "store_cdf_changes": 15,
+    "store_cdf_stream_drain": 15,
+    "store_merge_when": 15,
+    "store_column_mapping": 15,
+    "store_rebucket": 15,
+    "store_stats_skipping": 15,
+    "store_auto_compact": 15,
+    "store_incremental_rollup": 15,
+    "store_incremental_minmax": 15,
+    "store_ivm_pure_agg": 15,
+    "store_incremental_rollup_recompute": 15,
+    "store_incremental_rollup_sum": 15,
+    "store_streaming_rollup": 15,
+    "store_incremental_distinct": 15,
+    "store_ivm_base_state": 15,
+    "store_incremental_join": 15,
+    "store_streaming_join": 15,
+    "store_bloom_point_read": 15,
+    "store_read_group": 15,
+    "store_read_group_asof": 15,
+    "store_write_group": 15,
+    "store_stacked_view_group": 15,
+    "store_streaming_stack": 15,
+    "store_update_where": 15,
+    "store_count_planned": 15,
+    "store_stats_scalar_agg": 15,
+    "store_read_planned": 15,
+    "store_read_planned_disjunction": 15,
+    "store_read_planned_prefix": 15,
+    "store_read_planned_nulls": 15,
+    "store_bloom_conjunctive_read": 15,
+    "store_bloom_inlist_read": 15,
+    "store_bloom_element_read": 15,
+    "store_group_point_read": 15,
+    "pipeline_idempotent_reload": 15,
+    "events_rollup_hourly": 15,
+    "cdc_latest_wins": 15,
+    "s3_exists_probe": 15,
+    "s4_last_modified_probe": 15,
+    "s8_append_roundtrip": 15,
+    "s9_replace_roundtrip": 15,
+    "s10_reload_roundtrip": 15,
+    "f18_unavail_fill": 15,
+    # r15: sorted-neighborhood's two passes run through one merged
+    # position tower (pair-for-pair identical, re-proven vs DuckDB);
+    # bpe_learn's word-count aggregation is pinned before the driver-
+    # replay probe; connected-components' label broadcast is gated on
+    # a fixed row bound (unchanged below it)
+    "dedup_sorted_neighborhood": 15,
+    "text_bpe_learn": 15,
+    "text_bpe_learn_single": 15,
+    "text_bpe_learn_batched": 15,
+    "dedup_connected_components": 15,
+    "dedup_canonical_keep": 15,
+    "dedup_semantic_keep_verified": 15,
+    "dedup_cluster_size_histogram": 15,
+}
 
 # Merged in round order: a later round's mark for the same query wins.
 _CHANGED_IN_ROUND = {
@@ -374,6 +451,7 @@ _CHANGED_IN_ROUND = {
     **_CHANGED_R11,
     **_CHANGED_R13,
     **_CHANGED_R14,
+    **_CHANGED_R15,
 }
 
 

@@ -5057,8 +5057,8 @@ class TableStore:
         """Write a table hash-bucket-partitioned by its merge key: rows
         land in parquet partitions _kb=pmod(xxhash64(key), n_buckets).
         Subsequent ``upsert`` calls on the same key then rewrite ONLY
-        the buckets containing matched keys (dynamic partition
-        overwrite + partition pruning) — the Delta/Iceberg MERGE cost
+        the buckets containing matched keys (partition pruning + the
+        journaled bucket swap, r15) — the Delta/Iceberg MERGE cost
         profile on plain parquet, instead of the whole-table rewrite
         the unkeyed fallback pays. Size n_buckets so one bucket ≈ a few
         files at the table's target size (the same knob as lakehouse
@@ -5298,11 +5298,12 @@ class TableStore:
         rewrite exactly those buckets. Untouched buckets' files are
         never read or rewritten.
 
-        Unversioned tables dynamic-partition-overwrite the affected
-        buckets in place; versioned tables instead APPEND the merged
-        bucket contents as new part-files and publish a new manifest
-        (prior version's untouched-bucket files + the new files), so
-        every prior snapshot's files survive until vacuum."""
+        Unversioned tables stage the merged bucket contents and swap
+        the affected buckets' files in under a roll-forward journal
+        (r15 — see _commit_swap); versioned tables instead APPEND the
+        merged bucket contents as new part-files and publish a new
+        manifest (prior version's untouched-bucket files + the new
+        files), so every prior snapshot's files survive until vacuum."""
         incoming = self._to_physical(incoming, self._colmap_doc(name))
         stamped = incoming.withColumn(
             "_kb", self._kb_expr(name, keys, n_buckets)
